@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execution + collect of the
+small result). A warmup query first pays JVM/codegen startup so the
+numbers measure the engine, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timeseries_db_spark.session import get_spark
+from timeseries_db_spark import registry
+
+HEADLINE = [
+    # reference surface: scan/filter/agg/group/sort/limit shapes
+    "agg_sum",                 # full-scan scalar agg (onlyAgg fast path)
+    "agg_avg_by_tag",          # range filter + low-card group
+    "agg_sum_by_ts",           # range filter + high-card group (shuffle-heavy)
+    "collect_sort_desc_limit", # top-k (TakeOrderedAndProject)
+    "range_ge_lt",             # pushed-down range scan, raw rows
+    "li_sum_by_tag",           # 10× bigger table, group-by
+    "li_avg_by_tag",           # 10× bigger table, filter + group-by
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("tsdb-bench")
+    queries, _ = registry.build_registry()
+
+    # warmup: JVM + whole-stage codegen + parquet footer caches
+    queries["agg_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (and the §7 extension operators) registered as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle-SQL twin.
+
+Conventions keeping the driver's order-insensitive value-hash stable:
+
+* every computed column is aliased identically on both sides;
+* float-accumulating aggregates (sum/avg) are rounded to 4 decimals on
+  BOTH sides — double addition is non-associative, so Spark's
+  partition-order partial sums and DuckDB's sequential sum differ in the
+  last ulp; rounding removes that noise without hiding real errors;
+* timestamps surface as Int64 epoch milliseconds everywhere (engine
+  timestamp rendering / timezone never enters the comparison);
+* any query with ``limit`` orders by a total order (timestamp, tag) so
+  both engines pick the same top-k rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.plans.compiler import compile_query
+from timeseries_db_spark.schema import Agg, GroupBy, QueryModel, Sort
+from timeseries_db_spark.sources.tables import events_as_tsdb, lineitem_as_tsdb
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# DuckDB flavor of the tsdb-shaped views (see sources/tables.py for the
+# Spark side of the same mapping).
+EVENTS_T = 'SELECT epoch_ms(ts) AS "timestamp", event_type AS tag, value FROM events'
+LINEITEM_T = (
+    'SELECT epoch_ms(l_shipdate) AS "timestamp", l_returnflag AS tag, '
+    "l_extendedprice AS value FROM lineitem"
+)
+
+# fixed mid-January bounds — strict subset of `events` at every sf
+LO = 1704500000000  # ~2024-01-06
+HI = 1706000000000  # ~2024-01-23
+# lineitem shipdate bounds (1995-2001 domain)
+LI_LO = 820454400000  # 1996-01-01
+LI_HI = 946684800000  # 2000-01-01
+
+_AGG_SQL = {
+    Agg.COUNT: "CAST(count(*) AS DOUBLE)",
+    Agg.SUM: "round(sum(value), 4)",
+    Agg.AVG: "round(avg(value), 4)",
+    Agg.MIN: "min(value)",
+    Agg.MAX: "max(value)",
+}
+_ROUNDED = {Agg.SUM, Agg.AVG}
+
+
+def _round_result(df: DataFrame) -> DataFrame:
+    return df.withColumn("result", F.round(F.col("result"), 4))
+
+
+def _tsdb_query(qm: QueryModel, table: str = "events") -> QueryFn:
+    src = events_as_tsdb if table == "events" else lineitem_as_tsdb
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = compile_query(src(spark, sf_dir), qm)
+        if qm.agg_func in _ROUNDED:
+            out = _round_result(out)
+        return out
+
+    return run
+
+
+def _oracle(qm_where: str, select: str, tail: str = "", table_sql: str = EVENTS_T) -> str:
+    return f"WITH t AS ({table_sql}) SELECT {select} FROM t {qm_where} {tail}".strip()
+
+
+def _range_where(qm: QueryModel) -> str:
+    preds = []
+    if qm.ts_eq is not None:
+        preds.append(f'"timestamp" = {qm.ts_eq}')
+    if qm.gt is not None:
+        preds.append(f'"timestamp" > {qm.gt}')
+    if qm.ge is not None:
+        preds.append(f'"timestamp" >= {qm.ge}')
+    if qm.lt is not None:
+        preds.append(f'"timestamp" < {qm.lt}')
+    if qm.le is not None:
+        preds.append(f'"timestamp" <= {qm.le}')
+    if qm.tag_eq is not None:
+        preds.append(f"tag = '{qm.tag_eq}'")
+    return ("WHERE " + " AND ".join(preds)) if preds else ""
+
+
+def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> None:
+    """SURVEY.md §2.1-2.3: the complete reference read surface."""
+    rows = '"timestamp", tag, value'
+
+    # --- R2: all 9 range-bound combinations (Queries/Utils.hs:21-30) ---
+    range_qms = {
+        "collect_all": QueryModel(),
+        "range_gt": QueryModel(gt=LO),
+        "range_ge": QueryModel(ge=LO),
+        "range_lt": QueryModel(lt=HI),
+        "range_le": QueryModel(le=HI),
+        "range_gt_lt": QueryModel(gt=LO, lt=HI),
+        "range_gt_le": QueryModel(gt=LO, le=HI),
+        "range_ge_lt": QueryModel(ge=LO, lt=HI),
+        "range_ge_le": QueryModel(ge=LO, le=HI),
+    }
+    for name, qm in range_qms.items():
+        q[name] = _tsdb_query(qm)
+        o[name] = _oracle(_range_where(qm), rows)
+
+    # --- R3/R4/R5: point lookups; literals derived from the data so the
+    # same registered query works at every sf ---
+    def ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = events_as_tsdb(spark, sf_dir)
+        ts0 = t.agg(F.min("timestamp")).first()[0]
+        return compile_query(t, QueryModel(ts_eq=int(ts0)))
+
+    q["ts_eq_hit"] = ts_eq_hit
+    o["ts_eq_hit"] = _oracle(
+        'WHERE "timestamp" = (SELECT min("timestamp") FROM t)', rows
+    )
+
+    q["tag_eq_hit"] = _tsdb_query(QueryModel(tag_eq="click"))
+    o["tag_eq_hit"] = _oracle("WHERE tag = 'click'", rows)
+
+    def tag_ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = events_as_tsdb(spark, sf_dir)
+        row = t.orderBy("timestamp", "tag").first()
+        return compile_query(
+            t, QueryModel(ts_eq=int(row["timestamp"]), tag_eq=row["tag"])
+        )
+
+    q["tag_ts_eq_hit"] = tag_ts_eq_hit
+    o["tag_ts_eq_hit"] = _oracle(
+        'WHERE "timestamp" = (SELECT min("timestamp") FROM t) '
+        'AND tag = (SELECT min(tag) FROM t '
+        'WHERE "timestamp" = (SELECT min("timestamp") FROM t))',
+        rows,
+    )
+
+    # --- A1-A5 scalar (the onlyAgg fast path, R1) ---
+    for agg in Agg:
+        name = f"agg_{agg.value}"
+        q[name] = _tsdb_query(QueryModel(agg_func=agg))
+        o[name] = _oracle("", f"{_AGG_SQL[agg]} AS result")
+
+    # --- A6: all five aggs grouped by tag, under a range filter ---
+    for agg in Agg:
+        name = f"agg_{agg.value}_by_tag"
+        qm = QueryModel(agg_func=agg, group_by=GroupBy.TAG, gt=LO, le=HI)
+        q[name] = _tsdb_query(qm)
+        o[name] = _oracle(
+            _range_where(qm), f"tag AS grp, {_AGG_SQL[agg]} AS result", "GROUP BY tag"
+        )
+
+    # --- A7: group by timestamp (sorted group keys, O1) ---
+    for agg in (Agg.SUM, Agg.COUNT):
+        name = f"agg_{agg.value}_by_ts"
+        qm = QueryModel(agg_func=agg, group_by=GroupBy.TIMESTAMP, ge=LO, lt=HI)
+        q[name] = _tsdb_query(qm)
+        o[name] = _oracle(
+            _range_where(qm),
+            f'"timestamp" AS grp, {_AGG_SQL[agg]} AS result',
+            'GROUP BY "timestamp"',
+        )
+
+    # --- A8: groupBy=tag + tsEq (one row per tag at that instant) ---
+    def group_tag_ts_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = events_as_tsdb(spark, sf_dir)
+        ts0 = t.agg(F.min("timestamp")).first()[0]
+        return compile_query(
+            t, QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
+        )
+
+    q["group_tag_ts_eq"] = group_tag_ts_eq
+    o["group_tag_ts_eq"] = _oracle(
+        'WHERE "timestamp" = (SELECT min("timestamp") FROM t)',
+        "tag AS grp, max(value) AS result",
+        "GROUP BY tag",
+    )
+
+    # --- O1/O2/O3: sort asc/desc + limit (top-k) on raw rows and groups ---
+    q["collect_sort_asc_limit"] = _tsdb_query(QueryModel(sort=Sort.ASC, limit=100))
+    o["collect_sort_asc_limit"] = _oracle(
+        "", rows, 'ORDER BY "timestamp" ASC, tag ASC LIMIT 100'
+    )
+    q["collect_sort_desc_limit"] = _tsdb_query(QueryModel(sort=Sort.DESC, limit=100))
+    o["collect_sort_desc_limit"] = _oracle(
+        "", rows, 'ORDER BY "timestamp" DESC, tag DESC LIMIT 100'
+    )
+    qm = QueryModel(
+        agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
+    )
+    q["group_ts_desc_limit"] = _tsdb_query(qm)
+    o["group_ts_desc_limit"] = _oracle(
+        "", '"timestamp" AS grp, max(value) AS result',
+        'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 50',
+    )
+
+    # --- same surface exercised on the 10×-bigger lineitem tsdb view ---
+    qm = QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, ge=LI_LO, lt=LI_HI)
+    q["li_avg_by_tag"] = _tsdb_query(qm, table="lineitem")
+    o["li_avg_by_tag"] = _oracle(
+        _range_where(qm),
+        "tag AS grp, round(avg(value), 4) AS result",
+        "GROUP BY tag",
+        table_sql=LINEITEM_T,
+    )
+    qm = QueryModel(agg_func=Agg.SUM, group_by=GroupBy.TAG)
+    q["li_sum_by_tag"] = _tsdb_query(qm, table="lineitem")
+    o["li_sum_by_tag"] = _oracle(
+        "", "tag AS grp, round(sum(value), 4) AS result", "GROUP BY tag",
+        table_sql=LINEITEM_T,
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry(): the SURVEY.md §7.2 minimum slice — range filter + group-by
+    tag + avg + sort + limit over the events tsdb view."""
+    qm = QueryModel(
+        agg_func=Agg.AVG, group_by=GroupBy.TAG, gt=LO, le=HI,
+        sort=Sort.ASC, limit=10,
+    )
+    return _round_result(compile_query(events_as_tsdb(spark, sf_dir), qm))
+
+
+def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    _register_reference_surface(queries, oracles)
+    # extension operators (dedup / similarity / text / streaming-batch
+    # twins) register themselves as their modules land
+    try:
+        from timeseries_db_spark.registry_ext import register_extensions
+
+        register_extensions(queries, oracles)
+    except ImportError:
+        pass
+    return queries, oracles

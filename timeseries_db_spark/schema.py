@@ -1,0 +1,148 @@
+"""Data model + query model of the tsdb surface.
+
+Reference parity (see /root/repo/SURVEY.md §1):
+
+* Row schema ``TS {timestamp:Int64-millis, tag:Text, value:Double}`` —
+  reference ``server/src/Repository/Model.hs:77-82``.
+* Unique key ``(timestamp, tag)`` — reference ``README.md:63``.
+* Query model: ten optional composable parameters —
+  ``Model.hs:104-116``; validation (``illegalQM``) ``Model.hs:126-134``.
+
+Differences by design (documented deviations, SURVEY.md §7.3):
+
+* empty-range ``min``/``max`` return NULL (SQL semantics) instead of the
+  reference's ±Infinity monoid identities (``Model.hs:146-148``);
+* ``groupBy=tag`` output is always ordered by group key (the reference's
+  HashMap iteration order is nondeterministic — ``Queries/Tag.hs:44``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import types as T
+
+
+class QueryError(Exception):
+    """Data-dependent query failure (reference returns HTTP 400)."""
+
+
+class IllegalQueryError(QueryError):
+    """Illegal parameter combination — reference ``illegalQM`` Model.hs:126-134."""
+
+
+class Agg(str, Enum):
+    """Aggregate functions — reference ``Model.hs:60,172-178``."""
+
+    COUNT = "count"
+    SUM = "sum"
+    AVG = "avg"
+    MIN = "min"
+    MAX = "max"
+
+
+class GroupBy(str, Enum):
+    """Grouping key — reference ``Model.hs:54,154-157``."""
+
+    TAG = "tag"
+    TIMESTAMP = "timestamp"
+
+
+class Sort(str, Enum):
+    """Order by timestamp — reference ``Model.hs:57,163-166`` (default asc)."""
+
+    ASC = "asc"
+    DESC = "desc"
+
+
+#: The one table of the reference surface. All three fields non-nullable
+#: (aeson strict decoding rejects missing fields — Model.hs:197-199).
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType(), False),  # UNIX epoch millis
+        T.StructField("tag", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+#: Key-only projection TS' (deletes / existence checks) — Model.hs:84-88.
+TS_KEY_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("tag", T.StringType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class QueryModel:
+    """The ten-parameter query record — reference ``Model.hs:104-116``.
+
+    The entire "logical plan" of the reference is this record; the engine
+    compiles it directly to a DataFrame expression chain
+    (:func:`timeseries_db_spark.plans.compiler.compile_query`) and Catalyst
+    is the physical planner the reference never had (SURVEY.md §3).
+    """
+
+    gt: int | None = None  # timestamp >  gt   (exclusive lower bound)
+    ge: int | None = None  # timestamp >= ge   (inclusive lower bound)
+    lt: int | None = None  # timestamp <  lt   (exclusive upper bound)
+    le: int | None = None  # timestamp <= le   (inclusive upper bound)
+    ts_eq: int | None = None  # timestamp point lookup
+    tag_eq: str | None = None  # tag equality
+    agg_func: Agg | None = None
+    group_by: GroupBy | None = None
+    sort: Sort = Sort.ASC
+    limit: int | None = None
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        """``illegalQM`` semantics — reference ``Model.hs:126-134``."""
+        if self.group_by is not None and self.agg_func is None:
+            raise IllegalQueryError("Illegal query: 'groupBy' requires 'aggFunc'.")
+        if self.gt is not None and self.ge is not None:
+            raise IllegalQueryError("Illegal query: 'gt' and 'ge' are mutually exclusive.")
+        if self.lt is not None and self.le is not None:
+            raise IllegalQueryError("Illegal query: 'lt' and 'le' are mutually exclusive.")
+        if self.ts_eq is not None and any(
+            b is not None for b in (self.gt, self.ge, self.lt, self.le)
+        ):
+            raise IllegalQueryError(
+                "Illegal query: 'tsEq' excludes other timestamp bounds."
+            )
+        if self.limit is not None and self.limit < 0:
+            raise IllegalQueryError("Illegal query: negative 'limit'.")
+
+    @property
+    def only_agg(self) -> bool:
+        """Fast-path predicate ``onlyAgg`` — reference ``Model.hs:121-123``:
+        an aggregate with no filters and no grouping folds the raw value
+        column (maps to a bare ``df.agg`` whole-column scan)."""
+        return self.agg_func is not None and all(
+            v is None
+            for v in (self.gt, self.ge, self.lt, self.le, self.ts_eq, self.tag_eq, self.group_by)
+        )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "QueryModel":
+        """Parse the reference's wire format (camelCase keys, strict —
+        unknown fields rejected like aeson's ``rejectUnknownFields``)."""
+        key_map = {
+            "gt": "gt", "ge": "ge", "lt": "lt", "le": "le",
+            "tsEq": "ts_eq", "tagEq": "tag_eq", "aggFunc": "agg_func",
+            "groupBy": "group_by", "sort": "sort", "limit": "limit",
+        }
+        unknown = set(obj) - set(key_map)
+        if unknown:
+            raise IllegalQueryError(f"Unknown query fields: {sorted(unknown)}")
+        kwargs: dict = {key_map[k]: v for k, v in obj.items() if v is not None}
+        if "agg_func" in kwargs:
+            kwargs["agg_func"] = Agg(kwargs["agg_func"])
+        if "group_by" in kwargs:
+            kwargs["group_by"] = GroupBy(kwargs["group_by"])
+        if "sort" in kwargs:
+            kwargs["sort"] = Sort(kwargs["sort"])
+        return cls(**kwargs)

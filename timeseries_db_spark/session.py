@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Local test posture is ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+conf here is chosen to also be correct on a multi-executor cluster at
+100 TB: AQE for runtime re-planning (partition coalescing, skew-join
+splitting), Arrow for the Pandas-UDF slow path, UTC session timezone so
+results are oracle-comparable and cluster-timezone-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "timeseries-db-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count —
+    on a real cluster this would be ~2-3× total executor cores (or left
+    to AQE's coalescing with a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
+        # which vanilla Spark rejects; read it as long (ns since epoch)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

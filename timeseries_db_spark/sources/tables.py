@@ -1,0 +1,108 @@
+"""Sources: the driver's parquet tables + tsdb-shaped views of them.
+
+The reference ingests only JSON HTTP bodies (``Api.hs:33-38``); this
+engine reads columnar parquet (and JSON/CSV via the same helpers), which
+is the scale-correct substrate: predicate pushdown, row-group min/max
+skipping, column projection.
+
+tsdb mapping (FIXTURES.md):
+* ``events``:   ``ts``→timestamp (epoch millis), ``event_type``→tag, ``value``→value
+* ``lineitem``: ``l_shipdate``→timestamp, ``l_returnflag``→tag, ``l_extendedprice``→value
+
+Timestamps become Int64 epoch milliseconds — lossless vs the reference's
+``type Timestamp = Int`` millis (``Model.hs:44-52``, UI millis formatting
+``client/src/Main.elm:589-590``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; plain ``spark.read.parquet`` so pushdown and
+    pruning stay available to Catalyst.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads with
+    the nanosAsLong legacy conf (as Int64 nanoseconds). Set it here too so
+    the engine works under a caller-provided session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_to_millis(df: DataFrame, col_name: str):
+    """Epoch-millis Int64 column from either a TimestampType column or a raw
+    Int64-nanoseconds column (the nanosAsLong read of TIMESTAMP(NANOS)).
+    Integer ``div`` keeps full precision — float division would corrupt
+    ~1.7e18 ns values (doubles carry only 53 bits)."""
+    dtype = dict(df.dtypes)[col_name]
+    if dtype == "bigint":
+        return F.expr(f"{col_name} div 1000000")
+    if dtype == "timestamp_ntz":
+        # session tz is pinned to UTC, so NTZ→TZ cast is the same instant
+        # DuckDB assumes for naive timestamps
+        return F.unix_millis(F.col(col_name).cast("timestamp"))
+    return F.unix_millis(F.col(col_name))
+
+
+def events_as_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tsdb-shaped view of ``events``.
+
+    ``unix_millis`` keeps the reference's Int64-milliseconds timestamp
+    domain exactly (and sidesteps engine-specific timestamp/timezone
+    rendering in oracle comparison). The projection is declared up front
+    so the parquet scan reads only three columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        ts_to_millis(ev, "ts").alias("timestamp"),
+        F.col("event_type").alias("tag"),
+        F.col("value").alias("value"),
+    )
+
+
+def lineitem_as_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsdb-shaped view of ``lineitem`` (bigger table for range+group+agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        ts_to_millis(li, "l_shipdate").alias("timestamp"),
+        F.col("l_returnflag").alias("tag"),
+        F.col("l_extendedprice").alias("value"),
+    )
+
+
+def write_tsdb_partitioned(df: DataFrame, path: str, *, buckets: int | None = None) -> None:
+    """Persist a tsdb table laid out for scale: partitioned by UTC date of
+    the timestamp so time-range queries prune whole partitions (the Spark
+    analog of the reference's TimestampIndex subtree pruning,
+    ``DataS/IntMap.hs:36-62``). At 100 TB, date partitions keep each
+    partition in the 100s-of-MB range and make retention drops O(1) file
+    ops. Tag lookups ride on parquet row-group stats; for heavy tag-probe
+    workloads add a sort-within-partitions by tag (done here) so row
+    groups are tag-clustered — the poor man's Z-ORDER without Delta.
+    """
+    out = df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("timestamp"))))
+    (
+        out.repartition("dt")
+        .sortWithinPartitions("dt", "tag", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
