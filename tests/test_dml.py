@@ -1,0 +1,131 @@
+"""DML semantics (SURVEY.md §2.4): batch-all-or-nothing, ≤10 errors,
+uniqueness, partition-scoped rewrite, snapshot atomicity."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeseries_db_spark.operators.dml import MAX_ERRORS, DmlError, TsTable
+from timeseries_db_spark.schema import TS_SCHEMA
+
+DAY = 86_400_000
+T0 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        [(int(t), str(g), float(v)) for t, g, v in rows], TS_SCHEMA
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TsTable.create(spark, str(tmp_path / "ts"))
+    t.insert(
+        mk(
+            spark,
+            [
+                (T0, "munich", 1.0),
+                (T0, "skopje", 2.0),
+                (T0 + 1, "munich", 3.0),
+                (T0 + DAY, "munich", 4.0),  # second date partition
+                (T0 + DAY, "athens", 5.0),
+            ],
+        )
+    )
+    return t
+
+
+def rows_of(t):
+    return {(r["timestamp"], r["tag"], r["value"]) for r in t.read().collect()}
+
+
+def test_insert_and_read(table):
+    assert rows_of(table) == {
+        (T0, "munich", 1.0),
+        (T0, "skopje", 2.0),
+        (T0 + 1, "munich", 3.0),
+        (T0 + DAY, "munich", 4.0),
+        (T0 + DAY, "athens", 5.0),
+    }
+
+
+def test_insert_existing_key_rejected_atomically(table, spark):
+    with pytest.raises(DmlError) as e:
+        table.insert(mk(spark, [(T0 + 2, "new", 9.0), (T0, "munich", 9.0)]))
+    assert "already exists" in e.value.errors[0]
+    # all-or-nothing: the valid row must NOT have been inserted
+    assert (T0 + 2, "new", 9.0) not in rows_of(table)
+
+
+def test_intra_batch_duplicate_rejected(table, spark):
+    with pytest.raises(DmlError) as e:
+        table.insert(mk(spark, [(T0 + 5, "x", 1.0), (T0 + 5, "x", 2.0)]))
+    assert "Duplicate key in batch" in e.value.errors[0]
+
+
+def test_error_list_capped_at_10(table, spark):
+    bad = mk(spark, [(T0 + 100 + i, f"t{i}", 1.0) for i in range(25)])
+    with pytest.raises(DmlError) as e:
+        table.update(bad)
+    assert len(e.value.errors) == MAX_ERRORS
+
+
+def test_update_hit_and_miss(table, spark):
+    table.update(mk(spark, [(T0, "munich", 100.0)]))
+    assert (T0, "munich", 100.0) in rows_of(table)
+    assert (T0, "skopje", 2.0) in rows_of(table)  # untouched neighbor
+    with pytest.raises(DmlError) as e:
+        table.update(mk(spark, [(T0, "nope", 1.0)]))
+    assert "no entry" in e.value.errors[0]
+
+
+def test_update_only_rewrites_touched_partition(table, spark):
+    before = table._manifest()["partitions"]
+    table.update(mk(spark, [(T0 + DAY, "athens", 50.0)]))
+    after = table._manifest()["partitions"]
+    assert after["2024-01-01"] == before["2024-01-01"]  # untouched partition kept
+    assert after["2024-01-02"] != before["2024-01-02"]  # touched partition replaced
+
+
+def test_delete_hit_miss_and_empty_partition(table, spark):
+    table.delete(mk(spark, [(T0 + DAY, "munich", 0.0), (T0 + DAY, "athens", 0.0)]))
+    assert rows_of(table) == {
+        (T0, "munich", 1.0),
+        (T0, "skopje", 2.0),
+        (T0 + 1, "munich", 3.0),
+    }
+    # fully-emptied partition disappears from the manifest
+    assert "2024-01-02" not in table._manifest()["partitions"]
+    with pytest.raises(DmlError):
+        table.delete(mk(spark, [(T0 + DAY, "munich", 0.0)]))
+
+
+def test_truncate_and_reinsert(table, spark):
+    table.truncate()
+    assert rows_of(table) == set()
+    table.insert(mk(spark, [(T0, "munich", 1.0)]))  # keys reusable after truncate
+    assert rows_of(table) == {(T0, "munich", 1.0)}
+
+
+def test_compact_and_vacuum_preserve_data(table, spark):
+    for i in range(3):
+        table.insert(mk(spark, [(T0 + 10 + i, "bulk", float(i))]))
+    expected = rows_of(table)
+    table.compact()
+    assert rows_of(table) == expected
+    table.vacuum()
+    assert rows_of(table) == expected
+    # after compaction every partition references exactly one commit
+    commits = {
+        rel.split("/", 1)[0]
+        for dirs in table._manifest()["partitions"].values()
+        for rel in dirs
+    }
+    assert len(commits) == 1
+
+
+def test_versions_monotonic(table, spark):
+    v0 = table.version()
+    table.insert(mk(spark, [(T0 + 99, "v", 1.0)]))
+    assert table.version() == v0 + 1

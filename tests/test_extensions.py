@@ -1,0 +1,104 @@
+"""Extension-operator semantics beyond the oracle mirror: ANN recall,
+LSH-vs-exact agreement, dedup on synthesized duplicates, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators import dedup, multimodal, similarity
+from timeseries_db_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_finds_synthesized_duplicates(spark, docs):
+    # fixture has no exact dups; synthesize: copy 5 docs under new ids
+    clones = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    groups = dedup.exact_dedup(docs.unionByName(clones))
+    dup_groups = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup_groups) == 5
+    assert all(r["n_copies"] == 2 for r in dup_groups)
+    # canonical id is the original (min), not the clone
+    assert all(r["canonical_id"] < 1_000_000 for r in dup_groups)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    """On the fixture's planted near-dups (J≥0.98) LSH recall is 1.0:
+    8 bands × 4 rows collide w.p. 1-(1-J^4)^8 ≈ 1 at J≈0.98."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the fixture really has planted near-dups
+
+
+def test_simhash_pairs_cover_planted_near_dups(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.9).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(docs, 3).select("id_a", "id_b").collect()
+    }
+    # J≥0.9 docs differ in few tokens → Hamming ≤ 3 catches nearly all;
+    # require ≥80% coverage to stay robust to fixture changes
+    assert len(exact & sim) >= 0.8 * len(exact)
+
+
+def test_ann_candidates_subset_of_bruteforce_and_recall(spark, emb):
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.cosine_topk(spark, queries, emb, 5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.ann_topk_srp(spark, queries, emb, 5, 64).collect()
+    }
+    # every ANN result must carry the exact cosine for that pair —
+    # i.e. scored identically, just possibly fewer pairs
+    hits = set(approx) & set(exact)
+    for pair in hits:
+        assert abs(approx[pair] - exact[pair]) < 1e-6
+    recall = len(hits) / len(exact)
+    # random vectors are LSH-hostile; just require a sane floor and that
+    # the operator produced something
+    assert len(approx) > 0
+    assert recall >= 0.02, f"ANN recall collapsed: {recall}"
+
+
+def test_multimodal_real_decode_is_explicitly_stubbed(spark, docs):
+    assets = multimodal.documents_as_assets(docs)
+    with pytest.raises(NotImplementedError, match="image library"):
+        multimodal.decode_image_features(assets, fake=False)
+
+
+def test_multimodal_batch_shapes(spark, docs):
+    """Arrow batching really yields multiple batches and the schema holds."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        feats = multimodal.decode_image_features(
+            multimodal.documents_as_assets(docs)
+        )
+        rows = feats.collect()
+        n_images = docs.filter("doc_id % 3 = 0").count()
+        assert len(rows) == n_images
+        assert all(16 <= r["width"] <= 255 and 16 <= r["height"] <= 255 for r in rows)
+        assert all(len(r["sha256"]) == 64 for r in rows)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

@@ -19,7 +19,7 @@ def test_every_query_has_an_oracle_or_is_flagged():
     # may be rows-only (explicitly listed here when that is deliberate)
     rows_only_ok = {k for k in QUERIES if k not in ORACLES}
     for k in rows_only_ok:
-        assert k.startswith(("stream_", "multimodal_", "minhash_", "simhash_")), (
+        assert k.startswith(("stream_", "ann_")), (
             f"{k} lacks an oracle and is not a declared non-SQL-expressible op"
         )
 

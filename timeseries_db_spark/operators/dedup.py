@@ -1,0 +1,401 @@
+"""Deduplication operators over the ``documents`` table — exact,
+n-gram-Jaccard, MinHash+LSH, SimHash (embedding near-dup lives in
+``operators/similarity.py``).
+
+Everything runs on built-in Spark SQL expressions (JVM, codegen) and each
+operator ships a DuckDB SQL twin generated from the SAME Python constants
+(`functions/hashing.py`), so even MinHash/SimHash are value-hash
+verifiable — not just rows-only.
+
+Scale design (100 TB):
+
+* **exact** — one hash-shuffle on a 60-bit fingerprint; map-side partial
+  aggregation collapses duplicates before the exchange.
+* **n-gram Jaccard** — the classic shingle-inverted-index join. The
+  shuffle key is the shingle; ``df_limit`` drops shingles whose document
+  frequency exceeds a cap (stop-shingles produce quadratic join
+  fan-out — dropping them is both the standard practice and a huge skew
+  guard). Pair counting is a second shuffle keyed by the (a,b) pair.
+* **MinHash LSH** — replaces the all-pairs shingle join with a
+  band-bucket join: candidates share one of 8 four-row band keys, so the
+  join fan-out is bucket-local. Signatures are one aggregation pass
+  (32 `min` monoids — Spark's partial/final agg handles them in one
+  shuffle). Candidates are then verified with the exact Jaccard.
+* **SimHash** — one aggregation pass builds 60-bit signatures; pairing
+  joins on 15-bit bands (4 probes) and verifies with
+  ``bit_count(xor) <= k`` — Hamming-ball search without an all-pairs
+  product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_PERMS,
+    MINHASH_ROWS,
+    SIMHASH_BITS,
+    md5_long_sql,
+    minhash_value_sql,
+)
+from timeseries_db_spark.operators.text import NORM_DUCK, NORM_SPARK, TOKENS_DUCK, TOKENS_SPARK
+
+# ---------------------------------------------------------------------------
+# shingling (word 3-grams, distinct per document)
+# ---------------------------------------------------------------------------
+
+SHINGLE_W = 3
+
+SHINGLES_SPARK = f"""
+    CASE WHEN size({TOKENS_SPARK}) < {SHINGLE_W}
+         THEN array(concat_ws(' ', {TOKENS_SPARK}))
+         ELSE array_distinct(transform(
+                sequence(0, size({TOKENS_SPARK}) - {SHINGLE_W}),
+                i -> concat_ws(' ', {TOKENS_SPARK}[i], {TOKENS_SPARK}[i+1],
+                               {TOKENS_SPARK}[i+2])))
+    END
+"""
+
+SHINGLES_DUCK = f"""
+    CASE WHEN len({TOKENS_DUCK}) < {SHINGLE_W}
+         THEN [array_to_string({TOKENS_DUCK}, ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({TOKENS_DUCK}) - {SHINGLE_W - 1}),
+                i -> concat_ws(' ', {TOKENS_DUCK}[i], {TOKENS_DUCK}[i+1],
+                               {TOKENS_DUCK}[i+2])))
+    END
+"""
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct word 3-grams."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+    )
+
+
+_SHINGLES_CTE_DUCK = f"""
+    sh AS (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint:
+    (fp, canonical_id = min doc_id, n_copies)."""
+    return (
+        docs.select("doc_id", F.expr(f"md5({NORM_SPARK})").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+        SELECT md5({NORM_DUCK}) AS fp,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, df_limit: int | None = None
+) -> DataFrame:
+    """Document pairs (a < b) with word-3-gram Jaccard ≥ ``threshold``.
+
+    ``df_limit``: drop shingles appearing in more than this many documents
+    before the join (stop-shingle skew guard; None = exact)."""
+    sh = doc_shingles(docs)
+    if df_limit is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_limit)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")  # inner join keeps only rare shingles
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> str:
+    df_filter = (
+        f"WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {df_limit})"
+        if df_limit is not None
+        else ""
+    )
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        shf AS (SELECT * FROM sh {df_filter}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(shared::DOUBLE / (sa.n + sb.n - shared), 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_HASH_SPARK = f"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+_HASH_DUCK = f"{md5_long_sql('shingle')} % {MINHASH_P}"
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{PERMS-1}) — one aggregation pass; each permutation
+    is a `min` monoid so Spark computes all 32 with map-side partials."""
+    from timeseries_db_spark.functions.hashing import MINHASH_AB
+
+    sh = doc_shingles(docs).withColumn("h", F.expr(_HASH_SPARK))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key_spark(band: int) -> str:
+    cols = ", ".join(
+        f"CAST(m{band * MINHASH_ROWS + r} AS STRING)" for r in range(MINHASH_ROWS)
+    )
+    return f"md5(concat_ws('_', {cols}))"
+
+
+def _band_key_duck(band: int) -> str:
+    cols = ", ".join(
+        f"m{band * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+    )
+    return f"md5(concat_ws('_', {cols}))"
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard: (id_a, id_b, jaccard ≥ threshold). Candidate pairs
+    collide in ≥1 of the 8 bands — join fan-out is per-bucket, never
+    all-pairs."""
+    sig = minhash_signatures(docs)
+    bands = None
+    for band in range(MINHASH_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.expr(_band_key_spark(band)).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    candidates = (
+        a.join(bb, on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.withColumnRenamed("doc_id", "id_a")
+    shb = sh.withColumnRenamed("doc_id", "id_b")
+    shared = (
+        candidates.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float) -> str:
+    mins = ",\n               ".join(
+        f"min({minhash_value_sql('h', i)}) AS m{i}" for i in range(MINHASH_PERMS)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_duck(band)} AS bkey FROM sig"
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        hashed AS (SELECT doc_id, {_HASH_DUCK} AS h FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        bands AS ({band_rows}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        shared AS (
+            SELECT c.id_a, c.id_b, count(*) AS shared
+            FROM candidates c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(shared::DOUBLE / (za.n + zb.n - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE round(shared::DOUBLE / (za.n + zb.n - shared), 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_TOKEN_HASH_SPARK = "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
+_TOKEN_HASH_DUCK = md5_long_sql("token")
+
+_SIMHASH_BAND_BITS = 15
+_SIMHASH_N_BANDS = SIMHASH_BITS // _SIMHASH_BAND_BITS  # 4
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over whitespace tokens (token
+    frequency = weight). One explode + one aggregation pass (60 sum
+    monoids), then a bit-assembly projection."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token")
+    ).withColumn("h", F.expr(_TOKEN_HASH_SPARK))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_bit = toks.groupBy("doc_id").agg(*aggs)
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return per_bit.select("doc_id", F.expr(assemble).alias("simhash"))
+
+
+def simhash_signatures_sql() -> str:
+    sums = ",\n               ".join(
+        f"sum((({_TOKEN_HASH_DUCK} >> {b}) & 1) * 2 - 1) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        per_bit AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+        SELECT doc_id, {assemble} AS simhash FROM per_bit
+    """
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
+    found by banding the 60-bit signature into 4×15-bit keys (any pair
+    within Hamming ≤ 3 must agree on ≥1 band — pigeonhole)."""
+    sig = simhash_signatures(docs)
+    bands = None
+    for i in range(_SIMHASH_N_BANDS):
+        b = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            F.expr(
+                f"(simhash div {1 << (i * _SIMHASH_BAND_BITS)}) % {1 << _SIMHASH_BAND_BITS}"
+            ).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(bb, on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(max_hamming: int) -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash // {1 << (i * _SIMHASH_BAND_BITS)}) % {1 << _SIMHASH_BAND_BITS} AS bkey "
+        "FROM sig"
+        for i in range(_SIMHASH_N_BANDS)
+    )
+    inner = simhash_signatures_sql()
+    return f"""
+        WITH sig AS ({inner}),
+        bands AS ({band_rows})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,313 @@
+"""Keyed DML on a parquet-backed table — the Spark re-expression of the
+reference's acid-state transactions (SURVEY.md §2.4).
+
+Reference semantics preserved (``Handlers.hs:40-89``):
+
+* unique key ``(timestamp, tag)`` (``README.md:63``);
+* batch-all-or-nothing — any invalid entry aborts the whole batch;
+* at most 10 per-entry error messages are reported
+  (``take 10 errors``, ``Handlers.hs:55,65,89``);
+* insert rejects existing keys (``validInsert``, ``Queries.hs:76-77``);
+  update/delete reject missing keys (``validModify``, ``Queries.hs:70-71``);
+* truncate resets the table (``Handlers.hs:72-73``).
+
+Reference anomalies deliberately fixed (SURVEY.md §2.4):
+
+* intra-batch duplicate keys are rejected too (the reference's
+  ``validInsert`` only checks the existing index, silently storing a
+  dangling duplicate row);
+* deletes cannot leave dangling positions — Spark is value-addressed.
+
+Storage design (scale rationale)
+--------------------------------
+Delta/Iceberg jars are not available in this environment, so the table
+implements the same idea in miniature: an append-only set of parquet
+*commits* plus a versioned JSON manifest mapping each date partition to
+its current file set, with an atomically-swapped version pointer.
+
+* **Insert is O(batch)** — new files only; no table rewrite.
+* **Update/delete are O(touched partitions)** — the key's timestamp
+  determines its ``dt`` partition, so only those partitions' files are
+  read, merged, and rewritten (the manifest swap publishes them
+  atomically). At 100 TB with daily partitions, a typical keyed update
+  touches a handful of dates, not the table.
+* **Validation is a join, not a lock** — existence checks are
+  left-semi/anti joins against only the touched partitions; Catalyst
+  broadcasts the (small) batch side, so validation is a single scan of
+  the affected partitions with no shuffle of table data.
+* **Readers are snapshot-isolated** — they resolve the version pointer
+  once; commits never mutate published files (writers stage a new
+  commit dir, then swap the pointer with ``os.replace``). Single-writer
+  is assumed, as in the reference (acid-state serializes writes —
+  ``Handlers.hs:98``); a multi-writer deployment would CAS the pointer
+  in a coordination service.
+* ``compact()`` folds accumulated commits back to one per partition —
+  the manifest is the unit of truth, so compaction is also just a
+  commit + pointer swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.schema import TS_SCHEMA
+
+KEY = ["timestamp", "tag"]
+MAX_ERRORS = 10  # reference: `take 10 errors`, Handlers.hs:55,65,89
+
+
+class DmlError(Exception):
+    """Batch rejected; ``.errors`` lists ≤10 per-entry messages."""
+
+    def __init__(self, errors: list[str]):
+        self.errors = errors[:MAX_ERRORS]
+        super().__init__("; ".join(self.errors))
+
+
+def _with_dt(df: DataFrame) -> DataFrame:
+    return df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("timestamp"))))
+
+
+class TsTable:
+    """A tsdb table ``(timestamp:long, tag:string, value:double)`` stored
+    as date-partitioned parquet commits under ``path`` with a versioned
+    manifest (see module docstring for the commit protocol)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---------- commit protocol ----------
+
+    @property
+    def _version_file(self) -> str:
+        return os.path.join(self.path, "_VERSION")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "_manifests", f"m{version:010d}.json")
+
+    def version(self) -> int:
+        with open(self._version_file) as f:
+            return int(f.read().strip())
+
+    def _manifest(self) -> dict:
+        with open(self._manifest_path(self.version())) as f:
+            return json.load(f)
+
+    def _publish(self, partitions: dict[str, list[str]]) -> None:
+        """Write the next manifest, then atomically swap the pointer."""
+        new_version = self.version() + 1
+        manifest = {"version": new_version, "partitions": partitions}
+        mpath = self._manifest_path(new_version)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._version_file + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._version_file)
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "TsTable":
+        os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "commits"), exist_ok=True)
+        table = cls(spark, path)
+        with open(table._manifest_path(0), "w") as f:
+            json.dump({"version": 0, "partitions": {}}, f)
+        with open(table._version_file, "w") as f:
+            f.write("0")
+        if df is not None:
+            table.insert(df)
+        return table
+
+    # ---------- read path ----------
+
+    def _read_partitions(self, partitions: dict[str, list[str]], only: set[str] | None = None) -> DataFrame:
+        """Assemble the current snapshot (optionally restricted to a set of
+        ``dt`` partitions) from the manifest's commit directories. One read
+        per commit dir (each with its own basePath so the hive ``dt``
+        column survives), unioned — commit count stays small because
+        compaction folds history."""
+        by_commit: dict[str, list[str]] = {}
+        for dt, rel_dirs in partitions.items():
+            if only is not None and dt not in only:
+                continue
+            for rel in rel_dirs:
+                commit_dir = rel.split("/", 1)[0]
+                by_commit.setdefault(commit_dir, []).append(
+                    os.path.join(self.path, "commits", rel)
+                )
+        empty = self.spark.createDataFrame([], TS_SCHEMA)
+        out = _with_dt(empty)
+        for commit_dir, leaf_dirs in sorted(by_commit.items()):
+            base = os.path.join(self.path, "commits", commit_dir)
+            df = (
+                self.spark.read.option("basePath", base)
+                .parquet(*sorted(leaf_dirs))
+                .select("timestamp", "tag", "value", F.col("dt").cast("date").alias("dt"))
+            )
+            out = out.unionByName(df)
+        return out
+
+    def read(self) -> DataFrame:
+        """Current snapshot as ``(timestamp, tag, value)``."""
+        return self._read_partitions(self._manifest()["partitions"]).select(
+            "timestamp", "tag", "value"
+        )
+
+    # ---------- write path ----------
+
+    def _write_commit(self, df: DataFrame) -> tuple[str, dict[str, list[str]]]:
+        """Stage ``df`` as a new commit dir; returns (commit_name,
+        {dt: [relative leaf dir]}). Data is hash-distributed by dt and
+        sorted by (tag, timestamp) within files so parquet row-group
+        stats cluster tags — the storage-side analog of the reference's
+        composite TagIndex (Model.hs:92)."""
+        name = f"c{self.version() + 1:010d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, "commits", name)
+        (
+            _with_dt(df.select("timestamp", "tag", "value"))
+            .repartition("dt")
+            .sortWithinPartitions("dt", "tag", "timestamp")
+            .write.partitionBy("dt")
+            .parquet(out_dir)
+        )
+        parts: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("dt="):
+                parts[entry[3:]] = [f"{name}/{entry}"]
+        return name, parts
+
+    def _batch_dts(self, batch: DataFrame) -> set[str]:
+        rows = _with_dt(batch).select("dt").distinct().collect()
+        return {str(r["dt"]) for r in rows}
+
+    def insert(self, batch: DataFrame) -> None:
+        """Append-only insert; rejects existing keys and intra-batch
+        duplicates, all-or-nothing, ≤10 error messages."""
+        batch = batch.select("timestamp", "tag", "value")
+        errors: list[str] = []
+        # intra-batch duplicates (reference anomaly fix — SURVEY.md §2.4)
+        dups = (
+            batch.groupBy(*KEY).count().filter(F.col("count") > 1).limit(MAX_ERRORS).collect()
+        )
+        errors += [
+            f"Duplicate key in batch: timestamp={r['timestamp']}, tag={r['tag']}."
+            for r in dups
+        ]
+        # existing-key conflicts — only the batch's partitions are scanned,
+        # and the batch side broadcasts (validInsert semantics, Queries.hs:76-77)
+        manifest = self._manifest()["partitions"]
+        current = self._read_partitions(manifest, only=self._batch_dts(batch))
+        # expressed table-side (current SEMI JOIN broadcast(batch)) so the
+        # small batch is the broadcast build side and the table partitions
+        # stream through — one scan, no table shuffle
+        conflicts = (
+            current.join(F.broadcast(batch.select(*KEY)), on=KEY, how="left_semi")
+            .select(*KEY)
+            .limit(MAX_ERRORS)
+            .collect()
+        )
+        errors += [
+            f"Key already exists: timestamp={r['timestamp']}, tag={r['tag']}."
+            for r in conflicts
+        ]
+        if errors:
+            raise DmlError(errors)
+        _, new_parts = self._write_commit(batch)
+        merged = {dt: list(dirs) for dt, dirs in manifest.items()}
+        for dt, dirs in new_parts.items():
+            merged.setdefault(dt, [])
+            merged[dt] = merged[dt] + dirs
+        self._publish(merged)
+
+    def _check_all_exist(self, keys: DataFrame, current: DataFrame, op: str) -> None:
+        # anti join builds on the right side; the touched-partition key set
+        # is the natural build side here (AQE picks broadcast vs shuffle)
+        missing = (
+            keys.select(*KEY)
+            .join(current.select(*KEY), on=KEY, how="left_anti")
+            .limit(MAX_ERRORS)
+            .collect()
+        )
+        if missing:
+            raise DmlError(
+                [
+                    f"Cannot {op}: no entry for timestamp={r['timestamp']}, tag={r['tag']}."
+                    for r in missing
+                ]
+            )
+
+    def _rewrite_partitions(self, touched: set[str], new_data: DataFrame) -> None:
+        """Publish a new version where the ``touched`` partitions' contents
+        are replaced by ``new_data`` (other partitions untouched)."""
+        manifest = self._manifest()["partitions"]
+        _, new_parts = self._write_commit(new_data)
+        merged = {dt: list(dirs) for dt, dirs in manifest.items() if dt not in touched}
+        for dt, dirs in new_parts.items():
+            merged[dt] = dirs
+        self._publish(merged)
+
+    def update(self, batch: DataFrame) -> None:
+        """Value-only in-place update by key (``vUpdateTS`` semantics,
+        ``Queries.hs:126-129``); rewrites only the touched partitions."""
+        batch = batch.select("timestamp", "tag", F.col("value").alias("_new_value"))
+        touched = self._batch_dts(batch.select("timestamp", "tag"))
+        current = self._read_partitions(self._manifest()["partitions"], only=touched)
+        self._check_all_exist(batch, current, "update")
+        updated = (
+            current.join(F.broadcast(batch), on=KEY, how="left")
+            .withColumn("value", F.coalesce(F.col("_new_value"), F.col("value")))
+            .select("timestamp", "tag", "value")
+        )
+        self._rewrite_partitions(touched, updated)
+
+    def delete(self, keys: DataFrame) -> None:
+        """Delete by key (``clearTS`` semantics, ``Handlers.hs:71-89``);
+        rewrites only the touched partitions."""
+        keys = keys.select(*KEY)
+        touched = self._batch_dts(keys)
+        current = self._read_partitions(self._manifest()["partitions"], only=touched)
+        self._check_all_exist(keys, current, "delete")
+        remaining = current.join(F.broadcast(keys), on=KEY, how="left_anti").select(
+            "timestamp", "tag", "value"
+        )
+        self._rewrite_partitions(touched, remaining)
+
+    def truncate(self) -> None:
+        """Reset to empty (DELETE with empty body — ``Handlers.hs:72-73``)."""
+        self._publish({})
+
+    # ---------- maintenance ----------
+
+    def compact(self) -> None:
+        """Fold all commits into one (one file set per partition)."""
+        snapshot = self.read()
+        manifest = self._manifest()["partitions"]
+        if not manifest:
+            return
+        _, new_parts = self._write_commit(snapshot)
+        self._publish(new_parts)
+
+    def vacuum(self) -> None:
+        """Remove commit dirs no longer referenced by the CURRENT manifest.
+        (Production would retain versions for time-travel/readers; here we
+        keep it simple and drop everything unreferenced.)"""
+        live = {
+            rel.split("/", 1)[0]
+            for dirs in self._manifest()["partitions"].values()
+            for rel in dirs
+        }
+        commits_dir = os.path.join(self.path, "commits")
+        for entry in os.listdir(commits_dir):
+            if entry not in live:
+                shutil.rmtree(os.path.join(commits_dir, entry))

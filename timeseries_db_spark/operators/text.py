@@ -1,0 +1,176 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (driver north star, SURVEY.md §2.6 note):
+token counting, quality scoring, language ID, document fingerprinting.
+
+Design rules:
+
+* everything is built-in ``pyspark.sql.functions`` / SQL expressions —
+  JVM-side, whole-stage-codegen'd, no Python in the hot path;
+* every operator has a DuckDB SQL twin generated from the SAME constants
+  (stopword lexicons, weights), so the driver's value-hash comparison is
+  exact;
+* per-row work only (no shuffle at all until an aggregation is asked
+  for) — at 100 TB these run map-only over however many partitions the
+  scan yields.
+
+Engine-portability notes encoded here once:
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag for global (Spark is
+  global by default);
+* Spark array subscripts are 0-based, DuckDB lists are 1-based;
+* both engines' ``/`` on ints is true division, but we cast to double
+  explicitly anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+#: language-ID. Deterministic and oracle-expressible; not a real LID model.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "los", "y", "es", "en", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+#: English stopwords used by the quality score's stopword-ratio feature.
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_LEXICONS["en"] + ("that", "for", "on", "with")
+
+#: quality_score = W_LEN * min(1, tokens/100) + W_STOP * stop_ratio
+#:                + W_ALPHA * alpha_ratio
+QUALITY_WEIGHTS = (0.3, 0.3, 0.4)
+
+TOKENS_SPARK = r"split(trim(text), '\\s+')"
+TOKENS_DUCK = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in items) + ")"
+
+
+# ---------------------------------------------------------------------------
+# operators (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per document."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").cast("long").alias("n_tokens"),
+    )
+
+
+def token_count_sql() -> str:
+    return (
+        f"SELECT doc_id, len({TOKENS_DUCK})::BIGINT AS n_tokens FROM documents"
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation, stopword
+    ratio, alphabetic-character ratio — the standard cheap pre-filters of
+    a training-data pipeline."""
+    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
+    toks = TOKENS_SPARK
+    stop_hits = (
+        f"size(filter({toks}, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(
+            f"round(CAST({stop_hits} AS DOUBLE) / size({toks}), 4)"
+        ).alias("stop_ratio"),
+        F.expr(
+            "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)"
+            " / length(text), 4)"
+        ).alias("alpha_ratio"),
+        F.expr(
+            f"round({w_len} * least(1.0, size({toks}) / 100.0)"
+            f" + {w_stop} * (CAST({stop_hits} AS DOUBLE) / size({toks}))"
+            f" + {w_alpha} * (CAST(length(regexp_replace(text, '[^a-zA-Z]', ''))"
+            " AS DOUBLE) / length(text)), 4)"
+        ).alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
+    toks = TOKENS_DUCK
+    stop_hits = f"len(list_filter({toks}, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
+    alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    return f"""
+        SELECT doc_id,
+               len({toks})::BIGINT AS n_tokens,
+               round({stop_hits}::DOUBLE / len({toks}), 4) AS stop_ratio,
+               round({alpha}::DOUBLE / length(text), 4) AS alpha_ratio,
+               round({w_len} * least(1.0, len({toks}) / 100.0)
+                     + {w_stop} * ({stop_hits}::DOUBLE / len({toks}))
+                     + {w_alpha} * ({alpha}::DOUBLE / length(text)), 4) AS quality
+        FROM documents
+    """
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: score = stopword hits per language,
+    winner by max score with alphabetical tiebreak; 'und' when no lexicon
+    matches. (The fixture's texts are synthetic, so this mostly returns
+    'en'/'und' — determinism and oracle parity are the point here.)"""
+    toks = TOKENS_SPARK
+    scores = {
+        lang: f"size(filter({toks}, t -> t IN {_in_list(words)}))"
+        for lang, words in sorted(LANG_LEXICONS.items())
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang, expr in sorted(scores.items()):
+        case += f"WHEN {expr} = {greatest} THEN '{lang}' "
+    case += "END"
+    return docs.select(
+        "doc_id", "lang", F.expr(case).alias("pred_lang")
+    )
+
+
+def lang_id_sql() -> str:
+    toks = TOKENS_DUCK
+    scores = {
+        lang: f"len(list_filter({toks}, t -> t IN {_in_list(words)}))"
+        for lang, words in sorted(LANG_LEXICONS.items())
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang, expr in sorted(scores.items()):
+        case += f"WHEN {expr} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"SELECT doc_id, lang, {case} AS pred_lang FROM documents"
+
+
+NORM_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+NORM_DUCK = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    plus its 60-bit integer form (the join/dedup key used downstream)."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({NORM_SPARK})").alias("fp"),
+        F.expr(f"CAST(conv(substring(md5({NORM_SPARK}), 1, 15), 16, 10) AS BIGINT)").alias(
+            "fp_long"
+        ),
+    )
+
+
+def fingerprint_sql() -> str:
+    return (
+        f"SELECT doc_id, md5({NORM_DUCK}) AS fp, "
+        f"('0x' || substr(md5({NORM_DUCK}), 1, 15))::BIGINT AS fp_long "
+        "FROM documents"
+    )

@@ -1,0 +1,114 @@
+"""Extension-operator registry: dedup, similarity search, text analysis,
+multimodal — the training-data-pipeline surface. Registered alongside the
+reference surface in ``registry.build_registry``.
+
+Threshold choices (measured on the fixtures):
+
+* documents contain planted near-duplicates (~0.1% of pairs at
+  Jaccard ≥ 0.98, next cluster below 0.03) → ``JACCARD_T = 0.8``
+  isolates the planted pairs for both the inverted-index and the
+  MinHash-LSH operators;
+* SimHash Hamming ≤ 3 captures the same planted pairs;
+* embeddings are near-random (max pairwise cos ≈ 0.48) →
+  ``NEAR_DUP_COS = 0.4`` keeps a small, stable pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators import dedup, multimodal, similarity, text
+from timeseries_db_spark.sources.tables import load_table
+
+JACCARD_T = 0.8
+SIMHASH_MAX_HAMMING = 3
+NEAR_DUP_COS = 0.4
+TOPK_K = 5
+TOPK_QUERY_PRED = "vec_id % 100 = 0"
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def register_extensions(q: dict, o: dict) -> None:
+    # ---- text analysis ----
+    q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
+    o["text_token_count"] = text.token_count_sql()
+
+    q["text_quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
+    o["text_quality_score"] = text.quality_score_sql()
+
+    q["text_lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
+    o["text_lang_id"] = text.lang_id_sql()
+
+    q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+    o["text_fingerprint"] = text.fingerprint_sql()
+
+    # ---- dedup ----
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    o["dedup_exact"] = dedup.exact_dedup_sql()
+
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), JACCARD_T
+    )
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(JACCARD_T)
+
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs(s, d), JACCARD_T
+    )
+    o["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_sql(JACCARD_T)
+
+    q["dedup_simhash_sig"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
+    o["dedup_simhash_sig"] = dedup.simhash_signatures_sql()
+
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), SIMHASH_MAX_HAMMING
+    )
+    o["dedup_simhash_pairs"] = dedup.simhash_pairs_sql(SIMHASH_MAX_HAMMING)
+
+    # ---- similarity search ----
+    q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
+    )
+    o["sim_cosine_topk"] = similarity.cosine_topk_sql(TOPK_QUERY_PRED, TOPK_K)
+
+    q["sim_embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(
+        s, _emb(s, d), NEAR_DUP_COS
+    )
+    o["sim_embedding_near_dup"] = similarity.near_dup_pairs_sql(NEAR_DUP_COS)
+
+    # approximate path: rows-only check by design (recall < 1); pytest
+    # asserts candidates ⊆ brute force + reports recall
+    q["ann_topk_srp"] = lambda s, d: similarity.ann_topk_srp(
+        s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K, EMB_DIM
+    )
+
+    # ---- multimodal (payload plumbing; decode stage is a deterministic
+    # fake — see operators/multimodal.py) ----
+    q["multimodal_image_features"] = lambda s, d: multimodal.decode_image_features(
+        multimodal.documents_as_assets(_docs(s, d))
+    )
+    o["multimodal_image_features"] = """
+        SELECT doc_id AS asset_id,
+               (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::INT AS width,
+               (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT AS height,
+               octet_length(text::BLOB)::BIGINT AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents WHERE doc_id % 3 = 0
+    """
+
+    q["multimodal_frame_plan"] = lambda s, d: multimodal.frame_sample_plan(
+        multimodal.documents_as_assets(_docs(s, d))
+    )
+    o["multimodal_frame_plan"] = """
+        SELECT doc_id AS asset_id,
+               unnest(range(0, (octet_length(text::BLOB) // 64 + 1)::INT, 10)) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
+    """
