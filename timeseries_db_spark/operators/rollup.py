@@ -1,0 +1,114 @@
+"""Batch twins of the streaming operators: tumbling-window rollup and
+gap-based sessionization. These are the oracle-checkable faces of
+``streaming/ingest.py`` — Spark's ``F.window`` on a batch DataFrame
+produces exactly the windows the streaming query emits, and DuckDB's
+``time_bucket`` produces the same epoch-aligned buckets.
+
+Scale: the rollup is one hash aggregation keyed (window, tag) — partial
+aggregation collapses each executor's rows per bucket before the
+shuffle. Sessionization is a per-user window function: one shuffle by
+``user_id``, then lag/cumsum inside the partition — the standard
+distributed sessionize with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.sources.tables import load_table, ts_to_millis
+
+
+def window_rollup(tsdb: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time rollup per tag over a tsdb-shaped frame:
+    (window_start epoch-millis, tag, cnt, total)."""
+    return (
+        tsdb.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .groupBy(F.window("event_time", window), F.col("tag"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            "tag",
+            "cnt",
+            "total",
+        )
+    )
+
+
+def window_rollup_events_sql(window_sql: str = "1 hour") -> str:
+    """DuckDB twin over the raw events table (epoch-aligned buckets both
+    sides; Spark windows and time_bucket both anchor at 1970-01-01 UTC)."""
+    return f"""
+        SELECT epoch_ms(time_bucket(INTERVAL '{window_sql}', ts)) AS window_start,
+               event_type AS tag,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               round(sum(value), 4) AS total
+        FROM events GROUP BY 1, 2
+    """
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(spark, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions per user over events: a new session starts when
+    the time since the user's previous event exceeds ``gap_minutes``.
+    Output: (user_id, session_start epoch-millis, n_events, total_value)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", ts_to_millis(ev, "ts").alias("tms"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tms")
+    gap_ms = gap_minutes * 60_000
+    with_gap = ev.withColumn("prev", F.lag("tms").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev").isNull() | (F.col("tms") - F.col("prev") > gap_ms), 1
+        ).otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("tms").alias("session_start"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    gap_ms = gap_minutes * 60_000
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_ms(ts) AS tms, value FROM events
+        ),
+        gaps AS (
+            SELECT user_id, tms, value,
+                   CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+                             OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > {gap_ms}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+        ),
+        sids AS (
+            SELECT user_id, tms, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY tms
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM gaps
+        )
+        SELECT user_id, min(tms) AS session_start,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM sids GROUP BY user_id, session_seq
+    """

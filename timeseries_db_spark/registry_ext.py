@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.operators import dedup, multimodal, similarity, text
-from timeseries_db_spark.sources.tables import load_table
+from timeseries_db_spark.operators import dedup, multimodal, rollup, similarity, text
+from timeseries_db_spark.sources.tables import events_as_tsdb, load_table
 
 JACCARD_T = 0.8
 SIMHASH_MAX_HAMMING = 3
@@ -38,6 +38,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def register_extensions(q: dict, o: dict) -> None:
+    # ---- streaming batch twins (same plan the streaming queries emit) ----
+    q["window_rollup_1h"] = lambda s, d: rollup.window_rollup(
+        events_as_tsdb(s, d), "1 hour"
+    )
+    o["window_rollup_1h"] = rollup.window_rollup_events_sql("1 hour")
+
+    q["sessionize_30m"] = lambda s, d: rollup.sessionize(s, d)
+    o["sessionize_30m"] = rollup.sessionize_sql()
+
     # ---- text analysis ----
     q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
     o["text_token_count"] = text.token_count_sql()

