@@ -61,7 +61,10 @@ def _tsdb_query(qm: QueryModel, table: str = "events") -> QueryFn:
     src = events_as_tsdb if table == "events" else lineitem_as_tsdb
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = compile_query(src(spark, sf_dir), qm)
+        # qm is passed to the source too: its bounds are re-expressed in the
+        # raw column domain so they reach the parquet scan as PushedFilters
+        # (see sources.tables.push_ts_bounds).
+        out = compile_query(src(spark, sf_dir, qm), qm)
         if qm.agg_func in _ROUNDED:
             out = _round_result(out)
         return out

@@ -62,15 +62,84 @@ def ts_to_millis(df: DataFrame, col_name: str):
     return F.unix_millis(F.col(col_name))
 
 
-def events_as_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def push_ts_bounds(
+    df: DataFrame,
+    col_name: str,
+    *,
+    gt: int | None = None,
+    ge: int | None = None,
+    lt: int | None = None,
+    le: int | None = None,
+    ts_eq: int | None = None,
+) -> DataFrame:
+    """Apply epoch-millis bounds to the RAW source timestamp column, in its
+    native domain, BEFORE any projection.
+
+    Why: the tsdb view derives ``timestamp = ts div 1_000_000`` (or
+    ``unix_millis(...)``); a filter on that derived expression cannot be
+    pushed into the parquet scan (Catalyst won't invert the arithmetic),
+    so the scan reads every row group. Translating the bounds into the
+    source domain (ns / timestamp) makes them plain column comparisons →
+    ``PushedFilters`` → row-group min/max skipping and partition pruning.
+    With ``timestamp = floor(ts_ns / 1e6)``:
+
+    * ``timestamp >  G``  ⟺  ``ts_ns >= (G+1) * 1e6``
+    * ``timestamp >= G``  ⟺  ``ts_ns >= G * 1e6``
+    * ``timestamp <  L``  ⟺  ``ts_ns <  L * 1e6``
+    * ``timestamp <= L``  ⟺  ``ts_ns <  (L+1) * 1e6``
+    * ``timestamp == E``  ⟺  ``E*1e6 <= ts_ns < (E+1)*1e6``
+
+    The (redundant, cheap) millis-domain filter stays in the compiled
+    plan — this helper only adds the scan-prunable twin.
+    """
+    dtype = dict(df.dtypes)[col_name]
+    c = F.col(col_name)
+
+    if dtype == "bigint":  # nanoseconds since epoch
+        def lo(ms: int):  # inclusive lower bound from millis
+            return c >= F.lit(ms * 1_000_000)
+
+        def hi(ms: int):  # exclusive upper bound from millis
+            return c < F.lit(ms * 1_000_000)
+    else:  # timestamp / timestamp_ntz
+        cast = "timestamp_ntz" if dtype == "timestamp_ntz" else "timestamp"
+
+        def lo(ms: int):
+            return c >= F.timestamp_millis(F.lit(ms)).cast(cast)
+
+        def hi(ms: int):
+            return c < F.timestamp_millis(F.lit(ms)).cast(cast)
+
+    if ts_eq is not None:
+        df = df.filter(lo(ts_eq) & hi(ts_eq + 1))
+    if gt is not None:
+        df = df.filter(lo(gt + 1))
+    if ge is not None:
+        df = df.filter(lo(ge))
+    if lt is not None:
+        df = df.filter(hi(lt))
+    if le is not None:
+        df = df.filter(hi(le + 1))
+    return df
+
+
+def events_as_tsdb(spark: SparkSession, sf_dir: str, qm=None) -> DataFrame:
     """The tsdb-shaped view of ``events``.
 
     ``unix_millis`` keeps the reference's Int64-milliseconds timestamp
     domain exactly (and sidesteps engine-specific timestamp/timezone
     rendering in oracle comparison). The projection is declared up front
-    so the parquet scan reads only three columns.
+    so the parquet scan reads only three columns. Pass the
+    :class:`QueryModel` to translate its bounds into scan-prunable
+    source-domain filters (see :func:`push_ts_bounds`).
     """
     ev = load_table(spark, sf_dir, "events")
+    if qm is not None:
+        ev = push_ts_bounds(
+            ev, "ts", gt=qm.gt, ge=qm.ge, lt=qm.lt, le=qm.le, ts_eq=qm.ts_eq
+        )
+        if qm.tag_eq is not None:
+            ev = ev.filter(F.col("event_type") == F.lit(qm.tag_eq))
     return ev.select(
         ts_to_millis(ev, "ts").alias("timestamp"),
         F.col("event_type").alias("tag"),
@@ -78,9 +147,15 @@ def events_as_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lineitem_as_tsdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lineitem_as_tsdb(spark: SparkSession, sf_dir: str, qm=None) -> DataFrame:
     """tsdb-shaped view of ``lineitem`` (bigger table for range+group+agg)."""
     li = load_table(spark, sf_dir, "lineitem")
+    if qm is not None:
+        li = push_ts_bounds(
+            li, "l_shipdate", gt=qm.gt, ge=qm.ge, lt=qm.lt, le=qm.le, ts_eq=qm.ts_eq
+        )
+        if qm.tag_eq is not None:
+            li = li.filter(F.col("l_returnflag") == F.lit(qm.tag_eq))
     return li.select(
         ts_to_millis(li, "l_shipdate").alias("timestamp"),
         F.col("l_returnflag").alias("tag"),
