@@ -241,4 +241,7 @@ def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         register_extensions(queries, oracles)
     except ImportError:
         pass
+    from timeseries_db_spark.registry_fixture import register_fixture
+
+    register_fixture(queries, oracles)
     return queries, oracles

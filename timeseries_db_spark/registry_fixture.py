@@ -1,0 +1,145 @@
+"""Registry entries over the reference-shaped ``timeseries`` fixture
+(sources/fixture.py) — the generateTS.hs demo shape — plus the keyed-DML
+roundtrip that puts the write path (SURVEY.md §2.4 W1-W3) under the
+driver's oracle gate.
+
+These target what the driver tables can't stress:
+
+* dense consecutive-ms timestamps → ``gt``/``ge`` and ``lt``/``le``
+  off-by-one boundaries select visibly different rows;
+* extreme tag skew (``Munich`` = every even timestamp, half the table) →
+  the group-by relies on partial aggregation to combine the skew away
+  map-side before the shuffle;
+* group-by-timestamp over dense keys → high-cardinality shuffle + top-k.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.dml import TsTable
+from timeseries_db_spark.plans.compiler import compile_query
+from timeseries_db_spark.schema import Agg, GroupBy, QueryModel, Sort
+from timeseries_db_spark.sources.fixture import (
+    BASE_TS,
+    timeseries_fixture,
+    timeseries_fixture_sql,
+)
+
+_ROUNDED = {Agg.SUM, Agg.AVG}
+
+# boundary literals: interior timestamps so every bound has rows on both sides
+EDGE_LO = BASE_TS + 999
+EDGE_HI = BASE_TS + 100_000
+
+
+def _fx_query(qm: QueryModel):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = compile_query(timeseries_fixture(spark), qm)
+        if qm.agg_func in _ROUNDED:
+            out = out.withColumn("result", F.round(F.col("result"), 4))
+        return out
+
+    return run
+
+
+def _fx_oracle(select: str, where: str = "", tail: str = "") -> str:
+    return (
+        f"WITH t AS ({timeseries_fixture_sql()}) "
+        f"SELECT {select} FROM t {where} {tail}"
+    ).strip()
+
+
+def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 insert + W2 update + W3 delete on a fresh TsTable, then read the
+    final snapshot. Seeded from the first 5,000 fixture rows; inserts the
+    next 1,000; updates all early-``Munich`` values to 999; deletes all
+    early-``Athens`` keys. The oracle (below) states the same final table
+    closed-form."""
+    fx = timeseries_fixture(spark, 6_000)
+    ts = F.col("timestamp")
+    seed = fx.filter(ts < BASE_TS + 5_000)
+    ins = fx.filter(ts >= BASE_TS + 5_000)
+
+    table = TsTable.create(spark, tempfile.mkdtemp(prefix="tsdb_dml_rt_"), seed)
+    table.insert(ins)
+    table.update(
+        seed.filter((F.col("tag") == "Munich") & (ts < BASE_TS + 100))
+        .select("timestamp", "tag")
+        .withColumn("value", F.lit(999.0))
+    )
+    table.delete(
+        seed.filter((F.col("tag") == "Athens") & (ts < BASE_TS + 200)).select(
+            "timestamp", "tag"
+        )
+    )
+    return table.read()
+
+
+DML_ROUNDTRIP_SQL = f"""
+    WITH t AS ({timeseries_fixture_sql(6_000)})
+    SELECT "timestamp", tag,
+           CASE WHEN tag = 'Munich' AND "timestamp" < {BASE_TS + 100}
+                THEN 999.0 ELSE value END AS value
+    FROM t
+    WHERE NOT (tag = 'Athens' AND "timestamp" < {BASE_TS + 200})
+"""
+
+
+def register_fixture(q: dict, o: dict) -> None:
+    rows = '"timestamp", tag, value'
+
+    # --- range-boundary off-by-ones on dense keys ---
+    qm = QueryModel(gt=EDGE_LO, le=EDGE_LO + 10)
+    q["fx_edge_gt_le"] = _fx_query(qm)
+    o["fx_edge_gt_le"] = _fx_oracle(
+        rows, f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" <= {EDGE_LO + 10}'
+    )
+    qm = QueryModel(ge=EDGE_LO, lt=EDGE_LO + 10)
+    q["fx_edge_ge_lt"] = _fx_query(qm)
+    o["fx_edge_ge_lt"] = _fx_oracle(
+        rows, f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_LO + 10}'
+    )
+
+    # --- skewed group-by-tag (Munich = half the table) ---
+    q["fx_avg_by_tag"] = _fx_query(QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG))
+    o["fx_avg_by_tag"] = _fx_oracle(
+        "tag AS grp, round(avg(value), 4) AS result", "", "GROUP BY tag"
+    )
+    q["fx_count_by_tag"] = _fx_query(
+        QueryModel(agg_func=Agg.COUNT, group_by=GroupBy.TAG)
+    )
+    o["fx_count_by_tag"] = _fx_oracle(
+        "tag AS grp, CAST(count(*) AS DOUBLE) AS result", "", "GROUP BY tag"
+    )
+
+    # --- dense group-by-timestamp + desc top-k ---
+    qm = QueryModel(
+        agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP,
+        ge=EDGE_LO, lt=EDGE_HI, sort=Sort.DESC, limit=100,
+    )
+    q["fx_group_ts_desc_limit"] = _fx_query(qm)
+    o["fx_group_ts_desc_limit"] = _fx_oracle(
+        '"timestamp" AS grp, max(value) AS result',
+        f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_HI}',
+        'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 100',
+    )
+
+    # --- scalar agg under a range ---
+    qm = QueryModel(agg_func=Agg.SUM, gt=EDGE_LO, lt=EDGE_HI)
+    q["fx_sum_range"] = _fx_query(qm)
+    o["fx_sum_range"] = _fx_oracle(
+        "round(sum(value), 4) AS result",
+        f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" < {EDGE_HI}',
+    )
+
+    # --- tsEq point lookup on a dense key ---
+    q["fx_ts_point"] = _fx_query(QueryModel(ts_eq=BASE_TS + 12_345))
+    o["fx_ts_point"] = _fx_oracle(rows, f'WHERE "timestamp" = {BASE_TS + 12_345}')
+
+    # --- keyed DML roundtrip (W1+W2+W3 under the oracle gate) ---
+    q["dml_roundtrip"] = dml_roundtrip
+    o["dml_roundtrip"] = DML_ROUNDTRIP_SQL
