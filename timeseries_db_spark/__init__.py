@@ -24,6 +24,7 @@ from timeseries_db_spark.schema import (  # noqa: F401
     QueryModel,
     Sort,
 )
+from timeseries_db_spark.engine import TsdbEngine  # noqa: F401
 from timeseries_db_spark.plans.compiler import compile_query  # noqa: F401
 from timeseries_db_spark.session import get_spark  # noqa: F401
 

@@ -1,0 +1,108 @@
+"""TsdbEngine — the reference's full API surface as one Python class.
+
+The reference exposes four servant routes (``Api.hs:31-38``):
+
+* ``POST /timeseries``        → :meth:`TsdbEngine.insert`
+* ``PUT /timeseries``         → :meth:`TsdbEngine.update`
+* ``DELETE /timeseries``      → :meth:`TsdbEngine.delete` (empty body →
+  :meth:`TsdbEngine.truncate`, ``Handlers.hs:72-73``)
+* ``POST /timeseries/query``  → :meth:`TsdbEngine.query` /
+  :meth:`TsdbEngine.query_json`
+
+A user of the reference switches by pointing this class at a storage path:
+the wire formats are preserved — inserts take ``[{"timestamp": …, "tag": …,
+"value": …}]`` rows, queries take the camelCase ten-field ``QueryModel``
+JSON (``Model.hs:104-116``), and :meth:`query_json` returns the untagged
+``QueryR`` union (``Model.hs:150-152``): raw rows, ``{group, result}``
+pairs, or a ``{result}`` scalar. Errors raise :class:`QueryError` /
+:class:`DmlError` where the reference returns HTTP 400 — same messages,
+same ≤10-entry truncation (``Handlers.hs:55``).
+
+Spark-first internals: storage is the date-partitioned parquet
+:class:`~timeseries_db_spark.operators.dml.TsTable` (manifest-versioned
+commits, snapshot-isolated readers), queries compile through
+:func:`~timeseries_db_spark.plans.compiler.compile_query`.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from timeseries_db_spark.operators.dml import TsTable
+from timeseries_db_spark.plans.compiler import GROUP_COL, RESULT_COL, compile_query, run_query
+from timeseries_db_spark.schema import TS_KEY_SCHEMA, TS_SCHEMA, QueryModel
+
+Rows = "DataFrame | Iterable[Mapping]"
+
+
+class TsdbEngine:
+    """One tsdb table + the four reference routes over it."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        if os.path.exists(os.path.join(path, "_VERSION")):
+            self.table = TsTable(spark, path)
+        else:
+            self.table = TsTable.create(spark, path)
+
+    # ---------- coercion helpers ----------
+
+    def _rows_df(self, rows, schema) -> DataFrame:
+        if isinstance(rows, DataFrame):
+            return rows.select(*[f.name for f in schema.fields])
+        return self.spark.createDataFrame(list(rows), schema)
+
+    # ---------- write routes (SURVEY.md §2.4) ----------
+
+    def insert(self, rows) -> None:
+        """``POST /timeseries`` — append-only keyed insert (W1)."""
+        self.table.insert(self._rows_df(rows, TS_SCHEMA))
+
+    def update(self, rows) -> None:
+        """``PUT /timeseries`` — value-only in-place update (W2)."""
+        self.table.update(self._rows_df(rows, TS_SCHEMA))
+
+    def delete(self, keys=None) -> None:
+        """``DELETE /timeseries`` — delete by key (W3); ``None``/empty →
+        truncate (W4), matching the reference's empty-body route."""
+        if keys is None:
+            self.truncate()
+            return
+        keys = list(keys) if not isinstance(keys, DataFrame) else keys
+        if not isinstance(keys, DataFrame) and len(keys) == 0:
+            self.truncate()
+            return
+        self.table.delete(self._rows_df(keys, TS_KEY_SCHEMA))
+
+    def truncate(self) -> None:
+        self.table.truncate()
+
+    # ---------- read route ----------
+
+    def query(self, qm, *, strict: bool = True) -> DataFrame:
+        """``POST /timeseries/query`` — accepts a :class:`QueryModel` or the
+        reference's camelCase JSON dict; returns the result DataFrame in
+        one of the three ``QueryR`` shapes. ``strict`` enforces the
+        data-dependent error contract (SURVEY.md §2.5)."""
+        if isinstance(qm, Mapping):
+            qm = QueryModel.from_json(dict(qm))
+        df = self.table.read()
+        return run_query(df, qm) if strict else compile_query(df, qm)
+
+    def query_json(self, qm):
+        """Reference wire format: the untagged ``QueryR`` union
+        (``Model.hs:150-152``) as plain Python values."""
+        if isinstance(qm, Mapping):
+            qm = QueryModel.from_json(dict(qm))
+        out = self.query(qm).collect()
+        if qm.agg_func is None:
+            return [
+                {"timestamp": r["timestamp"], "tag": r["tag"], "value": r["value"]}
+                for r in out
+            ]
+        if qm.group_by is None:
+            return {"result": out[0][RESULT_COL] if out else None}
+        return [{"group": r[GROUP_COL], "result": r[RESULT_COL]} for r in out]

@@ -35,6 +35,16 @@ TABLES = (
 )
 
 
+#: base-relation cache: (applicationId, sf_dir, table) → DataFrame. A
+#: DataFrame is an immutable logical plan, so handing the same instance to
+#: every query is pure plan reuse — it skips per-query file listing and
+#: footer schema resolution (~100-150ms each here; on an object store at
+#: 100 TB, listing is the expensive part and a shared relation/catalog
+#: table is standard practice). Transformations never mutate the cached
+#: plan.
+_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; plain ``spark.read.parquet`` so pushdown and
     pruning stay available to Catalyst.
@@ -43,8 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the nanosAsLong legacy conf (as Int64 nanoseconds). Set it here too so
     the engine works under a caller-provided session.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _table_cache.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _table_cache[key] = df
+    return df
 
 
 def ts_to_millis(df: DataFrame, col_name: str):
