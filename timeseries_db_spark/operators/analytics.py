@@ -1,0 +1,96 @@
+"""Analytic (window-function) operators over the tsdb shape.
+
+The reference has no window functions at all (SURVEY.md §2.6) — these are
+driver north-star additions. The headline op is the per-tag *running
+total*, the batch twin of the stateful streaming operator in
+``streaming/stateful.py``.
+
+Scale design: ``Window.partitionBy("tag")`` puts an entire tag's history
+in one task — with four reference-style tags over 100 TB that is a
+straight skew disaster. :func:`running_totals_scalable` is the two-pass
+re-expression: bucket the time axis, aggregate per (tag, bucket) (tiny),
+window over buckets for per-bucket starting offsets, then window only
+*within* each (tag, bucket) partition — parallelism = tags × buckets, and
+no task ever sees more than one bucket of one tag. Both variants return
+identical results (same oracle), so the gate checks the scalable plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RUN_COLS = ("timestamp", "tag", "value", "run_cnt", "run_sum")
+
+
+def running_totals(tsdb: DataFrame) -> DataFrame:
+    """Per-tag cumulative count and sum ordered by timestamp (assumes the
+    tsdb uniqueness invariant — one row per (timestamp, tag) — so the
+    order, and therefore the cumulative, is total)."""
+    w = (
+        Window.partitionBy("tag")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tsdb.select(
+        "timestamp",
+        "tag",
+        "value",
+        F.count(F.lit(1)).over(w).cast("double").alias("run_cnt"),
+        F.round(F.sum("value").over(w), 4).alias("run_sum"),
+    )
+
+
+def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """Two-pass running totals that never materializes a whole tag in one
+    task (see module docstring). ``bucket_ms`` sizes the inner partitions;
+    at 100 TB pick it so one (tag, bucket) fits an executor core's memory.
+    """
+    bucketed = tsdb.withColumn("bucket", (F.col("timestamp") / bucket_ms).cast("long"))
+
+    # pass 1: per-(tag, bucket) partials — one row per bucket, tiny
+    partials = bucketed.groupBy("tag", "bucket").agg(
+        F.count(F.lit(1)).alias("b_cnt"), F.sum("value").alias("b_sum")
+    )
+    # offsets: everything cumulative *before* this bucket; the window runs
+    # over the tiny partial table, not the data
+    wb = (
+        Window.partitionBy("tag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 0)
+    )
+    offsets = partials.select(
+        "tag",
+        "bucket",
+        (F.sum("b_cnt").over(wb) - F.col("b_cnt")).alias("off_cnt"),
+        (F.sum("b_sum").over(wb) - F.col("b_sum")).alias("off_sum"),
+    )
+
+    # pass 2: window only within (tag, bucket); offsets broadcast-join back
+    ww = (
+        Window.partitionBy("tag", "bucket")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), on=["tag", "bucket"], how="inner")
+        .select(
+            "timestamp",
+            "tag",
+            "value",
+            (F.col("off_cnt") + F.count(F.lit(1)).over(ww)).cast("double").alias("run_cnt"),
+            F.round(F.col("off_sum") + F.sum("value").over(ww), 4).alias("run_sum"),
+        )
+    )
+
+
+def running_totals_sql(table_sql: str, where: str = "") -> str:
+    """DuckDB oracle for both batch variants and the streaming operator."""
+    return f"""
+        WITH t AS ({table_sql})
+        SELECT "timestamp", tag, value,
+               CAST(count(*) OVER w AS DOUBLE) AS run_cnt,
+               round(sum(value) OVER w, 4) AS run_sum
+        FROM t {where}
+        WINDOW w AS (PARTITION BY tag ORDER BY "timestamp" ROWS UNBOUNDED PRECEDING)
+    """

@@ -20,6 +20,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.operators.analytics import (
+    running_totals_scalable,
+    running_totals_sql,
+)
 from timeseries_db_spark.operators.dml import TsTable
 from timeseries_db_spark.plans.compiler import compile_query
 from timeseries_db_spark.schema import Agg, GroupBy, QueryModel, Sort
@@ -143,3 +147,11 @@ def register_fixture(q: dict, o: dict) -> None:
     # --- keyed DML roundtrip (W1+W2+W3 under the oracle gate) ---
     q["dml_roundtrip"] = dml_roundtrip
     o["dml_roundtrip"] = DML_ROUNDTRIP_SQL
+
+    # --- per-tag running totals: the skew-safe two-pass plan, checked
+    # against the plain window-function oracle (operators/analytics.py);
+    # 1-second buckets over dense-ms data → ~20 inner partitions/tag ---
+    q["running_totals_by_tag"] = lambda spark, sf_dir: running_totals_scalable(
+        timeseries_fixture(spark, 20_000), bucket_ms=1_000
+    )
+    o["running_totals_by_tag"] = running_totals_sql(timeseries_fixture_sql(20_000))
