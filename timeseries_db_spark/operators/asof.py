@@ -1,0 +1,108 @@
+"""As-of (most-recent-prior) join — the canonical time-series operator
+Spark has no built-in for (the reference has no joins at all, SURVEY.md
+§2.6; this is a driver north-star op).
+
+Semantics: for each left row, attach the latest right row whose time is
+``<=`` the left row's time, per join key — DuckDB's ``ASOF JOIN``, which
+is exactly the oracle used in the gate.
+
+Spark-first plan — union + ordered window, not a join:
+
+1. tag right rows 0 and left rows 1, union them on (key, time, payload);
+2. one window per key ordered by (time, side) — right rows sort before
+   left rows at equal times, giving ``<=`` semantics;
+3. ``last(payload, ignorenulls=True)`` carries the most recent right
+   payload forward onto every left row;
+4. keep the left rows.
+
+Cost: ONE shuffle of |L|+|R| rows by key — versus a naive range join's
+|L|×|R| per-key blowup (Catalyst can't prune a "latest prior" theta
+join). Skew note: a whole key lands in one task, same as any
+partition-by-key window; for 100 TB with few keys, apply the
+bucket+offset decomposition of ``analytics.running_totals_scalable`` —
+bucket the time axis, compute each bucket's closing right-payload, and
+carry openings across buckets (boundary state is one row per key per
+bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    payload: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the most recent ``right``
+    payload at-or-before its time, matched on ``on``. Left rows earlier
+    than any right row get NULL payload (ASOF LEFT JOIN)."""
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+HOUR_MS = 3_600_000
+
+
+def hourly_avg(tsdb: DataFrame) -> DataFrame:
+    """Per-tag hourly average — the right side of the enrichment query."""
+    return tsdb.groupBy(
+        ((F.col("timestamp") / HOUR_MS).cast("long") * HOUR_MS).alias("hr"),
+        "tag",
+    ).agg(F.round(F.avg("value"), 4).alias("hr_avg"))
+
+
+def enrich_with_hourly_avg(tsdb: DataFrame) -> DataFrame:
+    """Each row + the most recent hourly per-tag average as of its
+    timestamp (every row's own hour qualifies, so the payload is total)."""
+    return asof_join(
+        tsdb,
+        hourly_avg(tsdb),
+        on="tag",
+        left_ts="timestamp",
+        right_ts="hr",
+        payload=["hr_avg"],
+    )
+
+
+def enrich_with_hourly_avg_sql(table_sql: str) -> str:
+    return f"""
+        WITH t AS ({table_sql}),
+        r AS (SELECT ("timestamp" // {HOUR_MS}) * {HOUR_MS} AS hr, tag,
+                     round(avg(value), 4) AS hr_avg
+              FROM t GROUP BY 1, 2)
+        SELECT t."timestamp", t.tag, t.value, r.hr_avg
+        FROM t ASOF LEFT JOIN r ON t.tag = r.tag AND r.hr <= t."timestamp"
+    """

@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.operators import dedup, multimodal, rollup, similarity, text
+from timeseries_db_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    rollup,
+    similarity,
+    text,
+)
 from timeseries_db_spark.sources.tables import events_as_tsdb, load_table
 
 JACCARD_T = 0.8
@@ -46,6 +53,14 @@ def register_extensions(q: dict, o: dict) -> None:
 
     q["sessionize_30m"] = lambda s, d: rollup.sessionize(s, d)
     o["sessionize_30m"] = rollup.sessionize_sql()
+
+    # ---- as-of join (union+window plan vs DuckDB ASOF JOIN oracle) ----
+    from timeseries_db_spark.registry import EVENTS_T
+
+    q["asof_hourly_enrich"] = lambda s, d: asof.enrich_with_hourly_avg(
+        events_as_tsdb(s, d)
+    )
+    o["asof_hourly_enrich"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
 
     # ---- text analysis ----
     q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
