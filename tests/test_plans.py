@@ -42,6 +42,15 @@ def test_sort_limit_compiles_to_top_k(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from timeseries_db_spark.operators.joins import revenue_by_nation
+
+    plan = _formatted_plan(spark, revenue_by_nation(spark, sf_dir))
+    # customer and nation must build broadcast sides; the only exchange of
+    # fact data is the orderkey join / group-by shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_tag_filter_pushes_to_scan(spark, sf_dir):
     qm = QueryModel(tag_eq="click", agg_func=Agg.COUNT)
     plan = _formatted_plan(spark, compile_query(events_as_tsdb(spark, sf_dir, qm), qm))

@@ -97,6 +97,49 @@ def enrich_with_hourly_avg(tsdb: DataFrame) -> DataFrame:
     )
 
 
+def gap_fill(
+    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int
+) -> DataFrame:
+    """Resample to a regular grid with forward-fill: for every tag and
+    every grid instant in ``[lo, hi]`` (step ``step_ms``), the latest
+    value at-or-before that instant (NULL before a tag's first point) —
+    i.e. ``asof_join(grid, data)``. The grid is generated, never stored
+    (``sequence`` + ``explode`` — |tags|×|points| rows, embarrassingly
+    parallel). Duplicate (tag, timestamp) points collapse to ``max`` first
+    so the fill is deterministic in both engines."""
+    points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+        F.max("value").alias("value")
+    )
+    grid = (
+        tsdb.select("tag")
+        .distinct()
+        .select(
+            "tag",
+            F.explode(
+                F.sequence(F.lit(lo), F.lit(hi), F.lit(step_ms))
+            ).alias("timestamp"),
+        )
+    )
+    return asof_join(
+        grid, points, on="tag", left_ts="timestamp", right_ts="src_ts",
+        payload=["value"],
+    )
+
+
+def gap_fill_sql(table_sql: str, *, lo: int, hi: int, step_ms: int) -> str:
+    return f"""
+        WITH t AS ({table_sql}),
+        pts AS (SELECT tag, "timestamp" AS src_ts, max(value) AS value
+                FROM t GROUP BY 1, 2),
+        grid AS (SELECT tag, g AS "timestamp"
+                 FROM (SELECT DISTINCT tag FROM t),
+                      generate_series({lo}, {hi}, {step_ms}) s(g))
+        SELECT grid.tag, grid."timestamp", pts.value
+        FROM grid ASOF LEFT JOIN pts
+          ON grid.tag = pts.tag AND pts.src_ts <= grid."timestamp"
+    """
+
+
 def enrich_with_hourly_avg_sql(table_sql: str) -> str:
     return f"""
         WITH t AS ({table_sql}),

@@ -1,0 +1,84 @@
+"""Relational join queries over the driver's TPC-H-shaped tables.
+
+The reference has no joins (one table exists — SURVEY.md §2.6); these
+demonstrate the engine's general analytics surface and its scale posture:
+
+* **dimension joins broadcast** — `nation`/`region`/`customer` are tiny
+  next to `lineitem`/`orders`; `F.broadcast` pins the build side so the
+  fact table streams map-side with no shuffle (`test_plans.py` asserts
+  BroadcastHashJoin in the executed plan). At 100 TB the fact-side scan
+  still prunes on pushed filters before the join.
+* **fact-fact joins shuffle on the key** — `orders ⋈ lineitem` on
+  orderkey; with both sides bucketed by orderkey at write time this
+  becomes a zero-shuffle sort-merge join, and AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.sources.tables import load_table
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation gross revenue: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    The two dim joins broadcast; the orders⋈lineitem join shuffles on
+    orderkey (the only big-data exchange in the plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.select("l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+    SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nation
+"""
+
+
+def top_orders_by_segment(
+    spark: SparkSession, sf_dir: str, segment: str = "BUILDING", k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-k orders by revenue within a customer segment.
+    Deterministic top-k: ties broken by orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(k)
+    )
+
+
+def top_orders_by_segment_sql(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""
+        SELECT o_orderkey AS orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = '{segment}'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, orderkey ASC LIMIT {k}
+    """

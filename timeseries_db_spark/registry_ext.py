@@ -55,12 +55,29 @@ def register_extensions(q: dict, o: dict) -> None:
     o["sessionize_30m"] = rollup.sessionize_sql()
 
     # ---- as-of join (union+window plan vs DuckDB ASOF JOIN oracle) ----
-    from timeseries_db_spark.registry import EVENTS_T
+    from timeseries_db_spark.registry import HI, LO, EVENTS_T
 
     q["asof_hourly_enrich"] = lambda s, d: asof.enrich_with_hourly_avg(
         events_as_tsdb(s, d)
     )
     o["asof_hourly_enrich"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
+
+    # ---- gap-fill / resample to an hourly grid with forward-fill ----
+    q["gapfill_hourly"] = lambda s, d: asof.gap_fill(
+        events_as_tsdb(s, d), lo=LO, hi=HI, step_ms=3_600_000
+    )
+    o["gapfill_hourly"] = asof.gap_fill_sql(
+        EVENTS_T, lo=LO, hi=HI, step_ms=3_600_000
+    )
+
+    # ---- relational joins over the TPC-H-shaped tables ----
+    from timeseries_db_spark.operators import joins
+
+    q["join_revenue_by_nation"] = joins.revenue_by_nation
+    o["join_revenue_by_nation"] = joins.REVENUE_BY_NATION_SQL
+
+    q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
+    o["join_top_orders_building"] = joins.top_orders_by_segment_sql()
 
     # ---- text analysis ----
     q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
