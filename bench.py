@@ -30,6 +30,13 @@ HEADLINE = [
     "range_ge_lt",             # pushed-down range scan, raw rows
     "li_sum_by_tag",           # 10× bigger table, group-by
     "li_avg_by_tag",           # 10× bigger table, filter + group-by
+    # north-star pipeline operators
+    "join_revenue_by_nation",  # 3-way join, broadcast dims
+    "asof_hourly_enrich",      # as-of join (union+window)
+    "running_totals_by_tag",   # skew-safe two-pass window
+    "dedup_minhash_lsh",       # shingle→minhash→band→bucket-join
+    "text_quality_score",      # documents scan, expression-only scoring
+    "sim_cosine_topk",         # brute-force ANN baseline (Arrow UDF)
 ]
 
 

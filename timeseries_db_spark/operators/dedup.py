@@ -49,13 +49,20 @@ from timeseries_db_spark.operators.text import NORM_DUCK, NORM_SPARK, TOKENS_DUC
 
 SHINGLE_W = 3
 
+#: Shingle expression over a pre-bound ``toks`` column. Binding the
+#: tokenization ONCE in a prior projection matters enormously: textually
+#: inlining the regex split here would re-run it per reference — and the
+#: references inside the ``transform`` lambda are evaluated per element,
+#: i.e. one full-document regex split per shingle per subscript (measured
+#: 6× slower on the sf0.1 documents table). Multi-referenced non-cheap
+#: aliases are not collapsed by Catalyst, so the two-step form evaluates
+#: the split exactly once per row.
 SHINGLES_SPARK = f"""
-    CASE WHEN size({TOKENS_SPARK}) < {SHINGLE_W}
-         THEN array(concat_ws(' ', {TOKENS_SPARK}))
+    CASE WHEN size(toks) < {SHINGLE_W}
+         THEN array(concat_ws(' ', toks))
          ELSE array_distinct(transform(
-                sequence(0, size({TOKENS_SPARK}) - {SHINGLE_W}),
-                i -> concat_ws(' ', {TOKENS_SPARK}[i], {TOKENS_SPARK}[i+1],
-                               {TOKENS_SPARK}[i+2])))
+                sequence(0, size(toks) - {SHINGLE_W}),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
     END
 """
 
@@ -72,7 +79,8 @@ SHINGLES_DUCK = f"""
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) — exploded distinct word 3-grams."""
-    return docs.select(
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    return toks.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
     )
 
@@ -222,15 +230,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     shingle Jaccard: (id_a, id_b, jaccard ≥ threshold). Candidate pairs
     collide in ≥1 of the 8 bands — join fan-out is per-bucket, never
     all-pairs."""
-    sig = minhash_signatures(docs)
-    bands = None
-    for band in range(MINHASH_BANDS):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.expr(_band_key_spark(band)).alias("bkey"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # Signatures are one row of 32 longs per document — the smallest table
+    # in the pipeline at any scale — so persist them across the self-join
+    # (each side of a self-join recomputes its input plan otherwise, and
+    # that input here is the full shingle+hash+aggregate pass).
+    sig = minhash_signatures(docs).persist()
+    # all band keys in ONE projection + explode — a per-band union would
+    # recompute the signature aggregation once per band
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.expr(_band_key_spark(band)).alias("bkey"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
     a = bands.alias("a")
     bb = bands.alias("b")
     candidates = (
@@ -355,18 +375,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
     found by banding the 60-bit signature into 4×15-bit keys (any pair
     within Hamming ≤ 3 must agree on ≥1 band — pigeonhole)."""
-    sig = simhash_signatures(docs)
-    bands = None
-    for i in range(_SIMHASH_N_BANDS):
-        b = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band"),
-            F.expr(
-                f"(simhash div {1 << (i * _SIMHASH_BAND_BITS)}) % {1 << _SIMHASH_BAND_BITS}"
-            ).alias("bkey"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # persist: tiny table (doc_id, simhash), self-joined below; one
+    # explode emits all 4 band keys in a single pass (see minhash note)
+    sig = simhash_signatures(docs).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"(simhash div {1 << (i * _SIMHASH_BAND_BITS)})"
+                            f" % {1 << _SIMHASH_BAND_BITS}"
+                        ).alias("bkey"),
+                    )
+                    for i in range(_SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bkey")
     a = bands.alias("a")
     bb = bands.alias("b")
     return (

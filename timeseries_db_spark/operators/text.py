@@ -76,27 +76,32 @@ def token_count_sql() -> str:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality in [0,1]: length saturation, stopword
     ratio, alphabetic-character ratio — the standard cheap pre-filters of
-    a training-data pipeline."""
+    a training-data pipeline.
+
+    Staged projections: the regex split, stopword filter, and alpha-strip
+    regex are each bound once; the final score is cheap arithmetic over
+    those columns (inlining them would re-run each regex per reference —
+    see the note on ``dedup.SHINGLES_SPARK``)."""
     w_len, w_stop, w_alpha = QUALITY_WEIGHTS
-    toks = TOKENS_SPARK
-    stop_hits = (
-        f"size(filter({toks}, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
-    )
-    return docs.select(
+    toks = docs.select("doc_id", "text", F.expr(TOKENS_SPARK).alias("toks"))
+    counts = toks.select(
         "doc_id",
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
         F.expr(
-            f"round(CAST({stop_hits} AS DOUBLE) / size({toks}), 4)"
-        ).alias("stop_ratio"),
+            f"size(filter(toks, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
+        ).alias("stop_hits"),
+        F.expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").alias("alpha_len"),
+        F.expr("length(text)").alias("text_len"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("round(CAST(stop_hits AS DOUBLE) / n_tokens, 4)").alias("stop_ratio"),
+        F.expr("round(CAST(alpha_len AS DOUBLE) / text_len, 4)").alias("alpha_ratio"),
         F.expr(
-            "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)"
-            " / length(text), 4)"
-        ).alias("alpha_ratio"),
-        F.expr(
-            f"round({w_len} * least(1.0, size({toks}) / 100.0)"
-            f" + {w_stop} * (CAST({stop_hits} AS DOUBLE) / size({toks}))"
-            f" + {w_alpha} * (CAST(length(regexp_replace(text, '[^a-zA-Z]', ''))"
-            " AS DOUBLE) / length(text)), 4)"
+            f"round({w_len} * least(1.0, n_tokens / 100.0)"
+            f" + {w_stop} * (CAST(stop_hits AS DOUBLE) / n_tokens)"
+            f" + {w_alpha} * (CAST(alpha_len AS DOUBLE) / text_len), 4)"
         ).alias("quality"),
     )
 
@@ -123,19 +128,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
     winner by max score with alphabetical tiebreak; 'und' when no lexicon
     matches. (The fixture's texts are synthetic, so this mostly returns
     'en'/'und' — determinism and oracle parity are the point here.)"""
-    toks = TOKENS_SPARK
-    scores = {
-        lang: f"size(filter({toks}, t -> t IN {_in_list(words)}))"
-        for lang, words in sorted(LANG_LEXICONS.items())
-    }
-    greatest = "greatest(" + ", ".join(scores.values()) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
-    for lang, expr in sorted(scores.items()):
-        case += f"WHEN {expr} = {greatest} THEN '{lang}' "
-    case += "END"
-    return docs.select(
-        "doc_id", "lang", F.expr(case).alias("pred_lang")
+    # stage 1: split once, one stopword-vote column per language;
+    # stage 2: winner selection over the cheap score columns
+    toks = docs.select("doc_id", "lang", F.expr(TOKENS_SPARK).alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(f"size(filter(toks, t -> t IN {_in_list(words)}))").alias(
+                f"sc_{lang}"
+            )
+            for lang, words in sorted(LANG_LEXICONS.items())
+        ],
     )
+    langs = sorted(LANG_LEXICONS)
+    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return scored.select("doc_id", "lang", F.expr(case).alias("pred_lang"))
 
 
 def lang_id_sql() -> str:
@@ -159,12 +171,13 @@ NORM_DUCK = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text,
     plus its 60-bit integer form (the join/dedup key used downstream)."""
-    return docs.select(
+    # fp_long derives from fp, so the md5 (and its regex normalization)
+    # runs once per row
+    fp = docs.select("doc_id", F.expr(f"md5({NORM_SPARK})").alias("fp"))
+    return fp.select(
         "doc_id",
-        F.expr(f"md5({NORM_SPARK})").alias("fp"),
-        F.expr(f"CAST(conv(substring(md5({NORM_SPARK}), 1, 15), 16, 10) AS BIGINT)").alias(
-            "fp_long"
-        ),
+        "fp",
+        F.expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)").alias("fp_long"),
     )
 
 

@@ -70,6 +70,32 @@ def register_extensions(q: dict, o: dict) -> None:
         EVENTS_T, lo=LO, hi=HI, step_ms=3_600_000
     )
 
+    # ---- extended aggregates: exact interpolated percentiles (the
+    # reference's agg set is count/sum/avg/min/max only; percentile is the
+    # first ask of any real metrics workload). Spark `percentile` and
+    # DuckDB `quantile_cont` both linearly interpolate → exact oracle.
+    # Scale note: exact percentile sorts each group; for 100 TB switch to
+    # `approx_percentile` (t-digest, mergeable partials) — kept off the
+    # gate because approximation can't hash-match an oracle. ----
+    def quantiles_by_tag(s: SparkSession, d: str) -> DataFrame:
+        return (
+            events_as_tsdb(s, d)
+            .groupBy(F.col("tag").alias("grp"))
+            .agg(
+                F.round(F.percentile("value", 0.5), 4).alias("median"),
+                F.round(F.percentile("value", 0.95), 4).alias("p95"),
+            )
+            .orderBy("grp")
+        )
+
+    q["agg_quantiles_by_tag"] = quantiles_by_tag
+    o["agg_quantiles_by_tag"] = """
+        SELECT event_type AS grp,
+               round(quantile_cont(value, 0.5), 4) AS median,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
     # ---- relational joins over the TPC-H-shaped tables ----
     from timeseries_db_spark.operators import joins
 
