@@ -96,6 +96,45 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM events GROUP BY 1 ORDER BY 1
     """
 
+    # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
+    # grouping sets and exact distinct aggregation. Scale: rollup is the
+    # same single shuffle as the group-by (Spark expands grouping sets
+    # map-side); count(DISTINCT) triggers Spark's two-phase expand+agg —
+    # at 100 TB swap for approx_count_distinct (HLL, mergeable) when ±2%
+    # is acceptable. ----
+    def rollup_tag_day(s: SparkSession, d: str) -> DataFrame:
+        t = events_as_tsdb(s, d).withColumn(
+            "day", F.expr("(timestamp div 86400000) * 86400000")
+        )
+        return (
+            t.rollup("tag", "day")
+            .agg(F.round(F.sum("value"), 4).alias("result"))
+            .orderBy("tag", "day")
+        )
+
+    q["rollup_tag_day"] = rollup_tag_day
+    o["rollup_tag_day"] = f"""
+        WITH t AS ({EVENTS_T})
+        SELECT tag, ("timestamp" // 86400000) * 86400000 AS day,
+               round(sum(value), 4) AS result
+        FROM t GROUP BY ROLLUP (tag, day)
+    """
+
+    def ndv_by_tag(s: SparkSession, d: str) -> DataFrame:
+        return (
+            events_as_tsdb(s, d)
+            .groupBy(F.col("tag").alias("grp"))
+            .agg(F.countDistinct("value").cast("double").alias("result"))
+            .orderBy("grp")
+        )
+
+    q["agg_ndv_by_tag"] = ndv_by_tag
+    o["agg_ndv_by_tag"] = f"""
+        WITH t AS ({EVENTS_T})
+        SELECT tag AS grp, CAST(count(DISTINCT value) AS DOUBLE) AS result
+        FROM t GROUP BY tag
+    """
+
     # ---- relational joins over the TPC-H-shaped tables ----
     from timeseries_db_spark.operators import joins
 

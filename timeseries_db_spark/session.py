@@ -43,6 +43,10 @@ def get_spark(
         # Spark's own tuning guide recommends for production)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE active for stages downstream of persisted plans (the
+        # MinHash/SimHash signature caches) — otherwise caching pins the
+        # pre-AQE partitioning and small shuffles stop coalescing
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
