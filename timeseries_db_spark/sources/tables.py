@@ -178,6 +178,30 @@ def lineitem_as_tsdb(spark: SparkSession, sf_dir: str, qm=None) -> DataFrame:
     )
 
 
+def read_tsdb_partitioned(spark: SparkSession, path: str, qm=None) -> DataFrame:
+    """Read a table written by :func:`write_tsdb_partitioned`, deriving
+    ``dt`` partition predicates from the QueryModel's millis bounds so
+    Spark prunes whole date directories before listing their files — the
+    scale analog of the reference's timestamp-index subtree pruning. The
+    date bounds are conservative (day granularity); the exact millis
+    filter still applies row-level on the survivors."""
+    df = spark.read.parquet(path)
+    if qm is not None:
+        lows = [b for b in (qm.ge, None if qm.gt is None else qm.gt + 1, qm.ts_eq) if b is not None]
+        highs = [b for b in (qm.le, None if qm.lt is None else qm.lt - 1, qm.ts_eq) if b is not None]
+        if lows:
+            df = df.filter(
+                F.col("dt") >= F.to_date(F.timestamp_millis(F.lit(max(lows))))
+            )
+        if highs:
+            df = df.filter(
+                F.col("dt") <= F.to_date(F.timestamp_millis(F.lit(min(highs))))
+            )
+        if qm.tag_eq is not None:
+            df = df.filter(F.col("tag") == F.lit(qm.tag_eq))
+    return df.select("timestamp", "tag", "value")
+
+
 def write_tsdb_partitioned(df: DataFrame, path: str, *, buckets: int | None = None) -> None:
     """Persist a tsdb table laid out for scale: partitioned by UTC date of
     the timestamp so time-range queries prune whole partitions (the Spark
