@@ -102,6 +102,36 @@ def cosine_scores(
     )
 
 
+def _topk_map_fn(bc, k: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            scores = (q / qn) @ mat.T
+            qids = pdf["vec_id"].to_numpy()
+            for row_i in range(len(pdf)):
+                c6 = np.round(scores[row_i], 6)
+                mask = ids != qids[row_i]
+                sel = np.flatnonzero(mask)
+                # deterministic ranking (c6 DESC, nid ASC): lexsort keys
+                # are applied last-key-primary
+                order = np.lexsort((ids[sel], -c6[sel]))[:k]
+                pick = sel[order]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(pick), qids[row_i], dtype=np.int64),
+                        "nid": ids[pick].astype(np.int64),
+                        "cos": np.round(c6[pick], 4),
+                    }
+                )
+
+    return gen
+
+
 def cosine_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -109,15 +139,16 @@ def cosine_topk(
     k: int,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (qid, nid, cos). Deterministic
-    ranking on (round(cos,6) DESC, nid ASC)."""
-    scored = cosine_scores(spark, queries, corpus).withColumn(
-        "c6", F.round("cos_raw", 6)
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("c6").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "nid", F.round("c6", 4).alias("cos"))
+    ranking on (round(cos,6) DESC, nid ASC).
+
+    The corpus is broadcast, so each task holds every candidate for its
+    queries and the top-k is selected INSIDE the Arrow batch — only k
+    rows per query ever leave Python, and the plan has no shuffle at all
+    (the earlier form emitted |corpus| rows per query into a
+    row_number window: a |Q|×|C| Arrow transfer plus an exchange)."""
+    bc = spark.sparkContext.broadcast(_corpus_matrix(corpus))
+    return queries.select("vec_id", "embedding").mapInPandas(
+        _topk_map_fn(bc, k), schema="qid long, nid long, cos double"
     )
 
 
