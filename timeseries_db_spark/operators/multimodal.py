@@ -104,6 +104,53 @@ def decode_image_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
 
+def resize_plan(assets: DataFrame, max_side: int = 64, *, fake: bool = True) -> DataFrame:
+    """Aspect-preserving resize targets for every image asset: fit the
+    longer side to ``max_side``, never upscale. Integer arithmetic only
+    (``w*max_side // longest``) so the plan is bit-identical across
+    engines; the actual pixel resampling is the stubbed decode stage."""
+    feats = decode_image_features(assets, fake=fake)
+    longest = "greatest(width, height)"
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.expr(
+            f"CAST(IF({longest} > {max_side},"
+            f" (CAST(width AS BIGINT) * {max_side}) div {longest}, width) AS INT)"
+        ).alias("target_w"),
+        F.expr(
+            f"CAST(IF({longest} > {max_side},"
+            f" (CAST(height AS BIGINT) * {max_side}) div {longest}, height) AS INT)"
+        ).alias("target_h"),
+    )
+
+
+def audio_chunk_plan(assets: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+    """Audio chunking *plan*: expand each audio asset into fixed-duration
+    chunk offsets to decode. Duration is faked deterministically from the
+    payload (1 ms per byte); like the frame plan, the expansion is
+    JVM-side ``sequence``/``explode`` — no Python until real decode."""
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .withColumn("dur_ms", F.length("payload").cast("long"))
+        .select(
+            "asset_id",
+            "dur_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.col("dur_ms") - 1, F.lit(chunk_ms))
+            ).alias("off"),
+        )
+        .select(
+            "asset_id",
+            F.col("off").cast("long").alias("chunk_start_ms"),
+            F.least(F.lit(chunk_ms), F.col("dur_ms") - F.col("off"))
+            .cast("long")
+            .alias("chunk_len_ms"),
+        )
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each video asset into frame
     indices to decode (the decode itself is the stubbed stage). Pure

@@ -218,3 +218,37 @@ def register_extensions(q: dict, o: dict) -> None:
                unnest(range(0, (octet_length(text::BLOB) // 64 + 1)::INT, 10)) AS frame_idx
         FROM documents WHERE doc_id % 3 = 2
     """
+
+    q["multimodal_resize_plan"] = lambda s, d: multimodal.resize_plan(
+        multimodal.documents_as_assets(_docs(s, d)), max_side=64
+    )
+    o["multimodal_resize_plan"] = """
+        WITH f AS (
+            SELECT doc_id AS asset_id,
+                   (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::INT AS width,
+                   (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT AS height
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT asset_id, width, height,
+               (CASE WHEN greatest(width, height) > 64
+                     THEN (width::BIGINT * 64) // greatest(width, height)
+                     ELSE width END)::INT AS target_w,
+               (CASE WHEN greatest(width, height) > 64
+                     THEN (height::BIGINT * 64) // greatest(width, height)
+                     ELSE height END)::INT AS target_h
+        FROM f
+    """
+
+    q["multimodal_audio_chunks"] = lambda s, d: multimodal.audio_chunk_plan(
+        multimodal.documents_as_assets(_docs(s, d)), chunk_ms=100
+    )
+    o["multimodal_audio_chunks"] = """
+        WITH a AS (
+            SELECT doc_id AS asset_id, octet_length(text::BLOB)::BIGINT AS dur_ms
+            FROM documents WHERE doc_id % 3 = 1
+        )
+        SELECT asset_id,
+               unnest(range(0, dur_ms, 100))::BIGINT AS chunk_start_ms,
+               least(100, dur_ms - unnest(range(0, dur_ms, 100)))::BIGINT AS chunk_len_ms
+        FROM a
+    """
