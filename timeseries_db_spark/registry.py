@@ -118,7 +118,9 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     def ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = events_as_tsdb(spark, sf_dir)
         ts0 = t.agg(F.min("timestamp")).first()[0]
-        return compile_query(t, QueryModel(ts_eq=int(ts0)))
+        qm = QueryModel(ts_eq=int(ts0))
+        # rebuild the source WITH the qm so the point probe reaches the scan
+        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
 
     q["ts_eq_hit"] = ts_eq_hit
     o["ts_eq_hit"] = _oracle(
@@ -131,9 +133,8 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     def tag_ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = events_as_tsdb(spark, sf_dir)
         row = t.orderBy("timestamp", "tag").first()
-        return compile_query(
-            t, QueryModel(ts_eq=int(row["timestamp"]), tag_eq=row["tag"])
-        )
+        qm = QueryModel(ts_eq=int(row["timestamp"]), tag_eq=row["tag"])
+        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
 
     q["tag_ts_eq_hit"] = tag_ts_eq_hit
     o["tag_ts_eq_hit"] = _oracle(
@@ -173,9 +174,8 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     def group_tag_ts_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = events_as_tsdb(spark, sf_dir)
         ts0 = t.agg(F.min("timestamp")).first()[0]
-        return compile_query(
-            t, QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
-        )
+        qm = QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
+        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
 
     q["group_tag_ts_eq"] = group_tag_ts_eq
     o["group_tag_ts_eq"] = _oracle(
@@ -226,7 +226,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_func=Agg.AVG, group_by=GroupBy.TAG, gt=LO, le=HI,
         sort=Sort.ASC, limit=10,
     )
-    return _round_result(compile_query(events_as_tsdb(spark, sf_dir), qm))
+    return _round_result(compile_query(events_as_tsdb(spark, sf_dir, qm), qm))
 
 
 def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
