@@ -102,3 +102,26 @@ def test_multimodal_batch_shapes(spark, docs):
         assert all(len(r["sha256"]) == 64 for r in rows)
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_ivf_hits_scored_exactly_and_recall(spark, emb):
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.cosine_topk(spark, queries, emb, 5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.ann_topk_ivf(spark, queries, emb, 5).collect()
+    }
+    hits = set(approx) & set(exact)
+    # JVM zip_with re-rank must agree with the numpy brute force bit-for-bit
+    for pair in hits:
+        assert abs(approx[pair] - exact[pair]) < 1e-6
+    recall = len(hits) / len(exact)
+    assert recall > 0.2, recall  # near-random vectors; nprobe=4 of ~|C|/40 lists
+    # every query that probed lists got k answers back
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx)
+    assert all(v == 5 for v in per_q.values())

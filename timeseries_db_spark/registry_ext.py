@@ -190,10 +190,13 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["sim_embedding_near_dup"] = similarity.near_dup_pairs_sql(NEAR_DUP_COS)
 
-    # approximate path: rows-only check by design (recall < 1); pytest
-    # asserts candidates ⊆ brute force + reports recall
+    # approximate paths: rows-only checks by design (recall < 1); pytest
+    # asserts exact-scored hits ⊆ brute force + reports recall
     q["ann_topk_srp"] = lambda s, d: similarity.ann_topk_srp(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K, EMB_DIM
+    )
+    q["ann_topk_ivf"] = lambda s, d: similarity.ann_topk_ivf(
+        s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
     )
 
     # ---- multimodal (payload plumbing; decode stage is a deterministic
