@@ -259,8 +259,22 @@ class TsTable:
 
     def update(self, batch: DataFrame) -> None:
         """Value-only in-place update by key (``vUpdateTS`` semantics,
-        ``Queries.hs:126-129``); rewrites only the touched partitions."""
+        ``Queries.hs:126-129``); rewrites only the touched partitions.
+
+        Intra-batch duplicate keys are rejected: a DataFrame batch has no
+        row order, so "last write wins" is undefined — and the merge join
+        below would otherwise fan out one table row per duplicate."""
         batch = batch.select("timestamp", "tag", F.col("value").alias("_new_value"))
+        dups = (
+            batch.groupBy(*KEY).count().filter(F.col("count") > 1).limit(MAX_ERRORS).collect()
+        )
+        if dups:
+            raise DmlError(
+                [
+                    f"Duplicate key in batch: timestamp={r['timestamp']}, tag={r['tag']}."
+                    for r in dups
+                ]
+            )
         touched = self._batch_dts(batch.select("timestamp", "tag"))
         current = self._read_partitions(self._manifest()["partitions"], only=touched)
         self._check_all_exist(batch, current, "update")
