@@ -166,6 +166,15 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(JACCARD_T)
 
+    # the stop-shingle cap (df_limit) is the skew guard that makes the
+    # inverted-index join survive at scale — gate-checked with the cap on
+    q["dedup_ngram_jaccard_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), JACCARD_T, df_limit=50
+    )
+    o["dedup_ngram_jaccard_capped"] = dedup.ngram_jaccard_pairs_sql(
+        JACCARD_T, df_limit=50
+    )
+
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), JACCARD_T
     )
