@@ -187,3 +187,87 @@ def fingerprint_sql() -> str:
         f"('0x' || substr(md5({NORM_DUCK}), 1, 15))::BIGINT AS fp_long "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token count + rolling k-gram fingerprint
+# ---------------------------------------------------------------------------
+
+#: BPE-style pre-tokenization classes (letter runs / digit runs / single
+#: non-space symbols) — the character-class approximation of GPT-2's
+#: pre-tokenizer, kept to constructs Java regex and RE2 treat identically.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+#: rolling k-gram width for the winnowing-style fingerprint
+KGRAM = 8
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Whitespace AND BPE-ish token counts side by side — the usual pair
+    a data pipeline tracks (BPE-ish ≈ what a subword tokenizer would see
+    before merges)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").cast("long").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+    return toks
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               len({TOKENS_DUCK})::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+        FROM documents
+    """
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style rolling fingerprint: hash every ``KGRAM``-char
+    window of the normalized text, keep (distinct k-gram count, minimum
+    hash) — the pair MOSS-style near-dup detectors store per document.
+    Staged projections: normalization binds once, then one pass builds
+    the window-hash array (md5 per window → first 15 hex chars as a
+    60-bit int, identical in both engines)."""
+    norm = docs.select("doc_id", F.expr(NORM_SPARK).alias("norm"))
+    grams = norm.select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE WHEN length(norm) < {KGRAM}
+                 THEN array(CAST(conv(substring(md5(norm), 1, 15), 16, 10) AS BIGINT))
+                 ELSE transform(
+                        sequence(1, length(norm) - {KGRAM} + 1),
+                        i -> CAST(conv(substring(md5(substring(norm, i, {KGRAM})), 1, 15), 16, 10) AS BIGINT))
+            END
+            """
+        ).alias("hashes"),
+    )
+    return grams.select(
+        "doc_id",
+        F.expr("size(array_distinct(hashes))").cast("long").alias("n_kgrams"),
+        F.expr("array_min(hashes)").alias("min_fp"),
+    )
+
+
+def rolling_fingerprint_sql() -> str:
+    return f"""
+        WITH n AS (SELECT doc_id, {NORM_DUCK} AS norm FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(norm) < {KGRAM}
+                        THEN [('0x' || substr(md5(norm), 1, 15))::BIGINT]
+                        ELSE list_transform(
+                               generate_series(1, length(norm) - {KGRAM} + 1),
+                               i -> ('0x' || substr(md5(substr(norm, i, {KGRAM})), 1, 15))::BIGINT)
+                   END AS hashes
+            FROM n
+        )
+        SELECT doc_id,
+               len(list_distinct(hashes))::BIGINT AS n_kgrams,
+               list_min(hashes) AS min_fp
+        FROM g
+    """

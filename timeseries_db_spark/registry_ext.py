@@ -157,6 +157,12 @@ def register_extensions(q: dict, o: dict) -> None:
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     o["text_fingerprint"] = text.fingerprint_sql()
 
+    q["text_token_count_bpe"] = lambda s, d: text.token_count_bpe(_docs(s, d))
+    o["text_token_count_bpe"] = text.token_count_bpe_sql()
+
+    q["text_rolling_fp"] = lambda s, d: text.rolling_fingerprint(_docs(s, d))
+    o["text_rolling_fp"] = text.rolling_fingerprint_sql()
+
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     o["dedup_exact"] = dedup.exact_dedup_sql()
