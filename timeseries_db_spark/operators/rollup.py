@@ -28,12 +28,18 @@ def window_rollup(tsdb: DataFrame, window: str = "1 hour") -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("double").alias("cnt"),
             F.round(F.sum("value"), 4).alias("total"),
+            F.round(F.avg("value"), 4).alias("vavg"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
         )
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
             "tag",
             "cnt",
             "total",
+            "vavg",
+            "vmin",
+            "vmax",
         )
     )
 
@@ -45,7 +51,10 @@ def window_rollup_events_sql(window_sql: str = "1 hour") -> str:
         SELECT epoch_ms(time_bucket(INTERVAL '{window_sql}', ts)) AS window_start,
                event_type AS tag,
                CAST(count(*) AS DOUBLE) AS cnt,
-               round(sum(value), 4) AS total
+               round(sum(value), 4) AS total,
+               round(avg(value), 4) AS vavg,
+               min(value) AS vmin,
+               max(value) AS vmax
         FROM events GROUP BY 1, 2
     """
 

@@ -113,11 +113,17 @@ def windowed_rollup_stream(
         .agg(
             F.count(F.lit(1)).cast("double").alias("cnt"),
             F.sum("value").alias("total"),
+            F.avg("value").alias("vavg"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
         )
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
             "tag",
             "cnt",
             F.round("total", 4).alias("total"),
+            F.round("vavg", 4).alias("vavg"),
+            "vmin",
+            "vmax",
         )
     )
