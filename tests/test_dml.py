@@ -142,3 +142,25 @@ def test_snapshot_isolation_across_commits(table, spark):
     # old plan: still the old snapshot; new plan: sees the insert
     assert before.count() == n_before
     assert table.read().count() == n_before + 1
+
+
+def test_time_travel_reads_old_versions(table, spark):
+    """Every commit is a retained manifest: read(version=N) reproduces
+    the table as of that commit (Delta-style time travel)."""
+    v0 = table.version()
+    n0 = table.read().count()
+    table.insert(mk(spark, [(T0 + 3 * DAY, "oslo", 7.0)]))
+    table.delete(mk(spark, [(T0, "munich", 1.0)]).select("timestamp", "tag"))
+    assert table.read().count() == n0  # +1 then -1
+    assert table.read(version=v0).count() == n0
+    assert {(r["timestamp"], r["tag"]) for r in table.read(version=v0).collect()} == {
+        (T0, "munich"), (T0, "skopje"), (T0 + 1, "munich"),
+        (T0 + DAY, "munich"), (T0 + DAY, "athens"),
+    }
+    # intermediate version: insert applied, delete not yet
+    mid = table.read(version=v0 + 1)
+    assert mid.count() == n0 + 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.read(version=99)

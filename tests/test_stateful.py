@@ -127,3 +127,81 @@ def test_watermark_drops_late_duplicates(spark, tmp_path):
         f"SELECT count(*) c FROM late_out WHERE timestamp = {base} AND tag = 'a'"
     ).first()["c"]
     assert rows == 1
+
+
+def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
+    """Two time-ordered micro-batches of gappy per-tag events: every
+    session closed by a successor event must match the batch twin; the
+    trailing open session per tag is either withheld or flushed by the
+    event-time timeout — never wrong."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from timeseries_db_spark.streaming.stateful import (
+        sessionize_stream,
+        sessionize_tsdb_batch,
+    )
+
+    base = 1704067200000
+    minute = 60_000
+    gap = 5 * minute
+    rows = []
+    # tag "x": three sessions (events 0-2min, 10-11min, 30min)
+    for off in (0, 1, 2, 10, 11, 30):
+        rows.append((base + off * minute, "x", 1.0))
+    # tag "y": two sessions (0min, 20-22min)
+    for off in (0, 20, 21, 22):
+        rows.append((base + off * minute, "y", 2.0))
+    rows.sort()
+
+    pdf = pd.DataFrame(rows, columns=["timestamp", "tag", "value"])
+    pdf["event_time"] = pd.to_datetime(pdf["timestamp"], unit="ms").astype(
+        "datetime64[us]"
+    )
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    half = len(pdf) // 2
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:half]), str(in_dir / "b0.parquet"))
+    _time.sleep(1.1)
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[half:]), str(in_dir / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "timestamp long, tag string, value double, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+        .withWatermark("event_time", "1 minute")
+    )
+    q = (
+        sessionize_stream(stream, gap_ms=gap)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["tag"], r["session_start"]): (r["session_end"], r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        pdf[["timestamp", "tag", "value"]], "timestamp long, tag string, value double"
+    )
+    exp = {
+        (r["tag"], r["session_start"]): (r["session_end"], r["n"], r["total"])
+        for r in sessionize_tsdb_batch(batch_df, gap_ms=gap).collect()
+    }
+    # everything emitted must be a correct, complete session
+    for k, v in got.items():
+        assert exp[k] == v, (k, v, exp.get(k))
+    # all non-trailing sessions must have been emitted (closed by their
+    # successor event within the stream)
+    trailing = {("x", base + 30 * minute), ("y", base + 20 * minute)}
+    assert set(exp) - trailing <= set(got)

@@ -158,9 +158,22 @@ class TsTable:
             out = out.unionByName(df)
         return out
 
-    def read(self) -> DataFrame:
-        """Current snapshot as ``(timestamp, tag, value)``."""
-        return self._read_partitions(self._manifest()["partitions"]).select(
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot as ``(timestamp, tag, value)`` — the current version,
+        or any retained historical version (time travel). Every commit
+        writes a new manifest and never mutates published files, so old
+        versions stay readable until :meth:`vacuum` drops their files."""
+        if version is None:
+            manifest = self._manifest()
+        else:
+            current = self.version()
+            if not 0 <= version <= current:
+                raise ValueError(
+                    f"version {version} out of range [0, {current}]"
+                )
+            with open(self._manifest_path(version)) as f:
+                manifest = json.load(f)
+        return self._read_partitions(manifest["partitions"]).select(
             "timestamp", "tag", "value"
         )
 
