@@ -144,6 +144,12 @@ def register_extensions(q: dict, o: dict) -> None:
     q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
     o["join_top_orders_building"] = joins.top_orders_by_segment_sql()
 
+    q["join_revenue_by_region"] = joins.revenue_by_region
+    o["join_revenue_by_region"] = joins.REVENUE_BY_REGION_SQL
+
+    q["join_part_brand_stats"] = joins.part_brand_stats
+    o["join_part_brand_stats"] = joins.PART_BRAND_STATS_SQL
+
     # ---- text analysis ----
     q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
     o["text_token_count"] = text.token_count_sql()
