@@ -18,11 +18,10 @@ Spark-first plan — union + ordered window, not a join:
 Cost: ONE shuffle of |L|+|R| rows by key — versus a naive range join's
 |L|×|R| per-key blowup (Catalyst can't prune a "latest prior" theta
 join). Skew note: a whole key lands in one task, same as any
-partition-by-key window; for 100 TB with few keys, apply the
-bucket+offset decomposition of ``analytics.running_totals_scalable`` —
-bucket the time axis, compute each bucket's closing right-payload, and
-carry openings across buckets (boundary state is one row per key per
-bucket).
+partition-by-key window; :func:`asof_join_scalable` removes that by
+bucketing the time axis — closings per (key, bucket), openings carried
+across buckets by a recursive bucket-level as-of, final window per
+(key, bucket) only.
 """
 
 from __future__ import annotations
@@ -95,6 +94,75 @@ def enrich_with_hourly_avg(tsdb: DataFrame) -> DataFrame:
         right_ts="hr",
         payload=["hr_avg"],
     )
+
+
+def asof_join_scalable(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    payload: list[str],
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """:func:`asof_join` with the whole-key-in-one-task skew removed:
+
+    1. bucket both sides on the time axis;
+    2. per (key, bucket) compute the *closing* right payload
+       (``max_by(payload, ts)`` — a tiny table, one row per non-empty
+       bucket);
+    3. each left bucket's *opening* payload = the most recent closing
+       from a strictly earlier bucket — itself an as-of join, but at
+       bucket granularity over the tiny closings table, so the plain
+       union+window :func:`asof_join` is reused recursively;
+    4. the final window runs per (key, bucket) over that bucket's rows
+       plus one injected opening row — no task ever sees more than one
+       bucket of one key.
+
+    Identical results to :func:`asof_join` for any ``bucket_ms`` (tested);
+    pick it so one key-bucket fits an executor core."""
+    sentinel = -(1 << 62)  # opening rows sort before any real timestamp
+    lb = left.withColumn("_bkt", (F.col(left_ts) / bucket_ms).cast("long"))
+    rb = right.withColumn("_bkt", (F.col(right_ts) / bucket_ms).cast("long"))
+
+    closings = rb.groupBy(on, "_bkt").agg(
+        *[F.expr(f"max_by({c}, {right_ts})").alias(c) for c in payload]
+    )
+    # opening per left bucket: probe at bucket-1 → matches closings with
+    # _cbkt <= _bkt-1, i.e. STRICTLY earlier buckets
+    lbuckets = (
+        lb.select(on, "_bkt").distinct().withColumn("_probe", F.col("_bkt") - 1)
+    )
+    openings = asof_join(
+        lbuckets,
+        closings.withColumnRenamed("_bkt", "_cbkt"),
+        on=on,
+        left_ts="_probe",
+        right_ts="_cbkt",
+        payload=payload,
+    ).drop("_probe")
+
+    # composite partition key (key, bucket) for the in-bucket pass;
+    # unit-separator delimiter so ("a",12) and ("a1",2) cannot collide
+    def pk(df: DataFrame) -> DataFrame:
+        return df.withColumn("_pk", F.concat_ws("\x1f", F.col(on), F.col("_bkt")))
+
+    lcols = left.columns
+    l2 = pk(lb)
+    r2 = pk(rb).select("_pk", F.col(right_ts).alias("_rts"), *payload)
+    open2 = pk(openings).select(
+        "_pk", F.lit(sentinel).alias("_rts"), *payload
+    )
+    out = asof_join(
+        l2,
+        r2.unionByName(open2),
+        on="_pk",
+        left_ts=left_ts,
+        right_ts="_rts",
+        payload=payload,
+    )
+    return out.select(*lcols, *payload)
 
 
 def gap_fill(

@@ -62,6 +62,17 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["asof_hourly_enrich"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
 
+    # the skew-safe bucketed plan, same semantics → same oracle
+    def asof_enrich_scalable(s: SparkSession, d: str) -> DataFrame:
+        t = events_as_tsdb(s, d)
+        return asof.asof_join_scalable(
+            t, asof.hourly_avg(t), on="tag", left_ts="timestamp",
+            right_ts="hr", payload=["hr_avg"], bucket_ms=6 * 3_600_000,
+        )
+
+    q["asof_hourly_enrich_scalable"] = asof_enrich_scalable
+    o["asof_hourly_enrich_scalable"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
+
     # ---- gap-fill / resample to an hourly grid with forward-fill ----
     q["gapfill_hourly"] = lambda s, d: asof.gap_fill(
         events_as_tsdb(s, d), lo=LO, hi=HI, step_ms=3_600_000
