@@ -139,10 +139,15 @@ class QueryModel:
         if unknown:
             raise IllegalQueryError(f"Unknown query fields: {sorted(unknown)}")
         kwargs: dict = {key_map[k]: v for k, v in obj.items() if v is not None}
-        if "agg_func" in kwargs:
-            kwargs["agg_func"] = Agg(kwargs["agg_func"])
-        if "group_by" in kwargs:
-            kwargs["group_by"] = GroupBy(kwargs["group_by"])
-        if "sort" in kwargs:
-            kwargs["sort"] = Sort(kwargs["sort"])
+        try:
+            if "agg_func" in kwargs:
+                kwargs["agg_func"] = Agg(kwargs["agg_func"])
+            if "group_by" in kwargs:
+                kwargs["group_by"] = GroupBy(kwargs["group_by"])
+            if "sort" in kwargs:
+                kwargs["sort"] = Sort(kwargs["sort"])
+        except ValueError as exc:
+            # wire parity: a bad enum literal is a 400 like any other
+            # illegal query, not an internal error (aeson decode failure)
+            raise IllegalQueryError(str(exc)) from exc
         return cls(**kwargs)

@@ -62,6 +62,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_tsdb_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Read a tsdb-shaped table ``(timestamp long, tag string, value
+    double)`` from parquet, JSON-lines, or CSV (the reference's only
+    ingest format is JSON bodies — ``Api.hs:33-38`` — so JSON files are
+    first-class here). Format inferred from the extension unless given.
+
+    The explicit schema matters twice over: it skips the inference scan
+    (which reads the whole file at 100 TB) and pins the exact types the
+    engine promises (schema-on-read drift is rejected at the scan, not
+    discovered mid-query)."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"json": "json", "jsonl": "json", "csv": "csv"}.get(ext, "parquet")
+    schema = "timestamp long, tag string, value double"
+    if fmt == "json":
+        return spark.read.schema(schema).json(path)
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", "true").csv(path)
+    return spark.read.schema(schema).parquet(path)
+
+
 def ts_to_millis(df: DataFrame, col_name: str):
     """Epoch-millis Int64 column from either a TimestampType column or a raw
     Int64-nanoseconds column (the nanosAsLong read of TIMESTAMP(NANOS)).
