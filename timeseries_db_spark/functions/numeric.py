@@ -1,0 +1,36 @@
+"""Cross-engine deterministic numeric helpers.
+
+Two float hazards, both observed as real mismatches at sf0.1:
+
+* a DOUBLE ``sum`` is partition-order dependent in its last ulp, which
+  flips ``round(x, 4)`` when the true value sits on a ``.00005``
+  boundary → sum in DECIMAL instead (exact, associative, identical in
+  Spark and DuckDB);
+* Spark's ``round(double)`` rounds the *shortest decimal string* of the
+  double (``BigDecimal.valueOf``), while DuckDB rounds the binary value
+  (empirically ``floor(x*10^s + 0.5)/10^s``, sign-mirrored; verified on
+  200k random + pathological samples) — at an exact decimal tie such as
+  51.51125 the two disagree.
+
+So the deterministic recipe for a rounded ratio is: exact DECIMAL sum →
+cast to DOUBLE (same value both engines) → divide by the count (same
+IEEE op) → round with :func:`duck_round` on the Spark side and plain
+``round`` on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def duck_round(col: Column, scale: int = 4) -> Column:
+    """Round a DOUBLE column exactly the way DuckDB's ``round(x, s)``
+    does — on the binary value, half away from zero:
+    ``floor(x*10^s + 0.5)/10^s`` for x ≥ 0, mirrored for negatives
+    (``ceil(x - 0.5) == -floor(-x + 0.5)``). Identical IEEE ops on the
+    same input double ⇒ identical output in both engines."""
+    m = float(10**scale)
+    pos = F.floor(col * m + F.lit(0.5))
+    neg = -F.floor(-col * m + F.lit(0.5))
+    return (F.when(col >= 0, pos).otherwise(neg) / F.lit(m)).cast("double")

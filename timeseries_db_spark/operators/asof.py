@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_round
+
 
 def asof_join(
     left: DataFrame,
@@ -76,11 +78,28 @@ HOUR_MS = 3_600_000
 
 
 def hourly_avg(tsdb: DataFrame) -> DataFrame:
-    """Per-tag hourly average — the right side of the enrichment query."""
-    return tsdb.groupBy(
-        ((F.col("timestamp") / HOUR_MS).cast("long") * HOUR_MS).alias("hr"),
-        "tag",
-    ).agg(F.round(F.avg("value"), 4).alias("hr_avg"))
+    """Per-tag hourly average — the right side of the enrichment query.
+    Averaged via an exact DECIMAL sum so the value is partition-order
+    independent (see the rollup note on .00005 rounding boundaries)."""
+    return (
+        tsdb.groupBy(
+            ((F.col("timestamp") / HOUR_MS).cast("long") * HOUR_MS).alias("hr"),
+            "tag",
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "hr",
+            "tag",
+            # exact decimal sum → shared double → DuckDB-identical round
+            # (functions/numeric.py explains both float hazards)
+            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4).alias(
+                "hr_avg"
+            ),
+        )
+    )
 
 
 def enrich_with_hourly_avg(tsdb: DataFrame) -> DataFrame:
@@ -211,9 +230,10 @@ def gap_fill_sql(table_sql: str, *, lo: int, hi: int, step_ms: int) -> str:
 def enrich_with_hourly_avg_sql(table_sql: str) -> str:
     return f"""
         WITH t AS ({table_sql}),
-        r AS (SELECT ("timestamp" // {HOUR_MS}) * {HOUR_MS} AS hr, tag,
-                     round(avg(value), 4) AS hr_avg
-              FROM t GROUP BY 1, 2)
+        r AS (SELECT hr, tag, round(dsum::DOUBLE / n, 4) AS hr_avg
+              FROM (SELECT ("timestamp" // {HOUR_MS}) * {HOUR_MS} AS hr, tag,
+                           sum(value::DECIMAL(38,10)) AS dsum, count(*) AS n
+                    FROM t GROUP BY 1, 2))
         SELECT t."timestamp", t.tag, t.value, r.hr_avg
         FROM t ASOF LEFT JOIN r ON t.tag = r.tag AND r.hr <= t."timestamp"
     """

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.sources.tables import load_table, ts_to_millis
 
 
@@ -26,11 +27,22 @@ def window_rollup(tsdb: DataFrame, window: str = "1 hour") -> DataFrame:
         tsdb.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
         .groupBy(F.window("event_time", window), F.col("tag"))
         .agg(
-            F.count(F.lit(1)).cast("double").alias("cnt"),
-            F.round(F.sum("value"), 4).alias("total"),
-            F.round(F.avg("value"), 4).alias("vavg"),
+            F.count(F.lit(1)).alias("_n"),
+            # sum as DECIMAL: exact and associative, so the value is
+            # partition-order-independent — a double sum can land either
+            # side of a .00005 rounding boundary depending on combine
+            # order (observed at sf0.1). Rounding also stays in decimal:
+            # Spark's round(double) rounds the shortest string repr,
+            # which disagrees with binary-exact rounding at exact ties.
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
+        )
+        .withColumn("cnt", F.col("_n").cast("double"))
+        .withColumn("total", F.round(F.col("_dsum"), 4).cast("double"))
+        .withColumn(
+            "vavg",
+            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4),
         )
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
@@ -48,14 +60,21 @@ def window_rollup_events_sql(window_sql: str = "1 hour") -> str:
     """DuckDB twin over the raw events table (epoch-aligned buckets both
     sides; Spark windows and time_bucket both anchor at 1970-01-01 UTC)."""
     return f"""
-        SELECT epoch_ms(time_bucket(INTERVAL '{window_sql}', ts)) AS window_start,
-               event_type AS tag,
-               CAST(count(*) AS DOUBLE) AS cnt,
-               round(sum(value), 4) AS total,
-               round(avg(value), 4) AS vavg,
-               min(value) AS vmin,
-               max(value) AS vmax
-        FROM events GROUP BY 1, 2
+        WITH g AS (
+            SELECT epoch_ms(time_bucket(INTERVAL '{window_sql}', ts)) AS window_start,
+                   event_type AS tag,
+                   count(*) AS n,
+                   sum(value::DECIMAL(38,10)) AS dsum,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, tag,
+               CAST(n AS DOUBLE) AS cnt,
+               round(dsum, 4)::DOUBLE AS total,
+               round(dsum::DOUBLE / n, 4) AS vavg,
+               vmin, vmax
+        FROM g
     """
 
 

@@ -18,8 +18,10 @@ Two paths, as a 100 TB design requires:
   pytest asserting candidates ⊆ brute-force and reporting recall.
 
 Ranking determinism across engines: ties are broken on the cosine
-ROUNDED to 6 decimals (Spark-side ``F.round`` = HALF_UP = DuckDB's
-round-away-from-zero) then neighbor id, so both engines cut the same
+ROUNDED to 6 decimals — with DuckDB's exact rounding semantics on both
+sides (``functions.numeric.duck_round`` / ``_np_duck_round``; numpy's
+half-to-even and Spark's shortest-string rounding both disagree with
+DuckDB at exact ties) — then neighbor id, so both engines cut the same
 top-k even when raw floats differ in the last ulp.
 
 At 100 TB: the corpus matrix no longer fits one broadcast — the same
@@ -37,6 +39,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from timeseries_db_spark.functions.numeric import duck_round
+
+
+def _np_duck_round(a: np.ndarray, scale: int) -> np.ndarray:
+    """numpy twin of functions.numeric.duck_round — DuckDB rounds half
+    away from zero on the binary value, np.round is half-to-even; at an
+    exact tie (e.g. cos = 0.43885) they disagree by a full last digit."""
+    m = 10.0**scale
+    return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m
 
 #: SRP-LSH defaults: 4 independent tables of 6 hyperplanes (64 buckets).
 SRP_TABLES = 4
@@ -114,7 +126,7 @@ def _topk_map_fn(bc, k: int):
             scores = (q / qn) @ mat.T
             qids = pdf["vec_id"].to_numpy()
             for row_i in range(len(pdf)):
-                c6 = np.round(scores[row_i], 6)
+                c6 = _np_duck_round(scores[row_i], 6)
                 mask = ids != qids[row_i]
                 sel = np.flatnonzero(mask)
                 # deterministic ranking (c6 DESC, nid ASC): lexsort keys
@@ -125,7 +137,7 @@ def _topk_map_fn(bc, k: int):
                     {
                         "qid": np.full(len(pick), qids[row_i], dtype=np.int64),
                         "nid": ids[pick].astype(np.int64),
-                        "cos": np.round(c6[pick], 4),
+                        "cos": _np_duck_round(c6[pick], 4),
                     }
                 )
 
@@ -180,7 +192,7 @@ def near_dup_pairs(
     scored = cosine_scores(spark, emb, emb, min_cos=threshold)
     return (
         scored.filter(F.col("qid") < F.col("nid"))
-        .withColumn("cos", F.round("cos_raw", 4))
+        .withColumn("cos", duck_round(F.col("cos_raw"), 4))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "cos"
@@ -265,7 +277,7 @@ def ann_topk_srp(
         .join(c, "nid")
         .withColumn(
             "c6",
-            F.round(
+            duck_round(
                 F.expr(
                     "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
                     " / (sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
@@ -279,7 +291,7 @@ def ann_topk_srp(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "nid", F.round("c6", 4).alias("cos"))
+        .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
 
 
@@ -373,7 +385,7 @@ def ann_topk_ivf(
         .join(ce, on="nid")
         .withColumn(
             "c6",
-            F.round(
+            duck_round(
                 F.expr(_DOT) / (F.expr(_norm_expr("qe")) * F.expr(_norm_expr("ce"))),
                 6,
             ),
@@ -383,5 +395,5 @@ def ann_topk_ivf(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "nid", F.round("c6", 4).alias("cos"))
+        .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
