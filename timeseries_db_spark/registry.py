@@ -54,7 +54,13 @@ _ROUNDED = {Agg.SUM, Agg.AVG}
 
 
 def _round_result(df: DataFrame) -> DataFrame:
-    return df.withColumn("result", F.round(F.col("result"), 4))
+    # duck_round, not F.round: Spark rounds the shortest decimal string,
+    # DuckDB the binary value — they disagree at exact ties
+    # (functions/numeric.py). The remaining (rare, inherent) hazard is
+    # partition-order ulp wobble inside the double sum itself.
+    from timeseries_db_spark.functions.numeric import duck_round
+
+    return df.withColumn("result", duck_round(F.col("result"), 4))
 
 
 def _tsdb_query(qm: QueryModel, table: str = "events") -> QueryFn:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions import numeric
 from timeseries_db_spark.operators import (
     asof,
     dedup,
@@ -93,8 +94,8 @@ def register_extensions(q: dict, o: dict) -> None:
             events_as_tsdb(s, d)
             .groupBy(F.col("tag").alias("grp"))
             .agg(
-                F.round(F.percentile("value", 0.5), 4).alias("median"),
-                F.round(F.percentile("value", 0.95), 4).alias("p95"),
+                numeric.duck_round(F.percentile("value", 0.5), 4).alias("median"),
+                numeric.duck_round(F.percentile("value", 0.95), 4).alias("p95"),
             )
             .orderBy("grp")
         )
@@ -119,7 +120,8 @@ def register_extensions(q: dict, o: dict) -> None:
         )
         return (
             t.rollup("tag", "day")
-            .agg(F.round(F.sum("value"), 4).alias("result"))
+            .agg(F.sum("value").alias("result"))
+            .withColumn("result", numeric.duck_round(F.col("result"), 4))
             .orderBy("tag", "day")
         )
 

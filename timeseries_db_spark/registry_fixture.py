@@ -44,7 +44,9 @@ def _fx_query(qm: QueryModel):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = compile_query(timeseries_fixture(spark), qm)
         if qm.agg_func in _ROUNDED:
-            out = out.withColumn("result", F.round(F.col("result"), 4))
+            from timeseries_db_spark.functions.numeric import duck_round
+
+            out = out.withColumn("result", duck_round(F.col("result"), 4))
         return out
 
     return run
