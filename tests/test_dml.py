@@ -164,3 +164,40 @@ def test_time_travel_reads_old_versions(table, spark):
 
     with _pytest.raises(ValueError):
         table.read(version=99)
+
+
+def test_manifest_level_pruning(table, spark):
+    """Bounded reads must not even plan partitions outside the range —
+    the manifest is the timestamp index."""
+    # table fixture spans two dates (T0 and T0+DAY)
+    narrow = table.read(lo_ms=T0, hi_ms=T0 + 1)
+    assert narrow.count() == 3  # all rows on day one survive the prune
+    # the excluded date's files are absent from the physical plan
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    import datetime as dt
+
+    day2 = dt.datetime.fromtimestamp((T0 + DAY) / 1000, tz=dt.timezone.utc).date()
+    assert f"dt={day2}" not in plan
+    # unbounded read still sees everything
+    assert table.read().count() == 5
+
+
+def test_engine_query_prunes_partitions(spark, tmp_path):
+    from timeseries_db_spark.engine import TsdbEngine
+
+    e = TsdbEngine(spark, str(tmp_path / "prune"))
+    e.insert(
+        [
+            {"timestamp": T0, "tag": "a", "value": 1.0},
+            {"timestamp": T0 + DAY, "tag": "a", "value": 2.0},
+            {"timestamp": T0 + 2 * DAY, "tag": "a", "value": 3.0},
+        ]
+    )
+    out = e.query({"ge": T0 + DAY, "le": T0 + DAY + 10})
+    assert [r["value"] for r in out.collect()] == [2.0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import datetime as dt
+
+    d0 = dt.datetime.fromtimestamp(T0 / 1000, tz=dt.timezone.utc).date()
+    d2 = dt.datetime.fromtimestamp((T0 + 2 * DAY) / 1000, tz=dt.timezone.utc).date()
+    assert f"dt={d0}" not in plan and f"dt={d2}" not in plan

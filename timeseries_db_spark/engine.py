@@ -86,10 +86,28 @@ class TsdbEngine:
         """``POST /timeseries/query`` — accepts a :class:`QueryModel` or the
         reference's camelCase JSON dict; returns the result DataFrame in
         one of the three ``QueryR`` shapes. ``strict`` enforces the
-        data-dependent error contract (SURVEY.md §2.5)."""
+        data-dependent error contract (SURVEY.md §2.5).
+
+        The query's timestamp bounds prune date partitions at the
+        manifest level before the plan is even built (TsTable.read) —
+        the storage-side replacement for the reference's in-memory
+        timestamp index probe."""
         if isinstance(qm, Mapping):
             qm = QueryModel.from_json(dict(qm))
-        df = self.table.read()
+        lows = [
+            b
+            for b in (qm.ge, None if qm.gt is None else qm.gt + 1, qm.ts_eq)
+            if b is not None
+        ]
+        highs = [
+            b
+            for b in (qm.le, None if qm.lt is None else qm.lt - 1, qm.ts_eq)
+            if b is not None
+        ]
+        df = self.table.read(
+            lo_ms=max(lows) if lows else None,
+            hi_ms=min(highs) if highs else None,
+        )
         return run_query(df, qm) if strict else compile_query(df, qm)
 
     def query_json(self, qm):

@@ -158,11 +158,24 @@ class TsTable:
             out = out.unionByName(df)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        lo_ms: int | None = None,
+        hi_ms: int | None = None,
+    ) -> DataFrame:
         """Snapshot as ``(timestamp, tag, value)`` — the current version,
         or any retained historical version (time travel). Every commit
         writes a new manifest and never mutates published files, so old
-        versions stay readable until :meth:`vacuum` drops their files."""
+        versions stay readable until :meth:`vacuum` drops their files.
+
+        ``lo_ms``/``hi_ms`` (inclusive epoch-millis bounds) prune at the
+        MANIFEST level: partitions whose date lies wholly outside the
+        range are never added to the plan — no file listing, no scan, no
+        union branch. The manifest is the engine's timestamp index (the
+        scale analog of the reference's IntMap subtree pruning); callers
+        still apply the exact row-level filter to the survivors."""
         if version is None:
             manifest = self._manifest()
         else:
@@ -173,7 +186,25 @@ class TsTable:
                 )
             with open(self._manifest_path(version)) as f:
                 manifest = json.load(f)
-        return self._read_partitions(manifest["partitions"]).select(
+        partitions = manifest["partitions"]
+        only: set[str] | None = None
+        if lo_ms is not None or hi_ms is not None:
+            import datetime as _dt
+
+            def day_of(ms: int) -> _dt.date:
+                return _dt.datetime.fromtimestamp(
+                    ms / 1000, tz=_dt.timezone.utc
+                ).date()
+
+            lo_d = day_of(lo_ms) if lo_ms is not None else None
+            hi_d = day_of(hi_ms) if hi_ms is not None else None
+            only = {
+                dt
+                for dt in partitions
+                if (lo_d is None or _dt.date.fromisoformat(dt) >= lo_d)
+                and (hi_d is None or _dt.date.fromisoformat(dt) <= hi_d)
+            }
+        return self._read_partitions(partitions, only=only).select(
             "timestamp", "tag", "value"
         )
 
