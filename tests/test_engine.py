@@ -95,3 +95,14 @@ def test_reopen_existing_table(spark, tmp_path, eng):
     # a second engine on the same path sees the committed snapshot
     again = TsdbEngine(spark, eng.table.path)
     assert again.query_json({"aggFunc": "count"}) == {"result": 4.0}
+
+
+def test_sql_view_surface(eng):
+    eng.create_view("timeseries")
+    rows = eng.sql(
+        "SELECT tag, round(sum(value), 4) AS s FROM timeseries "
+        "GROUP BY tag ORDER BY tag"
+    ).collect()
+    assert [(r["tag"], r["s"]) for r in rows] == [
+        ("athens", 7.0), ("munich", 4.0), ("skopje", 5.0),
+    ]

@@ -110,6 +110,16 @@ class TsdbEngine:
         )
         return run_query(df, qm) if strict else compile_query(df, qm)
 
+    def create_view(self, name: str = "timeseries") -> None:
+        """Register the current snapshot as a Spark SQL temp view — the
+        full ANSI SQL surface over the tsdb table (the reference has no
+        SQL at all; on Spark it is free)."""
+        self.table.read().createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL (after :meth:`create_view`)."""
+        return self.spark.sql(query)
+
     def query_json(self, qm):
         """Reference wire format: the untagged ``QueryR`` union
         (``Model.hs:150-152``) as plain Python values."""
