@@ -94,20 +94,8 @@ class TsdbEngine:
         timestamp index probe."""
         if isinstance(qm, Mapping):
             qm = QueryModel.from_json(dict(qm))
-        lows = [
-            b
-            for b in (qm.ge, None if qm.gt is None else qm.gt + 1, qm.ts_eq)
-            if b is not None
-        ]
-        highs = [
-            b
-            for b in (qm.le, None if qm.lt is None else qm.lt - 1, qm.ts_eq)
-            if b is not None
-        ]
-        df = self.table.read(
-            lo_ms=max(lows) if lows else None,
-            hi_ms=min(highs) if highs else None,
-        )
+        lo_ms, hi_ms = qm.bounds_ms()
+        df = self.table.read(lo_ms=lo_ms, hi_ms=hi_ms)
         return run_query(df, qm) if strict else compile_query(df, qm)
 
     def create_view(self, name: str = "timeseries") -> None:

@@ -20,6 +20,7 @@ IEEE op) → round with :func:`duck_round` on the Spark side and plain
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,3 +35,10 @@ def duck_round(col: Column, scale: int = 4) -> Column:
     pos = F.floor(col * m + F.lit(0.5))
     neg = -F.floor(-col * m + F.lit(0.5))
     return (F.when(col >= 0, pos).otherwise(neg) / F.lit(m)).cast("double")
+
+
+def np_duck_round(a: "np.ndarray", scale: int = 4) -> "np.ndarray":
+    """numpy twin of :func:`duck_round` — np.round is half-to-even and
+    disagrees with DuckDB/duck_round at exact ties."""
+    m = 10.0**scale
+    return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m

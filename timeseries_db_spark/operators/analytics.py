@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_round
+
 RUN_COLS = ("timestamp", "tag", "value", "run_cnt", "run_sum")
 
 
@@ -37,7 +39,9 @@ def running_totals(tsdb: DataFrame) -> DataFrame:
         "tag",
         "value",
         F.count(F.lit(1)).over(w).cast("double").alias("run_cnt"),
-        F.round(F.sum("value").over(w), 4).alias("run_sum"),
+        # ordered-window cumsums are sequential (order-deterministic), so
+        # only the rounding semantics need duck-parity (functions/numeric)
+        duck_round(F.sum("value").over(w), 4).alias("run_sum"),
     )
 
 
@@ -79,7 +83,7 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
             "tag",
             "value",
             (F.col("off_cnt") + F.count(F.lit(1)).over(ww)).cast("double").alias("run_cnt"),
-            F.round(F.col("off_sum") + F.sum("value").over(ww), 4).alias("run_sum"),
+            duck_round(F.col("off_sum") + F.sum("value").over(ww), 4).alias("run_sum"),
         )
     )
 

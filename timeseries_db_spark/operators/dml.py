@@ -70,8 +70,16 @@ class DmlError(Exception):
         super().__init__("; ".join(self.errors))
 
 
+DAY_MS = 86_400_000
+
+
 def _with_dt(df: DataFrame) -> DataFrame:
-    return df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("timestamp"))))
+    """UTC date partition from pure integer day arithmetic — deliberately
+    NOT to_date(timestamp_millis(...)), which renders in the session
+    timezone: a caller session pinned to +14:00 would write different
+    partitions than the UTC-based manifest pruning in read() expects."""
+    days = F.floor(F.col("timestamp") / DAY_MS).cast("int")
+    return df.withColumn("dt", F.date_add(F.lit("1970-01-01").cast("date"), days))
 
 
 class TsTable:
@@ -192,9 +200,8 @@ class TsTable:
             import datetime as _dt
 
             def day_of(ms: int) -> _dt.date:
-                return _dt.datetime.fromtimestamp(
-                    ms / 1000, tz=_dt.timezone.utc
-                ).date()
+                # same integer day arithmetic as _with_dt (tz-independent)
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=ms // DAY_MS)
 
             lo_d = day_of(lo_ms) if lo_ms is not None else None
             hi_d = day_of(hi_ms) if hi_ms is not None else None

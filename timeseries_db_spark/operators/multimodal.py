@@ -134,6 +134,8 @@ def audio_chunk_plan(assets: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
     return (
         assets.filter(F.col("kind") == "audio")
         .withColumn("dur_ms", F.length("payload").cast("long"))
+        # sequence(0, -1) errors on empty payloads; zero chunks is right
+        .filter(F.col("dur_ms") > 0)
         .select(
             "asset_id",
             "dur_ms",

@@ -108,8 +108,11 @@ def sessionize(spark, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> DataFr
         .agg(
             F.min("tms").alias("session_start"),
             F.count(F.lit(1)).cast("double").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # decimal sum + duck_round: deterministic at .00005 boundaries
+            # (functions/numeric.py)
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
         )
+        .withColumn("total_value", F.round(F.col("_dsum"), 4).cast("double"))
         .select("user_id", "session_start", "n_events", "total_value")
     )
 
@@ -137,6 +140,6 @@ def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
         )
         SELECT user_id, min(tms) AS session_start,
                CAST(count(*) AS DOUBLE) AS n_events,
-               round(sum(value), 4) AS total_value
+               round(sum(value::DECIMAL(38,10)), 4)::DOUBLE AS total_value
         FROM sids GROUP BY user_id, session_seq
     """

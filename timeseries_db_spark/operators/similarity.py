@@ -41,14 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseries_db_spark.functions.numeric import duck_round
-
-
-def _np_duck_round(a: np.ndarray, scale: int) -> np.ndarray:
-    """numpy twin of functions.numeric.duck_round — DuckDB rounds half
-    away from zero on the binary value, np.round is half-to-even; at an
-    exact tie (e.g. cos = 0.43885) they disagree by a full last digit."""
-    m = 10.0**scale
-    return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m
+from timeseries_db_spark.functions.numeric import np_duck_round as _np_duck_round
 
 #: SRP-LSH defaults: 4 independent tables of 6 hyperplanes (64 buckets).
 SRP_TABLES = 4
@@ -83,7 +76,10 @@ def _scores_map_fn(bc, exclude_self: bool, min_cos: float | None):
                 if exclude_self:
                     mask &= ids != qids[row_i]
                 if min_cos is not None:
-                    mask &= cos >= (min_cos - 1e-9)
+                    # slack must cover ROUNDING to 4 decimals downstream,
+                    # not just float noise: a raw cos of threshold-4.9e-5
+                    # still rounds up to the threshold
+                    mask &= cos >= (min_cos - 5.001e-5)
                 sel = np.flatnonzero(mask)
                 if not len(sel):
                     continue
@@ -327,6 +323,8 @@ def _ivf_assign_fn(bc, nprobe: int):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _, cmat = bc.value
+        # a small corpus can yield fewer centroids than nprobe
+        k = min(nprobe, cmat.shape[0])
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -334,8 +332,8 @@ def _ivf_assign_fn(bc, nprobe: int):
             n = np.linalg.norm(v, axis=1, keepdims=True)
             n[n == 0.0] = 1.0
             sim = (v / n) @ cmat.T  # (rows, n_centroids)
-            top = np.argsort(-sim, axis=1)[:, :nprobe]
-            rows = np.repeat(pdf["vec_id"].to_numpy(), nprobe)
+            top = np.argsort(-sim, axis=1)[:, :k]
+            rows = np.repeat(pdf["vec_id"].to_numpy(), k)
             yield pd.DataFrame(
                 {"vec_id": rows, "list_id": top.ravel().astype(np.int64)}
             )
@@ -362,9 +360,13 @@ def ann_topk_ivf(
     (shuffle keyed by list — bucket-local fan-out like the LSH band join),
     and re-ranking is JVM expressions, so the whole path stays distributed
     with one small Python stage for the argmax assignments."""
-    cents_bc = spark.sparkContext.broadcast(
-        _corpus_matrix(corpus.filter(F.col("vec_id") % stride == 0))
-    )
+    cents = _corpus_matrix(corpus.filter(F.col("vec_id") % stride == 0))
+    if cents[1].shape[0] == 0:
+        raise ValueError(
+            f"IVF stride {stride} selects no centroids from this corpus — "
+            "lower the stride"
+        )
+    cents_bc = spark.sparkContext.broadcast(cents)
     assign = corpus.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(cents_bc, 1), schema="vec_id long, list_id long"
     )

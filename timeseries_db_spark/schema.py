@@ -116,6 +116,22 @@ class QueryModel:
         if self.limit is not None and self.limit < 0:
             raise IllegalQueryError("Illegal query: negative 'limit'.")
 
+    def bounds_ms(self) -> tuple[int | None, int | None]:
+        """Inclusive ``(lo, hi)`` epoch-millis bounds implied by the
+        query's timestamp parameters — the single source of truth for
+        partition/manifest pruning (engine + partitioned sources)."""
+        lows = [
+            b
+            for b in (self.ge, None if self.gt is None else self.gt + 1, self.ts_eq)
+            if b is not None
+        ]
+        highs = [
+            b
+            for b in (self.le, None if self.lt is None else self.lt - 1, self.ts_eq)
+            if b is not None
+        ]
+        return (max(lows) if lows else None, min(highs) if highs else None)
+
     @property
     def only_agg(self) -> bool:
         """Fast-path predicate ``onlyAgg`` — reference ``Model.hs:121-123``:

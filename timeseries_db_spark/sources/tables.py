@@ -206,18 +206,19 @@ def read_tsdb_partitioned(spark: SparkSession, path: str, qm=None) -> DataFrame:
     scale analog of the reference's timestamp-index subtree pruning. The
     date bounds are conservative (day granularity); the exact millis
     filter still applies row-level on the survivors."""
+    import datetime as _dt
+
+    def _day(ms: int) -> _dt.date:
+        # integer day arithmetic, matching the writer's tz-independent dt
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=ms // 86_400_000)
+
     df = spark.read.parquet(path)
     if qm is not None:
-        lows = [b for b in (qm.ge, None if qm.gt is None else qm.gt + 1, qm.ts_eq) if b is not None]
-        highs = [b for b in (qm.le, None if qm.lt is None else qm.lt - 1, qm.ts_eq) if b is not None]
-        if lows:
-            df = df.filter(
-                F.col("dt") >= F.to_date(F.timestamp_millis(F.lit(max(lows))))
-            )
-        if highs:
-            df = df.filter(
-                F.col("dt") <= F.to_date(F.timestamp_millis(F.lit(min(highs))))
-            )
+        lo_ms, hi_ms = qm.bounds_ms()
+        if lo_ms is not None:
+            df = df.filter(F.col("dt") >= F.lit(_day(lo_ms)))
+        if hi_ms is not None:
+            df = df.filter(F.col("dt") <= F.lit(_day(hi_ms)))
         if qm.tag_eq is not None:
             df = df.filter(F.col("tag") == F.lit(qm.tag_eq))
     return df.select("timestamp", "tag", "value")
@@ -233,7 +234,9 @@ def write_tsdb_partitioned(df: DataFrame, path: str, *, buckets: int | None = No
     workloads add a sort-within-partitions by tag (done here) so row
     groups are tag-clustered — the poor man's Z-ORDER without Delta.
     """
-    out = df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("timestamp"))))
+    days = F.floor(F.col("timestamp") / 86_400_000).cast("int")
+    # integer day arithmetic: tz-independent, matches the reader's pruning
+    out = df.withColumn("dt", F.date_add(F.lit("1970-01-01").cast("date"), days))
     (
         out.repartition("dt")
         .sortWithinPartitions("dt", "tag", "timestamp")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.operators.dml import KEY, TsTable
 
 #: File-source schema for events-shaped input under nanosAsLong
@@ -89,7 +90,13 @@ def start_ingest(
     def upsert(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.select("timestamp", "tag", "value")
         # drop keys that already landed (late duplicates / replays)
-        current = table.read().select(*KEY)
+        # bound the snapshot to the batch's time range: the manifest
+        # prunes out-of-range date partitions, so the anti-join scans
+        # O(batch dates), not O(table history)
+        lohi = batch.agg(F.min("timestamp"), F.max("timestamp")).first()
+        if lohi[0] is None:
+            return
+        current = table.read(lo_ms=int(lohi[0]), hi_ms=int(lohi[1])).select(*KEY)
         fresh = batch.dropDuplicates(KEY).join(current, on=KEY, how="left_anti")
         if fresh.limit(1).count() > 0:
             table.insert(fresh)
@@ -111,18 +118,19 @@ def windowed_rollup_stream(
         stream.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window), F.col("tag"))
         .agg(
-            F.count(F.lit(1)).cast("double").alias("cnt"),
-            F.sum("value").alias("total"),
-            F.avg("value").alias("vavg"),
+            F.count(F.lit(1)).alias("_n"),
+            # decimal sum + duck-parity rounding: keeps the stream
+            # bit-identical to the batch twin (functions/numeric.py)
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
         )
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
             "tag",
-            "cnt",
-            F.round("total", 4).alias("total"),
-            F.round("vavg", 4).alias("vavg"),
+            F.col("_n").cast("double").alias("cnt"),
+            F.round(F.col("_dsum"), 4).cast("double").alias("total"),
+            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4).alias("vavg"),
             "vmin",
             "vmax",
         )

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from timeseries_db_spark.functions.numeric import np_duck_round
+
 OUT_SCHEMA = (
     "timestamp long, tag string, value double, run_cnt double, run_sum double"
 )
@@ -40,10 +42,13 @@ def running_totals_stream(stream: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         cnt, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("timestamp")
+        # concat ALL Arrow chunks before sorting: a group larger than
+        # maxRecordsPerBatch arrives as several chunks, and chunk-local
+        # sorting would fold later-chunk rows with earlier event times at
+        # the wrong cumulative position. Memory = one group's micro-batch.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("timestamp")
             run_cnt = cnt + pd.RangeIndex(1, len(pdf) + 1)
             run_sum = total + pdf["value"].cumsum()
             cnt = int(run_cnt[-1])
@@ -54,7 +59,8 @@ def running_totals_stream(stream: DataFrame) -> DataFrame:
                     "tag": key[0],
                     "value": pdf["value"].to_numpy(),
                     "run_cnt": run_cnt.to_numpy(dtype="float64"),
-                    "run_sum": run_sum.round(4).to_numpy(),
+                    # duck-parity rounding, not pandas' half-to-even
+                    "run_sum": np_duck_round(run_sum.to_numpy(), 4),
                 }
             )
         state.update((cnt, total))
@@ -112,10 +118,11 @@ def sessionize_stream(stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
             return
 
         cur = list(state.get) if state.exists else None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("timestamp")
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            # see running_totals_stream: sort the whole micro-batch, not
+            # each Arrow chunk, or cross-chunk event order breaks sessions
+            pdf = pd.concat(chunks).sort_values("timestamp")
             for ts, v in zip(pdf["timestamp"].to_numpy(), pdf["value"].to_numpy()):
                 ts = int(ts)
                 if cur is None:
