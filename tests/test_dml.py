@@ -201,3 +201,25 @@ def test_engine_query_prunes_partitions(spark, tmp_path):
     d0 = dt.datetime.fromtimestamp(T0 / 1000, tz=dt.timezone.utc).date()
     d2 = dt.datetime.fromtimestamp((T0 + 2 * DAY) / 1000, tz=dt.timezone.utc).date()
     assert f"dt={d0}" not in plan and f"dt={d2}" not in plan
+
+
+def test_partitioning_is_timezone_independent(spark, tmp_path):
+    """Writes and manifest pruning must agree on partition dates even when
+    the caller's session timezone is not UTC (integer day arithmetic on
+    both paths — the review finding this pins)."""
+    from timeseries_db_spark.engine import TsdbEngine
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # +14
+    try:
+        e = TsdbEngine(spark, str(tmp_path / "tz"))
+        noon = T0 + DAY // 2  # 2024-01-01T12:00Z → local date 2024-01-02
+        e.insert([{"timestamp": noon, "tag": "a", "value": 1.0}])
+        # point query must find the row despite the +14h local-date skew
+        assert e.query_json({"tsEq": noon}) == [
+            {"timestamp": noon, "tag": "a", "value": 1.0}
+        ]
+        # and a bounded range read prunes without losing it
+        assert e.table.read(lo_ms=noon, hi_ms=noon).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

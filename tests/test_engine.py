@@ -106,3 +106,15 @@ def test_sql_view_surface(eng):
     assert [(r["tag"], r["s"]) for r in rows] == [
         ("athens", 7.0), ("munich", 4.0), ("skopje", 5.0),
     ]
+
+
+def test_export_roundtrip(eng, spark, tmp_path):
+    out = str(tmp_path / "export_csv")
+    eng.export({"ge": T0, "sort": "asc"}, out, fmt="csv")
+    back = (
+        spark.read.option("header", "true")
+        .schema("timestamp long, tag string, value double")
+        .csv(out)
+    )
+    assert back.count() == 4
+    assert {r["tag"] for r in back.collect()} == {"munich", "skopje", "athens"}

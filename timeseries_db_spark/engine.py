@@ -98,6 +98,20 @@ class TsdbEngine:
         df = self.table.read(lo_ms=lo_ms, hi_ms=hi_ms)
         return run_query(df, qm) if strict else compile_query(df, qm)
 
+    def export(self, qm, path: str, *, fmt: str = "csv") -> None:
+        """Uncapped result export — the reference client's CSV download
+        path (``client/src/Main.elm:241``: the UI caps previews at 20
+        rows but exports everything). Writes the query result as
+        csv/json/parquet; distributed write, no driver collect."""
+        df = self.query(qm, strict=False)
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            writer.parquet(path)
+
     def create_view(self, name: str = "timeseries") -> None:
         """Register the current snapshot as a Spark SQL temp view — the
         full ANSI SQL surface over the tsdb table (the reference has no
