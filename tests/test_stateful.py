@@ -89,13 +89,13 @@ def test_watermark_drops_late_duplicates(spark, tmp_path):
         pq.write_table(pa.Table.from_pandas(pdf), str(in_dir / name))
 
     hour = 3_600_000
-    # batch 0: two keys far apart in event time → watermark advances past
-    # the first key once the batch closes
-    write("b0.parquet", [(base, "a", 1.0), (base + 6 * hour, "b", 2.0)])
+    # batch 0: two keys 30min apart — the watermark (1h delay) stays
+    # BELOW the first key, so its dedup state is retained
+    write("b0.parquet", [(base, "a", 1.0), (base + hour // 2, "b", 2.0)])
     _time.sleep(1.1)
-    # batch 1: exact duplicate of the first key (late, behind watermark)
-    # plus one genuinely new in-horizon key
-    write("b1.parquet", [(base, "a", 1.0), (base + 6 * hour + 1, "c", 3.0)])
+    # batch 1: exact duplicate of the first key (still in-horizon)
+    # plus one genuinely new key
+    write("b1.parquet", [(base, "a", 1.0), (base + hour // 2 + 1, "c", 3.0)])
 
     stream = (
         spark.readStream.schema(
@@ -120,8 +120,8 @@ def test_watermark_drops_late_duplicates(spark, tmp_path):
         (r["timestamp"], r["tag"])
         for r in spark.sql("SELECT * FROM late_out").collect()
     }
-    assert (base, "a") in got and (base + 6 * hour, "b") in got
-    assert (base + 6 * hour + 1, "c") in got
+    assert (base, "a") in got and (base + hour // 2, "b") in got
+    assert (base + hour // 2 + 1, "c") in got
     # the duplicate emitted exactly once
     rows = spark.sql(
         f"SELECT count(*) c FROM late_out WHERE timestamp = {base} AND tag = 'a'"
@@ -131,9 +131,9 @@ def test_watermark_drops_late_duplicates(spark, tmp_path):
 
 def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
     """Two time-ordered micro-batches of gappy per-tag events: every
-    session closed by a successor event must match the batch twin; the
-    trailing open session per tag is either withheld or flushed by the
-    event-time timeout — never wrong."""
+    emitted session must be watermark-final and identical to the batch
+    twin; sessions the watermark has not yet finalized are withheld —
+    never wrong."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import time as _time
@@ -201,7 +201,74 @@ def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
     # everything emitted must be a correct, complete session
     for k, v in got.items():
         assert exp[k] == v, (k, v, exp.get(k))
-    # all non-trailing sessions must have been emitted (closed by their
-    # successor event within the stream)
-    trailing = {("x", base + 30 * minute), ("y", base + 20 * minute)}
-    assert set(exp) - trailing <= set(got)
+    # sessions the watermark finalized during the run must have emitted:
+    # during batch 2 the watermark sits at 10min (batch-1 max 11min − 1min
+    # delay), which finalizes both tags' first sessions (end+gap ≤ 10min)
+    assert {("x", base), ("y", base)} <= set(got)
+
+
+def test_sessionize_stream_merges_in_horizon_out_of_order(spark, tmp_path):
+    """An out-of-order (but in-watermark) event arriving in a later batch
+    must merge into the session the batch twin would assign it to — the
+    eager-finalization bug this pins: sessions may only close once the
+    watermark passes end+gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from timeseries_db_spark.streaming.stateful import sessionize_stream
+
+    base = 1704067200000
+    minute = 60_000
+    gap = 5 * minute
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["timestamp", "tag", "value"])
+        pdf["event_time"] = pd.to_datetime(pdf["timestamp"], unit="ms").astype(
+            "datetime64[us]"
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "in" / name))
+
+    (tmp_path / "in").mkdir()
+    # batch 0: events at 0 and 10min → watermark after b0 = 9min
+    write("b0.parquet", [(base, "x", 1.0), (base + 10 * minute, "x", 1.0)])
+    _time.sleep(1.1)
+    # batch 1: out-of-order 9.5min (ahead of the 9min watermark → must be
+    # honored) + a far event at 30min
+    write(
+        "b1.parquet",
+        [(base + 9 * minute + 30_000, "x", 1.0), (base + 30 * minute, "x", 1.0)],
+    )
+    _time.sleep(1.1)
+    # batch 2: advances the watermark past the merged session's end+gap so
+    # it finalizes (watermark during this batch = 29min from batch 1)
+    write("b2.parquet", [(base + 100 * minute, "x", 1.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "timestamp long, tag string, value double, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+        .withWatermark("event_time", "1 minute")
+    )
+    q = (
+        sessionize_stream(stream, gap_ms=gap)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["session_start"], r["session_end"]): r["n"]
+        for r in spark.sql("SELECT * FROM ooo_out").collect()
+    }
+    # the 9.5min event merged into the 10min session (n=2), not its own
+    assert got[(base + 9 * minute + 30_000, base + 10 * minute)] == 2
+    # and the first session is the lone 0min event
+    assert got[(base, base)] == 1

@@ -44,6 +44,12 @@ def asof_join(
     """Left as-of join: every ``left`` row + the most recent ``right``
     payload at-or-before its time, matched on ``on``. Left rows earlier
     than any right row get NULL payload (ASOF LEFT JOIN)."""
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload column(s) {sorted(clash)} already exist on the left "
+            "side — alias the right payload before joining"
+        )
     lcols = left.columns
     l = left.select(
         *lcols,
@@ -141,6 +147,12 @@ def asof_join_scalable(
 
     Identical results to :func:`asof_join` for any ``bucket_ms`` (tested);
     pick it so one key-bucket fits an executor core."""
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload column(s) {sorted(clash)} already exist on the left "
+            "side — alias the right payload before joining"
+        )
     sentinel = -(1 << 62)  # opening rows sort before any real timestamp
     lb = left.withColumn("_bkt", (F.col(left_ts) / bucket_ms).cast("long"))
     rb = right.withColumn("_bkt", (F.col(right_ts) / bucket_ms).cast("long"))
@@ -197,16 +209,20 @@ def gap_fill(
     points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
         F.max("value").alias("value")
     )
-    grid = (
-        tsdb.select("tag")
-        .distinct()
-        .select(
+    tags = tsdb.select("tag").distinct()
+    if lo > hi:
+        # Spark's sequence() rejects descending bounds with a positive
+        # step; the SQL twin's generate_series yields zero rows — match it
+        grid = tags.select(
+            "tag", F.lit(None).cast("long").alias("timestamp")
+        ).filter(F.lit(False))
+    else:
+        grid = tags.select(
             "tag",
             F.explode(
                 F.sequence(F.lit(lo), F.lit(hi), F.lit(step_ms))
             ).alias("timestamp"),
         )
-    )
     return asof_join(
         grid, points, on="tag", left_ts="timestamp", right_ts="src_ts",
         payload=["value"],

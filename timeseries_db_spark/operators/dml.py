@@ -242,10 +242,28 @@ class TsTable:
         rows = _with_dt(batch).select("dt").distinct().collect()
         return {str(r["dt"]) for r in rows}
 
+    def _check_no_nulls(self, batch: DataFrame, cols: list[str]) -> None:
+        """NULL in a key or value corrupts the table invariants: null keys
+        never match the existence joins (duplicates slip through, rows
+        become un-updatable), and a null timestamp writes the hive default
+        partition, which the manifest date pruning cannot parse. The
+        reference's schema is total (aeson rejects missing fields), so
+        reject nulls outright."""
+        pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            pred = p if pred is None else (pred | p)
+        bad = batch.filter(pred).limit(MAX_ERRORS).collect()
+        if bad:
+            raise DmlError(
+                [f"NULL field in entry: {r.asDict()}." for r in bad]
+            )
+
     def insert(self, batch: DataFrame) -> None:
-        """Append-only insert; rejects existing keys and intra-batch
-        duplicates, all-or-nothing, ≤10 error messages."""
+        """Append-only insert; rejects existing keys, intra-batch
+        duplicates, and NULL fields, all-or-nothing, ≤10 error messages."""
         batch = batch.select("timestamp", "tag", "value")
+        self._check_no_nulls(batch, ["timestamp", "tag", "value"])
         errors: list[str] = []
         # intra-batch duplicates (reference anomaly fix — SURVEY.md §2.4)
         dups = (
@@ -316,6 +334,7 @@ class TsTable:
         row order, so "last write wins" is undefined — and the merge join
         below would otherwise fan out one table row per duplicate."""
         batch = batch.select("timestamp", "tag", F.col("value").alias("_new_value"))
+        self._check_no_nulls(batch, ["timestamp", "tag", "_new_value"])
         dups = (
             batch.groupBy(*KEY).count().filter(F.col("count") > 1).limit(MAX_ERRORS).collect()
         )
@@ -340,6 +359,7 @@ class TsTable:
         """Delete by key (``clearTS`` semantics, ``Handlers.hs:71-89``);
         rewrites only the touched partitions."""
         keys = keys.select(*KEY)
+        self._check_no_nulls(keys, list(KEY))
         touched = self._batch_dts(keys)
         current = self._read_partitions(self._manifest()["partitions"], only=touched)
         self._check_all_exist(keys, current, "delete")

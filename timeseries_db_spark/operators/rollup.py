@@ -20,39 +20,41 @@ from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.sources.tables import load_table, ts_to_millis
 
 
-def window_rollup(tsdb: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Tumbling event-time rollup per tag over a tsdb-shaped frame:
-    (window_start epoch-millis, tag, cnt, total)."""
+def rollup_aggregate(grouped) -> DataFrame:
+    """The five-aggregate rollup body shared VERBATIM by the batch and
+    streaming rollups (one definition — the stream/batch bit-parity
+    guarantee is structural, not hand-synchronized).
+
+    Sum as DECIMAL: exact and associative, so the value is partition-
+    order independent — a double sum can land either side of a .00005
+    rounding boundary depending on combine order (observed at sf0.1).
+    Rounding stays decimal (total) or duck-parity (vavg) — see
+    functions/numeric.py for the exact-tie semantics."""
     return (
-        tsdb.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
-        .groupBy(F.window("event_time", window), F.col("tag"))
-        .agg(
+        grouped.agg(
             F.count(F.lit(1)).alias("_n"),
-            # sum as DECIMAL: exact and associative, so the value is
-            # partition-order-independent — a double sum can land either
-            # side of a .00005 rounding boundary depending on combine
-            # order (observed at sf0.1). Rounding also stays in decimal:
-            # Spark's round(double) rounds the shortest string repr,
-            # which disagrees with binary-exact rounding at exact ties.
             F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
         )
-        .withColumn("cnt", F.col("_n").cast("double"))
-        .withColumn("total", F.round(F.col("_dsum"), 4).cast("double"))
-        .withColumn(
-            "vavg",
-            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4),
-        )
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
             "tag",
-            "cnt",
-            "total",
-            "vavg",
+            F.col("_n").cast("double").alias("cnt"),
+            F.round(F.col("_dsum"), 4).cast("double").alias("total"),
+            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4).alias("vavg"),
             "vmin",
             "vmax",
         )
+    )
+
+
+def window_rollup(tsdb: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time rollup per tag over a tsdb-shaped frame:
+    (window_start epoch-millis, tag, cnt, total, vavg, vmin, vmax)."""
+    return rollup_aggregate(
+        tsdb.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .groupBy(F.window("event_time", window), F.col("tag"))
     )
 
 

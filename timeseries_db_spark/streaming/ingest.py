@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.operators.dml import KEY, TsTable
 
 #: File-source schema for events-shaped input under nanosAsLong
@@ -68,9 +67,18 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
 
 def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Keyed dedup bounded by the event-time watermark — the streaming
-    analog of ``validInsert`` (``Queries.hs:76-77``). State size is
-    O(keys within the watermark horizon), not O(history)."""
-    return stream.withWatermark("event_time", watermark).dropDuplicates(KEY)
+    analog of ``validInsert`` (``Queries.hs:76-77``).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
+    the watermark column absent from the dedup key subset, plain
+    dropDuplicates never evicts its state and grows O(all keys ever seen);
+    the WithinWatermark variant evicts each key once the watermark passes
+    it — state is O(keys within the horizon), which is the documented
+    contract. Redeliveries older than the horizon pass through here and
+    are dropped by the ingest upsert's table anti-join (layer two)."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        KEY
+    )
 
 
 def start_ingest(
@@ -97,9 +105,19 @@ def start_ingest(
         if lohi[0] is None:
             return
         current = table.read(lo_ms=int(lohi[0]), hi_ms=int(lohi[1])).select(*KEY)
-        fresh = batch.dropDuplicates(KEY).join(current, on=KEY, how="left_anti")
-        if fresh.limit(1).count() > 0:
-            table.insert(fresh)
+        # persist: fresh feeds the emptiness probe AND insert's own
+        # validation joins — without it each re-runs the anti-join and
+        # re-scans the touched partitions
+        fresh = (
+            batch.dropDuplicates(KEY)
+            .join(current, on=KEY, how="left_anti")
+            .persist()
+        )
+        try:
+            if fresh.limit(1).count() > 0:
+                table.insert(fresh)
+        finally:
+            fresh.unpersist()
 
     return (
         deduped.writeStream.outputMode("update")
@@ -114,24 +132,11 @@ def windowed_rollup_stream(
 ) -> DataFrame:
     """Streaming tumbling-window rollup per tag (append mode after the
     watermark closes each window)."""
-    return (
+    # the aggregate body is SHARED with the batch twin (one definition →
+    # structural bit-parity, not hand-synchronized copies)
+    from timeseries_db_spark.operators.rollup import rollup_aggregate
+
+    return rollup_aggregate(
         stream.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window), F.col("tag"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            # decimal sum + duck-parity rounding: keeps the stream
-            # bit-identical to the batch twin (functions/numeric.py)
-            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-        )
-        .select(
-            F.unix_millis(F.col("window.start")).alias("window_start"),
-            "tag",
-            F.col("_n").cast("double").alias("cnt"),
-            F.round(F.col("_dsum"), 4).cast("double").alias("total"),
-            duck_round(F.col("_dsum").cast("double") / F.col("_n"), 4).alias("vavg"),
-            "vmin",
-            "vmax",
-        )
     )

@@ -81,66 +81,98 @@ def running_totals_stream(stream: DataFrame) -> DataFrame:
 SESSION_OUT_SCHEMA = (
     "tag string, session_start long, session_end long, n long, total double"
 )
-SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+#: state = the tag's raw events still inside the uncertainty horizon
+#: (anything that could yet merge into a not-watermark-final session).
+SESSION_STATE_SCHEMA = "ts array<long>, vals array<double>"
 
 
 def sessionize_stream(stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
-    """Per-tag gap sessions over a watermarked tsdb stream: a session
-    closes when the next event is more than ``gap_ms`` later (emitted
-    immediately) or when the event-time watermark passes ``last + gap``
-    with no successor (emitted via ``GroupStateTimeout.EventTimeTimeout``
-    — the state-timeout pattern the built-in windows can't express).
+    """Per-tag gap sessions over a watermarked tsdb stream, finalized by
+    the EVENT-TIME WATERMARK — not by arrival order.
 
-    State per tag is one open session tuple — O(tags) regardless of
-    volume. The input must carry ``withWatermark`` on ``event_time``
-    (event-time timeouts are driven by the watermark)."""
+    A session is only emitted once the watermark passes ``session_end +
+    gap`` (no in-horizon event can extend or bridge it anymore), so
+    out-of-order arrivals the watermark tolerates are merged exactly like
+    the batch twin would. To make that sound, state keeps the raw events
+    of the not-yet-final suffix (bounded by the gap + watermark horizon
+    per tag, NOT by history); ``GroupStateTimeout.EventTimeTimeout``
+    flushes a tag once the watermark proves no successor can arrive.
+
+    The input must carry ``withWatermark`` on ``event_time``."""
+
+    import numpy as np
+
+    from timeseries_db_spark.functions.numeric import np_duck_round
+
+    def sessions_of(ts: "np.ndarray", vals: "np.ndarray"):
+        """Split sorted events into gap sessions → list of (start, end,
+        n, total, first_idx)."""
+        out = []
+        start_i = 0
+        for i in range(1, len(ts)):
+            if ts[i] - ts[i - 1] > gap_ms:
+                out.append((start_i, i))
+                start_i = i
+        out.append((start_i, len(ts)))
+        return out
+
+    def emit_rows(tag, ts, vals, spans):
+        return pd.DataFrame(
+            {
+                "tag": tag,
+                "session_start": [int(ts[a]) for a, b in spans],
+                "session_end": [int(ts[b - 1]) for a, b in spans],
+                "n": [int(b - a) for a, b in spans],
+                "total": [
+                    float(np_duck_round(np.array([vals[a:b].sum()]), 4)[0])
+                    for a, b in spans
+                ],
+            }
+        )
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         tag = key[0]
-
-        def session_row(s):
-            return pd.DataFrame(
-                {
-                    "tag": [tag],
-                    "session_start": [int(s[0])],
-                    "session_end": [int(s[1])],
-                    "n": [int(s[2])],
-                    "total": [round(float(s[3]), 4)],
-                }
-            )
-
         if state.hasTimedOut:
-            # watermark passed last+gap with no successor: final flush
-            yield session_row(state.get)
+            # watermark passed last+gap: every buffered session is final
+            ts_l, v_l = state.get
+            ts = np.asarray(ts_l, dtype="int64")
+            vals = np.asarray(v_l, dtype="float64")
+            if len(ts):
+                yield emit_rows(tag, ts, vals, sessions_of(ts, vals))
             state.remove()
             return
 
-        cur = list(state.get) if state.exists else None
+        ts_l, v_l = state.get if state.exists else ([], [])
         chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            # see running_totals_stream: sort the whole micro-batch, not
-            # each Arrow chunk, or cross-chunk event order breaks sessions
-            pdf = pd.concat(chunks).sort_values("timestamp")
-            for ts, v in zip(pdf["timestamp"].to_numpy(), pdf["value"].to_numpy()):
-                ts = int(ts)
-                if cur is None:
-                    cur = [ts, ts, 1, float(v)]
-                elif ts - cur[1] > gap_ms:
-                    yield session_row(cur)
-                    cur = [ts, ts, 1, float(v)]
-                else:
-                    cur[1] = max(cur[1], ts)
-                    cur[2] += 1
-                    cur[3] += float(v)
-        if cur is not None:
-            state.update(tuple(cur))
-            # fire once the watermark proves no in-horizon successor can
-            # extend this session (clamped above the current watermark,
-            # which Spark requires)
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1))
+        ts = np.concatenate(
+            [np.asarray(ts_l, dtype="int64")]
+            + [c["timestamp"].to_numpy("int64") for c in chunks]
+        )
+        vals = np.concatenate(
+            [np.asarray(v_l, dtype="float64")]
+            + [c["value"].to_numpy("float64") for c in chunks]
+        )
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+        if not len(ts):
+            state.remove()
+            return
+
+        wm = state.getCurrentWatermarkMs()
+        spans = sessions_of(ts, vals)
+        # a session is final once no in-horizon event can extend it
+        final = [sp for sp in spans if ts[sp[1] - 1] + gap_ms <= wm]
+        if final:
+            yield emit_rows(tag, ts, vals, final)
+        keep_from = final[-1][1] if final else 0
+        rest_ts, rest_vals = ts[keep_from:], vals[keep_from:]
+        if len(rest_ts):
+            state.update((rest_ts.tolist(), rest_vals.tolist()))
+            state.setTimeoutTimestamp(max(int(rest_ts[-1]) + gap_ms, wm + 1))
+        else:
+            state.remove()
 
     return (
         stream.select("timestamp", "tag", "value", "event_time")
@@ -173,9 +205,11 @@ def sessionize_tsdb_batch(tsdb: DataFrame, gap_ms: int = 1_800_000) -> DataFrame
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    from timeseries_db_spark.functions.numeric import duck_round
+
     return marked.groupBy("tag", "sess_id").agg(
         F.min("timestamp").alias("session_start"),
         F.max("timestamp").alias("session_end"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total"),
-    ).drop("sess_id")
+        F.sum("value").alias("_sum"),
+    ).withColumn("total", duck_round(F.col("_sum"), 4)).drop("sess_id", "_sum")
