@@ -118,3 +118,16 @@ def test_export_roundtrip(eng, spark, tmp_path):
     )
     assert back.count() == 4
     assert {r["tag"] for r in back.collect()} == {"munich", "skopje", "athens"}
+
+
+def test_presence_errors_are_index_membership(eng):
+    # tag exists but the range filters out all its rows → NOT an error
+    # (the reference probes the tag index, not the filtered result)
+    assert eng.query_json({"tagEq": "munich", "gt": T0 + 10**9}) == []
+    # tag exists, tsEq missing within that tag → the TIMESTAMP error
+    with pytest.raises(QueryError, match="No data for timestamp"):
+        eng.query({"tagEq": "munich", "tsEq": T0 + 999})
+    # tsEq miss under a grouped query → empty group list, no error
+    assert (
+        eng.query_json({"tsEq": T0 + 999, "aggFunc": "max", "groupBy": "tag"}) == []
+    )

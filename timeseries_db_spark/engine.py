@@ -96,7 +96,11 @@ class TsdbEngine:
             qm = QueryModel.from_json(dict(qm))
         lo_ms, hi_ms = qm.bounds_ms()
         df = self.table.read(lo_ms=lo_ms, hi_ms=hi_ms)
-        return run_query(df, qm) if strict else compile_query(df, qm)
+        if not strict:
+            return compile_query(df, qm)
+        # presence probes (reference index-membership semantics) must see
+        # the unpruned table; the query itself runs on the pruned read
+        return run_query(df, qm, presence_df=self.table.read())
 
     def export(self, qm, path: str, *, fmt: str = "csv") -> None:
         """Uncapped result export — the reference client's CSV download

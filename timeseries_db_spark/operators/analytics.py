@@ -39,9 +39,12 @@ def running_totals(tsdb: DataFrame) -> DataFrame:
         "tag",
         "value",
         F.count(F.lit(1)).over(w).cast("double").alias("run_cnt"),
-        # ordered-window cumsums are sequential (order-deterministic), so
-        # only the rounding semantics need duck-parity (functions/numeric)
-        duck_round(F.sum("value").over(w), 4).alias("run_sum"),
+        # DECIMAL cumsum: exact and association-independent, so the plain,
+        # scalable, and oracle variants are bit-identical by construction
+        # (a double cumsum would tie the result to summation order)
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 4)
+        .cast("double")
+        .alias("run_sum"),
     )
 
 
@@ -52,16 +55,18 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
     """
     bucketed = tsdb.withColumn("bucket", (F.col("timestamp") / bucket_ms).cast("long"))
 
-    # pass 1: per-(tag, bucket) partials — one row per bucket, tiny
+    # pass 1: per-(tag, bucket) partials — one row per bucket, tiny;
+    # decimal sums keep every downstream total exact (see running_totals)
     partials = bucketed.groupBy("tag", "bucket").agg(
-        F.count(F.lit(1)).alias("b_cnt"), F.sum("value").alias("b_sum")
+        F.count(F.lit(1)).alias("b_cnt"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("b_sum"),
     )
     # offsets: everything cumulative *before* this bucket; the window runs
     # over the tiny partial table, not the data
     wb = (
         Window.partitionBy("tag")
         .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 0)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = partials.select(
         "tag",
@@ -83,7 +88,13 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
             "tag",
             "value",
             (F.col("off_cnt") + F.count(F.lit(1)).over(ww)).cast("double").alias("run_cnt"),
-            duck_round(F.col("off_sum") + F.sum("value").over(ww), 4).alias("run_sum"),
+            F.round(
+                F.col("off_sum")
+                + F.sum(F.col("value").cast("decimal(38,10)")).over(ww),
+                4,
+            )
+            .cast("double")
+            .alias("run_sum"),
         )
     )
 
@@ -94,7 +105,7 @@ def running_totals_sql(table_sql: str, where: str = "") -> str:
         WITH t AS ({table_sql})
         SELECT "timestamp", tag, value,
                CAST(count(*) OVER w AS DOUBLE) AS run_cnt,
-               round(sum(value) OVER w, 4) AS run_sum
+               round(sum(value::DECIMAL(38,10)) OVER w, 4)::DOUBLE AS run_sum
         FROM t {where}
         WINDOW w AS (PARTITION BY tag ORDER BY "timestamp" ROWS UNBOUNDED PRECEDING)
     """

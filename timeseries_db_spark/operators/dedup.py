@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.functions.hashing import (
     MINHASH_BANDS,
     MINHASH_P,
@@ -91,6 +92,34 @@ _SHINGLES_CTE_DUCK = f"""
     )
 """
 
+def _jaccard_verify(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs
+    — shared by the inverted-index and MinHash-LSH paths. duck_round, not
+    F.round: the jaccard feeds the oracle value hash and Spark's string
+    rounding diverges from DuckDB's at exact 4-decimal ties."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.withColumnRenamed("doc_id", "id_a")
+    shb = sh.withColumnRenamed("doc_id", "id_b")
+    shared = (
+        candidates.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            duck_round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -139,29 +168,15 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")  # inner join keeps only rare shingles
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
+    candidates = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(sh, candidates, threshold)
 
 
 def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> str:
@@ -262,28 +277,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only
-    sh = doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.withColumnRenamed("doc_id", "id_a")
-    shb = sh.withColumnRenamed("doc_id", "id_b")
-    shared = (
-        candidates.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(doc_shingles(docs), candidates, threshold)
 
 
 def minhash_lsh_pairs_sql(threshold: float) -> str:
@@ -375,6 +369,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
     found by banding the 60-bit signature into 4×15-bit keys (any pair
     within Hamming ≤ 3 must agree on ≥1 band — pigeonhole)."""
+    if max_hamming >= _SIMHASH_N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {_SIMHASH_N_BANDS}-band "
+            f"recall bound (pigeonhole guarantees collisions only for "
+            f"Hamming <= {_SIMHASH_N_BANDS - 1})"
+        )
     # persist: tiny table (doc_id, simhash), self-joined below; one
     # explode emits all 4 band keys in a single pass (see minhash note)
     sig = simhash_signatures(docs).persist()

@@ -43,6 +43,23 @@ from pyspark.sql import functions as F
 from timeseries_db_spark.functions.numeric import duck_round
 from timeseries_db_spark.functions.numeric import np_duck_round as _np_duck_round
 
+#: Exact cosine, JVM-side: zip_with dot product + aggregate fold — no
+#: Python in the re-ranking hot path (the brief's F.aggregate/F.zip_with
+#: pattern). Elements cast to double once.
+_DOT = (
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+)
+
+
+def _norm_expr(col: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    )
+
+
+
 #: SRP-LSH defaults: 4 independent tables of 6 hyperplanes (64 buckets).
 SRP_TABLES = 4
 SRP_BITS = 6
@@ -53,6 +70,8 @@ def _corpus_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect (ids, L2-normalized fp64 matrix) for broadcasting."""
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
+    if not len(pdf):  # np.stack needs >=1 array; callers check shape[0]
+        return ids, np.zeros((0, 0))
     m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
@@ -274,11 +293,7 @@ def ann_topk_srp(
         .withColumn(
             "c6",
             duck_round(
-                F.expr(
-                    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                    " / (sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-                    " * sqrt(aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
-                ),
+                F.expr(_DOT) / (F.expr(_norm_expr("qe")) * F.expr(_norm_expr("ce"))),
                 6,
             ),
         )
@@ -300,22 +315,6 @@ def ann_topk_srp(
 #: identical and the pipeline stays reproducible without an iterative fit).
 IVF_STRIDE = 40
 IVF_NPROBE = 4
-
-#: Exact cosine, JVM-side: zip_with dot product + aggregate fold — no
-#: Python in the re-ranking hot path (the brief's F.aggregate/F.zip_with
-#: pattern). Elements cast to double once.
-_DOT = (
-    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (a, v) -> a + v)"
-)
-
-
-def _norm_expr(col: str) -> str:
-    return (
-        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (a, v) -> a + v))"
-    )
-
 
 def _ivf_assign_fn(bc, nprobe: int):
     """Emit (vec_id, list_id) for each vector's ``nprobe`` nearest

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_round
+
 # ---------------------------------------------------------------------------
 # shared constants (single source of truth for Spark AND oracle SQL)
 # ---------------------------------------------------------------------------
@@ -96,12 +98,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return counts.select(
         "doc_id",
         "n_tokens",
-        F.expr("round(CAST(stop_hits AS DOUBLE) / n_tokens, 4)").alias("stop_ratio"),
-        F.expr("round(CAST(alpha_len AS DOUBLE) / text_len, 4)").alias("alpha_ratio"),
-        F.expr(
-            f"round({w_len} * least(1.0, n_tokens / 100.0)"
-            f" + {w_stop} * (CAST(stop_hits AS DOUBLE) / n_tokens)"
-            f" + {w_alpha} * (CAST(alpha_len AS DOUBLE) / text_len), 4)"
+        duck_round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4).alias(
+            "stop_ratio"
+        ),
+        duck_round(F.col("alpha_len").cast("double") / F.col("text_len"), 4).alias(
+            "alpha_ratio"
+        ),
+        duck_round(
+            F.lit(w_len) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+            + F.lit(w_stop) * (F.col("stop_hits").cast("double") / F.col("n_tokens"))
+            + F.lit(w_alpha) * (F.col("alpha_len").cast("double") / F.col("text_len")),
+            4,
         ).alias("quality"),
     )
 

@@ -144,7 +144,13 @@ def compile_query(df: DataFrame, qm: QueryModel) -> DataFrame:
     return out
 
 
-def run_query(df: DataFrame, qm: QueryModel, *, strict: bool = True) -> DataFrame:
+def run_query(
+    df: DataFrame,
+    qm: QueryModel,
+    *,
+    strict: bool = True,
+    presence_df: DataFrame | None = None,
+) -> DataFrame:
     """Compile and, when ``strict``, enforce the reference's data-dependent
     error contract (SURVEY.md §2.5) before returning the plan:
 
@@ -157,17 +163,36 @@ def run_query(df: DataFrame, qm: QueryModel, *, strict: bool = True) -> DataFram
     never run in benchmarks — mirroring SURVEY.md §7.4's guidance.
     """
     out = compile_query(df, qm)
-    if strict:
-        needs_presence = qm.ts_eq is not None or qm.tag_eq is not None
-        needs_avg = qm.agg_func is Agg.AVG
-        if needs_presence or needs_avg:
+    if strict and qm.group_by is None:
+        # Reference semantics: presence errors are INDEX-MEMBERSHIP
+        # probes on the non-grouped paths only (grouped folds just drop
+        # empty groups — Queries/Tag.hs:35-53, Queries/TS.hs:31-49):
+        # * tagEq probes sIx[tag] ignoring time bounds (Tag.hs:61-64);
+        # * tagEq+tsEq then probes sIx[tag][ts] → the *timestamp* error
+        #   (Tag.hs:65-67);
+        # * tsEq alone probes tIx[ts] (TS.hs:57-65).
+        # membership probes must see the WHOLE table — callers that hand
+        # in a pre-pruned df (e.g. the engine's manifest-bounded read)
+        # supply the unpruned relation separately
+        probe_df = presence_df if presence_df is not None else df
+
+        def exists(pred) -> bool:
+            return probe_df.filter(pred).limit(1).count() > 0
+
+        tag_c, ts_c = F.col("tag"), F.col("timestamp")
+        if qm.tag_eq is not None:
+            if not exists(tag_c == F.lit(qm.tag_eq)):
+                raise QueryError(f"No data for tag {qm.tag_eq}.")
+            if qm.ts_eq is not None and not exists(
+                (tag_c == F.lit(qm.tag_eq)) & (ts_c == F.lit(qm.ts_eq))
+            ):
+                raise QueryError(f"No data for timestamp {qm.ts_eq}.")
+        elif qm.ts_eq is not None and not exists(ts_c == F.lit(qm.ts_eq)):
+            raise QueryError(f"No data for timestamp {qm.ts_eq}.")
+        # avg over an empty (range-filtered) selection → the monoid fold
+        # has no identity → "Average failed." (Utils.hs:66-69)
+        if qm.agg_func is Agg.AVG:
             pred = filter_expr(qm)
-            matched = (df.filter(pred) if pred is not None else df).limit(1).count()
-            if matched == 0:
-                if qm.ts_eq is not None and qm.tag_eq is None:
-                    raise QueryError(f"No data for timestamp {qm.ts_eq}.")
-                if qm.tag_eq is not None:
-                    raise QueryError(f"No data for tag {qm.tag_eq}.")
-                if needs_avg:
-                    raise QueryError("Average failed.")
+            if (df.filter(pred) if pred is not None else df).limit(1).count() == 0:
+                raise QueryError("Average failed.")
     return out
