@@ -46,11 +46,11 @@ def oracle_for(qm: QueryModel) -> str:
         preds.append(f"tag = '{qm.tag_eq}'")
     where = ("WHERE " + " AND ".join(preds)) if preds else ""
     desc = "DESC" if qm.sort is Sort.DESC else "ASC"
-    lim = f"LIMIT {qm.limit}" if qm.limit is not None else ""
+    lim = f"LIMIT {max(0, qm.limit)}" if qm.limit is not None else ""
 
     if qm.agg_func is None:
         sel = '"timestamp", tag, value'
-        order = f'ORDER BY "timestamp" {desc}, tag {desc}'
+        order = f'ORDER BY "timestamp" {desc}, tag {desc}, value {desc}'
         return f"WITH t AS ({timeseries_fixture_sql(N)}) SELECT {sel} FROM t {where} {order} {lim}"
     if qm.group_by is None:
         return f"WITH t AS ({timeseries_fixture_sql(N)}) SELECT {_AGG_SQL[qm.agg_func]} AS result FROM t {where}"
@@ -77,7 +77,7 @@ qm_strategy = st.fixed_dictionaries(
         "agg_func": st.one_of(st.none(), st.sampled_from(list(Agg))),
         "group_by": st.one_of(st.none(), st.sampled_from(list(GroupBy))),
         "sort": st.sampled_from(list(Sort)),
-        "limit": st.one_of(st.none(), st.integers(0, 50)),
+        "limit": st.one_of(st.none(), st.integers(-2, 50)),
     }
 )
 

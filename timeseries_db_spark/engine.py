@@ -15,8 +15,9 @@ the wire formats are preserved — inserts take ``[{"timestamp": …, "tag": …
 JSON (``Model.hs:104-116``), and :meth:`query_json` returns the untagged
 ``QueryR`` union (``Model.hs:150-152``): raw rows, ``{group, result}``
 pairs, or a ``{result}`` scalar. Errors raise :class:`QueryError` /
-:class:`DmlError` where the reference returns HTTP 400 — same messages,
-same ≤10-entry truncation (``Handlers.hs:55``).
+:class:`DmlError` where the reference returns HTTP 400 — same error
+conditions and ≤10-entry truncation (``Handlers.hs:55``); message texts
+are modernized, not byte-identical.
 
 Spark-first internals: storage is the date-partitioned parquet
 :class:`~timeseries_db_spark.operators.dml.TsTable` (manifest-versioned
@@ -71,8 +72,14 @@ class TsdbEngine:
         if keys is None:
             self.truncate()
             return
-        keys = list(keys) if not isinstance(keys, DataFrame) else keys
-        if not isinstance(keys, DataFrame) and len(keys) == 0:
+        if isinstance(keys, DataFrame):
+            if keys.limit(1).count() == 0:  # empty body → truncate (W4)
+                self.truncate()
+                return
+            self.table.delete(keys.select("timestamp", "tag"))
+            return
+        keys = list(keys)
+        if len(keys) == 0:
             self.truncate()
             return
         self.table.delete(self._rows_df(keys, TS_KEY_SCHEMA))
@@ -99,14 +106,22 @@ class TsdbEngine:
         if not strict:
             return compile_query(df, qm)
         # presence probes (reference index-membership semantics) must see
-        # the unpruned table; the query itself runs on the pruned read
-        return run_query(df, qm, presence_df=self.table.read())
+        # the unpruned table; built only when a probe will actually run —
+        # assembling the full multi-commit read costs file listings
+        probe = (
+            self.table.read()
+            if (qm.tag_eq is not None or qm.ts_eq is not None)
+            else None
+        )
+        return run_query(df, qm, presence_df=probe)
 
     def export(self, qm, path: str, *, fmt: str = "csv") -> None:
         """Uncapped result export — the reference client's CSV download
         path (``client/src/Main.elm:241``: the UI caps previews at 20
         rows but exports everything). Writes the query result as
         csv/json/parquet; distributed write, no driver collect."""
+        if fmt not in ("csv", "json", "parquet"):
+            raise ValueError(f"unsupported export format: {fmt!r}")
         df = self.query(qm, strict=False)
         writer = df.write.mode("overwrite")
         if fmt == "csv":

@@ -70,16 +70,12 @@ class DmlError(Exception):
         super().__init__("; ".join(self.errors))
 
 
-DAY_MS = 86_400_000
-
-
 def _with_dt(df: DataFrame) -> DataFrame:
-    """UTC date partition from pure integer day arithmetic — deliberately
-    NOT to_date(timestamp_millis(...)), which renders in the session
-    timezone: a caller session pinned to +14:00 would write different
-    partitions than the UTC-based manifest pruning in read() expects."""
-    days = F.floor(F.col("timestamp") / DAY_MS).cast("int")
-    return df.withColumn("dt", F.date_add(F.lit("1970-01-01").cast("date"), days))
+    """UTC date partition — the shared tz-independent day arithmetic
+    (sources.tables.utc_day_expr is the single definition)."""
+    from timeseries_db_spark.sources.tables import utc_day_expr
+
+    return df.withColumn("dt", utc_day_expr("timestamp"))
 
 
 class TsTable:
@@ -199,12 +195,10 @@ class TsTable:
         if lo_ms is not None or hi_ms is not None:
             import datetime as _dt
 
-            def day_of(ms: int) -> _dt.date:
-                # same integer day arithmetic as _with_dt (tz-independent)
-                return _dt.date(1970, 1, 1) + _dt.timedelta(days=ms // DAY_MS)
+            from timeseries_db_spark.sources.tables import utc_day_of_ms
 
-            lo_d = day_of(lo_ms) if lo_ms is not None else None
-            hi_d = day_of(hi_ms) if hi_ms is not None else None
+            lo_d = utc_day_of_ms(lo_ms) if lo_ms is not None else None
+            hi_d = utc_day_of_ms(hi_ms) if hi_ms is not None else None
             only = {
                 dt
                 for dt in partitions

@@ -108,16 +108,19 @@ def compile_query(df: DataFrame, qm: QueryModel) -> DataFrame:
         # (reference order within equal timestamps is insertion order —
         # nondeterministic for our purposes).
         out = df.select("timestamp", "tag", "value")
-        ts_key = (
-            F.col("timestamp").asc() if qm.sort is Sort.ASC else F.col("timestamp").desc()
+        # (timestamp, tag, value) total order: (timestamp, tag) alone is a
+        # key only under the tsdb uniqueness invariant — raw views built on
+        # ms-truncated sources can carry ties, and a limit cutting through
+        # a tie group must pick the same rows as the oracle
+        keys = [F.col("timestamp"), F.col("tag"), F.col("value")]
+        out = out.orderBy(
+            *[k.asc() if qm.sort is Sort.ASC else k.desc() for k in keys]
         )
-        tag_key = F.col("tag").asc() if qm.sort is Sort.ASC else F.col("tag").desc()
-        out = out.orderBy(ts_key, tag_key)
         if qm.limit is not None:
             # sort+limit → Catalyst TakeOrderedAndProject (distributed top-k,
             # no global sort materialization) — the scalable analog of the
             # reference's lazy-fold short-circuit (Queries/TS.hs:21-24).
-            out = out.limit(qm.limit)
+            out = out.limit(max(0, qm.limit))  # take(-1) = [] in the reference
         return out
 
     if qm.group_by is None:
@@ -140,7 +143,7 @@ def compile_query(df: DataFrame, qm: QueryModel) -> DataFrame:
         F.col(GROUP_COL).asc() if qm.sort is Sort.ASC else F.col(GROUP_COL).desc()
     )
     if qm.limit is not None:
-        out = out.limit(qm.limit)
+        out = out.limit(max(0, qm.limit))
     return out
 
 

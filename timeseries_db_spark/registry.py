@@ -193,11 +193,11 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     # --- O1/O2/O3: sort asc/desc + limit (top-k) on raw rows and groups ---
     q["collect_sort_asc_limit"] = _tsdb_query(QueryModel(sort=Sort.ASC, limit=100))
     o["collect_sort_asc_limit"] = _oracle(
-        "", rows, 'ORDER BY "timestamp" ASC, tag ASC LIMIT 100'
+        "", rows, 'ORDER BY "timestamp" ASC, tag ASC, value ASC LIMIT 100'
     )
     q["collect_sort_desc_limit"] = _tsdb_query(QueryModel(sort=Sort.DESC, limit=100))
     o["collect_sort_desc_limit"] = _oracle(
-        "", rows, 'ORDER BY "timestamp" DESC, tag DESC LIMIT 100'
+        "", rows, 'ORDER BY "timestamp" DESC, tag DESC, value DESC LIMIT 100'
     )
     qm = QueryModel(
         agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
@@ -239,14 +239,11 @@ def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     _register_reference_surface(queries, oracles)
-    # extension operators (dedup / similarity / text / streaming-batch
-    # twins) register themselves as their modules land
-    try:
-        from timeseries_db_spark.registry_ext import register_extensions
+    # a broken extension import must FAIL the build, not silently shrink
+    # the gate/bench surface to the reference queries only
+    from timeseries_db_spark.registry_ext import register_extensions
 
-        register_extensions(queries, oracles)
-    except ImportError:
-        pass
+    register_extensions(queries, oracles)
     from timeseries_db_spark.registry_fixture import register_fixture
 
     register_fixture(queries, oracles)

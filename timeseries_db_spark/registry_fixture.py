@@ -15,6 +15,8 @@ These target what the driver tables can't stress:
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,9 +46,9 @@ def _fx_query(qm: QueryModel):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = compile_query(timeseries_fixture(spark), qm)
         if qm.agg_func in _ROUNDED:
-            from timeseries_db_spark.functions.numeric import duck_round
+            from timeseries_db_spark.registry import _round_result
 
-            out = out.withColumn("result", duck_round(F.col("result"), 4))
+            out = _round_result(out)
         return out
 
     return run
@@ -70,7 +72,11 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = fx.filter(ts < BASE_TS + 5_000)
     ins = fx.filter(ts >= BASE_TS + 5_000)
 
-    table = TsTable.create(spark, tempfile.mkdtemp(prefix="tsdb_dml_rt_"), seed)
+    # one fixed scratch path per process, wiped each call — repeated gate
+    # runs must not accumulate tables in /tmp
+    path = os.path.join(tempfile.gettempdir(), f"tsdb_dml_rt_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    table = TsTable.create(spark, path, seed)
     table.insert(ins)
     table.update(
         seed.filter((F.col("tag") == "Munich") & (ts < BASE_TS + 100))

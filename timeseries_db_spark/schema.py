@@ -13,7 +13,12 @@ Differences by design (documented deviations, SURVEY.md §7.3):
 * empty-range ``min``/``max`` return NULL (SQL semantics) instead of the
   reference's ±Infinity monoid identities (``Model.hs:146-148``);
 * ``groupBy=tag`` output is always ordered by group key (the reference's
-  HashMap iteration order is nondeterministic — ``Queries/Tag.hs:44``).
+  HashMap iteration order is nondeterministic — ``Queries/Tag.hs:44``);
+* ``sum`` over an empty selection is NULL (SQL) where the reference's
+  Sum-monoid identity yields 0.0 (``Queries.hs:151,168``) — same class of
+  deviation as min/max above, invisible to the DuckDB oracle (NULL too);
+* a negative ``limit`` returns an empty result (the reference's
+  ``take (-1)`` semantics) rather than erroring.
 """
 
 from __future__ import annotations
@@ -113,8 +118,6 @@ class QueryModel:
             raise IllegalQueryError(
                 "Illegal query: 'tsEq' excludes other timestamp bounds."
             )
-        if self.limit is not None and self.limit < 0:
-            raise IllegalQueryError("Illegal query: negative 'limit'.")
 
     def bounds_ms(self) -> tuple[int | None, int | None]:
         """Inclusive ``(lo, hi)`` epoch-millis bounds implied by the

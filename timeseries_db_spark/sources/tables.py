@@ -45,6 +45,26 @@ TABLES = (
 _table_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
+
+DAY_MS = 86_400_000
+
+
+def utc_day_expr(ts_col: str):
+    """UTC date from epoch-millis via pure integer day arithmetic — the
+    ONE definition of the partition-date invariant (session-timezone
+    independent; ``to_date(timestamp_millis(...))`` renders in session tz
+    and desynchronizes writer and reader)."""
+    days = F.floor(F.col(ts_col) / DAY_MS).cast("int")
+    return F.date_add(F.lit("1970-01-01").cast("date"), days)
+
+
+def utc_day_of_ms(ms: int):
+    """Python twin of :func:`utc_day_expr` for manifest-side pruning."""
+    import datetime as _dt
+
+    return _dt.date(1970, 1, 1) + _dt.timedelta(days=ms // DAY_MS)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; plain ``spark.read.parquet`` so pushdown and
     pruning stay available to Catalyst.
@@ -206,19 +226,13 @@ def read_tsdb_partitioned(spark: SparkSession, path: str, qm=None) -> DataFrame:
     scale analog of the reference's timestamp-index subtree pruning. The
     date bounds are conservative (day granularity); the exact millis
     filter still applies row-level on the survivors."""
-    import datetime as _dt
-
-    def _day(ms: int) -> _dt.date:
-        # integer day arithmetic, matching the writer's tz-independent dt
-        return _dt.date(1970, 1, 1) + _dt.timedelta(days=ms // 86_400_000)
-
     df = spark.read.parquet(path)
     if qm is not None:
         lo_ms, hi_ms = qm.bounds_ms()
         if lo_ms is not None:
-            df = df.filter(F.col("dt") >= F.lit(_day(lo_ms)))
+            df = df.filter(F.col("dt") >= F.lit(utc_day_of_ms(lo_ms)))
         if hi_ms is not None:
-            df = df.filter(F.col("dt") <= F.lit(_day(hi_ms)))
+            df = df.filter(F.col("dt") <= F.lit(utc_day_of_ms(hi_ms)))
         if qm.tag_eq is not None:
             df = df.filter(F.col("tag") == F.lit(qm.tag_eq))
     return df.select("timestamp", "tag", "value")
@@ -234,9 +248,7 @@ def write_tsdb_partitioned(df: DataFrame, path: str, *, buckets: int | None = No
     workloads add a sort-within-partitions by tag (done here) so row
     groups are tag-clustered — the poor man's Z-ORDER without Delta.
     """
-    days = F.floor(F.col("timestamp") / 86_400_000).cast("int")
-    # integer day arithmetic: tz-independent, matches the reader's pruning
-    out = df.withColumn("dt", F.date_add(F.lit("1970-01-01").cast("date"), days))
+    out = df.withColumn("dt", utc_day_expr("timestamp"))
     (
         out.repartition("dt")
         .sortWithinPartitions("dt", "tag", "timestamp")
