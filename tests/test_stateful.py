@@ -272,3 +272,41 @@ def test_sessionize_stream_merges_in_horizon_out_of_order(spark, tmp_path):
     assert got[(base + 9 * minute + 30_000, base + 10 * minute)] == 2
     # and the first session is the lone 0min event
     assert got[(base, base)] == 1
+
+
+def test_running_totals_correct_across_arrow_chunks(spark, tmp_path):
+    """Force each group's micro-batch to span multiple Arrow chunks
+    (maxRecordsPerBatch << group size): the fold must sort the WHOLE
+    batch, not each chunk, to keep cumulative order."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        pdf = timeseries_fixture(spark, 2_000).toPandas()
+        # deliver DESCENDING by timestamp so chunk-local sorting would
+        # fold later chunks (earlier event times) at the wrong positions
+        pdf = pdf.sort_values("timestamp", ascending=False)
+        in_dir = tmp_path / "chunks_in"
+        in_dir.mkdir()
+        pq.write_table(pa.Table.from_pandas(pdf), str(in_dir / "b0.parquet"))
+
+        stream = spark.readStream.schema(
+            "timestamp long, tag string, value double"
+        ).parquet(str(in_dir))
+        q = (
+            running_totals_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("chunk_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _norm(spark.sql("SELECT * FROM chunk_out").toPandas())
+        exp = _norm(running_totals(timeseries_fixture(spark, 2_000)).toPandas())
+        assert len(got) == 2_000
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
