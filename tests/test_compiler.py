@@ -166,6 +166,37 @@ def test_data_dependent_errors(spark, sf_dir):
         run_query(tsdb, QueryModel(agg_func=Agg.AVG, gt=9 * 10**12))
 
 
+def test_grouped_presence_errors(spark, sf_dir):
+    """The reference probes indexes BEFORE groupBy is consulted
+    (Utils.hs:93-96 routes every tagEq query to queryTag, which throws on
+    the sIx lookup miss — Tag.hs:63-64; a tsEq miss on the TS path throws
+    even under groupBy=timestamp — TS.hs:62-65)."""
+    tsdb = events_as_tsdb(spark, sf_dir)
+    with pytest.raises(QueryError, match="No data for tag"):
+        run_query(
+            tsdb,
+            QueryModel(tag_eq="no_such_tag", agg_func=Agg.SUM, group_by=GroupBy.TAG),
+        )
+    with pytest.raises(QueryError, match="No data for timestamp"):
+        run_query(
+            tsdb,
+            QueryModel(ts_eq=1, agg_func=Agg.SUM, group_by=GroupBy.TIMESTAMP),
+        )
+    # but tsEq miss WITHOUT tagEq under groupBy=tag is groupTag's mapMaybe
+    # (Tag.hs:49-53): silently empty, never an error
+    out = run_query(
+        tsdb, QueryModel(ts_eq=1, agg_func=Agg.SUM, group_by=GroupBy.TAG)
+    )
+    assert out.count() == 0
+    # grouped avg never raises "Average failed." — empty groups just
+    # don't materialize (Queries.hs:147-150)
+    out = run_query(
+        tsdb,
+        QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, gt=9 * 10**12),
+    )
+    assert out.count() == 0
+
+
 def test_empty_range_identities(spark, sf_dir):
     """Documented deviation: empty-range min/max → NULL (reference: ±inf,
     Model.hs:146-148); count → 0, sum → NULL-vs-0 — we follow SQL (NULL)."""

@@ -33,7 +33,13 @@ from collections.abc import Iterable, Mapping
 from pyspark.sql import DataFrame, SparkSession
 
 from timeseries_db_spark.operators.dml import TsTable
-from timeseries_db_spark.plans.compiler import GROUP_COL, RESULT_COL, compile_query, run_query
+from timeseries_db_spark.plans.compiler import (
+    GROUP_COL,
+    RESULT_COL,
+    compile_query,
+    needs_presence_probe,
+    run_query,
+)
 from timeseries_db_spark.schema import TS_KEY_SCHEMA, TS_SCHEMA, QueryModel
 
 Rows = "DataFrame | Iterable[Mapping]"
@@ -107,12 +113,10 @@ class TsdbEngine:
             return compile_query(df, qm)
         # presence probes (reference index-membership semantics) must see
         # the unpruned table; built only when a probe will actually run —
-        # assembling the full multi-commit read costs file listings
-        probe = (
-            self.table.read()
-            if (qm.tag_eq is not None or qm.ts_eq is not None)
-            else None
-        )
+        # assembling the full multi-commit read costs file listings.
+        # needs_presence_probe is the shared condition, so construction
+        # and run_query's consumption can't drift apart.
+        probe = self.table.read() if needs_presence_probe(qm) else None
         return run_query(df, qm, presence_df=probe)
 
     def export(self, qm, path: str, *, fmt: str = "csv") -> None:

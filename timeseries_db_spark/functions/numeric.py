@@ -42,3 +42,18 @@ def np_duck_round(a: "np.ndarray", scale: int = 4) -> "np.ndarray":
     disagrees with DuckDB/duck_round at exact ties."""
     m = 10.0**scale
     return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m
+
+
+def duck_div(col: Column, divisor: int) -> Column:
+    """Integer division matching DuckDB's ``//`` on integer operands:
+    truncation toward ZERO (measured: ``-7200001 // 3600000 = -2`` in
+    DuckDB — its integer ``//`` is NOT floor division), in exact integer
+    arithmetic.
+
+    Spark's ``%`` on longs is the Java remainder (sign of the dividend,
+    ``|r| < divisor``), so ``col - col % d`` is the exact truncated
+    multiple and the final divide is precise — unlike
+    ``cast(col / d as long)``, whose double division loses ulps for
+    |col| ≥ 2^53."""
+    exact = col - (col % F.lit(divisor))
+    return (exact / F.lit(divisor)).cast("long")

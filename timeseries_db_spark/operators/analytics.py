@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.functions.numeric import duck_round
+from timeseries_db_spark.functions.numeric import duck_round, duck_div
 
 RUN_COLS = ("timestamp", "tag", "value", "run_cnt", "run_sum")
 
@@ -53,7 +53,8 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
     task (see module docstring). ``bucket_ms`` sizes the inner partitions;
     at 100 TB pick it so one (tag, bucket) fits an executor core's memory.
     """
-    bucketed = tsdb.withColumn("bucket", (F.col("timestamp") / bucket_ms).cast("long"))
+    # duck_div: exact-integer division matching the DuckDB `//` twins
+    bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
 
     # pass 1: per-(tag, bucket) partials — one row per bucket, tiny;
     # decimal sums keep every downstream total exact (see running_totals)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.functions.numeric import duck_round
+from timeseries_db_spark.functions.numeric import duck_round, duck_div
 
 
 def asof_join(
@@ -89,7 +89,9 @@ def hourly_avg(tsdb: DataFrame) -> DataFrame:
     independent (see the rollup note on .00005 rounding boundaries)."""
     return (
         tsdb.groupBy(
-            ((F.col("timestamp") / HOUR_MS).cast("long") * HOUR_MS).alias("hr"),
+            # duck_div, not cast(/): exact-integer division matching the
+            # DuckDB twin's `//` (no double-division ulp loss at 2^53+)
+            (duck_div(F.col("timestamp"), HOUR_MS) * HOUR_MS).alias("hr"),
             "tag",
         )
         .agg(
@@ -154,8 +156,8 @@ def asof_join_scalable(
             "side — alias the right payload before joining"
         )
     sentinel = -(1 << 62)  # opening rows sort before any real timestamp
-    lb = left.withColumn("_bkt", (F.col(left_ts) / bucket_ms).cast("long"))
-    rb = right.withColumn("_bkt", (F.col(right_ts) / bucket_ms).cast("long"))
+    lb = left.withColumn("_bkt", duck_div(F.col(left_ts), bucket_ms))
+    rb = right.withColumn("_bkt", duck_div(F.col(right_ts), bucket_ms))
 
     closings = rb.groupBy(on, "_bkt").agg(
         *[F.expr(f"max_by({c}, {right_ts})").alias(c) for c in payload]

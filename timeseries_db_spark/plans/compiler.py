@@ -147,6 +147,26 @@ def compile_query(df: DataFrame, qm: QueryModel) -> DataFrame:
     return out
 
 
+def needs_presence_probe(qm: QueryModel) -> bool:
+    """True when the reference's dispatch would consult an index lookup
+    that can throw a presence error — the single source of truth shared
+    by :func:`run_query` and the engine's probe construction.
+
+    Reference routing (``Utils.hs:93-96`` ``qmToQT`` →
+    ``Tag.hs:58-67`` / ``TS.hs:57-65``):
+
+    * ``tagEq`` set → TagQuery → ``sIx[tag]`` lookup throws on a miss,
+      for grouped and non-grouped queries alike;
+    * ``tagEq`` absent but ``groupBy=tag`` → TagQuery's ``groupTag``,
+      which never throws (a ``tsEq`` there is a ``mapMaybe`` filter —
+      ``Tag.hs:49-53``);
+    * otherwise (TSQuery) → ``tsEq`` set probes ``tIx[ts]``.
+    """
+    if qm.tag_eq is not None:
+        return True
+    return qm.ts_eq is not None and qm.group_by is not GroupBy.TAG
+
+
 def run_query(
     df: DataFrame,
     qm: QueryModel,
@@ -166,14 +186,15 @@ def run_query(
     never run in benchmarks — mirroring SURVEY.md §7.4's guidance.
     """
     out = compile_query(df, qm)
-    if strict and qm.group_by is None:
-        # Reference semantics: presence errors are INDEX-MEMBERSHIP
-        # probes on the non-grouped paths only (grouped folds just drop
-        # empty groups — Queries/Tag.hs:35-53, Queries/TS.hs:31-49):
+    if strict:
+        # Presence errors are INDEX-MEMBERSHIP probes following the
+        # reference's dispatch (see needs_presence_probe — tagEq probes
+        # fire for GROUPED queries too, Tag.hs:61-67):
         # * tagEq probes sIx[tag] ignoring time bounds (Tag.hs:61-64);
         # * tagEq+tsEq then probes sIx[tag][ts] → the *timestamp* error
         #   (Tag.hs:65-67);
-        # * tsEq alone probes tIx[ts] (TS.hs:57-65).
+        # * tsEq without tagEq probes tIx[ts] only on the TS path, i.e.
+        #   not when groupBy=tag (groupTag filters misses silently).
         # membership probes must see the WHOLE table — callers that hand
         # in a pre-pruned df (e.g. the engine's manifest-bounded read)
         # supply the unpruned relation separately
@@ -190,11 +211,14 @@ def run_query(
                 (tag_c == F.lit(qm.tag_eq)) & (ts_c == F.lit(qm.ts_eq))
             ):
                 raise QueryError(f"No data for timestamp {qm.ts_eq}.")
-        elif qm.ts_eq is not None and not exists(ts_c == F.lit(qm.ts_eq)):
-            raise QueryError(f"No data for timestamp {qm.ts_eq}.")
+        elif qm.ts_eq is not None and qm.group_by is not GroupBy.TAG:
+            if not exists(ts_c == F.lit(qm.ts_eq)):
+                raise QueryError(f"No data for timestamp {qm.ts_eq}.")
         # avg over an empty (range-filtered) selection → the monoid fold
-        # has no identity → "Average failed." (Utils.hs:66-69)
-        if qm.agg_func is Agg.AVG:
+        # has no identity → "Average failed." (Utils.hs:66-69). Grouped
+        # avg never errors: empty groups simply don't materialize
+        # (`fromMaybe 0 . getAverage` on the toQRG path, Queries.hs:150).
+        if qm.agg_func is Agg.AVG and qm.group_by is None:
             pred = filter_expr(qm)
             if (df.filter(pred) if pred is not None else df).limit(1).count() == 0:
                 raise QueryError("Average failed.")

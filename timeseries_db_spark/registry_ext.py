@@ -116,7 +116,8 @@ def register_extensions(q: dict, o: dict) -> None:
     # is acceptable. ----
     def rollup_tag_day(s: SparkSession, d: str) -> DataFrame:
         t = events_as_tsdb(s, d).withColumn(
-            "day", F.expr("(timestamp div 86400000) * 86400000")
+            # duck_div matches DuckDB's `//` trunc-toward-zero on negatives
+            "day", numeric.duck_div(F.col("timestamp"), 86_400_000) * 86_400_000
         )
         return (
             t.rollup("tag", "day")
