@@ -82,6 +82,51 @@ def test_ann_candidates_subset_of_bruteforce_and_recall(spark, emb):
     assert recall >= 0.02, f"ANN recall collapsed: {recall}"
 
 
+def test_cosine_topk_sharded_equivalence(spark, emb):
+    """The exact top-k must be independent of corpus partitioning —
+    per-shard winners + window merge == single-shard result — and the
+    plan must not materialize the corpus on the driver (it streams
+    through mapInPandas)."""
+    queries = emb.filter("vec_id % 100 = 0")
+    one = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in similarity.cosine_topk(spark, queries, emb.coalesce(1), 5).collect()
+    }
+    many_df = similarity.cosine_topk(spark, queries, emb.repartition(7), 5)
+    many = {(r["qid"], r["nid"], r["cos"]) for r in many_df.collect()}
+    assert one == many and len(one) > 0
+    # corpus side is a mapInPandas stage, not a collected broadcast
+    assert "MapInPandas" in many_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_near_dup_block_count_equivalence(spark, emb):
+    """Exact threshold pairs must be identical for any block count."""
+    small = emb.filter("vec_id % 5 = 0")  # keep the quadratic part quick
+    results = [
+        {
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in similarity.near_dup_pairs(
+                spark, small, 0.3, n_blocks=nb
+            ).collect()
+        }
+        for nb in (1, 4, 13)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_ivf_centroids_bounded(spark, emb):
+    cents = similarity.ivf_centroids(emb, nlist=32)
+    assert cents.count() == 32
+    # distributed top-k, not a global sort
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # deterministic across invocations
+    a = [r["vec_id"] for r in cents.collect()]
+    b = [r["vec_id"] for r in similarity.ivf_centroids(emb, nlist=32).collect()]
+    assert a == b
+
+
 def test_multimodal_real_decode_is_explicitly_stubbed(spark, docs):
     assets = multimodal.documents_as_assets(docs)
     with pytest.raises(NotImplementedError, match="image library"):

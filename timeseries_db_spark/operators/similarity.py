@@ -1,34 +1,36 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Two paths, as a 100 TB design requires:
+Three paths, as a 100 TB design requires:
 
-* **Brute-force top-k / threshold pairs** — the exact baseline. Scoring
-  runs as an Arrow-batched ``mapInPandas`` matmul against a broadcast,
-  L2-normalized corpus matrix: one BLAS call per Arrow batch instead of
-  a per-pair ``zip_with`` fold (~orders of magnitude faster), and the
-  corpus rides the executor broadcast, so the query side scales out
-  linearly with partitions. This is exact and oracle-checked against
-  DuckDB's ``list_cosine_similarity``.
-* **SRP-LSH bucketed ANN** — the scale path when the corpus itself is
-  huge: signed-random-projection signatures put vectors into 2^bits
-  buckets per hash table; candidates = bucket collisions in any table;
-  exact cosine re-ranks candidates only. Deterministic planes (seeded)
-  so results are reproducible; registered as a rows-only check (the
-  candidate set is recall<1 by construction on near-random data) with a
-  pytest asserting candidates ⊆ brute-force and reporting recall.
+* **Sharded exact top-k** — the exact baseline, with the CORPUS streamed,
+  never collected: the (small) query set is broadcast, an Arrow-batched
+  ``mapInPandas`` over the corpus partitions scores each corpus shard
+  against all queries with one BLAS matmul per batch and emits only the
+  per-shard top-k, and a final window merges shard winners. The plan
+  shuffles |Q|·k·shards tiny rows — corpus size only affects the scan.
+* **Exact near-dup pairs** — all-pairs-above-threshold is inherently
+  quadratic compute; the distributed shape is the block self-join:
+  vectors are bucketed into ``n_blocks`` blocks, every unordered block
+  pair becomes one ``applyInPandas`` group holding two blocks, and each
+  group emits its surviving pairs from one matmul. Replication factor is
+  ``n_blocks`` (each row joins ``n_blocks`` block pairs); no driver
+  materialization anywhere. For corpora where even that is too much, the
+  LSH/IVF paths below bound candidates instead.
+* **SRP-LSH / IVF bucketed ANN** — the scale path when exact is off the
+  table: candidates from bucket collisions (SRP) or inverted-list probes
+  (IVF), exact cosine re-ranks candidates only. Deterministic
+  (seeded planes / deterministic bounded centroid sample); registered as
+  rows-only checks (recall < 1 by construction on near-random data) with
+  pytests asserting candidates ⊆ brute-force + recall floors.
 
 Ranking determinism across engines: ties are broken on the cosine
 ROUNDED to 6 decimals — with DuckDB's exact rounding semantics on both
-sides (``functions.numeric.duck_round`` / ``_np_duck_round``; numpy's
+sides (``functions.numeric.duck_round`` / ``np_duck_round``; numpy's
 half-to-even and Spark's shortest-string rounding both disagree with
 DuckDB at exact ties) — then neighbor id, so both engines cut the same
-top-k even when raw floats differ in the last ulp.
-
-At 100 TB: the corpus matrix no longer fits one broadcast — the same
-operator shape shards the corpus (mapInPandas over corpus partitions,
-re-rank top-k per shard, final top-k merge = a groupBy window), or the
-LSH path bounds candidates per query. The operator interfaces here are
-written so either backend slots in.
+top-k even when raw floats differ in the last ulp. Per-shard top-k uses
+the same total order as the global merge, so shard winners are a
+superset of the global winners for any partitioning.
 """
 
 from __future__ import annotations
@@ -59,16 +61,20 @@ def _norm_expr(col: str) -> str:
     )
 
 
-
 #: SRP-LSH defaults: 4 independent tables of 6 hyperplanes (64 buckets).
 SRP_TABLES = 4
 SRP_BITS = 6
 SRP_SEED = 7
 
 
-def _corpus_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Collect (ids, L2-normalized fp64 matrix) for broadcasting."""
-    pdf = emb.select("vec_id", "embedding").toPandas()
+def _collect_matrix(vecs: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (ids, L2-normalized fp64 matrix) for broadcasting.
+
+    Only ever called on a SMALL, bounded side — the query set of a top-k
+    (callers select it) or the capped centroid sample of the IVF coarse
+    quantizer. The corpus itself is never collected anywhere in this
+    module (it streams through mapInPandas / applyInPandas shards)."""
+    pdf = vecs.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
     if not len(pdf):  # np.stack needs >=1 array; callers check shape[0]
         return ids, np.zeros((0, 0))
@@ -78,81 +84,47 @@ def _corpus_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m / norms
 
 
-def _scores_map_fn(bc, exclude_self: bool, min_cos: float | None):
+def _normed(pdf_col: "pd.Series") -> np.ndarray:
+    m = np.stack(pdf_col.to_numpy()).astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def _shard_topk_map_fn(bc, k: int):
+    """Corpus-side kernel: score this Arrow batch of CORPUS rows against
+    every broadcast query, keep the per-batch top-k per query under the
+    exact global order (c6 DESC, nid ASC) — the global merge then reduces
+    shard winners. Emits ≤ |Q|·k rows per batch."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc.value
+        qids, qmat = bc.value
+        if qmat.shape[0] == 0:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0.0] = 1.0
-            scores = (q / qn) @ mat.T  # (batch, corpus) — one BLAS call
-            qids = pdf["vec_id"].to_numpy()
-            for row_i in range(len(pdf)):
-                cos = scores[row_i]
-                mask = np.ones(len(ids), dtype=bool)
-                if exclude_self:
-                    mask &= ids != qids[row_i]
-                if min_cos is not None:
-                    # slack must cover ROUNDING to 4 decimals downstream,
-                    # not just float noise: a raw cos of threshold-4.9e-5
-                    # still rounds up to the threshold
-                    mask &= cos >= (min_cos - 5.001e-5)
-                sel = np.flatnonzero(mask)
+            c = _normed(pdf["embedding"])
+            scores = c @ qmat.T  # (batch, nq) — one BLAS call
+            cids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                c6 = _np_duck_round(scores[:, qi], 6)
+                sel = np.flatnonzero(cids != qids[qi])
                 if not len(sel):
                     continue
-                yield pd.DataFrame(
-                    {
-                        "qid": np.full(len(sel), qids[row_i], dtype=np.int64),
-                        "nid": ids[sel].astype(np.int64),
-                        "cos_raw": cos[sel],
-                    }
-                )
-
-    return gen
-
-
-def cosine_scores(
-    spark: SparkSession,
-    queries: DataFrame,
-    corpus: DataFrame,
-    *,
-    exclude_self: bool = True,
-    min_cos: float | None = None,
-) -> DataFrame:
-    """(qid, nid, cos_raw) for every query×corpus pair passing ``min_cos``."""
-    bc = spark.sparkContext.broadcast(_corpus_matrix(corpus))
-    return queries.select("vec_id", "embedding").mapInPandas(
-        _scores_map_fn(bc, exclude_self, min_cos),
-        schema="qid long, nid long, cos_raw double",
-    )
-
-
-def _topk_map_fn(bc, k: int):
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0.0] = 1.0
-            scores = (q / qn) @ mat.T
-            qids = pdf["vec_id"].to_numpy()
-            for row_i in range(len(pdf)):
-                c6 = _np_duck_round(scores[row_i], 6)
-                mask = ids != qids[row_i]
-                sel = np.flatnonzero(mask)
-                # deterministic ranking (c6 DESC, nid ASC): lexsort keys
-                # are applied last-key-primary
-                order = np.lexsort((ids[sel], -c6[sel]))[:k]
+                # lexsort keys are applied last-key-primary
+                order = np.lexsort((cids[sel], -c6[sel]))[:k]
                 pick = sel[order]
+                out_q.append(np.full(len(pick), qids[qi], dtype=np.int64))
+                out_n.append(cids[pick].astype(np.int64))
+                out_c.append(c6[pick])
+            if out_q:
                 yield pd.DataFrame(
                     {
-                        "qid": np.full(len(pick), qids[row_i], dtype=np.int64),
-                        "nid": ids[pick].astype(np.int64),
-                        "cos": _np_duck_round(c6[pick], 4),
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "c6": np.concatenate(out_c),
                     }
                 )
 
@@ -168,14 +140,21 @@ def cosine_topk(
     """Exact top-k neighbors per query: (qid, nid, cos). Deterministic
     ranking on (round(cos,6) DESC, nid ASC).
 
-    The corpus is broadcast, so each task holds every candidate for its
-    queries and the top-k is selected INSIDE the Arrow batch — only k
-    rows per query ever leave Python, and the plan has no shuffle at all
-    (the earlier form emitted |corpus| rows per query into a
-    row_number window: a |Q|×|C| Arrow transfer plus an exchange)."""
-    bc = spark.sparkContext.broadcast(_corpus_matrix(corpus))
-    return queries.select("vec_id", "embedding").mapInPandas(
-        _topk_map_fn(bc, k), schema="qid long, nid long, cos double"
+    Sharded-corpus plan: the query set (the small side — callers select
+    it) is broadcast; the corpus streams through ``mapInPandas`` in
+    Arrow batches, each batch emitting only its local top-k per query;
+    a row_number window merges the shard winners. The corpus is never
+    materialized on the driver, so the exact path scales with corpus
+    size — wider corpus = more shards, same per-task memory."""
+    bc = spark.sparkContext.broadcast(_collect_matrix(queries))
+    shard_winners = corpus.select("vec_id", "embedding").mapInPandas(
+        _shard_topk_map_fn(bc, k), schema="qid long, nid long, c6 double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c6").desc(), F.col("nid").asc())
+    return (
+        shard_winners.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
 
 
@@ -200,18 +179,89 @@ def cosine_topk_sql(query_pred: str, k: int) -> str:
     """
 
 
-def near_dup_pairs(
-    spark: SparkSession, emb: DataFrame, threshold: float
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold)."""
-    scored = cosine_scores(spark, emb, emb, min_cos=threshold)
-    return (
-        scored.filter(F.col("qid") < F.col("nid"))
-        .withColumn("cos", duck_round(F.col("cos_raw"), 4))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "cos"
+def _block_pairs_fn(threshold: float):
+    """One ``applyInPandas`` group = one unordered block pair (lo, hi):
+    the rows of both blocks. Emits every cross pair (or within-block pair
+    when lo == hi) whose 4-decimal-rounded cosine clears the threshold."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
+        if not len(pdf):
+            return empty
+        lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
+        blk = pdf["_blk"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        if lo == hi:
+            m = _normed(pdf["embedding"])
+            scores = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = scores[ia, ib]
+            id_a, id_b = ids[ia], ids[ib]
+        else:
+            asel, bsel = np.flatnonzero(blk == lo), np.flatnonzero(blk == hi)
+            if not len(asel) or not len(bsel):
+                return empty
+            ma = _normed(pdf["embedding"].iloc[asel])
+            mb = _normed(pdf["embedding"].iloc[bsel])
+            scores = ma @ mb.T
+            ga, gb = np.meshgrid(np.arange(len(asel)), np.arange(len(bsel)), indexing="ij")
+            cos = scores.ravel()
+            id_a, id_b = ids[asel][ga.ravel()], ids[bsel][gb.ravel()]
+        c4 = _np_duck_round(cos, 4)
+        keep = np.flatnonzero(c4 >= threshold)
+        if not len(keep):
+            return empty
+        a, b = id_a[keep], id_b[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b).astype(np.int64),
+                "id_b": np.maximum(a, b).astype(np.int64),
+                "cos": c4[keep],
+            }
+        )
+
+    return fn
+
+
+def near_dup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float,
+    *,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥
+    threshold), exact.
+
+    Block self-join: each vector lands in block ``vec_id % n_blocks``
+    and is replicated to the ``n_blocks`` unordered block pairs that
+    contain its block, so every vector pair meets in exactly one
+    ``applyInPandas`` group and each group scores two blocks with one
+    matmul. No driver-side corpus: the only non-scan data movement is
+    the ``n_blocks``× replication shuffle. Pick ``n_blocks`` so two
+    blocks fit one task's memory; the compute stays O(n²) because exact
+    all-pairs IS O(n²) — the sub-quadratic alternative is the LSH/IVF
+    candidate path."""
+    if n_blocks < 1:
+        raise ValueError("n_blocks must be >= 1")
+    b = emb.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("_blk")
+    )
+    replicated = b.select(
+        "vec_id",
+        "embedding",
+        "_blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}),"
+                " x -> struct(least(_blk, x) AS lo, greatest(_blk, x) AS hi))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "embedding", "_blk", "p.lo", "p.hi")
+    return replicated.groupBy("lo", "hi").applyInPandas(
+        _block_pairs_fn(threshold), schema="id_a long, id_b long, cos double"
     )
 
 
@@ -310,11 +360,27 @@ def ann_topk_srp(
 # IVF (inverted-file) ANN — the scale path beside SRP-LSH
 # ---------------------------------------------------------------------------
 
-#: Every ``IVF_STRIDE``-th vector is a centroid (deterministic coarse
-#: quantizer — a seeded k-means would drop in here; the IVF mechanics are
-#: identical and the pipeline stays reproducible without an iterative fit).
-IVF_STRIDE = 40
+#: Hard cap on coarse-quantizer centroids: a TakeOrderedAndProject over a
+#: deterministic per-vector hash — bounded driver memory at ANY corpus
+#: size (the previous every-Nth-vector scheme collected |corpus|/N rows:
+#: unbounded). A seeded k-means would drop in here; the IVF mechanics are
+#: identical and the pipeline stays reproducible without an iterative fit.
+IVF_NLIST = 128
 IVF_NPROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
+    """Deterministic bounded centroid sample: the ``nlist`` corpus
+    vectors with the smallest ``xxhash64(vec_id)`` (ties on vec_id).
+    orderBy+limit compiles to a distributed top-k
+    (TakeOrderedAndProject) — one pass, no global sort, ≤ ``nlist``
+    rows ever reach the driver."""
+    return (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(nlist)
+    )
+
 
 def _ivf_assign_fn(bc, nprobe: int):
     """Emit (vec_id, list_id) for each vector's ``nprobe`` nearest
@@ -327,10 +393,7 @@ def _ivf_assign_fn(bc, nprobe: int):
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            n[n == 0.0] = 1.0
-            sim = (v / n) @ cmat.T  # (rows, n_centroids)
+            sim = _normed(pdf["embedding"]) @ cmat.T  # (rows, n_centroids)
             top = np.argsort(-sim, axis=1)[:, :k]
             rows = np.repeat(pdf["vec_id"].to_numpy(), k)
             yield pd.DataFrame(
@@ -346,7 +409,7 @@ def ann_topk_ivf(
     corpus: DataFrame,
     k: int,
     *,
-    stride: int = IVF_STRIDE,
+    nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed under their
@@ -354,17 +417,16 @@ def ann_topk_ivf(
     nearest lists and exact-reranks only those candidates. Output shape
     and ranking rule match :func:`cosine_topk`; recall < 1 by design.
 
-    Scale: only centroids broadcast (|corpus|/stride rows); the corpus is
-    never collected. Candidate generation is an equi-join on ``list_id``
-    (shuffle keyed by list — bucket-local fan-out like the LSH band join),
-    and re-ranking is JVM expressions, so the whole path stays distributed
-    with one small Python stage for the argmax assignments."""
-    cents = _corpus_matrix(corpus.filter(F.col("vec_id") % stride == 0))
+    Scale: only the ≤ ``nlist`` centroid sample is collected/broadcast
+    (bounded regardless of corpus size — see :func:`ivf_centroids`); the
+    corpus is never collected. Candidate generation is an equi-join on
+    ``list_id`` (shuffle keyed by list — bucket-local fan-out like the
+    LSH band join), and re-ranking is JVM expressions, so the whole path
+    stays distributed with one small Python stage for the argmax
+    assignments."""
+    cents = _collect_matrix(ivf_centroids(corpus, nlist))
     if cents[1].shape[0] == 0:
-        raise ValueError(
-            f"IVF stride {stride} selects no centroids from this corpus — "
-            "lower the stride"
-        )
+        raise ValueError("IVF quantizer found an empty corpus")
     cents_bc = spark.sparkContext.broadcast(cents)
     assign = corpus.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(cents_bc, 1), schema="vec_id long, list_id long"
