@@ -100,24 +100,49 @@ def _range_where(qm: QueryModel) -> str:
 
 
 def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> None:
-    """SURVEY.md §2.1-2.3: the complete reference read surface."""
+    """SURVEY.md §2.1-2.3: the complete reference read surface.
+
+    Folded shapes: the driver checks at most ~50 registry entries per
+    round (CORRECTNESS_r01 stopped at exactly the first 50), so families
+    that differ only in a parameter — the 9 range-bound combos, the 5
+    scalar aggs, the 5 grouped aggs, … — register as ONE union query
+    with a literal discriminator column. Every branch still runs through
+    ``compile_query`` with its own QueryModel, and the driver's value
+    hash covers every branch's rows, so per-combo coverage is preserved
+    at a fraction of the gate slots."""
     rows = '"timestamp", tag, value'
 
-    # --- R2: all 9 range-bound combinations (Queries/Utils.hs:21-30) ---
+    # --- R2: all 9 range-bound combinations (Queries/Utils.hs:21-30),
+    # one union query with a `combo` discriminator ---
     range_qms = {
-        "collect_all": QueryModel(),
-        "range_gt": QueryModel(gt=LO),
-        "range_ge": QueryModel(ge=LO),
-        "range_lt": QueryModel(lt=HI),
-        "range_le": QueryModel(le=HI),
-        "range_gt_lt": QueryModel(gt=LO, lt=HI),
-        "range_gt_le": QueryModel(gt=LO, le=HI),
-        "range_ge_lt": QueryModel(ge=LO, lt=HI),
-        "range_ge_le": QueryModel(ge=LO, le=HI),
+        "all": QueryModel(),
+        "gt": QueryModel(gt=LO),
+        "ge": QueryModel(ge=LO),
+        "lt": QueryModel(lt=HI),
+        "le": QueryModel(le=HI),
+        "gt_lt": QueryModel(gt=LO, lt=HI),
+        "gt_le": QueryModel(gt=LO, le=HI),
+        "ge_lt": QueryModel(ge=LO, lt=HI),
+        "ge_le": QueryModel(ge=LO, le=HI),
     }
-    for name, qm in range_qms.items():
-        q[name] = _tsdb_query(qm)
-        o[name] = _oracle(_range_where(qm), rows)
+
+    def range_scan_9combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, qm in range_qms.items():
+            branch = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
+                "combo", F.lit(name)
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    q["range_scan_9combos"] = range_scan_9combos
+    o["range_scan_9combos"] = (
+        f"WITH t AS ({EVENTS_T}) "
+        + "\nUNION ALL\n".join(
+            f"SELECT {rows}, '{name}' AS combo FROM t {_range_where(qm)}"
+            for name, qm in range_qms.items()
+        )
+    )
 
     # --- R3/R4/R5: point lookups; literals derived from the data so the
     # same registered query works at every sf ---
@@ -150,31 +175,63 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         rows,
     )
 
-    # --- A1-A5 scalar (the onlyAgg fast path, R1) ---
-    for agg in Agg:
-        name = f"agg_{agg.value}"
-        q[name] = _tsdb_query(QueryModel(agg_func=agg))
-        o[name] = _oracle("", f"{_AGG_SQL[agg]} AS result")
+    # --- A1-A5 scalar (the onlyAgg fast path, R1): one union query,
+    # one branch per aggregate function ---
+    def _agg_union(qms: dict[str, QueryModel], table: str = "events"):
+        src = events_as_tsdb if table == "events" else lineitem_as_tsdb
+
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            out = None
+            for fname, qm in qms.items():
+                branch = compile_query(src(spark, sf_dir, qm), qm)
+                if qm.agg_func in _ROUNDED:
+                    branch = _round_result(branch)
+                branch = branch.withColumn("func", F.lit(fname))
+                out = branch if out is None else out.unionByName(branch)
+            return out
+
+        return run
+
+    scalar_qms = {a.value: QueryModel(agg_func=a) for a in Agg}
+    q["agg_scalar_all"] = _agg_union(scalar_qms)
+    o["agg_scalar_all"] = (
+        f"WITH t AS ({EVENTS_T}) "
+        + "\nUNION ALL\n".join(
+            f"SELECT {_AGG_SQL[a]} AS result, '{a.value}' AS func FROM t"
+            for a in Agg
+        )
+    )
 
     # --- A6: all five aggs grouped by tag, under a range filter ---
-    for agg in Agg:
-        name = f"agg_{agg.value}_by_tag"
-        qm = QueryModel(agg_func=agg, group_by=GroupBy.TAG, gt=LO, le=HI)
-        q[name] = _tsdb_query(qm)
-        o[name] = _oracle(
-            _range_where(qm), f"tag AS grp, {_AGG_SQL[agg]} AS result", "GROUP BY tag"
+    bytag_qms = {
+        a.value: QueryModel(agg_func=a, group_by=GroupBy.TAG, gt=LO, le=HI)
+        for a in Agg
+    }
+    q["agg_by_tag_all"] = _agg_union(bytag_qms)
+    o["agg_by_tag_all"] = (
+        f"WITH t AS ({EVENTS_T}) "
+        + "\nUNION ALL\n".join(
+            f"SELECT tag AS grp, {_AGG_SQL[a]} AS result, '{a.value}' AS func "
+            f"FROM t {_range_where(bytag_qms[a.value])} GROUP BY tag"
+            for a in Agg
         )
+    )
 
     # --- A7: group by timestamp (sorted group keys, O1) ---
-    for agg in (Agg.SUM, Agg.COUNT):
-        name = f"agg_{agg.value}_by_ts"
-        qm = QueryModel(agg_func=agg, group_by=GroupBy.TIMESTAMP, ge=LO, lt=HI)
-        q[name] = _tsdb_query(qm)
-        o[name] = _oracle(
-            _range_where(qm),
-            f'"timestamp" AS grp, {_AGG_SQL[agg]} AS result',
-            'GROUP BY "timestamp"',
+    byts_qms = {
+        a.value: QueryModel(agg_func=a, group_by=GroupBy.TIMESTAMP, ge=LO, lt=HI)
+        for a in (Agg.SUM, Agg.COUNT)
+    }
+    q["agg_by_ts"] = _agg_union(byts_qms)
+    o["agg_by_ts"] = (
+        f"WITH t AS ({EVENTS_T}) "
+        + "\nUNION ALL\n".join(
+            f'SELECT "timestamp" AS grp, {_AGG_SQL[a]} AS result, '
+            f"'{a.value}' AS func FROM t {_range_where(byts_qms[a.value])} "
+            'GROUP BY "timestamp"'
+            for a in (Agg.SUM, Agg.COUNT)
         )
+    )
 
     # --- A8: groupBy=tag + tsEq (one row per tag at that instant) ---
     def group_tag_ts_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,20 +265,20 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 50',
     )
 
-    # --- same surface exercised on the 10×-bigger lineitem tsdb view ---
-    qm = QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, ge=LI_LO, lt=LI_HI)
-    q["li_avg_by_tag"] = _tsdb_query(qm, table="lineitem")
-    o["li_avg_by_tag"] = _oracle(
-        _range_where(qm),
-        "tag AS grp, round(avg(value), 4) AS result",
-        "GROUP BY tag",
-        table_sql=LINEITEM_T,
-    )
-    qm = QueryModel(agg_func=Agg.SUM, group_by=GroupBy.TAG)
-    q["li_sum_by_tag"] = _tsdb_query(qm, table="lineitem")
-    o["li_sum_by_tag"] = _oracle(
-        "", "tag AS grp, round(sum(value), 4) AS result", "GROUP BY tag",
-        table_sql=LINEITEM_T,
+    # --- same surface exercised on the 10×-bigger lineitem tsdb view
+    # (avg under a range + unbounded sum, one union entry) ---
+    li_qms = {
+        "avg": QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, ge=LI_LO, lt=LI_HI),
+        "sum": QueryModel(agg_func=Agg.SUM, group_by=GroupBy.TAG),
+    }
+    q["li_by_tag"] = _agg_union(li_qms, table="lineitem")
+    o["li_by_tag"] = (
+        f"WITH t AS ({LINEITEM_T}) "
+        + "\nUNION ALL\n".join(
+            f"SELECT tag AS grp, {_AGG_SQL[Agg(fname)]} AS result, "
+            f"'{fname}' AS func FROM t {_range_where(qm)} GROUP BY tag"
+            for fname, qm in li_qms.items()
+        )
     )
 
 
@@ -233,6 +290,40 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort=Sort.ASC, limit=10,
     )
     return _round_result(compile_query(events_as_tsdb(spark, sf_dir, qm), qm))
+
+
+#: The driver verifies registry entries in REGISTRATION ORDER and
+#: CORRECTNESS_r01 recorded exactly the first 50 — so (a) the total is
+#: held at 50 via the union-folded families, and (b) the block that got
+#: no driver row in round 1 (write path, LSH dedup, similarity/ANN,
+#: multimodal, fixture boundaries, running totals, streaming twins)
+#: registers FIRST. The asserts keep both properties from silently
+#: regressing as entries are added.
+GATE_BUDGET = 50
+
+_PRIORITY = [
+    # round-1 ungated block (VERDICT.md "Next round" item 1)
+    "dml_roundtrip",
+    "running_totals_by_tag",
+    "dedup_minhash_lsh",
+    "dedup_simhash_sig",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_capped",
+    "sim_cosine_topk",
+    "sim_embedding_near_dup",
+    "ann_topk_srp",
+    "ann_topk_ivf",
+    "multimodal_image_features",
+    "multimodal_frame_plan",
+    "multimodal_resize_plan",
+    "multimodal_audio_chunks",
+    "fx_edge_bounds",
+    "fx_avg_by_tag",
+    "fx_group_ts_desc_limit",
+    # streaming operators newly under the gate (VERDICT item 4)
+    "stream_running_totals",
+    "stream_sessions",
+]
 
 
 def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -247,4 +338,17 @@ def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from timeseries_db_spark.registry_fixture import register_fixture
 
     register_fixture(queries, oracles)
-    return queries, oracles
+    from timeseries_db_spark.registry_stream import register_streaming
+
+    register_streaming(queries, oracles)
+
+    missing = [n for n in _PRIORITY if n not in queries]
+    assert not missing, f"priority entries not registered: {missing}"
+    assert len(queries) <= GATE_BUDGET, (
+        f"registry has {len(queries)} entries — fold or drop shapes to fit "
+        f"the {GATE_BUDGET}-entry driver gate budget"
+    )
+    ordered = {n: queries[n] for n in _PRIORITY}
+    ordered.update((n, f) for n, f in queries.items() if n not in ordered)
+    ordered_oracles = {n: oracles[n] for n in ordered if n in oracles}
+    return ordered, ordered_oracles

@@ -164,10 +164,8 @@ def register_extensions(q: dict, o: dict) -> None:
     q["join_part_brand_stats"] = joins.part_brand_stats
     o["join_part_brand_stats"] = joins.PART_BRAND_STATS_SQL
 
-    # ---- text analysis ----
-    q["text_token_count"] = lambda s, d: text.token_count(_docs(s, d))
-    o["text_token_count"] = text.token_count_sql()
-
+    # ---- text analysis (plain token_count folds into the bpe entry,
+    # whose n_ws_tokens column is the same computation — gate budget) ----
     q["text_quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
     o["text_quality_score"] = text.quality_score_sql()
 

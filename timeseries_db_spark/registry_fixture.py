@@ -102,30 +102,48 @@ DML_ROUNDTRIP_SQL = f"""
 
 
 def register_fixture(q: dict, o: dict) -> None:
+    """Folded per the 50-entry gate budget (registry.GATE_BUDGET): the
+    two boundary off-by-one shapes union into one entry with a ``combo``
+    discriminator; the plain count/sum/point shapes — duplicates of
+    already-gated reference-surface shapes on a different generator —
+    are covered by ``tests/test_registry.py``'s hypothesis sweep instead
+    of gate slots."""
     rows = '"timestamp", tag, value'
 
-    # --- range-boundary off-by-ones on dense keys ---
-    qm = QueryModel(gt=EDGE_LO, le=EDGE_LO + 10)
-    q["fx_edge_gt_le"] = _fx_query(qm)
-    o["fx_edge_gt_le"] = _fx_oracle(
-        rows, f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" <= {EDGE_LO + 10}'
-    )
-    qm = QueryModel(ge=EDGE_LO, lt=EDGE_LO + 10)
-    q["fx_edge_ge_lt"] = _fx_query(qm)
-    o["fx_edge_ge_lt"] = _fx_oracle(
-        rows, f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_LO + 10}'
+    # --- range-boundary off-by-ones on dense keys: gt/le vs ge/lt, plus
+    # a tsEq point probe, one union entry ---
+    edge_qms = {
+        "gt_le": QueryModel(gt=EDGE_LO, le=EDGE_LO + 10),
+        "ge_lt": QueryModel(ge=EDGE_LO, lt=EDGE_LO + 10),
+        "ts_eq": QueryModel(ts_eq=BASE_TS + 12_345),
+    }
+
+    def fx_edge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, qm in edge_qms.items():
+            branch = compile_query(timeseries_fixture(spark), qm).withColumn(
+                "combo", F.lit(name)
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    q["fx_edge_bounds"] = fx_edge_bounds
+    o["fx_edge_bounds"] = (
+        f"WITH t AS ({timeseries_fixture_sql()}) "
+        f"SELECT {rows}, 'gt_le' AS combo FROM t "
+        f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" <= {EDGE_LO + 10} '
+        "UNION ALL "
+        f"SELECT {rows}, 'ge_lt' AS combo FROM t "
+        f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_LO + 10} '
+        "UNION ALL "
+        f"SELECT {rows}, 'ts_eq' AS combo FROM t "
+        f'WHERE "timestamp" = {BASE_TS + 12_345}'
     )
 
     # --- skewed group-by-tag (Munich = half the table) ---
     q["fx_avg_by_tag"] = _fx_query(QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG))
     o["fx_avg_by_tag"] = _fx_oracle(
         "tag AS grp, round(avg(value), 4) AS result", "", "GROUP BY tag"
-    )
-    q["fx_count_by_tag"] = _fx_query(
-        QueryModel(agg_func=Agg.COUNT, group_by=GroupBy.TAG)
-    )
-    o["fx_count_by_tag"] = _fx_oracle(
-        "tag AS grp, CAST(count(*) AS DOUBLE) AS result", "", "GROUP BY tag"
     )
 
     # --- dense group-by-timestamp + desc top-k ---
@@ -139,18 +157,6 @@ def register_fixture(q: dict, o: dict) -> None:
         f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_HI}',
         'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 100',
     )
-
-    # --- scalar agg under a range ---
-    qm = QueryModel(agg_func=Agg.SUM, gt=EDGE_LO, lt=EDGE_HI)
-    q["fx_sum_range"] = _fx_query(qm)
-    o["fx_sum_range"] = _fx_oracle(
-        "round(sum(value), 4) AS result",
-        f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" < {EDGE_HI}',
-    )
-
-    # --- tsEq point lookup on a dense key ---
-    q["fx_ts_point"] = _fx_query(QueryModel(ts_eq=BASE_TS + 12_345))
-    o["fx_ts_point"] = _fx_oracle(rows, f'WHERE "timestamp" = {BASE_TS + 12_345}')
 
     # --- keyed DML roundtrip (W1+W2+W3 under the oracle gate) ---
     q["dml_roundtrip"] = dml_roundtrip

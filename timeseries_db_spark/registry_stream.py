@@ -1,0 +1,232 @@
+"""Structured-Streaming gate entries: the stateful operators run as real
+micro-batch streaming queries inside a ``(spark, sf_dir) -> DataFrame``
+callable, and their emitted output is compared against the SAME DuckDB
+oracles as their batch twins — replacing pytest-only evidence with driver
+CORRECTNESS rows.
+
+Determinism design (what makes a streaming run oracle-comparable):
+
+* ``stream_running_totals`` — the whole fixture arrives as ONE file →
+  one micro-batch; the fold sorts the full batch by event time, so the
+  cumulative equals the batch window twin exactly
+  (``streaming/stateful.py`` ordering contract). Multi-batch and
+  multi-Arrow-chunk arrival stay covered by ``tests/test_stateful.py``.
+* ``stream_sessions`` — watermark-final semantics: the data batch b0 is
+  followed by two sentinel batches per tag, far enough ahead that the
+  watermark after b1 passes every b0 session's ``end + gap``. During b2
+  every b0 session is watermark-final and emits; the sentinel sessions
+  themselves stay open (b2 lands within ``gap`` of b1, and no later
+  batch finalizes them), so the emitted set is EXACTLY the batch
+  sessionization of b0 — the closed-form oracle below.
+
+Fixture values are small integers, so double accumulation is exact and
+engine-independent.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.analytics import running_totals_sql
+from timeseries_db_spark.sources.fixture import (
+    timeseries_fixture,
+    timeseries_fixture_sql,
+)
+from timeseries_db_spark.streaming.stateful import (
+    running_totals_stream,
+    sessionize_stream,
+)
+
+_SINK_IDS = itertools.count()
+
+RT_N = 20_000
+
+SESS_BASE = 1_704_067_200_000  # 2024-01-01 UTC
+SESS_N = 2_000
+SESS_MINUTE = 60_000
+SESS_GAP_MS = 5 * SESS_MINUTE
+#: every 10th per-tag event jumps by more than the gap → 10-event sessions
+SESS_SKIP_MS = 31 * SESS_MINUTE
+SESS_TAGS = ("Munich", "Skopje", "London", "Athens")
+
+
+def _scratch(kind: str) -> str:
+    path = os.path.join(tempfile.gettempdir(), f"tsdb_{kind}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
+def _run_to_memory(plan: DataFrame, ckpt: str) -> DataFrame:
+    name = f"stream_gate_{os.getpid()}_{next(_SINK_IDS)}"
+    q = (
+        plan.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return plan.sparkSession.table(name)
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag cumulative count/sum via ``applyInPandasWithState`` over a
+    real file-source micro-batch run; oracle = the batch window-function
+    SQL (``operators/analytics.py``)."""
+    base = _scratch("stream_rt")
+    in_dir = os.path.join(base, "in")
+    # one sorted file → one micro-batch → arrival order == event order
+    timeseries_fixture(spark, RT_N).repartition(1).sortWithinPartitions(
+        "timestamp"
+    ).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "timestamp long, tag string, value double"
+    ).parquet(in_dir)
+    return _run_to_memory(
+        running_totals_stream(stream), os.path.join(base, "ckpt")
+    )
+
+
+def stream_running_totals_sql() -> str:
+    return running_totals_sql(timeseries_fixture_sql(RT_N))
+
+
+def _sess_case(expr: str) -> str:
+    return (
+        f"CASE WHEN {expr} % 4 = 0 THEN 'Munich' "
+        f"WHEN {expr} % 4 = 1 THEN 'Skopje' "
+        f"WHEN {expr} % 4 = 2 THEN 'London' "
+        f"ELSE 'Athens' END"
+    )
+
+
+def _sess_events(spark: SparkSession) -> DataFrame:
+    """Gappy per-tag events: tag = i%4, per-tag index j = i div 4,
+    ts = BASE + j*minute + (j div 10)*skip → sessions of 10 events."""
+    i = F.col("id")
+    j = (i - i % 4) / 4  # exact: i ≥ 0
+    j = j.cast("long")
+    ts = (
+        F.lit(SESS_BASE)
+        + j * SESS_MINUTE
+        + ((j - j % 10) / 10).cast("long") * SESS_SKIP_MS
+    )
+    return spark.range(SESS_N).select(
+        ts.alias("timestamp"),
+        F.expr(_sess_case("id")).alias("tag"),
+        (1 + i % 7).cast("double").alias("value"),
+    )
+
+
+def _sess_events_sql() -> str:
+    return f"""
+        SELECT {SESS_BASE} + (i // 4) * {SESS_MINUTE}
+                 + ((i // 4) // 10) * {SESS_SKIP_MS} AS "timestamp",
+               {_sess_case("i")} AS tag,
+               CAST(1 + i % 7 AS DOUBLE) AS value
+        FROM range({SESS_N}) r(i)
+    """
+
+
+def _write_sess_file(path: str, pdf: pd.DataFrame) -> None:
+    pdf = pdf.copy()
+    # microsecond precision: pandas' default ns would write
+    # TIMESTAMP(NANOS), which Spark won't read as TimestampType
+    pdf["event_time"] = pd.to_datetime(pdf["timestamp"], unit="ms").astype(
+        "datetime64[us]"
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), path)
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-finalized gap sessionization as a 3-micro-batch
+    streaming run (data, watermark-advancing sentinels, flush sentinels);
+    emits exactly the batch sessions of the data batch (see module
+    docstring for why the sentinel sessions never emit)."""
+    base = _scratch("stream_sess")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    pdf = (
+        _sess_events(spark)
+        .toPandas()
+        .sort_values(["timestamp", "tag"])
+        .reset_index(drop=True)
+    )
+    max_b0 = int(pdf["timestamp"].max())
+    s1 = max_b0 + 10 * SESS_GAP_MS  # new session per tag, far future
+    s2 = s1 + 1_000  # merges into the s1 session → stays open
+    _write_sess_file(os.path.join(in_dir, "b0.parquet"), pdf)
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    _write_sess_file(
+        os.path.join(in_dir, "b1.parquet"),
+        pd.DataFrame(
+            {"timestamp": [s1] * 4, "tag": list(SESS_TAGS), "value": [1.0] * 4}
+        ),
+    )
+    time.sleep(1.1)
+    _write_sess_file(
+        os.path.join(in_dir, "b2.parquet"),
+        pd.DataFrame(
+            {"timestamp": [s2] * 4, "tag": list(SESS_TAGS), "value": [1.0] * 4}
+        ),
+    )
+    stream = (
+        spark.readStream.schema(
+            "timestamp long, tag string, value double, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("event_time", "1 minute")
+    )
+    return _run_to_memory(
+        sessionize_stream(stream, gap_ms=SESS_GAP_MS), os.path.join(base, "ckpt")
+    )
+
+
+def stream_sessions_sql() -> str:
+    """Batch gap-sessionization of the b0 data, closed form."""
+    return f"""
+        WITH ev AS ({_sess_events_sql()}),
+        gaps AS (
+            SELECT tag, "timestamp", value,
+                   CASE WHEN lag("timestamp") OVER w IS NULL
+                             OR "timestamp" - lag("timestamp") OVER w > {SESS_GAP_MS}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY tag ORDER BY "timestamp")
+        ),
+        sids AS (
+            SELECT tag, "timestamp", value,
+                   sum(new_session) OVER (
+                       PARTITION BY tag ORDER BY "timestamp"
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM gaps
+        )
+        SELECT tag, min("timestamp") AS session_start,
+               max("timestamp") AS session_end,
+               count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM sids GROUP BY tag, sid
+    """
+
+
+def register_streaming(q: dict, o: dict) -> None:
+    q["stream_running_totals"] = stream_running_totals
+    o["stream_running_totals"] = stream_running_totals_sql()
+    q["stream_sessions"] = stream_sessions
+    o["stream_sessions"] = stream_sessions_sql()
