@@ -223,3 +223,25 @@ def test_partitioning_is_timezone_independent(spark, tmp_path):
         assert e.table.read(lo_ms=noon, hi_ms=noon).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_auto_compaction_bounds_commit_count(spark, tmp_path):
+    """50 write batches: the snapshot plan's union-branch count (live
+    commit dirs) must stay bounded by the auto-compaction threshold, and
+    no data may be lost across compaction cycles."""
+    t = TsTable.create(spark, str(tmp_path / "auto"), auto_compact_commits=6)
+    for i in range(50):
+        t.insert(mk(spark, [(T0 + i, "a", float(i))]))
+        assert t.live_commit_count() <= 6
+    assert t.read().count() == 50
+    assert rows_of(t) == {(T0 + i, "a", float(i)) for i in range(50)}
+    # a version published right before the last compaction is still
+    # time-travel readable (compaction adds manifests, never mutates)
+    assert t.read(version=t.version() - 1).count() in range(45, 51)
+
+
+def test_auto_compaction_disabled(spark, tmp_path):
+    t = TsTable.create(spark, str(tmp_path / "noauto"), auto_compact_commits=0)
+    for i in range(8):
+        t.insert(mk(spark, [(T0 + i, "a", float(i))]))
+    assert t.live_commit_count() == 8

@@ -61,6 +61,15 @@ from timeseries_db_spark.schema import TS_SCHEMA
 KEY = ["timestamp", "tag"]
 MAX_ERRORS = 10  # reference: `take 10 errors`, Handlers.hs:55,65,89
 
+#: Auto-compaction threshold: the snapshot plan unions one parquet read
+#: per live commit dir, so an uncompacted table's read plan (and its
+#: file listings) grow linearly with write count. Once more than this
+#: many commit dirs are referenced by the current manifest, the write
+#: that crossed the line folds them back to one — amortized O(1) commits
+#: per read forever, same plan-size reasoning as Delta/Iceberg
+#: auto-OPTIMIZE.
+AUTO_COMPACT_COMMITS = 16
+
 
 class DmlError(Exception):
     """Batch rejected; ``.errors`` lists ≤10 per-entry messages."""
@@ -83,9 +92,18 @@ class TsTable:
     as date-partitioned parquet commits under ``path`` with a versioned
     manifest (see module docstring for the commit protocol)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        auto_compact_commits: int = AUTO_COMPACT_COMMITS,
+    ):
         self.spark = spark
         self.path = path
+        #: commit-count ceiling before a write triggers compact();
+        #: None/0 disables auto-compaction
+        self.auto_compact_commits = auto_compact_commits
 
     # ---------- commit protocol ----------
 
@@ -121,10 +139,17 @@ class TsTable:
         os.replace(tmp, self._version_file)
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "TsTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame | None = None,
+        *,
+        auto_compact_commits: int = AUTO_COMPACT_COMMITS,
+    ) -> "TsTable":
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "commits"), exist_ok=True)
-        table = cls(spark, path)
+        table = cls(spark, path, auto_compact_commits=auto_compact_commits)
         with open(table._manifest_path(0), "w") as f:
             json.dump({"version": 0, "partitions": {}}, f)
         with open(table._version_file, "w") as f:
@@ -280,9 +305,10 @@ class TsTable:
             .limit(MAX_ERRORS)
             .collect()
         )
+        from timeseries_db_spark import wire
+
         errors += [
-            f"Key already exists: timestamp={r['timestamp']}, tag={r['tag']}."
-            for r in conflicts
+            wire.key_exists(r["timestamp"], r["tag"]) for r in conflicts
         ]
         if errors:
             raise DmlError(errors)
@@ -292,6 +318,7 @@ class TsTable:
             merged.setdefault(dt, [])
             merged[dt] = merged[dt] + dirs
         self._publish(merged)
+        self._maybe_auto_compact()
 
     def _check_all_exist(self, keys: DataFrame, current: DataFrame, op: str) -> None:
         # anti join builds on the right side; the touched-partition key set
@@ -303,9 +330,11 @@ class TsTable:
             .collect()
         )
         if missing:
+            from timeseries_db_spark import wire
+
             raise DmlError(
                 [
-                    f"Cannot {op}: no entry for timestamp={r['timestamp']}, tag={r['tag']}."
+                    wire.key_not_found(r["timestamp"], r["tag"], op)
                     for r in missing
                 ]
             )
@@ -319,6 +348,7 @@ class TsTable:
         for dt, dirs in new_parts.items():
             merged[dt] = dirs
         self._publish(merged)
+        self._maybe_auto_compact()
 
     def update(self, batch: DataFrame) -> None:
         """Value-only in-place update by key (``vUpdateTS`` semantics,
@@ -367,6 +397,23 @@ class TsTable:
         self._publish({})
 
     # ---------- maintenance ----------
+
+    def live_commit_count(self) -> int:
+        """Distinct commit dirs referenced by the current manifest — the
+        number of union branches in an unpruned snapshot plan."""
+        return len(
+            {
+                rel.split("/", 1)[0]
+                for dirs in self._manifest()["partitions"].values()
+                for rel in dirs
+            }
+        )
+
+    def _maybe_auto_compact(self) -> None:
+        if not self.auto_compact_commits:
+            return
+        if self.live_commit_count() > self.auto_compact_commits:
+            self.compact()
 
     def compact(self) -> None:
         """Fold all commits into one (one file set per partition)."""

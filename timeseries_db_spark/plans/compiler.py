@@ -203,17 +203,19 @@ def run_query(
         def exists(pred) -> bool:
             return probe_df.filter(pred).limit(1).count() > 0
 
+        from timeseries_db_spark import wire
+
         tag_c, ts_c = F.col("tag"), F.col("timestamp")
         if qm.tag_eq is not None:
             if not exists(tag_c == F.lit(qm.tag_eq)):
-                raise QueryError(f"No data for tag {qm.tag_eq}.")
+                raise QueryError(wire.no_data_tag(qm.tag_eq))
             if qm.ts_eq is not None and not exists(
                 (tag_c == F.lit(qm.tag_eq)) & (ts_c == F.lit(qm.ts_eq))
             ):
-                raise QueryError(f"No data for timestamp {qm.ts_eq}.")
+                raise QueryError(wire.no_data_ts(qm.ts_eq))
         elif qm.ts_eq is not None and qm.group_by is not GroupBy.TAG:
             if not exists(ts_c == F.lit(qm.ts_eq)):
-                raise QueryError(f"No data for timestamp {qm.ts_eq}.")
+                raise QueryError(wire.no_data_ts(qm.ts_eq))
         # avg over an empty (range-filtered) selection → the monoid fold
         # has no identity → "Average failed." (Utils.hs:66-69). Grouped
         # avg never errors: empty groups simply don't materialize
@@ -221,5 +223,5 @@ def run_query(
         if qm.agg_func is Agg.AVG and qm.group_by is None:
             pred = filter_expr(qm)
             if (df.filter(pred) if pred is not None else df).limit(1).count() == 0:
-                raise QueryError("Average failed.")
+                raise QueryError(wire.avg_failed())
     return out

@@ -105,19 +105,22 @@ class QueryModel:
         self.validate()
 
     def validate(self) -> None:
-        """``illegalQM`` semantics — reference ``Model.hs:126-134``."""
+        """``illegalQM`` semantics — reference ``Model.hs:126-134``.
+        Message texts come from :mod:`timeseries_db_spark.wire` (modern
+        by default; byte-exact reference strings under
+        ``wire.set_reference_wire(True)``)."""
+        from timeseries_db_spark import wire
+
         if self.group_by is not None and self.agg_func is None:
-            raise IllegalQueryError("Illegal query: 'groupBy' requires 'aggFunc'.")
+            raise IllegalQueryError(wire.illegal_group_by())
         if self.gt is not None and self.ge is not None:
-            raise IllegalQueryError("Illegal query: 'gt' and 'ge' are mutually exclusive.")
+            raise IllegalQueryError(wire.illegal_gt_ge())
         if self.lt is not None and self.le is not None:
-            raise IllegalQueryError("Illegal query: 'lt' and 'le' are mutually exclusive.")
+            raise IllegalQueryError(wire.illegal_lt_le())
         if self.ts_eq is not None and any(
             b is not None for b in (self.gt, self.ge, self.lt, self.le)
         ):
-            raise IllegalQueryError(
-                "Illegal query: 'tsEq' excludes other timestamp bounds."
-            )
+            raise IllegalQueryError(wire.illegal_ts_eq())
 
     def bounds_ms(self) -> tuple[int | None, int | None]:
         """Inclusive ``(lo, hi)`` epoch-millis bounds implied by the
