@@ -105,9 +105,7 @@ def test_near_dup_block_count_equivalence(spark, emb):
     results = [
         {
             (r["id_a"], r["id_b"], r["cos"])
-            for r in similarity.near_dup_pairs(
-                spark, small, 0.3, n_blocks=nb
-            ).collect()
+            for r in similarity.near_dup_pairs(small, 0.3, n_blocks=nb).collect()
         }
         for nb in (1, 4, 13)
     ]

@@ -8,7 +8,14 @@ from pyspark.sql import functions as F
 
 from timeseries_db_spark.functions.numeric import duck_round, duck_div
 
-CASES = [-7_200_001, -3_600_001, -3_600_000, -1, 0, 1, 3_599_999, 3_600_000, 7_200_001]
+CASES = [
+    -7_200_001, -3_600_001, -3_600_000, -1, 0, 1, 3_599_999, 3_600_000,
+    7_200_001,
+    # beyond 2^53: a double-division implementation truncates one low here
+    2_518_762_692_304_800_000,
+    -2_518_762_692_304_800_000,
+    (1 << 62) + 12_345,
+]
 DIV = 3_600_000
 
 

@@ -50,10 +50,9 @@ def duck_div(col: Column, divisor: int) -> Column:
     DuckDB — its integer ``//`` is NOT floor division), in exact integer
     arithmetic.
 
-    Spark's ``%`` on longs is the Java remainder (sign of the dividend,
-    ``|r| < divisor``), so ``col - col % d`` is the exact truncated
-    multiple and the final divide is precise — unlike
-    ``cast(col / d as long)``, whose double division loses ulps for
-    |col| ≥ 2^53."""
-    exact = col - (col % F.lit(divisor))
-    return (exact / F.lit(divisor)).cast("long")
+    Delegates to Spark's native integral ``div`` (JVM long division —
+    exact at any magnitude, trunc-toward-zero like DuckDB), unlike
+    ``cast(col / d as long)`` or a subtract-remainder-then-``/`` form,
+    whose double division loses ulps for |col| ≥ 2^53 (verified:
+    2518762692304800000 // 3600000 comes out one low through a double)."""
+    return F.call_function("div", col, F.lit(divisor))

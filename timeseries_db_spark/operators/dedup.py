@@ -29,6 +29,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,25 +57,32 @@ SHINGLE_W = 3
 #: invocations (gate sweep + bench + API reuse in one session); the
 #: returned plans are lazy so the operator itself never sees a safe
 #: unpersist point. Releasing the PREVIOUS invocation's cache on entry
-#: bounds the leak at one generation per family — an already-returned
-#: older plan stays correct (unpersist only removes the cache; the plan
-#: recomputes).
+#: bounds the leak at one generation per family. Trade-off, explicit:
+#: a plan returned by an EARLIER invocation of the same family stays
+#: CORRECT after its cache is released (unpersist only drops blocks;
+#: the plan recomputes), but loses the cached-self-join speedup — if
+#: you interleave two long-lived plans of one family, materialize the
+#: first before building the second. The lock covers concurrent driver
+#: threads racing the pop/persist pair.
 _live_caches: dict[str, DataFrame] = {}
+_cache_lock = threading.Lock()
 
 
 def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
-    prev = _live_caches.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
-    _live_caches[key] = df.persist()
-    return _live_caches[key]
+    with _cache_lock:
+        prev = _live_caches.pop(key, None)
+        if prev is not None:
+            prev.unpersist()
+        _live_caches[key] = df.persist()
+        return _live_caches[key]
 
 
 def release_caches() -> None:
     """Explicitly drop all cached signature tables (e.g. at session end)."""
-    for df in _live_caches.values():
-        df.unpersist()
-    _live_caches.clear()
+    with _cache_lock:
+        for df in _live_caches.values():
+            df.unpersist()
+        _live_caches.clear()
 
 #: Shingle expression over a pre-bound ``toks`` column. Binding the
 #: tokenization ONCE in a prior projection matters enormously: textually

@@ -226,7 +226,6 @@ def _block_pairs_fn(threshold: float):
 
 
 def near_dup_pairs(
-    spark: SparkSession,
     emb: DataFrame,
     threshold: float,
     *,

@@ -213,7 +213,7 @@ def run_query(
                 (tag_c == F.lit(qm.tag_eq)) & (ts_c == F.lit(qm.ts_eq))
             ):
                 raise QueryError(wire.no_data_ts(qm.ts_eq))
-        elif qm.ts_eq is not None and qm.group_by is not GroupBy.TAG:
+        elif needs_presence_probe(qm):  # tag_eq is None here → the ts path
             if not exists(ts_c == F.lit(qm.ts_eq)):
                 raise QueryError(wire.no_data_ts(qm.ts_eq))
         # avg over an empty (range-filtered) selection → the monoid fold

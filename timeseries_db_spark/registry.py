@@ -342,12 +342,15 @@ def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     register_streaming(queries, oracles)
 
+    # RuntimeError, not assert: these invariants must hold under -O too
     missing = [n for n in _PRIORITY if n not in queries]
-    assert not missing, f"priority entries not registered: {missing}"
-    assert len(queries) <= GATE_BUDGET, (
-        f"registry has {len(queries)} entries — fold or drop shapes to fit "
-        f"the {GATE_BUDGET}-entry driver gate budget"
-    )
+    if missing:
+        raise RuntimeError(f"priority entries not registered: {missing}")
+    if len(queries) > GATE_BUDGET:
+        raise RuntimeError(
+            f"registry has {len(queries)} entries — fold or drop shapes to "
+            f"fit the {GATE_BUDGET}-entry driver gate budget"
+        )
     ordered = {n: queries[n] for n in _PRIORITY}
     ordered.update((n, f) for n, f in queries.items() if n not in ordered)
     ordered_oracles = {n: oracles[n] for n in ordered if n in oracles}

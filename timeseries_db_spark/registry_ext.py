@@ -219,7 +219,7 @@ def register_extensions(q: dict, o: dict) -> None:
     o["sim_cosine_topk"] = similarity.cosine_topk_sql(TOPK_QUERY_PRED, TOPK_K)
 
     q["sim_embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(
-        s, _emb(s, d), NEAR_DUP_COS
+        _emb(s, d), NEAR_DUP_COS
     )
     o["sim_embedding_near_dup"] = similarity.near_dup_pairs_sql(NEAR_DUP_COS)
 
