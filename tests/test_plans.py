@@ -16,6 +16,13 @@ def _formatted_plan(spark, df) -> str:
     )
 
 
+def _nodes(plan: str, name: str) -> list[str]:
+    """Physical nodes from the formatted details section ('(N) Name')."""
+    import re
+
+    return re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.MULTILINE)
+
+
 def test_range_bounds_reach_the_scan(spark, sf_dir):
     qm = QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, gt=1704500000000, le=1706000000000)
     plan = _formatted_plan(spark, compile_query(events_as_tsdb(spark, sf_dir, qm), qm))
@@ -56,3 +63,61 @@ def test_tag_filter_pushes_to_scan(spark, sf_dir):
     plan = _formatted_plan(spark, compile_query(events_as_tsdb(spark, sf_dir, qm), qm))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "EqualTo(event_type,click)" in pushed[0], plan
+
+
+def test_sharded_cosine_topk_plan(spark, sf_dir):
+    """The exact top-k plan: corpus streams through MapInPandas (no
+    driver-side corpus), a single exchange keys the window merge by qid,
+    and the corpus scan is pruned to (vec_id, embedding)."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators.similarity import cosine_topk
+    from timeseries_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_topk(spark, emb.filter(F.expr("vec_id % 100 = 0")), emb, 5)
+    plan = _formatted_plan(spark, df)
+    assert "MapInPandas" in plan, plan
+    # exactly one shuffle: the qid window merge of per-shard winners
+    # (formatted mode prints each node in the tree AND the details list,
+    # so count physical nodes via the numbered details entries)
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+
+
+def test_near_dup_block_join_single_shuffle(spark, sf_dir):
+    """Block self-join: one exchange on the (lo, hi) block-pair key into
+    FlatMapGroupsInPandas — no cartesian, no broadcast of the corpus."""
+    from timeseries_db_spark.operators.similarity import near_dup_pairs
+    from timeseries_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _formatted_plan(spark, near_dup_pairs(emb, 0.4))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_union_branches_push_their_own_bounds(spark, sf_dir):
+    """Each branch of the folded 9-combo range entry must push ITS
+    bounds to its scan (the fold must not defeat per-branch pushdown)."""
+    from timeseries_db_spark.registry import build_registry
+
+    q, _ = build_registry()
+    plan = _formatted_plan(spark, q["range_scan_9combos"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # 8 bounded branches each push their own ts bounds; the unbounded
+    # branch scans with no filter section at all
+    assert len(pushed) == 8, plan
+    assert all("ts," in l for l in pushed), pushed
+
+
+def test_running_totals_scalable_broadcasts_offsets(spark):
+    """The two-pass running total must broadcast the tiny offsets table
+    back onto the data (no shuffle of the fact side for the join)."""
+    from timeseries_db_spark.operators.analytics import running_totals_scalable
+    from timeseries_db_spark.sources.fixture import timeseries_fixture
+
+    plan = _formatted_plan(
+        spark, running_totals_scalable(timeseries_fixture(spark, 10_000))
+    )
+    assert "BroadcastHashJoin" in plan, plan
