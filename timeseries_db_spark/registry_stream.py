@@ -67,20 +67,34 @@ def _scratch(kind: str) -> str:
     return path
 
 
+#: State-store parallelism for the bounded gate runs. A streaming query
+#: fixes its state partition count from `spark.sql.shuffle.partitions`
+#: at first start — under the driver's vanilla session that default is
+#: 200, i.e. 200 state-store tasks per micro-batch for a 4-tag fixture
+#: (measured 58 s for the 3-batch session run; ~6× faster pinned at 8).
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _run_to_memory(plan: DataFrame, ckpt: str) -> DataFrame:
+    spark = plan.sparkSession
     name = f"stream_gate_{os.getpid()}_{next(_SINK_IDS)}"
-    q = (
-        plan.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     try:
-        q.processAllAvailable()
+        q = (
+            plan.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return plan.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
