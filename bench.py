@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan build + execution + collect of the
 small result). A warmup query first pays JVM/codegen startup so the
 numbers measure the engine, not JIT.
+
+Round-over-round comparability: r2 folded parameter families into union
+entries (one entry = N r1 queries' work — e.g. range_scan_9combos runs
+all 9 range scans AND collects ~9× the rows r1's single range_ge_lt
+did) and added gapfill/simhash/IVF coverage, so r2's total covers ~2.5×
+the work of r1's 13-query total. Compare per-query where names persist
+(agg_by_ts≈agg_sum_by_ts+count, asof_hourly_enrich, join_*,
+running_totals_by_tag, dedup_minhash_lsh, text_quality_score,
+sim_cosine_topk), not totals.
 """
 
 from __future__ import annotations
