@@ -168,3 +168,62 @@ def test_ivf_hits_scored_exactly_and_recall(spark, emb):
 
     per_q = Counter(q for q, _ in approx)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_duplicate_clusters_match_union_find(spark, docs):
+    """Min-label propagation must equal a driver-side union-find over the
+    same pairs (oracle), incl. transitive chains synthesized by cloning
+    one doc twice (A~B, B~C but A,C found via chain)."""
+    clones1 = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    clones2 = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    corpus = docs.unionByName(clones1).unionByName(clones2)
+    pairs = dedup.ngram_jaccard_pairs(corpus, 0.8)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+
+    # oracle: union-find on the collected pair list
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        want[a] = find(a)
+        want[b] = find(b)
+    # canonicalize union-find roots to component minima
+    comp_min: dict = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+    assert got == want and len(got) > 0
+    # the clone triples form transitive chains through their original
+    originals = {c for c in got.values() if c < 1_000_000}
+    assert originals, got
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
+    clones = docs.limit(4).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(clones)
+    pairs = dedup.ngram_jaccard_pairs(corpus, 0.8)
+    kept = dedup.dedup_corpus(corpus, pairs)
+    # every cluster keeps exactly its canonical member
+    clusters = dedup.duplicate_clusters(pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in clusters.collect():
+        assert (r["doc_id"] in kept_ids) == (r["doc_id"] == r["cluster_id"])
+    # documents in no pair survive
+    paired = {r["doc_id"] for r in clusters.collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert (all_ids - paired) <= kept_ids

@@ -445,6 +445,69 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in
+    ``pairs`` labeled with its cluster's canonical id (the component's
+    minimum doc_id) — the step that turns any pair-producing detector
+    (exact, Jaccard, MinHash-LSH, SimHash, embedding) into an actual
+    corpus dedup decision.
+
+    Spark-first min-label propagation: each iteration is one join
+    (push every node's current label to its neighbors) and one
+    aggregation (keep the minimum seen), i.e. two keyed shuffles over
+    the EDGE list only — never the corpus. Converges in O(component
+    diameter) iterations; near-dup clusters are near-cliques, so 2-3
+    in practice. ``localCheckpoint`` truncates the iterative lineage so
+    the plan doesn't grow with iterations (the classic iterative-join
+    trap). Returns (doc_id, cluster_id).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        pushed = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The end-to-end dedup decision: drop every clustered document
+    except its cluster's canonical (minimum doc_id) — documents in no
+    pair survive untouched. One broadcast-friendly anti-join of the
+    (tiny) non-canonical id set against the corpus."""
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, on="doc_id", how="left_anti")
+
+
 def simhash_pairs_sql(max_hamming: int) -> str:
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {i} AS band, "
