@@ -41,3 +41,52 @@ def test_bad_enum_is_illegal_query():
         QueryModel.from_json({"aggFunc": "median"})
     with pytest.raises(IllegalQueryError):
         QueryModel.from_json({"sort": "sideways"})
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key at write time → the orderkey
+    join plans as a sort-merge over co-located buckets with ZERO
+    exchanges and zero sorts (the shuffle is paid once at ingest)."""
+    import re
+
+    from timeseries_db_spark.sources.bucketed import bucketed_pair
+    from timeseries_db_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lt, ot = bucketed_pair(
+            spark, li, orders,
+            left_name="t_li_bkt", right_name="t_ord_bkt",
+            left_key="l_orderkey", right_key="o_orderkey",
+            base_path=str(tmp_path), n_buckets=4,
+        )
+        joined = (
+            lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan, plan
+        # both scans carry the catalog bucket layout
+        assert plan.count("Bucketed: true") == 2, plan
+        # the ONLY exchange is the final tiny group-by (hash on the
+        # 5-value priority), i.e. zero exchanges feed the join itself
+        exchanges = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE)
+        assert len(exchanges) == 1, plan
+        assert "hashpartitioning(o_orderpriority" in plan, plan
+        # and the join really returns the data
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
