@@ -39,3 +39,11 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert [f.name for f in df.schema.fields] == ["grp", "result"]
+
+
+def test_priority_block_registers_first_within_budget():
+    from timeseries_db_spark.registry import _PRIORITY, GATE_BUDGET
+
+    names = list(QUERIES)
+    assert names[: len(_PRIORITY)] == _PRIORITY
+    assert len(names) <= GATE_BUDGET

@@ -17,7 +17,8 @@ JSON (``Model.hs:104-116``), and :meth:`query_json` returns the untagged
 pairs, or a ``{result}`` scalar. Errors raise :class:`QueryError` /
 :class:`DmlError` where the reference returns HTTP 400 — same error
 conditions and ≤10-entry truncation (``Handlers.hs:55``); message texts
-are modernized, not byte-identical.
+are modernized by default, and ``wire.set_reference_wire(True)``
+switches them to the reference's byte-exact strings (typo included).
 
 Spark-first internals: storage is the date-partitioned parquet
 :class:`~timeseries_db_spark.operators.dml.TsTable` (manifest-versioned
