@@ -125,10 +125,86 @@ def test_ivf_centroids_bounded(spark, emb):
     assert a == b
 
 
-def test_multimodal_real_decode_is_explicitly_stubbed(spark, docs):
-    assets = multimodal.documents_as_assets(docs)
-    with pytest.raises(NotImplementedError, match="image library"):
-        multimodal.decode_image_features(assets, fake=False)
+def test_multimodal_real_header_decoders():
+    """Real container parsing, no media libs: synthesized PNG/GIF/BMP/
+    JPEG/WAV bytes; unknown containers raise (that decompression is the
+    stubbed library-bound stage)."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert multimodal.image_meta(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert multimodal.image_meta(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    assert multimodal.image_meta(bmp) == ("bmp", 800, 600)  # top-down abs
+
+    jpeg = (
+        b"\xff\xd8"                                  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17)        # SOF0
+        + b"\x08" + struct.pack(">HH", 1080, 1920)   # precision, H, W
+        + b"\x03" + b"\x00" * 9
+    )
+    assert multimodal.image_meta(jpeg) == ("jpeg", 1920, 1080)
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.image_meta(b"plain text, not an image")
+
+    sr, ch, bits, nsamp = 16_000, 2, 16, 16_000  # 1 s of stereo 16-bit
+    data = b"\x00" * (nsamp * ch * bits // 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * bits // 8,
+                                 ch * bits // 8, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert multimodal.wav_meta(wav) == (ch, sr, bits, 1000)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.wav_meta(b"not audio")
+
+
+def test_multimodal_real_decode_distributed(spark):
+    """The fake=False path runs the real header parser inside the Arrow
+    stage; WAV features come back typed and exact."""
+    import struct
+
+    def png_bytes(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+
+    def wav_bytes(ms):
+        sr, ch, bits = 8_000, 1, 8
+        data = b"\x00" * (sr * ch * (bits // 8) * ms // 1000)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                     sr * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rows = [
+        (1, "image", png_bytes(64, 32), None),
+        (2, "audio", wav_bytes(2500), None),
+        (3, "image", png_bytes(100, 200), None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in multimodal.decode_image_features(assets, fake=False).collect()
+    }
+    assert feats == {1: (64, 32), 3: (100, 200)}
+    audio = multimodal.decode_audio_features(assets).collect()
+    assert [(r["asset_id"], r["sample_rate"], r["duration_ms"]) for r in audio] == [
+        (2, 8000, 2500)
+    ]
 
 
 def test_multimodal_batch_shapes(spark, docs):
