@@ -1,0 +1,43 @@
+"""Derivative analytics (point deltas, bucketed rate) vs DuckDB oracles
+on the events tsdb view."""
+
+from __future__ import annotations
+
+from timeseries_db_spark.operators.analytics import (
+    point_deltas,
+    point_deltas_sql,
+    rate_per_bucket,
+    rate_per_bucket_sql,
+)
+from timeseries_db_spark.sources.tables import events_as_tsdb
+
+from tests.oracle import check_against_duckdb
+
+EVENTS_TSDB = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_type AS tag, value FROM events'
+)
+
+
+def test_point_deltas_match_oracle(spark, sf_dir):
+    df = point_deltas(events_as_tsdb(spark, sf_dir))
+    check_against_duckdb(df, point_deltas_sql(EVENTS_TSDB), sf_dir)
+
+
+def test_rate_per_bucket_matches_oracle(spark, sf_dir):
+    df = rate_per_bucket(events_as_tsdb(spark, sf_dir), bucket_ms=6 * 3_600_000)
+    check_against_duckdb(
+        df, rate_per_bucket_sql(EVENTS_TSDB, bucket_ms=6 * 3_600_000), sf_dir
+    )
+
+
+def test_single_point_bucket_rate_is_null(spark):
+    one = spark.createDataFrame(
+        [(1_000, "a", 5.0), (2_000, "a", 9.0)],
+        "timestamp long, tag string, value double",
+    )
+    # bucket of 1 ms puts each point alone → NULL rate
+    rows = rate_per_bucket(one, bucket_ms=1).collect()
+    assert all(r["rate_per_s"] is None for r in rows)
+    # both points in one wide bucket → (9-5)/1s
+    rows = rate_per_bucket(one, bucket_ms=10_000).collect()
+    assert [r["rate_per_s"] for r in rows] == [4.0]

@@ -100,6 +100,83 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
     )
 
 
+def point_deltas(tsdb: DataFrame) -> DataFrame:
+    """Per-tag consecutive differences — the discrete derivative every
+    monitoring stack asks for first: (timestamp, tag, value, dv, dt_ms),
+    NULL on each tag's first point. One keyed window (lag), no second
+    shuffle. Skew note: whole-tag-per-task, same as any per-key lag; for
+    the 100 TB few-tags case, bucket first and stitch bucket boundaries
+    with a per-(tag,bucket) first/last exchange (the running-totals
+    two-pass pattern applies verbatim)."""
+    w = Window.partitionBy("tag").orderBy("timestamp")
+    return tsdb.select(
+        "timestamp",
+        "tag",
+        "value",
+        duck_round(F.col("value") - F.lag("value").over(w), 4).alias("dv"),
+        (F.col("timestamp") - F.lag("timestamp").over(w)).alias("dt_ms"),
+    )
+
+
+def point_deltas_sql(table_sql: str) -> str:
+    return f"""
+        WITH t AS ({table_sql})
+        SELECT "timestamp", tag, value,
+               round(value - lag(value) OVER w, 4) AS dv,
+               "timestamp" - lag("timestamp") OVER w AS dt_ms
+        FROM t
+        WINDOW w AS (PARTITION BY tag ORDER BY "timestamp")
+    """
+
+
+def rate_per_bucket(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """Per-(tag, bucket) average rate of change — (last-first)/(t_last -
+    t_first) in value units per second, NULL for single-point buckets.
+    One hash aggregation with ``min_by``/``max_by`` monoids (map-side
+    partials combine, no window, no skew: a bucket never exceeds its
+    time span regardless of tag hotness)."""
+    bucketed = tsdb.withColumn(
+        "bucket_start", duck_div(F.col("timestamp"), bucket_ms) * bucket_ms
+    )
+    agg = bucketed.groupBy("tag", "bucket_start").agg(
+        # backticks: inside F.expr a double-quoted word is a STRING
+        # literal, which would order min_by by a constant
+        F.expr("min_by(value, `timestamp`)").alias("_first_v"),
+        F.expr("max_by(value, `timestamp`)").alias("_last_v"),
+        F.min("timestamp").alias("_first_t"),
+        F.max("timestamp").alias("_last_t"),
+    )
+    span_s = (F.col("_last_t") - F.col("_first_t")) / F.lit(1000.0)
+    return agg.select(
+        "tag",
+        "bucket_start",
+        duck_round(
+            F.when(
+                F.col("_last_t") > F.col("_first_t"),
+                (F.col("_last_v") - F.col("_first_v")) / span_s,
+            ),
+            4,
+        ).alias("rate_per_s"),
+    )
+
+
+def rate_per_bucket_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
+    return f"""
+        WITH t AS ({table_sql}),
+        g AS (
+            SELECT tag, ("timestamp" // {bucket_ms}) * {bucket_ms} AS bucket_start,
+                   min_by(value, "timestamp") AS fv,
+                   max_by(value, "timestamp") AS lv,
+                   min("timestamp") AS ft, max("timestamp") AS lt
+            FROM t GROUP BY 1, 2
+        )
+        SELECT tag, bucket_start,
+               round(CASE WHEN lt > ft THEN (lv - fv) / ((lt - ft) / 1000.0) END, 4)
+                   AS rate_per_s
+        FROM g
+    """
+
+
 def running_totals_sql(table_sql: str, where: str = "") -> str:
     """DuckDB oracle for both batch variants and the streaming operator."""
     return f"""
