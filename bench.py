@@ -39,7 +39,7 @@ HEADLINE = [
     "agg_scalar_all",          # full-scan scalar aggs (onlyAgg fast path ×5)
     "agg_by_tag_all",          # range filter + low-card group ×5
     "agg_by_ts",               # range filter + high-card group (shuffle-heavy ×2)
-    "collect_sort_desc_limit", # top-k (TakeOrderedAndProject)
+    "collect_sort_limit",      # top-k both directions (TakeOrderedAndProject)
     "range_scan_9combos",      # pushed-down range scans, raw rows ×9
     "li_by_tag",               # 10× bigger table, (filter +) group-by ×2
     # north-star pipeline operators
@@ -66,7 +66,7 @@ def main() -> None:
     queries, _ = registry.build_registry()
 
     # warmup: JVM + whole-stage codegen + parquet footer caches
-    queries["collect_sort_desc_limit"](spark, sf_dir).collect()
+    queries["collect_sort_limit"](spark, sf_dir).collect()
 
     missing = [n for n in HEADLINE if n not in queries]
     assert not missing, f"HEADLINE out of sync with the registry: {missing}"

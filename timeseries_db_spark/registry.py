@@ -144,35 +144,43 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         )
     )
 
-    # --- R3/R4/R5: point lookups; literals derived from the data so the
-    # same registered query works at every sf ---
-    def ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = events_as_tsdb(spark, sf_dir)
-        ts0 = t.agg(F.min("timestamp")).first()[0]
-        qm = QueryModel(ts_eq=int(ts0))
-        # rebuild the source WITH the qm so the point probe reaches the scan
-        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
-
-    q["ts_eq_hit"] = ts_eq_hit
-    o["ts_eq_hit"] = _oracle(
-        'WHERE "timestamp" = (SELECT min("timestamp") FROM t)', rows
-    )
-
-    q["tag_eq_hit"] = _tsdb_query(QueryModel(tag_eq="click"))
-    o["tag_eq_hit"] = _oracle("WHERE tag = 'click'", rows)
-
-    def tag_ts_eq_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- R3/R4/R5: the three point-lookup shapes (tsEq / tagEq /
+    # tag+tsEq composite), one union entry with a `kind` discriminator;
+    # literals derived from the data so the same registered query works
+    # at every sf. Each branch still builds its own QueryModel and
+    # rebuilds the source WITH the qm so the point probe reaches the
+    # scan as a PushedFilter. ---
+    def point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = events_as_tsdb(spark, sf_dir)
         row = t.orderBy("timestamp", "tag").first()
-        qm = QueryModel(ts_eq=int(row["timestamp"]), tag_eq=row["tag"])
-        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
+        ts0, tag0 = int(row["timestamp"]), row["tag"]
+        branch_qms = {
+            "ts_eq": QueryModel(ts_eq=ts0),
+            "tag_eq": QueryModel(tag_eq="click"),
+            "tag_ts_eq": QueryModel(ts_eq=ts0, tag_eq=tag0),
+        }
+        out = None
+        for kind, qm in branch_qms.items():
+            branch = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
+                "kind", F.lit(kind)
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
 
-    q["tag_ts_eq_hit"] = tag_ts_eq_hit
-    o["tag_ts_eq_hit"] = _oracle(
-        'WHERE "timestamp" = (SELECT min("timestamp") FROM t) '
-        'AND tag = (SELECT min(tag) FROM t '
-        'WHERE "timestamp" = (SELECT min("timestamp") FROM t))',
-        rows,
+    q["point_lookups"] = point_lookups
+    o["point_lookups"] = (
+        f"WITH t AS ({EVENTS_T}), "
+        't0 AS (SELECT min("timestamp") AS ts FROM t), '
+        "g0 AS (SELECT min(tag) AS tag FROM t "
+        'WHERE "timestamp" = (SELECT ts FROM t0)) '
+        f"SELECT {rows}, 'ts_eq' AS kind FROM t "
+        'WHERE "timestamp" = (SELECT ts FROM t0) '
+        "UNION ALL "
+        f"SELECT {rows}, 'tag_eq' AS kind FROM t WHERE tag = 'click' "
+        "UNION ALL "
+        f"SELECT {rows}, 'tag_ts_eq' AS kind FROM t "
+        'WHERE "timestamp" = (SELECT ts FROM t0) '
+        "AND tag = (SELECT tag FROM g0)"
     )
 
     # --- A1-A5 scalar (the onlyAgg fast path, R1): one union query,
@@ -247,14 +255,31 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         "GROUP BY tag",
     )
 
-    # --- O1/O2/O3: sort asc/desc + limit (top-k) on raw rows and groups ---
-    q["collect_sort_asc_limit"] = _tsdb_query(QueryModel(sort=Sort.ASC, limit=100))
-    o["collect_sort_asc_limit"] = _oracle(
-        "", rows, 'ORDER BY "timestamp" ASC, tag ASC, value ASC LIMIT 100'
-    )
-    q["collect_sort_desc_limit"] = _tsdb_query(QueryModel(sort=Sort.DESC, limit=100))
-    o["collect_sort_desc_limit"] = _oracle(
-        "", rows, 'ORDER BY "timestamp" DESC, tag DESC, value DESC LIMIT 100'
+    # --- O1/O2/O3: sort asc + desc with limit (lazy top-k), one union
+    # entry; each direction runs through compile_query with its own
+    # QueryModel so both TakeOrderedAndProject orientations stay covered ---
+    sort_qms = {
+        "asc": QueryModel(sort=Sort.ASC, limit=100),
+        "desc": QueryModel(sort=Sort.DESC, limit=100),
+    }
+
+    def collect_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, qm in sort_qms.items():
+            branch = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
+                "dir", F.lit(name)
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    q["collect_sort_limit"] = collect_sort_limit
+    o["collect_sort_limit"] = (
+        f"WITH t AS ({EVENTS_T}) "
+        f"SELECT * FROM (SELECT {rows}, 'asc' AS dir FROM t "
+        'ORDER BY "timestamp" ASC, tag ASC, value ASC LIMIT 100) '
+        "UNION ALL "
+        f"SELECT * FROM (SELECT {rows}, 'desc' AS dir FROM t "
+        'ORDER BY "timestamp" DESC, tag DESC, value DESC LIMIT 100)'
     )
     qm = QueryModel(
         agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
