@@ -1,0 +1,65 @@
+"""Corpus split + contamination: determinism, split-fraction sanity, the
+DuckDB oracle mirror, and the broadcast-not-shuffle plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.corpus import (
+    assign_splits,
+    assign_splits_sql,
+    benchmark_contamination,
+    benchmark_contamination_sql,
+)
+from timeseries_db_spark.sources.tables import load_table
+
+from tests.oracle import check_against_duckdb
+from tests.test_plans import _formatted_plan, _nodes
+
+
+def test_split_matches_oracle(spark, sf_dir):
+    df = assign_splits(load_table(spark, sf_dir, "documents"))
+    check_against_duckdb(df, assign_splits_sql(), sf_dir)
+
+
+def test_split_fractions_and_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = dict(
+        assign_splits(docs).groupBy("split").count().rdd.collectAsMap()
+    )
+    total = sum(counts.values())
+    # md5 is uniform; at 500 docs allow wide but meaningful bands
+    assert 0.70 <= counts["train"] / total <= 0.90, counts
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0, counts
+    # pure function of the key: a second pass assigns identically
+    a = assign_splits(docs).orderBy("doc_id").collect()
+    b = assign_splits(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_contamination_matches_oracle(spark, sf_dir):
+    df = benchmark_contamination(load_table(spark, sf_dir, "documents"))
+    check_against_duckdb(df, benchmark_contamination_sql(), sf_dir)
+
+
+def test_contamination_counts_bounded_by_doc_shingles(spark, sf_dir):
+    """n_shared can never exceed the doc's own distinct shingle count."""
+    from timeseries_db_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    own = doc_shingles(docs).groupBy("doc_id").count()
+    joined = benchmark_contamination(docs).join(own, "doc_id")
+    bad = joined.filter(F.col("n_shared") > F.col("count")).count()
+    assert bad == 0
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The train corpus must not shuffle on the shingle: the benchmark
+    shingle set joins via BroadcastHashJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(spark, benchmark_contamination(docs))
+    assert len(_nodes(plan, "BroadcastHashJoin")) >= 1, plan
+    # exactly two shuffle exchanges: the benchmark side's own distinct
+    # (small by construction) and the final per-doc count — the TRAIN
+    # shingle stream itself never hits an Exchange
+    assert len(_nodes(plan, "Exchange")) == 2, plan

@@ -1,0 +1,119 @@
+"""Corpus-management operators for training-data pipelines over the
+``documents`` table: deterministic train/valid/test splitting and
+benchmark-contamination checking.
+
+The reference engine (adrianotm/timeseries-db) has no corpus surface;
+these extend the SURVEY.md §2.6 pipeline family (dedup, text analysis,
+similarity) with the two operations every pretraining-data pipeline runs
+before and after those: carving held-out splits and proving the training
+split does not contain the benchmark.
+
+Engine portability: the split is a pure function of ``md5(key)`` — both
+Spark and DuckDB produce the same lowercase-hex digest for the same UTF-8
+string, and both compare strings bytewise by default — so the DuckDB
+oracle reproduces the exact membership, not just the split sizes.
+
+Scale design (100 TB):
+
+* **split** — stateless map-only projection (one md5 + two string
+  compares per row); no shuffle, no state, trivially parallel, and
+  stable under re-partitioning, backfills, and incremental appends
+  (membership depends only on the key, never on row order or file
+  layout).
+* **contamination** — the benchmark side is small by construction
+  (held-out split, or an external eval set), so its distinct shingles
+  are broadcast: the training corpus streams through a map-side hash
+  join, never shuffling on the shingle. The only exchange is the final
+  per-document count, which partial-aggregates map-side. Contrast with
+  the naive shingle-keyed join of two 100 TB corpora — that is the
+  n-gram-Jaccard shape (operators/dedup.py) and is only needed when
+  BOTH sides are large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.dedup import doc_shingles, _SHINGLES_CTE_DUCK
+
+# Split boundaries on the first 4 hex chars of md5(key): 16^4 = 65536
+# buckets; 0xcccd/0x10000 ≈ 80.0%, 0xe666/0x10000 ≈ 90.0%. Bytewise
+# string comparison over lowercase hex is identical in Spark and DuckDB.
+SPLIT_TRAIN_UB = "cccd"  # h4 <  'cccd'  → train (~80%)
+SPLIT_VALID_UB = "e666"  # h4 <  'e666'  → valid (~10%); rest → test
+
+
+def _split_col(key: Column) -> Column:
+    h4 = F.substring(F.md5(key.cast("string")), 1, 4)
+    return (
+        F.when(h4 < SPLIT_TRAIN_UB, "train")
+        .when(h4 < SPLIT_VALID_UB, "valid")
+        .otherwise("test")
+    )
+
+
+def _split_sql(key_expr: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4) "
+        f"< '{SPLIT_TRAIN_UB}' THEN 'train' "
+        f"WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4) "
+        f"< '{SPLIT_VALID_UB}' THEN 'valid' ELSE 'test' END"
+    )
+
+
+def assign_splits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc_id, split, n_chars) — deterministic hash split of the corpus.
+
+    ``split ∈ {train, valid, test}`` is a pure function of the key, so
+    the assignment is reproducible across runs, engines, partitionings,
+    and incremental loads — the property a training pipeline needs so a
+    document never migrates between splits when the corpus grows."""
+    return docs.select(
+        "doc_id",
+        _split_col(F.col(key)).alias("split"),
+        "n_chars",
+    )
+
+
+def assign_splits_sql(key: str = "doc_id") -> str:
+    return (
+        f"SELECT doc_id, {_split_sql(key)} AS split, n_chars FROM documents"
+    )
+
+
+def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc_id, n_shared) — for every *train*-split document, the number
+    of its distinct word 3-gram shingles that also occur anywhere in the
+    *test* (benchmark) split. Zero-overlap train docs are absent.
+
+    The decontamination decision rule sits on top: drop or flag train
+    docs whose ``n_shared`` exceeds a threshold relative to their
+    shingle count. The test side's distinct shingle set is broadcast
+    (benchmarks are small); the train side never shuffles on the
+    shingle."""
+    splits = assign_splits(docs, key).select("doc_id", "split")
+    sh = doc_shingles(docs).join(splits, "doc_id")
+    eval_sh = (
+        sh.filter(F.col("split") == "test").select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("split") == "train")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        # doc_shingles is distinct per document → count(*) == distinct count
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def benchmark_contamination_sql(key: str = "doc_id") -> str:
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        s AS (SELECT doc_id, {_split_sql(key)} AS split FROM documents),
+        tagged AS (SELECT sh.doc_id, shingle, split FROM sh JOIN s USING (doc_id)),
+        ev AS (SELECT DISTINCT shingle FROM tagged WHERE split = 'test'),
+        tr AS (SELECT doc_id, shingle FROM tagged WHERE split = 'train')
+        SELECT doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id
+    """

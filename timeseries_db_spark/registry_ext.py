@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from timeseries_db_spark.functions import numeric
 from timeseries_db_spark.operators import (
+    analytics,
     asof,
     dedup,
     multimodal,
@@ -106,6 +107,42 @@ def register_extensions(q: dict, o: dict) -> None:
                round(quantile_cont(value, 0.5), 4) AS median,
                round(quantile_cont(value, 0.95), 4) AS p95
         FROM events GROUP BY 1 ORDER BY 1
+    """
+
+    # ---- derivative analytics: per-tag consecutive deltas (lag window)
+    # and per-(tag, 6h-bucket) average rate of change (min_by/max_by
+    # monoids, one hash agg) — folded into one union entry with a `kind`
+    # discriminator under the 50-entry gate budget. Common shape:
+    # (kind, tag, ts, v1, v2); each branch keeps its own physical plan. ----
+    DERIV_BUCKET_MS = 6 * 3_600_000
+
+    def derivatives_by_tag(s: SparkSession, d: str) -> DataFrame:
+        t = events_as_tsdb(s, d)
+        deltas = analytics.point_deltas(t).select(
+            F.lit("delta").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("dv").alias("v1"),
+            F.col("dt_ms").cast("double").alias("v2"),
+        )
+        rates = analytics.rate_per_bucket(t, bucket_ms=DERIV_BUCKET_MS).select(
+            F.lit("rate").alias("kind"),
+            "tag",
+            F.col("bucket_start").alias("ts"),
+            F.col("rate_per_s").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+        return deltas.unionByName(rates)
+
+    q["derivatives_by_tag"] = derivatives_by_tag
+    o["derivatives_by_tag"] = f"""
+        WITH d AS ({analytics.point_deltas_sql(EVENTS_T)}),
+             r AS ({analytics.rate_per_bucket_sql(EVENTS_T, bucket_ms=DERIV_BUCKET_MS)})
+        SELECT 'delta' AS kind, tag, "timestamp" AS ts,
+               dv AS v1, CAST(dt_ms AS DOUBLE) AS v2 FROM d
+        UNION ALL
+        SELECT 'rate' AS kind, tag, bucket_start AS ts,
+               rate_per_s AS v1, CAST(NULL AS DOUBLE) AS v2 FROM r
     """
 
     # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
@@ -211,6 +248,17 @@ def register_extensions(q: dict, o: dict) -> None:
         _docs(s, d), SIMHASH_MAX_HAMMING
     )
     o["dedup_simhash_pairs"] = dedup.simhash_pairs_sql(SIMHASH_MAX_HAMMING)
+
+    # ---- corpus management: deterministic split + decontamination ----
+    from timeseries_db_spark.operators import corpus
+
+    q["corpus_split"] = lambda s, d: corpus.assign_splits(_docs(s, d))
+    o["corpus_split"] = corpus.assign_splits_sql()
+
+    q["corpus_contamination"] = lambda s, d: corpus.benchmark_contamination(
+        _docs(s, d)
+    )
+    o["corpus_contamination"] = corpus.benchmark_contamination_sql()
 
     # ---- similarity search ----
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
