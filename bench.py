@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_minhash_lsh",       # shingle→minhash→band→bucket-join
     "dedup_simhash_pairs",     # 60-bit simhash, banded Hamming join
     "text_quality_score",      # documents scan, expression-only scoring
+    "derivatives_by_tag",      # lag window + min_by/max_by rate agg
+    "corpus_contamination",    # broadcast benchmark-shingle join
     "sim_cosine_topk",         # exact cosine top-k (sharded corpus, Arrow UDF)
     "ann_topk_ivf",            # IVF inverted-list ANN (bounded quantizer)
 ]

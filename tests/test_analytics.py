@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from timeseries_db_spark.operators.analytics import (
     point_deltas,
+    point_deltas_scalable,
     point_deltas_sql,
     rate_per_bucket,
     rate_per_bucket_sql,
@@ -21,6 +22,31 @@ EVENTS_TSDB = (
 def test_point_deltas_match_oracle(spark, sf_dir):
     df = point_deltas(events_as_tsdb(spark, sf_dir))
     check_against_duckdb(df, point_deltas_sql(EVENTS_TSDB), sf_dir)
+
+
+def test_point_deltas_scalable_matches_oracle(spark, sf_dir):
+    # same oracle as the plain window variant; coarse AND fine buckets —
+    # the 1-minute grid leaves many (tag, bucket) slots empty, exercising
+    # the previous-NON-EMPTY-bucket stitch
+    for bucket_ms in (6 * 3_600_000, 60_000):
+        df = point_deltas_scalable(
+            events_as_tsdb(spark, sf_dir), bucket_ms=bucket_ms
+        )
+        check_against_duckdb(df, point_deltas_sql(EVENTS_TSDB), sf_dir)
+
+
+def test_point_deltas_scalable_single_row_tag(spark):
+    one = spark.createDataFrame(
+        [(1_000, "a", 5.0), (7_200_000, "a", 9.0), (500, "b", 1.0)],
+        "timestamp long, tag string, value double",
+    )
+    rows = {
+        (r["tag"], r["timestamp"]): (r["dv"], r["dt_ms"])
+        for r in point_deltas_scalable(one, bucket_ms=3_600_000).collect()
+    }
+    assert rows[("a", 1_000)] == (None, None)  # first point of its tag
+    assert rows[("a", 7_200_000)] == (4.0, 7_199_000)  # across empty bucket
+    assert rows[("b", 500)] == (None, None)
 
 
 def test_rate_per_bucket_matches_oracle(spark, sf_dir):

@@ -118,6 +118,48 @@ def point_deltas(tsdb: DataFrame) -> DataFrame:
     )
 
 
+def point_deltas_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """Two-pass re-expression of :func:`point_deltas` that never puts a
+    whole tag in one task (the running-totals pattern, see module
+    docstring): window within (tag, bucket), then stitch each bucket's
+    first row to the previous non-empty bucket's last point via a tiny
+    per-bucket boundary table. Identical output → same oracle."""
+    bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
+
+    # boundary: each non-empty bucket's last point; the lag over THIS
+    # tiny table (one row per non-empty bucket) finds the previous
+    # non-empty bucket's last point, so empty buckets stitch correctly
+    last = bucketed.groupBy("tag", "bucket").agg(
+        F.max("timestamp").alias("_t"),
+        # backticks, not quotes: see rate_per_bucket
+        F.expr("max_by(value, `timestamp`)").alias("_v"),
+    )
+    wb = Window.partitionBy("tag").orderBy("bucket")
+    prev = last.select(
+        "tag",
+        "bucket",
+        F.lag("_t").over(wb).alias("prev_t"),
+        F.lag("_v").over(wb).alias("prev_v"),
+    )
+
+    ww = Window.partitionBy("tag", "bucket").orderBy("timestamp")
+    lag_t = F.lag("timestamp").over(ww)
+    lag_v = F.lag("value").over(ww)
+    first = F.row_number().over(ww) == 1
+    pt = F.when(first, F.col("prev_t")).otherwise(lag_t)
+    pv = F.when(first, F.col("prev_v")).otherwise(lag_v)
+    return (
+        bucketed.join(F.broadcast(prev), on=["tag", "bucket"], how="inner")
+        .select(
+            "timestamp",
+            "tag",
+            "value",
+            duck_round(F.col("value") - pv, 4).alias("dv"),
+            (F.col("timestamp") - pt).alias("dt_ms"),
+        )
+    )
+
+
 def point_deltas_sql(table_sql: str) -> str:
     return f"""
         WITH t AS ({table_sql})

@@ -125,6 +125,15 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dv").alias("v1"),
             F.col("dt_ms").cast("double").alias("v2"),
         )
+        deltas_sc = analytics.point_deltas_scalable(
+            t, bucket_ms=DERIV_BUCKET_MS
+        ).select(
+            F.lit("delta_sc").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("dv").alias("v1"),
+            F.col("dt_ms").cast("double").alias("v2"),
+        )
         rates = analytics.rate_per_bucket(t, bucket_ms=DERIV_BUCKET_MS).select(
             F.lit("rate").alias("kind"),
             "tag",
@@ -132,13 +141,17 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("rate_per_s").alias("v1"),
             F.lit(None).cast("double").alias("v2"),
         )
-        return deltas.unionByName(rates)
+        return deltas.unionByName(deltas_sc).unionByName(rates)
 
     q["derivatives_by_tag"] = derivatives_by_tag
     o["derivatives_by_tag"] = f"""
         WITH d AS ({analytics.point_deltas_sql(EVENTS_T)}),
              r AS ({analytics.rate_per_bucket_sql(EVENTS_T, bucket_ms=DERIV_BUCKET_MS)})
         SELECT 'delta' AS kind, tag, "timestamp" AS ts,
+               dv AS v1, CAST(dt_ms AS DOUBLE) AS v2 FROM d
+        UNION ALL
+        -- the scalable twin returns the SAME rows: one oracle CTE, two kinds
+        SELECT 'delta_sc' AS kind, tag, "timestamp" AS ts,
                dv AS v1, CAST(dt_ms AS DOUBLE) AS v2 FROM d
         UNION ALL
         SELECT 'rate' AS kind, tag, bucket_start AS ts,
