@@ -10,6 +10,8 @@ from timeseries_db_spark.operators.corpus import (
     assign_splits_sql,
     benchmark_contamination,
     benchmark_contamination_sql,
+    pack_sequences,
+    pack_sequences_sql,
 )
 from timeseries_db_spark.sources.tables import load_table
 
@@ -35,6 +37,36 @@ def test_split_fractions_and_stability(spark, sf_dir):
     a = assign_splits(docs).orderBy("doc_id").collect()
     b = assign_splits(docs).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_pack_matches_oracle(spark, sf_dir):
+    df = pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget_tokens=512, shard_docs=100
+    )
+    check_against_duckdb(df, pack_sequences_sql(512, 100), sf_dir)
+
+
+def test_pack_layout_invariants(spark, sf_dir):
+    """Offsets stay inside the budget; consecutive docs in a shard are
+    laid end-to-end: next.start == prev.start + prev.n_tokens."""
+    rows = (
+        pack_sequences(
+            load_table(spark, sf_dir, "documents"),
+            budget_tokens=512,
+            shard_docs=100,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert all(0 <= r["tok_offset"] < 512 for r in rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        start = 0
+        for r in shard_rows:
+            assert r["seq_id"] == start // 512 and r["tok_offset"] == start % 512
+            start += r["n_tokens"]
 
 
 def test_contamination_matches_oracle(spark, sf_dir):

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timeseries_db_spark.functions.numeric import duck_div
+
 from timeseries_db_spark.operators.dedup import doc_shingles, _SHINGLES_CTE_DUCK
 
 # Split boundaries on the first 4 hex chars of md5(key): 16^4 = 65536
@@ -80,6 +82,71 @@ def assign_splits_sql(key: str = "doc_id") -> str:
     return (
         f"SELECT doc_id, {_split_sql(key)} AS split, n_chars FROM documents"
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    shard_docs: int = 1000,
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, seq_id, tok_offset) — concat-and-chunk
+    sequence packing, the standard pretraining layout: documents are
+    laid end-to-end in key order and cut into fixed ``budget_tokens``
+    windows; a document starting at global token offset ``s`` lands in
+    sequence ``s // budget`` at in-sequence offset ``s % budget`` (long
+    documents straddle into the following sequence(s)).
+
+    Scale design: a single global cumulative sum would serialize the
+    corpus through one task, so the corpus packs per *shard* of
+    ``shard_docs`` consecutive keys — embarrassingly parallel, and the
+    layout is reproducible because shard membership and in-shard order
+    are pure functions of the key. Sequence ids are (shard, seq_id)
+    pairs; each shard wastes at most one partial tail sequence, which is
+    negligible at any real shard size. The cumulative sum runs over
+    int64 token counts (exact), one shuffle on the shard key."""
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").cast("long").alias("n_tokens"),
+    ).withColumn("shard", duck_div(F.col("doc_id"), shard_docs))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    t = t.select("doc_id", "shard", "n_tokens", start)
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        duck_div(F.col("_start"), budget_tokens).alias("seq_id"),
+        (F.col("_start") % budget_tokens).alias("tok_offset"),
+    )
+
+
+def pack_sequences_sql(budget_tokens: int = 2048, shard_docs: int = 1000) -> str:
+    from timeseries_db_spark.operators.text import TOKENS_DUCK
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, len({TOKENS_DUCK})::BIGINT AS n_tokens,
+                   doc_id // {shard_docs} AS shard
+            FROM documents
+        ),
+        c AS (
+            -- sum(BIGINT) is HUGEINT in DuckDB; cast back so the wire
+            -- types match Spark's int64 exactly
+            SELECT doc_id, shard, n_tokens,
+                   (sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                   ) - n_tokens)::BIGINT AS s
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               (s // {budget_tokens})::BIGINT AS seq_id,
+               (s % {budget_tokens})::BIGINT AS tok_offset
+        FROM c
+    """
 
 
 def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -343,8 +343,7 @@ _PRIORITY = [
     "multimodal_resize_plan",
     "multimodal_audio_chunks",
     "fx_edge_bounds",
-    "fx_avg_by_tag",
-    "fx_group_ts_desc_limit",
+    "fx_grouped",  # union-fold of r1's fx_avg_by_tag + fx_group_ts_desc_limit
     # streaming operators newly under the gate (VERDICT item 4)
     "stream_running_totals",
     "stream_sessions",

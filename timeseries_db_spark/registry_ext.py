@@ -273,6 +273,14 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["corpus_contamination"] = corpus.benchmark_contamination_sql()
 
+    # 100-doc shards at fixture scale → several shards even at sf0.001
+    q["corpus_pack"] = lambda s, d: corpus.pack_sequences(
+        _docs(s, d), budget_tokens=512, shard_docs=100
+    )
+    o["corpus_pack"] = corpus.pack_sequences_sql(
+        budget_tokens=512, shard_docs=100
+    )
+
     # ---- similarity search ----
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K

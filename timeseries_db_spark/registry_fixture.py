@@ -140,22 +140,41 @@ def register_fixture(q: dict, o: dict) -> None:
         f'WHERE "timestamp" = {BASE_TS + 12_345}'
     )
 
-    # --- skewed group-by-tag (Munich = half the table) ---
-    q["fx_avg_by_tag"] = _fx_query(QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG))
-    o["fx_avg_by_tag"] = _fx_oracle(
-        "tag AS grp, round(avg(value), 4) AS result", "", "GROUP BY tag"
-    )
-
-    # --- dense group-by-timestamp + desc top-k ---
-    qm = QueryModel(
+    # --- the two grouped fixture shapes, one union entry (gate budget):
+    # skewed group-by-tag (Munich = half the table, partial-agg reliant)
+    # and dense group-by-timestamp + desc top-k. The timestamp group key
+    # casts to string so both branches share a schema; int64→string
+    # renders identically in Spark and DuckDB. ---
+    avg_qm = QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG)
+    topk_qm = QueryModel(
         agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP,
         ge=EDGE_LO, lt=EDGE_HI, sort=Sort.DESC, limit=100,
     )
-    q["fx_group_ts_desc_limit"] = _fx_query(qm)
-    o["fx_group_ts_desc_limit"] = _fx_oracle(
-        '"timestamp" AS grp, max(value) AS result',
-        f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_HI}',
-        'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 100',
+
+    def fx_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = (
+            _fx_query(avg_qm)(spark, sf_dir)
+            .select(F.col("grp").cast("string").alias("grp"), "result")
+            .withColumn("kind", F.lit("avg_by_tag"))
+        )
+        b = (
+            _fx_query(topk_qm)(spark, sf_dir)
+            .select(F.col("grp").cast("string").alias("grp"), "result")
+            .withColumn("kind", F.lit("ts_desc_limit"))
+        )
+        return a.unionByName(b)
+
+    q["fx_grouped"] = fx_grouped
+    o["fx_grouped"] = (
+        f"WITH t AS ({timeseries_fixture_sql()}) "
+        "SELECT tag AS grp, round(avg(value), 4) AS result, "
+        "'avg_by_tag' AS kind FROM t GROUP BY tag "
+        "UNION ALL "
+        "SELECT * FROM ("
+        'SELECT CAST("timestamp" AS VARCHAR) AS grp, max(value) AS result, '
+        "'ts_desc_limit' AS kind FROM t "
+        f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_HI} '
+        'GROUP BY "timestamp" ORDER BY "timestamp" DESC LIMIT 100)'
     )
 
     # --- keyed DML roundtrip (W1+W2+W3 under the oracle gate) ---
