@@ -13,8 +13,9 @@ all 9 range scans AND collects ~9× the rows r1's single range_ge_lt
 did) and added gapfill/simhash/IVF coverage, so r2's total covers ~2.5×
 the work of r1's 13-query total. Compare per-query where names persist
 (agg_by_ts≈agg_sum_by_ts+count, asof_hourly_enrich, join_*,
-running_totals_by_tag, dedup_minhash_lsh, text_quality_score,
-sim_cosine_topk), not totals.
+running_totals_by_tag, dedup_minhash_lsh, sim_cosine_topk), not
+totals; late-r2 folded the five text_* entries into one-scan
+text_features, so text_quality_score's column is superseded.
 """
 
 from __future__ import annotations
@@ -49,7 +50,8 @@ HEADLINE = [
     "running_totals_by_tag",   # skew-safe two-pass window
     "dedup_minhash_lsh",       # shingle→minhash→band→bucket-join
     "dedup_simhash_pairs",     # 60-bit simhash, banded Hamming join
-    "text_quality_score",      # documents scan, expression-only scoring
+    "text_features",           # one-scan per-doc feature extraction (r1/r2-early: text_quality_score, a subset of this work)
+    "text_vocab_topn",         # explode + map-side-combine agg + TakeOrdered
     "derivatives_by_tag",      # lag window + min_by/max_by rate agg
     "corpus_contamination",    # broadcast benchmark-shingle join
     "sim_cosine_topk",         # exact cosine top-k (sharded corpus, Arrow UDF)

@@ -10,8 +10,12 @@ from timeseries_db_spark.operators.corpus import (
     assign_splits_sql,
     benchmark_contamination,
     benchmark_contamination_sql,
+    curation_topk,
+    curation_topk_sql,
     pack_sequences,
     pack_sequences_sql,
+    stratified_sample,
+    stratified_sample_sql,
 )
 from timeseries_db_spark.sources.tables import load_table
 
@@ -67,6 +71,57 @@ def test_pack_layout_invariants(spark, sf_dir):
         for r in shard_rows:
             assert r["seq_id"] == start // 512 and r["tok_offset"] == start % 512
             start += r["n_tokens"]
+
+
+def test_stratified_sample_matches_oracle(spark, sf_dir):
+    fr = {"en": 0.6, "es": 1.0}
+    df = stratified_sample(
+        load_table(spark, sf_dir, "documents"), fr, default_fraction=0.25
+    )
+    check_against_duckdb(
+        df, stratified_sample_sql(fr, default_fraction=0.25), sf_dir
+    )
+
+
+def test_stratified_sample_semantics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.6, "es": 1.0}
+    kept = stratified_sample(docs, fr, default_fraction=0.25)
+    # fraction 1.0 keeps the whole stratum
+    n_es = docs.filter(F.col("lang") == "es").count()
+    assert kept.filter(F.col("lang") == "es").count() == n_es
+    # sampled strata land near their fraction (hash-uniform, small-n slack)
+    for lang, frac in (("en", 0.6), (None, 0.25)):
+        pred = (
+            F.col("lang") == lang
+            if lang
+            else ~F.col("lang").isin("en", "es")
+        )
+        total, got = docs.filter(pred).count(), kept.filter(pred).count()
+        assert abs(got / total - frac) < 0.15, (lang, got, total)
+    # deterministic: a second invocation is set-identical
+    again = stratified_sample(docs, fr, default_fraction=0.25)
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_curation_topk_matches_oracle(spark, sf_dir):
+    df = curation_topk(load_table(spark, sf_dir, "documents"), k=5)
+    check_against_duckdb(df, curation_topk_sql(5), sf_dir)
+
+
+def test_curation_topk_invariants(spark, sf_dir):
+    rows = curation_topk(
+        load_table(spark, sf_dir, "documents"), k=5
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, grp in by_lang.items():
+        grp.sort(key=lambda r: r["rnk"])
+        assert len(grp) <= 5
+        assert [r["rnk"] for r in grp] == list(range(1, len(grp) + 1))
+        quals = [r["quality"] for r in grp]
+        assert quals == sorted(quals, reverse=True), lang
 
 
 def test_contamination_matches_oracle(spark, sf_dir):

@@ -303,3 +303,31 @@ def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
     paired = {r["doc_id"] for r in clusters.collect()}
     all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert (all_ids - paired) <= kept_ids
+
+
+def test_quantize_int8_bounds_and_oracle(spark, sf_dir, emb):
+    from tests.oracle import check_against_duckdb
+
+    out = similarity.quantize_int8(emb)
+    check_against_duckdb(out, similarity.quantize_int8_sql(), sf_dir)
+    rows = out.collect()
+    dims = {r["n_dims"] for r in rows}
+    assert len(dims) == 1  # homogeneous embedding width
+    for r in rows:
+        # round-to-nearest reconstruction error is at most half a step
+        # (rounded to 6dp on both sides, so allow that slack)
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6, r
+        # |q_i| <= 127 -> |sum_q| <= 127 * n_dims
+        assert abs(r["sum_q"]) <= 127 * r["n_dims"], r
+
+
+def test_quantize_int8_zero_vector(spark):
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(z).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["sum_q"] == 0
+    assert rows[1]["max_err"] == 0.0
+    # amax=2 -> scale=2/127; q = round(v/scale): [64, -127, 32] (ties up)
+    assert rows[2]["sum_q"] == 64 - 127 + 32

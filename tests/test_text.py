@@ -1,0 +1,80 @@
+"""Text-analysis operators: per-feature DuckDB oracle mirrors (these
+left the driver gate when the fold into the single-scan ``text_features``
+entry freed gate slots), consistency of the folded entry with the
+single-feature operators, and the vocab top-N ranking invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators import text
+from timeseries_db_spark.sources.tables import load_table
+
+from tests.oracle import check_against_duckdb
+
+SINGLE_OPS = [
+    (text.token_count, text.token_count_sql),
+    (text.quality_score, text.quality_score_sql),
+    (text.lang_id, text.lang_id_sql),
+    (text.fingerprint, text.fingerprint_sql),
+    (text.token_count_bpe, text.token_count_bpe_sql),
+    (text.rolling_fingerprint, text.rolling_fingerprint_sql),
+]
+
+
+@pytest.mark.parametrize(
+    "op,sql", SINGLE_OPS, ids=[op.__name__ for op, _ in SINGLE_OPS]
+)
+def test_single_op_matches_oracle(spark, sf_dir, op, sql):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(op(docs), sql(), sf_dir)
+
+
+def test_features_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(text.features(docs), text.features_sql(), sf_dir)
+
+
+def test_features_consistent_with_single_ops(spark, sf_dir):
+    """The one-scan fold computes the same values as the per-feature
+    operators it replaced in the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = text.features(docs)
+    singles = (
+        text.quality_score(docs)
+        .join(text.lang_id(docs), "doc_id")
+        .join(text.fingerprint(docs), "doc_id")
+        .join(text.token_count_bpe(docs), "doc_id")
+        .join(text.rolling_fingerprint(docs), "doc_id")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.col("n_bpe_tokens"), "stop_ratio", "alpha_ratio", "quality",
+            "pred_lang", "fp", "fp_long", "n_kgrams", "min_fp",
+        )
+    )
+    assert feat.exceptAll(singles).count() == 0
+    assert singles.exceptAll(feat).count() == 0
+
+
+def test_quality_keep_passthrough(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    df = text.quality_score(docs, keep=("lang",))
+    assert "lang" in df.columns
+    base = text.quality_score(docs).select("doc_id", "quality")
+    kept = df.select("doc_id", "quality")
+    assert kept.exceptAll(base).count() == 0
+
+
+def test_vocab_topn_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(text.vocab_topn(docs, 50), text.vocab_topn_sql(50), sf_dir)
+
+
+def test_vocab_topn_rank_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = text.vocab_topn(docs, 20).orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r["token"] != "" for r in rows)

@@ -149,6 +149,113 @@ def pack_sequences_sql(budget_tokens: int = 2048, shard_docs: int = 1000) -> str
     """
 
 
+def _frac_to_hex_ub(frac: float) -> str | None:
+    """Upper bound in the 4-hex-digit hash domain for a keep-fraction;
+    None means "keep everything" (a 5-char bound like '10000' would
+    compare WRONG bytewise against 4-char digests)."""
+    if frac >= 1.0:
+        return None
+    return format(max(0, int(frac * 65536)), "04x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    key: str = "doc_id",
+    stratum: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang) — deterministic per-stratum downsampling: keep a
+    different fraction of each stratum (the standard rebalancing move
+    when one language/domain dwarfs the rest of a training corpus).
+
+    Membership is a pure function of ``md5('sample:' || key)`` — salted
+    so it is independent of [[assign_splits]]' hash domain (the same
+    document must not be systematically favored by both) — making the
+    sample reproducible across runs, engines, partitionings, and
+    incremental appends. Map-only: one md5 + one string compare per
+    row, no shuffle, no driver state; at 100 TB this is a free rider
+    on whatever scan produces the rows."""
+    h4 = F.substring(F.md5(F.concat(F.lit("sample:"), F.col(key).cast("string"))), 1, 4)
+    cond = None
+    for s in sorted(fractions):
+        ub = _frac_to_hex_ub(fractions[s])
+        branch = F.lit(True) if ub is None else (h4 < ub)
+        this = (F.col(stratum) == s) & branch
+        cond = this if cond is None else (cond | this)
+    ub = _frac_to_hex_ub(default_fraction)
+    default_branch = F.lit(True) if ub is None else (h4 < ub)
+    others = ~F.col(stratum).isin(*sorted(fractions)) & default_branch
+    cond = others if cond is None else (cond | others)
+    return docs.filter(cond).select("doc_id", stratum)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    key: str = "doc_id",
+    stratum: str = "lang",
+) -> str:
+    h4 = f"substr(md5('sample:' || CAST({key} AS VARCHAR)), 1, 4)"
+    parts = []
+    for s in sorted(fractions):
+        ub = _frac_to_hex_ub(fractions[s])
+        branch = "TRUE" if ub is None else f"{h4} < '{ub}'"
+        parts.append(f"({stratum} = '{s}' AND {branch})")
+    ub = _frac_to_hex_ub(default_fraction)
+    default_branch = "TRUE" if ub is None else f"{h4} < '{ub}'"
+    in_list = ", ".join(f"'{s}'" for s in sorted(fractions))
+    parts.append(f"({stratum} NOT IN ({in_list}) AND {default_branch})")
+    return (
+        f"SELECT doc_id, {stratum} FROM documents WHERE "
+        + " OR ".join(parts)
+    )
+
+
+def curation_topk(docs: DataFrame, k: int = 10, stratum: str = "lang") -> DataFrame:
+    """(doc_id, lang, quality, rnk) — keep the ``k`` highest-quality
+    documents of every stratum (quality-based curation: the per-domain
+    "best of" cut that follows scoring in a training-data pipeline).
+
+    One shuffle on the stratum key for the window rank; the quality
+    score itself is the map-only expression of
+    ``operators/text.quality_score``. Ties break on doc_id so the cut
+    is total-ordered and reproducible. At 100 TB the stratum count is
+    small and skew lands on the biggest language — if a single stratum
+    outgrows a task, swap the window for TakeOrderedAndProject per
+    stratum via repartition+sortWithinPartitions; at today's k this
+    window is state-bounded per task anyway."""
+    from pyspark.sql import Window
+
+    from timeseries_db_spark.operators.text import quality_score
+
+    scored = quality_score(docs, keep=(stratum,)).select(
+        "doc_id", stratum, "quality"
+    )
+    w = Window.partitionBy(stratum).orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def curation_topk_sql(k: int = 10, stratum: str = "lang") -> str:
+    from timeseries_db_spark.operators.text import quality_score_sql
+
+    return f"""
+        WITH q AS ({quality_score_sql(keep=(stratum,))}),
+        r AS (
+            SELECT doc_id, {stratum}, quality,
+                   (row_number() OVER (
+                       PARTITION BY {stratum}
+                       ORDER BY quality DESC, doc_id
+                   ))::BIGINT AS rnk
+            FROM q
+        )
+        SELECT doc_id, {stratum}, quality, rnk FROM r WHERE rnk <= {k}
+    """
+
+
 def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """(doc_id, n_shared) — for every *train*-split document, the number
     of its distinct word 3-gram shingles that also occur anywhere in the

@@ -459,3 +459,78 @@ def ann_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """(vec_id, n_dims, scale, sum_q, max_err) — symmetric per-vector
+    int8 quantization summary: ``scale = max|v| / 127``, each element
+    quantized as ``q_i = floor(v_i / max|v| * 127 + 0.5)`` (explicit
+    half-up so Spark and DuckDB agree — their round() tie-breaking
+    differs), and the reconstruction check ``max_err = max|q_i*scale -
+    v_i|``. This is the standard pre-step for memory-bounded ANN serving
+    (4× smaller vectors than float32).
+
+    All arithmetic is in double (float32 widens exactly; +,*,/ and
+    floor are IEEE-identical across JVM and DuckDB), entirely JVM-side
+    higher-order functions over the array column — map-only, no
+    shuffle, no Python. The zero vector quantizes to all-zeros with
+    scale 0 rather than dividing by zero."""
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    s = v.select(
+        "vec_id",
+        "v",
+        F.expr("array_max(transform(v, x -> abs(x)))").alias("amax"),
+    )
+    q_elem = "CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT)"
+    return s.select(
+        "vec_id",
+        F.expr("size(v)").cast("long").alias("n_dims"),
+        duck_round(F.expr("amax / 127.0"), 6).alias("scale"),
+        F.when(F.col("amax") == 0.0, F.lit(0))
+        .otherwise(F.expr(f"aggregate(v, 0L, (a, x) -> a + {q_elem})"))
+        .cast("long")
+        .alias("sum_q"),
+        duck_round(
+            F.when(F.col("amax") == 0.0, F.lit(0.0)).otherwise(
+                F.expr(
+                    f"array_max(transform(v, x -> abs({q_elem} * (amax / 127.0) - x)))"
+                )
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+def quantize_int8_sql() -> str:
+    q_elem = "floor(x / amax * 127.0 + 0.5)::BIGINT"
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS amax
+            FROM v
+        )
+        SELECT vec_id,
+               len(v)::BIGINT AS n_dims,
+               round(amax / 127.0, 6) AS scale,
+               CASE WHEN amax = 0 THEN 0
+                    ELSE list_sum(list_transform(v, x -> {q_elem}))
+               END::BIGINT AS sum_q,
+               round(CASE WHEN amax = 0 THEN 0.0
+                          ELSE list_max(list_transform(
+                                 v, x -> abs({q_elem} * (amax / 127.0) - x)))
+                     END, 6) AS max_err
+        FROM s
+    """

@@ -75,19 +75,23 @@ def token_count_sql() -> str:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic document quality in [0,1]: length saturation, stopword
     ratio, alphabetic-character ratio — the standard cheap pre-filters of
-    a training-data pipeline.
+    a training-data pipeline. ``keep`` names extra input columns carried
+    through unchanged (e.g. a stratum key for downstream curation).
 
     Staged projections: the regex split, stopword filter, and alpha-strip
     regex are each bound once; the final score is cheap arithmetic over
     those columns (inlining them would re-run each regex per reference —
     see the note on ``dedup.SHINGLES_SPARK``)."""
     w_len, w_stop, w_alpha = QUALITY_WEIGHTS
-    toks = docs.select("doc_id", "text", F.expr(TOKENS_SPARK).alias("toks"))
+    toks = docs.select(
+        "doc_id", *keep, "text", F.expr(TOKENS_SPARK).alias("toks")
+    )
     counts = toks.select(
         "doc_id",
+        *keep,
         F.expr("size(toks)").cast("long").alias("n_tokens"),
         F.expr(
             f"size(filter(toks, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
@@ -97,6 +101,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return counts.select(
         "doc_id",
+        *keep,
         "n_tokens",
         duck_round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4).alias(
             "stop_ratio"
@@ -113,13 +118,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score_sql() -> str:
+def quality_score_sql(keep: tuple[str, ...] = ()) -> str:
     w_len, w_stop, w_alpha = QUALITY_WEIGHTS
     toks = TOKENS_DUCK
     stop_hits = f"len(list_filter({toks}, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
     alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    keep_sql = "".join(f"{c}, " for c in keep)
     return f"""
-        SELECT doc_id,
+        SELECT doc_id, {keep_sql}
                len({toks})::BIGINT AS n_tokens,
                round({stop_hits}::DOUBLE / len({toks}), 4) AS stop_ratio,
                round({alpha}::DOUBLE / length(text), 4) AS alpha_ratio,
@@ -232,6 +238,30 @@ def token_count_bpe_sql() -> str:
     """
 
 
+def _kgram_hashes_spark(col: str) -> str:
+    """Spark SQL expr: 60-bit hash of every ``KGRAM``-char window of
+    ``col`` (whole-string hash when shorter than one window)."""
+    return f"""
+        CASE WHEN length({col}) < {KGRAM}
+             THEN array(CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT))
+             ELSE transform(
+                    sequence(1, length({col}) - {KGRAM} + 1),
+                    i -> CAST(conv(substring(md5(substring({col}, i, {KGRAM})), 1, 15), 16, 10) AS BIGINT))
+        END
+        """
+
+
+def _kgram_hashes_duck(col: str) -> str:
+    return f"""
+        CASE WHEN length({col}) < {KGRAM}
+             THEN [('0x' || substr(md5({col}), 1, 15))::BIGINT]
+             ELSE list_transform(
+                    generate_series(1, length({col}) - {KGRAM} + 1),
+                    i -> ('0x' || substr(md5(substr({col}, i, {KGRAM})), 1, 15))::BIGINT)
+        END
+        """
+
+
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     """Winnowing-style rolling fingerprint: hash every ``KGRAM``-char
     window of the normalized text, keep (distinct k-gram count, minimum
@@ -242,16 +272,7 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     norm = docs.select("doc_id", F.expr(NORM_SPARK).alias("norm"))
     grams = norm.select(
         "doc_id",
-        F.expr(
-            f"""
-            CASE WHEN length(norm) < {KGRAM}
-                 THEN array(CAST(conv(substring(md5(norm), 1, 15), 16, 10) AS BIGINT))
-                 ELSE transform(
-                        sequence(1, length(norm) - {KGRAM} + 1),
-                        i -> CAST(conv(substring(md5(substring(norm, i, {KGRAM})), 1, 15), 16, 10) AS BIGINT))
-            END
-            """
-        ).alias("hashes"),
+        F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
     )
     return grams.select(
         "doc_id",
@@ -264,17 +285,175 @@ def rolling_fingerprint_sql() -> str:
     return f"""
         WITH n AS (SELECT doc_id, {NORM_DUCK} AS norm FROM documents),
         g AS (
-            SELECT doc_id,
-                   CASE WHEN length(norm) < {KGRAM}
-                        THEN [('0x' || substr(md5(norm), 1, 15))::BIGINT]
-                        ELSE list_transform(
-                               generate_series(1, length(norm) - {KGRAM} + 1),
-                               i -> ('0x' || substr(md5(substr(norm, i, {KGRAM})), 1, 15))::BIGINT)
-                   END AS hashes
+            SELECT doc_id, {_kgram_hashes_duck("norm")} AS hashes
             FROM n
         )
         SELECT doc_id,
                len(list_distinct(hashes))::BIGINT AS n_kgrams,
                list_min(hashes) AS min_fp
         FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# one-pass feature extraction + corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+def features(docs: DataFrame) -> DataFrame:
+    """Every per-document text feature in ONE scan: token counts
+    (whitespace + BPE-ish), quality-score components, language ID,
+    content fingerprint, and the rolling k-gram fingerprint pair.
+
+    This is the shape a 100 TB pipeline actually runs — the corpus is
+    scanned once and all map-only features come out of the same pass —
+    where the single-feature operators above each re-read the text
+    column. Same staged-projection discipline: the token split and the
+    normalization each bind once (stage 1), every regex/hash binds once
+    (stage 2), and stage 3 is cheap arithmetic + CASE over those
+    columns. Still map-only: no shuffle at any stage."""
+    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
+    langs = sorted(LANG_LEXICONS)
+    s1 = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(TOKENS_SPARK).alias("toks"),
+        F.expr(NORM_SPARK).alias("norm"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "lang",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.expr(
+            f"size(filter(toks, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
+        ).alias("stop_hits"),
+        F.expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").alias("alpha_len"),
+        F.expr("length(text)").alias("text_len"),
+        *[
+            F.expr(
+                f"size(filter(toks, t -> t IN {_in_list(LANG_LEXICONS[l])}))"
+            ).alias(f"sc_{l}")
+            for l in langs
+        ],
+        F.expr("md5(norm)").alias("fp"),
+        F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
+    )
+    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return s2.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_bpe_tokens",
+        duck_round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4).alias(
+            "stop_ratio"
+        ),
+        duck_round(F.col("alpha_len").cast("double") / F.col("text_len"), 4).alias(
+            "alpha_ratio"
+        ),
+        duck_round(
+            F.lit(w_len) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+            + F.lit(w_stop) * (F.col("stop_hits").cast("double") / F.col("n_tokens"))
+            + F.lit(w_alpha) * (F.col("alpha_len").cast("double") / F.col("text_len")),
+            4,
+        ).alias("quality"),
+        F.expr(case).alias("pred_lang"),
+        "fp",
+        F.expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)").alias("fp_long"),
+        F.expr("size(array_distinct(hashes))").cast("long").alias("n_kgrams"),
+        F.expr("array_min(hashes)").alias("min_fp"),
+    )
+
+
+def features_sql() -> str:
+    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
+    langs = sorted(LANG_LEXICONS)
+    sc_cols = ",\n                   ".join(
+        f"len(list_filter(toks, t -> t IN {_in_list(LANG_LEXICONS[l])})) AS sc_{l}"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+        WITH s1 AS (
+            SELECT doc_id, lang, text,
+                   {TOKENS_DUCK} AS toks, {NORM_DUCK} AS norm
+            FROM documents
+        ),
+        s2 AS (
+            SELECT doc_id, lang,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens,
+                   len(list_filter(toks, t -> t IN {_in_list(QUALITY_STOPWORDS)})) AS stop_hits,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_len,
+                   length(text) AS text_len,
+                   {sc_cols},
+                   md5(norm) AS fp,
+                   {_kgram_hashes_duck("norm")} AS hashes
+            FROM s1
+        )
+        SELECT doc_id, lang, n_tokens, n_bpe_tokens,
+               round(stop_hits::DOUBLE / n_tokens, 4) AS stop_ratio,
+               round(alpha_len::DOUBLE / text_len, 4) AS alpha_ratio,
+               round({w_len} * least(1.0, n_tokens / 100.0)
+                     + {w_stop} * (stop_hits::DOUBLE / n_tokens)
+                     + {w_alpha} * (alpha_len::DOUBLE / text_len), 4) AS quality,
+               {case} AS pred_lang,
+               fp,
+               ('0x' || substr(fp, 1, 15))::BIGINT AS fp_long,
+               len(list_distinct(hashes))::BIGINT AS n_kgrams,
+               list_min(hashes) AS min_fp
+        FROM s2
+    """
+
+
+def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
+    """(token, freq, rnk) — the corpus-wide top-``n`` token vocabulary,
+    ranked by frequency with an alphabetical tiebreak.
+
+    Scale shape: explode → hash-aggregate with map-side partials (the
+    only shuffle, keyed on the token), then ``orderBy().limit(n)`` which
+    Spark executes as TakeOrderedAndProject — each task keeps a local
+    top-``n`` heap and the driver merges heaps, so the full vocabulary
+    is never sorted or collected. The final rank is a window over the
+    ``n`` surviving rows (constant-size, one task, deliberately AFTER
+    the limit)."""
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.select(
+        "token", "freq", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+def vocab_topn_sql(n: int = 100) -> str:
+    return f"""
+        WITH w AS (
+            SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        c AS (
+            SELECT token, count(*)::BIGINT AS freq FROM w
+            WHERE token <> '' GROUP BY token
+        )
+        SELECT token, freq,
+               (row_number() OVER (ORDER BY freq DESC, token))::BIGINT AS rnk
+        FROM c
+        ORDER BY freq DESC, token LIMIT {n}
     """

@@ -214,22 +214,17 @@ def register_extensions(q: dict, o: dict) -> None:
     q["join_part_brand_stats"] = joins.part_brand_stats
     o["join_part_brand_stats"] = joins.PART_BRAND_STATS_SQL
 
-    # ---- text analysis (plain token_count folds into the bpe entry,
-    # whose n_ws_tokens column is the same computation — gate budget) ----
-    q["text_quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
-    o["text_quality_score"] = text.quality_score_sql()
+    # ---- text analysis: ONE single-scan entry carrying every per-doc
+    # feature (token counts incl. BPE-ish, quality components, lang-id,
+    # content + rolling fingerprints). The per-feature operators remain
+    # the API surface (tests/test_text.py mirrors each against its own
+    # oracle); folding them here freed four gate slots for the vocab,
+    # sampling, curation, and quantization entries below. ----
+    q["text_features"] = lambda s, d: text.features(_docs(s, d))
+    o["text_features"] = text.features_sql()
 
-    q["text_lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
-    o["text_lang_id"] = text.lang_id_sql()
-
-    q["text_fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
-    o["text_fingerprint"] = text.fingerprint_sql()
-
-    q["text_token_count_bpe"] = lambda s, d: text.token_count_bpe(_docs(s, d))
-    o["text_token_count_bpe"] = text.token_count_bpe_sql()
-
-    q["text_rolling_fp"] = lambda s, d: text.rolling_fingerprint(_docs(s, d))
-    o["text_rolling_fp"] = text.rolling_fingerprint_sql()
+    q["text_vocab_topn"] = lambda s, d: text.vocab_topn(_docs(s, d), 100)
+    o["text_vocab_topn"] = text.vocab_topn_sql(100)
 
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -281,7 +276,23 @@ def register_extensions(q: dict, o: dict) -> None:
         budget_tokens=512, shard_docs=100
     )
 
+    # per-stratum rebalance (en kept at 60%, es boosted to 100%, the
+    # rest thinned to 25%) — fractions chosen so every branch of the
+    # CASE, including the >=1.0 keep-all edge, is exercised by the gate
+    q["corpus_sample_stratified"] = lambda s, d: corpus.stratified_sample(
+        _docs(s, d), {"en": 0.6, "es": 1.0}, default_fraction=0.25
+    )
+    o["corpus_sample_stratified"] = corpus.stratified_sample_sql(
+        {"en": 0.6, "es": 1.0}, default_fraction=0.25
+    )
+
+    q["corpus_curation_topk"] = lambda s, d: corpus.curation_topk(_docs(s, d), 10)
+    o["corpus_curation_topk"] = corpus.curation_topk_sql(10)
+
     # ---- similarity search ----
+    q["sim_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
+    o["sim_quantize_int8"] = similarity.quantize_int8_sql()
+
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
     )
