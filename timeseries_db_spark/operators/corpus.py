@@ -152,10 +152,19 @@ def pack_sequences_sql(budget_tokens: int = 2048, shard_docs: int = 1000) -> str
 def _frac_to_hex_ub(frac: float) -> str | None:
     """Upper bound in the 4-hex-digit hash domain for a keep-fraction;
     None means "keep everything" (a 5-char bound like '10000' would
-    compare WRONG bytewise against 4-char digests)."""
-    if frac >= 1.0:
+    compare WRONG bytewise against 4-char digests). Fractions snap to
+    the nearest 1/65536 grid point (so the realized fraction can differ
+    from the request by at most 2^-17; tiny positive fractions round to
+    the nearest bucket count rather than silently truncating to zero)."""
+    ub = int(round(frac * 65536))
+    if ub >= 65536:
         return None
-    return format(max(0, int(frac * 65536)), "04x")
+    return format(max(0, ub), "04x")
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes escaped."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def stratified_sample(
@@ -177,16 +186,21 @@ def stratified_sample(
     row, no shuffle, no driver state; at 100 TB this is a free rider
     on whatever scan produces the rows."""
     h4 = F.substring(F.md5(F.concat(F.lit("sample:"), F.col(key).cast("string"))), 1, 4)
-    cond = None
+    ub = _frac_to_hex_ub(default_fraction)
+    default_branch = F.lit(True) if ub is None else (h4 < ub)
+    if fractions:
+        # NULL strata fall through to the default fraction (a bare
+        # NOT IN would evaluate to NULL and silently drop them)
+        others = (
+            F.col(stratum).isNull() | ~F.col(stratum).isin(*sorted(fractions))
+        ) & default_branch
+    else:
+        others = default_branch
+    cond = others
     for s in sorted(fractions):
         ub = _frac_to_hex_ub(fractions[s])
         branch = F.lit(True) if ub is None else (h4 < ub)
-        this = (F.col(stratum) == s) & branch
-        cond = this if cond is None else (cond | this)
-    ub = _frac_to_hex_ub(default_fraction)
-    default_branch = F.lit(True) if ub is None else (h4 < ub)
-    others = ~F.col(stratum).isin(*sorted(fractions)) & default_branch
-    cond = others if cond is None else (cond | others)
+        cond = cond | ((F.col(stratum) == s) & branch)
     return docs.filter(cond).select("doc_id", stratum)
 
 
@@ -201,11 +215,17 @@ def stratified_sample_sql(
     for s in sorted(fractions):
         ub = _frac_to_hex_ub(fractions[s])
         branch = "TRUE" if ub is None else f"{h4} < '{ub}'"
-        parts.append(f"({stratum} = '{s}' AND {branch})")
+        parts.append(f"({stratum} = {_sql_str(s)} AND {branch})")
     ub = _frac_to_hex_ub(default_fraction)
     default_branch = "TRUE" if ub is None else f"{h4} < '{ub}'"
-    in_list = ", ".join(f"'{s}'" for s in sorted(fractions))
-    parts.append(f"({stratum} NOT IN ({in_list}) AND {default_branch})")
+    if fractions:
+        in_list = ", ".join(_sql_str(s) for s in sorted(fractions))
+        parts.append(
+            f"(({stratum} IS NULL OR {stratum} NOT IN ({in_list})) "
+            f"AND {default_branch})"
+        )
+    else:
+        parts.append(f"({default_branch})")
     return (
         f"SELECT doc_id, {stratum} FROM documents WHERE "
         + " OR ".join(parts)

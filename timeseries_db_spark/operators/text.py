@@ -56,6 +56,37 @@ def _in_list(items: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in items) + ")"
 
 
+def _winner_case(scores: dict[str, str]) -> str:
+    """CASE expression picking the max-score language with alphabetical
+    tiebreak ('und' when every score is 0), over per-language score
+    expressions — syntax shared by Spark SQL and DuckDB, so this is the
+    single source of the winner rule for lang_id, lang_id_sql, and both
+    sides of features()."""
+    greatest = "greatest(" + ", ".join(scores[l] for l in sorted(scores)) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in sorted(scores):
+        case += f"WHEN {scores[lang]} = {greatest} THEN '{lang}' "
+    return case + "END"
+
+
+def _quality_fragments() -> dict[str, str]:
+    """Unrounded SQL fragments for the quality-score outputs, over the
+    staged count columns (n_tokens, stop_hits, alpha_len, text_len) —
+    syntax identical in Spark SQL and DuckDB. Rounding is applied
+    per-engine (duck_round vs native round) by the callers."""
+    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
+    stop_ratio = "CAST(stop_hits AS DOUBLE) / n_tokens"
+    alpha_ratio = "CAST(alpha_len AS DOUBLE) / text_len"
+    # exponent-notation literals are DOUBLE in BOTH engines (a bare 0.3
+    # parses as DECIMAL in both, with engine-specific promotion rules) —
+    # all-double arithmetic is the same IEEE ops on both sides
+    quality = (
+        f"{w_len}e0 * least(1.0e0, n_tokens / 100.0e0) "
+        f"+ {w_stop}e0 * ({stop_ratio}) + {w_alpha}e0 * ({alpha_ratio})"
+    )
+    return {"stop_ratio": stop_ratio, "alpha_ratio": alpha_ratio, "quality": quality}
+
+
 # ---------------------------------------------------------------------------
 # operators (Spark side)
 # ---------------------------------------------------------------------------
@@ -85,7 +116,6 @@ def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     regex are each bound once; the final score is cheap arithmetic over
     those columns (inlining them would re-run each regex per reference —
     see the note on ``dedup.SHINGLES_SPARK``)."""
-    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
     toks = docs.select(
         "doc_id", *keep, "text", F.expr(TOKENS_SPARK).alias("toks")
     )
@@ -99,40 +129,37 @@ def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         F.expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").alias("alpha_len"),
         F.expr("length(text)").alias("text_len"),
     )
+    q = _quality_fragments()
     return counts.select(
         "doc_id",
         *keep,
         "n_tokens",
-        duck_round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4).alias(
-            "stop_ratio"
-        ),
-        duck_round(F.col("alpha_len").cast("double") / F.col("text_len"), 4).alias(
-            "alpha_ratio"
-        ),
-        duck_round(
-            F.lit(w_len) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-            + F.lit(w_stop) * (F.col("stop_hits").cast("double") / F.col("n_tokens"))
-            + F.lit(w_alpha) * (F.col("alpha_len").cast("double") / F.col("text_len")),
-            4,
-        ).alias("quality"),
+        duck_round(F.expr(q["stop_ratio"]), 4).alias("stop_ratio"),
+        duck_round(F.expr(q["alpha_ratio"]), 4).alias("alpha_ratio"),
+        duck_round(F.expr(q["quality"]), 4).alias("quality"),
     )
 
 
 def quality_score_sql(keep: tuple[str, ...] = ()) -> str:
-    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
-    toks = TOKENS_DUCK
-    stop_hits = f"len(list_filter({toks}, t -> t IN {_in_list(QUALITY_STOPWORDS)}))"
-    alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    q = _quality_fragments()
     keep_sql = "".join(f"{c}, " for c in keep)
     return f"""
-        SELECT doc_id, {keep_sql}
-               len({toks})::BIGINT AS n_tokens,
-               round({stop_hits}::DOUBLE / len({toks}), 4) AS stop_ratio,
-               round({alpha}::DOUBLE / length(text), 4) AS alpha_ratio,
-               round({w_len} * least(1.0, len({toks}) / 100.0)
-                     + {w_stop} * ({stop_hits}::DOUBLE / len({toks}))
-                     + {w_alpha} * ({alpha}::DOUBLE / length(text)), 4) AS quality
-        FROM documents
+        WITH t AS (
+            SELECT doc_id, {keep_sql} text, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, {keep_sql}
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, t -> t IN {_in_list(QUALITY_STOPWORDS)})) AS stop_hits,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_len,
+                   length(text) AS text_len
+            FROM t
+        )
+        SELECT doc_id, {keep_sql} n_tokens,
+               round({q["stop_ratio"]}, 4) AS stop_ratio,
+               round({q["alpha_ratio"]}, 4) AS alpha_ratio,
+               round({q["quality"]}, 4) AS quality
+        FROM c
     """
 
 
@@ -154,26 +181,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
             for lang, words in sorted(LANG_LEXICONS.items())
         ],
     )
-    langs = sorted(LANG_LEXICONS)
-    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
-    for lang in langs:
-        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
-    case += "END"
+    case = _winner_case({l: f"sc_{l}" for l in LANG_LEXICONS})
     return scored.select("doc_id", "lang", F.expr(case).alias("pred_lang"))
 
 
 def lang_id_sql() -> str:
     toks = TOKENS_DUCK
-    scores = {
-        lang: f"len(list_filter({toks}, t -> t IN {_in_list(words)}))"
-        for lang, words in sorted(LANG_LEXICONS.items())
-    }
-    greatest = "greatest(" + ", ".join(scores.values()) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
-    for lang, expr in sorted(scores.items()):
-        case += f"WHEN {expr} = {greatest} THEN '{lang}' "
-    case += "END"
+    case = _winner_case(
+        {
+            lang: f"len(list_filter({toks}, t -> t IN {_in_list(words)}))"
+            for lang, words in LANG_LEXICONS.items()
+        }
+    )
     return f"SELECT doc_id, lang, {case} AS pred_lang FROM documents"
 
 
@@ -312,7 +331,6 @@ def features(docs: DataFrame) -> DataFrame:
     normalization each bind once (stage 1), every regex/hash binds once
     (stage 2), and stage 3 is cheap arithmetic + CASE over those
     columns. Still map-only: no shuffle at any stage."""
-    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
     langs = sorted(LANG_LEXICONS)
     s1 = docs.select(
         "doc_id",
@@ -342,28 +360,16 @@ def features(docs: DataFrame) -> DataFrame:
         F.expr("md5(norm)").alias("fp"),
         F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
     )
-    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
-    for lang in langs:
-        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
-    case += "END"
+    case = _winner_case({l: f"sc_{l}" for l in langs})
+    q = _quality_fragments()
     return s2.select(
         "doc_id",
         "lang",
         "n_tokens",
         "n_bpe_tokens",
-        duck_round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4).alias(
-            "stop_ratio"
-        ),
-        duck_round(F.col("alpha_len").cast("double") / F.col("text_len"), 4).alias(
-            "alpha_ratio"
-        ),
-        duck_round(
-            F.lit(w_len) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-            + F.lit(w_stop) * (F.col("stop_hits").cast("double") / F.col("n_tokens"))
-            + F.lit(w_alpha) * (F.col("alpha_len").cast("double") / F.col("text_len")),
-            4,
-        ).alias("quality"),
+        duck_round(F.expr(q["stop_ratio"]), 4).alias("stop_ratio"),
+        duck_round(F.expr(q["alpha_ratio"]), 4).alias("alpha_ratio"),
+        duck_round(F.expr(q["quality"]), 4).alias("quality"),
         F.expr(case).alias("pred_lang"),
         "fp",
         F.expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)").alias("fp_long"),
@@ -373,17 +379,13 @@ def features(docs: DataFrame) -> DataFrame:
 
 
 def features_sql() -> str:
-    w_len, w_stop, w_alpha = QUALITY_WEIGHTS
     langs = sorted(LANG_LEXICONS)
     sc_cols = ",\n                   ".join(
         f"len(list_filter(toks, t -> t IN {_in_list(LANG_LEXICONS[l])})) AS sc_{l}"
         for l in langs
     )
-    greatest = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
-    for lang in langs:
-        case += f"WHEN sc_{lang} = {greatest} THEN '{lang}' "
-    case += "END"
+    case = _winner_case({l: f"sc_{l}" for l in langs})
+    q = _quality_fragments()
     return f"""
         WITH s1 AS (
             SELECT doc_id, lang, text,
@@ -403,11 +405,9 @@ def features_sql() -> str:
             FROM s1
         )
         SELECT doc_id, lang, n_tokens, n_bpe_tokens,
-               round(stop_hits::DOUBLE / n_tokens, 4) AS stop_ratio,
-               round(alpha_len::DOUBLE / text_len, 4) AS alpha_ratio,
-               round({w_len} * least(1.0, n_tokens / 100.0)
-                     + {w_stop} * (stop_hits::DOUBLE / n_tokens)
-                     + {w_alpha} * (alpha_len::DOUBLE / text_len), 4) AS quality,
+               round({q["stop_ratio"]}, 4) AS stop_ratio,
+               round({q["alpha_ratio"]}, 4) AS alpha_ratio,
+               round({q["quality"]}, 4) AS quality,
                {case} AS pred_lang,
                fp,
                ('0x' || substr(fp, 1, 15))::BIGINT AS fp_long,
