@@ -78,3 +78,36 @@ def test_vocab_topn_rank_invariants(spark, sf_dir):
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
     assert all(r["token"] != "" for r in rows)
+
+
+def test_tokenize_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(
+        text.tokenize_with_vocab(docs, 50), text.tokenize_with_vocab_sql(50), sf_dir
+    )
+
+
+def test_tokenize_invariants(spark, sf_dir):
+    """Token ids are consistent with the vocabulary they were built from:
+    n_oov counts exactly the tokens outside the vocab, and a corpus
+    tokenized under an empty-ish vocab is all-OOV."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = text.tokenize_with_vocab(docs, 50)
+    vocab = {r["token"] for r in text.vocab_topn(docs, 50).collect()}
+    joined = (
+        docs.select("doc_id", F.expr(text.TOKENS_SPARK).alias("toks"))
+        .join(tok, "doc_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r["n_tokens"] == len(r["toks"])
+        assert r["n_oov"] == sum(1 for t in r["toks"] if t not in vocab)
+
+
+def test_tokenize_map_only(spark, sf_dir):
+    """Tokenization itself adds NO shuffle: the plan reading documents →
+    ids has no Exchange (the vocab is collected separately and inlined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = text.tokenize_with_vocab(docs, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -457,3 +457,67 @@ def vocab_topn_sql(n: int = 100) -> str:
         FROM c
         ORDER BY freq DESC, token LIMIT {n}
     """
+
+
+def tokenize_with_vocab(docs: DataFrame, vocab_n: int = 100) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, ids_fp, ids_sum) — map every document to
+    its token-id sequence under the corpus top-``vocab_n`` vocabulary
+    (id = [[vocab_topn]] rank, out-of-vocabulary → 0): the step between
+    vocabulary building and sequence packing in a pretraining pipeline.
+    The id sequence itself travels as ``ids_fp`` (md5 of the
+    comma-joined ids) plus the ``ids_sum`` checksum, so the wire schema
+    stays scalar while still pinning the exact per-position ids.
+
+    Scale design: the vocabulary is **bounded by construction**
+    (``vocab_n`` rows — the one thing a tokenizer must hold in memory),
+    so it is collected and inlined as a literal map, exactly like
+    broadcasting a tokenizer to every executor: tokenization itself is
+    then map-only over the corpus — one codegen'd ``transform`` per
+    row, no explode, no shuffle, no per-token join. The alternative
+    (posexplode → vocab join → re-aggregate by doc_id) shuffles every
+    token of a 100 TB corpus to rebuild rows that already existed; only
+    a vocabulary too big to broadcast (100M+ entries) would justify it."""
+    rows = vocab_topn(docs, vocab_n).select("token", "rnk").collect()
+    mapping = F.create_map(
+        *[F.lit(x) for r in rows for x in (r["token"], r["rnk"])]
+    )
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    ids = toks.select(
+        "doc_id",
+        F.transform(
+            F.col("toks"),
+            lambda t: F.coalesce(F.element_at(mapping, t), F.lit(0).cast("long")),
+        ).alias("ids"),
+    )
+    return ids.select(
+        "doc_id",
+        F.expr("size(ids)").cast("long").alias("n_tokens"),
+        F.expr("size(filter(ids, i -> i = 0))").cast("long").alias("n_oov"),
+        F.expr(
+            "md5(array_join(transform(ids, i -> CAST(i AS STRING)), ','))"
+        ).alias("ids_fp"),
+        F.expr("aggregate(ids, 0L, (a, x) -> a + x)").alias("ids_sum"),
+    )
+
+
+def tokenize_with_vocab_sql(vocab_n: int = 100) -> str:
+    """DuckDB twin: the ordered vocab token list makes ``list_position``
+    return exactly the [[vocab_topn]] rank (1-based), so the id math is
+    shared with the Spark side by construction."""
+    return f"""
+        WITH v AS ({vocab_topn_sql(vocab_n)}),
+        vl AS (SELECT list(token ORDER BY rnk) AS vlist FROM v),
+        t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+        ids AS (
+            SELECT doc_id,
+                   list_transform(toks, tk ->
+                       coalesce(list_position(vlist, tk), 0)::BIGINT) AS ids
+            FROM t, vl
+        )
+        SELECT doc_id,
+               len(ids)::BIGINT AS n_tokens,
+               len(list_filter(ids, i -> i = 0))::BIGINT AS n_oov,
+               md5(array_to_string(list_transform(ids, i -> i::VARCHAR), ',')) AS ids_fp,
+               list_sum(ids)::BIGINT AS ids_sum
+        FROM ids
+    """

@@ -333,7 +333,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash_sig",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_capped",
+    # folded entry: exact + stop-shingle-capped variants (the capped
+    # variant is the one that had no r1 row)
+    "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_embedding_near_dup",
     "ann_topk_srp",

@@ -226,23 +226,36 @@ def register_extensions(q: dict, o: dict) -> None:
     q["text_vocab_topn"] = lambda s, d: text.vocab_topn(_docs(s, d), 100)
     o["text_vocab_topn"] = text.vocab_topn_sql(100)
 
+    # vocab application: token-id sequences under the top-100 vocabulary
+    # (the step between text_vocab_topn and corpus_pack)
+    q["corpus_tokenize"] = lambda s, d: text.tokenize_with_vocab(_docs(s, d), 100)
+    o["corpus_tokenize"] = text.tokenize_with_vocab_sql(100)
+
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     o["dedup_exact"] = dedup.exact_dedup_sql()
 
-    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _docs(s, d), JACCARD_T
-    )
-    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(JACCARD_T)
+    # exact + stop-shingle-capped (df_limit — the skew guard that makes
+    # the inverted-index join survive at scale) union-folded into one
+    # gate entry with a `variant` discriminator; each branch keeps its
+    # own physical plan
+    def ngram_jaccard_both(s: SparkSession, d: str) -> DataFrame:
+        exact = dedup.ngram_jaccard_pairs(_docs(s, d), JACCARD_T).select(
+            F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
+        )
+        capped = dedup.ngram_jaccard_pairs(
+            _docs(s, d), JACCARD_T, df_limit=50
+        ).select(F.lit("capped").alias("variant"), "id_a", "id_b", "jaccard")
+        return exact.unionByName(capped)
 
-    # the stop-shingle cap (df_limit) is the skew guard that makes the
-    # inverted-index join survive at scale — gate-checked with the cap on
-    q["dedup_ngram_jaccard_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _docs(s, d), JACCARD_T, df_limit=50
-    )
-    o["dedup_ngram_jaccard_capped"] = dedup.ngram_jaccard_pairs_sql(
-        JACCARD_T, df_limit=50
-    )
+    q["dedup_ngram_jaccard"] = ngram_jaccard_both
+    o["dedup_ngram_jaccard"] = f"""
+        SELECT 'exact' AS variant, *
+        FROM ({dedup.ngram_jaccard_pairs_sql(JACCARD_T)})
+        UNION ALL
+        SELECT 'capped' AS variant, *
+        FROM ({dedup.ngram_jaccard_pairs_sql(JACCARD_T, df_limit=50)})
+    """
 
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), JACCARD_T
