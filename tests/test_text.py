@@ -20,6 +20,8 @@ SINGLE_OPS = [
     (text.fingerprint, text.fingerprint_sql),
     (text.token_count_bpe, text.token_count_bpe_sql),
     (text.rolling_fingerprint, text.rolling_fingerprint_sql),
+    (text.repetition_signals, text.repetition_signals_sql),
+    (text.pii_scrub, text.pii_scrub_sql),
 ]
 
 
@@ -47,10 +49,15 @@ def test_features_consistent_with_single_ops(spark, sf_dir):
         .join(text.fingerprint(docs), "doc_id")
         .join(text.token_count_bpe(docs), "doc_id")
         .join(text.rolling_fingerprint(docs), "doc_id")
+        .join(
+            text.repetition_signals(docs).drop("n_tokens"), "doc_id"
+        )
         .select(
             "doc_id", "lang", "n_tokens",
             F.col("n_bpe_tokens"), "stop_ratio", "alpha_ratio", "quality",
             "pred_lang", "fp", "fp_long", "n_kgrams", "min_fp",
+            "distinct_tok_ratio", "top_tok_frac", "dup_2gram_frac",
+            "mean_tok_len",
         )
     )
     assert feat.exceptAll(singles).count() == 0
@@ -103,6 +110,45 @@ def test_tokenize_invariants(spark, sf_dir):
     for r in joined:
         assert r["n_tokens"] == len(r["toks"])
         assert r["n_oov"] == sum(1 for t in r["toks"] if t not in vocab)
+
+
+def test_pii_scrub_redacts(spark):
+    """Behavior on text that actually CONTAINS PII (the fixture corpus
+    has none — the oracle mirror above only proves parity there)."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com or 10.0.0.1 now"),
+            (2, "no pii here"),
+            (3, "a@b.co c@d.io and 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert rows[1]["text_scrubbed"] == "mail <EMAIL> or <IP> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_ips"] == 0
+    assert rows[2]["text_scrubbed"] == "no pii here"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_ips"] == 1
+    assert rows[3]["text_scrubbed"] == "<EMAIL> <EMAIL> and <IP>"
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "w")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    # "a a a b": 4 tokens, 2 distinct, top 'a'×3; 2-grams [a a, a a, a b]
+    # → 1 dup of 3; mean len 1
+    assert rows[1]["distinct_tok_ratio"] == 0.5
+    assert rows[1]["top_tok_frac"] == 0.75
+    assert rows[1]["dup_2gram_frac"] == round(1 - 2 / 3, 4)
+    assert rows[1]["mean_tok_len"] == 1.0
+    assert rows[2]["distinct_tok_ratio"] == 1.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    # single token: no 2-grams at all → defined as 0
+    assert rows[3]["dup_2gram_frac"] == 0.0
+    assert rows[3]["top_tok_frac"] == 1.0
 
 
 def test_tokenize_map_only(spark, sf_dir):

@@ -315,6 +315,133 @@ def rolling_fingerprint_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# repetition / lexical-diversity signals + PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_tok_ratio, top_tok_frac,
+    dup_2gram_frac, mean_tok_len) — the Gopher-style repetition and
+    lexical-diversity filters: type-token ratio, most-common-token
+    fraction, duplicate word-2-gram fraction, mean token length.
+    Low-diversity / high-repetition documents are the classic
+    machine-generated-junk signature a pretraining pipeline drops.
+
+    Map-only (no shuffle); the top-token count is a nested-lambda
+    scan — O(distinct × total) per document, bounded by document
+    length, and still cheaper than the regexes that precede it."""
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    staged = toks.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " x -> size(filter(toks, y -> y = x))))"
+        ).cast("long").alias("top_cnt"),
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN CAST(array() AS array<string>) "
+            "ELSE transform(sequence(0, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i], toks[i+1])) END"
+        ).alias("g2"),
+        F.expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+        .alias("tok_chars"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        duck_round(F.expr("CAST(n_distinct AS DOUBLE) / n_tokens"), 4).alias(
+            "distinct_tok_ratio"
+        ),
+        duck_round(F.expr("CAST(top_cnt AS DOUBLE) / n_tokens"), 4).alias(
+            "top_tok_frac"
+        ),
+        duck_round(
+            F.expr(
+                "CASE WHEN size(g2) = 0 THEN 0.0e0 "
+                "ELSE 1.0e0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2) END"
+            ),
+            4,
+        ).alias("dup_2gram_frac"),
+        duck_round(F.expr("CAST(tok_chars AS DOUBLE) / n_tokens"), 4).alias(
+            "mean_tok_len"
+        ),
+    )
+
+
+def repetition_signals_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_distinct,
+                   list_max(list_transform(list_distinct(toks),
+                       x -> len(list_filter(toks, y -> y = x))))::BIGINT AS top_cnt,
+                   list_transform(generate_series(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1])) AS g2,
+                   list_sum(list_transform(toks, t -> length(t)))::BIGINT AS tok_chars
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_tok_ratio,
+               round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_tok_frac,
+               round(CASE WHEN len(g2) = 0 THEN 0.0e0
+                     ELSE 1.0e0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END,
+                     4) AS dup_2gram_frac,
+               round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS mean_tok_len
+        FROM s
+    """
+
+
+#: PII patterns kept to constructs Java regex and RE2 treat identically
+#: (character classes only, no backslash escapes — `[.]` instead of `\.`
+#: so the same literal works in Spark SQL and DuckDB strings).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
+    and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting
+    what was redacted. Emails scrub FIRST so an address's host part is
+    never half-matched as an IP. Map-only; the counts come from the
+    same single-bind staged projection as the scrubbed text."""
+    staged = docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{EMAIL_RE}', 0))")
+        .cast("long")
+        .alias("n_emails"),
+        F.expr(f"regexp_replace(text, '{EMAIL_RE}', '<EMAIL>')").alias("de_mailed"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_emails",
+        F.expr(f"size(regexp_extract_all(de_mailed, '{IPV4_RE}', 0))")
+        .cast("long")
+        .alias("n_ips"),
+        F.expr(f"regexp_replace(de_mailed, '{IPV4_RE}', '<IP>')").alias(
+            "text_scrubbed"
+        ),
+    )
+
+
+def pii_scrub_sql() -> str:
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS de_mailed
+            FROM documents
+        )
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(de_mailed, '{IPV4_RE}'))::BIGINT AS n_ips,
+               regexp_replace(de_mailed, '{IPV4_RE}', '<IP>', 'g') AS text_scrubbed
+        FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
 # one-pass feature extraction + corpus vocabulary
 # ---------------------------------------------------------------------------
 
@@ -359,6 +486,18 @@ def features(docs: DataFrame) -> DataFrame:
         ],
         F.expr("md5(norm)").alias("fp"),
         F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " x -> size(filter(toks, y -> y = x))))"
+        ).cast("long").alias("top_cnt"),
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN CAST(array() AS array<string>) "
+            "ELSE transform(sequence(0, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i], toks[i+1])) END"
+        ).alias("g2"),
+        F.expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+        .alias("tok_chars"),
     )
     case = _winner_case({l: f"sc_{l}" for l in langs})
     q = _quality_fragments()
@@ -375,6 +514,22 @@ def features(docs: DataFrame) -> DataFrame:
         F.expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)").alias("fp_long"),
         F.expr("size(array_distinct(hashes))").cast("long").alias("n_kgrams"),
         F.expr("array_min(hashes)").alias("min_fp"),
+        duck_round(F.expr("CAST(n_distinct AS DOUBLE) / n_tokens"), 4).alias(
+            "distinct_tok_ratio"
+        ),
+        duck_round(F.expr("CAST(top_cnt AS DOUBLE) / n_tokens"), 4).alias(
+            "top_tok_frac"
+        ),
+        duck_round(
+            F.expr(
+                "CASE WHEN size(g2) = 0 THEN 0.0e0 "
+                "ELSE 1.0e0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2) END"
+            ),
+            4,
+        ).alias("dup_2gram_frac"),
+        duck_round(F.expr("CAST(tok_chars AS DOUBLE) / n_tokens"), 4).alias(
+            "mean_tok_len"
+        ),
     )
 
 
@@ -401,7 +556,13 @@ def features_sql() -> str:
                    length(text) AS text_len,
                    {sc_cols},
                    md5(norm) AS fp,
-                   {_kgram_hashes_duck("norm")} AS hashes
+                   {_kgram_hashes_duck("norm")} AS hashes,
+                   len(list_distinct(toks))::BIGINT AS n_distinct,
+                   list_max(list_transform(list_distinct(toks),
+                       x -> len(list_filter(toks, y -> y = x))))::BIGINT AS top_cnt,
+                   list_transform(generate_series(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1])) AS g2,
+                   list_sum(list_transform(toks, t -> length(t)))::BIGINT AS tok_chars
             FROM s1
         )
         SELECT doc_id, lang, n_tokens, n_bpe_tokens,
@@ -412,7 +573,13 @@ def features_sql() -> str:
                fp,
                ('0x' || substr(fp, 1, 15))::BIGINT AS fp_long,
                len(list_distinct(hashes))::BIGINT AS n_kgrams,
-               list_min(hashes) AS min_fp
+               list_min(hashes) AS min_fp,
+               round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_tok_ratio,
+               round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_tok_frac,
+               round(CASE WHEN len(g2) = 0 THEN 0.0e0
+                     ELSE 1.0e0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END,
+                     4) AS dup_2gram_frac,
+               round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS mean_tok_len
         FROM s2
     """
 

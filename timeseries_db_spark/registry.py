@@ -225,11 +225,16 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         )
     )
 
-    # --- A7: group by timestamp (sorted group keys, O1) ---
+    # --- A7: group by timestamp (sorted group keys, O1), plus the
+    # grouped desc-sort + group-limit shape (O1/O2 on groups) as a third
+    # union leg — same (grp, result) shape, discriminated by `func` ---
     byts_qms = {
         a.value: QueryModel(agg_func=a, group_by=GroupBy.TIMESTAMP, ge=LO, lt=HI)
         for a in (Agg.SUM, Agg.COUNT)
     }
+    byts_qms["max_desc_limit"] = QueryModel(
+        agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
+    )
     q["agg_by_ts"] = _agg_union(byts_qms)
     o["agg_by_ts"] = (
         f"WITH t AS ({EVENTS_T}) "
@@ -239,6 +244,10 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
             'GROUP BY "timestamp"'
             for a in (Agg.SUM, Agg.COUNT)
         )
+        + "\nUNION ALL\n"
+        + 'SELECT * FROM (SELECT "timestamp" AS grp, max(value) AS result, '
+        "'max_desc_limit' AS func FROM t "
+        'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 50)'
     )
 
     # --- A8: groupBy=tag + tsEq (one row per tag at that instant) ---
@@ -281,15 +290,6 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         f"SELECT * FROM (SELECT {rows}, 'desc' AS dir FROM t "
         'ORDER BY "timestamp" DESC, tag DESC, value DESC LIMIT 100)'
     )
-    qm = QueryModel(
-        agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
-    )
-    q["group_ts_desc_limit"] = _tsdb_query(qm)
-    o["group_ts_desc_limit"] = _oracle(
-        "", '"timestamp" AS grp, max(value) AS result',
-        'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 50',
-    )
-
     # --- same surface exercised on the 10×-bigger lineitem tsdb view
     # (avg under a range + unbounded sum, one union entry) ---
     li_qms = {

@@ -226,6 +226,14 @@ def register_extensions(q: dict, o: dict) -> None:
     q["text_vocab_topn"] = lambda s, d: text.vocab_topn(_docs(s, d), 100)
     o["text_vocab_topn"] = text.vocab_topn_sql(100)
 
+    # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
+    # repetition/diversity signals ride inside text_features; this is
+    # the one text op whose OUTPUT is a rewritten text column, so it
+    # gets its own hash-checked entry (slot freed by folding the
+    # grouped desc-limit shape into agg_by_ts)
+    q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_docs(s, d))
+    o["text_pii_scrub"] = text.pii_scrub_sql()
+
     # vocab application: token-id sequences under the top-100 vocabulary
     # (the step between text_vocab_topn and corpus_pack)
     q["corpus_tokenize"] = lambda s, d: text.tokenize_with_vocab(_docs(s, d), 100)
