@@ -210,12 +210,27 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         )
     )
 
-    # --- A6: all five aggs grouped by tag, under a range filter ---
+    # --- A6: all five aggs grouped by tag, under a range filter; plus
+    # the A8 shape (groupBy=tag + tsEq point filter) as a sixth union
+    # leg — its ts_eq key is resolved at run time (min timestamp), so it
+    # gets its own branch rather than a static QueryModel in the dict ---
     bytag_qms = {
         a.value: QueryModel(agg_func=a, group_by=GroupBy.TAG, gt=LO, le=HI)
         for a in Agg
     }
-    q["agg_by_tag_all"] = _agg_union(bytag_qms)
+    _bytag_base = _agg_union(bytag_qms)
+
+    def agg_by_tag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = _bytag_base(spark, sf_dir)
+        t = events_as_tsdb(spark, sf_dir)
+        ts0 = t.agg(F.min("timestamp")).first()[0]
+        qm = QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
+        leg = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
+            "func", F.lit("max_ts_eq")
+        )
+        return base.unionByName(leg)
+
+    q["agg_by_tag_all"] = agg_by_tag_all
     o["agg_by_tag_all"] = (
         f"WITH t AS ({EVENTS_T}) "
         + "\nUNION ALL\n".join(
@@ -223,6 +238,10 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
             f"FROM t {_range_where(bytag_qms[a.value])} GROUP BY tag"
             for a in Agg
         )
+        + "\nUNION ALL\n"
+        + "SELECT tag AS grp, max(value) AS result, 'max_ts_eq' AS func "
+        'FROM t WHERE "timestamp" = (SELECT min("timestamp") FROM t) '
+        "GROUP BY tag"
     )
 
     # --- A7: group by timestamp (sorted group keys, O1), plus the
@@ -248,20 +267,6 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         + 'SELECT * FROM (SELECT "timestamp" AS grp, max(value) AS result, '
         "'max_desc_limit' AS func FROM t "
         'GROUP BY "timestamp" ORDER BY grp DESC LIMIT 50)'
-    )
-
-    # --- A8: groupBy=tag + tsEq (one row per tag at that instant) ---
-    def group_tag_ts_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = events_as_tsdb(spark, sf_dir)
-        ts0 = t.agg(F.min("timestamp")).first()[0]
-        qm = QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
-        return compile_query(events_as_tsdb(spark, sf_dir, qm), qm)
-
-    q["group_tag_ts_eq"] = group_tag_ts_eq
-    o["group_tag_ts_eq"] = _oracle(
-        'WHERE "timestamp" = (SELECT min("timestamp") FROM t)',
-        "tag AS grp, max(value) AS result",
-        "GROUP BY tag",
     )
 
     # --- O1/O2/O3: sort asc + desc with limit (lazy top-k), one union

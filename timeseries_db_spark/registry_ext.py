@@ -25,6 +25,7 @@ from timeseries_db_spark.operators import (
     dedup,
     multimodal,
     rollup,
+    semistructured,
     similarity,
     text,
 )
@@ -233,6 +234,15 @@ def register_extensions(q: dict, o: dict) -> None:
     # grouped desc-limit shape into agg_by_ts)
     q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_docs(s, d))
     o["text_pii_scrub"] = text.pii_scrub_sql()
+
+    # semi-structured JSON extraction (from_json, JVM codegen) composed
+    # with aggregation — the extracted field is both an aggregate input
+    # (by_type leg) and a group key (by_k_decile leg); slot freed by
+    # folding the A8 shape into agg_by_tag_all
+    q["events_props_stats"] = lambda s, d: semistructured.props_stats(
+        load_table(s, d, "events")
+    )
+    o["events_props_stats"] = semistructured.props_stats_sql()
 
     # vocab application: token-id sequences under the top-100 vocabulary
     # (the step between text_vocab_topn and corpus_pack)
