@@ -219,6 +219,72 @@ def rate_per_bucket_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
     """
 
 
+def zscore_outliers(tsdb: DataFrame, threshold: float = 2.5) -> DataFrame:
+    """Per-tag z-score anomaly detection: rows where
+    ``|value - mean(tag)| / stddev_pop(tag) >= threshold``.
+
+    Two-pass, skew-proof by construction: pass 1 is a hash aggregation
+    to per-tag moments (one row per tag — tiny), pass 2 broadcasts the
+    moments back onto the stream and filters. No window function, so no
+    whole-tag-in-one-task hazard — at 100 TB this is a map-side-combined
+    agg plus a map-only filtered scan, the cheapest possible shape.
+
+    Determinism / oracle parity: the mean and E[x²] come from exact
+    DECIMAL(38,10) sums (partition-order independent), so Spark and the
+    DuckDB twin compute bit-identical doubles through the same
+    ``E[x²] − mean²`` formula. That one-pass variance form trades the
+    usual cancellation hazard for exactness — fine while ``value`` spans
+    few orders of magnitude (fixture values are O(100)); for wild ranges
+    switch the moment pass to a shifted sum. Returns
+    ``(tag, timestamp, value, z)`` with z rounded to 4.
+    """
+    stats = tsdb.groupBy("tag").agg(
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(38,10)")
+        ).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_sq").cast("double") / F.col("_n") - mean * mean
+    moments = stats.select(
+        "tag",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_sd")
+    return (
+        tsdb.join(F.broadcast(moments), on="tag", how="inner")
+        .filter((F.col("_sd") > 0) & (F.abs(z) >= F.lit(threshold)))
+        .select(
+            "tag", "timestamp", "value", duck_round(z, 4).alias("z")
+        )
+    )
+
+
+def zscore_outliers_sql(table_sql: str, threshold: float = 2.5) -> str:
+    return f"""
+        WITH t AS ({table_sql}),
+        s AS (
+            SELECT tag,
+                   sum(value::DECIMAL(38,10)) AS ds,
+                   sum((value * value)::DECIMAL(38,10)) AS dsq,
+                   count(*) AS n
+            FROM t GROUP BY tag
+        ),
+        m AS (
+            SELECT tag, ds::DOUBLE / n AS mean,
+                   sqrt(greatest(dsq::DOUBLE / n - (ds::DOUBLE / n) * (ds::DOUBLE / n),
+                                 0.0)) AS sd
+            FROM s
+        )
+        SELECT t.tag, t."timestamp", t.value,
+               round((t.value - m.mean) / m.sd, 4) AS z
+        FROM t JOIN m ON t.tag = m.tag
+        WHERE m.sd > 0 AND abs((t.value - m.mean) / m.sd) >= {threshold}
+    """
+
+
 def running_totals_sql(table_sql: str, where: str = "") -> str:
     """DuckDB oracle for both batch variants and the streaming operator."""
     return f"""

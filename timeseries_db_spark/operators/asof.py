@@ -231,6 +231,117 @@ def gap_fill(
     )
 
 
+def interpolate_linear(
+    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int
+) -> DataFrame:
+    """Resample to a regular grid with *linear interpolation*: for every
+    tag and grid instant, the value linearly interpolated between the
+    nearest observation at-or-before and the nearest at-or-after; outside
+    a tag's observed range it degrades to nearest-neighbor fill (the
+    one-sided value), NULL only for tags with no points at all.
+
+    Spark-first: TWO passes of the union+window as-of primitive — the
+    backward pass as-is, the forward pass on a *negated* time axis (the
+    latest ``-src_ts <= -t`` is exactly the earliest ``src_ts >= t``).
+    Both shuffles hash on the same key, so AQE reuses the exchange
+    layout; the grid is generated, never stored (see :func:`gap_fill`).
+    Skew: per-key windows — at 100 TB apply the bucketed recursion of
+    :func:`asof_join_scalable` to each pass unchanged.
+
+    The interpolation arithmetic ``p + (n - p) * (t - pt) / (nt - pt)``
+    runs identically in the DuckDB twin on identical inputs (grid
+    instants and at-most-one point per (tag, ts) after the max-collapse),
+    so the rounded doubles hash-match.
+    """
+    points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+        F.max("value").alias("value")
+    )
+    tags = tsdb.select("tag").distinct()
+    if lo > hi:
+        return tags.select(
+            "tag",
+            F.lit(None).cast("long").alias("timestamp"),
+            F.lit(None).cast("double").alias("value"),
+        ).filter(F.lit(False))
+    grid = tags.select(
+        "tag",
+        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step_ms))).alias(
+            "timestamp"
+        ),
+    )
+    prev = asof_join(
+        grid,
+        points.select(
+            "tag",
+            "src_ts",
+            F.col("src_ts").alias("p_ts"),
+            F.col("value").alias("p_v"),
+        ),
+        on="tag",
+        left_ts="timestamp",
+        right_ts="src_ts",
+        payload=["p_ts", "p_v"],
+    )
+    both = asof_join(
+        prev.withColumn("_neg", -F.col("timestamp")),
+        points.select(
+            "tag",
+            (-F.col("src_ts")).alias("neg_src"),
+            F.col("src_ts").alias("n_ts"),
+            F.col("value").alias("n_v"),
+        ),
+        on="tag",
+        left_ts="_neg",
+        right_ts="neg_src",
+        payload=["n_ts", "n_v"],
+    )
+    t, pt, pv = F.col("timestamp"), F.col("p_ts"), F.col("p_v")
+    nt, nv = F.col("n_ts"), F.col("n_v")
+    interp = pv + (nv - pv) * (t - pt) / (nt - pt)
+    value = (
+        F.when(pt.isNotNull() & nt.isNotNull() & (nt != pt), interp)
+        .when(pt.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    return both.select(
+        "tag", "timestamp", duck_round(value, 4).alias("value")
+    )
+
+
+def interpolate_linear_sql(
+    table_sql: str, *, lo: int, hi: int, step_ms: int
+) -> str:
+    """DuckDB twin: two ASOF LEFT JOINs — ``<=`` for the prior point,
+    ``>=`` for the next (DuckDB ASOF picks the nearest match under
+    either inequality direction)."""
+    return f"""
+        WITH t AS ({table_sql}),
+        pts AS (SELECT tag, "timestamp" AS src_ts, max(value) AS value
+                FROM t GROUP BY 1, 2),
+        grid AS (SELECT tag, g AS ts
+                 FROM (SELECT DISTINCT tag FROM t),
+                      generate_series({lo}, {hi}, {step_ms}) s(g)),
+        prev AS (
+            SELECT grid.tag, grid.ts, pts.src_ts AS p_ts, pts.value AS p_v
+            FROM grid ASOF LEFT JOIN pts
+              ON grid.tag = pts.tag AND pts.src_ts <= grid.ts
+        ),
+        nxt AS (
+            SELECT grid.tag, grid.ts, pts.src_ts AS n_ts, pts.value AS n_v
+            FROM grid ASOF LEFT JOIN pts
+              ON grid.tag = pts.tag AND pts.src_ts >= grid.ts
+        )
+        SELECT prev.tag, prev.ts AS "timestamp",
+               round(CASE
+                   WHEN p_ts IS NOT NULL AND n_ts IS NOT NULL AND n_ts != p_ts
+                       THEN p_v + (n_v - p_v) * (prev.ts - p_ts) / (n_ts - p_ts)
+                   WHEN p_ts IS NOT NULL THEN p_v
+                   ELSE n_v
+               END, 4) AS value
+        FROM prev JOIN nxt ON prev.tag = nxt.tag AND prev.ts = nxt.ts
+    """
+
+
 def gap_fill_sql(table_sql: str, *, lo: int, hi: int, step_ms: int) -> str:
     return f"""
         WITH t AS ({table_sql}),

@@ -60,21 +60,28 @@ def register_extensions(q: dict, o: dict) -> None:
     # ---- as-of join (union+window plan vs DuckDB ASOF JOIN oracle) ----
     from timeseries_db_spark.registry import HI, LO, EVENTS_T
 
-    q["asof_hourly_enrich"] = lambda s, d: asof.enrich_with_hourly_avg(
-        events_as_tsdb(s, d)
-    )
-    o["asof_hourly_enrich"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
-
-    # the skew-safe bucketed plan, same semantics → same oracle
-    def asof_enrich_scalable(s: SparkSession, d: str) -> DataFrame:
+    # both physical strategies — plain union+window and the skew-safe
+    # bucketed recursion — produce the same rows, so they run as two legs
+    # of ONE gate entry (slot freed for ts_anomaly_interp); the oracle is
+    # the same ASOF SQL stamped with each leg label
+    def asof_enrich_both(s: SparkSession, d: str) -> DataFrame:
         t = events_as_tsdb(s, d)
-        return asof.asof_join_scalable(
+        plain = asof.enrich_with_hourly_avg(t).withColumn(
+            "variant", F.lit("plain")
+        )
+        bucketed = asof.asof_join_scalable(
             t, asof.hourly_avg(t), on="tag", left_ts="timestamp",
             right_ts="hr", payload=["hr_avg"], bucket_ms=6 * 3_600_000,
-        )
+        ).withColumn("variant", F.lit("bucketed"))
+        return plain.unionByName(bucketed)
 
-    q["asof_hourly_enrich_scalable"] = asof_enrich_scalable
-    o["asof_hourly_enrich_scalable"] = asof.enrich_with_hourly_avg_sql(EVENTS_T)
+    q["asof_hourly_enrich"] = asof_enrich_both
+    _enrich_sql = asof.enrich_with_hourly_avg_sql(EVENTS_T)
+    o["asof_hourly_enrich"] = (
+        f"SELECT *, 'plain' AS variant FROM ({_enrich_sql})"
+        " UNION ALL "
+        f"SELECT *, 'bucketed' AS variant FROM ({_enrich_sql})"
+    )
 
     # ---- gap-fill / resample to an hourly grid with forward-fill ----
     q["gapfill_hourly"] = lambda s, d: asof.gap_fill(
