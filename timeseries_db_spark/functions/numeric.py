@@ -39,9 +39,13 @@ def duck_round(col: Column, scale: int = 4) -> Column:
 
 def np_duck_round(a: "np.ndarray", scale: int = 4) -> "np.ndarray":
     """numpy twin of :func:`duck_round` — np.round is half-to-even and
-    disagrees with DuckDB/duck_round at exact ties."""
+    disagrees with DuckDB/duck_round at exact ties. ``+ 0.0`` at the end
+    normalizes IEEE ``-0.0`` to ``+0.0``: the Spark twin floors through
+    a LONG (no signed zero exists there), while np.floor keeps the sign
+    of a tiny negative — without the normalization the two diverge at
+    the bit level on values that round to zero."""
     m = 10.0**scale
-    return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m
+    return np.where(a >= 0, np.floor(a * m + 0.5), -np.floor(-a * m + 0.5)) / m + 0.0
 
 
 def duck_div(col: Column, divisor: int) -> Column:
