@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 
 import duckdb
 import pandas as pd
@@ -31,7 +32,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def assert_same(spark_df, oracle_df: pd.DataFrame, rel: float = 1e-9) -> None:
+def assert_same(spark_df, oracle_df: pd.DataFrame) -> None:
+    """Bitwise-exact comparison — the driver hashes raw values, so a
+    +0.0/-0.0 or 1-ulp divergence that `==` forgives still fails the
+    gate. NaN==NaN is the only equivalence granted."""
     got = _normalize(spark_df.toPandas())
     exp = _normalize(oracle_df)
     assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))
@@ -40,13 +44,14 @@ def assert_same(spark_df, oracle_df: pd.DataFrame, rel: float = 1e-9) -> None:
         g, e = got[col], exp[col]
         for i, (gv, ev) in enumerate(zip(g, e)):
             if isinstance(gv, float) or isinstance(ev, float):
-                if (gv is None or (isinstance(gv, float) and math.isnan(gv))) and (
-                    ev is None or (isinstance(ev, float) and math.isnan(ev))
-                ):
+                g_nan = gv is None or (isinstance(gv, float) and math.isnan(gv))
+                e_nan = ev is None or (isinstance(ev, float) and math.isnan(ev))
+                if g_nan or e_nan:
+                    assert g_nan and e_nan, (col, i, gv, ev)
                     continue
-                assert math.isclose(float(gv), float(ev), rel_tol=rel, abs_tol=1e-9), (
-                    col, i, gv, ev,
-                )
+                gb = struct.pack("<d", float(gv))
+                eb = struct.pack("<d", float(ev))
+                assert gb == eb, (col, i, gv, ev, "bitwise")
             else:
                 assert gv == ev, (col, i, gv, ev)
 

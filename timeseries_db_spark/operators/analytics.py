@@ -164,7 +164,7 @@ def point_deltas_sql(table_sql: str) -> str:
     return f"""
         WITH t AS ({table_sql})
         SELECT "timestamp", tag, value,
-               round(value - lag(value) OVER w, 4) AS dv,
+               round(value - lag(value) OVER w, 4) + 0.0 AS dv,
                "timestamp" - lag("timestamp") OVER w AS dt_ms
         FROM t
         WINDOW w AS (PARTITION BY tag ORDER BY "timestamp")
@@ -214,7 +214,7 @@ def rate_per_bucket_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
         )
         SELECT tag, bucket_start,
                round(CASE WHEN lt > ft THEN (lv - fv) / ((lt - ft) / 1000.0) END, 4)
-                   AS rate_per_s
+                   + 0.0 AS rate_per_s
         FROM g
     """
 
@@ -279,7 +279,7 @@ def zscore_outliers_sql(table_sql: str, threshold: float = 2.5) -> str:
             FROM s
         )
         SELECT t.tag, t."timestamp", t.value,
-               round((t.value - m.mean) / m.sd, 4) AS z
+               round((t.value - m.mean) / m.sd, 4) + 0.0 AS z
         FROM t JOIN m ON t.tag = m.tag
         WHERE m.sd > 0 AND abs((t.value - m.mean) / m.sd) >= {threshold}
     """
