@@ -35,7 +35,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def assert_same(spark_df, oracle_df: pd.DataFrame) -> None:
     """Bitwise-exact comparison — the driver hashes raw values, so a
     +0.0/-0.0 or 1-ulp divergence that `==` forgives still fails the
-    gate. NaN==NaN is the only equivalence granted."""
+    gate. Two equivalences are granted: NaN==NaN, and None≡NaN for
+    float columns — pandas turns double NULL into NaN on `toPandas()`,
+    so a Spark NULL and a DuckDB NULL both surface here as NaN and the
+    distinction is unobservable post-conversion (the driver's hash sees
+    the same pandas frames and conflates them identically)."""
     got = _normalize(spark_df.toPandas())
     exp = _normalize(oracle_df)
     assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))

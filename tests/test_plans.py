@@ -28,9 +28,18 @@ def test_range_bounds_reach_the_scan(spark, sf_dir):
     plan = _formatted_plan(spark, compile_query(events_as_tsdb(spark, sf_dir, qm), qm))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed, plan
-    # gt/le translated into the raw ns domain (sources.push_ts_bounds)
-    assert "GreaterThanOrEqual(ts,1704500000001000000)" in pushed[0]
-    assert "LessThan(ts,1706000000001000000)" in pushed[0]
+    # gt/le translated into the raw scan domain (sources.push_ts_bounds).
+    # Spark renders the pushed literal either as raw nanos or as an ISO
+    # instant depending on version/session — accept both spellings; the
+    # ms values are gt+1 = 1704500000001 and le+1 = 1706000000001.
+    assert (
+        "GreaterThanOrEqual(ts,1704500000001000000)" in pushed[0]
+        or "GreaterThanOrEqual(ts,2024-01-06T00:13:20.001" in pushed[0]
+    ), pushed[0]
+    assert (
+        "LessThan(ts,1706000000001000000)" in pushed[0]
+        or "LessThan(ts,2024-01-23T08:53:20.001" in pushed[0]
+    ), pushed[0]
 
 
 def test_scalar_agg_prunes_to_value_column(spark, sf_dir):

@@ -337,7 +337,7 @@ def interpolate_linear_sql(
                        THEN p_v + (n_v - p_v) * (prev.ts - p_ts) / (n_ts - p_ts)
                    WHEN p_ts IS NOT NULL THEN p_v
                    ELSE n_v
-               END, 4) AS value
+               END, 4) + 0.0 AS value
         FROM prev JOIN nxt ON prev.tag = nxt.tag AND prev.ts = nxt.ts
     """
 
@@ -359,7 +359,7 @@ def gap_fill_sql(table_sql: str, *, lo: int, hi: int, step_ms: int) -> str:
 def enrich_with_hourly_avg_sql(table_sql: str) -> str:
     return f"""
         WITH t AS ({table_sql}),
-        r AS (SELECT hr, tag, round(dsum::DOUBLE / n, 4) AS hr_avg
+        r AS (SELECT hr, tag, round(dsum::DOUBLE / n, 4) + 0.0 AS hr_avg
               FROM (SELECT ("timestamp" // {HOUR_MS}) * {HOUR_MS} AS hr, tag,
                            sum(value::DECIMAL(38,10)) AS dsum, count(*) AS n
                     FROM t GROUP BY 1, 2))

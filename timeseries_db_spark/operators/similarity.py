@@ -167,7 +167,7 @@ def cosine_topk_sql(query_pred: str, k: int) -> str:
         ),
         p AS (
             SELECT qid, e.vec_id AS nid,
-                   round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS c6
+                   round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) + 0.0 AS c6
             FROM q JOIN embeddings e ON e.vec_id <> qid
         ),
         r AS (
@@ -175,7 +175,7 @@ def cosine_topk_sql(query_pred: str, k: int) -> str:
                    row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, nid ASC) AS rn
             FROM p
         )
-        SELECT qid, nid, round(c6, 4) AS cos FROM r WHERE rn <= {k}
+        SELECT qid, nid, round(c6, 4) + 0.0 AS cos FROM r WHERE rn <= {k}
     """
 
 
@@ -267,7 +267,7 @@ def near_dup_pairs(
 def near_dup_pairs_sql(threshold: float) -> str:
     return f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= {threshold}
     """
