@@ -92,28 +92,65 @@ def release_caches() -> None:
 #: 6× slower on the sf0.1 documents table). Multi-referenced non-cheap
 #: aliases are not collapsed by Catalyst, so the two-step form evaluates
 #: the split exactly once per row.
+#: Shingle identity is a 53-bit integer, not the concatenated string:
+#: each token is hashed once (60-bit md5-long), and a 3-token shingle is
+#: the polynomial fold of its token hashes mod the largest prime below
+#: 2**53 (fold accumulator ≤ (MOD-1)*257 + 2**60 < 2**62 — no signed
+#: overflow in either engine). Versus md5-of-concat-string per shingle
+#: this skips every concat_ws allocation, dedupes/joins on longs instead
+#: of strings, and measured ~2× faster over the documents corpus; the
+#: ~n²/2**54 per-document collision odds are noise for Jaccard /
+#: contamination purposes and the DuckDB twin folds identically, so the
+#: value-level oracle stays bitwise.
+SHINGLE_MOD = 9_007_199_254_740_881
+SHINGLE_BASE = 257
+
+_TOK_HASHES_SPARK = (
+    "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+_TOK_HASHES_DUCK = (
+    f"list_transform({TOKENS_DUCK}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+)
+
+
+def _shingle_fold(terms: list[str]) -> str:
+    """((h0 % MOD) * B + h1) % MOD ... — shared Spark/DuckDB arithmetic."""
+    h = f"{terms[0]} % {SHINGLE_MOD}"
+    for t in terms[1:]:
+        h = f"(({h}) * {SHINGLE_BASE} + {t}) % {SHINGLE_MOD}"
+    return h
+
+
 SHINGLES_SPARK = f"""
-    CASE WHEN size(toks) < {SHINGLE_W}
-         THEN array(concat_ws(' ', toks))
-         ELSE array_distinct(transform(
-                sequence(0, size(toks) - {SHINGLE_W}),
-                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-    END
+    transform(
+      array({_TOK_HASHES_SPARK}),
+      hs -> CASE
+        WHEN size(hs) = 1 THEN array({_shingle_fold(['hs[0]'])})
+        WHEN size(hs) = 2 THEN array({_shingle_fold(['hs[0]', 'hs[1]'])})
+        ELSE array_distinct(transform(
+               sequence(0, size(hs) - {SHINGLE_W}),
+               i -> {_shingle_fold([f'hs[i+{j}]' for j in range(SHINGLE_W)])}))
+      END
+    )[0]
 """
 
 SHINGLES_DUCK = f"""
-    CASE WHEN len({TOKENS_DUCK}) < {SHINGLE_W}
-         THEN [array_to_string({TOKENS_DUCK}, ' ')]
-         ELSE list_distinct(list_transform(
-                generate_series(1, len({TOKENS_DUCK}) - {SHINGLE_W - 1}),
-                i -> concat_ws(' ', {TOKENS_DUCK}[i], {TOKENS_DUCK}[i+1],
-                               {TOKENS_DUCK}[i+2])))
-    END
+    list_transform(
+      [{_TOK_HASHES_DUCK}],
+      hs -> CASE
+        WHEN len(hs) = 1 THEN [{_shingle_fold(['hs[1]'])}]
+        WHEN len(hs) = 2 THEN [{_shingle_fold(['hs[1]', 'hs[2]'])}]
+        ELSE list_distinct(list_transform(
+               generate_series(1, len(hs) - {SHINGLE_W - 1}),
+               i -> {_shingle_fold([f'hs[i+{j}]' for j in range(SHINGLE_W)])}))
+      END
+    )[1]
 """
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct word 3-grams."""
+    """(doc_id, shingle) — exploded distinct word 3-grams, identified by
+    their 53-bit polynomial token-hash fold (see ``SHINGLES_SPARK``)."""
     toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
     return toks.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
@@ -202,15 +239,41 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")  # inner join keeps only rare shingles
+    # The intersection size |A ∩ B| falls straight out of the inverted-
+    # index join: each co-occurring shingle contributes one (id_a, id_b)
+    # row, so ONE shuffle join + ONE pair-keyed aggregation yields
+    # `shared` directly. (The candidates→distinct→re-join-the-shingles
+    # detour _jaccard_verify runs for LSH-produced candidates would scan
+    # and join the shingle stream a second time for no benefit here.)
     a = sh.alias("a")
     b = sh.alias("b")
-    candidates = (
+    shared = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return _jaccard_verify(sh, candidates, threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            duck_round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> str:
@@ -241,8 +304,10 @@ def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> st
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_HASH_SPARK = f"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
-_HASH_DUCK = f"{md5_long_sql('shingle')} % {MINHASH_P}"
+# The shingle is already an integer hash (SHINGLES_SPARK fold) — the
+# minhash base value is just its reduction mod P.
+_HASH_SPARK = f"shingle % {MINHASH_P}"
+_HASH_DUCK = f"shingle % {MINHASH_P}"
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -382,9 +382,14 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("size(toks)").cast("long").alias("n_tokens"),
         F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        # mode count via sort + run-length fold: O(n log n) + O(n),
+        # vs the transform×filter form's O(n_distinct × n_tokens)
         F.expr(
-            "array_max(transform(array_distinct(toks),"
-            " x -> size(filter(toks, y -> y = x))))"
+            "aggregate(array_sort(toks),"
+            " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+            " (s, x) -> struct(x, IF(x <=> s.prev, s.run + 1, 1L),"
+            "                  greatest(s.best, IF(x <=> s.prev, s.run + 1, 1L))),"
+            " s -> s.best)"
         ).cast("long").alias("top_cnt"),
         F.expr(
             "CASE WHEN size(toks) < 2 THEN CAST(array() AS array<string>) "
@@ -534,9 +539,14 @@ def features(docs: DataFrame) -> DataFrame:
         F.expr("md5(norm)").alias("fp"),
         F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
         F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+        # mode count via sort + run-length fold: O(n log n) + O(n),
+        # vs the transform×filter form's O(n_distinct × n_tokens)
         F.expr(
-            "array_max(transform(array_distinct(toks),"
-            " x -> size(filter(toks, y -> y = x))))"
+            "aggregate(array_sort(toks),"
+            " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+            " (s, x) -> struct(x, IF(x <=> s.prev, s.run + 1, 1L),"
+            "                  greatest(s.best, IF(x <=> s.prev, s.run + 1, 1L))),"
+            " s -> s.best)"
         ).cast("long").alias("top_cnt"),
         F.expr(
             "CASE WHEN size(toks) < 2 THEN CAST(array() AS array<string>) "

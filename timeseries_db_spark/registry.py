@@ -127,13 +127,38 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     }
 
     def range_scan_9combos(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for name, qm in range_qms.items():
-            branch = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
-                "combo", F.lit(name)
-            )
-            out = branch if out is None else out.unionByName(branch)
-        return out
+        # ONE scan, not nine: the "all" combo is unbounded, so a
+        # 9-branch union re-reads the identical full table nine times
+        # (Catalyst does not dedupe scans across union branches). At
+        # 100 TB the scan IS the cost, so evaluate every combo's range
+        # predicate per row in a single pass and explode the membership
+        # array — map-only, no shuffle, 1/9th the I/O. Per-combo scan
+        # pushdown (sources.push_ts_bounds) stays covered by
+        # point_lookups / fx_edge_bounds and tests/test_plans.py.
+        t = compile_query(events_as_tsdb(spark, sf_dir), QueryModel())
+
+        def pred(qm: QueryModel):
+            c = F.lit(True)
+            ts = F.col("timestamp")
+            if qm.gt is not None:
+                c = c & (ts > qm.gt)
+            if qm.ge is not None:
+                c = c & (ts >= qm.ge)
+            if qm.lt is not None:
+                c = c & (ts < qm.lt)
+            if qm.le is not None:
+                c = c & (ts <= qm.le)
+            return c
+
+        membership = F.array(
+            *[F.when(pred(qm), F.lit(name)) for name, qm in range_qms.items()]
+        )
+        return t.select(
+            "timestamp",
+            "tag",
+            "value",
+            F.explode(F.filter(membership, lambda x: x.isNotNull())).alias("combo"),
+        )
 
     q["range_scan_9combos"] = range_scan_9combos
     o["range_scan_9combos"] = (
