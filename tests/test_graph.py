@@ -1,0 +1,72 @@
+"""Connected components / dedup clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    dedup_clusters_sql,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_chain_converges_via_pointer_jumping(spark):
+    # a 24-vertex path: worst case for pure propagation (diameter 23);
+    # pointer jumping must close it well inside the iteration cap
+    n = 24
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    got = _cc(spark, [(5, 4), (4, 5), (4, 3), (5, 3), (3, 4)])
+    assert got == {(3, 3), (4, 3), (5, 3)}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_against_oracle(spark, sf_dir):
+    from tests.oracle import check_against_duckdb
+    from timeseries_db_spark.registry_ext import JACCARD_T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    check_against_duckdb(
+        dedup_clusters(docs, JACCARD_T), dedup_clusters_sql(JACCARD_T), sf_dir
+    )
+
+
+def test_dedup_clusters_shape(spark, sf_dir):
+    from timeseries_db_spark.registry_ext import JACCARD_T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_clusters(docs, JACCARD_T)
+    rows = out.collect()
+    assert rows, "fixture corpus has near-dup pairs, clusters expected"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert cid == ids[0], "cluster_id must be the min member id"
+        assert all(m["cluster_size"] == len(members) for m in members)
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == cid
+        assert len(members) >= 2, "every emitted vertex came from a pair"

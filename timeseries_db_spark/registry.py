@@ -366,6 +366,8 @@ _PRIORITY = [
     # folded entry: exact + stop-shingle-capped variants (the capped
     # variant is the one that had no r1 row)
     "dedup_ngram_jaccard",
+    # r6 addition: LSH pairs → components → canonical survivor
+    "dedup_clusters",
     "sim_cosine_topk",
     "sim_embedding_near_dup",
     "ann_topk_srp",

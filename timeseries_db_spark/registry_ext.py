@@ -287,6 +287,13 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_sql(JACCARD_T)
 
+    # pairs → clusters: connected components over the LSH pair graph
+    # (min-label propagation + pointer jumping; recursive-CTE oracle)
+    from timeseries_db_spark.operators import graph
+
+    q["dedup_clusters"] = lambda s, d: graph.dedup_clusters(_docs(s, d), JACCARD_T)
+    o["dedup_clusters"] = graph.dedup_clusters_sql(JACCARD_T)
+
     q["dedup_simhash_sig"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
     o["dedup_simhash_sig"] = dedup.simhash_signatures_sql()
 
