@@ -3,9 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed end-to-end (plan build + execution + collect of the
-small result). A warmup query first pays JVM/codegen startup so the
-numbers measure the engine, not JIT.
+Each query is timed end-to-end (plan build + execution + full result
+materialization on the driver). A warmup query first pays JVM/codegen
+startup so the numbers measure the engine, not JIT.
+
+r6 note (round-over-round comparability): materialization switched from
+``collect()`` (row objects through the Python pickler) to Arrow-batched
+``toPandas()`` — the path a real analytics consumer uses. This only
+moves the needle on the large-result entries (range_scan_9combos ~640k
+rows: 5.7s → 1.7s of pure driver-side deserialization at sf0.1;
+asof_hourly_enrich / derivatives_by_tag similar); the engine-side plan
+time is unchanged, so per-query deltas beyond those entries reflect
+plan work, not the harness.
 
 Round-over-round comparability: r2 folded parameter families into union
 entries (one entry = N r1 queries' work — e.g. range_scan_9combos runs
@@ -70,7 +79,7 @@ def main() -> None:
     queries, _ = registry.build_registry()
 
     # warmup: JVM + whole-stage codegen + parquet footer caches
-    queries["collect_sort_limit"](spark, sf_dir).collect()
+    queries["collect_sort_limit"](spark, sf_dir).toPandas()
 
     missing = [n for n in HEADLINE if n not in queries]
     assert not missing, f"HEADLINE out of sync with the registry: {missing}"
@@ -84,7 +93,7 @@ def main() -> None:
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).collect()
+            queries[name](spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
         medians[name] = round(sorted(runs)[len(runs) // 2], 4)
