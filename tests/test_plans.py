@@ -106,18 +106,23 @@ def test_near_dup_block_join_single_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
-def test_range_union_branches_push_their_own_bounds(spark, sf_dir):
-    """Each branch of the folded 9-combo range entry must push ITS
-    bounds to its scan (the fold must not defeat per-branch pushdown)."""
+def test_range_combos_are_one_scan(spark, sf_dir):
+    """The folded 9-combo range entry must read the table ONCE (the
+    'all' combo is unbounded, so branch-per-scan would re-read the full
+    table nine times) and fan out combo membership with a generator —
+    map-only, no shuffle."""
     from timeseries_db_spark.registry import build_registry
 
     q, _ = build_registry()
     plan = _formatted_plan(spark, q["range_scan_9combos"](spark, sf_dir))
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    # 8 bounded branches each push their own ts bounds; the unbounded
-    # branch scans with no filter section at all
-    assert len(pushed) == 8, plan
-    assert all("ts," in l for l in pushed), pushed
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    assert len(_nodes(plan, "Generate")) == 1, plan  # the explode
+    # the only exchange is compile_query's deterministic-order sort
+    # (rangepartitioning) — no hash shuffle, no per-branch re-scan
+    exchanges = _nodes(plan, "Exchange")
+    assert len(exchanges) <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Union" not in plan, plan
 
 
 def test_running_totals_scalable_broadcasts_offsets(spark):
@@ -130,3 +135,29 @@ def test_running_totals_scalable_broadcasts_offsets(spark):
         spark, running_totals_scalable(timeseries_fixture(spark, 10_000))
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_text_features_single_scan_no_shuffle(spark, sf_dir):
+    """features() is the one-pass map-only corpus scan: every per-doc
+    feature from a single read, no Exchange anywhere."""
+    from timeseries_db_spark.operators.text import features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(spark, features(docs))
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    assert len(_nodes(plan, "Exchange")) == 0, plan
+
+
+def test_ngram_jaccard_exact_has_no_candidate_distinct(spark, sf_dir):
+    """The exact inverted-index Jaccard derives |A∩B| straight from the
+    shingle self-join: one pair-keyed aggregation, and no
+    distinct-candidate detour (which would show up as an extra
+    aggregate over (id_a, id_b) feeding a re-join of the shingles)."""
+    from timeseries_db_spark.operators.dedup import ngram_jaccard_pairs
+    from timeseries_db_spark.registry_ext import JACCARD_T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(spark, ngram_jaccard_pairs(docs, JACCARD_T))
+    # the shingle stream is scanned twice (two join sides) + once for
+    # sizes — but never a fourth time for post-candidate verification
+    assert len(_nodes(plan, "Scan parquet")) <= 3, plan

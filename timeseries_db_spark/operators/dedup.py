@@ -165,10 +165,15 @@ _SHINGLES_CTE_DUCK = f"""
 
 def _jaccard_verify(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs
-    — shared by the inverted-index and MinHash-LSH paths. duck_round, not
-    F.round: the jaccard feeds the oracle value hash and Spark's string
-    rounding diverges from DuckDB's at exact 4-decimal ties."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    — used by the MinHash-LSH path (the inverted-index path derives the
+    intersection directly from its self-join). duck_round, not F.round:
+    the jaccard feeds the oracle value hash and Spark's string rounding
+    diverges from DuckDB's at exact 4-decimal ties."""
+    # per-doc totals persist across the na/nb joins (one row per doc;
+    # Catalyst would otherwise recompute the shingle scan + agg twice)
+    sizes = _persist_tracked(
+        "verify_sizes", sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     sha = sh.withColumnRenamed("doc_id", "id_a")
     shb = sh.withColumnRenamed("doc_id", "id_b")
     shared = (
@@ -255,7 +260,16 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # one row per document — persist so the na and nb joins reuse one
+    # materialization instead of re-running the shingle scan + agg twice
+    # (Catalyst does not CSE a repeated aggregate subtree). Keyed per
+    # df_limit: the folded gate entry holds the exact AND capped
+    # variants in one plan, and they must not evict each other before
+    # execution.
+    sizes = _persist_tracked(
+        f"jaccard_sizes_{df_limit}",
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+    )
     return (
         shared.join(
             sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"),

@@ -661,7 +661,11 @@ def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(n)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # constant partition key: same single-task execution over the ≤n
+    # surviving rows, but an explicit partition spec — WindowExec logs a
+    # move-everything warning for an EMPTY spec on every run, and this
+    # window is deliberately post-limit and bounded
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
     return top.select(
         "token", "freq", F.row_number().over(w).cast("long").alias("rnk")
     )
