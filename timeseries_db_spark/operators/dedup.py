@@ -529,49 +529,22 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``pairs`` labeled with its cluster's canonical id (the component's
     minimum doc_id) — the step that turns any pair-producing detector
     (exact, Jaccard, MinHash-LSH, SimHash, embedding) into an actual
-    corpus dedup decision.
+    corpus dedup decision. Returns (doc_id, cluster_id).
 
-    Spark-first min-label propagation: each iteration is one join
-    (push every node's current label to its neighbors) and one
-    aggregation (keep the minimum seen), i.e. two keyed shuffles over
-    the EDGE list only — never the corpus. Converges in O(component
-    diameter) iterations; near-dup clusters are near-cliques, so 2-3
-    in practice. ``localCheckpoint`` truncates the iterative lineage so
-    the plan doesn't grow with iterations (the classic iterative-join
-    trap). Returns (doc_id, cluster_id).
+    Thin shim over :func:`operators.graph.connected_components` (the
+    single implementation: min-label propagation + pointer jumping,
+    lineage-truncated per round — see that module for the scale
+    analysis); this name is kept for the detector-level API surface.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+    from timeseries_db_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
     )
-    for _ in range(max_iter):
-        pushed = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(pushed)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 def dedup_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -106,8 +106,13 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     round (CORRECTNESS_r01 stopped at exactly the first 50), so families
     that differ only in a parameter — the 9 range-bound combos, the 5
     scalar aggs, the 5 grouped aggs, … — register as ONE union query
-    with a literal discriminator column. Every branch still runs through
-    ``compile_query`` with its own QueryModel, and the driver's value
+    with a literal discriminator column. The agg/sort/point families run
+    every branch through ``compile_query`` with its own QueryModel; the
+    9-combo range family instead evaluates all nine predicates in one
+    scan (a branch-per-scan union re-reads the full table nine times —
+    see ``range_scan_9combos``), with the predicate semantics still
+    value-hashed per combo and per-branch scan pushdown covered by the
+    other families + tests/test_plans.py. Either way the driver's value
     hash covers every branch's rows, so per-combo coverage is preserved
     at a fraction of the gate slots."""
     rows = '"timestamp", tag, value'
