@@ -58,6 +58,7 @@ HEADLINE = [
     "gapfill_hourly",          # generated grid + as-of forward fill
     "running_totals_by_tag",   # skew-safe two-pass window
     "dedup_minhash_lsh",       # shingle→minhash→band→bucket-join
+    "dedup_clusters",          # r6: LSH pairs → connected components (iterative)
     "dedup_simhash_pairs",     # 60-bit simhash, banded Hamming join
     "text_features",           # one-scan per-doc feature extraction (r1/r2-early: text_quality_score, a subset of this work)
     "text_vocab_topn",         # explode + map-side-combine agg + TakeOrdered

@@ -48,7 +48,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     that would take a path component of length > 2**max_iter).
     """
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE — it is joined in every round, and
+    # without the checkpoint each round re-runs the full upstream
+    # pair-producing pipeline (for LSH input that is the whole
+    # shingle→signature→band-join detector, measured ~2s/round at sf0.1)
+    bidir = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     labels = (
         bidir.select(F.col("u").alias("id"))
         .distinct()
