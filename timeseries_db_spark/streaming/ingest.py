@@ -31,8 +31,13 @@ from pyspark.sql import types as T
 
 from timeseries_db_spark.operators.dml import KEY, TsTable
 
-#: File-source schema for events-shaped input under nanosAsLong
-#: (ts is Int64 nanoseconds — see sources/tables.py).
+#: Historical fixed file-source schema (ts as Int64 nanoseconds under
+#: nanosAsLong). Kept for producers that pin the long-ns layout;
+#: ``read_events_stream`` now derives the schema from the files instead,
+#: because the physical timestamp type of events.parquet is the
+#: PRODUCER'S choice (the driver testdata has shipped both
+#: TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds) and a
+#: hard-coded LONG silently reinterprets micros as nanos.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -47,9 +52,18 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream of events parquet, normalized to the tsdb shape
-    plus an ``event_time`` timestamp column for watermarking."""
+    plus an ``event_time`` timestamp column for watermarking.
+
+    A file stream requires an explicit schema; it is probed from a batch
+    read of the same files so the stream sees exactly the type the batch
+    path sees, and the ts→millis normalization is the SAME
+    ``ts_to_millis`` the batch views use (long-ns vs timestamp vs
+    timestamp_ntz all handled in one place — ``sources/tables.py``)."""
+    from timeseries_db_spark.sources.tables import ts_to_millis
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.format("parquet").schema(EVENTS_STREAM_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
@@ -57,11 +71,12 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.load(path)
+    ts_ms = ts_to_millis(raw, "ts")
     return raw.select(
-        F.expr("ts div 1000000").alias("timestamp"),
+        ts_ms.alias("timestamp"),
         F.col("event_type").alias("tag"),
         F.col("value"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.timestamp_millis(ts_ms).alias("event_time"),
     )
 
 
