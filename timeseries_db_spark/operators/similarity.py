@@ -284,35 +284,79 @@ def _srp_planes(dim: int) -> np.ndarray:
     return rng.standard_normal((SRP_TABLES, SRP_BITS, dim))
 
 
+def _srp_dot_spark(col: str, plane: list[float]) -> str:
+    """Strict left-fold dot product against an inlined plane literal.
+    Literals go through CAST('<repr>' AS DOUBLE): repr() is the shortest
+    round-trip decimal, and string→double parsing is correctly rounded
+    in both engines, so Spark and DuckDB hold bit-identical planes."""
+    arr = "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, p) -> CAST(x AS DOUBLE) * p),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def _srp_dot_duck(col: str, plane: list[float]) -> str:
+    """DuckDB twin of :func:`_srp_dot_spark` — ``list_reduce`` over a
+    0.0-prepended product list is the same ((0+v1)+v2)+… left fold, so
+    the float sums (and therefore every sign bit) are bit-identical."""
+    arr = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in plane) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {len(plane)}), "
+        f"i -> {col}[i]::DOUBLE * ({arr})[i])), (a, v) -> a + v)"
+    )
+
+
+def _srp_bucket_spark(col: str, table: int, planes: np.ndarray) -> str:
+    bits = [
+        f"IF({_srp_dot_spark(col, planes[table][b].tolist())} > 0, {1 << b}, 0)"
+        for b in range(SRP_BITS)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _srp_bucket_duck(col: str, table: int, planes: np.ndarray) -> str:
+    bits = [
+        f"CASE WHEN {_srp_dot_duck(col, planes[table][b].tolist())} > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(SRP_BITS)
+    ]
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
 def srp_signatures(spark: SparkSession, emb: DataFrame, dim: int) -> DataFrame:
-    """(vec_id, table, bucket) — one row per hash table per vector."""
+    """(vec_id, table, bucket) — one row per hash table per vector.
+
+    Pure JVM expressions: each bucket bit is the sign of a strict
+    left-fold dot product against an inlined plane literal — no Python
+    stage, whole-stage codegen end to end, and (because the fold order
+    and the literals are engine-exact) bit-identical to the DuckDB twin
+    :func:`srp_signatures_sql`, which is what lets the SRP ANN entry
+    carry a full value-level oracle instead of a rows-only check."""
     planes = _srp_planes(dim)
-    bc = spark.sparkContext.broadcast(planes)
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table"),
+                F.expr(_srp_bucket_spark("embedding", t, planes)).alias("bucket"),
+            )
+            for t in range(SRP_TABLES)
+        ]
+    )
+    return (
+        emb.select("vec_id", F.explode(tb).alias("tb"))
+        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl = bc.value
-        weights = (1 << np.arange(SRP_BITS)).astype(np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            out = []
-            for t in range(SRP_TABLES):
-                bits = (v @ pl[t].T) > 0  # (n, bits)
-                bucket = bits.astype(np.int64) @ weights
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "table": np.full(len(pdf), t, dtype=np.int32),
-                            "bucket": bucket,
-                        }
-                    )
-                )
-            yield pd.concat(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        gen, schema="vec_id long, table int, bucket long"
+def srp_signatures_sql(dim: int, source: str = "embeddings") -> str:
+    """DuckDB twin of :func:`srp_signatures` (bit-identical buckets)."""
+    planes = _srp_planes(dim)
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_srp_bucket_duck('embedding', t, planes)} AS bucket FROM {source}"
+        for t in range(SRP_TABLES)
     )
 
 
@@ -353,6 +397,39 @@ def ann_topk_srp(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
+
+
+def ann_topk_srp_sql(query_pred: str, k: int, dim: int) -> str:
+    """DuckDB twin of :func:`ann_topk_srp` — a FULL value oracle: bucket
+    signatures are bit-identical (see :func:`srp_signatures_sql`), so
+    the candidate sets agree exactly, and the re-rank mirrors
+    :func:`cosine_topk_sql`'s rounded-cosine ranking rule."""
+    return f"""
+        WITH sig AS ({srp_signatures_sql(dim)}),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {query_pred}
+        ),
+        cand AS (
+            SELECT DISTINCT sq.vec_id AS qid, sc.vec_id AS nid
+            FROM sig sq
+            JOIN sig sc ON sq.tbl = sc.tbl AND sq.bucket = sc.bucket
+                        AND sq.vec_id <> sc.vec_id
+            WHERE sq.vec_id IN (SELECT qid FROM q)
+        ),
+        p AS (
+            SELECT cand.qid, cand.nid,
+                   round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6)
+                       + 0.0 AS c6
+            FROM cand JOIN q ON q.qid = cand.qid
+            JOIN embeddings e ON e.vec_id = cand.nid
+        ),
+        r AS (
+            SELECT qid, nid, c6,
+                   row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, nid ASC) AS rn
+            FROM p
+        )
+        SELECT qid, nid, round(c6, 4) + 0.0 AS cos FROM r WHERE rn <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------

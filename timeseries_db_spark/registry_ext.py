@@ -348,11 +348,17 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["sim_embedding_near_dup"] = similarity.near_dup_pairs_sql(NEAR_DUP_COS)
 
-    # approximate paths: rows-only checks by design (recall < 1); pytest
-    # asserts exact-scored hits ⊆ brute force + reports recall
+    # approximate paths. SRP carries a FULL value oracle: its bucket
+    # signatures are strict-left-fold dot products against inlined plane
+    # literals, bit-identical across engines (similarity.srp_signatures),
+    # so approximate-but-deterministic output is exactly reproducible in
+    # SQL. (Recall vs brute force is still asserted in pytest.)
     q["ann_topk_srp"] = lambda s, d: similarity.ann_topk_srp(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K, EMB_DIM
     )
+    o["ann_topk_srp"] = similarity.ann_topk_srp_sql(TOPK_QUERY_PRED, TOPK_K, EMB_DIM)
+    # IVF stays rows-only: its assignment argmax runs through numpy BLAS
+    # (batch matmul), whose summation order is not reproducible in SQL.
     q["ann_topk_ivf"] = lambda s, d: similarity.ann_topk_ivf(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
     )
