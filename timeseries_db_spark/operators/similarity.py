@@ -18,10 +18,12 @@ Three paths, as a 100 TB design requires:
   LSH/IVF paths below bound candidates instead.
 * **SRP-LSH / IVF bucketed ANN** — the scale path when exact is off the
   table: candidates from bucket collisions (SRP) or inverted-list probes
-  (IVF), exact cosine re-ranks candidates only. Deterministic
-  (seeded planes / deterministic bounded centroid sample); registered as
-  rows-only checks (recall < 1 by construction on near-random data) with
-  pytests asserting candidates ⊆ brute-force + recall floors.
+  (IVF), exact cosine re-ranks candidates only. Deterministic AND
+  engine-reproducible: SRP buckets are strict-left-fold dots against
+  inlined plane literals (bit-identical in DuckDB), IVF ranks on
+  rounded similarity with vec_id tiebreak over a portable-hash centroid
+  sample — both register FULL value-level oracles, with pytests still
+  asserting candidates ⊆ brute-force + recall floors.
 
 Ranking determinism across engines: ties are broken on the cosine
 ROUNDED to 6 decimals — with DuckDB's exact rounding semantics on both
@@ -447,33 +449,48 @@ IVF_NPROBE = 4
 
 def ivf_centroids(corpus: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
     """Deterministic bounded centroid sample: the ``nlist`` corpus
-    vectors with the smallest ``xxhash64(vec_id)`` (ties on vec_id).
+    vectors with the smallest engine-portable 60-bit hash of their id
+    (md5-long of the decimal string; ties on vec_id) — the same value
+    DuckDB computes, so the oracle reconstructs the exact centroid set.
     orderBy+limit compiles to a distributed top-k
     (TakeOrderedAndProject) — one pass, no global sort, ≤ ``nlist``
     rows ever reach the driver."""
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     return (
         corpus.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .orderBy(id_hash.asc(), F.col("vec_id").asc())
         .limit(nlist)
     )
 
 
+IVF_CENTROID_HASH_DUCK = "(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)"
+
+
 def _ivf_assign_fn(bc, nprobe: int):
     """Emit (vec_id, list_id) for each vector's ``nprobe`` nearest
-    centroids (nprobe=1 assigns the corpus; nprobe>1 probes queries)."""
+    centroids (nprobe=1 assigns the corpus; nprobe>1 probes queries).
+
+    Deterministic, engine-reproducible ranking: similarities are rounded
+    to 6 decimals (``np_duck_round`` — DuckDB's exact rounding), ties
+    break on centroid vec_id. ``bc`` holds centroids SORTED by vec_id,
+    so a stable argsort on the rounded scores realizes exactly that
+    order — which is what lets the IVF entry carry a value-level oracle
+    (the same rounded-ranking rule SQL computes with a window)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _, cmat = bc.value
+        cids, cmat = bc.value
         # a small corpus can yield fewer centroids than nprobe
         k = min(nprobe, cmat.shape[0])
         for pdf in batches:
             if not len(pdf):
                 continue
-            sim = _normed(pdf["embedding"]) @ cmat.T  # (rows, n_centroids)
-            top = np.argsort(-sim, axis=1)[:, :k]
+            sim = _np_duck_round(_normed(pdf["embedding"]) @ cmat.T, 6)
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :k]
             rows = np.repeat(pdf["vec_id"].to_numpy(), k)
             yield pd.DataFrame(
-                {"vec_id": rows, "list_id": top.ravel().astype(np.int64)}
+                {"vec_id": rows, "list_id": cids[top.ravel()].astype(np.int64)}
             )
 
     return gen
@@ -500,10 +517,13 @@ def ann_topk_ivf(
     LSH band join), and re-ranking is JVM expressions, so the whole path
     stays distributed with one small Python stage for the argmax
     assignments."""
-    cents = _collect_matrix(ivf_centroids(corpus, nlist))
-    if cents[1].shape[0] == 0:
+    ids, cmat = _collect_matrix(ivf_centroids(corpus, nlist))
+    if cmat.shape[0] == 0:
         raise ValueError("IVF quantizer found an empty corpus")
-    cents_bc = spark.sparkContext.broadcast(cents)
+    # sort centroids by vec_id so the stable argsort in _ivf_assign_fn
+    # realizes the (rounded-sim DESC, vec_id ASC) rule the oracle uses
+    order = np.argsort(ids, kind="stable")
+    cents_bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
     assign = corpus.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(cents_bc, 1), schema="vec_id long, list_id long"
     )
@@ -536,6 +556,64 @@ def ann_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
     )
+
+
+def ann_topk_ivf_sql(
+    query_pred: str,
+    k: int,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivf` — full value oracle. The
+    centroid set is the same portable-hash top-``nlist`` sample; the
+    assignment/probe ranking is the same (round(cos,6) DESC, centroid
+    vec_id ASC) rule ``_ivf_assign_fn`` applies; the re-rank mirrors
+    :func:`cosine_topk_sql`."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {nlist}
+        ),
+        scored_all AS (
+            SELECT e.vec_id, cents.cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], ce::DOUBLE[]), 6)
+                       AS s6
+            FROM embeddings e CROSS JOIN cents
+        ),
+        ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cid ASC)
+                       AS crn
+            FROM scored_all
+        ),
+        assign AS (SELECT vec_id AS nid, cid AS list_id FROM ranked WHERE crn = 1),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {query_pred}
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM ranked
+            WHERE crn <= {nprobe} AND vec_id IN (SELECT qid FROM q)
+        ),
+        cand AS (
+            SELECT DISTINCT probes.qid, assign.nid
+            FROM probes JOIN assign USING (list_id)
+            WHERE probes.qid <> assign.nid
+        ),
+        p AS (
+            SELECT cand.qid, cand.nid,
+                   round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6)
+                       + 0.0 AS c6
+            FROM cand JOIN q ON q.qid = cand.qid
+            JOIN embeddings e ON e.vec_id = cand.nid
+        ),
+        r AS (
+            SELECT qid, nid, c6,
+                   row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, nid ASC) AS rn
+            FROM p
+        )
+        SELECT qid, nid, round(c6, 4) + 0.0 AS cos FROM r WHERE rn <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------

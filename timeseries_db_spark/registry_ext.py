@@ -357,11 +357,13 @@ def register_extensions(q: dict, o: dict) -> None:
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K, EMB_DIM
     )
     o["ann_topk_srp"] = similarity.ann_topk_srp_sql(TOPK_QUERY_PRED, TOPK_K, EMB_DIM)
-    # IVF stays rows-only: its assignment argmax runs through numpy BLAS
-    # (batch matmul), whose summation order is not reproducible in SQL.
+    # IVF also carries a full oracle: the centroid sample is a portable
+    # hash top-N, and assignment/probing rank on ROUNDED similarity with
+    # vec_id tiebreak — the same rule a SQL window computes.
     q["ann_topk_ivf"] = lambda s, d: similarity.ann_topk_ivf(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
     )
+    o["ann_topk_ivf"] = similarity.ann_topk_ivf_sql(TOPK_QUERY_PRED, TOPK_K)
 
     # ---- multimodal (payload plumbing; decode stage is a deterministic
     # fake — see operators/multimodal.py) ----
