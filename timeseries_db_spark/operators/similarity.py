@@ -298,33 +298,12 @@ def _srp_dot_spark(col: str, plane: list[float]) -> str:
     )
 
 
-def _srp_dot_duck(col: str, plane: list[float]) -> str:
-    """DuckDB twin of :func:`_srp_dot_spark` — ``list_reduce`` over a
-    0.0-prepended product list is the same ((0+v1)+v2)+… left fold, so
-    the float sums (and therefore every sign bit) are bit-identical."""
-    arr = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in plane) + "]"
-    return (
-        f"list_reduce(list_prepend(0.0, "
-        f"list_transform(generate_series(1, {len(plane)}), "
-        f"i -> {col}[i]::DOUBLE * ({arr})[i])), (a, v) -> a + v)"
-    )
-
-
 def _srp_bucket_spark(col: str, table: int, planes: np.ndarray) -> str:
     bits = [
         f"IF({_srp_dot_spark(col, planes[table][b].tolist())} > 0, {1 << b}, 0)"
         for b in range(SRP_BITS)
     ]
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
-
-
-def _srp_bucket_duck(col: str, table: int, planes: np.ndarray) -> str:
-    bits = [
-        f"CASE WHEN {_srp_dot_duck(col, planes[table][b].tolist())} > 0 "
-        f"THEN {1 << b} ELSE 0 END"
-        for b in range(SRP_BITS)
-    ]
-    return "(" + " + ".join(bits) + ")::BIGINT"
 
 
 def srp_signatures(spark: SparkSession, emb: DataFrame, dim: int) -> DataFrame:
@@ -353,13 +332,36 @@ def srp_signatures(spark: SparkSession, emb: DataFrame, dim: int) -> DataFrame:
 
 
 def srp_signatures_sql(dim: int, source: str = "embeddings") -> str:
-    """DuckDB twin of :func:`srp_signatures` (bit-identical buckets)."""
+    """DuckDB twin of :func:`srp_signatures` (bit-identical buckets).
+
+    The plane literals live in a VALUES CTE and reach the fold lambda as
+    a COLUMN (one list value per row) — inlining the 64-element literal
+    inside the lambda re-materializes it per element (measured ~15×
+    slower at sf0.1). The dot itself is the same ((0+v1)+v2)+… strict
+    left fold as the Spark side (``list_reduce`` over a 0.0-prepended
+    product list), so the float sums — and every sign bit — agree
+    bitwise. Integer bit-weight summation per (vec_id, tbl) is exact and
+    order-free."""
     planes = _srp_planes(dim)
-    return "\nUNION ALL\n".join(
-        f"SELECT vec_id, {t} AS tbl, "
-        f"{_srp_bucket_duck('embedding', t, planes)} AS bucket FROM {source}"
+    rows = ", ".join(
+        f"({t}, {1 << b}, ["
+        + ", ".join(f"'{x!r}'::DOUBLE" for x in planes[t][b].tolist())
+        + "])"
         for t in range(SRP_TABLES)
+        for b in range(SRP_BITS)
     )
+    dot = (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> e.embedding[i]::DOUBLE * p.plane[i])), (a, v) -> a + v)"
+    )
+    return f"""
+        SELECT e.vec_id, p.tbl,
+               sum(CASE WHEN {dot} > 0 THEN p.w ELSE 0 END)::BIGINT AS bucket
+        FROM {source} e
+        CROSS JOIN (VALUES {rows}) p(tbl, w, plane)
+        GROUP BY e.vec_id, p.tbl
+    """
 
 
 def ann_topk_srp(
