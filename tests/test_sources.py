@@ -90,3 +90,76 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+@pytest.fixture(scope="module")
+def ts_layouts(tmp_path_factory):
+    """The same events-shaped rows written with each physical timestamp
+    layout the driver's testdata has actually shipped: TIMESTAMP(NANOS)
+    (reads as long under nanosAsLong), TIMESTAMP(MICROS), and
+    TIMESTAMP(MILLIS). ts_to_millis must normalize every one of them to
+    the same epoch-millis value, for batch AND streaming reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("layouts")
+    millis = [1704067200123, 1704067200999, 1704070800001]
+    rows = {
+        "event_id": [1, 2, 3],
+        "user_id": [10, 11, 12],
+        "event_type": ["click", "view", "click"],
+        "value": [1.5, 2.5, 3.5],
+        "props": ["{}", "{}", "{}"],
+    }
+    paths = {}
+    for unit in ("ns", "us", "ms"):
+        ts = pa.array([m * {"ns": 10**6, "us": 10**3, "ms": 1}[unit] for m in millis],
+                      type=pa.timestamp(unit))
+        tbl = pa.table({**{k: pa.array(v) for k, v in rows.items()}, "ts": ts})
+        p = str(base / f"events_{unit}")
+        import os
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(tbl, f"{p}/part-0.parquet")
+        paths[unit] = p
+    return millis, paths
+
+
+def test_batch_reads_every_timestamp_layout(spark, ts_layouts):
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.sources.tables import ts_to_millis
+
+    millis, paths = ts_layouts
+    for unit, p in paths.items():
+        df = spark.read.parquet(p)
+        got = sorted(
+            r[0] for r in df.select(ts_to_millis(df, "ts").alias("ms")).collect()
+        )
+        assert got == sorted(millis), (unit, got)
+
+
+def test_streaming_reads_every_timestamp_layout(spark, ts_layouts, tmp_path):
+    """read_events_stream probes the schema from the files — the r6
+    regression (a pinned long-ns schema reinterpreting micros) must not
+    come back."""
+    from timeseries_db_spark.streaming.ingest import read_events_stream
+
+    millis, paths = ts_layouts
+    for unit, p in paths.items():
+        stream = read_events_stream(spark, p)
+        out = str(tmp_path / f"out_{unit}")
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"layout_{unit}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{unit}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r["timestamp"]
+            for r in spark.sql(f"SELECT timestamp FROM layout_{unit}").collect()
+        )
+        assert got == sorted(millis), (unit, got)
