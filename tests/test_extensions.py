@@ -125,6 +125,31 @@ def test_ivf_centroids_bounded(spark, emb):
     assert a == b
 
 
+def test_ivf_refined_centroids_mechanics_and_recall(spark, emb):
+    """Lloyd refinement: bounded output, dims preserved, and the refined
+    quantizer still drives the full IVF pipeline to a sane recall (the
+    floor matches the sampled-quantizer test — refinement must not
+    break the pipeline; superiority on near-random fixtures is not
+    asserted, only non-collapse)."""
+    from pyspark.sql import functions as F
+
+    cents = similarity.ivf_centroids_refined(emb, nlist=32, iters=2)
+    rows = cents.collect()
+    assert 0 < len(rows) <= 32
+    assert all(len(r["embedding"]) == 64 for r in rows)
+
+    queries = emb.filter(F.expr("vec_id % 100 = 0"))
+    approx = similarity.ann_topk_ivf(
+        spark, queries, emb, 5, nlist=32, centroid_source=cents
+    )
+    exact = similarity.cosine_topk(spark, queries, emb, 5)
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    x = {(r["qid"], r["nid"]) for r in exact.collect()}
+    assert a, "refined-quantizer IVF returned nothing"
+    recall = len(a & x) / len(x)
+    assert recall > 0.2, recall
+
+
 def test_multimodal_real_header_decoders():
     """Real container parsing, no media libs: synthesized PNG/GIF/BMP/
     JPEG/WAV bytes; unknown containers raise (that decompression is the

@@ -470,6 +470,52 @@ def ivf_centroids(corpus: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
 IVF_CENTROID_HASH_DUCK = "(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)"
 
 
+def ivf_centroids_refined(
+    corpus: DataFrame, nlist: int = IVF_NLIST, iters: int = 2
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer: seed with the deterministic
+    bounded sample (:func:`ivf_centroids`), then run ``iters``
+    distributed k-means steps — assign every corpus vector to its
+    nearest centroid (broadcast centroids, map-only), recompute each
+    list's centroid as the per-dimension mean (posexplode → one shuffle
+    keyed on (list, dim) with map-side partial avg → re-assemble).
+
+    Per step: one corpus scan + one bounded shuffle whose output is
+    ≤ nlist·dim rows — the textbook scalable k-means step; centroid
+    count can only shrink (an emptied list drops out). The refined
+    quantizer tightens the inverted lists (better recall at equal
+    nprobe) at the cost of float means whose summation order is NOT
+    engine-reproducible — which is exactly why the value-oracle gate
+    path keeps the deterministic sample and this is the opt-in
+    quality path."""
+    cents = ivf_centroids(corpus, nlist)
+    for _ in range(iters):
+        ids, cmat = _collect_matrix(cents)
+        if cmat.shape[0] == 0:
+            break
+        order = np.argsort(ids, kind="stable")
+        bc = corpus.sparkSession.sparkContext.broadcast((ids[order], cmat[order]))
+        assign = corpus.select("vec_id", "embedding").mapInPandas(
+            _ivf_assign_fn(bc, 1), schema="vec_id long, list_id long"
+        )
+        cents = (
+            corpus.select("vec_id", "embedding")
+            .join(assign, "vec_id")
+            .select("list_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> CAST(s.m AS FLOAT))"
+                ).alias("embedding")
+            )
+            .select(F.col("list_id").alias("vec_id"), "embedding")
+        )
+    return cents
+
+
 def _ivf_assign_fn(bc, nprobe: int):
     """Emit (vec_id, list_id) for each vector's ``nprobe`` nearest
     centroids (nprobe=1 assigns the corpus; nprobe>1 probes queries).
@@ -506,11 +552,15 @@ def ann_topk_ivf(
     *,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed under their
     nearest centroid (inverted lists); each query probes its ``nprobe``
     nearest lists and exact-reranks only those candidates. Output shape
     and ranking rule match :func:`cosine_topk`; recall < 1 by design.
+    ``centroid_source`` swaps in an alternative quantizer (e.g.
+    :func:`ivf_centroids_refined`) — the gate path keeps the default
+    deterministic sample, which is what the value oracle reconstructs.
 
     Scale: only the ≤ ``nlist`` centroid sample is collected/broadcast
     (bounded regardless of corpus size — see :func:`ivf_centroids`); the
@@ -519,7 +569,10 @@ def ann_topk_ivf(
     LSH band join), and re-ranking is JVM expressions, so the whole path
     stays distributed with one small Python stage for the argmax
     assignments."""
-    ids, cmat = _collect_matrix(ivf_centroids(corpus, nlist))
+    cents_df = (
+        centroid_source if centroid_source is not None else ivf_centroids(corpus, nlist)
+    )
+    ids, cmat = _collect_matrix(cents_df)
     if cmat.shape[0] == 0:
         raise ValueError("IVF quantizer found an empty corpus")
     # sort centroids by vec_id so the stable argsort in _ivf_assign_fn
