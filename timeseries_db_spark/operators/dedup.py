@@ -461,9 +461,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_signatures_sql() -> str:
+    # hash once per token in the CTE — inlining _TOKEN_HASH_DUCK into
+    # each of the 60 bit-sums would recompute the md5 60× per token
     sums = ",\n               ".join(
-        f"sum((({_TOKEN_HASH_DUCK} >> {b}) & 1) * 2 - 1) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
     )
     assemble = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
@@ -473,7 +474,8 @@ def simhash_signatures_sql() -> str:
         WITH toks AS (
             SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
         ),
-        per_bit AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+        hashed AS (SELECT doc_id, {_TOKEN_HASH_DUCK} AS h FROM toks),
+        per_bit AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
         SELECT doc_id, {assemble} AS simhash FROM per_bit
     """
 
