@@ -649,9 +649,11 @@ def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
     only shuffle, keyed on the token), then ``orderBy().limit(n)`` which
     Spark executes as TakeOrderedAndProject — each task keeps a local
     top-``n`` heap and the driver merges heaps, so the full vocabulary
-    is never sorted or collected. The final rank is a window over the
-    ``n`` surviving rows (constant-size, one task, deliberately AFTER
-    the limit)."""
+    is never sorted or collected. The final rank over the ``n``
+    surviving rows is a broadcast self-join count (rnk = 1 + rows that
+    sort strictly before) — ≤ n² comparisons of an n-row table, no
+    global window (whose empty partition spec would both warn and pin a
+    single task)."""
     counts = (
         docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
         .filter(F.col("token") != "")
@@ -659,15 +661,16 @@ def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(n)
-    from pyspark.sql import Window
-
-    # constant partition key: same single-task execution over the ≤n
-    # surviving rows, but an explicit partition spec — WindowExec logs a
-    # move-everything warning for an EMPTY spec on every run, and this
-    # window is deliberately post-limit and bounded
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
-    return top.select(
-        "token", "freq", F.row_number().over(w).cast("long").alias("rnk")
+    before = F.broadcast(
+        top.select(F.col("token").alias("b_token"), F.col("freq").alias("b_freq"))
+    )
+    strictly_before = (F.col("b_freq") > F.col("freq")) | (
+        (F.col("b_freq") == F.col("freq")) & (F.col("b_token") < F.col("token"))
+    )
+    return (
+        top.join(before, strictly_before, "left")
+        .groupBy("token", "freq")
+        .agg((F.count("b_token") + 1).cast("long").alias("rnk"))
     )
 
 
