@@ -69,12 +69,25 @@ _cache_lock = threading.Lock()
 
 
 def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` under ``key``, REUSING an existing cache when the
+    semantic plan is identical — e.g. `dedup_minhash_lsh` and
+    `dedup_clusters` both build the minhash signatures of the same
+    parquet input in one session, and repeated bench/gate sweeps
+    re-invoke the same query: one materialization serves them all. A
+    same-key call with a DIFFERENT plan (new input) releases the old
+    generation first, so the leak stays bounded at one cache per
+    (family, live input). ``semanticHash`` keys the normalized logical
+    plan, which pins the input files/expressions — not execution state."""
     with _cache_lock:
-        prev = _live_caches.pop(key, None)
-        if prev is not None:
-            prev.unpersist()
-        _live_caches[key] = df.persist()
-        return _live_caches[key]
+        full = f"{key}:{df.semanticHash()}"
+        hit = _live_caches.get(full)
+        if hit is not None:
+            return hit
+        stale = [k for k in _live_caches if k.rsplit(":", 1)[0] == key]
+        for k in stale:
+            _live_caches.pop(k).unpersist()
+        _live_caches[full] = df.persist()
+        return _live_caches[full]
 
 
 def release_caches() -> None:
