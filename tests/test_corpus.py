@@ -150,3 +150,35 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     # (small by construction) and the final per-doc count — the TRAIN
     # shingle stream itself never hits an Exchange
     assert len(_nodes(plan, "Exchange")) == 2, plan
+
+
+def test_curate_corpus_bookkeeping(spark, sf_dir):
+    """The end-to-end curation verdict must be exactly reconstructible
+    from its own bookkeeping columns, cover every input doc once, and
+    agree with the standalone stages."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators.corpus import curate_corpus
+    from timeseries_db_spark.operators.graph import dedup_clusters
+    from timeseries_db_spark.registry_ext import JACCARD_T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus(docs, jaccard_threshold=JACCARD_T).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        expected = (
+            r["quality"] >= 0.5
+            and not r["is_dup_loser"]
+            and (r["split"] != "train" or r["n_shared"] <= 3)
+        )
+        assert r["kept"] == expected, r
+    # dup losers agree with the clustering operator
+    losers = {
+        r["doc_id"]
+        for r in dedup_clusters(docs, JACCARD_T).filter("NOT keep").collect()
+    }
+    got_losers = {r["doc_id"] for r in out if r["is_dup_loser"]}
+    assert got_losers == losers
+    # something must be kept and something dropped on the fixture corpus
+    kept = sum(1 for r in out if r["kept"])
+    assert 0 < kept < len(out)

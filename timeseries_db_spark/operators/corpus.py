@@ -311,3 +311,66 @@ def benchmark_contamination_sql(key: str = "doc_id") -> str:
         FROM tr JOIN ev USING (shingle)
         GROUP BY doc_id
     """
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    max_contamination: int = 3,
+) -> DataFrame:
+    """End-to-end curation decision — the composition a pretraining
+    pipeline actually ships, built entirely from the operators above:
+
+    1. **quality gate** — heuristic score ≥ ``min_quality``
+       (:func:`text.quality_score`; map-only),
+    2. **near-dup removal** — MinHash-LSH pairs → connected components,
+       keep only each cluster's canonical doc
+       (:func:`dedup.minhash_lsh_pairs` + :func:`graph.dedup_clusters`),
+    3. **decontamination** — drop train-split docs sharing more than
+       ``max_contamination`` shingles with the benchmark (test) split
+       (:func:`benchmark_contamination`; broadcast join),
+    4. **split assignment** — the deterministic salted split
+       (:func:`assign_splits`).
+
+    Returns one row per input document with the full bookkeeping:
+    (doc_id, split, quality, is_dup_loser, n_shared, kept) — ``kept``
+    is the final verdict, the others explain it. Per-stage plan shapes
+    (and their 100 TB behavior) are documented on the underlying
+    operators; this function adds NO new shuffle beyond theirs, and the
+    decision columns compose as left joins against bounded or
+    per-doc-row tables."""
+    from timeseries_db_spark.operators.graph import dedup_clusters
+    from timeseries_db_spark.operators.text import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    losers = (
+        dedup_clusters(docs, jaccard_threshold)
+        .filter(~F.col("keep"))
+        .select("doc_id", F.lit(True).alias("is_dup_loser"))
+    )
+    contamination = benchmark_contamination(docs).select("doc_id", "n_shared")
+    splits = assign_splits(docs).select("doc_id", "split")
+    return (
+        docs.select("doc_id")
+        .join(splits, "doc_id")
+        .join(q, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .join(contamination, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "quality",
+            F.coalesce(F.col("is_dup_loser"), F.lit(False)).alias("is_dup_loser"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (
+                (F.col("quality") >= min_quality)
+                & ~F.coalesce(F.col("is_dup_loser"), F.lit(False))
+                & (
+                    (F.col("split") != "train")
+                    | (F.coalesce(F.col("n_shared"), F.lit(0)) <= max_contamination)
+                )
+            ).alias("kept"),
+        )
+    )
