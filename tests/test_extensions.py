@@ -356,3 +356,19 @@ def test_quantize_int8_zero_vector(spark):
     assert rows[1]["max_err"] == 0.0
     # amax=2 -> scale=2/127; q = round(v/scale): [64, -127, 32] (ties up)
     assert rows[2]["sum_q"] == 64 - 127 + 32
+
+
+def test_persist_tracked_reuses_same_plan(spark, emb):
+    """Same semantic plan → same live cache object; a different input
+    under the same family releases the old generation (bounded leak)."""
+    from timeseries_db_spark.operators import dedup
+
+    a = dedup._persist_tracked("t_family", emb.select("vec_id"))
+    b = dedup._persist_tracked("t_family", emb.select("vec_id"))
+    assert a is b, "identical plan must reuse the live cache"
+    c = dedup._persist_tracked("t_family", emb.select("vec_id").limit(3))
+    assert c is not a, "different plan must start a new generation"
+    with dedup._cache_lock:
+        live = [k for k in dedup._live_caches if k.rsplit(":", 1)[0] == "t_family"]
+    assert len(live) == 1, "old generation must have been released"
+    dedup.release_caches()
