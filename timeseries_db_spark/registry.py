@@ -139,7 +139,7 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         # predicate per row in a single pass and explode the membership
         # array — map-only, no shuffle, 1/9th the I/O. Per-combo scan
         # pushdown (sources.push_ts_bounds) stays covered by
-        # point_lookups / fx_edge_bounds and tests/test_plans.py.
+        # point_lookups / fx_surface and tests/test_plans.py.
         t = compile_query(events_as_tsdb(spark, sf_dir), QueryModel())
 
         def pred(qm: QueryModel):
@@ -381,8 +381,11 @@ _PRIORITY = [
     "multimodal_frame_plan",
     "multimodal_resize_plan",
     "multimodal_audio_chunks",
-    "fx_edge_bounds",
-    "fx_grouped",  # union-fold of r1's fx_avg_by_tag + fx_group_ts_desc_limit
+    # r7 fold of fx_edge_bounds + fx_grouped (themselves folds of r1's
+    # fx_* family) — freed the slot wire_error_contract now occupies
+    "fx_surface",
+    # SURVEY §2.5 error contract + O5 QueryR wire union (VERDICT r6 #1)
+    "wire_error_contract",
     # streaming operators newly under the gate (VERDICT item 4)
     "stream_running_totals",
     "stream_sessions",
@@ -404,6 +407,9 @@ def build_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from timeseries_db_spark.registry_stream import register_streaming
 
     register_streaming(queries, oracles)
+    from timeseries_db_spark.registry_wire import register_wire
+
+    register_wire(queries, oracles)
 
     # RuntimeError, not assert: these invariants must hold under -O too
     missing = [n for n in _PRIORITY if n not in queries]

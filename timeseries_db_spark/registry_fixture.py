@@ -103,76 +103,85 @@ DML_ROUNDTRIP_SQL = f"""
 
 def register_fixture(q: dict, o: dict) -> None:
     """Folded per the 50-entry gate budget (registry.GATE_BUDGET): the
-    two boundary off-by-one shapes union into one entry with a ``combo``
-    discriminator; the plain count/sum/point shapes — duplicates of
-    already-gated reference-surface shapes on a different generator —
-    are covered by ``tests/test_registry.py``'s hypothesis sweep instead
-    of gate slots."""
-    rows = '"timestamp", tag, value'
+    boundary off-by-one shapes AND the two grouped fixture shapes union
+    into the single ``fx_surface`` entry with a ``kind`` discriminator
+    (r7 fold — freed a slot for ``wire_error_contract``); the plain
+    count/sum/point shapes — duplicates of already-gated
+    reference-surface shapes on a different generator — are covered by
+    ``tests/test_registry.py``'s hypothesis sweep instead of gate
+    slots."""
+    # --- fx_surface: r7 fold of fx_edge_bounds + fx_grouped into ONE
+    # union entry (freed a gate slot for wire_error_contract, VERDICT r6
+    # item 1). Branches coerce to a shared (grp:string, tag:string,
+    # result:double, kind:string) schema: edge rows carry the raw
+    # timestamp stringified in `grp` and the real tag; grouped rows
+    # carry the group key in `grp` and '' in `tag`. int64→string renders
+    # identically in Spark and DuckDB. Kinds stay disjoint across the
+    # five branches, so the driver's value hash covers each shape. ---
 
-    # --- range-boundary off-by-ones on dense keys: gt/le vs ge/lt, plus
-    # a tsEq point probe, one union entry ---
+    # range-boundary off-by-ones on dense keys: gt/le vs ge/lt, plus a
+    # tsEq point probe
     edge_qms = {
         "gt_le": QueryModel(gt=EDGE_LO, le=EDGE_LO + 10),
         "ge_lt": QueryModel(ge=EDGE_LO, lt=EDGE_LO + 10),
         "ts_eq": QueryModel(ts_eq=BASE_TS + 12_345),
     }
-
-    def fx_edge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for name, qm in edge_qms.items():
-            branch = compile_query(timeseries_fixture(spark), qm).withColumn(
-                "combo", F.lit(name)
-            )
-            out = branch if out is None else out.unionByName(branch)
-        return out
-
-    q["fx_edge_bounds"] = fx_edge_bounds
-    o["fx_edge_bounds"] = (
-        f"WITH t AS ({timeseries_fixture_sql()}) "
-        f"SELECT {rows}, 'gt_le' AS combo FROM t "
-        f'WHERE "timestamp" > {EDGE_LO} AND "timestamp" <= {EDGE_LO + 10} '
-        "UNION ALL "
-        f"SELECT {rows}, 'ge_lt' AS combo FROM t "
-        f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_LO + 10} '
-        "UNION ALL "
-        f"SELECT {rows}, 'ts_eq' AS combo FROM t "
-        f'WHERE "timestamp" = {BASE_TS + 12_345}'
-    )
-
-    # --- the two grouped fixture shapes, one union entry (gate budget):
-    # skewed group-by-tag (Munich = half the table, partial-agg reliant)
-    # and dense group-by-timestamp + desc top-k. The timestamp group key
-    # casts to string so both branches share a schema; int64→string
-    # renders identically in Spark and DuckDB. ---
+    # the two grouped fixture shapes: skewed group-by-tag (Munich = half
+    # the table, partial-agg reliant) and dense group-by-timestamp +
+    # desc top-k
     avg_qm = QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG)
     topk_qm = QueryModel(
         agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP,
         ge=EDGE_LO, lt=EDGE_HI, sort=Sort.DESC, limit=100,
     )
 
-    def fx_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = (
-            _fx_query(avg_qm)(spark, sf_dir)
-            .select(F.col("grp").cast("string").alias("grp"), "result")
-            .withColumn("kind", F.lit("avg_by_tag"))
-        )
-        b = (
-            _fx_query(topk_qm)(spark, sf_dir)
-            .select(F.col("grp").cast("string").alias("grp"), "result")
-            .withColumn("kind", F.lit("ts_desc_limit"))
-        )
-        return a.unionByName(b)
+    def fx_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, qm in edge_qms.items():
+            branch = compile_query(timeseries_fixture(spark), qm).select(
+                F.col("timestamp").cast("string").alias("grp"),
+                "tag",
+                F.col("value").alias("result"),
+                F.lit(name).alias("kind"),
+            )
+            out = branch if out is None else out.unionByName(branch)
+        for name, qm in (("avg_by_tag", avg_qm), ("ts_desc_limit", topk_qm)):
+            branch = _fx_query(qm)(spark, sf_dir).select(
+                F.col("grp").cast("string").alias("grp"),
+                F.lit("").alias("tag"),
+                "result",
+                F.lit(name).alias("kind"),
+            )
+            out = out.unionByName(branch)
+        return out
 
-    q["fx_grouped"] = fx_grouped
-    o["fx_grouped"] = (
+    q["fx_surface"] = fx_surface
+    o["fx_surface"] = (
         f"WITH t AS ({timeseries_fixture_sql()}) "
-        "SELECT tag AS grp, round(avg(value), 4) AS result, "
+        + " UNION ALL ".join(
+            f'SELECT CAST("timestamp" AS VARCHAR) AS grp, tag, '
+            f"value AS result, '{name}' AS kind FROM t {where}"
+            for name, where in (
+                (
+                    "gt_le",
+                    f'WHERE "timestamp" > {EDGE_LO} '
+                    f'AND "timestamp" <= {EDGE_LO + 10}',
+                ),
+                (
+                    "ge_lt",
+                    f'WHERE "timestamp" >= {EDGE_LO} '
+                    f'AND "timestamp" < {EDGE_LO + 10}',
+                ),
+                ("ts_eq", f'WHERE "timestamp" = {BASE_TS + 12_345}'),
+            )
+        )
+        + " UNION ALL "
+        "SELECT tag AS grp, '' AS tag, round(avg(value), 4) AS result, "
         "'avg_by_tag' AS kind FROM t GROUP BY tag "
         "UNION ALL "
         "SELECT * FROM ("
-        'SELECT CAST("timestamp" AS VARCHAR) AS grp, max(value) AS result, '
-        "'ts_desc_limit' AS kind FROM t "
+        'SELECT CAST("timestamp" AS VARCHAR) AS grp, \'\' AS tag, '
+        "max(value) AS result, 'ts_desc_limit' AS kind FROM t "
         f'WHERE "timestamp" >= {EDGE_LO} AND "timestamp" < {EDGE_HI} '
         'GROUP BY "timestamp" ORDER BY "timestamp" DESC LIMIT 100)'
     )
