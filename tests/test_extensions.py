@@ -232,6 +232,95 @@ def test_multimodal_real_decode_distributed(spark):
     ]
 
 
+def test_png_codec_roundtrip_pixel_exact():
+    """Every PNG filter type × channel count decodes back bit-exactly
+    through the stdlib-zlib decode path (r7 — pixel decode is real)."""
+    import random
+
+    rng = random.Random(7)
+    for ch in (1, 2, 3, 4):
+        for ftype in range(5):
+            w, h = rng.randint(1, 37), rng.randint(1, 29)
+            pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            enc = multimodal.png_encode(pix, w, h, ch, [ftype] * h)
+            assert multimodal.png_decode(enc) == (w, h, ch, pix), (ch, ftype)
+    # mixed filters within one image
+    w, h, ch = 33, 21, 3
+    pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    enc = multimodal.png_encode(pix, w, h, ch, [y % 5 for y in range(h)])
+    assert multimodal.png_decode(enc)[3] == pix
+
+
+def test_png_decode_rejects_unsupported_with_capability_flag():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    # 16-bit depth is outside PIXEL_CAPABILITIES['png']
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    raw = zlib.compress(b"\x00" * (2 * (2 * 2 + 1)))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(raw)) + b"IDAT" + raw + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    )
+    with _pytest.raises(NotImplementedError, match="PIXEL_CAPABILITIES"):
+        multimodal.png_decode(png)
+    with _pytest.raises(ValueError):
+        multimodal.png_decode(b"not a png at all")
+
+
+def test_resize_nn_matches_reference():
+    import numpy as np
+
+    rng = __import__("random").Random(3)
+    w, h, ch = 31, 17, 3
+    pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+    tw, th = 12, 7
+    got = multimodal.resize_nn(pix, w, h, ch, tw, th)
+    ref = bytes(
+        int(a[(i * h) // th, (j * w) // tw, c])
+        for i in range(th)
+        for j in range(tw)
+        for c in range(ch)
+    )
+    assert got == ref
+    # identity resize is a no-op
+    assert multimodal.resize_nn(pix, w, h, ch, w, h) == pix
+
+
+def test_decode_resize_png_distributed(spark, docs):
+    """The full real pixel pipeline — synthesize PNGs (all five row
+    filters), decode + NN-downsample inside the Arrow stage — agrees
+    with a local closed-form recomputation per asset."""
+    out = {
+        r["asset_id"]: r.asDict()
+        for r in multimodal.decode_resize_png(
+            multimodal.documents_as_png_assets(docs), max_side=24
+        ).collect()
+    }
+    ids = [r["doc_id"] for r in docs.filter("doc_id % 3 = 0").select("doc_id").collect()]
+    assert set(out) == set(ids) and len(out) > 0
+    for did in ids[:10]:
+        w = 16 + (did * 7) % 48
+        h = 16 + (did * 11) % 48
+        longest = max(w, h)
+        tw = (w * 24) // longest if longest > 24 else w
+        th = (h * 24) // longest if longest > 24 else h
+        px_sum = sum(
+            (((j * w) // tw) * 7 + ((i * h) // th) * 13 + did) % 256
+            for i in range(th)
+            for j in range(tw)
+        )
+        row = out[did]
+        assert (row["width"], row["height"]) == (w, h)
+        assert (row["target_w"], row["target_h"]) == (tw, th)
+        assert row["px_sum"] == px_sum
+
+
 def test_multimodal_batch_shapes(spark, docs):
     """Arrow batching really yields multiple batches and the schema holds."""
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")

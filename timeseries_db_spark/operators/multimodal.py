@@ -9,9 +9,14 @@ shapes — is real and tested. Decoding splits in two:
   (:func:`image_meta`) and WAV channel/rate/duration
   (:func:`wav_meta`), via ``decode_image_features(fake=False)`` /
   :func:`decode_audio_features`;
-* **pixel/sample decompression** (JPEG pixels, video frames) is the
-  one genuinely library-bound stage and stays stubbed behind
-  ``NotImplementedError`` — that is where PIL/ffmpeg slot in.
+* **pixel decompression is REAL for PNG** (since r7): stdlib ``zlib``
+  IDAT inflate + per-row unfilter (all five filter types) in
+  :func:`png_decode`, with :func:`resize_nn` nearest-neighbor
+  downsampling on the decoded pixels — no media library involved;
+* **JPEG pixels / video frames / compressed audio** remain the
+  genuinely library-bound stages and stay stubbed behind
+  ``NotImplementedError`` with a capability flag — that is where
+  PIL/ffmpeg slot in (see :data:`PIXEL_CAPABILITIES`).
 
 The registry's gate entries run the deterministic fake (the synthetic
 fixture payloads are text bytes, not real media, and the DuckDB oracle
@@ -227,11 +232,287 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL pixel path: PNG decode (zlib inflate + unfilter) + NN resample
+# ---------------------------------------------------------------------------
+
+#: What the pixel stage can actually decode. JPEG/video/compressed audio
+#: are the PIL/ffmpeg insertion points — attempting them raises
+#: ``NotImplementedError`` naming this flag.
+PIXEL_CAPABILITIES = {
+    "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
+    "jpeg": "stub (entropy decode needs libjpeg/PIL)",
+    "video": "stub (frame decode needs ffmpeg)",
+    "audio_pcm": "real (WAV header + raw sample arithmetic)",
+    "audio_compressed": "stub (mp3/opus decode needs ffmpeg)",
+}
+
+#: bytes per pixel for the supported PNG color types (8-bit depth):
+#: 0=gray, 2=RGB, 3=palette (expands to RGB), 4=gray+alpha, 6=RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT ``zlib``
+    inflate → per-row unfilter (all five filter types 0-4). Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    8-bit bytes; palette images expand to RGB.
+
+    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced — the
+    overwhelmingly common case. 16-bit and Adam7 interlacing raise
+    ``NotImplementedError`` (see ``PIXEL_CAPABILITIES``); a truncated or
+    non-PNG payload raises ``ValueError``."""
+    import zlib
+
+    b = payload
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG (magic {b[:8]!r})")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = b""
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + data + CRC
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} is outside PIXEL_CAPABILITIES['png']"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, "
+            f"expected {height * (stride + 1)}"
+        )
+    out = bytearray(height * stride)
+    prev_start = -1  # byte offset of the previous reconstructed row
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y else 0
+                ul = out[prev_start + x - ch] if (y and x >= ch) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        prev_start = o
+    if color_type == 3:  # palette → RGB
+        rgb = bytearray(width * height * 3)
+        for j, idx in enumerate(out):
+            rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+def png_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal PNG writer (8-bit gray/gray+alpha/RGB/RGBA) used by tests
+    and the synthetic fixture. ``row_filters`` selects the filter type
+    per scanline (default all-0) and APPLIES real filtering, so the
+    decoder's unfilter paths are exercised end-to-end."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+    filters = row_filters or [0] * height
+    raw = bytearray()
+    for y in range(height):
+        ftype = filters[y]
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(ftype)
+        for x in range(stride):
+            cur = row[x]
+            left = row[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if ftype == 0:
+                raw.append(cur)
+            elif ftype == 1:
+                raw.append((cur - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((cur - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((cur - (left + up) // 2) & 0xFF)
+            elif ftype == 4:
+                raw.append((cur - _paeth(left, up, ul)) & 0xFF)
+            else:
+                raise ValueError(f"filter type {ftype}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nn(
+    pixels: bytes, width: int, height: int, channels: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample on REAL decoded pixels: output pixel
+    ``(i, j)`` takes source pixel ``(i*height // th, j*width // tw)`` —
+    integer arithmetic only, so the result is bit-identical across
+    engines. Vectorized via numpy fancy indexing."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    rows = (np.arange(th, dtype=np.int64) * height) // th
+    cols = (np.arange(tw, dtype=np.int64) * width) // tw
+    return a[rows][:, cols].tobytes()
+
+
+PNG_RESIZE_SCHEMA = (
+    "asset_id long, width int, height int, target_w int, target_h int, px_sum long"
+)
+
+
+def decode_resize_png(assets: DataFrame, max_side: int = 24) -> DataFrame:
+    """The full REAL pixel pipeline per image asset: PNG decode
+    (:func:`png_decode`) → aspect-preserving NN downsample to
+    ``max_side`` (:func:`resize_nn`) → emit dimensions + the exact
+    integer sum of the resized pixel bytes (``px_sum`` — bit-stable, so
+    a DuckDB oracle can state it closed-form for synthetic patterns).
+
+    Arrow-batched ``mapInPandas``; the payload column is projected only
+    into this stage (column pruning keeps it unread elsewhere)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, pix = png_decode(bytes(payload))
+                longest = max(w, h)
+                if longest > max_side:
+                    tw = (w * max_side) // longest
+                    th = (h * max_side) // longest
+                else:
+                    tw, th = w, h
+                resized = resize_nn(pix, w, h, ch, tw, th)
+                rows.append((int(asset_id), w, h, tw, th, sum(resized)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "target_w", "target_h", "px_sum",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, schema=PNG_RESIZE_SCHEMA)
+    )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic grayscale PNG for the gate fixture: dimensions and
+    the pixel pattern are closed-form in ``doc_id`` (so a SQL oracle can
+    recompute the resized pixel sum), and the row filter type rotates
+    through all five PNG filters, exercising every unfilter path."""
+    w = 16 + (doc_id * 7) % 48
+    h = 16 + (doc_id * 11) % 48
+    pix = bytes(((x * 7 + y * 13 + doc_id) % 256) for y in range(h) for x in range(w))
+    return png_encode(pix, w, h, 1, [(doc_id + y) % 5 for y in range(h)])
+
+
+def documents_as_png_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with REAL PNG payloads synthesized per doc
+    (same ``doc_id % 3 == 0`` image subset as :func:`documents_as_assets`,
+    so gate row counts line up across multimodal entries)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def resize_plan(assets: DataFrame, max_side: int = 64, *, fake: bool = True) -> DataFrame:
     """Aspect-preserving resize targets for every image asset: fit the
     longer side to ``max_side``, never upscale. Integer arithmetic only
     (``w*max_side // longest``) so the plan is bit-identical across
-    engines; the actual pixel resampling is the stubbed decode stage."""
+    engines. This is the plan-only variant; :func:`decode_resize_png`
+    executes the real decode+resample for PNG payloads."""
     feats = decode_image_features(assets, fake=fake)
     longest = "greatest(width, height)"
     return feats.select(

@@ -378,7 +378,8 @@ _PRIORITY = [
     "ann_topk_srp",
     "ann_topk_ivf",
     "multimodal_image_features",
-    "multimodal_frame_plan",
+    # r7: frame plan folded into multimodal_resize_plan (whose resize leg
+    # now runs the REAL PNG pixel decode); freed slot → stream_ingest_dedup
     "multimodal_resize_plan",
     "multimodal_audio_chunks",
     # r7 fold of fx_edge_bounds + fx_grouped (themselves folds of r1's

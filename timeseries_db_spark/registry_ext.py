@@ -379,33 +379,77 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents WHERE doc_id % 3 = 0
     """
 
-    q["multimodal_frame_plan"] = lambda s, d: multimodal.frame_sample_plan(
-        multimodal.documents_as_assets(_docs(s, d))
-    )
-    o["multimodal_frame_plan"] = """
-        SELECT doc_id AS asset_id,
-               unnest(range(0, (octet_length(text::BLOB) // 64 + 1)::INT, 10)) AS frame_idx
-        FROM documents WHERE doc_id % 3 = 2
-    """
-
-    q["multimodal_resize_plan"] = lambda s, d: multimodal.resize_plan(
-        multimodal.documents_as_assets(_docs(s, d)), max_side=64
-    )
-    o["multimodal_resize_plan"] = """
-        WITH f AS (
-            SELECT doc_id AS asset_id,
-                   (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::INT AS width,
-                   (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT AS height
-            FROM documents WHERE doc_id % 3 = 0
+    # r7 fold: the frame plan joins the resize entry as a union leg
+    # (freed the gate slot stream_ingest_dedup now occupies), and the
+    # resize leg upgraded from header-plan-only to the REAL pixel path —
+    # synthesized PNG payloads (all five row filters) are zlib-inflated,
+    # unfiltered, and NN-downsampled for real; `v5` is the exact integer
+    # sum of the resized pixel bytes, which the oracle recomputes
+    # closed-form from the synthetic pattern. Leg→column mapping:
+    # resize: v1=width v2=height v3=target_w v4=target_h v5=px_sum;
+    # frame:  v1=frame_idx, v2-v5 NULL.
+    def multimodal_resize_plan(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        resize = multimodal.decode_resize_png(
+            multimodal.documents_as_png_assets(docs), max_side=24
+        ).select(
+            "asset_id",
+            F.lit("resize").alias("kind"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.col("target_w").cast("long").alias("v3"),
+            F.col("target_h").cast("long").alias("v4"),
+            F.col("px_sum").alias("v5"),
         )
-        SELECT asset_id, width, height,
-               (CASE WHEN greatest(width, height) > 64
-                     THEN (width::BIGINT * 64) // greatest(width, height)
-                     ELSE width END)::INT AS target_w,
-               (CASE WHEN greatest(width, height) > 64
-                     THEN (height::BIGINT * 64) // greatest(width, height)
-                     ELSE height END)::INT AS target_h
-        FROM f
+        frames = multimodal.frame_sample_plan(
+            multimodal.documents_as_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("frame").alias("kind"),
+            F.col("frame_idx").alias("v1"),
+            *[F.lit(None).cast("long").alias(c) for c in ("v2", "v3", "v4", "v5")],
+        )
+        return resize.unionByName(frames)
+
+    q["multimodal_resize_plan"] = multimodal_resize_plan
+    o["multimodal_resize_plan"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   (16 + (doc_id * 7) % 48)::INT AS w,
+                   (16 + (doc_id * 11) % 48)::INT AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        t AS (
+            SELECT doc_id, w, h,
+                   (CASE WHEN greatest(w, h) > 24
+                         THEN (w::BIGINT * 24) // greatest(w, h)
+                         ELSE w END)::INT AS tw,
+                   (CASE WHEN greatest(w, h) > 24
+                         THEN (h::BIGINT * 24) // greatest(w, h)
+                         ELSE h END)::INT AS th
+            FROM d
+        ),
+        nums AS (SELECT unnest(range(64)) AS n),
+        px AS (
+            SELECT t.doc_id,
+                   SUM((((j.n * t.w) // t.tw) * 7
+                        + ((i.n * t.h) // t.th) * 13
+                        + t.doc_id) % 256)::BIGINT AS px_sum
+            FROM t
+            JOIN nums i ON i.n < t.th
+            JOIN nums j ON j.n < t.tw
+            GROUP BY t.doc_id
+        )
+        SELECT t.doc_id AS asset_id, 'resize' AS kind,
+               t.w::BIGINT AS v1, t.h::BIGINT AS v2,
+               t.tw::BIGINT AS v3, t.th::BIGINT AS v4, px.px_sum AS v5
+        FROM t JOIN px ON px.doc_id = t.doc_id
+        UNION ALL
+        SELECT doc_id AS asset_id, 'frame' AS kind,
+               unnest(range(0, (octet_length(text::BLOB) // 64 + 1)::INT, 10))::BIGINT AS v1,
+               NULL::BIGINT AS v2, NULL::BIGINT AS v3,
+               NULL::BIGINT AS v4, NULL::BIGINT AS v5
+        FROM documents WHERE doc_id % 3 = 2
     """
 
     q["multimodal_audio_chunks"] = lambda s, d: multimodal.audio_chunk_plan(
