@@ -50,6 +50,19 @@ def test_stream_ingest_is_idempotent_on_replay(spark, sf_dir, tmp_path):
     assert table.read().count() == expected
 
 
+def test_read_events_stream_empty_dir_falls_back_to_pinned_schema(
+    spark, tmp_path
+):
+    """Starting the stream before producers write any file (the normal
+    file-stream pattern) must not fail schema inference — the probe read
+    falls back to EVENTS_STREAM_SCHEMA (ADVICE r6)."""
+    empty = tmp_path / "empty_in"
+    empty.mkdir()
+    stream = ingest.read_events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert set(["timestamp", "tag", "value", "event_time"]) <= set(stream.columns)
+
+
 def test_streaming_rollup_matches_batch_twin(spark, sf_dir, tmp_path):
     stream = ingest.read_events_stream(spark, _events_glob(sf_dir))
     rolled = ingest.windowed_rollup_stream(stream)

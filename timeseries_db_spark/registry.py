@@ -387,9 +387,12 @@ _PRIORITY = [
     "fx_surface",
     # SURVEY §2.5 error contract + O5 QueryR wire union (VERDICT r6 #1)
     "wire_error_contract",
-    # streaming operators newly under the gate (VERDICT item 4)
+    # streaming operators newly under the gate (r6 VERDICT item 4)
     "stream_running_totals",
     "stream_sessions",
+    # r7: the streaming INGEST path (watermark dedup + anti-join MERGE
+    # into TsTable) — occupies the slot freed by the frame-plan fold
+    "stream_ingest_dedup",
 ]
 
 

@@ -239,8 +239,97 @@ def stream_sessions_sql() -> str:
     """
 
 
+# --- streaming INGEST path (r7, VERDICT item 3): the reference's W1 at
+# scale — readStream → watermark dedup → foreachBatch insert-if-absent
+# MERGE into a TsTable (streaming/ingest.py:99). Determinism: batch b1
+# re-sends b0 keys with a poison value (999) that must NEVER land —
+# whichever dedup layer drops them (watermark state or the table
+# anti-join), the final table is b0 ∪ b1's new keys with the original
+# value formula, which the oracle states closed-form. Within-b0
+# duplicate rows carry identical values, so layer-1 state dedup is
+# value-neutral and the run is bit-deterministic.
+ING_BASE = 1_704_067_200_000
+ING_N0 = 1_200  # batch-0 unique keys (ts = BASE + i*1000)
+ING_DUP0 = 100  # within-b0 duplicate copies (same value → deterministic)
+ING_RESEND = 300  # b1 re-sends of b0 keys, poison value — must be dropped
+ING_NEW = 300  # b1 genuinely new keys → inserted
+
+
+def _ing_pdf(lo: int, hi: int, poison: bool = False) -> pd.DataFrame:
+    i = pd.Series(range(lo, hi), dtype="int64")
+    return pd.DataFrame(
+        {
+            "timestamp": ING_BASE + i * 1_000,
+            "tag": [SESS_TAGS[k % 4] for k in range(lo, hi)],
+            "value": 999.0 if poison else (1 + i % 7).astype("float64"),
+        }
+    )
+
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-micro-batch ingest run landing in a scratch TsTable; returns
+    the final table snapshot. b0 = 1,200 keys + 100 same-value
+    duplicates; b1 = 300 late re-sends (poison value, dropped) + 300 new
+    keys. maxFilesPerTrigger=1 + distinct mtimes pin the batch order, so
+    the b1 re-sends arrive when the table already holds their keys."""
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.streaming.ingest import start_ingest
+
+    base = _scratch("stream_ing")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    b0 = pd.concat(
+        [_ing_pdf(0, ING_N0), _ing_pdf(0, ING_DUP0)], ignore_index=True
+    )
+    b1 = pd.concat(
+        [
+            _ing_pdf(0, ING_RESEND, poison=True),
+            _ing_pdf(ING_N0, ING_N0 + ING_NEW),
+        ],
+        ignore_index=True,
+    )
+    _write_sess_file(os.path.join(in_dir, "b0.parquet"), b0)
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    _write_sess_file(os.path.join(in_dir, "b1.parquet"), b1)
+    stream = (
+        spark.readStream.schema(
+            "timestamp long, tag string, value double, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    table = TsTable.create(spark, os.path.join(base, "tbl"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        query = start_ingest(
+            stream, table, os.path.join(base, "ckpt"), watermark="5 minutes"
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return table.read()
+
+
+def stream_ingest_dedup_sql() -> str:
+    """Closed form of the final table: every key i∈[0, N0+NEW) exactly
+    once with the ORIGINAL value formula — duplicates collapsed, poison
+    re-sends never landed."""
+    return f"""
+        SELECT {ING_BASE} + i * 1000 AS "timestamp",
+               {_sess_case("i")} AS tag,
+               CAST(1 + i % 7 AS DOUBLE) AS value
+        FROM range({ING_N0 + ING_NEW}) r(i)
+    """
+
+
 def register_streaming(q: dict, o: dict) -> None:
     q["stream_running_totals"] = stream_running_totals
     o["stream_running_totals"] = stream_running_totals_sql()
     q["stream_sessions"] = stream_sessions
     o["stream_sessions"] = stream_sessions_sql()
+    q["stream_ingest_dedup"] = stream_ingest_dedup
+    o["stream_ingest_dedup"] = stream_ingest_dedup_sql()

@@ -59,10 +59,19 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     path sees, and the ts→millis normalization is the SAME
     ``ts_to_millis`` the batch views use (long-ns vs timestamp vs
     timestamp_ntz all handled in one place — ``sources/tables.py``)."""
+    from pyspark.errors import AnalysisException
+
     from timeseries_db_spark.sources.tables import ts_to_millis
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        # normal file-stream pattern: the stream starts BEFORE producers
+        # write the first file, so the probe read finds an empty dir
+        # ("unable to infer schema"). Fall back to the pinned long-ns
+        # layout rather than failing the start (ADVICE r6).
+        schema = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
