@@ -374,3 +374,40 @@ def curate_corpus(
             ).alias("kept"),
         )
     )
+
+
+def curate_corpus_sql(
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    max_contamination: int = 3,
+) -> str:
+    """DuckDB twin of :func:`curate_corpus`, composed from the SQL twins
+    of its component stages — the integration seams (split →
+    contamination → dedup-keep → quality → verdict) are exactly what
+    this oracle pins (r6 VERDICT item 4)."""
+    from timeseries_db_spark.operators.graph import dedup_clusters_sql
+    from timeseries_db_spark.operators.text import quality_score_sql
+
+    return f"""
+        WITH q AS (SELECT doc_id, quality FROM ({quality_score_sql()})),
+        losers AS (
+            SELECT doc_id, TRUE AS is_dup_loser
+            FROM ({dedup_clusters_sql(jaccard_threshold)}) c
+            WHERE NOT keep
+        ),
+        cont AS (SELECT * FROM ({benchmark_contamination_sql()}) b),
+        sp AS (SELECT doc_id, {_split_sql("doc_id")} AS split FROM documents)
+        SELECT d.doc_id, sp.split, q.quality,
+               coalesce(l.is_dup_loser, FALSE) AS is_dup_loser,
+               coalesce(cont.n_shared, 0)::BIGINT AS n_shared,
+               (q.quality >= {min_quality}
+                AND NOT coalesce(l.is_dup_loser, FALSE)
+                AND (sp.split <> 'train'
+                     OR coalesce(cont.n_shared, 0) <= {max_contamination})
+               ) AS kept
+        FROM documents d
+        JOIN sp USING (doc_id)
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN losers l ON l.doc_id = d.doc_id
+        LEFT JOIN cont ON cont.doc_id = d.doc_id
+    """

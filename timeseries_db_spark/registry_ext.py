@@ -331,8 +331,46 @@ def register_extensions(q: dict, o: dict) -> None:
         {"en": 0.6, "es": 1.0}, default_fraction=0.25
     )
 
-    q["corpus_curation_topk"] = lambda s, d: corpus.curation_topk(_docs(s, d), 10)
-    o["corpus_curation_topk"] = corpus.curation_topk_sql(10)
+    # r7 fold (VERDICT item 4): the per-stratum quality top-k AND the
+    # end-to-end curation composition (split → contamination → dedup-keep
+    # → quality → verdict) share one union entry, discriminated by
+    # `kind`. Leg→column mapping: topk: stratum=lang, v=rnk, dup_loser/
+    # kept NULL; curate: stratum=split, v=n_shared, booleans real. The
+    # curate leg's oracle is composed from the component stages' own SQL
+    # twins, so the integration seams get a driver row of their own.
+    def corpus_curation(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        nb = F.lit(None).cast("boolean")
+        topk = corpus.curation_topk(docs, 10).select(
+            "doc_id",
+            F.lit("topk").alias("kind"),
+            F.col("lang").alias("stratum"),
+            "quality",
+            F.col("rnk").alias("v"),
+            nb.alias("dup_loser"),
+            nb.alias("kept"),
+        )
+        cur = corpus.curate_corpus(docs).select(
+            "doc_id",
+            F.lit("curate").alias("kind"),
+            F.col("split").alias("stratum"),
+            "quality",
+            F.col("n_shared").alias("v"),
+            F.col("is_dup_loser").alias("dup_loser"),
+            "kept",
+        )
+        return topk.unionByName(cur)
+
+    q["corpus_curation_topk"] = corpus_curation
+    o["corpus_curation_topk"] = f"""
+        SELECT doc_id, 'topk' AS kind, lang AS stratum, quality,
+               rnk AS v, NULL::BOOLEAN AS dup_loser, NULL::BOOLEAN AS kept
+        FROM ({corpus.curation_topk_sql(10)}) t
+        UNION ALL
+        SELECT doc_id, 'curate' AS kind, split AS stratum, quality,
+               n_shared AS v, is_dup_loser AS dup_loser, kept
+        FROM ({corpus.curate_corpus_sql()}) c
+    """
 
     # ---- similarity search ----
     q["sim_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
