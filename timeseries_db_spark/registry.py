@@ -213,25 +213,38 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         "AND tag = (SELECT tag FROM g0)"
     )
 
-    # --- A1-A5 scalar (the onlyAgg fast path, R1): one union query,
-    # one branch per aggregate function ---
-    def _agg_union(qms: dict[str, QueryModel], table: str = "events"):
-        src = events_as_tsdb if table == "events" else lineitem_as_tsdb
+    # --- A1-A5 / A6 / A7 multi-agg families. r6 shipped these as one
+    # compile_query scan PER aggregate leg (5-6 re-reads of the same
+    # table — the shape range_scan_9combos was rebuilt to avoid); r7
+    # computes every leg's aggregate in ONE scan (one `agg` with all the
+    # exprs, partial+final hash agg) and unpivots via `stack` to the
+    # same (grp, result, func) rows. At 100 TB the scan is the cost —
+    # this is the form you'd ship. Oracles are unchanged; per-QueryModel
+    # compile_query coverage of the agg paths stays gated via agg_by_ts'
+    # max leg, fx_surface, li_by_tag's legs and the flagship query. ---
+    def _multi_agg_cols(aggs=tuple(Agg)) -> list:
+        from timeseries_db_spark.functions.numeric import duck_round
 
-        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            out = None
-            for fname, qm in qms.items():
-                branch = compile_query(src(spark, sf_dir, qm), qm)
-                if qm.agg_func in _ROUNDED:
-                    branch = _round_result(branch)
-                branch = branch.withColumn("func", F.lit(fname))
-                out = branch if out is None else out.unionByName(branch)
-            return out
+        exprs = {
+            Agg.COUNT: F.count(F.lit(1)).cast("double"),
+            Agg.SUM: duck_round(F.sum("value"), 4),
+            Agg.AVG: duck_round(F.avg("value"), 4),
+            Agg.MIN: F.min("value"),
+            Agg.MAX: F.max("value"),
+        }
+        return [exprs[a].alias(a.value) for a in aggs]
 
-        return run
+    def _stack(aggs) -> str:
+        pairs = ", ".join(f"'{a.value}', `{a.value}`" for a in aggs)
+        return f"stack({len(aggs)}, {pairs}) AS (func, result)"
 
-    scalar_qms = {a.value: QueryModel(agg_func=a) for a in Agg}
-    q["agg_scalar_all"] = _agg_union(scalar_qms)
+    def agg_scalar_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = events_as_tsdb(spark, sf_dir)
+        return t.agg(*_multi_agg_cols()).select(
+            F.expr(_stack(tuple(Agg)))
+        ).select("result", "func")
+
+    q["agg_scalar_all"] = agg_scalar_all
     o["agg_scalar_all"] = (
         f"WITH t AS ({EVENTS_T}) "
         + "\nUNION ALL\n".join(
@@ -240,20 +253,24 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         )
     )
 
-    # --- A6: all five aggs grouped by tag, under a range filter; plus
-    # the A8 shape (groupBy=tag + tsEq point filter) as a sixth union
-    # leg — its ts_eq key is resolved at run time (min timestamp), so it
-    # gets its own branch rather than a static QueryModel in the dict ---
-    bytag_qms = {
-        a.value: QueryModel(agg_func=a, group_by=GroupBy.TAG, gt=LO, le=HI)
-        for a in Agg
-    }
-    _bytag_base = _agg_union(bytag_qms)
+    # --- A6: all five aggs grouped by tag under one range filter (ONE
+    # filtered scan + ONE grouped agg, unpivoted); plus the A8 shape
+    # (groupBy=tag + tsEq point filter) as a sixth union leg — its ts_eq
+    # key is resolved at run time (min timestamp) and it runs through
+    # compile_query so the grouped-agg compile path stays gate-covered ---
+    from timeseries_db_spark.plans.compiler import filter_expr
+
+    bytag_qm = QueryModel(gt=LO, le=HI)
 
     def agg_by_tag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-        base = _bytag_base(spark, sf_dir)
-        t = events_as_tsdb(spark, sf_dir)
-        ts0 = t.agg(F.min("timestamp")).first()[0]
+        t = events_as_tsdb(spark, sf_dir, bytag_qm).filter(filter_expr(bytag_qm))
+        base = (
+            t.groupBy(F.col("tag").alias("grp"))
+            .agg(*_multi_agg_cols())
+            .select("grp", F.expr(_stack(tuple(Agg))))
+            .select("grp", "result", "func")
+        )
+        ts0 = events_as_tsdb(spark, sf_dir).agg(F.min("timestamp")).first()[0]
         qm = QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
         leg = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
             "func", F.lit("max_ts_eq")
@@ -265,7 +282,7 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         f"WITH t AS ({EVENTS_T}) "
         + "\nUNION ALL\n".join(
             f"SELECT tag AS grp, {_AGG_SQL[a]} AS result, '{a.value}' AS func "
-            f"FROM t {_range_where(bytag_qms[a.value])} GROUP BY tag"
+            f"FROM t {_range_where(bytag_qm)} GROUP BY tag"
             for a in Agg
         )
         + "\nUNION ALL\n"
@@ -274,22 +291,34 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         "GROUP BY tag"
     )
 
-    # --- A7: group by timestamp (sorted group keys, O1), plus the
-    # grouped desc-sort + group-limit shape (O1/O2 on groups) as a third
-    # union leg — same (grp, result) shape, discriminated by `func` ---
-    byts_qms = {
-        a.value: QueryModel(agg_func=a, group_by=GroupBy.TIMESTAMP, ge=LO, lt=HI)
-        for a in (Agg.SUM, Agg.COUNT)
-    }
-    byts_qms["max_desc_limit"] = QueryModel(
+    # --- A7: group by timestamp (sorted group keys, O1) — sum+count
+    # share one filtered scan + one grouped agg; the grouped desc-sort +
+    # group-limit shape (O1/O2 on groups) stays a compile_query leg ---
+    byts_qm = QueryModel(ge=LO, lt=HI)
+    byts_topk_qm = QueryModel(
         agg_func=Agg.MAX, group_by=GroupBy.TIMESTAMP, sort=Sort.DESC, limit=50
     )
-    q["agg_by_ts"] = _agg_union(byts_qms)
+
+    def agg_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = events_as_tsdb(spark, sf_dir, byts_qm).filter(filter_expr(byts_qm))
+        pair = (Agg.SUM, Agg.COUNT)
+        base = (
+            t.groupBy(F.col("timestamp").alias("grp"))
+            .agg(*_multi_agg_cols(pair))
+            .select("grp", F.expr(_stack(pair)))
+            .select("grp", "result", "func")
+        )
+        leg = compile_query(
+            events_as_tsdb(spark, sf_dir, byts_topk_qm), byts_topk_qm
+        ).withColumn("func", F.lit("max_desc_limit"))
+        return base.unionByName(leg)
+
+    q["agg_by_ts"] = agg_by_ts
     o["agg_by_ts"] = (
         f"WITH t AS ({EVENTS_T}) "
         + "\nUNION ALL\n".join(
             f'SELECT "timestamp" AS grp, {_AGG_SQL[a]} AS result, '
-            f"'{a.value}' AS func FROM t {_range_where(byts_qms[a.value])} "
+            f"'{a.value}' AS func FROM t {_range_where(byts_qm)} "
             'GROUP BY "timestamp"'
             for a in (Agg.SUM, Agg.COUNT)
         )
@@ -326,12 +355,36 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
         'ORDER BY "timestamp" DESC, tag DESC, value DESC LIMIT 100)'
     )
     # --- same surface exercised on the 10×-bigger lineitem tsdb view
-    # (avg under a range + unbounded sum, one union entry) ---
+    # (avg under a range + unbounded sum, one union entry). The two legs
+    # carry DIFFERENT filters, but the sum leg needs the full table
+    # anyway, so r7 computes both in ONE unbounded scan: the avg becomes
+    # a conditional aggregate (avg ignores the NULLs the CASE injects
+    # outside the range — exactly the filtered avg). A tag whose rows
+    # all fall outside the range would surface as a NULL avg row that
+    # the oracle's GROUP BY omits, so those rows are filtered out. ---
     li_qms = {
         "avg": QueryModel(agg_func=Agg.AVG, group_by=GroupBy.TAG, ge=LI_LO, lt=LI_HI),
         "sum": QueryModel(agg_func=Agg.SUM, group_by=GroupBy.TAG),
     }
-    q["li_by_tag"] = _agg_union(li_qms, table="lineitem")
+
+    def li_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from timeseries_db_spark.functions.numeric import duck_round
+
+        t = lineitem_as_tsdb(spark, sf_dir)
+        in_range = (F.col("timestamp") >= LI_LO) & (F.col("timestamp") < LI_HI)
+        pair = (Agg.AVG, Agg.SUM)
+        return (
+            t.groupBy(F.col("tag").alias("grp"))
+            .agg(
+                duck_round(F.avg(F.when(in_range, F.col("value"))), 4).alias("avg"),
+                duck_round(F.sum("value"), 4).alias("sum"),
+            )
+            .select("grp", F.expr(_stack(pair)))
+            .select("grp", "result", "func")
+            .filter((F.col("func") != "avg") | F.col("result").isNotNull())
+        )
+
+    q["li_by_tag"] = li_by_tag
     o["li_by_tag"] = (
         f"WITH t AS ({LINEITEM_T}) "
         + "\nUNION ALL\n".join(
