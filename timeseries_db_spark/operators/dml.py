@@ -267,7 +267,15 @@ class TsTable:
         become un-updatable), and a null timestamp writes the hive default
         partition, which the manifest date pruning cannot parse. The
         reference's schema is total (aeson rejects missing fields), so
-        reject nulls outright."""
+        reject nulls outright.
+
+        Skipped entirely (no Spark job) when every checked column is
+        non-nullable in the batch schema — the engine's own TS_SCHEMA
+        batches and parquet round-trips carry that guarantee, so the
+        count job would be pure fixed overhead (r6 VERDICT item 5)."""
+        fields = {f.name: f for f in batch.schema.fields}
+        if all(not fields[c].nullable for c in cols if c in fields):
+            return
         pred = None
         for c in cols:
             p = F.col(c).isNull()
@@ -278,37 +286,68 @@ class TsTable:
                 [f"NULL field in entry: {r.asDict()}." for r in bad]
             )
 
+    def _live_dts(self, manifest: dict[str, list[str]], batch: DataFrame) -> set[str]:
+        """Touched partitions that actually exist in the manifest — the
+        scan set for validation joins. Empty ⇒ the table holds none of
+        the batch's dates, so table-side checks short-circuit without a
+        join job."""
+        return {dt for dt in self._batch_dts(batch) if dt in manifest}
+
     def insert(self, batch: DataFrame) -> None:
         """Append-only insert; rejects existing keys, intra-batch
-        duplicates, and NULL fields, all-or-nothing, ≤10 error messages."""
+        duplicates, and NULL fields, all-or-nothing, ≤10 error messages.
+
+        Validation is ONE Spark job: the intra-batch duplicate probe and
+        the existing-key conflict probe (each pre-limited to 10 rows)
+        union into a single collect, discriminated by ``why`` — halving
+        the fixed per-op job overhead vs separate collects."""
         batch = batch.select("timestamp", "tag", "value")
         self._check_no_nulls(batch, ["timestamp", "tag", "value"])
-        errors: list[str] = []
         # intra-batch duplicates (reference anomaly fix — SURVEY.md §2.4)
-        dups = (
-            batch.groupBy(*KEY).count().filter(F.col("count") > 1).limit(MAX_ERRORS).collect()
-        )
-        errors += [
-            f"Duplicate key in batch: timestamp={r['timestamp']}, tag={r['tag']}."
-            for r in dups
-        ]
-        # existing-key conflicts — only the batch's partitions are scanned,
-        # and the batch side broadcasts (validInsert semantics, Queries.hs:76-77)
-        manifest = self._manifest()["partitions"]
-        current = self._read_partitions(manifest, only=self._batch_dts(batch))
-        # expressed table-side (current SEMI JOIN broadcast(batch)) so the
-        # small batch is the broadcast build side and the table partitions
-        # stream through — one scan, no table shuffle
-        conflicts = (
-            current.join(F.broadcast(batch.select(*KEY)), on=KEY, how="left_semi")
-            .select(*KEY)
+        dups_q = (
+            batch.groupBy(*KEY)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(*KEY, F.lit("dup").alias("why"))
             .limit(MAX_ERRORS)
-            .collect()
         )
+        manifest = self._manifest()["partitions"]
+        live = self._live_dts(manifest, batch)
+        bad_q = dups_q
+        if live:
+            # existing-key conflicts — only the batch's LIVE partitions are
+            # scanned, and the batch side broadcasts (validInsert
+            # semantics, Queries.hs:76-77); expressed table-side (current
+            # SEMI JOIN broadcast(batch)) so the small batch is the
+            # broadcast build side and the table partitions stream
+            # through — one scan, no table shuffle
+            current = self._read_partitions(manifest, only=live)
+            conflicts_q = (
+                current.join(
+                    F.broadcast(batch.select(*KEY)), on=KEY, how="left_semi"
+                )
+                .select(*KEY, F.lit("exists").alias("why"))
+                .limit(MAX_ERRORS)
+            )
+            bad_q = bad_q.unionByName(conflicts_q)
+        bad = bad_q.collect()
         from timeseries_db_spark import wire
 
-        errors += [
-            wire.key_exists(r["timestamp"], r["tag"]) for r in conflicts
+        # deterministic report order regardless of union partition order:
+        # duplicates first (as the sequential checks raised them), then
+        # conflicts, each sorted by key
+        errors = [
+            f"Duplicate key in batch: timestamp={r['timestamp']}, tag={r['tag']}."
+            for r in sorted(
+                (r for r in bad if r["why"] == "dup"),
+                key=lambda r: (r["timestamp"], r["tag"]),
+            )
+        ] + [
+            wire.key_exists(r["timestamp"], r["tag"])
+            for r in sorted(
+                (r for r in bad if r["why"] == "exists"),
+                key=lambda r: (r["timestamp"], r["tag"]),
+            )
         ]
         if errors:
             raise DmlError(errors)
@@ -319,25 +358,6 @@ class TsTable:
             merged[dt] = merged[dt] + dirs
         self._publish(merged)
         self._maybe_auto_compact()
-
-    def _check_all_exist(self, keys: DataFrame, current: DataFrame, op: str) -> None:
-        # anti join builds on the right side; the touched-partition key set
-        # is the natural build side here (AQE picks broadcast vs shuffle)
-        missing = (
-            keys.select(*KEY)
-            .join(current.select(*KEY), on=KEY, how="left_anti")
-            .limit(MAX_ERRORS)
-            .collect()
-        )
-        if missing:
-            from timeseries_db_spark import wire
-
-            raise DmlError(
-                [
-                    wire.key_not_found(r["timestamp"], r["tag"], op)
-                    for r in missing
-                ]
-            )
 
     def _rewrite_partitions(self, touched: set[str], new_data: DataFrame) -> None:
         """Publish a new version where the ``touched`` partitions' contents
@@ -350,6 +370,60 @@ class TsTable:
         self._publish(merged)
         self._maybe_auto_compact()
 
+    def _check_dups_and_missing(
+        self, batch: DataFrame, current: DataFrame, op: str, *,
+        check_dups: bool,
+    ) -> None:
+        """Fused validation collect for update/delete: intra-batch
+        duplicate keys and missing keys in ONE job. ``current`` is the
+        live-partition snapshot (possibly the empty base when no live
+        partition overlaps the batch — then every key is missing and the
+        anti join is a no-scan local plan). Duplicate errors take
+        precedence, mirroring the sequential checks they replace."""
+        keys = batch.select(*KEY)
+        probes = []
+        if check_dups:
+            probes.append(
+                batch.groupBy(*KEY)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*KEY, F.lit("dup").alias("why"))
+                .limit(MAX_ERRORS)
+            )
+        # anti join builds on the right side; the touched-partition key
+        # set is the natural build side (AQE picks broadcast vs shuffle)
+        probes.append(
+            keys.join(current.select(*KEY), on=KEY, how="left_anti")
+            .select(*KEY, F.lit("missing").alias("why"))
+            .limit(MAX_ERRORS)
+        )
+        bad_q = probes[0]
+        for p in probes[1:]:
+            bad_q = bad_q.unionByName(p)
+        bad = bad_q.collect()
+        if not bad:
+            return
+        from timeseries_db_spark import wire
+
+        for why in ("dup", "missing"):
+            rows = sorted(
+                (r for r in bad if r["why"] == why),
+                key=lambda r: (r["timestamp"], r["tag"]),
+            )
+            if not rows:
+                continue
+            if why == "dup":
+                raise DmlError(
+                    [
+                        f"Duplicate key in batch: timestamp={r['timestamp']}, "
+                        f"tag={r['tag']}."
+                        for r in rows
+                    ]
+                )
+            raise DmlError(
+                [wire.key_not_found(r["timestamp"], r["tag"], op) for r in rows]
+            )
+
     def update(self, batch: DataFrame) -> None:
         """Value-only in-place update by key (``vUpdateTS`` semantics,
         ``Queries.hs:126-129``); rewrites only the touched partitions.
@@ -359,19 +433,11 @@ class TsTable:
         below would otherwise fan out one table row per duplicate."""
         batch = batch.select("timestamp", "tag", F.col("value").alias("_new_value"))
         self._check_no_nulls(batch, ["timestamp", "tag", "_new_value"])
-        dups = (
-            batch.groupBy(*KEY).count().filter(F.col("count") > 1).limit(MAX_ERRORS).collect()
-        )
-        if dups:
-            raise DmlError(
-                [
-                    f"Duplicate key in batch: timestamp={r['timestamp']}, tag={r['tag']}."
-                    for r in dups
-                ]
-            )
+        manifest = self._manifest()["partitions"]
         touched = self._batch_dts(batch.select("timestamp", "tag"))
-        current = self._read_partitions(self._manifest()["partitions"], only=touched)
-        self._check_all_exist(batch, current, "update")
+        live = {dt for dt in touched if dt in manifest}
+        current = self._read_partitions(manifest, only=live)
+        self._check_dups_and_missing(batch, current, "update", check_dups=True)
         updated = (
             current.join(F.broadcast(batch), on=KEY, how="left")
             .withColumn("value", F.coalesce(F.col("_new_value"), F.col("value")))
@@ -384,9 +450,11 @@ class TsTable:
         rewrites only the touched partitions."""
         keys = keys.select(*KEY)
         self._check_no_nulls(keys, list(KEY))
+        manifest = self._manifest()["partitions"]
         touched = self._batch_dts(keys)
-        current = self._read_partitions(self._manifest()["partitions"], only=touched)
-        self._check_all_exist(keys, current, "delete")
+        live = {dt for dt in touched if dt in manifest}
+        current = self._read_partitions(manifest, only=live)
+        self._check_dups_and_missing(keys, current, "delete", check_dups=False)
         remaining = current.join(F.broadcast(keys), on=KEY, how="left_anti").select(
             "timestamp", "tag", "value"
         )
