@@ -76,10 +76,14 @@ def test_ann_candidates_subset_of_bruteforce_and_recall(spark, emb):
     for pair in hits:
         assert abs(approx[pair] - exact[pair]) < 1e-6
     recall = len(hits) / len(exact)
-    # random vectors are LSH-hostile; just require a sane floor and that
-    # the operator produced something
     assert len(approx) > 0
-    assert recall >= 0.02, f"ANN recall collapsed: {recall}"
+    # Documented recall floor (r6 VERDICT item 7): parameter drift in the
+    # 4×6-bit SRP tables must not silently degrade retrieval while the
+    # value oracle stays hash-green. The fixture's near-random vectors
+    # are the LSH-worst case: measured recall@5 = 0.12 (sf0.001) / 0.16
+    # (sf0.01) at the shipped parameters; 0.08 = half the observed
+    # minimum, leaving headroom for driver testdata regeneration.
+    assert recall >= 0.08, f"SRP recall@5 below documented floor: {recall}"
 
 
 def test_cosine_topk_sharded_equivalence(spark, emb):
@@ -147,7 +151,45 @@ def test_ivf_refined_centroids_mechanics_and_recall(spark, emb):
     x = {(r["qid"], r["nid"]) for r in exact.collect()}
     assert a, "refined-quantizer IVF returned nothing"
     recall = len(a & x) / len(x)
-    assert recall > 0.2, recall
+    # same documented floor as the sampled-quantizer test below
+    assert recall >= 0.3, f"refined-IVF recall@5 below documented floor: {recall}"
+
+
+def test_ivf_assignment_sims_clear_of_rounding_boundaries(spark):
+    """ADVICE r6: the IVF value oracle rounds assignment similarities to
+    6 decimals on both engines, but Spark's numpy BLAS matmul and
+    DuckDB's sequential sum have different FP summation orders — a
+    similarity within ~1 ulp of a 0.5e-6 rounding boundary could round
+    differently and flip a crn=1 assignment. Engine divergence is a few
+    ulps (~1e-15 in similarity units ≈ 1e-9 in microunit-fraction
+    space); this asserts every corpus×centroid similarity at the gate
+    parameters keeps a 1e-9 fractional guard band around the boundary,
+    so the hash-green oracle cannot be sitting on a knife edge. A
+    failure after testdata regeneration means the IVF gate entry is at
+    rounding risk — nudge the quantizer parameters (nlist) rather than
+    chasing the mismatch in the gate run."""
+    import numpy as np
+
+    from timeseries_db_spark.operators.similarity import (
+        _collect_matrix,
+        _normed,
+        ivf_centroids,
+    )
+    from timeseries_db_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+
+    for sf_dir in (SF_DIR, SF_DIR_ORACLE):
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, cmat = _collect_matrix(ivf_centroids(emb))
+        corpus = _normed(emb.select("embedding").toPandas()["embedding"])
+        sims = np.abs(corpus @ cmat.T)
+        frac = (sims * 1e6) % 1.0
+        dist = np.abs(frac - 0.5)
+        assert dist.min() > 1e-9, (
+            sf_dir,
+            f"assignment similarity within {dist.min():.2e} of a "
+            "round(·,6) boundary",
+        )
 
 
 def test_multimodal_real_header_decoders():
@@ -352,7 +394,11 @@ def test_ivf_hits_scored_exactly_and_recall(spark, emb):
     for pair in hits:
         assert abs(approx[pair] - exact[pair]) < 1e-6
     recall = len(hits) / len(exact)
-    assert recall > 0.2, recall  # near-random vectors; nprobe=4 of ~|C|/40 lists
+    # Documented recall floor (r6 VERDICT item 7): nprobe/nlist drift must
+    # not silently degrade retrieval while the value oracle stays green.
+    # Near-random vectors, nprobe=4: measured recall@5 = 0.48 (sf0.001) /
+    # 0.40 (sf0.01); 0.3 leaves headroom for testdata regeneration.
+    assert recall >= 0.3, f"IVF recall@5 below documented floor: {recall}"
     # every query that probed lists got k answers back
     from collections import Counter
 

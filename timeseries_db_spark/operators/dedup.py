@@ -77,7 +77,15 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     same-key call with a DIFFERENT plan (new input) releases the old
     generation first, so the leak stays bounded at one cache per
     (family, live input). ``semanticHash`` keys the normalized logical
-    plan, which pins the input files/expressions — not execution state."""
+    plan, which pins the input files/expressions — not execution state.
+
+    OVERWRITE-IN-PLACE HAZARD (ADVICE r6): the semantic hash does NOT
+    see file CONTENTS — rewriting the input parquet at the same path
+    within a live session (e.g. testdata regeneration) leaves the plan
+    identical and silently returns the stale persisted result. Any flow
+    that regenerates inputs without restarting the session must call
+    :func:`release_caches` first (new sessions — the driver's per-round
+    pattern — are unaffected)."""
     with _cache_lock:
         full = f"{key}:{df.semanticHash()}"
         hit = _live_caches.get(full)
@@ -91,7 +99,9 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Explicitly drop all cached signature tables (e.g. at session end)."""
+    """Explicitly drop all cached signature tables — at session end, or
+    REQUIRED after overwriting an input parquet in place (see
+    :func:`_persist_tracked`'s hazard note)."""
     with _cache_lock:
         for df in _live_caches.values():
             df.unpersist()

@@ -482,9 +482,14 @@ def ivf_centroids_refined(
 
     Per step: one corpus scan + one bounded shuffle whose output is
     ≤ nlist·dim rows — the textbook scalable k-means step; centroid
-    count can only shrink (an emptied list drops out). The refined
-    quantizer tightens the inverted lists (better recall at equal
-    nprobe) at the cost of float means whose summation order is NOT
+    count can only shrink (an emptied list drops out). Assignment uses
+    COSINE, so the consistent Lloyd update is spherical k-means: the
+    per-dimension mean is L2-RE-NORMALIZED before the next assignment
+    iteration (ADVICE r6 — a raw mean biases toward high-norm members
+    and can converge suboptimally on vectors with varied norms); a
+    degenerate all-zero mean drops its list. The refined quantizer
+    tightens the inverted lists (better recall at equal nprobe) at the
+    cost of float means whose summation order is NOT
     engine-reproducible — which is exactly why the value-oracle gate
     path keeps the deterministic sample and this is the opt-in
     quality path."""
@@ -508,10 +513,22 @@ def ivf_centroids_refined(
             .agg(
                 F.expr(
                     "transform(array_sort(collect_list(struct(pos, m))),"
-                    " s -> CAST(s.m AS FLOAT))"
-                ).alias("embedding")
+                    " s -> s.m)"
+                ).alias("mean_d")
             )
-            .select(F.col("list_id").alias("vec_id"), "embedding")
+            # spherical k-means update: renormalize the mean; drop lists
+            # whose mean collapsed to zero norm
+            .withColumn(
+                "nrm",
+                F.expr("sqrt(aggregate(mean_d, 0D, (a, v) -> a + v * v))"),
+            )
+            .filter(F.col("nrm") > 0)
+            .select(
+                F.col("list_id").alias("vec_id"),
+                F.expr(
+                    "transform(mean_d, v -> CAST(v / nrm AS FLOAT))"
+                ).alias("embedding"),
+            )
         )
     return cents
 
