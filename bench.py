@@ -25,6 +25,16 @@ the work of r1's 13-query total. Compare per-query where names persist
 running_totals_by_tag, dedup_minhash_lsh, sim_cosine_topk), not
 totals; late-r2 folded the five text_* entries into one-scan
 text_features, so text_quality_score's column is superseded.
+
+r7 fold mapping (headline list PINNED at the same 19 names as r6 —
+apples-to-apples): agg_scalar_all / agg_by_tag_all / agg_by_ts /
+li_by_tag now compute their aggregate legs in ONE scan (stack-unpivot)
+instead of one scan per leg — same rows, same oracles, less I/O; their
+r7 columns measure the same logical work as r6. Non-headline registry
+folds this round (fx_edge_bounds+fx_grouped→fx_surface,
+multimodal_frame_plan→multimodal_resize_plan union leg,
+curate_corpus→corpus_curation_topk union leg) don't touch the headline
+list.
 """
 
 from __future__ import annotations

@@ -1,0 +1,153 @@
+"""HTTP serving layer: the four reference routes (``Api.hs:31-38``)
+driven over real sockets against a scratch engine — status codes,
+response bodies, 400 error texts (both wire modes), CORS headers."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from timeseries_db_spark import wire
+from timeseries_db_spark.engine import TsdbEngine
+from timeseries_db_spark.server import make_server
+
+ROWS = [
+    {"timestamp": 1000, "tag": "a", "value": 1.5},
+    {"timestamp": 1000, "tag": "b", "value": 2.5},
+    {"timestamp": 2000, "tag": "a", "value": 3.5},
+]
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    engine = TsdbEngine(spark, str(tmp_path_factory.mktemp("srv") / "tbl"))
+    httpd = make_server(engine, port=0)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    thread.join(timeout=5)
+
+
+def _call(base, method, path, payload=None):
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        base + path, data=data, method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode(), dict(resp.headers)
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode(), dict(exc.headers)
+
+
+def test_insert_query_update_delete_roundtrip(served):
+    status, body, headers = _call(served, "POST", "/timeseries", ROWS)
+    assert (status, body) == (200, "[]")  # aeson: () encodes as []
+    assert headers["Access-Control-Allow-Origin"] == "*"
+
+    # rows shape
+    status, body, _ = _call(served, "POST", "/timeseries/query", {"tagEq": "a"})
+    assert status == 200
+    assert json.loads(body) == [
+        {"timestamp": 1000, "tag": "a", "value": 1.5},
+        {"timestamp": 2000, "tag": "a", "value": 3.5},
+    ]
+
+    # scalar + groups shapes
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"aggFunc": "count"}
+    )
+    assert (status, json.loads(body)) == (200, {"result": 3.0})
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query",
+        {"aggFunc": "sum", "groupBy": "tag"},
+    )
+    assert (status, json.loads(body)) == (
+        200, [{"group": "a", "result": 5.0}, {"group": "b", "result": 2.5}]
+    )
+
+    # update, then verify the new value is served
+    status, body, _ = _call(
+        served, "PUT", "/timeseries",
+        [{"timestamp": 1000, "tag": "a", "value": 9.0}],
+    )
+    assert (status, body) == (200, "[]")
+    _, body, _ = _call(served, "POST", "/timeseries/query", {"tsEq": 1000})
+    assert {r["tag"]: r["value"] for r in json.loads(body)} == {
+        "a": 9.0, "b": 2.5,
+    }
+
+    # keyed delete
+    status, body, _ = _call(
+        served, "DELETE", "/timeseries", [{"timestamp": 2000, "tag": "a"}]
+    )
+    assert (status, body) == (200, "[]")
+    _, body, _ = _call(served, "POST", "/timeseries/query", {})
+    assert len(json.loads(body)) == 2
+
+
+def test_http_400_error_texts_both_wire_modes(served):
+    # illegal combo: modern text by default
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"groupBy": "tag"}
+    )
+    assert status == 400
+    assert body == "Illegal query: 'groupBy' requires 'aggFunc'."
+
+    # DML conflict: unlines — one trailing newline per message
+    status, body, _ = _call(served, "POST", "/timeseries", ROWS[:1])
+    assert status == 400
+    assert body == "Key already exists: timestamp=1000, tag=a.\n"
+
+    # byte-exact reference bodies under the wire flag (typo included)
+    wire.set_reference_wire(True)
+    try:
+        status, body, _ = _call(
+            served, "POST", "/timeseries/query", {"groupBy": "tag"}
+        )
+        assert body == "You must provie 'aggFunc' with 'groupBy'."
+        status, body, _ = _call(served, "POST", "/timeseries", ROWS[:1])
+        assert body == 'Timestamp = 1000 and tag = "a" already exists.\n'
+    finally:
+        wire.set_reference_wire(False)
+
+    # presence miss
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"tagEq": "zz"}
+    )
+    assert (status, body) == (400, "No data for tag zz.")
+
+    # malformed body is a 400, not a 500
+    req = urllib.request.Request(
+        served + "/timeseries/query", data=b"{not json", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 400
+
+
+def test_truncate_via_empty_delete_and_cors_preflight(served):
+    _call(served, "POST", "/timeseries", ROWS)  # may 400 if keys exist; fine
+    status, body, _ = _call(served, "DELETE", "/timeseries")  # no body
+    assert (status, body) == (200, "[]")
+    _, body, _ = _call(served, "POST", "/timeseries/query", {})
+    assert json.loads(body) == []
+
+    # CORS preflight
+    status, _, headers = _call(served, "OPTIONS", "/timeseries")
+    assert status == 200
+    assert headers["Access-Control-Allow-Methods"] == "GET, POST, PUT, DELETE"
+    assert headers["Access-Control-Allow-Headers"] == "Content-Type"
+
+    # unknown route
+    status, _, _ = _call(served, "POST", "/nope", {})
+    assert status == 404
