@@ -148,6 +148,27 @@ def test_text_features_single_scan_no_shuffle(spark, sf_dir):
     assert len(_nodes(plan, "Exchange")) == 0, plan
 
 
+def test_multi_agg_entries_scan_once(spark, sf_dir):
+    """r7: the multi-aggregate gate families compute every aggregate leg
+    in ONE scan (stack-unpivot), not one scan per leg. agg_scalar_all
+    and li_by_tag read their table exactly once; agg_by_tag_all reads
+    twice (the range-filtered base + the runtime-resolved tsEq leg —
+    the probe's min() subquery runs eagerly, outside this plan)."""
+    from timeseries_db_spark.registry import build_registry
+
+    q, _ = build_registry()
+    plan = _formatted_plan(spark, q["agg_scalar_all"](spark, sf_dir))
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    assert "Union" not in plan, plan
+
+    plan = _formatted_plan(spark, q["li_by_tag"](spark, sf_dir))
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    assert "Union" not in plan, plan
+
+    plan = _formatted_plan(spark, q["agg_by_tag_all"](spark, sf_dir))
+    assert len(_nodes(plan, "Scan parquet")) == 2, plan
+
+
 def test_ngram_jaccard_exact_has_no_candidate_distinct(spark, sf_dir):
     """The exact inverted-index Jaccard derives |A∩B| straight from the
     shingle self-join: one pair-keyed aggregation, and no
