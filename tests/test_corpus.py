@@ -182,3 +182,38 @@ def test_curate_corpus_bookkeeping(spark, sf_dir):
     # something must be kept and something dropped on the fixture corpus
     kept = sum(1 for r in out if r["kept"])
     assert 0 < kept < len(out)
+
+
+def test_chunk_documents_sliding_window_semantics(spark, sf_dir):
+    """Chunk starts are multiples of stride below the token count; every
+    chunk covers up to max_tokens with the remainder in the final one;
+    consecutive chunks overlap by max_tokens - stride; token coverage is
+    exactly [0, n_tokens)."""
+    from timeseries_db_spark.operators.corpus import chunk_documents
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_tokens, stride = 128, 96
+    chunks = chunk_documents(docs, max_tokens, stride).collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.expr(f"size({TOKENS_SPARK})").alias("n")
+        ).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every non-empty doc chunks; empty docs don't
+    assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}
+    for doc_id, rows in by_doc.items():
+        n = n_tok[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        expected_starts = list(range(0, n, stride))
+        assert [r["tok_start"] for r in rows] == expected_starts
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r["tok_len"] == min(max_tokens, n - r["tok_start"])
+        # full coverage: the last chunk reaches exactly n
+        assert rows[-1]["tok_start"] + rows[-1]["tok_len"] == n

@@ -149,6 +149,67 @@ def pack_sequences_sql(budget_tokens: int = 2048, shard_docs: int = 1000) -> str
     """
 
 
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 128, stride: int = 96
+) -> DataFrame:
+    """(doc_id, chunk_idx, tok_start, tok_len) — sliding context-window
+    chunking, the other standard pretraining layout next to
+    :func:`pack_sequences`: each document is cut into windows of up to
+    ``max_tokens`` tokens starting every ``stride`` tokens (overlap =
+    ``max_tokens - stride``); the final window is the remainder. Chunk
+    starts are the multiples of ``stride`` below the token count, so
+    ``chunk_idx = tok_start // stride`` — closed form in both engines.
+
+    Scale: token counting is the same map-only expression the text
+    operators use; the expansion is JVM ``sequence``/``explode`` — no
+    shuffle, no Python, embarrassingly parallel per document."""
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+
+    t = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").cast("long").alias("n_tokens"),
+    )
+    return (
+        t.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.expr(f"sequence(0L, n_tokens - 1, CAST({stride} AS LONG))")
+            ).alias("tok_start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"tok_start div {stride}").alias("chunk_idx"),
+            "tok_start",
+            F.least(
+                F.lit(max_tokens).cast("long"),
+                F.col("n_tokens") - F.col("tok_start"),
+            ).alias("tok_len"),
+        )
+    )
+
+
+def chunk_documents_sql(max_tokens: int = 128, stride: int = 96) -> str:
+    from timeseries_db_spark.operators.text import TOKENS_DUCK
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, len({TOKENS_DUCK})::BIGINT AS n_tokens
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, n_tokens,
+                   unnest(range(0, n_tokens, {stride}))::BIGINT AS tok_start
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, (tok_start // {stride})::BIGINT AS chunk_idx,
+               tok_start,
+               least({max_tokens}, n_tokens - tok_start)::BIGINT AS tok_len
+        FROM e
+    """
+
+
 def _frac_to_hex_ub(frac: float) -> str | None:
     """Upper bound in the 4-hex-digit hash domain for a keep-fraction;
     None means "keep everything" (a 5-char bound like '10000' would

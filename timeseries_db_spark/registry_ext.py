@@ -313,13 +313,43 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["corpus_contamination"] = corpus.benchmark_contamination_sql()
 
-    # 100-doc shards at fixture scale → several shards even at sf0.001
-    q["corpus_pack"] = lambda s, d: corpus.pack_sequences(
-        _docs(s, d), budget_tokens=512, shard_docs=100
-    )
-    o["corpus_pack"] = corpus.pack_sequences_sql(
-        budget_tokens=512, shard_docs=100
-    )
+    # r7 fold: the two pretraining layout ops — concat-and-cut sequence
+    # packing and sliding context-window chunking — share one union
+    # entry. Leg→column mapping: pack: a=shard, b=n_tokens, c=seq_id,
+    # d=tok_offset; chunk: a=chunk_idx, b=tok_start, c=tok_len, d=NULL.
+    # 100-doc shards at fixture scale → several shards even at sf0.001.
+    def corpus_pack(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        pack = corpus.pack_sequences(
+            docs, budget_tokens=512, shard_docs=100
+        ).select(
+            "doc_id",
+            F.lit("pack").alias("kind"),
+            F.col("shard").alias("a"),
+            F.col("n_tokens").alias("b"),
+            F.col("seq_id").alias("c"),
+            F.col("tok_offset").alias("d"),
+        )
+        chunk = corpus.chunk_documents(docs).select(
+            "doc_id",
+            F.lit("chunk").alias("kind"),
+            F.col("chunk_idx").alias("a"),
+            F.col("tok_start").alias("b"),
+            F.col("tok_len").alias("c"),
+            F.lit(None).cast("long").alias("d"),
+        )
+        return pack.unionByName(chunk)
+
+    q["corpus_pack"] = corpus_pack
+    o["corpus_pack"] = f"""
+        SELECT doc_id, 'pack' AS kind, shard AS a, n_tokens AS b,
+               seq_id AS c, tok_offset AS d
+        FROM ({corpus.pack_sequences_sql(budget_tokens=512, shard_docs=100)}) p
+        UNION ALL
+        SELECT doc_id, 'chunk' AS kind, chunk_idx AS a, tok_start AS b,
+               tok_len AS c, NULL::BIGINT AS d
+        FROM ({corpus.chunk_documents_sql()}) c
+    """
 
     # per-stratum rebalance (en kept at 60%, es boosted to 100%, the
     # rest thinned to 25%) — fractions chosen so every branch of the
