@@ -412,8 +412,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
-    # exact-Jaccard verification of candidates only
-    return _jaccard_verify(doc_shingles(docs), candidates, threshold)
+    # exact-Jaccard verification of candidates only. The VERIFIED pair
+    # set is persist-tracked too (r7): it is the expensive part of the
+    # plan (band self-join + verify), it is tiny by construction
+    # (near-dup density), and the same (docs, threshold) plan is built
+    # by minhash_lsh_pairs, dedup_clusters, and curate_corpus in one
+    # session/gate sweep — one materialization serves all three.
+    return _persist_tracked(
+        "minhash_pairs", _jaccard_verify(doc_shingles(docs), candidates, threshold)
+    )
 
 
 def minhash_lsh_pairs_sql(threshold: float) -> str:
