@@ -168,6 +168,13 @@ def test_multi_agg_entries_scan_once(spark, sf_dir):
     plan = _formatted_plan(spark, q["agg_by_tag_all"](spark, sf_dir))
     assert len(_nodes(plan, "Scan parquet")) == 2, plan
 
+    # pack+chunk fold: one tokenize scan, one shard-window exchange, no
+    # union — each windowed row explodes into its pack + chunk rows
+    plan = _formatted_plan(spark, q["corpus_pack"](spark, sf_dir))
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+    assert "Union" not in plan, plan
+
 
 def test_ngram_jaccard_exact_has_no_candidate_distinct(spark, sf_dir):
     """The exact inverted-index Jaccard derives |A∩B| straight from the

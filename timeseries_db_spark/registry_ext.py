@@ -314,31 +314,49 @@ def register_extensions(q: dict, o: dict) -> None:
     o["corpus_contamination"] = corpus.benchmark_contamination_sql()
 
     # r7 fold: the two pretraining layout ops — concat-and-cut sequence
-    # packing and sliding context-window chunking — share one union
-    # entry. Leg→column mapping: pack: a=shard, b=n_tokens, c=seq_id,
-    # d=tok_offset; chunk: a=chunk_idx, b=tok_start, c=tok_len, d=NULL.
-    # 100-doc shards at fixture scale → several shards even at sf0.001.
+    # packing and sliding context-window chunking — share one entry.
+    # NOT a union of the two operators: that shape re-tokenizes the
+    # corpus once per leg (Catalyst does not dedupe scans across union
+    # branches — the same artifact the agg families were rebuilt to
+    # avoid). Instead ONE tokenize scan feeds the pack window, and each
+    # windowed row explodes into its pack row plus its chunk rows —
+    # single scan, single (shard-key) shuffle. Leg→column mapping:
+    # pack: a=shard, b=n_tokens, c=seq_id, d=tok_offset; chunk:
+    # a=chunk_idx, b=tok_start, c=tok_len, d=NULL. 100-doc shards at
+    # fixture scale → several shards even at sf0.001.
     def corpus_pack(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators.text import TOKENS_SPARK
+
+        budget, shard_docs, max_tokens, stride = 512, 100, 128, 96
         docs = _docs(s, d)
-        pack = corpus.pack_sequences(
-            docs, budget_tokens=512, shard_docs=100
-        ).select(
+        t = docs.select(
             "doc_id",
-            F.lit("pack").alias("kind"),
-            F.col("shard").alias("a"),
-            F.col("n_tokens").alias("b"),
-            F.col("seq_id").alias("c"),
-            F.col("tok_offset").alias("d"),
+            F.expr(f"size({TOKENS_SPARK})").cast("long").alias("n_tokens"),
+        ).withColumn("shard", F.expr(f"doc_id div {shard_docs}"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        t = t.withColumn(
+            "_start", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
         )
-        chunk = corpus.chunk_documents(docs).select(
-            "doc_id",
-            F.lit("chunk").alias("kind"),
-            F.col("chunk_idx").alias("a"),
-            F.col("tok_start").alias("b"),
-            F.col("tok_len").alias("c"),
-            F.lit(None).cast("long").alias("d"),
+        rows = F.expr(
+            "explode(concat("
+            # the pack row
+            f" array(struct('pack' AS kind, shard AS a, n_tokens AS b,"
+            f"   _start div {budget} AS c, _start % {budget} AS d)),"
+            # the chunk rows (none for empty docs)
+            " IF(n_tokens > 0,"
+            f"  transform(sequence(0L, n_tokens - 1, CAST({stride} AS LONG)),"
+            f"   st -> struct('chunk' AS kind, st div {stride} AS a, st AS b,"
+            f"     least(CAST({max_tokens} AS LONG), n_tokens - st) AS c,"
+            "      CAST(NULL AS LONG) AS d)),"
+            "  CAST(array() AS array<struct<kind:string,a:bigint,b:bigint,"
+            "c:bigint,d:bigint>>))"
+            "))"
+        ).alias("r")
+        return t.select("doc_id", rows).select(
+            "doc_id", "r.kind", "r.a", "r.b", "r.c", "r.d"
         )
-        return pack.unionByName(chunk)
 
     q["corpus_pack"] = corpus_pack
     o["corpus_pack"] = f"""
