@@ -198,3 +198,34 @@ def serve(engine, host: str = "0.0.0.0", port: int = 8081) -> None:
     """Blocking serve loop — ``startApp`` (``App.hs:17-22``)."""
     with make_server(engine, host, port) as httpd:
         httpd.serve_forever()
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m timeseries_db_spark.server --path /data/tsdb`` — the
+    one-command switch for a reference user: same routes, same port,
+    storage under ``--path`` instead of acid-state's local state dir."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--path", required=True, help="table storage dir")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8081)
+    parser.add_argument(
+        "--reference-wire", action="store_true",
+        help="emit the reference's byte-exact error strings",
+    )
+    args = parser.parse_args(argv)
+
+    from timeseries_db_spark import wire
+    from timeseries_db_spark.engine import TsdbEngine
+    from timeseries_db_spark.session import get_spark
+
+    if args.reference_wire:
+        wire.set_reference_wire(True)
+    engine = TsdbEngine(get_spark("tsdb-server"), args.path)
+    print(f"tsdb serving on http://{args.host}:{args.port} (path={args.path})")
+    serve(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
