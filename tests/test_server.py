@@ -135,6 +135,28 @@ def test_http_400_error_texts_both_wire_modes(served):
         assert exc.code == 400
 
 
+def test_concurrent_queries_are_threadsafe(served):
+    """The threading server submits Spark actions from several handler
+    threads at once; every response must be complete and correct."""
+    import concurrent.futures
+
+    _call(served, "DELETE", "/timeseries")  # reset
+    _call(served, "POST", "/timeseries", ROWS)
+
+    def one(i):
+        if i % 2 == 0:
+            status, body, _ = _call(
+                served, "POST", "/timeseries/query", {"aggFunc": "count"}
+            )
+            return status == 200 and json.loads(body) == {"result": 3.0}
+        status, body, _ = _call(served, "POST", "/timeseries/query", {"tagEq": "a"})
+        return status == 200 and len(json.loads(body)) == 2
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(one, range(8)))
+    assert all(results), results
+
+
 def test_truncate_via_empty_delete_and_cors_preflight(served):
     _call(served, "POST", "/timeseries", ROWS)  # may 400 if keys exist; fine
     status, body, _ = _call(served, "DELETE", "/timeseries")  # no body
