@@ -157,3 +157,44 @@ def test_tokenize_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = text.tokenize_with_vocab(docs, 20)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_kgram_arrow_kernel_bit_identical_to_sql_fold(spark):
+    """The vectorized Arrow k-gram kernel must match the (slower,
+    interpreted) SQL higher-order-function fold bit-for-bit — same
+    sanitize/pad, same 53-bit polynomial arithmetic — on adversarial
+    inputs: empty, shorter-than-window, exactly one window, long,
+    repeated, accented/CJK/astral (sanitized to '?'), and NULL."""
+    cases = [
+        (1, ""),
+        (2, "a"),
+        (3, "exactly8"),
+        (4, "just over window"),
+        (5, "x" * 500),
+        (6, "the quick brown fox jumps over the lazy dog " * 20),
+        (7, "héllo wörld ünïcode"),
+        (8, "日本語のテキストです astral 𝔘𝔫𝔦"),
+        (9, "tab\tand\nnewline\rmixed"),
+        (10, None),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, norm string")
+    sql_form = df.select(
+        "doc_id",
+        F.expr(
+            f"size(array_distinct({text._kgram_hashes_spark('norm')}))"
+        ).cast("long").alias("n_kgrams"),
+        F.expr(f"array_min({text._kgram_hashes_spark('norm')})").alias("min_fp"),
+    )
+    kernel_form = df.select(
+        "doc_id",
+        text.kgram_fp_udf()(
+            F.expr(text._kgram_prep("norm", duck=False))
+        ).alias("kfp"),
+    ).select(
+        "doc_id",
+        F.col("kfp.n_kgrams").alias("n_kgrams"),
+        F.col("kfp.min_fp").alias("min_fp"),
+    )
+    a = {r["doc_id"]: (r["n_kgrams"], r["min_fp"]) for r in sql_form.collect()}
+    b = {r["doc_id"]: (r["n_kgrams"], r["min_fp"]) for r in kernel_form.collect()}
+    assert a == b

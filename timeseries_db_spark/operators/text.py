@@ -23,6 +23,7 @@ Engine-portability notes encoded here once:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -328,22 +329,83 @@ def _kgram_hashes_duck(col: str) -> str:
         """
 
 
+def _kgram_fp_kernel(prepped) -> "pd.DataFrame":  # noqa: F821
+    """Vectorized twin of :func:`_kgram_hashes_spark` reduced to the
+    ``(n_kgrams, min_fp)`` pair, over a pandas Series of ALREADY
+    ``_kgram_prep``-ed strings (printable ASCII, length ≥ ``KGRAM``).
+
+    Why this exists: Spark's higher-order functions (``transform`` /
+    ``aggregate``) are ``CodegenFallback`` — every window evaluates the
+    8-term fold as an interpreted expression tree, measured ~600 ns per
+    character (≈ 1.7 MB/s/core: a genuine scan-throughput ceiling at
+    100 TB). This kernel concatenates the batch into ONE byte buffer and
+    runs the identical fold as 8 vectorized int64 ops over the whole
+    batch (~1 ns/char), masking out the windows that straddle document
+    boundaries via per-doc offsets. Same ``KGRAM_BASE``/``KGRAM_MOD``
+    arithmetic, int64 throughout (MOD < 2**53 so ``h*257+126 < 2**62``
+    — no numpy overflow), hence bit-identical to the SQL/DuckDB twins
+    (asserted in ``tests/test_text.py``)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = prepped.tolist()
+    null_mask = [t is None for t in texts]
+    safe = ["        " if m else t for t, m in zip(texts, null_mask)]
+    lens = np.fromiter((len(t) for t in safe), np.int64, len(safe))
+    codes = np.frombuffer("".join(safe).encode("ascii"), np.uint8).astype(np.int64)
+    n_win = len(codes) - (KGRAM - 1)
+    if n_win > 0:
+        h = codes[:n_win].copy()
+        for j in range(1, KGRAM):
+            h = (h * KGRAM_BASE + codes[j : n_win + j]) % KGRAM_MOD
+    else:
+        h = np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n_out = np.zeros(len(safe), np.int64)
+    m_out = np.zeros(len(safe), np.int64)
+    for i in range(len(safe)):
+        win = h[starts[i] : ends[i] - (KGRAM - 1)]
+        n_out[i] = np.unique(win).size
+        m_out[i] = win.min()
+    out = pd.DataFrame({"n_kgrams": n_out, "min_fp": m_out})
+    if any(null_mask):  # NULL in → NULL out, like the SQL twin
+        out.loc[null_mask, ["n_kgrams", "min_fp"]] = None
+    return out
+
+
+def kgram_fp_udf():
+    """Arrow-batched ``pandas_udf`` wrapping :func:`_kgram_fp_kernel`
+    (built lazily — a module-level ``@pandas_udf`` would need an active
+    SparkSession at import time; the inner wrapper carries the concrete
+    ``pd.Series -> pd.DataFrame`` type hints pandas_udf requires)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fp(prepped: pd.Series) -> pd.DataFrame:
+        return _kgram_fp_kernel(prepped)
+
+    return pandas_udf(_fp, "n_kgrams long, min_fp long")
+
+
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     """Winnowing-style rolling fingerprint: hash every ``KGRAM``-char
     window of the normalized text, keep (distinct k-gram count, minimum
     hash) — the pair MOSS-style near-dup detectors store per document.
-    Staged projections: normalization binds once, then one pass builds
-    the window-hash array (53-bit polynomial fold per window — see
-    ``KGRAM_BASE``/``KGRAM_MOD`` — identical in both engines)."""
+    Staged projections: normalization + window prep bind once in SQL
+    (single-sourced cross-engine semantics in ``_kgram_prep``), then the
+    53-bit polynomial fold runs in the vectorized Arrow kernel (see
+    :func:`_kgram_fp_kernel` for why not a SQL higher-order function).
+    Still one scan, map-only, no shuffle."""
     norm = docs.select("doc_id", F.expr(NORM_SPARK).alias("norm"))
-    grams = norm.select(
-        "doc_id",
-        F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
+    prepped = norm.select(
+        "doc_id", F.expr(_kgram_prep("norm", duck=False)).alias("kg")
     )
-    return grams.select(
+    fp = prepped.select("doc_id", kgram_fp_udf()(F.col("kg")).alias("kfp"))
+    return fp.select(
         "doc_id",
-        F.expr("size(array_distinct(hashes))").cast("long").alias("n_kgrams"),
-        F.expr("array_min(hashes)").alias("min_fp"),
+        F.col("kfp.n_kgrams").alias("n_kgrams"),
+        F.col("kfp.min_fp").alias("min_fp"),
     )
 
 
@@ -509,7 +571,11 @@ def features(docs: DataFrame) -> DataFrame:
     column. Same staged-projection discipline: the token split and the
     normalization each bind once (stage 1), every regex/hash binds once
     (stage 2), and stage 3 is cheap arithmetic + CASE over those
-    columns. Still map-only: no shuffle at any stage."""
+    columns. Still map-only: no shuffle at any stage. The k-gram
+    fingerprint pair runs in the vectorized Arrow kernel
+    (:func:`_kgram_fp_kernel`) — the SQL higher-order-function form is
+    interpreted per window and was the single biggest cost of this scan
+    (measured 1.2 s of 2.5 s at sf0.1)."""
     langs = sorted(LANG_LEXICONS)
     s1 = docs.select(
         "doc_id",
@@ -537,7 +603,7 @@ def features(docs: DataFrame) -> DataFrame:
             for l in langs
         ],
         F.expr("md5(norm)").alias("fp"),
-        F.expr(_kgram_hashes_spark("norm")).alias("hashes"),
+        kgram_fp_udf()(F.expr(_kgram_prep("norm", duck=False))).alias("kfp"),
         F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
         # mode count via sort + run-length fold: O(n log n) + O(n),
         # vs the transform×filter form's O(n_distinct × n_tokens)
@@ -569,8 +635,8 @@ def features(docs: DataFrame) -> DataFrame:
         F.expr(case).alias("pred_lang"),
         "fp",
         F.expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)").alias("fp_long"),
-        F.expr("size(array_distinct(hashes))").cast("long").alias("n_kgrams"),
-        F.expr("array_min(hashes)").alias("min_fp"),
+        F.col("kfp.n_kgrams").alias("n_kgrams"),
+        F.col("kfp.min_fp").alias("min_fp"),
         duck_round(F.expr("CAST(n_distinct AS DOUBLE) / n_tokens"), 4).alias(
             "distinct_tok_ratio"
         ),
