@@ -24,9 +24,10 @@ Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
 * each round ends in ``localCheckpoint`` — iterative self-joins
   otherwise double the lineage/plan size per round, which is the
   classic Spark iterative-algorithm failure mode;
-* convergence is detected by an exact changed-label count (an action
-  per round, on vertex-sized data — the same driver-coordinated loop
-  structure GraphX/Pregel uses).
+* convergence is detected from a changed-label flag carried through the
+  checkpoint itself (``filter(chg).take(1)`` on the materialized vertex
+  table — the driver-coordinated loop structure GraphX/Pregel uses,
+  without a separate join-and-count action per round).
 
 The DuckDB oracle is a recursive CTE computing the transitive closure
 and taking min(reachable) per vertex — exact, so the driver's value
@@ -77,6 +78,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
                     "label"
                 ),
@@ -86,21 +88,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ptr = labels.select(
             F.col("id").alias("label"), F.col("label").alias("plabel")
         )
-        jumped = cand.join(ptr, "label", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
-                "label"
-            ),
+        # the changed flag rides along from cand's `old` column through
+        # the checkpoint, so convergence detection is a filter+take on
+        # the materialized vertex table — no extra join against the
+        # previous labels, no second multi-shuffle action per round
+        flagged = (
+            cand.join(ptr, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+                "old",
+            )
+            .select(
+                "id", "label", (F.col("label") != F.col("old")).alias("chg")
+            )
+            .localCheckpoint()
         )
-        new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = flagged.select("id", "label")
+        if not flagged.filter("chg").take(1):
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
