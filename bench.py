@@ -34,7 +34,11 @@ r7 columns measure the same logical work as r6. Non-headline registry
 folds this round (fx_edge_bounds+fx_grouped→fx_surface,
 multimodal_frame_plan→multimodal_resize_plan union leg,
 curate_corpus→corpus_curation_topk union leg) don't touch the headline
-list.
+list. Late-r7 exception: dedup_simhash_sig+dedup_simhash_pairs folded
+into dedup_simhash (freed the gate slot for the new text_lm_score CCNet
+LM scorer) — its headline column measures r6's dedup_simhash_pairs work
+PLUS one signature-assembly projection (the sig rows), so compare it
+against r6's dedup_simhash_pairs plus ~0.15s.
 """
 
 from __future__ import annotations
@@ -69,7 +73,7 @@ HEADLINE = [
     "running_totals_by_tag",   # skew-safe two-pass window
     "dedup_minhash_lsh",       # shingle→minhash→band→bucket-join
     "dedup_clusters",          # r6: LSH pairs → connected components (iterative)
-    "dedup_simhash_pairs",     # 60-bit simhash, banded Hamming join
+    "dedup_simhash",           # 60-bit simhash sigs + banded Hamming join (r7 fold: = r6's dedup_simhash_pairs + the sig rows of dedup_simhash_sig)
     "text_features",           # one-scan per-doc feature extraction (r1/r2-early: text_quality_score, a subset of this work)
     "text_vocab_topn",         # explode + map-side-combine agg + TakeOrdered
     "derivatives_by_tag",      # lag window + min_by/max_by rate agg

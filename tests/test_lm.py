@@ -1,0 +1,115 @@
+"""Char-trigram LM quality scoring: DuckDB oracle mirror, the
+fixed-point rounding guard band (the cross-engine libm-ln hazard the
+round-6 ADVICE flagged for IVF applies here too), cross-corpus backoff
+semantics, and the CCNet-style discrimination property the operator
+exists for — natural text must outscore shuffled garbage."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators import lm
+from timeseries_db_spark.sources.tables import load_table
+
+from tests.oracle import check_against_duckdb
+
+
+def test_lm_score_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(lm.lm_score(docs), lm.lm_score_sql(), sf_dir)
+
+
+def test_lm_fp_quantization_guard_band(spark, sf_dir):
+    """No quantized log-prob may sit near a .5 rounding boundary: the
+    two engines compute ln() with independent libms that can differ by
+    ~1 ulp (≈1e-10 after the 1e6 scaling), so a value within that band
+    could round differently and flip the driver's value hash. Assert
+    every distinct (tri_cnt+1)/(bi_cnt+V) ratio in the fixture
+    quantizes at least 1e-3 away from a boundary — five orders of
+    magnitude of headroom."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.char_trigram_model(docs)
+    tc = (
+        lm._doc_trigrams(docs)
+        .groupBy("tri")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    rows = (
+        model.join(tc, "tri")
+        .select("tri_cnt", "bi_cnt")
+        .crossJoin(
+            tc.select(
+                F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize")
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    assert rows
+    worst = 1.0
+    for r in rows:
+        x = lm.LM_FP_SCALE * math.log(
+            (r["tri_cnt"] + 1) / (r["bi_cnt"] + r["vsize"])
+        )
+        dist = abs(abs(x - math.floor(x)) - 0.5)
+        worst = min(worst, dist)
+    assert worst > 1e-3, f"log-prob too close to rounding boundary: {worst}"
+
+
+def test_lm_discriminates_natural_from_garbage(spark):
+    """The point of an LM filter: under a model fitted on natural text,
+    natural held-out text scores higher (less negative avg log-prob)
+    than character-shuffled garbage of the same length."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on "
+        "the mat while the dog ran through the park in the morning light "
+    )
+    ref = spark.createDataFrame(
+        [(i, base) for i in range(20)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, "the dog sat on the mat in the park"),
+            (101, "tkh gqd zbo ntx mjw vqe hlc prs fyu"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.lm_score(probe, ref=ref).collect()
+    }
+    assert scores[100] > scores[101] + 1.0, scores
+
+
+def test_lm_cross_ref_backoff_no_drops(spark):
+    """Scoring against a DIFFERENT reference corpus must keep every
+    document and every trigram (left join + smoothed floor), never
+    silently drop unseen trigrams."""
+    ref = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(2, "zzzz yyyy xxxx"), (3, "aaaa bbbb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm.lm_score(probe, ref=ref).collect()}
+    assert set(out) == {2, 3}
+    # "zzzz yyyy xxxx" prepped length 14 → 12 trigrams, all unseen
+    assert out[2]["n_tri"] == 12
+    assert out[2]["score_fp"] < 0
+    # unseen text must score strictly worse than in-reference text
+    assert out[3]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_lm_model_bounded_and_broadcast(spark, sf_dir):
+    """Scale posture: the model table is bounded by the alphabet and
+    the scoring join must broadcast it (no corpus-sized shuffle on the
+    join key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        lm.lm_score(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

@@ -1,0 +1,211 @@
+"""Character-trigram language-model quality scoring — the CCNet-style
+LM filter of a training-data pipeline (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020): fit a small LM on a reference corpus, score every
+document by mean trigram log-probability, and filter/partition the
+corpus on the score (CCNet's head/middle/tail buckets). Complements
+the heuristic :func:`timeseries_db_spark.operators.text.quality_score`
+— the reference engine has no text surface at all (its whole query
+model is filter→group→agg over one table, ``Queries.hs:99-124``); this
+belongs to the north-star LLM-pipeline surface.
+
+Model: add-one smoothing over the bigram context::
+
+    p(c3 | c1 c2) = (cnt(c1 c2 c3) + 1) / (cnt(c1 c2 ·) + V)
+
+with ``V`` the corpus alphabet size (distinct third characters), over
+the ``_kgram_prep``-sanitized normalized text (printable ASCII,
+padded to ≥ one trigram — single-sourced engine-twin semantics).
+
+Determinism across engines (the driver value-hashes results):
+
+* counts are exact integers in both engines;
+* each DISTINCT trigram's log-prob is quantized ONCE to fixed-point
+  micro-nats (``round(1e6 * ln p)`` as BIGINT). libm ``ln`` may differ
+  across engines by ~1 ulp (≈1e-10 after scaling), so
+  ``tests/test_lm.py`` asserts a guard band: no quantized value in the
+  fixture sits within 1e-3 of a .5 rounding boundary (the same remedy
+  the round-6 ADVICE prescribed for the IVF oracle);
+* a document's ``score_fp`` is a SUM OF BIGINTs — order-independent
+  and exact, immune to the FP summation-order hazard of averaging
+  doubles across engines;
+* the final ratios divide exact integers (one IEEE op each) and
+  ``duck_round`` to 4 decimals.
+
+Scale design (100 TB):
+
+* ONE pass over the reference corpus builds trigram counts
+  (explode → hash-agg with map-side partials); the result is bounded
+  by the alphabet (≤ 95³ printable-ASCII trigrams ≈ 857k rows) no
+  matter the corpus size — broadcastable forever;
+* bigram-context counts and ``V`` are rollups of that bounded table —
+  no second corpus pass;
+* scoring is explode → BROADCAST join (model side bounded) → re-agg
+  by ``doc_id``: partial sums combine map-side, so the only
+  corpus-sized shuffle carries one row per (partition, doc), not one
+  per trigram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.functions.numeric import duck_round
+from timeseries_db_spark.operators.text import (
+    NORM_DUCK,
+    NORM_SPARK,
+    _kgram_prep,
+)
+
+#: fixed-point scale for quantized trigram log-probs (micro-nats)
+LM_FP_SCALE = 1_000_000
+
+#: ln(2) spelled as the exact IEEE double literal in BOTH engines, so
+#: bits-per-char never depends on either engine's libm ln(2)
+_LN2 = "0.6931471805599453e0"
+
+
+def _tri_windows_spark() -> str:
+    """All char-trigram windows of the prepped normalized text (Spark)."""
+    return "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"
+
+
+def _tri_windows_duck() -> str:
+    return "list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3))"
+
+
+def _doc_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, tri) — every trigram occurrence, in two staged
+    projections so the normalization + sanitize bind once."""
+    s1 = docs.select("doc_id", F.expr(NORM_SPARK).alias("norm"))
+    s2 = s1.select(
+        "doc_id", F.expr(_kgram_prep("norm", duck=False, width=3)).alias("s")
+    )
+    return s2.select("doc_id", F.explode(F.expr(_tri_windows_spark())).alias("tri"))
+
+
+def char_trigram_model(ref: DataFrame) -> DataFrame:
+    """(tri, lp_fp) — the fitted model: one row per distinct trigram of
+    the reference corpus with its quantized log-prob. Bounded by the
+    alphabet regardless of corpus size."""
+    tc = _doc_trigrams(ref).groupBy("tri").agg(F.count("*").alias("tri_cnt"))
+    bc = tc.groupBy(F.expr("substring(tri, 1, 2)").alias("bi")).agg(
+        F.sum("tri_cnt").alias("bi_cnt")
+    )
+    v = tc.select(
+        F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize")
+    )
+    return (
+        tc.withColumn("bi", F.expr("substring(tri, 1, 2)"))
+        .join(F.broadcast(bc), "bi")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tri",
+            "bi_cnt",
+            duck_round(
+                F.expr(
+                    f"{LM_FP_SCALE} * ln(CAST(tri_cnt + 1 AS DOUBLE)"
+                    " / (bi_cnt + vsize))"
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+
+
+def lm_score(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_tri, score_fp, avg_logprob, bits_per_char) — mean
+    trigram log-prob of every document under the model fitted on
+    ``ref`` (default: the corpus itself, the self-scoring gate shape).
+
+    When ``ref`` is a different corpus, unseen trigrams back off to the
+    smoothed floor ``1 / (bi_cnt + V)`` (count 0 + add-one) with
+    ``bi_cnt = 0`` for unseen contexts — quantized by the same
+    fixed-point rule, row-side (both engines apply the identical
+    formula, so the guard-band argument carries over)."""
+    ref = docs if ref is None else ref
+    model = char_trigram_model(ref)
+    v = (
+        _doc_trigrams(ref)
+        .groupBy("tri")
+        .agg(F.count("*").alias("c"))
+        .select(F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize"))
+    )
+    scored = (
+        _doc_trigrams(docs)
+        .join(F.broadcast(model), "tri", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp_fp"),
+                duck_round(
+                    F.expr(
+                        f"{LM_FP_SCALE} * ln(1.0e0 / (coalesce(bi_cnt, 0) + vsize))"
+                    ),
+                    0,
+                ).cast("long"),
+            ).alias("lp_fp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.sum("lp_fp").alias("score_fp")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tri",
+        "score_fp",
+        duck_round(
+            F.expr(f"score_fp / {LM_FP_SCALE}.0e0 / n_tri"), 4
+        ).alias("avg_logprob"),
+        duck_round(
+            F.expr(f"-score_fp / {LM_FP_SCALE}.0e0 / n_tri / {_LN2}"), 4
+        ).alias("bits_per_char"),
+    )
+
+
+def _doc_trigrams_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id, unnest({_tri_windows_duck()}) AS tri
+        FROM (
+            SELECT doc_id, {_kgram_prep("norm", duck=True, width=3)} AS s
+            FROM (SELECT doc_id, {NORM_DUCK} AS norm FROM {table})
+        )
+    """
+
+
+def lm_score_sql(table: str = "documents") -> str:
+    """DuckDB twin of the self-scoring :func:`lm_score` (ref = docs, so
+    the unseen-trigram backoff never fires — every document trigram is
+    by construction in the model)."""
+    return f"""
+        WITH tri AS ({_doc_trigrams_sql(table)}),
+        tc AS (SELECT tri, count(*)::BIGINT AS tri_cnt FROM tri GROUP BY tri),
+        bc AS (
+            SELECT substr(tri, 1, 2) AS bi, sum(tri_cnt)::BIGINT AS bi_cnt
+            FROM tc GROUP BY bi
+        ),
+        v AS (
+            SELECT count(DISTINCT substr(tri, 3, 1))::BIGINT AS vsize FROM tc
+        ),
+        lp AS (
+            SELECT tc.tri,
+                   round({LM_FP_SCALE} * ln((tc.tri_cnt + 1)::DOUBLE
+                         / (bc.bi_cnt + v.vsize)))::BIGINT AS lp_fp
+            FROM tc JOIN bc ON substr(tc.tri, 1, 2) = bc.bi CROSS JOIN v
+        ),
+        sc AS (
+            SELECT tri.doc_id, count(*)::BIGINT AS n_tri,
+                   sum(lp.lp_fp)::BIGINT AS score_fp
+            FROM tri JOIN lp ON tri.tri = lp.tri
+            GROUP BY tri.doc_id
+        )
+        SELECT doc_id, n_tri, score_fp,
+               round(score_fp / {LM_FP_SCALE}.0 / n_tri, 4) AS avg_logprob,
+               round(-score_fp / {LM_FP_SCALE}.0 / n_tri / {_LN2}, 4)
+                   AS bits_per_char
+        FROM sc
+    """

@@ -278,20 +278,21 @@ def _kgram_unrolled(first: str, nth) -> str:
     return h
 
 
-def _kgram_prep(col: str, *, duck: bool) -> str:
+def _kgram_prep(col: str, *, duck: bool, width: int = KGRAM) -> str:
     """ASCII-sanitize + pad ``col`` so window semantics agree across
     engines: non-printable-ASCII codepoints (where Spark's UTF-16-based
     char functions and DuckDB's codepoint-based ones can disagree)
     collapse to '?', and strings shorter than one window are
-    space-padded to exactly ``KGRAM`` chars (rpad TRUNCATES longer
+    space-padded to exactly ``width`` chars (rpad TRUNCATES longer
     strings in both engines, hence the CASE guard). Spark SQL string
     literals eat one level of backslash (DuckDB's don't), so the regex
-    spelling is per-engine."""
+    spelling is per-engine. ``width`` defaults to the fingerprint
+    ``KGRAM``; the trigram LM (``operators/lm.py``) uses 3."""
     if duck:
         a = f"regexp_replace({col}, '[^\\x20-\\x7E]', '?', 'g')"
     else:
         a = f"regexp_replace({col}, '[^\\\\x20-\\\\x7E]', '?')"
-    return f"CASE WHEN length({a}) < {KGRAM} THEN rpad({a}, {KGRAM}, ' ') ELSE {a} END"
+    return f"CASE WHEN length({a}) < {width} THEN rpad({a}, {width}, ' ') ELSE {a} END"
 
 
 def _kgram_hashes_spark(col: str) -> str:

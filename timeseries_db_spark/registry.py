@@ -419,8 +419,9 @@ _PRIORITY = [
     "dml_roundtrip",
     "running_totals_by_tag",
     "dedup_minhash_lsh",
-    "dedup_simhash_sig",
-    "dedup_simhash_pairs",
+    # r7 fold of dedup_simhash_sig + dedup_simhash_pairs (kind-discriminated
+    # union) — freed the slot text_lm_score now occupies
+    "dedup_simhash",
     # folded entry: exact + stop-shingle-capped variants (the capped
     # variant is the one that had no r1 row)
     "dedup_ngram_jaccard",

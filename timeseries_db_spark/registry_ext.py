@@ -294,13 +294,43 @@ def register_extensions(q: dict, o: dict) -> None:
     q["dedup_clusters"] = lambda s, d: graph.dedup_clusters(_docs(s, d), JACCARD_T)
     o["dedup_clusters"] = graph.dedup_clusters_sql(JACCARD_T)
 
-    q["dedup_simhash_sig"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
-    o["dedup_simhash_sig"] = dedup.simhash_signatures_sql()
+    # --- dedup_simhash: r7 fold of dedup_simhash_sig + dedup_simhash_pairs
+    # into ONE union entry (freed a gate slot for text_lm_score). Branches
+    # coerce to a shared (kind, a, b, v) long schema: sig rows carry
+    # (doc_id, 0, simhash), pair rows (id_a, id_b, hamming). Kinds stay
+    # disjoint, so the driver's value hash still covers every signature
+    # bit and every surviving pair. ---
+    def dedup_simhash(s, d):
+        sig = dedup.simhash_signatures(_docs(s, d)).select(
+            F.lit("sig").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            F.col("simhash").alias("v"),
+        )
+        pairs = dedup.simhash_pairs(_docs(s, d), SIMHASH_MAX_HAMMING).select(
+            F.lit("pair").alias("kind"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.col("hamming").alias("v"),
+        )
+        return sig.unionByName(pairs)
 
-    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
-        _docs(s, d), SIMHASH_MAX_HAMMING
-    )
-    o["dedup_simhash_pairs"] = dedup.simhash_pairs_sql(SIMHASH_MAX_HAMMING)
+    q["dedup_simhash"] = dedup_simhash
+    o["dedup_simhash"] = f"""
+        SELECT 'sig' AS kind, doc_id AS a, 0::BIGINT AS b, simhash AS v
+        FROM ({dedup.simhash_signatures_sql()})
+        UNION ALL
+        SELECT 'pair' AS kind, id_a AS a, id_b AS b, hamming AS v
+        FROM ({dedup.simhash_pairs_sql(SIMHASH_MAX_HAMMING)})
+    """
+
+    # CCNet-style LM quality scoring: char-trigram model fitted on the
+    # corpus itself, mean log-prob per document; fixed-point BIGINT sums
+    # keep the cross-engine comparison exact (operators/lm.py docstring)
+    from timeseries_db_spark.operators import lm
+
+    q["text_lm_score"] = lambda s, d: lm.lm_score(_docs(s, d))
+    o["text_lm_score"] = lm.lm_score_sql()
 
     # ---- corpus management: deterministic split + decontamination ----
     from timeseries_db_spark.operators import corpus
