@@ -689,6 +689,154 @@ def ann_topk_ivf_sql(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _cluster_pairs_fn(threshold: float):
+    """One ``applyInPandas`` group = one coarse cluster: emit every
+    within-cluster pair (id_a < id_b) whose 4-decimal-rounded cosine
+    clears the threshold — one matmul per cluster."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = _normed(pdf["embedding"])
+        scores = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        c4 = _np_duck_round(scores[ia, ib], 4)
+        keep = np.flatnonzero(c4 >= threshold)
+        if not len(keep):
+            return empty
+        a, b = ids[ia][keep], ids[ib][keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b).astype(np.int64),
+                "id_b": np.maximum(a, b).astype(np.int64),
+                "cos": c4[keep],
+            }
+        )
+
+    return fn
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float, *, nlist: int = IVF_NLIST
+) -> DataFrame:
+    """(vec_id, list_id, rep_id, keep) — SemDeDup-style semantic
+    deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): coarse-
+    cluster the embeddings, find near-duplicate pairs ONLY within each
+    cluster, group the pairs into components, and keep one canonical
+    representative (the min id) per component. Documents never compared
+    across clusters — that is the point: the O(n²) pair search becomes
+    nlist × O((n/nlist)²), the quadratic term bounded by the cluster
+    size, which ``nlist`` controls (a pathologically hot cluster would
+    take the same sub-blocking lever as :func:`near_dup_pairs`).
+
+    Engine-reproducible end to end, so the entry carries a full value
+    oracle: the quantizer is the deterministic portable-hash centroid
+    sample (:func:`ivf_centroids`), assignment ranks on 6-decimal
+    rounded cosine with centroid-id tiebreak (:func:`_ivf_assign_fn` —
+    the guard-band test covers the rounding hazard), pair cosines round
+    to 4 decimals before the threshold (same rule as
+    :func:`near_dup_pairs`), and the component representative is the
+    deterministic min-id (:func:`~timeseries_db_spark.operators.graph.
+    connected_components`)."""
+    from timeseries_db_spark.operators.graph import connected_components
+
+    cents = ivf_centroids(emb, nlist)
+    ids, cmat = _collect_matrix(cents)
+    order = np.argsort(ids, kind="stable")
+    bc = emb.sparkSession.sparkContext.broadcast((ids[order], cmat[order]))
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_fn(bc, 1), schema="vec_id long, list_id long"
+    )
+    # one clustering shuffle: vectors travel to their cluster's group
+    clustered = (
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+    )
+    pairs = clustered.groupBy("list_id").applyInPandas(
+        _cluster_pairs_fn(threshold),
+        schema="id_a long, id_b long, cos double",
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        assign.join(comp, assign.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("keep", F.col("rep_id") == F.col("vec_id"))
+    )
+
+
+def semantic_dedup_sql(threshold: float, *, nlist: int = IVF_NLIST) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: same portable-hash
+    centroid sample, same rounded-ranking assignment (the
+    :func:`ann_topk_ivf_sql` fragments), within-cluster pair join on
+    rounded cosine, recursive-CTE transitive closure with min-reachable
+    representative (the :func:`~timeseries_db_spark.operators.graph.
+    dedup_clusters_sql` pattern)."""
+    return f"""
+        WITH RECURSIVE
+        cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {nlist}
+        ),
+        scored_all AS (
+            SELECT e.vec_id, cents.cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], ce::DOUBLE[]), 6)
+                       AS s6
+            FROM embeddings e CROSS JOIN cents
+        ),
+        assign AS (
+            SELECT vec_id, cid AS list_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY s6 DESC, cid ASC
+                       ) AS crn
+                FROM scored_all
+            ) WHERE crn = 1
+        ),
+        pairs AS (
+            SELECT aa.vec_id AS id_a, ab.vec_id AS id_b
+            FROM assign aa
+            JOIN assign ab
+              ON aa.list_id = ab.list_id AND aa.vec_id < ab.vec_id
+            JOIN embeddings a ON a.vec_id = aa.vec_id
+            JOIN embeddings b ON b.vec_id = ab.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                  >= {threshold}
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT u AS id, u AS r FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        SELECT assign.vec_id, assign.list_id,
+               coalesce(comp.rep, assign.vec_id) AS rep_id,
+               coalesce(comp.rep, assign.vec_id) = assign.vec_id AS keep
+        FROM assign LEFT JOIN comp ON comp.id = assign.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization
 # ---------------------------------------------------------------------------
 

@@ -428,7 +428,8 @@ _PRIORITY = [
     # r6 addition: LSH pairs → components → canonical survivor
     "dedup_clusters",
     "sim_cosine_topk",
-    "sim_embedding_near_dup",
+    # late-r7 fold: exact near-dup pairs + SemDeDup semantic dedup legs
+    "sim_embedding_dedup",
     "ann_topk_srp",
     "ann_topk_ivf",
     "multimodal_image_features",

@@ -459,10 +459,36 @@ def register_extensions(q: dict, o: dict) -> None:
     )
     o["sim_cosine_topk"] = similarity.cosine_topk_sql(TOPK_QUERY_PRED, TOPK_K)
 
-    q["sim_embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(
-        _emb(s, d), NEAR_DUP_COS
-    )
-    o["sim_embedding_near_dup"] = similarity.near_dup_pairs_sql(NEAR_DUP_COS)
+    # --- sim_embedding_dedup: late-r7 fold of the exact near-dup pair
+    # detector with the NEW SemDeDup-style semantic dedup (cluster →
+    # within-cluster pairs → components → canonical keep). Branches
+    # coerce to (kind, a, b, v): pair rows (id_a, id_b, cos), sem rows
+    # (vec_id, rep_id, list_id) — keep is derivable as a = b. Kinds stay
+    # disjoint, so the value hash covers both the exact pair set and the
+    # full per-vector semantic keep/representative decision. ---
+    def sim_embedding_dedup(s, d):
+        pairs = similarity.near_dup_pairs(_emb(s, d), NEAR_DUP_COS).select(
+            F.lit("pair").alias("kind"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.col("cos").alias("v"),
+        )
+        sem = similarity.semantic_dedup(_emb(s, d), NEAR_DUP_COS).select(
+            F.lit("sem").alias("kind"),
+            F.col("vec_id").alias("a"),
+            F.col("rep_id").alias("b"),
+            F.col("list_id").cast("double").alias("v"),
+        )
+        return pairs.unionByName(sem)
+
+    q["sim_embedding_dedup"] = sim_embedding_dedup
+    o["sim_embedding_dedup"] = f"""
+        SELECT 'pair' AS kind, id_a AS a, id_b AS b, cos AS v
+        FROM ({similarity.near_dup_pairs_sql(NEAR_DUP_COS)})
+        UNION ALL
+        SELECT 'sem' AS kind, vec_id AS a, rep_id AS b, list_id::DOUBLE AS v
+        FROM ({similarity.semantic_dedup_sql(NEAR_DUP_COS)})
+    """
 
     # approximate paths. SRP carries a FULL value oracle: its bucket
     # signatures are strict-left-fold dot products against inlined plane
