@@ -510,6 +510,15 @@ def simhash_signatures_sql() -> str:
     """
 
 
+def simhash_signatures_cached(docs: DataFrame) -> DataFrame:
+    """Persist-tracked :func:`simhash_signatures` — one materialization
+    serves the pair join's self-join AND any caller that also needs the
+    signature rows themselves (the folded ``dedup_simhash`` gate entry
+    unions sig rows with pair rows; without the shared cache the
+    60-monoid aggregation pass would run twice per invocation)."""
+    return _persist_tracked("simhash", simhash_signatures(docs))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
     found by banding the 60-bit signature into 4×15-bit keys (any pair
@@ -522,7 +531,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
         )
     # persist: tiny table (doc_id, simhash), self-joined below; one
     # explode emits all 4 band keys in a single pass (see minhash note)
-    sig = _persist_tracked("simhash", simhash_signatures(docs))
+    sig = simhash_signatures_cached(docs)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -301,7 +301,10 @@ def register_extensions(q: dict, o: dict) -> None:
     # disjoint, so the driver's value hash still covers every signature
     # bit and every surviving pair. ---
     def dedup_simhash(s, d):
-        sig = dedup.simhash_signatures(_docs(s, d)).select(
+        # the persist-tracked signature table serves BOTH legs: the sig
+        # rows here and the pair join's self-join below share one
+        # 60-monoid aggregation pass per invocation
+        sig = dedup.simhash_signatures_cached(_docs(s, d)).select(
             F.lit("sig").alias("kind"),
             F.col("doc_id").alias("a"),
             F.lit(0).cast("long").alias("b"),
