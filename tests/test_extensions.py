@@ -560,3 +560,48 @@ def test_semantic_dedup_invariants(spark, emb):
         for a, b in zip(dropped["rep_id"], dropped["vec_id"])
     }
     assert len(direct & exact) >= 0.5 * max(1, len(direct))
+
+
+def test_image_dhash_perceptual_and_banding_exact(spark):
+    """dHash semantics: identical images hash identically, a lightly
+    perturbed copy stays within a few bits, a different image is far;
+    and the banded-Hamming join finds EXACTLY the brute-force pair set
+    at Hamming <= 3 (pigeonhole: 4 bands of 14 bits)."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    w, h = 32, 24
+    base = bytes(((x * 5 + y * 3) % 256) for y in range(h) for x in range(w))
+    # flip a handful of pixels — a "recompression" style perturbation
+    pert = bytearray(base)
+    for i in range(0, 40, 7):
+        pert[i] = (pert[i] + 4) % 256
+    # reversed-gradient structure: every adjacent comparison flips
+    # relative to `base`, so the hash lands far away
+    other = bytes(((255 - x * 5 - y * 3) % 256) for y in range(h) for x in range(w))
+    rows = [
+        (1, "image", M.png_encode(base, w, h, 1, [0] * h)),
+        (2, "image", M.png_encode(bytes(pert), w, h, 1, [1] * h)),
+        (3, "image", M.png_encode(base, w, h, 1, [2] * h)),  # same pixels, other filters
+        (4, "image", M.png_encode(other, w, h, 1, [3] * h)),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sig[1] == sig[3], "identical pixels must hash identically"
+    assert ham(sig[1], sig[2]) <= 6, "perturbed copy drifted too far"
+    assert ham(sig[1], sig[4]) > 20, "structurally opposite image too close"
+    # banding vs brute force at the pigeonhole-guaranteed radius
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in M.dhash_pairs(assets, 3).collect()
+    }
+    ids = sorted(sig)
+    brute = {
+        (a, b, ham(sig[a], sig[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sig[a], sig[b]) <= 3
+    }
+    assert banded == brute

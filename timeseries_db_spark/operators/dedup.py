@@ -519,49 +519,76 @@ def simhash_signatures_cached(docs: DataFrame) -> DataFrame:
     return _persist_tracked("simhash", simhash_signatures(docs))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
-    """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
-    found by banding the 60-bit signature into 4×15-bit keys (any pair
-    within Hamming ≤ 3 must agree on ≥1 band — pigeonhole)."""
-    if max_hamming >= _SIMHASH_N_BANDS:
+def banded_hamming_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generic banded-Hamming self-join: all pairs (id_a < id_b) whose
+    integer signatures differ in ≤ ``max_hamming`` bits, found WITHOUT
+    an all-pairs comparison by splitting each signature into ``n_bands``
+    contiguous ``band_bits``-bit keys — pigeonhole guarantees any pair
+    within Hamming ≤ ``n_bands - 1`` collides on ≥ 1 band. One explode
+    emits every band key in a single pass; the join fans out only
+    within (band, key) buckets; ``bit_count(xor)`` verifies exactly.
+    Serves both the 60-bit text SimHash (4×15) and the 56-bit image
+    dHash (4×14, ``operators/multimodal.py``)."""
+    if max_hamming >= n_bands:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the {_SIMHASH_N_BANDS}-band "
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band "
             f"recall bound (pigeonhole guarantees collisions only for "
-            f"Hamming <= {_SIMHASH_N_BANDS - 1})"
+            f"Hamming <= {n_bands - 1})"
         )
-    # persist: tiny table (doc_id, simhash), self-joined below; one
-    # explode emits all 4 band keys in a single pass (see minhash note)
-    sig = simhash_signatures_cached(docs)
     bands = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
                         F.expr(
-                            f"(simhash div {1 << (i * _SIMHASH_BAND_BITS)})"
-                            f" % {1 << _SIMHASH_BAND_BITS}"
+                            f"({sig_col} div {1 << (i * band_bits)})"
+                            f" % {1 << band_bits}"
                         ).alias("bkey"),
                     )
-                    for i in range(_SIMHASH_N_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.bkey")
+    ).select("_id", "_sig", "bk.band", "bk.bkey")
     a = bands.alias("a")
     bb = bands.alias("b")
     return (
         a.join(bb, on=["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.expr("bit_count(a._sig ^ b._sig)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``,
+    found by banding the 60-bit signature into 4×15-bit keys (any pair
+    within Hamming ≤ 3 must agree on ≥1 band — pigeonhole). The persist
+    keeps the tiny (doc_id, simhash) table cached across its self-join
+    (see the minhash note)."""
+    return banded_hamming_pairs(
+        simhash_signatures_cached(docs),
+        id_col="doc_id",
+        sig_col="simhash",
+        n_bands=_SIMHASH_N_BANDS,
+        band_bits=_SIMHASH_BAND_BITS,
+        max_hamming=max_hamming,
     )
 
 

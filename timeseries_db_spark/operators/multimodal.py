@@ -573,3 +573,86 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("asset_id", F.col("fi").cast("long").alias("frame_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual near-dup: dHash over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: 8×8 grayscale downsample, 7 adjacent-pixel
+#: comparisons per row → a 56-bit signature (fits a signed BIGINT with
+#: headroom, so DuckDB/Spark integer ops agree without sign games).
+DHASH_ROWS = 8
+DHASH_COLS = 8
+DHASH_BITS = DHASH_ROWS * (DHASH_COLS - 1)  # 56
+
+#: banding for the Hamming self-join: 4 × 14 bits — pigeonhole finds
+#: every pair within Hamming ≤ 3, same recall bound as text SimHash.
+DHASH_N_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_N_BANDS  # 14
+
+
+def dhash_signatures(assets: DataFrame) -> DataFrame:
+    """(asset_id, dhash) — 56-bit difference hash over the REAL decoded
+    pixels of each PNG image asset: decode (:func:`png_decode`), NN
+    downsample to 8×8 on channel 0 (:func:`resize_nn` semantics —
+    integer-exact, so a closed-form oracle can restate it for synthetic
+    patterns), then bit ``i*7+j`` = (p[i][j] > p[i][j+1]). Perceptual:
+    near-identical images (recompressed, lightly edited) hash within a
+    few bits; the banded join below finds those pairs without all-pairs.
+
+    Arrow-batched ``mapInPandas``; payload projected only into this
+    stage."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_h = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, pix = png_decode(bytes(payload))
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)[:, :, 0]
+                rows = (np.arange(DHASH_ROWS, dtype=np.int64) * h) // DHASH_ROWS
+                cols = (np.arange(DHASH_COLS, dtype=np.int64) * w) // DHASH_COLS
+                g = a[rows][:, cols].astype(np.int64)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                sig = int((bits << np.arange(DHASH_BITS, dtype=np.int64)).sum())
+                out_id.append(int(asset_id))
+                out_h.append(sig)
+            yield pd.DataFrame({"asset_id": out_id, "dhash": out_h})
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, schema="asset_id long, dhash long")
+    )
+
+
+def dhash_signatures_cached(assets: DataFrame) -> DataFrame:
+    """Persist-tracked :func:`dhash_signatures` (the
+    :func:`~timeseries_db_spark.operators.dedup._persist_tracked`
+    generation tracker): one decode+hash pass serves the signature rows,
+    the banded pair self-join, and repeated gate/bench sweeps."""
+    from timeseries_db_spark.operators.dedup import _persist_tracked
+
+    return _persist_tracked("dhash", dhash_signatures(assets))
+
+
+def dhash_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs (id_a < id_b, Hamming ≤ ``max_hamming``)
+    via the generic banded-Hamming self-join
+    (:func:`timeseries_db_spark.operators.dedup.banded_hamming_pairs`) —
+    the same 4-band pigeonhole recall bound as text SimHash, over the
+    perceptual :func:`dhash_signatures`. No all-pairs comparison at any
+    corpus size."""
+    from timeseries_db_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        dhash_signatures_cached(assets),
+        id_col="asset_id",
+        sig_col="dhash",
+        n_bands=DHASH_N_BANDS,
+        band_bits=DHASH_BAND_BITS,
+        max_hamming=max_hamming,
+    )

@@ -532,11 +532,31 @@ def register_extensions(q: dict, o: dict) -> None:
     # sum of the resized pixel bytes, which the oracle recomputes
     # closed-form from the synthetic pattern. Leg→column mapping:
     # resize: v1=width v2=height v3=target_w v4=target_h v5=px_sum;
-    # frame:  v1=frame_idx, v2-v5 NULL.
+    # frame:  v1=frame_idx, v2-v5 NULL;
+    # dhash:  v1=56-bit perceptual hash over the REAL decoded pixels
+    #         (late r7 — 8×8 NN downsample, 7 row comparisons; oracle
+    #         restates it closed-form from the synthetic gradient);
+    # dpair:  asset_id=id_a, v1=id_b, v2=hamming ≤ 3 (banded-Hamming
+    #         self-join, same pigeonhole bound as text SimHash).
     def multimodal_resize_plan(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
+        png_assets = multimodal.documents_as_png_assets(docs)
+        nulls = lambda *cs: [F.lit(None).cast("long").alias(c) for c in cs]  # noqa: E731
+        dhash = multimodal.dhash_signatures_cached(png_assets).select(
+            "asset_id",
+            F.lit("dhash").alias("kind"),
+            F.col("dhash").alias("v1"),
+            *nulls("v2", "v3", "v4", "v5"),
+        )
+        dpairs = multimodal.dhash_pairs(png_assets, 3).select(
+            F.col("id_a").alias("asset_id"),
+            F.lit("dpair").alias("kind"),
+            F.col("id_b").alias("v1"),
+            F.col("hamming").cast("long").alias("v2"),
+            *nulls("v3", "v4", "v5"),
+        )
         resize = multimodal.decode_resize_png(
-            multimodal.documents_as_png_assets(docs), max_side=24
+            png_assets, max_side=24
         ).select(
             "asset_id",
             F.lit("resize").alias("kind"),
@@ -552,9 +572,9 @@ def register_extensions(q: dict, o: dict) -> None:
             "asset_id",
             F.lit("frame").alias("kind"),
             F.col("frame_idx").alias("v1"),
-            *[F.lit(None).cast("long").alias(c) for c in ("v2", "v3", "v4", "v5")],
+            *nulls("v2", "v3", "v4", "v5"),
         )
-        return resize.unionByName(frames)
+        return resize.unionByName(frames).unionByName(dhash).unionByName(dpairs)
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
     o["multimodal_resize_plan"] = """
@@ -595,6 +615,62 @@ def register_extensions(q: dict, o: dict) -> None:
                NULL::BIGINT AS v2, NULL::BIGINT AS v3,
                NULL::BIGINT AS v4, NULL::BIGINT AS v5
         FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        -- dhash leg: the 56-bit difference hash restated closed-form.
+        -- The synthetic pixel at (x, y) is (x*7 + y*13 + id) % 256 and
+        -- the 8x8 NN downsample takes x = j*w//8, y = i*h//8, so bit
+        -- (i*7 + j) compares columns j and j+1 of the downsample.
+        SELECT asset_id, 'dhash' AS kind, dhash AS v1,
+               NULL::BIGINT AS v2, NULL::BIGINT AS v3,
+               NULL::BIGINT AS v4, NULL::BIGINT AS v5
+        FROM (
+            WITH dh_d AS (
+                SELECT doc_id,
+                       (16 + (doc_id * 7) % 48)::BIGINT AS w,
+                       (16 + (doc_id * 11) % 48)::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            n8 AS (SELECT unnest(range(8)) AS n)
+            SELECT d.doc_id AS asset_id,
+                   sum(CASE WHEN (((j.n * d.w) // 8) * 7
+                                  + ((i.n * d.h) // 8) * 13 + d.doc_id) % 256
+                              > ((((j.n + 1) * d.w) // 8) * 7
+                                  + ((i.n * d.h) // 8) * 13 + d.doc_id) % 256
+                            THEN (1::BIGINT << (i.n * 7 + j.n)::INT)
+                            ELSE 0 END)::BIGINT AS dhash
+            FROM dh_d d JOIN n8 i ON i.n < 8 JOIN n8 j ON j.n < 7
+            GROUP BY d.doc_id
+        )
+        UNION ALL
+        -- dpair leg: exact O(n^2) Hamming join over the closed-form
+        -- hashes (the Spark side uses the banded join; at Hamming <= 3
+        -- with 4 bands both find exactly the same pairs)
+        SELECT id_a AS asset_id, 'dpair' AS kind, id_b AS v1, ham AS v2,
+               NULL::BIGINT AS v3, NULL::BIGINT AS v4, NULL::BIGINT AS v5
+        FROM (
+            WITH dh_d AS (
+                SELECT doc_id,
+                       (16 + (doc_id * 7) % 48)::BIGINT AS w,
+                       (16 + (doc_id * 11) % 48)::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            n8 AS (SELECT unnest(range(8)) AS n),
+            dh AS (
+                SELECT d.doc_id,
+                       sum(CASE WHEN (((j.n * d.w) // 8) * 7
+                                      + ((i.n * d.h) // 8) * 13 + d.doc_id) % 256
+                                  > ((((j.n + 1) * d.w) // 8) * 7
+                                      + ((i.n * d.h) // 8) * 13 + d.doc_id) % 256
+                                THEN (1::BIGINT << (i.n * 7 + j.n)::INT)
+                                ELSE 0 END)::BIGINT AS dhash
+                FROM dh_d d JOIN n8 i ON i.n < 8 JOIN n8 j ON j.n < 7
+                GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.dhash, b.dhash))::BIGINT AS ham
+            FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        )
     """
 
     q["multimodal_audio_chunks"] = lambda s, d: multimodal.audio_chunk_plan(
