@@ -605,3 +605,37 @@ def test_image_dhash_perceptual_and_banding_exact(spark):
         if ham(sig[a], sig[b]) <= 3
     }
     assert banded == brute
+
+
+def test_wav_pcm_roundtrip_and_features(spark):
+    """wav_encode -> wav_pcm is the identity on int16 samples; the PCM
+    feature kernel computes exact integers on a hand-checkable case; and
+    non-16-bit/mono payloads raise at the documented capability
+    boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    s = np.array([0, 100, -100, 32767, -32768, 1, -1], dtype=np.int64)
+    assert np.array_equal(M.wav_pcm(M.wav_encode(s)), s)
+    meta = M.wav_meta(M.wav_encode(s, rate=16000))
+    assert meta == (1, 16000, 16, (7 * 1000) // (16000 * 2))
+
+    assets = spark.createDataFrame(
+        [(1, "audio", M.wav_encode(s))],
+        "asset_id long, kind string, payload binary",
+    )
+    row = M.decode_audio_pcm_features(assets).collect()[0]
+    assert row["n_samples"] == 7
+    assert row["sum_abs"] == int(np.abs(s).sum())
+    assert row["sum_sq"] == int((s * s).sum())
+    # sign flips (negatives vs non-negatives): 0,100 | -100 | 32767 | -32768 | 1 | -1 -> 4 flips... recompute
+    neg = s < 0
+    assert row["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+
+    # stereo payload rejected at the capability boundary
+    bad = bytearray(M.wav_encode(s))
+    bad[22] = 2  # channels field
+    with _pytest.raises(ValueError):
+        M.wav_pcm(bytes(bad))

@@ -12,15 +12,24 @@ shapes — is real and tested. Decoding splits in two:
 * **pixel decompression is REAL for PNG** (since r7): stdlib ``zlib``
   IDAT inflate + per-row unfilter (all five filter types) in
   :func:`png_decode`, with :func:`resize_nn` nearest-neighbor
-  downsampling on the decoded pixels — no media library involved;
-* **JPEG pixels / video frames / compressed audio** remain the
-  genuinely library-bound stages and stay stubbed behind
-  ``NotImplementedError`` with a capability flag — that is where
-  PIL/ffmpeg slot in (see :data:`PIXEL_CAPABILITIES`).
+  downsampling on the decoded pixels and a 56-bit perceptual
+  :func:`dhash_signatures` + banded-Hamming :func:`dhash_pairs`
+  near-dup path — no media library involved;
+* **audio PCM samples are REAL for WAV** (late r7): RIFF ``data`` chunk
+  parse + int16-LE decode in :func:`wav_pcm`, exact integer signal
+  features in :func:`decode_audio_pcm_features` — WAV carries no
+  entropy coding, so the full sample path is stdlib;
+* **JPEG pixels / video frames / compressed audio (mp3/opus/aac)**
+  remain the genuinely library-bound stages and stay stubbed behind
+  ``NotImplementedError`` with capability flags — that is where
+  PIL/ffmpeg slot in (:data:`PIXEL_CAPABILITIES` /
+  :data:`AUDIO_PCM_CAPABILITIES`).
 
-The registry's gate entries run the deterministic fake (the synthetic
-fixture payloads are text bytes, not real media, and the DuckDB oracle
-mirrors the fake), while pytest feeds the real decoders synthesized
+The gate entries whose legs are header/plan-shaped run the
+deterministic fake (text-byte payloads; the DuckDB oracle mirrors the
+fake), while the resize/dhash and pcm legs run the REAL decoders over
+synthesized PNG/WAV payloads with closed-form oracles; pytest
+additionally feeds the decoders adversarial synthesized
 PNG/BMP/GIF/JPEG/WAV bytes.
 
 Scale notes (100 TB of media):
@@ -655,4 +664,148 @@ def dhash_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
         n_bands=DHASH_N_BANDS,
         band_bits=DHASH_BAND_BITS,
         max_hamming=max_hamming,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio sample path: WAV PCM decode + exact integer features
+# ---------------------------------------------------------------------------
+
+#: WAV PCM is raw little-endian samples — no entropy coding — so the
+#: sample path needs no media library at all, unlike JPEG/video which
+#: stay behind PIXEL_CAPABILITIES. 16-bit mono is the supported shape.
+AUDIO_PCM_CAPABILITIES = {
+    "wav": "real (RIFF parse + int16 LE mono PCM)",
+    "mp3/opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
+}
+
+
+def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """REAL PCM decode: locate the RIFF ``data`` chunk and return the
+    int16-LE mono samples as an int64 numpy array. Raises for non-WAV
+    or non-16-bit/non-mono payloads (the capability boundary)."""
+    import numpy as np
+
+    b = payload
+    channels, rate, bits, _ = wav_meta(b)  # validates RIFF/fmt/data
+    if bits != 16 or channels != 1:
+        raise ValueError(
+            f"WAV bits={bits} channels={channels} outside "
+            f"AUDIO_PCM_CAPABILITIES['wav'] (16-bit mono)"
+        )
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"data":
+            raw = b[i + 8 : i + 8 + size]
+            return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV missing data chunk")
+
+
+def wav_encode(samples, rate: int = 8000) -> bytes:
+    """Minimal 16-bit mono RIFF/WAVE writer (tests + synthetic gate
+    fixture)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int64).astype("<i2").tobytes()
+    byte_rate = rate * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")   # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono WAV for the gate fixture: sample ``n``
+    is ``((n*7 + doc_id*13) % 2048) - 1024`` — integer sawtooth whose
+    per-asset features a SQL oracle restates closed-form (no trig, no
+    floats anywhere)."""
+    import numpy as np
+
+    n = 400 + (doc_id * 13) % 600
+    s = ((np.arange(n, dtype=np.int64) * 7 + doc_id * 13) % 2048) - 1024
+    return wav_encode(s)
+
+
+def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with REAL PCM WAV payloads (same
+    ``doc_id % 3 == 1`` audio subset as :func:`documents_as_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+AUDIO_PCM_SCHEMA = (
+    "asset_id long, n_samples long, sum_abs long, sum_sq long, zero_crossings long"
+)
+
+
+def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
+    """Per-asset features from the REAL decoded PCM samples — every
+    output an exact integer, so the cross-engine oracle is bitwise:
+    ``sum_abs``/``sum_sq`` (energy without the sqrt — RMS is a cheap
+    client-side divide+sqrt away), and ``zero_crossings`` (count of
+    sign flips, the classic cheap voiced/unvoiced signal). Arrow-batched
+    ``mapInPandas``; at 100 TB each asset decodes independently,
+    map-only."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = wav_pcm(bytes(payload))
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        int(asset_id),
+                        len(s),
+                        int(np.abs(s).sum()),
+                        int((s * s).sum()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "sum_abs", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, schema=AUDIO_PCM_SCHEMA)
     )

@@ -673,16 +673,75 @@ def register_extensions(q: dict, o: dict) -> None:
         )
     """
 
-    q["multimodal_audio_chunks"] = lambda s, d: multimodal.audio_chunk_plan(
-        multimodal.documents_as_assets(_docs(s, d)), chunk_ms=100
-    )
+    # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
+    # 16-bit mono WAVs are actually parsed and their samples decoded;
+    # every pcm feature is an exact integer the oracle restates
+    # closed-form from the synthetic sawtooth. Leg→column mapping:
+    # chunk: v1=chunk_start_ms v2=chunk_len_ms v3,v4 NULL;
+    # pcm:   v1=n_samples v2=sum_abs v3=sum_sq v4=zero_crossings.
+    def multimodal_audio_chunks(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        nulls = lambda *cs: [F.lit(None).cast("long").alias(c) for c in cs]  # noqa: E731
+        chunks = multimodal.audio_chunk_plan(
+            multimodal.documents_as_assets(docs), chunk_ms=100
+        ).select(
+            "asset_id",
+            F.lit("chunk").alias("kind"),
+            F.col("chunk_start_ms").alias("v1"),
+            F.col("chunk_len_ms").alias("v2"),
+            *nulls("v3", "v4"),
+        )
+        pcm = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_wav_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("pcm").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
+        return chunks.unionByName(pcm)
+
+    q["multimodal_audio_chunks"] = multimodal_audio_chunks
     o["multimodal_audio_chunks"] = """
         WITH a AS (
             SELECT doc_id AS asset_id, octet_length(text::BLOB)::BIGINT AS dur_ms
             FROM documents WHERE doc_id % 3 = 1
         )
-        SELECT asset_id,
-               unnest(range(0, dur_ms, 100))::BIGINT AS chunk_start_ms,
-               least(100, dur_ms - unnest(range(0, dur_ms, 100)))::BIGINT AS chunk_len_ms
+        SELECT asset_id, 'chunk' AS kind,
+               unnest(range(0, dur_ms, 100))::BIGINT AS v1,
+               least(100, dur_ms - unnest(range(0, dur_ms, 100)))::BIGINT AS v2,
+               NULL::BIGINT AS v3, NULL::BIGINT AS v4
         FROM a
+        UNION ALL
+        -- pcm leg restated closed-form from the synthetic sawtooth:
+        -- sample k of asset id is ((k*7 + id*13) % 2048) - 1024
+        SELECT asset_id, 'pcm' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id, (400 + (doc_id * 13) % 600)::BIGINT AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(1000)) AS k),
+            smp AS (
+                SELECT w.doc_id, ks.k,
+                       ((ks.k * 7 + w.doc_id * 13) % 2048) - 1024 AS v
+                FROM w JOIN ks ON ks.k < w.n
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY k) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
     """
