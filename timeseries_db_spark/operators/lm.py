@@ -128,11 +128,11 @@ def lm_score(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
     formula, so the guard-band argument carries over)."""
     ref = docs if ref is None else ref
     model = char_trigram_model(ref)
-    v = (
-        _doc_trigrams(ref)
-        .groupBy("tri")
-        .agg(F.count("*").alias("c"))
-        .select(F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize"))
+    # alphabet size for the unseen-trigram floor: derived from the
+    # BOUNDED model table (it holds every distinct reference trigram),
+    # not by re-scanning the reference corpus
+    v = model.select(
+        F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize")
     )
     scored = (
         _doc_trigrams(docs)

@@ -533,9 +533,13 @@ def ivf_centroids_refined(
     return cents
 
 
-def _ivf_assign_fn(bc, nprobe: int):
+def _ivf_assign_fn(bc, nprobe: int, *, keep_embedding: bool = False):
     """Emit (vec_id, list_id) for each vector's ``nprobe`` nearest
     centroids (nprobe=1 assigns the corpus; nprobe>1 probes queries).
+    ``keep_embedding`` (nprobe=1 only) additionally passes the vector
+    through, so a downstream per-cluster stage can group on ``list_id``
+    directly — clustering then costs ONE corpus shuffle instead of an
+    assignment join followed by the group-by (``semantic_dedup``).
 
     Deterministic, engine-reproducible ranking: similarities are rounded
     to 6 decimals (``np_duck_round`` — DuckDB's exact rounding), ties
@@ -543,6 +547,8 @@ def _ivf_assign_fn(bc, nprobe: int):
     so a stable argsort on the rounded scores realizes exactly that
     order — which is what lets the IVF entry carry a value-level oracle
     (the same rounded-ranking rule SQL computes with a window)."""
+    if keep_embedding and nprobe != 1:
+        raise ValueError("keep_embedding requires nprobe=1")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, cmat = bc.value
@@ -554,9 +560,12 @@ def _ivf_assign_fn(bc, nprobe: int):
             sim = _np_duck_round(_normed(pdf["embedding"]) @ cmat.T, 6)
             top = np.argsort(-sim, axis=1, kind="stable")[:, :k]
             rows = np.repeat(pdf["vec_id"].to_numpy(), k)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {"vec_id": rows, "list_id": cids[top.ravel()].astype(np.int64)}
             )
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"].to_numpy()
+            yield out
 
     return gen
 
@@ -756,10 +765,12 @@ def semantic_dedup(
     assign = emb.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(bc, 1), schema="vec_id long, list_id long"
     )
-    # one clustering shuffle: vectors travel to their cluster's group
-    clustered = (
-        emb.select("vec_id", "embedding")
-        .join(assign, "vec_id")
+    # the assignment kernel passes the vector through, so clustering is
+    # ONE corpus shuffle (the group-by) — no corpus self-join to glue
+    # embeddings back onto their assignment
+    clustered = emb.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_fn(bc, 1, keep_embedding=True),
+        schema="vec_id long, list_id long, embedding array<float>",
     )
     pairs = clustered.groupBy("list_id").applyInPandas(
         _cluster_pairs_fn(threshold),
