@@ -103,6 +103,26 @@ def test_lm_cross_ref_backoff_no_drops(spark):
     assert out[3]["avg_logprob"] > out[2]["avg_logprob"]
 
 
+def test_lm_backoff_uses_seen_bigram_context(spark):
+    """An unseen trigram whose bigram CONTEXT the reference has seen
+    must back off to 1/(bi_cnt + V) with the context's real count —
+    not the unseen-context floor 1/V. Hand-computed: ref 'aaab' has
+    trigrams {aaa, aab}, context 'aa' count 2, alphabet {a, b} so
+    V = 2; probe 'aaac' scores seen 'aaa' at ln(2/4) and unseen 'aac'
+    at ln(1/(2+2)) — NOT ln(1/(0+2))."""
+    import math
+
+    ref = spark.createDataFrame([(1, "aaab")], "doc_id long, text string")
+    probe = spark.createDataFrame([(2, "aaac")], "doc_id long, text string")
+    row = lm.lm_score(probe, ref=ref).collect()[0]
+    fp = lambda x: int(  # noqa: E731 — duck_round(·, 0) on a negative
+        -math.floor(-lm.LM_FP_SCALE * x + 0.5)
+    )
+    expected = fp(math.log((1 + 1) / (2 + 2))) + fp(math.log(1.0 / (2 + 2)))
+    assert row["n_tri"] == 2
+    assert row["score_fp"] == expected, (row["score_fp"], expected)
+
+
 def test_lm_model_bounded_and_broadcast(spark, sf_dir):
     """Scale posture: the model table is bounded by the alphabet and
     the scoring join must broadcast it (no corpus-sized shuffle on the

@@ -173,3 +173,37 @@ def test_truncate_via_empty_delete_and_cors_preflight(served):
     # unknown route
     status, _, _ = _call(served, "POST", "/nope", {})
     assert status == 404
+
+
+def test_bad_typed_bodies_get_http_400_not_connection_drop(served):
+    """Field-level type errors must come back as real HTTP 400s (aeson
+    would reject them at decode time), never as an unanswered socket:
+    a NULL value against the non-nullable TS schema, a string where a
+    timestamp bound belongs, and a wrongly-typed tagEq."""
+    status, body, _ = _call(
+        served, "POST", "/timeseries",
+        [{"timestamp": 7777, "tag": "nulled", "value": None}],
+    )
+    assert status == 400, body
+
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"gt": "abc"}
+    )
+    assert status == 400
+    assert "'gt' expects an integer" in body
+
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"tagEq": 7}
+    )
+    assert status == 400
+    assert "'tag_eq' expects a string" in body
+
+    # booleans are ints in Python but not on the wire
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"limit": True}
+    )
+    assert status == 400
+
+    # the server must still be alive and serving afterwards
+    status, _, _ = _call(served, "POST", "/timeseries/query", {"aggFunc": "count"})
+    assert status == 200

@@ -122,21 +122,34 @@ def lm_score(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
     ``ref`` (default: the corpus itself, the self-scoring gate shape).
 
     When ``ref`` is a different corpus, unseen trigrams back off to the
-    smoothed floor ``1 / (bi_cnt + V)`` (count 0 + add-one) with
-    ``bi_cnt = 0`` for unseen contexts — quantized by the same
-    fixed-point rule, row-side (both engines apply the identical
-    formula, so the guard-band argument carries over)."""
+    smoothed floor ``1 / (bi_cnt + V)`` (count 0 + add-one), where
+    ``bi_cnt`` is the count of the trigram's own bigram CONTEXT — looked
+    up from the bounded bigram rollup joined on ``substring(tri, 1, 2)``
+    (a left join on the full trigram obviously can't deliver it — the
+    model row was just missed), 0 when the context is unseen too.
+    Quantized by the same fixed-point rule, row-side (both engines
+    apply the identical formula, so the guard-band argument carries
+    over)."""
     ref = docs if ref is None else ref
     model = char_trigram_model(ref)
-    # alphabet size for the unseen-trigram floor: derived from the
-    # BOUNDED model table (it holds every distinct reference trigram),
-    # not by re-scanning the reference corpus
+    # the unseen-trigram floor needs the bigram-context counts and the
+    # alphabet size; BOTH derive from the bounded model table (it holds
+    # every distinct reference trigram with its context count), not
+    # from re-scanning the reference corpus
+    bi_tbl = model.groupBy(
+        F.expr("substring(tri, 1, 2)").alias("bi")
+    ).agg(F.max("bi_cnt").alias("ctx_cnt"))
     v = model.select(
         F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("vsize")
     )
     scored = (
         _doc_trigrams(docs)
-        .join(F.broadcast(model), "tri", "left")
+        .join(F.broadcast(model.select("tri", "lp_fp")), "tri", "left")
+        .join(
+            F.broadcast(bi_tbl),
+            F.expr("substring(tri, 1, 2)") == F.col("bi"),
+            "left",
+        )
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -144,7 +157,7 @@ def lm_score(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
                 F.col("lp_fp"),
                 duck_round(
                     F.expr(
-                        f"{LM_FP_SCALE} * ln(1.0e0 / (coalesce(bi_cnt, 0) + vsize))"
+                        f"{LM_FP_SCALE} * ln(1.0e0 / (coalesce(ctx_cnt, 0) + vsize))"
                     ),
                     0,
                 ).cast("long"),

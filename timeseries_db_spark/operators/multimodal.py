@@ -354,6 +354,18 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG filter type {ftype}")
         prev_start = o
     if color_type == 3:  # palette → RGB
+        # guard BEFORE expanding: bytearray slice assignment accepts
+        # length-changing right-hand sides, so a missing/short PLTE
+        # would silently SHRINK the buffer and surface later as an
+        # unrelated reshape error instead of a decode-boundary failure
+        if not palette:
+            raise ValueError("PNG color_type 3 without a PLTE chunk")
+        max_idx = max(out) if out else 0
+        if 3 * max_idx + 3 > len(palette):
+            raise ValueError(
+                f"PNG palette index {max_idx} outside the "
+                f"{len(palette) // 3}-entry PLTE"
+            )
         rgb = bytearray(width * height * 3)
         for j, idx in enumerate(out):
             rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]

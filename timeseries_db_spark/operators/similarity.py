@@ -762,16 +762,19 @@ def semantic_dedup(
     ids, cmat = _collect_matrix(cents)
     order = np.argsort(ids, kind="stable")
     bc = emb.sparkSession.sparkContext.broadcast((ids[order], cmat[order]))
-    assign = emb.select("vec_id", "embedding").mapInPandas(
-        _ivf_assign_fn(bc, 1), schema="vec_id long, list_id long"
-    )
     # the assignment kernel passes the vector through, so clustering is
     # ONE corpus shuffle (the group-by) — no corpus self-join to glue
-    # embeddings back onto their assignment
+    # embeddings back onto their assignment. The kernel still EXECUTES
+    # twice (once materializing the pair graph inside
+    # connected_components' checkpoint, once for the final per-vector
+    # output below) — the alternative is caching the corpus-sized
+    # clustered table, which is the wrong trade at scale; the
+    # vertex-sized slice is all the second pass keeps.
     clustered = emb.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(bc, 1, keep_embedding=True),
         schema="vec_id long, list_id long, embedding array<float>",
     )
+    assign = clustered.select("vec_id", "list_id")
     pairs = clustered.groupBy("list_id").applyInPandas(
         _cluster_pairs_fn(threshold),
         schema="id_a long, id_b long, cos double",

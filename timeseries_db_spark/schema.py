@@ -161,6 +161,21 @@ class QueryModel:
         if unknown:
             raise IllegalQueryError(f"Unknown query fields: {sorted(unknown)}")
         kwargs: dict = {key_map[k]: v for k, v in obj.items() if v is not None}
+        # aeson rejects wrongly-typed fields at decode time (a 400, not
+        # an internal error deep inside the engine); mirror that here —
+        # bounds/limit are integers (bool is an int subclass in Python,
+        # but not on the wire), tagEq is a string
+        for field in ("gt", "ge", "lt", "le", "ts_eq", "limit"):
+            v = kwargs.get(field)
+            if v is not None and (isinstance(v, bool) or not isinstance(v, int)):
+                raise IllegalQueryError(
+                    f"Field '{field}' expects an integer, got {v!r}."
+                )
+        tag = kwargs.get("tag_eq")
+        if tag is not None and not isinstance(tag, str):
+            raise IllegalQueryError(
+                f"Field 'tag_eq' expects a string, got {tag!r}."
+            )
         try:
             if "agg_func" in kwargs:
                 kwargs["agg_func"] = Agg(kwargs["agg_func"])

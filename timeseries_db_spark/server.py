@@ -113,6 +113,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._bad_request(str(exc))
         except _BadRequest as exc:
             self._bad_request(str(exc))
+        except (ValueError, TypeError) as exc:
+            # field-level decode/shape failures below the wire layer
+            # (e.g. a NULL value hitting the non-nullable TS schema) —
+            # aeson would have 400'd these at decode time
+            self._bad_request(str(exc))
+        except Exception:  # noqa: BLE001 — keep the connection protocol-valid
+            # anything else is a real 500: answer it rather than letting
+            # the handler thread die mid-response (connection reset)
+            import traceback
+
+            traceback.print_exc()
+            self._respond(
+                500, b"Internal server error.", "text/plain; charset=utf-8"
+            )
 
     def _route(self) -> str:
         return self.path.rstrip("/")
