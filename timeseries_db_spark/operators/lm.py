@@ -131,6 +131,12 @@ def lm_score(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
     apply the identical formula, so the guard-band argument carries
     over)."""
     ref = docs if ref is None else ref
+    # NOT persist-tracked, deliberately: the model's trigram-count
+    # shuffle is referenced by the scoring join, the bigram rollup, and
+    # the alphabet count, but Spark's ReuseExchange dedupes the
+    # identical exchange across all three in a single invocation —
+    # measured 5.1 s cold at sf0.1 vs 10.5 s with an eager persist
+    # (the materialization pass doesn't overlap the scoring pipeline)
     model = char_trigram_model(ref)
     # the unseen-trigram floor needs the bigram-context counts and the
     # alphabet size; BOTH derive from the bounded model table (it holds
