@@ -217,3 +217,35 @@ def test_chunk_documents_sliding_window_semantics(spark, sf_dir):
             assert r["tok_len"] == min(max_tokens, n - r["tok_start"])
         # full coverage: the last chunk reaches exactly n
         assert rows[-1]["tok_start"] + rows[-1]["tok_len"] == n
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    """The join-free Bloom path may overcount (false positives) but can
+    never miss: every document the exact broadcast-join detector flags
+    must appear with n_flagged >= n_shared, and the total false-positive
+    volume must stay within a loose multiple of the filter's fpp."""
+    from timeseries_db_spark.operators.corpus import (
+        benchmark_contamination,
+        benchmark_contamination_bloom,
+    )
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in benchmark_contamination(docs).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in benchmark_contamination_bloom(docs).collect()
+    }
+    assert exact, "fixture has no contamination to detect"
+    # no false negatives: every exact hit present, never undercounted
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n, (doc_id, n, bloom.get(doc_id))
+    # bounded overcount: at 8 bits/item fpp ≈ 2-3%; allow generous slack
+    # for the tiny fixture (the assertion is about ORDER of magnitude —
+    # a broken filter flags nearly everything)
+    extra_docs = set(bloom) - set(exact)
+    assert len(extra_docs) <= max(10, 0.2 * len(bloom)), (
+        len(extra_docs), len(bloom))

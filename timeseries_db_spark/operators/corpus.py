@@ -361,6 +361,89 @@ def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+#: Bloom sketch defaults: 2^23 bits (1 MiB packed) × 5 hash functions —
+#: fpp ≈ (1 - e^(-5n/m))^5 ≈ 0.01 at n = 1M benchmark shingles.
+BLOOM_NUM_BITS = 1 << 23
+BLOOM_NUM_HASHES = 5
+
+
+def benchmark_contamination_bloom(
+    docs: DataFrame,
+    *,
+    num_bits: int = BLOOM_NUM_BITS,
+    num_hashes: int = BLOOM_NUM_HASHES,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_flagged) — the BOUNDED-SKETCH scale path for
+    decontamination: fold the test split's distinct shingles into a
+    Bloom filter packed as a ``(word_idx, bits)`` table of int64 words
+    (``bit_or`` aggregation; ≤ ``num_bits``/64 rows — 1 MiB at the
+    defaults — NO MATTER how many shingles the benchmark has), then
+    probe every train shingle with ``num_hashes`` map-side broadcast
+    joins against that table plus bit tests. Versus the exact
+    broadcast-join detector (:func:`benchmark_contamination`), whose
+    broadcast grows with the benchmark's distinct-shingle count, the
+    sketch's size is a CONSTANT chosen up front — the standard trade a
+    100 TB pipeline makes when the benchmark suite itself is large.
+    (Spark's own ``bloom_filter_agg`` is not in PySpark's registered
+    routine list, so the packing is spelled in plain DataFrame ops —
+    same semantics, and the probe stays whole-stage-codegen'd.)
+
+    Contract (asserted in ``tests/test_corpus.py``): NO false negatives
+    — a truly shared shingle always finds all its bits set, so
+    ``n_flagged >= n_shared`` per document and every contaminated doc
+    appears; false positives are bounded by the sketch fpp.
+    Probabilistic overcount means no exact DuckDB oracle — the exact
+    detector stays the gate entry; this is the documented scale escape
+    hatch, pytest-pinned against it."""
+    splits = assign_splits(docs, key).select("doc_id", "split")
+    sh = doc_shingles(docs).join(splits, "doc_id")
+
+    def positions(col: str) -> list:
+        # k independent 64-bit hashes → bit positions in [0, num_bits)
+        return [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+
+    bits = (
+        sh.filter(F.col("split") == "test")
+        .select("shingle")
+        .distinct()
+        .select(F.explode(F.array(*positions("shingle"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    probe = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    for i, pos in enumerate(positions("shingle")):
+        w = F.broadcast(
+            bits.select(
+                F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+            )
+        )
+        probe = probe.withColumn(f"p{i}", pos).join(
+            w, (F.col(f"p{i}") / 64).cast("long") == F.col(f"w{i}"), "left"
+        )
+    hit = None
+    for i in range(num_hashes):
+        test = F.expr(
+            f"coalesce(b{i}, CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT)) != 0"
+        )
+        hit = test if hit is None else (hit & test)
+    return (
+        probe.filter(hit)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+
+
 def benchmark_contamination_sql(key: str = "doc_id") -> str:
     return f"""
         WITH {_SHINGLES_CTE_DUCK},
