@@ -44,6 +44,14 @@ Scale design (100 TB):
   by ``doc_id``: partial sums combine map-side, so the only
   corpus-sized shuffle carries one row per (partition, doc), not one
   per trigram.
+
+Known seam, documented: trigram extraction is a SQL higher-order
+``transform`` (interpreted per window — the CodegenFallback ceiling
+measured at ~600 ns/element in ``operators/text.py``). Fine at gate
+scale and simple enough to keep declarative; at true 100 TB scan rates
+the extraction would move into an Arrow kernel exactly like
+``text._kgram_fp_kernel`` did (the aggregation/join shape above is
+unchanged by that swap).
 """
 
 from __future__ import annotations
