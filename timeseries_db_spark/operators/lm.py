@@ -45,13 +45,12 @@ Scale design (100 TB):
   corpus-sized shuffle carries one row per (partition, doc), not one
   per trigram.
 
-Known seam, documented: trigram extraction is a SQL higher-order
-``transform`` (interpreted per window — the CodegenFallback ceiling
-measured at ~600 ns/element in ``operators/text.py``). Fine at gate
-scale and simple enough to keep declarative; at true 100 TB scan rates
-the extraction would move into an Arrow kernel exactly like
-``text._kgram_fp_kernel`` did (the aggregation/join shape above is
-unchanged by that swap).
+Trigram extraction stays the higher-order ``transform`` form on
+MEASURED evidence, not by default — see :func:`_doc_trigrams` for the
+four-way comparison (HOF vs codegen'd generator vs Arrow-kernel
+explode vs eager persist): when the per-window product is a row that
+must exist anyway, the interpreted-lambda ceiling that
+``operators/text.py``'s kernels escaped does not bind.
 """
 
 from __future__ import annotations
@@ -85,7 +84,32 @@ def _tri_windows_duck() -> str:
 
 def _doc_trigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, tri) — every trigram occurrence, in two staged
-    projections so the normalization + sanitize bind once."""
+    projections so the normalization + sanitize bind once.
+
+    The higher-order ``explode(transform(sequence, i -> substring))``
+    form is kept DELIBERATELY — the candidate shapes were measured on
+    the full self-scoring pipeline at sf0.1, first invocation (the
+    driver-gate shape) / steady-state repeats:
+
+    * HOF transform + array explode (this form): **8.6 / 5.0 s** — the
+      lambda is interpreted (CodegenFallback) but runs once per doc
+      over a small array, and the explode emits narrow rows;
+    * codegen'd ``explode(sequence)`` + plain ``substring`` (no
+      lambda): 9.8 / 6.9 s — every generated row carries the full
+      document string through the generator before the projection
+      prunes it;
+    * Arrow-kernel explode (numpy sliding windows, the
+      ``text._kgram_fp_kernel`` treatment): 10.6 / 4.9 s — unlike the
+      per-doc-aggregate kernels its output is corpus-sized, so the
+      exploded stream pays Arrow serialization both ways;
+    * eager-persisted model (HOF + persist-tracked cache): 10.5 /
+      3.4 s — wins only on repeated invocation, which the gate never
+      does.
+
+    The interpreted-HOF throughput ceiling therefore does NOT bind
+    here: the per-window work product is a row that must exist anyway,
+    and building it inside the JVM from a per-doc array is the
+    cheapest where it counts (one invocation)."""
     s1 = docs.select("doc_id", F.expr(NORM_SPARK).alias("norm"))
     s2 = s1.select(
         "doc_id", F.expr(_kgram_prep("norm", duck=False, width=3)).alias("s")
