@@ -639,3 +639,26 @@ def test_wav_pcm_roundtrip_and_features(spark):
     bad[22] = 2  # channels field
     with _pytest.raises(ValueError):
         M.wav_pcm(bytes(bad))
+
+
+def test_avi_header_roundtrip_and_frame_plan(spark):
+    """avi_encode -> avi_meta is the identity on header fields (walking
+    the nested LIST structure for real); the frame plan samples every
+    Nth of the TRUE dwTotalFrames; non-AVI payloads raise."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    payload = M.avi_encode(n_frames=47, usec_per_frame=40_000, width=640, height=480)
+    assert M.avi_meta(payload) == (47, 40_000, 640, 480)
+    with _pytest.raises(ValueError):
+        M.avi_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        M.avi_meta(b"not a riff at all")
+
+    assets = spark.createDataFrame(
+        [(9, "video", payload)], "asset_id long, kind string, payload binary"
+    )
+    rows = M.frame_sample_plan_avi(assets, every_n=10).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20, 30, 40]
+    assert all((r["width"], r["height"]) == (640, 480) for r in rows)

@@ -19,16 +19,20 @@ shapes — is real and tested. Decoding splits in two:
   parse + int16-LE decode in :func:`wav_pcm`, exact integer signal
   features in :func:`decode_audio_pcm_features` — WAV carries no
   entropy coding, so the full sample path is stdlib;
-* **JPEG pixels / video frames / compressed audio (mp3/opus/aac)**
+* **video container metadata is REAL for AVI** (late r7): the RIFF
+  ``avih`` main-header walk in :func:`avi_meta` gives true frame
+  counts/intervals/dimensions, so :func:`frame_sample_plan_avi` samples
+  REAL frame indices;
+* **JPEG pixels / video frame pixels / compressed audio (mp3/opus/aac)**
   remain the genuinely library-bound stages and stay stubbed behind
   ``NotImplementedError`` with capability flags — that is where
   PIL/ffmpeg slot in (:data:`PIXEL_CAPABILITIES` /
-  :data:`AUDIO_PCM_CAPABILITIES`).
+  :data:`AUDIO_PCM_CAPABILITIES` / :data:`VIDEO_CAPABILITIES`).
 
 The gate entries whose legs are header/plan-shaped run the
 deterministic fake (text-byte payloads; the DuckDB oracle mirrors the
-fake), while the resize/dhash and pcm legs run the REAL decoders over
-synthesized PNG/WAV payloads with closed-form oracles; pytest
+fake), while the resize/dhash, pcm, and frame legs run the REAL decoders over
+synthesized PNG/WAV/AVI payloads with closed-form oracles; pytest
 additionally feeds the decoders adversarial synthesized
 PNG/BMP/GIF/JPEG/WAV bytes.
 
@@ -820,4 +824,150 @@ def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
         assets.filter(F.col("kind") == "audio")
         .select("asset_id", "payload")
         .mapInPandas(gen, schema=AUDIO_PCM_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video container path: AVI (RIFF) header parse
+# ---------------------------------------------------------------------------
+
+#: AVI is RIFF like WAV — the container METADATA (frame count, frame
+#: interval, dimensions from the 'avih' main header) parses with pure
+#: byte arithmetic; only the frame PIXELS are codec-bound (the ffmpeg
+#: seam, like JPEG). So the frame-sampling plan can run on REAL parsed
+#: frame counts instead of a payload-size fake.
+VIDEO_CAPABILITIES = {
+    "avi": "real (RIFF parse: avih frame count / interval / dimensions)",
+    "frame pixels (any codec)": "stub — ffmpeg insertion point",
+}
+
+
+def avi_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL AVI (RIFF) main-header metadata —
+    (n_frames, usec_per_frame, width, height) from the ``avih`` chunk
+    (56-byte AVIMAINHEADER: dwMicroSecPerFrame @0, dwTotalFrames @16,
+    dwWidth @32, dwHeight @36, all u32 LE). Raises for non-AVI."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"LIST":
+                found = walk(i + 12, i + 8 + size)
+                if found is not None:
+                    return found
+            elif cid == b"avih" and size >= 40:
+                h = b[i + 8 : i + 8 + size]
+                return (
+                    int.from_bytes(h[16:20], "little"),
+                    int.from_bytes(h[0:4], "little"),
+                    int.from_bytes(h[32:36], "little"),
+                    int.from_bytes(h[36:40], "little"),
+                )
+            i += 8 + size + (size & 1)
+        return None
+
+    meta = walk(12, len(b))
+    if meta is None:
+        raise ValueError("AVI missing avih main header")
+    return meta
+
+
+def avi_encode(
+    n_frames: int, usec_per_frame: int, width: int, height: int
+) -> bytes:
+    """Minimal AVI writer: RIFF('AVI ', LIST('hdrl', avih) +
+    LIST('movi')) — headers only, no frame data (tests + the synthetic
+    gate fixture; the decode path under test is the header walk)."""
+    avih = bytearray(56)
+    avih[0:4] = usec_per_frame.to_bytes(4, "little")
+    avih[16:20] = n_frames.to_bytes(4, "little")
+    avih[32:36] = width.to_bytes(4, "little")
+    avih[36:40] = height.to_bytes(4, "little")
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
+    movi = chunk(b"LIST", b"movi")
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic AVI for the gate fixture: frame count / interval /
+    dimensions are closed-form in ``doc_id`` so a SQL oracle restates
+    the sampled frame indices exactly."""
+    return avi_encode(
+        n_frames=30 + (doc_id * 7) % 120,
+        usec_per_frame=33_333,
+        width=320 + (doc_id % 4) * 80,
+        height=240 + (doc_id % 3) * 60,
+    )
+
+
+def documents_as_avi_assets(docs: DataFrame) -> DataFrame:
+    """Video-asset fixture with REAL AVI containers (same
+    ``doc_id % 3 == 2`` video subset as :func:`documents_as_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": [synth_avi(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def frame_sample_plan_avi(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan over REAL parsed AVI headers: one
+    Arrow-batched header walk per asset emits its true
+    (n_frames, width, height), then a JVM ``sequence``/``explode``
+    expands the every-``every_n``-th frame indices to decode — the
+    decode itself stays the documented codec stub. Replaces the
+    payload-size fake of :func:`frame_sample_plan` for containers the
+    parser understands."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n, _usec, w, h = avi_meta(bytes(payload))
+                rows.append((int(asset_id), n, w, h))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_frames", "width", "height"]
+            )
+
+    meta = (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, schema="asset_id long, n_frames long, width long, height long")
+    )
+    return meta.select(
+        "asset_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("fi"),
+    ).select(
+        "asset_id", "width", "height", F.col("fi").cast("long").alias("frame_idx")
     )

@@ -566,13 +566,18 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("target_h").cast("long").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
-        frames = multimodal.frame_sample_plan(
-            multimodal.documents_as_assets(docs)
+        # late r7: the frame leg upgraded from the payload-size fake to
+        # REAL parsed AVI containers — v1=frame_idx (every 10th of the
+        # avih dwTotalFrames), v2=width, v3=height from the main header
+        frames = multimodal.frame_sample_plan_avi(
+            multimodal.documents_as_avi_assets(docs)
         ).select(
             "asset_id",
             F.lit("frame").alias("kind"),
             F.col("frame_idx").alias("v1"),
-            *nulls("v2", "v3", "v4", "v5"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            *nulls("v4", "v5"),
         )
         return resize.unionByName(frames).unionByName(dhash).unionByName(dpairs)
 
@@ -610,9 +615,13 @@ def register_extensions(q: dict, o: dict) -> None:
                t.tw::BIGINT AS v3, t.th::BIGINT AS v4, px.px_sum AS v5
         FROM t JOIN px ON px.doc_id = t.doc_id
         UNION ALL
+        -- frame leg restated closed-form from the synthetic AVI header:
+        -- dwTotalFrames = 30 + (id*7)%120, dwWidth = 320 + (id%4)*80,
+        -- dwHeight = 240 + (id%3)*60, sampled every 10th frame
         SELECT doc_id AS asset_id, 'frame' AS kind,
-               unnest(range(0, (octet_length(text::BLOB) // 64 + 1)::INT, 10))::BIGINT AS v1,
-               NULL::BIGINT AS v2, NULL::BIGINT AS v3,
+               unnest(range(0, (30 + (doc_id * 7) % 120)::INT, 10))::BIGINT AS v1,
+               (320 + (doc_id % 4) * 80)::BIGINT AS v2,
+               (240 + (doc_id % 3) * 60)::BIGINT AS v3,
                NULL::BIGINT AS v4, NULL::BIGINT AS v5
         FROM documents WHERE doc_id % 3 = 2
         UNION ALL
