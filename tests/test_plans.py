@@ -189,3 +189,17 @@ def test_ngram_jaccard_exact_has_no_candidate_distinct(spark, sf_dir):
     # the shingle stream is scanned twice (two join sides) + once for
     # sizes — but never a fourth time for post-candidate verification
     assert len(_nodes(plan, "Scan parquet")) <= 3, plan
+
+
+def test_bloom_contamination_probe_broadcasts_only(spark, sf_dir):
+    """The Bloom-sketch probe must be k map-side BROADCAST joins against
+    the bounded bit table — never a sort-merge join that would shuffle
+    the corpus-sized train-shingle stream on the sketch key."""
+    from timeseries_db_spark.operators.corpus import (
+        benchmark_contamination_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(spark, benchmark_contamination_bloom(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
