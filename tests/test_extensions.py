@@ -662,3 +662,42 @@ def test_avi_header_roundtrip_and_frame_plan(spark):
     rows = M.frame_sample_plan_avi(assets, every_n=10).collect()
     assert [r["frame_idx"] for r in rows] == [0, 10, 20, 30, 40]
     assert all((r["width"], r["height"]) == (640, 480) for r in rows)
+
+
+def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
+    """BMP pixels decode for real (raw BGR rows, padded stride,
+    bottom-up AND top-down), round-tripping bmp_encode exactly; and the
+    SAME pixels hash to the SAME dHash whether they arrive as PNG or
+    BMP — the cross-format perceptual invariant an image-dedup pipeline
+    relies on. Unsupported depths raise at the capability boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    w, h = 21, 10  # odd width -> nonzero stride padding exercised
+    rgb = bytes(((x * 3 + y * 7 + c * 11) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    payload = M.bmp_encode(rgb, w, h)
+    assert M.bmp_decode(payload) == (w, h, 3, rgb)
+    assert M.image_decode(payload) == (w, h, 3, rgb)
+
+    # top-down variant (negative height) must give identical pixels
+    td = bytearray(payload)
+    td[22:26] = (-h).to_bytes(4, "little", signed=True)
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    flipped = a[::-1].tobytes()  # rows stored first-to-last now
+    assert M.bmp_decode(bytes(td))[3] == flipped
+
+    bad = bytearray(payload)
+    bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
+    with _pytest.raises(ValueError):
+        M.bmp_decode(bytes(bad))
+
+    png_payload = M.png_encode(rgb, w, h, 3, [0] * h)
+    assets = spark.createDataFrame(
+        [(1, "image", png_payload), (2, "image", payload)],
+        "asset_id long, kind string, payload binary",
+    )
+    sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
+    assert sig[1] == sig[2], "same pixels, different container, dhash differs"

@@ -9,12 +9,15 @@ shapes — is real and tested. Decoding splits in two:
   (:func:`image_meta`) and WAV channel/rate/duration
   (:func:`wav_meta`), via ``decode_image_features(fake=False)`` /
   :func:`decode_audio_features`;
-* **pixel decompression is REAL for PNG** (since r7): stdlib ``zlib``
-  IDAT inflate + per-row unfilter (all five filter types) in
-  :func:`png_decode`, with :func:`resize_nn` nearest-neighbor
-  downsampling on the decoded pixels and a 56-bit perceptual
-  :func:`dhash_signatures` + banded-Hamming :func:`dhash_pairs`
-  near-dup path — no media library involved;
+* **pixel decompression is REAL for PNG and BMP** (r7): stdlib
+  ``zlib`` IDAT inflate + per-row unfilter (all five filter types) in
+  :func:`png_decode`, raw padded-stride BGR rows in :func:`bmp_decode`
+  (dispatch via :func:`image_decode`), with :func:`resize_nn`
+  nearest-neighbor downsampling on the decoded pixels and a 56-bit
+  perceptual :func:`dhash_signatures` + banded-Hamming
+  :func:`dhash_pairs` near-dup path that hashes the SAME pixels to the
+  SAME signature regardless of container (cross-format test) — no
+  media library involved;
 * **audio PCM samples are REAL for WAV** (late r7): RIFF ``data`` chunk
   parse + int16-LE decode in :func:`wav_pcm`, exact integer signal
   features in :func:`decode_audio_pcm_features` — WAV carries no
@@ -254,6 +257,7 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 #: ``NotImplementedError`` naming this flag.
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
+    "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
     "jpeg": "stub (entropy decode needs libjpeg/PIL)",
     "video": "stub (frame decode needs ffmpeg)",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
@@ -377,6 +381,85 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, ch, bytes(out)
 
 
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP pixel decode — (width, height, channels, RGB bytes in
+    top-down row order, the :func:`png_decode` convention). BMP pixels
+    are raw (no entropy coding): 24-bit BGR rows, 4-byte-aligned
+    stride, bottom-up unless height is negative. Anything fancier
+    (palettes, RLE, 16/32-bit) raises at the capability boundary."""
+    import numpy as np
+
+    b = payload
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError(f"not a BMP (magic {b[:2]!r})")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError(
+            f"BMP bpp={bpp} compression={compression} w={w} h={h} is "
+            f"outside PIXEL_CAPABILITIES['bmp'] (24-bit uncompressed)"
+        )
+    top_down, height = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * height > len(b):
+        raise ValueError("BMP pixel data truncated")
+    rows = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        o = data_off + src_y * stride
+        rows.append(b[o : o + w * 3])
+    a = np.frombuffer(b"".join(rows), np.uint8).reshape(height, w, 3)
+    return w, height, 3, a[:, :, ::-1].tobytes()  # BGR -> RGB
+
+
+def bmp_encode(pixels_rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (tests): RGB in, BGR padded
+    rows out."""
+    import numpy as np
+
+    a = np.frombuffer(pixels_rgb, np.uint8).reshape(height, width, 3)
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        a[y, :, ::-1].tobytes() + pad for y in range(height - 1, -1, -1)
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + body
+
+
+def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Format-dispatching REAL pixel decode: PNG (:func:`png_decode`)
+    and BMP (:func:`bmp_decode`); anything else raises with the
+    capability map — the PIL/ffmpeg seam."""
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(b)
+    if b[:2] == b"BM":
+        return bmp_decode(b)
+    raise ValueError(
+        f"no real pixel decoder for magic {b[:8]!r} — see PIXEL_CAPABILITIES"
+    )
+
+
 def png_encode(
     pixels: bytes,
     width: int,
@@ -473,7 +556,7 @@ def decode_resize_png(assets: DataFrame, max_side: int = 24) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, ch, pix = png_decode(bytes(payload))
+                w, h, ch, pix = image_decode(bytes(payload))
                 longest = max(w, h)
                 if longest > max_side:
                     tw = (w * max_side) // longest
@@ -636,7 +719,7 @@ def dhash_signatures(assets: DataFrame) -> DataFrame:
                 continue
             out_id, out_h = [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, ch, pix = png_decode(bytes(payload))
+                w, h, ch, pix = image_decode(bytes(payload))
                 a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)[:, :, 0]
                 rows = (np.arange(DHASH_ROWS, dtype=np.int64) * h) // DHASH_ROWS
                 cols = (np.arange(DHASH_COLS, dtype=np.int64) * w) // DHASH_COLS
