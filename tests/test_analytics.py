@@ -67,3 +67,36 @@ def test_single_point_bucket_rate_is_null(spark):
     # both points in one wide bucket → (9-5)/1s
     rows = rate_per_bucket(one, bucket_ms=10_000).collect()
     assert [r["rate_per_s"] for r in rows] == [4.0]
+
+
+def test_zscore_outliers_flags_known_outlier(spark):
+    """A planted 100.0 among 0/1s is the only |z| >= 2.5 row; its z is
+    the closed-form (100 - mean) / sd."""
+    from timeseries_db_spark.operators.analytics import zscore_outliers
+
+    vals = [0.0, 1.0] * 10 + [100.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    t = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    out = zscore_outliers(t, threshold=2.5).collect()
+    assert [(r["tag"], r["timestamp"], r["value"]) for r in out] == [
+        ("a", 20, 100.0)
+    ]
+    import math
+
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+    assert abs(out[0]["z"] - round((100.0 - mean) / sd, 4)) < 1e-9
+
+
+def test_zscore_outliers_constant_tag_excluded(spark):
+    """sd = 0 (all-constant tag) must yield no rows — not a divide-by-zero
+    NaN/Inf flood — while a mixed tag in the same frame still flags."""
+    from timeseries_db_spark.operators.analytics import zscore_outliers
+
+    rows = [(i, "const", 5.0) for i in range(10)]
+    rows += [(i, "mixed", 0.0) for i in range(10)] + [(99, "mixed", 50.0)]
+    t = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    out = zscore_outliers(t, threshold=2.5).collect()
+    assert {r["tag"] for r in out} == {"mixed"}
+    assert [(r["timestamp"], r["value"]) for r in out] == [(99, 50.0)]

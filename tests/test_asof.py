@@ -60,3 +60,67 @@ def test_scalable_asof_matches_plain(spark):
             ).collect()
         }
         assert scal == plain, bucket_ms
+
+
+def test_interpolate_linear_semantics(spark):
+    """Closed-form check of the two-pass interpolation: interior grid
+    instants interpolate between the bracketing points, instants outside
+    a tag's observed range degrade to nearest-neighbor fill, and an
+    exact-hit instant returns the observed value (nt == pt branch)."""
+    from timeseries_db_spark.operators.asof import interpolate_linear
+
+    t = spark.createDataFrame(
+        [(10, "a", 1.0), (30, "a", 5.0), (20, "b", 7.0)],
+        "timestamp long, tag string, value double",
+    )
+    out = {
+        (r["tag"], r["timestamp"]): r["value"]
+        for r in interpolate_linear(t, lo=0, hi=40, step_ms=10).collect()
+    }
+    assert out == {
+        ("a", 0): 1.0,    # before first point → nearest (forward) fill
+        ("a", 10): 1.0,   # exact hit (prev == next point)
+        ("a", 20): 3.0,   # interior: 1 + (5-1) * (20-10)/(30-10)
+        ("a", 30): 5.0,   # exact hit
+        ("a", 40): 5.0,   # after last point → nearest (backward) fill
+        ("b", 0): 7.0,
+        ("b", 10): 7.0,
+        ("b", 20): 7.0,
+        ("b", 30): 7.0,
+        ("b", 40): 7.0,
+    }
+
+
+def test_interpolate_linear_empty_grid(spark):
+    """lo > hi must yield zero rows with the full (tag, timestamp, value)
+    schema — matching the SQL twin's empty generate_series, not a Spark
+    sequence() error."""
+    from timeseries_db_spark.operators.asof import interpolate_linear
+
+    t = spark.createDataFrame(
+        [(10, "a", 1.0)], "timestamp long, tag string, value double"
+    )
+    out = interpolate_linear(t, lo=100, hi=0, step_ms=10)
+    assert out.columns == ["tag", "timestamp", "value"]
+    assert out.count() == 0
+
+
+def test_interpolate_linear_matches_sql_twin(spark, sf_dir):
+    """Engine-twin equivalence on real data (the gapfill_hourly interp
+    leg's gate contract, pinned here at test scale)."""
+    from tests.oracle import duck_connect, assert_same
+    from timeseries_db_spark.operators.asof import (
+        interpolate_linear,
+        interpolate_linear_sql,
+    )
+    from timeseries_db_spark.registry import EVENTS_T, HI, LO
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    con = duck_connect(sf_dir)
+    exp = con.execute(
+        interpolate_linear_sql(EVENTS_T, lo=LO, hi=HI, step_ms=6 * 3_600_000)
+    ).df()
+    got = interpolate_linear(
+        events_as_tsdb(spark, sf_dir), lo=LO, hi=HI, step_ms=6 * 3_600_000
+    )
+    assert_same(got, exp)

@@ -83,12 +83,30 @@ def register_extensions(q: dict, o: dict) -> None:
         f"SELECT *, 'bucketed' AS variant FROM ({_enrich_sql})"
     )
 
-    # ---- gap-fill / resample to an hourly grid with forward-fill ----
-    q["gapfill_hourly"] = lambda s, d: asof.gap_fill(
-        events_as_tsdb(s, d), lo=LO, hi=HI, step_ms=3_600_000
-    )
-    o["gapfill_hourly"] = asof.gap_fill_sql(
+    # ---- gap-fill / resample to an hourly grid: forward-fill AND
+    # linear-interpolation legs of ONE union entry (r8 — VERDICT r7 item
+    # 1: interpolate_linear was implemented with a complete SQL twin but
+    # carried no gate row). Same grid machinery, disjoint `kind`s, so
+    # the driver's value hash covers both resampling semantics. ----
+    def gapfill_hourly(s: SparkSession, d: str) -> DataFrame:
+        t = events_as_tsdb(s, d)
+        ffill = asof.gap_fill(t, lo=LO, hi=HI, step_ms=3_600_000).withColumn(
+            "kind", F.lit("ffill")
+        )
+        interp = asof.interpolate_linear(
+            t, lo=LO, hi=HI, step_ms=3_600_000
+        ).withColumn("kind", F.lit("interp"))
+        return ffill.unionByName(interp)
+
+    q["gapfill_hourly"] = gapfill_hourly
+    _ffill_sql = asof.gap_fill_sql(EVENTS_T, lo=LO, hi=HI, step_ms=3_600_000)
+    _interp_sql = asof.interpolate_linear_sql(
         EVENTS_T, lo=LO, hi=HI, step_ms=3_600_000
+    )
+    o["gapfill_hourly"] = (
+        f"SELECT *, 'ffill' AS kind FROM ({_ffill_sql})"
+        " UNION ALL "
+        f"SELECT *, 'interp' AS kind FROM ({_interp_sql})"
     )
 
     # ---- extended aggregates: exact interpolated percentiles (the
@@ -149,7 +167,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("rate_per_s").alias("v1"),
             F.lit(None).cast("double").alias("v2"),
         )
-        return deltas.unionByName(deltas_sc).unionByName(rates)
+        # r8 (VERDICT r7 item 1): per-tag z-score anomaly flagging joins
+        # the union — the two-pass broadcast-moments plan, coerced to the
+        # entry's (kind, tag, ts, v1, v2) shape with v1=z, v2=value
+        zscores = analytics.zscore_outliers(t, threshold=2.5).select(
+            F.lit("zscore").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("z").alias("v1"),
+            F.col("value").alias("v2"),
+        )
+        return (
+            deltas.unionByName(deltas_sc)
+            .unionByName(rates)
+            .unionByName(zscores)
+        )
 
     q["derivatives_by_tag"] = derivatives_by_tag
     o["derivatives_by_tag"] = f"""
@@ -164,6 +196,10 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT 'rate' AS kind, tag, bucket_start AS ts,
                rate_per_s AS v1, CAST(NULL AS DOUBLE) AS v2 FROM r
+        UNION ALL
+        SELECT 'zscore' AS kind, tag, "timestamp" AS ts,
+               z AS v1, value AS v2
+        FROM ({analytics.zscore_outliers_sql(EVENTS_T, threshold=2.5)})
     """
 
     # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
