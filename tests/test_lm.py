@@ -133,3 +133,53 @@ def test_lm_model_bounded_and_broadcast(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_xcorpus_matches_oracle(spark, sf_dir):
+    """Cross-corpus (backoff-firing) leg vs its DuckDB twin: fit on the
+    deterministic train split, score the valid split — the gate shape of
+    text_lm_score's `xcorpus` leg."""
+    from timeseries_db_spark.operators.corpus import _split_col, _split_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = _split_col(F.col("doc_id"))
+    got = lm.lm_score(
+        docs.filter(split == "valid"), ref=docs.filter(split == "train")
+    )
+    pred = _split_sql("doc_id")
+    check_against_duckdb(
+        got,
+        lm.lm_score_xcorpus_sql(
+            f"(SELECT * FROM documents WHERE {pred} = 'train')",
+            f"(SELECT * FROM documents WHERE {pred} = 'valid')",
+        ),
+        sf_dir,
+    )
+
+
+def test_lm_backoff_floor_quantization_guard_band(spark, sf_dir):
+    """Extends the fixed-point guard band to the BACKOFF floor values the
+    xcorpus leg actually quantizes: for every bigram context count c the
+    fitted (train-split) model can supply — including the unseen-context
+    c = 0 — the floor 1e6·ln(1/(c+V)) must land at least 1e-3 away from
+    a .5 rounding boundary, so a ~1e-10 cross-engine ln() divergence
+    cannot flip a rounded BIGINT summand."""
+    from timeseries_db_spark.operators.corpus import _split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(_split_col(F.col("doc_id")) == "train")
+    model = lm.char_trigram_model(train)
+    ctx = [0] + [
+        r["bi_cnt"] for r in model.select("bi_cnt").distinct().collect()
+    ]
+    vsize = (
+        lm._doc_trigrams(train)
+        .select(F.countDistinct(F.expr("substring(tri, 3, 1)")).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert len(ctx) > 1 and vsize > 0
+    worst = 1.0
+    for c in ctx:
+        x = lm.LM_FP_SCALE * math.log(1.0 / (c + vsize))
+        worst = min(worst, abs(abs(x - math.floor(x)) - 0.5))
+    assert worst > 1e-3, f"backoff floor too close to rounding boundary: {worst}"

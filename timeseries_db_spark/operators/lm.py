@@ -228,6 +228,55 @@ def _doc_trigrams_sql(table: str = "documents") -> str:
     """
 
 
+def lm_score_xcorpus_sql(fit_table: str, score_table: str) -> str:
+    """DuckDB twin of the CROSS-corpus :func:`lm_score` (``docs`` =
+    ``score_table``, ``ref`` = ``fit_table``) — the CCNet shape, where
+    the backoff actually fires: score-side trigrams absent from the
+    fitted model take the smoothed floor ``1 / (ctx_cnt + V)`` with
+    ``ctx_cnt`` the fit-side count of the trigram's bigram context (0
+    when the context is unseen too). The floor is quantized by the SAME
+    fixed-point rule as model log-probs, so every summand stays an exact
+    BIGINT across engines (guard band asserted in ``tests/test_lm.py``).
+    Table arguments may be parenthesized subqueries (e.g. hash-split
+    slices of ``documents``)."""
+    return f"""
+        WITH tri_fit AS ({_doc_trigrams_sql(fit_table)}),
+        tc AS (SELECT tri, count(*)::BIGINT AS tri_cnt FROM tri_fit GROUP BY tri),
+        bc AS (
+            SELECT substr(tri, 1, 2) AS bi, sum(tri_cnt)::BIGINT AS bi_cnt
+            FROM tc GROUP BY bi
+        ),
+        v AS (
+            SELECT count(DISTINCT substr(tri, 3, 1))::BIGINT AS vsize FROM tc
+        ),
+        lp AS (
+            SELECT tc.tri,
+                   round({LM_FP_SCALE} * ln((tc.tri_cnt + 1)::DOUBLE
+                         / (bc.bi_cnt + v.vsize)))::BIGINT AS lp_fp
+            FROM tc JOIN bc ON substr(tc.tri, 1, 2) = bc.bi CROSS JOIN v
+        ),
+        tri_sc AS ({_doc_trigrams_sql(score_table)}),
+        sc AS (
+            SELECT t.doc_id, count(*)::BIGINT AS n_tri,
+                   sum(coalesce(
+                       lp.lp_fp,
+                       round({LM_FP_SCALE} * ln(1.0
+                             / (coalesce(bc.bi_cnt, 0) + v.vsize)))::BIGINT
+                   ))::BIGINT AS score_fp
+            FROM tri_sc t
+            LEFT JOIN lp ON t.tri = lp.tri
+            LEFT JOIN bc ON substr(t.tri, 1, 2) = bc.bi
+            CROSS JOIN v
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tri, score_fp,
+               round(score_fp / {LM_FP_SCALE}.0 / n_tri, 4) AS avg_logprob,
+               round(-score_fp / {LM_FP_SCALE}.0 / n_tri / {_LN2}, 4)
+                   AS bits_per_char
+        FROM sc
+    """
+
+
 def lm_score_sql(table: str = "documents") -> str:
     """DuckDB twin of the self-scoring :func:`lm_score` (ref = docs, so
     the unseen-trigram backoff never fires — every document trigram is

@@ -368,8 +368,34 @@ def register_extensions(q: dict, o: dict) -> None:
     # keep the cross-engine comparison exact (operators/lm.py docstring)
     from timeseries_db_spark.operators import lm
 
-    q["text_lm_score"] = lambda s, d: lm.lm_score(_docs(s, d))
-    o["text_lm_score"] = lm.lm_score_sql()
+    # r8 (VERDICT r7 item 2): the self-scoring leg never fires the
+    # unseen-trigram backoff (every scored trigram is in the model by
+    # construction); the `xcorpus` leg is the actual CCNet use — fit on
+    # the deterministic train split, score the valid split — where the
+    # smoothed floor path IS exercised and value-hashed
+    from timeseries_db_spark.operators.corpus import _split_col, _split_sql
+
+    def text_lm_score(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        self_leg = lm.lm_score(docs).withColumn("kind", F.lit("self"))
+        split = _split_col(F.col("doc_id"))
+        x_leg = lm.lm_score(
+            docs.filter(split == "valid"), ref=docs.filter(split == "train")
+        ).withColumn("kind", F.lit("xcorpus"))
+        return self_leg.unionByName(x_leg)
+
+    q["text_lm_score"] = text_lm_score
+    _split_doc = _split_sql("doc_id")
+    o["text_lm_score"] = (
+        f"SELECT *, 'self' AS kind FROM ({lm.lm_score_sql()})"
+        " UNION ALL "
+        "SELECT *, 'xcorpus' AS kind FROM ("
+        + lm.lm_score_xcorpus_sql(
+            f"(SELECT * FROM documents WHERE {_split_doc} = 'train')",
+            f"(SELECT * FROM documents WHERE {_split_doc} = 'valid')",
+        )
+        + ")"
+    )
 
     # ---- corpus management: deterministic split + decontamination ----
     from timeseries_db_spark.operators import corpus
