@@ -245,3 +245,139 @@ def test_auto_compaction_disabled(spark, tmp_path):
     for i in range(8):
         t.insert(mk(spark, [(T0 + i, "a", float(i))]))
     assert t.live_commit_count() == 8
+
+
+def test_concurrent_writers_loser_gets_clean_error(spark, tmp_path):
+    """Two handles racing from the same base version: exactly one commit
+    wins the create-exclusive manifest CAS; the loser raises
+    ConcurrentWriteError instead of silently orphaning the winner's
+    manifest (last-write-wins lineage loss). After a re-read, the loser's
+    batch applies cleanly."""
+    from timeseries_db_spark.operators.dml import ConcurrentWriteError
+
+    path = str(tmp_path / "cas")
+    a = TsTable.create(spark, path, df=mk(spark, [(T0, "seed", 0.0)]))
+    b = TsTable(spark, path)
+    base = a.version()
+    # both writers stage their commits from the SAME observed version —
+    # the deterministic interleaving of the racy read-merge-publish
+    _, parts_a = a._write_commit(mk(spark, [(T0 + 1, "a", 1.0)]))
+    _, parts_b = b._write_commit(mk(spark, [(T0 + 2, "b", 2.0)]))
+    manifest = a._manifest()["partitions"]
+
+    def merged(parts):
+        m = {dt: list(dirs) for dt, dirs in manifest.items()}
+        for dt, dirs in parts.items():
+            m[dt] = m.get(dt, []) + dirs
+        return m
+
+    a._publish(merged(parts_a), base)
+    with pytest.raises(ConcurrentWriteError):
+        b._publish(merged(parts_b), base)
+    # winner's row is visible; loser's staged rows never became visible
+    assert (T0 + 1, "a", 1.0) in rows_of(a)
+    assert (T0 + 2, "b", 2.0) not in rows_of(a)
+    # loser retries through the normal path against the new snapshot
+    b.insert(mk(spark, [(T0 + 2, "b", 2.0)]))
+    assert (T0 + 2, "b", 2.0) in rows_of(a)
+
+
+def test_two_thread_contention_no_silent_loss(spark, tmp_path):
+    """End-to-end contention: two threads insert disjoint batches through
+    separate handles with no external lock. Every batch either commits
+    (its rows are all present) or raises ConcurrentWriteError (none of
+    its rows are present) — never a torn or silently dropped commit."""
+    import threading
+
+    from timeseries_db_spark.operators.dml import ConcurrentWriteError
+
+    path = str(tmp_path / "race")
+    TsTable.create(spark, path)
+    outcomes = {}
+
+    def writer(name, offset):
+        t = TsTable(spark, path)
+        try:
+            t.insert(mk(spark, [(T0 + offset + i, name, 1.0) for i in range(3)]))
+            outcomes[name] = "ok"
+        except ConcurrentWriteError:
+            outcomes[name] = "conflict"
+
+    threads = [
+        threading.Thread(target=writer, args=("w1", 0)),
+        threading.Thread(target=writer, args=("w2", 100)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    got = rows_of(TsTable(spark, path))
+    for name, offset in (("w1", 0), ("w2", 100)):
+        batch = {(T0 + offset + i, name, 1.0) for i in range(3)}
+        present = batch & got
+        if outcomes[name] == "ok":
+            assert present == batch, (name, outcomes, got)
+        else:
+            assert not present, (name, outcomes, got)
+    assert "ok" in outcomes.values()
+
+
+def test_crash_between_stage_and_publish_leaves_invisible_orphan(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-inject after _write_commit but before _publish: the staged
+    commit dir must be invisible to readers (manifest never referenced
+    it) and reclaimed by vacuum()."""
+    import os
+
+    path = str(tmp_path / "crash")
+    t = TsTable.create(spark, path, df=mk(spark, [(T0, "seed", 0.0)]))
+    before = rows_of(t)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(t, "_publish", boom)
+    with pytest.raises(RuntimeError):
+        t.insert(mk(spark, [(T0 + 1, "ghost", 1.0)]))
+    monkeypatch.undo()
+    # orphan staged on disk, but no reader can see it
+    commits = os.listdir(os.path.join(path, "commits"))
+    assert len(commits) == 2  # seed + orphan
+    assert rows_of(t) == before
+    t.vacuum()
+    assert len(os.listdir(os.path.join(path, "commits"))) == 1
+    assert rows_of(t) == before
+
+
+def test_crash_between_manifest_and_pointer_swap_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-inject between manifest creation and the pointer swap: the
+    committed manifest is complete but invisible; recover() rolls the
+    pointer forward, making the commit visible and unblocking the
+    version slot for the next writer."""
+    import os as _os
+
+    path = str(tmp_path / "swapcrash")
+    t = TsTable.create(spark, path, df=mk(spark, [(T0, "seed", 0.0)]))
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("_VERSION"):
+            raise RuntimeError("simulated crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "timeseries_db_spark.operators.dml.os.replace", crashing_replace
+    )
+    with pytest.raises(RuntimeError):
+        t.insert(mk(spark, [(T0 + 1, "late", 1.0)]))
+    monkeypatch.undo()
+    # pointer is stale: the new row is not yet visible
+    assert (T0 + 1, "late", 1.0) not in rows_of(t)
+    assert t.recover() == 2  # create()'s insert was v1; the stalled one v2
+    assert (T0 + 1, "late", 1.0) in rows_of(t)
+    # version slot unblocked: the next write proceeds normally
+    t.insert(mk(spark, [(T0 + 2, "after", 2.0)]))
+    assert (T0 + 2, "after", 2.0) in rows_of(t)

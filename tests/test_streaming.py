@@ -94,3 +94,78 @@ def test_streaming_rollup_matches_batch_twin(spark, sf_dir, tmp_path):
     for k, v in got.items():
         assert v[0] == batch[k][0]
         assert abs(v[1] - batch[k][1]) < 1e-6
+
+
+def test_stream_ingest_resumes_from_checkpoint_after_stop(
+    spark, sf_dir, tmp_path
+):
+    """Crash/recovery proof for the exactly-once claim: stop the query
+    after it has ingested only the first file, restart from the SAME
+    checkpoint with a second (key-overlapping) file present, and the
+    final table must equal a single uninterrupted run over both files —
+    the checkpoint must not re-ingest file 1, and the overlap keys must
+    not duplicate."""
+    import shutil
+
+    batch = events_as_tsdb(spark, sf_dir).orderBy("timestamp", "tag").limit(500)
+    part1 = batch.limit(300)
+    part2 = batch.subtract(part1.limit(200))  # rows 200-499: 100-key overlap
+
+    def stage(df, name):
+        d = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(d))
+        (f,) = [e for e in os.listdir(d) if e.endswith(".parquet")]
+        return d / f
+
+    def run(in_dir, table, ckpt):
+        stream = ingest.read_events_stream(
+            spark, str(in_dir), max_files_per_trigger=1
+        )
+        q = ingest.start_ingest(stream, table, str(ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # the tsdb-shaped slices have (timestamp, tag, value) columns; wrap
+    # them back into the events layout the stream reader expects
+    def to_events(df):
+        return df.select(
+            F.monotonically_increasing_id().alias("event_id"),
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.col("tag").alias("event_type"),
+            F.col("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    f1, f2 = stage(to_events(part1), "e1"), stage(to_events(part2), "e2")
+
+    # reference: one uninterrupted run over both files
+    ref_in = tmp_path / "ref_in"
+    ref_in.mkdir()
+    shutil.copy(f1, ref_in / "f1.parquet")
+    shutil.copy(f2, ref_in / "f2.parquet")
+    ref_tbl = TsTable.create(spark, str(tmp_path / "ref_tbl"))
+    run(ref_in, ref_tbl, tmp_path / "ref_ckpt")
+
+    # crash run: file 1 only → stop → file 2 appears → SAME checkpoint
+    cr_in = tmp_path / "cr_in"
+    cr_in.mkdir()
+    shutil.copy(f1, cr_in / "f1.parquet")
+    cr_tbl = TsTable.create(spark, str(tmp_path / "cr_tbl"))
+    run(cr_in, cr_tbl, tmp_path / "cr_ckpt")
+    v_after_first = cr_tbl.version()
+    shutil.copy(f2, cr_in / "f2.parquet")
+    run(cr_in, cr_tbl, tmp_path / "cr_ckpt")
+
+    ref_rows = {
+        (r["timestamp"], r["tag"], r["value"]) for r in ref_tbl.read().collect()
+    }
+    cr_rows = {
+        (r["timestamp"], r["tag"], r["value"]) for r in cr_tbl.read().collect()
+    }
+    assert ref_rows == cr_rows and len(ref_rows) > 0
+    # the restart ingested only the NEW file's novel keys (no rewrite of
+    # file 1's commit): exactly one more insert landed
+    assert cr_tbl.version() > v_after_first
