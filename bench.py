@@ -39,6 +39,16 @@ into dedup_simhash (freed the gate slot for the new text_lm_score CCNet
 LM scorer) — its headline column measures r6's dedup_simhash_pairs work
 PLUS one signature-assembly projection (the sig rows), so compare it
 against r6's dedup_simhash_pairs plus ~0.15s.
+
+r8 cold/warm split (VERDICT r7 item 6): best-of-3 mixes a cold first
+run (persist-tracked cache BUILD, e.g. dedup_simhash's shared signature
+table) with warm repeats — which made r7's dedup_simhash look 2× off
+its fold note. The JSON now carries queries_first_run (cold, the
+driver-gate shape) alongside best and median; fold-mapping claims are
+stated against first_run. r8 legs added to existing headline entries:
+gapfill_hourly += interp (a second two-pass as-of), derivatives_by_tag
++= zscore (broadcast-moments filter) — their r8 columns cover strictly
+more work than r7's.
 """
 
 from __future__ import annotations
@@ -102,14 +112,21 @@ def main() -> None:
     # best-of-N per query: this box runs other workloads (load spikes of
     # ±40% observed between identical runs); the min measures the engine
     # rather than the neighbors. Median-of-N reported alongside.
+    # r8 (VERDICT r7 item 6): first_run is reported separately — it is
+    # the COLD number for persist-tracked families (cache build included)
+    # and the shape the driver's one-shot gate actually pays, while
+    # best/median of the remaining runs measure the warm engine. Fold
+    # mappings in the header compare against first_run.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
+        firsts[name] = round(runs[0], 4)
         timings[name] = round(min(runs), 4)
         medians[name] = round(sorted(runs)[len(runs) // 2], 4)
 
@@ -122,7 +139,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "queries_first_run": firsts,
                 "total_median": round(sum(medians.values()), 4),
+                "total_first_run": round(sum(firsts.values()), 4),
                 "sf": sf,
             }
         )

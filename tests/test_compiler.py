@@ -217,3 +217,22 @@ def test_from_json_roundtrip():
     assert qm.sort is Sort.DESC and qm.limit == 3
     with pytest.raises(IllegalQueryError):
         QueryModel.from_json({"bogus": 1})
+
+
+def test_from_json_integral_floats_coerced_like_aeson():
+    """aeson's parseBoundedIntegral decodes Int fields over Scientific:
+    integral floats (1.0, 1e3) are accepted and coerced; fractional or
+    out-of-Int64-range values are rejected with a 400-class error."""
+    import pytest
+
+    from timeseries_db_spark.schema import IllegalQueryError
+
+    qm = QueryModel.from_json({"gt": 1.0, "limit": 2e1})
+    assert qm.gt == 1 and isinstance(qm.gt, int)
+    assert qm.limit == 20 and isinstance(qm.limit, int)
+    with pytest.raises(IllegalQueryError):
+        QueryModel.from_json({"gt": 1.5})
+    with pytest.raises(IllegalQueryError):
+        QueryModel.from_json({"limit": 1e30})  # integral but > Int64
+    with pytest.raises(IllegalQueryError):
+        QueryModel.from_json({"gt": True})  # bool is not an int on the wire

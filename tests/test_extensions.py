@@ -663,6 +663,18 @@ def test_avi_header_roundtrip_and_frame_plan(spark):
     assert [r["frame_idx"] for r in rows] == [0, 10, 20, 30, 40]
     assert all((r["width"], r["height"]) == (640, 480) for r in rows)
 
+    # a valid container with dwTotalFrames == 0 yields NO rows (matching
+    # the SQL twin's empty range), not a sequence(0, -1) runtime error
+    # — and must not suppress rows of other assets in the same frame
+    zero = M.avi_encode(n_frames=0, usec_per_frame=40_000, width=64, height=48)
+    both = spark.createDataFrame(
+        [(9, "video", payload), (10, "video", zero)],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = M.frame_sample_plan_avi(both, every_n=10).collect()
+    assert {r["asset_id"] for r in rows} == {9}
+    assert len(rows) == 5
+
 
 def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
     """BMP pixels decode for real (raw BGR rows, padded stride,

@@ -207,3 +207,38 @@ def test_bad_typed_bodies_get_http_400_not_connection_drop(served):
     # the server must still be alive and serving afterwards
     status, _, _ = _call(served, "POST", "/timeseries/query", {"aggFunc": "count"})
     assert status == 200
+
+
+def test_internal_valueerror_is_500_not_400():
+    """ADVICE r7: only RowDecodeError (the wire/decode seam) maps to 400.
+    A genuine engine bug that raises a bare ValueError (numpy reshape,
+    frombuffer, …) must surface as a 500, not masquerade as a client
+    error."""
+
+    class BoomEngine:
+        def query_json(self, qm):
+            raise ValueError("reshape blew up deep inside the engine")
+
+    httpd = make_server(BoomEngine(), port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, body, _ = _call(base, "POST", "/timeseries/query", {})
+        assert (status, body) == (500, "Internal server error.")
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5)
+
+
+def test_integral_float_bounds_accepted_like_aeson(served):
+    """{"gt": 1.0} decodes as gt=1 (aeson accepts integral scientifics);
+    {"gt": 1.5} stays a 400."""
+    status, body, _ = _call(
+        served, "POST", "/timeseries/query", {"gt": 0.0, "aggFunc": "count"}
+    )
+    assert status == 200, body
+    status, _, _ = _call(
+        served, "POST", "/timeseries/query", {"gt": 1.5, "aggFunc": "count"}
+    )
+    assert status == 400

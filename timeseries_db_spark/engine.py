@@ -41,7 +41,12 @@ from timeseries_db_spark.plans.compiler import (
     needs_presence_probe,
     run_query,
 )
-from timeseries_db_spark.schema import TS_KEY_SCHEMA, TS_SCHEMA, QueryModel
+from timeseries_db_spark.schema import (
+    TS_KEY_SCHEMA,
+    TS_SCHEMA,
+    QueryModel,
+    RowDecodeError,
+)
 
 Rows = "DataFrame | Iterable[Mapping]"
 
@@ -61,7 +66,13 @@ class TsdbEngine:
     def _rows_df(self, rows, schema) -> DataFrame:
         if isinstance(rows, DataFrame):
             return rows.select(*[f.name for f in schema.fields])
-        return self.spark.createDataFrame(list(rows), schema)
+        try:
+            # createDataFrame verifies Python values against the schema
+            # eagerly — a wrong-typed field raises here, at the decode
+            # seam, not later inside a Spark job
+            return self.spark.createDataFrame(list(rows), schema)
+        except (TypeError, ValueError) as exc:
+            raise RowDecodeError(str(exc)) from exc
 
     # ---------- write routes (SURVEY.md §2.4) ----------
 

@@ -362,7 +362,9 @@ def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 
 
 #: Bloom sketch defaults: 2^23 bits (1 MiB packed) × 5 hash functions —
-#: fpp ≈ (1 - e^(-5n/m))^5 ≈ 0.01 at n = 1M benchmark shingles.
+#: fpp ≈ (1 - e^(-5n/m))^5 ≈ 0.02 at n = 1M benchmark shingles
+#: (~10 bits/item would be needed for 1%; 2% is fine for a pre-filter
+#: whose hits are exact-verified downstream).
 BLOOM_NUM_BITS = 1 << 23
 BLOOM_NUM_HASHES = 5
 

@@ -1044,7 +1044,9 @@ def frame_sample_plan_avi(assets: DataFrame, every_n: int = 10) -> DataFrame:
         .select("asset_id", "payload")
         .mapInPandas(gen, schema="asset_id long, n_frames long, width long, height long")
     )
-    return meta.select(
+    # a valid container with dwTotalFrames == 0 must yield no rows (the
+    # SQL twin's range(0, 0, n) is empty) — not a sequence(0, -1) error
+    return meta.filter(F.col("n_frames") > 0).select(
         "asset_id",
         "width",
         "height",

@@ -37,6 +37,14 @@ class IllegalQueryError(QueryError):
     """Illegal parameter combination — reference ``illegalQM`` Model.hs:126-134."""
 
 
+class RowDecodeError(ValueError):
+    """A request's row batch failed schema decoding (wrong field type /
+    shape) — the failures aeson rejects at decode time with a 400.
+    Raised ONLY at the wire/decode seam (engine row coercion), so the
+    server can map it to 400 while a ValueError escaping from engine
+    internals stays a genuine 500 (ADVICE r7)."""
+
+
 class Agg(str, Enum):
     """Aggregate functions — reference ``Model.hs:60,172-178``."""
 
@@ -167,7 +175,18 @@ class QueryModel:
         # but not on the wire), tagEq is a string
         for field in ("gt", "ge", "lt", "le", "ts_eq", "limit"):
             v = kwargs.get(field)
-            if v is not None and (isinstance(v, bool) or not isinstance(v, int)):
+            if v is None:
+                continue
+            if isinstance(v, float):
+                # aeson's parseBoundedIntegral decodes over Scientific:
+                # integral floats like 1.0 (or 1e3) are accepted and
+                # coerced, fractional or out-of-Int64-range ones rejected
+                if v != int(v) or not -(2**63) <= v < 2**63:
+                    raise IllegalQueryError(
+                        f"Field '{field}' expects an integer, got {v!r}."
+                    )
+                kwargs[field] = int(v)
+            elif isinstance(v, bool) or not isinstance(v, int):
                 raise IllegalQueryError(
                     f"Field '{field}' expects an integer, got {v!r}."
                 )

@@ -38,7 +38,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from timeseries_db_spark.operators.dml import DmlError
-from timeseries_db_spark.schema import QueryError
+from timeseries_db_spark.schema import QueryError, RowDecodeError
 
 _CORS_HEADERS = {
     "Access-Control-Allow-Origin": "*",
@@ -113,10 +113,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._bad_request(str(exc))
         except _BadRequest as exc:
             self._bad_request(str(exc))
-        except (ValueError, TypeError) as exc:
-            # field-level decode/shape failures below the wire layer
-            # (e.g. a NULL value hitting the non-nullable TS schema) —
-            # aeson would have 400'd these at decode time
+        except RowDecodeError as exc:
+            # field-level decode/shape failures at the wire seam (e.g. a
+            # string timestamp or NULL value against the TS schema) —
+            # aeson would have 400'd these at decode time. Only this
+            # dedicated type maps to 400: a ValueError escaping engine
+            # internals (numpy reshape, frombuffer, …) is a real 500
+            # (ADVICE r7)
             self._bad_request(str(exc))
         except Exception:  # noqa: BLE001 — keep the connection protocol-valid
             # anything else is a real 500: answer it rather than letting
