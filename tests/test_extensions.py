@@ -77,13 +77,13 @@ def test_ann_candidates_subset_of_bruteforce_and_recall(spark, emb):
         assert abs(approx[pair] - exact[pair]) < 1e-6
     recall = len(hits) / len(exact)
     assert len(approx) > 0
-    # Documented recall floor (r6 VERDICT item 7): parameter drift in the
-    # 4×6-bit SRP tables must not silently degrade retrieval while the
-    # value oracle stays hash-green. The fixture's near-random vectors
-    # are the LSH-worst case: measured recall@5 = 0.12 (sf0.001) / 0.16
-    # (sf0.01) at the shipped parameters; 0.08 = half the observed
-    # minimum, leaving headroom for driver testdata regeneration.
-    assert recall >= 0.08, f"SRP recall@5 below documented floor: {recall}"
+    # Documented recall floor (r7 VERDICT item 7): parameter drift in
+    # the SRP tables or probe set must not silently degrade retrieval
+    # while the value oracle stays hash-green. The fixture's near-random
+    # vectors are the LSH-worst case: with Hamming-1 multi-probe (r8),
+    # measured recall@5 = 0.56 (sf0.001) / 0.80 (sf0.01); 0.3 matches
+    # the IVF floor and leaves headroom for testdata regeneration.
+    assert recall >= 0.3, f"SRP recall@5 below documented floor: {recall}"
 
 
 def test_cosine_topk_sharded_equivalence(spark, emb):
