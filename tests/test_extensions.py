@@ -707,9 +707,102 @@ def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
         M.bmp_decode(bytes(bad))
 
     png_payload = M.png_encode(rgb, w, h, 3, [0] * h)
+    # r8: the same pixels as a baseline JPEG (all-ones quant, 4:4:4 —
+    # codec error <= 3 per sample, far under the >= 6 sampled-neighbor
+    # deltas of this fixture pattern) must land on the SAME dHash: the
+    # container-invariance now spans the three formats covering ~95% of
+    # web images
+    jpeg_payload = M.jpeg_encode(rgb, w, h, 3)
     assets = spark.createDataFrame(
-        [(1, "image", png_payload), (2, "image", payload)],
+        [(1, "image", png_payload), (2, "image", payload), (3, "image", jpeg_payload)],
         "asset_id long, kind string, payload binary",
     )
     sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
-    assert sig[1] == sig[2], "same pixels, different container, dhash differs"
+    assert sig[1] == sig[2] == sig[3], (
+        "same pixels, different container, dhash differs"
+    )
+
+
+def test_jpeg_baseline_roundtrip_exact_and_bounded():
+    """The stdlib-only baseline JPEG codec: per-block-constant images
+    decode PIXEL-EXACT with the all-ones quant table (DCT of a constant
+    block is DC-only; quantization exact; IDCT + rint reconstructs it,
+    DC prediction with negative diffs included), arbitrary content stays
+    within the float-DCT round-trip bound of 1 grey level, restart
+    intervals decode identically to the unsegmented stream, and the
+    remaining stubs (progressive, arithmetic) raise at the capability
+    boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    # 3×2 blocks of distinct constants — DC diffs both signs, sizes > 8
+    vals = [[20, 235, 64], [199, 7, 128]]
+    w, h = 24, 16
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by, row in enumerate(vals):
+        for bx, v in enumerate(row):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    payload = M.jpeg_encode(img.tobytes(), w, h, 1)
+    assert M.jpeg_decode(payload) == (w, h, 1, img.tobytes())
+    assert M.image_decode(payload) == (w, h, 1, img.tobytes())
+    assert M.image_meta(payload) == ("jpeg", w, h)
+
+    # arbitrary grayscale, non-multiple-of-8 dims: error <= 1 everywhere
+    rng = np.random.default_rng(11)
+    w, h = 37, 23
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    got = np.frombuffer(
+        M.jpeg_decode(M.jpeg_encode(img.tobytes(), w, h, 1))[3], np.uint8
+    ).reshape(h, w)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+    # restart intervals: identical pixels, decoder resets DC predictors
+    with_rst = M.jpeg_decode(
+        M.jpeg_encode(img.tobytes(), w, h, 1, restart_interval=3)
+    )
+    assert with_rst == (w, h, 1, got.tobytes())
+
+    # stubs stay stubs: progressive / arithmetic raise NotImplementedError
+    j = bytearray(M.jpeg_encode(img.tobytes(), w, h, 1))
+    sof = j.find(b"\xff\xc0")
+    for marker in (0xC2, 0xC9):
+        j[sof + 1] = marker
+        with _pytest.raises(NotImplementedError):
+            M.jpeg_decode(bytes(j))
+    j[sof + 1] = 0xC0
+    with _pytest.raises(ValueError):
+        M.jpeg_decode(bytes(j[: len(j) // 2]))
+    with _pytest.raises(ValueError):
+        M.jpeg_decode(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_color_and_chroma_subsampling_bounds():
+    """Color path: RGB→YCbCr→RGB round-trip error ≤ 3 per sample at
+    4:4:4 (conversion rounding + DCT float), and 4:2:0 with box-averaged
+    chroma stays within the same bound on smooth content while cutting
+    the chroma planes to a quarter."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    w, h = 37, 23
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got = np.frombuffer(
+        M.jpeg_decode(M.jpeg_encode(rgb.tobytes(), w, h, 3))[3], np.uint8
+    ).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 3
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = np.stack(
+        [(xx * 2) % 256, (yy * 2) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    j = M.jpeg_encode(smooth.tobytes(), w, h, 3, subsample="420")
+    dw, dh, dc, out = M.jpeg_decode(j)
+    assert (dw, dh, dc) == (w, h, 3)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 3
+    # the 4:2:0 stream really is smaller than 4:4:4 on the same content
+    assert len(j) < len(M.jpeg_encode(smooth.tobytes(), w, h, 3))

@@ -9,10 +9,13 @@ shapes — is real and tested. Decoding splits in two:
   (:func:`image_meta`) and WAV channel/rate/duration
   (:func:`wav_meta`), via ``decode_image_features(fake=False)`` /
   :func:`decode_audio_features`;
-* **pixel decompression is REAL for PNG and BMP** (r7): stdlib
+* **pixel decompression is REAL for PNG, BMP and baseline JPEG**
+  (r7/r8): stdlib
   ``zlib`` IDAT inflate + per-row unfilter (all five filter types) in
-  :func:`png_decode`, raw padded-stride BGR rows in :func:`bmp_decode`
-  (dispatch via :func:`image_decode`), with :func:`resize_nn`
+  :func:`png_decode`, raw padded-stride BGR rows in :func:`bmp_decode`,
+  huffman entropy decode + float64 IDCT + chroma upsampling in
+  :func:`jpeg_decode` (r8 — dispatch via :func:`image_decode`), with
+  :func:`resize_nn`
   nearest-neighbor downsampling on the decoded pixels and a 56-bit
   perceptual :func:`dhash_signatures` + banded-Hamming
   :func:`dhash_pairs` near-dup path that hashes the SAME pixels to the
@@ -26,7 +29,8 @@ shapes — is real and tested. Decoding splits in two:
   ``avih`` main-header walk in :func:`avi_meta` gives true frame
   counts/intervals/dimensions, so :func:`frame_sample_plan_avi` samples
   REAL frame indices;
-* **JPEG pixels / video frame pixels / compressed audio (mp3/opus/aac)**
+* **progressive/arithmetic JPEG, video frame pixels and compressed
+  audio (mp3/opus/aac)**
   remain the genuinely library-bound stages and stay stubbed behind
   ``NotImplementedError`` with capability flags — that is where
   PIL/ffmpeg slot in (:data:`PIXEL_CAPABILITIES` /
@@ -258,7 +262,8 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
-    "jpeg": "stub (entropy decode needs libjpeg/PIL)",
+    "jpeg": "real (baseline/extended sequential huffman, 8-bit, 1/3 comps, "
+    "4:4:4/4:2:2/4:2:0, restart intervals; progressive+arithmetic = PIL seam)",
     "video": "stub (frame decode needs ffmpeg)",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
     "audio_compressed": "stub (mp3/opus decode needs ffmpeg)",
@@ -446,15 +451,510 @@ def bmp_encode(pixels_rgb: bytes, width: int, height: int) -> bytes:
     return hdr + info + body
 
 
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec: huffman entropy decode + float64 IDCT,
+# stdlib+numpy only (closes the dominant-web-format pixel stub; the
+# reference has no media surface at all — north-star extension)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    """The JPEG zigzag scan as flat row-major (natural) indices — ITU
+    T.81 Figure 5, generated rather than hardcoded: diagonal s holds
+    cells with r+c == s, walked up-right on even diagonals."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in rng if s % 2 else reversed(rng):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II basis: F = A·f·Aᵀ is exactly T.81's
+    FDCT definition (the 1/4·C(u)C(v) scaling folds into the
+    normalization), and A.T @ X @ A its inverse."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    a = np.sqrt(0.25) * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a[0] = np.sqrt(0.125)
+    return a
+
+
+def _huff_lut(bits: list[int], huffval: bytes) -> dict:
+    """Canonical-code lookup ``(length, code) -> symbol`` from a DHT
+    segment's BITS/HUFFVAL arrays (T.81 Annex C code assignment)."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(huffval):
+                raise ValueError("DHT: BITS counts exceed HUFFVAL length")
+            lut[(length, code)] = huffval[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """MSB-first reader over a de-stuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.byte = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.byte >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        v = (self.data[self.byte] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _read_symbol(br: _BitReader, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received magnitude bits to a signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+_SOF_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF}
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG pixel decode, stdlib+numpy only: marker walk →
+    DQT/DHT/SOF0/SOS → huffman entropy decode (DC prediction, run-length
+    AC, byte unstuffing, restart intervals) → dequantize → dezigzag →
+    float64 IDCT → level shift → chroma upsample (sample replication) →
+    JFIF YCbCr→RGB. Returns ``(width, height, channels, pixels)``
+    row-major 8-bit, the :func:`png_decode`/:func:`bmp_decode` shape.
+
+    Supported: baseline/extended sequential huffman (SOF0/SOF1), 8-bit,
+    1 or 3 components, sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0),
+    restart intervals. Progressive and arithmetic/lossless frames raise
+    ``NotImplementedError`` — the remaining PIL seam
+    (``PIXEL_CAPABILITIES``); truncated/malformed payloads raise
+    ``ValueError``."""
+    import numpy as np
+
+    b = payload
+    if b[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG (magic {b[:2]!r})")
+    pos = 2
+    qt: dict[int, list[int]] = {}          # id -> 64 entries, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
+    frame = None
+    dri = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(b):
+            raise ValueError("truncated JPEG segment")
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq not in (0, 1):
+                    raise ValueError("DQT: bad precision")
+                n = 64 * (2 if pq else 1)
+                raw = seg[i : i + n]
+                if len(raw) < n:
+                    raise ValueError("DQT: truncated table")
+                qt[tq] = (
+                    [int.from_bytes(raw[j : j + 2], "big") for j in range(0, 128, 2)]
+                    if pq
+                    else list(raw)
+                )
+                i += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _huff_lut(bits, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential huffman
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (width, height, comps)
+        elif marker in _SOF_PROGRESSIVE:
+            raise NotImplementedError(
+                "progressive JPEG needs PIL — see PIXEL_CAPABILITIES['jpeg']"
+            )
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                "arithmetic/lossless JPEG — see PIXEL_CAPABILITIES['jpeg']"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height, comps = frame
+
+    # entropy-coded data: unstuff 0xFF00, split at restart markers
+    segments: list[bytearray] = [bytearray()]
+    i = scan_start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else None
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or another marker ends the scan
+        segments[-1].append(byte)
+        i += 1
+
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    a_mat = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = {}
+    qtabs = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        if tq not in qt:
+            raise ValueError(f"JPEG references undefined quant table {tq}")
+        qtabs[cid] = np.array(qt[tq], dtype=np.float64)
+    pred = {cid: 0 for cid, *_ in comps}
+    seg_iter = iter(segments)
+    br = _BitReader(bytes(next(seg_iter)))
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                nxt_seg = next(seg_iter, None)
+                if nxt_seg is None:
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(bytes(nxt_seg))
+                pred = {cid: 0 for cid in pred}
+            mcu_count += 1
+            for cid, dc_tbl, ac_tbl in scan_comps:
+                hs, vs, _ = by_id[cid]
+                if (0, dc_tbl) not in huff or (1, ac_tbl) not in huff:
+                    raise ValueError("JPEG references undefined huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        t = _read_symbol(br, huff[(0, dc_tbl)])
+                        if t > 11:
+                            raise ValueError("JPEG DC category out of range")
+                        pred[cid] += _extend(br.read_bits(t), t) if t else 0
+                        coeff = np.zeros(64, dtype=np.float64)
+                        coeff[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, huff[(1, ac_tbl)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            coeff[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coeff * qtabs[cid]
+                        pix = a_mat.T @ block.reshape(8, 8) @ a_mat + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    # round, clamp, upsample by sample replication, crop to frame dims
+    out = []
+    for cid, hs, vs, _ in comps:
+        p = np.clip(np.rint(planes[cid]), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        return width, height, 1, out[0].astype(np.uint8).tobytes()
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, bl], axis=-1)), 0, 255)
+    return width, height, 3, rgb.astype(np.uint8).tobytes()
+
+
+class _BitWriter:
+    """MSB-first writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _enc_tables():
+    """Encoder huffman tables: canonical fixed-length codes (all DC
+    categories at 4 bits, all 162 AC symbols at 8 bits) — valid JPEG
+    (the all-ones code stays unused because 12 < 2⁴ and 162 < 2⁸), no
+    dependence on the Annex K example tables, and the decoder exercises
+    its generic DHT path. Returns (dc_bits, dc_vals, dc_codes, ac_bits,
+    ac_vals, ac_codes) with codes as {symbol: (code, length)}."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # 162 codes of length 8
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(dc_vals)}
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_vals)}
+    return dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, magnitude-bit value) for a signed coefficient (T.81 F.1.4)."""
+    size = abs(v).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def jpeg_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: list[int] | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer (tests + synthetic fixtures):
+    grayscale or RGB (JFIF YCbCr; ``subsample`` '444' or '420').
+    ``quant`` is one 64-entry natural-order table for every component —
+    default all-ones, which keeps the codec near-lossless (DCT float
+    round-trip error ≤ 1, exact on per-block-constant images) so tests
+    can pin tight pixel bounds. ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs, exercising the decoder's restart path."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode supports 1 or 3 channels")
+    if subsample not in ("444", "420") or (channels == 1 and subsample != "444"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    q = [1] * 64 if quant is None else list(quant)
+    if len(q) != 64 or not all(1 <= int(x) <= 255 for x in q):
+        raise ValueError("quant must be 64 entries in [1, 255]")
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+
+    if channels == 1:
+        comp_planes = [a[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        y, cb, cr = (np.clip(np.rint(p), 0, 255) for p in (y, cb, cr))
+        if subsample == "444":
+            comp_planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:  # 4:2:0 — chroma box-averaged over 2×2 (pad to even first)
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+
+            def pad_even(p):
+                return np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+
+            def box2(p):
+                p = pad_even(p)
+                return np.rint(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                    / 4.0
+                )
+
+            comp_planes = [y, box2(cb), box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    a_mat = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    qv = np.array(q, dtype=np.float64)
+
+    # pad each plane to its MCU-aligned size by edge replication
+    padded = []
+    for p, (hs, vs) in zip(comp_planes, samp):
+        th, tw = mcuy * 8 * vs, mcux * 8 * hs
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes = _enc_tables()
+
+    bw = _BitWriter()
+    preds = [0] * len(comp_planes)
+    body = bytearray()
+    rst = 0
+    mcu_count = 0
+    qz = qv  # quant table given in natural order; zigzag when writing DQT
+
+    def emit_block(plane, y0, x0, ci):
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        f_nat = (a_mat @ blk @ a_mat.T).reshape(64)
+        f_zig = np.rint(f_nat[zz] / qz[zz]).astype(np.int64)
+        diff = int(f_zig[0]) - preds[ci]
+        preds[ci] = int(f_zig[0])
+        size, bitsv = _mag_bits(diff)
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bitsv, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(f_zig)[0])) if np.any(f_zig[1:]) else 0
+        for k in range(1, 64):
+            v = int(f_zig[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, bitsv = _mag_bits(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bitsv, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                body += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = _BitWriter()
+                preds = [0] * len(comp_planes)
+            mcu_count += 1
+            for ci, (plane, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        emit_block(plane, (my * vs + by) * 8, (mx * hs + bx) * 8, ci)
+    bw.flush()
+    body += bw.out
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zig_q = bytes(int(qz[i]) for i in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zig_q
+    ncomp = len(comp_planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci, (hs, vs) in enumerate(samp):
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
 def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Format-dispatching REAL pixel decode: PNG (:func:`png_decode`)
-    and BMP (:func:`bmp_decode`); anything else raises with the
+    , BMP (:func:`bmp_decode`) and baseline
+    JPEG (:func:`jpeg_decode`); anything else raises with the
     capability map — the PIL/ffmpeg seam."""
     b = payload
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(b)
     if b[:2] == b"BM":
         return bmp_decode(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_decode(b)
     raise ValueError(
         f"no real pixel decoder for magic {b[:8]!r} — see PIXEL_CAPABILITIES"
     )
