@@ -1090,6 +1090,53 @@ def synth_png(doc_id: int) -> bytes:
     return png_encode(pix, w, h, 1, [(doc_id + y) % 5 for y in range(h)])
 
 
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic grayscale baseline JPEG for the gate fixture:
+    PER-BLOCK-CONSTANT pixels — the DCT of a constant block is DC-only
+    and the all-ones quant table preserves it exactly, so the decode is
+    PIXEL-EXACT and a SQL oracle can restate every decoded byte
+    closed-form in ``doc_id``. Dimensions are whole multiples of 8
+    (16-32 px), block (r, c) holds ``(doc_id + r*31 + c*17) % 256``
+    (DC diffs of both signs), and odd ids encode with a restart
+    interval so DRI/RSTn parsing runs under the driver gate too."""
+    bw = 2 + doc_id % 3
+    bh = 2 + (doc_id // 3) % 3
+    w, h = bw * 8, bh * 8
+    pix = bytes(
+        (doc_id + (y // 8) * 31 + (x // 8) * 17) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    return jpeg_encode(
+        pix, w, h, 1, restart_interval=(2 if doc_id % 2 else 0)
+    )
+
+
+def documents_as_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with REAL baseline JPEG payloads (same
+    ``doc_id % 3 == 0`` subset as :func:`documents_as_png_assets`, so
+    gate row counts line up across the image legs)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def documents_as_png_assets(docs: DataFrame) -> DataFrame:
     """Image-asset fixture with REAL PNG payloads synthesized per doc
     (same ``doc_id % 3 == 0`` image subset as :func:`documents_as_assets`,

@@ -598,6 +598,9 @@ def register_extensions(q: dict, o: dict) -> None:
     # dhash:  v1=56-bit perceptual hash over the REAL decoded pixels
     #         (late r7 — 8×8 NN downsample, 7 row comparisons; oracle
     #         restates it closed-form from the synthetic gradient);
+    # jresize (r8): the resize mapping over REAL baseline-JPEG decode
+    #         (huffman + IDCT + restart intervals), pixel-exact on the
+    #         per-block-constant fixture;
     # dpair:  asset_id=id_a, v1=id_b, v2=hamming ≤ 3 (banded-Hamming
     #         self-join, same pigeonhole bound as text SimHash).
     def multimodal_resize_plan(s: SparkSession, d: str) -> DataFrame:
@@ -641,7 +644,27 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("height").alias("v3"),
             *nulls("v4", "v5"),
         )
-        return resize.unionByName(frames).unionByName(dhash).unionByName(dpairs)
+        # r8: baseline-JPEG decode under the gate — the SAME real
+        # decode+resize stage over per-block-constant JPEG payloads
+        # (pixel-exact by construction, restart intervals on odd ids),
+        # px_sum restated closed-form by the oracle
+        jresize = multimodal.decode_resize_png(
+            multimodal.documents_as_jpeg_assets(docs), max_side=24
+        ).select(
+            "asset_id",
+            F.lit("jresize").alias("kind"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.col("target_w").cast("long").alias("v3"),
+            F.col("target_h").cast("long").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
+        return (
+            resize.unionByName(frames)
+            .unionByName(dhash)
+            .unionByName(dpairs)
+            .unionByName(jresize)
+        )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
     o["multimodal_resize_plan"] = """
@@ -742,6 +765,51 @@ def register_extensions(q: dict, o: dict) -> None:
             FROM dh a JOIN dh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         )
+        UNION ALL
+        -- jresize leg (r8): real baseline-JPEG decode restated
+        -- closed-form — per-block-constant pixels decode EXACTLY
+        -- (DC-only blocks, all-ones quant), so the resized-pixel sum is
+        -- pure integer arithmetic: source pixel (x, y) of doc d holds
+        -- (d + (y//8)*31 + (x//8)*17) % 256, NN resample takes
+        -- x = j*w//tw, y = i*h//th
+        SELECT jt.doc_id AS asset_id, 'jresize' AS kind,
+               jt.w AS v1, jt.h AS v2, jt.tw AS v3, jt.th AS v4,
+               jpx.px_sum AS v5
+        FROM (
+            SELECT doc_id, w, h,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (h * 24) // greatest(w, h) ELSE h END AS th
+            FROM (
+                SELECT doc_id,
+                       ((2 + doc_id % 3) * 8)::BIGINT AS w,
+                       ((2 + (doc_id // 3) % 3) * 8)::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ) jt
+        JOIN (
+            SELECT t.doc_id,
+                   SUM((t.doc_id + (((i.n * t.h) // t.th) // 8) * 31
+                        + (((j.n * t.w) // t.tw) // 8) * 17) % 256)::BIGINT
+                       AS px_sum
+            FROM (
+                SELECT doc_id, w, h,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (h * 24) // greatest(w, h) ELSE h END AS th
+                FROM (
+                    SELECT doc_id,
+                           ((2 + doc_id % 3) * 8)::BIGINT AS w,
+                           ((2 + (doc_id // 3) % 3) * 8)::BIGINT AS h
+                    FROM documents WHERE doc_id % 3 = 0
+                )
+            ) t
+            JOIN (SELECT unnest(range(64)) AS n) i ON i.n < t.th
+            JOIN (SELECT unnest(range(64)) AS n) j ON j.n < t.tw
+            GROUP BY t.doc_id
+        ) jpx ON jpx.doc_id = jt.doc_id
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
