@@ -203,3 +203,25 @@ def test_bloom_contamination_probe_broadcasts_only(spark, sf_dir):
     plan = _formatted_plan(spark, benchmark_contamination_bloom(docs))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_interpolate_linear_single_exchange(spark, sf_dir):
+    """The one-union interpolation (r8): both fill directions are
+    RUNNING range frames (ASC and DESC orderings) over one hash
+    exchange of one union — never a [current..unboundedFollowing]
+    frame, which Spark evaluates by re-scanning the partition tail per
+    row (O(n²); measured 47 s vs ~1 s at sf0.1)."""
+    from timeseries_db_spark.operators.asof import interpolate_linear
+    from timeseries_db_spark.registry import HI, LO
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    df = interpolate_linear(
+        events_as_tsdb(spark, sf_dir), lo=LO, hi=HI, step_ms=6 * 3_600_000
+    )
+    plan = _formatted_plan(spark, df)
+    # two Window nodes (ASC + DESC running frames) over ONE hash
+    # exchange of the union — the data is partitioned once; and no
+    # O(n²) unboundedFollowing frame anywhere (both frames are running)
+    assert len(_nodes(plan, "Window")) == 2, plan
+    assert len(_nodes(plan, "Sort")) == 2, plan
+    assert "unboundedfollowing" not in plan.lower(), plan

@@ -240,19 +240,28 @@ def interpolate_linear(
     a tag's observed range it degrades to nearest-neighbor fill (the
     one-sided value), NULL only for tags with no points at all.
 
-    Spark-first: TWO passes of the union+window as-of primitive — the
-    backward pass as-is, the forward pass on a *negated* time axis (the
-    latest ``-src_ts <= -t`` is exactly the earliest ``src_ts >= t``).
-    Both shuffles hash on the same key, so AQE reuses the exchange
-    layout; the grid is generated, never stored (see :func:`gap_fill`).
-    Skew: per-key windows — at 100 TB apply the bucketed recursion of
-    :func:`asof_join_scalable` to each pass unchanged.
+    Spark-first, ONE pass (r8 — replaced the original two as-of passes):
+    grid instants and observations union into one stream, and BOTH
+    directions are ``last(ignorenulls)`` over a RUNNING range frame —
+    the backward pass on the ASC (tag, ts) ordering, the forward pass
+    on the DESC ordering (see the in-code note: a symmetric
+    [current..unboundedFollowing] frame is O(n²) per partition in
+    Spark). RANGE (not ROWS) frames make an observation at exactly a
+    grid instant visible to both directions regardless of peer order.
+    One hash exchange total, two sorts over it (plan-asserted in
+    ``tests/test_plans.py``) vs the two shuffles + two sorts + double
+    grid carry of the two-pass form; the grid is generated,
+    never stored (see :func:`gap_fill`). Skew: per-tag windows — at
+    100 TB apply the bucketed recursion of :func:`asof_join_scalable`
+    per direction, exactly as for :func:`gap_fill`.
 
     The interpolation arithmetic ``p + (n - p) * (t - pt) / (nt - pt)``
     runs identically in the DuckDB twin on identical inputs (grid
     instants and at-most-one point per (tag, ts) after the max-collapse),
     so the rounded doubles hash-match.
     """
+    from pyspark.sql import Window
+
     points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
         F.max("value").alias("value")
     )
@@ -268,32 +277,36 @@ def interpolate_linear(
         F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step_ms))).alias(
             "timestamp"
         ),
+        F.lit(None).cast("long").alias("pt_ts"),
+        F.lit(None).cast("double").alias("pt_v"),
+        F.lit(True).alias("is_grid"),
     )
-    prev = asof_join(
-        grid,
-        points.select(
-            "tag",
-            "src_ts",
-            F.col("src_ts").alias("p_ts"),
-            F.col("value").alias("p_v"),
-        ),
-        on="tag",
-        left_ts="timestamp",
-        right_ts="src_ts",
-        payload=["p_ts", "p_v"],
+    obs = points.select(
+        "tag",
+        F.col("src_ts").alias("timestamp"),
+        F.col("src_ts").alias("pt_ts"),
+        F.col("value").alias("pt_v"),
+        F.lit(False).alias("is_grid"),
     )
-    both = asof_join(
-        prev.withColumn("_neg", -F.col("timestamp")),
-        points.select(
-            "tag",
-            (-F.col("src_ts")).alias("neg_src"),
-            F.col("src_ts").alias("n_ts"),
-            F.col("value").alias("n_v"),
-        ),
-        on="tag",
-        left_ts="_neg",
-        right_ts="neg_src",
-        payload=["n_ts", "n_v"],
+    # BOTH directions as RUNNING (unboundedPreceding..currentRow) range
+    # frames — the forward pass simply runs over the DESC ordering.
+    # Spark evaluates a running frame in O(1) per row, but a
+    # [currentRow, unboundedFollowing] frame re-scans the remainder of
+    # the partition for EVERY row (O(n²) per tag — measured 47 s vs
+    # ~1 s at sf0.1), so the naive symmetric formulation is a
+    # scale-killer. The two orderings share one hash exchange on tag;
+    # only the sort runs twice.
+    asc = Window.partitionBy("tag").orderBy(F.col("timestamp").asc())
+    desc = Window.partitionBy("tag").orderBy(F.col("timestamp").desc())
+    w_back = asc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = desc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    both = (
+        grid.unionByName(obs)
+        .withColumn("p_ts", F.last("pt_ts", ignorenulls=True).over(w_back))
+        .withColumn("p_v", F.last("pt_v", ignorenulls=True).over(w_back))
+        .withColumn("n_ts", F.last("pt_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("n_v", F.last("pt_v", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_grid"))
     )
     t, pt, pv = F.col("timestamp"), F.col("p_ts"), F.col("p_v")
     nt, nv = F.col("n_ts"), F.col("n_v")
