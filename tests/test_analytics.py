@@ -100,3 +100,42 @@ def test_zscore_outliers_constant_tag_excluded(spark):
     out = zscore_outliers(t, threshold=2.5).collect()
     assert {r["tag"] for r in out} == {"mixed"}
     assert [(r["timestamp"], r["value"]) for r in out] == [(99, 50.0)]
+
+
+def test_rolling_avg_window_boundaries(spark):
+    """Trailing [ts - W, ts] frame: a point exactly W earlier is
+    INCLUDED (inclusive lower bound), one at W+1 excluded; peers at the
+    current instant are included; other tags invisible."""
+    from timeseries_db_spark.operators.analytics import rolling_avg
+
+    rows = [
+        (0, "a", 10.0),
+        (1000, "a", 20.0),   # exactly W before 2000
+        (2000, "a", 30.0),
+        (2000, "b", 99.0),   # other tag, same instant
+        (3001, "a", 40.0),   # 2000 is within [2001, 3001]? no: 2000 < 2001
+    ]
+    t = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    out = {
+        (r["tag"], r["timestamp"]): (r["roll_avg"], r["roll_cnt"])
+        for r in rolling_avg(t, window_ms=1000).collect()
+    }
+    assert out[("a", 0)] == (10.0, 1)
+    assert out[("a", 1000)] == (15.0, 2)       # 0 is exactly W earlier
+    assert out[("a", 2000)] == (25.0, 2)       # {20, 30}; 0 aged out
+    assert out[("a", 3001)] == (40.0, 1)       # 2000 < 3001 - 1000
+    assert out[("b", 2000)] == (99.0, 1)
+
+
+def test_rolling_avg_matches_sql_twin(spark, sf_dir):
+    from tests.oracle import duck_connect, assert_same
+    from timeseries_db_spark.operators.analytics import (
+        rolling_avg,
+        rolling_avg_sql,
+    )
+    from timeseries_db_spark.registry import EVENTS_T
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    con = duck_connect(sf_dir)
+    exp = con.execute(rolling_avg_sql(EVENTS_T)).df()
+    assert_same(rolling_avg(events_as_tsdb(spark, sf_dir)), exp)

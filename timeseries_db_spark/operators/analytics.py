@@ -295,3 +295,55 @@ def running_totals_sql(table_sql: str, where: str = "") -> str:
         FROM t {where}
         WINDOW w AS (PARTITION BY tag ORDER BY "timestamp" ROWS UNBOUNDED PRECEDING)
     """
+
+
+def rolling_avg(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
+    """Per-point trailing time-window average: for every row, the mean
+    of its tag's values over ``[ts - window_ms, ts]`` (both bounds
+    inclusive — Spark ``rangeBetween`` and DuckDB ``RANGE ... PRECEDING``
+    agree) plus the contributing row count. The other classic metrics
+    window next to the cumulative :func:`running_totals`.
+
+    Plan: ONE hash exchange on tag + one sort; the sliding RANGE frame
+    advances both bounds monotonically, so Spark evaluates it in
+    amortized O(1) per row (unlike the O(n²) unboundedFollowing frame —
+    see operators/asof.py). Determinism: the frame sum is an exact
+    DECIMAL(38,10), so the mean is partition-order independent and
+    engine-exact before the one rounded division.
+
+    Skew: a whole tag sits in one task, like any per-key window; at
+    100 TB apply the bucketed two-pass recipe of
+    :func:`running_totals_scalable` — per-(tag, bucket) partials need
+    only the previous ``window_ms`` of closing rows carried across the
+    bucket boundary."""
+    w = (
+        Window.partitionBy("tag")
+        .orderBy("timestamp")
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    dsum = F.sum(F.col("value").cast("decimal(38,10)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return tsdb.select(
+        "timestamp",
+        "tag",
+        "value",
+        duck_round(dsum.cast("double") / cnt, 4).alias("roll_avg"),
+        cnt.alias("roll_cnt"),
+    )
+
+
+def rolling_avg_sql(table_sql: str, window_ms: int = 3_600_000) -> str:
+    return f"""
+        WITH t AS ({table_sql})
+        SELECT "timestamp", tag, value,
+               round(
+                   (sum(value::DECIMAL(38,10)) OVER w)::DOUBLE
+                   / (count(*) OVER w), 4
+               ) + 0.0 AS roll_avg,
+               (count(*) OVER w)::BIGINT AS roll_cnt
+        FROM t
+        WINDOW w AS (
+            PARTITION BY tag ORDER BY "timestamp"
+            RANGE BETWEEN {window_ms} PRECEDING AND CURRENT ROW
+        )
+    """

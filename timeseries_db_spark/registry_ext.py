@@ -177,10 +177,20 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("z").alias("v1"),
             F.col("value").alias("v2"),
         )
+        # r8: trailing 1h time-window average — the sliding RANGE frame
+        # (amortized O(1)/row), v1=avg, v2=contributing count
+        rolls = analytics.rolling_avg(t).select(
+            F.lit("roll").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("roll_avg").alias("v1"),
+            F.col("roll_cnt").cast("double").alias("v2"),
+        )
         return (
             deltas.unionByName(deltas_sc)
             .unionByName(rates)
             .unionByName(zscores)
+            .unionByName(rolls)
         )
 
     q["derivatives_by_tag"] = derivatives_by_tag
@@ -200,6 +210,10 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT 'zscore' AS kind, tag, "timestamp" AS ts,
                z AS v1, value AS v2
         FROM ({analytics.zscore_outliers_sql(EVENTS_T, threshold=2.5)})
+        UNION ALL
+        SELECT 'roll' AS kind, tag, "timestamp" AS ts,
+               roll_avg AS v1, CAST(roll_cnt AS DOUBLE) AS v2
+        FROM ({analytics.rolling_avg_sql(EVENTS_T)})
     """
 
     # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
