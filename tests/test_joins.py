@@ -1,0 +1,80 @@
+"""Point-in-interval (range) join: bucketed equi-join equivalence vs the
+naive theta join, pair uniqueness across bucket sizes, and the no-
+nested-loop plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.joins import (
+    interval_join,
+    maintenance_window_stats,
+    maintenance_window_stats_sql,
+)
+
+
+def _pairs(df):
+    return {
+        (r["tag"], r["timestamp"], r["lo_ms"], r["hi_ms"]) for r in df.collect()
+    }
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bucketed plan == naive theta join for overlapping intervals,
+    boundary timestamps (lo inclusive, hi exclusive), bucket-straddling
+    spans, and any bucket size."""
+    points = spark.createDataFrame(
+        [(t, "a", float(t)) for t in (0, 5, 10, 15, 20, 25, 99)]
+        + [(10, "b", 1.0)],
+        "timestamp long, tag string, value double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0, 10),    # [0, 10): hits 0, 5 — NOT 10
+            ("a", 10, 11),   # [10, 11): hits exactly 10
+            ("a", 5, 30),    # overlapping, straddles buckets: 5..25
+            ("b", 0, 100),
+        ],
+        "tag string, lo_ms long, hi_ms long",
+    )
+    expected = _pairs(
+        points.join(intervals, "tag").filter(
+            (F.col("timestamp") >= F.col("lo_ms"))
+            & (F.col("timestamp") < F.col("hi_ms"))
+        )
+    )
+    assert expected  # fixture sanity
+    for bucket_ms in (1, 7, 16, 1000):
+        got_df = interval_join(points, intervals, bucket_ms=bucket_ms)
+        got = got_df.collect()
+        assert len(got) == len(set(map(tuple, got))), "duplicate pairs"
+        assert _pairs(got_df) == expected, bucket_ms
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The point of the operator: the physical plan must be a hash/merge
+    EQUI join on (key, bucket) — never BroadcastNestedLoop or a
+    cartesian product, which is what a raw theta join degenerates to."""
+    points = spark.createDataFrame(
+        [(t, "a", 1.0) for t in range(50)],
+        "timestamp long, tag string, value double",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0, 25)], "tag string, lo_ms long, hi_ms long"
+    )
+    plan = interval_join(points, intervals, bucket_ms=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan
+
+
+def test_maintenance_window_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle import check_against_duckdb
+    from timeseries_db_spark.registry import EVENTS_T, HI, LO
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    check_against_duckdb(
+        maintenance_window_stats(events_as_tsdb(spark, sf_dir), lo=LO, hi=HI),
+        maintenance_window_stats_sql(EVENTS_T, lo=LO, hi=HI),
+        sf_dir,
+    )

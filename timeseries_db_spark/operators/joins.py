@@ -150,3 +150,115 @@ PART_BRAND_STATS_SQL = """
     JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY p_brand ORDER BY brand
 """
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str = "tag",
+    point_ts: str = "timestamp",
+    lo: str = "lo_ms",
+    hi: str = "hi_ms",
+    bucket_ms: int = 6 * 3_600_000,
+) -> DataFrame:
+    """Point-in-interval (range) join: every ``points`` row paired with
+    every ``intervals`` row of the same key with ``lo <= ts < hi`` —
+    the operator behind maintenance-window / experiment-cohort / SLA
+    lookups that Spark has no native plan for (a raw theta join falls
+    back to BroadcastNestedLoop, O(|P|·|I|) per key).
+
+    Distributed plan: each interval EXPLODES to the time buckets it
+    covers (replication = interval span / ``bucket_ms`` — bounded for
+    bounded intervals), the points equi-join on (key, bucket) — a plain
+    hash shuffle join Catalyst/AQE handle like any other — and the
+    exact range predicate filters residually. A (point, interval) match
+    shares exactly the point's bucket, so no pair duplicates and no
+    dedup pass. Pick ``bucket_ms`` near the typical interval span: the
+    replication factor stays O(1) while the join stays an equi-join.
+    ``tests/test_plans.py`` asserts no nested-loop/cartesian node.
+
+    Output: the point columns plus the interval's columns (caller
+    projects). Both frames must share the ``on`` key column."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                duck_div(F.col(lo), bucket_ms), duck_div(F.col(hi), bucket_ms)
+            )
+        ),
+    )
+    pt = points.withColumn("_b", duck_div(F.col(point_ts), bucket_ms))
+    return (
+        pt.join(iv, on=[on, "_b"])
+        .filter(
+            (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi))
+        )
+        .drop("_b")
+    )
+
+
+DAY_MS = 86_400_000
+
+
+def maintenance_window_stats(
+    tsdb: DataFrame, *, lo: int, hi: int,
+    win_start_h: int = 2, win_end_h: int = 8,
+) -> DataFrame:
+    """Per-(tag, day) point count + value sum inside a daily
+    "maintenance window" [day+2h, day+8h) — the gate-shaped consumer of
+    :func:`interval_join`: the interval table is generated closed-form
+    (tags × UTC days of [lo, hi]), so a DuckDB theta-join oracle
+    restates the result exactly."""
+    from timeseries_db_spark.functions.numeric import duck_div, duck_round
+
+    tags = tsdb.select("tag").distinct()
+    day_lo, day_hi = lo // DAY_MS, hi // DAY_MS
+    intervals = tags.select(
+        "tag",
+        F.explode(F.sequence(F.lit(day_lo), F.lit(day_hi))).alias("_day"),
+    ).select(
+        "tag",
+        # sequence() of int literals yields int32 — widen BEFORE the
+        # ms multiply or ANSI mode overflows
+        (F.col("_day").cast("long") * DAY_MS + win_start_h * 3_600_000)
+        .alias("lo_ms"),
+        (F.col("_day").cast("long") * DAY_MS + win_end_h * 3_600_000)
+        .alias("hi_ms"),
+    )
+    joined = interval_join(tsdb, intervals)
+    return (
+        joined.groupBy("tag", F.col("lo_ms").alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            duck_round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("win_sum"),
+        )
+    )
+
+
+def maintenance_window_stats_sql(
+    table_sql: str, *, lo: int, hi: int,
+    win_start_h: int = 2, win_end_h: int = 8,
+) -> str:
+    """DuckDB twin: the naive theta join (fine at oracle scale)."""
+    return f"""
+        WITH t AS ({table_sql}),
+        iv AS (
+            SELECT tag,
+                   d.g * {DAY_MS} + {win_start_h} * 3600000 AS lo_ms,
+                   d.g * {DAY_MS} + {win_end_h} * 3600000 AS hi_ms
+            FROM (SELECT DISTINCT tag FROM t),
+                 generate_series({lo // DAY_MS}, {hi // DAY_MS}) d(g)
+        )
+        SELECT t.tag, iv.lo_ms AS win_start,
+               count(*)::BIGINT AS n_points,
+               round(sum(t.value::DECIMAL(38,10))::DOUBLE, 4) + 0.0 AS win_sum
+        FROM t JOIN iv
+          ON t.tag = iv.tag
+         AND t."timestamp" >= iv.lo_ms AND t."timestamp" < iv.hi_ms
+        GROUP BY t.tag, iv.lo_ms
+    """

@@ -260,8 +260,49 @@ def register_extensions(q: dict, o: dict) -> None:
     # ---- relational joins over the TPC-H-shaped tables ----
     from timeseries_db_spark.operators import joins
 
-    q["join_revenue_by_nation"] = joins.revenue_by_nation
-    o["join_revenue_by_nation"] = joins.REVENUE_BY_NATION_SQL
+    # r8 fold: the broadcast-dim revenue join AND the bucketed
+    # point-in-interval (range) join share one entry with a `kind`
+    # discriminator on a (kind, grp, result) schema — revenue rows carry
+    # the nation, interval rows the (tag, window-start) maintenance
+    # window with its point count / value sum as two kinds
+    def join_family(s: SparkSession, d: str) -> DataFrame:
+        rev = joins.revenue_by_nation(s, d).select(
+            F.lit("revenue").alias("kind"),
+            F.col("nation").alias("grp"),
+            F.col("revenue").alias("result"),
+        )
+        win = joins.maintenance_window_stats(
+            events_as_tsdb(s, d), lo=LO, hi=HI
+        )
+        grp = F.concat_ws(":", "tag", F.col("win_start").cast("string"))
+        cnt = win.select(
+            F.lit("iv_cnt").alias("kind"),
+            grp.alias("grp"),
+            F.col("n_points").cast("double").alias("result"),
+        )
+        sm = win.select(
+            F.lit("iv_sum").alias("kind"),
+            grp.alias("grp"),
+            F.col("win_sum").alias("result"),
+        )
+        return rev.unionByName(cnt).unionByName(sm)
+
+    q["join_revenue_by_nation"] = join_family
+    _mw_sql = joins.maintenance_window_stats_sql(EVENTS_T, lo=LO, hi=HI)
+    o["join_revenue_by_nation"] = f"""
+        SELECT 'revenue' AS kind, nation AS grp, revenue AS result
+        FROM ({joins.REVENUE_BY_NATION_SQL})
+        UNION ALL
+        SELECT 'iv_cnt' AS kind,
+               tag || ':' || CAST(win_start AS VARCHAR) AS grp,
+               CAST(n_points AS DOUBLE) AS result
+        FROM ({_mw_sql})
+        UNION ALL
+        SELECT 'iv_sum' AS kind,
+               tag || ':' || CAST(win_start AS VARCHAR) AS grp,
+               win_sum AS result
+        FROM ({_mw_sql})
+    """
 
     q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
     o["join_top_orders_building"] = joins.top_orders_by_segment_sql()
