@@ -139,3 +139,29 @@ def test_rolling_avg_matches_sql_twin(spark, sf_dir):
     con = duck_connect(sf_dir)
     exp = con.execute(rolling_avg_sql(EVENTS_T)).df()
     assert_same(rolling_avg(events_as_tsdb(spark, sf_dir)), exp)
+
+
+def test_rolling_avg_scalable_matches_plain(spark, sf_dir):
+    """Prefix-sum-difference form == sliding-window form, bit-exact, for
+    window/bucket combinations that exercise empty buckets, windows
+    spanning several buckets, and windows smaller than a bucket."""
+    from timeseries_db_spark.operators.analytics import (
+        rolling_avg,
+        rolling_avg_scalable,
+    )
+    from timeseries_db_spark.sources.fixture import timeseries_fixture
+
+    t = timeseries_fixture(spark, 5_000)
+    for window_ms, bucket_ms in ((1000, 300), (250, 1000), (997, 1009)):
+        plain = {
+            (r["tag"], r["timestamp"]): (r["roll_avg"], r["roll_cnt"])
+            for r in rolling_avg(t, window_ms=window_ms).collect()
+        }
+        scal = {
+            (r["tag"], r["timestamp"]): (r["roll_avg"], r["roll_cnt"])
+            for r in rolling_avg_scalable(
+                t, window_ms=window_ms, bucket_ms=bucket_ms
+            ).collect()
+        }
+        assert scal == plain, (window_ms, bucket_ms)
+        assert len(plain) == 5_000

@@ -48,11 +48,14 @@ def running_totals(tsdb: DataFrame) -> DataFrame:
     )
 
 
-def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
-    """Two-pass running totals that never materializes a whole tag in one
-    task (see module docstring). ``bucket_ms`` sizes the inner partitions;
-    at 100 TB pick it so one (tag, bucket) fits an executor core's memory.
-    """
+def _cumulatives_scalable(tsdb: DataFrame, bucket_ms: int) -> DataFrame:
+    """Per-row UNROUNDED cumulative (count, DECIMAL sum) per tag, via the
+    skew-safe two-pass scheme (module docstring): per-(tag, bucket)
+    partials, offsets over the tiny partial table, in-bucket windows
+    only. Shared by :func:`running_totals_scalable` (which rounds for
+    output) and :func:`rolling_avg_scalable` (which DIFFERENCES the raw
+    decimals — rounding first would break exactness).
+    Returns (timestamp, tag, value, c_cnt:long, c_sum:decimal)."""
     # duck_div: exact-integer division matching the DuckDB `//` twins
     bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
 
@@ -88,15 +91,29 @@ def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> Data
             "timestamp",
             "tag",
             "value",
-            (F.col("off_cnt") + F.count(F.lit(1)).over(ww)).cast("double").alias("run_cnt"),
-            F.round(
-                F.col("off_sum")
-                + F.sum(F.col("value").cast("decimal(38,10)")).over(ww),
-                4,
-            )
-            .cast("double")
-            .alias("run_sum"),
+            (F.col("off_cnt") + F.count(F.lit(1)).over(ww)).alias("c_cnt"),
+            (
+                F.coalesce(
+                    F.col("off_sum"), F.lit(0).cast("decimal(38,10)")
+                )
+                + F.sum(F.col("value").cast("decimal(38,10)")).over(ww)
+            ).alias("c_sum"),
         )
+    )
+
+
+def running_totals_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """Two-pass running totals that never materializes a whole tag in one
+    task (see module docstring). ``bucket_ms`` sizes the inner partitions;
+    at 100 TB pick it so one (tag, bucket) fits an executor core's memory.
+    """
+    cum = _cumulatives_scalable(tsdb, bucket_ms)
+    return cum.select(
+        "timestamp",
+        "tag",
+        "value",
+        F.col("c_cnt").cast("double").alias("run_cnt"),
+        F.round(F.col("c_sum"), 4).cast("double").alias("run_sum"),
     )
 
 
@@ -304,10 +321,12 @@ def rolling_avg(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
     agree) plus the contributing row count. The other classic metrics
     window next to the cumulative :func:`running_totals`.
 
-    Plan: ONE hash exchange on tag + one sort; the sliding RANGE frame
-    advances both bounds monotonically, so Spark evaluates it in
-    amortized O(1) per row (unlike the O(n²) unboundedFollowing frame —
-    see operators/asof.py). Determinism: the frame sum is an exact
+    Plan: ONE hash exchange on tag + one sort. Cost caveat: Spark
+    aggregates have no inverse, so a sliding frame RE-AGGREGATES the
+    in-frame buffer per row — O(rows-per-window) each, fine for sparse
+    series, hostile for dense ones; :func:`rolling_avg_scalable` is the
+    O(1)-per-row prefix-sum-difference form the gate checks (both are
+    bit-identical — pytest). Determinism: the frame sum is an exact
     DECIMAL(38,10), so the mean is partition-order independent and
     engine-exact before the one rounded division.
 
@@ -347,3 +366,59 @@ def rolling_avg_sql(table_sql: str, window_ms: int = 3_600_000) -> str:
             RANGE BETWEEN {window_ms} PRECEDING AND CURRENT ROW
         )
     """
+
+
+def rolling_avg_scalable(
+    tsdb: DataFrame,
+    window_ms: int = 3_600_000,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """:func:`rolling_avg` re-expressed as a PREFIX-SUM DIFFERENCE — the
+    100 TB form. Spark evaluates a sliding RANGE frame by re-aggregating
+    the in-frame buffer for every row (aggregates have no inverse), so
+    the naive window costs O(rows-per-window) per row — fine for sparse
+    series, quadratic-ish for dense ones (ms-resolution data puts
+    millions of rows in a 1 h frame). Here instead:
+
+    ``trailing[t-W, t] = cum(t) − cum(latest point with ts < t−W)``
+
+    1. exact DECIMAL cumulatives via the skew-safe two-pass
+       (:func:`_cumulatives_scalable` — shared with running totals);
+    2. ONE bucketed as-of self-probe at ``t − W − 1`` fetches the
+       cumulative just before the window opens (strictly-before via the
+       integer-ms probe shift);
+    3. two exact decimal subtractions per row.
+
+    O(1) work per row regardless of window density, and every stage is
+    the bucketed skew-safe variant. Decimal differences are exact, so
+    the rounded mean is bit-identical to :func:`rolling_avg` and hashes
+    against the same SQL-window oracle (gate-checked)."""
+    from timeseries_db_spark.operators.asof import asof_join_scalable
+
+    cum = _cumulatives_scalable(tsdb, bucket_ms)
+    probe = cum.withColumn("_probe", F.col("timestamp") - window_ms - 1)
+    prev = asof_join_scalable(
+        probe,
+        cum.select(
+            "tag",
+            F.col("timestamp").alias("_cts"),
+            F.col("c_cnt").alias("p_cnt"),
+            F.col("c_sum").alias("p_sum"),
+        ),
+        on="tag",
+        left_ts="_probe",
+        right_ts="_cts",
+        payload=["p_cnt", "p_sum"],
+        bucket_ms=bucket_ms,
+    )
+    roll_cnt = F.col("c_cnt") - F.coalesce(F.col("p_cnt"), F.lit(0))
+    roll_sum = F.col("c_sum") - F.coalesce(
+        F.col("p_sum"), F.lit(0).cast("decimal(38,10)")
+    )
+    return prev.select(
+        "timestamp",
+        "tag",
+        "value",
+        duck_round(roll_sum.cast("double") / roll_cnt, 4).alias("roll_avg"),
+        roll_cnt.cast("long").alias("roll_cnt"),
+    )

@@ -177,9 +177,11 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("z").alias("v1"),
             F.col("value").alias("v2"),
         )
-        # r8: trailing 1h time-window average — the sliding RANGE frame
-        # (amortized O(1)/row), v1=avg, v2=contributing count
-        rolls = analytics.rolling_avg(t).select(
+        # r8: trailing 1h time-window average — gated via the SCALABLE
+        # prefix-sum-difference plan (the sliding-frame twin is pytest
+        # bit-equivalence-checked; running_totals precedent), v1=avg,
+        # v2=contributing count
+        rolls = analytics.rolling_avg_scalable(t).select(
             F.lit("roll").alias("kind"),
             "tag",
             F.col("timestamp").alias("ts"),
