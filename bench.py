@@ -46,9 +46,13 @@ table) with warm repeats — which made r7's dedup_simhash look 2× off
 its fold note. The JSON now carries queries_first_run (cold, the
 driver-gate shape) alongside best and median; fold-mapping claims are
 stated against first_run. r8 legs added to existing headline entries:
-gapfill_hourly += interp (a second two-pass as-of), derivatives_by_tag
-+= zscore (broadcast-moments filter) — their r8 columns cover strictly
-more work than r7's.
+gapfill_hourly += interp (one-union two-direction running-frame fill),
+derivatives_by_tag += zscore (broadcast-moments filter) + roll (the
+skew-safe prefix-sum-difference trailing average — the heavy add: it
+runs the bucketed cumulative pass AND a bucketed as-of self-probe),
+join_revenue_by_nation += iv_cnt/iv_sum (bucketed point-in-interval
+join over events) — those three r8 columns cover strictly more work
+than r7's same-named columns.
 """
 
 from __future__ import annotations
