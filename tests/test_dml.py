@@ -381,3 +381,36 @@ def test_crash_between_manifest_and_pointer_swap_recovers(
     # version slot unblocked: the next write proceeds normally
     t.insert(mk(spark, [(T0 + 2, "after", 2.0)]))
     assert (T0 + 2, "after", 2.0) in rows_of(t)
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(retain_versions=N) keeps the last N+1 versions time-travel
+    readable and reclaims everything older; a vacuumed version fails
+    fast with a clean error at manifest resolution."""
+    import os
+
+    path = str(tmp_path / "ret")
+    t = TsTable.create(spark, path, auto_compact_commits=0)
+    for i in range(4):  # versions 1..4
+        t.insert(mk(spark, [(T0 + i, f"v{i}", float(i))]))
+    assert t.version() == 4
+    before = rows_of(t)
+
+    t.vacuum(retain_versions=1)
+    # current and previous stay readable (and correct)
+    assert rows_of(t) == before
+    assert t.read(3).count() == 3
+    # older versions are gone: clean ValueError, not a scan-time crash
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(1)
+    # old manifests physically reclaimed
+    manifests = sorted(os.listdir(os.path.join(path, "_manifests")))
+    assert manifests == ["m0000000003.json", "m0000000004.json"]
+    # all four commit dirs still referenced by v3/v4 (append-only inserts)
+    assert len(os.listdir(os.path.join(path, "commits"))) == 4
+
+    # after compaction, default vacuum reclaims the folded history
+    t.compact()
+    t.vacuum()
+    assert len(os.listdir(os.path.join(path, "commits"))) == 1
+    assert rows_of(t) == before

@@ -78,3 +78,61 @@ def test_maintenance_window_stats_matches_oracle(spark, sf_dir):
         maintenance_window_stats_sql(EVENTS_T, lo=LO, hi=HI),
         sf_dir,
     )
+
+
+def test_interval_join_hypothesis_fuzz(spark):
+    """Hypothesis sweep: random point sets, random (possibly inverted,
+    overlapping, empty, or bucket-straddling) intervals, random bucket
+    size — the bucketed decomposition must equal the theta join exactly,
+    with no duplicate pairs, every time."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ts = st.integers(min_value=-50, max_value=200)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pts=st.lists(ts, min_size=1, max_size=15),
+        ivs=st.lists(st.tuples(ts, ts), min_size=1, max_size=6),
+        bucket_ms=st.integers(min_value=1, max_value=64),
+        two_tags=st.booleans(),
+    )
+    def run(pts, ivs, bucket_ms, two_tags):
+        # value = row index: every input row distinct, so "no duplicate
+        # pairs" is meaningful even when timestamps repeat
+        points = spark.createDataFrame(
+            [
+                (t, "b" if two_tags and i % 2 else "a", float(i))
+                for i, t in enumerate(pts)
+            ],
+            "timestamp long, tag string, value double",
+        )
+        intervals = spark.createDataFrame(
+            # inverted (lo > hi) intervals are legal input: empty match set
+            [("a", min(lo, hi), max(lo, hi)) if lo <= hi else ("a", lo, hi)
+             for lo, hi in ivs],
+            "tag string, lo_ms long, hi_ms long",
+        )
+        def rows(df):
+            return sorted(
+                (r["tag"], r["timestamp"], r["value"], r["lo_ms"], r["hi_ms"])
+                for r in df.collect()
+            )
+
+        expected = rows(
+            points.join(intervals, "tag").filter(
+                (F.col("timestamp") >= F.col("lo_ms"))
+                & (F.col("timestamp") < F.col("hi_ms"))
+            )
+        )
+        got = rows(interval_join(points, intervals, bucket_ms=bucket_ms))
+        # multiset equality: duplicate INPUT rows may duplicate output
+        # rows (correct join semantics); the decomposition itself must
+        # add none
+        assert got == expected
+
+    run()

@@ -281,8 +281,14 @@ class TsTable:
                 raise ValueError(
                     f"version {version} out of range [0, {current}]"
                 )
-            with open(self._manifest_path(version)) as f:
-                manifest = json.load(f)
+            try:
+                with open(self._manifest_path(version)) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {version} has been vacuumed (retention "
+                    "window passed it)"
+                ) from None
         partitions = manifest["partitions"]
         only: set[str] | None = None
         if lo_ms is not None or hi_ms is not None:
@@ -563,16 +569,36 @@ class TsTable:
         _, new_parts = self._write_commit(snapshot)
         self._publish(new_parts, base)
 
-    def vacuum(self) -> None:
-        """Remove commit dirs no longer referenced by the CURRENT manifest.
-        (Production would retain versions for time-travel/readers; here we
-        keep it simple and drop everything unreferenced.)"""
-        live = {
-            rel.split("/", 1)[0]
-            for dirs in self._manifest()["partitions"].values()
-            for rel in dirs
-        }
+    def vacuum(self, retain_versions: int = 0) -> None:
+        """Remove commit dirs (and manifests) not referenced by the
+        current manifest or by the last ``retain_versions`` historical
+        versions — the Delta/Iceberg VACUUM-with-retention shape (r8:
+        the old form dropped everything unreferenced, silently breaking
+        time travel for every retained manifest).
+
+        ``retain_versions=0`` keeps only the current snapshot readable;
+        ``retain_versions=N`` guarantees ``read(version=v)`` for the
+        last N+1 versions. Manifests older than the retention window
+        are deleted too, so a time-travel read of a vacuumed version
+        fails fast at manifest resolution instead of at scan time with
+        missing files."""
+        current = self.version()
+        keep = range(max(0, current - retain_versions), current + 1)
+        live: set[str] = set()
+        for v in keep:
+            with open(self._manifest_path(v)) as f:
+                manifest = json.load(f)
+            live |= {
+                rel.split("/", 1)[0]
+                for dirs in manifest["partitions"].values()
+                for rel in dirs
+            }
         commits_dir = os.path.join(self.path, "commits")
         for entry in os.listdir(commits_dir):
             if entry not in live:
                 shutil.rmtree(os.path.join(commits_dir, entry))
+        mdir = os.path.join(self.path, "_manifests")
+        for entry in os.listdir(mdir):
+            v = int(entry[1:11]) if entry[1:11].isdigit() else None
+            if v is not None and v < keep.start:
+                os.unlink(os.path.join(mdir, entry))
