@@ -169,3 +169,38 @@ def test_stream_ingest_resumes_from_checkpoint_after_stop(
     # the restart ingested only the NEW file's novel keys (no rewrite of
     # file 1's commit): exactly one more insert landed
     assert cr_tbl.version() > v_after_first
+
+
+def test_streaming_sliding_rollup_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Sliding-window streaming rollup (1h window / 15m slide) equals the
+    batch sliding twin on every watermark-closed window — the shared
+    aggregate body makes the parity structural."""
+    stream = ingest.read_events_stream(spark, _events_glob(sf_dir))
+    rolled = ingest.windowed_rollup_stream(stream, slide="15 minutes")
+    q = (
+        rolled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["tag"]): (r["cnt"], r["total"])
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    from timeseries_db_spark.operators.rollup import window_rollup_sliding
+
+    batch = {
+        (r["window_start"], r["tag"]): (r["cnt"], r["total"])
+        for r in window_rollup_sliding(
+            events_as_tsdb(spark, sf_dir), "1 hour", "15 minutes"
+        ).collect()
+    }
+    assert set(got) <= set(batch)
+    assert len(got) >= 0.9 * len(batch)
+    for k, v in got.items():
+        assert v == batch[k]

@@ -145,3 +145,54 @@ def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
                round(sum(value::DECIMAL(38,10)), 4)::DOUBLE AS total_value
         FROM sids GROUP BY user_id, session_seq
     """
+
+
+def window_rollup_sliding(
+    tsdb: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """SLIDING event-time rollup per tag: every row contributes to the
+    ``window/slide`` overlapping windows containing it (epoch-aligned,
+    like the tumbling form). Same five-aggregate shared body
+    (:func:`rollup_aggregate`) → same streaming twin bit-parity.
+
+    Scale: Spark's ``window(event, W, S)`` expands each row to its W/S
+    windows BEFORE the partial aggregation, so shuffle bytes stay one
+    partial row per (window, tag) per input partition — the fan-out is
+    absorbed map-side. Keep W/S small (here 4); for large overlap
+    factors pre-aggregate per slide-granule tumbling first and roll the
+    granules up (the standard two-level sliding rollup)."""
+    return rollup_aggregate(
+        tsdb.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .groupBy(F.window("event_time", window, slide), F.col("tag"))
+    )
+
+
+def window_rollup_sliding_events_sql(
+    window_ms: int = 3_600_000, slide_ms: int = 900_000
+) -> str:
+    """DuckDB twin: expand each event to the ``window/slide`` epoch-
+    aligned window starts containing it (requires slide | window, which
+    Spark requires too for alignment), then the same aggregate body."""
+    n = window_ms // slide_ms
+    return f"""
+        WITH ev AS (
+            SELECT epoch_ms(ts) AS tms, event_type AS tag, value FROM events
+        ),
+        x AS (
+            SELECT ((ev.tms // {slide_ms}) - k.g) * {slide_ms} AS window_start,
+                   ev.tag, ev.value
+            FROM ev, generate_series(0, {n - 1}) k(g)
+        ),
+        g AS (
+            SELECT window_start, tag,
+                   count(*) AS n, sum(value::DECIMAL(38,10)) AS dsum,
+                   min(value) AS vmin, max(value) AS vmax
+            FROM x GROUP BY 1, 2
+        )
+        SELECT window_start, tag,
+               CAST(n AS DOUBLE) AS cnt,
+               round(dsum, 4)::DOUBLE AS total,
+               round(dsum::DOUBLE / n, 4) AS vavg,
+               vmin, vmax
+        FROM g
+    """

@@ -49,10 +49,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def register_extensions(q: dict, o: dict) -> None:
     # ---- streaming batch twins (same plan the streaming queries emit) ----
-    q["window_rollup_1h"] = lambda s, d: rollup.window_rollup(
-        events_as_tsdb(s, d), "1 hour"
+    # r8 fold: tumbling AND sliding (1h window / 15m slide) legs in one
+    # entry — both run the SHARED rollup_aggregate body the streaming
+    # twins use, so stream/batch parity covers both window kinds
+    def window_rollup_1h(s: SparkSession, d: str) -> DataFrame:
+        t = events_as_tsdb(s, d)
+        tumble = rollup.window_rollup(t, "1 hour").withColumn(
+            "kind", F.lit("tumble")
+        )
+        slide = rollup.window_rollup_sliding(
+            t, "1 hour", "15 minutes"
+        ).withColumn("kind", F.lit("slide"))
+        return tumble.unionByName(slide)
+
+    q["window_rollup_1h"] = window_rollup_1h
+    o["window_rollup_1h"] = (
+        "SELECT *, 'tumble' AS kind FROM ("
+        + rollup.window_rollup_events_sql("1 hour")
+        + ") UNION ALL SELECT *, 'slide' AS kind FROM ("
+        + rollup.window_rollup_sliding_events_sql(3_600_000, 900_000)
+        + ")"
     )
-    o["window_rollup_1h"] = rollup.window_rollup_events_sql("1 hour")
 
     q["sessionize_30m"] = lambda s, d: rollup.sessionize(s, d)
     o["sessionize_30m"] = rollup.sessionize_sql()

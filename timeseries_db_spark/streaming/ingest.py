@@ -152,15 +152,24 @@ def start_ingest(
 
 
 def windowed_rollup_stream(
-    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window rollup per tag (append mode after the
-    watermark closes each window)."""
+    """Streaming window rollup per tag — tumbling by default, SLIDING
+    when ``slide`` is given (append mode after the watermark closes each
+    window; overlapping windows just mean a row updates window/slide
+    aggregation states instead of one)."""
     # the aggregate body is SHARED with the batch twin (one definition →
     # structural bit-parity, not hand-synchronized copies)
     from timeseries_db_spark.operators.rollup import rollup_aggregate
 
+    win = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
     return rollup_aggregate(
-        stream.withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window), F.col("tag"))
+        stream.withWatermark("event_time", watermark).groupBy(win, F.col("tag"))
     )
