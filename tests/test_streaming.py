@@ -204,3 +204,50 @@ def test_streaming_sliding_rollup_matches_batch_twin(spark, sf_dir, tmp_path):
     assert len(got) >= 0.9 * len(batch)
     for k, v in got.items():
         assert v == batch[k]
+
+
+def test_stream_stream_time_bounded_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bounds:
+    every event joined to same-tag 'alerts' (value > 90) at-or-before it
+    within 5 minutes must equal the batch join exactly once the finite
+    input drains — the watermark bounds STATE, not the result set."""
+    from timeseries_db_spark.streaming import joins as sjoins
+
+    events = ingest.read_events_stream(spark, _events_glob(sf_dir))
+    alerts = ingest.read_events_stream(spark, _events_glob(sf_dir)).filter(
+        "value > 90"
+    )
+    out = sjoins.enrich_with_alerts(events, alerts)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["timestamp"], r["tag"], r["alert_ts"], r["alert_value"])
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    t = events_as_tsdb(spark, sf_dir)
+    al = t.filter("value > 90").select(
+        F.col("tag").alias("a_tag"),
+        F.col("timestamp").alias("alert_ts"),
+        F.col("value").alias("alert_value"),
+    )
+    batch = {
+        (r["timestamp"], r["tag"], r["alert_ts"], r["alert_value"])
+        for r in t.join(
+            al,
+            (F.col("tag") == F.col("a_tag"))
+            & (F.col("alert_ts") >= F.col("timestamp") - 300_000)
+            & (F.col("alert_ts") <= F.col("timestamp")),
+            "inner",
+        ).collect()
+    }
+    assert len(batch) > 0
+    assert got == batch

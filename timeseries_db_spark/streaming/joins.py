@@ -1,0 +1,63 @@
+"""Stream-stream joins with event-time bounds — the Structured Streaming
+surface beyond single-stream aggregation (the reference has no joins and
+no streams at all; north-star extension beside ``streaming/ingest.py``).
+
+A stream-stream inner join buffers BOTH sides in state; without time
+bounds that state grows forever. The two levers Spark requires (and this
+module always sets):
+
+* a watermark on each input, which bounds how late either side can be;
+* an event-time range in the join condition, which lets the engine
+  evict a buffered row once the other stream's watermark passes the
+  range — state is O(rows within tolerance + lateness), not O(stream).
+
+Scale: the join shuffles both streams on the equality key (tag) exactly
+like a batch shuffle join; the time-range predicate is evaluated
+residually inside each key's state store. At 100 TB/day the state per
+executor is bounded by (rows/sec × tolerance) of its key range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_alerts(
+    events: DataFrame,
+    alerts: DataFrame,
+    *,
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Inner-join each event to the SAME-tag alerts raised at-or-before
+    it within ``tolerance`` — the streaming analog of a bounded as-of
+    fan-out (every qualifying alert matches, not just the latest: the
+    latest-only reduction needs a post-aggregation, which stream-stream
+    mode cannot chain after a join; do it downstream or in batch).
+
+    Both inputs must carry the tsdb stream shape
+    ``(timestamp, tag, value, event_time)`` —
+    :func:`timeseries_db_spark.streaming.ingest.read_events_stream`
+    output. Returns (timestamp, tag, value, alert_ts, alert_value)."""
+    e = (
+        events.withWatermark("event_time", watermark)
+        .select("timestamp", "tag", "value", "event_time")
+    )
+    a = (
+        alerts.withWatermark("event_time", watermark)
+        .select(
+            F.col("tag").alias("a_tag"),
+            F.col("timestamp").alias("alert_ts"),
+            F.col("value").alias("alert_value"),
+            F.col("event_time").alias("a_time"),
+        )
+    )
+    cond = (
+        (F.col("tag") == F.col("a_tag"))
+        & (F.col("a_time") >= F.expr(f"event_time - INTERVAL {tolerance}"))
+        & (F.col("a_time") <= F.col("event_time"))
+    )
+    return e.join(a, cond, "inner").select(
+        "timestamp", "tag", "value", "alert_ts", "alert_value"
+    )
