@@ -414,3 +414,48 @@ def test_vacuum_retention_window(spark, tmp_path):
     t.vacuum()
     assert len(os.listdir(os.path.join(path, "commits"))) == 1
     assert rows_of(t) == before
+
+
+def test_changes_feed_between_versions(table, spark):
+    """Delta-CDF-style changes(): inserts/updates/deletes between any two
+    retained versions, with rewritten-but-equal rows filtered out, and
+    the manifest diff pruning untouched partitions from the plan."""
+    v0 = table.version()
+    table.insert(mk(spark, [(T0 + 2, "new", 7.0)]))
+    table.update(mk(spark, [(T0, "munich", 50.0)]))
+    table.delete(
+        spark.createDataFrame([(T0, "skopje")], "timestamp long, tag string")
+    )
+    v3 = table.version()
+
+    got = {
+        (r["timestamp"], r["tag"]): (
+            r["value_before"], r["value_after"], r["change"]
+        )
+        for r in table.changes(v0, v3).collect()
+    }
+    assert got == {
+        (T0 + 2, "new"): (None, 7.0, "insert"),
+        (T0, "munich"): (1.0, 50.0, "update"),
+        (T0, "skopje"): (2.0, None, "delete"),
+    }
+    # sub-ranges see only their own slice
+    assert {r["change"] for r in table.changes(v0, v0 + 1).collect()} == {
+        "insert"
+    }
+    # identical versions → empty feed (and an empty changed-partition set:
+    # the plan reads nothing)
+    empty = table.changes(v3, v3)
+    assert empty.count() == 0
+    assert "Scan parquet" not in empty._jdf.queryExecution().executedPlan().toString()
+    # update/delete only touched the T0 date partition; the T0+DAY
+    # partition's files are identical in both manifests and must be
+    # pruned from the scan entirely
+    files = table.changes(v0 + 1, v3).inputFiles()
+    import re
+
+    dts = {m for f in files for m in re.findall(r"dt=([0-9-]+)", f)}
+    from datetime import datetime, timezone
+
+    day0 = datetime.fromtimestamp(T0 / 1000, tz=timezone.utc).date().isoformat()
+    assert files and dts == {day0}, (files, dts)

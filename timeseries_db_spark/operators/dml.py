@@ -540,6 +540,62 @@ class TsTable:
         """Reset to empty (DELETE with empty body — ``Handlers.hs:72-73``)."""
         self._publish({})
 
+    # ---------- change feed ----------
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Keyed change feed between two retained versions (the
+        Delta-CDF shape): ``(timestamp, tag, value_before, value_after,
+        change)`` with ``change`` ∈ {insert, update, delete} — what a
+        downstream incremental consumer replays instead of re-reading
+        the table.
+
+        Scale: the MANIFEST DIFF is the change index. A date partition
+        whose file list is identical in both manifests cannot contain a
+        change (commits never mutate published files), so only
+        differing partitions are read — an incremental consumer of a
+        100 TB table scans O(changed partitions), not two full
+        snapshots. Within those, the two snapshots full-outer-join on
+        the key; rows merely rewritten with equal values (update/delete
+        rewrites copy untouched neighbors) are filtered out."""
+        if to_version is None:
+            to_version = self.version()
+        manifests = []
+        for v in (from_version, to_version):
+            if not 0 <= v <= self.version():
+                raise ValueError(f"version {v} out of range [0, {self.version()}]")
+            try:
+                with open(self._manifest_path(v)) as f:
+                    manifests.append(json.load(f)["partitions"])
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {v} has been vacuumed (retention window "
+                    "passed it)"
+                ) from None
+        m_from, m_to = manifests
+        changed = {
+            dt
+            for dt in set(m_from) | set(m_to)
+            if sorted(m_from.get(dt, [])) != sorted(m_to.get(dt, []))
+        }
+        before = self._read_partitions(m_from, only=changed).select(
+            "timestamp", "tag", F.col("value").alias("value_before")
+        )
+        after = self._read_partitions(m_to, only=changed).select(
+            "timestamp", "tag", F.col("value").alias("value_after")
+        )
+        vb, va = F.col("value_before"), F.col("value_after")
+        return (
+            before.join(after, on=KEY, how="full_outer")
+            .withColumn(
+                "change",
+                F.when(vb.isNull(), "insert")
+                .when(va.isNull(), "delete")
+                .otherwise("update"),
+            )
+            # rewritten-but-equal rows are not changes
+            .filter(~vb.eqNullSafe(va))
+        )
+
     # ---------- maintenance ----------
 
     def live_commit_count(self) -> int:
