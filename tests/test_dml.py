@@ -459,3 +459,55 @@ def test_changes_feed_between_versions(table, spark):
 
     day0 = datetime.fromtimestamp(T0 / 1000, tz=timezone.utc).date().isoformat()
     assert files and dts == {day0}, (files, dts)
+
+
+def test_incremental_rollup_matches_rescan(table, spark):
+    """Materialized-view maintenance: applying the version change feed to
+    a (window, tag) cnt/total rollup must equal re-aggregating the new
+    snapshot from scratch — across insert, update, and delete batches,
+    including a group fully deleted and a group newly created."""
+    from timeseries_db_spark.functions.numeric import duck_div
+    from timeseries_db_spark.operators.rollup import rollup_increment
+    from pyspark.sql import functions as F
+
+    W = 3_600_000
+
+    def rescan(df):
+        return (
+            df.groupBy(
+                (duck_div(F.col("timestamp"), W) * W).alias("window_start"),
+                "tag",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("cnt"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(38,10)")), 4
+                ).cast("double").alias("total"),
+            )
+        )
+
+    def as_map(df):
+        return {
+            (r["window_start"], r["tag"]): (r["cnt"], r["total"])
+            for r in df.collect()
+        }
+
+    v0 = table.version()
+    mat = rescan(table.read(v0))
+    # a batch of each kind: new group, update in place, full group delete
+    table.insert(mk(spark, [(T0 + 2 * DAY, "fresh", 3.25)]))
+    table.update(mk(spark, [(T0 + 1, "munich", -2.5)]))
+    table.delete(
+        spark.createDataFrame(
+            [(T0 + DAY, "athens")], "timestamp long, tag string"
+        )
+    )
+    v3 = table.version()
+
+    incr = rollup_increment(mat, table.changes(v0, v3), window_ms=W)
+    assert as_map(incr) == as_map(rescan(table.read(v3)))
+    # and incrementally step-by-step too (feed composition)
+    step = mat
+    for v in range(v0, v3):
+        step = rollup_increment(step, table.changes(v, v + 1), window_ms=W)
+    assert as_map(step) == as_map(rescan(table.read(v3)))

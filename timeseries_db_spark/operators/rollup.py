@@ -196,3 +196,74 @@ def window_rollup_sliding_events_sql(
                vmin, vmax
         FROM g
     """
+
+
+def rollup_increment(
+    current: DataFrame, changes: DataFrame, window_ms: int = 3_600_000
+) -> DataFrame:
+    """Incrementally maintain a (window_start, tag, cnt, total) rollup
+    from a :meth:`~timeseries_db_spark.operators.dml.TsTable.changes`
+    feed — the materialized-view maintenance loop: apply
+    ``+value_after − value_before`` per touched group instead of
+    re-aggregating the table.
+
+    Scale: cost is O(changes) + a join against only the TOUCHED groups
+    (the delta side is small by construction, so Catalyst broadcasts
+    it); the unchanged groups stream through untouched. Count and sum
+    are the self-maintainable aggregates (min/max are not — a delete of
+    the current extremum needs a rescan of its group, which is why this
+    maintains the cnt/total pair only).
+
+    Determinism: deltas accumulate in DECIMAL(38,10) and the stored
+    ``total`` stays a rounded double, re-derived from the exact decimal
+    arithmetic each increment — identical to a from-scratch rollup
+    (pytest-pinned across insert/update/delete batches)."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
+    win = (duck_div(F.col("timestamp"), window_ms) * window_ms).alias(
+        "window_start"
+    )
+    delta = (
+        changes.select(
+            win,
+            "tag",
+            (
+                F.coalesce(F.col("value_after").cast("decimal(38,10)"), F.lit(0))
+                - F.coalesce(
+                    F.col("value_before").cast("decimal(38,10)"), F.lit(0)
+                )
+            ).alias("_dv"),
+            (
+                F.when(F.col("value_before").isNull(), 1)
+                .when(F.col("value_after").isNull(), -1)
+                .otherwise(0)
+            ).alias("_dn"),
+        )
+        .groupBy("window_start", "tag")
+        .agg(F.sum("_dv").alias("_dv"), F.sum("_dn").alias("_dn"))
+    )
+    cur = current.select(
+        "window_start",
+        "tag",
+        F.col("cnt"),
+        F.col("total").cast("decimal(38,10)").alias("_t"),
+    )
+    merged = cur.join(F.broadcast(delta), on=["window_start", "tag"], how="full_outer")
+    return (
+        merged.select(
+            "window_start",
+            "tag",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0.0))
+                + F.coalesce(F.col("_dn"), F.lit(0)).cast("double")
+            ).alias("cnt"),
+            F.round(
+                F.coalesce(F.col("_t"), F.lit(0).cast("decimal(38,10)"))
+                + F.coalesce(F.col("_dv"), F.lit(0).cast("decimal(38,10)")),
+                4,
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
