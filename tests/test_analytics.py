@@ -165,3 +165,56 @@ def test_rolling_avg_scalable_matches_plain(spark, sf_dir):
         }
         assert scal == plain, (window_ms, bucket_ms)
         assert len(plain) == 5_000
+
+
+def test_rolling_avg_scalable_hypothesis_fuzz(spark):
+    """Hypothesis sweep over tiny random series: the prefix-sum
+    difference must equal the sliding frame for any timestamps
+    (duplicates included — max-collapse is NOT applied here, both forms
+    see identical rows), window and bucket sizes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from timeseries_db_spark.operators.analytics import (
+        rolling_avg,
+        rolling_avg_scalable,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=300),
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=-5, max_value=5),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda p: (p[0], p[1]),  # tsdb key uniqueness invariant
+        ),
+        window_ms=st.integers(min_value=1, max_value=100),
+        bucket_ms=st.integers(min_value=1, max_value=100),
+    )
+    def run(pts, window_ms, bucket_ms):
+        t = spark.createDataFrame(
+            [(ts, tag, float(v)) for ts, tag, v in pts],
+            "timestamp long, tag string, value double",
+        )
+        key = lambda r: (r["tag"], r["timestamp"])  # noqa: E731
+        plain = {
+            key(r): (r["roll_avg"], r["roll_cnt"])
+            for r in rolling_avg(t, window_ms=window_ms).collect()
+        }
+        scal = {
+            key(r): (r["roll_avg"], r["roll_cnt"])
+            for r in rolling_avg_scalable(
+                t, window_ms=window_ms, bucket_ms=bucket_ms
+            ).collect()
+        }
+        assert scal == plain
+
+    run()

@@ -183,3 +183,22 @@ def test_lm_backoff_floor_quantization_guard_band(spark, sf_dir):
         x = lm.LM_FP_SCALE * math.log(1.0 / (c + vsize))
         worst = min(worst, abs(abs(x - math.floor(x)) - 0.5))
     assert worst > 1e-3, f"backoff floor too close to rounding boundary: {worst}"
+
+
+def test_lm_partition_terciles(spark, sf_dir):
+    """Rank-based CCNet buckets: equal-count (±1) buckets, bucket 1
+    holds the highest (most fluent) scores, and the DuckDB twin
+    reproduces the assignment exactly (exact-BIGINT total order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm.lm_score(docs)
+    part = lm.lm_partition(scored)
+    rows = part.join(scored, "doc_id").select("doc_id", "bucket", "score_fp").collect()
+    n = len(rows)
+    sizes = {b: sum(1 for r in rows if r["bucket"] == b) for b in (1, 2, 3)}
+    assert sum(sizes.values()) == n and max(sizes.values()) - min(sizes.values()) <= 1
+    worst_head = min(r["score_fp"] for r in rows if r["bucket"] == 1)
+    best_tail = max(r["score_fp"] for r in rows if r["bucket"] == 3)
+    assert worst_head >= best_tail
+    check_against_duckdb(
+        part, lm.lm_partition_sql(lm.lm_score_sql()), sf_dir
+    )

@@ -309,3 +309,38 @@ def lm_score_sql(table: str = "documents") -> str:
                    AS bits_per_char
         FROM sc
     """
+
+
+def lm_partition(scored: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. §4.4): rank
+    the corpus by LM score and cut it into ``n_buckets`` equal-count
+    buckets — bucket 1 = most fluent ("head"). Input is a
+    :func:`lm_score` output frame.
+
+    RANK-based, not threshold-based, deliberately: bucket boundaries
+    from interpolated percentiles are doubles, and a document whose
+    score sits within an ulp of a boundary could land differently
+    across engines — ``ntile`` over the exact-BIGINT ``score_fp`` with
+    a ``doc_id`` tiebreak is a total order both engines reproduce
+    bit-for-bit (the same reason the scores are fixed-point).
+
+    Scale: a global ntile is a single-task sort — fine for ranking a
+    scored SAMPLE or a gate fixture; at corpus scale switch to
+    ``approx_percentile(score_fp, ...)`` boundaries (mergeable sketch)
+    and accept the boundary band being approximate, or ntile within
+    hash shards when exact equal counts don't matter."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", F.ntile(n_buckets).over(w).alias("bucket")
+    )
+
+
+def lm_partition_sql(score_sql: str, n_buckets: int = 3) -> str:
+    return f"""
+        SELECT doc_id,
+               ntile({n_buckets}) OVER (ORDER BY score_fp DESC, doc_id)
+                   AS bucket
+        FROM ({score_sql})
+    """

@@ -456,7 +456,17 @@ def register_extensions(q: dict, o: dict) -> None:
         x_leg = lm.lm_score(
             docs.filter(split == "valid"), ref=docs.filter(split == "train")
         ).withColumn("kind", F.lit("xcorpus"))
-        return self_leg.unionByName(x_leg)
+        # r8: CCNet head/middle/tail — rank-based terciles over the exact
+        # fixed-point scores (bucket rides in n_tri; other cols NULL)
+        terciles = lm.lm_partition(lm.lm_score(docs)).select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("n_tri"),
+            F.lit(None).cast("long").alias("score_fp"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+            F.lit(None).cast("double").alias("bits_per_char"),
+            F.lit("tercile").alias("kind"),
+        )
+        return self_leg.unionByName(x_leg).unionByName(terciles)
 
     q["text_lm_score"] = text_lm_score
     _split_doc = _split_sql("doc_id")
@@ -468,6 +478,11 @@ def register_extensions(q: dict, o: dict) -> None:
             f"(SELECT * FROM documents WHERE {_split_doc} = 'train')",
             f"(SELECT * FROM documents WHERE {_split_doc} = 'valid')",
         )
+        + ") UNION ALL "
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS n_tri,"
+        " NULL::BIGINT AS score_fp, NULL::DOUBLE AS avg_logprob,"
+        " NULL::DOUBLE AS bits_per_char, 'tercile' AS kind FROM ("
+        + lm.lm_partition_sql(lm.lm_score_sql())
         + ")"
     )
 
