@@ -169,9 +169,10 @@ def test_rolling_avg_scalable_matches_plain(spark, sf_dir):
 
 def test_rolling_avg_scalable_hypothesis_fuzz(spark):
     """Hypothesis sweep over tiny random series: the prefix-sum
-    difference must equal the sliding frame for any timestamps
-    (duplicates included — max-collapse is NOT applied here, both forms
-    see identical rows), window and bucket sizes."""
+    difference must equal the sliding frame for any timestamps —
+    INCLUDING duplicate (tag, timestamp) rows, where the peer-inclusive
+    RANGE cumulative is what keeps the two forms identical
+    (code-review r8) — and any window/bucket sizes."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -194,7 +195,6 @@ def test_rolling_avg_scalable_hypothesis_fuzz(spark):
             ),
             min_size=1,
             max_size=12,
-            unique_by=lambda p: (p[0], p[1]),  # tsdb key uniqueness invariant
         ),
         window_ms=st.integers(min_value=1, max_value=100),
         bucket_ms=st.integers(min_value=1, max_value=100),

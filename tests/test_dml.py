@@ -463,28 +463,17 @@ def test_changes_feed_between_versions(table, spark):
 
 def test_incremental_rollup_matches_rescan(table, spark):
     """Materialized-view maintenance: applying the version change feed to
-    a (window, tag) cnt/total rollup must equal re-aggregating the new
-    snapshot from scratch — across insert, update, and delete batches,
-    including a group fully deleted and a group newly created."""
-    from timeseries_db_spark.functions.numeric import duck_div
-    from timeseries_db_spark.operators.rollup import rollup_increment
-    from pyspark.sql import functions as F
+    a rollup_state must equal re-aggregating the new snapshot from
+    scratch — across insert, update, and delete batches, including a
+    group fully deleted, a group newly created, and sub-4th-decimal
+    values whose rounding would compound if increments differenced the
+    ROUNDED total (code-review r8)."""
+    from timeseries_db_spark.operators.rollup import (
+        rollup_increment,
+        rollup_state,
+    )
 
     W = 3_600_000
-
-    def rescan(df):
-        return (
-            df.groupBy(
-                (duck_div(F.col("timestamp"), W) * W).alias("window_start"),
-                "tag",
-            )
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("cnt"),
-                F.round(
-                    F.sum(F.col("value").cast("decimal(38,10)")), 4
-                ).cast("double").alias("total"),
-            )
-        )
 
     def as_map(df):
         return {
@@ -492,10 +481,19 @@ def test_incremental_rollup_matches_rescan(table, spark):
             for r in df.collect()
         }
 
+    # seed a sub-rounding value: 0.00004 rounds to 0.0; two of them
+    # round to 0.0001 — only exact decimal state gets this right
+    table.insert(mk(spark, [(T0 + 3 * DAY, "tiny", 0.00004)]))
     v0 = table.version()
-    mat = rescan(table.read(v0))
-    # a batch of each kind: new group, update in place, full group delete
-    table.insert(mk(spark, [(T0 + 2 * DAY, "fresh", 3.25)]))
+    mat = rollup_state(table.read(v0), window_ms=W)
+    # a batch of each kind: new group, update in place, full group
+    # delete, plus the second sub-rounding row into the tiny group
+    table.insert(
+        mk(
+            spark,
+            [(T0 + 2 * DAY, "fresh", 3.25), (T0 + 3 * DAY + 1, "tiny", 0.00004)],
+        )
+    )
     table.update(mk(spark, [(T0 + 1, "munich", -2.5)]))
     table.delete(
         spark.createDataFrame(
@@ -505,9 +503,100 @@ def test_incremental_rollup_matches_rescan(table, spark):
     v3 = table.version()
 
     incr = rollup_increment(mat, table.changes(v0, v3), window_ms=W)
-    assert as_map(incr) == as_map(rescan(table.read(v3)))
+    expected = rollup_state(table.read(v3), window_ms=W)
+    assert as_map(incr) == as_map(expected)
+    # the tiny group proves exactness: 0.00004 + 0.00004 rounds to 0.0001
+    tiny = [v for (ws, tag), v in as_map(incr).items() if tag == "tiny"]
+    assert tiny == [(2.0, 0.0001)]
     # and incrementally step-by-step too (feed composition)
     step = mat
     for v in range(v0, v3):
         step = rollup_increment(step, table.changes(v, v + 1), window_ms=W)
-    assert as_map(step) == as_map(rescan(table.read(v3)))
+    assert as_map(step) == as_map(expected)
+    # the existing-groups leg is a broadcast join over the view, never a
+    # shuffle of it (the full-outer broadcast hint Spark drops — r8)
+    plan = incr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vacuum_skips_already_vacuumed_and_pending_manifests(spark, tmp_path):
+    """Code-review r8: (a) a later vacuum with a WIDER retention window
+    must skip manifests a previous tighter run already deleted, not
+    crash; (b) a committed-but-unpublished manifest (writer crashed
+    before the pointer swap) counts as LIVE — vacuum must not delete the
+    commit dirs recover() is about to publish."""
+    import os as _os
+
+    path = str(tmp_path / "vr")
+    t = TsTable.create(spark, path, auto_compact_commits=0)
+    for i in range(4):
+        t.insert(mk(spark, [(T0 + i, f"v{i}", float(i))]))
+    t.vacuum(retain_versions=1)  # drops m0..m2
+    t.insert(mk(spark, [(T0 + 9, "v9", 9.0)]))  # version 5
+    # wider retention than what survives: must not raise
+    t.vacuum(retain_versions=4)
+    assert t.read(3).count() == 3
+
+    # stage a commit + manifest but crash before the pointer swap
+    real_advance = TsTable._advance_pointer
+    try:
+        TsTable._advance_pointer = lambda self, v: (_ for _ in ()).throw(
+            RuntimeError("crash before pointer swap")
+        )
+        with pytest.raises(RuntimeError):
+            t.insert(mk(spark, [(T0 + 10, "pending", 10.0)]))
+    finally:
+        TsTable._advance_pointer = real_advance
+    # vacuum while the commit is pending: must keep its data alive
+    t.vacuum()
+    assert t.recover() == 6
+    assert (T0 + 10, "pending", 10.0) in rows_of(t)
+
+
+def test_stalled_writer_cannot_regress_pointer(spark, tmp_path):
+    """Code-review r8: writer A stalls between manifest link and pointer
+    swap; recover() publishes A; writer B commits the next version. A's
+    resumed swap must NOT move the pointer backwards — the advance is
+    monotonic under the pointer lock."""
+    path = str(tmp_path / "mono")
+    t = TsTable.create(spark, path, df=mk(spark, [(T0, "seed", 0.0)]))
+
+    # simulate A: manifest for v2 linked, pointer swap stalled
+    real_advance = TsTable._advance_pointer
+    try:
+        TsTable._advance_pointer = lambda self, v: None  # stall: no swap
+        t.insert(mk(spark, [(T0 + 1, "a", 1.0)]))
+    finally:
+        TsTable._advance_pointer = real_advance
+    assert t.version() == 1  # A's commit invisible (pointer not swapped)
+    assert t.recover() == 2  # someone rolls it forward
+    t.insert(mk(spark, [(T0 + 2, "b", 2.0)]))  # B commits v3
+    assert t.version() == 3
+    # A resumes its stalled swap to v2 — must be a no-op
+    t._advance_pointer(2)
+    assert t.version() == 3
+    assert (T0 + 2, "b", 2.0) in rows_of(t)
+
+
+def test_auto_compact_occ_loss_does_not_fail_the_write(spark, tmp_path, monkeypatch):
+    """Code-review r8: if auto-compaction loses the OCC race AFTER the
+    user's write committed, the write call must still succeed."""
+    from timeseries_db_spark.operators.dml import ConcurrentWriteError
+
+    path = str(tmp_path / "acocc")
+    t = TsTable.create(spark, path, auto_compact_commits=1)
+    t.insert(mk(spark, [(T0, "a", 1.0)]))
+
+    def racing_compact(self):
+        raise ConcurrentWriteError("lost the race")
+
+    monkeypatch.setattr(TsTable, "compact", racing_compact)
+    # crosses the threshold -> compaction triggers, loses, is swallowed
+    t.insert(mk(spark, [(T0 + 1, "b", 2.0)]))
+    monkeypatch.undo()
+    assert (T0 + 1, "b", 2.0) in rows_of(t)
+
+
+def test_changes_rejects_inverted_range(table):
+    with pytest.raises(ValueError, match="from_version"):
+        table.changes(table.version(), 0)

@@ -806,3 +806,21 @@ def test_jpeg_color_and_chroma_subsampling_bounds():
     assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 3
     # the 4:2:0 stream really is smaller than 4:4:4 on the same content
     assert len(j) < len(M.jpeg_encode(smooth.tobytes(), w, h, 3))
+
+
+def test_jpeg_multiscan_is_honest_stub():
+    """Code-review r8: a valid non-interleaved baseline JPEG (one scan
+    per component) must raise at the capability boundary, not silently
+    decode with zeroed chroma planes."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    j = bytearray(M.jpeg_encode(bytes(64 * 3), 8, 8, 3))
+    sos = j.find(b"\xff\xda")
+    # shrink the SOS to a single-component scan (Ns=1, comp id 1)
+    single = j[:sos] + bytes(
+        [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00]
+    ) + j[sos + 2 + int.from_bytes(j[sos + 2 : sos + 4], "big") :]
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        M.jpeg_decode(bytes(single))

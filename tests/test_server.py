@@ -242,3 +242,21 @@ def test_integral_float_bounds_accepted_like_aeson(served):
         served, "POST", "/timeseries/query", {"gt": 1.5, "aggFunc": "count"}
     )
     assert status == 400
+
+
+def test_nonfinite_numeric_fields_get_400(served):
+    """Code-review r8: json.loads accepts Infinity/NaN; int(inf) raises
+    OverflowError — the finiteness check must turn these into 400s, not
+    500s."""
+    for literal in ("Infinity", "-Infinity", "NaN"):
+        body = ('{"gt": ' + literal + ', "aggFunc": "count"}').encode()
+        req = urllib.request.Request(
+            served + "/timeseries/query", data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as exc:
+            status = exc.code
+        assert status == 400, literal

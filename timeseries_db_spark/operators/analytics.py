@@ -48,13 +48,24 @@ def running_totals(tsdb: DataFrame) -> DataFrame:
     )
 
 
-def _cumulatives_scalable(tsdb: DataFrame, bucket_ms: int) -> DataFrame:
+def _cumulatives_scalable(
+    tsdb: DataFrame, bucket_ms: int, *, peer_inclusive: bool = False
+) -> DataFrame:
     """Per-row UNROUNDED cumulative (count, DECIMAL sum) per tag, via the
     skew-safe two-pass scheme (module docstring): per-(tag, bucket)
     partials, offsets over the tiny partial table, in-bucket windows
     only. Shared by :func:`running_totals_scalable` (which rounds for
     output) and :func:`rolling_avg_scalable` (which DIFFERENCES the raw
     decimals — rounding first would break exactness).
+
+    ``peer_inclusive``: with duplicate (tag, timestamp) rows, a ROWS
+    running frame splits the tied peers in arbitrary order — fine for
+    running totals (which document the tsdb key-uniqueness assumption
+    and whose plain twin uses ROWS too), WRONG for the rolling-average
+    difference, whose plain/oracle twin is a RANGE frame that always
+    sees tied peers together (code-review r8). True switches the
+    in-bucket window to the RANGE running frame, making every tied
+    row carry the full-peer cumulative deterministically.
     Returns (timestamp, tag, value, c_cnt:long, c_sum:decimal)."""
     # duck_div: exact-integer division matching the DuckDB `//` twins
     bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
@@ -80,10 +91,11 @@ def _cumulatives_scalable(tsdb: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
     # pass 2: window only within (tag, bucket); offsets broadcast-join back
+    ww = Window.partitionBy("tag", "bucket").orderBy("timestamp")
     ww = (
-        Window.partitionBy("tag", "bucket")
-        .orderBy("timestamp")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ww.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        if peer_inclusive
+        else ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         bucketed.join(F.broadcast(offsets), on=["tag", "bucket"], how="inner")
@@ -395,7 +407,7 @@ def rolling_avg_scalable(
     against the same SQL-window oracle (gate-checked)."""
     from timeseries_db_spark.operators.asof import asof_join_scalable
 
-    cum = _cumulatives_scalable(tsdb, bucket_ms)
+    cum = _cumulatives_scalable(tsdb, bucket_ms, peer_inclusive=True)
     probe = cum.withColumn("_probe", F.col("timestamp") - window_ms - 1)
     prev = asof_join_scalable(
         probe,

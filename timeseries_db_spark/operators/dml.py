@@ -181,12 +181,32 @@ class TsTable:
             ) from None
         finally:
             os.unlink(tmp)
-        tmp = self._version_file + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._version_file)
+        self._advance_pointer(new_version)
+
+    def _advance_pointer(self, new_version: int) -> None:
+        """Monotonic version-pointer advance: read-compare-replace under
+        an exclusive flock so a STALLED writer resuming its swap can
+        never regress the pointer below a later commit (which would
+        serve readers a stale snapshot and CAS-wedge every writer until
+        a recover()). The manifest-link CAS serializes who may commit a
+        version; this lock only serializes the few-microsecond pointer
+        update."""
+        import fcntl
+
+        lock_path = self._version_file + ".lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if self.version() >= new_version:
+                    return
+                tmp = self._version_file + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(str(new_version))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._version_file)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     def recover(self) -> int:
         """Finish interrupted commits: a writer that crashed between
@@ -197,13 +217,7 @@ class TsTable:
         version. Safe to run concurrently with writers: the pointer
         write is idempotent per version and strictly monotonic here."""
         while os.path.exists(self._manifest_path(self.version() + 1)):
-            v = self.version() + 1
-            tmp = self._version_file + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._version_file)
+            self._advance_pointer(self.version() + 1)
         return self.version()
 
     @classmethod
@@ -559,6 +573,12 @@ class TsTable:
         rewrites copy untouched neighbors) are filtered out."""
         if to_version is None:
             to_version = self.version()
+        if from_version > to_version:
+            raise ValueError(
+                f"changes(): from_version {from_version} > to_version "
+                f"{to_version} — a swapped range would silently invert "
+                "insert/delete labels"
+            )
         manifests = []
         for v in (from_version, to_version):
             if not 0 <= v <= self.version():
@@ -613,7 +633,14 @@ class TsTable:
         if not self.auto_compact_commits:
             return
         if self.live_commit_count() > self.auto_compact_commits:
-            self.compact()
+            try:
+                self.compact()
+            except ConcurrentWriteError:
+                # the triggering write ALREADY committed; opportunistic
+                # compaction losing an OCC race to another writer must
+                # not surface as failure of that write — the next write
+                # past the threshold will compact
+                pass
 
     def compact(self) -> None:
         """Fold all commits into one (one file set per partition)."""
@@ -637,13 +664,37 @@ class TsTable:
         last N+1 versions. Manifests older than the retention window
         are deleted too, so a time-travel read of a vacuumed version
         fails fast at manifest resolution instead of at scan time with
-        missing files."""
+        missing files.
+
+        Two safety rules (code-review r8): manifests already vacuumed by
+        a previous, tighter run are skipped rather than crashing a later
+        wider-retention call; and manifests ABOVE the current pointer —
+        a commit whose writer is mid-pointer-swap or crashed before it
+        (exactly what :meth:`recover` rolls forward) — are treated as
+        live, so vacuum racing an in-flight commit can never delete the
+        data a recover() is about to publish. Commit dirs staged but
+        referenced by NO manifest (a crash before the manifest link)
+        remain reclaimable."""
         current = self.version()
-        keep = range(max(0, current - retain_versions), current + 1)
+        keep_start = max(0, current - retain_versions)
+        mdir = os.path.join(self.path, "_manifests")
+        # v >= keep_start covers both the retention window AND any
+        # pending manifest above the current pointer
+        keep_versions = sorted(
+            v
+            for entry in os.listdir(mdir)
+            if entry.startswith("m")
+            and entry[1:11].isdigit()
+            and entry.endswith(".json")
+            and (v := int(entry[1:11])) >= keep_start
+        )
         live: set[str] = set()
-        for v in keep:
-            with open(self._manifest_path(v)) as f:
-                manifest = json.load(f)
+        for v in keep_versions:
+            try:
+                with open(self._manifest_path(v)) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                continue
             live |= {
                 rel.split("/", 1)[0]
                 for dirs in manifest["partitions"].values()
@@ -653,8 +704,7 @@ class TsTable:
         for entry in os.listdir(commits_dir):
             if entry not in live:
                 shutil.rmtree(os.path.join(commits_dir, entry))
-        mdir = os.path.join(self.path, "_manifests")
         for entry in os.listdir(mdir):
             v = int(entry[1:11]) if entry[1:11].isdigit() else None
-            if v is not None and v < keep.start:
+            if v is not None and v < keep_start:
                 os.unlink(os.path.join(mdir, entry))

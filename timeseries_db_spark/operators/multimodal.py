@@ -637,6 +637,14 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                 for c in range(ns)
             ]
+            if frame is not None and ns < len(frame[2]):
+                # T.81 allows one scan per component; decoding only the
+                # first would silently zero the remaining planes
+                # (code-review r8) — stub honestly instead
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) JPEG — see "
+                    "PIXEL_CAPABILITIES['jpeg']"
+                )
             scan_start = pos + seglen
             break
         pos += seglen

@@ -198,28 +198,66 @@ def window_rollup_sliding_events_sql(
     """
 
 
+def rollup_state(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
+    """(window_start, tag, cnt, total, total_dec) — the MAINTAINABLE
+    materialized rollup: ``total_dec`` is the exact DECIMAL(38,10) sum
+    the increments difference against; ``total`` is its rounded display
+    twin. Differencing against an already-rounded total compounds the
+    rounding of every prior increment (a group of 0.00004s stays 0.0
+    forever while a rescan says 0.0001 — code-review r8), so the exact
+    column is part of the state, not an implementation detail."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
+    return (
+        tsdb.groupBy(
+            (duck_div(F.col("timestamp"), window_ms) * window_ms).alias(
+                "window_start"
+            ),
+            "tag",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("total_dec"),
+        )
+        .select(
+            "window_start",
+            "tag",
+            "cnt",
+            F.round(F.col("total_dec"), 4).cast("double").alias("total"),
+            "total_dec",
+        )
+    )
+
+
 def rollup_increment(
     current: DataFrame, changes: DataFrame, window_ms: int = 3_600_000
 ) -> DataFrame:
-    """Incrementally maintain a (window_start, tag, cnt, total) rollup
-    from a :meth:`~timeseries_db_spark.operators.dml.TsTable.changes`
-    feed — the materialized-view maintenance loop: apply
+    """Incrementally maintain a :func:`rollup_state` frame from a
+    :meth:`~timeseries_db_spark.operators.dml.TsTable.changes` feed —
+    the materialized-view maintenance loop: apply
     ``+value_after − value_before`` per touched group instead of
     re-aggregating the table.
 
-    Scale: cost is O(changes) + a join against only the TOUCHED groups
-    (the delta side is small by construction, so Catalyst broadcasts
-    it); the unchanged groups stream through untouched. Count and sum
-    are the self-maintainable aggregates (min/max are not — a delete of
-    the current extremum needs a rescan of its group, which is why this
-    maintains the cnt/total pair only).
+    Plan (code-review r8 — a broadcast hint on a full-outer join is
+    silently dropped by Spark, which would have shuffled the whole view
+    every increment): existing groups take a LEFT join with the tiny
+    delta broadcast (map-only over the view); groups born in this feed
+    come from an anti-join of the delta against the view's KEYS only.
+    Cost per increment: one map-only pass over the view + a key-
+    projected join of the delta.
 
-    Determinism: deltas accumulate in DECIMAL(38,10) and the stored
-    ``total`` stays a rounded double, re-derived from the exact decimal
-    arithmetic each increment — identical to a from-scratch rollup
-    (pytest-pinned across insert/update/delete batches)."""
+    Count and sum are the self-maintainable aggregates (min/max are not
+    — a delete of the current extremum needs a group rescan). Deltas
+    accumulate in DECIMAL against ``total_dec``, so the maintained
+    state is exactly a from-scratch :func:`rollup_state` at the new
+    version (pytest-pinned, sub-4th-decimal values included)."""
     from timeseries_db_spark.functions.numeric import duck_div
 
+    if "total_dec" not in current.columns:
+        raise ValueError(
+            "rollup_increment maintains rollup_state frames (needs the "
+            "exact total_dec column); build the base with rollup_state()"
+        )
     win = (duck_div(F.col("timestamp"), window_ms) * window_ms).alias(
         "window_start"
     )
@@ -242,28 +280,35 @@ def rollup_increment(
         .groupBy("window_start", "tag")
         .agg(F.sum("_dv").alias("_dv"), F.sum("_dn").alias("_dn"))
     )
-    cur = current.select(
-        "window_start",
-        "tag",
-        F.col("cnt"),
-        F.col("total").cast("decimal(38,10)").alias("_t"),
-    )
-    merged = cur.join(F.broadcast(delta), on=["window_start", "tag"], how="full_outer")
-    return (
-        merged.select(
-            "window_start",
-            "tag",
+    keys = ["window_start", "tag"]
+    dec0 = F.lit(0).cast("decimal(38,10)")
+    existing = (
+        current.join(F.broadcast(delta), on=keys, how="left")
+        .select(
+            *keys,
             (
-                F.coalesce(F.col("cnt"), F.lit(0.0))
-                + F.coalesce(F.col("_dn"), F.lit(0)).cast("double")
+                F.col("cnt") + F.coalesce(F.col("_dn"), F.lit(0)).cast("double")
             ).alias("cnt"),
-            F.round(
-                F.coalesce(F.col("_t"), F.lit(0).cast("decimal(38,10)"))
-                + F.coalesce(F.col("_dv"), F.lit(0).cast("decimal(38,10)")),
-                4,
-            )
-            .cast("double")
-            .alias("total"),
+            (
+                F.col("total_dec") + F.coalesce(F.col("_dv"), dec0)
+            ).alias("total_dec"),
         )
+    )
+    fresh = (
+        delta.join(current.select(*keys), on=keys, how="left_anti")
+        .select(
+            *keys,
+            F.col("_dn").cast("double").alias("cnt"),
+            F.col("_dv").cast("decimal(38,10)").alias("total_dec"),
+        )
+    )
+    return (
+        existing.unionByName(fresh)
         .filter(F.col("cnt") > 0)
+        .select(
+            *keys,
+            "cnt",
+            F.round(F.col("total_dec"), 4).cast("double").alias("total"),
+            "total_dec",
+        )
     )

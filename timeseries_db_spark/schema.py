@@ -180,8 +180,18 @@ class QueryModel:
             if isinstance(v, float):
                 # aeson's parseBoundedIntegral decodes over Scientific:
                 # integral floats like 1.0 (or 1e3) are accepted and
-                # coerced, fractional or out-of-Int64-range ones rejected
-                if v != int(v) or not -(2**63) <= v < 2**63:
+                # coerced, fractional or out-of-Int64-range ones
+                # rejected. Finiteness FIRST: json.loads accepts
+                # Infinity/NaN, and int(inf)/int(nan) raise
+                # OverflowError/ValueError — a 500, not the 400 this
+                # path exists to produce (code-review r8)
+                import math
+
+                if (
+                    not math.isfinite(v)
+                    or v != int(v)
+                    or not -(2**63) <= v < 2**63
+                ):
                     raise IllegalQueryError(
                         f"Field '{field}' expects an integer, got {v!r}."
                     )
