@@ -136,3 +136,31 @@ def test_interval_join_hypothesis_fuzz(spark):
         assert got == expected
 
     run()
+
+
+def test_interval_join_null_bounds_and_unbounded_span(spark):
+    """NULL interval bounds match nothing — the same semantics as the
+    naive theta join, whose NULL comparisons are false (so the bucketed
+    decomposition stays equivalent); an effectively-unbounded span
+    raises a clear executor-side error before exploding into millions
+    of bucket rows."""
+    import pytest
+
+    points = spark.createDataFrame(
+        [(5, "a", 1.0)], "timestamp long, tag string, value double"
+    )
+    null_iv = spark.createDataFrame(
+        [("a", None, 10), ("a", 0, 10)], "tag string, lo_ms long, hi_ms long"
+    )
+    rows = interval_join(points, null_iv, bucket_ms=10).collect()
+    assert [(r["lo_ms"], r["hi_ms"]) for r in rows] == [(0, 10)]
+    huge_iv = spark.createDataFrame(
+        [("a", 0, 10**12)], "tag string, lo_ms long, hi_ms long"
+    )
+    with pytest.raises(Exception, match="raise bucket_ms"):
+        interval_join(points, huge_iv, bucket_ms=10).collect()
+    # valid intervals keep working through the guarded path
+    ok = spark.createDataFrame(
+        [("a", 0, 10)], "tag string, lo_ms long, hi_ms long"
+    )
+    assert interval_join(points, ok, bucket_ms=10).count() == 1

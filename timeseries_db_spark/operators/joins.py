@@ -182,13 +182,42 @@ def interval_join(
     projects). Both frames must share the ``on`` key column."""
     from timeseries_db_spark.functions.numeric import duck_div
 
-    iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                duck_div(F.col(lo), bucket_ms), duck_div(F.col(hi), bucket_ms)
+    # NULL bounds need no guard: the residual range predicates compare
+    # against NULL → false, so a NULL-bounded interval matches nothing —
+    # in BOTH this plan and the naive theta join (the optimizer even
+    # infers the not-null filters from the join condition and prunes
+    # such rows before the explode). The real hazard is an effectively
+    # UNBOUNDED interval (open-ended "ongoing" windows): its bucket
+    # explode fans out to millions of rows. Guard it executor-side,
+    # folded INTO the bucket expression so column pruning cannot drop
+    # the check; callers clamp open ends to their data horizon and/or
+    # raise bucket_ms.
+    max_buckets = 100_000
+    span_ok = (
+        (
+            duck_div(F.col(hi), bucket_ms) - duck_div(F.col(lo), bucket_ms)
+            < F.lit(max_buckets)
+        )
+        | (F.col(hi) < F.col(lo))
+        | F.col(lo).isNull()
+        | F.col(hi).isNull()
+    )
+    hi_b = F.when(span_ok, duck_div(F.col(hi), bucket_ms)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans >= {max_buckets} "
+                    f"buckets of {bucket_ms} ms (lo="
+                ),
+                F.col(lo),
+                F.lit(", hi="),
+                F.col(hi),
+                F.lit("); raise bucket_ms or split the interval"),
             )
-        ),
+        )
+    )
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(duck_div(F.col(lo), bucket_ms), hi_b))
     )
     pt = points.withColumn("_b", duck_div(F.col(point_ts), bucket_ms))
     return (
