@@ -249,3 +249,44 @@ def test_bloom_contamination_superset_of_exact(spark, sf_dir):
     extra_docs = set(bloom) - set(exact)
     assert len(extra_docs) <= max(10, 0.2 * len(bloom)), (
         len(extra_docs), len(bloom))
+
+
+def test_source_reputation_semantics_and_oracle(spark, sf_dir):
+    """Domain-level filtering: every document of a source shares the
+    source's kept decision; a deliberately poisoned low-quality source
+    is dropped wholesale even though the threshold is per-source mean,
+    not per-doc; and the sf fixture matches the DuckDB twin."""
+    from tests.oracle import check_against_duckdb
+    from timeseries_db_spark.operators.corpus import (
+        source_reputation,
+        source_reputation_sql,
+    )
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_reputation(docs)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add((r["src_mean"], r["kept"]))
+    # one (mean, decision) per source — per-doc rows never disagree
+    assert all(len(v) == 1 for v in by_src.values())
+    assert len(rows) == docs.count()
+    check_against_duckdb(out, source_reputation_sql(), sf_dir)
+
+    # poisoned source: junk docs (no stopwords, no alpha) drag the mean
+    # below tau and take their individually-OK neighbor down with them
+    junk = [(1000 + i, "000 111 222 333 444", "en", "spam", 19) for i in range(9)]
+    ok_doc = [(1009, "the quick brown fox jumps over the lazy dog", "en", "spam", 44)]
+    good = [(1100 + i, "the quick brown fox jumps over the lazy dog and runs on", "en", "fine", 56) for i in range(10)]
+    frame = spark.createDataFrame(
+        junk + ok_doc + good,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # tau between the two means (0.0554 vs 0.456): spam's nine junk
+    # docs drag even its one individually-decent page below the bar
+    got = {
+        (r["source"], r["kept"])
+        for r in source_reputation(frame, min_mean_quality=0.25).collect()
+    }
+    assert got == {("spam", False), ("fine", True)}

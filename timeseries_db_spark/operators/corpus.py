@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.functions.numeric import duck_div
+from timeseries_db_spark.functions.numeric import duck_div, duck_round
 
 from timeseries_db_spark.operators.dedup import doc_shingles, _SHINGLES_CTE_DUCK
 
@@ -556,4 +556,64 @@ def curate_corpus_sql(
         LEFT JOIN q ON q.doc_id = d.doc_id
         LEFT JOIN losers l ON l.doc_id = d.doc_id
         LEFT JOIN cont ON cont.doc_id = d.doc_id
+    """
+
+
+def source_reputation(
+    docs: DataFrame, min_mean_quality: float = 0.5
+) -> DataFrame:
+    """(doc_id, source, quality, src_mean, kept) — SOURCE-level (domain-
+    style) filtering, the step between per-document scoring and
+    training-set assembly: a source whose MEAN heuristic quality falls
+    below the threshold is dropped wholesale (spam domains poison even
+    their individually-passable pages; cf. C4 / Gopher's domain
+    blocklists, built from exactly this per-domain aggregate).
+
+    Scale: per-source means are one hash aggregation with map-side
+    partials over the map-only :func:`~timeseries_db_spark.operators.
+    text.quality_score` projection; the source table is tiny (domains ≪
+    documents) and broadcasts back onto the stream — no corpus-sized
+    shuffle. Determinism: the mean divides an exact DECIMAL sum of the
+    4-decimal quality doubles by an exact count, then ``duck_round``s —
+    partition-order independent and engine-exact, so the kept/dropped
+    decision hashes identically (fixture means keep ≥ 6e-4 clearance
+    from the default threshold)."""
+    from timeseries_db_spark.operators.text import quality_score
+
+    scored = quality_score(docs, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    src = scored.groupBy("source").agg(
+        duck_round(
+            F.sum(F.col("quality").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("src_mean")
+    )
+    return scored.join(F.broadcast(src), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        "src_mean",
+        (F.col("src_mean") >= min_mean_quality).alias("kept"),
+    )
+
+
+def source_reputation_sql(min_mean_quality: float = 0.5) -> str:
+    from timeseries_db_spark.operators.text import quality_score_sql
+
+    return f"""
+        WITH q AS (
+            SELECT doc_id, source, quality
+            FROM ({quality_score_sql(keep=("source",))})
+        ),
+        s AS (
+            SELECT source,
+                   round(sum(quality::DECIMAL(38,10))::DOUBLE / count(*), 4)
+                       + 0.0 AS src_mean
+            FROM q GROUP BY source
+        )
+        SELECT q.doc_id, q.source, q.quality, s.src_mean,
+               s.src_mean >= {min_mean_quality} AS kept
+        FROM q JOIN s USING (source)
     """

@@ -591,7 +591,18 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("is_dup_loser").alias("dup_loser"),
             "kept",
         )
-        return topk.unionByName(cur)
+        # r8: source-level (domain) filtering — the mean rides in `v` as
+        # an exact fixed-point long (the rounded double × 10⁴)
+        src = corpus.source_reputation(docs).select(
+            "doc_id",
+            F.lit("source").alias("kind"),
+            F.col("source").alias("stratum"),
+            "quality",
+            F.round(F.col("src_mean") * 10_000).cast("long").alias("v"),
+            nb.alias("dup_loser"),
+            "kept",
+        )
+        return topk.unionByName(cur).unionByName(src)
 
     q["corpus_curation_topk"] = corpus_curation
     o["corpus_curation_topk"] = f"""
@@ -602,6 +613,11 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT doc_id, 'curate' AS kind, split AS stratum, quality,
                n_shared AS v, is_dup_loser AS dup_loser, kept
         FROM ({corpus.curate_corpus_sql()}) c
+        UNION ALL
+        SELECT doc_id, 'source' AS kind, source AS stratum, quality,
+               round(src_mean * 10000)::BIGINT AS v,
+               NULL::BOOLEAN AS dup_loser, kept
+        FROM ({corpus.source_reputation_sql()}) s
     """
 
     # ---- similarity search ----
