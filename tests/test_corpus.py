@@ -277,16 +277,18 @@ def test_source_reputation_semantics_and_oracle(spark, sf_dir):
     # poisoned source: junk docs (no stopwords, no alpha) drag the mean
     # below tau and take their individually-OK neighbor down with them
     junk = [(1000 + i, "000 111 222 333 444", "en", "spam", 19) for i in range(9)]
+    # NULL-source docs must form their own reputation group, not vanish
+    # from the result (review r8: an inner join never matches NULL keys)
+    nosrc = [(1200, "the quick brown fox jumps over the lazy dog and runs on", "en", None, 56)]
     ok_doc = [(1009, "the quick brown fox jumps over the lazy dog", "en", "spam", 44)]
     good = [(1100 + i, "the quick brown fox jumps over the lazy dog and runs on", "en", "fine", 56) for i in range(10)]
     frame = spark.createDataFrame(
-        junk + ok_doc + good,
+        junk + ok_doc + good + nosrc,
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     # tau between the two means (0.0554 vs 0.456): spam's nine junk
     # docs drag even its one individually-decent page below the bar
-    got = {
-        (r["source"], r["kept"])
-        for r in source_reputation(frame, min_mean_quality=0.25).collect()
-    }
-    assert got == {("spam", False), ("fine", True)}
+    rep = source_reputation(frame, min_mean_quality=0.25).collect()
+    got = {(r["source"], r["kept"]) for r in rep}
+    assert got == {("spam", False), ("fine", True), (None, True)}
+    assert len(rep) == frame.count()  # every doc gets a decision

@@ -159,6 +159,13 @@ def test_interval_join_null_bounds_and_unbounded_span(spark):
     )
     with pytest.raises(Exception, match="raise bucket_ms"):
         interval_join(points, huge_iv, bucket_ms=10).collect()
+    # a REVERSED huge interval must not build a descending 10^11-element
+    # sequence (review r8) — it matches nothing, like the theta join
+    rev_iv = spark.createDataFrame(
+        [("a", 10**12, 0), ("a", 0, 10)], "tag string, lo_ms long, hi_ms long"
+    )
+    rows = interval_join(points, rev_iv, bucket_ms=10).collect()
+    assert [(r["lo_ms"], r["hi_ms"]) for r in rows] == [(0, 10)]
     # valid intervals keep working through the guarded path
     ok = spark.createDataFrame(
         [("a", 0, 10)], "tag string, lo_ms long, hi_ms long"

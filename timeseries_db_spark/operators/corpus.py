@@ -590,12 +590,22 @@ def source_reputation(
             4,
         ).alias("src_mean")
     )
-    return scored.join(F.broadcast(src), "source").select(
-        "doc_id",
-        "source",
-        "quality",
-        "src_mean",
-        (F.col("src_mean") >= min_mean_quality).alias("kept"),
+    # eqNullSafe: documents with a NULL source form their OWN
+    # reputation group instead of silently vanishing from the result
+    # (a plain inner join never matches NULL keys — review r8); the
+    # build side's key is renamed so the join output is unambiguous
+    return (
+        scored.join(
+            F.broadcast(src.withColumnRenamed("source", "_src")),
+            F.col("source").eqNullSafe(F.col("_src")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "src_mean",
+            (F.col("src_mean") >= min_mean_quality).alias("kept"),
+        )
     )
 
 
@@ -615,5 +625,5 @@ def source_reputation_sql(min_mean_quality: float = 0.5) -> str:
         )
         SELECT q.doc_id, q.source, q.quality, s.src_mean,
                s.src_mean >= {min_mean_quality} AS kept
-        FROM q JOIN s USING (source)
+        FROM q JOIN s ON q.source IS NOT DISTINCT FROM s.source
     """

@@ -182,33 +182,30 @@ def interval_join(
     projects). Both frames must share the ``on`` key column."""
     from timeseries_db_spark.functions.numeric import duck_div
 
-    # NULL bounds need no guard: the residual range predicates compare
-    # against NULL → false, so a NULL-bounded interval matches nothing —
-    # in BOTH this plan and the naive theta join (the optimizer even
-    # infers the not-null filters from the join condition and prunes
-    # such rows before the explode). The real hazard is an effectively
-    # UNBOUNDED interval (open-ended "ongoing" windows): its bucket
-    # explode fans out to millions of rows. Guard it executor-side,
-    # folded INTO the bucket expression so column pruning cannot drop
-    # the check; callers clamp open ends to their data horizon and/or
-    # raise bucket_ms.
+    # Degenerate intervals are dropped BEFORE the explode: a NULL bound
+    # or a reversed range (hi < lo) matches nothing under the residual
+    # predicates — in BOTH this plan and the naive theta join (NULL
+    # comparisons are false; ts >= lo AND ts < hi is unsatisfiable when
+    # hi < lo) — and sequence(start, stop) with start > stop would
+    # otherwise build a DESCENDING array of |span| elements (a reversed
+    # 10^12 ms interval = a 10^11-element array → OOM, review r8).
+    # The remaining hazard is a legitimately huge span (open-ended
+    # "ongoing" windows): its bucket explode fans out to millions of
+    # rows. Guard it executor-side, folded INTO the bucket expression so
+    # column pruning cannot drop the check; callers clamp open ends to
+    # their data horizon and/or raise bucket_ms.
     max_buckets = 100_000
-    span_ok = (
-        (
-            duck_div(F.col(hi), bucket_ms) - duck_div(F.col(lo), bucket_ms)
-            < F.lit(max_buckets)
-        )
-        | (F.col(hi) < F.col(lo))
-        | F.col(lo).isNull()
-        | F.col(hi).isNull()
+    span_buckets = (
+        duck_div(F.col(hi), bucket_ms) - duck_div(F.col(lo), bucket_ms) + 1
     )
-    hi_b = F.when(span_ok, duck_div(F.col(hi), bucket_ms)).otherwise(
+    hi_b = F.when(
+        span_buckets <= F.lit(max_buckets), duck_div(F.col(hi), bucket_ms)
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(
-                    f"interval_join: interval spans >= {max_buckets} "
-                    f"buckets of {bucket_ms} ms (lo="
-                ),
+                F.lit("interval_join: interval explodes to "),
+                span_buckets,
+                F.lit(f" bucket rows of {bucket_ms} ms (max {max_buckets}; lo="),
                 F.col(lo),
                 F.lit(", hi="),
                 F.col(hi),
@@ -216,7 +213,7 @@ def interval_join(
             )
         )
     )
-    iv = intervals.withColumn(
+    iv = intervals.filter(F.col(hi) >= F.col(lo)).withColumn(
         "_b", F.explode(F.sequence(duck_div(F.col(lo), bucket_ms), hi_b))
     )
     pt = points.withColumn("_b", duck_div(F.col(point_ts), bucket_ms))

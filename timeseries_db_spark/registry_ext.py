@@ -603,7 +603,9 @@ def register_extensions(q: dict, o: dict) -> None:
             F.lit("source").alias("kind"),
             F.col("source").alias("stratum"),
             "quality",
-            F.round(F.col("src_mean") * 10_000).cast("long").alias("v"),
+            numeric.duck_round(F.col("src_mean") * 10_000, 0)
+            .cast("long")
+            .alias("v"),
             nb.alias("dup_loser"),
             "kept",
         )
