@@ -292,3 +292,55 @@ def test_source_reputation_semantics_and_oracle(spark, sf_dir):
     got = {(r["source"], r["kept"]) for r in rep}
     assert got == {("spam", False), ("fine", True), (None, True)}
     assert len(rep) == frame.count()  # every doc gets a decision
+
+
+def test_training_pipeline_composition(spark, sf_dir):
+    """End-to-end composition of the pipeline operators a training-data
+    run chains in order — split → dedup-aware curation → LM tercile →
+    source reputation → sequence packing — asserting the cross-operator
+    invariants that make the composition sound: decisions are
+    per-document consistent, stages only ever SHRINK the candidate set,
+    every stage's keys exist in the previous stage's output, and the
+    final packed layout covers exactly the surviving documents."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators import corpus, lm
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. deterministic split: total, disjoint
+    splits = corpus.assign_splits(docs)
+    assert splits.count() == n_docs
+    assert splits.select("doc_id").distinct().count() == n_docs
+
+    # 2. curation (quality + contamination + exact-dup losers) on train
+    curated = corpus.curate_corpus(docs)
+    kept1 = curated.filter("kept").select("doc_id")
+    n1 = kept1.count()
+    assert 0 < n1 < n_docs
+
+    # 3. LM fluency cut: drop the tail tercile of the survivors
+    scored = lm.lm_score(docs.join(kept1, "doc_id"))
+    buckets = lm.lm_partition(scored)
+    assert buckets.count() == n1
+    kept2 = buckets.filter("bucket <= 2").select("doc_id")
+    n2 = kept2.count()
+    assert 0 < n2 < n1
+
+    # 4. source reputation on the survivors: decisions total over input
+    rep = corpus.source_reputation(docs.join(kept2, "doc_id"))
+    assert rep.count() == n2
+    kept3 = rep.filter("kept").select("doc_id")
+    n3 = kept3.count()
+    assert 0 < n3 <= n2
+
+    # 5. pack the final set: every surviving doc lands in the layout
+    packed = corpus.pack_sequences(docs.join(kept3, "doc_id"))
+    assert packed.count() == n3
+    assert packed.filter("tok_offset < 0").count() == 0
+    # monotone shrink all the way down, and stage keys stay subsets
+    assert n_docs > n1 > n2 >= n3
+    orphans = kept3.join(kept1, "doc_id", "left_anti").count()
+    assert orphans == 0
