@@ -600,3 +600,12 @@ def test_auto_compact_occ_loss_does_not_fail_the_write(spark, tmp_path, monkeypa
 def test_changes_rejects_inverted_range(table):
     with pytest.raises(ValueError, match="from_version"):
         table.changes(table.version(), 0)
+
+
+def test_changes_of_vacuumed_version_fails_fast(spark, tmp_path):
+    t = TsTable.create(spark, str(tmp_path / "cv"), auto_compact_commits=0)
+    for i in range(3):
+        t.insert(mk(spark, [(T0 + i, f"v{i}", float(i))]))
+    t.vacuum(retain_versions=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.changes(1, t.version())

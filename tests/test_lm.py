@@ -202,3 +202,29 @@ def test_lm_partition_terciles(spark, sf_dir):
     check_against_duckdb(
         part, lm.lm_partition_sql(lm.lm_score_sql()), sf_dir
     )
+
+
+def test_lm_partition_approx_agrees_with_exact(spark, sf_dir):
+    """The sketch-boundary scale twin: no global sort in the assignment
+    (map-only comparisons against collected boundary literals), bucket
+    sizes near-equal, and >= 95% agreement with the exact ntile form —
+    the drift lives only at boundary ties within the sketch's rank
+    error."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm.lm_score(docs)
+    exact = {
+        r["doc_id"]: r["bucket"] for r in lm.lm_partition(scored).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in lm.lm_partition_approx(scored).collect()
+    }
+    assert set(exact) == set(approx)
+    n = len(exact)
+    agree = sum(1 for d in exact if exact[d] == approx[d])
+    assert agree >= 0.95 * n, f"agreement {agree}/{n}"
+    from collections import Counter
+
+    sizes = Counter(approx.values())
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) <= 1.2 * (n / 3)

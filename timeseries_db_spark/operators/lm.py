@@ -344,3 +344,34 @@ def lm_partition_sql(score_sql: str, n_buckets: int = 3) -> str:
                    AS bucket
         FROM ({score_sql})
     """
+
+
+def lm_partition_approx(
+    scored: DataFrame, n_buckets: int = 3, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB twin of :func:`lm_partition`: bucket boundaries from
+    ``percentile_approx`` (a mergeable sketch — map-side partials, no
+    global sort, bounded driver state of ``n_buckets − 1`` scalars)
+    instead of a single-task ntile. Documents then bucket by comparing
+    their exact score against the collected boundary literals —
+    map-only.
+
+    Approximate by design: bucket sizes are equal within the sketch's
+    rank error (≈ corpus/accuracy) and boundary-tied documents land
+    deterministically by score comparison, not by rank — so this is NOT
+    value-oracle-gateable (the exact :func:`lm_partition` is); pytest
+    pins size balance and ≥95% assignment agreement with the exact
+    form instead."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.agg(
+        F.percentile_approx("score_fp", qs, accuracy).alias("b")
+    ).first()["b"]
+    # ascending quantile boundaries; build the when-chain from the
+    # LOWEST bound inward so the HIGHEST bound is the outermost check:
+    # score > top-bound → bucket 1 (head), … , else bucket n (tail)
+    bucket = F.lit(n_buckets)
+    for i, b in enumerate(bounds):
+        bucket = F.when(
+            F.col("score_fp") > F.lit(int(b)), n_buckets - 1 - i
+        ).otherwise(bucket)
+    return scored.select("doc_id", bucket.cast("int").alias("bucket"))
