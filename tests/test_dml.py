@@ -609,3 +609,33 @@ def test_changes_of_vacuumed_version_fails_fast(spark, tmp_path):
     t.vacuum(retain_versions=0)
     with pytest.raises(ValueError, match="vacuumed"):
         t.changes(1, t.version())
+
+
+def test_restore_and_history(table, spark):
+    """RESTORE publishes the old content as a NEW version (the mistake
+    and the recovery both stay in history); history() lists retained
+    versions newest-first; restoring a vacuumed version fails fast."""
+    v1 = table.version()
+    before = rows_of(table)
+    table.insert(mk(spark, [(T0 + 5, "oops", 99.0)]))
+    assert (T0 + 5, "oops", 99.0) in rows_of(table)
+
+    table.restore(v1)
+    assert rows_of(table) == before
+    assert table.version() == v1 + 2  # the rollback is itself a commit
+    # the mistake remains time-travel visible
+    assert (T0 + 5, "oops", 99.0) in {
+        (r["timestamp"], r["tag"], r["value"])
+        for r in table.read(v1 + 1).collect()
+    }
+    # restored state accepts further writes (CAS base is fresh)
+    table.insert(mk(spark, [(T0 + 6, "next", 1.0)]))
+
+    hist = table.history()
+    assert [h["version"] for h in hist] == list(range(table.version(), -1, -1))
+    assert hist[0]["current"] and not any(h["current"] for h in hist[1:])
+    assert all(h["n_commits"] >= 0 for h in hist)
+
+    table.vacuum()  # retain only current
+    with pytest.raises(ValueError, match="vacuumed"):
+        table.restore(v1)

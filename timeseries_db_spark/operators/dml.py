@@ -554,6 +554,56 @@ class TsTable:
         """Reset to empty (DELETE with empty body — ``Handlers.hs:72-73``)."""
         self._publish({})
 
+    def history(self) -> list[dict]:
+        """Version history of RETAINED manifests, newest first — the
+        DESCRIBE HISTORY analog: one dict per version with its partition
+        and commit-dir counts. Reads only manifest JSON (no data files),
+        so it is O(retained versions)."""
+        mdir = os.path.join(self.path, "_manifests")
+        out = []
+        for entry in sorted(os.listdir(mdir), reverse=True):
+            if not (entry.startswith("m") and entry.endswith(".json")):
+                continue
+            with open(os.path.join(mdir, entry)) as f:
+                m = json.load(f)
+            parts = m["partitions"]
+            out.append(
+                {
+                    "version": m["version"],
+                    "n_partitions": len(parts),
+                    "n_commits": len(
+                        {
+                            rel.split("/", 1)[0]
+                            for dirs in parts.values()
+                            for rel in dirs
+                        }
+                    ),
+                    "current": m["version"] == self.version(),
+                }
+            )
+        return out
+
+    def restore(self, version: int) -> None:
+        """Roll the table BACK to a retained historical version — the
+        Delta RESTORE analog: publishes a NEW version whose partition map
+        is the old manifest's, so the rollback is itself a commit
+        (time-travel can see both the mistake and the recovery, and the
+        CAS applies like any write). O(manifest) — no data files move;
+        the restored version must still be within the vacuum retention
+        window."""
+        current = self.version()
+        if not 0 <= version <= current:
+            raise ValueError(f"version {version} out of range [0, {current}]")
+        try:
+            with open(self._manifest_path(version)) as f:
+                manifest = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} has been vacuumed (retention window "
+                "passed it)"
+            ) from None
+        self._publish(manifest["partitions"], current)
+
     # ---------- change feed ----------
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
