@@ -131,3 +131,20 @@ def test_presence_errors_are_index_membership(eng):
     assert (
         eng.query_json({"tsEq": T0 + 999, "aggFunc": "max", "groupBy": "tag"}) == []
     )
+
+
+def test_engine_versioning_surface(spark, tmp_path):
+    """The maintenance/versioning surface is reachable through the
+    user-facing engine class, not just the storage layer."""
+    from timeseries_db_spark.engine import TsdbEngine
+
+    e = TsdbEngine(spark, str(tmp_path / "ver"))
+    e.insert([(1000, "a", 1.0)])
+    v1 = e.version()
+    e.insert([(2000, "b", 2.0)])
+    feed = {(r["timestamp"], r["tag"], r["change"]) for r in e.changes(v1).collect()}
+    assert feed == {(2000, "b", "insert")}
+    e.restore(v1)
+    assert e.query_json({"aggFunc": "count"}) == {"result": 1.0}
+    assert e.history()[0]["current"]
+    e.vacuum()

@@ -105,6 +105,27 @@ class TsdbEngine:
     def truncate(self) -> None:
         self.table.truncate()
 
+    # ---------- maintenance / versioning (north-star surface) ----------
+
+    def version(self) -> int:
+        return self.table.version()
+
+    def history(self) -> list[dict]:
+        """Retained version history, newest first (TsTable.history)."""
+        return self.table.history()
+
+    def restore(self, version: int) -> None:
+        """Roll back to a retained version as a NEW commit (TsTable.restore)."""
+        self.table.restore(version)
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Keyed change feed between versions (TsTable.changes)."""
+        return self.table.changes(from_version, to_version)
+
+    def vacuum(self, retain_versions: int = 0) -> None:
+        """Reclaim history outside the retention window (TsTable.vacuum)."""
+        self.table.vacuum(retain_versions)
+
     # ---------- read route ----------
 
     def query(self, qm, *, strict: bool = True) -> DataFrame:
