@@ -260,3 +260,38 @@ def test_nonfinite_numeric_fields_get_400(served):
         except urllib.error.HTTPError as exc:
             status = exc.code
         assert status == 400, literal
+
+
+def test_history_and_restore_routes(spark, tmp_path):
+    """Extension routes: GET /timeseries/history lists versions; POST
+    /timeseries/restore rolls back as a new commit; bad bodies and
+    out-of-range versions are 400s."""
+    from timeseries_db_spark.engine import TsdbEngine
+    from timeseries_db_spark.server import make_server
+
+    engine = TsdbEngine(spark, str(tmp_path / "vr"))
+    httpd = make_server(engine, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        _call(base, "POST", "/timeseries", [{"timestamp": 1, "tag": "a", "value": 1.0}])
+        v1 = engine.version()
+        _call(base, "POST", "/timeseries", [{"timestamp": 2, "tag": "b", "value": 2.0}])
+
+        status, body, _ = _call(base, "GET", "/timeseries/history")
+        hist = json.loads(body)
+        assert status == 200 and hist[0]["current"] and len(hist) >= 3
+
+        status, body, _ = _call(base, "POST", "/timeseries/restore", {"version": v1})
+        assert (status, body) == (200, "[]")
+        _, body, _ = _call(base, "POST", "/timeseries/query", {"aggFunc": "count"})
+        assert json.loads(body) == {"result": 1.0}
+
+        status, _, _ = _call(base, "POST", "/timeseries/restore", {"version": 9999})
+        assert status == 400
+        status, _, _ = _call(base, "POST", "/timeseries/restore", {"ver": 1})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5)

@@ -13,6 +13,13 @@ Routes (byte-level parity with the reference where it is observable):
 * ``POST   /timeseries/query``  — ``QueryModel`` JSON → the untagged
   ``QueryR`` union (rows / ``{group,result}`` pairs / ``{result}``)
 
+Extension routes beyond the reference's four (clearly additive — the
+reference has no versioning surface at all):
+
+* ``GET    /timeseries/history``  — retained version list (newest first)
+* ``POST   /timeseries/restore``  — ``{"version": N}`` → roll back as a
+  new commit (404-free parity note: unknown routes stay 404)
+
 Parity details:
 
 * success responses encode servant's ``Post '[JSON] ()`` the way aeson
@@ -139,6 +146,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_OPTIONS(self):  # CORS preflight
         self._respond(200, b"", "text/plain")
 
+    def do_GET(self):
+        if self._route() == "/timeseries/history":
+            self._dispatch(lambda: self._ok_json(self.engine.history()))
+        else:
+            self._respond(404, b"Not found.", "text/plain")
+
     def do_POST(self):
         route = self._route()
         if route == "/timeseries":
@@ -152,6 +165,23 @@ class _Handler(BaseHTTPRequestHandler):
                 self._ok_json([])  # aeson: () encodes as []
 
             self._dispatch(insert)
+        elif route == "/timeseries/restore":
+
+            def restore():
+                body = self._body()
+                if not isinstance(body, dict) or "version" not in body:
+                    raise _BadRequest('Expected {"version": N}.')
+                v = body["version"]
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise _BadRequest(f"Field 'version' expects an integer, got {v!r}.")
+                try:
+                    with self.write_lock:
+                        self.engine.restore(v)
+                except ValueError as exc:
+                    raise _BadRequest(str(exc)) from exc
+                self._ok_json([])
+
+            self._dispatch(restore)
         elif route == "/timeseries/query":
 
             def query():
