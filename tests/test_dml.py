@@ -639,3 +639,22 @@ def test_restore_and_history(table, spark):
     table.vacuum()  # retain only current
     with pytest.raises(ValueError, match="vacuumed"):
         table.restore(v1)
+
+
+def test_history_excludes_pending_manifest(spark, tmp_path):
+    """A manifest above the pointer (commit mid-swap / awaiting
+    recover()) must not appear in history(): every listed version is one
+    read()/restore() will accept."""
+    path = str(tmp_path / "hp")
+    t = TsTable.create(spark, path, df=mk(spark, [(T0, "seed", 0.0)]))
+    real = TsTable._advance_pointer
+    try:
+        TsTable._advance_pointer = lambda self, v: None
+        t.insert(mk(spark, [(T0 + 1, "pending", 1.0)]))
+    finally:
+        TsTable._advance_pointer = real
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["current"]
+    t.recover()
+    assert t.history()[0]["version"] == 2

@@ -228,3 +228,13 @@ def test_lm_partition_approx_agrees_with_exact(spark, sf_dir):
     sizes = Counter(approx.values())
     assert set(sizes) == {1, 2, 3}
     assert max(sizes.values()) <= 1.2 * (n / 3)
+
+
+def test_lm_partition_approx_empty_corpus(spark):
+    """Empty input returns an empty frame, mirroring the exact form."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_tri long, score_fp long, "
+        "avg_logprob double, bits_per_char double"
+    )
+    assert lm.lm_partition_approx(empty).count() == 0
+    assert lm.lm_partition(empty).count() == 0

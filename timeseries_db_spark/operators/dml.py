@@ -143,6 +143,22 @@ class TsTable:
         with open(self._manifest_path(self.version())) as f:
             return json.load(f)
 
+    def _resolve_manifest(self, version: int) -> dict:
+        """Range-checked, retention-aware manifest load — the single
+        implementation behind read()/changes()/restore() time travel
+        (review r8: three hand-copies had already appeared)."""
+        current = self.version()
+        if not 0 <= version <= current:
+            raise ValueError(f"version {version} out of range [0, {current}]")
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} has been vacuumed (retention window "
+                "passed it)"
+            ) from None
+
     def _publish(
         self, partitions: dict[str, list[str]], base_version: int | None = None
     ) -> None:
@@ -287,22 +303,9 @@ class TsTable:
         union branch. The manifest is the engine's timestamp index (the
         scale analog of the reference's IntMap subtree pruning); callers
         still apply the exact row-level filter to the survivors."""
-        if version is None:
-            manifest = self._manifest()
-        else:
-            current = self.version()
-            if not 0 <= version <= current:
-                raise ValueError(
-                    f"version {version} out of range [0, {current}]"
-                )
-            try:
-                with open(self._manifest_path(version)) as f:
-                    manifest = json.load(f)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"version {version} has been vacuumed (retention "
-                    "window passed it)"
-                ) from None
+        manifest = (
+            self._manifest() if version is None else self._resolve_manifest(version)
+        )
         partitions = manifest["partitions"]
         only: set[str] | None = None
         if lo_ms is not None or hi_ms is not None:
@@ -560,12 +563,20 @@ class TsTable:
         and commit-dir counts. Reads only manifest JSON (no data files),
         so it is O(retained versions)."""
         mdir = os.path.join(self.path, "_manifests")
+        # ONE pointer read for the whole listing (review r8): per-entry
+        # re-reads raced a concurrent commit into a listing with zero
+        # rows flagged current; and manifests ABOVE the pointer (a
+        # commit mid-swap / awaiting recover()) are excluded — every
+        # listed version is one read()/restore() will accept
+        current = self.version()
         out = []
         for entry in sorted(os.listdir(mdir), reverse=True):
             if not (entry.startswith("m") and entry.endswith(".json")):
                 continue
             with open(os.path.join(mdir, entry)) as f:
                 m = json.load(f)
+            if m["version"] > current:
+                continue
             parts = m["partitions"]
             out.append(
                 {
@@ -578,7 +589,7 @@ class TsTable:
                             for rel in dirs
                         }
                     ),
-                    "current": m["version"] == self.version(),
+                    "current": m["version"] == current,
                 }
             )
         return out
@@ -592,17 +603,11 @@ class TsTable:
         the restored version must still be within the vacuum retention
         window."""
         current = self.version()
-        if not 0 <= version <= current:
-            raise ValueError(f"version {version} out of range [0, {current}]")
-        try:
-            with open(self._manifest_path(version)) as f:
-                manifest = json.load(f)
-        except FileNotFoundError:
-            raise ValueError(
-                f"version {version} has been vacuumed (retention window "
-                "passed it)"
-            ) from None
+        manifest = self._resolve_manifest(version)
         self._publish(manifest["partitions"], current)
+        # a pre-compaction manifest can reference many commit dirs;
+        # maintain the live-commit ceiling like every other write path
+        self._maybe_auto_compact()
 
     # ---------- change feed ----------
 
@@ -629,19 +634,10 @@ class TsTable:
                 f"{to_version} — a swapped range would silently invert "
                 "insert/delete labels"
             )
-        manifests = []
-        for v in (from_version, to_version):
-            if not 0 <= v <= self.version():
-                raise ValueError(f"version {v} out of range [0, {self.version()}]")
-            try:
-                with open(self._manifest_path(v)) as f:
-                    manifests.append(json.load(f)["partitions"])
-            except FileNotFoundError:
-                raise ValueError(
-                    f"version {v} has been vacuumed (retention window "
-                    "passed it)"
-                ) from None
-        m_from, m_to = manifests
+        m_from, m_to = (
+            self._resolve_manifest(from_version)["partitions"],
+            self._resolve_manifest(to_version)["partitions"],
+        )
         changed = {
             dt
             for dt in set(m_from) | set(m_to)

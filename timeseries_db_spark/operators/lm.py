@@ -366,6 +366,10 @@ def lm_partition_approx(
     bounds = scored.agg(
         F.percentile_approx("score_fp", qs, accuracy).alias("b")
     ).first()["b"]
+    if bounds is None:  # empty corpus: mirror lm_partition's empty frame
+        return scored.select(
+            "doc_id", F.lit(None).cast("int").alias("bucket")
+        ).filter(F.lit(False))
     # ascending quantile boundaries; build the when-chain from the
     # LOWEST bound inward so the HIGHEST bound is the outermost check:
     # score > top-bound → bucket 1 (head), … , else bucket n (tail)
