@@ -82,3 +82,93 @@ def test_random_dml_script_matches_model(spark, tmp_path_factory, script):
             (r["timestamp"], r["tag"]): r["value"] for r in table.read().collect()
         }
         assert got == model, (op, rows)
+
+
+# ---- versioning surface (r8): the model keeps a HISTORY of snapshots so
+# restore/truncate/changes can be checked against it ----
+
+vops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.lists(st.tuples(keys, values), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("truncate"), st.just([])),
+        st.tuples(st.just("restore"), st.integers(min_value=0, max_value=6)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(script=vops)
+def test_random_versioning_script_matches_model(spark, tmp_path_factory, script):
+    """Random interleavings of DML, truncate, and restore must track a
+    snapshot-history model exactly: the final table equals the model,
+    every retained version time-travels to its model snapshot, and
+    changes(u, v) replayed over the model's u-snapshot yields the
+    v-snapshot."""
+    path = str(tmp_path_factory.mktemp("verprop") / "t")
+    table = TsTable.create(spark, path, auto_compact_commits=0)
+    snapshots: list[dict] = [{}]  # snapshots[v] = model at version v
+    model: dict[tuple[int, str], float] = {}
+
+    for op, arg in script:
+        if op == "truncate":
+            table.truncate()
+            model = {}
+        elif op == "restore":
+            v = min(arg, table.version())
+            table.restore(v)
+            model = dict(snapshots[v])
+        else:
+            rows = arg
+            batch_keys = [k for k, _ in rows]
+            dup = len(set(batch_keys)) < len(batch_keys)
+            if op == "insert":
+                valid = not dup and all(k not in model for k in batch_keys)
+            elif op == "update":
+                valid = not dup and all(k in model for k in batch_keys)
+            else:
+                valid = all(k in model for k in batch_keys)
+            if not valid:
+                with pytest.raises(DmlError):
+                    getattr(table, op)(
+                        _df(spark, rows)
+                        if op != "delete"
+                        else _df(spark, rows).select("timestamp", "tag")
+                    )
+                continue  # rejected: no new version, no model change
+            if op == "delete":
+                table.delete(_df(spark, rows).select("timestamp", "tag"))
+                for k, _ in rows:
+                    model.pop(k, None)
+            else:
+                getattr(table, op)(_df(spark, rows))
+                for k, v_ in rows:
+                    model[k] = v_
+        snapshots.append(dict(model))
+        assert table.version() == len(snapshots) - 1
+
+    # final state, every retained version, and the change feed all agree
+    read = lambda v=None: {  # noqa: E731
+        (r["timestamp"], r["tag"]): r["value"]
+        for r in (table.read(v) if v is not None else table.read()).collect()
+    }
+    assert read() == model
+    for v, snap in enumerate(snapshots):
+        assert read(v) == snap, f"time travel to v{v}"
+    u, v = 0, len(snapshots) - 1
+    replayed = dict(snapshots[u])
+    for r in table.changes(u, v).collect():
+        k = (r["timestamp"], r["tag"])
+        if r["change"] == "delete":
+            replayed.pop(k)
+        else:
+            replayed[k] = r["value_after"]
+    assert replayed == snapshots[v], "change feed replay"
