@@ -192,6 +192,58 @@ def test_ivf_assignment_sims_clear_of_rounding_boundaries(spark):
         )
 
 
+def test_random_projection_jl_properties(spark, emb):
+    """The JL reduction (64 -> 16 dims, `random_projection`) must
+    deliver what the lemma promises at k=16 — bounded norm/distance
+    distortion — and retain SOME ranking signal. The fixture's
+    near-random vectors are the JL worst case for top-k (neighbor
+    cosine gaps ~0.05 are far below the ~1/sqrt(k)=0.25 distortion), so
+    the recall floor is deliberately weak: >= 4x the 5/(N-1) chance
+    baseline (measured 0.12 = 12x chance at both sf0.001 and sf0.01).
+    The distortion bounds are the real contract; they are what make the
+    reduced space usable for blocking/clustering at 100 TB."""
+    import numpy as np
+
+    from timeseries_db_spark.operators.similarity import random_projection
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ppdf = random_projection(emb, 64).toPandas().sort_values("vec_id")
+    assert list(ppdf["vec_id"]) == list(ids)
+    P = np.stack(ppdf["proj"].to_numpy())
+    assert P.shape == (len(ids), 16)
+
+    # norm preservation: ||proj|| estimates ||v|| within JL bounds
+    dn = np.abs(np.linalg.norm(P, axis=1) - np.linalg.norm(M, axis=1))
+    rel = dn / np.linalg.norm(M, axis=1)
+    assert np.median(rel) < 0.25 and np.percentile(rel, 95) < 0.6
+
+    # pairwise distance preservation on a deterministic pair sample
+    step = max(1, len(ids) // 50)
+    idx = np.arange(0, len(ids), step)
+    do = np.linalg.norm(M[idx, None, :] - M[None, idx, :], axis=2)
+    dp = np.linalg.norm(P[idx, None, :] - P[None, idx, :], axis=2)
+    iu = np.triu_indices(len(idx), k=1)
+    rel_d = np.abs(dp[iu] - do[iu]) / do[iu]
+    assert np.median(rel_d) < 0.25 and np.percentile(rel_d, 95) < 0.6
+
+    # ranking signal: top-5 recall in reduced space beats chance 4x
+    def topk_sets(X):
+        N = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = N @ N.T
+        np.fill_diagonal(S, -2)
+        return {
+            ids[i]: set(ids[np.argsort(-S[i])[:5]])
+            for i in range(len(ids))
+            if ids[i] % 100 == 0
+        }
+
+    ex, ap = topk_sets(M), topk_sets(P)
+    recall = np.mean([len(ex[q] & ap[q]) / 5 for q in ex])
+    assert recall >= 4 * 5 / (len(ids) - 1), recall
+
+
 def test_multimodal_real_header_decoders():
     """Real container parsing, no media libs: synthesized PNG/GIF/BMP/
     JPEG/WAV bytes; unknown containers raise (that decompression is the

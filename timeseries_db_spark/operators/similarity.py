@@ -945,3 +945,132 @@ def quantize_int8_sql() -> str:
                      END, 6) AS max_err
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+#: JL defaults: 64 -> 16 dims. The scale 1/sqrt(k) makes ||proj|| an
+#: unbiased estimator of ||v|| (E||Rv||^2 = k ||v||^2 for N(0,1) R);
+#: k = 16 keeps the factor 0.25 exactly representable in binary, so the
+#: scaling introduces no cross-engine rounding seam.
+RP_K = 16
+RP_SEED = 11
+
+
+def _rp_planes(dim: int) -> np.ndarray:
+    """(RP_K, dim) deterministic Gaussian projection matrix."""
+    rng = np.random.default_rng(RP_SEED)
+    return rng.standard_normal((RP_K, dim))
+
+
+def random_projection(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, proj) — project ``embedding`` (``dim`` floats) to
+    ``RP_K`` doubles with a fixed Gaussian matrix scaled by
+    ``1/sqrt(RP_K)``: the Johnson-Lindenstrauss reduction that a 100 TB
+    embedding pipeline runs before ANN indexing / clustering to cut
+    memory and compute 4x while approximately preserving norms and
+    pairwise distances (distortion ~ 1/sqrt(k)).
+
+    Map-only, zero shuffle, pure JVM: each output coordinate is a strict
+    left-fold dot against an inlined plane literal (the
+    :func:`_srp_dot_spark` machinery SRP buckets use), so projections
+    are bit-identical to the DuckDB twin and downstream fixed-point /
+    rounded summaries hash-match cross-engine. The matrix is k x dim
+    literals in the plan — fine for embedding-sized dims; a 10k-dim
+    input would move the planes to a broadcast array column instead."""
+    planes = _rp_planes(dim)
+    scale = 1.0 / np.sqrt(RP_K)
+    proj = F.array(
+        *[
+            F.expr(
+                f"{_srp_dot_spark('embedding', planes[j].tolist())}"
+                f" * CAST('{scale!r}' AS DOUBLE)"
+            )
+            for j in range(RP_K)
+        ]
+    )
+    return emb.select("vec_id", proj.alias("proj"))
+
+
+def rp_summary(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, n_dims, scale, sum_q, max_err) — per-vector summary of
+    the JL projection, shaped to union with :func:`quantize_int8`'s
+    row (the ``sim_quantize_int8`` gate entry folds both as ``kind``
+    legs): ``n_dims`` = RP_K, ``scale`` = the ORIGINAL L2 norm (6 dp),
+    ``sum_q`` = exact fixed-point (1e6) sum of the projected
+    coordinates (order-free BIGINT sum of bit-identical terms), and
+    ``max_err`` = the JL norm distortion ``|  ||proj|| - ||v||  | /
+    ||v||`` (6 dp; 0 for the zero vector). Both norms are strict
+    left-folds in array order, so every output digit is engine-exact."""
+    projected = random_projection(emb, dim).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    fold_sq = (
+        "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    orig_norm = F.expr(fold_sq.format(c="embedding"))
+    proj_norm = F.expr(fold_sq.format(c="proj"))
+    return projected.select(
+        "vec_id",
+        F.lit(RP_K).cast("long").alias("n_dims"),
+        duck_round(orig_norm, 6).alias("scale"),
+        F.expr(
+            "aggregate(transform(proj, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("sum_q"),
+        duck_round(
+            F.when(orig_norm == 0.0, F.lit(0.0)).otherwise(
+                F.abs(proj_norm - orig_norm) / orig_norm
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+def rp_summary_sql(dim: int, source: str = "embeddings") -> str:
+    """DuckDB twin of :func:`rp_summary` (bit-identical projections —
+    same 0.0-prepended strict left fold as :func:`srp_signatures_sql`)."""
+    planes = _rp_planes(dim)
+    scale = 1.0 / np.sqrt(RP_K)
+    rows = ", ".join(
+        f"({j}, ["
+        + ", ".join(f"'{x!r}'::DOUBLE" for x in planes[j].tolist())
+        + "])"
+        for j in range(RP_K)
+    )
+    dot = (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> e.embedding[i]::DOUBLE * p.plane[i])), (a, v) -> a + v)"
+        f" * '{scale!r}'::DOUBLE"
+    )
+    fold_sq = (
+        "sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform({c}, x -> x::DOUBLE * x::DOUBLE)), (a, v) -> a + v))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT e.vec_id, p.j, {dot} AS pj, e.embedding
+            FROM {source} e CROSS JOIN (VALUES {rows}) p(j, plane)
+        ),
+        g AS (
+            SELECT vec_id,
+                   list(pj ORDER BY j) AS pl,
+                   sum(floor(pj * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sum_q,
+                   any_value(embedding) AS embedding
+            FROM d GROUP BY vec_id
+        )
+        SELECT vec_id,
+               {RP_K}::BIGINT AS n_dims,
+               round({fold_sq.format(c="embedding")}, 6) AS scale,
+               sum_q,
+               round(CASE WHEN {fold_sq.format(c="embedding")} = 0 THEN 0.0
+                          ELSE abs({fold_sq.format(c="pl")}
+                                   - {fold_sq.format(c="embedding")})
+                               / {fold_sq.format(c="embedding")}
+                     END, 6) AS max_err
+        FROM g
+    """

@@ -628,8 +628,23 @@ def register_extensions(q: dict, o: dict) -> None:
     """
 
     # ---- similarity search ----
-    q["sim_quantize_int8"] = lambda s, d: similarity.quantize_int8(_emb(s, d))
-    o["sim_quantize_int8"] = similarity.quantize_int8_sql()
+    # r8 fold: int8 quantization + Johnson-Lindenstrauss random-projection
+    # summary (64 -> 16 dims) as `kind` legs of ONE entry — both are
+    # per-vector, map-only embedding transforms with the same summary
+    # shape, and the rp leg's fixed-point sums / rounded norms are
+    # engine-exact (strict left-fold dots against shared plane literals)
+    def quantize_and_rp(s: SparkSession, d: str) -> DataFrame:
+        e = _emb(s, d)
+        int8 = similarity.quantize_int8(e).withColumn("kind", F.lit("int8"))
+        rp = similarity.rp_summary(e, EMB_DIM).withColumn("kind", F.lit("rp"))
+        return int8.unionByName(rp)
+
+    q["sim_quantize_int8"] = quantize_and_rp
+    o["sim_quantize_int8"] = (
+        f"SELECT *, 'int8' AS kind FROM ({similarity.quantize_int8_sql()})"
+        " UNION ALL "
+        f"SELECT *, 'rp' AS kind FROM ({similarity.rp_summary_sql(EMB_DIM)})"
+    )
 
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
