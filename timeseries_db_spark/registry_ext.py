@@ -367,9 +367,31 @@ def register_extensions(q: dict, o: dict) -> None:
     o["events_props_stats"] = semistructured.props_stats_sql()
 
     # vocab application: token-id sequences under the top-100 vocabulary
-    # (the step between text_vocab_topn and corpus_pack)
-    q["corpus_tokenize"] = lambda s, d: text.tokenize_with_vocab(_docs(s, d), 100)
-    o["corpus_tokenize"] = text.tokenize_with_vocab_sql(100)
+    # (the step between text_vocab_topn and corpus_pack). r8 fold: the
+    # BPE segmentation summary joins as a `kind` leg — the chained
+    # greedy-replace apply (operators/bpe.py) under the fixed
+    # DEFAULT_MERGES tokenizer, same per-doc summary shape; the
+    # distributed TRAINER is pytest-verified against a pure-Python
+    # oracle (iterative argmax is not SQL-expressible)
+    def tokenize_both(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators import bpe
+
+        vocab = text.tokenize_with_vocab(_docs(s, d), 100).withColumn(
+            "kind", F.lit("vocab")
+        )
+        bpe_leg = bpe.bpe_doc_summary(_docs(s, d)).withColumn(
+            "kind", F.lit("bpe")
+        )
+        return vocab.unionByName(bpe_leg)
+
+    q["corpus_tokenize"] = tokenize_both
+    from timeseries_db_spark.operators import bpe as _bpe
+
+    o["corpus_tokenize"] = (
+        f"SELECT *, 'vocab' AS kind FROM ({text.tokenize_with_vocab_sql(100)})"
+        " UNION ALL "
+        f"SELECT *, 'bpe' AS kind FROM ({_bpe.bpe_doc_summary_sql()})"
+    )
 
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
