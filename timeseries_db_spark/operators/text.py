@@ -894,3 +894,134 @@ def tokenize_with_vocab_sql(vocab_n: int = 100) -> str:
                list_sum(ids)::BIGINT AS ids_sum
         FROM ids
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+#: BM25 constants (the Robertson/Walker defaults) and the fixed-point
+#: scale for cross-engine-exact scores, following the LM scorer's
+#: micro-unit discipline (operators/lm.py): per-(doc, term) partial
+#: scores quantize to BIGINT micro-units, so the per-doc SUM is exact
+#: integer arithmetic — order-free and engine-identical; the one libm
+#: call (ln in the idf) sits behind the same guard-band argument as the
+#: LM entry (asserted in tests/test_text.py).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_FP_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame, terms: tuple[str, ...], k: int = 20
+) -> DataFrame:
+    """(doc_id, score_fp, rank) — top-``k`` documents by BM25 relevance
+    to the query ``terms`` (rank ties broken by doc_id): the
+    query-driven curation primitive — "give me the corpus slice most
+    relevant to this topic" — and the classic lexical-retrieval baseline
+    next to the embedding top-k (`sim_cosine_topk`).
+
+    Scale shape: ONE corpus scan projects (doc_id, len); the term-level
+    stream is the explode FILTERED to the query terms before its
+    aggregation, so every shuffled row mentions a query term —
+    |docs| x |terms| worst case, not corpus tokens. Corpus statistics
+    (N, avg length, per-term df) are scalar/|terms|-sized aggregates
+    broadcast back (crossJoin of one-row frames — never a driver
+    collect of data rows), and the final top-k is
+    TakeOrderedAndProject. idf uses the BM25+ floor form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — nonnegative even for
+    terms in over half the corpus."""
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("size(filter(toks, t -> t <> ''))").cast("double").alias("len"),
+        F.col("toks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avg_len"),
+    )
+    term_col = F.explode(
+        F.filter(F.col("toks"), lambda t: t.isin(*terms))
+    ).alias("term")
+    tf = (
+        toks.select("doc_id", "len", term_col)
+        .groupBy("doc_id", "len", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("len") / F.col("avg_len"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            duck_round(F.lit(BM25_FP_SCALE) * idf * tf_part, 0)
+            .cast("long")
+            .alias("part_fp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_fp").alias("score_fp"))
+    )
+    w_before = scored.select(
+        F.col("doc_id").alias("b_id"), F.col("score_fp").alias("b_fp")
+    )
+    top = scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(k)
+    strictly_before = (F.col("b_fp") > F.col("score_fp")) | (
+        (F.col("b_fp") == F.col("score_fp")) & (F.col("b_id") < F.col("doc_id"))
+    )
+    return (
+        top.join(F.broadcast(w_before), strictly_before, "left")
+        .groupBy("doc_id", "score_fp")
+        .agg((F.count("b_id") + 1).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_sql(terms: tuple[str, ...], k: int = 20) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical expression trees
+    (same literal constants, same operation order), so every IEEE op
+    matches bitwise and the micro-unit partials agree exactly."""
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter({TOKENS_DUCK}, t -> t <> ''))::DOUBLE AS len,
+                   {TOKENS_DUCK} AS toks
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM toks
+        ),
+        tf AS (
+            SELECT doc_id, len, term, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, len, unnest(toks) AS term FROM toks)
+            WHERE term IN ({term_list})
+            GROUP BY doc_id, len, term
+        ),
+        df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT doc_id,
+                   sum(round({BM25_FP_SCALE} * (
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * ((tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1}
+                          * ({1.0 - BM25_B} + {BM25_B} * len / avg_len)))
+                   ))::BIGINT)::BIGINT AS score_fp
+            FROM tf JOIN df_t USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score_fp,
+               row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank
+        FROM scored
+        ORDER BY score_fp DESC, doc_id ASC
+        LIMIT {k}
+    """

@@ -346,8 +346,34 @@ def register_extensions(q: dict, o: dict) -> None:
     q["text_features"] = lambda s, d: text.features(_docs(s, d))
     o["text_features"] = text.features_sql()
 
-    q["text_vocab_topn"] = lambda s, d: text.vocab_topn(_docs(s, d), 100)
-    o["text_vocab_topn"] = text.vocab_topn_sql(100)
+    # r8 fold: top-N vocabulary + BM25 query-relevance top-k as `kind`
+    # legs — both are corpus-statistics rankers with a (key, weight,
+    # rank) shape; the bm25 leg's micro-unit scores are exact integers
+    # (LM-style fixed-point partials), so the union value-hashes whole
+    BM25_TERMS = ("spark", "query", "window", "hash")
+
+    def vocab_and_bm25(s: SparkSession, d: str) -> DataFrame:
+        vocab = text.vocab_topn(_docs(s, d), 100).withColumn(
+            "kind", F.lit("vocab")
+        )
+        bm25 = (
+            text.bm25_topk(_docs(s, d), BM25_TERMS, 20)
+            .select(
+                F.col("doc_id").cast("string").alias("token"),
+                F.col("score_fp").alias("freq"),
+                F.col("rank").alias("rnk"),
+            )
+            .withColumn("kind", F.lit("bm25"))
+        )
+        return vocab.unionByName(bm25)
+
+    q["text_vocab_topn"] = vocab_and_bm25
+    o["text_vocab_topn"] = (
+        f"SELECT *, 'vocab' AS kind FROM ({text.vocab_topn_sql(100)})"
+        " UNION ALL "
+        "SELECT doc_id::VARCHAR AS token, score_fp AS freq, rank AS rnk,"
+        f" 'bm25' AS kind FROM ({text.bm25_topk_sql(BM25_TERMS, 20)})"
+    )
 
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
     # repetition/diversity signals ride inside text_features; this is
