@@ -1,0 +1,118 @@
+"""HyperLogLog sketch: cross-engine oracle, accuracy vs exact NDV,
+register mergeability (the property that makes it a sketch), and the
+EXHAUSTIVE guard band for the linear-counting ln() seam — its input
+domain is {1..255} zero-register counts, so every possible libm call
+is checked, not a fixture sample."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators import sketches
+from timeseries_db_spark.registry import EVENTS_T
+from timeseries_db_spark.sources.tables import events_as_tsdb
+from tests.oracle import check_against_duckdb
+
+
+@pytest.fixture(scope="module")
+def tsdb(spark, sf_dir):
+    return events_as_tsdb(spark, sf_dir)
+
+
+def test_hll_matches_oracle(spark, sf_dir, tsdb):
+    check_against_duckdb(
+        sketches.hll_ndv(tsdb, "tag", F.col("timestamp").cast("string")),
+        sketches.hll_ndv_sql(EVENTS_T, "tag", '"timestamp"::VARCHAR'),
+        sf_dir,
+    )
+
+
+def test_hll_accuracy_against_exact(spark, tsdb):
+    """m = 256 gives ~1.04/sqrt(m) = 6.5% standard error; assert every
+    per-tag estimate lands within 3 sigma (20%) of the exact NDV."""
+    exact = {
+        r["tag"]: r["n"]
+        for r in tsdb.groupBy("tag")
+        .agg(F.countDistinct("timestamp").alias("n"))
+        .collect()
+    }
+    est = {
+        r["key"]: r["ndv_est"]
+        for r in sketches.hll_ndv(
+            tsdb, "tag", F.col("timestamp").cast("string")
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for tag, n in exact.items():
+        assert abs(est[tag] - n) / n < 0.20, (tag, est[tag], n)
+
+
+def test_hll_registers_merge_by_max(spark, tsdb):
+    """Sketch property: registers built on two disjoint halves of the
+    data, merged by per-bucket max, must equal the registers built on
+    the whole — so partitioned scans / streaming micro-batches can
+    each sketch locally and combine without rescanning."""
+    val = F.col("timestamp").cast("string")
+    whole = sketches.hll_registers(tsdb, "tag", val)
+    h1 = sketches.hll_registers(tsdb.filter("timestamp % 2 = 0"), "tag", val)
+    h2 = sketches.hll_registers(tsdb.filter("timestamp % 2 = 1"), "tag", val)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("key", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    a = {(r["key"], r["bucket"]): r["m"] for r in whole.collect()}
+    b = {(r["key"], r["bucket"]): r["m"] for r in merged.collect()}
+    assert a == b
+    # and the merged estimate equals the whole-data estimate
+    ea = {r["key"]: r["ndv_est"] for r in sketches.hll_estimate(whole).collect()}
+    eb = {r["key"]: r["ndv_est"] for r in sketches.hll_estimate(merged).collect()}
+    assert ea == eb
+
+
+def test_hll_linear_counting_guard_band_exhaustive():
+    """The linear-counting branch computes 256·ln(256/z) for z in
+    {1..255} — enumerate ALL of them and assert each quantizes at least
+    1e-6 away from a round(·, 4) half-boundary, so a ~1 ulp libm
+    difference can never flip the gate hash on ANY input, current or
+    future."""
+    for z in range(1, 256):
+        v = 256.0 * math.log(256.0 / z)
+        frac = abs(((v * 10_000.0) % 1.0) - 0.5)
+        assert frac > 1e-6, (z, v, frac)
+
+
+def test_hll_raw_branch_guard_band_fixture(spark, tsdb):
+    """Raw-branch twin of the LM guard band: the fixture tags' harmonic
+    estimates must also sit clear of their rounding boundaries."""
+    regs = sketches.hll_registers(
+        tsdb, "tag", F.col("timestamp").cast("string")
+    ).collect()
+    by_key: dict = {}
+    for r in regs:
+        by_key.setdefault(r["key"], {})[r["bucket"]] = r["m"]
+    for key, m in by_key.items():
+        zeros = 256 - len(m)
+        s = zeros * (1 << 53) + sum(1 << (53 - v) for v in m.values())
+        raw = sketches.HLL_ALPHA * 256.0 * 256.0 * float(1 << 53) / float(s)
+        if raw <= 640.0 and zeros > 0:
+            v = 256.0 * math.log(256.0 / zeros)
+        else:
+            v = raw
+        frac = abs(((v * 10_000.0) % 1.0) - 0.5)
+        assert frac > 1e-6, (key, v, frac)
+
+
+def test_hll_small_set_linear_counting(spark):
+    """Tiny inputs take the linear-counting branch and stay accurate:
+    20 distinct values must estimate within 15%."""
+    df = spark.createDataFrame(
+        [(i % 20, "a") for i in range(200)], "v long, tag string"
+    )
+    est = sketches.hll_ndv(df, "tag", F.col("v").cast("string")).collect()
+    assert len(est) == 1
+    assert abs(est[0]["ndv_est"] - 20) / 20 < 0.15, est[0]["ndv_est"]

@@ -1,0 +1,146 @@
+"""Engine-portable cardinality sketching (HyperLogLog).
+
+Native approximate aggregates (`approx_count_distinct`,
+`approx_count_distinct` in DuckDB) use engine-private hash functions, so
+their estimates can never cross-check. This HLL is built instead from
+the repo's shared 60-bit md5 hash (`functions/hashing.py`) with all
+register math in EXACT integer arithmetic, which makes the final
+estimate a deterministic function of the input SET — bit-identical in
+Spark and DuckDB, so the sketch carries a full value-level oracle
+(the `agg_ndv_by_tag` gate entry's ``hll`` leg) rather than the
+rows-only check approximate aggregates usually force.
+
+Sketch layout (p = 8, m = 256 registers):
+
+* ``bucket = h & 255`` (low 8 bits), ``rest`` = the remaining 52 bits;
+* ``rho`` = leading-zero count of ``rest`` within 52 bits + 1
+  = ``53 - bitlen(rest)``, where ``bitlen`` is the length of the
+  binary string (Spark ``conv(x, 10, 2)`` == DuckDB ``bin(x)`` —
+  verified identical including 0 -> '0');
+* registers ``M_j = max(rho)`` — an integer max, order-free;
+* the harmonic denominator ``sum(2^-M_j)`` is scaled to integers:
+  ``S = zeros * 2^53 + sum(2^(53 - M_j))`` ≤ 256·2^53 < 2^62 — an
+  EXACT BIGINT sum (the usual double harmonic sum is partition-order
+  dependent in its last ulp, which would break the oracle);
+* estimate: ``alpha_256 · m² · 2^53 / S``, with the standard
+  linear-counting switch ``E ≤ 2.5m ∧ zeros > 0 → m·ln(m/zeros)``.
+  The two ``ln``/division seams follow the LM scorer's guard-band
+  discipline — and the linear-counting branch's input domain is just
+  {1..255}, so the guard band is verified over EVERY possible input in
+  ``tests/test_sketches.py``, not merely the fixture's.
+
+Why it scales: registers are a (key, 256)-bounded table regardless of
+input size, built by one hash aggregation with map-side combine;
+sketches MERGE by register max (tested), which is what makes NDV
+maintainable under streaming ingest / partitioned scans at 100 TB —
+the exact ``count(DISTINCT)`` twin needs a full shuffle of every
+distinct value instead.
+
+Reference scope note: the reference engine has no approximate
+aggregates (SURVEY §2.6) — this is north-star surface for the
+training-pipeline side (e.g. per-source distinct-document or
+distinct-timestamp telemetry over corpus-scale tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.functions.hashing import md5_long, md5_long_sql
+from timeseries_db_spark.functions.numeric import duck_round
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+#: 0.7213 / (1 + 1.079/m) for m = 256 — inlined as the exact IEEE
+#: double literal so both engines hold the same constant.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_REST_BITS = 60 - HLL_P  # 52
+_SCALE = 1 << (_REST_BITS + 1)  # 2^53: 2^(53 - M) exact for M in 1..53
+
+
+def hll_registers(df: DataFrame, key: str, value_col) -> DataFrame:
+    """(key, bucket, m) — the register table: max leading-zero rank per
+    (key, low-8-bits-of-hash) bucket. ``value_col`` must be a STRING
+    column expression (hash-input canonicalization is the caller's
+    contract, exactly as for the dedup hashes)."""
+    h = md5_long(value_col)
+    bucket = (h % F.lit(HLL_M)).alias("bucket")
+    rest = F.shiftright(h, HLL_P)
+    rho = (
+        F.when(rest == 0, F.lit(_REST_BITS + 1))
+        .otherwise(F.lit(_REST_BITS + 1) - F.length(F.conv(rest, 10, 2)))
+        .alias("rho")
+    )
+    return (
+        df.select(F.col(key).alias("key"), bucket, rho)
+        .groupBy("key", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(key, ndv_est) from a register table — see module docstring for
+    the exact-integer harmonic form and the linear-counting switch."""
+    agg = registers.groupBy("key").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {_REST_BITS + 1} - m) AS BIGINT)")
+        ).alias("s_seen"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_seen")
+    s = zeros.cast("long") * F.lit(_SCALE) + F.col("s_seen")
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(_SCALE))
+        / s.cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), lc).otherwise(raw)
+    return agg.select("key", duck_round(est, 4).alias("ndv_est"))
+
+
+def hll_ndv(df: DataFrame, key: str, value_col) -> DataFrame:
+    """(key, ndv_est) — approximate distinct ``value_col`` per ``key``."""
+    return hll_estimate(hll_registers(df, key, value_col))
+
+
+def hll_ndv_sql(table_sql: str, key: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`hll_ndv` on ``value_expr`` (a VARCHAR
+    expression) grouped by ``key``."""
+    h = md5_long_sql(value_expr)
+    return f"""
+        WITH t AS ({table_sql}),
+        hashed AS (
+            SELECT {key} AS key,
+                   {h} % {HLL_M} AS bucket,
+                   {h} // {HLL_M} AS rest
+            FROM t
+        ),
+        regs AS (
+            SELECT key, bucket,
+                   max(CASE WHEN rest = 0 THEN {_REST_BITS + 1}
+                            ELSE {_REST_BITS + 1} - length(bin(rest)) END) AS m
+            FROM hashed GROUP BY key, bucket
+        ),
+        agg AS (
+            SELECT key,
+                   sum((1::BIGINT << ({_REST_BITS + 1} - m)))::BIGINT AS s_seen,
+                   count(*) AS n_seen
+            FROM regs GROUP BY key
+        )
+        SELECT key,
+               round(CASE
+                   WHEN ('{HLL_ALPHA!r}'::DOUBLE * {float(HLL_M * HLL_M)}
+                         * {float(_SCALE)}
+                         / (({HLL_M} - n_seen)::BIGINT * {_SCALE} + s_seen)::DOUBLE)
+                        <= {2.5 * HLL_M}
+                        AND ({HLL_M} - n_seen) > 0
+                   THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_seen)::DOUBLE)
+                   ELSE '{HLL_ALPHA!r}'::DOUBLE * {float(HLL_M * HLL_M)}
+                        * {float(_SCALE)}
+                        / (({HLL_M} - n_seen)::BIGINT * {_SCALE} + s_seen)::DOUBLE
+               END, 4) AS ndv_est
+        FROM agg
+    """

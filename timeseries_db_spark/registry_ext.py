@@ -266,19 +266,40 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM t GROUP BY ROLLUP (tag, day)
     """
 
+    # r8 fold: exact NDV + the portable HyperLogLog sketch as `kind`
+    # legs. The hll leg estimates distinct TIMESTAMPS per tag from
+    # 256 integer registers — engine-exact by construction
+    # (operators/sketches.py), the bounded-state scale path the exact
+    # count(DISTINCT) shuffle can't be at 100 TB.
     def ndv_by_tag(s: SparkSession, d: str) -> DataFrame:
-        return (
-            events_as_tsdb(s, d)
-            .groupBy(F.col("tag").alias("grp"))
+        from timeseries_db_spark.operators import sketches
+
+        t = events_as_tsdb(s, d)
+        exact = (
+            t.groupBy(F.col("tag").alias("grp"))
             .agg(F.countDistinct("value").cast("double").alias("result"))
-            .orderBy("grp")
+            .withColumn("kind", F.lit("exact"))
         )
+        hll = sketches.hll_ndv(
+            t, "tag", F.col("timestamp").cast("string")
+        ).select(
+            F.col("key").alias("grp"),
+            F.col("ndv_est").alias("result"),
+            F.lit("hll").alias("kind"),
+        )
+        return exact.unionByName(hll)
 
     q["agg_ndv_by_tag"] = ndv_by_tag
+    from timeseries_db_spark.operators import sketches as _sketches
+
     o["agg_ndv_by_tag"] = f"""
         WITH t AS ({EVENTS_T})
-        SELECT tag AS grp, CAST(count(DISTINCT value) AS DOUBLE) AS result
+        SELECT tag AS grp, CAST(count(DISTINCT value) AS DOUBLE) AS result,
+               'exact' AS kind
         FROM t GROUP BY tag
+        UNION ALL
+        SELECT key AS grp, ndv_est AS result, 'hll' AS kind
+        FROM ({_sketches.hll_ndv_sql(EVENTS_T, "tag", '"timestamp"::VARCHAR')})
     """
 
     # ---- relational joins over the TPC-H-shaped tables ----
