@@ -53,9 +53,10 @@ runs the bucketed cumulative pass AND a bucketed as-of self-probe),
 join_revenue_by_nation += iv_cnt/iv_sum (bucketed point-in-interval
 join over events) — those three r8 columns cover strictly more work
 than r7's same-named columns. Late-r8: text_vocab_topn += bm25 (BM25
-query top-20 — one extra filtered explode + two tiny broadcasts), and
-the non-headline corpus_tokenize / sim_quantize_int8 entries gained
-bpe / rp legs.
+query top-20 — one extra filtered explode + two tiny broadcasts) +=
+cms (count-min probe of the vocab — one more token explode onto a
+4096-row counter table), agg_ndv_by_tag += hll; the non-headline
+corpus_tokenize / sim_quantize_int8 entries gained bpe / rp legs.
 """
 
 from __future__ import annotations

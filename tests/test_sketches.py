@@ -116,3 +116,79 @@ def test_hll_small_set_linear_counting(spark):
     est = sketches.hll_ndv(df, "tag", F.col("v").cast("string")).collect()
     assert len(est) == 1
     assert abs(est[0]["ndv_est"] - 20) / 20 < 0.15, est[0]["ndv_est"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_matches_oracle(spark, sf_dir):
+    from timeseries_db_spark.operators import text
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token")).filter(
+        "token <> ''"
+    )
+    counters = sketches.cms_counters(tok, F.col("token"))
+    got = sketches.cms_estimate(counters, text.vocab_topn(docs, 100), "token")
+    check_against_duckdb(
+        got, sketches.cms_token_estimates_sql(text.vocab_topn_sql(100)), sf_dir
+    )
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """5000 distinct values into w = 1024 counters FORCES collisions:
+    every estimate must still be >= the true count (the CMS guarantee),
+    and the min-over-4-rows must keep the overcount below the eN/w
+    Markov bound with room to spare."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(f"v{i}",) for i in range(5000) for _ in range(rng.randint(1, 5))]
+    df = spark.createDataFrame(rows, "v string")
+    n_total = len(rows)
+    counters = sketches.cms_counters(df, F.col("v"))
+    items = spark.createDataFrame(
+        [(f"v{i}",) for i in range(0, 5000, 50)], "v string"
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in sketches.cms_estimate(counters, items, "v").collect()
+    }
+    from collections import Counter
+
+    true = Counter(v for (v,) in rows)
+    overs = []
+    for item, e in est.items():
+        assert e >= true[item], (item, e, true[item])
+        overs.append(e - true[item])
+    assert max(overs) > 0  # collisions really happened at this density
+    bound = 2.718 * n_total / sketches.CMS_W
+    assert max(overs) <= bound, (max(overs), bound)
+
+
+def test_cms_counters_merge_by_addition(spark, sf_dir):
+    """Two disjoint halves' counter tables, summed per (row, idx), must
+    equal the whole-data counters — the mergeability that lets each
+    micro-batch/partition sketch locally."""
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token")
+    ).filter("token <> ''")
+    whole = sketches.cms_counters(tok, F.col("token"))
+    h1 = sketches.cms_counters(tok.filter("doc_id % 2 = 0"), F.col("token"))
+    h2 = sketches.cms_counters(tok.filter("doc_id % 2 = 1"), F.col("token"))
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["row"], r["idx"]): r["cnt"] for r in whole.collect()}
+    b = {(r["row"], r["idx"]): r["cnt"] for r in merged.collect()}
+    assert a == b

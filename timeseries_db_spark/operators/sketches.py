@@ -1,4 +1,4 @@
-"""Engine-portable cardinality sketching (HyperLogLog).
+"""Engine-portable sketching: HyperLogLog (NDV) + count-min (frequency).
 
 Native approximate aggregates (`approx_count_distinct`,
 `approx_count_distinct` in DuckDB) use engine-private hash functions, so
@@ -143,4 +143,131 @@ def hll_ndv_sql(table_sql: str, key: str, value_expr: str) -> str:
                         / (({HLL_M} - n_seen)::BIGINT * {_SCALE} + s_seen)::DOUBLE
                END, 4) AS ndv_est
         FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: d = 4 hash rows x w = 1024 counters: overcount per row ~ N/w of the
+#: total stream N; the min over 4 independent rows makes a large error
+#: exponentially unlikely. 4 KiB of counters per keyed sketch.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_idx(value_col, row: int):
+    """Counter index of ``value_col`` in hash row ``row`` — the shared
+    60-bit md5 hash over a row-salted input, so the d rows are
+    independent and every index is engine-reproducible."""
+    return md5_long(F.concat(F.lit(f"cms{row}:"), value_col)) % F.lit(CMS_W)
+
+
+def _cms_idx_sql(value_expr: str, row: int) -> str:
+    salted = f"('cms{row}:' || {value_expr})"
+    return f"({md5_long_sql(salted)} % {CMS_W})"
+
+
+def cms_counters(df: DataFrame, value_col) -> DataFrame:
+    """(row, idx, cnt) — the d x w counter table of the count-min sketch
+    over ``value_col`` occurrences (a STRING column expression). One
+    hash aggregation with map-side combine onto a table BOUNDED at
+    d·w = 4096 rows regardless of input size; counters are exact BIGINT
+    sums, so two sketches MERGE by adding counters (tested) — the
+    streaming-maintainable frequency table."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_idx(value_col, r).alias("idx"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("ri")
+    ).select(F.col("ri.row").alias("row"), F.col("ri.idx").alias("idx"))
+    return rows.groupBy("row", "idx").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(item, *carry, est) — point-query the sketch for every row of
+    ``items``: est = min over the d rows of the counter each row hashes
+    the item to. ``items`` is a small frame (the candidate
+    heavy-hitters); the probe is a broadcast join of d·|items| rows
+    against the 4096-row counter table — never a corpus-side shuffle.
+    The estimate NEVER undercounts (every occurrence incremented every
+    row's counter); overcount is the min of d independent ~N/w
+    collisions. ``carry`` columns of ``items`` pass through unchanged."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_idx(F.col(item_col), r).alias("idx"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("ri"),
+    ).select(
+        "item", *carry, F.col("ri.row").alias("row"), F.col("ri.idx").alias("idx")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "idx"], "left")
+        .groupBy("item", *carry)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_token_estimates_sql(vocab_sql: str, n_rows: int = CMS_D) -> str:
+    """DuckDB twin of counters + estimates for the corpus token stream,
+    probed with the tokens of ``vocab_sql`` (a query with a ``token``
+    column)."""
+    from timeseries_db_spark.operators.text import TOKENS_DUCK
+
+    row_values = ", ".join(f"({r})" for r in range(n_rows))
+    return f"""
+        WITH toks AS (
+            SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        tok AS (SELECT token FROM toks WHERE token <> ''),
+        counters AS (
+            SELECT r.row,
+                   CASE r.row
+                       WHEN 0 THEN {_cms_idx_sql("token", 0)}
+                       WHEN 1 THEN {_cms_idx_sql("token", 1)}
+                       WHEN 2 THEN {_cms_idx_sql("token", 2)}
+                       ELSE {_cms_idx_sql("token", 3)}
+                     END AS idx,
+                   count(*)::BIGINT AS cnt
+            FROM tok CROSS JOIN (VALUES {row_values}) r(row)
+            GROUP BY 1, 2
+        ),
+        vocab AS ({vocab_sql}),
+        probes AS (
+            SELECT v.token AS item, r.row,
+                   CASE r.row
+                       WHEN 0 THEN {_cms_idx_sql("v.token", 0)}
+                       WHEN 1 THEN {_cms_idx_sql("v.token", 1)}
+                       WHEN 2 THEN {_cms_idx_sql("v.token", 2)}
+                       ELSE {_cms_idx_sql("v.token", 3)}
+                     END AS idx
+            FROM vocab v CROSS JOIN (VALUES {row_values}) r(row)
+        )
+        SELECT item, min(coalesce(c.cnt, 0))::BIGINT AS est
+        FROM probes p LEFT JOIN counters c USING (row, idx)
+        GROUP BY item
     """

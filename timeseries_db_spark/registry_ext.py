@@ -374,6 +374,9 @@ def register_extensions(q: dict, o: dict) -> None:
     BM25_TERMS = ("spark", "query", "window", "hash")
 
     def vocab_and_bm25(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators import sketches
+        from timeseries_db_spark.operators.text import TOKENS_SPARK
+
         vocab = text.vocab_topn(_docs(s, d), 100).withColumn(
             "kind", F.lit("vocab")
         )
@@ -386,14 +389,36 @@ def register_extensions(q: dict, o: dict) -> None:
             )
             .withColumn("kind", F.lit("bm25"))
         )
-        return vocab.unionByName(bm25)
+        # cms leg: the count-min estimate for every vocab token, with
+        # its vocab rank carried through — est >= true freq by the
+        # sketch's no-undercount guarantee, equal on this vocabulary
+        # (w = 1024 >> distinct tokens)
+        tok = _docs(s, d).select(
+            F.explode(F.expr(TOKENS_SPARK)).alias("token")
+        ).filter("token <> ''")
+        counters = sketches.cms_counters(tok, F.col("token"))
+        cms = sketches.cms_estimate(
+            counters, text.vocab_topn(_docs(s, d), 100), "token", carry=("rnk",)
+        ).select(
+            F.col("item").alias("token"),
+            F.col("est").alias("freq"),
+            "rnk",
+            F.lit("cms").alias("kind"),
+        )
+        return vocab.unionByName(bm25).unionByName(cms)
 
     q["text_vocab_topn"] = vocab_and_bm25
+    from timeseries_db_spark.operators import sketches as _sk
+
     o["text_vocab_topn"] = (
         f"SELECT *, 'vocab' AS kind FROM ({text.vocab_topn_sql(100)})"
         " UNION ALL "
         "SELECT doc_id::VARCHAR AS token, score_fp AS freq, rank AS rnk,"
         f" 'bm25' AS kind FROM ({text.bm25_topk_sql(BM25_TERMS, 20)})"
+        " UNION ALL "
+        "SELECT e.item AS token, e.est AS freq, v.rnk, 'cms' AS kind"
+        f" FROM ({_sk.cms_token_estimates_sql(text.vocab_topn_sql(100))}) e"
+        f" JOIN ({text.vocab_topn_sql(100)}) v ON v.token = e.item"
     )
 
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
