@@ -375,11 +375,14 @@ def register_extensions(q: dict, o: dict) -> None:
 
     def vocab_and_bm25(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import sketches
+        from timeseries_db_spark.operators.dedup import _persist_tracked
         from timeseries_db_spark.operators.text import TOKENS_SPARK
 
-        vocab = text.vocab_topn(_docs(s, d), 100).withColumn(
-            "kind", F.lit("vocab")
-        )
+        # one materialization of the ≤100-row vocab serves the vocab
+        # leg AND the cms probe set (and repeated sweep invocations) —
+        # the upstream token explode+agg is the entry's dominant cost
+        topv = _persist_tracked("vocab_topn", text.vocab_topn(_docs(s, d), 100))
+        vocab = topv.withColumn("kind", F.lit("vocab"))
         bm25 = (
             text.bm25_topk(_docs(s, d), BM25_TERMS, 20)
             .select(
@@ -398,7 +401,7 @@ def register_extensions(q: dict, o: dict) -> None:
         ).filter("token <> ''")
         counters = sketches.cms_counters(tok, F.col("token"))
         cms = sketches.cms_estimate(
-            counters, text.vocab_topn(_docs(s, d), 100), "token", carry=("rnk",)
+            counters, topv, "token", carry=("rnk",)
         ).select(
             F.col("item").alias("token"),
             F.col("est").alias("freq"),
