@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -192,3 +193,92 @@ def test_cms_counters_merge_by_addition(spark, sf_dir):
     a = {(r["row"], r["idx"]): r["cnt"] for r in whole.collect()}
     b = {(r["row"], r["idx"]): r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Drive the fixture through 3 micro-batches; the maintained
+    register state must equal the batch sketch of all data, and the
+    live estimate must equal the batch estimate. Then deliver a 4th
+    file from the SAME checkpoint (restart) and assert the state folds
+    it in — the crash/resume shape of the ingest path."""
+    from timeseries_db_spark.streaming import sketches as ssk
+
+    pdf = (
+        events_as_tsdb(spark, sf_dir)
+        .select("timestamp", "tag", "value")
+        .toPandas()
+        .sort_values(["timestamp", "tag"])
+        .reset_index(drop=True)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import time as _time
+
+    thirds = np.array_split(pdf, 3)
+    for i, part in enumerate(thirds):
+        part.to_parquet(in_dir / f"b{i}.parquet", index=False)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("timestamp long, tag string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+        q = ssk.start_hll_maintenance(
+            stream,
+            "tag",
+            F.col("timestamp").cast("string"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    whole = spark.createDataFrame(pdf)
+    batch_regs = {
+        (r["key"], r["bucket"]): r["m"]
+        for r in sketches.hll_registers(
+            whole, "tag", F.col("timestamp").cast("string")
+        ).collect()
+    }
+    state = ssk.read_hll_state(spark, str(tmp_path / "state"))
+    stream_regs = {(r["key"], r["bucket"]): r["m"] for r in state.collect()}
+    assert stream_regs == batch_regs
+    ea = {
+        r["key"]: r["ndv_est"]
+        for r in sketches.hll_estimate(state).collect()
+    }
+    eb = {
+        r["key"]: r["ndv_est"]
+        for r in sketches.hll_ndv(
+            whole, "tag", F.col("timestamp").cast("string")
+        ).collect()
+    }
+    assert ea == eb
+
+    # restart from the same checkpoint with one more file present
+    extra = pdf.head(50).copy()
+    extra["timestamp"] = extra["timestamp"] + 999_999_937  # novel values
+    extra.to_parquet(in_dir / "b3.parquet", index=False)
+    run_stream()
+    grown = spark.createDataFrame(pd.concat([pdf, extra]))
+    batch2 = {
+        (r["key"], r["bucket"]): r["m"]
+        for r in sketches.hll_registers(
+            grown, "tag", F.col("timestamp").cast("string")
+        ).collect()
+    }
+    state2 = {
+        (r["key"], r["bucket"]): r["m"]
+        for r in ssk.read_hll_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert state2 == batch2
