@@ -108,14 +108,27 @@ def test_greedy_merge_edge_cases(spark):
     """Self-pair overlap ('aaaa' -> [aa, aa], 'aaa' -> [aa, a]) and the
     chained double-space replace must agree with the reference greedy
     pass — the exact seam where a naive single-space replace breaks."""
-    rows = [(1, "aaaa aaa ab aab the"), (2, ""), (3, "   "), (4, "x")]
+    rows = [
+        (1, "aaaa aaa ab aab the"),
+        (2, ""),
+        (3, "   "),
+        (4, "x"),
+        (5, None),  # NULL text segments to [] in BOTH appliers
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     merges = [("a", "a"), ("t", "h"), ("th", "e"), ("a", "b")]
     got = {r["doc_id"]: r["syms"] for r in bpe.bpe_apply_expr(df, merges).collect()}
+    udf = {r["doc_id"]: r["syms"] for r in bpe.bpe_apply_udf(df, merges).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == _py_apply(text, merges), (doc_id, text)
+        assert udf[doc_id] == got[doc_id], (doc_id, text)
     assert got[1] == ["aa", "aa", "aa", "a", "ab", "aa", "b", "the"]
-    assert got[2] == [] and got[3] == []
+    assert got[2] == [] and got[3] == [] and got[5] == []
+    # and the summary row for a NULL doc is the empty segmentation,
+    # not NULLs
+    s = {r["doc_id"]: r for r in bpe.bpe_doc_summary(df, merges).collect()}
+    assert s[5]["n_tokens"] == 0 and s[5]["ids_sum"] == 0
+    assert s[5]["ids_fp"] is not None
 
 
 def test_doc_summary_counts(spark):

@@ -282,3 +282,12 @@ def test_streaming_hll_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in ssk.read_hll_state(spark, str(tmp_path / "state")).collect()
     }
     assert state2 == batch2
+    # pruning bounds retained state at two generations
+    import os
+
+    vs = [
+        e
+        for e in os.listdir(tmp_path / "state")
+        if e.startswith("v")
+    ]
+    assert len(vs) <= 2, vs

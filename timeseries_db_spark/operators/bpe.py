@@ -165,7 +165,11 @@ def bpe_apply_expr(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             _apply_all_fold(w, merges)
         ),
     )
-    return docs.select("doc_id", F.flatten(per_word).alias("syms"))
+    # NULL text propagates NULL through split/filter/flatten; a missing
+    # document segments to the EMPTY sequence (matching the Arrow
+    # applier's (t or "").split() and the SQL twin's coalesce)
+    syms = F.coalesce(F.flatten(per_word), F.array().cast("array<string>"))
+    return docs.select("doc_id", syms.alias("syms"))
 
 
 def _apply_all_fold(word_col, merges: list[tuple[str, str]]):
@@ -240,10 +244,10 @@ def bpe_doc_summary(docs: DataFrame, merges: list[tuple[str, str]] | None = None
         .cast("long")
         .alias("n_oov"),
         F.md5(F.array_join(F.col("syms"), ",")).alias("ids_fp"),
-        F.expr(
-            "aggregate(transform(syms, x -> "
-            "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000000), "
-            "0L, (a, v) -> a + v)"
+        F.aggregate(
+            F.transform(F.col("syms"), lambda x: md5_long(x) % F.lit(1_000_000)),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
         ).alias("ids_sum"),
     )
 
@@ -263,17 +267,17 @@ def bpe_doc_summary_sql(merges: list[tuple[str, str]] | None = None) -> str:
     return f"""
         WITH flat AS (
             SELECT doc_id,
-                   flatten(list_transform(
+                   coalesce(flatten(list_transform(
                        list_filter({TOKENS_DUCK}, w -> w <> ''),
                        w -> regexp_split_to_array(trim({col}), '  +')
-                   )) AS syms
+                   )), []::VARCHAR[]) AS syms
             FROM documents
         )
         SELECT doc_id,
                len(syms)::BIGINT AS n_tokens,
                len(list_filter(syms, x -> length(x) = 1))::BIGINT AS n_oov,
                md5(array_to_string(syms, ',')) AS ids_fp,
-               list_sum(list_transform(syms, x ->
-                   {md5_long_sql('x')} % 1000000))::BIGINT AS ids_sum
+               coalesce(list_sum(list_transform(syms, x ->
+                   {md5_long_sql('x')} % 1000000)), 0)::BIGINT AS ids_sum
         FROM flat
     """

@@ -980,9 +980,15 @@ def random_projection(emb: DataFrame, dim: int) -> DataFrame:
     rounded summaries hash-match cross-engine. The matrix is k x dim
     literals in the plan — fine for embedding-sized dims; a 10k-dim
     input would move the planes to a broadcast array column instead."""
+    return emb.select("vec_id", _rp_proj_col(dim).alias("proj"))
+
+
+def _rp_proj_col(dim: int):
+    """The projection array as a pure column expression, so callers can
+    compute it alongside other columns of the SAME scan (no re-join)."""
     planes = _rp_planes(dim)
     scale = 1.0 / np.sqrt(RP_K)
-    proj = F.array(
+    return F.array(
         *[
             F.expr(
                 f"{_srp_dot_spark('embedding', planes[j].tolist())}"
@@ -991,7 +997,6 @@ def random_projection(emb: DataFrame, dim: int) -> DataFrame:
             for j in range(RP_K)
         ]
     )
-    return emb.select("vec_id", proj.alias("proj"))
 
 
 def rp_summary(emb: DataFrame, dim: int) -> DataFrame:
@@ -1003,9 +1008,12 @@ def rp_summary(emb: DataFrame, dim: int) -> DataFrame:
     coordinates (order-free BIGINT sum of bit-identical terms), and
     ``max_err`` = the JL norm distortion ``|  ||proj|| - ||v||  | /
     ||v||`` (6 dp; 0 for the zero vector). Both norms are strict
-    left-folds in array order, so every output digit is engine-exact."""
-    projected = random_projection(emb, dim).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    left-folds in array order, so every output digit is engine-exact.
+    Map-only: the projection is computed alongside the embedding in ONE
+    select of one scan — no self-join (the entry's documented
+    per-vector shape)."""
+    projected = emb.select(
+        "vec_id", "embedding", _rp_proj_col(dim).alias("proj")
     )
     fold_sq = (
         "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"

@@ -965,17 +965,27 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            duck_round(F.lit(BM25_FP_SCALE) * idf * tf_part, 0)
+            # parenthesization matches the SQL twin's SCALE * (idf * tf)
+            # exactly — FP multiplication is non-associative, and the
+            # bit-exact claim needs identical expression TREES, not just
+            # identical operands
+            duck_round(F.lit(BM25_FP_SCALE) * (idf * tf_part), 0)
             .cast("long")
             .alias("part_fp"),
         )
         .groupBy("doc_id")
         .agg(F.sum("part_fp").alias("score_fp"))
     )
-    w_before = scored.select(
+    # rank by counting strictly-before rows WITHIN the top-k (the
+    # vocab_topn pattern): any row before a top-k row in the total
+    # order is itself in the top-k, so top-vs-top comparisons suffice —
+    # and the broadcast stays bounded at k rows (broadcasting the full
+    # scored table would be O(matching docs), unbounded on a common
+    # query term)
+    top = scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(k)
+    w_before = top.select(
         F.col("doc_id").alias("b_id"), F.col("score_fp").alias("b_fp")
     )
-    top = scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(k)
     strictly_before = (F.col("b_fp") > F.col("score_fp")) | (
         (F.col("b_fp") == F.col("score_fp")) & (F.col("b_id") < F.col("doc_id"))
     )
@@ -983,7 +993,6 @@ def bm25_topk(
         top.join(F.broadcast(w_before), strictly_before, "left")
         .groupBy("doc_id", "score_fp")
         .agg((F.count("b_id") + 1).cast("long").alias("rank"))
-        .filter(F.col("rank") <= k)
     )
 
 

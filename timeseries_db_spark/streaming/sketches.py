@@ -16,12 +16,19 @@ checkpoint commit) recomputes and overwrites v{b} with byte-identical
 content — idempotent by construction, the same
 checkpointed-batch-id discipline as ``streaming/ingest.py``. Readers
 take the highest complete version (``_SUCCESS``-marked), so a torn
-write of v{b} is invisible until rewritten.
+write of v{b} is invisible until rewritten. Versions older than b-1
+are pruned after each write, bounding state at two generations.
+
+``state_dir`` and ``checkpoint_dir`` form ONE unit: restarting with a
+fresh checkpoint (batch ids reset to 0) against a RETAINED state_dir
+would serve the old state as v>0 and skip merging — recycle or clear
+both together, exactly as for the ingest path's table + checkpoint.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,6 +83,18 @@ def start_hll_maintenance(
         regs.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
+        # prune versions < batch_id - 1: the checkpoint guarantees
+        # batches <= batch_id - 1 are committed, so only v{batch_id-1}
+        # can still be needed (as the prior of a re-delivered
+        # batch_id after a crash between state write and checkpoint
+        # commit). Without pruning, state storage grows O(batches) and
+        # the listing scan degrades linearly — the bounded-state claim
+        # holds per VERSION, the prune makes it hold overall.
+        for v in _versions(state_dir):
+            if v < batch_id - 1:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"v{v}"), ignore_errors=True
+                )
 
     return (
         stream.writeStream.foreachBatch(process)
