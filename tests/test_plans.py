@@ -225,3 +225,65 @@ def test_interpolate_linear_single_exchange(spark, sf_dir):
     assert len(_nodes(plan, "Window")) == 2, plan
     assert len(_nodes(plan, "Sort")) == 2, plan
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_rp_summary_map_only(spark, sf_dir):
+    """The JL projection summary is a per-vector transform: its plan
+    must contain NO Exchange and NO join — one scan, one project."""
+    from timeseries_db_spark.operators.similarity import rp_summary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _formatted_plan(spark, rp_summary(emb, 64))
+    assert not _nodes(plan, "Exchange"), plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+
+
+def test_bm25_broadcasts_stats_no_nested_loop(spark, sf_dir):
+    """BM25's corpus statistics and df table must reach the scored
+    stream as BROADCAST joins (they are one-row / |terms|-row frames);
+    the rank self-join broadcasts the k-row top — nothing may plan as
+    a corpus-side sort-merge join, and only the nested-loop of the
+    bounded one-row stats cross join is acceptable."""
+    from timeseries_db_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(spark, bm25_topk(docs, ("spark", "query"), 10))
+    assert "SortMergeJoin" not in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin") or "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_counters_single_aggregation(spark, sf_dir):
+    """The counter build is explode -> one hash aggregation: exactly one
+    Exchange (on the 4096-key counter id), no join."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators.sketches import cms_counters
+    from timeseries_db_spark.operators.text import TOKENS_SPARK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token")).filter(
+        "token <> ''"
+    )
+    plan = _formatted_plan(spark, cms_counters(tok, F.col("token")))
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+
+
+def test_hll_registers_single_aggregation(spark, sf_dir):
+    """Register build: one Exchange on (key, bucket), no join — the
+    map-side-combined hash aggregation the sketch's scale story rests
+    on."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators.sketches import hll_registers
+    from timeseries_db_spark.sources.tables import load_table
+
+    t = events_as_tsdb(spark, sf_dir)
+    plan = _formatted_plan(
+        spark, hll_registers(t, "tag", F.col("timestamp").cast("string"))
+    )
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
