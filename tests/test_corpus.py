@@ -344,3 +344,65 @@ def test_training_pipeline_composition(spark, sf_dir):
     assert n_docs > n1 > n2 >= n3
     orphans = kept3.join(kept1, "doc_id", "left_anti").count()
     assert orphans == 0
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir):
+    from timeseries_db_spark.operators.corpus import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    df = weighted_sample(load_table(spark, sf_dir, "documents"), 25)
+    check_against_duckdb(df, weighted_sample_sql(25), sf_dir)
+
+
+def test_weighted_sample_semantics_and_guard_band(spark, sf_dir):
+    """Exactly k per stratum; longer docs overrepresented vs uniform;
+    deterministic; and the rounded-priority guard band: every priority
+    at least 1e-4 quantum-units from a boundary, and each stratum's
+    k-th/k+1-th gap far above cross-engine ln() noise."""
+    import math
+
+    from timeseries_db_spark.functions.hashing import md5_long
+    from timeseries_db_spark.operators.corpus import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 25
+    kept = weighted_sample(docs, k)
+    per = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == k for n in per.values()), per
+    # length bias: sampled docs are longer on average than the corpus
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_kept = (
+        kept.join(docs, ["doc_id", "lang"]).agg(F.avg("n_chars")).first()[0]
+    )
+    assert mean_kept > mean_all, (mean_kept, mean_all)
+    # determinism
+    again = weighted_sample(docs, k)
+    assert kept.exceptAll(again).count() == 0
+    # guard band on the raw priorities (the ln() seam)
+    pri = docs.select(
+        "lang",
+        (
+            -F.log(
+                (
+                    md5_long(
+                        F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+                    ).cast("double")
+                    + F.lit(1.0)
+                )
+                / F.lit(float(1 << 60))
+            )
+            / (F.col("n_chars") + F.lit(1)).cast("double")
+        ).alias("p"),
+    ).collect()
+    by_lang: dict = {}
+    for r in pri:
+        v = r["p"]
+        frac = abs(((v * 1e9) % 1.0) - 0.5)
+        assert frac > 1e-4, (v, frac)
+        by_lang.setdefault(r["lang"], []).append(math.floor(v * 1e9 + 0.5) / 1e9)
+    for lang, vs in by_lang.items():
+        vs.sort()
+        gap = vs[25] - vs[24]  # selection boundary
+        assert gap > 1e-7, (lang, gap)

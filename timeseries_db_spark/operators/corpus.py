@@ -293,6 +293,77 @@ def stratified_sample_sql(
     )
 
 
+def weighted_sample(
+    docs: DataFrame, k: int = 25, stratum: str = "lang"
+) -> DataFrame:
+    """(doc_id, lang) — per-stratum weighted sampling WITHOUT
+    replacement, k items per stratum with inclusion probability
+    proportional to document length (the Efraimidis-Spirakis
+    exponential-sort: priority ``-ln(u)/w`` ascending, ``u`` uniform,
+    ``w = n_chars + 1``) — the curation move that downsamples a corpus
+    while keeping the long-document mass a plain uniform sample would
+    decimate.
+
+    Deterministic AND engine-portable "randomness": ``u`` derives from
+    the salted 60-bit md5 of the doc id (same recipe as
+    [[stratified_sample]]), so the sample is reproducible across runs,
+    engines, and partitionings. The ranking priority is ROUNDED to 9
+    decimals with a doc_id tiebreak — the IVF rounded-ranking
+    discipline: both engines' ~1-ulp ln() disagreement (≤1e-14 here)
+    sits five orders of magnitude under the quantum, and the pytest
+    guard-band asserts the fixture's priorities AND each stratum's
+    k-boundary gap keep that margin.
+
+    Scale: one map-only projection (hash + ln), one per-stratum top-k
+    window over BOUNDED strata (languages/domains); for an unbounded
+    stratum key, swap the window for the shard-top-k merge of
+    `similarity.cosine_topk`."""
+    from pyspark.sql import Window
+
+    from timeseries_db_spark.functions.hashing import md5_long
+
+    u = (
+        md5_long(
+            F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = (F.col("n_chars") + F.lit(1)).cast("double")
+    pri = duck_round(-F.log(u) / w, 9)
+    ranked = docs.select("doc_id", stratum, pri.alias("pri")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(stratum).orderBy(
+                F.asc("pri"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= k).select("doc_id", stratum)
+
+
+def weighted_sample_sql(k: int = 25, stratum: str = "lang") -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash, same
+    expression tree, same rounded-priority ranking)."""
+    from timeseries_db_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("('wsample:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH pri AS (
+            SELECT doc_id, {stratum},
+                   round(-ln(({h}::DOUBLE + 1.0) / {float(1 << 60)})
+                         / (n_chars + 1)::DOUBLE, 9) AS pri
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, {stratum},
+                   row_number() OVER (PARTITION BY {stratum}
+                                      ORDER BY pri ASC, doc_id ASC) AS rn
+            FROM pri
+        )
+        SELECT doc_id, {stratum} FROM ranked WHERE rn <= {k}
+    """
+
+
 def curation_topk(docs: DataFrame, k: int = 10, stratum: str = "lang") -> DataFrame:
     """(doc_id, lang, quality, rnk) — keep the ``k`` highest-quality
     documents of every stratum (quality-based curation: the per-domain

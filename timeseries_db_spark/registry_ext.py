@@ -658,11 +658,26 @@ def register_extensions(q: dict, o: dict) -> None:
     # per-stratum rebalance (en kept at 60%, es boosted to 100%, the
     # rest thinned to 25%) — fractions chosen so every branch of the
     # CASE, including the >=1.0 keep-all edge, is exercised by the gate
-    q["corpus_sample_stratified"] = lambda s, d: corpus.stratified_sample(
-        _docs(s, d), {"en": 0.6, "es": 1.0}, default_fraction=0.25
-    )
-    o["corpus_sample_stratified"] = corpus.stratified_sample_sql(
+    # r8 fold: rate-based + length-weighted (Efraimidis-Spirakis)
+    # sampling as `kind` legs of one entry — both are deterministic
+    # hash-randomness membership selections with a (doc_id, lang) shape
+    def sample_both(s: SparkSession, d: str) -> DataFrame:
+        rate = corpus.stratified_sample(
+            _docs(s, d), {"en": 0.6, "es": 1.0}, default_fraction=0.25
+        ).withColumn("kind", F.lit("rate"))
+        weighted = corpus.weighted_sample(_docs(s, d), 25).withColumn(
+            "kind", F.lit("weighted")
+        )
+        return rate.unionByName(weighted)
+
+    q["corpus_sample_stratified"] = sample_both
+    _rate_sql = corpus.stratified_sample_sql(
         {"en": 0.6, "es": 1.0}, default_fraction=0.25
+    )
+    o["corpus_sample_stratified"] = (
+        f"SELECT *, 'rate' AS kind FROM ({_rate_sql})"
+        " UNION ALL "
+        f"SELECT *, 'weighted' AS kind FROM ({corpus.weighted_sample_sql(25)})"
     )
 
     # r7 fold (VERDICT item 4): the per-stratum quality top-k AND the
