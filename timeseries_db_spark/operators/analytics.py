@@ -408,6 +408,16 @@ def rolling_avg_scalable(
     from timeseries_db_spark.operators.asof import asof_join_scalable
 
     cum = _cumulatives_scalable(tsdb, bucket_ms, peer_inclusive=True)
+    # the cumulative table feeds BOTH as-of sides (probe and lookup);
+    # without this, Catalyst executes the whole two-pass window subtree
+    # twice (no cross-branch CSE) — measured 2.2s -> 1.8s warm /
+    # 5.1s -> 2.2s cold at sf0.1. One materialization of an
+    # events-sized frame vs recomputing its most expensive pass:
+    # linear either way, the checkpoint wins whenever the cumulative
+    # pass costs more than a write+read (always, at any SF). At
+    # cluster scale prefer reliable checkpointing (localCheckpoint
+    # recomputes from scratch on executor loss).
+    cum = cum.localCheckpoint(eager=True)
     probe = cum.withColumn("_probe", F.col("timestamp") - window_ms - 1)
     prev = asof_join_scalable(
         probe,
