@@ -137,3 +137,56 @@ def test_doc_summary_counts(spark):
     # 'the' -> [the] via (t,h)+(th,e); 'in' -> [in]; 'x' -> [x]
     assert row["n_tokens"] == 4
     assert row["n_oov"] == 1  # only 'x' stays a single char
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz (no SparkSession): the double-space replace encoding
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sym_alpha = st.characters(
+    min_codepoint=0x21, max_codepoint=0x7E
+)  # printable, no spaces (words are whitespace-split upstream)
+_words = st.text(alphabet=_sym_alpha, min_size=1, max_size=12)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    word=_words,
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet=_sym_alpha, min_size=1, max_size=3),
+            st.text(alphabet=_sym_alpha, min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_replace_encoding_equals_greedy_merge(word, pairs):
+    """The engine trick under everything: one literal
+    ``replace(' a  b ', ' ab ')`` over the DOUBLE-space symbol string
+    == the index-based greedy left-to-right merge pass. Python's
+    str.replace shares the scan-continue-after-replacement semantics of
+    Spark's and DuckDB's replace, so fuzzing it pins the encoding for
+    all three. Merges chain sequentially, so later pairs see the
+    synthetic multi-char symbols earlier merges created."""
+    syms = list(word)
+    s = "  " + "  ".join(syms) + "  "
+    for a, b in pairs:
+        # reference greedy pass on the symbol list
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        # encoded pass
+        s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+        import re as _re
+
+        assert _re.split(r"  +", s.strip()) == syms if syms else s.strip() == ""

@@ -291,3 +291,29 @@ def test_streaming_hll_maintenance_matches_batch(spark, sf_dir, tmp_path):
         if e.startswith("v")
     ]
     assert len(vs) <= 2, vs
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz (no SparkSession): the register decomposition math
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=1000, deadline=None)
+@given(h=st.integers(min_value=0, max_value=(1 << 60) - 1))
+def test_hll_rho_bitlen_formula(h):
+    """The engines compute rho from the LENGTH OF THE BINARY STRING
+    (conv/bin) — fuzz that formula against int.bit_length() over the
+    whole 60-bit hash domain, including rest == 0 and powers of two."""
+    rest = h >> sketches.HLL_P
+    if rest == 0:
+        rho = 53
+    else:
+        rho = 53 - len(bin(rest)[2:])
+    assert rho == 53 - rest.bit_length() if rest else rho == 53
+    # rho is the leading-zero count of the 52-bit field plus one
+    assert 1 <= rho <= 53
+    if rest:
+        assert rest < (1 << (53 - rho)) and rest >= (1 << (52 - rho))
