@@ -317,3 +317,82 @@ def test_hll_rho_bitlen_formula(h):
     assert 1 <= rho <= 53
     if rest:
         assert rest < (1 << (53 - rho)) and rest >= (1 << (52 - rho))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI = 0.0, 500.0
+
+
+def test_histogram_quantiles_match_oracle(spark, sf_dir, tsdb):
+    got = (
+        sketches.histogram_quantile(
+            sketches.histogram_counts(tsdb, "tag", "value", HIST_LO, HIST_HI),
+            0.5,
+            HIST_LO,
+            HIST_HI,
+        )
+        .withColumn("q", F.lit(0.5))
+        .select("key", "q", "est")
+    )
+    check_against_duckdb(
+        got,
+        sketches.histogram_quantiles_sql(
+            EVENTS_T, "tag", "value", HIST_LO, HIST_HI, (0.5,)
+        ),
+        sf_dir,
+    )
+
+
+def test_histogram_quantile_within_one_bucket_of_nearest_rank(spark, tsdb):
+    """The sketch's guarantee: the q-estimate lies within ONE bucket
+    width of the exact ceil(q*n)-th order statistic (NOT of the
+    interpolated percentile — adjacent ranks can jump many buckets in
+    sparse regions, which is the estimator's honest definition)."""
+    hist = sketches.histogram_counts(tsdb, "tag", "value", HIST_LO, HIST_HI)
+    width = (HIST_HI - HIST_LO) / sketches.HIST_BUCKETS
+    pdf = tsdb.select("tag", "value").toPandas()
+    for q in (0.05, 0.5, 0.95):
+        est = {
+            r["key"]: r["est"]
+            for r in sketches.histogram_quantile(
+                hist, q, HIST_LO, HIST_HI
+            ).collect()
+        }
+        for tag, g in pdf.groupby("tag"):
+            vs = sorted(g["value"])
+            true = vs[math.ceil(q * len(vs)) - 1]
+            assert abs(est[tag] - true) <= width, (q, tag, est[tag], true)
+
+
+def test_histogram_counts_merge_by_addition(spark, tsdb):
+    whole = sketches.histogram_counts(tsdb, "tag", "value", HIST_LO, HIST_HI)
+    h1 = sketches.histogram_counts(
+        tsdb.filter("timestamp % 2 = 0"), "tag", "value", HIST_LO, HIST_HI
+    )
+    h2 = sketches.histogram_counts(
+        tsdb.filter("timestamp % 2 = 1"), "tag", "value", HIST_LO, HIST_HI
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("key", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["key"], r["b"]): r["cnt"] for r in whole.collect()}
+    b = {(r["key"], r["b"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
+def test_histogram_out_of_range_clamps(spark):
+    """Values outside [lo, hi) clamp into the edge buckets — mass is
+    preserved (total == n) and the extreme quantiles degrade to the
+    grid bounds instead of dropping rows."""
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in (-50, -1, 0, 250, 499, 600, 1e9)],
+        "value double, tag string",
+    )
+    hist = sketches.histogram_counts(df, "tag", "value", HIST_LO, HIST_HI)
+    rows = hist.collect()
+    assert sum(r["cnt"] for r in rows) == 7
+    bs = {r["b"] for r in rows}
+    assert 0 in bs and sketches.HIST_BUCKETS - 1 in bs

@@ -271,3 +271,114 @@ def cms_token_estimates_sql(vocab_sql: str, n_rows: int = CMS_D) -> str:
         FROM probes p LEFT JOIN counters c USING (row, idx)
         GROUP BY item
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram (mergeable approximate quantiles)
+# ---------------------------------------------------------------------------
+
+#: 256 equal-width buckets over a CONFIGURED [lo, hi) domain. The grid
+#: must be input-independent for mergeability (per-key min/max grids
+#: cannot combine across batches); at 100 TB the metric's domain is a
+#: config fact — where it isn't, a first pass pins min/max. Quantile
+#: error is bounded by one bucket width.
+HIST_BUCKETS = 256
+
+
+def histogram_counts(
+    df: DataFrame, key: str, value_col: str, lo: float, hi: float
+) -> DataFrame:
+    """(key, b, cnt) — bucket counts on the fixed grid: ONE hash
+    aggregation with map-side combine onto <= keys x 256 rows; merges
+    across batches/partitions by ADDING counts, exactly like the CMS
+    counter table. Out-of-range values clamp into the edge buckets (a
+    count-preserving choice: quantile MASS is never dropped, edge
+    estimates degrade to the bucket bound)."""
+    width = (hi - lo) / HIST_BUCKETS
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), b))
+    return (
+        df.select(F.col(key).alias("key"), b.cast("int").alias("b"))
+        .groupBy("key", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, q: float, lo: float, hi: float
+) -> DataFrame:
+    """(key, est) — the q-quantile from a histogram: find the bucket
+    holding rank ``ceil(q * n)``, interpolate linearly inside it. All
+    inputs to the interpolation are exact BIGINTs plus the fixed grid
+    constants, and the expression tree is shared with the SQL twin, so
+    the rounded estimate is engine-exact — which is what lets an
+    APPROXIMATE quantile carry a full value oracle (native
+    approx_percentile/t-digest implementations cannot cross-check).
+    Per-key work is a <=256-row window cumsum — trivially bounded."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / HIST_BUCKETS
+    w = Window.partitionBy("key").orderBy("b")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("key"))
+    )
+    r = F.ceil(F.lit(q) * F.col("total"))
+    hit = cum.filter(F.col("cum") >= r)
+    first = hit.groupBy("key").agg(
+        F.expr("min_by(struct(b, cnt, cum), b)").alias("s"),
+        F.max(r).alias("r"),
+    )
+    frac = (
+        F.col("r").cast("double")
+        - (F.col("s.cum") - F.col("s.cnt")).cast("double")
+    ) / F.col("s.cnt").cast("double")
+    est = F.lit(lo) + F.lit(width) * (F.col("s.b").cast("double") + frac)
+    return first.select("key", duck_round(est, 4).alias("est"))
+
+
+def histogram_quantiles_sql(
+    table_sql: str,
+    key: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...],
+) -> str:
+    """DuckDB twin: one histogram CTE, one quantile SELECT per q,
+    identical grid constants and interpolation tree."""
+    width = (hi - lo) / HIST_BUCKETS
+    parts = []
+    for q in qs:
+        parts.append(f"""
+        SELECT key, {q!r} AS q,
+               round({lo!r} + {width!r} * (s_b + (r::DOUBLE - (s_cum - s_cnt)::DOUBLE) / s_cnt::DOUBLE), 4) AS est
+        FROM (
+            SELECT key,
+                   min_by(b, b) AS s_b,
+                   min_by(cnt, b) AS s_cnt,
+                   min_by(cum, b) AS s_cum,
+                   max(r) AS r
+            FROM (
+                SELECT key, b, cnt,
+                       sum(cnt) OVER (PARTITION BY key ORDER BY b) AS cum,
+                       ceil({q!r} * sum(cnt) OVER (PARTITION BY key)) AS r
+                FROM hist
+            )
+            WHERE cum >= r
+            GROUP BY key
+        )""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH t AS ({table_sql}),
+        hist AS (
+            SELECT key, b, count(*)::BIGINT AS cnt
+            FROM (
+                SELECT {key} AS key,
+                       greatest(0, least({HIST_BUCKETS - 1},
+                           floor(({value_expr} - {lo!r}) / {width!r})))::INT AS b
+                FROM t
+            )
+            GROUP BY key, b
+        )
+        {union}
+    """

@@ -130,26 +130,57 @@ def register_extensions(q: dict, o: dict) -> None:
     # reference's agg set is count/sum/avg/min/max only; percentile is the
     # first ask of any real metrics workload). Spark `percentile` and
     # DuckDB `quantile_cont` both linearly interpolate → exact oracle.
-    # Scale note: exact percentile sorts each group; for 100 TB switch to
-    # `approx_percentile` (t-digest, mergeable partials) — kept off the
-    # gate because approximation can't hash-match an oracle. ----
+    # Scale note: exact percentile sorts each group; native
+    # `approx_percentile` (t-digest) can't hash-match an oracle — so r8
+    # adds the DETERMINISTIC mergeable scale path as a second leg: the
+    # fixed-grid histogram sketch (operators/sketches.py), whose
+    # estimates are engine-exact and within one bucket width of the
+    # nearest-rank statistic (pytest-pinned). ----
+    HIST_LO, HIST_HI = 0.0, 500.0
+
     def quantiles_by_tag(s: SparkSession, d: str) -> DataFrame:
-        return (
-            events_as_tsdb(s, d)
-            .groupBy(F.col("tag").alias("grp"))
+        from timeseries_db_spark.operators import sketches
+
+        t = events_as_tsdb(s, d)
+        exact = (
+            t.groupBy(F.col("tag").alias("grp"))
             .agg(
                 numeric.duck_round(F.percentile("value", 0.5), 4).alias("median"),
                 numeric.duck_round(F.percentile("value", 0.95), 4).alias("p95"),
             )
-            .orderBy("grp")
+            .withColumn("kind", F.lit("exact"))
         )
+        hist = sketches.histogram_counts(t, "tag", "value", HIST_LO, HIST_HI)
+        m = sketches.histogram_quantile(hist, 0.5, HIST_LO, HIST_HI)
+        p = sketches.histogram_quantile(hist, 0.95, HIST_LO, HIST_HI)
+        approx = (
+            m.withColumnRenamed("est", "median")
+            .join(p.withColumnRenamed("est", "p95"), "key")
+            .select(
+                F.col("key").alias("grp"), "median", "p95",
+                F.lit("hist").alias("kind"),
+            )
+        )
+        return exact.unionByName(approx)
 
     q["agg_quantiles_by_tag"] = quantiles_by_tag
-    o["agg_quantiles_by_tag"] = """
+    from timeseries_db_spark.operators import sketches as _hsk
+
+    _hist_sql = _hsk.histogram_quantiles_sql(
+        EVENTS_T, "tag", "value", HIST_LO, HIST_HI, (0.5, 0.95)
+    )
+    o["agg_quantiles_by_tag"] = f"""
         SELECT event_type AS grp,
                round(quantile_cont(value, 0.5), 4) AS median,
-               round(quantile_cont(value, 0.95), 4) AS p95
-        FROM events GROUP BY 1 ORDER BY 1
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               'exact' AS kind
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT key AS grp,
+               max(CASE WHEN q = 0.5 THEN est END) AS median,
+               max(CASE WHEN q = 0.95 THEN est END) AS p95,
+               'hist' AS kind
+        FROM ({_hist_sql}) GROUP BY key
     """
 
     # ---- derivative analytics: per-tag consecutive deltas (lag window)
