@@ -1,4 +1,5 @@
-"""Engine-portable sketching: HyperLogLog (NDV) + count-min (frequency).
+"""Engine-portable sketching: HyperLogLog (NDV), count-min (frequency),
+fixed-grid histogram (quantiles).
 
 Native approximate aggregates (`approx_count_distinct`,
 `approx_count_distinct` in DuckDB) use engine-private hash functions, so
