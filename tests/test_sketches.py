@@ -396,3 +396,79 @@ def test_histogram_out_of_range_clamps(spark):
     assert sum(r["cnt"] for r in rows) == 7
     bs = {r["b"] for r in rows}
     assert 0 in bs and sketches.HIST_BUCKETS - 1 in bs
+
+
+def test_streaming_cms_and_histogram_maintenance(spark, sf_dir, tmp_path):
+    """The generic maintenance harness holds for add-merged sketches
+    too: a 3-micro-batch CMS counter stream and histogram stream must
+    each equal their batch twins."""
+    from timeseries_db_spark.streaming import sketches as ssk
+
+    pdf = (
+        events_as_tsdb(spark, sf_dir)
+        .select("timestamp", "tag", "value")
+        .toPandas()
+        .sort_values(["timestamp", "tag"])
+        .reset_index(drop=True)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import time as _time
+
+    for i, part in enumerate(np.array_split(pdf, 3)):
+        part.to_parquet(in_dir / f"b{i}.parquet", index=False)
+        _time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema("timestamp long, tag string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+
+    q1 = ssk.start_cms_maintenance(
+        stream(),
+        F.col("tag"),
+        str(tmp_path / "cms_state"),
+        str(tmp_path / "cms_ckpt"),
+    )
+    q2 = ssk.start_histogram_maintenance(
+        stream(),
+        "tag",
+        "value",
+        0.0,
+        500.0,
+        str(tmp_path / "h_state"),
+        str(tmp_path / "h_ckpt"),
+    )
+    for q in (q1, q2):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    whole = spark.createDataFrame(pdf)
+    cms_batch = {
+        (r["row"], r["idx"]): r["cnt"]
+        for r in sketches.cms_counters(whole, F.col("tag")).collect()
+    }
+    cms_stream = {
+        (r["row"], r["idx"]): r["cnt"]
+        for r in ssk.read_sketch_state(
+            spark, str(tmp_path / "cms_state"), "row int, idx bigint, cnt bigint"
+        ).collect()
+    }
+    assert cms_stream == cms_batch
+    h_batch = {
+        (r["key"], r["b"]): r["cnt"]
+        for r in sketches.histogram_counts(
+            whole, "tag", "value", 0.0, 500.0
+        ).collect()
+    }
+    h_stream = {
+        (r["key"], r["b"]): r["cnt"]
+        for r in ssk.read_sketch_state(
+            spark, str(tmp_path / "h_state"), "key string, b int, cnt bigint"
+        ).collect()
+    }
+    assert h_stream == h_batch
