@@ -3,6 +3,7 @@ appliers' equivalence, greedy-merge edge cases, and the gate-leg summary
 shape. The trainer is the one iterative/argmax operator in the text
 stack — not SQL-expressible, so this suite IS its correctness gate."""
 
+import re
 from collections import Counter
 
 import pytest
@@ -187,6 +188,4 @@ def test_replace_encoding_equals_greedy_merge(word, pairs):
         syms = out
         # encoded pass
         s = s.replace(f" {a}  {b} ", f" {a}{b} ")
-        import re as _re
-
-        assert _re.split(r"  +", s.strip()) == syms if syms else s.strip() == ""
+        assert re.split(r"  +", s.strip()) == syms if syms else s.strip() == ""

@@ -363,8 +363,10 @@ def test_weighted_sample_semantics_and_guard_band(spark, sf_dir):
     k-th/k+1-th gap far above cross-engine ln() noise."""
     import math
 
-    from timeseries_db_spark.functions.hashing import md5_long
-    from timeseries_db_spark.operators.corpus import weighted_sample
+    from timeseries_db_spark.operators.corpus import (
+        weighted_sample,
+        weighted_sample_priority,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     k = 25
@@ -380,21 +382,11 @@ def test_weighted_sample_semantics_and_guard_band(spark, sf_dir):
     # determinism
     again = weighted_sample(docs, k)
     assert kept.exceptAll(again).count() == 0
-    # guard band on the raw priorities (the ln() seam)
+    # guard band on the raw priorities (the ln() seam) — the SHARED
+    # builder from corpus.py, so the margin check always covers the
+    # shipped salt/offset/divisor
     pri = docs.select(
-        "lang",
-        (
-            -F.log(
-                (
-                    md5_long(
-                        F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
-                    ).cast("double")
-                    + F.lit(1.0)
-                )
-                / F.lit(float(1 << 60))
-            )
-            / (F.col("n_chars") + F.lit(1)).cast("double")
-        ).alias("p"),
+        "lang", weighted_sample_priority().alias("p")
     ).collect()
     by_lang: dict = {}
     for r in pri:
@@ -404,5 +396,5 @@ def test_weighted_sample_semantics_and_guard_band(spark, sf_dir):
         by_lang.setdefault(r["lang"], []).append(math.floor(v * 1e9 + 0.5) / 1e9)
     for lang, vs in by_lang.items():
         vs.sort()
-        gap = vs[25] - vs[24]  # selection boundary
+        gap = vs[k] - vs[k - 1]  # selection boundary
         assert gap > 1e-7, (lang, gap)

@@ -250,7 +250,12 @@ def test_bm25_broadcasts_stats_no_nested_loop(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _formatted_plan(spark, bm25_topk(docs, ("spark", "query"), 10))
     assert "SortMergeJoin" not in plan, plan
-    assert _nodes(plan, "BroadcastHashJoin") or "BroadcastHashJoin" in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin"), plan
+    # the ONLY acceptable nested loops are bounded: the one-row stats
+    # cross join (appearing in BOTH branches of the rank self-join)
+    # plus the k-row rank join — an unbounded corpus-side nested loop
+    # would show up as extra BNLJ nodes
+    assert len(_nodes(plan, "BroadcastNestedLoopJoin")) <= 3, plan
 
 
 def test_cms_counters_single_aggregation(spark, sf_dir):
@@ -278,7 +283,6 @@ def test_hll_registers_single_aggregation(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from timeseries_db_spark.operators.sketches import hll_registers
-    from timeseries_db_spark.sources.tables import load_table
 
     t = events_as_tsdb(spark, sf_dir)
     plan = _formatted_plan(

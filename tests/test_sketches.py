@@ -441,11 +441,16 @@ def test_streaming_cms_and_histogram_maintenance(spark, sf_dir, tmp_path):
         str(tmp_path / "h_state"),
         str(tmp_path / "h_ckpt"),
     )
-    for q in (q1, q2):
+    # one try/finally over BOTH queries: a failure in q1's micro-batch
+    # must not leak q2 running for the rest of the shared session
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
         try:
-            q.processAllAvailable()
+            q1.stop()
         finally:
-            q.stop()
+            q2.stop()
 
     whole = spark.createDataFrame(pdf)
     cms_batch = {

@@ -293,6 +293,23 @@ def stratified_sample_sql(
     )
 
 
+def weighted_sample_priority() -> Column:
+    """The RAW (unrounded) Efraimidis-Spirakis priority ``-ln(u)/w``
+    over (doc_id, n_chars) — shared between :func:`weighted_sample`
+    and the guard-band pytest so the ln()-seam margin check always
+    covers the shipped expression (salt, +1 offset, 2^60 divisor)."""
+    from timeseries_db_spark.functions.hashing import md5_long
+
+    u = (
+        md5_long(
+            F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = (F.col("n_chars") + F.lit(1)).cast("double")
+    return -F.log(u) / w
+
+
 def weighted_sample(
     docs: DataFrame, k: int = 25, stratum: str = "lang"
 ) -> DataFrame:
@@ -320,16 +337,7 @@ def weighted_sample(
     `similarity.cosine_topk`."""
     from pyspark.sql import Window
 
-    from timeseries_db_spark.functions.hashing import md5_long
-
-    u = (
-        md5_long(
-            F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(1 << 60))
-    w = (F.col("n_chars") + F.lit(1)).cast("double")
-    pri = duck_round(-F.log(u) / w, 9)
+    pri = duck_round(weighted_sample_priority(), 9)
     ranked = docs.select("doc_id", stratum, pri.alias("pri")).withColumn(
         "rn",
         F.row_number().over(

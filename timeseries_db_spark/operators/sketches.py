@@ -294,38 +294,50 @@ def histogram_counts(
     across batches/partitions by ADDING counts, exactly like the CMS
     counter table. Out-of-range values clamp into the edge buckets (a
     count-preserving choice: quantile MASS is never dropped, edge
-    estimates degrade to the bucket bound)."""
+    estimates degrade to the bucket bound). NULL and NaN values are
+    EXCLUDED before bucketing — without the filter both engines'
+    NULL-skipping least/greatest would clamp floor(NULL)=NULL into the
+    top bucket, silently counting dropout rows that the exact
+    percentile leg ignores."""
     width = (hi - lo) / HIST_BUCKETS
-    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(lo)) / F.lit(width))
     b = F.greatest(F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), b))
     return (
-        df.select(F.col(key).alias("key"), b.cast("int").alias("b"))
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(key).alias("key"), b.cast("int").alias("b"))
         .groupBy("key", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def histogram_quantile(
-    hist: DataFrame, q: float, lo: float, hi: float
+def histogram_quantiles(
+    hist: DataFrame, qs: tuple[float, ...], lo: float, hi: float
 ) -> DataFrame:
-    """(key, est) — the q-quantile from a histogram: find the bucket
+    """(key, q, est) — quantiles from a histogram: find the bucket
     holding rank ``ceil(q * n)``, interpolate linearly inside it. All
     inputs to the interpolation are exact BIGINTs plus the fixed grid
     constants, and the expression tree is shared with the SQL twin, so
     the rounded estimate is engine-exact — which is what lets an
     APPROXIMATE quantile carry a full value oracle (native
     approx_percentile/t-digest implementations cannot cross-check).
+    ALL requested quantiles come out of ONE cumsum pass over the
+    histogram (the <=256-row-per-key table is exploded x len(qs), not
+    re-aggregated per q — Catalyst does no cross-branch CSE, so a
+    per-q DataFrame would re-execute the upstream scan+agg each time).
     Per-key work is a <=256-row window cumsum — trivially bounded."""
     from pyspark.sql import Window
 
     width = (hi - lo) / HIST_BUCKETS
     w = Window.partitionBy("key").orderBy("b")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy("key"))
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy("key")))
+        .select("*", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
     )
-    r = F.ceil(F.lit(q) * F.col("total"))
+    r = F.ceil(F.col("q") * F.col("total"))
     hit = cum.filter(F.col("cum") >= r)
-    first = hit.groupBy("key").agg(
+    first = hit.groupBy("key", "q").agg(
         F.expr("min_by(struct(b, cnt, cum), b)").alias("s"),
         F.max(r).alias("r"),
     )
@@ -334,7 +346,15 @@ def histogram_quantile(
         - (F.col("s.cum") - F.col("s.cnt")).cast("double")
     ) / F.col("s.cnt").cast("double")
     est = F.lit(lo) + F.lit(width) * (F.col("s.b").cast("double") + frac)
-    return first.select("key", duck_round(est, 4).alias("est"))
+    return first.select("key", "q", duck_round(est, 4).alias("est"))
+
+
+def histogram_quantile(
+    hist: DataFrame, q: float, lo: float, hi: float
+) -> DataFrame:
+    """(key, est) — single-q convenience wrapper over
+    :func:`histogram_quantiles`."""
+    return histogram_quantiles(hist, (q,), lo, hi).select("key", "est")
 
 
 def histogram_quantiles_sql(
@@ -378,6 +398,8 @@ def histogram_quantiles_sql(
                        greatest(0, least({HIST_BUCKETS - 1},
                            floor(({value_expr} - {lo!r}) / {width!r})))::INT AS b
                 FROM t
+                WHERE {value_expr} IS NOT NULL
+                  AND NOT isnan(({value_expr})::DOUBLE)
             )
             GROUP BY key, b
         )

@@ -151,15 +151,18 @@ def register_extensions(q: dict, o: dict) -> None:
             .withColumn("kind", F.lit("exact"))
         )
         hist = sketches.histogram_counts(t, "tag", "value", HIST_LO, HIST_HI)
-        m = sketches.histogram_quantile(hist, 0.5, HIST_LO, HIST_HI)
-        p = sketches.histogram_quantile(hist, 0.95, HIST_LO, HIST_HI)
+        # BOTH quantiles from ONE cumsum pass over one histogram
+        # aggregation (review r8: per-q DataFrame branches re-executed
+        # the scan+agg subtree — Catalyst does no cross-branch CSE),
+        # pivoted to the entry's (grp, median, p95) shape.
+        qq = sketches.histogram_quantiles(hist, (0.5, 0.95), HIST_LO, HIST_HI)
         approx = (
-            m.withColumnRenamed("est", "median")
-            .join(p.withColumnRenamed("est", "p95"), "key")
-            .select(
-                F.col("key").alias("grp"), "median", "p95",
-                F.lit("hist").alias("kind"),
+            qq.groupBy(F.col("key").alias("grp"))
+            .agg(
+                F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("median"),
+                F.max(F.when(F.col("q") == 0.95, F.col("est"))).alias("p95"),
             )
+            .select("grp", "median", "p95", F.lit("hist").alias("kind"))
         )
         return exact.unionByName(approx)
 
