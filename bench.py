@@ -48,8 +48,9 @@ driver-gate shape) alongside best and median; fold-mapping claims are
 stated against first_run. r8 legs added to existing headline entries:
 gapfill_hourly += interp (one-union two-direction running-frame fill),
 derivatives_by_tag += zscore (broadcast-moments filter) + roll (the
-skew-safe prefix-sum-difference trailing average — the heavy add: it
-runs the bucketed cumulative pass AND a bucketed as-of self-probe),
+skew-safe carried-frame trailing average — the heavy add; late-r8 it
+collapsed from cumulative-pass + bucketed as-of self-probe to ONE
+exchange + one fused incremental window, ~2x warm),
 join_revenue_by_nation += iv_cnt/iv_sum (bucketed point-in-interval
 join over events) — those three r8 columns cover strictly more work
 than r7's same-named columns. Late-r8: text_vocab_topn += bm25 (BM25

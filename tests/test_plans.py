@@ -291,3 +291,29 @@ def test_hll_registers_single_aggregation(spark, sf_dir):
     assert len(_nodes(plan, "Exchange")) == 1, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert j not in plan, plan
+
+
+def test_rolling_avg_scalable_one_exchange_one_window(spark, sf_dir):
+    """The carried-frame rolling average is ONE scan -> explode ->
+    exchange on (tag, bucket) -> one sort -> ONE fused Window node (all
+    three frames are incremental: two growing, one whole-partition) —
+    no join, no cumulative materialization, no second shuffle. This is
+    the plan the late-r8 rewrite bought (2.2x warm over the
+    cumulative-table + bucketed as-of probe form)."""
+    from timeseries_db_spark.operators.analytics import rolling_avg_scalable
+
+    t = events_as_tsdb(spark, sf_dir)
+    plan = _formatted_plan(
+        spark, rolling_avg_scalable(t, bucket_ms=6 * 3_600_000)
+    )
+    assert len(_nodes(plan, "Exchange")) == 1, plan
+    assert len(_nodes(plan, "Window")) == 1, plan
+    assert len(_nodes(plan, "Sort")) == 1, plan
+    assert len(_nodes(plan, "Scan parquet")) == 1, plan
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert j not in plan, plan

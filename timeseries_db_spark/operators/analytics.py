@@ -48,24 +48,17 @@ def running_totals(tsdb: DataFrame) -> DataFrame:
     )
 
 
-def _cumulatives_scalable(
-    tsdb: DataFrame, bucket_ms: int, *, peer_inclusive: bool = False
-) -> DataFrame:
+def _cumulatives_scalable(tsdb: DataFrame, bucket_ms: int) -> DataFrame:
     """Per-row UNROUNDED cumulative (count, DECIMAL sum) per tag, via the
     skew-safe two-pass scheme (module docstring): per-(tag, bucket)
     partials, offsets over the tiny partial table, in-bucket windows
-    only. Shared by :func:`running_totals_scalable` (which rounds for
-    output) and :func:`rolling_avg_scalable` (which DIFFERENCES the raw
-    decimals — rounding first would break exactness).
-
-    ``peer_inclusive``: with duplicate (tag, timestamp) rows, a ROWS
-    running frame splits the tied peers in arbitrary order — fine for
-    running totals (which document the tsdb key-uniqueness assumption
-    and whose plain twin uses ROWS too), WRONG for the rolling-average
-    difference, whose plain/oracle twin is a RANGE frame that always
-    sees tied peers together (code-review r8). True switches the
-    in-bucket window to the RANGE running frame, making every tied
-    row carry the full-peer cumulative deterministically.
+    only. Used by :func:`running_totals_scalable` (which rounds for
+    output); the ROWS running frame splits duplicate (tag, timestamp)
+    peers in arbitrary order — fine there, which documents the tsdb
+    key-uniqueness assumption and whose plain twin uses ROWS too.
+    (:func:`rolling_avg_scalable` needed the RANGE peer-inclusive
+    variant while it differenced cumulatives; its late-r8 carried-frame
+    form computes frames directly and no longer shares this helper.)
     Returns (timestamp, tag, value, c_cnt:long, c_sum:decimal)."""
     # duck_div: exact-integer division matching the DuckDB `//` twins
     bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
@@ -91,11 +84,10 @@ def _cumulatives_scalable(
     )
 
     # pass 2: window only within (tag, bucket); offsets broadcast-join back
-    ww = Window.partitionBy("tag", "bucket").orderBy("timestamp")
     ww = (
-        ww.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        if peer_inclusive
-        else ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.partitionBy("tag", "bucket")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         bucketed.join(F.broadcast(offsets), on=["tag", "bucket"], how="inner")
@@ -385,62 +377,96 @@ def rolling_avg_scalable(
     window_ms: int = 3_600_000,
     bucket_ms: int = 3_600_000,
 ) -> DataFrame:
-    """:func:`rolling_avg` re-expressed as a PREFIX-SUM DIFFERENCE — the
-    100 TB form. Spark evaluates a sliding RANGE frame by re-aggregating
+    """:func:`rolling_avg` in its 100 TB form — the CARRIED-FRAME
+    difference. Spark evaluates a sliding RANGE frame by re-aggregating
     the in-frame buffer for every row (aggregates have no inverse), so
     the naive window costs O(rows-per-window) per row — fine for sparse
     series, quadratic-ish for dense ones (ms-resolution data puts
-    millions of rows in a 1 h frame). Here instead:
+    millions of rows in a 1 h frame). Growing frames, by contrast
+    (UNBOUNDED PRECEDING → a moving upper bound), Spark evaluates
+    INCREMENTALLY (rows are only ever added —
+    ``UnboundedPrecedingWindowFunctionFrame``), O(1) amortized per row.
 
-    ``trailing[t-W, t] = cum(t) − cum(latest point with ts < t−W)``
+    The trailing sum is a difference of two growing frames plus a
+    correction for the bucket boundary:
 
-    1. exact DECIMAL cumulatives via the skew-safe two-pass
-       (:func:`_cumulatives_scalable` — shared with running totals);
-    2. ONE bucketed as-of self-probe at ``t − W − 1`` fetches the
-       cumulative just before the window opens (strictly-before via the
-       integer-ms probe shift);
-    3. two exact decimal subtractions per row.
+    ``trail[t−W, t] = run(≤t) − run(≤t−W−1) + carry(>t−W−1)``
 
-    O(1) work per row regardless of window density, and every stage is
-    the bucketed skew-safe variant. Decimal differences are exact, so
+    where ``run`` ranges over THIS (tag, bucket) partition's real rows
+    and ``carry`` are duplicated tail rows of the preceding bucket(s)
+    (a row at ``ts`` is copied into buckets ``bkt(ts)+1 ..
+    bkt(ts+W)`` — exactly those whose windows can still reach it;
+    ≈ ``W/bucket_ms`` duplication). The global prefix offsets of the
+    two-pass cumulative scheme CANCEL in the difference, so unlike
+    r8's first cut (materialized cumulative table + bucketed as-of
+    self-probe at ``t−W−1``) this needs no partials/offsets pass, no
+    checkpoint, and no as-of join: ONE exchange on (tag, bucket), ONE
+    sort, one fused Window with three incremental frames. Skew-safe
+    like every bucketed variant — no task sees more than one bucket of
+    one key (plus its ≤ W ms carried tail).
+
+    All frame sums are exact (BIGINT counts, DECIMAL(38,10) values), so
     the rounded mean is bit-identical to :func:`rolling_avg` and hashes
-    against the same SQL-window oracle (gate-checked)."""
-    from timeseries_db_spark.operators.asof import asof_join_scalable
-
-    cum = _cumulatives_scalable(tsdb, bucket_ms, peer_inclusive=True)
-    # the cumulative table feeds BOTH as-of sides (probe and lookup);
-    # without this, Catalyst executes the whole two-pass window subtree
-    # twice (no cross-branch CSE) — measured 2.2s -> 1.8s warm /
-    # 5.1s -> 2.2s cold at sf0.1. One materialization of an
-    # events-sized frame vs recomputing its most expensive pass:
-    # linear either way, the checkpoint wins whenever the cumulative
-    # pass costs more than a write+read (always, at any SF). At
-    # cluster scale prefer reliable checkpointing (localCheckpoint
-    # recomputes from scratch on executor loss).
-    cum = cum.localCheckpoint(eager=True)
-    probe = cum.withColumn("_probe", F.col("timestamp") - window_ms - 1)
-    prev = asof_join_scalable(
-        probe,
-        cum.select(
+    against the same SQL-window oracle (gate-checked; fuzz-tested for
+    arbitrary window/bucket ratios including windows spanning many
+    buckets)."""
+    V = F.col("value").cast("decimal(38,10)")
+    bkt = duck_div(F.col("timestamp"), bucket_ms)
+    # ONE scan: each row explodes into its home bucket (the real copy)
+    # plus carry copies — a row at ts influences windows of rows in
+    # later buckets iff the target bucket's start <= ts + W, i.e.
+    # buckets up to bkt(ts + W)
+    last_b = duck_div(F.col("timestamp") + window_ms, bucket_ms)
+    u = (
+        tsdb.select(
+            "timestamp", "tag", "value",
+            bkt.alias("_src"), last_b.alias("_last"),
+        )
+        .select(
+            "timestamp", "tag", "value", "_src",
+            F.explode(
+                F.sequence(F.col("_src"), F.col("_last"))
+            ).alias("_bkt"),
+        )
+        .withColumn("_real", F.col("_bkt") == F.col("_src"))
+        .drop("_src")
+    )
+    part = Window.partitionBy("tag", "_bkt").orderBy("timestamp")
+    run = part.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = part.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
+    whole = part.rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    zero_d = F.lit(0).cast("decimal(38,10)")
+    r_cnt = F.when(F.col("_real"), F.lit(1)).otherwise(F.lit(0))
+    r_val = F.when(F.col("_real"), V)
+    c_cnt = F.when(~F.col("_real"), F.lit(1)).otherwise(F.lit(0))
+    c_val = F.when(~F.col("_real"), V)
+    roll_cnt = (
+        F.sum(r_cnt).over(run)
+        - F.coalesce(F.sum(r_cnt).over(prev), F.lit(0))
+        + F.sum(c_cnt).over(whole)
+        - F.coalesce(F.sum(c_cnt).over(prev), F.lit(0))
+    )
+    roll_sum = (
+        F.sum(r_val).over(run)
+        - F.coalesce(F.sum(r_val).over(prev), zero_d)
+        + F.coalesce(F.sum(c_val).over(whole), zero_d)
+        - F.coalesce(F.sum(c_val).over(prev), zero_d)
+    )
+    return (
+        u.select(
+            "timestamp", "tag", "value", "_real",
+            roll_cnt.alias("_rc"), roll_sum.alias("_rs"),
+        )
+        .filter(F.col("_real"))
+        .select(
+            "timestamp",
             "tag",
-            F.col("timestamp").alias("_cts"),
-            F.col("c_cnt").alias("p_cnt"),
-            F.col("c_sum").alias("p_sum"),
-        ),
-        on="tag",
-        left_ts="_probe",
-        right_ts="_cts",
-        payload=["p_cnt", "p_sum"],
-        bucket_ms=bucket_ms,
-    )
-    roll_cnt = F.col("c_cnt") - F.coalesce(F.col("p_cnt"), F.lit(0))
-    roll_sum = F.col("c_sum") - F.coalesce(
-        F.col("p_sum"), F.lit(0).cast("decimal(38,10)")
-    )
-    return prev.select(
-        "timestamp",
-        "tag",
-        "value",
-        duck_round(roll_sum.cast("double") / roll_cnt, 4).alias("roll_avg"),
-        roll_cnt.cast("long").alias("roll_cnt"),
+            "value",
+            duck_round(
+                F.col("_rs").cast("double") / F.col("_rc"), 4
+            ).alias("roll_avg"),
+            F.col("_rc").cast("long").alias("roll_cnt"),
+        )
     )

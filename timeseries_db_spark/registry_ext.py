@@ -229,12 +229,12 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("value").alias("v2"),
         )
         # r8: trailing 1h time-window average — gated via the SCALABLE
-        # prefix-sum-difference plan (the sliding-frame twin is pytest
-        # bit-equivalence-checked; running_totals precedent), v1=avg,
-        # v2=contributing count. bucket_ms is a pure plan knob (results
-        # identical for any value — fuzz-tested); the entry's shared 6h
-        # skew granule costs ~20% less than 1h buckets (fewer recursion
-        # shuffles) at the same tags × buckets parallelism
+        # carried-frame difference plan (the sliding-frame twin is
+        # pytest bit-equivalence-checked; running_totals precedent),
+        # v1=avg, v2=contributing count. bucket_ms is a pure plan knob
+        # (results identical for any value — fuzz-tested); the entry's
+        # shared 6h skew granule keeps carry replication at W/bucket =
+        # 1/6 at the same tags × buckets parallelism
         rolls = analytics.rolling_avg_scalable(
             t, bucket_ms=DERIV_BUCKET_MS
         ).select(
