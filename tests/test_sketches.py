@@ -195,6 +195,27 @@ def test_cms_counters_merge_by_addition(spark, sf_dir):
     assert a == b
 
 
+def test_cms_counters_weighted_equals_occurrence_stream(spark, sf_dir):
+    """Counters built from a pre-aggregated (token, freq) table with
+    weight_col must be IDENTICAL to counters over the raw occurrence
+    stream — the additivity that lets the vocab entry share one
+    tokenize pass between the vocabulary and the sketch."""
+    from timeseries_db_spark.operators.text import TOKENS_SPARK, token_counts
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("token")
+    ).filter("token <> ''")
+    occ = sketches.cms_counters(tok, F.col("token"))
+    wtd = sketches.cms_counters(
+        token_counts(docs), F.col("token"), weight_col="freq"
+    )
+    a = {(r["row"], r["idx"]): r["cnt"] for r in occ.collect()}
+    b = {(r["row"], r["idx"]): r["cnt"] for r in wtd.collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # Streaming HLL maintenance
 # ---------------------------------------------------------------------------

@@ -170,13 +170,22 @@ def _cms_idx_sql(value_expr: str, row: int) -> str:
     return f"({md5_long_sql(salted)} % {CMS_W})"
 
 
-def cms_counters(df: DataFrame, value_col) -> DataFrame:
+def cms_counters(
+    df: DataFrame, value_col, weight_col: str | None = None
+) -> DataFrame:
     """(row, idx, cnt) — the d x w counter table of the count-min sketch
     over ``value_col`` occurrences (a STRING column expression). One
     hash aggregation with map-side combine onto a table BOUNDED at
     d·w = 4096 rows regardless of input size; counters are exact BIGINT
     sums, so two sketches MERGE by adding counters (tested) — the
-    streaming-maintainable frequency table."""
+    streaming-maintainable frequency table.
+
+    ``weight_col``: build the IDENTICAL counter table from a
+    pre-aggregated (value, count) frame instead of the raw occurrence
+    stream — counters are additive, so summing weights == counting
+    occurrences (tested). Lets a pipeline that already paid the
+    per-value aggregation (e.g. a vocabulary count) sketch |distinct|
+    rows instead of re-exploding the corpus."""
     rows = df.select(
         F.explode(
             F.array(
@@ -188,11 +197,15 @@ def cms_counters(df: DataFrame, value_col) -> DataFrame:
                     for r in range(CMS_D)
                 ]
             )
-        ).alias("ri")
-    ).select(F.col("ri.row").alias("row"), F.col("ri.idx").alias("idx"))
-    return rows.groupBy("row", "idx").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        ).alias("ri"),
+        *([F.col(weight_col).alias("_w")] if weight_col else []),
+    ).select(
+        F.col("ri.row").alias("row"),
+        F.col("ri.idx").alias("idx"),
+        *([F.col("_w")] if weight_col else []),
     )
+    agg = F.sum("_w") if weight_col else F.count(F.lit(1))
+    return rows.groupBy("row", "idx").agg(agg.cast("long").alias("cnt"))
 
 
 def cms_estimate(

@@ -783,9 +783,26 @@ def features_sql() -> str:
     """
 
 
-def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(token, freq) — corpus-wide token frequencies: explode →
+    hash-aggregate with map-side partials (the only shuffle, keyed on
+    the token). The shared upstream of :func:`vocab_topn` and the
+    weighted count-min build — materialize it ONCE when a pipeline
+    needs both."""
+    return (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def vocab_topn(
+    docs: DataFrame, n: int = 100, counts: DataFrame | None = None
+) -> DataFrame:
     """(token, freq, rnk) — the corpus-wide top-``n`` token vocabulary,
-    ranked by frequency with an alphabetical tiebreak.
+    ranked by frequency with an alphabetical tiebreak. Pass ``counts``
+    (a materialized :func:`token_counts`) to skip the corpus scan.
 
     Scale shape: explode → hash-aggregate with map-side partials (the
     only shuffle, keyed on the token), then ``orderBy().limit(n)`` which
@@ -796,12 +813,8 @@ def vocab_topn(docs: DataFrame, n: int = 100) -> DataFrame:
     sort strictly before) — ≤ n² comparisons of an n-row table, no
     global window (whose empty partition spec would both warn and pin a
     single task)."""
-    counts = (
-        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").alias("freq"))
-    )
+    if counts is None:
+        counts = token_counts(docs)
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(n)
     before = F.broadcast(
         top.select(F.col("token").alias("b_token"), F.col("freq").alias("b_freq"))

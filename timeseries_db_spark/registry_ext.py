@@ -410,12 +410,18 @@ def register_extensions(q: dict, o: dict) -> None:
     def vocab_and_bm25(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import sketches
         from timeseries_db_spark.operators.dedup import _persist_tracked
-        from timeseries_db_spark.operators.text import TOKENS_SPARK
 
-        # one materialization of the ≤100-row vocab serves the vocab
-        # leg AND the cms probe set (and repeated sweep invocations) —
-        # the upstream token explode+agg is the entry's dominant cost
-        topv = _persist_tracked("vocab_topn", text.vocab_topn(_docs(s, d), 100))
+        # one materialization of the (token, freq) count table serves
+        # the vocab leg AND the weighted count-min build AND the cms
+        # probe set (and repeated sweep invocations) — the upstream
+        # token explode+agg is the entry's dominant cost, and counters
+        # are additive so the sketch over |distinct| weighted rows is
+        # IDENTICAL to one over the re-exploded corpus (late-r8: this
+        # dropped the entry's second full tokenize pass)
+        tok_counts = _persist_tracked(
+            "token_counts", text.token_counts(_docs(s, d))
+        )
+        topv = text.vocab_topn(_docs(s, d), 100, counts=tok_counts)
         vocab = topv.withColumn("kind", F.lit("vocab"))
         bm25 = (
             text.bm25_topk(_docs(s, d), BM25_TERMS, 20)
@@ -429,11 +435,11 @@ def register_extensions(q: dict, o: dict) -> None:
         # cms leg: the count-min estimate for every vocab token, with
         # its vocab rank carried through — est >= true freq by the
         # sketch's no-undercount guarantee, equal on this vocabulary
-        # (w = 1024 >> distinct tokens)
-        tok = _docs(s, d).select(
-            F.explode(F.expr(TOKENS_SPARK)).alias("token")
-        ).filter("token <> ''")
-        counters = sketches.cms_counters(tok, F.col("token"))
+        # (w = 1024 >> distinct tokens); counters built WEIGHTED from
+        # the shared count table, not a second corpus explode
+        counters = sketches.cms_counters(
+            tok_counts, F.col("token"), weight_col="freq"
+        )
         cms = sketches.cms_estimate(
             counters, topv, "token", carry=("rnk",)
         ).select(
