@@ -876,3 +876,28 @@ def test_jpeg_multiscan_is_honest_stub():
     ) + j[sos + 2 + int.from_bytes(j[sos + 2 : sos + 4], "big") :]
     with _pytest.raises(NotImplementedError, match="multi-scan"):
         M.jpeg_decode(bytes(single))
+
+
+def test_duplicated_ngram_fraction_planted_boilerplate(spark):
+    """Planted corpus: a shared boilerplate passage prepended to two
+    docs must push their cross-doc duplicated-shingle fraction up,
+    while a unique-text doc scores 0; short (<3 token) docs report
+    (0, 0.0) rather than disappearing."""
+    boiler = "all rights reserved contact us terms of service"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi rho sigma"),
+        (4, "to be"),  # < 3 tokens: zero shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_common"], r["dup_frac"])
+        for r in dedup.duplicated_ngram_fraction(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # boilerplate docs share the passage's 6 interior shingles
+    assert out[1][0] == 6 and out[2][0] == 6
+    assert out[1][1] > 0.5 and out[2][1] > 0.5
+    assert out[3] == (0, 0.0)
+    assert out[4] == (0, 0.0)

@@ -337,6 +337,68 @@ def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> st
     """
 
 
+def duplicated_ngram_fraction(
+    docs: DataFrame, df_threshold: int = 2
+) -> DataFrame:
+    """(doc_id, n_common, dup_frac) — the CROSS-document duplicated
+    n-gram fraction: the share of a document's distinct 3-gram shingles
+    that occur in >= ``df_threshold`` documents. The standard
+    boilerplate/template signal of web-corpus curation (RefinedWeb's
+    duplicated-n-gram filters; the cross-corpus complement of
+    ``text_features``' WITHIN-document repetition ratio) — documents
+    whose text is mostly corpus-wide passages are navigation chrome,
+    license headers, or spam templates. Docs with no shingles
+    (< 3 tokens) report (0, 0.0).
+
+    Scale shape: shingle df is one hash aggregation on the 53-bit
+    shingle key; attaching it back is a LINEAR inverted-index
+    equi-join (each (doc, shingle) row matches exactly one df row —
+    no pair fan-out, so unlike :func:`ngram_jaccard_pairs` no
+    stop-shingle cap is needed), then one per-doc aggregation. The
+    shingle explode runs twice (df build + join side) — the usual
+    recompute-vs-materialize call; persist the exploded table when
+    composing with other shingle consumers."""
+    sh = doc_shingles(docs)
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("df") >= df_threshold, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(
+            duck_round(F.col("n_common") / F.col("n_sh").cast("double"), 4),
+            F.lit(0.0),
+        ).alias("dup_frac"),
+    )
+
+
+def duplicated_ngram_fraction_sql(df_threshold: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_ngram_fraction` — same shingle
+    CTE, same single division and rounding."""
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        per AS (
+            SELECT s.doc_id, count(*) AS n_sh,
+                   sum(CASE WHEN f.df >= {df_threshold} THEN 1 ELSE 0 END) AS n_common
+            FROM sh s JOIN dft f ON s.shingle = f.shingle
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_common, 0)::BIGINT AS n_common,
+               COALESCE(round(p.n_common / p.n_sh::DOUBLE, 4), 0.0) AS dup_frac
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

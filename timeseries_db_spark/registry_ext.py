@@ -523,7 +523,16 @@ def register_extensions(q: dict, o: dict) -> None:
         capped = dedup.ngram_jaccard_pairs(
             _docs(s, d), JACCARD_T, df_limit=50
         ).select(F.lit("capped").alias("variant"), "id_a", "id_b", "jaccard")
-        return exact.unionByName(capped)
+        # late-r8 leg: cross-document duplicated-shingle fraction
+        # (RefinedWeb boilerplate signal), coerced to the entry's pair
+        # schema as (doc_id, n_common, frac)
+        dupfrac = dedup.duplicated_ngram_fraction(_docs(s, d)).select(
+            F.lit("dupfrac").alias("variant"),
+            F.col("doc_id").alias("id_a"),
+            F.col("n_common").alias("id_b"),
+            F.col("dup_frac").alias("jaccard"),
+        )
+        return exact.unionByName(capped).unionByName(dupfrac)
 
     q["dedup_ngram_jaccard"] = ngram_jaccard_both
     o["dedup_ngram_jaccard"] = f"""
@@ -532,6 +541,10 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT 'capped' AS variant, *
         FROM ({dedup.ngram_jaccard_pairs_sql(JACCARD_T, df_limit=50)})
+        UNION ALL
+        SELECT 'dupfrac' AS variant, doc_id AS id_a, n_common AS id_b,
+               dup_frac AS jaccard
+        FROM ({dedup.duplicated_ngram_fraction_sql()})
     """
 
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
