@@ -398,3 +398,44 @@ def test_weighted_sample_semantics_and_guard_band(spark, sf_dir):
         vs.sort()
         gap = vs[k] - vs[k - 1]  # selection boundary
         assert gap > 1e-7, (lang, gap)
+
+
+def test_mixture_resample_matches_oracle(spark, sf_dir):
+    from timeseries_db_spark.operators.corpus import (
+        mixture_resample,
+        mixture_resample_sql,
+    )
+
+    targets = {"en": 300_000, "de": 200_000, "es": 200_000,
+               "fr": 150_000, "zh": 150_000}
+    df = mixture_resample(load_table(spark, sf_dir, "documents"), targets)
+    check_against_duckdb(df, mixture_resample_sql(targets), sf_dir)
+
+
+def test_mixture_resample_semantics(spark, sf_dir):
+    """The surviving char mass must be ~proportional to the target mix:
+    the binding stratum keeps everything (rate 1), every other
+    stratum's realized share lands near its target (hash sampling is
+    binomial — allow a generous tolerance at fixture size), and a
+    stratum absent from the targets drops entirely."""
+    from timeseries_db_spark.operators.corpus import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 300_000, "de": 200_000, "es": 200_000,
+               "fr": 150_000, "zh": 150_000}
+    kept = mixture_resample(docs, targets)
+    mass = {
+        r["lang"]: r["m"]
+        for r in kept.join(docs, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("m"))
+        .collect()
+    }
+    total = sum(mass.values())
+    assert set(mass) == set(targets)
+    for lang, tppm in targets.items():
+        share = mass[lang] / total
+        assert abs(share - tppm / 1e6) < 0.08, (lang, share, tppm)
+    # dropping a stratum from the targets removes it from the sample
+    no_zh = mixture_resample(docs, {k: v for k, v in targets.items() if k != "zh"})
+    assert no_zh.filter(F.col("lang") == "zh").count() == 0

@@ -293,6 +293,108 @@ def stratified_sample_sql(
     )
 
 
+def _tppm_case(targets_ppm: dict[str, int], stratum: str) -> Column:
+    """CASE mapping stratum -> its integer target share (ppm); 0 for
+    strata outside the target mix."""
+    c = F.lit(0)
+    for s_name in sorted(targets_ppm):
+        c = F.when(
+            F.col(stratum) == s_name, F.lit(int(targets_ppm[s_name]))
+        ).otherwise(c)
+    return c
+
+
+def mixture_resample(
+    docs: DataFrame,
+    targets_ppm: dict[str, int],
+    stratum: str = "lang",
+    weight: str = "n_chars",
+) -> DataFrame:
+    """(doc_id, lang) — resample the corpus toward a TARGET mixture:
+    given per-stratum target shares (integer ppm), compute each
+    stratum's keep-rate so the surviving ``weight`` mass is
+    proportional to the targets, then keep documents by the salted
+    deterministic hash (the [[stratified_sample]] recipe with a
+    DATA-DERIVED rate instead of a configured one). The
+    domain/language rebalancing move of LM data work (CCNet's language
+    shares, DoReMi-style domain reweighting) — downsample-only:
+    ``rate[s] = K · target[s] / actual[s]`` with ``K = min_s
+    actual[s]/target[s]``, so the binding stratum keeps rate 1 and
+    no stratum is upsampled. Strata absent from the target mix drop
+    entirely (rate 0).
+
+    Engine-exact without a guard band on the rate MATH: actual masses
+    are exact BIGINT sums, targets are integer literals, and the
+    keep test is ``md5_long('mix:'||doc_id) % 65536 <
+    floor(((K·tppm)/aw)·65536)`` — both engines evaluate the
+    IDENTICAL double expression tree, so the threshold integer is
+    bit-identical even where the product sits near a floor boundary.
+
+    Scale: per-stratum masses are one map-side-combined aggregation
+    onto |strata| rows; K is a scalar over that tiny frame; the
+    thresholds broadcast back onto the corpus — map-only on the fact
+    side, no corpus shuffle, no driver collect."""
+    from timeseries_db_spark.functions.hashing import md5_long
+
+    tppm = _tppm_case(targets_ppm, stratum)
+    per = (
+        docs.groupBy(stratum)
+        .agg(F.sum(weight).alias("aw"))
+        .withColumn("tppm", tppm)
+        .filter(F.col("tppm") > 0)
+    )
+    k = per.agg(
+        F.min(F.col("aw").cast("double") / F.col("tppm")).alias("k")
+    )
+    thr = per.crossJoin(F.broadcast(k)).select(
+        stratum,
+        F.floor(
+            ((F.col("k") * F.col("tppm")) / F.col("aw")) * F.lit(65536)
+        ).alias("thr"),
+    )
+    u16 = (
+        md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 65536
+    )
+    return (
+        docs.join(F.broadcast(thr), stratum)
+        .filter(u16 < F.col("thr"))
+        .select("doc_id", stratum)
+    )
+
+
+def mixture_resample_sql(
+    targets_ppm: dict[str, int],
+    stratum: str = "lang",
+    weight: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` — identical CASE,
+    aggregation, scalar-K, and threshold expression trees."""
+    from timeseries_db_spark.functions.hashing import md5_long_sql
+
+    case = "CASE"
+    for s_name in sorted(targets_ppm):
+        case += f" WHEN {stratum} = {_sql_str(s_name)} THEN {int(targets_ppm[s_name])}"
+    case += " ELSE 0 END"
+    h = md5_long_sql("('mix:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH per AS (
+            SELECT {stratum}, sum({weight})::BIGINT AS aw, {case} AS tppm
+            FROM documents GROUP BY {stratum}
+        ),
+        perf AS (SELECT * FROM per WHERE tppm > 0),
+        kk AS (SELECT min(aw::DOUBLE / tppm) AS k FROM perf),
+        thr AS (
+            SELECT {stratum},
+                   floor(((kk.k * tppm) / aw) * 65536)::BIGINT AS thr
+            FROM perf, kk
+        )
+        SELECT d.doc_id, d.{stratum}
+        FROM documents d JOIN thr t ON d.{stratum} = t.{stratum}
+        WHERE {h} % 65536 < t.thr
+    """
+
+
 def weighted_sample_priority() -> Column:
     """The RAW (unrounded) Efraimidis-Spirakis priority ``-ln(u)/w``
     over (doc_id, n_chars) — shared between :func:`weighted_sample`

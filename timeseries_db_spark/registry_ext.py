@@ -714,6 +714,11 @@ def register_extensions(q: dict, o: dict) -> None:
     # r8 fold: rate-based + length-weighted (Efraimidis-Spirakis)
     # sampling as `kind` legs of one entry — both are deterministic
     # hash-randomness membership selections with a (doc_id, lang) shape
+    # late-r8 mix leg: resample toward a TARGET language mixture with
+    # data-derived keep-rates (vs the rate leg's configured fractions)
+    MIX_TARGETS = {"en": 300_000, "de": 200_000, "es": 200_000,
+                   "fr": 150_000, "zh": 150_000}
+
     def sample_both(s: SparkSession, d: str) -> DataFrame:
         rate = corpus.stratified_sample(
             _docs(s, d), {"en": 0.6, "es": 1.0}, default_fraction=0.25
@@ -721,7 +726,10 @@ def register_extensions(q: dict, o: dict) -> None:
         weighted = corpus.weighted_sample(_docs(s, d), 25).withColumn(
             "kind", F.lit("weighted")
         )
-        return rate.unionByName(weighted)
+        mix = corpus.mixture_resample(_docs(s, d), MIX_TARGETS).withColumn(
+            "kind", F.lit("mix")
+        )
+        return rate.unionByName(weighted).unionByName(mix)
 
     q["corpus_sample_stratified"] = sample_both
     _rate_sql = corpus.stratified_sample_sql(
@@ -731,6 +739,8 @@ def register_extensions(q: dict, o: dict) -> None:
         f"SELECT *, 'rate' AS kind FROM ({_rate_sql})"
         " UNION ALL "
         f"SELECT *, 'weighted' AS kind FROM ({corpus.weighted_sample_sql(25)})"
+        " UNION ALL "
+        f"SELECT *, 'mix' AS kind FROM ({corpus.mixture_resample_sql(MIX_TARGETS)})"
     )
 
     # r7 fold (VERDICT item 4): the per-stratum quality top-k AND the
