@@ -163,3 +163,46 @@ def test_streaming_reads_every_timestamp_layout(spark, ts_layouts, tmp_path):
             for r in spark.sql(f"SELECT timestamp FROM layout_{unit}").collect()
         )
         assert got == sorted(millis), (unit, got)
+
+
+def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """write_corpus_jsonl -> read_corpus_any is lossless on the
+    documents table; a corrupt line quarantines with the raw text
+    preserved under PERMISSIVE, disappears under drop, and aborts
+    under fail."""
+    import glob
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources.tables import (
+        load_table,
+        read_corpus_any,
+        write_corpus_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_json")
+    write_corpus_jsonl(docs, out, shards=2)
+    back = read_corpus_any(spark, out, fmt="json")
+    clean = back.filter("_corrupt IS NULL").drop("_corrupt")
+    assert clean.count() == docs.count()
+    assert clean.exceptAll(docs.select(*clean.columns)).count() == 0
+    assert len(glob.glob(out + "/part-*")) == 2
+
+    # plant a corrupt line (a fresh shard file — appending to an
+    # existing part would invalidate its local-FS .crc sidecar)
+    with open(out + "/part-99999-planted.json", "w") as f:
+        f.write('{"doc_id": 1, "text": unterminated\n')
+    q = read_corpus_any(spark, out, fmt="json")
+    bad = q.filter("_corrupt IS NOT NULL")
+    assert bad.count() == 1
+    assert "unterminated" in bad.first()["_corrupt"]
+    assert q.filter("_corrupt IS NULL").count() == docs.count()
+
+    dropped = read_corpus_any(spark, out, fmt="json", on_malformed="drop")
+    assert dropped.count() == docs.count()
+
+    with _pytest.raises(Exception):
+        read_corpus_any(
+            spark, out, fmt="json", on_malformed="fail"
+        ).count()

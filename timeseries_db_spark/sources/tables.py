@@ -256,3 +256,71 @@ def write_tsdb_partitioned(df: DataFrame, path: str, *, buckets: int | None = No
         .partitionBy("dt")
         .parquet(path)
     )
+
+
+#: documents-corpus schema — the LLM-data table the dedup/text/corpus
+#: operators run over (TESTDATA.md documents.parquet)
+CORPUS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_corpus_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    *,
+    on_malformed: str = "quarantine",
+) -> DataFrame:
+    """Read a documents corpus from parquet or JSON-lines (the exchange
+    format of LLM training data). Format inferred from the extension
+    unless given. The explicit schema skips the inference scan and pins
+    the promised types — same rationale as :func:`read_tsdb_any`.
+
+    ``on_malformed`` (JSONL only — web-scraped corpora contain broken
+    lines as a matter of course):
+
+    * ``"quarantine"`` (default) — malformed lines survive the scan
+      with every schema field NULL and the raw line in ``_corrupt``;
+      filter ``_corrupt IS NULL`` for the clean stream, and the
+      quarantined remainder is auditable instead of silently gone.
+      Implemented as a text scan + ``from_json`` (JVM-side, one pass)
+      rather than the json reader's internal corrupt-record column,
+      whose QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction breaks plain
+      ``df.filter(...).count()`` — the first thing a user does.
+    * ``"drop"`` — Spark DROPMALFORMED: broken lines vanish at the
+      scan.
+    * ``"fail"`` — FAILFAST: any broken line aborts the read (the
+      right mode when upstream claims to have validated)."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"json": "json", "jsonl": "json"}.get(ext, "parquet")
+    if fmt == "json":
+        if on_malformed == "quarantine":
+            from pyspark.sql import functions as F
+
+            return (
+                spark.read.text(path)
+                .select(
+                    F.from_json(
+                        F.col("value"),
+                        CORPUS_SCHEMA + ", _corrupt string",
+                        {"columnNameOfCorruptRecord": "_corrupt"},
+                    ).alias("r")
+                )
+                .select("r.*")
+            )
+        mode = {"drop": "DROPMALFORMED", "fail": "FAILFAST"}[on_malformed]
+        return spark.read.schema(CORPUS_SCHEMA).option("mode", mode).json(path)
+    return spark.read.schema(CORPUS_SCHEMA).parquet(path)
+
+
+def write_corpus_jsonl(docs: DataFrame, path: str, *, shards: int | None = None) -> None:
+    """Write a documents corpus as JSON-lines, the hand-off format for
+    tokenizer/training pipelines. ``shards`` controls output file count
+    (repartition before write — at scale pick shards so files land in
+    the 100s-of-MB range; default keeps the upstream partitioning).
+    Columns beyond the corpus schema pass through (JSONL is
+    schema-on-read on the consumer side)."""
+    out = docs.repartition(shards) if shards else docs
+    out.write.mode("overwrite").json(path)
