@@ -436,6 +436,18 @@ def test_mixture_resample_semantics(spark, sf_dir):
     for lang, tppm in targets.items():
         share = mass[lang] / total
         assert abs(share - tppm / 1e6) < 0.08, (lang, share, tppm)
+    # the binding (argmin actual/target) stratum keeps EVERY doc — the
+    # downsample-only invariant, threshold pinned to 65536 so an IEEE
+    # floor boundary can't shave off hash 65535 (code-review r8)
+    masses = {
+        r["lang"]: r["aw"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("aw")).collect()
+    }
+    binding = min(targets, key=lambda s: masses[s] / targets[s])
+    assert (
+        kept.filter(F.col("lang") == binding).count()
+        == docs.filter(F.col("lang") == binding).count()
+    ), binding
     # dropping a stratum from the targets removes it from the sample
     no_zh = mixture_resample(docs, {k: v for k, v in targets.items() if k != "zh"})
     assert no_zh.filter(F.col("lang") == "zh").count() == 0

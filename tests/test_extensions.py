@@ -888,16 +888,19 @@ def test_duplicated_ngram_fraction_planted_boilerplate(spark):
         (1, boiler + " alpha beta gamma delta"),
         (2, boiler + " epsilon zeta eta theta"),
         (3, "iota kappa lam mu nu xi omicron pi rho sigma"),
-        (4, "to be"),  # < 3 tokens: zero shingles
+        (4, "to be"),  # < 3 tokens: excluded from the shingle stream
+        (5, "to be"),  # ...even when REPEATED (the degenerate
+        (6, ""),       # whole-text fold must not brand short/empty
+        (7, ""),       # dups 100% boilerplate — code-review r8)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
         r["doc_id"]: (r["n_common"], r["dup_frac"])
         for r in dedup.duplicated_ngram_fraction(docs).collect()
     }
-    assert set(out) == {1, 2, 3, 4}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
     # boilerplate docs share the passage's 6 interior shingles
     assert out[1][0] == 6 and out[2][0] == 6
     assert out[1][1] > 0.5 and out[2][1] > 0.5
-    assert out[3] == (0, 0.0)
-    assert out[4] == (0, 0.0)
+    for short in (3, 4, 5, 6, 7):
+        assert out[short] == (0, 0.0), short

@@ -189,10 +189,12 @@ def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     assert clean.exceptAll(docs.select(*clean.columns)).count() == 0
     assert len(glob.glob(out + "/part-*")) == 2
 
-    # plant a corrupt line (a fresh shard file — appending to an
-    # existing part would invalidate its local-FS .crc sidecar)
+    # plant a corrupt line plus blank separator lines (a fresh shard
+    # file — appending to an existing part would invalidate its
+    # local-FS .crc sidecar). Blank lines are separators, not records:
+    # they must neither quarantine nor surface as phantom NULL docs.
     with open(out + "/part-99999-planted.json", "w") as f:
-        f.write('{"doc_id": 1, "text": unterminated\n')
+        f.write('\n{"doc_id": 1, "text": unterminated\n   \n')
     q = read_corpus_any(spark, out, fmt="json")
     bad = q.filter("_corrupt IS NOT NULL")
     assert bad.count() == 1

@@ -329,6 +329,12 @@ def mixture_resample(
     floor(((K·tppm)/aw)·65536)`` — both engines evaluate the
     IDENTICAL double expression tree, so the threshold integer is
     bit-identical even where the product sits near a floor boundary.
+    The binding (argmin) stratum's threshold is pinned to 65536
+    explicitly — ``(aw/tppm)·tppm/aw`` can round to just under 1.0 in
+    IEEE doubles, which would silently drop 1/65536 of the stratum the
+    downsample-only invariant promises to keep whole (code-review r8);
+    the argmin test ``aw/tppm = K`` is itself an exact double
+    comparison, identical in both engines.
 
     Scale: per-stratum masses are one map-side-combined aggregation
     onto |strata| rows; K is a scalar over that tiny frame; the
@@ -348,9 +354,16 @@ def mixture_resample(
     )
     thr = per.crossJoin(F.broadcast(k)).select(
         stratum,
-        F.floor(
-            ((F.col("k") * F.col("tppm")) / F.col("aw")) * F.lit(65536)
-        ).alias("thr"),
+        F.when(
+            F.col("aw").cast("double") / F.col("tppm") == F.col("k"),
+            F.lit(65536),
+        )
+        .otherwise(
+            F.floor(
+                ((F.col("k") * F.col("tppm")) / F.col("aw")) * F.lit(65536)
+            )
+        )
+        .alias("thr"),
     )
     u16 = (
         md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
@@ -386,7 +399,9 @@ def mixture_resample_sql(
         kk AS (SELECT min(aw::DOUBLE / tppm) AS k FROM perf),
         thr AS (
             SELECT {stratum},
-                   floor(((kk.k * tppm) / aw) * 65536)::BIGINT AS thr
+                   CASE WHEN aw::DOUBLE / tppm = kk.k THEN 65536
+                        ELSE floor(((kk.k * tppm) / aw) * 65536)::BIGINT
+                   END AS thr
             FROM perf, kk
         )
         SELECT d.doc_id, d.{stratum}

@@ -347,8 +347,13 @@ def duplicated_ngram_fraction(
     duplicated-n-gram filters; the cross-corpus complement of
     ``text_features``' WITHIN-document repetition ratio) — documents
     whose text is mostly corpus-wide passages are navigation chrome,
-    license headers, or spam templates. Docs with no shingles
-    (< 3 tokens) report (0, 0.0).
+    license headers, or spam templates. Docs with fewer than 3 tokens
+    are EXCLUDED from the shingle stream and report (0, 0.0) — the
+    shared ``SHINGLES_SPARK`` fold gives such docs a whole-text
+    degenerate shingle (deliberate for exact/MinHash dedup, where two
+    identical 2-token docs SHOULD match), but counting that fold here
+    would brand every repeated short doc 100% cross-corpus boilerplate
+    (code-review r8).
 
     Scale shape: shingle df is one hash aggregation on the 53-bit
     shingle key; attaching it back is a LINEAR inverted-index
@@ -358,7 +363,7 @@ def duplicated_ngram_fraction(
     shingle explode runs twice (df build + join side) — the usual
     recompute-vs-materialize call; persist the exploded table when
     composing with other shingle consumers."""
-    sh = doc_shingles(docs)
+    sh = doc_shingles(docs.filter(F.expr(f"size({TOKENS_SPARK}) >= 3")))
     df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per = (
         sh.join(df_t, "shingle")
@@ -382,14 +387,21 @@ def duplicated_ngram_fraction(
 
 def duplicated_ngram_fraction_sql(df_threshold: int = 2) -> str:
     """DuckDB twin of :func:`duplicated_ngram_fraction` — same shingle
-    CTE, same single division and rounding."""
+    CTE (restricted to >=3-token docs), same single division and
+    rounding."""
     return f"""
         WITH {_SHINGLES_CTE_DUCK},
-        dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        eligible AS (
+            SELECT doc_id FROM documents WHERE len({TOKENS_DUCK}) >= 3
+        ),
+        shf AS (
+            SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM eligible)
+        ),
+        dft AS (SELECT shingle, count(*) AS df FROM shf GROUP BY 1),
         per AS (
             SELECT s.doc_id, count(*) AS n_sh,
                    sum(CASE WHEN f.df >= {df_threshold} THEN 1 ELSE 0 END) AS n_common
-            FROM sh s JOIN dft f ON s.shingle = f.shingle
+            FROM shf s JOIN dft f ON s.shingle = f.shingle
             GROUP BY 1
         )
         SELECT d.doc_id,

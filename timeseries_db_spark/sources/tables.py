@@ -301,6 +301,12 @@ def read_corpus_any(
 
             return (
                 spark.read.text(path)
+                # blank/whitespace lines are record separators, not
+                # records: from_json('') yields an all-NULL struct with
+                # _corrupt unset, which would pass the clean filter as
+                # a phantom document (the json reader's drop/fail modes
+                # skip blank lines too — match them)
+                .filter(F.trim(F.col("value")) != "")
                 .select(
                     F.from_json(
                         F.col("value"),
