@@ -451,3 +451,71 @@ def test_mixture_resample_semantics(spark, sf_dir):
     # dropping a stratum from the targets removes it from the sample
     no_zh = mixture_resample(docs, {k: v for k, v in targets.items() if k != "zh"})
     assert no_zh.filter(F.col("lang") == "zh").count() == 0
+
+
+def test_mixture_resample_hypothesis_cross_engine(spark):
+    """Random tiny corpora + random integer targets: the Spark plan and
+    the DuckDB twin must agree BITWISE on the kept set — the claim that
+    identical double expression trees make the data-derived thresholds
+    engine-exact, fuzzed across arbitrary (aw, tppm) ratios including
+    floor-boundary-adjacent ones — and the binding stratum must always
+    keep every doc (the pinned-threshold invariant)."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from timeseries_db_spark.operators.corpus import (
+        mixture_resample,
+        mixture_resample_sql,
+    )
+
+    from tests.oracle import assert_same
+
+    langs = ["aa", "bb", "cc"]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(langs),
+                st.integers(min_value=1, max_value=10**9),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        tppms=st.tuples(
+            st.integers(min_value=1, max_value=10**6),
+            st.integers(min_value=1, max_value=10**6),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+    )
+    def run(rows, tppms):
+        data = [
+            (i, f"doc {i}", lang, "src", n)
+            for i, (lang, n) in enumerate(rows)
+        ]
+        docs = spark.createDataFrame(
+            data, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        targets = dict(zip(langs, tppms))
+        got = mixture_resample(docs, targets)
+        con = duckdb.connect()
+        pdf = docs.toPandas()
+        con.register("documents", pdf)
+        exp = con.execute(mixture_resample_sql(targets)).df()
+        assert_same(got, exp)
+        # binding stratum keeps everything
+        masses: dict = {}
+        for _, (lang, n) in enumerate(rows):
+            masses[lang] = masses.get(lang, 0) + n
+        binding = min(masses, key=lambda s: masses[s] / targets[s])
+        n_binding = sum(1 for lang, _ in rows if lang == binding)
+        kept_binding = got.filter(F.col("lang") == binding).count()
+        assert kept_binding == n_binding, (binding, kept_binding, n_binding)
+
+    run()
