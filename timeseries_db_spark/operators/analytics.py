@@ -329,8 +329,8 @@ def rolling_avg(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
     aggregates have no inverse, so a sliding frame RE-AGGREGATES the
     in-frame buffer per row — O(rows-per-window) each, fine for sparse
     series, hostile for dense ones; :func:`rolling_avg_scalable` is the
-    O(1)-per-row prefix-sum-difference form the gate checks (both are
-    bit-identical — pytest). Determinism: the frame sum is an exact
+    O(1)-per-row carried-frame difference form the gate checks (both
+    are bit-identical — pytest). Determinism: the frame sum is an exact
     DECIMAL(38,10), so the mean is partition-order independent and
     engine-exact before the one rounded division.
 
