@@ -218,3 +218,61 @@ def test_rolling_avg_scalable_hypothesis_fuzz(spark):
         assert scal == plain
 
     run()
+
+
+def test_window_funnel_hand_scenarios(spark, tmp_path):
+    """Hand-built event log with known funnel levels: completed chains,
+    window expiry, out-of-order steps, chain restarts (a later s1 start
+    succeeds where the first fails), strictly-after semantics for
+    same-timestamp events, and users with no start event."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators.rollup import window_funnel
+
+    W = 1000  # 1s funnel horizon
+    rows = [
+        # u1: full chain inside the window -> 4
+        (1, 0, "signup"), (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2: purchase lands past t1+W -> 3
+        (2, 0, "signup"), (2, 100, "view"), (2, 200, "click"), (2, 1500, "purchase"),
+        # u3: steps out of order (view before signup) -> 1
+        (3, 100, "signup"), (3, 0, "view"),
+        # u4: first chain dies (view too late) but a SECOND signup at
+        # t=2000 completes -> 4 (max over starts)
+        (4, 0, "signup"), (4, 2000, "signup"), (4, 2100, "view"),
+        (4, 2200, "click"), (4, 2300, "purchase"),
+        # u5: same-timestamp step is NOT strictly after -> 1
+        (5, 0, "signup"), (5, 0, "view"),
+        # u6: no signup at all -> 0
+        (6, 0, "view"), (6, 100, "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ms", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ms"], unit="ms")
+    pdf["value"] = 1.0
+    pdf["event_id"] = range(len(pdf))
+    pdf["props"] = "{}"
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    import glob, shutil
+    shutil.copy(glob.glob(str(tmp_path / "ev") + "/part-*.parquet")[0], out)
+
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(spark, str(tmp_path), window_ms=W).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 1, 4: 4, 5: 1, 6: 0}, got
+
+
+def test_window_funnel_matches_oracle(spark, sf_dir):
+    from timeseries_db_spark.operators.rollup import (
+        window_funnel,
+        window_funnel_sql,
+    )
+
+    from tests.oracle import check_against_duckdb
+
+    check_against_duckdb(
+        window_funnel(spark, sf_dir), window_funnel_sql(), sf_dir
+    )

@@ -147,6 +147,110 @@ def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
     """
 
 
+def window_funnel(
+    spark,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_ms: int = 6 * 3_600_000,
+) -> DataFrame:
+    """(user_id, level) — windowFunnel-style event-sequence analysis:
+    the maximum number of funnel ``steps`` a user completed IN ORDER
+    (each step strictly after the previous) within ``window_ms`` of the
+    chain's first event; 0 for users who never performed ``steps[0]``.
+    The conversion-funnel primitive of event analytics (ClickHouse's
+    ``windowFunnel``), absent from the reference (no sequences at all).
+
+    Semantics: a chain may start at ANY ``steps[0]`` occurrence;
+    per-start, greedily taking the EARLIEST eligible next event is
+    optimal (exchange argument: an earlier choice only ever leaves more
+    room for later steps), so level(user) = max over starts of the
+    greedy chain length.
+
+    Scale shape: each step advance is a FORWARD as-of join — "earliest
+    next-step event strictly after t" == the tested backward
+    :func:`~timeseries_db_spark.operators.asof.asof_join` on a NEGATED
+    time axis (min t with t >= p+1 == -max(-t <= -(p+1)); integer ms
+    make strictness exact). One union+window shuffle keyed on user_id
+    per step — no per-user event fan-out (the naive range join explodes
+    |starts| x |step events| per user; the as-of carries exactly one
+    probe row per live chain). Dead chains leave the pipeline at the
+    step where they die, recorded in the achieved-level union. Heavy
+    users: swap in ``asof_join_scalable`` (same contract, bucketed)."""
+    from timeseries_db_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", ts_to_millis(ev, "ts").alias("tms"), "event_type"
+    )
+    users = ev.select("user_id").distinct()
+    alive = ev.filter(F.col("event_type") == steps[0]).select(
+        "user_id", F.col("tms").alias("t1"), F.col("tms").alias("p")
+    )
+    achieved = [alive.select("user_id", F.lit(1).alias("lv"))]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("event_type") == s).select(
+            "user_id", (-F.col("tms")).alias("_nt"), F.col("tms").alias("t_next")
+        )
+        probe = alive.withColumn("_np", -(F.col("p") + F.lit(1)))
+        j = asof_join(
+            probe, nxt, on="user_id", left_ts="_np", right_ts="_nt",
+            payload=["t_next"],
+        )
+        alive = j.filter(
+            F.col("t_next").isNotNull()
+            & (F.col("t_next") <= F.col("t1") + F.lit(window_ms))
+        ).select("user_id", "t1", F.col("t_next").alias("p"))
+        achieved.append(alive.select("user_id", F.lit(i).alias("lv")))
+    lv = achieved[0]
+    for a in achieved[1:]:
+        lv = lv.unionByName(a)
+    lv = lv.groupBy("user_id").agg(F.max("lv").alias("level"))
+    return users.join(lv, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("level"), F.lit(0)).cast("long").alias("level"),
+    )
+
+
+def window_funnel_sql(
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_ms: int = 6 * 3_600_000,
+) -> str:
+    """DuckDB twin of :func:`window_funnel` — the decorrelated
+    join-aggregation form: per chain, the earliest eligible next event
+    is ``min(tms)`` over an inner join bounded by the strictly-after
+    and window predicates (folding the window bound into the join
+    changes nothing: if the unbounded min exceeds the horizon no event
+    was inside it). All values are exact integer ms — no FP seam."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ctes = [
+        "ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events)",
+        "u AS (SELECT DISTINCT user_id FROM ev)",
+        f"c1 AS (SELECT user_id, tms AS t1, tms AS p FROM ev "
+        f"WHERE event_type = {q(steps[0])})",
+    ]
+    lvls = ["SELECT user_id, 1 AS lv FROM c1"]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT {prev}.user_id, {prev}.t1, min(e.tms) AS p "
+            f"FROM {prev} JOIN ev e ON e.user_id = {prev}.user_id "
+            f"AND e.event_type = {q(s)} AND e.tms > {prev}.p "
+            f"AND e.tms <= {prev}.t1 + {window_ms} "
+            f"GROUP BY {prev}.user_id, {prev}.t1, {prev}.p)"
+        )
+        lvls.append(f"SELECT user_id, {i} AS lv FROM c{i}")
+    union = " UNION ALL ".join(lvls)
+    return f"""
+        WITH {", ".join(ctes)},
+        lv AS (SELECT user_id, max(lv) AS level FROM ({union}) GROUP BY 1)
+        SELECT u.user_id, COALESCE(lv.level, 0)::BIGINT AS level
+        FROM u LEFT JOIN lv ON u.user_id = lv.user_id
+    """
+
+
 def window_rollup_sliding(
     tsdb: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
 ) -> DataFrame:

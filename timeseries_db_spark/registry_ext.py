@@ -71,8 +71,28 @@ def register_extensions(q: dict, o: dict) -> None:
         + ")"
     )
 
-    q["sessionize_30m"] = lambda s, d: rollup.sessionize(s, d)
-    o["sessionize_30m"] = rollup.sessionize_sql()
+    # late-r8 funnel leg: windowFunnel-style per-user max completed
+    # step sequence (signup→view→click→purchase within 6h), coerced to
+    # the session schema as (user_id, NULL, level, NULL)
+    def sessionize_and_funnel(s: SparkSession, d: str) -> DataFrame:
+        ses = rollup.sessionize(s, d).withColumn("kind", F.lit("session"))
+        fun = rollup.window_funnel(s, d).select(
+            "user_id",
+            F.lit(None).cast("long").alias("session_start"),
+            F.col("level").cast("double").alias("n_events"),
+            F.lit(None).cast("double").alias("total_value"),
+            F.lit("funnel").alias("kind"),
+        )
+        return ses.unionByName(fun)
+
+    q["sessionize_30m"] = sessionize_and_funnel
+    o["sessionize_30m"] = (
+        f"SELECT *, 'session' AS kind FROM ({rollup.sessionize_sql()})"
+        " UNION ALL "
+        "SELECT user_id, CAST(NULL AS BIGINT) AS session_start,"
+        " level::DOUBLE AS n_events, CAST(NULL AS DOUBLE) AS total_value,"
+        f" 'funnel' AS kind FROM ({rollup.window_funnel_sql()})"
+    )
 
     # ---- as-of join (union+window plan vs DuckDB ASOF JOIN oracle) ----
     from timeseries_db_spark.registry import HI, LO, EVENTS_T
