@@ -194,7 +194,7 @@ def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     # local-FS .crc sidecar). Blank lines are separators, not records:
     # they must neither quarantine nor surface as phantom NULL docs.
     with open(out + "/part-99999-planted.json", "w") as f:
-        f.write('\n{"doc_id": 1, "text": unterminated\n   \n')
+        f.write('\n{"doc_id": 1, "text": unterminated\n   \n\t\n')
     q = read_corpus_any(spark, out, fmt="json")
     bad = q.filter("_corrupt IS NOT NULL")
     assert bad.count() == 1

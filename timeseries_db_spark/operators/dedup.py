@@ -363,7 +363,16 @@ def duplicated_ngram_fraction(
     shingle explode runs twice (df build + join side) — the usual
     recompute-vs-materialize call; persist the exploded table when
     composing with other shingle consumers."""
-    sh = doc_shingles(docs.filter(F.expr(f"size({TOKENS_SPARK}) >= 3")))
+    # bind the tokenization ONCE and filter on the bound column — a
+    # docs.filter(size(TOKENS_SPARK) >= 3) wrapper would re-run the
+    # regex split as a second expression on every row (the module's
+    # 6x-measured re-evaluation trap; code-review r8)
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks")).filter(
+        F.expr("size(toks) >= 3")
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+    )
     df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per = (
         sh.join(df_t, "shingle")

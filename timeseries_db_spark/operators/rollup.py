@@ -171,11 +171,14 @@ def window_funnel(
     :func:`~timeseries_db_spark.operators.asof.asof_join` on a NEGATED
     time axis (min t with t >= p+1 == -max(-t <= -(p+1)); integer ms
     make strictness exact). One union+window shuffle keyed on user_id
-    per step — no per-user event fan-out (the naive range join explodes
-    |starts| x |step events| per user; the as-of carries exactly one
-    probe row per live chain). Dead chains leave the pipeline at the
-    step where they die, recorded in the achieved-level union. Heavy
-    users: swap in ``asof_join_scalable`` (same contract, bucketed)."""
+    per step in ONE LINEAR plan — no per-user event fan-out (the naive
+    range join explodes |starts| x |step events| per user; the as-of
+    carries exactly one probe row per chain), and dead chains ride
+    through later steps with a NULL probe and their achieved ``lvl``
+    frozen, instead of branching a union of re-executed join prefixes
+    (an achieved-per-level union re-plans the first i-1 joins in every
+    branch — O(k²/2) shuffles; code-review r8). Heavy users: swap in
+    ``asof_join_scalable`` (same contract, bucketed)."""
     from timeseries_db_spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -183,28 +186,38 @@ def window_funnel(
         "user_id", ts_to_millis(ev, "ts").alias("tms"), "event_type"
     )
     users = ev.select("user_id").distinct()
-    alive = ev.filter(F.col("event_type") == steps[0]).select(
-        "user_id", F.col("tms").alias("t1"), F.col("tms").alias("p")
+    cur = ev.filter(F.col("event_type") == steps[0]).select(
+        "user_id",
+        F.col("tms").alias("t1"),
+        F.col("tms").alias("p"),
+        F.lit(1).alias("lvl"),
     )
-    achieved = [alive.select("user_id", F.lit(1).alias("lv"))]
     for i, s in enumerate(steps[1:], start=2):
         nxt = ev.filter(F.col("event_type") == s).select(
             "user_id", (-F.col("tms")).alias("_nt"), F.col("tms").alias("t_next")
         )
-        probe = alive.withColumn("_np", -(F.col("p") + F.lit(1)))
+        # only chains live at level i-1 probe; dead chains carry a NULL
+        # probe (sorts before every real right row -> NULL payload)
+        probe = cur.withColumn(
+            "_np",
+            F.when(F.col("lvl") == i - 1, -(F.col("p") + F.lit(1))),
+        )
         j = asof_join(
             probe, nxt, on="user_id", left_ts="_np", right_ts="_nt",
             payload=["t_next"],
         )
-        alive = j.filter(
-            F.col("t_next").isNotNull()
+        ok = (
+            (F.col("lvl") == i - 1)
+            & F.col("t_next").isNotNull()
             & (F.col("t_next") <= F.col("t1") + F.lit(window_ms))
-        ).select("user_id", "t1", F.col("t_next").alias("p"))
-        achieved.append(alive.select("user_id", F.lit(i).alias("lv")))
-    lv = achieved[0]
-    for a in achieved[1:]:
-        lv = lv.unionByName(a)
-    lv = lv.groupBy("user_id").agg(F.max("lv").alias("level"))
+        )
+        cur = j.select(
+            "user_id",
+            "t1",
+            F.when(ok, F.col("t_next")).otherwise(F.col("p")).alias("p"),
+            F.when(ok, F.lit(i)).otherwise(F.col("lvl")).alias("lvl"),
+        )
+    lv = cur.groupBy("user_id").agg(F.max("lvl").alias("level"))
     return users.join(lv, "user_id", "left").select(
         "user_id",
         F.coalesce(F.col("level"), F.lit(0)).cast("long").alias("level"),

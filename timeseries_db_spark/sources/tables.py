@@ -305,8 +305,10 @@ def read_corpus_any(
                 # records: from_json('') yields an all-NULL struct with
                 # _corrupt unset, which would pass the clean filter as
                 # a phantom document (the json reader's drop/fail modes
-                # skip blank lines too — match them)
-                .filter(F.trim(F.col("value")) != "")
+                # skip blank lines too — match them). rlike(\S), not
+                # trim(): trim strips only spaces, so a tab-only line
+                # would still slip through (code-review r8)
+                .filter(F.col("value").rlike(r"\S"))
                 .select(
                     F.from_json(
                         F.col("value"),
