@@ -904,3 +904,42 @@ def test_duplicated_ngram_fraction_planted_boilerplate(spark):
     assert out[1][1] > 0.5 and out[2][1] > 0.5
     for short in (3, 4, 5, 6, 7):
         assert out[short] == (0, 0.0), short
+
+
+def test_scrub_duplicated_spans_planted(spark):
+    """Planted corpus for the exact-substring scrub: a cross-document
+    8-token boilerplate run is removed from both carriers (and only the
+    run — trailing unique tokens survive in order); whole-doc duplicates
+    empty out; WITHIN-doc repetition alone never triggers removal
+    (distinct-doc frequency); sub-window docs and NULL text pass
+    through."""
+    boiler = "all rights reserved contact us terms of service"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi rho sigma"),
+        (4, "a b c d"),                      # < 5 tokens, duplicated —
+        (5, "a b c d"),                      # no shingles, untouched
+        (6, "one two three four five six"),  # whole-doc dup → emptied
+        (7, "one two three four five six"),
+        (8, "p q r s t p q r s t"),          # within-doc repeat only
+        (9, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.scrub_duplicated_spans(docs).collect()
+    }
+    assert set(out) == set(range(1, 10))
+    # the boilerplate's 4 interior width-5 windows cover exactly its 8
+    # tokens; the windows straddling into each doc's unique tail are
+    # doc-local and must NOT extend the removal
+    assert out[1] == (12, 8, "alpha beta gamma delta")
+    assert out[2] == (12, 8, "epsilon zeta eta theta")
+    assert out[3] == (10, 0, "iota kappa lam mu nu xi omicron pi rho sigma")
+    assert out[4] == (4, 0, "a b c d")
+    assert out[5] == (4, 0, "a b c d")
+    assert out[6] == (6, 6, "")
+    assert out[7] == (6, 6, "")
+    assert out[8] == (10, 0, "p q r s t p q r s t")
+    assert out[9] == (0, 0, None)

@@ -728,3 +728,177 @@ def simhash_pairs_sql(max_hamming: int) -> str:
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring scrub (duplicated-span removal)
+# ---------------------------------------------------------------------------
+
+#: Window width for the duplicated-span scrub. Wider than the Jaccard
+#: shingle (3): the scrub REWRITES text, so the mark must be a span long
+#: enough that sharing it across documents is evidence of copying, not
+#: phrase coincidence (Lee et al. 2021 use 50 BPE tokens at web scale;
+#: 5 words is the same idea scaled to the fixture's ~35-word docs).
+SCRUB_W = 5
+
+
+def _positional_shingles(k: int):
+    """(spark_expr, duck_fold) for POSITIONAL width-``k`` shingles over a
+    pre-bound token-hash array ``hs`` — unlike ``SHINGLES_SPARK`` these
+    keep every start offset (no array_distinct) because the consumer
+    needs to know WHERE the duplicated span sits, not just that it
+    exists."""
+    spark_fold = _shingle_fold([f"hs[i+{j}]" for j in range(k)])
+    duck_fold = _shingle_fold([f"h[i+{j}]" for j in range(k)])
+    spark_expr = f"""
+        transform(
+          sequence(0, size(hs) - {k}),
+          i -> struct(i AS start, {spark_fold} AS shingle)
+        )
+    """
+    return spark_expr, duck_fold
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame, k: int = SCRUB_W, df_threshold: int = 2
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text) — CROSS-document
+    exact-substring deduplication, the scalable approximation of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every token covered by
+    a width-``k`` shingle that occurs in >= ``df_threshold`` DISTINCT
+    documents is removed, and the survivors are rejoined in order.
+    Within-document repetition alone never triggers removal (distinct-doc
+    frequency, not raw frequency) — that signal belongs to
+    ``text_features``' repetition ratio. Documents shorter than ``k``
+    tokens contribute no shingles and pass through verbatim (their
+    duplication is exact-dedup's job, where whole-doc identity is the
+    right granularity).
+
+    ``clean_text`` is the single-space rejoin of surviving tokens (the
+    tokenizer's whitespace normalization is already lossy, so the rejoin
+    is the canonical form both engines agree on); emptied docs yield ''.
+
+    Scale shape (100 TB): positional shingling is a map-only O(L)
+    explode; the duplicated-shingle set is ONE hash aggregation on the
+    53-bit shingle key (count DISTINCT doc_id — partial aggregation
+    combines map-side); marking is a linear inverted-index equi-join
+    (each (doc, start) row matches at most one duplicated-shingle row);
+    coverage expansion fans out a bounded k rows per mark; the rebuild
+    is one anti-join plus one per-doc aggregation. No pair fan-out
+    anywhere — the quadratic all-pairs shape of suffix-array dedup is
+    exactly what this formulation avoids. A corpus-wide stop-shingle
+    (df in millions) inflates only the LINEAR join, and its coverage
+    rows collapse via the per-(doc,pos) distinct."""
+    sh_expr, _ = _positional_shingles(k)
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    hs = toks.filter(F.expr(f"size(toks) >= {k}")).select(
+        "doc_id", F.expr(_TOK_HASHES_SPARK).alias("hs")
+    )
+    sh = (
+        hs.select("doc_id", F.explode(F.expr(sh_expr)).alias("sp"))
+        .select("doc_id", F.col("sp.start").alias("start"), F.col("sp.shingle").alias("shingle"))
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(dup, "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {k - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.filter(F.col("toks").isNotNull()).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.when(F.col("toks").isNull(), F.lit(0))
+        .otherwise(F.size("toks"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.col("toks").isNull().alias("null_text"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.when(F.col("null_text"), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
+    )
+
+
+def scrub_duplicated_spans_sql(k: int = SCRUB_W, df_threshold: int = 2) -> str:
+    """DuckDB twin of :func:`scrub_duplicated_spans` — 1-based list
+    positions (engine-internal only; positions never reach the output),
+    ``string_agg(... ORDER BY pos)`` for the ordered rejoin."""
+    _, duck_fold = _positional_shingles(k)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+            WHERE text IS NOT NULL
+        ),
+        hsrc AS (
+            SELECT doc_id, t,
+                   list_transform(
+                     t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                   ) AS h
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id, i AS start, {duck_fold} AS shingle
+            FROM hsrc, LATERAL unnest(generate_series(1, len(h) - {k} + 1)) AS u(i)
+            WHERE len(h) >= {k}
+        ),
+        dup AS (
+            SELECT shingle
+            FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+            WHERE df >= {df_threshold}
+        ),
+        covered AS (
+            SELECT DISTINCT sh.doc_id, p AS pos
+            FROM sh JOIN dup USING (shingle),
+                 LATERAL unnest(generate_series(sh.start, sh.start + {k - 1})) AS v(p)
+        ),
+        tok_rows AS (
+            SELECT doc_id, i AS pos, t[i] AS tok
+            FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        ),
+        kept AS (
+            SELECT tr.doc_id, tr.pos, tr.tok
+            FROM tok_rows tr ANTI JOIN covered c
+              ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+        ),
+        rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(len(t.t), 0)::BIGINT AS n_tokens,
+               (COALESCE(len(t.t), 0) - COALESCE(r.n_kept, 0))::BIGINT AS n_removed,
+               CASE WHEN t.doc_id IS NULL THEN NULL
+                    ELSE COALESCE(r.clean_text, '') END AS clean_text
+        FROM documents d
+        LEFT JOIN toks t ON d.doc_id = t.doc_id
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """

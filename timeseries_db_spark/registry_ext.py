@@ -552,7 +552,24 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_common").alias("id_b"),
             F.col("dup_frac").alias("jaccard"),
         )
-        return exact.unionByName(capped).unionByName(dupfrac)
+        # r8 leg: exact-substring scrub (Lee et al. duplicated-span
+        # removal). The rewritten TEXT itself is what needs verifying, so
+        # the coercion carries its 60-bit md5-long fingerprint as id_b —
+        # one flipped surviving token on either engine flips the hash —
+        # and the removed-token fraction as the value column
+        scrub = dedup.scrub_duplicated_spans(_docs(s, d)).select(
+            F.lit("scrub").alias("variant"),
+            F.col("doc_id").alias("id_a"),
+            F.expr(
+                "CAST(conv(substring(md5(clean_text), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("id_b"),
+            numeric.duck_round(
+                F.col("n_removed")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        return exact.unionByName(capped).unionByName(dupfrac).unionByName(scrub)
 
     q["dedup_ngram_jaccard"] = ngram_jaccard_both
     o["dedup_ngram_jaccard"] = f"""
@@ -565,6 +582,11 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT 'dupfrac' AS variant, doc_id AS id_a, n_common AS id_b,
                dup_frac AS jaccard
         FROM ({dedup.duplicated_ngram_fraction_sql()})
+        UNION ALL
+        SELECT 'scrub' AS variant, doc_id AS id_a,
+               ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS id_b,
+               round(n_removed / greatest(n_tokens, 1)::DOUBLE, 4) AS jaccard
+        FROM ({dedup.scrub_duplicated_spans_sql()})
     """
 
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
