@@ -251,3 +251,82 @@ def test_stream_stream_time_bounded_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(batch) > 0
     assert got == batch
+
+
+def test_corpus_ingest_near_dup_suppression(spark, tmp_path):
+    """Streaming corpus ingest over a planted 3-file corpus: exact
+    copies are suppressed both within a batch and across batches (via
+    the persisted signature index), uniques publish, and the final
+    published set equals the batch-boundary-free DuckDB closed form.
+    Restarting the stream with a later file and the SAME checkpoint
+    extends the published set consistently (the seen-index filter)."""
+    import time
+
+    import duckdb
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+    Z = "red orange yellow green blue indigo violet umber ochre teal"
+    b0 = pd.DataFrame({"doc_id": [0, 1, 2], "text": [X, X, Y]})
+    b1 = pd.DataFrame({"doc_id": [3, 4], "text": [X, Y]})
+    b2 = pd.DataFrame({"doc_id": [5, 6], "text": [Z, Z]})
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, pdf):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        # single stable file with its own mtime tick
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(in_dir / name))
+        time.sleep(1.1)
+
+    write("b0.parquet", b0)
+    write("b1.parquet", b1)
+
+    stream = ci.read_docs_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = ci.start_corpus_ingest(stream, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub1 = {
+        r["doc_id"] for r in ci.read_published(spark, out_dir).collect()
+    }
+    # within-b0: doc1 (copy of doc0) suppressed; cross-batch: doc3 (=X)
+    # and doc4 (=Y) suppressed by the signature index
+    assert pub1 == {0, 2}
+
+    # restart with a NEW file on the SAME checkpoint: only b2 processes
+    write("b2.parquet", b2)
+    q = ci.start_corpus_ingest(
+        ci.read_docs_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = ci.read_published(spark, out_dir).toPandas()
+    assert set(pub["doc_id"]) == {0, 2, 5}
+
+    # the DuckDB closed form over the full corpus agrees row-for-row
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.concat([b0, b1, b2], ignore_index=True)
+    )
+    ora = con.sql(ci.corpus_ingest_kept_sql()).df()
+    got = pub[["doc_id", "fp53"]].sort_values("doc_id").reset_index(drop=True)
+    exp = ora.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["fp53"].tolist() == exp["fp53"].tolist()

@@ -459,19 +459,13 @@ def _band_key_duck(band: int) -> str:
     return f"md5(concat_ws('_', {cols}))"
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH, verified with exact
-    shingle Jaccard: (id_a, id_b, jaccard ≥ threshold). Candidate pairs
-    collide in ≥1 of the 8 bands — join fan-out is per-bucket, never
-    all-pairs."""
-    # Signatures are one row of 32 longs per document — the smallest table
-    # in the pipeline at any scale — so persist them across the self-join
-    # (each side of a self-join recomputes its input plan otherwise, and
-    # that input here is the full shingle+hash+aggregate pass).
-    sig = _persist_tracked("minhash", minhash_signatures(docs))
-    # all band keys in ONE projection + explode — a per-band union would
-    # recompute the signature aggregation once per band
-    bands = sig.select(
+def minhash_band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — all ``MINHASH_BANDS`` band keys of a
+    signature table in ONE projection + explode (a per-band union would
+    recompute the signature aggregation once per band). Shared by the
+    batch LSH self-join below and the streaming incremental index
+    (``streaming/corpus_ingest.py``)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -485,6 +479,19 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard: (id_a, id_b, jaccard ≥ threshold). Candidate pairs
+    collide in ≥1 of the 8 bands — join fan-out is per-bucket, never
+    all-pairs."""
+    # Signatures are one row of 32 longs per document — the smallest table
+    # in the pipeline at any scale — so persist them across the self-join
+    # (each side of a self-join recomputes its input plan otherwise, and
+    # that input here is the full shingle+hash+aggregate pass).
+    sig = _persist_tracked("minhash", minhash_signatures(docs))
+    bands = minhash_band_table(sig)
     a = bands.alias("a")
     bb = bands.alias("b")
     candidates = (

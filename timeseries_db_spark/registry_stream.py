@@ -309,20 +309,77 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
+        # r8 corpus leg: the same entry also runs the streaming CORPUS
+        # ingest (near-dup suppression via the persisted signature
+        # index) — tag 'cdoc' keeps the legs disjoint in the shared
+        # (timestamp, tag, value) schema, and the published docs carry
+        # their 53-bit content fingerprint as the value
+        corpus = _corpus_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return table.read()
+    return table.read().unionByName(corpus)
+
+
+def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """3-micro-batch streaming corpus ingest over the documents table
+    (terciles by doc_id, ascending mtimes pin arrival order to doc_id
+    order — the published set is batch-boundary invariant but NOT
+    arrival-order invariant). Returns (doc_id, 'cdoc', fp53)."""
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    in_dir = os.path.join(base, "corpus_in")
+    os.makedirs(in_dir)
+    cuts = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+    for i, (lo, hh) in enumerate(cuts):
+        pdf = (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hh))
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(in_dir, f"c{i}.parquet"),
+        )
+        if i < len(cuts) - 1:
+            time.sleep(1.1)  # distinct mtimes → ascending batch order
+    out_dir = os.path.join(base, "corpus_out")
+    query = ci.start_corpus_ingest(
+        ci.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        os.path.join(base, "corpus_ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return ci.read_published(spark, out_dir).select(
+        F.col("doc_id").alias("timestamp"),
+        F.lit("cdoc").alias("tag"),
+        F.col("fp53").cast("double").alias("value"),
+    )
 
 
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
     once with the ORIGINAL value formula — duplicates collapsed, poison
-    re-sends never landed."""
+    re-sends never landed. The corpus leg is the batch-boundary-free
+    dominated-by-earlier closed form from
+    ``streaming/corpus_ingest.py``."""
+    from timeseries_db_spark.streaming.corpus_ingest import corpus_ingest_kept_sql
+
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
                CAST(1 + i % 7 AS DOUBLE) AS value
         FROM range({ING_N0 + ING_NEW}) r(i)
+        UNION ALL
+        SELECT doc_id AS "timestamp", 'cdoc' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({corpus_ingest_kept_sql()})
     """
 
 

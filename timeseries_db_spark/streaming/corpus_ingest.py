@@ -1,0 +1,236 @@
+"""Streaming corpus ingest with near-duplicate suppression — the
+continuous-ingest analog of the batch MinHash-LSH dedup
+(``operators/dedup.py``): documents arrive as files, and each
+micro-batch publishes only the docs that are NOT near-duplicates of
+anything seen before them.
+
+Semantics (chosen to be exactly oracle-reproducible): a document ``d``
+is DROPPED iff some document ``e`` with ``doc_id < d.doc_id`` that has
+already been SEEN (prior batch, or same batch — kept or dropped alike)
+collides with ``d`` in >= 1 MinHash band AND their signatures agree on
+>= ``t_est`` of the 32 permutations (the signature-estimated Jaccard —
+the standard decision at scale, where re-reading both texts for an
+exact verify would defeat the point of the signature index). Three
+properties fall out:
+
+* **"dominated by any earlier SEEN doc"** — not "by any earlier KEPT
+  doc". The signature table records every doc ever seen (with a
+  ``kept`` flag), so a doc that was itself dropped still suppresses its
+  later near-copies. This is the monotone, non-recursive variant: the
+  greedy keep-only-vs-survivors rule is inherently sequential (each
+  decision depends on the previous one), while this rule is a pure
+  function of the pairwise signature relation — embarrassingly
+  parallel within a batch and expressible as one SQL query.
+* **batch-boundary invariance** — because the rule depends only on
+  (doc_id order, signature pairs), the FINAL published set is identical
+  however the arrival stream is chopped into micro-batches, as long as
+  arrival order is consistent with doc_id order. The gate oracle states
+  the result closed-form over the whole corpus with no notion of
+  batches at all.
+* **exact duplicates need no special case** — identical text gives an
+  identical shingle set, hence an identical signature: est = 1 and
+  every band collides.
+
+Exactly-once: per-batch output goes to ``batch=<id>`` partition
+directories written with dynamic overwrite, so a replayed batch
+rewrites its own partition idempotently; the seen-signature read
+filters ``batch < current`` so a crashed attempt's own partial output
+never dominates its replay.
+
+Scale shape (100 TB): the signature table is one 32-long row per doc —
+the smallest table in the pipeline. Per batch: one shingle+min-monoid
+aggregation over the BATCH (not the corpus), one band-key equi-join of
+the batch's bands against the seen bands (linear in band-bucket
+collisions, never all-pairs; at real scale the seen side would be
+written bucketed by band key so the join prunes to the batch's
+buckets), one signature-compare projection on the candidate pairs, one
+anti-join. State lives in parquet, not executor memory — no unbounded
+streaming state."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.functions.hashing import MINHASH_PERMS
+from timeseries_db_spark.operators.dedup import (
+    SHINGLE_MOD,
+    minhash_band_table,
+    minhash_signatures,
+)
+
+#: Minimum fraction of agreeing permutations for a candidate pair to be
+#: ruled a near-duplicate. 16/32 agreeing permutations estimates
+#: J ≈ 0.5 — between the batch path's verify threshold (0.7) and the
+#: band-collision floor.
+T_EST_DEFAULT = 0.5
+
+_SIG_COLS = [f"m{i}" for i in range(MINHASH_PERMS)]
+
+#: 53-bit content fingerprint of the published text — double-exact, so
+#: the gate can carry it through a DOUBLE value column.
+FP53_SPARK = (
+    "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    f" % {SHINGLE_MOD}"
+)
+FP53_DUCK = f"('0x' || substr(md5(text), 1, 15))::BIGINT % {SHINGLE_MOD}"
+
+
+def read_docs_stream(spark, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of (doc_id, text) parquet."""
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _read_seen_sigs(spark, sig_dir: str, before_batch: int) -> DataFrame | None:
+    """All signatures published by batches before ``before_batch`` —
+    None when no batch has landed yet (first batch, or replay of it)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(sig_dir)
+    except AnalysisException:
+        return None
+    if "batch" not in seen.columns:  # dir exists but holds no partitions
+        return None
+    return seen.filter(F.col("batch") < before_batch).select("doc_id", *_SIG_COLS)
+
+
+def start_corpus_ingest(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    t_est: float = T_EST_DEFAULT,
+):
+    """Start the ingest query. Output layout under ``out_dir``:
+
+    * ``sigs/batch=<id>/`` — one row per doc SEEN in the batch
+      (signature + ``kept`` flag): the incremental LSH index.
+    * ``docs/batch=<id>/`` — the published (kept) docs with their
+      53-bit content fingerprint.
+    """
+    sig_dir = os.path.join(out_dir, "sigs")
+    docs_dir = os.path.join(out_dir, "docs")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select("doc_id", "text")
+        if batch.limit(1).count() == 0:
+            return
+        # one shingle + 32-min-monoid aggregation pass over the batch;
+        # docs with no shingle (NULL text) get no signature row and can
+        # neither dominate nor be dominated — they publish unconditionally
+        sigs = minhash_signatures(batch).persist()
+        try:
+            seen = _read_seen_sigs(spark, sig_dir, batch_id)
+            earlier = (
+                sigs if seen is None else seen.unionByName(sigs)
+            )
+            be = minhash_band_table(earlier).withColumnRenamed("doc_id", "id_e")
+            bl = minhash_band_table(sigs).withColumnRenamed("doc_id", "id_d")
+            cand = (
+                be.join(bl, on=["band", "bkey"])
+                .filter(F.col("id_e") < F.col("id_d"))
+                .select("id_e", "id_d")
+                .distinct()
+            )
+            sa = earlier.select(
+                F.col("doc_id").alias("id_e"),
+                *[F.col(m).alias(f"a_{m}") for m in _SIG_COLS],
+            )
+            sb = sigs.select(
+                F.col("doc_id").alias("id_d"),
+                *[F.col(m).alias(f"b_{m}") for m in _SIG_COLS],
+            )
+            n_match = sum(
+                F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0)
+                for m in _SIG_COLS
+            )
+            dominated = (
+                cand.join(sa, "id_e")
+                .join(sb, "id_d")
+                .filter(n_match / F.lit(float(MINHASH_PERMS)) >= F.lit(t_est))
+                .select(F.col("id_d").alias("doc_id"))
+                .distinct()
+            )
+            kept = batch.join(dominated, "doc_id", "left_anti")
+            out_sigs = sigs.join(
+                dominated.withColumn("dom", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id",
+                *_SIG_COLS,
+                F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
+            )
+            # idempotent per-batch partition overwrite (replay-safe)
+            out_sigs.write.mode("overwrite").parquet(
+                os.path.join(sig_dir, f"batch={batch_id}")
+            )
+            kept.withColumn("fp53", F.expr(FP53_SPARK)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(docs_dir, f"batch={batch_id}"))
+        finally:
+            sigs.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_published(spark, out_dir: str) -> DataFrame:
+    """The published corpus: (batch, doc_id, text, fp53)."""
+    return spark.read.parquet(os.path.join(out_dir, "docs"))
+
+
+def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
+    """DuckDB closed form of the FINAL published set over the whole
+    ``documents`` view — no notion of batches (see module docstring:
+    the dominated-by-earlier rule is batch-boundary invariant):
+    (doc_id, fp53) for every doc with no earlier band-colliding,
+    signature-agreeing neighbor."""
+    from timeseries_db_spark.functions.hashing import MINHASH_BANDS, minhash_value_sql
+    from timeseries_db_spark.operators.dedup import (
+        _band_key_duck,
+        _HASH_DUCK,
+        _SHINGLES_CTE_DUCK,
+    )
+
+    mins = ",\n               ".join(
+        f"min({minhash_value_sql('h', i)}) AS m{i}" for i in range(MINHASH_PERMS)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_duck(band)} AS bkey FROM sig"
+        for band in range(MINHASH_BANDS)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        hashed AS (SELECT doc_id, {_HASH_DUCK} AS h FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_e, b.doc_id AS id_d
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        dominated AS (
+            SELECT DISTINCT id_d
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.id_e
+            JOIN sig sb ON sb.doc_id = cand.id_d
+            WHERE ({n_match}) / {float(MINHASH_PERMS)} >= {t_est}
+        )
+        SELECT doc_id, {FP53_DUCK} AS fp53
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id_d FROM dominated)
+    """
