@@ -240,7 +240,9 @@ def test_bm25_fp_guard_band(spark, sf_dir):
                        {TOKENS_DUCK} AS toks
                 FROM documents
             ),
-            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             (SELECT sum(len) FROM toks) / count(*)::DOUBLE AS avg_len
+                      FROM toks),
             tf AS (
                 SELECT doc_id, len, term, count(*)::DOUBLE AS tf
                 FROM (SELECT doc_id, len, unnest(toks) AS term FROM toks)

@@ -926,7 +926,10 @@ BM25_FP_SCALE = 1_000_000
 
 
 def bm25_topk(
-    docs: DataFrame, terms: tuple[str, ...], k: int = 20
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score_fp, rank) — top-``k`` documents by BM25 relevance
     to the query ``terms`` (rank ties broken by doc_id): the
@@ -943,7 +946,16 @@ def bm25_topk(
     collect of data rows), and the final top-k is
     TakeOrderedAndProject. idf uses the BM25+ floor form
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — nonnegative even for
-    terms in over half the corpus."""
+    terms in over half the corpus.
+
+    Pass ``counts`` (a materialized :func:`token_counts`) to derive the
+    corpus statistics from it instead of a second tokenize scan:
+    ``avg_len = sum(freq) / n_docs`` — the total is an exact integer on
+    both engines (< 2^53), so the division is bit-identical to summing
+    per-doc lengths in any order, and ``n_docs`` comes from a
+    column-pruned count-only scan (late r8: this plus caching the
+    k-row top — which the rank join references twice — removed two of
+    the leg's three corpus tokenize passes)."""
     toks = docs.select(
         "doc_id", F.expr(TOKENS_SPARK).alias("toks")
     ).select(
@@ -951,9 +963,12 @@ def bm25_topk(
         F.expr("size(filter(toks, t -> t <> ''))").cast("double").alias("len"),
         F.col("toks"),
     )
-    stats = toks.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("len").alias("avg_len"),
+    if counts is None:
+        counts = token_counts(docs)
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .crossJoin(counts.agg(F.sum("freq").cast("double").alias("tot")))
+        .select("n_docs", (F.col("tot") / F.col("n_docs")).alias("avg_len"))
     )
     term_col = F.explode(
         F.filter(F.col("toks"), lambda t: t.isin(*terms))
@@ -994,8 +1009,14 @@ def bm25_topk(
     # order is itself in the top-k, so top-vs-top comparisons suffice —
     # and the broadcast stays bounded at k rows (broadcasting the full
     # scored table would be O(matching docs), unbounded on a common
-    # query term)
-    top = scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(k)
+    # query term). The k-row top is persist-tracked: the rank join
+    # references it on BOTH sides, and without a cache each reference
+    # re-executes the whole tf chain (a full corpus tokenize)
+    from timeseries_db_spark.operators.dedup import _persist_tracked
+
+    top = _persist_tracked(
+        "bm25_top", scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(k)
+    )
     w_before = top.select(
         F.col("doc_id").alias("b_id"), F.col("score_fp").alias("b_fp")
     )
@@ -1022,7 +1043,12 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int = 20) -> str:
             FROM documents
         ),
         stats AS (
-            SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM toks
+            -- sum(len) is integer-valued and < 2^53, so the total (and
+            -- the division) is exact on both engines — matches the
+            -- Spark side's shared-token_counts sum(freq)/n_docs tree
+            SELECT count(*)::DOUBLE AS n_docs,
+                   (SELECT sum(len) FROM toks) / count(*)::DOUBLE AS avg_len
+            FROM toks
         ),
         tf AS (
             SELECT doc_id, len, term, count(*)::DOUBLE AS tf

@@ -444,7 +444,7 @@ def register_extensions(q: dict, o: dict) -> None:
         topv = text.vocab_topn(_docs(s, d), 100, counts=tok_counts)
         vocab = topv.withColumn("kind", F.lit("vocab"))
         bm25 = (
-            text.bm25_topk(_docs(s, d), BM25_TERMS, 20)
+            text.bm25_topk(_docs(s, d), BM25_TERMS, 20, counts=tok_counts)
             .select(
                 F.col("doc_id").cast("string").alias("token"),
                 F.col("score_fp").alias("freq"),
