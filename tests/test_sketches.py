@@ -498,3 +498,41 @@ def test_streaming_cms_and_histogram_maintenance(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert h_stream == h_batch
+
+
+def test_hll_overlap_set_algebra(spark):
+    """Set operations over one register table: identical sets intersect
+    at ~their own NDV, disjoint sets at ~0 (floored), and a planted
+    half-overlap estimates within sketch error; every union estimate
+    matches the estimate of the actual set union (register-max merge is
+    EXACT, so union error is just single-sketch error)."""
+    import pandas as pd
+
+    n = 4000
+    rows = (
+        [("a", f"v{i}") for i in range(n)]            # a: 0..3999
+        + [("b", f"v{i}") for i in range(n)]          # b == a
+        + [("c", f"w{i}") for i in range(n)]          # c disjoint from a
+        + [("d", f"v{i}") for i in range(n // 2, n)]  # d = upper half of a
+        + [("d", f"x{i}") for i in range(n // 2)]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "val"]))
+    regs = sketches.hll_registers(df, "key", F.col("val"))
+    ov = {
+        r["key"]: (r["ndv_a"], r["ndv_b"], r["union_est"], r["inter_est"])
+        for r in sketches.hll_overlap(
+            regs, [("a", "b"), ("a", "c"), ("a", "d")]
+        ).collect()
+    }
+    ndv_a, _, union_ab, inter_ab = ov["a|b"]
+    # identical: union == each side's estimate exactly (same registers)
+    assert union_ab == ndv_a and inter_ab == ndv_a
+    _, ndv_c, union_ac, inter_ac = ov["a|c"]
+    # disjoint: union ~ 2n, intersection ~ 0 (3-sigma of the union)
+    assert abs(union_ac - 2 * n) / (2 * n) < 0.20
+    assert inter_ac < 0.20 * 2 * n
+    _, ndv_d, union_ad, inter_ad = ov["a|d"]
+    # half overlap: |a ∪ d| = 1.5n, |a ∩ d| = 0.5n (wider band: I-E
+    # stacks three estimates' errors)
+    assert abs(union_ad - 1.5 * n) / (1.5 * n) < 0.20
+    assert abs(inter_ad - 0.5 * n) / (0.5 * n) < 0.60

@@ -107,30 +107,29 @@ def hll_ndv(df: DataFrame, key: str, value_col) -> DataFrame:
     return hll_estimate(hll_registers(df, key, value_col))
 
 
-def hll_ndv_sql(table_sql: str, key: str, value_expr: str) -> str:
-    """DuckDB twin of :func:`hll_ndv` on ``value_expr`` (a VARCHAR
-    expression) grouped by ``key``."""
+def hll_regs_cte_sql(table_sql: str, key: str, value_expr: str) -> str:
+    """CTE body producing the register table (key, bucket, m) in DuckDB
+    — the composable seam shared by :func:`hll_ndv_sql` and
+    :func:`hll_overlap_sql`."""
     h = md5_long_sql(value_expr)
     return f"""
-        WITH t AS ({table_sql}),
-        hashed AS (
+        SELECT key, bucket,
+               max(CASE WHEN rest = 0 THEN {_REST_BITS + 1}
+                        ELSE {_REST_BITS + 1} - length(bin(rest)) END) AS m
+        FROM (
             SELECT {key} AS key,
                    {h} % {HLL_M} AS bucket,
                    {h} // {HLL_M} AS rest
-            FROM t
-        ),
-        regs AS (
-            SELECT key, bucket,
-                   max(CASE WHEN rest = 0 THEN {_REST_BITS + 1}
-                            ELSE {_REST_BITS + 1} - length(bin(rest)) END) AS m
-            FROM hashed GROUP BY key, bucket
-        ),
-        agg AS (
-            SELECT key,
-                   sum((1::BIGINT << ({_REST_BITS + 1} - m)))::BIGINT AS s_seen,
-                   count(*) AS n_seen
-            FROM regs GROUP BY key
-        )
+            FROM ({table_sql})
+        ) GROUP BY key, bucket
+    """
+
+
+def hll_estimate_sql(regs_rel: str) -> str:
+    """SELECT text estimating (key, ndv_est) from a register relation
+    named ``regs_rel`` — identical expression tree to
+    :func:`hll_estimate`."""
+    return f"""
         SELECT key,
                round(CASE
                    WHEN ('{HLL_ALPHA!r}'::DOUBLE * {float(HLL_M * HLL_M)}
@@ -143,7 +142,100 @@ def hll_ndv_sql(table_sql: str, key: str, value_expr: str) -> str:
                         * {float(_SCALE)}
                         / (({HLL_M} - n_seen)::BIGINT * {_SCALE} + s_seen)::DOUBLE
                END, 4) AS ndv_est
-        FROM agg
+        FROM (
+            SELECT key,
+                   sum((1::BIGINT << ({_REST_BITS + 1} - m)))::BIGINT AS s_seen,
+                   count(*) AS n_seen
+            FROM {regs_rel} GROUP BY key
+        )
+    """
+
+
+def hll_ndv_sql(table_sql: str, key: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`hll_ndv` on ``value_expr`` (a VARCHAR
+    expression) grouped by ``key``."""
+    return f"""
+        WITH regs AS ({hll_regs_cte_sql(table_sql, key, value_expr)})
+        {hll_estimate_sql("regs")}
+    """
+
+
+def hll_overlap(
+    regs: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """(key, ndv_a, ndv_b, union_est, inter_est) per requested key pair
+    (``key`` is ``"a|b"``) — HLL SET OPERATIONS over one register
+    table: union registers merge by ``max`` (exact, the sketch's defining
+    property), the intersection is inclusion-exclusion over the three
+    estimates, floored at 0 (I-E can go negative within sketch error).
+
+    The cross-split corpus question this answers — "how much does the
+    train vocabulary overlap valid/test?" — needs only the per-split
+    register tables, never a re-scan of either corpus side: at 100 TB
+    the registers are (splits × 256) rows maintained incrementally,
+    and every set algebra question is a fold over them."""
+    legs = None
+    for a, b in pairs:
+        leg = regs.filter(F.col("key").isin(a, b)).select(
+            F.lit(f"{a}|{b}").alias("key"), "bucket", "m"
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    union_regs = legs.groupBy("key", "bucket").agg(F.max("m").alias("m"))
+    unions = hll_estimate(union_regs).withColumnRenamed("ndv_est", "union_est")
+    singles = hll_estimate(regs)
+    a_est = singles.select(
+        F.col("key").alias("ka"), F.col("ndv_est").alias("ndv_a")
+    )
+    b_est = singles.select(
+        F.col("key").alias("kb"), F.col("ndv_est").alias("ndv_b")
+    )
+    split = unions.select(
+        "key",
+        F.substring_index("key", "|", 1).alias("ka"),
+        F.substring_index("key", "|", -1).alias("kb"),
+        "union_est",
+    )
+    return (
+        split.join(a_est, "ka")
+        .join(b_est, "kb")
+        .select(
+            "key",
+            "ndv_a",
+            "ndv_b",
+            "union_est",
+            F.greatest(
+                F.lit(0.0),
+                duck_round(
+                    F.col("ndv_a") + F.col("ndv_b") - F.col("union_est"), 4
+                ),
+            ).alias("inter_est"),
+        )
+    )
+
+
+def hll_overlap_sql(
+    table_sql: str, key: str, value_expr: str, pairs: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`hll_overlap` composed over the same
+    register CTE."""
+    pair_regs = "\nUNION ALL\n".join(
+        f"SELECT '{a}|{b}' AS key, bucket, m FROM regs WHERE key IN ('{a}', '{b}')"
+        for a, b in pairs
+    )
+    return f"""
+        WITH regs AS ({hll_regs_cte_sql(table_sql, key, value_expr)}),
+        uregs AS (
+            SELECT key, bucket, max(m) AS m FROM ({pair_regs}) GROUP BY key, bucket
+        ),
+        singles AS ({hll_estimate_sql("regs")}),
+        unions AS ({hll_estimate_sql("uregs")})
+        SELECT u.key, a.ndv_est AS ndv_a, b.ndv_est AS ndv_b,
+               u.ndv_est AS union_est,
+               greatest(0.0, round(a.ndv_est + b.ndv_est - u.ndv_est, 4))
+                   AS inter_est
+        FROM unions u
+        JOIN singles a ON a.key = split_part(u.key, '|', 1)
+        JOIN singles b ON b.key = split_part(u.key, '|', 2)
     """
 
 

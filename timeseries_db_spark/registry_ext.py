@@ -32,6 +32,9 @@ from timeseries_db_spark.operators import (
 from timeseries_db_spark.sources.tables import events_as_tsdb, load_table
 
 JACCARD_T = 0.8
+#: Corpus-split pairs for the HLL set-operation leg (sorted, so the
+#: "a|b" pair key parses unambiguously on both engines).
+SPLIT_PAIRS = [("test", "train"), ("test", "valid"), ("train", "valid")]
 SIMHASH_MAX_HAMMING = 3
 NEAR_DUP_COS = 0.4
 TOPK_K = 5
@@ -341,11 +344,59 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("ndv_est").alias("result"),
             F.lit("hll").alias("kind"),
         )
-        return exact.unionByName(hll)
+        # late-r8 leg: HLL SET OPERATIONS — per-split distinct-SHINGLE
+        # (3-gram phrase) NDV plus pairwise union / inclusion-exclusion
+        # intersection over the corpus splits (the "how much does train
+        # phrasing overlap valid/test" question; single tokens would be
+        # degenerate — the fixture vocabulary is fully shared). The
+        # register table (≤ 3×256 rows) is persist-tracked: the overlap
+        # plan references it once per pair leg plus the singles
+        # estimate, and each reference would otherwise re-run the
+        # shingle-explode scan.
+        from timeseries_db_spark.operators.corpus import _split_col
+        from timeseries_db_spark.operators.dedup import _persist_tracked, doc_shingles
+
+        sh = doc_shingles(_docs(s, d)).select(
+            _split_col(F.col("doc_id")).alias("split"),
+            F.col("shingle").cast("string").alias("tok"),
+        )
+        regs = _persist_tracked(
+            "hll_split_regs",
+            sketches.hll_registers(sh, "split", F.col("tok")),
+        )
+        tok_hll = sketches.hll_estimate(regs).select(
+            F.col("key").alias("grp"),
+            F.col("ndv_est").alias("result"),
+            F.lit("tok_hll").alias("kind"),
+        )
+        ov = sketches.hll_overlap(regs, SPLIT_PAIRS)
+        unions = ov.select(
+            F.col("key").alias("grp"),
+            F.col("union_est").alias("result"),
+            F.lit("hll_union").alias("kind"),
+        )
+        inters = ov.select(
+            F.col("key").alias("grp"),
+            F.col("inter_est").alias("result"),
+            F.lit("hll_inter").alias("kind"),
+        )
+        return (
+            exact.unionByName(hll)
+            .unionByName(tok_hll)
+            .unionByName(unions)
+            .unionByName(inters)
+        )
 
     q["agg_ndv_by_tag"] = ndv_by_tag
     from timeseries_db_spark.operators import sketches as _sketches
+    from timeseries_db_spark.operators.corpus import _split_sql as _split_sql_fn
+    from timeseries_db_spark.operators.dedup import _SHINGLES_CTE_DUCK as _SH_CTE
 
+    SPLIT_TOKS_SQL = (
+        f"WITH {_SH_CTE} "
+        f"SELECT {_split_sql_fn('doc_id')} AS split, shingle::VARCHAR AS tok"
+        " FROM sh"
+    )
     o["agg_ndv_by_tag"] = f"""
         WITH t AS ({EVENTS_T})
         SELECT tag AS grp, CAST(count(DISTINCT value) AS DOUBLE) AS result,
@@ -354,6 +405,15 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT key AS grp, ndv_est AS result, 'hll' AS kind
         FROM ({_sketches.hll_ndv_sql(EVENTS_T, "tag", '"timestamp"::VARCHAR')})
+        UNION ALL
+        SELECT key AS grp, ndv_est AS result, 'tok_hll' AS kind
+        FROM ({_sketches.hll_ndv_sql(SPLIT_TOKS_SQL, "split", "tok")})
+        UNION ALL
+        SELECT key AS grp, union_est AS result, 'hll_union' AS kind
+        FROM ({_sketches.hll_overlap_sql(SPLIT_TOKS_SQL, "split", "tok", SPLIT_PAIRS)})
+        UNION ALL
+        SELECT key AS grp, inter_est AS result, 'hll_inter' AS kind
+        FROM ({_sketches.hll_overlap_sql(SPLIT_TOKS_SQL, "split", "tok", SPLIT_PAIRS)})
     """
 
     # ---- relational joins over the TPC-H-shaped tables ----
