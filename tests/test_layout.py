@@ -70,3 +70,97 @@ def test_partitioned_read_matches_unpartitioned(spark, part_path):
 
 def test_unfiltered_partitioned_read_is_complete(spark, part_path):
     assert read_tsdb_partitioned(spark, part_path).count() == N
+
+
+def _rg_stats(path, cols):
+    """[(col -> (min, max)) per row group] over all part files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st = {}
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema in cols:
+                    st[col.path_in_schema] = (
+                        col.statistics.min,
+                        col.statistics.max,
+                    )
+            out.append(st)
+    return out
+
+
+def _overlap_frac(groups, col, lo, hi):
+    hit = sum(1 for g in groups if not (g[col][1] < lo or g[col][0] > hi))
+    return hit / len(groups)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order on (user_id, ts) makes every row group a rectangle in
+    2-D space: a narrow predicate on EITHER dimension overlaps only a
+    minority of row groups (pyarrow footer min/max — exactly what the
+    parquet reader's row-group skipping consults), while the ts-sorted
+    layout answers user probes by reading everything. Both layouts
+    return identical query results."""
+    from timeseries_db_spark.sources.layout import write_zorder
+
+    n = 200_000
+    df = spark.range(0, n).selectExpr(
+        "CAST(id * 7919 % 200000 AS BIGINT) AS user_id",
+        "id + 1704067200000 AS ts",
+        "CAST(id % 97 AS DOUBLE) AS value",
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zorder(df, zpath, "user_id", "ts", num_files=4,
+                 block_size_bytes=192 * 1024)
+    (
+        df.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(192 * 1024))
+        .parquet(spath)
+    )
+    zg = _rg_stats(zpath, {"user_id", "ts"})
+    sg = _rg_stats(spath, {"user_id", "ts"})
+    assert len(zg) >= 8 and len(sg) >= 8  # multi-row-group layouts
+    u_lo, u_hi = 100_000, 110_000         # 5% user window
+    t_lo, t_hi = 1704067200000 + 60_000, 1704067200000 + 70_000  # 5% ts
+    # ts-sorted: perfect on ts, useless on user
+    assert _overlap_frac(sg, "ts", t_lo, t_hi) <= 0.25
+    assert _overlap_frac(sg, "user_id", u_lo, u_hi) >= 0.9
+    # z-order: prunes BOTH dimensions (rectangles ~1/sqrt(groups) wide)
+    assert _overlap_frac(zg, "user_id", u_lo, u_hi) <= 0.5
+    assert _overlap_frac(zg, "ts", t_lo, t_hi) <= 0.6
+    # result equality across layouts
+    q = "user_id BETWEEN 100000 AND 110000 AND ts BETWEEN {} AND {}".format(
+        t_lo, t_hi
+    )
+    a = spark.read.parquet(zpath).filter(q).select("user_id", "ts", "value")
+    b = spark.read.parquet(spath).filter(q).select("user_id", "ts", "value")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_zorder_key_is_monotone_rectangular(spark):
+    """Curve sanity: the Morton key of (0,0) is 0; doubling one
+    normalized dimension moves higher bits than doubling the other
+    (interleave, not concatenation); and keys stay within 2*ZBITS
+    bits."""
+    from timeseries_db_spark.sources.layout import ZBITS, _morton_expr
+
+    import pyspark.sql.functions as F
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1 << (ZBITS - 1), 0), (0, 1 << (ZBITS - 1))],
+        "a long, b long",
+    ).select(F.expr(_morton_expr("a", "b")).alias("z"))
+    z = [r["z"] for r in rows.collect()]
+    assert z[0] == 0
+    assert z[1] == 2 and z[2] == 1  # a lands on odd bit positions
+    assert z[3] == 1 << (2 * ZBITS - 1) and z[4] == 1 << (2 * ZBITS - 2)
+    assert all(0 <= v < (1 << (2 * ZBITS)) for v in z)
