@@ -171,3 +171,79 @@ def test_interval_join_null_bounds_and_unbounded_span(spark):
         [("a", 0, 10)], "tag string, lo_ms long, hi_ms long"
     )
     assert interval_join(points, ok, bucket_ms=10).count() == 1
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    """Bucketed interval×interval overlap == naive theta join across
+    bucket sizes: pairs straddling several shared buckets emit ONCE
+    (first-overlap-bucket rule), half-open boundaries exclude
+    touch-only pairs, keyed and keyless modes both work."""
+    from timeseries_db_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 50), ("a", 49, 60), ("b", 0, 100)],
+        "tag string, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [("a", 9, 30), ("a", 10, 12), ("a", 60, 70), ("b", 90, 200)],
+        "tag string, r_lo long, r_hi long",
+    )
+    rr = right.withColumnRenamed("tag", "rtag")
+    expected = sorted(
+        (r["l_lo"], r["l_hi"], r["r_lo"], r["r_hi"],
+         min(r["l_hi"], r["r_hi"]) - max(r["l_lo"], r["r_lo"]))
+        for r in left.join(rr, F.col("tag") == F.col("rtag"))
+        .filter(
+            F.greatest("l_lo", "r_lo") < F.least("l_hi", "r_hi")
+        )
+        .collect()
+    )
+    assert expected  # sanity: includes multi-bucket straddlers
+    # [49,60) x [60,70) touch but do not overlap (half-open) — absent
+    assert (49, 60, 60, 70, 0) not in expected
+    for bucket_ms in (1, 7, 16, 1000):
+        got = sorted(
+            (r["l_lo"], r["l_hi"], r["r_lo"], r["r_hi"], r["overlap_ms"])
+            for r in interval_overlap_join(
+                left, right.withColumnRenamed("tag", "tag"),
+                on="tag", bucket_ms=bucket_ms,
+            ).collect()
+        )
+        assert got == expected, bucket_ms
+    # keyless mode: cross-key pairs now eligible
+    keyless = interval_overlap_join(
+        left.drop("tag"), right.drop("tag"), bucket_ms=16
+    ).collect()
+    assert len(keyless) >= len(expected)
+    assert len(keyless) == len(set(map(tuple, keyless)))  # still no dups
+
+
+def test_session_window_overlap_matches_oracle(spark, sf_dir):
+    from timeseries_db_spark.operators.joins import (
+        session_window_overlap,
+        session_window_overlap_sql,
+    )
+    from timeseries_db_spark.registry import HI, LO
+    from tests.oracle import check_against_duckdb
+
+    check_against_duckdb(
+        session_window_overlap(spark, sf_dir, lo=LO, hi=HI),
+        session_window_overlap_sql(lo=LO, hi=HI),
+        sf_dir,
+    )
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    from timeseries_db_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 25)], "tag string, l_lo long, l_hi long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 40)], "tag string, r_lo long, r_hi long"
+    )
+    plan = interval_overlap_join(
+        left, right, on="tag", bucket_ms=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan

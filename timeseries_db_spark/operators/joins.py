@@ -288,3 +288,132 @@ def maintenance_window_stats_sql(
          AND t."timestamp" >= iv.lo_ms AND t."timestamp" < iv.hi_ms
         GROUP BY t.tag, iv.lo_ms
     """
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | None = None,
+    l_lo: str = "l_lo",
+    l_hi: str = "l_hi",
+    r_lo: str = "r_lo",
+    r_hi: str = "r_hi",
+    bucket_ms: int = 6 * 3_600_000,
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) interval pair (same
+    ``on`` key when given) whose half-open ranges intersect, with the
+    exact ``overlap_ms``. The interval×interval generalization of
+    :func:`interval_join` — and the other join shape Spark natively
+    plans as a per-key nested loop.
+
+    Distributed plan: BOTH sides explode to the time buckets they
+    cover; candidate pairs equi-join on (key, bucket); the residual
+    overlap predicate filters; and the classic first-overlap-bucket
+    rule — keep a pair only in the bucket containing
+    ``greatest(l_lo, r_lo)`` — dedups pairs that share several buckets
+    WITHOUT a distinct (no second shuffle, no wide state). Replication
+    per interval is span/bucket_ms, and the same ``max_buckets``
+    executor-side guard as :func:`interval_join` rejects unbounded
+    open-ended intervals with an actionable error instead of an OOM.
+
+    Column names must be disjoint across the two frames (caller
+    renames; the four bound columns already force it)."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
+    def explode_buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        max_buckets = 100_000
+        span_buckets = (
+            duck_div(F.col(hi), bucket_ms) - duck_div(F.col(lo), bucket_ms) + 1
+        )
+        hi_b = F.when(
+            span_buckets <= F.lit(max_buckets), duck_div(F.col(hi), bucket_ms)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_join: interval explodes to "),
+                    span_buckets,
+                    F.lit(f" bucket rows of {bucket_ms} ms (max {max_buckets})"),
+                )
+            )
+        )
+        return df.filter(F.col(hi) >= F.col(lo)).withColumn(
+            "_b", F.explode(F.sequence(duck_div(F.col(lo), bucket_ms), hi_b))
+        )
+
+    lb = explode_buckets(left, l_lo, l_hi)
+    rb = explode_buckets(right, r_lo, r_hi)
+    keys = ([on] if on else []) + ["_b"]
+    start = F.greatest(F.col(l_lo), F.col(r_lo))
+    end = F.least(F.col(l_hi), F.col(r_hi))
+    return (
+        lb.join(rb, on=keys)
+        .filter(start < end)
+        .filter(F.col("_b") == duck_div(start, bucket_ms))
+        .withColumn("overlap_ms", end - start)
+        .drop("_b")
+    )
+
+
+def session_window_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lo: int,
+    hi: int,
+    win_start_h: int = 2,
+    win_end_h: int = 8,
+) -> DataFrame:
+    """Per maintenance window: how many user sessions intersect it and
+    for how long in total — the gate-shaped consumer of
+    :func:`interval_overlap_join` (sessions are half-open
+    [start, end+1) so single-event sessions still overlap).
+    Output: (win_start, ov_cnt, ov_ms)."""
+    from timeseries_db_spark.operators.rollup import sessionize
+
+    sessions = sessionize(spark, sf_dir, with_end=True).select(
+        F.col("session_start").alias("s_lo"),
+        (F.col("session_end") + 1).alias("s_hi"),
+    )
+    day_lo, day_hi = lo // DAY_MS, hi // DAY_MS
+    windows = (
+        spark.range(day_lo, day_hi + 1)
+        .select(
+            (F.col("id") * DAY_MS + win_start_h * 3_600_000).alias("w_lo"),
+            (F.col("id") * DAY_MS + win_end_h * 3_600_000).alias("w_hi"),
+        )
+    )
+    ov = interval_overlap_join(
+        sessions, windows, l_lo="s_lo", l_hi="s_hi", r_lo="w_lo", r_hi="w_hi"
+    )
+    return ov.groupBy(F.col("w_lo").alias("win_start")).agg(
+        F.count(F.lit(1)).cast("double").alias("ov_cnt"),
+        F.sum("overlap_ms").cast("double").alias("ov_ms"),
+    )
+
+
+def session_window_overlap_sql(
+    *, lo: int, hi: int, win_start_h: int = 2, win_end_h: int = 8
+) -> str:
+    """DuckDB twin: the naive theta overlap join over the same session
+    CTE (fine at oracle scale)."""
+    from timeseries_db_spark.operators.rollup import sessionize_sql
+
+    return f"""
+        WITH sess AS (
+            SELECT session_start AS s_lo, session_end + 1 AS s_hi
+            FROM ({sessionize_sql(with_end=True)})
+        ),
+        win AS (
+            SELECT g * {DAY_MS} + {win_start_h} * 3600000 AS w_lo,
+                   g * {DAY_MS} + {win_end_h} * 3600000 AS w_hi
+            FROM generate_series({lo // DAY_MS}, {hi // DAY_MS}) t(g)
+        )
+        SELECT w_lo AS win_start,
+               CAST(count(*) AS DOUBLE) AS ov_cnt,
+               CAST(sum(least(s_hi, w_hi) - greatest(s_lo, w_lo)) AS DOUBLE)
+                   AS ov_ms
+        FROM sess JOIN win
+          ON greatest(s_lo, w_lo) < least(s_hi, w_hi)
+        GROUP BY w_lo
+    """

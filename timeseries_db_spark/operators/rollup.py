@@ -83,10 +83,17 @@ def window_rollup_events_sql(window_sql: str = "1 hour") -> str:
 SESSION_GAP_MIN = 30
 
 
-def sessionize(spark, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+def sessionize(
+    spark,
+    sf_dir: str,
+    gap_minutes: int = SESSION_GAP_MIN,
+    with_end: bool = False,
+) -> DataFrame:
     """Gap-based sessions per user over events: a new session starts when
     the time since the user's previous event exceeds ``gap_minutes``.
-    Output: (user_id, session_start epoch-millis, n_events, total_value)."""
+    Output: (user_id, session_start epoch-millis, n_events, total_value)
+    plus ``session_end`` (the last event's millis) when ``with_end`` —
+    the interval form the overlap join consumes."""
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select(
         "user_id", ts_to_millis(ev, "ts").alias("tms"), "value"
@@ -105,21 +112,27 @@ def sessionize(spark, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> DataFr
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
             F.min("tms").alias("session_start"),
+            F.max("tms").alias("session_end"),
             F.count(F.lit(1)).cast("double").alias("n_events"),
             # decimal sum + duck_round: deterministic at .00005 boundaries
             # (functions/numeric.py)
             F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
         )
         .withColumn("total_value", F.round(F.col("_dsum"), 4).cast("double"))
-        .select("user_id", "session_start", "n_events", "total_value")
     )
+    cols = ["user_id", "session_start"]
+    if with_end:
+        cols.append("session_end")
+    return out.select(*cols, "n_events", "total_value")
 
 
-def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+def sessionize_sql(
+    gap_minutes: int = SESSION_GAP_MIN, with_end: bool = False
+) -> str:
     gap_ms = gap_minutes * 60_000
     return f"""
         WITH ev AS (
@@ -141,6 +154,7 @@ def sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
             FROM gaps
         )
         SELECT user_id, min(tms) AS session_start,
+               {"max(tms) AS session_end," if with_end else ""}
                CAST(count(*) AS DOUBLE) AS n_events,
                round(sum(value::DECIMAL(38,10)), 4)::DOUBLE AS total_value
         FROM sids GROUP BY user_id, session_seq

@@ -444,10 +444,30 @@ def register_extensions(q: dict, o: dict) -> None:
             grp.alias("grp"),
             F.col("win_sum").alias("result"),
         )
-        return rev.unionByName(cnt).unionByName(sm)
+        # late-r8 legs: interval×interval OVERLAP join (user sessions ∩
+        # maintenance windows, first-overlap-bucket dedup — the other
+        # range-join shape Spark natively nested-loops)
+        ov = joins.session_window_overlap(s, d, lo=LO, hi=HI)
+        ovc = ov.select(
+            F.lit("ov_cnt").alias("kind"),
+            F.col("win_start").cast("string").alias("grp"),
+            F.col("ov_cnt").alias("result"),
+        )
+        ovm = ov.select(
+            F.lit("ov_ms").alias("kind"),
+            F.col("win_start").cast("string").alias("grp"),
+            F.col("ov_ms").alias("result"),
+        )
+        return (
+            rev.unionByName(cnt)
+            .unionByName(sm)
+            .unionByName(ovc)
+            .unionByName(ovm)
+        )
 
     q["join_revenue_by_nation"] = join_family
     _mw_sql = joins.maintenance_window_stats_sql(EVENTS_T, lo=LO, hi=HI)
+    _ov_sql = joins.session_window_overlap_sql(lo=LO, hi=HI)
     o["join_revenue_by_nation"] = f"""
         SELECT 'revenue' AS kind, nation AS grp, revenue AS result
         FROM ({joins.REVENUE_BY_NATION_SQL})
@@ -461,6 +481,14 @@ def register_extensions(q: dict, o: dict) -> None:
                tag || ':' || CAST(win_start AS VARCHAR) AS grp,
                win_sum AS result
         FROM ({_mw_sql})
+        UNION ALL
+        SELECT 'ov_cnt' AS kind, CAST(win_start AS VARCHAR) AS grp,
+               ov_cnt AS result
+        FROM ({_ov_sql})
+        UNION ALL
+        SELECT 'ov_ms' AS kind, CAST(win_start AS VARCHAR) AS grp,
+               ov_ms AS result
+        FROM ({_ov_sql})
     """
 
     q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
