@@ -247,3 +247,61 @@ def test_interval_overlap_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan
+
+
+def test_interval_overlap_join_hypothesis_fuzz(spark):
+    """Hypothesis sweep for the overlap join: random interval sets on
+    both sides (inverted, empty, touching, nested, bucket-straddling),
+    random bucket size — bucketed decomposition == theta join exactly,
+    no duplicate pairs, every time."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from timeseries_db_spark.operators.joins import interval_overlap_join
+
+    ts = st.integers(min_value=-50, max_value=200)
+    iv = st.tuples(ts, ts)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lhs=st.lists(iv, min_size=1, max_size=6),
+        rhs=st.lists(iv, min_size=1, max_size=6),
+        bucket_ms=st.integers(min_value=1, max_value=64),
+        two_tags=st.booleans(),
+    )
+    def run(lhs, rhs, bucket_ms, two_tags):
+        left = spark.createDataFrame(
+            [
+                ("b" if two_tags and i % 2 else "a", lo, hi, float(i))
+                for i, (lo, hi) in enumerate(lhs)
+            ],
+            "tag string, l_lo long, l_hi long, l_id double",
+        )
+        right = spark.createDataFrame(
+            [("a", lo, hi, float(i)) for i, (lo, hi) in enumerate(rhs)],
+            "tag string, r_lo long, r_hi long, r_id double",
+        )
+
+        rr = right.withColumnRenamed("tag", "rtag")
+        expected = sorted(
+            (
+                r["l_id"], r["r_id"],
+                min(r["l_hi"], r["r_hi"]) - max(r["l_lo"], r["r_lo"]),
+            )
+            for r in left.join(rr, F.col("tag") == F.col("rtag"))
+            .filter(F.greatest("l_lo", "r_lo") < F.least("l_hi", "r_hi"))
+            .collect()
+        )
+        got = sorted(
+            (r["l_id"], r["r_id"], r["overlap_ms"])
+            for r in interval_overlap_join(
+                left, right, on="tag", bucket_ms=bucket_ms
+            ).collect()
+        )
+        assert got == expected
+
+    run()
