@@ -330,3 +330,35 @@ def test_corpus_ingest_near_dup_suppression(spark, tmp_path):
     exp = ora.sort_values("doc_id").reset_index(drop=True)
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["fp53"].tolist() == exp["fp53"].tolist()
+
+
+def test_corpus_ingest_crash_between_writes_heals_on_replay(spark, tmp_path):
+    """Crash-inject between the signature write and the docs write: the
+    half-written attempt leaves a sigs/batch=N partition with no
+    matching docs partition; replaying the SAME batch id overwrites
+    both, and because the seen read filters batch < current, the
+    orphaned attempt never dominates its own retry — the final state
+    equals the crash-free run."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+    b0 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [X, Y]})
+    )
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3], "text": [X, "unique words only here"]})
+    )
+    out = str(tmp_path / "out")
+    ci.process_corpus_batch(b0, 0, out)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        ci.process_corpus_batch(b1, 1, out, _crash_before_docs=True)
+    # replay batch 1 (what the checkpoint does after restart)
+    ci.process_corpus_batch(b1, 1, out)
+    pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
+    assert pub == {0, 1, 3}  # doc2 (=X) suppressed; doc3 unique kept
+    sigs = spark.read.parquet(out + "/sigs")
+    assert {r["doc_id"] for r in sigs.collect()} == {0, 1, 2, 3}

@@ -100,6 +100,80 @@ def _read_seen_sigs(spark, sig_dir: str, before_batch: int) -> DataFrame | None:
     return seen.filter(F.col("batch") < before_batch).select("doc_id", *_SIG_COLS)
 
 
+def process_corpus_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    t_est: float = T_EST_DEFAULT,
+    _crash_before_docs: bool = False,
+) -> None:
+    """One micro-batch of the ingest — module-level so tests can drive
+    and crash-inject it directly. ``_crash_before_docs`` simulates a
+    failure between the two partition writes: the replay must heal it
+    (both writes are per-batch overwrites, and the seen read's
+    ``batch < current`` filter keeps the half-written attempt from
+    dominating its own retry)."""
+    spark = batch.sparkSession
+    sig_dir = os.path.join(out_dir, "sigs")
+    docs_dir = os.path.join(out_dir, "docs")
+    batch = batch.select("doc_id", "text")
+    if batch.limit(1).count() == 0:
+        return
+    # one shingle + 32-min-monoid aggregation pass over the batch;
+    # docs with no shingle (NULL text) get no signature row and can
+    # neither dominate nor be dominated — they publish unconditionally
+    sigs = minhash_signatures(batch).persist()
+    try:
+        seen = _read_seen_sigs(spark, sig_dir, batch_id)
+        earlier = sigs if seen is None else seen.unionByName(sigs)
+        be = minhash_band_table(earlier).withColumnRenamed("doc_id", "id_e")
+        bl = minhash_band_table(sigs).withColumnRenamed("doc_id", "id_d")
+        cand = (
+            be.join(bl, on=["band", "bkey"])
+            .filter(F.col("id_e") < F.col("id_d"))
+            .select("id_e", "id_d")
+            .distinct()
+        )
+        sa = earlier.select(
+            F.col("doc_id").alias("id_e"),
+            *[F.col(m).alias(f"a_{m}") for m in _SIG_COLS],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("id_d"),
+            *[F.col(m).alias(f"b_{m}") for m in _SIG_COLS],
+        )
+        n_match = sum(
+            F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0)
+            for m in _SIG_COLS
+        )
+        dominated = (
+            cand.join(sa, "id_e")
+            .join(sb, "id_d")
+            .filter(n_match / F.lit(float(MINHASH_PERMS)) >= F.lit(t_est))
+            .select(F.col("id_d").alias("doc_id"))
+            .distinct()
+        )
+        kept = batch.join(dominated, "doc_id", "left_anti")
+        out_sigs = sigs.join(
+            dominated.withColumn("dom", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            *_SIG_COLS,
+            F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
+        )
+        # idempotent per-batch partition overwrite (replay-safe)
+        out_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}")
+        )
+        if _crash_before_docs:
+            raise RuntimeError("simulated crash between sig and doc writes")
+        kept.withColumn("fp53", F.expr(FP53_SPARK)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(docs_dir, f"batch={batch_id}"))
+    finally:
+        sigs.unpersist()
+
+
 def start_corpus_ingest(
     stream: DataFrame,
     out_dir: str,
@@ -113,67 +187,9 @@ def start_corpus_ingest(
     * ``docs/batch=<id>/`` — the published (kept) docs with their
       53-bit content fingerprint.
     """
-    sig_dir = os.path.join(out_dir, "sigs")
-    docs_dir = os.path.join(out_dir, "docs")
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.select("doc_id", "text")
-        if batch.limit(1).count() == 0:
-            return
-        # one shingle + 32-min-monoid aggregation pass over the batch;
-        # docs with no shingle (NULL text) get no signature row and can
-        # neither dominate nor be dominated — they publish unconditionally
-        sigs = minhash_signatures(batch).persist()
-        try:
-            seen = _read_seen_sigs(spark, sig_dir, batch_id)
-            earlier = (
-                sigs if seen is None else seen.unionByName(sigs)
-            )
-            be = minhash_band_table(earlier).withColumnRenamed("doc_id", "id_e")
-            bl = minhash_band_table(sigs).withColumnRenamed("doc_id", "id_d")
-            cand = (
-                be.join(bl, on=["band", "bkey"])
-                .filter(F.col("id_e") < F.col("id_d"))
-                .select("id_e", "id_d")
-                .distinct()
-            )
-            sa = earlier.select(
-                F.col("doc_id").alias("id_e"),
-                *[F.col(m).alias(f"a_{m}") for m in _SIG_COLS],
-            )
-            sb = sigs.select(
-                F.col("doc_id").alias("id_d"),
-                *[F.col(m).alias(f"b_{m}") for m in _SIG_COLS],
-            )
-            n_match = sum(
-                F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0)
-                for m in _SIG_COLS
-            )
-            dominated = (
-                cand.join(sa, "id_e")
-                .join(sb, "id_d")
-                .filter(n_match / F.lit(float(MINHASH_PERMS)) >= F.lit(t_est))
-                .select(F.col("id_d").alias("doc_id"))
-                .distinct()
-            )
-            kept = batch.join(dominated, "doc_id", "left_anti")
-            out_sigs = sigs.join(
-                dominated.withColumn("dom", F.lit(True)), "doc_id", "left"
-            ).select(
-                "doc_id",
-                *_SIG_COLS,
-                F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
-            )
-            # idempotent per-batch partition overwrite (replay-safe)
-            out_sigs.write.mode("overwrite").parquet(
-                os.path.join(sig_dir, f"batch={batch_id}")
-            )
-            kept.withColumn("fp53", F.expr(FP53_SPARK)).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(docs_dir, f"batch={batch_id}"))
-        finally:
-            sigs.unpersist()
+        process_corpus_batch(batch, batch_id, out_dir, t_est)
 
     return (
         stream.writeStream.outputMode("append")
