@@ -276,3 +276,52 @@ def test_window_funnel_matches_oracle(spark, sf_dir):
     check_against_duckdb(
         window_funnel(spark, sf_dir), window_funnel_sql(), sf_dir
     )
+
+
+def test_cohort_retention_planted(spark, tmp_path):
+    """Planted events: user 1 first active day 0 and again day 2; user 2
+    first active day 0 only; user 3 first active day 2. Cohort day-0 has
+    size 2 with 100% at offset 0 and 50% at offset 2; cohort day-2 has
+    size 1 at 100%."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators.rollup import (
+        cohort_retention,
+        cohort_retention_sql,
+    )
+
+    DAY = 86_400_000
+    rows = [
+        (1, 0), (1, 5_000), (1, 2 * DAY + 7),   # dup day-0 activity collapses
+        (2, 100),
+        (3, 2 * DAY),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "tms"])
+    pdf["ts"] = pd.to_datetime(pdf["tms"], unit="ms").astype("datetime64[us]")
+    pdf["event_type"] = "x"
+    pdf["value"] = 1.0
+    pdf["event_id"] = range(len(pdf))
+    pdf["props"] = "{}"
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        (r["cohort_day"], r["offset"]): (r["active_users"], r["retention"])
+        for r in cohort_retention(spark, path).collect()
+    }
+    assert out == {
+        (0, 0): (2.0, 1.0),
+        (0, 2): (1.0, 0.5),
+        (2, 0): (1.0, 1.0),
+    }
+    # cross-engine on the planted table
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", pdf[["user_id", "ts"]])
+    ora = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(cohort_retention_sql()).fetchall()
+    }
+    assert ora == out

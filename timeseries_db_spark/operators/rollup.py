@@ -443,3 +443,74 @@ def rollup_increment(
             "total_dec",
         )
     )
+
+
+DAY_MS = 86_400_000
+
+
+def cohort_retention(spark, sf_dir: str, period_ms: int = DAY_MS) -> DataFrame:
+    """(cohort_day, offset, active_users, retention) — classic cohort
+    retention: users are grouped by the period of their FIRST event
+    (the cohort), and each (cohort, offset) cell counts how many of
+    them were active ``offset`` periods later; ``retention`` is that
+    count over the cohort's size. The product-analytics staple next to
+    sessionization and funnels.
+
+    Scale shape: one scan feeds (a) the per-user first-activity
+    aggregate (min monoid, map-side combine) and (b) the distinct
+    (user, period) activity pairs — both shuffle on ``user_id``, the
+    join is user-keyed, and the final matrix aggregate is bounded by
+    cohorts × offsets regardless of row count. No window functions, no
+    per-user fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_to_millis(ev, "ts").alias("tms"))
+    per = (F.col("tms") / F.lit(period_ms)).cast("long")
+    first = ev.groupBy("user_id").agg(
+        (F.min("tms") / F.lit(period_ms)).cast("long").alias("cohort")
+    )
+    active = ev.select("user_id", per.alias("period")).distinct()
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort").select(
+        F.col("cohort").alias("cohort_day"),
+        "offset",
+        F.col("active_users").cast("double").alias("active_users"),
+        duck_round(
+            F.col("active_users") / F.col("cohort_size").cast("double"), 4
+        ).alias("retention"),
+    )
+
+
+def cohort_retention_sql(period_ms: int = DAY_MS) -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_ms(ts) AS tms FROM events
+        ),
+        first AS (
+            SELECT user_id, (min(tms) // {period_ms}) AS cohort
+            FROM ev GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, (tms // {period_ms}) AS period FROM ev
+        ),
+        cells AS (
+            SELECT cohort, period - cohort AS offset,
+                   count(DISTINCT a.user_id) AS active_users
+            FROM active a JOIN first f ON a.user_id = f.user_id
+            GROUP BY cohort, period - cohort
+        ),
+        sizes AS (
+            SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM first
+            GROUP BY cohort
+        )
+        SELECT c.cohort AS cohort_day, c.offset,
+               CAST(c.active_users AS DOUBLE) AS active_users,
+               round(c.active_users / s.cohort_size::DOUBLE, 4) AS retention
+        FROM cells c JOIN sizes s ON c.cohort = s.cohort
+    """

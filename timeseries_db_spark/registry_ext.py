@@ -86,7 +86,17 @@ def register_extensions(q: dict, o: dict) -> None:
             F.lit(None).cast("double").alias("total_value"),
             F.lit("funnel").alias("kind"),
         )
-        return ses.unionByName(fun)
+        # late-r8 cohort leg: first-activity-day cohorts × period-offset
+        # active-user matrix (the retention staple next to sessions and
+        # funnels), coerced as (cohort_day, offset, active, retention)
+        coh = rollup.cohort_retention(s, d).select(
+            F.col("cohort_day").alias("user_id"),
+            F.col("offset").alias("session_start"),
+            F.col("active_users").alias("n_events"),
+            F.col("retention").alias("total_value"),
+            F.lit("cohort").alias("kind"),
+        )
+        return ses.unionByName(fun).unionByName(coh)
 
     q["sessionize_30m"] = sessionize_and_funnel
     o["sessionize_30m"] = (
@@ -95,6 +105,10 @@ def register_extensions(q: dict, o: dict) -> None:
         "SELECT user_id, CAST(NULL AS BIGINT) AS session_start,"
         " level::DOUBLE AS n_events, CAST(NULL AS DOUBLE) AS total_value,"
         f" 'funnel' AS kind FROM ({rollup.window_funnel_sql()})"
+        " UNION ALL "
+        'SELECT cohort_day AS user_id, "offset" AS session_start,'
+        " active_users AS n_events, retention AS total_value,"
+        f" 'cohort' AS kind FROM ({rollup.cohort_retention_sql()})"
     )
 
     # ---- as-of join (union+window plan vs DuckDB ASOF JOIN oracle) ----
