@@ -658,3 +658,44 @@ def test_history_excludes_pending_manifest(spark, tmp_path):
     assert hist[0]["current"]
     t.recover()
     assert t.history()[0]["version"] == 2
+
+
+def test_expire_drops_whole_days_without_rewrite(spark, tmp_path):
+    """Retention expiry: days entirely before the cutoff disappear as
+    pure manifest edits (no new commit dirs), the boundary day is
+    rewritten to its surviving suffix, later days are untouched, and
+    the pre-expiry version remains fully time-travelable."""
+    import os
+
+    DAY = 86_400_000
+    t = TsTable.create(spark, str(tmp_path / "t"))
+    rows = [
+        (d * DAY + off, tag, float(d * 10 + off % 7))
+        for d in range(4)
+        for off in (0, 3_600_000, 82_800_000)
+        for tag in ("a", "b")
+    ]
+    t.insert(spark.createDataFrame(rows, "timestamp long, tag string, value double"))
+    v_before = t.version()
+    commits_before = set(os.listdir(str(tmp_path / "t" / "commits")))
+
+    cutoff = 2 * DAY + 3_600_000  # mid-day-2: days 0,1 drop whole
+    t.expire(cutoff)
+
+    got = sorted(
+        (r["timestamp"], r["tag"]) for r in t.read().collect()
+    )
+    expected = sorted((ts, tag) for ts, tag, _ in rows if ts >= cutoff)
+    assert got == expected
+    # exactly ONE new commit (the boundary rewrite) — whole-day drops
+    # are manifest-only
+    commits_after = set(os.listdir(str(tmp_path / "t" / "commits")))
+    assert len(commits_after - commits_before) == 1
+    # old version still sees everything (files retained for time travel)
+    assert t.read(version=v_before).count() == len(rows)
+
+    # day-boundary cutoff: NO rewrite at all (manifest-only edit)
+    commits_now = set(os.listdir(str(tmp_path / "t" / "commits")))
+    t.expire(3 * DAY)
+    assert set(os.listdir(str(tmp_path / "t" / "commits"))) == commits_now
+    assert t.read().count() == sum(1 for ts, _, _ in rows if ts >= 3 * DAY)

@@ -557,6 +557,43 @@ class TsTable:
         """Reset to empty (DELETE with empty body — ``Handlers.hs:72-73``)."""
         self._publish({})
 
+    def expire(self, before_ms: int) -> None:
+        """Retention drop: delete every row with ``timestamp <
+        before_ms``. Date partitions that end before the cutoff are
+        removed as PURE MANIFEST EDITS — no data read, no rewrite,
+        O(partitions) dict operations — which is the payoff of the
+        date-partitioned layout at 100 TB (a day's retention expiry on
+        a petabyte table is one manifest line per partition). Only the
+        single boundary day is actually rewritten, and not even that
+        when the cutoff falls exactly on a day boundary. Dropped files
+        stay on disk for time travel (``read(version=...)`` of an older
+        version still sees them); :meth:`vacuum` reclaims them."""
+        from timeseries_db_spark.sources.tables import utc_day_of_ms
+
+        m = self._manifest()
+        manifest, base = m["partitions"], m["version"]
+        cutoff_day = str(utc_day_of_ms(before_ms))
+        # keep days strictly after the cutoff day untouched
+        merged = {
+            dt: list(dirs) for dt, dirs in manifest.items() if dt > cutoff_day
+        }
+        if before_ms % 86_400_000 == 0:
+            # cutoff at a day boundary: the cutoff day itself survives whole
+            if cutoff_day in manifest:
+                merged[cutoff_day] = list(manifest[cutoff_day])
+        elif cutoff_day in manifest:
+            keep = (
+                self._read_partitions(manifest, only={cutoff_day})
+                .filter(F.col("timestamp") >= before_ms)
+                .select("timestamp", "tag", "value")
+            )
+            if keep.limit(1).count() > 0:
+                _, new_parts = self._write_commit(keep)
+                for dt, dirs in new_parts.items():
+                    merged[dt] = dirs
+        self._publish(merged, base)
+        self._maybe_auto_compact()
+
     def history(self) -> list[dict]:
         """Version history of RETAINED manifests, newest first — the
         DESCRIBE HISTORY analog: one dict per version with its partition
