@@ -58,6 +58,16 @@ query top-20 — one extra filtered explode + two tiny broadcasts) +=
 cms (count-min probe of the vocab — one more token explode onto a
 4096-row counter table), agg_ndv_by_tag += hll; the non-headline
 corpus_tokenize / sim_quantize_int8 entries gained bpe / rp legs.
+Later still: the BM25 leg dropped two of its three corpus tokenize
+passes (stats derive from the shared token_counts table; the k-row top
+is cached across the rank join's two references), and
+join_revenue_by_nation gained ov_cnt/ov_ms legs (interval-overlap
+join: sessions ∩ maintenance windows — one extra user-keyed window
+pass + a bucketed interval self-explode join), so its column again
+covers strictly more work than earlier rounds. Non-headline entries
+gained scrub (dedup_ngram_jaccard), cdoc (stream_ingest_dedup — a full
+streaming corpus-ingest run), tok_hll/hll_union/hll_inter
+(agg_ndv_by_tag), and cohort (sessionize_30m) legs.
 """
 
 from __future__ import annotations
