@@ -317,3 +317,53 @@ def test_rolling_avg_scalable_one_exchange_one_window(spark, sf_dir):
         "CartesianProduct",
     ):
         assert j not in plan, plan
+
+
+def test_scrub_plan_no_pair_fanout(spark, sf_dir):
+    """The exact-substring scrub's defining property at 100 TB: every
+    join is a linear equi-join (inverted-index mark, coverage anti-join,
+    rebuild) — no cartesian/nested-loop node anywhere, and exactly one
+    aggregation pass builds the duplicated-shingle set."""
+    from timeseries_db_spark.operators.dedup import scrub_duplicated_spans
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(spark, scrub_duplicated_spans(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cohort_retention_plan_user_keyed_only(spark, sf_dir):
+    """Cohort retention: no window functions (pure aggregates + joins)
+    and no nested loop — the shape that keeps it one-pass at scale."""
+    from timeseries_db_spark.operators.rollup import cohort_retention
+
+    plan = _formatted_plan(spark, cohort_retention(spark, sf_dir))
+    # exactly one Window — over the cohorts×offsets matrix, which is
+    # tiny by construction (the offset-0 trick replaces the sizes join)
+    assert len(_nodes(plan, "Window")) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(_nodes(plan, "Scan parquet")) <= 2, plan  # first + active
+
+
+def test_hll_overlap_plan_bounded(spark, sf_dir):
+    """HLL set ops run entirely on register tables: after the register
+    aggregation, every node touches (keys x 256)-bounded data — no
+    nested loop, no cartesian, and the union merge is a plain hash
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators import sketches
+    from timeseries_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    regs = sketches.hll_registers(
+        docs.selectExpr("CAST(doc_id % 3 AS STRING) AS key", "text"),
+        "key",
+        F.col("text"),
+    )
+    plan = _formatted_plan(
+        spark, sketches.hll_overlap(regs, [("0", "1"), ("1", "2")])
+    )
+    assert "CartesianProduct" not in plan, plan

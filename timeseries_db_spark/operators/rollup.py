@@ -474,10 +474,15 @@ def cohort_retention(spark, sf_dir: str, period_ms: int = DAY_MS) -> DataFrame:
         .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
-    sizes = first.groupBy("cohort").agg(
-        F.countDistinct("user_id").alias("cohort_size")
-    )
-    return cells.join(sizes, "cohort").select(
+    # cohort size == the offset-0 cell (every user is active in the
+    # period of their own first event), so no third scan and no sizes
+    # join — one window over the cohorts×offsets matrix, which is tiny
+    # by construction
+    w = Window.partitionBy("cohort")
+    return cells.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("offset") == 0, F.col("active_users"))).over(w),
+    ).select(
         F.col("cohort").alias("cohort_day"),
         "offset",
         F.col("active_users").cast("double").alias("active_users"),
@@ -500,17 +505,15 @@ def cohort_retention_sql(period_ms: int = DAY_MS) -> str:
             SELECT DISTINCT user_id, (tms // {period_ms}) AS period FROM ev
         ),
         cells AS (
-            SELECT cohort, period - cohort AS offset,
+            SELECT cohort, period - cohort AS "offset",
                    count(DISTINCT a.user_id) AS active_users
             FROM active a JOIN first f ON a.user_id = f.user_id
             GROUP BY cohort, period - cohort
-        ),
-        sizes AS (
-            SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM first
-            GROUP BY cohort
         )
-        SELECT c.cohort AS cohort_day, c.offset,
-               CAST(c.active_users AS DOUBLE) AS active_users,
-               round(c.active_users / s.cohort_size::DOUBLE, 4) AS retention
-        FROM cells c JOIN sizes s ON c.cohort = s.cohort
+        SELECT cohort AS cohort_day, "offset",
+               CAST(active_users AS DOUBLE) AS active_users,
+               round(active_users / (max(CASE WHEN "offset" = 0
+                                         THEN active_users END)
+                     OVER (PARTITION BY cohort))::DOUBLE, 4) AS retention
+        FROM cells
     """
