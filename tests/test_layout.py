@@ -164,3 +164,25 @@ def test_zorder_key_is_monotone_rectangular(spark):
     assert z[1] == 2 and z[2] == 1  # a lands on odd bit positions
     assert z[3] == 1 << (2 * ZBITS - 1) and z[4] == 1 << (2 * ZBITS - 2)
     assert all(0 <= v < (1 << (2 * ZBITS)) for v in z)
+
+
+def test_zorder_normalize_huge_domain(spark):
+    """The pre-divide branch for domains >= 2^(63-ZBITS): keys stay in
+    range, are monotone in each dimension, and the write path works on
+    a 10^13-wide ts span without overflow."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.sources.layout import ZBITS, _normalize_expr
+
+    lo, hi = 0, 10**13  # > 2^42: triggers the divide-first branch
+    expr = _normalize_expr("v", lo, hi)
+    vals = [lo, 1, hi // 3, hi // 2, hi - 1, hi]
+    out = [
+        r["n"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(F.expr(expr).alias("n"))
+        .collect()
+    ]
+    assert all(0 <= n < (1 << ZBITS) for n in out), out
+    assert out == sorted(out), out  # monotone
+    assert out[0] < out[-1]         # actually spreads

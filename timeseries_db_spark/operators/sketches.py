@@ -174,6 +174,12 @@ def hll_overlap(
     register tables, never a re-scan of either corpus side: at 100 TB
     the registers are (splits × 256) rows maintained incrementally,
     and every set algebra question is a fold over them."""
+    for a, b in pairs:
+        if "|" in a or "|" in b:
+            raise ValueError(
+                f"hll_overlap pair keys must not contain '|': {(a, b)!r} "
+                "(the pair key 'a|b' must parse unambiguously)"
+            )
     legs = None
     for a, b in pairs:
         leg = regs.filter(F.col("key").isin(a, b)).select(
