@@ -943,3 +943,27 @@ def test_scrub_duplicated_spans_planted(spark):
     assert out[7] == (6, 6, "")
     assert out[8] == (10, 0, "p q r s t p q r s t")
     assert out[9] == (0, 0, None)
+
+
+def test_containment_is_asymmetric(spark):
+    """A short excerpt embedded verbatim in a long document: the
+    excerpt is ~fully contained in the host (containment ≈ 1) while
+    the host is mostly NOT contained in the excerpt — the directed
+    signal the symmetric Jaccard misses (their Jaccard here is far
+    below any dedup threshold)."""
+    quote = "to be or not to be that is the question"
+    host = (
+        "the prince ponders aloud " + quote +
+        " while the court watches in uneasy silence from the gallery"
+    )
+    rows = [(1, quote), (2, host), (3, "completely unrelated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, 0.5).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 0.9   # quote ⊂ host
+    assert (2, 1) not in out                      # host ⊄ quote
+    assert not any(3 in k for k in out)
+    # and the symmetric Jaccard would have missed the pair entirely
+    assert not dedup.ngram_jaccard_pairs(docs, 0.5).collect()

@@ -337,6 +337,80 @@ def ngram_jaccard_pairs_sql(threshold: float, df_limit: int | None = None) -> st
     """
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float, df_limit: int | None = None
+) -> DataFrame:
+    """DIRECTED pairs (id_a, id_b, containment) with
+    ``|A ∩ B| / |A| >= threshold`` — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a short excerpt quoted inside a long
+    document has low Jaccard (the union is dominated by the long side)
+    but containment ≈ 1, which is exactly the quote/subset/excerpt
+    signal corpus curation needs (Broder's containment from the
+    original resemblance paper). Same inverted-index plan — one shuffle
+    join + one pair-keyed aggregation — just without the ``a < b``
+    direction collapse, and dividing by |A| alone."""
+    sh = doc_shingles(docs)
+    if df_limit is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_limit)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = _persist_tracked(
+        f"containment_sizes_{df_limit}",
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .withColumn(
+            "containment", duck_round(F.col("shared") / F.col("na"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(
+    threshold: float, df_limit: int | None = None
+) -> str:
+    df_filter = (
+        f"WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {df_limit})"
+        if df_limit is not None
+        else ""
+    )
+    return f"""
+        WITH {_SHINGLES_CTE_DUCK},
+        shf AS (SELECT * FROM sh {df_filter}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM shf a JOIN shf b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(shared::DOUBLE / sa.n, 4) AS containment
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE round(shared::DOUBLE / sa.n, 4) >= {threshold}
+    """
+
+
 def duplicated_ngram_fraction(
     docs: DataFrame, df_threshold: int = 2
 ) -> DataFrame:

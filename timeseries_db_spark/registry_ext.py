@@ -671,7 +671,20 @@ def register_extensions(q: dict, o: dict) -> None:
                 4,
             ).alias("jaccard"),
         )
-        return exact.unionByName(capped).unionByName(dupfrac).unionByName(scrub)
+        # late-r8 leg: DIRECTED containment (|A∩B|/|A| — the
+        # quote/excerpt signal Jaccard misses when sizes differ)
+        contain = dedup.ngram_containment_pairs(_docs(s, d), 0.8).select(
+            F.lit("contain").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("containment").alias("jaccard"),
+        )
+        return (
+            exact.unionByName(capped)
+            .unionByName(dupfrac)
+            .unionByName(scrub)
+            .unionByName(contain)
+        )
 
     q["dedup_ngram_jaccard"] = ngram_jaccard_both
     o["dedup_ngram_jaccard"] = f"""
@@ -689,6 +702,9 @@ def register_extensions(q: dict, o: dict) -> None:
                ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS id_b,
                round(n_removed / greatest(n_tokens, 1)::DOUBLE, 4) AS jaccard
         FROM ({dedup.scrub_duplicated_spans_sql()})
+        UNION ALL
+        SELECT 'contain' AS variant, id_a, id_b, containment AS jaccard
+        FROM ({dedup.ngram_containment_pairs_sql(0.8)})
     """
 
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(

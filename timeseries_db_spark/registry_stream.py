@@ -321,10 +321,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
-    """3-micro-batch streaming corpus ingest over the documents table
-    (terciles by doc_id, ascending mtimes pin arrival order to doc_id
+    """2-micro-batch streaming corpus ingest over the documents table
+    (halves by doc_id, ascending mtimes pin arrival order to doc_id
     order — the published set is batch-boundary invariant but NOT
-    arrival-order invariant). Returns (doc_id, 'cdoc', fp53)."""
+    arrival-order invariant; 3-batch and restart shapes are pytest
+    territory). Returns (doc_id, 'cdoc', fp53)."""
     from timeseries_db_spark.streaming import corpus_ingest as ci
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -333,7 +334,7 @@ def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame
     hi = docs.agg(F.max("doc_id")).first()[0] + 1
     in_dir = os.path.join(base, "corpus_in")
     os.makedirs(in_dir)
-    cuts = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+    cuts = [(0, hi // 2), (hi // 2, hi)]
     for i, (lo, hh) in enumerate(cuts):
         pdf = (
             docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hh))
