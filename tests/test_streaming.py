@@ -362,3 +362,73 @@ def test_corpus_ingest_crash_between_writes_heals_on_replay(spark, tmp_path):
     assert pub == {0, 1, 3}  # doc2 (=X) suppressed; doc3 unique kept
     sigs = spark.read.parquet(out + "/sigs")
     assert {r["doc_id"] for r in sigs.collect()} == {0, 1, 2, 3}
+
+
+def test_streaming_asof_enrich_matches_batch_and_sees_updates(spark, tmp_path):
+    """foreachBatch as-of enrichment: batch 0 enriches against the
+    reference's initial snapshot; the reference is updated between
+    batches, and batch 1 is enriched against the NEW snapshot (per-batch
+    snapshot isolation) — both outputs equal the batch as-of join run
+    against the snapshot each batch actually saw."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators.asof import asof_join
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.streaming.joins import start_asof_enrich
+
+    ref = TsTable.create(spark, str(tmp_path / "ref"))
+    ref.insert(
+        spark.createDataFrame(
+            [(0, "a", 10.0), (0, "b", 20.0)],
+            "timestamp long, tag string, value double",
+        )
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["timestamp", "tag", "value"])
+        pq.write_table(pa.Table.from_pandas(pdf), str(in_dir / name))
+        _time.sleep(1.1)
+
+    write("b0.parquet", [(5_000, "a", 1.0), (6_000, "b", 2.0)])
+    stream = (
+        spark.readStream.schema("timestamp long, tag string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_asof_enrich(stream, ref, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # reference updated between batches
+        ref.update(
+            spark.createDataFrame(
+                [(0, "a", 99.0)], "timestamp long, tag string, value double"
+            )
+        )
+        write("b1.parquet", [(7_000, "a", 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["timestamp"], r["tag"]): r["ref_value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(5_000, "a"): 10.0, (6_000, "b"): 20.0, (7_000, "a"): 99.0}
+    # sanity: the batch as-of against the final snapshot agrees on b1
+    b1 = spark.createDataFrame(
+        [(7_000, "a", 3.0)], "timestamp long, tag string, value double"
+    )
+    batch_rows = asof_join(
+        b1, ref.read().withColumnRenamed("value", "ref_value"),
+        on="tag", payload=["ref_value"],
+    ).collect()
+    assert batch_rows[0]["ref_value"] == 99.0

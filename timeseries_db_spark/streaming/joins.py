@@ -61,3 +61,56 @@ def enrich_with_alerts(
     return e.join(a, cond, "inner").select(
         "timestamp", "tag", "value", "alert_ts", "alert_value"
     )
+
+
+def start_asof_enrich(
+    stream: DataFrame,
+    reference: "object",
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    on: str = "tag",
+    payload: list[str] | None = None,
+):
+    """Streaming AS-OF enrichment: each micro-batch of events is joined
+    to the most recent reference row at-or-before its timestamp — the
+    "enrich ticks with the latest reference data" pattern. The
+    latest-only reduction a stream-stream join cannot express (no
+    post-join aggregation in streaming mode) falls out naturally in
+    ``foreachBatch``: the batch side is plain batch, so the tested
+    batch :func:`~timeseries_db_spark.operators.asof.asof_join` runs
+    verbatim against a FRESH snapshot of the reference table each
+    batch (reads resolve the manifest pointer once per batch →
+    per-batch snapshot isolation; a reference update between batches
+    is picked up by the next batch, exactly the semantics a slowly
+    changing dimension wants).
+
+    ``reference`` is a :class:`~timeseries_db_spark.operators.dml.TsTable`
+    (or any object with ``read() -> DataFrame``). Output appends to
+    ``out_dir`` as ``batch=<id>`` partition overwrites — idempotent on
+    replay like the corpus ingest."""
+    import os
+
+    from timeseries_db_spark.operators.asof import asof_join
+
+    payload = payload or ["ref_value"]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        enriched = asof_join(
+            batch.select("timestamp", "tag", "value"),
+            reference.read().withColumnRenamed("value", "ref_value"),
+            on=on,
+            payload=payload,
+        )
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
