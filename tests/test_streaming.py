@@ -432,3 +432,49 @@ def test_streaming_asof_enrich_matches_batch_and_sees_updates(spark, tmp_path):
         on="tag", payload=["ref_value"],
     ).collect()
     assert batch_rows[0]["ref_value"] == 99.0
+
+
+def test_corpus_ingest_sig_compaction(spark, tmp_path):
+    """Compacting the signature partitions (all but the newest merged
+    into the oldest) preserves the dedup decisions of later batches,
+    and because the consumer is duplicate-tolerant, a crash that leaves
+    BOTH merged and original partitions still yields identical
+    results."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+    Z = "red orange yellow green blue indigo violet umber ochre teal"
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    ci.process_corpus_batch(mk([(0, X)]), 0, out)
+    ci.process_corpus_batch(mk([(1, Y)]), 1, out)
+    ci.process_corpus_batch(mk([(2, Z)]), 2, out)
+
+    removed = ci.compact_seen_sigs(spark, out)
+    assert removed == 1  # batch=1 absorbed into batch=0; batch=2 kept
+    dirs = {os.path.basename(p) for p in glob.glob(out + "/sigs/batch=*")}
+    assert dirs == {"batch=0", "batch=2"}
+
+    # later batch still dedups against COMPACTED history (X and Y live
+    # in the merged partition)
+    ci.process_corpus_batch(mk([(3, X), (4, Y), (5, "fresh novel words")]), 3, out)
+    pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
+    assert pub == {0, 1, 2, 5}
+
+    # duplicate tolerance: resurrect an absorbed partition (crash sim:
+    # merged rows now exist TWICE) and ingest another near-dup — the
+    # decision is unchanged
+    spark.read.parquet(out + "/sigs/batch=0").filter(
+        "doc_id = 1"
+    ).write.mode("overwrite").parquet(out + "/sigs/batch=1")
+    ci.process_corpus_batch(mk([(6, Y)]), 4, out)
+    pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
+    assert pub == {0, 1, 2, 5}

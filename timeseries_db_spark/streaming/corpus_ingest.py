@@ -250,3 +250,50 @@ def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
         FROM documents
         WHERE doc_id NOT IN (SELECT id_d FROM dominated)
     """
+
+
+def compact_seen_sigs(spark, out_dir: str) -> int:
+    """Offline maintenance for a STOPPED ingest: merge every signature
+    partition except the most recent into the oldest batch's partition,
+    so a long-lived stream's thousands of tiny ``batch=N`` dirs become
+    two. The most recent batch is left untouched because it is the only
+    one a checkpoint restart can replay (a replay overwrites its own
+    partition; compacting it away would race that overwrite).
+
+    Crash-safety comes from the CONSUMER, not the writer: the dedup
+    decision is a pure existence test over the seen set, so duplicate
+    signature rows are semantically idempotent (duplicate candidates
+    collapse in the pair distinct). The merged partition is therefore
+    written FIRST (overwrite of the oldest batch dir) and the absorbed
+    partitions deleted after — a crash between the two steps leaves
+    duplicates, which change nothing, and rerunning completes the
+    cleanup. Returns the number of partitions removed."""
+    import shutil
+
+    sig_dir = os.path.join(out_dir, "sigs")
+    try:
+        df = spark.read.parquet(sig_dir)
+    except Exception:
+        return 0
+    if "batch" not in df.columns:
+        return 0
+    batches = sorted(
+        r["batch"] for r in df.select("batch").distinct().collect()
+    )
+    if len(batches) <= 2:
+        return 0
+    last = batches[-1]
+    merged = df.filter(F.col("batch") < last).drop("batch")
+    # step 1: merged rows into the oldest partition (overwrite).
+    # Read materializes BEFORE the overwrite below via the localCheckpoint:
+    # overwriting an input dir of a lazy plan would corrupt the read.
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(
+        os.path.join(sig_dir, f"batch={batches[0]}")
+    )
+    # step 2: drop the absorbed partitions
+    removed = 0
+    for b in batches[1:-1]:
+        shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
+        removed += 1
+    return removed
