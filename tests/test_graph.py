@@ -70,3 +70,27 @@ def test_dedup_clusters_shape(spark, sf_dir):
         keeps = [m for m in members if m["keep"]]
         assert len(keeps) == 1 and keeps[0]["doc_id"] == cid
         assert len(members) >= 2, "every emitted vertex came from a pair"
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark, sf_dir):
+    """Keep-best selects exactly one survivor per cluster, and it is a
+    max-quality member (ties to smallest doc_id); cluster memberships
+    are identical to the min-id rule's."""
+    from timeseries_db_spark.operators.graph import dedup_clusters, dedup_keep_best
+    from timeseries_db_spark.sources.tables import load_table
+
+    minid = dedup_clusters(load_table(spark, sf_dir, "documents"), 0.8)
+    best = dedup_keep_best(load_table(spark, sf_dir, "documents"), 0.8)
+    mrows = {r["doc_id"]: r["cluster_id"] for r in minid.collect()}
+    brows = best.collect()
+    assert {r["doc_id"]: r["cluster_id"] for r in brows} == mrows
+    by_cluster = {}
+    for r in brows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1, cid
+        qmax = max(m["quality"] for m in members)
+        assert keeps[0]["quality"] == qmax
+        ties = [m["doc_id"] for m in members if m["quality"] == qmax]
+        assert keeps[0]["doc_id"] == min(ties)

@@ -167,3 +167,69 @@ def dedup_clusters_sql(threshold: float) -> str:
                doc_id = cluster_id AS keep
         FROM sized
     """
+
+
+def dedup_keep_best(docs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, cluster_id, quality, keep) — quality-aware canonical
+    selection: within each near-dup cluster the HIGHEST-quality member
+    survives (ties break to the smallest doc_id), instead of
+    :func:`dedup_clusters`' smallest-id rule. This is what production
+    curation actually wants — when a document exists in several
+    variants, keep the cleanest copy, not the one that happened to
+    arrive first.
+
+    Scale shape: the components run is identical; the selection adds
+    one quality join (per-doc rows) and one window over clusters —
+    partitions are cluster-sized (tiny by near-dup construction)."""
+    from pyspark.sql import Window
+
+    from timeseries_db_spark.operators.dedup import minhash_lsh_pairs
+    from timeseries_db_spark.operators.text import quality_score
+
+    pairs = minhash_lsh_pairs(docs, threshold)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    q = quality_score(docs).select(F.col("doc_id").alias("id"), "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    return (
+        comp.join(q, "id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "quality",
+            "keep",
+        )
+    )
+
+
+def dedup_keep_best_sql(threshold: float) -> str:
+    """DuckDB twin: same recursive components + the same
+    (quality DESC, doc_id) window rule."""
+    from timeseries_db_spark.operators.dedup import minhash_lsh_pairs_sql
+    from timeseries_db_spark.operators.text import quality_score_sql
+
+    return f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM ({minhash_lsh_pairs_sql(threshold)}) p),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT u AS id, u AS r FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        q AS ({quality_score_sql()})
+        SELECT comp.id AS doc_id, cluster_id, q.quality,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY q.quality DESC, comp.id
+               ) = 1 AS keep
+        FROM comp JOIN q ON q.doc_id = comp.id
+    """

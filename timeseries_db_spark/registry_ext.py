@@ -716,8 +716,37 @@ def register_extensions(q: dict, o: dict) -> None:
     # (min-label propagation + pointer jumping; recursive-CTE oracle)
     from timeseries_db_spark.operators import graph
 
-    q["dedup_clusters"] = lambda s, d: graph.dedup_clusters(_docs(s, d), JACCARD_T)
-    o["dedup_clusters"] = graph.dedup_clusters_sql(JACCARD_T)
+    # late-r8 fold: min-id canonical + quality-aware keep-best as two
+    # legs on a shared (kind, doc_id, cluster_id, val, keep) schema —
+    # val carries cluster_size (minid) or the quality score (best).
+    # Both legs share the persist-tracked LSH pair set and the
+    # checkpointed components run.
+    def clusters_both(s: SparkSession, d: str) -> DataFrame:
+        minid = graph.dedup_clusters(_docs(s, d), JACCARD_T).select(
+            F.lit("minid").alias("kind"),
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("double").alias("val"),
+            "keep",
+        )
+        best = graph.dedup_keep_best(_docs(s, d), JACCARD_T).select(
+            F.lit("best").alias("kind"),
+            "doc_id",
+            "cluster_id",
+            F.col("quality").alias("val"),
+            "keep",
+        )
+        return minid.unionByName(best)
+
+    q["dedup_clusters"] = clusters_both
+    o["dedup_clusters"] = f"""
+        SELECT 'minid' AS kind, doc_id, cluster_id,
+               CAST(cluster_size AS DOUBLE) AS val, keep
+        FROM ({graph.dedup_clusters_sql(JACCARD_T)})
+        UNION ALL
+        SELECT 'best' AS kind, doc_id, cluster_id, quality AS val, keep
+        FROM ({graph.dedup_keep_best_sql(JACCARD_T)})
+    """
 
     # --- dedup_simhash: r7 fold of dedup_simhash_sig + dedup_simhash_pairs
     # into ONE union entry (freed a gate slot for text_lm_score). Branches
