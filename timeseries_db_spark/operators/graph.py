@@ -114,18 +114,32 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
-def dedup_clusters(docs: DataFrame, threshold: float) -> DataFrame:
+def lsh_components(docs: DataFrame, threshold: float) -> DataFrame:
+    """(id, component) over the MinHash-LSH pair graph — the shared
+    iterative run both canonical-selection rules consume. The returned
+    frame is materialized (per-round ``localCheckpoint``), so callers
+    composing several rules over one clustering pass it to both instead
+    of paying the loop twice."""
+    from timeseries_db_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold)
+    return connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float, comp: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, keep) — near-dup clusters from
     the MinHash-LSH pair graph at ``threshold``; ``cluster_id`` is the
     smallest doc_id in the cluster and ``keep`` marks that canonical
     survivor. Only documents that appear in at least one pair are
-    emitted (everything else is trivially its own singleton)."""
-    from timeseries_db_spark.operators.dedup import minhash_lsh_pairs
-
-    pairs = minhash_lsh_pairs(docs, threshold)
-    comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    emitted (everything else is trivially its own singleton). Pass
+    ``comp`` (a :func:`lsh_components` result) to reuse one components
+    run across several selection rules."""
+    if comp is None:
+        comp = lsh_components(docs, threshold)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "component")
@@ -169,7 +183,9 @@ def dedup_clusters_sql(threshold: float) -> str:
     """
 
 
-def dedup_keep_best(docs: DataFrame, threshold: float) -> DataFrame:
+def dedup_keep_best(
+    docs: DataFrame, threshold: float, comp: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, cluster_id, quality, keep) — quality-aware canonical
     selection: within each near-dup cluster the HIGHEST-quality member
     survives (ties break to the smallest doc_id), instead of
@@ -178,18 +194,16 @@ def dedup_keep_best(docs: DataFrame, threshold: float) -> DataFrame:
     variants, keep the cleanest copy, not the one that happened to
     arrive first.
 
-    Scale shape: the components run is identical; the selection adds
-    one quality join (per-doc rows) and one window over clusters —
+    Scale shape: the components run is identical (pass ``comp`` to
+    share it with :func:`dedup_clusters`); the selection adds one
+    quality join (per-doc rows) and one window over clusters —
     partitions are cluster-sized (tiny by near-dup construction)."""
     from pyspark.sql import Window
 
-    from timeseries_db_spark.operators.dedup import minhash_lsh_pairs
     from timeseries_db_spark.operators.text import quality_score
 
-    pairs = minhash_lsh_pairs(docs, threshold)
-    comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    if comp is None:
+        comp = lsh_components(docs, threshold)
     q = quality_score(docs).select(F.col("doc_id").alias("id"), "quality")
     w = Window.partitionBy("component").orderBy(
         F.desc("quality"), F.asc("id")

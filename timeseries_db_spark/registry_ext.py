@@ -722,14 +722,15 @@ def register_extensions(q: dict, o: dict) -> None:
     # Both legs share the persist-tracked LSH pair set and the
     # checkpointed components run.
     def clusters_both(s: SparkSession, d: str) -> DataFrame:
-        minid = graph.dedup_clusters(_docs(s, d), JACCARD_T).select(
+        comp = graph.lsh_components(_docs(s, d), JACCARD_T)
+        minid = graph.dedup_clusters(_docs(s, d), JACCARD_T, comp=comp).select(
             F.lit("minid").alias("kind"),
             "doc_id",
             "cluster_id",
             F.col("cluster_size").cast("double").alias("val"),
             "keep",
         )
-        best = graph.dedup_keep_best(_docs(s, d), JACCARD_T).select(
+        best = graph.dedup_keep_best(_docs(s, d), JACCARD_T, comp=comp).select(
             F.lit("best").alias("kind"),
             "doc_id",
             "cluster_id",
