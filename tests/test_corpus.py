@@ -519,3 +519,48 @@ def test_mixture_resample_hypothesis_cross_engine(spark):
         assert kept_binding == n_binding, (binding, kept_binding, n_binding)
 
     run()
+
+
+def test_dq_report_detects_planted_violations(spark, tmp_path):
+    """Each expectation fires on planted dirt: a NULL FK, a duplicate
+    PK, an orphan lineitem, out-of-range quantity/discount, a NULL
+    event value, and a duplicate event key."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators.dq import dq_report
+
+    base = tmp_path
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 2], "o_custkey": [10.0, None, 11.0]}
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 99],        # 99 → orphan
+            "l_quantity": [5.0, 0.0, 3.0],   # 0 → range violation
+            "l_discount": [0.1, 1.5, -0.2],  # 1.5 and -0.2 → violations
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([0, 0, 1_000], unit="ms").astype(
+                "datetime64[us]"
+            ),
+            "event_type": ["x", "x", "y"],   # (0, x) duplicated
+            "value": [1.0, None, 2.0],
+        }
+    )
+    for name, pdf in (("orders", orders), ("lineitem", li), ("events", ev)):
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(base / f"{name}.parquet")
+        )
+    got = {
+        r["metric"]: r["value"] for r in dq_report(spark, str(base)).collect()
+    }
+    assert got["rows_orders"] == 3.0
+    assert got["null_frac_o_custkey"] == round(1 / 3, 4)
+    assert got["dup_pk_orders"] == 1.0
+    assert got["orphan_lineitems"] == 1.0
+    assert got["range_viol_l_quantity"] == 1.0
+    assert got["range_viol_l_discount"] == 2.0
+    assert got["null_events_value"] == 1.0
+    assert got["dup_key_events"] == 1.0

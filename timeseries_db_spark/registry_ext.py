@@ -508,8 +508,32 @@ def register_extensions(q: dict, o: dict) -> None:
     q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
     o["join_top_orders_building"] = joins.top_orders_by_segment_sql()
 
-    q["join_revenue_by_region"] = joins.revenue_by_region
-    o["join_revenue_by_region"] = joins.REVENUE_BY_REGION_SQL
+    # late-r8 fold: the Deequ-style data-quality report rides the
+    # region entry's (name, value) shape — completeness, uniqueness,
+    # referential integrity, and domain-range metrics, one conditional-
+    # aggregate scan per table + one anti-join
+    def region_and_dq(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators import dq
+
+        rev = joins.revenue_by_region(s, d).select(
+            F.lit("revenue").alias("kind"), "region", "revenue"
+        )
+        rep = dq.dq_report(s, d).select(
+            F.lit("dq").alias("kind"),
+            F.col("metric").alias("region"),
+            F.col("value").alias("revenue"),
+        )
+        return rev.unionByName(rep)
+
+    from timeseries_db_spark.operators import dq as _dq
+
+    q["join_revenue_by_region"] = region_and_dq
+    o["join_revenue_by_region"] = f"""
+        SELECT 'revenue' AS kind, * FROM ({joins.REVENUE_BY_REGION_SQL})
+        UNION ALL
+        SELECT 'dq' AS kind, metric AS region, value AS revenue
+        FROM ({_dq.dq_report_sql()})
+    """
 
     q["join_part_brand_stats"] = joins.part_brand_stats
     o["join_part_brand_stats"] = joins.PART_BRAND_STATS_SQL
