@@ -444,8 +444,14 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("nation").alias("grp"),
             F.col("revenue").alias("result"),
         )
-        win = joins.maintenance_window_stats(
-            events_as_tsdb(s, d), lo=LO, hi=HI
+        # the window/overlap stat tables are (tags×days)-sized and each
+        # feeds TWO projection legs — persist them or the interval join
+        # (resp. the sessionize window pass) runs once per leg
+        from timeseries_db_spark.operators.dedup import _persist_tracked
+
+        win = _persist_tracked(
+            "join_iv_win",
+            joins.maintenance_window_stats(events_as_tsdb(s, d), lo=LO, hi=HI),
         )
         grp = F.concat_ws(":", "tag", F.col("win_start").cast("string"))
         cnt = win.select(
@@ -461,7 +467,9 @@ def register_extensions(q: dict, o: dict) -> None:
         # late-r8 legs: interval×interval OVERLAP join (user sessions ∩
         # maintenance windows, first-overlap-bucket dedup — the other
         # range-join shape Spark natively nested-loops)
-        ov = joins.session_window_overlap(s, d, lo=LO, hi=HI)
+        ov = _persist_tracked(
+            "join_ov_win", joins.session_window_overlap(s, d, lo=LO, hi=HI)
+        )
         ovc = ov.select(
             F.lit("ov_cnt").alias("kind"),
             F.col("win_start").cast("string").alias("grp"),
