@@ -286,3 +286,34 @@ def test_bm25_ranking_semantics(spark):
     assert got[6][0] > got[2][0] and got[6][0] > got[5][0]
     ranks = sorted(v[1] for v in got.values())
     assert ranks == list(range(1, len(got) + 1))  # dense, unique ranks
+
+
+def test_text_hash_vectors_similarity_semantics(spark):
+    """The hashing-trick vectors behave like embeddings: identical
+    texts → identical vectors (cosine 1), near-dup texts → high cosine,
+    unrelated texts → lower cosine than the near-dup pair, empty text →
+    zero vector; all non-empty vectors are unit-norm."""
+    import numpy as np
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, A),
+        (2, A),                                       # exact dup
+        (3, A + " today"),                            # near dup
+        (4, "completely different words about spark sql engines and joins"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = {
+        r["doc_id"]: np.array(r["vec"])
+        for r in text.text_hash_vectors(docs).collect()
+    }
+    assert len(vecs) == 5
+    for i in (1, 2, 3, 4):
+        assert abs(np.linalg.norm(vecs[i]) - 1.0) < 1e-12
+    assert np.array_equal(vecs[1], vecs[2])
+    cos_near = float(vecs[1] @ vecs[3])
+    cos_far = float(vecs[1] @ vecs[4])
+    assert cos_near > 0.95
+    assert cos_far < cos_near - 0.2
+    assert not vecs[5].any()

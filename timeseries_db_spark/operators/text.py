@@ -1073,3 +1073,144 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int = 20) -> str:
         ORDER BY score_fp DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing text vectorizer (hashing trick)
+# ---------------------------------------------------------------------------
+
+#: Hashed bag-of-words dimensionality. 64 keeps the whole vector in one
+#: cache line of doubles and matches the embeddings fixture's width, so
+#: hashed text vectors drop straight into the similarity/ANN stack.
+TVEC_DIM = 64
+
+
+def text_hash_vectors(docs: DataFrame, dim: int = TVEC_DIM) -> DataFrame:
+    """(doc_id, vec) — the hashing trick (Weinberger et al. 2009):
+    token → md5-long mod ``dim`` bucket, per-bucket term counts,
+    L2-normalized into a dense ``array<double>``. Gives every document
+    a REAL derived embedding with no external model — identical texts
+    get identical vectors, near-dup texts high cosine — so the whole
+    similarity stack (cosine top-k, SRP/IVF ANN, SemDeDup) runs
+    end-to-end on raw text.
+
+    Determinism: counts are integers, the L2 norm is
+    ``sqrt`` of an exact integer sum, and each coordinate is one IEEE
+    division — every digit engine-exact. Zero-token docs get the zero
+    vector.
+
+    Scale shape: one token explode → one (doc, bucket) hash aggregation
+    → one per-doc aggregation building the dense map; map-side partials
+    on both aggs; no joins, no shuffle beyond the two keyed aggs."""
+    from timeseries_db_spark.functions.hashing import md5_long
+
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucketed = tok.select(
+        "doc_id", (md5_long(F.col("tok")) % dim).alias("b")
+    )
+    counts = bucketed.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dense = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "cnt"))).alias("m")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
+        ).alias("raw"),
+    )
+    norm = F.expr(
+        "sqrt(aggregate(transform(raw, x -> x * x), CAST(0 AS DOUBLE),"
+        " (a, v) -> a + v))"
+    )
+    with_vec = dense.select(
+        "doc_id",
+        F.when(norm == 0.0, F.col("raw"))
+        .otherwise(F.expr(
+            "transform(raw, x -> x / sqrt(aggregate("
+            "transform(raw, y -> y * y), CAST(0 AS DOUBLE), (a, v) -> a + v)))"
+        ))
+        .alias("vec"),
+    )
+    # zero-token docs contribute no count rows — restore them with the
+    # zero vector so every input doc has a row
+    zeros = F.expr(f"transform(sequence(0, {dim - 1}), i -> CAST(0 AS DOUBLE))")
+    return docs.select("doc_id").join(with_vec, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("vec"), zeros).alias("vec")
+    )
+
+
+def text_vec_summary(docs: DataFrame, dim: int = TVEC_DIM) -> DataFrame:
+    """(vec_id, n_dims, scale, sum_q, max_err) — per-doc summary of the
+    hashed vector, shaped to union with ``quantize_int8`` /
+    ``rp_summary`` rows (the ``sim_quantize_int8`` entry's ``tvec``
+    leg): ``scale`` = the raw count vector's L2 norm (6 dp), ``sum_q``
+    = exact fixed-point (1e6) sum of the normalized coordinates
+    (order-free: integer micro-units), ``max_err`` = occupied-bucket
+    fraction (the hashing-collision diagnostic). ``scale`` is the UNIT
+    vector's norm — 1.0 for any non-empty doc, 0.0 for empty ones —
+    i.e. the normalization proof, not the raw magnitude."""
+    vecs = text_hash_vectors(docs, dim)
+    norm_expr = F.expr(
+        "sqrt(aggregate(transform(vec, x -> x * x), CAST(0 AS DOUBLE),"
+        " (a, v) -> a + v))"
+    )
+    return vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(dim).cast("long").alias("n_dims"),
+        duck_round(norm_expr, 6).alias("scale"),
+        F.expr(
+            "aggregate(transform(vec, x -> CAST(floor(x * 1000000.0 + 0.5)"
+            " AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("sum_q"),
+        duck_round(
+            F.expr(
+                "aggregate(transform(vec, x -> CASE WHEN x <> 0.0 THEN 1"
+                " ELSE 0 END), 0, (a, v) -> a + v)"
+            )
+            / F.lit(float(dim)),
+            6,
+        ).alias("max_err"),
+    )
+
+
+def text_vec_summary_sql(dim: int = TVEC_DIM) -> str:
+    """DuckDB twin — works on the (doc, bucket) count table directly:
+    zero coordinates contribute 0 to every fold, so bucket-order sums
+    equal the Spark side's coordinate-order folds exactly (integer
+    micro-units; one IEEE division per coordinate)."""
+    h = f"(('0x' || substr(md5(tok), 1, 15))::BIGINT) % {dim}"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, {h} AS b, count(*) AS cnt
+            FROM tok WHERE tok <> '' GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT doc_id,
+                   sqrt(sum((cnt * cnt)::DOUBLE)) AS norm,
+                   count(*) AS n_occ
+            FROM counts GROUP BY 1
+        ),
+        q AS (
+            SELECT c.doc_id,
+                   sum(floor((c.cnt / p.norm) * 1000000.0 + 0.5)::BIGINT)
+                       AS sum_q
+            FROM counts c JOIN per p ON c.doc_id = p.doc_id
+            GROUP BY 1
+        )
+        SELECT d.doc_id AS vec_id,
+               {dim}::BIGINT AS n_dims,
+               COALESCE(round(CASE WHEN p.norm > 0 THEN 1.0 ELSE 0.0 END, 6),
+                        0.0) AS scale,
+               COALESCE(q.sum_q, 0)::BIGINT AS sum_q,
+               COALESCE(round(p.n_occ / {float(dim)}, 6), 0.0) AS max_err
+        FROM documents d
+        LEFT JOIN per p ON d.doc_id = p.doc_id
+        LEFT JOIN q ON d.doc_id = q.doc_id
+    """

@@ -1034,13 +1034,22 @@ def register_extensions(q: dict, o: dict) -> None:
         e = _emb(s, d)
         int8 = similarity.quantize_int8(e).withColumn("kind", F.lit("int8"))
         rp = similarity.rp_summary(e, EMB_DIM).withColumn("kind", F.lit("rp"))
-        return int8.unionByName(rp)
+        # late-r8 leg: feature-hashed TEXT vectors (the hashing trick) —
+        # documents get a real derived embedding with no external model,
+        # summarized in the entry's shared (vec_id, n_dims, scale,
+        # sum_q, max_err) shape
+        tvec = text.text_vec_summary(_docs(s, d)).withColumn(
+            "kind", F.lit("tvec")
+        )
+        return int8.unionByName(rp).unionByName(tvec)
 
     q["sim_quantize_int8"] = quantize_and_rp
     o["sim_quantize_int8"] = (
         f"SELECT *, 'int8' AS kind FROM ({similarity.quantize_int8_sql()})"
         " UNION ALL "
         f"SELECT *, 'rp' AS kind FROM ({similarity.rp_summary_sql(EMB_DIM)})"
+        " UNION ALL "
+        f"SELECT *, 'tvec' AS kind FROM ({text.text_vec_summary_sql()})"
     )
 
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
