@@ -317,3 +317,33 @@ def test_text_hash_vectors_similarity_semantics(spark):
     assert cos_near > 0.95
     assert cos_far < cos_near - 0.2
     assert not vecs[5].any()
+
+
+def test_text_vectors_feed_the_similarity_stack(spark):
+    """End-to-end bridge: hashed text vectors renamed to the embeddings
+    shape run through the EXACT cosine top-k operator unchanged — the
+    exact-duplicate text is retrieved at cosine 1 and the near-dup
+    ranks far above the unrelated docs."""
+    from timeseries_db_spark.operators.similarity import cosine_topk
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, A),
+        (2, A),                                     # exact dup of 1
+        (3, A + " at dawn today"),                  # near dup of 1
+        (4, "unrelated catalog of spark join strategies and shuffles"),
+        (5, "another disjoint document about parquet row group stats"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = text.text_hash_vectors(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    top = cosine_topk(
+        spark, emb.filter(F.col("vec_id") == 1), emb, 4
+    ).collect()
+    cos = {r["nid"]: r["cos"] for r in top}
+    # the operator excludes self; the exact duplicate sits at cosine 1,
+    # the near-dup above 0.9, and both unrelated docs far below it
+    assert cos[2] == 1.0
+    assert cos[3] > 0.9
+    assert all(cos[n] < cos[3] - 0.2 for n in (4, 5))
