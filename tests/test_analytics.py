@@ -325,3 +325,38 @@ def test_cohort_retention_planted(spark, tmp_path):
         for r in con.sql(cohort_retention_sql()).fetchall()
     }
     assert ora == out
+
+
+def test_seasonal_zscore_catches_what_global_misses(spark, tmp_path):
+    """A value unremarkable globally but anomalous for ITS hour: plant a
+    tag whose baseline differs by hour (hour 0 ~ 10, hour 1 ~ 100);
+    a 40 at hour 0 is far outside hour-0's tight spread yet well inside
+    the global (bimodal) spread — the seasonal detector flags it, the
+    global one does not."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators.analytics import (
+        seasonal_zscore_outliers,
+        zscore_outliers,
+    )
+
+    H = 3_600_000
+    rows = []
+    for d in range(20):  # 20 days of two-hour cycles
+        base = d * 24 * H
+        for i in range(5):
+            rows.append((base + i * 60_000, "a", 10.0 + (i % 3)))          # hour 0
+            rows.append((base + H + i * 60_000, "a", 100.0 + (i % 3)))     # hour 1
+    rows.append((19 * 24 * H + 30 * 60_000, "a", 40.0))  # hour-0 anomaly
+    tsdb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["timestamp", "tag", "value"])
+    )
+    seasonal = seasonal_zscore_outliers(tsdb, threshold=2.5).collect()
+    glob = zscore_outliers(tsdb, threshold=2.5).collect()
+    s_flagged = {(r["timestamp"], r["value"]) for r in seasonal}
+    g_flagged = {(r["timestamp"], r["value"]) for r in glob}
+    anom = (19 * 24 * H + 30 * 60_000, 40.0)
+    assert anom in s_flagged
+    assert anom not in g_flagged
+    # and the planted regular points are NOT seasonal anomalies
+    assert all(v == 40.0 for _, v in s_flagged)

@@ -470,3 +470,73 @@ def rolling_avg_scalable(
             F.col("_rc").cast("long").alias("roll_cnt"),
         )
     )
+
+
+def seasonal_zscore_outliers(
+    tsdb: DataFrame, threshold: float = 2.5
+) -> DataFrame:
+    """Per-(tag, hour-of-day) z-score anomaly detection — the seasonal
+    refinement of :func:`zscore_outliers`: a metric with a daily cycle
+    (traffic, load) has hour-dependent baselines, so a value normal at
+    peak is anomalous at 3am; normalizing against the global moments
+    misses exactly those. Same two-pass skew-proof shape with a
+    (tags × 24)-row broadcast moments table and the same exact-DECIMAL
+    moment arithmetic. Returns (tag, timestamp, value, hod, z)."""
+    hod = ((F.col("timestamp") / F.lit(3_600_000)).cast("long") % 24).alias(
+        "hod"
+    )
+    with_h = tsdb.select("tag", "timestamp", "value", hod)
+    stats = with_h.groupBy("tag", "hod").agg(
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(38,10)")
+        ).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_sq").cast("double") / F.col("_n") - mean * mean
+    moments = stats.select(
+        "tag",
+        "hod",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_sd")
+    return (
+        with_h.join(F.broadcast(moments), on=["tag", "hod"], how="inner")
+        .filter((F.col("_sd") > 0) & (F.abs(z) >= F.lit(threshold)))
+        .select(
+            "tag",
+            "timestamp",
+            "value",
+            F.col("hod").cast("long").alias("hod"),
+            duck_round(z, 4).alias("z"),
+        )
+    )
+
+
+def seasonal_zscore_outliers_sql(table_sql: str, threshold: float = 2.5) -> str:
+    return f"""
+        WITH t AS (
+            SELECT tag, "timestamp", value,
+                   ("timestamp" // 3600000) % 24 AS hod
+            FROM ({table_sql})
+        ),
+        s AS (
+            SELECT tag, hod,
+                   sum(value::DECIMAL(38,10)) AS ds,
+                   sum((value * value)::DECIMAL(38,10)) AS dsq,
+                   count(*) AS n
+            FROM t GROUP BY tag, hod
+        ),
+        m AS (
+            SELECT tag, hod, ds::DOUBLE / n AS mean,
+                   sqrt(greatest(dsq::DOUBLE / n - (ds::DOUBLE / n) * (ds::DOUBLE / n),
+                                 0.0)) AS sd
+            FROM s
+        )
+        SELECT t.tag, t."timestamp", t.value, t.hod::BIGINT AS hod,
+               round((t.value - m.mean) / m.sd, 4) + 0.0 AS z
+        FROM t JOIN m ON t.tag = m.tag AND t.hod = m.hod
+        WHERE m.sd > 0 AND abs((t.value - m.mean) / m.sd) >= {threshold}
+    """

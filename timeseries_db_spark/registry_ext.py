@@ -281,11 +281,24 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("roll_avg").alias("v1"),
             F.col("roll_cnt").cast("double").alias("v2"),
         )
+        # late-r8: seasonal (hour-of-day baseline) z-score — the
+        # daily-cycle refinement of the global zscore leg; moments are a
+        # (tags × 24)-row broadcast. Coerced as v1=z, v2=hod — the
+        # leg's new information is WHICH rows are anomalous against
+        # their hour's baseline and by how much
+        szn = analytics.seasonal_zscore_outliers(t, threshold=2.5).select(
+            F.lit("szn").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("z").alias("v1"),
+            F.col("hod").cast("double").alias("v2"),
+        )
         return (
             deltas.unionByName(deltas_sc)
             .unionByName(rates)
             .unionByName(zscores)
             .unionByName(rolls)
+            .unionByName(szn)
         )
 
     q["derivatives_by_tag"] = derivatives_by_tag
@@ -309,6 +322,10 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT 'roll' AS kind, tag, "timestamp" AS ts,
                roll_avg AS v1, CAST(roll_cnt AS DOUBLE) AS v2
         FROM ({analytics.rolling_avg_sql(EVENTS_T)})
+        UNION ALL
+        SELECT 'szn' AS kind, tag, "timestamp" AS ts,
+               z AS v1, CAST(hod AS DOUBLE) AS v2
+        FROM ({analytics.seasonal_zscore_outliers_sql(EVENTS_T, threshold=2.5)})
     """
 
     # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
