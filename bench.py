@@ -67,7 +67,17 @@ pass + a bucketed interval self-explode join), so its column again
 covers strictly more work than earlier rounds. Non-headline entries
 gained scrub (dedup_ngram_jaccard), cdoc (stream_ingest_dedup — a full
 streaming corpus-ingest run), tok_hll/hll_union/hll_inter
-(agg_ndv_by_tag), and cohort (sessionize_30m) legs.
+(agg_ndv_by_tag), and cohort (sessionize_30m) legs. Final r8 headline
+additions: derivatives_by_tag += szn (seasonal hour-of-day z-score —
+a sixth leg: one more (tag,hod)-moments agg + broadcast filter), and
+dedup_clusters gained the quality-aware keep-best leg (adds the
+quality-score scan + a cluster-partitioned window; the iterative
+components run is SHARED between the minid and best legs via
+lsh_components, so the column covers two selection rules for roughly
+one clustering). Non-headline: sim_quantize_int8 += tvec
+(feature-hashed text vectors), join_revenue_by_region += dq
+(data-quality metrics), dedup_ngram_jaccard += contain (directed
+containment).
 """
 
 from __future__ import annotations
