@@ -367,3 +367,31 @@ def test_hll_overlap_plan_bounded(spark, sf_dir):
         spark, sketches.hll_overlap(regs, [("0", "1"), ("1", "2")])
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_text_hash_vectors_plan_no_cartesian(spark, sf_dir):
+    """The hashing-trick vectorizer is one explode + two keyed aggs and
+    a doc-keyed left join for zero-token docs — no cartesian/nested
+    loop, no window."""
+    from timeseries_db_spark.operators.text import text_hash_vectors
+    from timeseries_db_spark.sources.tables import load_table
+
+    plan = _formatted_plan(
+        spark, text_hash_vectors(load_table(spark, sf_dir, "documents"))
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(_nodes(plan, "Window")) == 0, plan
+
+
+def test_seasonal_zscore_plan_broadcast_moments(spark, sf_dir):
+    """The seasonal detector keeps the two-pass shape: the (tag, hod)
+    moments side joins via BROADCAST (never sort-merge over the stream)
+    and there is no window function."""
+    from timeseries_db_spark.operators.analytics import seasonal_zscore_outliers
+
+    t = events_as_tsdb(spark, sf_dir)
+    plan = _formatted_plan(spark, seasonal_zscore_outliers(t))
+    assert len(_nodes(plan, "BroadcastHashJoin")) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(_nodes(plan, "Window")) == 0, plan
