@@ -542,11 +542,13 @@ def test_dq_report_detects_planted_violations(spark, tmp_path):
     )
     ev = pd.DataFrame(
         {
-            "ts": pd.to_datetime([0, 0, 1_000], unit="ms").astype(
+            "ts": pd.to_datetime([0, 0, 1_000, 2_000], unit="ms").astype(
                 "datetime64[us]"
             ),
-            "event_type": ["x", "x", "y"],   # (0, x) duplicated
-            "value": [1.0, None, 2.0],
+            # (0, x) duplicated; the NULL-key row must count as its own
+            # distinct key (not get silently dropped by countDistinct)
+            "event_type": ["x", "x", "y", None],
+            "value": [1.0, None, 2.0, 3.0],
         }
     )
     for name, pdf in (("orders", orders), ("lineitem", li), ("events", ev)):
@@ -563,4 +565,5 @@ def test_dq_report_detects_planted_violations(spark, tmp_path):
     assert got["range_viol_l_quantity"] == 1.0
     assert got["range_viol_l_discount"] == 2.0
     assert got["null_events_value"] == 1.0
-    assert got["dup_key_events"] == 1.0
+    assert got["dup_key_events"] == 1.0  # the NULL-key row is NOT a dup
+    assert got["rows_events"] == 4.0

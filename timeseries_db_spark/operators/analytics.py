@@ -482,9 +482,9 @@ def seasonal_zscore_outliers(
     misses exactly those. Same two-pass skew-proof shape with a
     (tags × 24)-row broadcast moments table and the same exact-DECIMAL
     moment arithmetic. Returns (tag, timestamp, value, hod, z)."""
-    hod = ((F.col("timestamp") / F.lit(3_600_000)).cast("long") % 24).alias(
-        "hod"
-    )
+    # duck_div, not cast(col/d as long): the double-division form loses
+    # ulps for |ts| >= 2^53 and diverges from the twin's integer //
+    hod = (duck_div(F.col("timestamp"), 3_600_000) % 24).alias("hod")
     with_h = tsdb.select("tag", "timestamp", "value", hod)
     stats = with_h.groupBy("tag", "hod").agg(
         F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),

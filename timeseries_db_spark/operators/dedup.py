@@ -368,10 +368,9 @@ def ngram_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = _persist_tracked(
-        f"containment_sizes_{df_limit}",
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
-    )
+    # unlike the Jaccard variant the sizes table is joined exactly ONCE
+    # (containment divides by |A| only) — no persist needed
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         shared.join(
             sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"),
@@ -876,9 +875,17 @@ def scrub_duplicated_spans(
     hs = toks.filter(F.expr(f"size(toks) >= {k}")).select(
         "doc_id", F.expr(_TOK_HASHES_SPARK).alias("hs")
     )
-    sh = (
-        hs.select("doc_id", F.explode(F.expr(sh_expr)).alias("sp"))
-        .select("doc_id", F.col("sp.start").alias("start"), F.col("sp.shingle").alias("shingle"))
+    # the positional shingle table feeds BOTH the duplicated-set
+    # aggregate and the coverage join — persist it or the tokenize +
+    # shingle explode runs once per consumer (the module's measured
+    # re-evaluation trap; code-review r8)
+    sh = _persist_tracked(
+        f"scrub_sh_{k}",
+        hs.select("doc_id", F.explode(F.expr(sh_expr)).alias("sp")).select(
+            "doc_id",
+            F.col("sp.start").alias("start"),
+            F.col("sp.shingle").alias("shingle"),
+        ),
     )
     dup = (
         sh.groupBy("shingle")
@@ -908,23 +915,31 @@ def scrub_duplicated_spans(
             " ",
         ).alias("clean_text"),
     )
-    base = toks.select(
-        "doc_id",
-        F.when(F.col("toks").isNull(), F.lit(0))
-        .otherwise(F.size("toks"))
-        .cast("long")
-        .alias("n_tokens"),
-        F.col("toks").isNull().alias("null_text"),
+    # per-doc token counts derive from the SAME posexplode stream the
+    # rebuild consumes (count(tok_rows) == size(toks) for any non-NULL
+    # toks, including the empty-string token of '' text), so the base
+    # frame costs a docs-keyed count instead of a third tokenize scan;
+    # NULL-text docs have no tok_rows and fall out of the left join
+    sizes = tok_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
     )
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.when(F.col("null_text"), F.lit(None).cast("string"))
-        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
-        .alias("clean_text"),
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.when(F.col("n_tokens").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+            .alias("clean_text"),
+        )
     )
 
 

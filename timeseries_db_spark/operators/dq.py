@@ -89,7 +89,18 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
             .cast("double")
             .alias("null_events_value"),
-            (F.count(F.lit(1)) - F.countDistinct("tms", "event_type"))
+            # NULL-key rows must count as distinct keys on BOTH engines:
+            # Spark's count(DISTINCT a, b) silently drops NULL-containing
+            # tuples while DuckDB's SELECT DISTINCT keeps them — coalesce
+            # to sentinels so the dirty-data metric itself is not the
+            # thing that diverges on dirty data (code-review r8)
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(
+                    F.coalesce(F.col("tms"), F.lit(-(2**62))),
+                    F.coalesce(F.col("event_type"), F.lit("\x00null")),
+                )
+            )
             .cast("double")
             .alias("dup_key_events"),
         ),
@@ -113,7 +124,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_report_sql() -> str:
     """DuckDB twin — the same metrics as scalar selects."""
-    return """
+    return f"""
         SELECT 'rows_orders' AS metric, count(*)::DOUBLE AS value FROM orders
         UNION ALL
         SELECT 'null_frac_o_custkey',
@@ -143,7 +154,10 @@ def dq_report_sql() -> str:
         UNION ALL
         SELECT 'dup_key_events',
                (count(*) - (SELECT count(*) FROM (
-                   SELECT DISTINCT epoch_ms(ts), event_type FROM events
+                   SELECT DISTINCT
+                          COALESCE(epoch_ms(ts), {-(2**62)}),
+                          COALESCE(event_type, chr(0) || 'null')
+                   FROM events
                )))::DOUBLE
         FROM events
         UNION ALL

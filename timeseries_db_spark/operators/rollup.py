@@ -462,11 +462,15 @@ def cohort_retention(spark, sf_dir: str, period_ms: int = DAY_MS) -> DataFrame:
     join is user-keyed, and the final matrix aggregate is bounded by
     cohorts × offsets regardless of row count. No window functions, no
     per-user fan-out."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("user_id", ts_to_millis(ev, "ts").alias("tms"))
-    per = (F.col("tms") / F.lit(period_ms)).cast("long")
+    # duck_div, not cast(col/d as long): double division loses ulps for
+    # |tms| >= 2^53 and diverges from the twin's integer //
+    per = duck_div(F.col("tms"), period_ms)
     first = ev.groupBy("user_id").agg(
-        (F.min("tms") / F.lit(period_ms)).cast("long").alias("cohort")
+        duck_div(F.min("tms"), period_ms).alias("cohort")
     )
     active = ev.select("user_id", per.alias("period")).distinct()
     cells = (

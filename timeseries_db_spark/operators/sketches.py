@@ -174,6 +174,8 @@ def hll_overlap(
     register tables, never a re-scan of either corpus side: at 100 TB
     the registers are (splits × 256) rows maintained incrementally,
     and every set algebra question is a fold over them."""
+    if not pairs:
+        raise ValueError("hll_overlap needs at least one key pair")
     for a, b in pairs:
         if "|" in a or "|" in b:
             raise ValueError(

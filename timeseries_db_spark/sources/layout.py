@@ -76,6 +76,11 @@ def zorder_key(df: DataFrame, dim_a: str, dim_b: str) -> DataFrame:
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        raise ValueError(
+            "zorder_key: cannot derive clustering bounds — the input is "
+            f"empty or {dim_a}/{dim_b} is all-NULL"
+        )
     na = _normalize_expr(dim_a, int(lo_a), int(hi_a))
     nb = _normalize_expr(dim_b, int(lo_b), int(hi_b))
     return df.withColumn("_z", F.expr(_morton_expr(na, nb)))

@@ -86,20 +86,23 @@ def start_asof_enrich(
     changing dimension wants).
 
     ``reference`` is a :class:`~timeseries_db_spark.operators.dml.TsTable`
-    (or any object with ``read() -> DataFrame``). Output appends to
-    ``out_dir`` as ``batch=<id>`` partition overwrites — idempotent on
-    replay like the corpus ingest."""
+    (or any object with ``read() -> DataFrame``); its ``value`` column
+    is renamed ``ref_value`` (the default payload) — a custom
+    ``payload`` list must name columns the reference read actually
+    carries. Output appends to ``out_dir`` as ``batch=<id>`` partition
+    overwrites — idempotent on replay like the corpus ingest."""
     import os
 
     from timeseries_db_spark.operators.asof import asof_join
 
-    payload = payload or ["ref_value"]
+    if payload is None:
+        payload = ["ref_value"]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.limit(1).count() == 0:
             return
         enriched = asof_join(
-            batch.select("timestamp", "tag", "value"),
+            batch.select("timestamp", on, "value"),
             reference.read().withColumnRenamed("value", "ref_value"),
             on=on,
             payload=payload,
