@@ -967,3 +967,64 @@ def test_containment_is_asymmetric(spark):
     assert not any(3 in k for k in out)
     # and the symmetric Jaccard would have missed the pair entirely
     assert not dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+
+
+def test_scrub_hypothesis_cross_engine(spark):
+    """Random tiny corpora over a small vocabulary (so duplicated spans
+    actually occur): the Spark scrub and the DuckDB twin agree EXACTLY
+    on (n_tokens, n_removed, clean_text) for every doc, and the global
+    invariants hold — clean docs keep token order, removed counts never
+    exceed totals."""
+    import duckdb
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["a", "b", "c", "d", "e"]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (
+            dedup.scrub_duplicated_spans(docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        exp = (
+            con.sql(dedup.scrub_duplicated_spans_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+        assert got["n_removed"].tolist() == exp["n_removed"].tolist()
+        assert got["clean_text"].fillna("␀").tolist() == exp[
+            "clean_text"
+        ].fillna("␀").tolist()
+        assert (got["n_removed"] <= got["n_tokens"]).all()
+        # surviving tokens are a subsequence of the original
+        for (_, t), (_, row) in zip(rows, got.iterrows()):
+            orig = t.split() if t.strip() else ([""] if t == "" else [])
+            clean = row["clean_text"].split() if row["clean_text"] else []
+            it = iter(orig)
+            assert all(tok in it for tok in clean), (t, row["clean_text"])
+
+    run()
