@@ -536,3 +536,41 @@ def test_hll_overlap_set_algebra(spark):
     # stacks three estimates' errors)
     assert abs(union_ad - 1.5 * n) / (1.5 * n) < 0.20
     assert abs(inter_ad - 0.5 * n) / (0.5 * n) < 0.60
+
+
+def test_hll_union_equals_direct_estimate_hypothesis(spark):
+    """Register-max union is EXACT: for random value sets A and B, the
+    pair's union estimate equals hll_ndv run directly on A ∪ B — not
+    approximately, identically (same registers → same estimate)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        a=st.sets(st.integers(min_value=0, max_value=5000), min_size=1, max_size=400),
+        b=st.sets(st.integers(min_value=0, max_value=5000), min_size=1, max_size=400),
+    )
+    def run(a, b):
+        rows = [("a", f"v{x}") for x in a] + [("b", f"v{x}") for x in b]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "val"]))
+        regs = sketches.hll_registers(df, "key", F.col("val"))
+        union_est = {
+            r["key"]: r["union_est"]
+            for r in sketches.hll_overlap(regs, [("a", "b")]).collect()
+        }["a|b"]
+        direct = spark.createDataFrame(
+            pd.DataFrame(
+                [("u", f"v{x}") for x in (a | b)], columns=["key", "val"]
+            )
+        )
+        direct_est = sketches.hll_ndv(direct, "key", F.col("val")).collect()[0][
+            "ndv_est"
+        ]
+        assert union_est == direct_est, (union_est, direct_est)
+
+    run()
