@@ -478,3 +478,48 @@ def test_corpus_ingest_sig_compaction(spark, tmp_path):
     ci.process_corpus_batch(mk([(6, Y)]), 4, out)
     pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
     assert pub == {0, 1, 2, 5}
+
+
+def test_streaming_asof_enrich_custom_key(spark, tmp_path):
+    """The `on` parameter is honored end-to-end: enrichment keyed on a
+    non-default column (user_id) against a reference object exposing
+    that key."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.streaming.joins import start_asof_enrich
+
+    class Ref:
+        def read(self):
+            return spark.createDataFrame(
+                [(0, 7, 1.5), (0, 8, 2.5)],
+                "timestamp long, user_id long, value double",
+            )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf = pd.DataFrame(
+        [(1_000, 7, 0.0), (2_000, 8, 0.0)],
+        columns=["timestamp", "user_id", "value"],
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(in_dir / "b0.parquet"))
+    stream = (
+        spark.readStream.schema("timestamp long, user_id long, value double")
+        .parquet(str(in_dir))
+    )
+    q = start_asof_enrich(
+        stream, Ref(), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        on="user_id",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["timestamp"], r["user_id"]): r["ref_value"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {(1_000, 7): 1.5, (2_000, 8): 2.5}
