@@ -523,3 +523,35 @@ def test_streaming_asof_enrich_custom_key(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {(1_000, 7): 1.5, (2_000, 8): 2.5}
+
+
+def test_corpus_ingest_published_compaction(spark, tmp_path):
+    """Compacting the published docs partitions preserves the corpus
+    readers see, byte for byte, and later ingests still append."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = str(tmp_path / "out")
+    ci.process_corpus_batch(mk([(0, "alpha beta gamma delta epsilon")]), 0, out)
+    ci.process_corpus_batch(mk([(1, "one two three four five")]), 1, out)
+    ci.process_corpus_batch(mk([(2, "red orange yellow green blue")]), 2, out)
+    before = sorted(
+        map(tuple, ci.read_published(spark, out).drop("batch").collect())
+    )
+    removed = ci.compact_published(spark, out)
+    assert removed == 1
+    dirs = {os.path.basename(p) for p in glob.glob(out + "/docs/batch=*")}
+    assert dirs == {"batch=0", "batch=2"}
+    after = sorted(
+        map(tuple, ci.read_published(spark, out).drop("batch").collect())
+    )
+    assert after == before
+    ci.process_corpus_batch(mk([(3, "totally novel words here now")]), 3, out)
+    assert ci.read_published(spark, out).count() == 4

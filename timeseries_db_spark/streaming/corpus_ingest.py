@@ -297,3 +297,39 @@ def compact_seen_sigs(spark, out_dir: str) -> int:
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
         removed += 1
     return removed
+
+
+def compact_published(spark, out_dir: str) -> int:
+    """Offline maintenance for the published DOCS partitions — same
+    contract as :func:`compact_seen_sigs`: merge every ``docs/batch=N``
+    dir except the most recent (the only replayable one) into the
+    oldest batch's dir. Published docs are a plain union for readers
+    (``read_published``), and batch ids are not part of the dedup
+    decision on this side at all, so the merged layout is
+    observationally identical; the same write-merged-first ordering
+    makes a crash mid-compact leave duplicates that a rerun clears —
+    EXCEPT that duplicated published docs ARE visible to readers, so
+    unlike the sig table, rerun the compaction (or dedupe on doc_id)
+    before consuming after a crash. Returns partitions removed."""
+    import shutil
+
+    docs_dir = os.path.join(out_dir, "docs")
+    try:
+        df = spark.read.parquet(docs_dir)
+    except Exception:
+        return 0
+    if "batch" not in df.columns:
+        return 0
+    batches = sorted(r["batch"] for r in df.select("batch").distinct().collect())
+    if len(batches) <= 2:
+        return 0
+    last = batches[-1]
+    merged = df.filter(F.col("batch") < last).drop("batch").localCheckpoint()
+    merged.write.mode("overwrite").parquet(
+        os.path.join(docs_dir, f"batch={batches[0]}")
+    )
+    removed = 0
+    for b in batches[1:-1]:
+        shutil.rmtree(os.path.join(docs_dir, f"batch={b}"), ignore_errors=True)
+        removed += 1
+    return removed
