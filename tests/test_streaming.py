@@ -555,3 +555,35 @@ def test_corpus_ingest_published_compaction(spark, tmp_path):
     assert after == before
     ci.process_corpus_batch(mk([(3, "totally novel words here now")]), 3, out)
     assert ci.read_published(spark, out).count() == 4
+
+
+def test_corpus_ingest_batch_boundary_invariance(spark, tmp_path):
+    """The module's central claim, pinned directly: chopping the same
+    doc stream into one batch vs three yields the IDENTICAL published
+    set (the dominated-by-earlier rule is a pure function of doc order
+    and pairwise signatures)."""
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),      # dup of 0
+        (2, "one two three four five"),
+        (3, "one two three four five six"),          # near 2
+        (4, "red orange yellow green blue"),
+        (5, "alpha beta gamma delta epsilon"),       # dup of 0 again
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        pd.DataFrame(rs, columns=["doc_id", "text"])
+    )
+    one = str(tmp_path / "one")
+    ci.process_corpus_batch(mk(rows), 0, one)
+    three = str(tmp_path / "three")
+    ci.process_corpus_batch(mk(rows[:2]), 0, three)
+    ci.process_corpus_batch(mk(rows[2:4]), 1, three)
+    ci.process_corpus_batch(mk(rows[4:]), 2, three)
+    a = {r["doc_id"] for r in ci.read_published(spark, one).collect()}
+    b = {r["doc_id"] for r in ci.read_published(spark, three).collect()}
+    assert a == b
+    assert 0 in a and 1 not in a and 5 not in a  # dups suppressed
