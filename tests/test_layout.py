@@ -186,3 +186,36 @@ def test_zorder_normalize_huge_domain(spark):
     assert all(0 <= n < (1 << ZBITS) for n in out), out
     assert out == sorted(out), out  # monotone
     assert out[0] < out[-1]         # actually spreads
+
+
+def test_zorder_on_real_events_fixture(spark, sf_dir, tmp_path):
+    """Z-order the real events table on (user_id, epoch-ms): lossless
+    roundtrip, and row-group user_id spans shrink well below the global
+    domain (the 2-D clustering materializes on real data, not just the
+    synthetic grid)."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.sources.layout import write_zorder
+    from timeseries_db_spark.sources.tables import load_table, ts_to_millis
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "user_id", ts_to_millis(ev, "ts").alias("tms"), "value"
+    )
+    path = str(tmp_path / "zev")
+    write_zorder(df, path, "user_id", "tms", num_files=4,
+                 block_size_bytes=96 * 1024)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    a = df.agg(F.sum("value"), F.min("tms"), F.max("tms")).first()
+    b = back.agg(F.sum("value"), F.min("tms"), F.max("tms")).first()
+    assert abs(a[0] - b[0]) < 1e-6 and a[1] == b[1] and a[2] == b[2]
+    groups = _rg_stats(path, {"user_id", "tms"})
+    if len(groups) >= 4:  # enough row groups for spans to mean anything
+        lo = min(g["user_id"][0] for g in groups)
+        hi = max(g["user_id"][1] for g in groups)
+        spans = sorted(
+            (g["user_id"][1] - g["user_id"][0]) / max(hi - lo, 1)
+            for g in groups
+        )
+        assert spans[len(spans) // 2] < 0.75, spans
