@@ -436,10 +436,10 @@ def test_streaming_asof_enrich_matches_batch_and_sees_updates(spark, tmp_path):
 
 def test_corpus_ingest_sig_compaction(spark, tmp_path):
     """Compacting the signature partitions (all but the newest merged
-    into the oldest) preserves the dedup decisions of later batches,
-    and because the consumer is duplicate-tolerant, a crash that leaves
-    BOTH merged and original partitions still yields identical
-    results."""
+    into one fresh negative-id partition) preserves the dedup decisions
+    of later batches, and because the consumer is duplicate-tolerant, a
+    crash that leaves BOTH merged and original partitions still yields
+    identical results."""
     import glob
     import os
 
@@ -459,9 +459,9 @@ def test_corpus_ingest_sig_compaction(spark, tmp_path):
     ci.process_corpus_batch(mk([(2, Z)]), 2, out)
 
     removed = ci.compact_seen_sigs(spark, out)
-    assert removed == 1  # batch=1 absorbed into batch=0; batch=2 kept
+    assert removed == 1  # batches 0+1 merged into batch=-1; batch=2 kept
     dirs = {os.path.basename(p) for p in glob.glob(out + "/sigs/batch=*")}
-    assert dirs == {"batch=0", "batch=2"}
+    assert dirs == {"batch=-1", "batch=2"}
 
     # later batch still dedups against COMPACTED history (X and Y live
     # in the merged partition)
@@ -472,12 +472,78 @@ def test_corpus_ingest_sig_compaction(spark, tmp_path):
     # duplicate tolerance: resurrect an absorbed partition (crash sim:
     # merged rows now exist TWICE) and ingest another near-dup — the
     # decision is unchanged
-    spark.read.parquet(out + "/sigs/batch=0").filter(
+    spark.read.parquet(out + "/sigs/batch=-1").filter(
         "doc_id = 1"
     ).write.mode("overwrite").parquet(out + "/sigs/batch=1")
     ci.process_corpus_batch(mk([(6, Y)]), 4, out)
     pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
     assert pub == {0, 1, 2, 5}
+
+
+def test_corpus_ingest_compaction_crash_never_loses_history(spark, tmp_path):
+    """ADVICE r8: no crash point in the compaction may lose absorbed
+    history. Both windows, simulated directly:
+
+    * crash DURING the staged merge write → every source partition is
+      intact and the half-written ``.compact_tmp`` is invisible to
+      readers; a rerun replaces it and completes;
+    * crash AFTER the atomic rename but BEFORE the source deletions →
+      duplicate rows only; a rerun absorbs and ``dropDuplicates`` them.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = str(tmp_path / "out")
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "one two three four five",
+        "red orange yellow green blue",
+        "north south east west center",
+    ]
+    for i, t in enumerate(texts):
+        ci.process_corpus_batch(mk([(i, t)]), i, out)
+    baseline = sorted(
+        map(tuple, ci.read_published(spark, out).drop("batch").collect())
+    )
+
+    # window 1: half-written stage (any junk file) — readers unaffected,
+    # rerun completes
+    stage = os.path.join(out, "docs", ci._COMPACT_TMP)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert (
+        sorted(map(tuple, ci.read_published(spark, out).drop("batch").collect()))
+        == baseline
+    )
+    assert ci.compact_published(spark, out) == 2
+    assert not os.path.exists(stage)
+    assert (
+        sorted(map(tuple, ci.read_published(spark, out).drop("batch").collect()))
+        == baseline
+    )
+
+    # window 2: merged partition renamed into place, sources not yet
+    # deleted (resurrect one source = its rows now exist twice) — a
+    # rerun clears the duplicates without losing a row
+    merged_dir = glob.glob(out + "/docs/batch=-*")[0]
+    spark.read.parquet(merged_dir).filter("doc_id = 0").write.parquet(
+        out + "/docs/batch=0"
+    )
+    assert ci.compact_published(spark, out) == 1
+    assert (
+        sorted(map(tuple, ci.read_published(spark, out).drop("batch").collect()))
+        == baseline
+    )
+    shutil.rmtree(out)
 
 
 def test_streaming_asof_enrich_custom_key(spark, tmp_path):
@@ -548,7 +614,7 @@ def test_corpus_ingest_published_compaction(spark, tmp_path):
     removed = ci.compact_published(spark, out)
     assert removed == 1
     dirs = {os.path.basename(p) for p in glob.glob(out + "/docs/batch=*")}
-    assert dirs == {"batch=0", "batch=2"}
+    assert dirs == {"batch=-1", "batch=2"}
     after = sorted(
         map(tuple, ci.read_published(spark, out).drop("batch").collect())
     )

@@ -252,70 +252,33 @@ def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
     """
 
 
-def compact_seen_sigs(spark, out_dir: str) -> int:
-    """Offline maintenance for a STOPPED ingest: merge every signature
-    partition except the most recent into the oldest batch's partition,
-    so a long-lived stream's thousands of tiny ``batch=N`` dirs become
-    two. The most recent batch is left untouched because it is the only
-    one a checkpoint restart can replay (a replay overwrites its own
-    partition; compacting it away would race that overwrite).
+#: Staging dir for an in-flight compaction merge. The leading dot keeps
+#: Spark's file listing from ever seeing a half-written merge.
+_COMPACT_TMP = ".compact_tmp"
 
-    Crash-safety comes from the CONSUMER, not the writer: the dedup
-    decision is a pure existence test over the seen set, so duplicate
-    signature rows are semantically idempotent (duplicate candidates
-    collapse in the pair distinct). The merged partition is therefore
-    written FIRST (overwrite of the oldest batch dir) and the absorbed
-    partitions deleted after — a crash between the two steps leaves
-    duplicates, which change nothing, and rerunning completes the
-    cleanup. Returns the number of partitions removed."""
+
+def _compact_batches(spark, data_dir: str) -> int:
+    """Merge every ``batch=N`` partition under ``data_dir`` except the
+    most recent into ONE fresh partition, never touching a source dir
+    until the merge is fully on disk:
+
+    1. write the merged rows (``dropDuplicates``-ed, so a rerun after a
+       crash clears any duplicate copies a previous attempt left) to a
+       hidden ``.compact_tmp`` staging dir — a crash here leaves every
+       source intact and the stage invisible to readers;
+    2. ``os.rename`` the stage to ``batch=<fresh>`` — atomic on a posix
+       filesystem, and ``fresh`` is a NEGATIVE id (below every streaming
+       batch id, so it always passes the ``batch < current`` seen-read
+       filter and never collides with a replay);
+    3. only then delete the absorbed source partitions — a crash between
+       2 and 3 leaves duplicate rows (never lost rows), and rerunning
+       the compaction absorbs-and-dedupes them.
+
+    Returns the NET number of partitions eliminated."""
     import shutil
 
-    sig_dir = os.path.join(out_dir, "sigs")
     try:
-        df = spark.read.parquet(sig_dir)
-    except Exception:
-        return 0
-    if "batch" not in df.columns:
-        return 0
-    batches = sorted(
-        r["batch"] for r in df.select("batch").distinct().collect()
-    )
-    if len(batches) <= 2:
-        return 0
-    last = batches[-1]
-    merged = df.filter(F.col("batch") < last).drop("batch")
-    # step 1: merged rows into the oldest partition (overwrite).
-    # Read materializes BEFORE the overwrite below via the localCheckpoint:
-    # overwriting an input dir of a lazy plan would corrupt the read.
-    merged = merged.localCheckpoint()
-    merged.write.mode("overwrite").parquet(
-        os.path.join(sig_dir, f"batch={batches[0]}")
-    )
-    # step 2: drop the absorbed partitions
-    removed = 0
-    for b in batches[1:-1]:
-        shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-        removed += 1
-    return removed
-
-
-def compact_published(spark, out_dir: str) -> int:
-    """Offline maintenance for the published DOCS partitions — same
-    contract as :func:`compact_seen_sigs`: merge every ``docs/batch=N``
-    dir except the most recent (the only replayable one) into the
-    oldest batch's dir. Published docs are a plain union for readers
-    (``read_published``), and batch ids are not part of the dedup
-    decision on this side at all, so the merged layout is
-    observationally identical; the same write-merged-first ordering
-    makes a crash mid-compact leave duplicates that a rerun clears —
-    EXCEPT that duplicated published docs ARE visible to readers, so
-    unlike the sig table, rerun the compaction (or dedupe on doc_id)
-    before consuming after a crash. Returns partitions removed."""
-    import shutil
-
-    docs_dir = os.path.join(out_dir, "docs")
-    try:
-        df = spark.read.parquet(docs_dir)
+        df = spark.read.parquet(data_dir)
     except Exception:
         return 0
     if "batch" not in df.columns:
@@ -324,12 +287,50 @@ def compact_published(spark, out_dir: str) -> int:
     if len(batches) <= 2:
         return 0
     last = batches[-1]
-    merged = df.filter(F.col("batch") < last).drop("batch").localCheckpoint()
-    merged.write.mode("overwrite").parquet(
-        os.path.join(docs_dir, f"batch={batches[0]}")
+    fresh = min(0, batches[0]) - 1
+    tmp = os.path.join(data_dir, _COMPACT_TMP)
+    shutil.rmtree(tmp, ignore_errors=True)  # stale stage from a crashed run
+    (
+        df.filter(F.col("batch") < last)
+        .drop("batch")
+        .dropDuplicates()
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
-    removed = 0
-    for b in batches[1:-1]:
-        shutil.rmtree(os.path.join(docs_dir, f"batch={b}"), ignore_errors=True)
-        removed += 1
-    return removed
+    os.rename(tmp, os.path.join(data_dir, f"batch={fresh}"))
+    for b in batches[:-1]:
+        shutil.rmtree(os.path.join(data_dir, f"batch={b}"), ignore_errors=True)
+    return len(batches) - 2
+
+
+def compact_seen_sigs(spark, out_dir: str) -> int:
+    """Offline maintenance for a STOPPED ingest: merge every signature
+    partition except the most recent into one fresh partition, so a
+    long-lived stream's thousands of tiny ``batch=N`` dirs become two.
+    The most recent batch is left untouched because it is the only one
+    a checkpoint restart can replay (a replay overwrites its own
+    partition; compacting it away would race that overwrite).
+
+    Crash-safety is the writer's job (:func:`_compact_batches`): the
+    merge lands in a hidden staging dir and is atomically renamed into
+    place BEFORE any source partition is deleted, so no crash point can
+    lose absorbed history (ADVICE r8: the previous in-place overwrite of
+    the oldest partition destroyed all absorbed signatures if the write
+    crashed midway — silently un-suppressing future near-duplicates).
+    The worst post-crash state is duplicate signature rows, which the
+    dedup decision — a pure existence test — ignores, and which the
+    rerun's ``dropDuplicates`` clears. Returns net partitions removed."""
+    return _compact_batches(spark, os.path.join(out_dir, "sigs"))
+
+
+def compact_published(spark, out_dir: str) -> int:
+    """Offline maintenance for the published DOCS partitions — same
+    contract and the same staged-write + atomic-rename ordering as
+    :func:`compact_seen_sigs`. Published docs are a plain union for
+    readers (``read_published``), and batch ids are not part of the
+    dedup decision on this side at all, so the merged layout is
+    observationally identical. A crash between the rename and the source
+    deletions leaves duplicate published rows visible to readers (never
+    lost rows); rerun the compaction to clear them before consuming.
+    Returns net partitions removed."""
+    return _compact_batches(spark, os.path.join(out_dir, "docs"))
