@@ -546,6 +546,46 @@ def test_corpus_ingest_compaction_crash_never_loses_history(spark, tmp_path):
     shutil.rmtree(out)
 
 
+def test_streaming_asof_enrich_replay_pins_reference_version(spark, tmp_path):
+    """ADVICE r8: a batch replayed after a crash must rewrite
+    VALUE-IDENTICAL rows even if the reference table moved between the
+    original attempt and the replay — the joined reference version is
+    pinned per batch id in the ``_refver`` sidecar, written before the
+    data write."""
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.streaming.joins import process_asof_batch
+
+    ref = TsTable.create(
+        spark,
+        str(tmp_path / "ref"),
+        spark.createDataFrame(
+            [(0, "a", 10.0)], "timestamp long, tag string, value double"
+        ),
+    )
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(5_000, "a", 1.0)], "timestamp long, tag string, value double"
+    )
+    process_asof_batch(batch, 0, ref, out)
+    first = spark.read.parquet(out + "/batch=0").collect()
+    assert first[0]["ref_value"] == 10.0
+
+    # the reference moves, then batch 0 is REPLAYED (crash recovery):
+    # the rewrite must join the pinned version, not the current one
+    ref.update(
+        spark.createDataFrame(
+            [(0, "a", 99.0)], "timestamp long, tag string, value double"
+        )
+    )
+    process_asof_batch(batch, 0, ref, out)
+    replay = spark.read.parquet(out + "/batch=0").collect()
+    assert replay[0]["ref_value"] == 10.0  # pinned, not 99.0
+
+    # a genuinely NEW batch resolves (and pins) the current version
+    process_asof_batch(batch, 1, ref, out)
+    assert spark.read.parquet(out + "/batch=1").collect()[0]["ref_value"] == 99.0
+
+
 def test_streaming_asof_enrich_custom_key(spark, tmp_path):
     """The `on` parameter is honored end-to-end: enrichment keyed on a
     non-default column (user_id) against a reference object exposing

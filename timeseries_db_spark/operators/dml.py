@@ -587,10 +587,15 @@ class TsTable:
                 .filter(F.col("timestamp") >= before_ms)
                 .select("timestamp", "tag", "value")
             )
-            if keep.limit(1).count() > 0:
-                _, new_parts = self._write_commit(keep)
-                for dt, dirs in new_parts.items():
-                    merged[dt] = dirs
+            # ONE evaluation of the boundary partition (ADVICE r8: a
+            # limit(1).count() emptiness probe before the write read the
+            # same day twice): write first, and let the returned
+            # partition map decide — a fully-expired boundary day yields
+            # an empty map (plus one unreferenced commit dir, which
+            # vacuum() reclaims with the other dropped files)
+            _, new_parts = self._write_commit(keep)
+            for dt, dirs in new_parts.items():
+                merged[dt] = dirs
         self._publish(merged, base)
         self._maybe_auto_compact()
 

@@ -948,14 +948,22 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — nonnegative even for
     terms in over half the corpus.
 
-    Pass ``counts`` (a materialized :func:`token_counts`) to derive the
-    corpus statistics from it instead of a second tokenize scan:
-    ``avg_len = sum(freq) / n_docs`` — the total is an exact integer on
-    both engines (< 2^53), so the division is bit-identical to summing
-    per-doc lengths in any order, and ``n_docs`` comes from a
+    Pass ``counts`` (a materialized :func:`token_counts` **of this same
+    ``docs`` frame** — ADVICE r8: a counts built from a different corpus
+    silently skews ``avg_len`` and with it every score; the schema is
+    asserted below, but the same-frame contract is the caller's) to
+    derive the corpus statistics from it instead of a second tokenize
+    scan: ``avg_len = sum(freq) / n_docs`` — the total is an exact
+    integer on both engines (< 2^53), so the division is bit-identical
+    to summing per-doc lengths in any order, and ``n_docs`` comes from a
     column-pruned count-only scan (late r8: this plus caching the
     k-row top — which the rank join references twice — removed two of
     the leg's three corpus tokenize passes)."""
+    if counts is not None and not {"token", "freq"} <= set(counts.columns):
+        raise ValueError(
+            "counts must be a token_counts frame (token, freq) built "
+            f"from the same docs frame; got columns {counts.columns}"
+        )
     toks = docs.select(
         "doc_id", F.expr(TOKENS_SPARK).alias("toks")
     ).select(

@@ -63,6 +63,69 @@ def enrich_with_alerts(
     )
 
 
+def _pinned_reference_read(reference, out_dir: str, batch_id: int) -> DataFrame:
+    """Resolve the reference snapshot for one batch, PINNED across
+    replays (ADVICE r8: a batch replayed after a crash used to join
+    against the reference's CURRENT snapshot, so if the reference moved
+    between the original attempt and the replay, the rewritten
+    ``batch=<id>`` partition differed from what downstream readers may
+    already have consumed). For a versioned reference (``version()`` +
+    ``read(version=...)`` — the TsTable contract) the version is
+    resolved once per batch id and recorded in a ``_refver/`` sidecar
+    BEFORE any data write (atomic tmp+rename), so every replay reads the
+    version the first attempt saw; references without versions fall back
+    to ``read()`` with the weaker overwrite-consistent contract."""
+    import os
+
+    if not (hasattr(reference, "version") and callable(getattr(reference, "version"))):
+        return reference.read()
+    vdir = os.path.join(out_dir, "_refver")  # _-prefix: invisible to readers
+    os.makedirs(vdir, exist_ok=True)
+    vfile = os.path.join(vdir, f"batch-{batch_id}")
+    if os.path.exists(vfile):
+        with open(vfile) as f:
+            version = int(f.read())
+    else:
+        version = reference.version()
+        tmp = vfile + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, vfile)
+    return reference.read(version=version)
+
+
+def process_asof_batch(
+    batch: DataFrame,
+    batch_id: int,
+    reference,
+    out_dir: str,
+    *,
+    on: str = "tag",
+    payload: list[str] | None = None,
+) -> None:
+    """One micro-batch of the as-of enrichment — module-level so tests
+    can drive and replay it directly (the corpus-ingest pattern)."""
+    import os
+
+    from timeseries_db_spark.operators.asof import asof_join
+
+    if payload is None:
+        payload = ["ref_value"]
+    if batch.limit(1).count() == 0:
+        return
+    enriched = asof_join(
+        batch.select("timestamp", on, "value"),
+        _pinned_reference_read(reference, out_dir, batch_id).withColumnRenamed(
+            "value", "ref_value"
+        ),
+        on=on,
+        payload=payload,
+    )
+    enriched.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+
+
 def start_asof_enrich(
     stream: DataFrame,
     reference: "object",
@@ -79,36 +142,24 @@ def start_asof_enrich(
     post-join aggregation in streaming mode) falls out naturally in
     ``foreachBatch``: the batch side is plain batch, so the tested
     batch :func:`~timeseries_db_spark.operators.asof.asof_join` runs
-    verbatim against a FRESH snapshot of the reference table each
-    batch (reads resolve the manifest pointer once per batch →
-    per-batch snapshot isolation; a reference update between batches
-    is picked up by the next batch, exactly the semantics a slowly
-    changing dimension wants).
+    verbatim against a per-batch snapshot of the reference table (a
+    reference update between batches is picked up by the next batch,
+    exactly the semantics a slowly changing dimension wants).
 
     ``reference`` is a :class:`~timeseries_db_spark.operators.dml.TsTable`
     (or any object with ``read() -> DataFrame``); its ``value`` column
     is renamed ``ref_value`` (the default payload) — a custom
     ``payload`` list must name columns the reference read actually
     carries. Output appends to ``out_dir`` as ``batch=<id>`` partition
-    overwrites — idempotent on replay like the corpus ingest."""
-    import os
-
-    from timeseries_db_spark.operators.asof import asof_join
-
-    if payload is None:
-        payload = ["ref_value"]
+    overwrites — idempotent on replay INCLUDING the reference side: for
+    versioned references the snapshot each batch joined is pinned in a
+    ``_refver/`` sidecar before the data write, so a replay after a
+    crash rewrites value-identical rows even if the reference moved in
+    between (see :func:`_pinned_reference_read`)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.limit(1).count() == 0:
-            return
-        enriched = asof_join(
-            batch.select("timestamp", on, "value"),
-            reference.read().withColumnRenamed("value", "ref_value"),
-            on=on,
-            payload=payload,
-        )
-        enriched.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        process_asof_batch(
+            batch, batch_id, reference, out_dir, on=on, payload=payload
         )
 
     return (
