@@ -266,6 +266,74 @@ def _ing_pdf(lo: int, hi: int, poison: bool = False) -> pd.DataFrame:
     )
 
 
+# --- r9 sasof leg (VERDICT r8 item 1): the streaming AS-OF enrichment
+# (streaming/joins.py) was the largest pytest-only operator. Events
+# arrive in two micro-batches and each batch as-of joins a STATIC
+# reference TsTable holding per-tag rates only at every-3rd hour, so the
+# join must look BACK past 0-2 hourly buckets — the oracle states the
+# enriched value closed-form. (Reference updates mid-stream and replay
+# pinning stay pytest territory: test_streaming.py.)
+SASOF_N = 400
+SASOF_STEP_MS = 200_000  # 400 events span ~22.2h of the 24h rate table
+SASOF_HOUR_MS = 3_600_000
+
+
+def _sasof_leg(spark: SparkSession, base: str) -> DataFrame:
+    """Run the 2-batch streaming as-of enrich; returns rows coerced to
+    the entry schema as (event ts, 'sasof', ref_value)."""
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.streaming.joins import start_asof_enrich
+
+    # rate(h, t) = 1 + 10h + t at hours h ∈ {0, 3, ..., 24} per tag
+    ref_rows = pd.DataFrame(
+        [
+            (ING_BASE + h * SASOF_HOUR_MS, SESS_TAGS[t], float(1 + 10 * h + t))
+            for h in range(0, 25, 3)
+            for t in range(4)
+        ],
+        columns=["timestamp", "tag", "value"],
+    )
+    ref = TsTable.create(
+        spark, os.path.join(base, "sasof_ref"), spark.createDataFrame(ref_rows)
+    )
+    i = pd.Series(range(SASOF_N), dtype="int64")
+    ev = pd.DataFrame(
+        {
+            "timestamp": ING_BASE + i * SASOF_STEP_MS,
+            "tag": [SESS_TAGS[k % 4] for k in range(SASOF_N)],
+            "value": (1 + i % 7).astype("float64"),
+        }
+    )
+    in_dir = os.path.join(base, "sasof_in")
+    os.makedirs(in_dir)
+    half = SASOF_N // 2
+    for name, pdf in (("b0", ev.iloc[:half]), ("b1", ev.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(in_dir, f"{name}.parquet"),
+        )
+        if name == "b0":
+            time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    stream = (
+        spark.readStream.schema("timestamp long, tag string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(base, "sasof_out")
+    query = start_asof_enrich(
+        stream, ref, out_dir, os.path.join(base, "sasof_ckpt")
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.read.parquet(out_dir).select(
+        "timestamp",
+        F.lit("sasof").alias("tag"),
+        F.col("ref_value").alias("value"),
+    )
+
+
 def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-micro-batch ingest run landing in a scratch TsTable; returns
     the final table snapshot. b0 = 1,200 keys + 100 same-value
@@ -315,9 +383,12 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (timestamp, tag, value) schema, and the published docs carry
         # their 53-bit content fingerprint as the value
         corpus = _corpus_ingest_leg(spark, sf_dir, base)
+        # r9 sasof leg: the streaming as-of enrichment, tag 'sasof',
+        # value = the joined reference rate (closed-form oracle)
+        sasof = _sasof_leg(spark, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return table.read().unionByName(corpus)
+    return table.read().unionByName(corpus).unionByName(sasof)
 
 
 def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
@@ -381,6 +452,15 @@ def stream_ingest_dedup_sql() -> str:
         SELECT doc_id AS "timestamp", 'cdoc' AS tag,
                CAST(fp53 AS DOUBLE) AS value
         FROM ({corpus_ingest_kept_sql()})
+        UNION ALL
+        -- sasof: event at hour k joins the rate row at the latest
+        -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,
+        -- tag_idx = i % 4 by construction
+        SELECT {ING_BASE} + i * {SASOF_STEP_MS} AS "timestamp",
+               'sasof' AS tag,
+               CAST(1 + 10 * (3 * (((i * {SASOF_STEP_MS}) // {SASOF_HOUR_MS}) // 3))
+                      + i % 4 AS DOUBLE) AS value
+        FROM range({SASOF_N}) r(i)
     """
 
 
