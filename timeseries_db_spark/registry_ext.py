@@ -46,6 +46,91 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# --- r9 incr leg of window_rollup_1h (VERDICT r8 item 4): incremental
+# materialized-view maintenance (operators/rollup.py:rollup_state /
+# rollup_increment) was pytest-only; the 100 TB deployment lives on it.
+# A scratch TsTable seeded from the dense fixture takes an insert (new
+# window born in the feed), an update, and a full-group delete; the
+# rollup state is advanced PER COMMIT from the version change feeds —
+# never re-aggregated — and the emitted state must hash-equal the
+# oracle's from-scratch aggregation of the closed-form final table. ---
+_INCR_W_MS = 1_000  # dense-ms fixture → 1s buckets = 4 windows x 4 tags
+_INCR_N = 4_000
+_INCR_SEED = 3_000
+
+
+def _incr_rollup_leg(spark: SparkSession) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.sources.fixture import BASE_TS, timeseries_fixture
+
+    fx = timeseries_fixture(spark, _INCR_N)
+    ts = F.col("timestamp")
+    path = os.path.join(tempfile.gettempdir(), f"tsdb_incr_rt_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    table = TsTable.create(spark, path, fx.filter(ts < BASE_TS + _INCR_SEED))
+    versions = [table.version()]
+    table.insert(fx.filter(ts >= BASE_TS + _INCR_SEED))  # births window 3
+    versions.append(table.version())
+    table.update(
+        fx.filter((F.col("tag") == "Munich") & (ts < BASE_TS + 100))
+        .select("timestamp", "tag")
+        .withColumn("value", F.lit(999.0))
+    )
+    versions.append(table.version())
+    table.delete(  # ALL window-0 Athens keys → a fully-emptied group
+        fx.filter((F.col("tag") == "Athens") & (ts < BASE_TS + 1_000)).select(
+            "timestamp", "tag"
+        )
+    )
+    versions.append(table.version())
+    state = rollup.rollup_state(table.read(versions[0]), window_ms=_INCR_W_MS)
+    for va, vb in zip(versions, versions[1:]):
+        state = rollup.rollup_increment(
+            state, table.changes(va, vb), window_ms=_INCR_W_MS
+        )
+    null_d = F.lit(None).cast("double")
+    return state.select(
+        "window_start",
+        "tag",
+        "cnt",
+        "total",
+        null_d.alias("vavg"),
+        null_d.alias("vmin"),
+        null_d.alias("vmax"),
+        F.lit("incr").alias("kind"),
+    )
+
+
+def _incr_rollup_sql() -> str:
+    from timeseries_db_spark.sources.fixture import BASE_TS, timeseries_fixture_sql
+
+    return f"""
+        SELECT ("timestamp" // {_INCR_W_MS}) * {_INCR_W_MS} AS window_start,
+               tag,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               round(sum(value::DECIMAL(38,10)), 4)::DOUBLE AS total,
+               CAST(NULL AS DOUBLE) AS vavg,
+               CAST(NULL AS DOUBLE) AS vmin,
+               CAST(NULL AS DOUBLE) AS vmax,
+               'incr' AS kind
+        FROM (
+            SELECT "timestamp", tag,
+                   CASE WHEN tag = 'Munich' AND "timestamp" < {BASE_TS + 100}
+                        THEN 999.0 ELSE value END AS value
+            FROM ({timeseries_fixture_sql(_INCR_N)})
+            WHERE NOT (tag = 'Athens' AND "timestamp" < {BASE_TS + 1_000})
+        )
+        GROUP BY 1, 2
+    """
+
+
+_INCR_ROLLUP_SQL = _incr_rollup_sql()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -63,7 +148,7 @@ def register_extensions(q: dict, o: dict) -> None:
         slide = rollup.window_rollup_sliding(
             t, "1 hour", "15 minutes"
         ).withColumn("kind", F.lit("slide"))
-        return tumble.unionByName(slide)
+        return tumble.unionByName(slide).unionByName(_incr_rollup_leg(s))
 
     q["window_rollup_1h"] = window_rollup_1h
     o["window_rollup_1h"] = (
@@ -71,7 +156,8 @@ def register_extensions(q: dict, o: dict) -> None:
         + rollup.window_rollup_events_sql("1 hour")
         + ") UNION ALL SELECT *, 'slide' AS kind FROM ("
         + rollup.window_rollup_sliding_events_sql(3_600_000, 900_000)
-        + ")"
+        + ") UNION ALL "
+        + _INCR_ROLLUP_SQL
     )
 
     # late-r8 funnel leg: windowFunnel-style per-user max completed
