@@ -105,6 +105,27 @@ def test_expr_and_udf_appliers_agree(spark, docs):
     assert a == b
 
 
+def test_gate_corpus_trainer_matches_all_three_twins(spark):
+    """The r9 `bpet` gate leg's contract, pinned locally: the Spark
+    trainer over the closed-form training corpus must learn exactly the
+    merge list of bpe.bpe_train_py (the oracle-side twin the gate bakes
+    into its SQL) AND of this test file's own independent _py_train —
+    and the corpus must sustain the full 8 merges so all 8 argmax
+    iterations actually run."""
+    tc = bpe.train_corpus(spark)
+    learned = bpe.bpe_train(tc, num_merges=8)
+    assert len(learned) == 8
+    assert learned == bpe.train_gate_merges(8)
+    wc: Counter = Counter()
+    for text in bpe.train_corpus_py():
+        for w in text.split():
+            wc[w] += 1
+    assert learned == _py_train(dict(wc), 8)
+    # the Spark generator and the Python closed form emit the same docs
+    got = {r["doc_id"]: r["text"] for r in tc.collect()}
+    assert got == dict(enumerate(bpe.train_corpus_py()))
+
+
 def test_greedy_merge_edge_cases(spark):
     """Self-pair overlap ('aaaa' -> [aa, aa], 'aaa' -> [aa, a]) and the
     chained double-space replace must agree with the reference greedy

@@ -252,9 +252,13 @@ def bpe_doc_summary(docs: DataFrame, merges: list[tuple[str, str]] | None = None
     )
 
 
-def bpe_doc_summary_sql(merges: list[tuple[str, str]] | None = None) -> str:
+def bpe_doc_summary_sql(
+    merges: list[tuple[str, str]] | None = None, from_sql: str = "documents"
+) -> str:
     """DuckDB twin of :func:`bpe_doc_summary` — the same chained
-    replaces over the same double-space symbol strings."""
+    replaces over the same double-space symbol strings. ``from_sql``
+    names any relation with (doc_id, text) — the trainer gate leg points
+    it at the closed-form training corpus."""
     if merges is None:
         merges = DEFAULT_MERGES
 
@@ -271,7 +275,7 @@ def bpe_doc_summary_sql(merges: list[tuple[str, str]] | None = None) -> str:
                        list_filter({TOKENS_DUCK}, w -> w <> ''),
                        w -> regexp_split_to_array(trim({col}), '  +')
                    )), []::VARCHAR[]) AS syms
-            FROM documents
+            FROM {from_sql}
         )
         SELECT doc_id,
                len(syms)::BIGINT AS n_tokens,
@@ -281,3 +285,114 @@ def bpe_doc_summary_sql(merges: list[tuple[str, str]] | None = None) -> str:
                    {md5_long_sql('x')} % 1000000)), 0)::BIGINT AS ids_sum
         FROM flat
     """
+
+
+# ---------------------------------------------------------------------------
+# Trainer gate leg (r9): closed-form corpus + pure-Python oracle trainer
+# ---------------------------------------------------------------------------
+
+#: Word pool for the closed-form TRAINING corpus of the ``bpet`` gate
+#: leg. Lowercase-alpha single-space text, so the whitespace tokenizer
+#: is identical in Spark SQL, DuckDB, and Python ``str.split``. The
+#: words share bigrams (th/he/in/er/an/re/on) unevenly, so the argmax
+#: sequence is non-trivial and tie-breaks actually fire.
+TRAIN_POOL: tuple[str, ...] = (
+    "the", "then", "there", "thin", "think", "tone", "stone", "loner",
+    "inner", "loaner", "anther", "rather", "rethink", "intone", "banner",
+    "intern",
+)
+TRAIN_DOCS = 60
+TRAIN_WORDS_PER_DOC = 10
+
+
+def _train_word(i: int, j: int) -> int:
+    """Pool index of word ``j`` of doc ``i`` — the shared closed form."""
+    return (i + j * j) % len(TRAIN_POOL)
+
+
+def train_corpus(spark) -> DataFrame:
+    """(doc_id, text) — the deterministic training corpus, generated
+    distributed (``spark.range``), identically to :func:`train_corpus_sql`
+    and :func:`train_corpus_py`."""
+    pool = F.array(*[F.lit(w) for w in TRAIN_POOL])
+    j = F.sequence(F.lit(0), F.lit(TRAIN_WORDS_PER_DOC - 1))
+    word = lambda jj: F.element_at(
+        pool, ((F.col("id") + jj * jj) % len(TRAIN_POOL) + 1).cast("int")
+    )
+    return spark.range(TRAIN_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform(j, word), " ").alias("text"),
+    )
+
+
+def train_corpus_sql() -> str:
+    pool = "[" + ", ".join(f"'{w}'" for w in TRAIN_POOL) + "]"
+    return f"""
+        SELECT i AS doc_id,
+               (SELECT string_agg({pool}[((i + j * j) % {len(TRAIN_POOL)}) + 1],
+                                  ' ' ORDER BY j)
+                FROM range({TRAIN_WORDS_PER_DOC}) s(j)) AS text
+        FROM range({TRAIN_DOCS}) r(i)
+    """
+
+
+def train_corpus_py() -> list[str]:
+    return [
+        " ".join(
+            TRAIN_POOL[_train_word(i, j)] for j in range(TRAIN_WORDS_PER_DOC)
+        )
+        for i in range(TRAIN_DOCS)
+    ]
+
+
+def bpe_train_py(
+    word_counts: dict[str, int], num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Pure-Python reference trainer — the ORACLE twin of
+    :func:`bpe_train` (same contract: greedy left-to-right single-merge
+    passes, argmax tie-break count DESC then (a, b) ASC). The ``bpet``
+    gate leg derives the expected merge list with THIS implementation
+    (no Spark involved) and bakes its replay into the DuckDB oracle, so
+    a trainer regression flips a driver CORRECTNESS row; an independent
+    third copy in ``tests/test_bpe.py`` guards both."""
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in word_counts.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for k in range(len(syms) - 1):
+                p = (syms[k], syms[k + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = max(counts.values())
+        if best < min_freq:
+            break
+        a, b = min(p for p, c in counts.items() if c == best)
+        merges.append((a, b))
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            k = 0
+            while k < len(syms):
+                if k + 1 < len(syms) and syms[k] == a and syms[k + 1] == b:
+                    out.append(a + b)
+                    k += 2
+                else:
+                    out.append(syms[k])
+                    k += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        words = merged
+    return merges
+
+
+def train_gate_merges(num_merges: int = 8, min_freq: int = 2) -> list[tuple[str, str]]:
+    """The oracle-side merge list for the ``bpet`` leg: pure-Python
+    training over the closed-form corpus."""
+    wc: dict[str, int] = {}
+    for text in train_corpus_py():
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    return bpe_train_py(wc, num_merges, min_freq)

@@ -742,9 +742,13 @@ def register_extensions(q: dict, o: dict) -> None:
     # (the step between text_vocab_topn and corpus_pack). r8 fold: the
     # BPE segmentation summary joins as a `kind` leg — the chained
     # greedy-replace apply (operators/bpe.py) under the fixed
-    # DEFAULT_MERGES tokenizer, same per-doc summary shape; the
-    # distributed TRAINER is pytest-verified against a pure-Python
-    # oracle (iterative argmax is not SQL-expressible)
+    # DEFAULT_MERGES tokenizer, same per-doc summary shape. r9 `bpet`
+    # leg (VERDICT r8 item 5): the distributed TRAINER itself — the
+    # iterative argmax loop is not SQL-expressible, so the Spark side
+    # TRAINS on the closed-form corpus and applies its learned merges,
+    # while the oracle replays the merge list an independent pure-Python
+    # trainer (bpe.train_gate_merges, no Spark) derives from the same
+    # closed form: any trainer divergence flips the hash.
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
 
@@ -754,7 +758,11 @@ def register_extensions(q: dict, o: dict) -> None:
         bpe_leg = bpe.bpe_doc_summary(_docs(s, d)).withColumn(
             "kind", F.lit("bpe")
         )
-        return vocab.unionByName(bpe_leg)
+        tc = bpe.train_corpus(s)
+        trained = bpe.bpe_doc_summary(tc, bpe.bpe_train(tc, num_merges=8))
+        return vocab.unionByName(bpe_leg).unionByName(
+            trained.withColumn("kind", F.lit("bpet"))
+        )
 
     q["corpus_tokenize"] = tokenize_both
     from timeseries_db_spark.operators import bpe as _bpe
@@ -763,6 +771,12 @@ def register_extensions(q: dict, o: dict) -> None:
         f"SELECT *, 'vocab' AS kind FROM ({text.tokenize_with_vocab_sql(100)})"
         " UNION ALL "
         f"SELECT *, 'bpe' AS kind FROM ({_bpe.bpe_doc_summary_sql()})"
+        " UNION ALL "
+        "SELECT *, 'bpet' AS kind FROM ("
+        + _bpe.bpe_doc_summary_sql(
+            _bpe.train_gate_merges(8), from_sql=f"({_bpe.train_corpus_sql()})"
+        )
+        + ")"
     )
 
     # ---- dedup ----
