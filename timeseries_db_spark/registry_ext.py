@@ -514,8 +514,16 @@ def register_extensions(q: dict, o: dict) -> None:
         f"SELECT {_split_sql_fn('doc_id')} AS split, shingle::VARCHAR AS tok"
         " FROM sh"
     )
+    # ONE overlap CTE referenced by both set-op legs (VERDICT r8 item 6:
+    # inlining hll_overlap_sql twice made DuckDB re-run the full shingle
+    # explode + register build per leg — oracle-side cost only, but it
+    # doubled the driver verify time of this entry). MATERIALIZED keeps
+    # the planner from re-inlining the subtree per reference.
     o["agg_ndv_by_tag"] = f"""
-        WITH t AS ({EVENTS_T})
+        WITH t AS ({EVENTS_T}),
+        ov AS MATERIALIZED (
+            {_sketches.hll_overlap_sql(SPLIT_TOKS_SQL, "split", "tok", SPLIT_PAIRS)}
+        )
         SELECT tag AS grp, CAST(count(DISTINCT value) AS DOUBLE) AS result,
                'exact' AS kind
         FROM t GROUP BY tag
@@ -526,11 +534,9 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT key AS grp, ndv_est AS result, 'tok_hll' AS kind
         FROM ({_sketches.hll_ndv_sql(SPLIT_TOKS_SQL, "split", "tok")})
         UNION ALL
-        SELECT key AS grp, union_est AS result, 'hll_union' AS kind
-        FROM ({_sketches.hll_overlap_sql(SPLIT_TOKS_SQL, "split", "tok", SPLIT_PAIRS)})
+        SELECT key AS grp, union_est AS result, 'hll_union' AS kind FROM ov
         UNION ALL
-        SELECT key AS grp, inter_est AS result, 'hll_inter' AS kind
-        FROM ({_sketches.hll_overlap_sql(SPLIT_TOKS_SQL, "split", "tok", SPLIT_PAIRS)})
+        SELECT key AS grp, inter_est AS result, 'hll_inter' AS kind FROM ov
     """
 
     # ---- relational joins over the TPC-H-shaped tables ----
