@@ -474,10 +474,70 @@ def test_corpus_ingest_sig_compaction(spark, tmp_path):
     # decision is unchanged
     spark.read.parquet(out + "/sigs/batch=-1").filter(
         "doc_id = 1"
-    ).write.mode("overwrite").parquet(out + "/sigs/batch=1")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        out + "/sigs/batch=1"
+    )
     ci.process_corpus_batch(mk([(6, Y)]), 4, out)
     pub = {r["doc_id"] for r in ci.read_published(spark, out).collect()}
     assert pub == {0, 1, 2, 5}
+
+
+def test_corpus_ingest_seen_read_partition_prunes_to_buckets(spark, tmp_path):
+    """The band-bucketed seen layout (r9 — previously only a docstring
+    promise): the per-batch seen read must open ONLY the files of the
+    probe batch's own band buckets. Proven on the real read plan via
+    inputFiles — every scanned path carries one of the requested
+    bucket ids, and a strict subset of buckets reads a strict subset of
+    the files."""
+    import pandas as pd
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight",
+        "red orange yellow green blue indigo violet umber",
+        "north south east west up down left right",
+    ]
+    out = str(tmp_path / "out")
+    ci.process_corpus_batch(mk(list(enumerate(texts[:2]))), 0, out)
+    ci.process_corpus_batch(mk([(2, texts[2]), (3, texts[3])]), 1, out)
+    sig_dir = out + "/sigs"
+
+    from pyspark.sql import functions as F
+
+    def files_scanned(df):
+        """Files the EXECUTED plan actually opened (inputFiles() lists
+        the base relation pre-pruning, so it cannot prove pruning)."""
+        return {
+            r["f"]
+            for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+
+    all_read = ci._read_seen_sigs(spark, sig_dir, 2)
+    all_files = files_scanned(all_read)
+    all_buckets = sorted(
+        r["bucket"]
+        for r in spark.read.parquet(sig_dir).select("bucket").distinct().collect()
+    )
+    assert len(all_buckets) >= 2  # fixture spreads over several buckets
+
+    subset = all_buckets[: len(all_buckets) // 2]
+    pruned = ci._read_seen_sigs(spark, sig_dir, 2, buckets=subset)
+    pruned_files = files_scanned(pruned)
+    assert pruned_files and pruned_files < all_files
+    for f in pruned_files:
+        assert any(f"/bucket={b}/" in f for b in subset), f
+    # and the pruned read returns exactly the subset's rows
+    expected = (
+        spark.read.parquet(sig_dir)
+        .filter(f"batch < 2 AND bucket IN ({','.join(map(str, subset))})")
+        .count()
+    )
+    assert pruned.count() == expected
 
 
 def test_corpus_ingest_compaction_crash_never_loses_history(spark, tmp_path):

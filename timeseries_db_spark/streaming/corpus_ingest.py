@@ -37,15 +37,21 @@ rewrites its own partition idempotently; the seen-signature read
 filters ``batch < current`` so a crashed attempt's own partial output
 never dominates its replay.
 
-Scale shape (100 TB): the signature table is one 32-long row per doc —
-the smallest table in the pipeline. Per batch: one shingle+min-monoid
-aggregation over the BATCH (not the corpus), one band-key equi-join of
-the batch's bands against the seen bands (linear in band-bucket
-collisions, never all-pairs; at real scale the seen side would be
-written bucketed by band key so the join prunes to the batch's
-buckets), one signature-compare projection on the candidate pairs, one
-anti-join. State lives in parquet, not executor memory — no unbounded
-streaming state."""
+Scale shape (100 TB): per batch, one shingle+min-monoid aggregation
+over the BATCH (not the corpus), one band-key equi-join of the batch's
+bands against the seen bands (linear in band-bucket collisions, never
+all-pairs), one signature-compare projection on the candidate pairs,
+one anti-join. The seen table is stored BAND-EXPLODED and partitioned
+by ``bucket = pmod(hash(band, bkey), N_SEEN_BUCKETS)`` under each
+``batch=<id>`` dir (r9 — this was previously only a docstring promise):
+each batch collects its own ≤ ``N_SEEN_BUCKETS`` bucket ids (a bounded
+driver list, never data rows) and the seen read prunes to exactly those
+partitions, so a small batch against a years-deep index reads only the
+band buckets it can possibly collide with. Signatures ride INLINE on
+the band rows — 8× the storage of one row per doc, in exchange for the
+verify step being a projection on the band join instead of a second
+join that would shuffle the full signature history every batch. State
+lives in parquet, not executor memory — no unbounded streaming state."""
 
 from __future__ import annotations
 
@@ -54,10 +60,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.functions.hashing import MINHASH_PERMS
+from timeseries_db_spark.functions.hashing import MINHASH_BANDS, MINHASH_PERMS
 from timeseries_db_spark.operators.dedup import (
     SHINGLE_MOD,
-    minhash_band_table,
+    _band_key_spark,
     minhash_signatures,
 )
 
@@ -86,9 +92,50 @@ def read_docs_stream(spark, path: str, max_files_per_trigger: int | None = None)
     return reader.parquet(path)
 
 
-def _read_seen_sigs(spark, sig_dir: str, before_batch: int) -> DataFrame | None:
-    """All signatures published by batches before ``before_batch`` —
-    None when no batch has landed yet (first batch, or replay of it)."""
+#: Band-bucket fan of the seen-signature layout: each batch's sig rows
+#: land in ``bucket = pmod(hash(band, bkey), N_SEEN_BUCKETS)`` partition
+#: dirs, and the per-batch seen read prunes to the batch's own buckets.
+#: 16 keeps gate-scale file counts sane; a real deployment sizes this to
+#: (seen rows / target partition bytes) — the read path is unchanged.
+N_SEEN_BUCKETS = 16
+
+_BAND_COLS = ["doc_id", "band", "bkey", *_SIG_COLS]
+
+
+def _banded_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey, m0..m31, bucket) — the band-exploded
+    signature rows of one batch, in ONE map-only projection (no join
+    back to the sig table: the signatures ride inline, which is what
+    lets the verify step run as a projection on the band join)."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.expr(_band_key_spark(band)).alias("bkey"),
+                )
+                for band in range(MINHASH_BANDS)
+            ]
+        )
+    ).alias("bb")
+    return sigs.select("doc_id", *_SIG_COLS, bands).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+        *_SIG_COLS,
+        F.expr(f"pmod(hash(bb.band, bb.bkey), {N_SEEN_BUCKETS})").alias("bucket"),
+    )
+
+
+def _read_seen_sigs(
+    spark, sig_dir: str, before_batch: int, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Band rows published by batches before ``before_batch`` — None
+    when no batch has landed yet (first batch, or replay of it). With
+    ``buckets``, the scan partition-prunes to those band buckets (the
+    probe batch's own bucket set): ``batch`` and ``bucket`` are both
+    partition columns, so the filters drop whole directories before any
+    file is opened."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -97,7 +144,10 @@ def _read_seen_sigs(spark, sig_dir: str, before_batch: int) -> DataFrame | None:
         return None
     if "batch" not in seen.columns:  # dir exists but holds no partitions
         return None
-    return seen.filter(F.col("batch") < before_batch).select("doc_id", *_SIG_COLS)
+    seen = seen.filter(F.col("batch") < before_batch)
+    if buckets is not None:
+        seen = seen.filter(F.col("bucket").isin(buckets))
+    return seen.select(*_BAND_COLS)
 
 
 def process_corpus_batch(
@@ -123,20 +173,33 @@ def process_corpus_batch(
     # docs with no shingle (NULL text) get no signature row and can
     # neither dominate nor be dominated — they publish unconditionally
     sigs = minhash_signatures(batch).persist()
+    banded = _banded_sigs(sigs).persist()
     try:
-        seen = _read_seen_sigs(spark, sig_dir, batch_id)
-        earlier = sigs if seen is None else seen.unionByName(sigs)
-        be = minhash_band_table(earlier).withColumnRenamed("doc_id", "id_e")
-        bl = minhash_band_table(sigs).withColumnRenamed("doc_id", "id_d")
-        cand = (
-            be.join(bl, on=["band", "bkey"])
-            .filter(F.col("id_e") < F.col("id_d"))
-            .select("id_e", "id_d")
-            .distinct()
+        # the batch's own bucket set: a bounded <= N_SEEN_BUCKETS driver
+        # list (never data rows) that partition-prunes the seen read
+        buckets = sorted(
+            r["bucket"] for r in banded.select("bucket").distinct().collect()
         )
-        sa = earlier.select(
+        seen = _read_seen_sigs(spark, sig_dir, batch_id, buckets)
+        earlier = (
+            banded.select(*_BAND_COLS)
+            if seen is None
+            else seen.unionByName(banded.select(*_BAND_COLS))
+        )
+        # earlier docs (prior batches AND same batch — kept or dropped
+        # alike) carry their signatures inline, so the band equi-join
+        # already has the a-side sigs: no second join over history
+        be = earlier.select(
             F.col("doc_id").alias("id_e"),
+            "band",
+            "bkey",
             *[F.col(m).alias(f"a_{m}") for m in _SIG_COLS],
+        )
+        probe = banded.select(F.col("doc_id").alias("id_d"), "band", "bkey")
+        cand = (
+            be.join(probe, on=["band", "bkey"])
+            .filter(F.col("id_e") < F.col("id_d"))
+            .dropDuplicates(["id_e", "id_d"])  # sig cols equal per id_e
         )
         sb = sigs.select(
             F.col("doc_id").alias("id_d"),
@@ -147,22 +210,25 @@ def process_corpus_batch(
             for m in _SIG_COLS
         )
         dominated = (
-            cand.join(sa, "id_e")
-            .join(sb, "id_d")
+            cand.join(sb, "id_d")
             .filter(n_match / F.lit(float(MINHASH_PERMS)) >= F.lit(t_est))
             .select(F.col("id_d").alias("doc_id"))
             .distinct()
         )
         kept = batch.join(dominated, "doc_id", "left_anti")
-        out_sigs = sigs.join(
+        out_sigs = banded.join(
             dominated.withColumn("dom", F.lit(True)), "doc_id", "left"
         ).select(
             "doc_id",
+            "band",
+            "bkey",
             *_SIG_COLS,
             F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
+            "bucket",
         )
-        # idempotent per-batch partition overwrite (replay-safe)
-        out_sigs.write.mode("overwrite").parquet(
+        # idempotent per-batch partition overwrite (replay-safe), band-
+        # bucketed so future batches prune to their own buckets
+        out_sigs.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(sig_dir, f"batch={batch_id}")
         )
         if _crash_before_docs:
@@ -171,6 +237,7 @@ def process_corpus_batch(
             "overwrite"
         ).parquet(os.path.join(docs_dir, f"batch={batch_id}"))
     finally:
+        banded.unpersist()
         sigs.unpersist()
 
 
@@ -182,8 +249,10 @@ def start_corpus_ingest(
 ):
     """Start the ingest query. Output layout under ``out_dir``:
 
-    * ``sigs/batch=<id>/`` — one row per doc SEEN in the batch
-      (signature + ``kept`` flag): the incremental LSH index.
+    * ``sigs/batch=<id>/bucket=<k>/`` — one row per (doc, band) SEEN in
+      the batch (band key + inline signature + ``kept`` flag), band-
+      bucketed so later batches partition-prune the seen read to their
+      own buckets: the incremental LSH index.
     * ``docs/batch=<id>/`` — the published (kept) docs with their
       53-bit content fingerprint.
     """
@@ -257,7 +326,7 @@ def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
 _COMPACT_TMP = ".compact_tmp"
 
 
-def _compact_batches(spark, data_dir: str) -> int:
+def _compact_batches(spark, data_dir: str, partition_by: list[str] | None = None) -> int:
     """Merge every ``batch=N`` partition under ``data_dir`` except the
     most recent into ONE fresh partition, never touching a source dir
     until the merge is fully on disk:
@@ -290,13 +359,15 @@ def _compact_batches(spark, data_dir: str) -> int:
     fresh = min(0, batches[0]) - 1
     tmp = os.path.join(data_dir, _COMPACT_TMP)
     shutil.rmtree(tmp, ignore_errors=True)  # stale stage from a crashed run
-    (
+    writer = (
         df.filter(F.col("batch") < last)
         .drop("batch")
         .dropDuplicates()
         .write.mode("overwrite")
-        .parquet(tmp)
     )
+    if partition_by:  # preserve the sub-partitioning (e.g. band buckets)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     os.rename(tmp, os.path.join(data_dir, f"batch={fresh}"))
     for b in batches[:-1]:
         shutil.rmtree(os.path.join(data_dir, f"batch={b}"), ignore_errors=True)
@@ -319,8 +390,12 @@ def compact_seen_sigs(spark, out_dir: str) -> int:
     crashed midway — silently un-suppressing future near-duplicates).
     The worst post-crash state is duplicate signature rows, which the
     dedup decision — a pure existence test — ignores, and which the
-    rerun's ``dropDuplicates`` clears. Returns net partitions removed."""
-    return _compact_batches(spark, os.path.join(out_dir, "sigs"))
+    rerun's ``dropDuplicates`` clears. The band-bucket sub-partitioning
+    is preserved, so reads keep pruning after compaction. Returns net
+    partitions removed."""
+    return _compact_batches(
+        spark, os.path.join(out_dir, "sigs"), partition_by=["bucket"]
+    )
 
 
 def compact_published(spark, out_dir: str) -> int:
