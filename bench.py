@@ -123,6 +123,58 @@ HEADLINE = [
 
 N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 
+# --- scaling slope (r9, VERDICT r8 item 7): testdata tops out at sf0.1,
+# so the 100 TB posture rested on plan shape alone. The bench now ALSO
+# runs the heaviest events/documents entries at two synthetic scales
+# (sources/synth.py — scale-invariant distributions) 10x apart and
+# reports sec-per-row slope: slope = (t_big / t_small) / size_ratio,
+# 1.0 = perfectly linear, >1 superlinear. Noise discipline: best-of-2
+# per scale, small scale first (shared persist-tracked family caches
+# build per input path, so scales never thrash each other's caches).
+# Disable with SPARK_GRAFT_SLOPE=0 for quick local iterations. ---
+SLOPE_ENTRIES = [
+    "dedup_clusters",     # LSH pairs → iterative components (docs)
+    "dedup_simhash",      # banded Hamming self-join (docs)
+    "derivatives_by_tag", # 6-leg window/moments family (events)
+    "asof_hourly_enrich", # union+window as-of, both strategies (events)
+    "sessionize_30m",     # session windows + funnel + cohort (events)
+]
+SLOPE_SMALL = (100_000, 5_000)  # (events, documents) ≈ sf0.1
+SLOPE_RATIO = 10
+SLOPE_RUNS = 2
+
+
+def run_slope(spark, queries) -> dict:
+    import tempfile
+
+    from timeseries_db_spark.sources.synth import materialize_fixture
+
+    base = os.path.join(tempfile.gettempdir(), "tsdb_slope")
+    dirs, sizes = {}, {}
+    for scale in (1, SLOPE_RATIO):
+        n_e, n_d = SLOPE_SMALL[0] * scale, SLOPE_SMALL[1] * scale
+        dirs[scale] = materialize_fixture(spark, base, n_e, n_d)
+        sizes[scale] = {"events": n_e, "documents": n_d}
+    secs: dict[int, dict[str, float]] = {1: {}, SLOPE_RATIO: {}}
+    for scale in (1, SLOPE_RATIO):  # scales outer: cache-sharing order
+        for name in SLOPE_ENTRIES:
+            runs = []
+            for _ in range(SLOPE_RUNS):
+                t0 = time.perf_counter()
+                queries[name](spark, dirs[scale]).toPandas()
+                runs.append(time.perf_counter() - t0)
+            secs[scale][name] = round(min(runs), 4)
+    out = {"size_ratio": SLOPE_RATIO, "sizes": sizes, "entries": {}}
+    for name in SLOPE_ENTRIES:
+        s, b = secs[1][name], secs[SLOPE_RATIO][name]
+        out["entries"][name] = {
+            "sec_small": s,
+            "sec_big": b,
+            "factor": round(b / s, 3),
+            "slope": round(b / s / SLOPE_RATIO, 3),
+        }
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,22 +211,25 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         medians[name] = round(sorted(runs)[len(runs) // 2], 4)
 
+    slope = None
+    if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0":
+        slope = run_slope(spark, queries)
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "queries_first_run": firsts,
-                "total_median": round(sum(medians.values()), 4),
-                "total_first_run": round(sum(firsts.values()), 4),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "queries_first_run": firsts,
+        "total_median": round(sum(medians.values()), 4),
+        "total_first_run": round(sum(firsts.values()), 4),
+        "sf": sf,
+    }
+    if slope is not None:
+        out["slope"] = slope
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

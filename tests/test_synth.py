@@ -1,0 +1,62 @@
+"""Synthetic scaling-slope fixtures (sources/synth.py): the slope
+measurement is only meaningful if the generators are deterministic and
+their characteristics are scale-invariant."""
+
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.sources import synth
+
+
+def test_events_deterministic_and_shaped(spark):
+    a = synth.synth_events(spark, 2_000).toPandas()
+    b = synth.synth_events(spark, 2_000).toPandas()
+    assert a.equals(b)
+    assert list(a.columns) == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    assert set(a["event_type"]) == set(synth.EVENT_TYPES)
+    # fixed window at any scale
+    lo, hi = a["ts"].min(), a["ts"].max()
+    assert (hi - lo).total_seconds() * 1000 < synth.EVENTS_SPAN_MS
+    # constant per-user volume → user count scales with rows
+    assert a["user_id"].nunique() == 2_000 // synth.EVENTS_PER_USER
+
+
+def test_documents_deterministic_with_constant_dup_fraction(spark):
+    docs = synth.synth_documents(spark, 2_000)
+    a = docs.toPandas()
+    assert a.equals(synth.synth_documents(spark, 2_000).toPandas())
+    # every DUP_EVERY-th doc is a near-copy of its predecessor: same
+    # word multiset except two perturbed positions → Jaccard well above
+    # the registry's 0.8 threshold
+    texts = dict(zip(a["doc_id"], a["text"]))
+    n_dups = 0
+    for i in range(synth.DUP_EVERY, 2_000, synth.DUP_EVERY):
+        wa, wb = set(texts[i].split()), set(texts[i - 1].split())
+        j = len(wa & wb) / len(wa | wb)
+        assert j > 0.9, (i, j)
+        n_dups += 1
+    assert n_dups == 2_000 // synth.DUP_EVERY - 1
+    # non-adjacent docs are NOT near-dups (distribution sanity)
+    w0, w5 = set(texts[1].split()), set(texts[5].split())
+    assert len(w0 & w5) / len(w0 | w5) < 0.5
+    # n_chars matches the text (the real table's invariant)
+    assert (a["n_chars"] == a["text"].str.len()).all()
+
+
+def test_materialize_fixture_idempotent(spark, tmp_path):
+    base = str(tmp_path)
+    d1 = synth.materialize_fixture(spark, base, 500, 100)
+    ev = spark.read.parquet(d1 + "/events.parquet")
+    assert ev.count() == 500
+    # marker short-circuits: second call returns without rewriting
+    import os
+
+    mtime = os.path.getmtime(d1 + "/_done")
+    d2 = synth.materialize_fixture(spark, base, 500, 100)
+    assert d2 == d1 and os.path.getmtime(d1 + "/_done") == mtime
+    # gate callables run on the fixture dir unchanged
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    t = events_as_tsdb(spark, d1)
+    assert t.count() == 500 and set(t.columns) >= {"timestamp", "tag", "value"}
