@@ -765,12 +765,20 @@ def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
     # container-invariance now spans the three formats covering ~95% of
     # web images
     jpeg_payload = M.jpeg_encode(rgb, w, h, 3)
+    # r9: the progressive encoding of the SAME pixels joins the
+    # invariant — identical coefficients, so an identical decode
+    prog_payload = M.jpeg_encode_progressive(rgb, w, h, 3)
     assets = spark.createDataFrame(
-        [(1, "image", png_payload), (2, "image", payload), (3, "image", jpeg_payload)],
+        [
+            (1, "image", png_payload),
+            (2, "image", payload),
+            (3, "image", jpeg_payload),
+            (4, "image", prog_payload),
+        ],
         "asset_id long, kind string, payload binary",
     )
     sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
-    assert sig[1] == sig[2] == sig[3], (
+    assert sig[1] == sig[2] == sig[3] == sig[4], (
         "same pixels, different container, dhash differs"
     )
 
@@ -816,10 +824,11 @@ def test_jpeg_baseline_roundtrip_exact_and_bounded():
     )
     assert with_rst == (w, h, 1, got.tobytes())
 
-    # stubs stay stubs: progressive / arithmetic raise NotImplementedError
+    # stubs stay stubs: lossless / arithmetic raise NotImplementedError
+    # (progressive 0xC2 decodes for real since r9 — its own tests below)
     j = bytearray(M.jpeg_encode(img.tobytes(), w, h, 1))
     sof = j.find(b"\xff\xc0")
-    for marker in (0xC2, 0xC9):
+    for marker in (0xC3, 0xC9):
         j[sof + 1] = marker
         with _pytest.raises(NotImplementedError):
             M.jpeg_decode(bytes(j))
@@ -860,21 +869,68 @@ def test_jpeg_color_and_chroma_subsampling_bounds():
     assert len(j) < len(M.jpeg_encode(smooth.tobytes(), w, h, 3))
 
 
-def test_jpeg_multiscan_is_honest_stub():
-    """Code-review r8: a valid non-interleaved baseline JPEG (one scan
-    per component) must raise at the capability boundary, not silently
-    decode with zeroed chroma planes."""
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """r9 (VERDICT r8 item 8): progressive (SOF2) decode is REAL. The
+    progressive writer emits the SAME quantized coefficients as the
+    baseline writer split across DC first/refine + per-component AC
+    spectral bands at Al=1 + AC refinement scans — so both encodings
+    must decode to IDENTICAL pixels, for grayscale and RGB, smooth and
+    noisy content (noise drives dense ACs with t>1 correction bits;
+    flat blocks drive multi-block EOBn runs)."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+
+    # noisy grayscale, non-multiple-of-8 dims
+    w, h = 37, 23
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    prog = M.jpeg_encode_progressive(img.tobytes(), w, h, 1)
+    base = M.jpeg_encode(img.tobytes(), w, h, 1)
+    assert M.jpeg_decode(prog) == M.jpeg_decode(base)
+    assert M.image_meta(prog) == ("jpeg", w, h)
+    assert M.image_decode(prog) == M.jpeg_decode(prog)
+
+    # flat image: every AC band is an EOBn run spanning all blocks
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    assert M.jpeg_decode(
+        M.jpeg_encode_progressive(flat.tobytes(), 24, 16, 1)
+    ) == M.jpeg_decode(M.jpeg_encode(flat.tobytes(), 24, 16, 1))
+
+    # RGB + a real (non-unit) quant table: coefficients still identical
+    w, h = 41, 19
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    quant = [1 + (i * 7) % 23 for i in range(64)]
+    p = M.jpeg_encode_progressive(rgb.tobytes(), w, h, 3, quant=quant)
+    b = M.jpeg_encode(rgb.tobytes(), w, h, 3, quant=quant)
+    assert M.jpeg_decode(p) == M.jpeg_decode(b)
+
+    # smooth gradient: sparse ACs → ZRL + short runs in first scans
+    gx, gy = np.meshgrid(np.arange(40), np.arange(24))
+    grad = ((gx * 3 + gy * 5) % 256).astype(np.uint8)
+    assert M.jpeg_decode(
+        M.jpeg_encode_progressive(grad.tobytes(), 40, 24, 1)
+    ) == M.jpeg_decode(M.jpeg_encode(grad.tobytes(), 40, 24, 1))
+
+
+def test_jpeg_uncovered_component_is_rejected():
+    """Code-review r8 (updated r9: the multi-scan engine decodes
+    non-interleaved files for real): a file whose scans never touch a
+    frame component must still raise rather than silently decode that
+    plane as zeros."""
     import pytest as _pytest
 
     from timeseries_db_spark.operators import multimodal as M
 
     j = bytearray(M.jpeg_encode(bytes(64 * 3), 8, 8, 3))
     sos = j.find(b"\xff\xda")
-    # shrink the SOS to a single-component scan (Ns=1, comp id 1)
+    # shrink the SOS to a single-component scan (Ns=1, comp id 1):
+    # components 2 and 3 are then never scanned
     single = j[:sos] + bytes(
         [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00]
     ) + j[sos + 2 + int.from_bytes(j[sos + 2 : sos + 4], "big") :]
-    with _pytest.raises(NotImplementedError, match="multi-scan"):
+    with _pytest.raises(ValueError, match="cover every frame component"):
         M.jpeg_decode(bytes(single))
 
 

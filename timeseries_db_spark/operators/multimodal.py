@@ -29,8 +29,13 @@ shapes — is real and tested. Decoding splits in two:
   ``avih`` main-header walk in :func:`avi_meta` gives true frame
   counts/intervals/dimensions, so :func:`frame_sample_plan_avi` samples
   REAL frame indices;
-* **progressive/arithmetic JPEG, video frame pixels and compressed
-  audio (mp3/opus/aac)**
+* **progressive JPEG pixels are REAL** (r9): multi-scan coefficient
+  accumulation per T.81 Annex G — spectral-selection bands, DC/AC
+  successive-approximation first and refinement passes, EOBn runs —
+  plus a progressive WRITER whose output must decode pixel-identical
+  to the baseline writer's (tests pin it);
+* **differential/arithmetic/lossless JPEG, video frame pixels and
+  compressed audio (mp3/opus/aac)**
   remain the genuinely library-bound stages and stay stubbed behind
   ``NotImplementedError`` with capability flags — that is where
   PIL/ffmpeg slot in (:data:`PIXEL_CAPABILITIES` /
@@ -262,8 +267,9 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
-    "jpeg": "real (baseline/extended sequential huffman, 8-bit, 1/3 comps, "
-    "4:4:4/4:2:2/4:2:0, restart intervals; progressive+arithmetic = PIL seam)",
+    "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
+    "successive approximation, 8-bit, 1/3 comps, 4:4:4/4:2:2/4:2:0, restart "
+    "intervals; differential/arithmetic/lossless = PIL seam)",
     "video": "stub (frame decode needs ffmpeg)",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
     "audio_compressed": "stub (mp3/opus decode needs ffmpeg)",
@@ -540,21 +546,133 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-_SOF_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
-_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF}
+#: 0xC2 (progressive huffman) decodes for real since r9; differential /
+#: arithmetic / lossless frame types remain the documented library seam.
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """De-stuff one scan's entropy-coded data from ``start``: unstuff
+    0xFF00, split at RSTn. Returns (segments, index of the terminating
+    0xFF) — the marker walk resumes there (EOI, or the next DHT/SOS of
+    a multi-scan file)."""
+    segments: list[bytearray] = [bytearray()]
+    i = start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else None
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # any real marker ends the scan
+        segments[-1].append(byte)
+        i += 1
+    return [bytes(s) for s in segments], i
+
+
+def _decode_ac_first(br, lut, c, ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block's AC band of a first (``Ah=0``) scan — T.81 G.1.2.2
+    with EOBn run-length; also IS the sequential AC procedure (where the
+    only EOBn that appears is EOB0). Returns the updated eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, lut)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += br.read_bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        c[k] = _extend(br.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(br, c, k: int, p1: int) -> None:
+    """Correction bit of an already-nonzero coefficient (G.1.2.3). The
+    two's-complement ``& p1`` test matches magnitude-bit semantics on
+    every reachable state: entering a refine at ``Al`` all magnitudes
+    are multiples of 2^(Al+1), and within the pass a coefficient is
+    touched at most once."""
+    if br.read_bit() and (c[k] & p1) == 0:
+        c[k] += p1 if c[k] > 0 else -p1
+
+
+def _decode_ac_refine(br, lut, c, ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block's AC band of a refinement (``Ah>0``) scan — T.81
+    G.1.2.3: newly-significant coefficients arrive as (run, 1) symbols
+    whose runs count only ZERO-history positions, with correction bits
+    interleaved for the nonzero-history positions crossed."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, lut)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    # NO -1 here (unlike _decode_ac_first): the current
+                    # block still needs its correction-bit tail below,
+                    # which does the decrement after processing it
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if c[k] != 0:
+                    _refine_nonzero(br, c, k, p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                c[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if c[k] != 0:
+                _refine_nonzero(br, c, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL baseline JPEG pixel decode, stdlib+numpy only: marker walk →
-    DQT/DHT/SOF0/SOS → huffman entropy decode (DC prediction, run-length
-    AC, byte unstuffing, restart intervals) → dequantize → dezigzag →
-    float64 IDCT → level shift → chroma upsample (sample replication) →
-    JFIF YCbCr→RGB. Returns ``(width, height, channels, pixels)``
-    row-major 8-bit, the :func:`png_decode`/:func:`bmp_decode` shape.
+    """REAL JPEG pixel decode, stdlib+numpy only: marker walk →
+    DQT/DHT/SOF/SOS* → huffman entropy decode accumulating DCT
+    coefficients across every scan (DC prediction, run-length AC, byte
+    unstuffing, restart intervals; progressive spectral-selection bands
+    and successive-approximation first/refine passes per T.81 Annex G)
+    → dequantize → dezigzag → batched float64 IDCT → level shift →
+    chroma upsample (sample replication) → JFIF YCbCr→RGB. Returns
+    ``(width, height, channels, pixels)`` row-major 8-bit, the
+    :func:`png_decode`/:func:`bmp_decode` shape.
 
-    Supported: baseline/extended sequential huffman (SOF0/SOF1), 8-bit,
-    1 or 3 components, sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0),
-    restart intervals. Progressive and arithmetic/lossless frames raise
+    Supported: baseline/extended sequential huffman (SOF0/SOF1,
+    interleaved or one-scan-per-component) and PROGRESSIVE huffman
+    (SOF2, r9 — previously a documented stub), 8-bit, 1 or 3
+    components, sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0), restart
+    intervals. Differential/arithmetic/lossless frames raise
     ``NotImplementedError`` — the remaining PIL seam
     (``PIXEL_CAPABILITIES``); truncated/malformed payloads raise
     ``ValueError``."""
@@ -568,8 +686,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
     frame = None
     dri = 0
-    scan_comps = None
-    scan_start = None
+    scans: list[dict] = []
     while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -608,7 +725,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 n = sum(bits)
                 huff[(tc, th)] = _huff_lut(bits, seg[i + 17 : i + 17 + n])
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive huffman
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
             height = int.from_bytes(seg[1:3], "big")
@@ -621,122 +738,157 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (width, height, comps)
-        elif marker in _SOF_PROGRESSIVE:
-            raise NotImplementedError(
-                "progressive JPEG needs PIL — see PIXEL_CAPABILITIES['jpeg']"
-            )
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                "arithmetic/lossless JPEG — see PIXEL_CAPABILITIES['jpeg']"
+                "differential/arithmetic/lossless JPEG — see "
+                "PIXEL_CAPABILITIES['jpeg']"
             )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: header + entropy data, then resume
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                 for c in range(ns)
             ]
-            if frame is not None and ns < len(frame[2]):
-                # T.81 allows one scan per component; decoding only the
-                # first would silently zero the remaining planes
-                # (code-review r8) — stub honestly instead
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) JPEG — see "
-                    "PIXEL_CAPABILITIES['jpeg']"
-                )
-            scan_start = pos + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segments, end = _entropy_segments(b, pos + seglen)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    # tables/DRI may be redefined between scans: snapshot
+                    "huff": dict(huff),
+                    "dri": dri,
+                    "segments": segments,
+                }
+            )
+            pos = end
+            continue
         pos += seglen
-    if frame is None or scan_comps is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     width, height, comps = frame
-
-    # entropy-coded data: unstuff 0xFF00, split at restart markers
-    segments: list[bytearray] = [bytearray()]
-    i = scan_start
-    while i < len(b):
-        byte = b[i]
-        if byte == 0xFF:
-            nxt = b[i + 1] if i + 1 < len(b) else None
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                i += 2
-                continue
-            if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                segments.append(bytearray())
-                i += 2
-                continue
-            break  # EOI or another marker ends the scan
-        segments[-1].append(byte)
-        i += 1
+    # a component no scan ever touches would silently decode as a zeroed
+    # plane (code-review r8 raised this for the old single-scan path —
+    # the multi-scan engine keeps the honesty as a malformed-file error)
+    scanned = {cid for scan in scans for cid, _, _ in scan["comps"]}
+    if {cid for cid, *_ in comps} - scanned:
+        raise ValueError("JPEG scans do not cover every frame component")
 
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
+    # coefficient accumulators, MCU-padded (interleaved scans cover the
+    # padding blocks; non-interleaved scans cover only the true dims)
+    coef = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for cid, hs, vs, _ in comps
+    }
+
+    for scan in scans:
+        sh, ss, se = scan["huff"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sdri = scan["dri"]
+        for cid, td, ta in scan["comps"]:
+            if cid not in by_id:
+                raise ValueError("JPEG scan references unknown component")
+            if ss == 0 and ah == 0 and (0, td) not in sh:
+                raise ValueError("JPEG references undefined huffman table")
+            if se >= max(ss, 1) and (ah == 0 or ss > 0) and (1, ta) not in sh:
+                raise ValueError("JPEG references undefined huffman table")
+        seg_iter = iter(scan["segments"])
+        br = _BitReader(next(seg_iter, b""))
+        pred = {cid: 0 for cid, _, _ in scan["comps"]}
+        eobrun = 0
+        interleaved = len(scan["comps"]) > 1
+
+        def decode_block(c, td, ta, cid):
+            nonlocal eobrun
+            if ss == 0:
+                if ah == 0:
+                    t = _read_symbol(br, sh[(0, td)])
+                    if t > 11:
+                        raise ValueError("JPEG DC category out of range")
+                    pred[cid] += _extend(br.read_bits(t), t) if t else 0
+                    c[0] = pred[cid] << al
+                elif br.read_bit():
+                    c[0] |= 1 << al
+            if se >= max(ss, 1):
+                band_lo = max(ss, 1)
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        br, sh[(1, ta)], c, band_lo, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        br, sh[(1, ta)], c, band_lo, se, al, eobrun
+                    )
+
+        # unit = one MCU (interleaved) or one block (non-interleaved);
+        # restart intervals count units and reset pred + eobrun
+        units = 0
+
+        def maybe_restart():
+            nonlocal br, pred, eobrun, units
+            if sdri and units and units % sdri == 0:
+                nxt = next(seg_iter, None)
+                if nxt is None:
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(nxt)
+                pred = {cid: 0 for cid in pred}
+                eobrun = 0
+            units += 1
+
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for cid, td, ta in scan["comps"]:
+                        hs, vs, _ = by_id[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                decode_block(
+                                    coef[cid][my * vs + by, mx * hs + bx],
+                                    td, ta, cid,
+                                )
+        else:
+            (cid, td, ta) = scan["comps"][0]
+            hs, vs, _ = by_id[cid]
+            # non-interleaved dims: ceil of the COMPONENT size, unpadded
+            cw = -(-(width * hs) // hmax)
+            ch = -(-(height * vs) // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    maybe_restart()
+                    decode_block(coef[cid][by, bx], td, ta, cid)
+
+    # dequantize + dezigzag + batched IDCT + assemble planes
     a_mat = _dct_matrix()
     zz = np.array(_ZIGZAG)
-    planes = {}
-    qtabs = {}
+    out = []
     for cid, hs, vs, tq in comps:
-        planes[cid] = np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
         if tq not in qt:
             raise ValueError(f"JPEG references undefined quant table {tq}")
-        qtabs[cid] = np.array(qt[tq], dtype=np.float64)
-    pred = {cid: 0 for cid, *_ in comps}
-    seg_iter = iter(segments)
-    br = _BitReader(bytes(next(seg_iter)))
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                nxt_seg = next(seg_iter, None)
-                if nxt_seg is None:
-                    raise ValueError("JPEG missing restart segment")
-                br = _BitReader(bytes(nxt_seg))
-                pred = {cid: 0 for cid in pred}
-            mcu_count += 1
-            for cid, dc_tbl, ac_tbl in scan_comps:
-                hs, vs, _ = by_id[cid]
-                if (0, dc_tbl) not in huff or (1, ac_tbl) not in huff:
-                    raise ValueError("JPEG references undefined huffman table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        t = _read_symbol(br, huff[(0, dc_tbl)])
-                        if t > 11:
-                            raise ValueError("JPEG DC category out of range")
-                        pred[cid] += _extend(br.read_bits(t), t) if t else 0
-                        coeff = np.zeros(64, dtype=np.float64)
-                        coeff[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(br, huff[(1, ac_tbl)])
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad JPEG AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            coeff[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[zz] = coeff * qtabs[cid]
-                        pix = a_mat.T @ block.reshape(8, 8) @ a_mat + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
-
-    # round, clamp, upsample by sample replication, crop to frame dims
-    out = []
-    for cid, hs, vs, _ in comps:
-        p = np.clip(np.rint(planes[cid]), 0, 255)
+        q = np.array(qt[tq], dtype=np.float64)
+        nby, nbx = coef[cid].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                # per-block IDCT with the exact float expression the r8
+                # decoder used (batched einsum reorders accumulation and
+                # flips half-integer rounding ties — see the encoder)
+                block = np.zeros(64, dtype=np.float64)
+                block[zz] = coef[cid][by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a_mat.T @ block.reshape(8, 8) @ a_mat + 128.0
+                )
+        p = np.clip(np.rint(plane), 0, 255)
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:height, :width])
     if len(out) == 1:
@@ -947,6 +1099,265 @@ def jpeg_encode(
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_tables_progressive_ac():
+    """AC huffman table for the progressive writer: the sequential
+    run/size symbols PLUS the EOBn end-of-band-run symbols (n ≤ 14,
+    T.81 G.1.2.2) — 176 codes, all 8 bits (valid: 176 < 2⁸)."""
+    ac_vals = [(n << 4) for n in range(15)] + [0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_vals)}
+    return ac_bits, ac_vals, ac_codes
+
+
+def jpeg_encode_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant: list[int] | None = None,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer — the test/fixture twin of the
+    progressive decode path, exercising every Annex G scan kind the
+    decoder implements. Fixed scan script:
+
+    1. DC first, all components interleaved, ``Al=1``;
+    2. DC refinement to full precision (``Ah=1, Al=0``);
+    3. per component: AC spectral bands 1-5 then 6-63 at ``Al=1``
+       (EOBn run-length across blocks), then the same two bands as
+       successive-approximation REFINEMENT scans to ``Al=0``
+       (correction bits per G.1.2.3).
+
+    Grayscale or RGB 4:4:4 (progressive subsampling adds nothing the
+    decoder doesn't already exercise via the baseline 4:2:0 tests).
+    Coefficients are identical to :func:`jpeg_encode`'s, so with the
+    same ``quant`` both encodings must decode to identical pixels —
+    the roundtrip equivalence the tests pin."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode_progressive supports 1 or 3 channels")
+    q = [1] * 64 if quant is None else list(quant)
+    if len(q) != 64 or not all(1 <= int(x) <= 255 for x in q):
+        raise ValueError("quant must be 64 entries in [1, 255]")
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 1:
+        comp_planes = [a[:, :, 0].astype(np.float64)]
+    else:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        comp_planes = [np.clip(np.rint(p), 0, 255) for p in (y, cb, cr)]
+
+    nbx, nby = -(-width // 8), -(-height // 8)
+    a_mat = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    qv = np.array(q, dtype=np.float64)
+    coefs = []  # per comp: (nby, nbx, 64) int64, zigzag order
+    for p in comp_planes:
+        p = np.pad(
+            p, ((0, nby * 8 - height), (0, nbx * 8 - width)), mode="edge"
+        )
+        cc = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                # the EXACT per-block expression of jpeg_encode: the DCT
+                # of integer pixels lands on half-integer ties, and a
+                # different accumulation order (e.g. einsum) rounds a
+                # few of them the other way — the equal-pixels contract
+                # with the baseline writer needs identical float trees
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f_nat = (a_mat @ blk @ a_mat.T).reshape(64)
+                cc[by, bx] = np.rint(f_nat[zz] / qv[zz]).astype(np.int64)
+        coefs.append(cc)
+
+    dc_bits, dc_vals, dc_codes, _, _, _ = _enc_tables()
+    ac_bits, ac_vals, ac_codes = _enc_tables_progressive_ac()
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * channels
+        for my in range(nby):
+            for mx in range(nbx):
+                for ci in range(channels):
+                    v = int(coefs[ci][my, mx, 0]) >> al  # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size, bitsv = _mag_bits(diff)
+                    code, length = dc_codes[size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(bitsv, size)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for my in range(nby):
+            for mx in range(nbx):
+                for ci in range(channels):
+                    bw.write((int(coefs[ci][my, mx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, length = ac_codes[n << 4]
+                bw.write(code, length)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for my in range(nby):
+            for mx in range(nbx):
+                c = coefs[ci][my, mx]
+                # AC point transform: sign-preserving magnitude shift
+                vals = [
+                    (1 if c[k] > 0 else -1) * (abs(int(c[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    size, bitsv = _mag_bits(v)
+                    code, length = ac_codes[(r << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bitsv, size)
+                    r = 0
+                if nz[-1] < se - ss:  # trailing zeros → start an EOB run
+                    eobrun = 1
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # the encode mirror of _decode_ac_refine. TWO correction-bit
+        # buffers, exactly libjpeg's BE/BR split: the decoder reads a
+        # symbol FIRST and corrections DURING the walk that follows, so
+        # bits buffered inside the current run (br) are emitted after
+        # the next ZRL / newly-significant symbol, while bits belonging
+        # to blocks folded into a pending EOB run (be) are emitted
+        # right after the EOBn symbol that closes the run.
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []  # corrections riding the pending EOB run
+        br_bits: list[int] = []  # corrections of the current in-block run
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, length = ac_codes[n << 4]
+                bw.write(code, length)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+                for bit in be_bits:
+                    bw.write(bit, 1)
+                be_bits = []
+
+        def emit_run_bits():
+            nonlocal br_bits
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+
+        for my in range(nby):
+            for mx in range(nbx):
+                c = coefs[ci][my, mx]
+                absv = [abs(int(c[k])) >> al for k in range(ss, se + 1)]
+                eobpos = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+                r = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs flush at the first nonzero of ANY kind —
+                    # unless the zeros fold into the closing EOB run
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        emit_run_bits()
+                        r -= 16
+                    if t > 1:  # already significant: buffer correction bit
+                        br_bits.append((abs(int(c[ss + i])) >> al) & 1)
+                        continue
+                    flush_eob()
+                    code, length = ac_codes[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if c[ss + i] > 0 else 0, 1)
+                    emit_run_bits()
+                    r = 0
+                if r > 0 or br_bits:  # rest of block folds into an EOB run
+                    eobrun += 1
+                    be_bits += br_bits
+                    br_bits = []
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci in comps:
+            hdr += bytes([ci + 1, 0x00])
+        return b"\xff\xda" + hdr + bytes([ss, se, (ah << 4) | al])
+
+    body = bytearray()
+    allc = list(range(channels))
+    body += sos(allc, 0, 0, 0, 1) + dc_first_scan(1)
+    body += sos(allc, 0, 0, 1, 0) + dc_refine_scan(0)
+    for ci in allc:
+        for ss, se in ((1, 5), (6, 63)):
+            body += sos([ci], ss, se, 0, 1) + ac_first_scan(ci, ss, se, 1)
+    for ci in allc:
+        for ss, se in ((1, 5), (6, 63)):
+            body += sos([ci], ss, se, 1, 0) + ac_refine_scan(ci, ss, se, 0)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(qv[i]) for i in _ZIGZAG
+    )
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
     out += body + b"\xff\xd9"
     return bytes(out)
 
