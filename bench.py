@@ -123,6 +123,11 @@ HEADLINE = [
 
 N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 
+# r9 leg added to a headline entry: ann_topk_ivf += pq (product-
+# quantization ADC top-k — codebook collect + map-only integer encode +
+# table-lookup ADC with per-shard top-k), so its r9 column covers
+# strictly more work than r8's same-named column.
+
 # --- scaling slope (r9, VERDICT r8 item 7): testdata tops out at sf0.1,
 # so the 100 TB posture rested on plan shape alone. The bench now ALSO
 # runs the heaviest events/documents entries at two synthetic scales

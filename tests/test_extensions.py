@@ -431,6 +431,66 @@ def test_multimodal_batch_shapes(spark, docs):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
+def test_pq_adc_exact_integer_pipeline_and_recall(spark, emb):
+    """r9 PQ/ADC invariants: (1) every code is a donor id and matches a
+    pure-numpy re-derivation of the argmin rule; (2) the reported ADC
+    distance equals the independent integer recomputation from raw
+    embeddings (the whole pipeline is fixed-point — no float seam to
+    tolerate); (3) recall@5 vs exact L2 clears 0.05 on the near-random
+    fixture (random baseline ≈ 5/2500: a 16-code deterministic codebook
+    is a coarse quantizer — the compression half, not the recall half,
+    of IVF-PQ)."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import similarity as S
+    from timeseries_db_spark.functions.numeric import np_duck_round
+
+    qs = emb.filter("vec_id % 100 = 0")
+    got = S.ann_topk_pq(spark, qs, emb, 5).collect()
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    by_id = {int(i): mat[r] for r, i in enumerate(ids)}
+
+    # independent pure-numpy twin of codebook + encode + ADC
+    dn = S.pq_codebook(emb).toPandas()
+    donor_ids = np.sort(dn["vec_id"].to_numpy())
+    dmat = np.stack(
+        [by_id[int(i)] for i in donor_ids]
+    )  # donor embeddings, id order
+    m, sub = S.PQ_M, mat.shape[1] // S.PQ_M
+    dcube = dmat.reshape(len(donor_ids), m, sub)
+
+    def sub_d6(v):
+        t = (v.reshape(1, m, sub) - dcube)
+        return np_duck_round(t * t * S.PQ_FP, 0).astype(np.int64).sum(axis=2)
+
+    def encode(v):
+        return donor_ids[np.argmin(sub_d6(v), axis=0)]
+
+    codes = {int(i): encode(by_id[int(i)]) for i in ids}
+    donor_row = {int(d): r for r, d in enumerate(donor_ids)}
+    for row in got:
+        q = by_id[row["qid"]]
+        tab = sub_d6(q)  # (ksub, m)
+        expect = int(
+            sum(tab[donor_row[int(c)], j] for j, c in enumerate(codes[row["nid"]]))
+        )
+        assert row["dist"] == expect, (row, expect)
+
+    # recall floor vs exact L2
+    pairs = {(r["qid"], r["nid"]) for r in got}
+    hits = total = 0
+    for qi in np.flatnonzero(ids % 100 == 0):
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        for n in ids[np.argsort(d, kind="stable")[:5]]:
+            total += 1
+            hits += (int(ids[qi]), int(n)) in pairs
+    assert hits / total >= 0.05, hits / total
+
+
 def test_ivf_hits_scored_exactly_and_recall(spark, emb):
     queries = emb.filter("vec_id % 100 = 0")
     exact = {

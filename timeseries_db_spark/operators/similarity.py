@@ -720,6 +720,225 @@ def ann_topk_ivf_sql(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ): the faiss IVF-PQ compression path
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: EMB_DIM-dim vectors split into PQ_M subvectors, each
+#: encoded as one of PQ_KSUB codes → a 64-dim float vector compresses to
+#: 8 bytes (32× — the ratio that lets a 100 TB embedding corpus live in
+#: cluster memory for ANN serving).
+PQ_M = 8
+PQ_KSUB = 16
+#: 6-decimal fixed point applied PER DIMENSION TERM: every squared-diff
+#: term quantizes to an exact BIGINT before any summation, so encode
+#: distances and ADC sums are pure integer arithmetic — bit-identical
+#: across engines BY CONSTRUCTION (no rounded-float ranking boundary to
+#: stay clear of, unlike the IVF cosine path).
+PQ_FP = 1_000_000
+
+
+def pq_codebook(corpus: DataFrame, ksub: int = PQ_KSUB) -> DataFrame:
+    """Deterministic PQ codebook donors: the ``ksub`` portable-hash-least
+    corpus vectors (the :func:`ivf_centroids` bounded-sample discipline);
+    donor ``vec_id`` doubles as the code id, and donor subvector ``m``
+    is code ``(m, vec_id)``. A k-means-trained codebook (the faiss
+    default) slots in exactly like :func:`ivf_centroids_refined` does
+    for IVF — engine-reproducibility is why the GATE path keeps the
+    sample."""
+    return ivf_centroids(corpus, ksub)
+
+
+def _pq_term_ints(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-dimension fixed-point squared-diff terms (int64). ``a - b``
+    of float32-sourced doubles is exact; the square and ×1e6 are single
+    IEEE ops identical in DuckDB; the round-half-away quantization makes
+    every later sum exact integer math."""
+    d = a - b
+    return _np_duck_round(d * d * PQ_FP, 0).astype(np.int64)
+
+
+def _pq_encode_fn(bc, m: int):
+    """mapInPandas kernel: (vec_id, codes array<long>) — per subvector,
+    the donor id minimizing (integer subdistance, donor id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        donor_ids, donor_mat = bc.value  # ids ASC, (ksub, dim) float64
+        ksub, dim = donor_mat.shape
+        sub = dim // m
+        dcube = donor_mat.reshape(ksub, m, sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for r in range(len(pdf)):
+                v = vecs[r].reshape(1, m, sub)
+                d6 = _pq_term_ints(v, dcube).sum(axis=2)  # (ksub, m)
+                # donors are id-sorted, so argmin is (d6, donor id) ASC
+                codes[r] = donor_ids[np.argmin(d6, axis=0)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return gen
+
+
+def _pq_adc_fn(bc, k: int):
+    """mapInPandas kernel over ENCODED corpus rows: asymmetric distance
+    (sum of the query's precomputed integer subdistance table entries at
+    the row's codes) for every broadcast query; per-shard k-smallest
+    under the global (dist ASC, nid ASC) order."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qtabs, donor_index = bc.value  # qtabs: (nq, m, ksub) int64
+        nq, m, _ = qtabs.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m) donor ids
+            idx = donor_index[codes]  # donor id -> codebook row
+            nids = pdf["vec_id"].to_numpy()
+            rows = {"qid": [], "nid": [], "dist": []}
+            for qi in range(nq):
+                dist = qtabs[qi][np.arange(m)[None, :], idx].sum(axis=1)
+                mask = nids != qids[qi]
+                d, n = dist[mask], nids[mask]
+                take = min(k, len(n))
+                if not take:
+                    continue
+                part = np.lexsort((n, d))[:take]
+                rows["qid"] += [qids[qi]] * take
+                rows["nid"] += list(n[part])
+                rows["dist"] += list(d[part])
+            yield pd.DataFrame(rows).astype(
+                {"qid": "int64", "nid": "int64", "dist": "int64"}
+            )
+
+    return gen
+
+
+def ann_topk_pq(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC,
+    Jégou et al. 2011 — the faiss IVF-PQ recipe's compression half):
+    corpus vectors are encoded once as ``m`` code ids against a bounded
+    deterministic codebook; each query precomputes an (m × ksub)
+    integer subdistance table; candidate distance is a pure table
+    lookup + integer sum — no float arithmetic touches the corpus at
+    query time. Output (qid, nid, dist) ranked (dist ASC, nid ASC).
+
+    Scale: the codebook (ksub rows) and the query tables (|Q|·m·ksub
+    ints) broadcast; the corpus streams map-only through encode and
+    ADC with per-shard top-k, one exchange to merge shard winners —
+    the :func:`cosine_topk` shape over 8-byte codes instead of raw
+    vectors."""
+    donor_df = pq_codebook(corpus, ksub)
+    pdf = donor_df.select("vec_id", "embedding").toPandas()
+    if not len(pdf):
+        raise ValueError("PQ codebook found an empty corpus")
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    donor_ids = pdf["vec_id"].to_numpy()[order]
+    donor_mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    dim = donor_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    enc_bc = spark.sparkContext.broadcast((donor_ids, donor_mat))
+    encoded = corpus.select("vec_id", "embedding").mapInPandas(
+        _pq_encode_fn(enc_bc, m), schema="vec_id long, codes array<long>"
+    )
+
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    qids = qpdf["vec_id"].to_numpy()
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    sub = dim // m
+    dcube = donor_mat.reshape(len(donor_ids), m, sub)
+    qtabs = np.stack(
+        [
+            _pq_term_ints(q.reshape(1, m, sub), dcube).sum(axis=2).T  # (m, ksub)
+            for q in qmat
+        ]
+    )
+    donor_index = np.full(int(donor_ids.max()) + 1, -1, dtype=np.int64)
+    donor_index[donor_ids] = np.arange(len(donor_ids))
+    adc_bc = spark.sparkContext.broadcast((qids, qtabs, donor_index))
+    winners = encoded.mapInPandas(
+        _pq_adc_fn(adc_bc, k), schema="qid long, nid long, dist long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        winners.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "dist")
+    )
+
+
+def ann_topk_pq_sql(
+    query_pred: str,
+    k: int,
+    *,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_pq` — full value oracle. ONE
+    ``sdist`` relation (every vector × donor × subspace integer
+    subdistance) feeds both the corpus encoding (argmin per subspace)
+    and the query tables; ADC is the same integer join-sum."""
+    sub = dim // m
+    diff = (
+        f"(e.embedding[mm.m * {sub} + i.i]::DOUBLE"
+        f" - d.de[mm.m * {sub} + i.i]::DOUBLE)"
+    )
+    return f"""
+        WITH donors AS (
+            SELECT vec_id AS did, embedding AS de FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {ksub}
+        ),
+        sdist AS (
+            SELECT e.vec_id, mm.m, d.did,
+                   SUM(CAST(round({diff} * {diff} * {PQ_FP}) AS BIGINT))
+                       AS d6
+            FROM embeddings e, range({m}) mm(m), range(1, {sub + 1}) i(i),
+                 donors d
+            GROUP BY e.vec_id, mm.m, d.did
+        ),
+        codes AS (
+            SELECT vec_id, m, did FROM (
+                SELECT vec_id, m, did,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY d6 ASC, did ASC
+                       ) AS rn
+                FROM sdist
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT vec_id AS qid, m, did, d6 FROM sdist
+            WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {query_pred})
+        ),
+        adc AS (
+            SELECT qtab.qid, codes.vec_id AS nid, SUM(qtab.d6) AS dist
+            FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.did = codes.did
+            WHERE qtab.qid <> codes.vec_id
+            GROUP BY qtab.qid, codes.vec_id
+        )
+        SELECT qid, nid, dist FROM (
+            SELECT qid, nid, dist,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY dist ASC, nid ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------
 

@@ -1222,11 +1222,34 @@ def register_extensions(q: dict, o: dict) -> None:
     o["ann_topk_srp"] = similarity.ann_topk_srp_sql(TOPK_QUERY_PRED, TOPK_K, EMB_DIM)
     # IVF also carries a full oracle: the centroid sample is a portable
     # hash top-N, and assignment/probing rank on ROUNDED similarity with
-    # vec_id tiebreak — the same rule a SQL window computes.
-    q["ann_topk_ivf"] = lambda s, d: similarity.ann_topk_ivf(
-        s, _emb(s, d).filter(F.expr(TOPK_QUERY_PRED)), _emb(s, d), TOPK_K
+    # vec_id tiebreak — the same rule a SQL window computes. r9 `pq`
+    # leg: product-quantization ADC top-k (the compression half of the
+    # faiss IVF-PQ scale recipe) — per-dimension fixed-point integer
+    # subdistances make encode AND query ranking pure integer math,
+    # bit-identical across engines by construction. Shared
+    # (qid, nid, score, kind) schema: ivf carries rounded cosine, pq the
+    # exact integer ADC distance as a double.
+    def ann_ivf_and_pq(s: SparkSession, d: str) -> DataFrame:
+        qs = _emb(s, d).filter(F.expr(TOPK_QUERY_PRED))
+        ivf = similarity.ann_topk_ivf(s, qs, _emb(s, d), TOPK_K).select(
+            "qid", "nid", F.col("cos").alias("score"), F.lit("ivf").alias("kind")
+        )
+        pq = similarity.ann_topk_pq(s, qs, _emb(s, d), TOPK_K).select(
+            "qid",
+            "nid",
+            F.col("dist").cast("double").alias("score"),
+            F.lit("pq").alias("kind"),
+        )
+        return ivf.unionByName(pq)
+
+    q["ann_topk_ivf"] = ann_ivf_and_pq
+    o["ann_topk_ivf"] = (
+        "SELECT qid, nid, cos AS score, 'ivf' AS kind FROM ("
+        + similarity.ann_topk_ivf_sql(TOPK_QUERY_PRED, TOPK_K)
+        + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'pq' AS kind FROM ("
+        + similarity.ann_topk_pq_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
+        + ")"
     )
-    o["ann_topk_ivf"] = similarity.ann_topk_ivf_sql(TOPK_QUERY_PRED, TOPK_K)
 
     # ---- multimodal (payload plumbing; decode stage is a deterministic
     # fake — see operators/multimodal.py) ----
