@@ -94,3 +94,44 @@ def test_dedup_keep_best_keeps_highest_quality(spark, sf_dir):
         assert keeps[0]["quality"] == qmax
         ties = [m["doc_id"] for m in members if m["quality"] == qmax]
         assert keeps[0]["doc_id"] == min(ties)
+
+
+def test_pagerank_matches_python_twin_and_ranks_hubs(spark):
+    """r9 exact-integer PageRank: the distributed result must equal a
+    pure-Python replay of the micro-unit update rule bit-for-bit, and a
+    hub (connected to everything) must outrank leaf nodes."""
+    from timeseries_db_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_UNIT,
+        pagerank,
+    )
+
+    # star + tail: 0 is a hub over 1..5; 6-7-8 a chain
+    und = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]
+    both = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+
+    # pure-Python twin
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in both:
+        adj[a].append(b)
+    rank = {n: PR_UNIT for n in adj}
+    for _ in range(3):
+        s = defaultdict(int)
+        for u, outs in adj.items():
+            c = rank[u] // len(outs)
+            for v in outs:
+                s[v] += c
+        rank = {
+            n: PR_BASE + (PR_DAMP_NUM * s.get(n, 0)) // PR_DAMP_DEN for n in adj
+        }
+    assert got == rank
+    assert got[0] > max(got[i] for i in range(1, 6))  # hub beats leaves
+    assert got[7] > got[6] == got[8]  # chain middle beats symmetric ends
+    # determinism: a second run is bit-identical
+    assert {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()} == got

@@ -247,3 +247,127 @@ def dedup_keep_best_sql(threshold: float) -> str:
                ) = 1 AS keep
         FROM comp JOIN q ON q.doc_id = comp.id
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (exact fixed-point variant)
+# ---------------------------------------------------------------------------
+
+PR_UNIT = 1_000_000  # rank fixed point: 1.0 == 1e6 micro-units
+PR_BASE = 150_000    # (1 - d) in micro-units, d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 850, 1_000
+
+
+def pagerank(edges: DataFrame, iters: int = 3, checkpoint_every: int = 4) -> DataFrame:
+    """(node, rank) — PageRank over the undirected graph given by
+    ``edges`` (columns ``src``, ``dst``; callers pass each undirected
+    edge ONCE in each direction), in EXACT integer arithmetic so the
+    result is bit-identical across engines and the driver gate can hash
+    it (the LM scorer's micro-unit discipline, applied to an iterative
+    graph algorithm):
+
+    ``r0(v) = 1e6``;
+    ``r+1(v) = 150_000 + (850 · Σ_{(u,v)∈E} (r(u) // deg(u))) // 1000``
+
+    — i.e. damping 0.85 with per-edge contributions floor-divided in
+    micro-units. The //-truncation drops < 1 micro-unit per edge per
+    round relative to float PageRank: ranking-irrelevant, and what
+    buys exactness (float contributions would sum in engine-dependent
+    order). Fixed ``iters`` (no convergence test) keeps the plan a
+    pure function of the inputs.
+
+    Scale: one shuffle keyed on src (the rank join), one on dst (the
+    contribution sum) per round — the standard distributed PageRank;
+    the degree table joins broadcast-or-shuffle as Catalyst sizes it.
+    Lineage is ``localCheckpoint``-truncated every ``checkpoint_every``
+    rounds like :func:`connected_components`."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # JVM long division: exact trunc-toward-zero, DuckDB //
+                F.call_function("div", F.col("rank"), F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        from timeseries_db_spark.functions.numeric import duck_div
+
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + duck_div(
+                    F.lit(PR_DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)),
+                    PR_DAMP_DEN,
+                )
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def supplier_influence_pagerank(spark, sf_dir: str, iters: int = 3) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph: one undirected
+    edge per DISTINCT (o_custkey, l_suppkey) pair that ever traded
+    (orders ⋈ lineitem). Node ids disambiguate the bipartite sides as
+    ``2·custkey`` / ``2·suppkey + 1``. The "which suppliers sit at the
+    center of the purchase network" question — the relational engine's
+    entry into iterative graph analytics."""
+    from timeseries_db_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=iters)
+
+
+def supplier_influence_pagerank_sql(iters: int = 3) -> str:
+    """DuckDB twin: the same integer updates, unrolled one CTE per
+    iteration (fixed ``iters`` makes recursion unnecessary)."""
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )""",
+        """bi AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM bi)",
+        "deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+            SELECT n.node,
+                   CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(t.s, 0))
+                        // {PR_DAMP_DEN} AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT bi.dst AS node, SUM(r{i}.rank // deg.deg) AS s
+                FROM bi
+                JOIN r{i} ON r{i}.node = bi.src
+                JOIN deg ON deg.src = bi.src
+                GROUP BY bi.dst
+            ) t ON t.node = n.node
+        )"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT node, rank FROM r{iters}"

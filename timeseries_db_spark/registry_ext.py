@@ -622,8 +622,37 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM ({_ov_sql})
     """
 
-    q["join_top_orders_building"] = lambda s, d: joins.top_orders_by_segment(s, d)
-    o["join_top_orders_building"] = joins.top_orders_by_segment_sql()
+    # r9 fold: the TPC-H Q3 top-k shares the entry with PageRank over
+    # the customer↔supplier trade graph (operators/graph.py — exact
+    # integer micro-unit updates, so the iterative result value-hashes)
+    # on a (kind, grp, result) schema
+    def top_orders_and_pagerank(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators import graph
+
+        top = joins.top_orders_by_segment(s, d).select(
+            F.lit("top").alias("kind"),
+            F.col("orderkey").cast("string").alias("grp"),
+            F.col("revenue").alias("result"),
+        )
+        pr = graph.supplier_influence_pagerank(s, d).select(
+            F.lit("pr").alias("kind"),
+            F.col("node").cast("string").alias("grp"),
+            F.col("rank").cast("double").alias("result"),
+        )
+        return top.unionByName(pr)
+
+    q["join_top_orders_building"] = top_orders_and_pagerank
+    from timeseries_db_spark.operators import graph as _graph
+
+    o["join_top_orders_building"] = (
+        "SELECT 'top' AS kind, CAST(orderkey AS VARCHAR) AS grp,"
+        " revenue AS result FROM ("
+        + joins.top_orders_by_segment_sql()
+        + ") UNION ALL SELECT 'pr' AS kind, CAST(node AS VARCHAR) AS grp,"
+        " rank::DOUBLE AS result FROM ("
+        + _graph.supplier_influence_pagerank_sql()
+        + ")"
+    )
 
     # late-r8 fold: the Deequ-style data-quality report rides the
     # region entry's (name, value) shape — completeness, uniqueness,
