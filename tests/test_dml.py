@@ -261,8 +261,8 @@ def test_concurrent_writers_loser_gets_clean_error(spark, tmp_path):
     base = a.version()
     # both writers stage their commits from the SAME observed version —
     # the deterministic interleaving of the racy read-merge-publish
-    _, parts_a = a._write_commit(mk(spark, [(T0 + 1, "a", 1.0)]))
-    _, parts_b = b._write_commit(mk(spark, [(T0 + 2, "b", 2.0)]))
+    _, parts_a, _ = a._write_commit(mk(spark, [(T0 + 1, "a", 1.0)]))
+    _, parts_b, _ = b._write_commit(mk(spark, [(T0 + 2, "b", 2.0)]))
     manifest = a._manifest()["partitions"]
 
     def merged(parts):
@@ -699,3 +699,91 @@ def test_expire_drops_whole_days_without_rewrite(spark, tmp_path):
     t.expire(3 * DAY)
     assert set(os.listdir(str(tmp_path / "t" / "commits"))) == commits_now
     assert t.read().count() == sum(1 for ts, _, _ in rows if ts >= 3 * DAY)
+
+
+def test_tag_stats_prune_reads_and_stay_correct(spark, tmp_path):
+    """r9 manifest tag index (the reference TagIndex analog): a tagEq
+    read must never plan leaf dirs whose recorded tag set excludes the
+    tag — proven on inputFiles, which for TsTable reads lists exactly
+    the manifest-selected dirs — while returning the same rows as the
+    unpruned read + filter. Stats survive update/delete/compact/restore
+    and degrade safely: a high-cardinality commit stores None (kept),
+    and a manifest stripped of tag_stats (pre-r9) keeps everything."""
+    import json as _json
+    import os as _os
+
+    from timeseries_db_spark.operators.dml import TsTable
+
+    T0 = 1_704_067_200_000
+    DAY = 86_400_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "timestamp long, tag string, value double"
+        )
+
+    table = TsTable.create(
+        spark,
+        str(tmp_path / "t"),
+        mk([(T0 + i, "alpha" if i % 2 else "beta", 1.0 * i) for i in range(10)]),
+    )
+    # second commit, different day, disjoint tag
+    table.insert(mk([(T0 + DAY + i, "gamma", 2.0 * i) for i in range(5)]))
+
+    def files(df):
+        return set(df.inputFiles())
+
+    pruned = table.read(tag_eq="gamma")
+    assert files(pruned) < files(table.read())
+    for f in files(pruned):
+        assert "dt=2024-01-02" in f, f
+    # values identical to unpruned + exact filter
+    expect = sorted(
+        map(tuple, table.read().filter("tag = 'gamma'").collect())
+    )
+    assert sorted(map(tuple, pruned.filter("tag = 'gamma'").collect())) == expect
+
+    # absent tag → empty plan, zero files
+    assert files(table.read(tag_eq="nope")) == set()
+
+    # stats follow a partition REWRITE: delete every beta row of day 1 —
+    # the rewritten leaf's stats drop beta
+    table.delete(
+        mk([(T0 + i, "beta", 0.0) for i in range(0, 10, 2)]).select(
+            "timestamp", "tag"
+        )
+    )
+    assert files(table.read(tag_eq="beta")) == set()
+    assert files(table.read(tag_eq="alpha"))
+
+    # compact folds commits; stats rebuilt for the folded leaves
+    table.compact()
+    assert {f for f in files(table.read(tag_eq="gamma"))}
+    for f in files(table.read(tag_eq="gamma")):
+        assert "dt=2024-01-02" in f, f
+
+    # restore carries the RESTORED version's stats (beta exists again
+    # at the pre-delete version)
+    pre_delete = table.version() - 2
+    table.restore(pre_delete)
+    assert files(table.read(tag_eq="beta"))
+
+    # pre-r9 manifest (no tag_stats key): everything conservatively kept
+    m_path = table._manifest_path(table.version())
+    with open(m_path) as f:
+        m = _json.load(f)
+    m.pop("tag_stats")
+    _os.chmod(m_path, 0o644)
+    tmp = m_path + ".rewrite"
+    with open(tmp, "w") as f:
+        _json.dump(m, f)
+    _os.replace(tmp, m_path)
+    assert files(table.read(tag_eq="nope")) == files(table.read())
+
+    # high-cardinality commit: stats None → kept for any tag
+    t2 = TsTable.create(
+        spark,
+        str(tmp_path / "hc"),
+        mk([(T0 + i, f"tag{i}", 1.0) for i in range(TsTable.TAG_STATS_MAX + 5)]),
+    )
+    assert files(t2.read(tag_eq="tag0")) == files(t2.read())

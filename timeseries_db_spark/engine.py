@@ -137,11 +137,15 @@ class TsdbEngine:
         The query's timestamp bounds prune date partitions at the
         manifest level before the plan is even built (TsTable.read) —
         the storage-side replacement for the reference's in-memory
-        timestamp index probe."""
+        timestamp index probe; a tagEq query additionally prunes leaf
+        dirs on the manifest's per-leaf tag stats (r9 — the TagIndex
+        analog). The presence probe below stays unpruned: the error
+        contract distinguishes "tag absent from the table" from "tag
+        absent from the range", so the probe must see everything."""
         if isinstance(qm, Mapping):
             qm = QueryModel.from_json(dict(qm))
         lo_ms, hi_ms = qm.bounds_ms()
-        df = self.table.read(lo_ms=lo_ms, hi_ms=hi_ms)
+        df = self.table.read(lo_ms=lo_ms, hi_ms=hi_ms, tag_eq=qm.tag_eq)
         if not strict:
             return compile_query(df, qm)
         # presence probes (reference index-membership semantics) must see

@@ -160,7 +160,10 @@ class TsTable:
             ) from None
 
     def _publish(
-        self, partitions: dict[str, list[str]], base_version: int | None = None
+        self,
+        partitions: dict[str, list[str]],
+        base_version: int | None = None,
+        tag_stats: dict[str, list[str] | None] | None = None,
     ) -> None:
         """Commit ``partitions`` as version ``base_version + 1``.
 
@@ -180,7 +183,21 @@ class TsTable:
         if base_version is None:
             base_version = self.version()
         new_version = base_version + 1
-        manifest = {"version": new_version, "partitions": partitions}
+        # tag index upkeep: store stats only for leaf dirs the new
+        # manifest actually references (dropped partitions shed their
+        # entries); None carries the current manifest's stats forward
+        # (truncate publishes {} → stats empty; replaced leaves vanish)
+        if tag_stats is None:
+            tag_stats = self._manifest().get("tag_stats", {})
+        live = {leaf for dirs in partitions.values() for leaf in dirs}
+        live_stats = {
+            leaf: tags for leaf, tags in tag_stats.items() if leaf in live
+        }
+        manifest = {
+            "version": new_version,
+            "partitions": partitions,
+            "tag_stats": live_stats,
+        }
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -291,6 +308,7 @@ class TsTable:
         *,
         lo_ms: int | None = None,
         hi_ms: int | None = None,
+        tag_eq: str | None = None,
     ) -> DataFrame:
         """Snapshot as ``(timestamp, tag, value)`` — the current version,
         or any retained historical version (time travel). Every commit
@@ -302,11 +320,28 @@ class TsTable:
         range are never added to the plan — no file listing, no scan, no
         union branch. The manifest is the engine's timestamp index (the
         scale analog of the reference's IntMap subtree pruning); callers
-        still apply the exact row-level filter to the survivors."""
+        still apply the exact row-level filter to the survivors.
+
+        ``tag_eq`` (r9) prunes on the manifest's per-leaf TAG STATS the
+        same way — the storage analog of the reference's TagIndex
+        (Model.hs:92): leaf dirs whose recorded tag set excludes the tag
+        never enter the plan. Leaves without stats (pre-r9 manifests, or
+        > TAG_STATS_MAX distinct tags) are conservatively kept; callers
+        still apply the exact row-level tag filter."""
         manifest = (
             self._manifest() if version is None else self._resolve_manifest(version)
         )
         partitions = manifest["partitions"]
+        if tag_eq is not None:
+            stats = manifest.get("tag_stats", {})
+            partitions = {}
+            for dt, dirs in manifest["partitions"].items():
+                keep = [
+                    r for r in dirs
+                    if stats.get(r) is None or tag_eq in stats[r]
+                ]
+                if keep:
+                    partitions[dt] = keep
         only: set[str] | None = None
         if lo_ms is not None or hi_ms is not None:
             import datetime as _dt
@@ -327,12 +362,26 @@ class TsTable:
 
     # ---------- write path ----------
 
-    def _write_commit(self, df: DataFrame) -> tuple[str, dict[str, list[str]]]:
+    #: Per-leaf tag-set stats cap: a leaf with more distinct tags than
+    #: this stores None (unknown — never pruned). Keeps manifests small
+    #: under high-cardinality tags while indexing the common case.
+    TAG_STATS_MAX = 64
+
+    def _write_commit(
+        self, df: DataFrame
+    ) -> tuple[str, dict[str, list[str]], dict[str, list[str] | None]]:
         """Stage ``df`` as a new commit dir; returns (commit_name,
-        {dt: [relative leaf dir]}). Data is hash-distributed by dt and
-        sorted by (tag, timestamp) within files so parquet row-group
-        stats cluster tags — the storage-side analog of the reference's
-        composite TagIndex (Model.hs:92)."""
+        {dt: [relative leaf dir]}, {relative leaf dir: sorted tag list
+        or None}). Data is hash-distributed by dt and sorted by
+        (tag, timestamp) within files so parquet row-group stats cluster
+        tags; the per-leaf tag sets go into the manifest as the
+        MANIFEST-level tag index (r9) — the storage-side analog of the
+        reference's composite TagIndex (Model.hs:92): a tagEq read
+        prunes whole leaf dirs before any file is listed. Stats are
+        aggregated from the files just written (two columns, freshly
+        cached by the OS), never by re-evaluating ``df`` — arbitrary
+        input plans must stay single-evaluation (the expire() lesson,
+        ADVICE r8)."""
         name = f"c{self.version() + 1:010d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, "commits", name)
         (
@@ -346,7 +395,22 @@ class TsTable:
         for entry in os.listdir(out_dir):
             if entry.startswith("dt="):
                 parts[entry[3:]] = [f"{name}/{entry}"]
-        return name, parts
+        stats: dict[str, list[str] | None] = {}
+        if parts:
+            rows = (
+                self.spark.read.option("basePath", out_dir)
+                .parquet(out_dir)
+                .groupBy(F.col("dt").cast("string").alias("dt"))
+                .agg(F.collect_set("tag").alias("tags"))
+                .collect()
+            )
+            for r in rows:
+                leaf = parts[r["dt"]][0]
+                tags = r["tags"]
+                stats[leaf] = (
+                    sorted(tags) if len(tags) <= self.TAG_STATS_MAX else None
+                )
+        return name, parts, stats
 
     def _batch_dts(self, batch: DataFrame) -> set[str]:
         rows = _with_dt(batch).select("dt").distinct().collect()
@@ -443,12 +507,14 @@ class TsTable:
         ]
         if errors:
             raise DmlError(errors)
-        _, new_parts = self._write_commit(batch)
+        _, new_parts, new_stats = self._write_commit(batch)
         merged = {dt: list(dirs) for dt, dirs in manifest.items()}
         for dt, dirs in new_parts.items():
             merged.setdefault(dt, [])
             merged[dt] = merged[dt] + dirs
-        self._publish(merged, base)
+        self._publish(
+            merged, base, {**self._manifest().get("tag_stats", {}), **new_stats}
+        )
         self._maybe_auto_compact()
 
     def _rewrite_partitions(self, touched: set[str], new_data: DataFrame) -> None:
@@ -456,11 +522,11 @@ class TsTable:
         are replaced by ``new_data`` (other partitions untouched)."""
         m = self._manifest()
         manifest, base = m["partitions"], m["version"]
-        _, new_parts = self._write_commit(new_data)
+        _, new_parts, new_stats = self._write_commit(new_data)
         merged = {dt: list(dirs) for dt, dirs in manifest.items() if dt not in touched}
         for dt, dirs in new_parts.items():
             merged[dt] = dirs
-        self._publish(merged, base)
+        self._publish(merged, base, {**m.get("tag_stats", {}), **new_stats})
         self._maybe_auto_compact()
 
     def _check_dups_and_missing(
@@ -593,9 +659,14 @@ class TsTable:
             # partition map decide — a fully-expired boundary day yields
             # an empty map (plus one unreferenced commit dir, which
             # vacuum() reclaims with the other dropped files)
-            _, new_parts = self._write_commit(keep)
+            _, new_parts, new_stats = self._write_commit(keep)
             for dt, dirs in new_parts.items():
                 merged[dt] = dirs
+            self._publish(
+                merged, base, {**m.get("tag_stats", {}), **new_stats}
+            )
+            self._maybe_auto_compact()
+            return
         self._publish(merged, base)
         self._maybe_auto_compact()
 
@@ -646,7 +717,10 @@ class TsTable:
         window."""
         current = self.version()
         manifest = self._resolve_manifest(version)
-        self._publish(manifest["partitions"], current)
+        # carry the RESTORED manifest's tag stats, not the current one's
+        self._publish(
+            manifest["partitions"], current, manifest.get("tag_stats", {})
+        )
         # a pre-compaction manifest can reference many commit dirs;
         # maintain the live-commit ceiling like every other write path
         self._maybe_auto_compact()
@@ -737,8 +811,8 @@ class TsTable:
         manifest = self._manifest()["partitions"]
         if not manifest:
             return
-        _, new_parts = self._write_commit(snapshot)
-        self._publish(new_parts, base)
+        _, new_parts, new_stats = self._write_commit(snapshot)
+        self._publish(new_parts, base, new_stats)
 
     def vacuum(self, retain_versions: int = 0) -> None:
         """Remove commit dirs (and manifests) not referenced by the
