@@ -465,9 +465,11 @@ def test_incremental_rollup_matches_rescan(table, spark):
     """Materialized-view maintenance: applying the version change feed to
     a rollup_state must equal re-aggregating the new snapshot from
     scratch — across insert, update, and delete batches, including a
-    group fully deleted, a group newly created, and sub-4th-decimal
-    values whose rounding would compound if increments differenced the
-    ROUNDED total (code-review r8)."""
+    group fully deleted, a group newly created, sub-4th-decimal values
+    whose rounding would compound if increments differenced the ROUNDED
+    total (code-review r8), and (r9) maintained MIN/MAX: the update
+    below removes a group's extremum, forcing the targeted group
+    rescan, while inserts fold monotonically."""
     from timeseries_db_spark.operators.rollup import (
         rollup_increment,
         rollup_state,
@@ -477,7 +479,9 @@ def test_incremental_rollup_matches_rescan(table, spark):
 
     def as_map(df):
         return {
-            (r["window_start"], r["tag"]): (r["cnt"], r["total"])
+            (r["window_start"], r["tag"]): (
+                r["cnt"], r["total"], r["vmin"], r["vmax"],
+            )
             for r in df.collect()
         }
 
@@ -502,16 +506,26 @@ def test_incremental_rollup_matches_rescan(table, spark):
     )
     v3 = table.version()
 
-    incr = rollup_increment(mat, table.changes(v0, v3), window_ms=W)
+    incr = rollup_increment(
+        mat, table.changes(v0, v3), window_ms=W, snapshot=table.read(v3)
+    )
     expected = rollup_state(table.read(v3), window_ms=W)
     assert as_map(incr) == as_map(expected)
     # the tiny group proves exactness: 0.00004 + 0.00004 rounds to 0.0001
-    tiny = [v for (ws, tag), v in as_map(incr).items() if tag == "tiny"]
+    tiny = [v[:2] for (ws, tag), v in as_map(incr).items() if tag == "tiny"]
     assert tiny == [(2.0, 0.0001)]
+    # the day-1 munich group's extremum moved: the update replaced value
+    # 3.0 (the max) with -2.5 (the new min) — one leg folds
+    # monotonically, the other takes the targeted rescan path
+    w0 = (T0 // W) * W
+    assert as_map(incr)[(w0, "munich")][2:] == (-2.5, 1.0)
     # and incrementally step-by-step too (feed composition)
     step = mat
     for v in range(v0, v3):
-        step = rollup_increment(step, table.changes(v, v + 1), window_ms=W)
+        step = rollup_increment(
+            step, table.changes(v, v + 1), window_ms=W,
+            snapshot=table.read(v + 1),
+        )
     assert as_map(step) == as_map(expected)
     # the existing-groups leg is a broadcast join over the view, never a
     # shuffle of it (the full-outer broadcast hint Spark drops — r8)

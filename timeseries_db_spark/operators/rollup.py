@@ -330,13 +330,16 @@ def window_rollup_sliding_events_sql(
 
 
 def rollup_state(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
-    """(window_start, tag, cnt, total, total_dec) — the MAINTAINABLE
-    materialized rollup: ``total_dec`` is the exact DECIMAL(38,10) sum
-    the increments difference against; ``total`` is its rounded display
-    twin. Differencing against an already-rounded total compounds the
-    rounding of every prior increment (a group of 0.00004s stays 0.0
-    forever while a rescan says 0.0001 — code-review r8), so the exact
-    column is part of the state, not an implementation detail."""
+    """(window_start, tag, cnt, total, total_dec, vmin, vmax) — the
+    MAINTAINABLE materialized rollup: ``total_dec`` is the exact
+    DECIMAL(38,10) sum the increments difference against; ``total`` is
+    its rounded display twin. Differencing against an already-rounded
+    total compounds the rounding of every prior increment (a group of
+    0.00004s stays 0.0 forever while a rescan says 0.0001 — code-review
+    r8), so the exact column is part of the state, not an implementation
+    detail. ``vmin``/``vmax`` (r9) are maintained incrementally for
+    inserts and by TARGETED group rescans when a delete/update removes a
+    possibly-extremal value — see :func:`rollup_increment`."""
     from timeseries_db_spark.functions.numeric import duck_div
 
     return (
@@ -349,6 +352,8 @@ def rollup_state(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("double").alias("cnt"),
             F.sum(F.col("value").cast("decimal(38,10)")).alias("total_dec"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
         )
         .select(
             "window_start",
@@ -356,12 +361,17 @@ def rollup_state(tsdb: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
             "cnt",
             F.round(F.col("total_dec"), 4).cast("double").alias("total"),
             "total_dec",
+            "vmin",
+            "vmax",
         )
     )
 
 
 def rollup_increment(
-    current: DataFrame, changes: DataFrame, window_ms: int = 3_600_000
+    current: DataFrame,
+    changes: DataFrame,
+    window_ms: int = 3_600_000,
+    snapshot: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a :func:`rollup_state` frame from a
     :meth:`~timeseries_db_spark.operators.dml.TsTable.changes` feed —
@@ -377,17 +387,36 @@ def rollup_increment(
     Cost per increment: one map-only pass over the view + a key-
     projected join of the delta.
 
-    Count and sum are the self-maintainable aggregates (min/max are not
-    — a delete of the current extremum needs a group rescan). Deltas
+    Count and sum are the self-maintainable aggregates. Deltas
     accumulate in DECIMAL against ``total_dec``, so the maintained
     state is exactly a from-scratch :func:`rollup_state` at the new
-    version (pytest-pinned, sub-4th-decimal values included)."""
+    version (pytest-pinned, sub-4th-decimal values included).
+
+    MIN/MAX (r9) are maintained with the textbook mixed strategy:
+    inserted/updated-in values fold monotonically
+    (``least``/``greatest`` — always safe), while a change that REMOVES
+    a possibly-extremal value (``value_before ≤ vmin`` or
+    ``≥ vmax``) marks the group for a TARGETED RESCAN against
+    ``snapshot`` (the table at the new version) — only the marked
+    groups are re-aggregated, joined back by key. Pass ``snapshot``
+    whenever the state carries ``vmin``/``vmax``; it is read lazily and
+    only the marked groups' windows survive its filter, so the common
+    insert-heavy increment never scans the table at all (the plan
+    contains the rescan subtree only when deletes/updates invalidate an
+    extremum — and even then prunes to the affected windows)."""
     from timeseries_db_spark.functions.numeric import duck_div
 
     if "total_dec" not in current.columns:
         raise ValueError(
             "rollup_increment maintains rollup_state frames (needs the "
             "exact total_dec column); build the base with rollup_state()"
+        )
+    with_minmax = "vmin" in current.columns
+    if with_minmax and snapshot is None:
+        raise ValueError(
+            "state carries vmin/vmax: pass snapshot= (the table at the "
+            "new version) so extremum-invalidating changes can rescan "
+            "their groups"
         )
     win = (duck_div(F.col("timestamp"), window_ms) * window_ms).alias(
         "window_start"
@@ -396,6 +425,8 @@ def rollup_increment(
         changes.select(
             win,
             "tag",
+            "value_before",
+            "value_after",
             (
                 F.coalesce(F.col("value_after").cast("decimal(38,10)"), F.lit(0))
                 - F.coalesce(
@@ -409,10 +440,41 @@ def rollup_increment(
             ).alias("_dn"),
         )
         .groupBy("window_start", "tag")
-        .agg(F.sum("_dv").alias("_dv"), F.sum("_dn").alias("_dn"))
+        .agg(
+            F.sum("_dv").alias("_dv"),
+            F.sum("_dn").alias("_dn"),
+            F.min("value_after").alias("_in_min"),
+            F.max("value_after").alias("_in_max"),
+            F.min("value_before").alias("_out_min"),
+            F.max("value_before").alias("_out_max"),
+        )
     )
     keys = ["window_start", "tag"]
     dec0 = F.lit(0).cast("decimal(38,10)")
+    minmax_cols = (
+        [
+            # monotone fold of arriving values; a removed value at-or-
+            # beyond the current extremum poisons the column to NULL,
+            # which the rescan join below repairs (least/greatest skip
+            # NULL inputs, so the poison must be explicit)
+            F.when(
+                F.col("_out_min").isNotNull()
+                & (F.col("_out_min") <= F.col("vmin")),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.least("vmin", "_in_min"))
+            .alias("vmin"),
+            F.when(
+                F.col("_out_max").isNotNull()
+                & (F.col("_out_max") >= F.col("vmax")),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.greatest("vmax", "_in_max"))
+            .alias("vmax"),
+        ]
+        if with_minmax
+        else []
+    )
     existing = (
         current.join(F.broadcast(delta), on=keys, how="left")
         .select(
@@ -423,6 +485,7 @@ def rollup_increment(
             (
                 F.col("total_dec") + F.coalesce(F.col("_dv"), dec0)
             ).alias("total_dec"),
+            *minmax_cols,
         )
     )
     fresh = (
@@ -431,17 +494,52 @@ def rollup_increment(
             *keys,
             F.col("_dn").cast("double").alias("cnt"),
             F.col("_dv").cast("decimal(38,10)").alias("total_dec"),
+            *(
+                [F.col("_in_min").alias("vmin"), F.col("_in_max").alias("vmax")]
+                if with_minmax
+                else []
+            ),
         )
     )
-    return (
-        existing.unionByName(fresh)
-        .filter(F.col("cnt") > 0)
-        .select(
+    out = existing.unionByName(fresh).filter(F.col("cnt") > 0)
+    if with_minmax:
+        # targeted rescan: re-aggregate ONLY the poisoned groups from
+        # the snapshot. The poisoned-key set comes from the DELTA-sized
+        # inner join (not from `out`, which would re-scan the whole
+        # view), and the broadcast semi-join keys the snapshot scan.
+        poisoned = (
+            current.join(F.broadcast(delta), on=keys)
+            .filter(
+                (
+                    F.col("_out_min").isNotNull()
+                    & (F.col("_out_min") <= F.col("vmin"))
+                )
+                | (
+                    F.col("_out_max").isNotNull()
+                    & (F.col("_out_max") >= F.col("vmax"))
+                )
+            )
+            .select(*keys)
+        )
+        rescan = (
+            snapshot.select(win, "tag", "value")
+            .join(F.broadcast(poisoned), on=keys)
+            .groupBy(*keys)
+            .agg(F.min("value").alias("_r_min"), F.max("value").alias("_r_max"))
+        )
+        out = out.join(F.broadcast(rescan), on=keys, how="left").select(
             *keys,
             "cnt",
-            F.round(F.col("total_dec"), 4).cast("double").alias("total"),
             "total_dec",
+            F.coalesce("vmin", "_r_min").alias("vmin"),
+            F.coalesce("vmax", "_r_max").alias("vmax"),
         )
+    return out.select(
+        *keys,
+        "cnt",
+        F.round(F.col("total_dec"), 4).cast("double").alias("total"),
+        "total_dec",
+        *(["vmin", "vmax"] if with_minmax else []),
     )
 
 

@@ -89,18 +89,23 @@ def _incr_rollup_leg(spark: SparkSession) -> DataFrame:
     versions.append(table.version())
     state = rollup.rollup_state(table.read(versions[0]), window_ms=_INCR_W_MS)
     for va, vb in zip(versions, versions[1:]):
+        # r9: min/max ride the maintained state too — the full-delete
+        # and the extremum-removing update above exercise the targeted
+        # group-rescan path against the per-version snapshot
         state = rollup.rollup_increment(
-            state, table.changes(va, vb), window_ms=_INCR_W_MS
+            state,
+            table.changes(va, vb),
+            window_ms=_INCR_W_MS,
+            snapshot=table.read(vb),
         )
-    null_d = F.lit(None).cast("double")
     return state.select(
         "window_start",
         "tag",
         "cnt",
         "total",
-        null_d.alias("vavg"),
-        null_d.alias("vmin"),
-        null_d.alias("vmax"),
+        F.lit(None).cast("double").alias("vavg"),
+        "vmin",
+        "vmax",
         F.lit("incr").alias("kind"),
     )
 
@@ -114,8 +119,8 @@ def _incr_rollup_sql() -> str:
                CAST(count(*) AS DOUBLE) AS cnt,
                round(sum(value::DECIMAL(38,10)), 4)::DOUBLE AS total,
                CAST(NULL AS DOUBLE) AS vavg,
-               CAST(NULL AS DOUBLE) AS vmin,
-               CAST(NULL AS DOUBLE) AS vmax,
+               min(value) AS vmin,
+               max(value) AS vmax,
                'incr' AS kind
         FROM (
             SELECT "timestamp", tag,
