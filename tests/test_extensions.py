@@ -479,6 +479,37 @@ def test_pq_adc_exact_integer_pipeline_and_recall(spark, emb):
         )
         assert row["dist"] == expect, (row, expect)
 
+    # the standing-index shape (materialized codes + encoded=True ADC)
+    # must emit the same winners as the fused single-pass path
+    enc_bc = spark.sparkContext.broadcast((donor_ids, dmat))
+    encoded = emb.select("vec_id", "embedding").mapInPandas(
+        S._pq_encode_fn(enc_bc, m), schema="vec_id long, codes array<long>"
+    )
+    donor_row_arr = np.full(int(donor_ids.max()) + 1, -1, dtype=np.int64)
+    donor_row_arr[donor_ids] = np.arange(len(donor_ids))
+    qmat = np.stack(
+        [by_id[int(i)] for i in ids if i % 100 == 0]
+    )
+    qids_arr = np.array([int(i) for i in ids if i % 100 == 0])
+    qtabs = np.stack([sub_d6(q).T for q in qmat])
+    adc_bc = spark.sparkContext.broadcast(
+        (qids_arr, qtabs, donor_row_arr, None)
+    )
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("nid"))
+    standing = (
+        encoded.mapInPandas(
+            S._pq_adc_fn(adc_bc, 5), schema="qid long, nid long, dist long"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .drop("rn")
+    )
+    assert sorted(map(tuple, standing.collect())) == sorted(
+        (r["qid"], r["nid"], r["dist"]) for r in got
+    )
+
     # recall floor vs exact L2
     pairs = {(r["qid"], r["nid"]) for r in got}
     hits = total = 0

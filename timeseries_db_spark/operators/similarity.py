@@ -783,32 +783,46 @@ def _pq_encode_fn(bc, m: int):
     return gen
 
 
-def _pq_adc_fn(bc, k: int):
-    """mapInPandas kernel over ENCODED corpus rows: asymmetric distance
-    (sum of the query's precomputed integer subdistance table entries at
-    the row's codes) for every broadcast query; per-shard k-smallest
-    under the global (dist ASC, nid ASC) order."""
+def _pq_adc_fn(bc, k: int, *, encoded: bool = True):
+    """mapInPandas kernel: asymmetric distance (sum of the query's
+    precomputed integer subdistance table entries at the row's codes)
+    for every broadcast query; per-shard k-smallest under the global
+    (dist ASC, nid ASC) order. With ``encoded=False`` the batch carries
+    raw embeddings and the kernel encodes INLINE (one corpus pass for
+    the encode-and-query-now shape instead of two Python stages; a
+    standing compressed index materializes :func:`_pq_encode_fn`'s
+    output once and queries it with ``encoded=True``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, qtabs, donor_index = bc.value  # qtabs: (nq, m, ksub) int64
+        qids, qtabs, donor_index, enc = bc.value  # qtabs: (nq, m, ksub)
         nq, m, _ = qtabs.shape
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.stack(pdf["codes"].to_numpy())  # (n, m) donor ids
-            idx = donor_index[codes]  # donor id -> codebook row
+            if encoded:
+                codes = np.stack(pdf["codes"].to_numpy())  # (n, m) ids
+                idx = donor_index[codes]  # donor id -> codebook row
+            else:
+                donor_ids, dcube = enc
+                vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n, sub = len(pdf), dcube.shape[2]
+                idx = np.empty((n, m), dtype=np.int64)
+                for r in range(n):
+                    v = vecs[r].reshape(1, m, sub)
+                    d6 = _pq_term_ints(v, dcube).sum(axis=2)  # (ksub, m)
+                    idx[r] = np.argmin(d6, axis=0)  # row == id rank
             nids = pdf["vec_id"].to_numpy()
             rows = {"qid": [], "nid": [], "dist": []}
             for qi in range(nq):
                 dist = qtabs[qi][np.arange(m)[None, :], idx].sum(axis=1)
                 mask = nids != qids[qi]
-                d, n = dist[mask], nids[mask]
-                take = min(k, len(n))
+                d, n2 = dist[mask], nids[mask]
+                take = min(k, len(n2))
                 if not take:
                     continue
-                part = np.lexsort((n, d))[:take]
+                part = np.lexsort((n2, d))[:take]
                 rows["qid"] += [qids[qi]] * take
-                rows["nid"] += list(n[part])
+                rows["nid"] += list(n2[part])
                 rows["dist"] += list(d[part])
             yield pd.DataFrame(rows).astype(
                 {"qid": "int64", "nid": "int64", "dist": "int64"}
@@ -835,10 +849,11 @@ def ann_topk_pq(
     query time. Output (qid, nid, dist) ranked (dist ASC, nid ASC).
 
     Scale: the codebook (ksub rows) and the query tables (|Q|·m·ksub
-    ints) broadcast; the corpus streams map-only through encode and
-    ADC with per-shard top-k, one exchange to merge shard winners —
-    the :func:`cosine_topk` shape over 8-byte codes instead of raw
-    vectors."""
+    ints) broadcast; the corpus streams map-only through ONE fused
+    encode+ADC pass with per-shard top-k, one exchange to merge shard
+    winners — the :func:`cosine_topk` shape over 8-byte codes instead
+    of raw vectors (a standing index would materialize
+    :func:`_pq_encode_fn` once and query it repeatedly)."""
     donor_df = pq_codebook(corpus, ksub)
     pdf = donor_df.select("vec_id", "embedding").toPandas()
     if not len(pdf):
@@ -849,10 +864,6 @@ def ann_topk_pq(
     dim = donor_mat.shape[1]
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
-    enc_bc = spark.sparkContext.broadcast((donor_ids, donor_mat))
-    encoded = corpus.select("vec_id", "embedding").mapInPandas(
-        _pq_encode_fn(enc_bc, m), schema="vec_id long, codes array<long>"
-    )
 
     qpdf = queries.select("vec_id", "embedding").toPandas()
     qids = qpdf["vec_id"].to_numpy()
@@ -867,9 +878,12 @@ def ann_topk_pq(
     )
     donor_index = np.full(int(donor_ids.max()) + 1, -1, dtype=np.int64)
     donor_index[donor_ids] = np.arange(len(donor_ids))
-    adc_bc = spark.sparkContext.broadcast((qids, qtabs, donor_index))
-    winners = encoded.mapInPandas(
-        _pq_adc_fn(adc_bc, k), schema="qid long, nid long, dist long"
+    adc_bc = spark.sparkContext.broadcast(
+        (qids, qtabs, donor_index, (donor_ids, dcube))
+    )
+    winners = corpus.select("vec_id", "embedding").mapInPandas(
+        _pq_adc_fn(adc_bc, k, encoded=False),
+        schema="qid long, nid long, dist long",
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
     return (
