@@ -334,6 +334,32 @@ def _sasof_leg(spark: SparkSession, base: str) -> DataFrame:
     )
 
 
+# r9 ssj leg: the stream-stream time-bounded inner join
+# (streaming/joins.py:enrich_with_alerts) was the last streaming
+# operator without a driver row. Both streams read the REAL events
+# fixture (alerts = value > 90); inner-join rows emit as matched, so the
+# drained result equals the batch theta join exactly — the closed-form
+# oracle below. Tolerance matches the pytest (5 min, same tag).
+SSJ_TOLERANCE_MS = 300_000
+
+
+def _ssj_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    from timeseries_db_spark.streaming.ingest import read_events_stream
+
+    glob = os.path.join(sf_dir, "events.parquet")
+    events = read_events_stream(spark, glob)
+    alerts = read_events_stream(spark, glob).filter("value > 90")
+    from timeseries_db_spark.streaming.joins import enrich_with_alerts
+
+    out = enrich_with_alerts(events, alerts)
+    joined = _run_to_memory(out, os.path.join(base, "ssj_ckpt"))
+    return joined.select(
+        "timestamp",
+        F.lit("ssj").alias("tag"),
+        F.col("alert_ts").cast("double").alias("value"),
+    )
+
+
 def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-micro-batch ingest run landing in a scratch TsTable; returns
     the final table snapshot. b0 = 1,200 keys + 100 same-value
@@ -386,9 +412,14 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r9 sasof leg: the streaming as-of enrichment, tag 'sasof',
         # value = the joined reference rate (closed-form oracle)
         sasof = _sasof_leg(spark, base)
+        # r9 ssj leg: stream-stream time-bounded join over the real
+        # events fixture, tag 'ssj', value = the joined alert timestamp
+        ssj = _ssj_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return table.read().unionByName(corpus).unionByName(sasof)
+    return (
+        table.read().unionByName(corpus).unionByName(sasof).unionByName(ssj)
+    )
 
 
 def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
@@ -461,6 +492,19 @@ def stream_ingest_dedup_sql() -> str:
                CAST(1 + 10 * (3 * (((i * {SASOF_STEP_MS}) // {SASOF_HOUR_MS}) // 3))
                       + i % 4 AS DOUBLE) AS value
         FROM range({SASOF_N}) r(i)
+        UNION ALL
+        -- ssj: every event joined to same-tag alerts (value > 90)
+        -- at-or-before it within the tolerance — the batch theta twin
+        -- of the stream-stream join
+        SELECT e."timestamp", 'ssj' AS tag,
+               CAST(a."timestamp" AS DOUBLE) AS value
+        FROM (SELECT epoch_ms(ts) AS "timestamp", event_type AS tag
+              FROM events) e
+        JOIN (SELECT epoch_ms(ts) AS "timestamp", event_type AS tag
+              FROM events WHERE value > 90) a
+          ON a.tag = e.tag
+         AND a."timestamp" >= e."timestamp" - {SSJ_TOLERANCE_MS}
+         AND a."timestamp" <= e."timestamp"
     """
 
 
