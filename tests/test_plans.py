@@ -395,3 +395,63 @@ def test_seasonal_zscore_plan_broadcast_moments(spark, sf_dir):
     assert len(_nodes(plan, "BroadcastHashJoin")) == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert len(_nodes(plan, "Window")) == 0, plan
+
+
+def test_pq_plan_single_python_stage_no_join(spark, sf_dir):
+    """r9 PQ/ADC: the fused path streams the corpus through EXACTLY ONE
+    Arrow-batched Python stage (encode+ADC per shard) and merges shard
+    winners with one window — no join touches the corpus, no second
+    Python pass (the pre-fuse shape), no cartesian."""
+    from timeseries_db_spark.operators.similarity import ann_topk_pq
+    from timeseries_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _formatted_plan(
+        spark, ann_topk_pq(spark, emb.filter("vec_id % 100 = 0"), emb, 5)
+    )
+    assert len(_nodes(plan, "MapInPandas")) == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    assert len(_nodes(plan, "Window")) == 1, plan
+
+
+def test_pagerank_plan_no_cartesian_bounded_joins(spark):
+    """r9 PageRank: each round is keyed equi-joins + one grouped sum —
+    never a cartesian/nested-loop, never a window."""
+    from timeseries_db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    plan = _formatted_plan(spark, pagerank(edges, iters=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(_nodes(plan, "Window")) == 0, plan
+
+
+def test_rollup_increment_plan_broadcasts_delta_and_keys_rescan(spark, sf_dir):
+    """r9 min/max maintenance: the view side stays a BROADCAST join of
+    the tiny delta (never a shuffle of the view — the dropped-hint
+    regression of r8), and the snapshot rescan subtree is keyed by a
+    broadcast semi of the poisoned groups, so no unkeyed snapshot scan
+    reaches the plan."""
+    from timeseries_db_spark.operators.rollup import (
+        rollup_increment,
+        rollup_state,
+    )
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    t = events_as_tsdb(spark, sf_dir)
+    state = rollup_state(t, window_ms=3_600_000)
+    changes = spark.createDataFrame(
+        [(1_704_067_200_000, "view", 1.0, None)],
+        "timestamp long, tag string, value_before double, value_after double",
+    )
+    plan = _formatted_plan(
+        spark,
+        rollup_increment(state, changes, window_ms=3_600_000, snapshot=t),
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(_nodes(plan, "BroadcastHashJoin")) >= 3, plan
