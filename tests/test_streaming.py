@@ -540,6 +540,24 @@ def test_corpus_ingest_seen_read_partition_prunes_to_buckets(spark, tmp_path):
     assert pruned.count() == expected
 
 
+def test_corpus_ingest_all_null_batch_publishes_and_prunes_safely(spark, tmp_path):
+    """NULL-text docs carry no signature: an ALL-NULL batch produces an
+    EMPTY bucket set against a non-empty seen index (the pruned read
+    filters on an empty IN-list) and must publish unconditionally
+    without disturbing later dedup decisions."""
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ci.process_corpus_batch(mk([(0, "alpha beta gamma delta epsilon")]), 0, out)
+    ci.process_corpus_batch(mk([(1, None), (2, None)]), 1, out)
+    ci.process_corpus_batch(
+        mk([(3, "alpha beta gamma delta epsilon"), (4, None)]), 2, out
+    )
+    pub = sorted(r["doc_id"] for r in ci.read_published(spark, out).collect())
+    assert pub == [0, 1, 2, 4]  # 3 suppressed by 0; every NULL publishes
+
+
 def test_corpus_ingest_compaction_crash_never_loses_history(spark, tmp_path):
     """ADVICE r8: no crash point in the compaction may lose absorbed
     history. Both windows, simulated directly:

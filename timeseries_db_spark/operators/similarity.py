@@ -866,6 +866,8 @@ def ann_topk_pq(
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
 
     qpdf = queries.select("vec_id", "embedding").toPandas()
+    if not len(qpdf):  # no queries → no winners (np.stack needs >= 1)
+        return spark.createDataFrame([], "qid long, nid long, dist long")
     qids = qpdf["vec_id"].to_numpy()
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     sub = dim // m
