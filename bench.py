@@ -123,7 +123,9 @@ HEADLINE = [
 
 N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 
-# r9 leg added to a headline entry: ann_topk_ivf += pq (product-
+# r9 legs added to headline entries: derivatives_by_tag += ewma (dyadic
+# alpha=1/2 exponential smoothing — one more per-tag window with a
+# bounded 40-row frame + a JVM fold), and ann_topk_ivf += pq (product-
 # quantization ADC top-k — codebook collect + map-only integer encode +
 # table-lookup ADC with per-shard top-k), so its r9 column covers
 # strictly more work than r8's same-named column.

@@ -360,3 +360,41 @@ def test_seasonal_zscore_catches_what_global_misses(spark, tmp_path):
     assert anom not in g_flagged
     # and the planted regular points are NOT seasonal anomalies
     assert all(v == 40.0 for _, v in s_flagged)
+
+
+def test_ewma_dyadic_matches_python_replay_and_halves(spark):
+    """r9 dyadic EWMA: the windowed shift-divide fold must equal a
+    pure-Python integer replay exactly (the bit-exactness claim), the
+    newest point must carry weight 1/2 (a constant series smooths to
+    value·(1 − 2⁻ⁿ) micro-units), and negative values truncate toward
+    zero like DuckDB's ``//``."""
+    from timeseries_db_spark.operators.analytics import EWMA_FP, ewma_dyadic
+
+    rows = [
+        (1_000 * i, "a", v)
+        for i, v in enumerate([10.0, 2.5, -3.75, 0.00004, 7.0, 7.0, 7.0])
+    ] + [(1_000 * i, "b", 5.0) for i in range(45)]  # > 40 lags: truncated tail
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    got = {
+        (r["tag"], r["timestamp"]): r["ewma_fp"]
+        for r in ewma_dyadic(df).collect()
+    }
+
+    hist: dict = {}
+    for ts, tag, v in sorted(rows):
+        x6 = round(v * EWMA_FP)
+        h = hist.setdefault(tag, [])
+        h.append(x6)
+        frame = h[-40:]
+        n = len(frame)
+
+        def trunc_div(a, s):  # DuckDB //: toward zero
+            q = abs(a) >> s
+            return q if a >= 0 else -q
+
+        expect = sum(trunc_div(x, n - i) for i, x in enumerate(frame))
+        assert got[(tag, ts)] == expect, (tag, ts, got[(tag, ts)], expect)
+    # a constant series saturates at value * (1 - 2^-n) micro-units
+    assert got[("b", 44_000)] == sum(
+        trunc_div(5 * EWMA_FP, s) for s in range(1, 41)
+    )

@@ -540,3 +540,79 @@ def seasonal_zscore_outliers_sql(table_sql: str, threshold: float = 2.5) -> str:
         FROM t JOIN m ON t.tag = m.tag AND t.hod = m.hod
         WHERE m.sd > 0 AND abs((t.value - m.mean) / m.sd) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (dyadic EWMA) — r9
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 40
+EWMA_FP = 1_000_000
+
+
+def ewma_dyadic(tsdb: DataFrame, lags: int = EWMA_LAGS) -> DataFrame:
+    """(timestamp, tag, value, ewma_fp) — trailing exponentially-
+    weighted moving average with α = 1/2 over the last ``lags`` points
+    per tag: ``ewma = Σ_i x_{t-i} / 2^(i+1)`` (weights 1/2, 1/4, …; the
+    classic smoothing/forecasting primitive of the reference's
+    time-series domain, in its truncated-window form).
+
+    Engine-exactness: α = 1/2 makes every weight a POWER OF TWO, so
+    after quantizing each point to micro-units
+    (``x6 = round(value·1e6)``), each term is an integer shift-divide
+    and the sum is pure BIGINT arithmetic — order-independent and
+    bit-identical in DuckDB, like the LM scorer / PQ / PageRank
+    fixed-point family. ``ewma_fp`` is the result in micro-units
+    (divide by 1e6 for display); the truncated tail means weights sum
+    to 1 − 2⁻ⁿ rather than 1 — documented semantics, not drift.
+
+    Scale: one window (the same per-tag shuffle every lag-based
+    operator pays) with a bounded ``lags``-row frame; the fold over the
+    collected frame is a JVM higher-order function — no Python, no
+    second pass. Ties on (timestamp) order by the quantized value so
+    the frame content is deterministic (identical rows are
+    interchangeable)."""
+    x6 = F.expr(f"CAST(round(value * {EWMA_FP}) AS BIGINT)")
+    w = (
+        Window.partitionBy("tag")
+        .orderBy("timestamp", "x6")
+        .rowsBetween(-(lags - 1), 0)
+    )
+    frame = F.collect_list("x6").over(w)
+    # element i (0-based) of the frame (oldest first, newest last, n
+    # rows): weight 2^-(n - i) — shift-divide in exact integer math
+    ewma = F.expr(
+        "aggregate(transform(_frame, (x, i) -> "
+        "x div shiftleft(CAST(1 AS BIGINT), size(_frame) - i)), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return (
+        tsdb.select("timestamp", "tag", "value", x6.alias("x6"))
+        .withColumn("_frame", frame)
+        .select("timestamp", "tag", "value", ewma.alias("ewma_fp"))
+    )
+
+
+def ewma_dyadic_sql(table_sql: str, lags: int = EWMA_LAGS) -> str:
+    """DuckDB twin: same quantize → windowed list → shift-divide fold
+    (1-based lambda index: element i of n gets shift n − i + 1)."""
+    return f"""
+        WITH t AS (
+            SELECT "timestamp", tag, value,
+                   CAST(round(value * {EWMA_FP}) AS BIGINT) AS x6
+            FROM ({table_sql})
+        ),
+        fr AS (
+            SELECT "timestamp", tag, value,
+                   list(x6) OVER (
+                       PARTITION BY tag ORDER BY "timestamp", x6
+                       ROWS BETWEEN {lags - 1} PRECEDING AND CURRENT ROW
+                   ) AS frame
+            FROM t
+        )
+        SELECT "timestamp", tag, value,
+               list_sum(list_transform(frame, (x, i) ->
+                   x // (CAST(1 AS BIGINT) << (len(frame) - i + 1))
+               ))::BIGINT AS ewma_fp
+        FROM fr
+    """

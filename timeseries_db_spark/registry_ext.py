@@ -384,12 +384,23 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("z").alias("v1"),
             F.col("hod").cast("double").alias("v2"),
         )
+        # r9: dyadic EWMA (α = 1/2 exponential smoothing over the last
+        # 40 points) — all-integer shift-divide terms, so the smoothed
+        # series value-hashes exactly; v1 = micro-unit ewma, v2 = value
+        ewma = analytics.ewma_dyadic(t).select(
+            F.lit("ewma").alias("kind"),
+            "tag",
+            F.col("timestamp").alias("ts"),
+            F.col("ewma_fp").cast("double").alias("v1"),
+            F.col("value").alias("v2"),
+        )
         return (
             deltas.unionByName(deltas_sc)
             .unionByName(rates)
             .unionByName(zscores)
             .unionByName(rolls)
             .unionByName(szn)
+            .unionByName(ewma)
         )
 
     q["derivatives_by_tag"] = derivatives_by_tag
@@ -417,6 +428,10 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT 'szn' AS kind, tag, "timestamp" AS ts,
                z AS v1, CAST(hod AS DOUBLE) AS v2
         FROM ({analytics.seasonal_zscore_outliers_sql(EVENTS_T, threshold=2.5)})
+        UNION ALL
+        SELECT 'ewma' AS kind, tag, "timestamp" AS ts,
+               CAST(ewma_fp AS DOUBLE) AS v1, value AS v2
+        FROM ({analytics.ewma_dyadic_sql(EVENTS_T)})
     """
 
     # ---- OLAP extensions the reference lacks (SURVEY.md §2.6): rollup /
