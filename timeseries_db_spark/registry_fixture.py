@@ -62,8 +62,9 @@ def _fx_oracle(select: str, where: str = "", tail: str = "") -> str:
 
 
 def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 insert + W2 update + W3 delete + W4 truncate on a fresh
-    TsTable, then read the final snapshot. Seeded from the first 5,000
+    """W1 insert + W2 update + W3 delete + W4 truncate + W5 retention
+    expiry on a fresh TsTable, then read the final snapshot. Seeded from
+    the first 5,000
     fixture rows; inserts the next 1,000; updates all early-``Munich``
     values to 999; deletes all early-``Athens`` keys; then truncates and
     re-inserts the pre-truncate snapshot (r8 — VERDICT r7 item 3: W4 was
@@ -100,6 +101,11 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = table.read()
     table.truncate()
     table.insert(snapshot)
+    # r9: retention expiry joins the roundtrip — a MID-DAY cutoff, so
+    # the boundary-day partition rewrite runs (not just manifest edits);
+    # the oracle drops the same rows closed-form. Pytest keeps the
+    # whole-day manifest-only path pinned.
+    table.expire(BASE_TS + 500)
     return table.read()
 
 
@@ -110,6 +116,7 @@ DML_ROUNDTRIP_SQL = f"""
                 THEN 999.0 ELSE value END AS value
     FROM t
     WHERE NOT (tag = 'Athens' AND "timestamp" < {BASE_TS + 200})
+      AND "timestamp" >= {BASE_TS + 500}
 """
 
 
