@@ -1005,6 +1005,38 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
     ) == M.jpeg_decode(M.jpeg_encode(grad.tobytes(), 40, 24, 1))
 
 
+def test_jpeg_progressive_randomized_sweep_equals_baseline():
+    """Seeded stress over the refine-encoder bitstream corners the
+    hand-picked cases may miss: sparse spike images (16+ zero runs →
+    ZRL inside refinement scans), heavy quant tables (band-wide EOBn
+    runs carrying buffered correction bits), random quant, gray and
+    RGB, odd dims. Progressive and baseline encodings must decode
+    identically in every case."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(123)
+    for trial in range(10):
+        w = int(rng.integers(8, 60))
+        h = int(rng.integers(8, 40))
+        ch = int(rng.choice([1, 3]))
+        kind = trial % 3
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        elif kind == 1:  # flat + spikes: long zero runs in every band
+            img = np.full((h, w, ch), 128, np.uint8)
+            for _ in range(6):
+                img[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
+        else:  # near-flat content under heavy quant: t==1 refine cases
+            img = rng.integers(100, 160, (h, w, ch), dtype=np.uint8)
+        quant = (None, [1 + int(x) for x in rng.integers(0, 30, 64)],
+                 [1] + [120] * 63)[trial % 3]
+        p = M.jpeg_encode_progressive(img.tobytes(), w, h, ch, quant=quant)
+        b = M.jpeg_encode(img.tobytes(), w, h, ch, quant=quant)
+        assert M.jpeg_decode(p) == M.jpeg_decode(b), (trial, w, h, ch)
+
+
 def test_jpeg_uncovered_component_is_rejected():
     """Code-review r8 (updated r9: the multi-scan engine decodes
     non-interleaved files for real): a file whose scans never touch a
