@@ -398,3 +398,36 @@ def test_ewma_dyadic_matches_python_replay_and_halves(spark):
     assert got[("b", 44_000)] == sum(
         trunc_div(5 * EWMA_FP, s) for s in range(1, 41)
     )
+
+
+def test_mad_robust_where_stddev_is_poisoned(spark):
+    """r9 MAD: one wild value must leave the MAD (and the median)
+    essentially unmoved while it inflates the stddev arbitrarily — the
+    reason robust outlier detection exists; plus a closed-form check."""
+    from timeseries_db_spark.operators.analytics import mad_by_tag
+
+    base = [(1_000 * i, "a", float(10 + (i % 5))) for i in range(100)]
+    clean = spark.createDataFrame(
+        base, "timestamp long, tag string, value double"
+    )
+    poisoned = spark.createDataFrame(
+        base + [(999_000, "a", 1e9)],
+        "timestamp long, tag string, value double",
+    )
+    m_clean = mad_by_tag(clean).collect()[0]
+    m_pois = mad_by_tag(poisoned).collect()[0]
+    assert abs(m_clean["med"] - m_pois["med"]) <= 1.0
+    assert abs(m_clean["mad"] - m_pois["mad"]) <= 1.0
+    # while the stddev explodes by orders of magnitude
+    from pyspark.sql import functions as F
+
+    sd_clean = clean.agg(F.stddev("value")).first()[0]
+    sd_pois = poisoned.agg(F.stddev("value")).first()[0]
+    assert sd_pois > 1000 * sd_clean
+    # closed form on a tiny series: values 1..5 → med 3, |x-3| = {2,1,0,1,2} → mad 1
+    tiny = spark.createDataFrame(
+        [(i, "t", float(i + 1)) for i in range(5)],
+        "timestamp long, tag string, value double",
+    )
+    r = mad_by_tag(tiny).collect()[0]
+    assert (r["med"], r["mad"]) == (3.0, 1.0)

@@ -614,3 +614,48 @@ def ewma_dyadic_sql(table_sql: str, lags: int = EWMA_LAGS) -> str:
         FROM t
         WINDOW w AS (PARTITION BY tag ORDER BY "timestamp", x6)
     """
+
+
+def mad_by_tag(tsdb: DataFrame) -> DataFrame:
+    """(tag, med, mad) — median absolute deviation per tag: the ROBUST
+    scale statistic behind outlier detection that a single wild value
+    cannot poison (unlike the stddev the z-score legs use — one 1e9
+    reading inflates σ until nothing else flags). ``mad`` is the median
+    of ``|x − med|``; multiply by 1.4826 for a σ-consistent estimate.
+
+    Exactness: both medians are the same linearly-interpolated
+    percentile the gated exact-quantiles leg already proves equal to
+    DuckDB's ``quantile_cont``; ``|x − med|`` is a single subtract+abs —
+    identical IEEE ops both engines.
+
+    Scale: one group-median pass, then the tags-sized median table
+    broadcasts back for the deviation pass — two scans, no per-row
+    window; exact percentile sorts within each group like the exact
+    quantile leg (the mergeable-sketch alternative is the histogram
+    leg's territory)."""
+    med = tsdb.groupBy("tag").agg(F.percentile("value", 0.5).alias("med"))
+    return (
+        tsdb.join(F.broadcast(med), "tag")
+        .groupBy("tag")
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        )
+        .select(
+            "tag",
+            duck_round(F.col("med"), 4).alias("med"),
+            duck_round(F.col("mad"), 4).alias("mad"),
+        )
+    )
+
+
+def mad_by_tag_sql(table_sql: str) -> str:
+    return f"""
+        WITH t AS ({table_sql}),
+        m AS (SELECT tag, quantile_cont(value, 0.5) AS med FROM t GROUP BY tag)
+        SELECT t.tag,
+               round(m.med, 4) + 0.0 AS med,
+               round(quantile_cont(abs(t.value - m.med), 0.5), 4) + 0.0 AS mad
+        FROM t JOIN m ON t.tag = m.tag
+        GROUP BY t.tag, m.med
+    """

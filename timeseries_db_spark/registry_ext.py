@@ -292,7 +292,16 @@ def register_extensions(q: dict, o: dict) -> None:
             )
             .select("grp", "median", "p95", F.lit("hist").alias("kind"))
         )
-        return exact.unionByName(approx)
+        # r9: median absolute deviation — the ROBUST scale statistic a
+        # single wild value cannot poison (the z-score legs' stddev
+        # can); rides the entry schema as (grp, median=med, p95=mad)
+        mad = analytics.mad_by_tag(t).select(
+            F.col("tag").alias("grp"),
+            F.col("med").alias("median"),
+            F.col("mad").alias("p95"),
+            F.lit("mad").alias("kind"),
+        )
+        return exact.unionByName(approx).unionByName(mad)
 
     q["agg_quantiles_by_tag"] = quantiles_by_tag
     from timeseries_db_spark.operators import sketches as _hsk
@@ -312,6 +321,9 @@ def register_extensions(q: dict, o: dict) -> None:
                max(CASE WHEN q = 0.95 THEN est END) AS p95,
                'hist' AS kind
         FROM ({_hist_sql}) GROUP BY key
+        UNION ALL
+        SELECT tag AS grp, med AS median, mad AS p95, 'mad' AS kind
+        FROM ({analytics.mad_by_tag_sql(EVENTS_T)})
     """
 
     # ---- derivative analytics: per-tag consecutive deltas (lag window)
