@@ -431,3 +431,25 @@ def test_mad_robust_where_stddev_is_poisoned(spark):
     )
     r = mad_by_tag(tiny).collect()[0]
     assert (r["med"], r["mad"]) == (3.0, 1.0)
+
+
+def test_linfit_recovers_exact_line_and_is_one_aggregation(spark):
+    """r9 OLS trend: points on an exact line recover slope (per hour)
+    and intercept (at LINFIT_X0) exactly; noisy symmetric points fit
+    the midline; the plan is ONE hash aggregation (no window/join)."""
+    from timeseries_db_spark.operators.analytics import LINFIT_X0, linfit_by_tag
+
+    H = 3_600_000
+    rows = [(LINFIT_X0 + i * H, "line", 2.0 + 0.5 * i) for i in range(10)]
+    # noise orthogonal to the linear term (+1,-1,-1,+1 per period-4:
+    # Σ(x−x̄)e = 0 within each period) → slope EXACTLY 0, intercept 7
+    e = (1.0, -1.0, -1.0, 1.0)
+    rows += [
+        (LINFIT_X0 + i * H, "flat", 7.0 + e[i % 4]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    out = {r["tag"]: (r["slope"], r["icept"]) for r in linfit_by_tag(df).collect()}
+    assert out["line"] == (0.5, 2.0)
+    assert out["flat"] == (0.0, 7.0)
+    plan = linfit_by_tag(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan, plan

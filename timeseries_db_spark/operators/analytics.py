@@ -659,3 +659,83 @@ def mad_by_tag_sql(table_sql: str) -> str:
         FROM t JOIN m ON t.tag = m.tag
         GROUP BY t.tag, m.med
     """
+
+
+LINFIT_X0 = 1_704_067_200_000  # 2024-01-01 UTC: the intercept's origin
+
+
+def linfit_by_tag(tsdb: DataFrame) -> DataFrame:
+    """(tag, slope, icept) — per-tag ordinary-least-squares trend of
+    value over time: slope in value-units per HOUR (ms slopes print as
+    1e-9 noise), intercept = fitted value at ``LINFIT_X0``. The
+    trend-detection staple next to the deltas/rates legs ("is this
+    series drifting, and how fast").
+
+    Engine-exactness: the four sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) accumulate EXACTLY — values quantize to micro-unit BIGINT and
+    every sum/product runs in DECIMAL(38) (Spark) / HUGEINT-backed
+    DECIMAL (DuckDB), so the closed-form numerators are identical
+    integers on both engines; only the FINAL division happens in
+    doubles (each exact integer has a unique nearest double), rounded
+    with duck_round. Native ``regr_slope`` accumulates in floats —
+    engine-dependent — which is why this is hand-rolled.
+
+    Scale: ONE hash aggregation with map-side partials — the cheapest
+    possible shape; no window, no second pass. Time is shifted to the
+    fixed ``LINFIT_X0`` origin (2024-01-01) before squaring — slope is
+    translation-invariant and the shift keeps ``n·Σx²`` inside
+    DECIMAL(38)/HUGEINT headroom at any realistic n (raw epoch-ms
+    squares are ~3e24 each); ``icept`` is therefore the fitted value AT
+    the origin, which is also the more meaningful number."""
+    y6 = F.expr("CAST(round(value * 1000000) AS BIGINT)")
+    xd = (F.col("timestamp") - F.lit(LINFIT_X0)).cast("decimal(20,0)")
+    agg = (
+        tsdb.select("tag", xd.alias("x"), y6.alias("y"))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("y").cast("decimal(20,0)")).alias("sy"),
+            F.sum(F.col("x") * F.col("y").cast("decimal(20,0)")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # slope in micro-units/ms → value-units/hour: × 3_600_000 / 1e6
+    slope = duck_round(num / den * F.lit(3.6), 6)
+    icept = duck_round(
+        (
+            F.col("sy").cast("double")
+            - (num / den) * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(1_000_000.0),
+        4,
+    )
+    return agg.select("tag", slope.alias("slope"), icept.alias("icept"))
+
+
+def linfit_by_tag_sql(table_sql: str) -> str:
+    """DuckDB twin: identical integer statistics (HUGEINT products) and
+    the identical final double expression tree."""
+    return f"""
+        WITH t AS (
+            SELECT tag, ("timestamp" - {LINFIT_X0})::HUGEINT AS x,
+                   CAST(round(value * 1000000) AS HUGEINT) AS y
+            FROM ({table_sql})
+        ),
+        s AS (
+            SELECT tag, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM t GROUP BY tag
+        )
+        SELECT tag,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE * 3.6, 6) + 0.0 AS slope,
+               round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                                    / (n * sxx - sx * sx)::DOUBLE)
+                                   * sx::DOUBLE)
+                     / n::DOUBLE / 1000000.0, 4) + 0.0 AS icept
+        FROM s
+    """

@@ -301,7 +301,18 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("mad").alias("p95"),
             F.lit("mad").alias("kind"),
         )
-        return exact.unionByName(approx).unionByName(mad)
+        # r9: per-tag OLS trend — exact-integer sufficient statistics,
+        # one hash aggregation; rides as (median=slope/hour,
+        # p95=intercept at 2024-01-01)
+        lfit = analytics.linfit_by_tag(t).select(
+            F.col("tag").alias("grp"),
+            F.col("slope").alias("median"),
+            F.col("icept").alias("p95"),
+            F.lit("lfit").alias("kind"),
+        )
+        return (
+            exact.unionByName(approx).unionByName(mad).unionByName(lfit)
+        )
 
     q["agg_quantiles_by_tag"] = quantiles_by_tag
     from timeseries_db_spark.operators import sketches as _hsk
@@ -324,6 +335,9 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT tag AS grp, med AS median, mad AS p95, 'mad' AS kind
         FROM ({analytics.mad_by_tag_sql(EVENTS_T)})
+        UNION ALL
+        SELECT tag AS grp, slope AS median, icept AS p95, 'lfit' AS kind
+        FROM ({analytics.linfit_by_tag_sql(EVENTS_T)})
     """
 
     # ---- derivative analytics: per-tag consecutive deltas (lag window)
