@@ -1207,3 +1207,41 @@ def test_scrub_hypothesis_cross_engine(spark):
             assert all(tok in it for tok in clean), (t, row["clean_text"])
 
     run()
+
+
+def test_pq_refined_codebook_cuts_distortion_and_serves_topk(spark, emb):
+    """r9 quality path: the per-subspace Lloyd refinement must strictly
+    cut quantization distortion (mean nearest-code L2²) versus the
+    hash-sample codebook on the training sample — the k-means guarantee
+    — and plug into ann_topk_pq as a drop-in codebook_source."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import similarity as S
+
+    def distortion(codebook_df):
+        cb = np.stack(
+            codebook_df.orderBy("vec_id").toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        sample = np.stack(
+            emb.limit(500).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        m, sub = S.PQ_M, sample.shape[1] // S.PQ_M
+        s = sample.reshape(len(sample), m, sub)
+        c = cb.reshape(len(cb), m, sub)
+        d = ((s[:, None, :, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+        return d.min(axis=1).sum(axis=1).mean()
+
+    base = distortion(S.pq_codebook(emb))
+    refined_df = S.pq_codebook_refined(emb, sample_n=512, iters=4)
+    refined = distortion(refined_df)
+    assert refined < base, (refined, base)
+
+    qs = emb.filter("vec_id % 500 = 0")
+    out = S.ann_topk_pq(spark, qs, emb, 3, codebook_source=refined_df)
+    rows = out.collect()
+    n_q = qs.count()
+    assert len(rows) == 3 * n_q
+    assert all(r["dist"] >= 0 for r in rows)
+    # deterministic: second run identical
+    again = S.ann_topk_pq(spark, qs, emb, 3, codebook_source=refined_df)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))

@@ -748,6 +748,61 @@ def pq_codebook(corpus: DataFrame, ksub: int = PQ_KSUB) -> DataFrame:
     return ivf_centroids(corpus, ksub)
 
 
+def pq_codebook_refined(
+    corpus: DataFrame,
+    ksub: int = PQ_KSUB,
+    m: int = PQ_M,
+    sample_n: int = 2_048,
+    iters: int = 5,
+) -> DataFrame:
+    """Lloyd-refined PQ codebook — the QUALITY twin of
+    :func:`pq_codebook`, exactly :func:`ivf_centroids_refined`'s role
+    for IVF: per SUBSPACE, k-means over a bounded deterministic sample
+    (the ``sample_n`` portable-hash-least vectors — one distributed
+    top-k, ≤ sample_n·dim floats ever reach the driver) tightens the
+    codes around the actual subvector distribution, which is what buys
+    PQ its recall in faiss. Deterministic: hash-ordered sample, seeds =
+    its first ``ksub`` subvectors, fixed ``iters``, argmin ties to the
+    lowest code; an emptied code keeps its previous center. Returns
+    (vec_id = code id 0..ksub−1, embedding) — drop-in for
+    ``ann_topk_pq(codebook_source=...)``. Float means are not
+    engine-reproducible, so like the refined IVF quantizer this is the
+    opt-in quality path; the value-oracle gate keeps the sample."""
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pdf = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(id_hash.asc(), F.col("vec_id").asc())
+        .limit(sample_n)
+        .toPandas()
+    )
+    if not len(pdf):
+        raise ValueError("PQ refinement found an empty corpus")
+    sample = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cube = sample.reshape(len(sample), m, sub)
+    codebook = sample[:ksub].reshape(ksub, m, sub).copy()
+    for _ in range(iters):
+        for j in range(m):
+            x = cube[:, j, :]  # (n, sub)
+            d = ((x[:, None, :] - codebook[None, :, j, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest code
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    codebook[c, j, :] = members.mean(axis=0)
+    spark = corpus.sparkSession
+    rows = [
+        (int(c), [float(v) for v in codebook[c].reshape(dim)])
+        for c in range(ksub)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def _pq_term_ints(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-dimension fixed-point squared-diff terms (int64). ``a - b``
     of float32-sourced doubles is exact; the square and ×1e6 are single
@@ -839,6 +894,7 @@ def ann_topk_pq(
     *,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance computation (ADC,
     Jégou et al. 2011 — the faiss IVF-PQ recipe's compression half):
@@ -853,8 +909,13 @@ def ann_topk_pq(
     encode+ADC pass with per-shard top-k, one exchange to merge shard
     winners — the :func:`cosine_topk` shape over 8-byte codes instead
     of raw vectors (a standing index would materialize
-    :func:`_pq_encode_fn` once and query it repeatedly)."""
-    donor_df = pq_codebook(corpus, ksub)
+    :func:`_pq_encode_fn` once and query it repeatedly).
+    ``codebook_source`` swaps in an alternative codebook (e.g.
+    :func:`pq_codebook_refined`); the gate path keeps the deterministic
+    sample the value oracle reconstructs."""
+    donor_df = (
+        codebook_source if codebook_source is not None else pq_codebook(corpus, ksub)
+    )
     pdf = donor_df.select("vec_id", "embedding").toPandas()
     if not len(pdf):
         raise ValueError("PQ codebook found an empty corpus")
