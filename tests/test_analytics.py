@@ -453,3 +453,33 @@ def test_linfit_recovers_exact_line_and_is_one_aggregation(spark):
     assert out["flat"] == (0.0, 7.0)
     plan = linfit_by_tag(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_tag_correlations_closed_forms(spark):
+    """r9 cross-series correlation: a linear relation gives r = 1, its
+    negation r = −1, and a linear-orthogonal pattern r = 0 — computed
+    over hourly bucket means with exact-integer pair statistics."""
+    from timeseries_db_spark.operators.analytics import tag_correlations
+
+    H = 3_600_000
+    rows = []
+    for i in range(24):
+        base = float(10 + (i * 7) % 13)
+        rows += [
+            (i * H, "a", base),
+            (i * H + 1, "a", base),          # two points per bucket: means
+            (i * H, "b", 2.0 * base + 1.0),  # exact linear in a's mean
+            (i * H, "c", -base),
+            (i * H, "d", (1.0, -1.0, -1.0, 1.0)[i % 4]),
+        ]
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    got = {
+        (r["tag_a"], r["tag_b"]): (r["r"], r["n"])
+        for r in tag_correlations(df).collect()
+    }
+    assert got[("a", "b")] == (1.0, 24)
+    assert got[("a", "c")] == (-1.0, 24)
+    assert got[("b", "c")] == (-1.0, 24)
+    # d's period-4 pattern is orthogonal to any linear trend but NOT to
+    # a's arbitrary sequence — just assert it's far from ±1
+    assert abs(got[("a", "d")][0]) < 0.9

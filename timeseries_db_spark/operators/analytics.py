@@ -739,3 +739,90 @@ def linfit_by_tag_sql(table_sql: str) -> str:
                      / n::DOUBLE / 1000000.0, 4) + 0.0 AS icept
         FROM s
     """
+
+
+def tag_correlations(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """(tag_a, tag_b, r, n) for every tag pair (a < b) — Pearson
+    correlation between the series' BUCKET-MEAN values over the hours
+    where both have data: "do these two metrics move together", the
+    first multivariate question over a metrics store.
+
+    Exactness: bucket means are exact-DECIMAL sums divided once in
+    doubles (identical both engines), then quantized to micro-unit
+    BIGINT; the pair statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as exact integers (the :func:`linfit_by_tag` discipline), so the
+    only float ops are one sqrt and one divide on identical integers —
+    ``r`` value-hashes cross-engine.
+
+    Scale: aggregate FIRST (one (bucket, tag) hash agg over the facts),
+    then the pair join runs on the tiny aligned table — |tags|² cost on
+    buckets×tags rows, never on raw data."""
+    from timeseries_db_spark.functions.numeric import duck_div
+
+    g = (
+        tsdb.groupBy(
+            duck_div(F.col("timestamp"), bucket_ms).alias("b"), "tag"
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "b",
+            "tag",
+            F.expr(
+                "CAST(round(CAST(_s AS DOUBLE) / _n * 1000000) AS BIGINT)"
+            ).alias("v6"),
+        )
+    )
+    a = g.select("b", F.col("tag").alias("tag_a"), F.col("v6").alias("x"))
+    bb = g.select("b", F.col("tag").alias("tag_b"), F.col("v6").alias("y"))
+    joined = a.join(bb, "b").filter(F.col("tag_a") < F.col("tag_b"))
+    dx = F.col("x").cast("decimal(20,0)")
+    dy = F.col("y").cast("decimal(20,0)")
+    s = joined.groupBy("tag_a", "tag_b").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "tag_a",
+        "tag_b",
+        duck_round(num / F.sqrt(vx * vy), 6).alias("r"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def tag_correlations_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
+    """DuckDB twin: identical bucket-mean quantization and HUGEINT pair
+    statistics; the same single sqrt+divide float tree."""
+    return f"""
+        WITH t AS ({table_sql}),
+        g AS (
+            SELECT "timestamp" // {bucket_ms} AS b, tag,
+                   CAST(round(CAST(sum(value::DECIMAL(38,10)) AS DOUBLE)
+                              / count(*) * 1000000) AS HUGEINT) AS v6
+            FROM t GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT a.tag AS tag_a, c.tag AS tag_b,
+                   count(*)::HUGEINT AS n,
+                   sum(a.v6) AS sx, sum(c.v6) AS sy,
+                   sum(a.v6 * c.v6) AS sxy,
+                   sum(a.v6 * a.v6) AS sxx, sum(c.v6 * c.v6) AS syy
+            FROM g a JOIN g c ON a.b = c.b AND a.tag < c.tag
+            GROUP BY 1, 2
+        )
+        SELECT tag_a, tag_b,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / sqrt((n * sxx - sx * sx)::DOUBLE
+                            * (n * syy - sy * sy)::DOUBLE), 6) + 0.0 AS r,
+               n::BIGINT AS n
+        FROM p
+    """

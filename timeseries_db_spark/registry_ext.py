@@ -543,11 +543,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("inter_est").alias("result"),
             F.lit("hll_inter").alias("kind"),
         )
+        # r9: cross-series Pearson correlation over hourly-aligned
+        # bucket means — exact-integer pair statistics (the linfit
+        # discipline), so the full correlation matrix value-hashes;
+        # coerced as (grp="a|b", result=r)
+        corr = analytics.tag_correlations(t).select(
+            F.concat_ws("|", "tag_a", "tag_b").alias("grp"),
+            F.col("r").alias("result"),
+            F.lit("corr").alias("kind"),
+        )
         return (
             exact.unionByName(hll)
             .unionByName(tok_hll)
             .unionByName(unions)
             .unionByName(inters)
+            .unionByName(corr)
         )
 
     q["agg_ndv_by_tag"] = ndv_by_tag
@@ -560,6 +570,7 @@ def register_extensions(q: dict, o: dict) -> None:
         f"SELECT {_split_sql_fn('doc_id')} AS split, shingle::VARCHAR AS tok"
         " FROM sh"
     )
+    _analytics_corr_sql = analytics.tag_correlations_sql(EVENTS_T)
     # ONE overlap CTE referenced by both set-op legs (VERDICT r8 item 6:
     # inlining hll_overlap_sql twice made DuckDB re-run the full shingle
     # explode + register build per leg — oracle-side cost only, but it
@@ -583,6 +594,9 @@ def register_extensions(q: dict, o: dict) -> None:
         SELECT key AS grp, union_est AS result, 'hll_union' AS kind FROM ov
         UNION ALL
         SELECT key AS grp, inter_est AS result, 'hll_inter' AS kind FROM ov
+        UNION ALL
+        SELECT tag_a || '|' || tag_b AS grp, r AS result, 'corr' AS kind
+        FROM ({_analytics_corr_sql})
     """
 
     # ---- relational joins over the TPC-H-shaped tables ----
