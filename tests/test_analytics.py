@@ -483,3 +483,23 @@ def test_tag_correlations_closed_forms(spark):
     # d's period-4 pattern is orthogonal to any linear trend but NOT to
     # a's arbitrary sequence — just assert it's far from ±1
     assert abs(got[("a", "d")][0]) < 0.9
+
+
+def test_linfit_and_correlation_drop_degenerate_groups(spark):
+    """A single-point tag has no slope; a constant series has no
+    correlation — both must DROP (no engine-shaped NaN rows), matching
+    the SQL twins' guards."""
+    from timeseries_db_spark.operators.analytics import (
+        linfit_by_tag,
+        tag_correlations,
+    )
+
+    H = 3_600_000
+    rows = [(0, "solo", 5.0)]  # one point → no slope
+    rows += [(i * H, "const", 3.0) for i in range(6)]  # zero variance
+    rows += [(i * H, "ok", 1.0 * i) for i in range(6)]
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    fits = {r["tag"] for r in linfit_by_tag(df).collect()}
+    assert fits == {"const", "ok"}  # const has slope 0, solo dropped
+    corr = {(r["tag_a"], r["tag_b"]) for r in tag_correlations(df).collect()}
+    assert corr == set()  # const: zero variance; solo: n=1 bucket pair

@@ -702,6 +702,9 @@ def linfit_by_tag(tsdb: DataFrame) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # a single point (or all points at one instant) has no slope:
+    # den = 0 would emit engine-shaped NaN rows — drop them instead
+    agg = agg.filter(den > 0)
     # slope in micro-units/ms → value-units/hour: × 3_600_000 / 1e6
     slope = duck_round(num / den * F.lit(3.6), 6)
     icept = duck_round(
@@ -738,6 +741,7 @@ def linfit_by_tag_sql(table_sql: str) -> str:
                                    * sx::DOUBLE)
                      / n::DOUBLE / 1000000.0, 4) + 0.0 AS icept
         FROM s
+        WHERE (n * sxx - sx * sx)::DOUBLE > 0
     """
 
 
@@ -791,7 +795,9 @@ def tag_correlations(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return s.select(
+    # a constant series (or a single shared bucket) has no correlation:
+    # zero variance would emit engine-shaped NaN rows — drop them
+    return s.filter((vx > 0) & (vy > 0)).select(
         "tag_a",
         "tag_b",
         duck_round(num / F.sqrt(vx * vy), 6).alias("r"),
@@ -825,4 +831,6 @@ def tag_correlations_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
                             * (n * syy - sy * sy)::DOUBLE), 6) + 0.0 AS r,
                n::BIGINT AS n
         FROM p
+        WHERE (n * sxx - sx * sx)::DOUBLE > 0
+          AND (n * syy - sy * sy)::DOUBLE > 0
     """
