@@ -142,9 +142,10 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 SLOPE_ENTRIES = [
     "dedup_clusters",     # LSH pairs → iterative components (docs)
     "dedup_simhash",      # banded Hamming self-join (docs)
-    "derivatives_by_tag", # 6-leg window/moments family (events)
+    "derivatives_by_tag", # window/moments family incl. ewma (events)
     "asof_hourly_enrich", # union+window as-of, both strategies (events)
     "sessionize_30m",     # session windows + funnel + cohort (events)
+    "text_features",      # one-scan Arrow text kernels (docs)
 ]
 SLOPE_SMALL = (100_000, 5_000)  # (events, documents) ≈ sf0.1
 SLOPE_RATIO = 10
