@@ -230,6 +230,41 @@ def test_lm_partition_approx_agrees_with_exact(spark, sf_dir):
     assert max(sizes.values()) <= 1.2 * (n / 3)
 
 
+def test_lm_partition_rank_bounds_override(spark):
+    """r10 gate path: rank-exact boundary literals drive the same
+    map-only assignment, with defined tie/short-corpus behavior —
+    boundary-tied scores all fall to the less-fluent bucket, and a
+    corpus smaller than n_buckets collapses deterministically."""
+    mk = lambda scores: spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score_fp long"
+    )
+    # 9 distinct scores 90..10: b = [40, 70] (ceil(k*9/3) = 3rd, 6th largest)
+    nine = mk([90, 80, 70, 60, 50, 40, 30, 20, 10])
+    assert lm.lm_partition_rank_bounds(nine) == [40, 70]
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in lm.lm_partition_approx(nine, bounds=[40, 70]).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 2, 5: 3, 6: 3, 7: 3, 8: 3}
+    # all-ties: both bounds equal the tied score -> everything bucket 3
+    tied = mk([5, 5, 5, 5])
+    b = lm.lm_partition_rank_bounds(tied)
+    assert b == [5, 5]
+    assert {
+        r["bucket"] for r in lm.lm_partition_approx(tied, bounds=b).collect()
+    } == {3}
+    # n=1 < n_buckets: offsets collapse to rank 1 -> single doc in tail
+    one = mk([42])
+    b1 = lm.lm_partition_rank_bounds(one)
+    assert b1 == [42, 42]
+    assert [
+        r["bucket"] for r in lm.lm_partition_approx(one, bounds=b1).collect()
+    ] == [3]
+    # empty: bounds [] and an empty assignment
+    assert lm.lm_partition_rank_bounds(mk([])) == []
+    assert lm.lm_partition_approx(mk([]), bounds=[]).count() == 0
+
+
 def test_lm_partition_approx_empty_corpus(spark):
     """Empty input returns an empty frame, mirroring the exact form."""
     empty = spark.createDataFrame(

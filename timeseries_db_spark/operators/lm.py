@@ -346,8 +346,70 @@ def lm_partition_sql(score_sql: str, n_buckets: int = 3) -> str:
     """
 
 
+def lm_partition_rank_bounds(
+    scored: DataFrame, n_buckets: int = 3
+) -> list[int]:
+    """Engine-reproducible boundary literals for
+    :func:`lm_partition_approx`'s override path: b_k = the
+    ceil(k·n/n_buckets)-th largest ``score_fp`` (exact integer rank
+    arithmetic, ``(k·n + nb − 1) // nb``), returned ASCENDING. A value
+    at a fixed rank of a sorted multiset is deterministic even when
+    ``row_number`` breaks score ties arbitrarily, so DuckDB computes
+    the identical literals (:func:`lm_partition_approx_sql`). One
+    count job + one ≤(nb−1)-row collect — bounded driver state. The
+    global window is single-task; this rule is for gating/sampling
+    scales, the sketch path is the 100 TB boundary rule."""
+    from pyspark.sql import Window
+
+    n = scored.count()
+    if n == 0:
+        return []
+    offs = [(k * n + n_buckets - 1) // n_buckets for k in range(1, n_buckets)]
+    w = Window.orderBy(F.col("score_fp").desc())
+    got = {
+        r["rn"]: r["score_fp"]
+        for r in scored.select(
+            "score_fp", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn").isin(offs))
+        .collect()
+    }
+    return [int(got[o]) for o in sorted(offs, reverse=True)]
+
+
+def lm_partition_approx_sql(score_sql: str, n_buckets: int = 3) -> str:
+    """DuckDB twin of rank-exact-bounds ``lm_partition_approx``:
+    identical ceil-rank boundary literals, identical strictly-greater
+    CASE chain (boundary ties fall to the less-fluent bucket)."""
+    ranks = list(range(1, n_buckets))
+    bcols = ", ".join(
+        f"max(CASE WHEN rn = ({k}*n + {n_buckets - 1}) // {n_buckets}"
+        f" THEN score_fp END) AS b{k}"
+        for k in ranks
+    )
+    whens = " ".join(
+        f"WHEN sc.score_fp > b.b{k} THEN {k}" for k in ranks
+    )
+    return f"""
+        WITH sc AS ({score_sql}),
+        r AS (
+            SELECT score_fp,
+                   row_number() OVER (ORDER BY score_fp DESC) AS rn,
+                   count(*) OVER () AS n
+            FROM sc
+        ),
+        b AS (SELECT {bcols} FROM r)
+        SELECT sc.doc_id,
+               CASE {whens} ELSE {n_buckets} END AS bucket
+        FROM sc, b
+    """
+
+
 def lm_partition_approx(
-    scored: DataFrame, n_buckets: int = 3, accuracy: int = 10_000
+    scored: DataFrame,
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+    bounds: list[int] | None = None,
 ) -> DataFrame:
     """The 100 TB twin of :func:`lm_partition`: bucket boundaries from
     ``percentile_approx`` (a mergeable sketch — map-side partials, no
@@ -356,16 +418,26 @@ def lm_partition_approx(
     their exact score against the collected boundary literals —
     map-only.
 
-    Approximate by design: bucket sizes are equal within the sketch's
-    rank error (≈ corpus/accuracy) and boundary-tied documents land
-    deterministically by score comparison, not by rank — so this is NOT
-    value-oracle-gateable (the exact :func:`lm_partition` is); pytest
-    pins size balance and ≥95% assignment agreement with the exact
-    form instead."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = scored.agg(
-        F.percentile_approx("score_fp", qs, accuracy).alias("b")
-    ).first()["b"]
+    The sketch boundary is approximate by design: bucket sizes are
+    equal within the sketch's rank error (≈ corpus/accuracy), so the
+    percentile_approx path is pytest-pinned (size balance + ≥95%
+    assignment agreement with the exact form), not value-oracled.
+
+    ``bounds`` (ascending boundary literals) overrides the sketch:
+    callers that already know the cut points — or that compute them by
+    an engine-reproducible rule — drive the SAME map-only assignment
+    path. That is how the driver gate covers this operator (r10): the
+    ``approx`` leg of ``text_lm_score`` pins rank-exact boundaries
+    (the ceil(k·n/n_buckets)-th largest fixed-point score, identical
+    in DuckDB) and value-hashes the threshold partition end-to-end.
+    Boundary-TIED documents land by score comparison, not rank —
+    deterministic under any tie ordering, and the observable semantic
+    difference from :func:`lm_partition`'s ntile."""
+    if bounds is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = scored.agg(
+            F.percentile_approx("score_fp", qs, accuracy).alias("b")
+        ).first()["b"]
     if bounds is None:  # empty corpus: mirror lm_partition's empty frame
         return scored.select(
             "doc_id", F.lit(None).cast("int").alias("bucket")

@@ -1040,22 +1040,42 @@ def register_extensions(q: dict, o: dict) -> None:
 
     def text_lm_score(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
-        self_leg = lm.lm_score(docs).withColumn("kind", F.lit("self"))
+        scored = lm.lm_score(docs)
+        self_leg = scored.withColumn("kind", F.lit("self"))
         split = _split_col(F.col("doc_id"))
         x_leg = lm.lm_score(
             docs.filter(split == "valid"), ref=docs.filter(split == "train")
         ).withColumn("kind", F.lit("xcorpus"))
-        # r8: CCNet head/middle/tail — rank-based terciles over the exact
-        # fixed-point scores (bucket rides in n_tri; other cols NULL)
-        terciles = lm.lm_partition(lm.lm_score(docs)).select(
-            "doc_id",
-            F.col("bucket").cast("long").alias("n_tri"),
-            F.lit(None).cast("long").alias("score_fp"),
-            F.lit(None).cast("double").alias("avg_logprob"),
-            F.lit(None).cast("double").alias("bits_per_char"),
-            F.lit("tercile").alias("kind"),
+
+        def _bucket_leg(part: DataFrame, kind: str) -> DataFrame:
+            # bucket rides in n_tri; other cols NULL
+            return part.select(
+                "doc_id",
+                F.col("bucket").cast("long").alias("n_tri"),
+                F.lit(None).cast("long").alias("score_fp"),
+                F.lit(None).cast("double").alias("avg_logprob"),
+                F.lit(None).cast("double").alias("bits_per_char"),
+                F.lit(kind).alias("kind"),
+            )
+
+        # r8: CCNet head/middle/tail — rank-based terciles over the
+        # exact fixed-point scores
+        terciles = _bucket_leg(lm.lm_partition(scored), "tercile")
+        # r10 (VERDICT r9 item 2): lm_partition_approx's map-only
+        # threshold-assignment path, driven by rank-exact boundary
+        # literals both engines reproduce (the percentile_approx
+        # boundary itself stays pytest-pinned — operators/lm.py)
+        approx = _bucket_leg(
+            lm.lm_partition_approx(
+                scored, bounds=lm.lm_partition_rank_bounds(scored)
+            ),
+            "approx",
         )
-        return self_leg.unionByName(x_leg).unionByName(terciles)
+        return (
+            self_leg.unionByName(x_leg)
+            .unionByName(terciles)
+            .unionByName(approx)
+        )
 
     q["text_lm_score"] = text_lm_score
     _split_doc = _split_sql("doc_id")
@@ -1072,6 +1092,11 @@ def register_extensions(q: dict, o: dict) -> None:
         " NULL::BIGINT AS score_fp, NULL::DOUBLE AS avg_logprob,"
         " NULL::DOUBLE AS bits_per_char, 'tercile' AS kind FROM ("
         + lm.lm_partition_sql(lm.lm_score_sql())
+        + ") UNION ALL "
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS n_tri,"
+        " NULL::BIGINT AS score_fp, NULL::DOUBLE AS avg_logprob,"
+        " NULL::DOUBLE AS bits_per_char, 'approx' AS kind FROM ("
+        + lm.lm_partition_approx_sql(lm.lm_score_sql())
         + ")"
     )
 
