@@ -485,6 +485,45 @@ def test_tag_correlations_closed_forms(spark):
     assert abs(got[("a", "d")][0]) < 0.9
 
 
+def test_tag_correlations_max_tags_guard(spark):
+    """r10 |tags|² guard: past the cap only the max_tags most ACTIVE
+    tags (most populated buckets, tag-asc tiebreak) enter the pairing;
+    under the cap results are unchanged from the unguarded form."""
+    from timeseries_db_spark.operators.analytics import tag_correlations
+
+    H = 3_600_000
+    rows = []
+    # t0..t7: tag t{k} is active in 8-k buckets → activity order is
+    # t0 > t1 > ... > t7, no ties
+    for k in range(8):
+        for i in range(8 - k):
+            rows.append((i * H, f"t{k}", float(10 + (i * 7 + k) % 13)))
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    capped = tag_correlations(df, max_tags=5).collect()
+    tags_in = {r["tag_a"] for r in capped} | {r["tag_b"] for r in capped}
+    assert tags_in <= {"t0", "t1", "t2", "t3", "t4"}, tags_in
+    assert len(capped) <= 5 * 4 // 2
+    # under the cap: identical to the unguarded result
+    key = lambda rws: sorted(
+        (r["tag_a"], r["tag_b"], r["r"], r["n"]) for r in rws
+    )
+    assert key(tag_correlations(df, max_tags=8).collect()) == key(
+        tag_correlations(df, max_tags=None).collect()
+    )
+    # capped rows are a subset of the unguarded rows (values unchanged)
+    full = key(tag_correlations(df, max_tags=None).collect())
+    assert set(key(capped)) <= set(full)
+    # activity tiebreak is deterministic: equal-activity tags keep
+    # tag-asc order — u0/u1 tie at 2 buckets each, cap=1 keeps u0
+    tie_rows = [(i * H, t, float(i + 1)) for t in ("u1", "u0") for i in range(2)]
+    tie = spark.createDataFrame(
+        tie_rows, "timestamp long, tag string, value double"
+    )
+    got = tag_correlations(tie, max_tags=3).collect()  # both kept: r exists
+    assert {(r["tag_a"], r["tag_b"]) for r in got} == {("u0", "u1")}
+    assert tag_correlations(tie, max_tags=1).collect() == []
+
+
 def test_linfit_and_correlation_drop_degenerate_groups(spark):
     """A single-point tag has no slope; a constant series has no
     correlation — both must DROP (no engine-shaped NaN rows), matching

@@ -48,6 +48,26 @@ def test_compare_legs_tolerates_engine_dtype_seams():
     assert rec["hash_match"]
 
 
+def test_compare_legs_null_discriminator_rows_still_compared():
+    """r10 ADVICE: a mismatch confined to NULL-discriminator rows must
+    surface as a red '<null>' sentinel leg, not silently vanish from
+    the report (the driver's whole-entry hash would catch it)."""
+    base = pd.DataFrame(
+        {
+            "v": [1.0, 2.0, 3.0, 4.0],
+            "tag": ["t1", "t1", None, None],
+        }
+    )
+    broken = base.copy()
+    broken.loc[broken["tag"].isna(), "v"] += 0.5  # only null-keyed rows
+    recs = {r["leg"]: r for r in debug.compare_legs(broken, base, "tag")}
+    assert recs["t1"]["hash_match"]
+    assert "<null>" in recs and not recs["<null>"]["hash_match"]
+    # and a fully-green frame with null keys reports the sentinel green
+    recs2 = {r["leg"]: r for r in debug.compare_legs(base, base.copy(), "tag")}
+    assert recs2["<null>"]["hash_match"] and recs2["t1"]["hash_match"]
+
+
 def test_leg_column_priority():
     assert debug.leg_column({"kind", "tag", "x"}) == "kind"
     assert debug.leg_column({"variant", "tag"}) == "variant"

@@ -1005,6 +1005,40 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
     ) == M.jpeg_decode(M.jpeg_encode(grad.tobytes(), 40, 24, 1))
 
 
+def test_jpeg_baseline_rejects_eobn_symbols():
+    """r10 ADVICE: T.81 F.2.2.2 defines only EOB0 and ZRL among the
+    size-0 AC symbols in SEQUENTIAL scans — a run-3/size-0 symbol
+    (EOB3, legal only in progressive Annex G scans) in a baseline
+    stream is malformed and must raise, not decode silently as an EOBn
+    run. Hand-built minimal 8×8 grayscale baseline JPEG whose 1-code
+    AC table maps bit '0' to symbol 0x30."""
+    import pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    def dht(tcth, bits16, vals):
+        body = bytes([tcth]) + bytes(bits16) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    one_code = [1] + [0] * 15  # one 1-bit canonical code: '0'
+    j = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+        + b"\xff\xc0" + (11).to_bytes(2, "big")
+        + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x11, 0])
+        + dht(0x00, one_code, [0x00])  # DC: '0' -> category 0 (diff 0)
+        + dht(0x10, one_code, [0x30])  # AC: '0' -> run 3, size 0 = EOB3
+        + b"\xff\xda" + (8).to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0])
+        # entropy: DC '0', AC '0' (the EOB3 symbol), then 1-padding
+        + bytes([0b00111111])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="bad JPEG AC symbol"):
+        M.jpeg_decode(j)
+
+
 def test_jpeg_progressive_randomized_sweep_equals_baseline():
     """Seeded stress over the refine-encoder bitstream corners the
     hand-picked cases may miss: sparse spike images (16+ zero runs →

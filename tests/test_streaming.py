@@ -664,6 +664,47 @@ def test_streaming_asof_enrich_replay_pins_reference_version(spark, tmp_path):
     assert spark.read.parquet(out + "/batch=1").collect()[0]["ref_value"] == 99.0
 
 
+def test_streaming_asof_enrich_vacuumed_pin_degrades_and_repins(
+    spark, tmp_path
+):
+    """r10 ADVICE: if vacuum() reclaimed the pinned version between
+    attempts, the replay must not crash the stream — it warns, reads
+    the CURRENT snapshot, and re-pins to it so later replays are stable
+    again."""
+    import warnings
+
+    from timeseries_db_spark.operators.dml import TsTable
+    from timeseries_db_spark.streaming.joins import process_asof_batch
+
+    mk = lambda v: spark.createDataFrame(
+        [(0, "a", v)], "timestamp long, tag string, value double"
+    )
+    ref = TsTable.create(spark, str(tmp_path / "ref"), mk(10.0))
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(5_000, "a", 1.0)], "timestamp long, tag string, value double"
+    )
+    process_asof_batch(batch, 0, ref, out)  # pins version 0
+    ref.update(mk(99.0))
+    ref.vacuum(retain_versions=0)  # version 0 gone
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        process_asof_batch(batch, 0, ref, out)  # replay: degrade + re-pin
+    assert any("no longer retained" in str(x.message) for x in w)
+    assert (
+        spark.read.parquet(out + "/batch=0").collect()[0]["ref_value"] == 99.0
+    )
+    # re-pinned: another reference move + replay keeps the NEW pin
+    ref.update(mk(123.0))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        process_asof_batch(batch, 0, ref, out)
+    assert not w2  # pin resolves — no degradation this time
+    assert (
+        spark.read.parquet(out + "/batch=0").collect()[0]["ref_value"] == 99.0
+    )
+
+
 def test_streaming_asof_enrich_custom_key(spark, tmp_path):
     """The `on` parameter is honored end-to-end: enrichment keyed on a
     non-default column (user_id) against a reference object exposing

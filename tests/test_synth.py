@@ -60,3 +60,12 @@ def test_materialize_fixture_idempotent(spark, tmp_path):
 
     t = events_as_tsdb(spark, d1)
     assert t.count() == 500 and set(t.columns) >= {"timestamp", "tag", "value"}
+
+
+def test_events_tiny_corpus_never_null_user_ids(spark):
+    """r10 ADVICE: n_rows < EVENTS_PER_USER used to divide by zero in
+    Spark's non-ANSI %, yielding silent NULL user_ids — the divisor now
+    clamps to one user."""
+    rows = synth.synth_events(spark, 10).collect()
+    assert len(rows) == 10
+    assert all(r["user_id"] == 0 for r in rows)

@@ -85,10 +85,23 @@ def compare_legs(
     spark_only, oracle_only} — the *_only fields carry up to 3 example
     rows present on one side only (empty when the leg matches)."""
     spark_pdf, oracle_pdf = _align_dtypes(spark_pdf, oracle_pdf)
+    # NULL discriminator values get a sentinel leg instead of being
+    # dropped (r10 ADVICE): dropna here would silently skip comparing
+    # rows whose leg column is NULL — weaker than the driver's
+    # whole-entry hash for entries that split on a nullable column.
+    if leg_col:
+        for pdf in (spark_pdf, oracle_pdf):
+            if pdf[leg_col].isna().any():
+                pdf[leg_col] = (
+                    pdf[leg_col]
+                    .astype(object)
+                    .where(pdf[leg_col].notna(), "<null>")
+                )
     legs = sorted(
-        set(spark_pdf[leg_col].dropna()) | set(oracle_pdf[leg_col].dropna())
+        set(spark_pdf[leg_col]) | set(oracle_pdf[leg_col])
         if leg_col
-        else {_ALL}
+        else {_ALL},
+        key=str,
     )
     out = []
     for leg in legs:

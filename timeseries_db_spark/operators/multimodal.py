@@ -576,10 +576,15 @@ def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
     return [bytes(s) for s in segments], i
 
 
-def _decode_ac_first(br, lut, c, ss: int, se: int, al: int, eobrun: int) -> int:
+def _decode_ac_first(
+    br, lut, c, ss: int, se: int, al: int, eobrun: int, eobn: bool = True
+) -> int:
     """One block's AC band of a first (``Ah=0``) scan — T.81 G.1.2.2
-    with EOBn run-length; also IS the sequential AC procedure (where the
-    only EOBn that appears is EOB0). Returns the updated eobrun."""
+    with EOBn run-length; also IS the sequential AC procedure, where
+    ``eobn=False``: T.81 F.2.2.2 defines only EOB0 and ZRL among the
+    size-0 symbols, so run 1-14 there is a malformed stream, not an
+    EOBn (r10 ADVICE — the r8 sequential decoder correctly raised).
+    Returns the updated eobrun."""
     if eobrun > 0:
         return eobrun - 1
     k = ss
@@ -590,6 +595,8 @@ def _decode_ac_first(br, lut, c, ss: int, se: int, al: int, eobrun: int) -> int:
             if run == 15:  # ZRL
                 k += 16
                 continue
+            if run and not eobn:
+                raise ValueError("bad JPEG AC symbol")
             eobrun = (1 << run) - 1
             if run:
                 eobrun += br.read_bits(run)
@@ -685,6 +692,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, list[int]] = {}          # id -> 64 entries, zigzag order
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
     frame = None
+    progressive = False
     dri = 0
     scans: list[dict] = []
     while pos + 1 < len(b):
@@ -726,6 +734,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _huff_lut(bits, seg[i + 17 : i + 17 + n])
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive huffman
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
             height = int.from_bytes(seg[1:3], "big")
@@ -823,7 +832,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 band_lo = max(ss, 1)
                 if ah == 0:
                     eobrun = _decode_ac_first(
-                        br, sh[(1, ta)], c, band_lo, se, al, eobrun
+                        br, sh[(1, ta)], c, band_lo, se, al, eobrun,
+                        eobn=progressive,
                     )
                 else:
                     eobrun = _decode_ac_refine(

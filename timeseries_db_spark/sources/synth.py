@@ -50,10 +50,15 @@ def synth_events(spark, n_rows: int) -> DataFrame:
     etype = F.array(*[F.lit(t) for t in EVENT_TYPES])[
         (h % len(EVENT_TYPES)).cast("int")
     ]
+    # r10 ADVICE: for n_rows < EVENTS_PER_USER the divisor would be 0
+    # and Spark's non-ANSI % yields NULL user_ids SILENTLY, breaking
+    # the constant-events-per-user invariant with no signal — clamp to
+    # one user instead (the invariant is vacuous below one user's rows)
+    n_users = max(1, n_rows // EVENTS_PER_USER)
     return spark.range(n_rows).select(
         i.alias("event_id"),
         F.timestamp_millis(ts_ms).alias("ts"),
-        (i % (n_rows // EVENTS_PER_USER)).alias("user_id"),
+        (i % n_users).alias("user_id"),
         etype.alias("event_type"),
         ((h % 10_000) / F.lit(100.0)).alias("value"),
         F.concat(

@@ -74,7 +74,18 @@ def _pinned_reference_read(reference, out_dir: str, batch_id: int) -> DataFrame:
     resolved once per batch id and recorded in a ``_refver/`` sidecar
     BEFORE any data write (atomic tmp+rename), so every replay reads the
     version the first attempt saw; references without versions fall back
-    to ``read()`` with the weaker overwrite-consistent contract."""
+    to ``read()`` with the weaker overwrite-consistent contract.
+
+    Retention coupling (r10 ADVICE): the pin only holds as long as the
+    reference RETAINS the pinned version — ``vacuum(retain_versions=N)``
+    must cover the window in which a batch can still be replayed (the
+    checkpoint's unfinished tail; for exactly-once downstreams, any
+    batch a reader might reconcile). If the pinned version has been
+    vacuumed between attempts, the replay cannot reproduce the original
+    join; rather than crash the whole stream it logs a warning, reads
+    the CURRENT snapshot, and RE-PINS to it (tmp+rename again), so
+    replays from then on are stable against the new version — the same
+    degradation an unversioned reference has from the start."""
     import os
 
     if not (hasattr(reference, "version") and callable(getattr(reference, "version"))):
@@ -82,15 +93,34 @@ def _pinned_reference_read(reference, out_dir: str, batch_id: int) -> DataFrame:
     vdir = os.path.join(out_dir, "_refver")  # _-prefix: invisible to readers
     os.makedirs(vdir, exist_ok=True)
     vfile = os.path.join(vdir, f"batch-{batch_id}")
-    if os.path.exists(vfile):
-        with open(vfile) as f:
-            version = int(f.read())
-    else:
-        version = reference.version()
+
+    def _pin(version: int) -> None:
         tmp = vfile + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, vfile)
+
+    if os.path.exists(vfile):
+        with open(vfile) as f:
+            version = int(f.read())
+        try:
+            return reference.read(version=version)
+        except ValueError:  # pinned version vacuumed since the pin
+            import warnings
+
+            current = reference.version()
+            warnings.warn(
+                f"asof-enrich batch {batch_id}: pinned reference version "
+                f"{version} is no longer retained (vacuumed); degrading "
+                f"to current version {current} and re-pinning — widen "
+                "the reference's vacuum retain_versions to cover "
+                "replayable batches",
+                stacklevel=2,
+            )
+            _pin(current)
+            return reference.read(version=current)
+    version = reference.version()
+    _pin(version)
     return reference.read(version=version)
 
 
