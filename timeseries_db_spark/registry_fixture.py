@@ -41,6 +41,9 @@ _ROUNDED = {Agg.SUM, Agg.AVG}
 EDGE_LO = BASE_TS + 999
 EDGE_HI = BASE_TS + 100_000
 
+#: r10 tsx leg: the lone next-day Oslo row (see dml_roundtrip docstring)
+OSLO_TS = BASE_TS + 86_400_000
+
 
 def _fx_query(qm: QueryModel):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +74,19 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one §2 row without a driver-observable path; a truncate that
     fails to empty the table now breaks the re-insert with key-exists
     errors, and one that loses data breaks the value hash). The oracle
-    (below) states the same final table closed-form."""
+    (below) states the same final table closed-form.
+
+    r10 ``tsx`` leg (VERDICT r9 item 7): the manifest TAG INDEX gets a
+    driver-observable path. A next-day single-``Oslo`` insert creates a
+    leaf dir whose tag stats are disjoint from every day-one leaf; the
+    leg then reads ``tag_eq='Oslo'`` against the committed table and
+    asserts over the EXECUTED plan (``input_file_name`` on the
+    materialized rows — ``inputFiles()`` does not reflect pruning) that
+    every file visited lives under a leaf whose manifest tag stats
+    contain Oslo. A pruning regression in ``dml.py`` now errs this
+    driver row instead of only a pytest. The leg's rows (the one Oslo
+    row, exact-filtered) union onto the snapshot, so the oracle adds
+    the Oslo row twice."""
     fx = timeseries_fixture(spark, 6_000)
     ts = F.col("timestamp")
     seed = fx.filter(ts < BASE_TS + 5_000)
@@ -101,12 +116,41 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = table.read()
     table.truncate()
     table.insert(snapshot)
+    # r10 tsx leg seed: one Oslo row a day later — its commit's leaf is
+    # the only one whose tag stats contain Oslo
+    table.insert(
+        spark.createDataFrame(
+            [(OSLO_TS, "Oslo", 7.0)],
+            "timestamp long, tag string, value double",
+        )
+    )
     # r9: retention expiry joins the roundtrip — a MID-DAY cutoff, so
     # the boundary-day partition rewrite runs (not just manifest edits);
     # the oracle drops the same rows closed-form. Pytest keeps the
     # whole-day manifest-only path pinned.
     table.expire(BASE_TS + 500)
-    return table.read()
+    # r10 tsx leg: tagEq read; prove manifest-level pruning on the plan
+    tsx = table.read(tag_eq="Oslo").filter(F.col("tag") == "Oslo")
+    touched = {
+        r["f"]
+        for r in tsx.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    allowed = {
+        leaf
+        for leaf, tags in table._manifest().get("tag_stats", {}).items()
+        if tags is not None and "Oslo" in tags
+    }
+    for f in touched:
+        rel = f.split("/commits/", 1)[1]
+        leaf = "/".join(rel.split("/")[:2])
+        if leaf not in allowed:
+            raise AssertionError(
+                f"tagEq read visited {leaf}, outside Oslo's indexed "
+                f"leaves {sorted(allowed)} — manifest tag pruning regressed"
+            )
+    if not touched:
+        raise AssertionError("tagEq read visited no files — Oslo row lost")
+    return table.read().unionByName(tsx)
 
 
 DML_ROUNDTRIP_SQL = f"""
@@ -117,6 +161,10 @@ DML_ROUNDTRIP_SQL = f"""
     FROM t
     WHERE NOT (tag = 'Athens' AND "timestamp" < {BASE_TS + 200})
       AND "timestamp" >= {BASE_TS + 500}
+    UNION ALL
+    SELECT {OSLO_TS} AS "timestamp", 'Oslo' AS tag, 7.0 AS value
+    UNION ALL
+    SELECT {OSLO_TS} AS "timestamp", 'Oslo' AS tag, 7.0 AS value
 """
 
 
