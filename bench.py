@@ -123,6 +123,16 @@ HEADLINE = [
 
 N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 
+# r10 noise verdict (VERDICT r9 item 4): text_vocab_topn's +27-36%
+# r8→r9 drift was profiled with a controlled same-session A/B — the r8
+# tree (commit 10ac3d4) in a scratch worktree vs the current tree,
+# back-to-back on one box, 5 warm runs each at sf0.1: r8 best 1.645s,
+# current best 1.213s. The CURRENT code is ~26% faster than r8 on this
+# entry (no work was added in r9; a71b1d8's two-pass cut is real), so
+# the recorded drift was the box's documented ±40% cross-session noise.
+# Leg decomposition at sf0.1 (warm): token_counts ~0.05s (cached),
+# vocab ~0.19s, bm25 ~0.45s, cms ~0.48s.
+
 # r9 legs added to headline entries: derivatives_by_tag += ewma (dyadic
 # alpha=1/2 exponential smoothing — one more per-tag window with a
 # bounded 40-row frame + a JVM fold), and ann_topk_ivf += pq (product-
