@@ -1342,3 +1342,71 @@ def test_pq_refined_codebook_cuts_distortion_and_serves_topk(spark, emb):
     # deterministic: second run identical
     again = S.ann_topk_pq(spark, qs, emb, 3, codebook_source=refined_df)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_pq_refined_int_codebook_oracle_exact_and_cuts_distortion(
+    spark, emb, sf_dir
+):
+    """r10 (VERDICT r9 item 8): the ALL-INTEGER Lloyd refinement. The
+    Spark-side centroids must equal the DuckDB unrolled-CTE twin
+    EXACTLY (micro-unit integers — the property the float refinement
+    cannot have), the refinement must still cut distortion vs the
+    hash-sample codebook on its own training sample, and the refined
+    ADC top-k must match ann_topk_pq_refined_sql end-to-end (the gate's
+    pqr leg shape)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from timeseries_db_spark.operators import similarity as S
+
+    cb_df = S.pq_codebook_refined_int(emb)
+    got = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in cb_df.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    twin = con.execute(S.pq_codebook_refined_int_sql()).df()
+    assert len(twin) == S.PQ_KSUB * S.PQ_M * (64 // S.PQ_M)
+    for _, row in twin.iterrows():
+        sub = 64 // S.PQ_M
+        pos = int(row["m"]) * sub + int(row["i"])
+        spark_micro = round(got[int(row["code"])][pos] * S.PQ_FP)
+        assert spark_micro == int(row["cq"]), (row["code"], row["m"], row["i"])
+    # k-means still pays for itself in integers: distortion strictly
+    # drops vs the ksub hash-least sample codebook on the sample
+    sample = np.stack(
+        emb.limit(500).toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    m, sub = S.PQ_M, sample.shape[1] // S.PQ_M
+    s3 = sample.reshape(len(sample), m, sub)
+
+    def distortion(cb):
+        c = cb.reshape(len(cb), m, sub)
+        d = ((s3[:, None, :, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+        return d.min(axis=1).sum(axis=1).mean()
+
+    base_cb = np.stack(
+        S.pq_codebook(emb).orderBy("vec_id").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    ref_cb = np.stack([got[c] for c in sorted(got)])
+    assert distortion(ref_cb) < distortion(base_cb)
+    # end-to-end: refined ADC top-k == the SQL twin
+    qs = emb.filter("vec_id % 250 = 0")
+    out = sorted(
+        map(
+            tuple,
+            S.ann_topk_pq(
+                spark, qs, emb, 3, codebook_source=cb_df
+            ).collect(),
+        )
+    )
+    twin_topk = con.execute(
+        S.ann_topk_pq_refined_sql("vec_id % 250 = 0", 3)
+    ).fetchall()
+    assert out == sorted(map(tuple, twin_topk))

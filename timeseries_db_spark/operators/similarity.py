@@ -803,6 +803,210 @@ def pq_codebook_refined(
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def _int_mean_half_away(s: np.ndarray, n: int) -> np.ndarray:
+    """Round-half-away-from-zero integer mean — exact int64, no float
+    ever touched, so ANY engine replays it bit-identically (the SQL
+    twin is a CASE over truncating ``//``). This is what makes the
+    refined codebook oracle-safe where float ``mean()`` is not."""
+    s_abs = np.abs(s)
+    r = (2 * s_abs + n) // (2 * n)
+    return np.where(s >= 0, r, -r).astype(np.int64)
+
+
+def pq_codebook_refined_int(
+    corpus: DataFrame,
+    ksub: int = PQ_KSUB,
+    m: int = PQ_M,
+    sample_n: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """ENGINE-PORTABLE Lloyd-refined PQ codebook (r10, VERDICT r9 item
+    8): the same per-subspace k-means as :func:`pq_codebook_refined`,
+    but every quantity is an exact integer — sampled subvectors are
+    micro-unit-quantized (``round(x·1e6)``, the repo's fixed-point
+    discipline), distances are integer squared diffs (order-independent
+    sums), centroid updates use the round-half-away integer mean, and
+    argmin ties break to the lowest code. Integer arithmetic is
+    associative, so the refinement has ONE answer regardless of engine,
+    partitioning, or summation order — which is why this variant can
+    carry a FULL value oracle (:func:`pq_codebook_refined_int_sql`
+    unrolls the fixed ``iters`` as chained CTEs) while the float
+    version stays pytest-only. This is the recommended production
+    codebook: refined quality AND gate-checkable.
+
+    Bounded: one distributed hash-least top-``sample_n`` (the
+    :func:`ivf_centroids` discipline) reaches the driver; the Lloyd
+    loop runs on that ≤ sample_n×dim int64 block. Returns
+    ``(vec_id = code id 0..ksub−1, embedding array<double> = cq/1e6)``
+    — drop-in for ``ann_topk_pq(codebook_source=...)``; doubles (not
+    float32) so the Spark and SQL ADC stages subtract the IDENTICAL
+    centroid value."""
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pdf = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(id_hash.asc(), F.col("vec_id").asc())
+        .limit(sample_n)
+        .toPandas()
+    )
+    if not len(pdf):
+        raise ValueError("PQ refinement found an empty corpus")
+    sample = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    q = _np_duck_round(sample * PQ_FP, 0).astype(np.int64)  # (n, dim)
+    cube = q.reshape(len(q), m, sub)
+    cents = cube[:ksub].copy()  # (ksub, m, sub) int64
+    for _ in range(iters):
+        for j in range(m):
+            x = cube[:, j, :]  # (n, sub) int64
+            d = ((x[:, None, :] - cents[None, :, j, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest code
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    cents[c, j, :] = _int_mean_half_away(
+                        members.sum(axis=0, dtype=np.int64), len(members)
+                    )
+    spark = corpus.sparkSession
+    rows = [
+        (int(c), [int(v) / float(PQ_FP) for v in cents[c].reshape(dim)])
+        for c in range(ksub)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def pq_codebook_refined_int_sql(
+    ksub: int = PQ_KSUB,
+    m: int = PQ_M,
+    sample_n: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_codebook_refined_int`: the fixed
+    ``iters`` Lloyd rounds unroll as chained assign→mean CTE pairs over
+    the same micro-unit integers; empty codes carry the previous
+    centroid per (code, subspace). Yields ``(code, m, i, cq)``."""
+    sub = dim // m
+    intmean = (
+        "CASE WHEN SUM(p.q) >= 0"
+        " THEN (2 * SUM(p.q) + COUNT(*)) // (2 * COUNT(*))"
+        " ELSE -((2 * -SUM(p.q) + COUNT(*)) // (2 * COUNT(*))) END"
+    )
+    parts = [
+        f"""samp AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (
+                       ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id
+                   ) - 1 AS rk
+            FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {sample_n}
+        ),
+        pts AS (
+            SELECT s.rk AS vid, mm.m, i.i,
+                   CAST(round(s.embedding[mm.m * {sub} + i.i + 1]::DOUBLE
+                              * {PQ_FP}) AS BIGINT) AS q
+            FROM samp s, range({m}) mm(m), range({sub}) i(i)
+        ),
+        c0 AS (
+            SELECT vid AS code, m, i, q AS cq FROM pts WHERE vid < {ksub}
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        prev, an, cn = f"c{it - 1}", f"a{it}", f"c{it}"
+        parts.append(f"""{an} AS (
+            SELECT vid, m, code FROM (
+                SELECT p.vid, p.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY p.vid, p.m
+                           ORDER BY SUM((p.q - c.cq) * (p.q - c.cq)) ASC,
+                                    c.code ASC
+                       ) AS rn
+                FROM pts p JOIN {prev} c ON c.m = p.m AND c.i = p.i
+                GROUP BY p.vid, p.m, c.code
+            ) WHERE rn = 1
+        ),
+        {cn} AS (
+            SELECT a.code, p.m, p.i, {intmean} AS cq
+            FROM {an} a JOIN pts p ON p.vid = a.vid AND p.m = a.m
+            GROUP BY a.code, p.m, p.i
+            UNION ALL
+            SELECT c.code, c.m, c.i, c.cq FROM {prev} c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {an} a
+                WHERE a.code = c.code AND a.m = c.m
+            )
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT code, m, i, cq FROM c{iters}
+    """
+
+
+def ann_topk_pq_refined_sql(
+    query_pred: str,
+    k: int,
+    *,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    sample_n: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Full value oracle for :func:`ann_topk_pq` over the
+    integer-refined codebook: the unrolled-Lloyd centroid relation
+    replaces the donor vectors; the ADC stage is the same
+    per-dimension fixed-point tree (centroid value = ``cq/1e6`` as a
+    double — the identical division the Spark side performs)."""
+    sub = dim // m
+    cb = pq_codebook_refined_int_sql(ksub, m, sample_n, iters, dim)
+    diff = (
+        f"(e.embedding[c.m * {sub} + c.i + 1]::DOUBLE"
+        f" - c.cq / {PQ_FP}.0)"
+    )
+    return f"""
+        WITH cent AS ({cb}),
+        sdist AS (
+            SELECT e.vec_id, c.m, c.code,
+                   SUM(CAST(round({diff} * {diff} * {PQ_FP}) AS BIGINT))
+                       AS d6
+            FROM embeddings e JOIN cent c ON true
+            GROUP BY e.vec_id, c.m, c.code
+        ),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY d6 ASC, code ASC
+                       ) AS rn
+                FROM sdist
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT vec_id AS qid, m, code, d6 FROM sdist
+            WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {query_pred})
+        ),
+        adc AS (
+            SELECT qtab.qid, codes.vec_id AS nid, SUM(qtab.d6) AS dist
+            FROM codes JOIN qtab
+              ON qtab.m = codes.m AND qtab.code = codes.code
+            WHERE qtab.qid <> codes.vec_id
+            GROUP BY qtab.qid, codes.vec_id
+        )
+        SELECT qid, nid, dist FROM (
+            SELECT qid, nid, dist,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY dist ASC, nid ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {k}
+    """
+
+
 def _pq_term_ints(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-dimension fixed-point squared-diff terms (int64). ``a - b``
     of float32-sourced doubles is exact; the square and ×1e6 are single

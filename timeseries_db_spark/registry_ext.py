@@ -1354,7 +1354,23 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dist").cast("double").alias("score"),
             F.lit("pq").alias("kind"),
         )
-        return ivf.unionByName(pq)
+        # r10 pqr leg (VERDICT r9 item 8): the Lloyd-REFINED codebook,
+        # made oracle-safe by all-integer refinement (micro-unit
+        # quantized sample, integer means, unrolled fixed iters) — the
+        # quality path is now the gated one too
+        pqr = similarity.ann_topk_pq(
+            s,
+            qs,
+            _emb(s, d),
+            TOPK_K,
+            codebook_source=similarity.pq_codebook_refined_int(_emb(s, d)),
+        ).select(
+            "qid",
+            "nid",
+            F.col("dist").cast("double").alias("score"),
+            F.lit("pqr").alias("kind"),
+        )
+        return ivf.unionByName(pq).unionByName(pqr)
 
     q["ann_topk_ivf"] = ann_ivf_and_pq
     o["ann_topk_ivf"] = (
@@ -1362,6 +1378,8 @@ def register_extensions(q: dict, o: dict) -> None:
         + similarity.ann_topk_ivf_sql(TOPK_QUERY_PRED, TOPK_K)
         + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'pq' AS kind FROM ("
         + similarity.ann_topk_pq_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
+        + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'pqr' AS kind FROM ("
+        + similarity.ann_topk_pq_refined_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
         + ")"
     )
 
