@@ -805,6 +805,68 @@ def test_mjpeg_avi_frame_pixels_exact(spark):
         M.decode_video_frames(bad_assets, every_n=1).collect()
 
 
+def test_g711_matches_reference_tables_and_decodes_wav(spark):
+    """r10: the first COMPRESSED audio codecs leave the stub list. The
+    from-spec µ-law/A-law integer companders must be bit-identical to
+    the published CCITT tables — checked against the stdlib audioop
+    implementation over the FULL domain (all 256 codes decode, every
+    int16 encodes) — and a G.711 WAV must flow through wav_pcm and the
+    pcm feature kernel end-to-end."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    lin = lambda b: struct.unpack("<h", b)[0]
+    for u in range(256):
+        assert M.mulaw_decode_sample(u) == lin(audioop.ulaw2lin(bytes([u]), 2))
+        assert M.alaw_decode_sample(u) == lin(audioop.alaw2lin(bytes([u]), 2))
+    for x in range(-32768, 32768):
+        bx = struct.pack("<h", x)
+        assert M.mulaw_encode_sample(x) == audioop.lin2ulaw(bx, 2)[0], x
+        assert M.alaw_encode_sample(x) == audioop.lin2alaw(bx, 2)[0], x
+    # WAV path: compressed payload decodes to the companded quantization
+    samples = [((n * 37) % 4001) - 2000 for n in range(300)]
+    for law, d, e in (
+        ("mulaw", M.mulaw_decode_sample, M.mulaw_encode_sample),
+        ("alaw", M.alaw_decode_sample, M.alaw_encode_sample),
+    ):
+        wav = M.wav_encode_g711(samples, law=law)
+        got = M.wav_pcm(wav)
+        want = np.array([d(e(s)) for s in samples], dtype=np.int64)
+        assert (got == want).all(), law
+        # companding is idempotent on its own output
+        assert [e(int(v)) for v in got] == [e(s) for s in samples], law
+        # meta reads the compressed container (8-bit mono, 1 byte/sample)
+        assert M.wav_meta(wav) == (1, 8000, 8, len(samples) * 1000 // 8000)
+    # feature kernel runs on the compressed asset unchanged
+    assets = spark.createDataFrame(
+        [(9, "audio", M.wav_encode_g711(samples, law="mulaw"))],
+        "asset_id long, kind string, payload binary",
+    )
+    (row,) = M.decode_audio_pcm_features(assets).collect()
+    dec = np.array(
+        [M.mulaw_decode_sample(M.mulaw_encode_sample(s)) for s in samples],
+        dtype=np.int64,
+    )
+    assert row["n_samples"] == len(samples)
+    assert row["sum_abs"] == int(np.abs(dec).sum())
+    assert row["sum_sq"] == int((dec * dec).sum())
+    # a non-G.711 compressed tag still raises at the capability seam
+    import pytest as _pytest
+
+    bad = bytearray(M.wav_encode_g711(samples))
+    bad[20:22] = (85).to_bytes(2, "little")  # fmt tag 85 = MP3
+    with _pytest.raises(ValueError, match="AUDIO_PCM_CAPABILITIES"):
+        M.wav_pcm(bytes(bad))
+
+
 def test_wav_pcm_roundtrip_and_features(spark):
     """wav_encode -> wav_pcm is the identity on int16 samples; the PCM
     feature kernel computes exact integers on a hand-checkable case; and

@@ -34,6 +34,11 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
+* **G.711 µ-law/A-law compressed audio is REAL** (r10): from-spec
+  integer companders (bit-identical to the CCITT reference tables —
+  pytest sweeps the full domain against stdlib ``audioop``) decode
+  fmt-tag-7/6 WAVs in :func:`wav_pcm`, so telephony/VoIP captures need
+  no library;
 * **video frame PIXELS are REAL for MJPEG-in-AVI** (r10): the movi
   frame-chunk walk (:func:`avi_frames`) feeds the complete JPEG decoder
   per sampled frame (:func:`decode_video_frames`), and
@@ -1757,32 +1762,120 @@ def dhash_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
 #: stay behind PIXEL_CAPABILITIES. 16-bit mono is the supported shape.
 AUDIO_PCM_CAPABILITIES = {
     "wav": "real (RIFF parse + int16 LE mono PCM)",
+    "wav g711": "real (r10: µ-law/A-law COMPRESSED audio, fmt tags 7/6 — "
+    "from-spec integer expand, no library)",
     "mp3/opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
 }
 
 
+# --- G.711 µ-law / A-law (r10): the first COMPRESSED audio codecs to
+# leave the stub list. Both are pure 8-bit→16-bit integer companding
+# (ITU-T G.711: sign + 3-bit segment + 4-bit mantissa; µ-law biased by
+# 132 and bit-inverted, A-law alternate-bit-inverted with 0x55) — no
+# entropy coding, so the full decode is exact integer arithmetic,
+# engine-reproducible, and verifiable against the stdlib `audioop`
+# tables in tests. mp3/opus/aac remain the genuine ffmpeg seam. ---
+_G711_BIAS = 0x84  # 132
+_G711_CLIP = 32635
+
+
+def mulaw_decode_sample(u: int) -> int:
+    """One µ-law byte → linear int16 (G.711 Table 2a expand)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + _G711_BIAS) << exp) - _G711_BIAS
+    return -x if sign else x
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """Linear int16 → one µ-law byte (G.711 Table 2a compress, the
+    CCITT reference 14-bit form: arithmetic ``>> 2`` FIRST — floor on
+    negatives, exactly C's shift — then magnitude, clip 8159, bias 33,
+    segment by bit length). Bit-identical to the published reference
+    tables across the full int16 sweep (pytest pins it against the
+    stdlib ``audioop``)."""
+    x >>= 2  # python floors negative shifts, same as C arithmetic >>
+    if x < 0:
+        x = -x
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if x > 8159:
+        x = 8159
+    x += 33
+    seg = max(0, x.bit_length() - 6)  # first segment end >= x
+    if seg >= 8:  # clipped magnitude overflows the top segment
+        return 0x7F ^ mask
+    return ((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def alaw_decode_sample(a: int) -> int:
+    """One A-law byte → linear int16 (G.711 Table 1a expand; even bits
+    inverted with 0x55, sign bit 1 = positive, low-segment values are
+    16× the 13-bit table — the audioop/CCITT 16-bit scaling)."""
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    return x if sign else -x
+
+
+def alaw_encode_sample(x: int) -> int:
+    """Linear int16 → one A-law byte (G.711 Table 1a compress)."""
+    sign = 0x80 if x >= 0 else 0
+    if x < 0:
+        x = -x - 1  # two's-complement magnitude, the CCITT reference form
+    if x > 32767:
+        x = 32767
+    if x < 256:
+        code = x >> 4
+    else:
+        exp = x.bit_length() - 8  # 1..7
+        mant = (x >> (exp + 3)) & 0x0F
+        code = (exp << 4) | mant
+    return (sign | code) ^ 0x55
+
+
 def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """REAL PCM decode: locate the RIFF ``data`` chunk and return the
-    int16-LE mono samples as an int64 numpy array. Raises for non-WAV
-    or non-16-bit/non-mono payloads (the capability boundary)."""
+    """REAL sample decode: locate the RIFF ``data`` chunk and return
+    linear int16-range samples as an int64 numpy array. Handles linear
+    PCM (fmt tag 1, 16-bit mono) and — r10 — G.711 COMPRESSED audio
+    (µ-law tag 7 / A-law tag 6, 8-bit mono) via the from-spec integer
+    expanders above, so telephony/VoIP captures decode with no library.
+    Raises for other codecs/shapes (the capability boundary)."""
     import numpy as np
 
     b = payload
     channels, rate, bits, _ = wav_meta(b)  # validates RIFF/fmt/data
-    if bits != 16 or channels != 1:
-        raise ValueError(
-            f"WAV bits={bits} channels={channels} outside "
-            f"AUDIO_PCM_CAPABILITIES['wav'] (16-bit mono)"
-        )
+    fmt_tag = None
     i = 12
+    data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"data":
-            raw = b[i + 8 : i + 8 + size]
-            return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        if cid == b"fmt " and i + 10 <= len(b):
+            fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
-    raise ValueError("WAV missing data chunk")
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    if fmt_tag == 1 and bits == 16 and channels == 1:
+        return np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if fmt_tag in (6, 7) and bits == 8 and channels == 1:
+        dec = mulaw_decode_sample if fmt_tag == 7 else alaw_decode_sample
+        lut = np.array([dec(v) for v in range(256)], dtype=np.int64)
+        return lut[np.frombuffer(data, dtype=np.uint8)]
+    raise ValueError(
+        f"WAV fmt_tag={fmt_tag} bits={bits} channels={channels} outside "
+        f"AUDIO_PCM_CAPABILITIES (16-bit mono PCM or 8-bit mono G.711)"
+    )
 
 
 def wav_encode(samples, rate: int = 8000) -> bytes:
@@ -1804,6 +1897,30 @@ def wav_encode(samples, rate: int = 8000) -> bytes:
     )
     data = b"data" + len(pcm).to_bytes(4, "little") + pcm
     if len(pcm) & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def wav_encode_g711(samples, rate: int = 8000, law: str = "mulaw") -> bytes:
+    """8-bit mono G.711 RIFF/WAVE writer (r10, tests + fixtures):
+    compresses linear int16 samples with the from-spec µ-law/A-law
+    compressor (fmt tag 7/6, bits 8)."""
+    enc = mulaw_encode_sample if law == "mulaw" else alaw_encode_sample
+    raw = bytes(enc(int(s)) for s in samples)
+    tag = 7 if law == "mulaw" else 6
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")   # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")   # block align
+        + (8).to_bytes(2, "little")   # bits
+    )
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    if len(raw) & 1:
         data += b"\x00"
     riff_size = 4 + len(fmt) + len(data)
     return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
