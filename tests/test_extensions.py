@@ -1040,11 +1040,12 @@ def test_jpeg_baseline_roundtrip_exact_and_bounded():
     )
     assert with_rst == (w, h, 1, got.tobytes())
 
-    # stubs stay stubs: lossless / arithmetic raise NotImplementedError
-    # (progressive 0xC2 decodes for real since r9 — its own tests below)
+    # stubs stay stubs: arithmetic/differential raise NotImplementedError
+    # (progressive 0xC2 decodes since r9, lossless 0xC3 since r10 —
+    # their own tests below)
     j = bytearray(M.jpeg_encode(img.tobytes(), w, h, 1))
     sof = j.find(b"\xff\xc0")
-    for marker in (0xC3, 0xC9):
+    for marker in (0xC7, 0xC9):
         j[sof + 1] = marker
         with _pytest.raises(NotImplementedError):
             M.jpeg_decode(bytes(j))
@@ -1162,6 +1163,46 @@ def test_jpeg_baseline_rejects_eobn_symbols():
     )
     with pytest.raises(ValueError, match="bad JPEG AC symbol"):
         M.jpeg_decode(j)
+
+
+def test_jpeg_lossless_sof3_roundtrips_byte_identical():
+    """r10: T.81 Annex H lossless JPEG. Unlike the DCT paths, the
+    contract is BYTE-IDENTICAL roundtrip on ARBITRARY images — random
+    noise, all 7 predictors, gray and RGB, odd dimensions; the point
+    transform quantizes reversibly ((v >> pt) << pt); predictive coding
+    actually compresses a smooth gradient; malformed streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for (w, h, ch) in ((16, 12, 1), (9, 7, 1), (8, 8, 3), (13, 5, 3)):
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for psv in range(1, 8):
+            assert M.jpeg_decode(
+                M.jpeg_encode_lossless(img, w, h, ch, predictor=psv)
+            ) == (w, h, ch, img), (w, h, ch, psv)
+    img = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    _, _, _, pix = M.jpeg_decode(
+        M.jpeg_encode_lossless(img.tobytes(), 8, 8, 1, predictor=4, pt=2)
+    )
+    assert pix == ((img >> 2) << 2).tobytes()
+    grad = np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8)
+    j = M.jpeg_encode_lossless(grad.tobytes(), 64, 64, 1, predictor=4)
+    assert len(j) < 64 * 64  # beats raw on smooth content
+    assert M.jpeg_decode(j)[3] == grad.tobytes()
+    # image_decode dispatches lossless like any other JPEG
+    assert M.image_decode(j) == M.jpeg_decode(j)
+    # truncated entropy stream errors, never returns garbage
+    with _pytest.raises(ValueError):
+        M.jpeg_decode(j[: len(j) // 2] + b"\xff\xd9")
+    # bad scan header (predictor 0 in a lossless frame) errors
+    bad = bytearray(j)
+    sos = bad.find(b"\xff\xda")
+    bad[sos + 2 + int.from_bytes(bad[sos + 2 : sos + 4], "big") - 3] = 0
+    with _pytest.raises(ValueError, match="lossless"):
+        M.jpeg_decode(bytes(bad))
 
 
 def test_jpeg_progressive_randomized_sweep_equals_baseline():

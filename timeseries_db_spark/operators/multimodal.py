@@ -34,6 +34,11 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
+* **LOSSLESS JPEG (SOF3) is REAL** (r10): T.81 Annex H predictive
+  decode (7 predictors, modulo-2^16 differences, point transform) plus
+  a writer whose output round-trips BYTE-IDENTICAL for arbitrary
+  images — the repo gains a true lossless image codec; subsampled /
+  restart-interval lossless streams stay documented seams;
 * **G.711 µ-law/A-law compressed audio is REAL** (r10): from-spec
   integer companders (bit-identical to the CCITT reference tables —
   pytest sweeps the full domain against stdlib ``audioop``) decode
@@ -278,8 +283,9 @@ PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
-    "successive approximation, 8-bit, 1/3 comps, 4:4:4/4:2:2/4:2:0, restart "
-    "intervals; differential/arithmetic/lossless = PIL seam)",
+    "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
+    "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
+    "= PIL seam)",
     "video": "real for MJPEG-in-AVI (r10: movi frame walk + jpeg_decode); "
     "other codecs = ffmpeg seam",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
@@ -557,9 +563,97 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-#: 0xC2 (progressive huffman) decodes for real since r9; differential /
+def _lossless_predict(p, x: int, y: int, psv: int, default: int) -> int:
+    """T.81 H.1.2 sample prediction: the selected predictor in the
+    interior; the FIRST line predicts left-neighbor after its first
+    sample, the first sample of each other line predicts from above,
+    and the very first sample predicts the midpoint 2^(P-1-Pt).
+    Python's ``>>`` floors negatives — the spec's arithmetic shift."""
+    if y == 0:
+        return default if x == 0 else p[0][x - 1]
+    if x == 0:
+        return p[y - 1][0]
+    a, b, c = p[y][x - 1], p[y - 1][x], p[y - 1][x - 1]
+    return (
+        a, b, c,
+        a + b - c,
+        a + ((b - c) >> 1),
+        b + ((a - c) >> 1),
+        (a + b) >> 1,
+    )[psv - 1]
+
+
+def _jpeg_decode_lossless(
+    width: int, height: int, comps, scans
+) -> tuple[int, int, int, bytes]:
+    """LOSSLESS JPEG (SOF3, r10) — T.81 Annex H: no DCT, no quant;
+    each sample is a huffman-coded DC-style category + magnitude bits
+    giving a difference from a 2D prediction, accumulated modulo 2^16.
+    Category 16 is the special no-bits diff of 32768 (unreachable from
+    8-bit data but part of the spec contract). 3-component lossless
+    carries components DIRECT (no YCbCr — the DNG/medical convention);
+    the writer below mirrors that. Restart intervals and subsampled
+    components raise ``NotImplementedError`` (rare in the wild for
+    lossless; documented seam), truncated/malformed streams raise
+    ``ValueError``."""
+    for cid, hs, vs, _tq in comps:
+        if hs != 1 or vs != 1:
+            raise NotImplementedError("subsampled lossless JPEG unsupported")
+    planes = {
+        cid: [[0] * width for _ in range(height)] for cid, *_ in comps
+    }
+    for scan in scans:
+        psv, pt = scan["ss"], scan["al"]
+        if not 1 <= psv <= 7 or scan["se"] != 0 or scan["ah"] != 0:
+            raise ValueError("bad lossless JPEG scan header")
+        if scan["dri"]:
+            raise NotImplementedError("restart intervals in lossless JPEG")
+        sh = scan["huff"]
+        luts = {}
+        for cid, td, _ta in scan["comps"]:
+            if (0, td) not in sh:
+                raise ValueError("JPEG references undefined huffman table")
+            luts[cid] = sh[(0, td)]
+        br = _BitReader(scan["segments"][0] if scan["segments"] else b"")
+        default = 1 << (8 - 1 - pt)
+        for y in range(height):
+            for x in range(width):
+                for cid, _td, _ta in scan["comps"]:
+                    t = _read_symbol(br, luts[cid])
+                    if t > 16:
+                        raise ValueError("lossless JPEG category out of range")
+                    if t == 16:
+                        diff = 32768
+                    else:
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                    p = planes[cid]
+                    px = _lossless_predict(p, x, y, psv, default)
+                    p[y][x] = (px + diff) & 0xFFFF
+        # decoded values are the point-transformed samples: scale back
+        if pt:
+            for cid, _td, _ta in scan["comps"]:
+                p = planes[cid]
+                for y in range(height):
+                    row = p[y]
+                    for x in range(width):
+                        row[x] = (row[x] << pt) & 0xFFFF
+    order = [cid for cid, *_ in comps]
+    ch = len(order)
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        for x in range(width):
+            base = (y * width + x) * ch
+            for k, cid in enumerate(order):
+                v = planes[cid][y][x]
+                if v > 255:
+                    raise ValueError("lossless sample exceeds 8-bit range")
+                out[base + k] = v
+    return width, height, ch, bytes(out)
+
+
+#: 0xC2 (progressive) decodes since r9, 0xC3 (lossless) since r10; differential /
 #: arithmetic / lossless frame types remain the documented library seam.
-_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_UNSUPPORTED = {0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
@@ -704,6 +798,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
     frame = None
     progressive = False
+    lossless = False
     dri = 0
     scans: list[dict] = []
     while pos + 1 < len(b):
@@ -744,8 +839,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 n = sum(bits)
                 huff[(tc, th)] = _huff_lut(bits, seg[i + 17 : i + 17 + n])
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive huffman
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # huffman SOF family
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
             height = int.from_bytes(seg[1:3], "big")
@@ -798,6 +894,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     scanned = {cid for scan in scans for cid, _, _ in scan["comps"]}
     if {cid for cid, *_ in comps} - scanned:
         raise ValueError("JPEG scans do not cover every frame component")
+
+    if lossless:  # SOF3 (r10): predictive, no DCT/quant — own walk
+        return _jpeg_decode_lossless(width, height, comps, scans)
 
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
@@ -1380,6 +1479,78 @@ def jpeg_encode_progressive(
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
     out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_lossless(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    predictor: int = 1,
+    pt: int = 0,
+) -> bytes:
+    """LOSSLESS (SOF3) JPEG writer — the test/fixture twin of
+    :func:`_jpeg_decode_lossless`, and a genuinely lossless image codec
+    in its own right (with ``pt=0`` the decode is byte-identical to the
+    input for ANY image, not just per-block-constant ones). One
+    interleaved scan, selectable predictor 1-7, one shared huffman
+    table (17 categories at 5 bits — canonical, all-ones unused).
+    Components stored direct (no color transform), matching the
+    decoder."""
+    import struct
+
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode_lossless supports 1 or 3 channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    planes = {
+        k: [
+            [
+                pixels[(y * width + x) * channels + k] >> pt
+                for x in range(width)
+            ]
+            for y in range(height)
+        ]
+        for k in range(channels)
+    }
+    bits = [0] * 16
+    bits[4] = 17  # 17 codes of length 5: categories 0..16
+    vals = list(range(17))
+    codes = {sym: (i, 5) for i, sym in enumerate(vals)}
+    bw = _BitWriter()
+    default = 1 << (8 - 1 - pt)
+    for y in range(height):
+        for x in range(width):
+            for k in range(channels):
+                p = planes[k]
+                px = _lossless_predict(p, x, y, predictor, default)
+                d = (p[y][x] - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    code, length = codes[16]
+                    bw.write(code, length)
+                    continue
+                size, mag = _mag_bits(d)
+                code, length = codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(mag, size)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+    out += bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt])
+    out += bw.out + b"\xff\xd9"
     return bytes(out)
 
 
