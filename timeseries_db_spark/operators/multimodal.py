@@ -2097,6 +2097,66 @@ def wav_encode_g711(samples, rate: int = 8000, law: str = "mulaw") -> bytes:
     return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
 
 
+def synth_wav_g711(doc_id: int) -> bytes:
+    """Deterministic µ-law WAV for the gate fixture: the DATA BYTES are
+    the closed-form code stream ``c_k = (k*7 + doc_id*11) % 256``, so
+    the decoded sample is a pure table lookup the SQL oracle restates
+    with the 256-entry ITU G.711 expand table as literals
+    (:func:`mulaw_table_sql`) — every code value is exercised."""
+    n = 300 + (doc_id * 7) % 400
+    raw = bytes((k * 7 + doc_id * 11) % 256 for k in range(n))
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (7).to_bytes(2, "little")   # mu-law
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    if len(raw) & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def mulaw_table_sql() -> str:
+    """The ITU G.711 µ-law expand table as a SQL VALUES relation
+    ``(code, lin)`` — 256 spec constants (the same standing the CRC or
+    zigzag tables have), for oracles over :func:`synth_wav_g711`
+    fixtures."""
+    rows = ", ".join(
+        f"({u}, {mulaw_decode_sample(u)})" for u in range(256)
+    )
+    return f"(VALUES {rows}) AS g711(code, lin)"
+
+
+def documents_as_g711_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with µ-law COMPRESSED WAV payloads (same
+    ``doc_id % 3 == 1`` audio subset as :func:`documents_as_wav_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth_wav_g711(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def synth_wav(doc_id: int) -> bytes:
     """Deterministic 16-bit mono WAV for the gate fixture: sample ``n``
     is ``((n*7 + doc_id*13) % 2048) - 1024`` — integer sawtooth whose

@@ -1691,7 +1691,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("sum_sq").alias("v3"),
             F.col("zero_crossings").alias("v4"),
         )
-        return chunks.unionByName(pcm)
+        # r10 g711 leg: COMPRESSED audio under the gate — the fixture's
+        # data bytes are a closed-form µ-law code stream, so the REAL
+        # G.711 expand runs and the oracle restates every decoded
+        # sample as a spec-table lookup
+        g711 = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_g711_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("g711").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
+        return chunks.unionByName(pcm).unionByName(g711)
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
     o["multimodal_audio_chunks"] = """
@@ -1734,4 +1748,35 @@ def register_extensions(q: dict, o: dict) -> None:
                    coalesce(sum(zf), 0)::BIGINT AS zero_crossings
             FROM flg GROUP BY doc_id
         )
-    """
+        UNION ALL
+        -- g711 leg (r10): compressed mu-law audio restated closed-form
+        -- — code k of asset id is (k*7 + id*11) % 256, decoded sample =
+        -- the ITU expand table (spec constants) at that code
+        SELECT asset_id, 'g711' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id, (300 + (doc_id * 7) % 400)::BIGINT AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(700)) AS k),
+            smp AS (
+                SELECT w.doc_id, ks.k, g711.lin AS v
+                FROM w JOIN ks ON ks.k < w.n
+                JOIN {MULAW_TABLE} ON g711.code = (ks.k * 7 + w.doc_id * 11) % 256
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY k) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
+    """.replace("{MULAW_TABLE}", multimodal.mulaw_table_sql())
