@@ -133,6 +133,14 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # Leg decomposition at sf0.1 (warm): token_counts ~0.05s (cached),
 # vocab ~0.19s, bm25 ~0.45s, cms ~0.48s.
 
+# r10 legs added to headline entries: ann_topk_ivf += pqr (the
+# integer-refined PQ codebook leg: one more bounded driver refinement
+# — 64-vector sample, 2 Lloyd rounds in int64 — plus a second fused
+# encode+ADC corpus pass), so its r10 column covers strictly more work
+# than r9's same-named column. Non-headline r10 legs (text_lm_score
+# approx, dml_roundtrip tsx, multimodal vframe, audio g711) don't touch
+# the headline list.
+
 # r9 legs added to headline entries: derivatives_by_tag += ewma (dyadic
 # alpha=1/2 exponential smoothing — one more per-tag window with a
 # bounded 40-row frame + a JVM fold), and ann_topk_ivf += pq (product-

@@ -1165,6 +1165,66 @@ def test_jpeg_baseline_rejects_eobn_symbols():
         M.jpeg_decode(j)
 
 
+def test_png_adam7_interlace_roundtrip_and_spec_grid():
+    """r10: Adam7 interlaced PNG. (a) writer→decoder round-trips
+    byte-identical across shapes incl. degenerate passes (1×1, 9×1,
+    1×9) and all five filters; (b) a HAND-BUILT interlaced stream —
+    pass sub-images assembled directly from the spec 8.2 grid, not via
+    the writer — decodes to the source image, so a shared grid-constant
+    bug between writer and decoder cannot hide; (c) truncated pass data
+    raises."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for (w, h, ch) in ((32, 24, 1), (7, 5, 3), (1, 1, 1), (9, 1, 4), (1, 9, 2)):
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for filt in ([0], [1, 2, 3, 4, 0], [4]):
+            p = M.png_encode(img, w, h, ch, row_filters=filt, interlace=True)
+            assert M.png_decode(p) == (w, h, ch, img), (w, h, ch, filt)
+    # (b) hand-built 8x8 gray: sub-images straight off the RFC grid
+    w = h = 8
+    img = bytes(range(64))
+    grid = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in grid:
+        for yy in range(y0, h, dy):
+            raw.append(0)  # filter None
+            for xx in range(x0, w, dx):
+                raw.append(img[yy * w + xx])
+    import struct
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert M.png_decode(payload) == (w, h, 1, img)
+    # (c) truncated: drop the last pass's bytes
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw[: len(raw) - 9])))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        M.png_decode(short)
+
+
 def test_jpeg_lossless_sof3_roundtrips_byte_identical():
     """r10: T.81 Annex H lossless JPEG. Unlike the DCT paths, the
     contract is BYTE-IDENTICAL roundtrip on ARBITRARY images — random

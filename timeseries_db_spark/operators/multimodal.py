@@ -34,6 +34,10 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
+* **Adam7 interlaced PNG is REAL** (r10): the seven pass sub-images
+  unfilter independently through the shared scanline machinery and
+  scatter back on the spec 8.2 grid; the writer emits Adam7 too, and a
+  hand-built-stream pytest pins the grid independent of the writer;
 * **LOSSLESS JPEG (SOF3) is REAL** (r10): T.81 Annex H predictive
   decode (7 predictors, modulo-2^16 differences, point transform) plus
   a writer whose output round-trips BYTE-IDENTICAL for arbitrary
@@ -280,7 +284,8 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 #: are the PIL/ffmpeg insertion points — attempting them raises
 #: ``NotImplementedError`` naming this flag.
 PIXEL_CAPABILITIES = {
-    "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced)",
+    "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced "
+    "+ Adam7 interlaced since r10; 16-bit = seam)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
@@ -308,14 +313,63 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per PNG spec 8.2 — pass order is
+#: load-bearing (the IDAT stream concatenates the passes in this order)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, width: int, height: int, ch: int, offset: int):
+    """Reconstruct one filtered (sub-)image starting at ``offset`` in
+    the inflated stream (all five filter types 0-4); returns
+    (pixels, next offset). Shared by the non-interlaced path and each
+    Adam7 pass — a pass is just a smaller image with its own rows."""
+    stride = width * ch
+    out = bytearray(height * stride)
+    prev_start = -1  # byte offset of the previous reconstructed row
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y else 0
+                ul = out[prev_start + x - ch] if (y and x >= ch) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        prev_start = o
+    return out, offset + height * (stride + 1)
+
+
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode, stdlib-only: chunk walk → IDAT ``zlib``
     inflate → per-row unfilter (all five filter types 0-4). Returns
     ``(width, height, channels, pixels)`` with ``pixels`` row-major
     8-bit bytes; palette images expand to RGB.
 
-    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced — the
-    overwhelmingly common case. 16-bit and Adam7 interlacing raise
+    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced AND
+    Adam7-interlaced (r10 — seven independently-filtered passes
+    scattered back on the pass grid). 16-bit raises
     ``NotImplementedError`` (see ``PIXEL_CAPABILITIES``); a truncated or
     non-PNG payload raises ``ValueError``."""
     import zlib
@@ -346,7 +400,7 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + size  # length + type + data + CRC
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
             f"interlace={interlace} is outside PIXEL_CAPABILITIES['png']"
@@ -354,41 +408,33 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, "
-            f"expected {height * (stride + 1)}"
-        )
-    out = bytearray(height * stride)
-    prev_start = -1  # byte offset of the previous reconstructed row
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        o = y * stride
-        if ftype == 0:  # None
-            out[o : o + stride] = line
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = out[o + x - ch] if x >= ch else 0
-                out[o + x] = (line[x] + left) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                up = out[prev_start + x] if y else 0
-                out[o + x] = (line[x] + up) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = out[o + x - ch] if x >= ch else 0
-                up = out[prev_start + x] if y else 0
-                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = out[o + x - ch] if x >= ch else 0
-                up = out[prev_start + x] if y else 0
-                ul = out[prev_start + x - ch] if (y and x >= ch) else 0
-                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype}")
-        prev_start = o
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, "
+                f"expected {height * (stride + 1)}"
+            )
+        out, _ = _png_unfilter(raw, width, height, ch, 0)
+    else:  # Adam7 (r10): 7 independently-filtered sub-images, scattered
+        out = bytearray(height * stride)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            if off + hp * (wp * ch + 1) > len(raw):
+                raise ValueError("PNG Adam7 pass data truncated")
+            sub, off = _png_unfilter(raw, wp, hp, ch, off)
+            for yy in range(hp):
+                srow = yy * wp * ch
+                drow = (y0 + yy * dy) * stride
+                for xx in range(wp):
+                    si = srow + xx * ch
+                    di = drow + (x0 + xx * dx) * ch
+                    out[di : di + ch] = sub[si : si + ch]
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data length mismatch")
     if color_type == 3:  # palette → RGB
         # guard BEFORE expanding: bytearray slice assignment accepts
         # length-changing right-hand sides, so a missing/short PLTE
@@ -1571,25 +1617,12 @@ def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
-def png_encode(
-    pixels: bytes,
-    width: int,
-    height: int,
-    channels: int = 1,
-    row_filters: list[int] | None = None,
-) -> bytes:
-    """Minimal PNG writer (8-bit gray/gray+alpha/RGB/RGBA) used by tests
-    and the synthetic fixture. ``row_filters`` selects the filter type
-    per scanline (default all-0) and APPLIES real filtering, so the
-    decoder's unfilter paths are exercised end-to-end."""
-    import struct
-    import zlib
-
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+def _png_filter_image(
+    pixels: bytes, width: int, height: int, channels: int, filters
+) -> bytearray:
+    """Apply per-row filters to one (sub-)image — the writer-side twin
+    of :func:`_png_unfilter`; ``filters[y]`` selects the type."""
     stride = width * channels
-    if len(pixels) != height * stride:
-        raise ValueError("pixel buffer does not match dimensions")
-    filters = row_filters or [0] * height
     raw = bytearray()
     for y in range(height):
         ftype = filters[y]
@@ -1613,6 +1646,51 @@ def png_encode(
                 raw.append((cur - _paeth(left, up, ul)) & 0xFF)
             else:
                 raise ValueError(f"filter type {ftype}")
+    return raw
+
+
+def png_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    row_filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer (8-bit gray/gray+alpha/RGB/RGBA) used by tests
+    and the synthetic fixture. ``row_filters`` selects the filter type
+    per scanline (default all-0) and APPLIES real filtering, so the
+    decoder's unfilter paths are exercised end-to-end. ``interlace``
+    (r10) emits Adam7: the image splits into the seven pass sub-images,
+    each filtered independently (``row_filters`` applies per emitted
+    sub-row, cycling)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+    if interlace:
+        filters = row_filters or [0]
+        raw = bytearray()
+        r = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = bytearray()
+            for yy in range(hp):
+                for xx in range(wp):
+                    si = ((y0 + yy * dy) * width + (x0 + xx * dx)) * channels
+                    sub += pixels[si : si + channels]
+            pf = [filters[(r + yy) % len(filters)] for yy in range(hp)]
+            r += hp
+            raw += _png_filter_image(bytes(sub), wp, hp, channels, pf)
+    else:
+        filters = row_filters or [0] * height
+        raw = _png_filter_image(pixels, width, height, channels, filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -1622,7 +1700,9 @@ def png_encode(
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
