@@ -867,6 +867,55 @@ def test_g711_matches_reference_tables_and_decodes_wav(spark):
         M.wav_pcm(bytes(bad))
 
 
+def test_ima_adpcm_matches_audioop_core_and_roundtrips():
+    """r10: 4-bit IMA ADPCM. The nibble state machine must track the
+    stdlib audioop DVI core sample-for-sample (same step/index tables);
+    the WAV block codec must round-trip with bounded error, exact block
+    heads (stored verbatim in each block header), ~4x compression, and
+    decode via wav_pcm with correct container metadata."""
+    import struct
+    import warnings
+
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(3)
+    raw = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    ref = np.frombuffer(audioop.adpcm2lin(raw, 2, None)[0], "<i2")
+    val, idx, mine = 0, 0, []
+    for byte in raw:
+        for nib in (byte >> 4, byte & 0x0F):  # audioop: HIGH nibble first
+            val, idx = M.ima_step(val, idx, nib)
+            mine.append(val)
+    assert (np.array(mine) == ref).all()
+    # WAV roundtrip on a band-limited signal
+    t = np.arange(2000)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int64)
+    wav = M.wav_encode_adpcm(sig, block_samples=505)
+    dec = M.wav_pcm(wav)
+    assert len(dec) >= len(sig)
+    err = np.abs(dec[: len(sig)] - sig)
+    assert err.mean() < 50 and err.max() < 2000  # tracking, not exactness
+    assert all(dec[k * 505] == sig[k * 505] for k in range(len(sig) // 505))
+    assert M.wav_meta(wav) == (1, 8000, 4, 252)
+    assert len(wav) < 2 * len(sig) * 0.3  # ~4x smaller than 16-bit PCM
+    # decode is deterministic and exactly the encoder's reconstruction:
+    # re-encoding the DECODED signal reproduces the byte stream
+    d0 = wav.find(b"data") + 8
+    assert M.wav_encode_adpcm(dec, block_samples=505)[d0:] == wav[d0:]
+    # corrupt step index -> error, not garbage
+    bad = bytearray(wav)
+    bad[d0 + 2] = 99  # first block's index byte
+    with _pytest.raises(ValueError, match="step index"):
+        M.wav_pcm(bytes(bad))
+
+
 def test_wav_pcm_roundtrip_and_features(spark):
     """wav_encode -> wav_pcm is the identity on int16 samples; the PCM
     feature kernel computes exact integers on a hand-checkable case; and

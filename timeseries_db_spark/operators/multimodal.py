@@ -43,11 +43,13 @@ shapes — is real and tested. Decoding splits in two:
   a writer whose output round-trips BYTE-IDENTICAL for arbitrary
   images — the repo gains a true lossless image codec; subsampled /
   restart-interval lossless streams stay documented seams;
-* **G.711 µ-law/A-law compressed audio is REAL** (r10): from-spec
-  integer companders (bit-identical to the CCITT reference tables —
-  pytest sweeps the full domain against stdlib ``audioop``) decode
-  fmt-tag-7/6 WAVs in :func:`wav_pcm`, so telephony/VoIP captures need
-  no library;
+* **G.711 µ-law/A-law AND IMA ADPCM compressed audio are REAL** (r10):
+  from-spec integer companders (bit-identical to the CCITT reference
+  tables — pytest sweeps the full domain against stdlib ``audioop``)
+  decode fmt-tag-7/6 WAVs, and the 4-bit IMA ADPCM block codec
+  (fmt tag 0x11, step-table state machine, nibble engine pinned
+  against ``audioop``'s DVI core) decodes in :func:`wav_pcm` too —
+  telephony/VoIP/game-audio captures need no library;
 * **video frame PIXELS are REAL for MJPEG-in-AVI** (r10): the movi
   frame-chunk walk (:func:`avi_frames`) feeds the complete JPEG decoder
   per sampled frame (:func:`decode_video_frames`), and
@@ -232,6 +234,7 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("not a RIFF/WAVE container")
     i = 12
     channels = rate = bits = None
+    byte_rate = 0
     data_size = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
@@ -239,13 +242,18 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
         if cid == b"fmt " and i + 24 <= len(b):
             channels = int.from_bytes(b[i + 10 : i + 12], "little")
             rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
             bits = int.from_bytes(b[i + 22 : i + 24], "little")
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not channels or not rate or not bits or data_size is None:
         raise ValueError("WAV missing fmt or data chunk")
-    byte_rate = rate * channels * (bits // 8)
+    # duration from the header's own avg-byte-rate field (the only
+    # correct rule for block codecs like ADPCM where bits < 8); fall
+    # back to the PCM derivation for writers that zero the field
+    if not byte_rate:
+        byte_rate = rate * channels * max(1, bits // 8)
     return channels, rate, bits, (data_size * 1000) // byte_rate
 
 
@@ -2015,6 +2023,8 @@ AUDIO_PCM_CAPABILITIES = {
     "wav": "real (RIFF parse + int16 LE mono PCM)",
     "wav g711": "real (r10: µ-law/A-law COMPRESSED audio, fmt tags 7/6 — "
     "from-spec integer expand, no library)",
+    "wav ima adpcm": "real (r10: 4-bit predictive blocks, fmt tag 0x11 — "
+    "the IMA step-table state machine, nibble engine pinned vs audioop)",
     "mp3/opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
 }
 
@@ -2093,6 +2103,128 @@ def alaw_encode_sample(x: int) -> int:
     return (sign | code) ^ 0x55
 
 
+# --- IMA ADPCM (r10): 4-bit predictive compressed audio (WAV fmt tag
+# 0x11) — the IMA/DVI state machine: an 89-entry step table walked by a
+# per-nibble index delta, reconstruction = shift-add fractions of the
+# step. Pure integers, from the published IMA spec; the nibble engine
+# is pytest-pinned against the stdlib audioop DVI implementation
+# (same tables, different container/nibble order). ---
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def ima_step(val: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble: (value, index) → (new value, new index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    val = val - diff if nibble & 8 else val + diff
+    val = max(-32768, min(32767, val))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return val, index
+
+
+def ima_encode_nibble(val: int, pred: int, index: int) -> int:
+    """Quantize one sample against the predictor (IMA compress step)."""
+    step = _IMA_STEPS[index]
+    diff = val - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def wav_encode_adpcm(samples, rate: int = 8000, block_samples: int = 505) -> bytes:
+    """Mono IMA-ADPCM-in-WAV writer (fmt tag 0x11): blocks of
+    ``block_samples`` (odd — 1 header sample + 2 per data byte), each
+    opening with (int16 predictor, uint8 step index, reserved) and
+    packing nibbles LOW-FIRST per the WAV convention. 4-bit ≈ 4×
+    smaller than PCM; the decode is bit-exact by construction (the
+    encoder tracks its own reconstruction)."""
+    if block_samples < 3 or block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd and >= 3")
+    xs = [int(s) for s in samples]
+    blocks = bytearray()
+    index = 0
+    i = 0
+    block_align = 4 + (block_samples - 1) // 2
+    while i < len(xs):
+        chunk_xs = xs[i : i + block_samples]
+        if len(chunk_xs) < block_samples:  # zero-pad the final block
+            chunk_xs = chunk_xs + [chunk_xs[-1]] * (block_samples - len(chunk_xs))
+        pred = max(-32768, min(32767, chunk_xs[0]))
+        blocks += pred.to_bytes(2, "little", signed=True)
+        blocks += bytes([index, 0])
+        nibbles = []
+        for s in chunk_xs[1:]:
+            nib = ima_encode_nibble(s, pred, index)
+            pred, index = ima_step(pred, index, nib)
+            nibbles.append(nib)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        i += block_samples
+    n_blocks = (len(xs) + block_samples - 1) // block_samples
+    byte_rate = (rate * block_align + block_samples - 1) // block_samples
+    fmt = (
+        b"fmt "
+        + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")            # cbSize
+        + block_samples.to_bytes(2, "little")  # samples per block
+    )
+    data = b"data" + (n_blocks * block_align).to_bytes(4, "little") + blocks
+    if len(blocks) & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def _adpcm_decode_blocks(data: bytes, block_align: int) -> list[int]:
+    """Decode mono IMA ADPCM WAV data blocks to linear samples."""
+    out: list[int] = []
+    for b0 in range(0, len(data) - 3, block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        val = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        out.append(val)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                val, index = ima_step(val, index, nib)
+                out.append(val)
+    return out
+
+
 def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
     """REAL sample decode: locate the RIFF ``data`` chunk and return
     linear int16-range samples as an int64 numpy array. Handles linear
@@ -2105,6 +2237,7 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
     b = payload
     channels, rate, bits, _ = wav_meta(b)  # validates RIFF/fmt/data
     fmt_tag = None
+    block_align = 0
     i = 12
     data = None
     while i + 8 <= len(b):
@@ -2112,6 +2245,7 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         size = int.from_bytes(b[i + 4 : i + 8], "little")
         if cid == b"fmt " and i + 10 <= len(b):
             fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
+            block_align = int.from_bytes(b[i + 20 : i + 22], "little")
         elif cid == b"data":
             data = b[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
@@ -2123,9 +2257,16 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         dec = mulaw_decode_sample if fmt_tag == 7 else alaw_decode_sample
         lut = np.array([dec(v) for v in range(256)], dtype=np.int64)
         return lut[np.frombuffer(data, dtype=np.uint8)]
+    if fmt_tag == 0x11 and bits == 4 and channels == 1:  # IMA ADPCM, r10
+        if block_align < 4:
+            raise ValueError("IMA ADPCM block align too small")
+        return np.array(
+            _adpcm_decode_blocks(data, block_align), dtype=np.int64
+        )
     raise ValueError(
         f"WAV fmt_tag={fmt_tag} bits={bits} channels={channels} outside "
-        f"AUDIO_PCM_CAPABILITIES (16-bit mono PCM or 8-bit mono G.711)"
+        f"AUDIO_PCM_CAPABILITIES (16-bit mono PCM, 8-bit mono G.711, "
+        f"or 4-bit mono IMA ADPCM)"
     )
 
 
