@@ -1214,6 +1214,61 @@ def test_jpeg_baseline_rejects_eobn_symbols():
         M.jpeg_decode(j)
 
 
+def test_gif_lzw_decode_roundtrip_and_hand_stream():
+    """r10: REAL GIF pixels. (a) encode→decode round-trips palette-
+    exact across sizes/palettes incl. >4096-entry LZW dictionary resets
+    and interlace; (b) a HAND-ASSEMBLED LZW stream (codes laid out
+    bit-by-bit per the spec, incl. the width growth the 8-entry table
+    forces on the END code) decodes correctly, pinning the decoder
+    independent of the writer; (c) image_decode dispatches GIF; (d)
+    malformed streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    for (w, h, ncol) in ((8, 8, 4), (33, 17, 16), (255, 40, 256)):
+        pal = bytes(rng.integers(0, 256, 3 * ncol, dtype=np.uint8))
+        idx = bytes(rng.integers(0, ncol, w * h, dtype=np.uint8))
+        want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+        for inter in (False, True):
+            g = M.gif_encode(idx, w, h, pal, interlace=inter)
+            assert M.gif_decode(g) == (w, h, 3, want), (w, h, ncol, inter)
+    # (b) hand-built: 3x1 image, indices [1,2,1], min code size 2.
+    # Codes: clear(4) 1 2 1 at width 3, then END(5) at width 4 — the
+    # third append fills the 8-entry table and grows the width BEFORE
+    # the end code is read. LSB-first packing gives bytes 8C 52.
+    pal = bytes(range(12))  # 4 colors
+    hand = (
+        b"GIF89a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT present, 2-bit depth -> 4 entries
+        + pal
+        + b"\x2c" + bytes(4)
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x00, 2])  # no LCT, LZW min code size 2
+        + bytes([2, 0x8C, 0x52, 0x00])
+        + b"\x3b"
+    )
+    assert M.gif_decode(hand) == (
+        3, 1, 3, pal[3:6] + pal[6:9] + pal[3:6]
+    )
+    # (c) dispatch
+    g = M.gif_encode(bytes([0, 1]), 2, 1, bytes(range(6)))
+    assert M.image_decode(g) == M.gif_decode(g)
+    assert M.image_meta(g) == ("gif", 2, 1)
+    # (d) malformed: unknown block type; data that ends mid-image
+    bad = bytearray(hand)
+    bad[13 + 12] = 0x99  # the 0x2C image separator
+    with _pytest.raises(ValueError, match="unknown block"):
+        M.gif_decode(bytes(bad))
+    short = hand.replace(bytes([2, 0x8C, 0x52, 0x00]), b"\x00")  # no data
+    with _pytest.raises(ValueError, match="truncated|ends early"):
+        M.gif_decode(short)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        M.gif_decode(b"NOTAGIF")
+
+
 def test_png_adam7_interlace_roundtrip_and_spec_grid():
     """r10: Adam7 interlaced PNG. (a) writer→decoder round-trips
     byte-identical across shapes incl. degenerate passes (1×1, 9×1,

@@ -34,6 +34,11 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
+* **GIF pixels are REAL** (r10): from-spec LZW inflate (LSB-first
+  growing code widths, clear/end, 4096-entry resets) + palette
+  expansion, local-over-global tables, interlacing, logical-screen
+  placement — plus a real-LZW writer, so the 4th major web format
+  joins the decode surface (first frame of animations);
 * **Adam7 interlaced PNG is REAL** (r10): the seven pass sub-images
   unfilter independently through the shared scanline machinery and
   scatter back on the spec 8.2 grid; the writer emits Adam7 too, and a
@@ -295,6 +300,8 @@ PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced "
     "+ Adam7 interlaced since r10; 16-bit = seam)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
+    "gif": "real (r10: LZW inflate + palette expansion, local/global "
+    "tables, interlace, screen placement; first frame of animations)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -461,6 +468,234 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (GIF89a spec Appendix F): LSB-first codes over
+    the concatenated sub-block stream, clear/end control codes, code
+    width grows when the dictionary fills its current width (to the
+    12-bit cap). Stops after ``n_pixels`` indices or the end code."""
+    clear = 1 << min_size
+    end = clear + 1
+    out = bytearray()
+    pos = 0  # bit cursor
+
+    def read_code(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            v |= ((data[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    base = [bytes([i]) for i in range(clear)]
+    table = None
+    width = min_size + 1
+    prev = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = list(base) + [b"", b""]
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if table is None:  # stream must open with a clear code
+            table = list(base) + [b"", b""]
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data ends early")
+    return out[:n_pixels]
+
+
+#: GIF interlace pass grid: (first row, row step) per GIF89a §20
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF pixel decode (r10), stdlib-free: logical screen walk →
+    first image descriptor → GIF-LZW inflate → palette expansion to
+    RGB, honoring local-over-global color tables, sub-image placement
+    on the logical screen (uncovered area = background color), and
+    4-pass row interlacing. Returns ``(width, height, 3, rgb)`` in the
+    :func:`png_decode` convention.
+
+    First frame only (an animation's later frames need composition
+    state — out of scope for the feature pipeline); GCE transparency
+    is treated as its palette color. Truncated/malformed payloads
+    raise ``ValueError``."""
+    b = payload
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError(f"not a GIF (magic {b[:6]!r})")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed, bg = b[10], b[11]
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = b[i : i + n]
+        i += n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
+            iw = int.from_bytes(b[i + 5 : i + 7], "little")
+            ih = int.from_bytes(b[i + 7 : i + 9], "little")
+            ip = b[i + 9]
+            i += 10
+            pal = gct
+            if ip & 0x80:
+                n = 3 * (2 << (ip & 0x07))
+                pal = b[i : i + n]
+                i += n
+            if not pal:
+                raise ValueError("GIF image without a color table")
+            min_size = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                data += b[i + 1 : i + 1 + b[i]]
+                i += 1 + b[i]
+            idx = _gif_lzw_decode(bytes(data), min_size, iw * ih)
+            if ip & 0x40:  # deinterlace rows
+                rows = []
+                for first, step in _GIF_INTERLACE:
+                    rows += list(range(first, ih, step))
+                ordered = bytearray(iw * ih)
+                for src, dst in enumerate(rows):
+                    ordered[dst * iw : (dst + 1) * iw] = idx[
+                        src * iw : (src + 1) * iw
+                    ]
+                idx = ordered
+            if max(idx, default=0) * 3 + 3 > len(pal):
+                raise ValueError("GIF palette index outside color table")
+            out = bytearray(sw * sh * 3)
+            if gct and 3 * bg + 3 <= len(gct):
+                out[0::3] = gct[3 * bg] .to_bytes(1, "big") * (sw * sh)
+                out[1::3] = gct[3 * bg + 1].to_bytes(1, "big") * (sw * sh)
+                out[2::3] = gct[3 * bg + 2].to_bytes(1, "big") * (sw * sh)
+            for y in range(ih):
+                if not 0 <= top + y < sh:
+                    continue
+                for x in range(iw):
+                    if not 0 <= left + x < sw:
+                        continue
+                    k = idx[y * iw + x]
+                    o = ((top + y) * sw + (left + x)) * 3
+                    out[o : o + 3] = pal[3 * k : 3 * k + 3]
+            return sw, sh, 3, bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_encode(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer (tests + fixtures): one frame of palette
+    indices over a global color table (padded to a power-of-two size),
+    REAL LZW compression (dictionary to 4096 with clear-code resets,
+    code width mirroring the decoder's growth rule), optional
+    interlacing."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    n_colors = max(2, len(palette) // 3)
+    depth = max(1, (n_colors - 1).bit_length())
+    pal = bytearray(palette) + b"\x00" * (3 * (1 << depth) - len(palette))
+    if interlace:
+        rows = []
+        for first, step in _GIF_INTERLACE:
+            rows += list(range(first, height, step))
+        src = bytearray()
+        for r in rows:
+            src += indices[r * width : (r + 1) * width]
+        indices = bytes(src)
+    min_size = max(2, depth)
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    out_bits = bytearray()
+    pos = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal pos
+        for i in range(w):
+            byte = pos >> 3
+            if byte >= len(out_bits):
+                out_bits.append(0)
+            if (code >> i) & 1:
+                out_bits[byte] |= 1 << (pos & 7)
+            pos += 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_size)}, end + 1
+
+    table, next_code = fresh()
+    w = min_size + 1
+    emit(clear, w)
+    prev = b""
+    for k in indices:
+        cand = prev + bytes([k])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], w)
+        table[cand] = next_code
+        next_code += 1
+        # width growth mirrors the decoder exactly: the decoder's table
+        # is one entry BEHIND the encoder's (it reconstructs entry_n
+        # only while processing code_{n+1}), so the next emission uses
+        # the grown width iff next_code-1 has filled the current width
+        if next_code - 1 == (1 << w) and w < 12:
+            w += 1
+        if next_code == 4096:
+            emit(clear, w)
+            table, next_code = fresh()
+            w = min_size + 1
+        prev = bytes([k])
+    if prev:
+        emit(table[prev], w)
+    emit(end, w)
+    hdr = bytearray(b"GIF89a")
+    hdr += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    hdr += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg 0
+    hdr += pal
+    hdr += b"\x2c" + (0).to_bytes(2, "little") * 2
+    hdr += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    hdr += bytes([0x40 if interlace else 0])
+    hdr += bytes([min_size])
+    data = bytes(out_bits)
+    for j in range(0, len(data), 255):
+        chunk = data[j : j + 255]
+        hdr += bytes([len(chunk)]) + chunk
+    hdr += b"\x00\x3b"
+    return bytes(hdr)
 
 
 def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -1618,6 +1853,8 @@ def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return png_decode(b)
     if b[:2] == b"BM":
         return bmp_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(b)
     if b[:2] == b"\xff\xd8":
         return jpeg_decode(b)
     raise ValueError(
