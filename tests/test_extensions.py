@@ -723,16 +723,21 @@ def test_image_dhash_perceptual_and_banding_exact(spark):
     # reversed-gradient structure: every adjacent comparison flips
     # relative to `base`, so the hash lands far away
     other = bytes(((255 - x * 5 - y * 3) % 256) for y in range(h) for x in range(w))
+    # r10: the same pixels as a GIF (identity grayscale palette — GIF
+    # expands to RGB, dhash reads channel 0) must hash with the PNGs
+    gray_pal = bytes(v for i in range(256) for v in (i, i, i))
     rows = [
         (1, "image", M.png_encode(base, w, h, 1, [0] * h)),
         (2, "image", M.png_encode(bytes(pert), w, h, 1, [1] * h)),
         (3, "image", M.png_encode(base, w, h, 1, [2] * h)),  # same pixels, other filters
         (4, "image", M.png_encode(other, w, h, 1, [3] * h)),
+        (5, "image", M.gif_encode(base, w, h, gray_pal, interlace=True)),
     ]
     assets = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
     sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert sig[1] == sig[3], "identical pixels must hash identically"
+    assert sig[1] == sig[5], "same pixels as GIF must hash identically"
     assert ham(sig[1], sig[2]) <= 6, "perturbed copy drifted too far"
     assert ham(sig[1], sig[4]) > 20, "structurally opposite image too close"
     # banding vs brute force at the pigeonhole-guaranteed radius
