@@ -2015,6 +2015,43 @@ def decode_resize_png(assets: DataFrame, max_side: int = 24) -> DataFrame:
     )
 
 
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic GIF for the gate fixture: index (x, y) =
+    ``(x*7 + y*13 + doc_id) % 256`` over the identity GRAYSCALE palette
+    (index i → (i,i,i)), so the decoded RGB pixel sum is exactly 3× the
+    index sum — closed-form in doc_id for the SQL oracle. Odd ids
+    INTERLACE, putting the 4-pass row reorder under the driver gate."""
+    w = 16 + (doc_id * 5) % 40
+    h = 16 + (doc_id * 9) % 40
+    idx = bytes((x * 7 + y * 13 + doc_id) % 256 for y in range(h) for x in range(w))
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    return gif_encode(idx, w, h, pal, interlace=bool(doc_id % 2))
+
+
+def documents_as_gif_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with REAL GIF payloads (same
+    ``doc_id % 3 == 0`` subset as the other image fixtures)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_gif(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def synth_png(doc_id: int) -> bytes:
     """Deterministic grayscale PNG for the gate fixture: dimensions and
     the pixel pattern are closed-form in ``doc_id`` (so a SQL oracle can

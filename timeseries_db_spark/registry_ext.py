@@ -1470,6 +1470,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("target_h").cast("long").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r10 gresize leg: REAL GIF decode (LZW inflate + palette
+        # expansion; odd ids interlaced) through the same resize stage;
+        # identity grayscale palette makes px_sum = 3x the index sum,
+        # closed-form in doc_id
+        gresize = multimodal.decode_resize_png(
+            multimodal.documents_as_gif_assets(docs), max_side=24
+        ).select(
+            "asset_id",
+            F.lit("gresize").alias("kind"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.col("target_w").cast("long").alias("v3"),
+            F.col("target_h").cast("long").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         # r10 (VERDICT r9 item 5): REAL video frame pixels — MJPEG AVIs
         # with per-block-constant frames decode pixel-exact through the
         # movi walk + full JPEG decoder; v5 = exact decoded-byte sum,
@@ -1490,6 +1505,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(dhash)
             .unionByName(dpairs)
             .unionByName(jresize)
+            .unionByName(gresize)
             .unionByName(vframe)
         )
 
@@ -1637,6 +1653,48 @@ def register_extensions(q: dict, o: dict) -> None:
             JOIN (SELECT unnest(range(64)) AS n) j ON j.n < t.tw
             GROUP BY t.doc_id
         ) jpx ON jpx.doc_id = jt.doc_id
+        UNION ALL
+        -- gresize leg (r10): REAL GIF decode restated closed-form —
+        -- identity grayscale palette, so each RGB pixel sums to 3x the
+        -- index (x*7 + y*13 + d) % 256; same NN-resize mapping
+        SELECT gt.doc_id AS asset_id, 'gresize' AS kind,
+               gt.w AS v1, gt.h AS v2, gt.tw AS v3, gt.th AS v4,
+               gpx.px_sum AS v5
+        FROM (
+            SELECT doc_id, w, h,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (h * 24) // greatest(w, h) ELSE h END AS th
+            FROM (
+                SELECT doc_id,
+                       (16 + (doc_id * 5) % 40)::BIGINT AS w,
+                       (16 + (doc_id * 9) % 40)::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ) gt
+        JOIN (
+            SELECT t.doc_id,
+                   3 * SUM((((j.n * t.w) // t.tw) * 7
+                            + ((i.n * t.h) // t.th) * 13
+                            + t.doc_id) % 256)::BIGINT AS px_sum
+            FROM (
+                SELECT doc_id, w, h,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (h * 24) // greatest(w, h) ELSE h END AS th
+                FROM (
+                    SELECT doc_id,
+                           (16 + (doc_id * 5) % 40)::BIGINT AS w,
+                           (16 + (doc_id * 9) % 40)::BIGINT AS h
+                    FROM documents WHERE doc_id % 3 = 0
+                )
+            ) t
+            JOIN (SELECT unnest(range(56)) AS n) i ON i.n < t.th
+            JOIN (SELECT unnest(range(56)) AS n) j ON j.n < t.tw
+            GROUP BY t.doc_id
+        ) gpx ON gpx.doc_id = gt.doc_id
         UNION ALL
         -- vframe leg (r10): REAL MJPEG frame pixels restated
         -- closed-form — frame f of video doc d has per-block-constant
