@@ -766,8 +766,10 @@ def pq_codebook_refined(
     lowest code; an emptied code keeps its previous center. Returns
     (vec_id = code id 0..ksub−1, embedding) — drop-in for
     ``ann_topk_pq(codebook_source=...)``. Float means are not
-    engine-reproducible, so like the refined IVF quantizer this is the
-    opt-in quality path; the value-oracle gate keeps the sample."""
+    engine-reproducible, so this variant stays pytest-only; since r10
+    :func:`pq_codebook_refined_int` runs the same refinement in exact
+    integers and IS value-oracle-gated (the ``pqr`` leg) — prefer it
+    unless float-exact faiss parity is the goal."""
     id_hash = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
