@@ -431,6 +431,69 @@ def test_multimodal_batch_shapes(spark, docs):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
+def test_ivfpq_composes_pruning_with_adc(spark, emb):
+    """r10 IVF-PQ composition invariants: (1) every returned pair is in
+    the probe-candidate space (its nid's single assigned list is one of
+    the qid's nprobe probed lists); (2) the ADC distance of each pair
+    equals the full-scan ann_topk_pq distance for the same pair (same
+    codebook, same integer tables — pruning must not change scores);
+    (3) per query, results are exactly the k smallest (dist, nid) among
+    the candidate pairs the full-scan scores within probed lists; (4)
+    deterministic across runs."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import similarity as S
+
+    qs = emb.filter("vec_id % 100 = 0")
+    got = S.ann_topk_ivfpq(spark, qs, emb, 5).collect()
+    assert got, "ivfpq returned nothing"
+
+    # probe/assignment twin via the same kernels
+    cents = S.ivf_centroids(emb, S.IVF_NLIST)
+    ids, cmat = S._collect_matrix(cents)
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
+    assign = {
+        r["vec_id"]: r["list_id"]
+        for r in emb.select("vec_id", "embedding")
+        .mapInPandas(S._ivf_assign_fn(bc, 1), schema="vec_id long, list_id long")
+        .collect()
+    }
+    probed = {}
+    for r in (
+        qs.select("vec_id", "embedding")
+        .mapInPandas(
+            S._ivf_assign_fn(bc, S.IVF_NPROBE), schema="vec_id long, list_id long"
+        )
+        .collect()
+    ):
+        probed.setdefault(r["vec_id"], set()).add(r["list_id"])
+    for row in got:
+        assert assign[row["nid"]] in probed[row["qid"]], row
+
+    # full-scan ADC distances for ALL pairs (k large enough to cover)
+    full = {
+        (r["qid"], r["nid"]): r["dist"]
+        for r in S.ann_topk_pq(spark, qs, emb, 600).collect()
+    }
+    for row in got:
+        assert full[(row["qid"], row["nid"])] == row["dist"], row
+    # exactness of the top-k within the candidate space
+    by_q = {}
+    for (qid, nid), dist in full.items():
+        if nid != qid and assign[nid] in probed[qid]:
+            by_q.setdefault(qid, []).append((dist, nid))
+    for qid, cands in by_q.items():
+        want = sorted(cands)[:5]
+        have = sorted(
+            (r["dist"], r["nid"]) for r in got if r["qid"] == qid
+        )
+        assert have == want, (qid, have, want)
+    # determinism
+    again = S.ann_topk_ivfpq(spark, qs, emb, 5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
 def test_pq_adc_exact_integer_pipeline_and_recall(spark, emb):
     """r9 PQ/ADC invariants: (1) every code is a donor id and matches a
     pure-numpy re-derivation of the argmin rule; (2) the reported ADC

@@ -1018,9 +1018,11 @@ def _pq_term_ints(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _np_duck_round(d * d * PQ_FP, 0).astype(np.int64)
 
 
-def _pq_encode_fn(bc, m: int):
+def _pq_encode_fn(bc, m: int, passthrough: tuple[str, ...] = ()):
     """mapInPandas kernel: (vec_id, codes array<long>) — per subvector,
-    the donor id minimizing (integer subdistance, donor id)."""
+    the donor id minimizing (integer subdistance, donor id).
+    ``passthrough`` columns (e.g. ``list_id`` in the IVF-PQ composition)
+    are copied to the output unchanged."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         donor_ids, donor_mat = bc.value  # ids ASC, (ksub, dim) float64
@@ -1037,11 +1039,247 @@ def _pq_encode_fn(bc, m: int):
                 d6 = _pq_term_ints(v, dcube).sum(axis=2)  # (ksub, m)
                 # donors are id-sorted, so argmin is (d6, donor id) ASC
                 codes[r] = donor_ids[np.argmin(d6, axis=0)]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            for col in passthrough:
+                out[col] = pdf[col].to_numpy()
+            yield pd.DataFrame(out)
 
     return gen
+
+
+def _ivfpq_adc_fn(bc, k: int):
+    """mapInPandas kernel over CANDIDATE PAIRS (qid, nid, codes): ADC
+    distance = the qid's precomputed integer table summed at the row's
+    code positions; per-shard (dist ASC, nid ASC) k-smallest per qid.
+    Unlike :func:`_pq_adc_fn` (every query × every corpus row), this
+    scores only the pairs IVF probing produced."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qid_index, qtabs, donor_index = bc.value
+        _nq, m, _ksub = qtabs.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m) donor ids
+            idx = donor_index[codes]
+            qrows = np.fromiter(
+                (qid_index[q] for q in pdf["qid"]), dtype=np.int64, count=len(pdf)
+            )
+            dist = qtabs[qrows[:, None], np.arange(m)[None, :], idx].sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "nid": pdf["nid"].to_numpy(),
+                    "dist": dist,
+                }
+            )
+            out = (
+                out.sort_values(["qid", "dist", "nid"], kind="mergesort")
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+            yield out.astype({"qid": "int64", "nid": "int64", "dist": "int64"})
+
+    return gen
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    codebook_source: DataFrame | None = None,
+) -> DataFrame:
+    """The FULL faiss IVF-PQ recipe (r10): coarse-quantizer pruning AND
+    product-quantization compression composed — each query probes its
+    ``nprobe`` inverted lists, and only the corpus vectors in probed
+    lists are scored, by integer ADC against the broadcast codebook.
+    This is the 100 TB ANN shape: IVF cuts candidates by ~nlist/nprobe,
+    PQ cuts bytes-per-candidate ~32×, so the scored working set is
+    smaller on BOTH axes; output (qid, nid, dist) ranked
+    (dist ASC, nid ASC).
+
+    Scale: centroids (≤ nlist) and per-query subdistance tables
+    (|Q|·m·ksub ints) broadcast; the corpus streams through ONE
+    assignment pass, the probed sublists through one fused encode pass
+    keyed by ``list_id`` (a broadcast semi-join prunes the rest before
+    any PQ work), and ADC is a map-only integer kernel over candidate
+    pairs with per-shard top-k. Nothing unbounded ever reaches the
+    driver. Deterministic end-to-end (rounded-sim probe ranking,
+    integer ADC), so the composition carries a full value oracle
+    (:func:`ann_topk_ivfpq_sql`)."""
+    cents_df = ivf_centroids(corpus, nlist)
+    ids, cmat = _collect_matrix(cents_df)
+    if cmat.shape[0] == 0:
+        raise ValueError("IVF-PQ quantizer found an empty corpus")
+    order = np.argsort(ids, kind="stable")
+    cents_bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
+    probes = (
+        queries.select("vec_id", "embedding")
+        .mapInPandas(
+            _ivf_assign_fn(cents_bc, nprobe), schema="vec_id long, list_id long"
+        )
+        .withColumnRenamed("vec_id", "qid")
+    )
+    assign = corpus.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_fn(cents_bc, 1, keep_embedding=True),
+        schema="vec_id long, list_id long, embedding array<float>",
+    )
+    donor_df = (
+        codebook_source if codebook_source is not None else pq_codebook(corpus, ksub)
+    )
+    pdf = donor_df.select("vec_id", "embedding").toPandas()
+    if not len(pdf):
+        raise ValueError("PQ codebook found an empty corpus")
+    dorder = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    donor_ids = pdf["vec_id"].to_numpy()[dorder]
+    donor_mat = np.stack(pdf["embedding"].to_numpy())[dorder].astype(np.float64)
+    dim = donor_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    if not len(qpdf):
+        return spark.createDataFrame([], "qid long, nid long, dist long")
+    qids = qpdf["vec_id"].to_numpy()
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    sub = dim // m
+    dcube = donor_mat.reshape(len(donor_ids), m, sub)
+    qtabs = np.stack(
+        [
+            _pq_term_ints(q.reshape(1, m, sub), dcube).sum(axis=2).T
+            for q in qmat
+        ]
+    )
+    donor_index = np.full(int(donor_ids.max()) + 1, -1, dtype=np.int64)
+    donor_index[donor_ids] = np.arange(len(donor_ids))
+    qid_index = {int(q): i for i, q in enumerate(qids)}
+
+    # prune to probed lists BEFORE any PQ work (broadcast semi-join on
+    # the ≤ |Q|·nprobe distinct probed list ids), then encode once
+    needed = probes.select("list_id").distinct()
+    enc_bc = spark.sparkContext.broadcast((donor_ids, donor_mat))
+    codes_df = (
+        assign.join(F.broadcast(needed), "list_id")
+        .select("list_id", "vec_id", "embedding")
+        .mapInPandas(
+            _pq_encode_fn(enc_bc, m, passthrough=("list_id",)),
+            schema="vec_id long, codes array<long>, list_id long",
+        )
+    )
+    cand = (
+        codes_df.join(F.broadcast(probes), "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nid"), "codes")
+    )
+    adc_bc = spark.sparkContext.broadcast((qid_index, qtabs, donor_index))
+    winners = cand.mapInPandas(
+        _ivfpq_adc_fn(adc_bc, k), schema="qid long, nid long, dist long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        winners.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "dist")
+    )
+
+
+def ann_topk_ivfpq_sql(
+    query_pred: str,
+    k: int,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivfpq` — full value oracle: the
+    IVF twin's centroid/assignment/probe CTEs compose with the PQ
+    twin's donor/subdistance/code CTEs, and ADC runs only over the
+    probed candidate pairs."""
+    sub = dim // m
+    diff = (
+        f"(e.embedding[mm.m * {sub} + i.i]::DOUBLE"
+        f" - d.de[mm.m * {sub} + i.i]::DOUBLE)"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {nlist}
+        ),
+        cscored AS (
+            SELECT e.vec_id, cents.cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], ce::DOUBLE[]), 6)
+                       AS s6
+            FROM embeddings e CROSS JOIN cents
+        ),
+        cranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cid ASC)
+                       AS crn
+            FROM cscored
+        ),
+        assign AS (SELECT vec_id AS nid, cid AS list_id FROM cranked WHERE crn = 1),
+        probes AS (
+            SELECT vec_id AS qid, cid AS list_id FROM cranked
+            WHERE crn <= {nprobe}
+              AND vec_id IN (SELECT vec_id FROM embeddings WHERE {query_pred})
+        ),
+        donors AS (
+            SELECT vec_id AS did, embedding AS de FROM embeddings
+            ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id LIMIT {ksub}
+        ),
+        sdist AS (
+            SELECT e.vec_id, mm.m, d.did,
+                   SUM(CAST(round({diff} * {diff} * {PQ_FP}) AS BIGINT))
+                       AS d6
+            FROM embeddings e, range({m}) mm(m), range(1, {sub + 1}) i(i),
+                 donors d
+            WHERE e.vec_id IN (SELECT nid FROM assign
+                               WHERE list_id IN (SELECT list_id FROM probes))
+               OR e.vec_id IN (SELECT qid FROM probes)
+            GROUP BY e.vec_id, mm.m, d.did
+        ),
+        codes AS (
+            SELECT vec_id, m, did FROM (
+                SELECT vec_id, m, did,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY d6 ASC, did ASC
+                       ) AS rn
+                FROM sdist
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT vec_id AS qid, m, did, d6 FROM sdist
+            WHERE vec_id IN (SELECT qid FROM probes)
+        ),
+        cand AS (
+            SELECT DISTINCT probes.qid, assign.nid
+            FROM probes JOIN assign USING (list_id)
+            WHERE probes.qid <> assign.nid
+        ),
+        adc AS (
+            SELECT c.qid, c.nid, SUM(q.d6) AS dist
+            FROM cand c
+            JOIN codes ON codes.vec_id = c.nid
+            JOIN qtab q ON q.qid = c.qid AND q.m = codes.m
+                       AND q.did = codes.did
+            GROUP BY c.qid, c.nid
+        )
+        SELECT qid, nid, dist FROM (
+            SELECT qid, nid, dist,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY dist ASC, nid ASC
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {k}
+    """
 
 
 def _pq_adc_fn(bc, k: int, *, encoded: bool = True):

@@ -1370,7 +1370,19 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dist").cast("double").alias("score"),
             F.lit("pqr").alias("kind"),
         )
-        return ivf.unionByName(pq).unionByName(pqr)
+        # r10 ivfpq leg: the FULL faiss recipe — coarse-list pruning AND
+        # PQ compression composed; only probed-list candidates are ADC-
+        # scored. Deterministic end-to-end, so the composition itself
+        # carries a full value oracle.
+        ivfpq = similarity.ann_topk_ivfpq(s, qs, _emb(s, d), TOPK_K).select(
+            "qid",
+            "nid",
+            F.col("dist").cast("double").alias("score"),
+            F.lit("ivfpq").alias("kind"),
+        )
+        return (
+            ivf.unionByName(pq).unionByName(pqr).unionByName(ivfpq)
+        )
 
     q["ann_topk_ivf"] = ann_ivf_and_pq
     o["ann_topk_ivf"] = (
@@ -1380,6 +1392,8 @@ def register_extensions(q: dict, o: dict) -> None:
         + similarity.ann_topk_pq_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
         + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'pqr' AS kind FROM ("
         + similarity.ann_topk_pq_refined_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
+        + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'ivfpq' AS kind FROM ("
+        + similarity.ann_topk_ivfpq_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
         + ")"
     )
 
