@@ -136,10 +136,15 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # r10 legs added to headline entries: ann_topk_ivf += pqr (the
 # integer-refined PQ codebook leg: one more bounded driver refinement
 # — 64-vector sample, 2 Lloyd rounds in int64 — plus a second fused
-# encode+ADC corpus pass), so its r10 column covers strictly more work
-# than r9's same-named column. Non-headline r10 legs (text_lm_score
-# approx, dml_roundtrip tsx, multimodal vframe, audio g711) don't touch
-# the headline list.
+# encode+ADC corpus pass) += ivfpq (the full IVF-PQ composition:
+# one more corpus assignment pass + probed-sublist encode + candidate-
+# pair ADC), so its r10 column covers strictly more work than r9's
+# same-named column (measured warm sf0.1: 1.12 r9 → 1.45 +pqr → 2.6 +ivfpq; at this SF
+# all 128 lists are probed by the 50-query gate shape, so the ivfpq
+# leg pays a full-corpus assignment+encode — at real scale nprobe/nlist
+# prunes, which is the point of the composition).
+# Non-headline r10 legs (text_lm_score approx, dml_roundtrip tsx,
+# multimodal vframe/gresize, audio g711) don't touch the headline list.
 
 # r9 legs added to headline entries: derivatives_by_tag += ewma (dyadic
 # alpha=1/2 exponential smoothing — one more per-tag window with a
