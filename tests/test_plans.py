@@ -416,6 +416,33 @@ def test_pq_plan_single_python_stage_no_join(spark, sf_dir):
     assert len(_nodes(plan, "Window")) == 1, plan
 
 
+def test_ivfpq_plan_broadcast_pruning_no_shuffle_join(spark, sf_dir):
+    """r10 IVF-PQ: the probed-list prune and the candidate-pair
+    expansion are BROADCAST joins (the right side is ≤ |Q|·nprobe rows
+    by construction — a shuffle join would re-key the whole corpus),
+    there is no sort-merge join and no cartesian, and the corpus flows
+    through exactly two Arrow stages (assign, then encode of the probed
+    sublists) plus the candidate ADC kernel."""
+    from timeseries_db_spark.operators.similarity import ann_topk_ivfpq
+    from timeseries_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _formatted_plan(
+        spark, ann_topk_ivfpq(spark, emb.filter("vec_id % 100 = 0"), emb, 5)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly ONE broadcast join (candidate-pair expansion); list
+    # pruning is a pushed-down IN filter, not a join, and the probe
+    # kernel ran eagerly (bounded collect) so it is absent here
+    assert len(_nodes(plan, "BroadcastHashJoin")) == 1, plan
+    # assign + encode + ADC: the only Python stages that see
+    # corpus-scaled rows
+    assert len(_nodes(plan, "MapInPandas")) == 3, plan
+    assert len(_nodes(plan, "Window")) == 1, plan
+
+
 def test_pagerank_plan_no_cartesian_bounded_joins(spark):
     """r9 PageRank: each round is keyed equi-joins + one grouped sum —
     never a cartesian/nested-loop, never a window."""

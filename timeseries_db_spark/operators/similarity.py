@@ -1119,12 +1119,23 @@ def ann_topk_ivfpq(
         raise ValueError("IVF-PQ quantizer found an empty corpus")
     order = np.argsort(ids, kind="stable")
     cents_bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
-    probes = (
+    # probe assignments COLLECT (≤ |Q|·nprobe pairs — bounded like the
+    # centroid sample): pruning then pushes down as an IN filter on
+    # list_id instead of a join, the pair expansion is ONE broadcast
+    # join, and the probe kernel runs once rather than once per plan
+    # reference (a lazy probes frame is re-evaluated by every subtree
+    # that mentions it — plan-asserted in test_plans.py)
+    probe_rows = (
         queries.select("vec_id", "embedding")
         .mapInPandas(
             _ivf_assign_fn(cents_bc, nprobe), schema="vec_id long, list_id long"
         )
-        .withColumnRenamed("vec_id", "qid")
+        .collect()
+    )
+    needed_ids = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r["vec_id"], r["list_id"]) for r in probe_rows],
+        "qid long, list_id long",
     )
     assign = corpus.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(cents_bc, 1, keep_embedding=True),
@@ -1160,12 +1171,11 @@ def ann_topk_ivfpq(
     donor_index[donor_ids] = np.arange(len(donor_ids))
     qid_index = {int(q): i for i, q in enumerate(qids)}
 
-    # prune to probed lists BEFORE any PQ work (broadcast semi-join on
-    # the ≤ |Q|·nprobe distinct probed list ids), then encode once
-    needed = probes.select("list_id").distinct()
+    # prune to probed lists BEFORE any PQ work (pushdown-able IN filter
+    # over the ≤ |Q|·nprobe distinct probed list ids), then encode once
     enc_bc = spark.sparkContext.broadcast((donor_ids, donor_mat))
     codes_df = (
-        assign.join(F.broadcast(needed), "list_id")
+        assign.filter(F.col("list_id").isin(needed_ids))
         .select("list_id", "vec_id", "embedding")
         .mapInPandas(
             _pq_encode_fn(enc_bc, m, passthrough=("list_id",)),
