@@ -351,8 +351,9 @@ def test_png_decode_rejects_unsupported_with_capability_flag():
 
     import pytest as _pytest
 
-    # 16-bit depth is outside PIXEL_CAPABILITIES['png']
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-byte depths are outside PIXEL_CAPABILITIES['png']
+    # (16-bit became REAL in r10 — high-byte quantization)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0)
     raw = zlib.compress(b"\x00" * (2 * (2 * 2 + 1)))
     png = (
         b"\x89PNG\r\n\x1a\n"
@@ -1280,6 +1281,40 @@ def test_jpeg_baseline_rejects_eobn_symbols():
     )
     with pytest.raises(ValueError, match="bad JPEG AC symbol"):
         M.jpeg_decode(j)
+
+
+def test_png_16bit_decodes_to_high_byte():
+    """r10: 16-bit PNGs decode to the high byte of each big-endian
+    sample (documented quantization), with the unfilter running at the
+    TRUE 2-byte pixel stride first so every filter type reconstructs
+    exactly — plain and Adam7, gray through RGBA; other depths still
+    raise at the capability seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(9)
+    for (w, h, ch) in ((16, 12, 1), (7, 5, 3), (9, 3, 4), (1, 1, 2)):
+        img16 = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+        be = img16.astype(">u2").tobytes()
+        hi = (img16 >> 8).astype(np.uint8).tobytes()
+        for filt in ([0], [1, 2, 3, 4, 0]):
+            for inter in (False, True):
+                p = M.png_encode(
+                    be, w, h, ch,
+                    row_filters=filt, interlace=inter, bit_depth=16,
+                )
+                assert M.png_decode(p) == (w, h, ch, hi), (w, h, ch, filt, inter)
+    # unsupported depths still raise
+    with _pytest.raises(ValueError, match="bit depth"):
+        M.png_encode(b"\x00", 1, 1, 1, bit_depth=4)
+    p = bytearray(
+        M.png_encode(bytes(4), 2, 2, 1)
+    )
+    p[24] = 1  # IHDR bit depth byte -> 1-bit
+    with _pytest.raises(NotImplementedError, match="bit_depth=1"):
+        M.png_decode(bytes(p))
 
 
 def test_gif_lzw_decode_roundtrip_and_hand_stream():

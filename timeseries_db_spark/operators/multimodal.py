@@ -297,8 +297,8 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 #: are the PIL/ffmpeg insertion points — attempting them raises
 #: ``NotImplementedError`` naming this flag.
 PIXEL_CAPABILITIES = {
-    "png": "real (stdlib zlib inflate + unfilter, 8-bit, non-interlaced "
-    "+ Adam7 interlaced since r10; 16-bit = seam)",
+    "png": "real (stdlib zlib inflate + unfilter, 8-bit + 16-bit-to-"
+    "high-byte since r10, non-interlaced + Adam7 interlaced)",
     "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
     "gif": "real (r10: LZW inflate + palette expansion, local/global "
     "tables, interlace, screen placement; first frame of animations)",
@@ -382,11 +382,14 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     ``(width, height, channels, pixels)`` with ``pixels`` row-major
     8-bit bytes; palette images expand to RGB.
 
-    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced AND
-    Adam7-interlaced (r10 — seven independently-filtered passes
-    scattered back on the pass grid). 16-bit raises
-    ``NotImplementedError`` (see ``PIXEL_CAPABILITIES``); a truncated or
-    non-PNG payload raises ``ValueError``."""
+    Supported: bit depths 8 AND 16 (r10 — 16-bit samples QUANTIZE to
+    their high byte, the standard thumbnailer/feature-pipeline
+    reduction; the unfilter runs at the true 2-byte pixel stride first,
+    so filters reconstruct exactly), color types 0/2/3/4/6,
+    non-interlaced AND Adam7-interlaced (r10 — seven independently-
+    filtered passes scattered back on the pass grid). Other depths
+    raise ``NotImplementedError`` (see ``PIXEL_CAPABILITIES``); a
+    truncated or non-PNG payload raises ``ValueError``."""
     import zlib
 
     b = payload
@@ -415,22 +418,29 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + size  # length + type + data + CRC
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+    if (
+        bit_depth not in (8, 16)
+        or color_type not in _PNG_CHANNELS
+        or interlace not in (0, 1)
+        or (bit_depth == 16 and color_type == 3)  # no 16-bit palettes
+    ):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
             f"interlace={interlace} is outside PIXEL_CAPABILITIES['png']"
         )
     ch = _PNG_CHANNELS[color_type]
+    bpc = bit_depth // 8  # bytes per channel; filters run at ch*bpc
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
+    stride = width * ch * bpc
     if interlace == 0:
         if len(raw) != height * (stride + 1):
             raise ValueError(
                 f"PNG scanline data is {len(raw)} bytes, "
                 f"expected {height * (stride + 1)}"
             )
-        out, _ = _png_unfilter(raw, width, height, ch, 0)
+        out, _ = _png_unfilter(raw, width, height, ch * bpc, 0)
     else:  # Adam7 (r10): 7 independently-filtered sub-images, scattered
+        chb = ch * bpc
         out = bytearray(height * stride)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -438,18 +448,20 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             hp = (height - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            if off + hp * (wp * ch + 1) > len(raw):
+            if off + hp * (wp * chb + 1) > len(raw):
                 raise ValueError("PNG Adam7 pass data truncated")
-            sub, off = _png_unfilter(raw, wp, hp, ch, off)
+            sub, off = _png_unfilter(raw, wp, hp, chb, off)
             for yy in range(hp):
-                srow = yy * wp * ch
+                srow = yy * wp * chb
                 drow = (y0 + yy * dy) * stride
                 for xx in range(wp):
-                    si = srow + xx * ch
-                    di = drow + (x0 + xx * dx) * ch
-                    out[di : di + ch] = sub[si : si + ch]
+                    si = srow + xx * chb
+                    di = drow + (x0 + xx * dx) * chb
+                    out[di : di + chb] = sub[si : si + chb]
         if off != len(raw):
             raise ValueError("PNG Adam7 data length mismatch")
+    if bpc == 2:  # 16-bit (network byte order): keep the high byte
+        out = out[0::2]
     if color_type == 3:  # palette → RGB
         # guard BEFORE expanding: bytearray slice assignment accepts
         # length-changing right-hand sides, so a missing/short PLTE
@@ -1866,11 +1878,12 @@ def _png_filter_image(
     pixels: bytes, width: int, height: int, channels: int, filters
 ) -> bytearray:
     """Apply per-row filters to one (sub-)image — the writer-side twin
-    of :func:`_png_unfilter`; ``filters[y]`` selects the type."""
+    of :func:`_png_unfilter`; ``filters`` selects the type per row,
+    cycling when shorter than the image."""
     stride = width * channels
     raw = bytearray()
     for y in range(height):
-        ftype = filters[y]
+        ftype = filters[y % len(filters)]
         row = pixels[y * stride : (y + 1) * stride]
         prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
         raw.append(ftype)
@@ -1901,6 +1914,7 @@ def png_encode(
     channels: int = 1,
     row_filters: list[int] | None = None,
     interlace: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """Minimal PNG writer (8-bit gray/gray+alpha/RGB/RGBA) used by tests
     and the synthetic fixture. ``row_filters`` selects the filter type
@@ -1912,8 +1926,12 @@ def png_encode(
     import struct
     import zlib
 
+    if bit_depth not in (8, 16):
+        raise ValueError("png_encode supports bit depth 8 or 16")
+    bpc = bit_depth // 8  # 16-bit: pixels are big-endian 2-byte samples
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    chb = channels * bpc
+    stride = width * chb
     if len(pixels) != height * stride:
         raise ValueError("pixel buffer does not match dimensions")
     if interlace:
@@ -1928,14 +1946,14 @@ def png_encode(
             sub = bytearray()
             for yy in range(hp):
                 for xx in range(wp):
-                    si = ((y0 + yy * dy) * width + (x0 + xx * dx)) * channels
-                    sub += pixels[si : si + channels]
+                    si = ((y0 + yy * dy) * width + (x0 + xx * dx)) * chb
+                    sub += pixels[si : si + chb]
             pf = [filters[(r + yy) % len(filters)] for yy in range(hp)]
             r += hp
-            raw += _png_filter_image(bytes(sub), wp, hp, channels, pf)
+            raw += _png_filter_image(bytes(sub), wp, hp, chb, pf)
     else:
         filters = row_filters or [0] * height
-        raw = _png_filter_image(pixels, width, height, channels, filters)
+        raw = _png_filter_image(pixels, width, height, chb, filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -1946,7 +1964,8 @@ def png_encode(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     return (
         b"\x89PNG\r\n\x1a\n"
