@@ -1780,3 +1780,72 @@ def test_pq_refined_int_codebook_oracle_exact_and_cuts_distortion(
         S.ann_topk_pq_refined_sql("vec_id % 250 = 0", 3)
     ).fetchall()
     assert out == sorted(map(tuple, twin_topk))
+
+
+def test_bmp_palette_rle8_and_32bit():
+    """r10 BMP widening: 8-bit paletted (uncompressed AND a real
+    BI_RLE8 run-length stream — encoded runs, EOL/EOF escapes), 32-bit
+    BGRA (alpha dropped), both matching the palette-expanded /
+    channel-reordered truth; RLE bounds violations raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(13)
+    for (w, h, nc) in ((16, 9, 7), (5, 3, 256), (33, 10, 2)):
+        pal = bytes(rng.integers(0, 256, 3 * nc, dtype=np.uint8))
+        idx = bytes(rng.integers(0, nc, w * h, dtype=np.uint8))
+        want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+        for rle in (False, True):
+            p = M.bmp_encode_palette(idx, w, h, pal, rle=rle)
+            assert M.bmp_decode(p) == (w, h, 3, want), (w, h, nc, rle)
+            assert M.image_decode(p) == (w, h, 3, want)
+    # RLE compresses runs
+    flat = bytes([3]) * (60 * 40)
+    assert len(M.bmp_encode_palette(flat, 60, 40, bytes(12), rle=True)) < 600
+    # delta + absolute escapes decode (hand-built stream: skip, literal)
+    pal = bytes(range(30))
+    stream = bytes(
+        [2, 1]          # run: two of index 1
+        + [0, 2, 1, 0]  # delta: dx=1 (skipped cell stays index 0)
+        + [0, 3, 2, 3, 4, 0]  # absolute: 3 literals + pad
+        + [0, 0]        # end of line
+        + [0, 1]        # end of bitmap (single-row image)
+    )
+    # reuse the writer's headers, swap in the hand-built stream
+    base = M.bmp_encode_palette(bytes(6), 6, 1, pal, rle=True)
+    off = int.from_bytes(base[10:14], "little")
+    hand = bytearray(base[:off]) + stream
+    hand[2:6] = (off + len(stream)).to_bytes(4, "little")
+    hand[34:38] = len(stream).to_bytes(4, "little")
+    got = M.bmp_decode(bytes(hand))
+    w_, h_, ch_, rgb = got
+    idx_want = [1, 1, 0, 2, 3, 4]
+    assert rgb == b"".join(pal[3 * k : 3 * k + 3] for k in idx_want)
+    # a run overflowing its row raises
+    bad_stream = bytes([7, 1, 0, 1])  # run of 7 on a 6-wide row
+    bad = bytearray(base[:off]) + bad_stream
+    bad[34:38] = len(bad_stream).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="RLE"):
+        M.bmp_decode(bytes(bad))
+    # 32-bit BGRA hand-built
+    rgb3 = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    bgra = np.dstack(
+        [rgb3[:, :, 2], rgb3[:, :, 1], rgb3[:, :, 0],
+         np.full((4, 5), 9, np.uint8)]
+    )
+    body = b"".join(bgra[y].tobytes() for y in range(3, -1, -1))
+    info = (
+        (40).to_bytes(4, "little")
+        + (5).to_bytes(4, "little", signed=True)
+        + (4).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdr = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+    )
+    assert M.bmp_decode(hdr + info + body) == (5, 4, 3, rgb3.tobytes())

@@ -299,7 +299,8 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit + 16-bit-to-"
     "high-byte since r10, non-interlaced + Adam7 interlaced)",
-    "bmp": "real (raw 24-bit BGR rows, uncompressed, padded-stride)",
+    "bmp": "real (24-bit BGR + 32-bit BGRA (alpha dropped) + 8-bit "
+    "PALETTED uncompressed/BI_RLE8 since r10; 16/4/1-bit + RLE4 = seam)",
     "gif": "real (r10: LZW inflate + palette expansion, local/global "
     "tables, interlace, screen placement; first frame of animations)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
@@ -710,38 +711,112 @@ def gif_encode(
     return bytes(hdr)
 
 
+def _bmp_rle8_decode(data: bytes, w: int, height: int) -> bytearray:
+    """BI_RLE8 (the BMP spec run-length codec, r10): (count, value)
+    runs; count 0 escapes to end-of-line / end-of-bitmap / (dx, dy)
+    delta / word-aligned absolute literals. Returns bottom-up rows of
+    palette indices (the raster the RLE stream addresses); skipped
+    cells stay 0."""
+    out = bytearray(w * height)
+    x = y = i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n:  # encoded run
+            if y >= height or x + n > w:
+                raise ValueError("BMP RLE run overflows row")
+            out[y * w + x : y * w + x + n] = bytes([v]) * n
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("BMP RLE truncated delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > height:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: v literal bytes, word-aligned
+            if y >= height or x + v > w or i + v > len(data):
+                raise ValueError("BMP RLE absolute run overflows")
+            out[y * w + x : y * w + x + v] = data[i : i + v]
+            x += v
+            i += v + (v & 1)
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
 def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode — (width, height, channels, RGB bytes in
-    top-down row order, the :func:`png_decode` convention). BMP pixels
-    are raw (no entropy coding): 24-bit BGR rows, 4-byte-aligned
-    stride, bottom-up unless height is negative. Anything fancier
-    (palettes, RLE, 16/32-bit) raises at the capability boundary."""
+    top-down row order, the :func:`png_decode` convention). Supported
+    (r10 widened): 24-bit BGR rows; 32-bit BGRA (alpha dropped —
+    documented, BMP alpha is almost always padding); 8-bit PALETTED,
+    uncompressed or BI_RLE8 run-length. All bottom-up unless height is
+    negative (RLE8 is always bottom-up per the spec). 16/4/1-bit and
+    BI_RLE4 raise at the capability boundary."""
     import numpy as np
 
     b = payload
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError(f"not a BMP (magic {b[:2]!r})")
     data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
     w = int.from_bytes(b[18:22], "little", signed=True)
     h = int.from_bytes(b[22:26], "little", signed=True)
     bpp = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    clr_used = int.from_bytes(b[46:50], "little")
+    ok = (bpp in (24, 32) and compression == 0) or (
+        bpp == 8 and compression in (0, 1)
+    )
+    if not ok or w <= 0 or h == 0:
         raise ValueError(
             f"BMP bpp={bpp} compression={compression} w={w} h={h} is "
-            f"outside PIXEL_CAPABILITIES['bmp'] (24-bit uncompressed)"
+            f"outside PIXEL_CAPABILITIES['bmp']"
         )
     top_down, height = h < 0, abs(h)
-    stride = (w * 3 + 3) & ~3
+    if bpp == 8:
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = b[pal_off : pal_off + 4 * n_pal]  # BGRX quads
+        if len(pal) < 4 * n_pal:
+            raise ValueError("BMP palette truncated")
+        if compression == 1:  # BI_RLE8: bottom-up index raster
+            if top_down:
+                raise ValueError("BMP RLE8 must be bottom-up")
+            idx_bu = _bmp_rle8_decode(b[data_off:], w, height)
+            idx_rows = [
+                idx_bu[(height - 1 - y) * w : (height - y) * w]
+                for y in range(height)
+            ]
+        else:
+            stride = (w + 3) & ~3
+            if data_off + stride * height > len(b):
+                raise ValueError("BMP pixel data truncated")
+            idx_rows = []
+            for y in range(height):
+                src_y = y if top_down else height - 1 - y
+                o = data_off + src_y * stride
+                idx_rows.append(b[o : o + w])
+        idx = np.frombuffer(b"".join(bytes(r) for r in idx_rows), np.uint8)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index outside the color table")
+        quads = np.frombuffer(pal, np.uint8).reshape(n_pal, 4)
+        rgb = quads[idx][:, [2, 1, 0]]  # BGRX -> RGB
+        return w, height, 3, rgb.tobytes()
+    ch_in = bpp // 8
+    stride = (w * ch_in + 3) & ~3
     if data_off + stride * height > len(b):
         raise ValueError("BMP pixel data truncated")
     rows = []
     for y in range(height):
         src_y = y if top_down else height - 1 - y
         o = data_off + src_y * stride
-        rows.append(b[o : o + w * 3])
-    a = np.frombuffer(b"".join(rows), np.uint8).reshape(height, w, 3)
-    return w, height, 3, a[:, :, ::-1].tobytes()  # BGR -> RGB
+        rows.append(b[o : o + w * ch_in])
+    a = np.frombuffer(b"".join(rows), np.uint8).reshape(height, w, ch_in)
+    return w, height, 3, a[:, :, [2, 1, 0]].tobytes()  # BGR(A) -> RGB
 
 
 def bmp_encode(pixels_rgb: bytes, width: int, height: int) -> bytes:
@@ -773,6 +848,69 @@ def bmp_encode(pixels_rgb: bytes, width: int, height: int) -> bytes:
         + off.to_bytes(4, "little")
     )
     return hdr + info + body
+
+
+def bmp_encode_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette_rgb: bytes,
+    rle: bool = False,
+) -> bytes:
+    """8-bit paletted bottom-up BMP writer (r10, tests): RGB palette in,
+    BGRX quads out; ``rle=True`` emits a REAL BI_RLE8 stream (maximal
+    equal-byte runs per row, end-of-line marks, end-of-bitmap)."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    n_pal = max(1, len(palette_rgb) // 3)
+    quads = b"".join(
+        bytes([palette_rgb[3 * i + 2], palette_rgb[3 * i + 1],
+               palette_rgb[3 * i], 0])
+        for i in range(n_pal)
+    )
+    if rle:
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # raster is bottom-up
+            row = indices[y * width : (y + 1) * width]
+            x = 0
+            while x < len(row):
+                n = 1
+                while n < 255 and x + n < len(row) and row[x + n] == row[x]:
+                    n += 1
+                body += bytes([n, row[x]])
+                x += n
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        body = bytes(body)
+        compression = 1
+    else:
+        stride = (width + 3) & ~3
+        pad = b"\x00" * (stride - width)
+        body = b"".join(
+            indices[y * width : (y + 1) * width] + pad
+            for y in range(height - 1, -1, -1)
+        )
+        compression = 0
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 8
+        + n_pal.to_bytes(4, "little")
+        + b"\x00" * 4
+    )
+    off = 14 + 40 + len(quads)
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + quads + body
 
 
 # ---------------------------------------------------------------------------
