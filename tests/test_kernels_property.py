@@ -179,3 +179,99 @@ def test_pagerank_python_twin_properties(edge_list, iters):
         ) // PR_DAMP_DEN + len(new)
         assert all(v >= PR_BASE for v in new.values())
         rank = new
+
+
+# --- r10 codec roundtrip properties: hypothesis shrinks any counter-
+# example to a minimal failing image/signal, which the fixed-seed codec
+# tests cannot do ---
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=13),
+    st.sampled_from([1, 3]),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims=_dims,
+    predictor=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+def test_jpeg_lossless_roundtrip_property(dims, predictor, data):
+    """ANY image, ANY predictor: SOF3 encode→decode is the identity."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    w, h, ch = dims
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    j = M.jpeg_encode_lossless(pix, w, h, ch, predictor=predictor)
+    assert M.jpeg_decode(j) == (w, h, ch, pix)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=19),
+    h=st.integers(min_value=1, max_value=11),
+    n_colors=st.integers(min_value=2, max_value=256),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_roundtrip_property(w, h, n_colors, interlace, data):
+    """ANY index raster over ANY palette: GIF LZW encode→decode expands
+    to exactly the palette colors."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    pal = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * n_colors,
+                max_size=3 * n_colors,
+            )
+        )
+    )
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_colors - 1),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    g = M.gif_encode(idx, w, h, pal, interlace=interlace)
+    want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+    assert M.gif_decode(g) == (w, h, 3, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=600,
+    ),
+    block=st.sampled_from([5, 33, 505]),
+)
+def test_ima_adpcm_reencode_fixed_point_property(samples, block):
+    """decode∘encode is a PROJECTION: re-encoding the decoded signal
+    reproduces the byte stream exactly (the decoded signal is a fixed
+    point of the codec), and block-header samples are stored verbatim."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    wav = M.wav_encode_adpcm(samples, block_samples=block)
+    dec = M.wav_pcm(wav)
+    d0 = wav.find(b"data") + 8
+    again = M.wav_encode_adpcm(dec, block_samples=block)
+    assert again[d0:] == wav[d0:]
+    clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
+    for k in range(len(samples) // block):
+        assert dec[k * block] == clamp(samples[k * block])
