@@ -1132,6 +1132,8 @@ def ann_topk_ivfpq(
         )
         .collect()
     )
+    if not probe_rows:  # no queries → no winners
+        return spark.createDataFrame([], "qid long, nid long, dist long")
     needed_ids = sorted({r["list_id"] for r in probe_rows})
     probes = spark.createDataFrame(
         [(r["vec_id"], r["list_id"]) for r in probe_rows],
