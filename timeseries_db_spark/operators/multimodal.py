@@ -1994,10 +1994,10 @@ def jpeg_encode_lossless(
 
 
 def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Format-dispatching REAL pixel decode: PNG (:func:`png_decode`)
-    , BMP (:func:`bmp_decode`) and baseline
-    JPEG (:func:`jpeg_decode`); anything else raises with the
-    capability map — the PIL/ffmpeg seam."""
+    """Format-dispatching REAL pixel decode: PNG (:func:`png_decode`),
+    BMP (:func:`bmp_decode`), GIF (:func:`gif_decode`, r10) and JPEG —
+    baseline/progressive/lossless (:func:`jpeg_decode`); anything else
+    raises with the capability map — the PIL/ffmpeg seam."""
     b = payload
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(b)
