@@ -16,14 +16,17 @@ N = 2_000
 @pytest.fixture(scope="module")
 def three_formats(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("fmt")
-    pdf = timeseries_fixture(spark, N).toPandas()
+    fx = timeseries_fixture(spark, N)
+    pdf = fx.toPandas()
     pq_path = str(base / "t.parquet")
     json_path = str(base / "t.jsonl")
     csv_path = str(base / "t.csv")
+    orc_path = str(base / "t.orc")
     pdf.to_parquet(pq_path)
     pdf.to_json(json_path, orient="records", lines=True)
     pdf.to_csv(csv_path, index=False)
-    return pq_path, json_path, csv_path
+    fx.coalesce(1).write.mode("overwrite").orc(orc_path)  # r10
+    return pq_path, json_path, csv_path, orc_path
 
 
 def test_all_formats_agree(spark, three_formats):
@@ -32,7 +35,7 @@ def test_all_formats_agree(spark, three_formats):
     for path in three_formats:
         df = compile_query(read_tsdb_any(spark, path), qm)
         results.append(sorted((r["grp"], round(r["result"], 4)) for r in df.collect()))
-    assert results[0] == results[1] == results[2]
+    assert results[0] == results[1] == results[2] == results[3]
     assert len(results[0]) == 4
 
 

@@ -94,12 +94,16 @@ def read_tsdb_any(spark: SparkSession, path: str, fmt: str | None = None) -> Dat
     discovered mid-query)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"json": "json", "jsonl": "json", "csv": "csv"}.get(ext, "parquet")
+        fmt = {"json": "json", "jsonl": "json", "csv": "csv", "orc": "orc"}.get(
+            ext, "parquet"
+        )
     schema = "timestamp long, tag string, value double"
     if fmt == "json":
         return spark.read.schema(schema).json(path)
     if fmt == "csv":
         return spark.read.schema(schema).option("header", "true").csv(path)
+    if fmt == "orc":  # r10: Spark-native columnar alternative, pushdown-capable
+        return spark.read.schema(schema).orc(path)
     return spark.read.schema(schema).parquet(path)
 
 
@@ -294,7 +298,9 @@ def read_corpus_any(
       right mode when upstream claims to have validated)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"json": "json", "jsonl": "json"}.get(ext, "parquet")
+        fmt = {"json": "json", "jsonl": "json", "orc": "orc"}.get(ext, "parquet")
+    if fmt == "orc":  # r10
+        return spark.read.schema(CORPUS_SCHEMA).orc(path)
     if fmt == "json":
         if on_malformed == "quarantine":
             from pyspark.sql import functions as F
