@@ -1849,3 +1849,53 @@ def test_bmp_palette_rle8_and_32bit():
         + (54).to_bytes(4, "little")
     )
     assert M.bmp_decode(hdr + info + body) == (5, 4, 3, rgb3.tobytes())
+
+
+def test_tiff_strips_packbits_both_byte_orders():
+    """r10 TIFF: 8-bit gray/RGB chunky strips round-trip byte-identical
+    across (uncompressed|PackBits) × (II|MM) × multi-strip layouts;
+    WhiteIsZero inverts; image_meta/image_decode dispatch; unsupported
+    compression raises at the capability seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(21)
+    for (w, h, ch) in ((16, 12, 1), (7, 29, 3), (1, 1, 1), (33, 5, 3)):
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        for pb in (False, True):
+            for be in (False, True):
+                t = M.tiff_encode(
+                    img, w, h, ch,
+                    packbits=pb, big_endian=be, rows_per_strip=7,
+                )
+                assert M.tiff_decode(t) == (w, h, ch, img), (w, h, ch, pb, be)
+                assert M.image_meta(t) == ("tiff", w, h)
+                assert M.image_decode(t) == (w, h, ch, img)
+    # PackBits earns its keep on runs
+    flat = bytes([9]) * (64 * 64)
+    t = M.tiff_encode(flat, 64, 64, 1, packbits=True)
+    assert len(t) < 1000 and M.tiff_decode(t)[3] == flat
+    # WhiteIsZero (photometric 0): flip the tag, decode inverts
+    t = bytearray(M.tiff_encode(bytes([10, 250]), 2, 1, 1))
+    # photometric entry: find tag 262 and zero its value
+    ifd = int.from_bytes(t[4:8], "little")
+    n = int.from_bytes(t[ifd : ifd + 2], "little")
+    for e in range(n):
+        o = ifd + 2 + 12 * e
+        if int.from_bytes(t[o : o + 2], "little") == 262:
+            t[o + 8] = 0
+    assert M.tiff_decode(bytes(t))[3] == bytes([245, 5])
+    # LZW compression (5) is the documented seam
+    t2 = bytearray(M.tiff_encode(bytes(4), 2, 2, 1))
+    for e in range(n):
+        o = ifd + 2 + 12 * e
+        if int.from_bytes(t2[o : o + 2], "little") == 259:
+            t2[o + 8] = 5
+    with _pytest.raises(NotImplementedError, match="PIXEL_CAPABILITIES"):
+        M.tiff_decode(bytes(t2))
+    # truncated strip data raises
+    good = M.tiff_encode(bytes(100), 10, 10, 1)
+    with _pytest.raises(ValueError):
+        M.tiff_decode(good[: len(good) - 20])

@@ -34,6 +34,11 @@ shapes — is real and tested. Decoding splits in two:
   successive-approximation first and refinement passes, EOBn runs —
   plus a progressive WRITER whose output must decode pixel-identical
   to the baseline writer's (tests pin it);
+* **TIFF pixels are REAL** (r10): first-IFD walk (both byte orders,
+  left-justified inline values), 8-bit gray/RGB chunky strips,
+  uncompressed or PackBits, WhiteIsZero inversion — the scan/OCR
+  archival format document corpora actually contain; LZW/JPEG-in-TIFF,
+  tiled and planar stay documented seams;
 * **GIF pixels are REAL** (r10): from-spec LZW inflate (LSB-first
   growing code widths, clear/end, 4096-entry resets) + palette
   expansion, local-over-global tables, interlacing, logical-screen
@@ -142,6 +147,8 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
     * GIF (87a/89a): logical-screen size, little-endian u16 at 6-9;
     * BMP: BITMAPINFOHEADER, little-endian i32 at 18-25 (negative
       height = top-down rows → abs);
+    * TIFF (r10): first-IFD tag walk for ImageWidth/ImageLength,
+      either byte order;
     * JPEG: walk the marker segments to the first SOF frame header
       (skipping non-frame markers), height/width big-endian u16 at
       segment offsets 3-6.
@@ -166,6 +173,25 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = int.from_bytes(b[22:26], "little", signed=True)
         return "bmp", abs(w), abs(h)
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        bo = "little" if b[:2] == b"II" else "big"
+        ifd = int.from_bytes(b[4:8], bo)
+        if ifd + 2 > len(b):
+            raise ValueError("TIFF IFD offset out of range")
+        n = int.from_bytes(b[ifd : ifd + 2], bo)
+        dims = {}
+        for e in range(n):
+            o = ifd + 2 + 12 * e
+            if o + 12 > len(b):
+                break
+            tag = int.from_bytes(b[o : o + 2], bo)
+            ftype = int.from_bytes(b[o + 2 : o + 4], bo)
+            if tag in (256, 257) and ftype in (3, 4):
+                sz = 2 if ftype == 3 else 4
+                dims[tag] = int.from_bytes(b[o + 8 : o + 8 + sz], bo)
+        if 256 not in dims or 257 not in dims:
+            raise ValueError("TIFF missing ImageWidth/ImageLength")
+        return "tiff", dims[256], dims[257]
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 <= len(b):
@@ -303,6 +329,8 @@ PIXEL_CAPABILITIES = {
     "PALETTED uncompressed/BI_RLE8 since r10; 16/4/1-bit + RLE4 = seam)",
     "gif": "real (r10: LZW inflate + palette expansion, local/global "
     "tables, interlace, screen placement; first frame of animations)",
+    "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB chunky strips, "
+    "none/PackBits; LZW/JPEG-in-TIFF, tiled, planar = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -746,6 +774,221 @@ def _bmp_rle8_decode(data: bytes, w: int, height: int) -> bytearray:
             x += v
             i += v + (v & 1)
     raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytearray:
+    """Apple PackBits (TIFF compression 32773): signed control byte —
+    0..127 copies n+1 literals, -1..-127 repeats the next byte 1-n
+    times, -128 is a no-op. Stops once ``expect`` bytes are produced
+    (strips are encoded independently and may pad)."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect and i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("PackBits strip ends early")
+    return out[:expect]
+
+
+def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL TIFF pixel decode (r10) — the scan/OCR archival format a
+    document-training corpus actually contains. First IFD, both byte
+    orders (II/MM), 8-bit chunky samples, gray (photometric 0/1 — 0
+    inverts) or RGB, multi-strip, compression none (1) or PackBits
+    (32773). LZW/JPEG-in-TIFF, planar, tiled, and non-8-bit raise at
+    the capability boundary; truncated structures raise ``ValueError``.
+    Returns the :func:`png_decode` convention tuple."""
+    b = payload
+    if b[:4] == b"II*\x00":
+        bo = "little"
+    elif b[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError(f"not a TIFF (magic {b[:4]!r})")
+
+    def u(lo: int, n: int) -> int:
+        if lo + n > len(b):
+            raise ValueError("TIFF structure truncated")
+        return int.from_bytes(b[lo : lo + n], bo)
+
+    ifd = u(4, 4)
+    n_ent = u(ifd, 2)
+    #: field type -> byte size (the ones 8-bit imagery uses)
+    tsize = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for e in range(n_ent):
+        o = ifd + 2 + 12 * e
+        tag, ftype, count = u(o, 2), u(o + 2, 2), u(o + 4, 4)
+        if ftype not in tsize:
+            continue  # rationals etc. — nothing we need
+        sz = tsize[ftype]
+        voff = o + 8 if sz * count <= 4 else u(o + 8, 4)
+        tags[tag] = [u(voff + i * sz, sz) for i in range(count)]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return tags[tag][0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    planar = one(284, 1)
+    if (
+        comp not in (1, 32773)
+        or spp not in (1, 3)
+        or any(x != 8 for x in bits)
+        or planar != 1
+        or photo not in (0, 1, 2)
+        or 322 in tags  # tiled
+    ):
+        raise NotImplementedError(
+            f"TIFF compression={comp} spp={spp} bits={bits} "
+            f"photometric={photo} is outside PIXEL_CAPABILITIES['tiff']"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per = one(278, h)
+    out = bytearray()
+    row_bytes = w * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per, h - si * rows_per)
+        if n_rows <= 0:
+            break
+        expect = n_rows * row_bytes
+        strip = b[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("TIFF strip data truncated")
+        out += (
+            _packbits_decode(strip, expect) if comp == 32773 else strip[:expect]
+        )
+        if comp == 1 and len(strip) < expect:
+            raise ValueError("TIFF strip ends early")
+    if len(out) != h * row_bytes:
+        raise ValueError("TIFF strips do not cover the image")
+    if photo == 0:  # WhiteIsZero: invert to the usual gray convention
+        out = bytearray(255 - v for v in out)
+    return w, h, spp, bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """PackBits compressor (per row, the TIFF recommendation)."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        run = 1
+        while run < 128 and i + run < len(row) and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])  # -(run-1) & 0xFF
+            i += run
+            continue
+        lit = i
+        while (
+            i < len(row)
+            and i - lit < 128
+            and not (i + 2 < len(row) and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def tiff_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    *,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 16,
+) -> bytes:
+    """Minimal TIFF writer (r10, tests): 8-bit gray/RGB chunky strips,
+    optional PackBits, either byte order."""
+    if channels not in (1, 3):
+        raise ValueError("tiff_encode supports 1 or 3 channels")
+    bo = "big" if big_endian else "little"
+    row_bytes = width * channels
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        raw = pixels[y0 * row_bytes : min(y0 + rows_per_strip, height) * row_bytes]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    n = len(strips)
+
+    def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
+        # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
+        # §2) — a big-endian 4-byte int would right-justify a SHORT
+        if ftype == 3 and count == 1:
+            field = value.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            field = value.to_bytes(4, bo)
+        return (
+            tag.to_bytes(2, bo) + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo) + field
+        )
+
+    # layout: header(8) IFD, then [bits array if rgb], offset/count
+    # arrays (if n > 1), then strip data
+    entries = 9
+    ifd_size = 2 + 12 * entries + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    if channels == 3:
+        pos += 6
+    off_arr = pos
+    if n > 1:
+        pos += 4 * n
+    cnt_arr = pos
+    if n > 1:
+        pos += 4 * n
+    data_start = pos
+    offs, here = [], data_start
+    for s in strips:
+        offs.append(here)
+        here += len(s)
+    e = b""
+    e += ent(256, 4, 1, width)
+    e += ent(257, 4, 1, height)
+    if channels == 3:
+        e += ent(258, 3, 3, bits_off)
+    else:
+        e += ent(258, 3, 1, 8)
+    e += ent(259, 3, 1, 32773 if packbits else 1)
+    e += ent(262, 3, 1, 2 if channels == 3 else 1)
+    e += ent(273, 4, n, offs[0] if n == 1 else off_arr)
+    e += ent(277, 3, 1, channels)
+    e += ent(278, 4, 1, rows_per_strip)
+    e += ent(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
+    out = bytearray()
+    out += (b"II*\x00" if bo == "little" else b"MM\x00*")
+    out += (8).to_bytes(4, bo)
+    out += entries.to_bytes(2, bo) + e + (0).to_bytes(4, bo)
+    if channels == 3:
+        out += b"".join((8).to_bytes(2, bo) for _ in range(3))
+    if n > 1:
+        out += b"".join(o.to_bytes(4, bo) for o in offs)
+        out += b"".join(len(s).to_bytes(4, bo) for s in strips)
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -2003,6 +2246,8 @@ def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return png_decode(b)
     if b[:2] == b"BM":
         return bmp_decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_decode(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(b)
     if b[:2] == b"\xff\xd8":
