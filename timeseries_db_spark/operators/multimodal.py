@@ -2417,6 +2417,47 @@ def decode_resize_png(assets: DataFrame, max_side: int = 24) -> DataFrame:
     )
 
 
+def synth_tiff(doc_id: int) -> bytes:
+    """Deterministic grayscale TIFF for the gate fixture: pixel (x, y)
+    = ``(x*7 + y*13 + doc_id) % 256`` (the :func:`synth_png` gradient,
+    so the SQL oracle reuses the same closed form); odd ids PackBits,
+    ``doc_id % 4 >= 2`` big-endian — all four container variants run
+    under the driver gate."""
+    w = 16 + (doc_id * 3) % 40
+    h = 16 + (doc_id * 7) % 40
+    pix = bytes((x * 7 + y * 13 + doc_id) % 256 for y in range(h) for x in range(w))
+    return tiff_encode(
+        pix, w, h, 1,
+        packbits=bool(doc_id % 2),
+        big_endian=doc_id % 4 >= 2,
+        rows_per_strip=16,
+    )
+
+
+def documents_as_tiff_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with REAL TIFF payloads (same
+    ``doc_id % 3 == 0`` subset as the other image fixtures)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_tiff(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def synth_gif(doc_id: int) -> bytes:
     """Deterministic GIF for the gate fixture: index (x, y) =
     ``(x*7 + y*13 + doc_id) % 256`` over the identity GRAYSCALE palette

@@ -1499,6 +1499,20 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("target_h").cast("long").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r10 tresize leg: REAL TIFF decode (strips, PackBits on odd
+        # ids, both byte orders by doc_id%4) through the same resize
+        # stage; the synth_png gradient, so the oracle reuses its form
+        tresize = multimodal.decode_resize_png(
+            multimodal.documents_as_tiff_assets(docs), max_side=24
+        ).select(
+            "asset_id",
+            F.lit("tresize").alias("kind"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.col("target_w").cast("long").alias("v3"),
+            F.col("target_h").cast("long").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         # r10 (VERDICT r9 item 5): REAL video frame pixels — MJPEG AVIs
         # with per-block-constant frames decode pixel-exact through the
         # movi walk + full JPEG decoder; v5 = exact decoded-byte sum,
@@ -1520,6 +1534,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(dpairs)
             .unionByName(jresize)
             .unionByName(gresize)
+            .unionByName(tresize)
             .unionByName(vframe)
         )
 
@@ -1709,6 +1724,47 @@ def register_extensions(q: dict, o: dict) -> None:
             JOIN (SELECT unnest(range(56)) AS n) j ON j.n < t.tw
             GROUP BY t.doc_id
         ) gpx ON gpx.doc_id = gt.doc_id
+        UNION ALL
+        -- tresize leg (r10): REAL TIFF decode restated closed-form —
+        -- the synth_png gradient over TIFF dims, 1-channel
+        SELECT tt.doc_id AS asset_id, 'tresize' AS kind,
+               tt.w AS v1, tt.h AS v2, tt.tw AS v3, tt.th AS v4,
+               tpx.px_sum AS v5
+        FROM (
+            SELECT doc_id, w, h,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                   CASE WHEN greatest(w, h) > 24
+                        THEN (h * 24) // greatest(w, h) ELSE h END AS th
+            FROM (
+                SELECT doc_id,
+                       (16 + (doc_id * 3) % 40)::BIGINT AS w,
+                       (16 + (doc_id * 7) % 40)::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ) tt
+        JOIN (
+            SELECT t.doc_id,
+                   SUM((((j.n * t.w) // t.tw) * 7
+                        + ((i.n * t.h) // t.th) * 13
+                        + t.doc_id) % 256)::BIGINT AS px_sum
+            FROM (
+                SELECT doc_id, w, h,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (w * 24) // greatest(w, h) ELSE w END AS tw,
+                       CASE WHEN greatest(w, h) > 24
+                            THEN (h * 24) // greatest(w, h) ELSE h END AS th
+                FROM (
+                    SELECT doc_id,
+                           (16 + (doc_id * 3) % 40)::BIGINT AS w,
+                           (16 + (doc_id * 7) % 40)::BIGINT AS h
+                    FROM documents WHERE doc_id % 3 = 0
+                )
+            ) t
+            JOIN (SELECT unnest(range(56)) AS n) i ON i.n < t.th
+            JOIN (SELECT unnest(range(56)) AS n) j ON j.n < t.tw
+            GROUP BY t.doc_id
+        ) tpx ON tpx.doc_id = tt.doc_id
         UNION ALL
         -- vframe leg (r10): REAL MJPEG frame pixels restated
         -- closed-form — frame f of video doc d has per-block-constant
