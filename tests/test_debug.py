@@ -62,10 +62,25 @@ def test_compare_legs_null_discriminator_rows_still_compared():
     broken.loc[broken["tag"].isna(), "v"] += 0.5  # only null-keyed rows
     recs = {r["leg"]: r for r in debug.compare_legs(broken, base, "tag")}
     assert recs["t1"]["hash_match"]
-    assert "<null>" in recs and not recs["<null>"]["hash_match"]
+    null_leg = debug._NULL_LEG
+    assert null_leg in recs and not recs[null_leg]["hash_match"]
     # and a fully-green frame with null keys reports the sentinel green
     recs2 = {r["leg"]: r for r in debug.compare_legs(base, base.copy(), "tag")}
-    assert recs2["<null>"]["hash_match"] and recs2["t1"]["hash_match"]
+    assert recs2[null_leg]["hash_match"] and recs2["t1"]["hash_match"]
+
+
+def test_compare_legs_null_sentinel_no_string_collision():
+    """r11 ADVICE: a *real* string leg value '<null>' must stay a
+    distinct leg from genuine NULLs — the sentinel is a singleton
+    object, not a spellable string."""
+    a = pd.DataFrame({"v": [1.0, 2.0], "tag": ["<null>", None]})
+    b = pd.DataFrame({"v": [1.0, 9.0], "tag": ["<null>", None]})
+    recs = {r["leg"]: r for r in debug.compare_legs(a, b, "tag")}
+    assert len(recs) == 2
+    assert recs["<null>"]["hash_match"]  # the string leg, untouched
+    assert not recs[debug._NULL_LEG]["hash_match"]  # the real-NULL leg
+    # and the caller's frames were not mutated by the substitution
+    assert a["tag"].isna().sum() == 1 and (a["tag"] == "<null>").sum() == 1
 
 
 def test_leg_column_priority():

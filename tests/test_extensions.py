@@ -1370,6 +1370,14 @@ def test_gif_lzw_decode_roundtrip_and_hand_stream():
         M.gif_decode(short)
     with _pytest.raises(ValueError, match="not a GIF"):
         M.gif_decode(b"NOTAGIF")
+    # r11 ADVICE: an out-of-spec LZW minimum code size (GIF89a bounds
+    # it to 2..8) must raise a clear ValueError at the top, not a
+    # misleading bytes()-range error from the base-table build.
+    for bad_min in (0, 1, 9, 12, 255):
+        bad2 = bytearray(hand)
+        bad2[35] = bad_min  # the min-code-size byte after the descriptor
+        with _pytest.raises(ValueError, match="minimum code size"):
+            M.gif_decode(bytes(bad2))
 
 
 def test_png_adam7_interlace_roundtrip_and_spec_grid():
@@ -1899,3 +1907,15 @@ def test_tiff_strips_packbits_both_byte_orders():
     good = M.tiff_encode(bytes(100), 10, 10, 1)
     with _pytest.raises(ValueError):
         M.tiff_decode(good[: len(good) - 20])
+    # r11 ADVICE: an IFD entry with count=0 on a *required* tag must
+    # surface as the documented ValueError ("missing required tag"),
+    # not an IndexError escaping the malformed-payload contract.
+    t3 = bytearray(M.tiff_encode(bytes(4), 2, 2, 1))
+    ifd3 = int.from_bytes(t3[4:8], "little")
+    n3 = int.from_bytes(t3[ifd3 : ifd3 + 2], "little")
+    for e in range(n3):
+        o = ifd3 + 2 + 12 * e
+        if int.from_bytes(t3[o : o + 2], "little") == 256:  # ImageWidth
+            t3[o + 4 : o + 8] = (0).to_bytes(4, "little")  # count = 0
+    with _pytest.raises(ValueError, match="missing required tag 256"):
+        M.tiff_decode(bytes(t3))

@@ -33,6 +33,21 @@ _LEG_COLS = ("kind", "variant", "tag")
 _ALL = "<all>"
 
 
+class _NullLeg:
+    """Unique sentinel for NULL leg-discriminator values (r10 ADVICE
+    follow-up): a plain ``'<null>'`` string would silently merge a
+    genuine string leg value ``'<null>'`` with real NULLs. A singleton
+    object can't collide with any data value; equality is identity."""
+
+    def __repr__(self) -> str:  # shown in the per-leg report
+        return "<null>"
+
+    __str__ = __repr__
+
+
+_NULL_LEG = _NullLeg()
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Driver-shaped canonical form: name-sorted columns, round(4) on
     floats, stable row order."""
@@ -89,13 +104,16 @@ def compare_legs(
     # dropped (r10 ADVICE): dropna here would silently skip comparing
     # rows whose leg column is NULL — weaker than the driver's
     # whole-entry hash for entries that split on a nullable column.
+    # _align_dtypes returned fresh copies, so the substitution below
+    # never touches the caller's frames; the singleton sentinel can't
+    # collide with a real string value (r11 ADVICE).
     if leg_col:
         for pdf in (spark_pdf, oracle_pdf):
             if pdf[leg_col].isna().any():
                 pdf[leg_col] = (
                     pdf[leg_col]
                     .astype(object)
-                    .where(pdf[leg_col].notna(), "<null>")
+                    .where(pdf[leg_col].notna(), _NULL_LEG)
                 )
     legs = sorted(
         set(spark_pdf[leg_col]) | set(oracle_pdf[leg_col])

@@ -516,6 +516,15 @@ def _gif_lzw_decode(data: bytes, min_size: int, n_pixels: int) -> bytearray:
     the concatenated sub-block stream, clear/end control codes, code
     width grows when the dictionary fills its current width (to the
     12-bit cap). Stops after ``n_pixels`` indices or the end code."""
+    # GIF89a bounds the LZW minimum code size to 2..8 (one bit beyond
+    # the deepest 256-entry palette); anything larger would make the
+    # base-table build index past 255 and break the 12-bit width cap
+    # logic, surfacing as a misleading bytes()-range error (r11 ADVICE).
+    if not 2 <= min_size <= 8:
+        raise ValueError(
+            f"GIF LZW minimum code size {min_size} outside the "
+            "GIF89a-legal range 2..8"
+        )
     clear = 1 << min_size
     end = clear + 1
     out = bytearray()
@@ -830,8 +839,8 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     for e in range(n_ent):
         o = ifd + 2 + 12 * e
         tag, ftype, count = u(o, 2), u(o + 2, 2), u(o + 4, 4)
-        if ftype not in tsize:
-            continue  # rationals etc. — nothing we need
+        if ftype not in tsize or count == 0:
+            continue  # rationals etc., or an empty entry — treat as absent
         sz = tsize[ftype]
         voff = o + 8 if sz * count <= 4 else u(o + 8, 4)
         tags[tag] = [u(voff + i * sz, sz) for i in range(count)]
@@ -2879,7 +2888,14 @@ def wav_encode_adpcm(samples, rate: int = 8000, block_samples: int = 505) -> byt
     opening with (int16 predictor, uint8 step index, reserved) and
     packing nibbles LOW-FIRST per the WAV convention. 4-bit ≈ 4×
     smaller than PCM; the decode is bit-exact by construction (the
-    encoder tracks its own reconstruction)."""
+    encoder tracks its own reconstruction).
+
+    Length contract (r11 ADVICE): the final block is padded *by
+    repeating the last sample*, and the decoder returns the padded
+    length — ``ceil(n / block_samples) * block_samples`` samples, not
+    ``n``. Callers that need the original count must slice
+    ``decoded[:n]``; the repeated-sample pad keeps the tail flat
+    instead of injecting a step edge a zero-pad would."""
     if block_samples < 3 or block_samples % 2 == 0:
         raise ValueError("block_samples must be odd and >= 3")
     xs = [int(s) for s in samples]
@@ -2889,7 +2905,7 @@ def wav_encode_adpcm(samples, rate: int = 8000, block_samples: int = 505) -> byt
     block_align = 4 + (block_samples - 1) // 2
     while i < len(xs):
         chunk_xs = xs[i : i + block_samples]
-        if len(chunk_xs) < block_samples:  # zero-pad the final block
+        if len(chunk_xs) < block_samples:  # pad by repeating the last sample
             chunk_xs = chunk_xs + [chunk_xs[-1]] * (block_samples - len(chunk_xs))
         pred = max(-32768, min(32767, chunk_xs[0]))
         blocks += pred.to_bytes(2, "little", signed=True)
