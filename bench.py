@@ -236,9 +236,43 @@ def _slope_corpus_ingest(spark, d: str):
     return ci.read_published(spark, out_dir).select("doc_id", "fp53")
 
 
+# r11 (VERDICT r10 item 1): the ANN family joins the slope table at a
+# PRUNING-REAL shape. The 50-query gate shape probes all 128 lists
+# (50 queries × 4 probes reach every list at sf0.01/0.1), so the gate
+# column measures the degenerate full-probe path and a regression in
+# the IN-pushdown list prune (similarity.py ann_topk_ivfpq's
+# isin(needed_ids) before any PQ work) would be invisible. Here
+# |Q| = 8 queries × nprobe = 4 probes ≤ 32 of nlist = 128 lists →
+# ≥ 75% of the corpus is pruned BEFORE the PQ encode, at BOTH scales
+# (the synth embeddings are cluster-structured with a scale-invariant
+# cluster count, so the pruned fraction holds as N grows). ann_topk_pq
+# rides alongside as the unpruned full-scan ADC reference: the ivfpq
+# slope ≤ the pq slope bounds what the prune buys at 10×.
+def _slope_ann_ivfpq(spark, d: str):
+    from timeseries_db_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    return sim.ann_topk_ivfpq(
+        spark, emb.filter("vec_id < 8"), emb, 10, nlist=128, nprobe=4
+    )
+
+
+def _slope_ann_pq(spark, d: str):
+    from timeseries_db_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    return sim.ann_topk_pq(spark, emb.filter("vec_id < 8"), emb, 10)
+
+
 SLOPE_EXTRA = {
     "interval_overlap": _slope_interval_overlap,
     "corpus_ingest_stream": _slope_corpus_ingest,
+    "ann_topk_ivfpq": _slope_ann_ivfpq,
+    "ann_topk_pq": _slope_ann_pq,
 }
 
 

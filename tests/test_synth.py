@@ -69,3 +69,40 @@ def test_events_tiny_corpus_never_null_user_ids(spark):
     rows = synth.synth_events(spark, 10).collect()
     assert len(rows) == 10
     assert all(r["user_id"] == 0 for r in rows)
+
+
+def test_embeddings_deterministic_clustered_scale_invariant(spark):
+    """r11: the ANN slope entries are only meaningful if the embedding
+    generator is deterministic, cluster-structured, and the cluster
+    population fractions are scale-invariant (so a fixed nprobe/nlist
+    probe prunes the same corpus fraction at every scale)."""
+    a = synth.synth_embeddings(spark, 1_000).toPandas()
+    b = synth.synth_embeddings(spark, 1_000).toPandas()
+    assert list(a.columns) == ["vec_id", "embedding", "label"]
+    assert all(len(e) == synth.EMB_DIM for e in a["embedding"])
+    assert [list(x) for x in a["embedding"]] == [list(x) for x in b["embedding"]]
+    # bounded components: center in [-1, 1], jitter ±0.4
+    import numpy as np
+
+    mat = np.stack(a["embedding"].to_numpy())
+    assert float(np.abs(mat).max()) <= 2.2 + 1e-6  # center ±2 + jitter ±0.2
+    # cluster structure: same-cluster vectors are much closer than
+    # cross-cluster ones (this is what makes IVF pruning non-vacuous)
+    def d(i, j):
+        return float(np.linalg.norm(mat[i] - mat[j]))
+
+    same = d(0, synth.EMB_CLUSTERS)  # both cluster 0
+    cross = d(0, 1)
+    assert same < cross / 2, (same, cross)
+    # scale invariance: cluster population fraction is constant
+    big = synth.synth_embeddings(spark, 4_000).toPandas()
+    fa = (a["vec_id"] % synth.EMB_CLUSTERS == 0).mean()
+    fb = (big["vec_id"] % synth.EMB_CLUSTERS == 0).mean()
+    assert abs(fa - fb) < 0.01
+
+
+def test_materialize_fixture_includes_embeddings(spark, tmp_path):
+    d = synth.materialize_fixture(spark, str(tmp_path), 200, 50)
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    assert emb.count() == 50  # n_vecs defaults to n_docs
+    assert set(emb.columns) == {"vec_id", "embedding", "label"}

@@ -2751,6 +2751,9 @@ AUDIO_PCM_CAPABILITIES = {
     "from-spec integer expand, no library)",
     "wav ima adpcm": "real (r10: 4-bit predictive blocks, fmt tag 0x11 — "
     "the IMA step-table state machine, nibble engine pinned vs audioop)",
+    "wav ms adpcm": "real (r11: fmt tag 0x02 — 7 fixed coefficient "
+    "pairs + multiplicative delta adaptation; audioop has no MS ADPCM, "
+    "so the pin is a hand-computed spec stream + roundtrip properties)",
     "mp3/opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
 }
 
@@ -2958,6 +2961,171 @@ def _adpcm_decode_blocks(data: bytes, block_align: int) -> list[int]:
     return out
 
 
+# --- MS ADPCM (WAV fmt tag 0x02, r11 — VERDICT r10 item 4): the other
+# ADPCM actually found in the wild. Unlike IMA's step-table state
+# machine, MS ADPCM predicts each sample from the TWO previous ones
+# through one of 7 fixed coefficient pairs chosen per block, with a
+# multiplicative delta adaptation (RIFF/WAVE spec, `MSADPCM` section;
+# the same constants every open decoder carries). The predictor shift
+# is the arithmetic ``>> 8`` of the MS reference code and libsndfile —
+# C truncating-division variants (ffmpeg) differ by at most 1 on
+# negative products; our encoder tracks its own reconstruction, so
+# encode→decode is bit-exact by construction regardless. stdlib
+# ``audioop`` has no MS ADPCM (its ``adpcm2lin`` is IMA/DVI), so the
+# pin is a hand-computed spec stream + roundtrip properties instead of
+# a library oracle. ---
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_DELTA_MIN = 16
+
+
+def ms_adpcm_expand_nibble(
+    nibble: int, s1: int, s2: int, delta: int, c1: int, c2: int
+) -> tuple[int, int]:
+    """One MS ADPCM decode step: returns (new_sample, new_delta).
+    ``nibble`` is the raw 4-bit code (0..15, two's-complement signed)."""
+    signed = nibble - 16 if nibble & 8 else nibble
+    pred = ((s1 * c1) + (s2 * c2)) >> 8
+    pred += signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = (_MS_ADAPT[nibble] * delta) >> 8
+    return pred, max(_MS_DELTA_MIN, delta)
+
+
+def _msadpcm_decode_blocks(data: bytes, block_align: int) -> list[int]:
+    """Decode mono MS ADPCM WAV data blocks to linear samples. Block:
+    1-byte predictor index (0..6), int16 initial delta, int16 sample1
+    (newer), int16 sample2 (older) — emitted sample2-first — then 4-bit
+    codes packed HIGH nibble first (the opposite of IMA's order)."""
+    out: list[int] = []
+    for b0 in range(0, len(data) - 6, block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 7:
+            break
+        bpred = block[0]
+        if bpred >= len(_MS_COEF1):
+            raise ValueError(f"MS ADPCM predictor index {bpred} out of range")
+        c1, c2 = _MS_COEF1[bpred], _MS_COEF2[bpred]
+        delta = int.from_bytes(block[1:3], "little", signed=True)
+        if delta <= 0:
+            raise ValueError("MS ADPCM initial delta must be positive")
+        s1 = int.from_bytes(block[3:5], "little", signed=True)
+        s2 = int.from_bytes(block[5:7], "little", signed=True)
+        out.append(s2)
+        out.append(s1)
+        for byte in block[7:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                sample, delta = ms_adpcm_expand_nibble(
+                    nib, s1, s2, delta, c1, c2
+                )
+                s2, s1 = s1, sample
+                out.append(sample)
+    return out
+
+
+def wav_encode_msadpcm(
+    samples,
+    rate: int = 8000,
+    block_samples: int = 500,
+    predictor: int | None = None,
+) -> bytes:
+    """Mono MS-ADPCM-in-WAV writer (fmt tag 0x02): blocks of
+    ``block_samples`` (even, ≥ 4 — 2 header samples + 2 per data byte),
+    each opening with (uint8 predictor index, int16 delta, int16
+    sample1, int16 sample2) and packing 4-bit codes HIGH-FIRST per the
+    RIFF spec. ``predictor`` pins the coefficient pair (0..6); None
+    picks the per-block argmin of total quantization error over all 7
+    pairs (deterministic). The final short block pads by repeating the
+    last sample; the decoder returns the padded length — callers slice
+    ``decoded[:n]`` (same contract as :func:`wav_encode_adpcm`).
+    Encode→decode is bit-exact by construction: the encoder quantizes
+    against its own reconstruction."""
+    if block_samples < 4 or block_samples % 2:
+        raise ValueError("block_samples must be even and >= 4")
+    if predictor is not None and not 0 <= predictor < len(_MS_COEF1):
+        raise ValueError(f"predictor index {predictor} out of range 0..6")
+    xs = [max(-32768, min(32767, int(s))) for s in samples]
+    block_align = 7 + (block_samples - 2) // 2
+
+    def encode_block(chunk: list[int], bpred: int) -> tuple[bytes, int]:
+        """Encode one block with coefficient pair ``bpred``; returns
+        (block bytes, total abs reconstruction error)."""
+        c1, c2 = _MS_COEF1[bpred], _MS_COEF2[bpred]
+        # initial delta: scaled mean absolute second difference — any
+        # positive value roundtrips (decode follows the header); this
+        # one starts the adaptation near the signal's real step size
+        diffs = [abs(chunk[i] - chunk[i - 1]) for i in range(1, len(chunk))]
+        delta = max(
+            _MS_DELTA_MIN,
+            min(32767, (sum(diffs) // max(1, len(diffs))) // 4),
+        )
+        s2, s1 = chunk[0], chunk[1]
+        hdr = (
+            bytes([bpred])
+            + delta.to_bytes(2, "little", signed=True)
+            + s1.to_bytes(2, "little", signed=True)
+            + s2.to_bytes(2, "little", signed=True)
+        )
+        nibbles = []
+        err = 0
+        for x in chunk[2:]:
+            pred = ((s1 * c1) + (s2 * c2)) >> 8
+            diff = x - pred
+            q = diff // delta if diff >= 0 else -((-diff) // delta)
+            q = max(-8, min(7, q))
+            nib = q & 0x0F
+            rec, new_delta = ms_adpcm_expand_nibble(nib, s1, s2, delta, c1, c2)
+            nibbles.append(nib)
+            err += abs(x - rec)
+            s2, s1, delta = s1, rec, new_delta
+        packed = bytearray()
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            packed.append((hi << 4) | lo)
+        return hdr + bytes(packed), err
+
+    blocks = bytearray()
+    i = 0
+    while i < len(xs):
+        chunk = xs[i : i + block_samples]
+        if len(chunk) < block_samples:  # pad by repeating the last sample
+            chunk = chunk + [chunk[-1]] * (block_samples - len(chunk))
+        if predictor is None:
+            enc, _ = min(
+                (encode_block(chunk, p) for p in range(len(_MS_COEF1))),
+                key=lambda t: (t[1], t[0][0]),
+            )
+        else:
+            enc, _ = encode_block(chunk, predictor)
+        blocks += enc
+        i += block_samples
+    n_blocks = (len(xs) + block_samples - 1) // block_samples
+    byte_rate = (rate * block_align + block_samples - 1) // block_samples
+    coef_blob = b"".join(
+        a.to_bytes(2, "little", signed=True) + b.to_bytes(2, "little", signed=True)
+        for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt_body = (
+        (0x02).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")           # cbSize
+        + block_samples.to_bytes(2, "little")  # samples per block
+        + (7).to_bytes(2, "little")            # wNumCoef
+        + coef_blob
+    )
+    fmt = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+    data = b"data" + (n_blocks * block_align).to_bytes(4, "little") + blocks
+    if len(blocks) & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
 def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
     """REAL sample decode: locate the RIFF ``data`` chunk and return
     linear int16-range samples as an int64 numpy array. Handles linear
@@ -2996,10 +3164,16 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         return np.array(
             _adpcm_decode_blocks(data, block_align), dtype=np.int64
         )
+    if fmt_tag == 0x02 and bits == 4 and channels == 1:  # MS ADPCM, r11
+        if block_align < 7:
+            raise ValueError("MS ADPCM block align too small")
+        return np.array(
+            _msadpcm_decode_blocks(data, block_align), dtype=np.int64
+        )
     raise ValueError(
         f"WAV fmt_tag={fmt_tag} bits={bits} channels={channels} outside "
         f"AUDIO_PCM_CAPABILITIES (16-bit mono PCM, 8-bit mono G.711, "
-        f"or 4-bit mono IMA ADPCM)"
+        f"or 4-bit mono IMA/MS ADPCM)"
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 #: Generator version — part of the on-disk cache key; bump on ANY
 #: change to the formulas below so stale /tmp fixtures regenerate.
-SYNTH_VERSION = 1
+SYNTH_VERSION = 3  # r11: embeddings joined the fixture (hash-center form)
 
 #: Matches the driver events fixture: 4 funnel steps (sessionize_30m's
 #: funnel leg needs signup→view→click→purchase) + an error tag.
@@ -116,15 +116,55 @@ def synth_documents(spark, n_docs: int) -> DataFrame:
     )
 
 
+#: embeddings: latent cluster count (prime, ≈ the gate IVF nlist order
+#: of magnitude) — constant at every scale, so IVF list population per
+#: cluster grows linearly with the corpus and the nprobe/nlist prune
+#: ratio is scale-invariant.
+EMB_CLUSTERS = 97
+EMB_DIM = 64  # matches the driver embeddings fixture
+
+
+def synth_embeddings(spark, n_vecs: int, dim: int = EMB_DIM) -> DataFrame:
+    """(vec_id, embedding array<float>, label) — each vector is a
+    deterministic latent-cluster center (``vec_id % EMB_CLUSTERS``)
+    plus bounded per-component jitter (±0.4 via ``xxhash64``), all
+    JVM-side. Clustered rather than uniform so an IVF coarse quantizer
+    finds real structure: probing ``nprobe`` of ``nlist`` lists prunes
+    the same ~nprobe/nlist candidate fraction at every scale, which is
+    exactly the claim the ANN slope entries measure."""
+    i = F.col("id")
+    c = i % EMB_CLUSTERS
+    # center: hash-uniform per (cluster, dim) in ~(-2, 2); jitter:
+    # hash-uniform per (vector, dim) in ±0.2 — well-separated clusters
+    # (same-cluster distance ≈ 5× smaller than cross-cluster), asserted
+    # in test_synth.py. Distinct literal seeds keep the two hashes
+    # uncorrelated when vec_id happens to equal its cluster id.
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.xxhash64(F.lit("c"), c, j) % 1000) / F.lit(500.0)
+            + (F.xxhash64(F.lit("v"), i, j) % 201) / F.lit(1000.0)
+        ).cast("float"),
+    )
+    return spark.range(n_vecs).select(
+        i.alias("vec_id"),
+        emb.alias("embedding"),
+        (i % 11).cast("int").alias("label"),
+    )
+
+
 def materialize_fixture(
-    spark, base_dir: str, n_events: int, n_docs: int
+    spark, base_dir: str, n_events: int, n_docs: int, n_vecs: int | None = None
 ) -> str:
     """Write (or reuse) the synthetic fixture as an sf-dir-shaped
-    directory — ``events.parquet`` + ``documents.parquet`` — so gate
-    callables run on it unchanged. Idempotent: a ``_done`` marker keyed
-    by (version, sizes) skips regeneration; a partial dir (no marker)
-    is rebuilt."""
-    tag = f"v{SYNTH_VERSION}_e{n_events}_d{n_docs}"
+    directory — ``events.parquet`` + ``documents.parquet`` +
+    ``embeddings.parquet`` (r11; ``n_vecs`` defaults to ``n_docs``) —
+    so gate callables run on it unchanged. Idempotent: a ``_done``
+    marker keyed by (version, sizes) skips regeneration; a partial dir
+    (no marker) is rebuilt."""
+    if n_vecs is None:
+        n_vecs = n_docs
+    tag = f"v{SYNTH_VERSION}_e{n_events}_d{n_docs}_v{n_vecs}"
     out = os.path.join(base_dir, tag)
     done = os.path.join(out, "_done")
     if os.path.exists(done):
@@ -138,6 +178,9 @@ def materialize_fixture(
     )
     synth_documents(spark, n_docs).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
+    )
+    synth_embeddings(spark, n_vecs).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
     )
     with open(done, "w") as f:
         f.write(tag)
