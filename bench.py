@@ -133,6 +133,16 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # Leg decomposition at sf0.1 (warm): token_counts ~0.05s (cached),
 # vocab ~0.19s, bm25 ~0.45s, cms ~0.48s.
 
+# r11 noise verdict (VERDICT r10 item 2): sim_cosine_topk's +37%
+# r9→r10 median drift (0.33→0.45s) with zero code change to the entry
+# got the controlled same-box A/B (r9 tree at 5df2126^ in a scratch
+# worktree vs current, interleaved runs, 6 warm runs each at sf0.1):
+# r9 bests 0.470/0.561s vs current 0.537/0.558s, medians 0.561/0.648
+# vs 0.606/0.661 — deltas ≤ ~10%, ordering FLIPS between interleaved
+# rounds, and both trees now measure well above the recorded r10
+# median. Verdict: box noise (the host was simply faster when r9's
+# number was recorded); no regression attributable to code.
+
 # r10 legs added to headline entries: ann_topk_ivf += pqr (the
 # integer-refined PQ codebook leg: one more bounded driver refinement
 # — 64-vector sample, 2 Lloyd rounds in int64 — plus a second fused
