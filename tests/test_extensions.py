@@ -1919,3 +1919,66 @@ def test_tiff_strips_packbits_both_byte_orders():
             t3[o + 4 : o + 8] = (0).to_bytes(4, "little")  # count = 0
     with _pytest.raises(ValueError, match="missing required tag 256"):
         M.tiff_decode(bytes(t3))
+
+
+def test_ms_adpcm_spec_stream_and_roundtrips():
+    """r11 (VERDICT r10 item 4): MS ADPCM (WAV fmt 0x02). audioop has
+    no MS ADPCM (adpcm2lin is IMA/DVI), so the pin is (a) a HAND-built
+    block decoded against hand-computed spec arithmetic, (b) exactness
+    on representable signals (constant, 16-step ramp), (c) bounded
+    tracking error on a band-limited signal, (d) container metadata +
+    dispatch + malformed-payload contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    # (a) hand-built mono block, predictor 0 (c1=256, c2=0 -> pred=s1),
+    # delta=16, s1=100, s2=50; codes: +1, -7, +7, 0 -> two data bytes
+    # 0x19, 0x70. By the spec:
+    #   n=1: pred=100, rec=100+1*16=116, delta=max(16,(230*16)>>8)=16
+    #   n=9 (signed -7): pred=116, rec=116-112=4, delta=max(16,(614*16)>>8)=38
+    #   n=7: pred=4, rec=4+7*38=270, delta=max(16,(614*38)>>8)=91
+    #   n=0: pred=270, rec=270, delta=max(16,(230*91)>>8)=81
+    block = (
+        bytes([0])
+        + (16).to_bytes(2, "little", signed=True)
+        + (100).to_bytes(2, "little", signed=True)
+        + (50).to_bytes(2, "little", signed=True)
+        + bytes([0x19, 0x70])
+    )
+    assert M._msadpcm_decode_blocks(block, len(block)) == [
+        50, 100, 116, 4, 270, 270,
+    ]
+    # (b) exactness: constant and 16-step ramp are representable under
+    # predictor 0 (pred = previous sample; delta stays at the 16 floor)
+    const = [1234] * 100
+    assert list(M.wav_pcm(M.wav_encode_msadpcm(const, block_samples=100))) == const
+    ramp = list(range(0, 100 * 16, 16))
+    assert (
+        list(M.wav_pcm(M.wav_encode_msadpcm(ramp, block_samples=100, predictor=0)))
+        == ramp
+    )
+    # (c) band-limited tracking + compression + container metadata
+    t = np.arange(2000)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int64)
+    wav = M.wav_encode_msadpcm(sig, block_samples=500)
+    dec = M.wav_pcm(wav)
+    assert len(dec) >= len(sig)
+    err = np.abs(dec[: len(sig)] - sig)
+    assert err.mean() < 50 and err.max() < 2000
+    # block-head samples stored verbatim
+    assert all(dec[k * 500] == sig[k * 500] for k in range(len(sig) // 500))
+    ch, rate, bits, dur = M.wav_meta(wav)
+    assert (ch, rate, bits) == (1, 8000, 4) and dur > 0
+    assert len(wav) < 2 * len(sig) * 0.3  # ~4x smaller than 16-bit PCM
+    # (d) malformed: predictor index >= 7, non-positive delta
+    d0 = wav.find(b"data") + 8
+    bad = bytearray(wav)
+    bad[d0] = 7
+    with _pytest.raises(ValueError, match="predictor index"):
+        M.wav_pcm(bytes(bad))
+    bad = bytearray(wav)
+    bad[d0 + 1 : d0 + 3] = (0).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="delta"):
+        M.wav_pcm(bytes(bad))

@@ -275,3 +275,61 @@ def test_ima_adpcm_reencode_fixed_point_property(samples, block):
     clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
     for k in range(len(samples) // block):
         assert dec[k * block] == clamp(samples[k * block])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=600,
+    ),
+    block=st.sampled_from([4, 34, 500]),
+    predictor=st.sampled_from([None, 0, 1, 2, 3, 4, 5, 6]),
+)
+def test_ms_adpcm_decode_matches_independent_reference(
+    samples, block, predictor
+):
+    """r11: MS ADPCM decode pinned against a from-scratch reference
+    decoder written here with its own spec constants (audioop has no MS
+    ADPCM, so a second independent implementation substitutes for the
+    library oracle), across every coefficient pair and the per-block
+    argmin selection; plus the length contract (padded to full blocks)
+    and verbatim block-head samples."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    wav = M.wav_encode_msadpcm(samples, block_samples=block, predictor=predictor)
+    dec = list(M.wav_pcm(wav))
+
+    # independent reference: own constants, own arithmetic
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    C1 = [256, 512, 0, 192, 240, 460, 392]
+    C2 = [0, -256, 0, 64, 0, -208, -232]
+    d0 = wav.find(b"data") + 8
+    size = int.from_bytes(wav[d0 - 4 : d0], "little")
+    data = wav[d0 : d0 + size]
+    align = 7 + (block - 2) // 2
+    ref = []
+    for b0 in range(0, len(data), align):
+        blk = data[b0 : b0 + align]
+        bp = blk[0]
+        delta = int.from_bytes(blk[1:3], "little", signed=True)
+        s1 = int.from_bytes(blk[3:5], "little", signed=True)
+        s2 = int.from_bytes(blk[5:7], "little", signed=True)
+        ref += [s2, s1]
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                sgn = nib - 16 if nib >= 8 else nib
+                p = (s1 * C1[bp] + s2 * C2[bp]) >> 8
+                p = max(-32768, min(32767, p + sgn * delta))
+                delta = max(16, (ADAPT[nib] * delta) >> 8)
+                s2, s1 = s1, p
+                ref.append(p)
+    assert dec == ref
+    # length contract: padded to whole blocks; heads verbatim (clamped)
+    n_blocks = (len(samples) + block - 1) // block
+    assert len(dec) == n_blocks * block
+    clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
+    for k in range(len(samples) // block):
+        assert dec[k * block] == clamp(samples[k * block])

@@ -3297,6 +3297,77 @@ def synth_wav(doc_id: int) -> bytes:
     return wav_encode(s)
 
 
+def synth_wav_msadpcm(doc_id: int) -> bytes:
+    """Deterministic MS ADPCM WAV for the gate fixture (r11): ONE block,
+    predictor 0 (pred = previous sample), initial delta pinned at the
+    16 floor, and the signed code stream ``c_i = ((i*3 + doc_id) % 5)
+    - 2``. Every code's adaptation factor is 230/256 < 1, so delta
+    STAYS at the floor, and decoded sample ``j >= 2`` is the closed
+    form ``s1 + 16 * prefix_sum(c)`` — which a SQL oracle restates with
+    a window prefix sum, no stateful recursion needed. The codes are
+    zero-mean per 5-cycle, so the stream is clamp-free by construction."""
+    n = 300 + 2 * ((doc_id * 9) % 150)  # total samples, even
+    s1 = (doc_id * 13) % 500
+    s2 = (doc_id * 7) % 300 - 150
+    codes = [((i * 3 + doc_id) % 5) - 2 for i in range(n - 2)]
+    nibs = [c & 0x0F for c in codes]
+    block = (
+        bytes([0])
+        + (16).to_bytes(2, "little", signed=True)
+        + s1.to_bytes(2, "little", signed=True)
+        + s2.to_bytes(2, "little", signed=True)
+        + bytes((hi << 4) | lo for hi, lo in zip(nibs[0::2], nibs[1::2]))
+    )
+    block_align = len(block)
+    byte_rate = (8000 * block_align + n - 1) // n
+    coef_blob = b"".join(
+        a.to_bytes(2, "little", signed=True) + b.to_bytes(2, "little", signed=True)
+        for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt_body = (
+        (0x02).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")
+        + n.to_bytes(2, "little")
+        + (7).to_bytes(2, "little")
+        + coef_blob
+    )
+    fmt = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+    data = b"data" + block_align.to_bytes(4, "little") + block
+    if block_align & 1:
+        data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def documents_as_msadpcm_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with MS ADPCM COMPRESSED WAV payloads (same
+    ``doc_id % 3 == 1`` audio subset as :func:`documents_as_wav_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth_wav_msadpcm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
     """Audio-asset fixture with REAL PCM WAV payloads (same
     ``doc_id % 3 == 1`` audio subset as :func:`documents_as_assets`)."""

@@ -1833,7 +1833,24 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("sum_sq").alias("v3"),
             F.col("zero_crossings").alias("v4"),
         )
-        return chunks.unionByName(pcm).unionByName(g711)
+        # r11 msadpcm leg: the OTHER wild ADPCM (fmt 0x02) under the
+        # gate — the fixture's code stream keeps delta at the 16 floor
+        # (every code's adaptation factor < 1), so the REAL stateful
+        # decode collapses to a prefix sum the oracle restates with a
+        # window function
+        msadpcm = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_msadpcm_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("msadpcm").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
+        return (
+            chunks.unionByName(pcm).unionByName(g711).unionByName(msadpcm)
+        )
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
     o["multimodal_audio_chunks"] = """
@@ -1897,6 +1914,51 @@ def register_extensions(q: dict, o: dict) -> None:
                 SELECT doc_id, v,
                        CASE WHEN (v < 0) <> (lag(v) OVER (
                                 PARTITION BY doc_id ORDER BY k) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
+        UNION ALL
+        -- msadpcm leg (r11): MS ADPCM (fmt 0x02) restated closed-form.
+        -- The fixture pins predictor 0 + delta at the 16 floor, so
+        -- sample j>=2 of asset id is s1 + 16 * prefix_sum of the code
+        -- stream c_i = ((i*3 + id) % 5) - 2; samples 0/1 are the
+        -- verbatim block-header pair (s2, s1).
+        SELECT asset_id, 'msadpcm' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id,
+                       (300 + 2 * ((doc_id * 9) % 150))::BIGINT AS n,
+                       ((doc_id * 13) % 500)::BIGINT AS s1,
+                       ((doc_id * 7) % 300 - 150)::BIGINT AS s2
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(598)) AS i),
+            codes AS (
+                SELECT w.doc_id, ks.i + 2 AS j,
+                       sum(((ks.i * 3 + w.doc_id) % 5) - 2) OVER (
+                           PARTITION BY w.doc_id ORDER BY ks.i) AS ps
+                FROM w JOIN ks ON ks.i < w.n - 2
+            ),
+            smp AS (
+                SELECT doc_id, 0 AS j, s2 AS v FROM w
+                UNION ALL
+                SELECT doc_id, 1 AS j, s1 AS v FROM w
+                UNION ALL
+                SELECT c.doc_id, c.j, w.s1 + 16 * c.ps AS v
+                FROM codes c JOIN w ON w.doc_id = c.doc_id
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY j) < 0)
                             THEN 1 ELSE 0 END AS zf
                 FROM smp
             )
