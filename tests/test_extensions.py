@@ -1110,11 +1110,27 @@ def test_bmp_decode_roundtrip_and_cross_format_dhash(spark):
         [(5, "video", M.avi_encode(1, 33_333, w, h, frames=[jpeg_payload]))],
         "asset_id long, kind string, payload binary",
     )
+    # r11: an ANIMATED-GIF FRAME of the same pixels joins the invariant
+    # — the composed canvas re-emits as a PNG image asset. The image
+    # has <= 210 distinct RGB triples, so an exact palette carries it.
+    triples = [rgb[k : k + 3] for k in range(0, len(rgb), 3)]
+    pal_list = sorted(set(triples))
+    assert len(pal_list) <= 256
+    lut = {t: i for i, t in enumerate(pal_list)}
+    gif_idx = bytes(lut[t] for t in triples)
+    anim = M.gif_encode_anim(
+        w, h, b"".join(pal_list), [(gif_idx, 0, 0, w, h, 1, None)]
+    )
+    video = video.unionByName(
+        spark.createDataFrame(
+            [(6, "video", anim)], "asset_id long, kind string, payload binary"
+        )
+    )
     assets = assets.unionByName(M.video_frames_as_images(video, every_n=1))
     sig = {r["asset_id"]: r["dhash"] for r in M.dhash_signatures(assets).collect()}
-    assert sig[1] == sig[2] == sig[3] == sig[4] == sig[5_000_000], (
-        "same pixels, different container, dhash differs"
-    )
+    assert (
+        sig[1] == sig[2] == sig[3] == sig[4] == sig[5_000_000] == sig[6_000_000]
+    ), "same pixels, different container, dhash differs"
 
 
 def test_jpeg_baseline_roundtrip_exact_and_bounded():
@@ -1982,3 +1998,65 @@ def test_ms_adpcm_spec_stream_and_roundtrips():
     bad[d0 + 1 : d0 + 3] = (0).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="delta"):
         M.wav_pcm(bytes(bad))
+
+
+def test_gif_animation_composition_disposal_and_transparency():
+    """r11 (VERDICT r10 item 5): animated GIF composition. A 3+ frame
+    animation with transparency and all three disposal methods decodes
+    to composed canvases matching an independent in-test compositor;
+    gif_decode (single-frame API) returns the first composed frame."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    sw, sh, ncol, T = 11, 9, 8, 7
+    pal = bytes(rng.integers(0, 256, 3 * ncol, dtype=np.uint8))
+    bg = 1
+
+    # frame specs: (indices, left, top, fw, fh, disposal, trans)
+    f0 = bytes(rng.integers(0, ncol - 1, sw * sh, dtype=np.uint8))
+    # frame 1: partial rect with transparency, disposal 2 (to background)
+    f1 = bytes(
+        T if (k % 3 == 0) else int(v)
+        for k, v in enumerate(rng.integers(0, ncol - 1, 5 * 4, dtype=np.uint8))
+    )
+    # frame 2: partial rect, disposal 3 (restore to previous)
+    f2 = bytes(rng.integers(0, ncol - 1, 4 * 3, dtype=np.uint8))
+    # frame 3: full-screen opaque — lands on the post-disposal canvas
+    f3 = bytes(rng.integers(0, ncol - 1, sw * sh, dtype=np.uint8))
+    specs = [
+        (f0, 0, 0, sw, sh, 1, None),
+        (f1, 2, 3, 5, 4, 2, T),
+        (f2, 1, 1, 4, 3, 3, None),
+        (f3, 0, 0, sw, sh, 0, None),
+    ]
+    g = M.gif_encode_anim(sw, sh, pal, specs, bg=bg)
+    gw, gh, frames = M.gif_decode_frames(g)
+    assert (gw, gh, len(frames)) == (sw, sh, 4)
+
+    # independent compositor: numpy canvas of palette indices -> RGB
+    pal_np = np.frombuffer(
+        (pal + b"\x00" * (3 * 8 - len(pal)))[: 3 * 8], np.uint8
+    ).reshape(8, 3)
+    canvas = np.tile(pal_np[bg], (sh, sw, 1))
+    want = []
+    for idx, left, top, fw, fh, disp, trans in specs:
+        before = canvas.copy()
+        rect = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+        region = canvas[top : top + fh, left : left + fw]
+        mask = (
+            np.ones_like(rect, bool) if trans is None else rect != trans
+        )
+        region[mask] = pal_np[rect[mask]]
+        want.append(canvas.tobytes())
+        if disp == 2:
+            canvas[top : top + fh, left : left + fw] = pal_np[bg]
+        elif disp == 3:
+            canvas = before
+    assert frames == want
+    assert M.gif_decode(g)[3] == want[0]
+    # malformed GCE-less animations still decode (disposal defaults 0)
+    plain = M.gif_encode(f0, sw, sh, pal)
+    assert M.gif_decode_frames(plain)[2][0] == M.gif_decode(plain)[3]

@@ -1528,6 +1528,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("channels").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r11 ganim leg: ANIMATED GIF as a video source — the full
+        # composition state machine (transparency + disposal 1/2) runs
+        # under the gate via the same decode_video_frames surface as
+        # MJPEG; the fixture's composed pixel sums are closed-form
+        ganim = multimodal.decode_video_frames(
+            multimodal.documents_as_gifanim_assets(docs), every_n=1
+        ).select(
+            "asset_id",
+            F.lit("ganim").alias("kind"),
+            F.col("frame_idx").alias("v1"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            F.col("channels").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         return (
             resize.unionByName(frames)
             .unionByName(dhash)
@@ -1536,6 +1551,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(gresize)
             .unionByName(tresize)
             .unionByName(vframe)
+            .unionByName(ganim)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -1789,6 +1805,48 @@ def register_extensions(q: dict, o: dict) -> None:
         JOIN LATERAL (
             SELECT unnest(range(0, v.nf, 2))::BIGINT AS f
         ) fr ON true
+        UNION ALL
+        -- ganim leg (r11): animated-GIF composition restated
+        -- closed-form. Grayscale palette (k -> (k,k,k)) makes px_sum
+        -- 3x the composed index sum; the three frames are:
+        -- f0 = (d + 3x + 5y) % 64 everywhere; f1 = f0 where
+        -- (x+y+d)%3=0 (transparent shows frame 0) else
+        -- (2d + x + 2y) % 63; f2 = background 1 outside the inset
+        -- rect, (d + (x-2) + (y-2)) % 64 inside (frame 1 disposed to
+        -- background before frame 2 draws)
+        SELECT s.doc_id AS asset_id, 'ganim' AS kind,
+               fr.f AS v1, s.sw AS v2, s.sh AS v3, 3::BIGINT AS v4,
+               (CASE fr.f WHEN 0 THEN s.s0 WHEN 1 THEN s.s1
+                          ELSE s.s2 END)::BIGINT AS v5
+        FROM (
+            WITH w AS (
+                SELECT doc_id,
+                       (8 + doc_id % 5)::BIGINT AS sw,
+                       (8 + (doc_id // 5) % 5)::BIGINT AS sh
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            xs AS (SELECT unnest(range(13)) AS x),
+            ys AS (SELECT unnest(range(13)) AS y),
+            px AS (
+                SELECT w.doc_id, w.sw, w.sh,
+                       (w.doc_id + 3 * xs.x + 5 * ys.y) % 64 AS p0,
+                       CASE WHEN (xs.x + ys.y + w.doc_id) % 3 = 0
+                            THEN (w.doc_id + 3 * xs.x + 5 * ys.y) % 64
+                            ELSE (2 * w.doc_id + xs.x + 2 * ys.y) % 63
+                       END AS p1,
+                       CASE WHEN xs.x >= 2 AND xs.x < w.sw - 2
+                             AND ys.y >= 2 AND ys.y < w.sh - 2
+                            THEN (w.doc_id + (xs.x - 2) + (ys.y - 2)) % 64
+                            ELSE 1 END AS p2
+                FROM w
+                JOIN xs ON xs.x < w.sw
+                JOIN ys ON ys.y < w.sh
+            )
+            SELECT doc_id, sw, sh,
+                   3 * sum(p0) AS s0, 3 * sum(p1) AS s1, 3 * sum(p2) AS s2
+            FROM px GROUP BY doc_id, sw, sh
+        ) s
+        JOIN LATERAL (SELECT unnest(range(3))::BIGINT AS f) fr ON true
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
