@@ -333,3 +333,67 @@ def test_ms_adpcm_decode_matches_independent_reference(
     clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
     for k in range(len(samples) // block):
         assert dec[k * block] == clamp(samples[k * block])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=19),
+    h=st.integers(min_value=1, max_value=9),
+    shape=st.sampled_from(
+        [(4, False), (4, True), (1, False), (8, True), (16, 555), (16, 565)]
+    ),
+    data=st.data(),
+)
+def test_bmp_widened_shapes_roundtrip_property(w, h, shape, data):
+    """r11: the BMP shapes that completed the format — 4/1-bit
+    paletted, BI_RLE4, 16-bit XRGB1555 / RGB565 bitfields — roundtrip
+    pixel-exact through their writers for arbitrary content."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    bpp, variant = shape
+    if bpp == 16:
+        bits = (5, 5, 5) if variant == 555 else (5, 6, 5)
+        shifts = (10, 5, 0) if variant == 555 else (11, 5, 0)
+        masks = None if variant == 555 else (0xF800, 0x07E0, 0x001F)
+        chans = [
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << bt) - 1),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+            for bt in bits
+        ]
+        words = [
+            (r << shifts[0]) | (g << shifts[1]) | (b << shifts[2])
+            for r, g, b in zip(*chans)
+        ]
+        want = b"".join(
+            bytes(c * 255 // ((1 << bt) - 1) for c, bt in zip(trip, bits))
+            for trip in zip(*chans)
+        )
+        p = M.bmp_encode16(words, w, h, masks=masks)
+    else:
+        ncol = data.draw(st.integers(min_value=1, max_value=1 << bpp))
+        pal = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=3 * ncol,
+                    max_size=3 * ncol,
+                )
+            )
+        )
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=ncol - 1),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+        )
+        want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+        p = M.bmp_encode_palette(idx, w, h, pal, bpp=bpp, rle=variant)
+    assert M.bmp_decode(p) == (w, h, 3, want)

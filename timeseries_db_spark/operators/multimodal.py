@@ -325,10 +325,13 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit + 16-bit-to-"
     "high-byte since r10, non-interlaced + Adam7 interlaced)",
-    "bmp": "real (24-bit BGR + 32-bit BGRA (alpha dropped) + 8-bit "
-    "PALETTED uncompressed/BI_RLE8 since r10; 16/4/1-bit + RLE4 = seam)",
+    "bmp": "real (COMPLETE r11: 24-bit BGR, 32-bit BGRA (alpha "
+    "dropped), 8/4/1-bit PALETTED uncompressed + BI_RLE8/BI_RLE4, "
+    "16-bit XRGB1555 + BI_BITFIELDS arbitrary masks)",
     "gif": "real (r10: LZW inflate + palette expansion, local/global "
-    "tables, interlace, screen placement; first frame of animations)",
+    "tables, interlace, screen placement; r11: FULL animation "
+    "composition — GCE transparency + disposal 0-3, frames unified "
+    "with the video surface)",
     "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB chunky strips, "
     "none/PackBits; LZW/JPEG-in-TIFF, tiled, planar = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
@@ -871,6 +874,47 @@ def _bmp_rle8_decode(data: bytes, w: int, height: int) -> bytearray:
     raise ValueError("BMP RLE stream missing end-of-bitmap")
 
 
+def _bmp_rle4_decode(data: bytes, w: int, height: int) -> bytearray:
+    """BI_RLE4 (r11): the 4-bit sibling of :func:`_bmp_rle8_decode` —
+    an encoded run's data byte carries TWO alternating palette indices
+    (high nibble first); absolute mode packs its literals as nibbles,
+    word-aligned on the BYTES consumed. Same escapes (EOL / EOB /
+    delta). Returns bottom-up rows of palette indices."""
+    out = bytearray(w * height)
+    x = y = i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n:  # encoded run: alternate the byte's two nibbles
+            if y >= height or x + n > w:
+                raise ValueError("BMP RLE run overflows row")
+            for k in range(n):
+                out[y * w + x + k] = (v >> 4) if k % 2 == 0 else (v & 0x0F)
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("BMP RLE truncated delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > height:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: v literal nibbles, high-first, word-aligned
+            nbytes = (v + 1) // 2
+            if y >= height or x + v > w or i + nbytes > len(data):
+                raise ValueError("BMP RLE absolute run overflows")
+            for k in range(v):
+                byte = data[i + k // 2]
+                out[y * w + x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+            x += v
+            i += nbytes + (nbytes & 1)
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
 def _packbits_decode(data: bytes, expect: int) -> bytearray:
     """Apple PackBits (TIFF compression 32773): signed control byte —
     0..127 copies n+1 literals, -1..-127 repeats the next byte 1-n
@@ -1089,11 +1133,13 @@ def tiff_encode(
 def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode — (width, height, channels, RGB bytes in
     top-down row order, the :func:`png_decode` convention). Supported
-    (r10 widened): 24-bit BGR rows; 32-bit BGRA (alpha dropped —
-    documented, BMP alpha is almost always padding); 8-bit PALETTED,
-    uncompressed or BI_RLE8 run-length. All bottom-up unless height is
-    negative (RLE8 is always bottom-up per the spec). 16/4/1-bit and
-    BI_RLE4 raise at the capability boundary."""
+    (r10 widened; r11 completed the format): 24-bit BGR rows; 32-bit
+    BGRA (alpha dropped — documented, BMP alpha is almost always
+    padding); 8/4/1-bit PALETTED, uncompressed or BI_RLE8/BI_RLE4
+    run-length; 16-bit — BI_RGB (XRGB1555) and BI_BITFIELDS with
+    arbitrary contiguous channel masks (RGB565 et al.), channels
+    expanded as ``(v * 255) // maxval``. All bottom-up unless height
+    is negative (RLE is always bottom-up per the spec)."""
     import numpy as np
 
     b = payload
@@ -1106,8 +1152,12 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     bpp = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
     clr_used = int.from_bytes(b[46:50], "little")
-    ok = (bpp in (24, 32) and compression == 0) or (
-        bpp == 8 and compression in (0, 1)
+    ok = (
+        (bpp in (24, 32) and compression == 0)
+        or (bpp == 8 and compression in (0, 1))
+        or (bpp == 4 and compression in (0, 2))
+        or (bpp == 1 and compression == 0)
+        or (bpp == 16 and compression in (0, 3))
     )
     if not ok or w <= 0 or h == 0:
         raise ValueError(
@@ -1115,34 +1165,73 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             f"outside PIXEL_CAPABILITIES['bmp']"
         )
     top_down, height = h < 0, abs(h)
-    if bpp == 8:
-        n_pal = clr_used or 256
+    if bpp in (1, 4, 8):
+        n_pal = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = b[pal_off : pal_off + 4 * n_pal]  # BGRX quads
         if len(pal) < 4 * n_pal:
             raise ValueError("BMP palette truncated")
-        if compression == 1:  # BI_RLE8: bottom-up index raster
+        if compression:  # BI_RLE8 / BI_RLE4: bottom-up index raster
             if top_down:
-                raise ValueError("BMP RLE8 must be bottom-up")
-            idx_bu = _bmp_rle8_decode(b[data_off:], w, height)
+                raise ValueError("BMP RLE must be bottom-up")
+            rle = _bmp_rle8_decode if compression == 1 else _bmp_rle4_decode
+            idx_bu = rle(b[data_off:], w, height)
             idx_rows = [
                 idx_bu[(height - 1 - y) * w : (height - y) * w]
                 for y in range(height)
             ]
         else:
-            stride = (w + 3) & ~3
+            stride = ((w * bpp + 31) // 32) * 4
             if data_off + stride * height > len(b):
                 raise ValueError("BMP pixel data truncated")
+            per_byte = 8 // bpp
             idx_rows = []
             for y in range(height):
                 src_y = y if top_down else height - 1 - y
                 o = data_off + src_y * stride
-                idx_rows.append(b[o : o + w])
+                if bpp == 8:
+                    idx_rows.append(b[o : o + w])
+                else:  # unpack sub-byte indices, MSB-first
+                    row = bytearray(w)
+                    mask = (1 << bpp) - 1
+                    for x in range(w):
+                        byte = b[o + x // per_byte]
+                        shift = 8 - bpp * (x % per_byte + 1)
+                        row[x] = (byte >> shift) & mask
+                    idx_rows.append(bytes(row))
         idx = np.frombuffer(b"".join(bytes(r) for r in idx_rows), np.uint8)
         if int(idx.max(initial=0)) >= n_pal:
             raise ValueError("BMP palette index outside the color table")
         quads = np.frombuffer(pal, np.uint8).reshape(n_pal, 4)
         rgb = quads[idx][:, [2, 1, 0]]  # BGRX -> RGB
+        return w, height, 3, rgb.tobytes()
+    if bpp == 16:
+        if compression == 3:  # BI_BITFIELDS: masks at absolute 54
+            if len(b) < 66:
+                raise ValueError("BMP bitfields masks truncated")
+            masks = [
+                int.from_bytes(b[54 + 4 * k : 58 + 4 * k], "little")
+                for k in range(3)
+            ]
+        else:
+            masks = [0x7C00, 0x03E0, 0x001F]  # BI_RGB 16-bit = XRGB1555
+        if any(m == 0 for m in masks):
+            raise ValueError("BMP bitfields mask is zero")
+        stride = ((w * 16 + 31) // 32) * 4
+        if data_off + stride * height > len(b):
+            raise ValueError("BMP pixel data truncated")
+        rows16 = []
+        for y in range(height):
+            src_y = y if top_down else height - 1 - y
+            o = data_off + src_y * stride
+            rows16.append(b[o : o + 2 * w])
+        v = np.frombuffer(b"".join(rows16), "<u2").astype(np.uint32)
+        chans = []
+        for m in masks:
+            shift = (m & -m).bit_length() - 1
+            maxval = m >> shift
+            chans.append(((v & m) >> shift) * 255 // maxval)
+        rgb = np.stack(chans, axis=1).astype(np.uint8)
         return w, height, 3, rgb.tobytes()
     ch_in = bpp // 8
     stride = (w * ch_in + 3) & ~3
@@ -1194,12 +1283,19 @@ def bmp_encode_palette(
     height: int,
     palette_rgb: bytes,
     rle: bool = False,
+    bpp: int = 8,
 ) -> bytes:
-    """8-bit paletted bottom-up BMP writer (r10, tests): RGB palette in,
-    BGRX quads out; ``rle=True`` emits a REAL BI_RLE8 stream (maximal
-    equal-byte runs per row, end-of-line marks, end-of-bitmap)."""
+    """Paletted bottom-up BMP writer (r10; r11 widened to 4/1-bit):
+    RGB palette in, BGRX quads out. ``bpp`` ∈ {8, 4, 1} packs indices
+    MSB-first within each byte; ``rle=True`` emits a REAL BI_RLE8 (or,
+    with ``bpp=4``, BI_RLE4 — each run byte carrying the index in both
+    nibbles) stream with end-of-line/bitmap marks."""
     if len(indices) != width * height:
         raise ValueError("index buffer does not match dimensions")
+    if bpp not in (8, 4, 1) or (rle and bpp == 1):
+        raise ValueError(f"unsupported paletted shape bpp={bpp} rle={rle}")
+    if indices and max(indices) >= (1 << bpp):
+        raise ValueError(f"index exceeds {bpp}-bit palette")
     n_pal = max(1, len(palette_rgb) // 3)
     quads = b"".join(
         bytes([palette_rgb[3 * i + 2], palette_rgb[3 * i + 1],
@@ -1215,26 +1311,33 @@ def bmp_encode_palette(
                 n = 1
                 while n < 255 and x + n < len(row) and row[x + n] == row[x]:
                     n += 1
-                body += bytes([n, row[x]])
+                # RLE4 data byte holds the index in BOTH nibbles so a
+                # constant run stays constant under nibble alternation
+                v = row[x] if bpp == 8 else (row[x] << 4) | row[x]
+                body += bytes([n, v])
                 x += n
             body += b"\x00\x00"  # end of line
         body += b"\x00\x01"  # end of bitmap
         body = bytes(body)
-        compression = 1
+        compression = 1 if bpp == 8 else 2
     else:
-        stride = (width + 3) & ~3
-        pad = b"\x00" * (stride - width)
-        body = b"".join(
-            indices[y * width : (y + 1) * width] + pad
-            for y in range(height - 1, -1, -1)
-        )
+        stride = ((width * bpp + 31) // 32) * 4
+        per_byte = 8 // bpp
+        body = bytearray()
+        for y in range(height - 1, -1, -1):
+            row = indices[y * width : (y + 1) * width]
+            packed = bytearray((width * bpp + 7) // 8)
+            for x, k in enumerate(row):
+                packed[x // per_byte] |= k << (8 - bpp * (x % per_byte + 1))
+            body += packed + b"\x00" * (stride - len(packed))
+        body = bytes(body)
         compression = 0
     info = (
         (40).to_bytes(4, "little")
         + width.to_bytes(4, "little", signed=True)
         + height.to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")
-        + (8).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
         + compression.to_bytes(4, "little")
         + len(body).to_bytes(4, "little")
         + b"\x00" * 8
@@ -1249,6 +1352,50 @@ def bmp_encode_palette(
         + off.to_bytes(4, "little")
     )
     return hdr + info + quads + body
+
+
+def bmp_encode16(
+    values16: "list[int]",
+    width: int,
+    height: int,
+    masks: tuple[int, int, int] | None = None,
+) -> bytes:
+    """16-bit bottom-up BMP writer (r11, tests): raw uint16 pixel words
+    in top-down row order. ``masks=None`` writes BI_RGB (implied
+    XRGB1555); explicit masks write BI_BITFIELDS with the three mask
+    DWORDs after the 40-byte info header (RGB565 et al.)."""
+    if len(values16) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    compression, mask_blob = 0, b""
+    if masks is not None:
+        compression = 3
+        mask_blob = b"".join(m.to_bytes(4, "little") for m in masks)
+    stride = ((width * 16 + 31) // 32) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = b"".join(
+            int(v).to_bytes(2, "little")
+            for v in values16[y * width : (y + 1) * width]
+        )
+        body += row + b"\x00" * (stride - len(row))
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40 + len(mask_blob)
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + mask_blob + bytes(body)
 
 
 # ---------------------------------------------------------------------------
