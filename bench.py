@@ -345,15 +345,42 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     firsts: dict[str, float] = {}
+    leg_wall: dict[str, dict[str, float]] = {}
+    want_legs = os.environ.get("SPARK_GRAFT_LEGWALL", "1") != "0"
+    from timeseries_db_spark import debug as dbg
+
     for name in HEADLINE:
         runs = []
+        pdf = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).toPandas()
+            pdf = queries[name](spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         firsts[name] = round(runs[0], 4)
         timings[name] = round(min(runs), 4)
         medians[name] = round(sorted(runs)[len(runs) // 2], 4)
+        # r11 (VERDICT r10 item 7): per-leg attribution for union-folded
+        # entries — one warm run per leg with a literal filter on the
+        # discriminator (Catalyst folds lit(kind)='x' to false on the
+        # other branches, pruning them from the executed plan), so a leg
+        # addition reads as ITS OWN column in BENCH_DETAIL.json instead
+        # of an unexplained regression of the folded total. Caveat: the
+        # callable still pays every leg's DRIVER-side bounded collects
+        # (codebooks, probe sets) at plan-build time, so leg walls sum
+        # above the folded column; deltas between legs isolate the
+        # executed-plan differences.
+        col = dbg.leg_column(set(pdf.columns)) if want_legs else None
+        if col is not None:
+            vals = sorted(str(v) for v in pdf[col].dropna().unique())
+            if len(vals) >= 2:
+                per = {}
+                for v in vals:
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).filter(
+                        f"{col} = '{v}'"
+                    ).toPandas()
+                    per[v] = round(time.perf_counter() - t0, 4)
+                leg_wall[name] = per
 
     slope = None
     if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0":
@@ -385,6 +412,7 @@ def main() -> None:
     detail = {
         "queries_median": medians,
         "queries_first_run": firsts,
+        "queries_leg_wall": leg_wall,
         "slope": slope,
     }
     detail_path = os.path.join(
