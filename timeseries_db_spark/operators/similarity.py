@@ -471,6 +471,30 @@ IVF_NLIST = 128
 IVF_NPROBE = 4
 
 
+def ivf_nlist_for(
+    n_vectors: int, min_nlist: int = 16, max_nlist: int = 1 << 16
+) -> int:
+    """nlist ~ √N sizing policy (r11, VERDICT r10 item 8): with a fixed
+    nlist, each inverted list holds N/nlist vectors — at 100 TB a
+    constant 128 makes every list itself huge, and probe cost
+    (nprobe · N/nlist) grows linearly. nlist = √N balances the two
+    IVF cost terms (coarse assignment scans nlist centroids per
+    vector, probing scans N/nlist per list): total query work
+    ~ O(√N · nprobe). Rounded to a power of two for stable plan
+    shapes, clamped to [min_nlist, max_nlist] — the upper clamp keeps
+    the broadcast centroid matrix bounded (65536 · dim floats ≈ 16 MB
+    at dim 64, still broadcast-friendly), beyond which a two-level
+    coarse quantizer is the standard next step. The GATE path pins
+    nlist=128 so value oracles stay closed-form; production callers
+    size with this policy."""
+    import math
+
+    if n_vectors <= 1:
+        return min_nlist
+    p = 1 << round(math.log2(math.sqrt(n_vectors)))
+    return max(min_nlist, min(max_nlist, p))
+
+
 def ivf_centroids(corpus: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
     """Deterministic bounded centroid sample: the ``nlist`` corpus
     vectors with the smallest engine-portable 60-bit hash of their id
