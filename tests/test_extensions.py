@@ -1911,12 +1911,12 @@ def test_tiff_strips_packbits_both_byte_orders():
         if int.from_bytes(t[o : o + 2], "little") == 262:
             t[o + 8] = 0
     assert M.tiff_decode(bytes(t))[3] == bytes([245, 5])
-    # LZW compression (5) is the documented seam
+    # JPEG-in-TIFF (7) is the documented seam (LZW left the list in r11)
     t2 = bytearray(M.tiff_encode(bytes(4), 2, 2, 1))
     for e in range(n):
         o = ifd + 2 + 12 * e
         if int.from_bytes(t2[o : o + 2], "little") == 259:
-            t2[o + 8] = 5
+            t2[o + 8] = 7
     with _pytest.raises(NotImplementedError, match="PIXEL_CAPABILITIES"):
         M.tiff_decode(bytes(t2))
     # truncated strip data raises
@@ -2149,3 +2149,62 @@ def test_bmp_16bit_and_sub_byte_palette_widening():
     bad = M.bmp_encode16([0] * 4, 2, 2, masks=(0xF800, 0x07E0, 0))
     with _pytest.raises(ValueError, match="mask"):
         M.bmp_decode(bad)
+
+
+def test_tiff_lzw_and_predictor():
+    """r11: TIFF-LZW (compression 5) + horizontal-differencing
+    predictor (tag 317=2) — the most common TIFF pairing leaves the
+    seam list. (a) a HAND-PACKED MSB-first 9-bit stream (CLEAR 'A' 'B'
+    <258> EOI -> 'ABAB') pins the decoder independent of the writer;
+    (b) roundtrips across shapes x predictor x byte order, incl. a
+    width-growth + 4094-reset stress; (c) early-change width pinning:
+    the decoder switches at table size 2^w - 2 (one code before the
+    encoder) — a stream long enough to cross 510 entries roundtrips;
+    (d) predictor rows are real deltas (writer output differs from
+    uncompressed pixels)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    # (a) hand-packed: codes 256, 65, 66, 258, 257 at 9 bits MSB-first
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 258, 257))
+    bits += "0" * (-len(bits) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert M._tiff_lzw_decode(stream, 4) == b"ABAB"
+    # (b) roundtrips
+    rng = np.random.default_rng(13)
+    for (w, h, ch) in ((16, 12, 1), (7, 29, 3), (33, 5, 3)):
+        for pred in (1, 2):
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+            t = M.tiff_encode(
+                img, w, h, ch, lzw=True, predictor=pred,
+                big_endian=bool(pred - 1), rows_per_strip=7,
+            )
+            assert M.tiff_decode(t) == (w, h, ch, img), (w, h, ch, pred)
+    # width growth past 9/10/11 bits and the 4094 clear-code reset
+    big = rng.integers(0, 256, 200 * 200, dtype=np.uint8).tobytes()
+    t = M.tiff_encode(big, 200, 200, 1, lzw=True, rows_per_strip=200)
+    assert M.tiff_decode(t)[3] == big
+    # (c) the early-change boundary: a strip with enough distinct
+    # 2-byte phrases to cross table entry 510 in one strip
+    seq = bytes((i * 7 + (i >> 8) * 3) % 256 for i in range(3000))
+    assert bytes(M._tiff_lzw_decode(M._tiff_lzw_encode(seq), len(seq))) == seq
+    # (d) predictor really differences: first row of a ramp becomes
+    # constant deltas, so LZW+predictor beats LZW alone on ramps
+    ramp = bytes((x % 256) for y in range(64) for x in range(256))
+    plain = M.tiff_encode(ramp, 256, 64, 1, lzw=True, rows_per_strip=64)
+    diffed = M.tiff_encode(
+        ramp, 256, 64, 1, lzw=True, predictor=2, rows_per_strip=64
+    )
+    assert len(diffed) < len(plain) / 2
+    # unsupported predictor value raises at the seam
+    t3 = bytearray(M.tiff_encode(bytes(4), 2, 2, 1, predictor=2))
+    ifd = int.from_bytes(t3[4:8], "little")
+    ne = int.from_bytes(t3[ifd : ifd + 2], "little")
+    for e in range(ne):
+        o = ifd + 2 + 12 * e
+        if int.from_bytes(t3[o : o + 2], "little") == 317:
+            t3[o + 8] = 3  # floating-point predictor
+    with _pytest.raises(NotImplementedError, match="predictor=3"):
+        M.tiff_decode(bytes(t3))

@@ -333,7 +333,8 @@ PIXEL_CAPABILITIES = {
     "composition — GCE transparency + disposal 0-3, frames unified "
     "with the video surface)",
     "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB chunky strips, "
-    "none/PackBits; LZW/JPEG-in-TIFF, tiled, planar = seam)",
+    "none/PackBits; r11: TIFF-LZW (early-change widths) + horizontal-"
+    "differencing predictor; JPEG-in-TIFF, tiled, planar = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -915,6 +916,113 @@ def _bmp_rle4_decode(data: bytes, w: int, height: int) -> bytearray:
     raise ValueError("BMP RLE stream missing end-of-bitmap")
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
+    """TIFF-variant LZW (TIFF 6.0 §13, r11): MSB-first codes over the
+    strip, 256-symbol alphabet with ClearCode=256 / EOI=257, code width
+    starting at 9 and growing with the spec's EARLY-CHANGE rule (the
+    width bumps when the next free entry reaches 2^w − 1 — one code
+    earlier than GIF's variant). Stops at ``expect`` bytes or EOI."""
+    out = bytearray()
+    pos = 0
+    width = 9
+    CLEAR, EOI = 256, 257
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            v = (v << 1) | ((data[byte] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    base = [bytes([i]) for i in range(256)]
+    while len(out) < expect:
+        code = read_code()
+        if code == CLEAR:
+            table = list(base) + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if table is None:
+            raise ValueError("TIFF LZW stream must open with ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        prev = entry
+        # early change: the ENCODER bumps width as soon as its next
+        # free code reaches 2^w − 1; the decoder's table runs one entry
+        # BEHIND (it reconstructs entry n while processing code n+1),
+        # so it must switch a code earlier still — at 2^w − 2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("TIFF LZW strip ends early")
+    return out[:expect]
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW writer (the test/fixture twin of
+    :func:`_tiff_lzw_decode`): MSB-first, early-change width growth,
+    ClearCode reset just before the table would overflow 12 bits."""
+    CLEAR, EOI = 256, 257
+    out_bits = bytearray()
+    pos = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal pos
+        for i in range(width - 1, -1, -1):
+            byte = pos >> 3
+            if byte >= len(out_bits):
+                out_bits.append(0)
+            if (code >> i) & 1:
+                out_bits[byte] |= 1 << (7 - (pos & 7))
+            pos += 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = fresh()
+    emit(CLEAR)
+    prev = b""
+    for k in data:
+        cand = prev + bytes([k])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change, in lockstep with the decoder
+        if next_code == 4094:  # spec: clear before the 12-bit cap
+            emit(CLEAR)
+            table, next_code = fresh()
+            width = 9
+        prev = bytes([k])
+    if prev:
+        emit(table[prev])
+    emit(EOI)
+    return bytes(out_bits)
+
+
 def _packbits_decode(data: bytes, expect: int) -> bytearray:
     """Apple PackBits (TIFF compression 32773): signed control byte —
     0..127 copies n+1 literals, -1..-127 repeats the next byte 1-n
@@ -988,17 +1096,20 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     spp = one(277, 1)
     bits = tags.get(258, [8])
     planar = one(284, 1)
+    pred = one(317, 1)
     if (
-        comp not in (1, 32773)
+        comp not in (1, 32773, 5)
         or spp not in (1, 3)
         or any(x != 8 for x in bits)
         or planar != 1
         or photo not in (0, 1, 2)
+        or pred not in (1, 2)
         or 322 in tags  # tiled
     ):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
-            f"photometric={photo} is outside PIXEL_CAPABILITIES['tiff']"
+            f"photometric={photo} predictor={pred} is outside "
+            f"PIXEL_CAPABILITIES['tiff']"
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -1016,12 +1127,21 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if len(strip) < cnt:
             raise ValueError("TIFF strip data truncated")
         out += (
-            _packbits_decode(strip, expect) if comp == 32773 else strip[:expect]
+            _packbits_decode(strip, expect)
+            if comp == 32773
+            else _tiff_lzw_decode(strip, expect)
+            if comp == 5
+            else strip[:expect]
         )
         if comp == 1 and len(strip) < expect:
             raise ValueError("TIFF strip ends early")
     if len(out) != h * row_bytes:
         raise ValueError("TIFF strips do not cover the image")
+    if pred == 2:  # horizontal differencing: rows store per-channel deltas
+        import numpy as np
+
+        a = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+        out = bytearray(a.cumsum(axis=1, dtype=np.int64).astype(np.uint8).tobytes())
     if photo == 0:  # WhiteIsZero: invert to the usual gray convention
         out = bytearray(255 - v for v in out)
     return w, h, spp, bytes(out)
@@ -1057,19 +1177,42 @@ def tiff_encode(
     channels: int = 1,
     *,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
     big_endian: bool = False,
     rows_per_strip: int = 16,
 ) -> bytes:
-    """Minimal TIFF writer (r10, tests): 8-bit gray/RGB chunky strips,
-    optional PackBits, either byte order."""
+    """Minimal TIFF writer (r10, tests; r11 adds LZW + horizontal-
+    differencing predictor): 8-bit gray/RGB chunky strips, optional
+    PackBits or TIFF-LZW compression, either byte order."""
     if channels not in (1, 3):
         raise ValueError("tiff_encode supports 1 or 3 channels")
+    if packbits and lzw:
+        raise ValueError("pick one compression")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     bo = "big" if big_endian else "little"
     row_bytes = width * channels
+    if predictor == 2:
+        import numpy as np
+
+        a = (
+            np.frombuffer(pixels, np.uint8)
+            .reshape(height, width, channels)
+            .astype(np.int16)
+        )
+        a[:, 1:, :] -= a[:, :-1, :].copy()
+        pixels = a.astype(np.uint8).tobytes()
     strips = []
     for y0 in range(0, height, rows_per_strip):
         raw = pixels[y0 * row_bytes : min(y0 + rows_per_strip, height) * row_bytes]
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        strips.append(
+            _packbits_encode(raw)
+            if packbits
+            else _tiff_lzw_encode(raw)
+            if lzw
+            else raw
+        )
     n = len(strips)
 
     def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
@@ -1086,7 +1229,7 @@ def tiff_encode(
 
     # layout: header(8) IFD, then [bits array if rgb], offset/count
     # arrays (if n > 1), then strip data
-    entries = 9
+    entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * entries + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -1110,12 +1253,14 @@ def tiff_encode(
         e += ent(258, 3, 3, bits_off)
     else:
         e += ent(258, 3, 1, 8)
-    e += ent(259, 3, 1, 32773 if packbits else 1)
+    e += ent(259, 3, 1, 32773 if packbits else 5 if lzw else 1)
     e += ent(262, 3, 1, 2 if channels == 3 else 1)
     e += ent(273, 4, n, offs[0] if n == 1 else off_arr)
     e += ent(277, 3, 1, channels)
     e += ent(278, 4, 1, rows_per_strip)
     e += ent(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
+    if predictor == 2:
+        e += ent(317, 3, 1, 2)
     out = bytearray()
     out += (b"II*\x00" if bo == "little" else b"MM\x00*")
     out += (8).to_bytes(4, bo)
@@ -2662,16 +2807,20 @@ def decode_resize_png(assets: DataFrame, max_side: int = 24) -> DataFrame:
 def synth_tiff(doc_id: int) -> bytes:
     """Deterministic grayscale TIFF for the gate fixture: pixel (x, y)
     = ``(x*7 + y*13 + doc_id) % 256`` (the :func:`synth_png` gradient,
-    so the SQL oracle reuses the same closed form); odd ids PackBits,
-    ``doc_id % 4 >= 2`` big-endian — all four container variants run
+    so the SQL oracle reuses the same closed form); compression cycles
+    none → PackBits → LZW → LZW+predictor by ``doc_id % 4`` (r11 —
+    compression never changes pixels, so the oracle is untouched),
+    ``doc_id % 8 >= 4`` big-endian — eight container variants run
     under the driver gate."""
     w = 16 + (doc_id * 3) % 40
     h = 16 + (doc_id * 7) % 40
     pix = bytes((x * 7 + y * 13 + doc_id) % 256 for y in range(h) for x in range(w))
     return tiff_encode(
         pix, w, h, 1,
-        packbits=bool(doc_id % 2),
-        big_endian=doc_id % 4 >= 2,
+        packbits=doc_id % 4 == 1,
+        lzw=doc_id % 4 >= 2,
+        predictor=2 if doc_id % 4 == 3 else 1,
+        big_endian=doc_id % 8 >= 4,
         rows_per_strip=16,
     )
 
