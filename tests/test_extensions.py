@@ -1911,12 +1911,13 @@ def test_tiff_strips_packbits_both_byte_orders():
         if int.from_bytes(t[o : o + 2], "little") == 262:
             t[o + 8] = 0
     assert M.tiff_decode(bytes(t))[3] == bytes([245, 5])
-    # JPEG-in-TIFF (7) is the documented seam (LZW left the list in r11)
+    # old-style JPEG (6) is a documented seam (LZW and new-style JPEG
+    # both left the list in r11)
     t2 = bytearray(M.tiff_encode(bytes(4), 2, 2, 1))
     for e in range(n):
         o = ifd + 2 + 12 * e
         if int.from_bytes(t2[o : o + 2], "little") == 259:
-            t2[o + 8] = 7
+            t2[o + 8] = 6
     with _pytest.raises(NotImplementedError, match="PIXEL_CAPABILITIES"):
         M.tiff_decode(bytes(t2))
     # truncated strip data raises
@@ -2208,3 +2209,64 @@ def test_tiff_lzw_and_predictor():
             t3[o + 8] = 3  # floating-point predictor
     with _pytest.raises(NotImplementedError, match="predictor=3"):
         M.tiff_decode(bytes(t3))
+
+
+def test_tiff_planar_and_jpeg_in_tiff():
+    """r11: two more TIFF seams close. (a) planar configuration
+    (tag 284=2, plane-major strips) roundtrips across compressions +
+    predictor + byte orders and interleaves identically to the chunky
+    twin; (b) JPEG-in-TIFF (compression 7, Tech Note 2) — each strip a
+    complete JFIF stream decoded by the repo's own JPEG codec:
+    per-block-constant GRAY decodes pixel-exact, RGB within the ±1
+    color-transform bound; the shared-tables variant (tag 347) stays
+    the documented seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(23)
+    # (a) planar
+    for (w, h, ch) in ((16, 12, 3), (7, 29, 3), (9, 5, 1)):
+        for kw in (
+            {}, {"packbits": True}, {"lzw": True},
+            {"lzw": True, "predictor": 2},
+        ):
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+            t = M.tiff_encode(
+                img, w, h, ch, planar=True, big_endian=bool(len(kw) % 2),
+                rows_per_strip=7, **kw,
+            )
+            assert M.tiff_decode(t) == (w, h, ch, img), (w, h, ch, kw)
+            chunky = M.tiff_encode(img, w, h, ch, rows_per_strip=7, **kw)
+            assert M.tiff_decode(t) == M.tiff_decode(chunky)
+    # (b) JPEG-in-TIFF
+    w, h = 24, 32
+    gray = bytes(
+        (((x // 8) * 31 + (y // 8) * 17 + 5) % 256)
+        for y in range(h) for x in range(w)
+    )
+    t = M.tiff_encode(gray, w, h, 1, jpeg=True, rows_per_strip=16)
+    assert M.tiff_decode(t) == (w, h, 1, gray)  # gray: pixel-exact
+    rgb = bytes(
+        (((x // 8) * 31 + (y // 8) * 17 + c * 77) % 256)
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    t3 = M.tiff_encode(rgb, w, h, 3, jpeg=True, rows_per_strip=8)
+    got = M.tiff_decode(t3)
+    assert got[:3] == (w, h, 3)
+    err = np.abs(
+        np.frombuffer(got[3], np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    )
+    assert err.max() <= 1  # YCbCr round-trip rounding bound
+    # JPEGTables (tag 347) is the documented seam: splice one in
+    t4 = bytearray(M.tiff_encode(gray, w, h, 1, jpeg=True, rows_per_strip=32))
+    ifd = int.from_bytes(t4[4:8], "little")
+    ne = int.from_bytes(t4[ifd : ifd + 2], "little")
+    # rewrite the LAST entry's tag to 347 (keeps structure valid enough
+    # for the gate check, which runs before any strip decode)
+    o = ifd + 2 + 12 * (ne - 1)
+    t4[o : o + 2] = (347).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="jpegtables=True"):
+        M.tiff_decode(bytes(t4))

@@ -332,9 +332,12 @@ PIXEL_CAPABILITIES = {
     "tables, interlace, screen placement; r11: FULL animation "
     "composition — GCE transparency + disposal 0-3, frames unified "
     "with the video surface)",
-    "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB chunky strips, "
-    "none/PackBits; r11: TIFF-LZW (early-change widths) + horizontal-"
-    "differencing predictor; JPEG-in-TIFF, tiled, planar = seam)",
+    "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB strips, "
+    "none/PackBits; r11: TIFF-LZW (early-change widths), horizontal-"
+    "differencing predictor, PLANAR configuration, JPEG-in-TIFF "
+    "(compression 7, strips as full JFIF streams through the repo "
+    "JPEG codec); old-style JPEG (6), shared JPEGTables (347), "
+    "tiled = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -1049,13 +1052,18 @@ def _packbits_decode(data: bytes, expect: int) -> bytearray:
 
 
 def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL TIFF pixel decode (r10) — the scan/OCR archival format a
-    document-training corpus actually contains. First IFD, both byte
-    orders (II/MM), 8-bit chunky samples, gray (photometric 0/1 — 0
-    inverts) or RGB, multi-strip, compression none (1) or PackBits
-    (32773). LZW/JPEG-in-TIFF, planar, tiled, and non-8-bit raise at
-    the capability boundary; truncated structures raise ``ValueError``.
-    Returns the :func:`png_decode` convention tuple."""
+    """REAL TIFF pixel decode (r10; r11 widened) — the scan/OCR
+    archival format a document-training corpus actually contains.
+    First IFD, both byte orders (II/MM), 8-bit samples, gray
+    (photometric 0/1 — 0 inverts) or RGB, multi-strip, CHUNKY or
+    PLANAR (plane-major strips), compression none (1), TIFF-LZW (5,
+    early-change code widths), JPEG-in-TIFF (7 — each strip a complete
+    JFIF stream through the repo's own JPEG decoder), or PackBits
+    (32773), with the optional horizontal-differencing predictor
+    (317=2). Old-style JPEG (6), shared JPEGTables (347), tiled, and
+    non-8-bit raise at the capability boundary; truncated structures
+    raise ``ValueError``. Returns the :func:`png_decode` convention
+    tuple."""
     b = payload
     if b[:4] == b"II*\x00":
         bo = "little"
@@ -1098,17 +1106,19 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     planar = one(284, 1)
     pred = one(317, 1)
     if (
-        comp not in (1, 32773, 5)
+        comp not in (1, 32773, 5, 7)
         or spp not in (1, 3)
         or any(x != 8 for x in bits)
-        or planar != 1
-        or photo not in (0, 1, 2)
+        or planar not in (1, 2)
+        or not (photo in (0, 1, 2) or (photo == 6 and comp == 7))
         or pred not in (1, 2)
+        or (comp == 7 and (planar != 1 or pred != 1 or 347 in tags))
         or 322 in tags  # tiled
     ):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
-            f"photometric={photo} predictor={pred} is outside "
+            f"photometric={photo} predictor={pred} planar={planar} "
+            f"jpegtables={347 in tags} is outside "
             f"PIXEL_CAPABILITIES['tiff']"
         )
     offsets = tags.get(273)
@@ -1116,25 +1126,59 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip offsets/byte counts")
     rows_per = one(278, h)
-    out = bytearray()
-    row_bytes = w * spp
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rows_per, h - si * rows_per)
-        if n_rows <= 0:
-            break
-        expect = n_rows * row_bytes
+
+    def read_strip(off: int, cnt: int, expect: int) -> bytes:
         strip = b[off : off + cnt]
         if len(strip) < cnt:
             raise ValueError("TIFF strip data truncated")
-        out += (
-            _packbits_decode(strip, expect)
-            if comp == 32773
-            else _tiff_lzw_decode(strip, expect)
-            if comp == 5
-            else strip[:expect]
-        )
-        if comp == 1 and len(strip) < expect:
+        if comp == 32773:
+            return bytes(_packbits_decode(strip, expect))
+        if comp == 5:
+            return bytes(_tiff_lzw_decode(strip, expect))
+        if len(strip) < expect:
             raise ValueError("TIFF strip ends early")
+        return bytes(strip[:expect])
+
+    out = bytearray()
+    row_bytes = w * spp
+    if comp == 7:
+        # JPEG-in-TIFF (TIFF Tech Note 2, r11): each strip is a COMPLETE
+        # JFIF interchange stream — decode composes with the repo's own
+        # JPEG decoder; the shared-tables variant (tag 347) stays a seam
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per, h - si * rows_per)
+            if n_rows <= 0:
+                break
+            jw, jh, jch, pix = jpeg_decode(b[off : off + cnt])
+            if (jw, jh, jch) != (w, n_rows, spp):
+                raise ValueError(
+                    f"TIFF JPEG strip shape {(jw, jh, jch)} != "
+                    f"{(w, n_rows, spp)}"
+                )
+            out += pix
+    elif planar == 2:
+        # planar configuration: strips are stored plane-major (all of
+        # channel 0's strips, then channel 1's, ...); interleave after
+        import numpy as np
+
+        strips_per_plane = (h + rows_per - 1) // rows_per
+        if len(offsets) < spp * strips_per_plane:
+            raise ValueError("TIFF planar strips do not cover the image")
+        planes = []
+        for p in range(spp):
+            plane = bytearray()
+            for si in range(strips_per_plane):
+                k = p * strips_per_plane + si
+                n_rows = min(rows_per, h - si * rows_per)
+                plane += read_strip(offsets[k], counts[k], n_rows * w)
+            planes.append(np.frombuffer(bytes(plane), np.uint8))
+        out = bytearray(np.stack(planes, axis=1).tobytes())
+    else:
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per, h - si * rows_per)
+            if n_rows <= 0:
+                break
+            out += read_strip(off, cnt, n_rows * row_bytes)
     if len(out) != h * row_bytes:
         raise ValueError("TIFF strips do not cover the image")
     if pred == 2:  # horizontal differencing: rows store per-channel deltas
@@ -1178,19 +1222,23 @@ def tiff_encode(
     *,
     packbits: bool = False,
     lzw: bool = False,
+    jpeg: bool = False,
     predictor: int = 1,
+    planar: bool = False,
     big_endian: bool = False,
     rows_per_strip: int = 16,
 ) -> bytes:
-    """Minimal TIFF writer (r10, tests; r11 adds LZW + horizontal-
-    differencing predictor): 8-bit gray/RGB chunky strips, optional
-    PackBits or TIFF-LZW compression, either byte order."""
+    """Minimal TIFF writer (r10, tests; r11 adds LZW, horizontal-
+    differencing predictor, JPEG-in-TIFF strips, and planar
+    configuration): 8-bit gray/RGB strips, either byte order."""
     if channels not in (1, 3):
         raise ValueError("tiff_encode supports 1 or 3 channels")
-    if packbits and lzw:
+    if packbits + lzw + jpeg > 1:
         raise ValueError("pick one compression")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if jpeg and (planar or predictor != 1):
+        raise ValueError("JPEG strips are chunky, no predictor")
     bo = "big" if big_endian else "little"
     row_bytes = width * channels
     if predictor == 2:
@@ -1203,16 +1251,39 @@ def tiff_encode(
         )
         a[:, 1:, :] -= a[:, :-1, :].copy()
         pixels = a.astype(np.uint8).tobytes()
-    strips = []
-    for y0 in range(0, height, rows_per_strip):
-        raw = pixels[y0 * row_bytes : min(y0 + rows_per_strip, height) * row_bytes]
-        strips.append(
+
+    def pack(raw: bytes) -> bytes:
+        return (
             _packbits_encode(raw)
             if packbits
             else _tiff_lzw_encode(raw)
             if lzw
             else raw
         )
+
+    strips = []
+    if planar:
+        import numpy as np
+
+        a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+        for p in range(channels):  # plane-major strip order per spec
+            plane = a[:, :, p].tobytes()
+            for y0 in range(0, height, rows_per_strip):
+                strips.append(
+                    pack(plane[y0 * width : min(y0 + rows_per_strip, height) * width])
+                )
+    else:
+        for y0 in range(0, height, rows_per_strip):
+            band = pixels[
+                y0 * row_bytes : min(y0 + rows_per_strip, height) * row_bytes
+            ]
+            strips.append(
+                jpeg_encode(
+                    band, width, min(rows_per_strip, height - y0), channels
+                )
+                if jpeg
+                else pack(band)
+            )
     n = len(strips)
 
     def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
@@ -1229,7 +1300,7 @@ def tiff_encode(
 
     # layout: header(8) IFD, then [bits array if rgb], offset/count
     # arrays (if n > 1), then strip data
-    entries = 9 + (1 if predictor == 2 else 0)
+    entries = 9 + (1 if predictor == 2 else 0) + (1 if planar else 0)
     ifd_size = 2 + 12 * entries + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -1253,12 +1324,14 @@ def tiff_encode(
         e += ent(258, 3, 3, bits_off)
     else:
         e += ent(258, 3, 1, 8)
-    e += ent(259, 3, 1, 32773 if packbits else 5 if lzw else 1)
+    e += ent(259, 3, 1, 32773 if packbits else 5 if lzw else 7 if jpeg else 1)
     e += ent(262, 3, 1, 2 if channels == 3 else 1)
     e += ent(273, 4, n, offs[0] if n == 1 else off_arr)
     e += ent(277, 3, 1, channels)
     e += ent(278, 4, 1, rows_per_strip)
     e += ent(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
+    if planar:
+        e += ent(284, 3, 1, 2)
     if predictor == 2:
         e += ent(317, 3, 1, 2)
     out = bytearray()
