@@ -3974,8 +3974,13 @@ def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
 #: frame counts instead of a payload-size fake.
 VIDEO_CAPABILITIES = {
     "avi": "real (RIFF parse: avih frame count / interval / dimensions)",
-    "frame pixels (MJPEG)": "real (r10: movi 00dc/00db walk + the repo's "
-    "full JPEG decoder — decode_video_frames / video_frames_as_images)",
+    "mp4": "real (r11: ISO-BMFF box walk — mvhd timing, tkhd dims, stsd "
+    "codec, stsz/stsc/stco+co64 sample tables slice per-frame payloads)",
+    "animated gif": "real (r11: full composition — one video surface "
+    "with AVI/MP4)",
+    "frame pixels (MJPEG)": "real (r10: movi 00dc/00db walk — and r11 "
+    "MP4 'jpeg' samples — through the repo's full JPEG decoder via "
+    "decode_video_frames / video_frames_as_images)",
     "frame pixels (other codecs)": "stub — ffmpeg insertion point",
 }
 
@@ -4099,6 +4104,272 @@ def avi_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+# --- MP4 / ISO-BMFF (r11): the dominant video container joins AVI and
+# animated GIF on the one video surface. From-spec box walk (ISO
+# 14496-12): size-prefixed big-endian boxes, moov/mvhd for timing,
+# trak/tkhd + mdia/hdlr('vide') + stbl for the video track, and the
+# stsz/stsc/stco sample tables to slice per-frame payloads out of
+# mdat. Container-only — MJPEG ('jpeg' sample entries) decodes through
+# the repo's JPEG codec like AVI's movi chunks; other codecs hit the
+# same documented ffmpeg seam. ---
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    """Yield (type, body_lo, box_hi) for each ISO-BMFF box in
+    ``[lo, hi)`` — handles 64-bit largesize and size-0 (to end)."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                raise ValueError("MP4 largesize truncated")
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = hi - i
+        if size < 8 or i + size > hi:
+            raise ValueError("MP4 box overruns container")
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, lo: int, hi: int, name: bytes):
+    for t, blo, bhi in _mp4_boxes(b, lo, hi):
+        if t == name:
+            return blo, bhi
+    return None
+
+
+def _mp4_video_stbl(b: bytes, moov: tuple[int, int]):
+    """Locate the first 'vide' track's stbl box; returns ((lo, hi),
+    (width, height)) or raises."""
+    for t, blo, bhi in _mp4_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(b, blo, bhi, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _mp4_find(b, *mdia, b"hdlr")
+        if not hdlr or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(b, blo, bhi, b"tkhd")
+        w = h = 0
+        if tkhd:
+            ver = b[tkhd[0]]
+            base = tkhd[0] + (88 if ver == 1 else 76)
+            w = int.from_bytes(b[base : base + 4], "big") >> 16
+            h = int.from_bytes(b[base + 4 : base + 8], "big") >> 16
+        minf = _mp4_find(b, *mdia, b"minf")
+        stbl = minf and _mp4_find(b, *minf, b"stbl")
+        if stbl:
+            return stbl, (w, h)
+    raise ValueError("MP4 has no video track sample table")
+
+
+def mp4_meta(payload: bytes) -> tuple[int, int, int, int, str]:
+    """REAL MP4 metadata — (n_samples, duration_ms, width, height,
+    codec_fourcc) from the moov tree. Duration from mvhd
+    (timescale-normalized, v0 and v1 headers); dimensions from the
+    video track's tkhd (16.16 fixed); codec from the first stsd sample
+    entry; sample count from stsz. Raises ``ValueError`` for non-MP4."""
+    b = payload
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError(f"not an MP4 (no ftyp, bytes 4:8 = {b[4:8]!r})")
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if not moov:
+        raise ValueError("MP4 missing moov")
+    mvhd = _mp4_find(b, *moov, b"mvhd")
+    if not mvhd:
+        raise ValueError("MP4 missing mvhd")
+    ver = b[mvhd[0]]
+    if ver == 1:
+        timescale = int.from_bytes(b[mvhd[0] + 20 : mvhd[0] + 24], "big")
+        duration = int.from_bytes(b[mvhd[0] + 24 : mvhd[0] + 32], "big")
+    else:
+        timescale = int.from_bytes(b[mvhd[0] + 12 : mvhd[0] + 16], "big")
+        duration = int.from_bytes(b[mvhd[0] + 16 : mvhd[0] + 20], "big")
+    if not timescale:
+        raise ValueError("MP4 mvhd timescale is zero")
+    stbl, (w, h) = _mp4_video_stbl(b, moov)
+    stsd = _mp4_find(b, *stbl, b"stsd")
+    if not stsd:
+        raise ValueError("MP4 missing stsd")
+    fourcc = b[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
+    stsz = _mp4_find(b, *stbl, b"stsz")
+    n = int.from_bytes(b[stsz[0] + 8 : stsz[0] + 12], "big") if stsz else 0
+    return n, duration * 1000 // timescale, w, h, fourcc
+
+
+def mp4_frames(payload: bytes) -> list[bytes]:
+    """REAL MP4 sample extraction: expand the stsz/stsc/stco (or co64)
+    tables of the first video track and slice each sample's bytes out
+    of the file — the ISO-BMFF twin of :func:`avi_frames`.
+    Container-only; pair with :func:`jpeg_decode` for MJPEG pixels."""
+    b = payload
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError(f"not an MP4 (no ftyp, bytes 4:8 = {b[4:8]!r})")
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if not moov:
+        raise ValueError("MP4 missing moov")
+    stbl, _ = _mp4_video_stbl(b, moov)
+    stsz = _mp4_find(b, *stbl, b"stsz")
+    stsc = _mp4_find(b, *stbl, b"stsc")
+    stco = _mp4_find(b, *stbl, b"stco")
+    co64 = _mp4_find(b, *stbl, b"co64")
+    if not stsz or not stsc or not (stco or co64):
+        raise ValueError("MP4 missing sample tables")
+    fixed = int.from_bytes(b[stsz[0] + 4 : stsz[0] + 8], "big")
+    n = int.from_bytes(b[stsz[0] + 8 : stsz[0] + 12], "big")
+    sizes = (
+        [fixed] * n
+        if fixed
+        else [
+            int.from_bytes(b[stsz[0] + 12 + 4 * k : stsz[0] + 16 + 4 * k], "big")
+            for k in range(n)
+        ]
+    )
+    if stco:
+        nch = int.from_bytes(b[stco[0] + 4 : stco[0] + 8], "big")
+        offs = [
+            int.from_bytes(b[stco[0] + 8 + 4 * k : stco[0] + 12 + 4 * k], "big")
+            for k in range(nch)
+        ]
+    else:
+        nch = int.from_bytes(b[co64[0] + 4 : co64[0] + 8], "big")
+        offs = [
+            int.from_bytes(b[co64[0] + 8 + 8 * k : co64[0] + 16 + 8 * k], "big")
+            for k in range(nch)
+        ]
+    ents = int.from_bytes(b[stsc[0] + 4 : stsc[0] + 8], "big")
+    runs = [
+        (
+            int.from_bytes(b[stsc[0] + 8 + 12 * k : stsc[0] + 12 + 12 * k], "big"),
+            int.from_bytes(b[stsc[0] + 12 + 12 * k : stsc[0] + 16 + 12 * k], "big"),
+        )
+        for k in range(ents)
+    ]
+    frames: list[bytes] = []
+    si = 0
+    for ci in range(nch):
+        per = 0  # samples in this chunk per the stsc runs
+        for first, cnt in runs:
+            if ci + 1 >= first:
+                per = cnt
+        off = offs[ci]
+        for _ in range(per):
+            if si >= n:
+                break
+            frames.append(bytes(b[off : off + sizes[si]]))
+            off += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError("MP4 sample tables do not cover all samples")
+    return frames
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def mp4_encode(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    usec_per_frame: int = 33_333,
+    fourcc: bytes = b"jpeg",
+) -> bytes:
+    """Minimal ISO-BMFF writer (r11, tests + fixtures): one video track
+    of ``fourcc`` samples (MJPEG = ``b'jpeg'``), all samples in one
+    mdat chunk, microsecond timescale. The decoder twins are
+    :func:`mp4_meta` / :func:`mp4_frames`."""
+    n = len(frames)
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mdat_body = b"".join(frames)
+    chunk_off = len(ftyp) + 8  # mdat body starts after its header
+    duration = n * usec_per_frame
+    timescale = 1_000_000
+
+    entry = (
+        (86).to_bytes(4, "big") + fourcc + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(16)
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2 + bytes(4)
+        + (1).to_bytes(2, "big") + bytes(32)
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_full(b"stsd", 0, 0, (1).to_bytes(4, "big") + entry)
+        + _mp4_full(
+            b"stts", 0, 0,
+            (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+            + usec_per_frame.to_bytes(4, "big"),
+        )
+        + _mp4_full(
+            b"stsc", 0, 0,
+            (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+        + _mp4_full(
+            b"stsz", 0, 0,
+            bytes(4) + n.to_bytes(4, "big")
+            + b"".join(len(f).to_bytes(4, "big") for f in frames),
+        )
+        + _mp4_full(
+            b"stco", 0, 0, (1).to_bytes(4, "big") + chunk_off.to_bytes(4, "big")
+        ),
+    )
+    minf = _mp4_box(
+        b"minf",
+        _mp4_full(b"vmhd", 0, 1, bytes(8))
+        + _mp4_box(
+            b"dinf",
+            _mp4_full(
+                b"dref", 0, 0,
+                (1).to_bytes(4, "big") + _mp4_full(b"url ", 0, 1, b""),
+            ),
+        )
+        + stbl,
+    )
+    mdia = _mp4_box(
+        b"mdia",
+        _mp4_full(
+            b"mdhd", 0, 0,
+            bytes(8) + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big")
+            + bytes(2),
+        )
+        + _mp4_full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"\x00")
+        + minf,
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + duration.to_bytes(4, "big") + bytes(8)
+        + bytes(2) * 4  # layer, alt group, volume, reserved
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x40000000).to_bytes(4, "big")
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + bytes(10)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x40000000).to_bytes(4, "big")
+        + bytes(24) + (2).to_bytes(4, "big"),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + _mp4_box(b"mdat", mdat_body) + moov
+
+
 def synth_avi(doc_id: int) -> bytes:
     """Deterministic AVI for the gate fixture: frame count / interval /
     dimensions are closed-form in ``doc_id`` so a SQL oracle restates
@@ -4216,7 +4487,12 @@ def decode_video_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
                         for fi in range(0, len(gfs), every_n)
                     ]
                 else:
-                    fs = avi_frames(raw)
+                    # r11: MP4 joins AVI — same JPEG-sample contract
+                    fs = (
+                        mp4_frames(raw)
+                        if raw[4:8] == b"ftyp"
+                        else avi_frames(raw)
+                    )
                     decoded = []
                     for fi in range(0, len(fs), every_n):
                         if fs[fi][:2] != b"\xff\xd8":
@@ -4284,6 +4560,8 @@ def video_frames_as_images(
                     fs = [
                         png_encode(fr, gw, gh, 3) for fr in gfs
                     ]
+                elif raw[4:8] == b"ftyp":  # r11: MP4 samples are JPEGs
+                    fs = mp4_frames(raw)
                 else:
                     fs = avi_frames(raw)
                 for fi in range(0, len(fs), every_n):
@@ -4322,6 +4600,11 @@ def synth_mjpeg(doc_id: int) -> bytes:
         )
         for f in range(n_frames)
     ]
+    # r11: odd ids ship the SAME frames in an MP4 instead of an AVI —
+    # the container never changes pixels, so the oracle is untouched
+    # while both box walks run under the driver gate
+    if doc_id % 2:
+        return mp4_encode(frames, w, h)
     return avi_encode(n_frames, 33_333, w, h, frames=frames)
 
 
