@@ -2337,3 +2337,45 @@ def test_mp4_container_and_unified_video_surface(spark):
     # truncate the size table away: shrink stsz box size by 12
     # (simpler: leave table in place — fixed != 0 makes it ignored)
     assert M.mp4_frames(bytes(raw)) == same
+
+
+def test_tiff_deflate_and_tiled():
+    """r11: the last TIFF structural seams close — Adobe Deflate
+    (compression 8, stdlib zlib) strips, and TILED organization (tags
+    322-325): row-major padded tiles, ragged edges blitted, LZW/Deflate
+    per tile, predictor differencing within tile rows, both byte
+    orders. Non-multiple-of-16 tile dims raise per spec."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(41)
+    for (w, h, ch) in ((16, 12, 1), (7, 29, 3)):
+        for pred in (1, 2):
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+            t = M.tiff_encode(
+                img, w, h, ch, deflate=True, predictor=pred, rows_per_strip=7
+            )
+            assert M.tiff_decode(t) == (w, h, ch, img)
+    for (w, h, ch) in ((32, 32, 1), (40, 24, 3), (17, 50, 1), (15, 15, 3)):
+        for kw in (
+            {}, {"lzw": True}, {"deflate": True}, {"lzw": True, "predictor": 2}
+        ):
+            for be in (False, True):
+                img = rng.integers(
+                    0, 256, size=(h, w, ch), dtype=np.uint8
+                ).tobytes()
+                t = M.tiff_encode_tiled(img, w, h, ch, 16, 16, big_endian=be, **kw)
+                assert M.tiff_decode(t) == (w, h, ch, img), (w, h, ch, kw, be)
+    # 32x32 tiles over a 40x24 image (1 ragged grid in both axes)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8).tobytes()
+    t = M.tiff_encode_tiled(img, 40, 24, 3, 32, 32, lzw=True)
+    assert M.tiff_decode(t) == (40, 24, 3, img)
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        M.tiff_encode_tiled(bytes(100), 10, 10, 1, 10, 10)
+    # truncated deflate stream raises cleanly
+    t2 = M.tiff_encode(bytes(range(100)) * 4, 20, 20, 1, deflate=True)
+    import zlib as _z
+    with _pytest.raises((ValueError, _z.error)):
+        M.tiff_decode(t2[: len(t2) - 12])

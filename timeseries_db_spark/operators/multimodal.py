@@ -333,11 +333,12 @@ PIXEL_CAPABILITIES = {
     "composition — GCE transparency + disposal 0-3, frames unified "
     "with the video surface)",
     "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB strips, "
-    "none/PackBits; r11: TIFF-LZW (early-change widths), horizontal-"
-    "differencing predictor, PLANAR configuration, JPEG-in-TIFF "
-    "(compression 7, strips as full JFIF streams through the repo "
-    "JPEG codec); old-style JPEG (6), shared JPEGTables (347), "
-    "tiled = seam)",
+    "none/PackBits; r11: TIFF-LZW (early-change widths), Adobe "
+    "Deflate (8), horizontal-differencing predictor, PLANAR "
+    "configuration, TILED organization (322-325, padded tiles), "
+    "JPEG-in-TIFF (compression 7, strips as full JFIF streams "
+    "through the repo JPEG codec); old-style JPEG (6), shared "
+    "JPEGTables (347) = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -1105,27 +1106,23 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     bits = tags.get(258, [8])
     planar = one(284, 1)
     pred = one(317, 1)
+    tiled = 322 in tags
     if (
-        comp not in (1, 32773, 5, 7)
+        comp not in (1, 32773, 5, 7, 8)
         or spp not in (1, 3)
         or any(x != 8 for x in bits)
         or planar not in (1, 2)
         or not (photo in (0, 1, 2) or (photo == 6 and comp == 7))
         or pred not in (1, 2)
-        or (comp == 7 and (planar != 1 or pred != 1 or 347 in tags))
-        or 322 in tags  # tiled
+        or (comp == 7 and (planar != 1 or pred != 1 or 347 in tags or tiled))
+        or (tiled and planar != 1)
     ):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
             f"photometric={photo} predictor={pred} planar={planar} "
-            f"jpegtables={347 in tags} is outside "
+            f"tiled={tiled} jpegtables={347 in tags} is outside "
             f"PIXEL_CAPABILITIES['tiff']"
         )
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rows_per = one(278, h)
 
     def read_strip(off: int, cnt: int, expect: int) -> bytes:
         strip = b[off : off + cnt]
@@ -1135,12 +1132,70 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             return bytes(_packbits_decode(strip, expect))
         if comp == 5:
             return bytes(_tiff_lzw_decode(strip, expect))
+        if comp == 8:  # Adobe Deflate (r11): stdlib zlib
+            import zlib
+
+            raw = zlib.decompress(bytes(strip))
+            if len(raw) < expect:
+                raise ValueError("TIFF deflate strip ends early")
+            return raw[:expect]
         if len(strip) < expect:
             raise ValueError("TIFF strip ends early")
         return bytes(strip[:expect])
 
-    out = bytearray()
     row_bytes = w * spp
+    if tiled:
+        # tiled organization (TIFF 6.0 §15, r11): fixed-size tiles in
+        # row-major tile order, each stored PADDED to the full tile
+        # size; blit each tile's valid region onto the canvas
+        tw, th = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not th or tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        if len(offsets) < tiles_x * tiles_y:
+            raise ValueError("TIFF tiles do not cover the image")
+        canvas = bytearray(h * row_bytes)
+        tile_bytes = tw * th * spp
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                k = ty * tiles_x + tx
+                tile = read_strip(offsets[k], counts[k], tile_bytes)
+                vw = min(tw, w - tx * tw)
+                vh = min(th, h - ty * th)
+                for yy in range(vh):
+                    src = yy * tw * spp
+                    dst = ((ty * th + yy) * w + tx * tw) * spp
+                    canvas[dst : dst + vw * spp] = tile[src : src + vw * spp]
+        out = canvas
+        if pred == 2:
+            import numpy as np
+
+            # the predictor differences within each TILE row, so undo
+            # per tile before any cross-tile logic would see the bytes
+            # — done above by blitting raw deltas then undoing per
+            # tile-row segment here
+            a = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+            parts = []
+            for tx in range(tiles_x):
+                seg = a[:, tx * tw : min((tx + 1) * tw, w), :]
+                parts.append(seg.cumsum(axis=1, dtype=np.int64).astype(np.uint8))
+            out = bytearray(np.concatenate(parts, axis=1).tobytes())
+        if photo == 0:
+            out = bytearray(255 - v for v in out)
+        return w, h, spp, bytes(out)
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per = one(278, h)
+
+    out = bytearray()
     if comp == 7:
         # JPEG-in-TIFF (TIFF Tech Note 2, r11): each strip is a COMPLETE
         # JFIF interchange stream — decode composes with the repo's own
@@ -1223,17 +1278,18 @@ def tiff_encode(
     packbits: bool = False,
     lzw: bool = False,
     jpeg: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
     planar: bool = False,
     big_endian: bool = False,
     rows_per_strip: int = 16,
 ) -> bytes:
-    """Minimal TIFF writer (r10, tests; r11 adds LZW, horizontal-
-    differencing predictor, JPEG-in-TIFF strips, and planar
+    """Minimal TIFF writer (r10, tests; r11 adds LZW, Deflate,
+    horizontal-differencing predictor, JPEG-in-TIFF strips, and planar
     configuration): 8-bit gray/RGB strips, either byte order."""
     if channels not in (1, 3):
         raise ValueError("tiff_encode supports 1 or 3 channels")
-    if packbits + lzw + jpeg > 1:
+    if packbits + lzw + jpeg + deflate > 1:
         raise ValueError("pick one compression")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
@@ -1253,6 +1309,10 @@ def tiff_encode(
         pixels = a.astype(np.uint8).tobytes()
 
     def pack(raw: bytes) -> bytes:
+        if deflate:
+            import zlib
+
+            return zlib.compress(raw)
         return (
             _packbits_encode(raw)
             if packbits
@@ -1324,7 +1384,10 @@ def tiff_encode(
         e += ent(258, 3, 3, bits_off)
     else:
         e += ent(258, 3, 1, 8)
-    e += ent(259, 3, 1, 32773 if packbits else 5 if lzw else 7 if jpeg else 1)
+    e += ent(
+        259, 3, 1,
+        32773 if packbits else 5 if lzw else 7 if jpeg else 8 if deflate else 1,
+    )
     e += ent(262, 3, 1, 2 if channels == 3 else 1)
     e += ent(273, 4, n, offs[0] if n == 1 else off_arr)
     e += ent(277, 3, 1, channels)
@@ -1345,6 +1408,117 @@ def tiff_encode(
         out += b"".join(len(s).to_bytes(4, bo) for s in strips)
     for s in strips:
         out += s
+    return bytes(out)
+
+
+def tiff_encode_tiled(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    *,
+    lzw: bool = False,
+    deflate: bool = False,
+    predictor: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Tiled TIFF writer (r11, tests): row-major tile grid (tags
+    322-325 replacing the strip tags), each tile stored padded to the
+    full ``tile_w × tile_h`` size per TIFF 6.0 §15; optional LZW /
+    Deflate and the horizontal predictor (differencing within tile
+    rows). Decoder twin: the tiled branch of :func:`tiff_decode`."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("tiff_encode_tiled supports 1 or 3 channels")
+    if tile_w % 16 or tile_h % 16:
+        raise ValueError("tile dimensions must be multiples of 16")
+    if lzw and deflate:
+        raise ValueError("pick one compression")
+    bo = "big" if big_endian else "little"
+    a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    tiles_x = (width + tile_w - 1) // tile_w
+    tiles_y = (height + tile_h - 1) // tile_h
+    tiles = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            pad = np.zeros((tile_h, tile_w, channels), np.uint8)
+            seg = a[
+                ty * tile_h : min((ty + 1) * tile_h, height),
+                tx * tile_w : min((tx + 1) * tile_w, width),
+                :,
+            ]
+            pad[: seg.shape[0], : seg.shape[1], :] = seg
+            if predictor == 2:
+                d = pad.astype(np.int16)
+                d[:, 1:, :] -= d[:, :-1, :].copy()
+                pad = d.astype(np.uint8)
+            raw = pad.tobytes()
+            if deflate:
+                import zlib
+
+                raw = zlib.compress(raw)
+            elif lzw:
+                raw = _tiff_lzw_encode(raw)
+            tiles.append(raw)
+    n = len(tiles)
+
+    def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
+        if ftype == 3 and count == 1:
+            field = value.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            field = value.to_bytes(4, bo)
+        return (
+            tag.to_bytes(2, bo) + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo) + field
+        )
+
+    entries = 10 + (1 if predictor == 2 else 0)
+    ifd_size = 2 + 12 * entries + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    if channels == 3:
+        pos += 6
+    off_arr = pos
+    if n > 1:
+        pos += 4 * n
+    cnt_arr = pos
+    if n > 1:
+        pos += 4 * n
+    data_start = pos
+    offs, here = [], data_start
+    for t in tiles:
+        offs.append(here)
+        here += len(t)
+    e = b""
+    e += ent(256, 4, 1, width)
+    e += ent(257, 4, 1, height)
+    if channels == 3:
+        e += ent(258, 3, 3, bits_off)
+    else:
+        e += ent(258, 3, 1, 8)
+    e += ent(259, 3, 1, 5 if lzw else 8 if deflate else 1)
+    e += ent(262, 3, 1, 2 if channels == 3 else 1)
+    e += ent(277, 3, 1, channels)
+    if predictor == 2:
+        e += ent(317, 3, 1, 2)
+    e += ent(322, 4, 1, tile_w)
+    e += ent(323, 4, 1, tile_h)
+    e += ent(324, 4, n, offs[0] if n == 1 else off_arr)
+    e += ent(325, 4, n, len(tiles[0]) if n == 1 else cnt_arr)
+    out = bytearray()
+    out += b"II*\x00" if bo == "little" else b"MM\x00*"
+    out += (8).to_bytes(4, bo)
+    out += entries.to_bytes(2, bo) + e + (0).to_bytes(4, bo)
+    if channels == 3:
+        out += b"".join((8).to_bytes(2, bo) for _ in range(3))
+    if n > 1:
+        out += b"".join(o.to_bytes(4, bo) for o in offs)
+        out += b"".join(len(t).to_bytes(4, bo) for t in tiles)
+    for t in tiles:
+        out += t
     return bytes(out)
 
 
