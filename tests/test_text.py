@@ -347,3 +347,36 @@ def test_text_vectors_feed_the_similarity_stack(spark):
     assert cos[2] == 1.0
     assert cos[3] > 0.9
     assert all(cos[n] < cos[3] - 0.2 for n in (4, 5))
+
+
+def test_html_to_text_state_machine(spark):
+    """r11: REAL HTML→text extraction — the step every web corpus runs
+    before the text features. The parser (not a regex strip) drops
+    script/style content and comments, strips tags with quote-aware
+    attribute scanning, keeps a lone '<' literal, decodes
+    named/decimal/hex entities (unknown stay literal), and collapses
+    whitespace incl. NBSP. Spark surface: html_extract (Arrow-batched,
+    map-only)."""
+    from timeseries_db_spark.operators import text
+
+    H = text.html_to_text_str
+    assert H("a < b and c") == ("a < b and c", 0, 0)
+    assert H('<a href="x>y">link</a>') == ("link", 2, 0)
+    assert H("&#x41;&#66;&bogus;&") == ("AB&bogus;&", 0, 2)
+    assert H("<script>if(a<b){}</script>after") == ("after", 2, 0)
+    assert H("<SCRIPT>x</SCRIPT>y") == ("y", 2, 0)
+    assert H('<script src="a">x') == ("", 1, 0)  # unterminated drop
+    assert H("a<br>b<BR/>c") == ("a b c", 2, 0)
+    assert H("<!-- <p>no</p> -->z") == ("z", 0, 0)
+    assert H("&nbsp;&nbsp;x") == ("x", 0, 2)
+    assert H("<scripty>t</scripty>") == ("t", 2, 0)  # not a script tag
+    assert H("") == ("", 0, 0)
+    # Spark surface roundtrip
+    df = spark.createDataFrame(
+        [(1, "<p>hi &amp; bye</p>"), (2, "plain")], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in text.html_extract(df).collect()}
+    assert (rows[1]["text"], rows[1]["n_tags"], rows[1]["n_entities"]) == (
+        "hi & bye", 2, 1,
+    )
+    assert rows[2]["text"] == "plain" and rows[2]["n_tags"] == 0

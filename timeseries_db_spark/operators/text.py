@@ -594,6 +594,145 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
 
+# ---------------------------------------------------------------------------
+# HTML → text extraction (r11): the step every WEB corpus runs before any
+# of the features above — a real state-machine parser, not a regex strip
+# ---------------------------------------------------------------------------
+
+#: the named entities a boilerplate stripper actually meets; numeric
+#: (&#33; / &#x21;) forms are handled by the parser directly
+HTML_ENTITIES: dict[str, str] = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"',
+    "apos": "'", "nbsp": "\xa0",
+}
+
+_HTML_DROP = ("script", "style")
+
+
+def _html_tag_end(s: str, i: int) -> int | None:
+    """Index just past the ``>`` closing the tag opened at ``i`` —
+    quote-aware, so a ``>`` inside an attribute value doesn't end it."""
+    q = None
+    for j in range(i + 1, len(s)):
+        ch = s[j]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == ">":
+            return j + 1
+    return None
+
+
+def html_to_text_str(html: str) -> tuple[str, int, int]:
+    """REAL HTML→text extraction (single document): drops comments and
+    ``<script>``/``<style>`` content wholesale, strips every other tag
+    (quote-aware attribute scan; a lone ``<`` stays literal), decodes
+    named + decimal + hex entities (unknown entities stay literal),
+    treats each stripped tag as a whitespace boundary, and collapses
+    all whitespace (incl. NBSP) to single spaces. Returns
+    ``(text, n_tags, n_entities)`` — comments are not counted as tags;
+    a dropped script/style pair counts its open AND close tag."""
+    import re as _re
+
+    out: list[str] = []
+    n_tags = n_ent = 0
+    i, n = 0, len(html)
+    lower = html.lower()
+    ent_re = _re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+    while i < n:
+        c = html[i]
+        if c == "<":
+            if html.startswith("<!--", i):
+                j = lower.find("-->", i + 4)
+                i = n if j < 0 else j + 3
+                continue
+            dropped = None
+            for t in _HTML_DROP:
+                after = i + 1 + len(t)
+                if lower.startswith("<" + t, i) and (
+                    after >= n or not lower[after].isalnum()
+                ):
+                    dropped = t
+                    break
+            if dropped:
+                j = _html_tag_end(html, i)
+                if j is None:
+                    out.append("<")
+                    i += 1
+                    continue
+                close = lower.find("</" + dropped, j)
+                if close < 0:  # unterminated: everything after is dropped
+                    n_tags += 1
+                    i = n
+                else:
+                    k = _html_tag_end(html, close)
+                    n_tags += 2
+                    i = k if k is not None else n
+                out.append(" ")
+                continue
+            j = _html_tag_end(html, i)
+            if j is None:  # no closing '>' anywhere: literal '<'
+                out.append("<")
+                i += 1
+                continue
+            n_tags += 1
+            out.append(" ")
+            i = j
+        elif c == "&":
+            m = ent_re.match(html, i)
+            dec = None
+            if m:
+                name = m.group(1)
+                if name.startswith(("#x", "#X")):
+                    code = int(name[2:], 16)
+                    dec = chr(code) if code < 0x110000 else None
+                elif name.startswith("#"):
+                    code = int(name[1:])
+                    dec = chr(code) if code < 0x110000 else None
+                else:
+                    dec = HTML_ENTITIES.get(name)
+            if dec is not None:
+                out.append(dec)
+                n_ent += 1
+                i = m.end()
+            else:
+                out.append("&")
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    text = _re.sub(r"[\s\xa0]+", " ", "".join(out)).strip()
+    return text, n_tags, n_ent
+
+
+def html_extract(docs: DataFrame, col: str = "html") -> DataFrame:
+    """(doc_id, n_tags, n_entities, text) — :func:`html_to_text_str`
+    over an HTML column, Arrow-batched (one Python pass per batch,
+    map-only; at 100 TB this is the same per-row posture as the other
+    text kernels — no shuffle, no driver traffic)."""
+    from typing import Iterator as _It
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [html_to_text_str(x or "") for x in pdf[col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tags": [r[1] for r in rows],
+                    "n_entities": [r[2] for r in rows],
+                    "text": [r[0] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id", col).mapInPandas(
+        gen, schema="doc_id long, n_tags long, n_entities long, text string"
+    )
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
     and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting

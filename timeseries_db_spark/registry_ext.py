@@ -820,9 +820,55 @@ def register_extensions(q: dict, o: dict) -> None:
     # repetition/diversity signals ride inside text_features; this is
     # the one text op whose OUTPUT is a rewritten text column, so it
     # gets its own hash-checked entry (slot freed by folding the
-    # grouped desc-limit shape into agg_by_ts)
-    q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_docs(s, d))
-    o["text_pii_scrub"] = text.pii_scrub_sql()
+    # grouped desc-limit shape into agg_by_ts). r11: + html leg — the
+    # REAL HTML→text state machine (script/style/comment drop, tag
+    # strip, entity decode) runs on HTML the entry CONSTRUCTS from each
+    # doc's sanitized text, so the oracle restates the extraction
+    # closed-form without parsing anything. Column mapping:
+    # pii:  n_a=n_emails  n_b=n_ips      out_text=text_scrubbed
+    # html: n_a=n_tags    n_b=n_entities out_text=extracted text
+    def text_pii_scrub(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        pii = text.pii_scrub(docs).select(
+            "doc_id",
+            F.lit("pii").alias("kind"),
+            F.col("n_emails").alias("n_a"),
+            F.col("n_ips").alias("n_b"),
+            F.col("text_scrubbed").alias("out_text"),
+        )
+        clean = (
+            "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', ''),"
+            " ' +', ' '))"
+        )
+        html_docs = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('<html><head><script>var x=1;</script>',"
+                "'<style>p{}</style></head><body><!-- c --><h1>Doc ',"
+                f"doc_id, '</h1><p>', {clean},"
+                "' &nbsp;&amp;tail&#33;</p></body></html>')"
+            ).alias("html"),
+        )
+        hx = text.html_extract(html_docs, "html").select(
+            "doc_id",
+            F.lit("html").alias("kind"),
+            F.col("n_tags").alias("n_a"),
+            F.col("n_entities").alias("n_b"),
+            F.col("text").alias("out_text"),
+        )
+        return pii.unionByName(hx)
+
+    q["text_pii_scrub"] = text_pii_scrub
+    o["text_pii_scrub"] = (
+        "SELECT doc_id, 'pii' AS kind, n_emails AS n_a, n_ips AS n_b, "
+        "text_scrubbed AS out_text FROM (" + text.pii_scrub_sql() + ") "
+        "UNION ALL "
+        "SELECT doc_id, 'html' AS kind, 14::BIGINT AS n_a, 3::BIGINT AS n_b, "
+        "trim(regexp_replace('Doc ' || doc_id || ' ' || "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
+        "FROM documents"
+    )
 
     # semi-structured JSON extraction (from_json, JVM codegen) composed
     # with aggregation — the extracted field is both an aggregate input
