@@ -380,3 +380,42 @@ def test_html_to_text_state_machine(spark):
         "hi & bye", 2, 1,
     )
     assert rows[2]["text"] == "plain" and rows[2]["n_tags"] == 0
+
+
+def test_url_normalize_canonical_form(spark):
+    """r11: canonical-URL dedup key — scheme/host lowercased, default
+    ports dropped (http:80 / https:443, non-default kept), params
+    sorted, empty query and fragment dropped; DuckDB twin generated
+    from the same regexes agrees exactly."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    cases = [
+        (1, "HTTP://Example.COM:80/Path?b=2&a=1#frag"),
+        (2, "https://H.Org:443/x"),
+        (3, "https://h.org:8443/x?z=1"),
+        (4, "http://h.com/"),
+        (5, "http://h.com/p?"),
+        (6, "ftp://Files.net:21/d"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in text.url_normalize(df).collect()}
+    assert got[1]["url_norm"] == "http://example.com/Path?a=1&b=2"
+    assert got[1]["n_params"] == 2 and got[1]["host"] == "example.com"
+    assert got[2]["url_norm"] == "https://h.org/x"
+    assert got[3]["url_norm"] == "https://h.org:8443/x?z=1"  # non-default kept
+    assert got[4]["url_norm"] == "http://h.com/"
+    assert got[5]["url_norm"] == "http://h.com/p"  # empty query dropped
+    assert got[6]["url_norm"] == "ftp://files.net:21/d"  # unknown scheme: port kept
+    # engine parity with the generated DuckDB twin
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{u}')" for i, u in cases)
+    duck = con.execute(
+        text.url_normalize_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, url)"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    for (i, _), row in zip(cases, duck):
+        assert row[4] == got[i]["url_norm"], (i, row[4], got[i]["url_norm"])

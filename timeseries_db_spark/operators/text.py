@@ -733,6 +733,98 @@ def html_extract(docs: DataFrame, col: str = "html") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization (r11): dedup web corpora by canonical URL — the
+# companion key to content dedup
+# ---------------------------------------------------------------------------
+
+#: regexes shared by the Spark and DuckDB forms (both engines'
+#: regexp_extract take (string, pattern, group)). The query regex needs
+#: an engine-specific literal: Spark SQL string literals process
+#: backslash escapes (so ``\?`` must be written ``\\?``) while standard
+#: SQL / DuckDB literals do not — same seam as TOKENS_SPARK/TOKENS_DUCK.
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_QUERY_RE_SPARK = r"\\?([^#]*)"
+URL_QUERY_RE_DUCK = r"\?([^#]*)"
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
+    """(doc_id, host, path, n_params, url_norm) — canonical URL form:
+    scheme and host lowercased, default ports dropped (``:80`` http,
+    ``:443`` https), query parameters SORTED (order-insensitive dedup
+    key), fragment dropped, empty query dropped. Pure JVM expressions
+    (regex + array HOFs) — map-only, no Python; the DuckDB twin
+    :func:`url_normalize_sql` is generated from the same regexes, so
+    the canonical form is engine-exact and usable as a dedup join key
+    on either side."""
+    scheme = f"lower(regexp_extract({col}, '{URL_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({col}, '{URL_HOST_RE}', 1))"
+    path = f"regexp_extract({col}, '{URL_PATH_RE}', 1)"
+    query = f"regexp_extract({col}, '{URL_QUERY_RE_SPARK}', 1)"
+    s1 = df.select(
+        "doc_id",
+        F.expr(scheme).alias("scheme"),
+        F.expr(hostport).alias("hostport"),
+        F.expr(path).alias("path"),
+        F.expr(
+            f"array_sort(filter(split({query}, '&'), x -> x != ''))"
+        ).alias("params"),
+    )
+    host = (
+        "CASE WHEN scheme = 'http' AND hostport LIKE '%:80' "
+        "THEN substring(hostport, 1, length(hostport) - 3) "
+        "WHEN scheme = 'https' AND hostport LIKE '%:443' "
+        "THEN substring(hostport, 1, length(hostport) - 4) "
+        "ELSE hostport END"
+    )
+    return s1.select(
+        "doc_id",
+        F.expr(host).alias("host"),
+        "path",
+        F.expr("size(params)").cast("long").alias("n_params"),
+        F.expr(
+            f"concat(scheme, '://', {host}, path, "
+            "CASE WHEN size(params) > 0 "
+            "THEN concat('?', array_join(params, '&')) ELSE '' END)"
+        ).alias("url_norm"),
+    )
+
+
+def url_normalize_sql(source_sql: str, col: str = "url") -> str:
+    """DuckDB twin of :func:`url_normalize` over ``source_sql`` (a
+    subquery yielding (doc_id, {col}))."""
+    return f"""
+        WITH u1 AS (
+            SELECT doc_id,
+                   lower(regexp_extract({col}, '{URL_SCHEME_RE}', 1)) AS scheme,
+                   lower(regexp_extract({col}, '{URL_HOST_RE}', 1)) AS hostport,
+                   regexp_extract({col}, '{URL_PATH_RE}', 1) AS path,
+                   list_sort(list_filter(string_split(
+                       regexp_extract({col}, '{URL_QUERY_RE_DUCK}', 1), '&'),
+                       x -> x != '')) AS params
+            FROM ({source_sql})
+        ),
+        u2 AS (
+            SELECT doc_id, scheme, path, params,
+                   CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                        THEN substring(hostport, 1, length(hostport) - 3)
+                        WHEN scheme = 'https' AND hostport LIKE '%:443'
+                        THEN substring(hostport, 1, length(hostport) - 4)
+                        ELSE hostport END AS host
+            FROM u1
+        )
+        SELECT doc_id, host, path,
+               len(params)::BIGINT AS n_params,
+               scheme || '://' || host || path ||
+               CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&') ELSE '' END
+               AS url_norm
+        FROM u2
+    """
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
     and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting

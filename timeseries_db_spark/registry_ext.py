@@ -856,7 +856,28 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_entities").alias("n_b"),
             F.col("text").alias("out_text"),
         )
-        return pii.unionByName(hx)
+        # r11 url leg: canonical-URL dedup key — the entry CONSTRUCTS a
+        # messy URL from doc_id (upper-case scheme/host, default port,
+        # unsorted params, fragment) and url_normalize canonicalizes
+        # it; the oracle runs the generated DuckDB twin of the SAME
+        # operator (engine parity on real expressions, not a restated
+        # constant). n_a=n_params, n_b=host length.
+        url_docs = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('HTTP://Example', doc_id % 7, '.COM',"
+                " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,"
+                " '/Path', doc_id, '?b=2&a=', doc_id % 5, '#frag')"
+            ).alias("url"),
+        )
+        ux = text.url_normalize(url_docs).select(
+            "doc_id",
+            F.lit("url").alias("kind"),
+            F.col("n_params").alias("n_a"),
+            F.expr("length(host)").cast("long").alias("n_b"),
+            F.col("url_norm").alias("out_text"),
+        )
+        return pii.unionByName(hx).unionByName(ux)
 
     q["text_pii_scrub"] = text_pii_scrub
     o["text_pii_scrub"] = (
@@ -867,7 +888,17 @@ def register_extensions(q: dict, o: dict) -> None:
         "trim(regexp_replace('Doc ' || doc_id || ' ' || "
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
         "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
-        "FROM documents"
+        "FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
+        "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
+        + text.url_normalize_sql(
+            "SELECT doc_id, 'HTTP://Example' || (doc_id % 7) || '.COM' || "
+            "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END || "
+            "'/Path' || doc_id || '?b=2&a=' || (doc_id % 5) || '#frag' AS url "
+            "FROM documents"
+        )
+        + ")"
     )
 
     # semi-structured JSON extraction (from_json, JVM codegen) composed
