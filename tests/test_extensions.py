@@ -2379,3 +2379,51 @@ def test_tiff_deflate_and_tiled():
     import zlib as _z
     with _pytest.raises((ValueError, _z.error)):
         M.tiff_decode(t2[: len(t2) - 12])
+
+
+def test_audio_container_meta_aiff_flac_mp3():
+    """r11: the other audio containers a corpus contains. AIFF decodes
+    REAL PCM (big-endian IFF, 80-bit IEEE-extended sample rate); FLAC
+    STREAMINFO and MP3 frame headers are metadata-real (bit-unpack /
+    spec tables) with entropy decode staying the documented seam;
+    audio_meta dispatches all four containers by magic."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    # AIFF roundtrip + the 80-bit extended-float corners
+    sig = list(range(-3000, 3000, 91))
+    a = M.aiff_encode(sig, rate=44100)
+    assert M.aiff_meta(a) == (1, 44100, 16, len(sig) * 1000 // 44100)
+    assert list(M.aiff_pcm(a)) == sig
+    assert M.audio_meta(a) == ("aiff", *M.aiff_meta(a))
+    for r in (1, 8000, 44100, 48000, 96000, 192000):
+        assert M._f80_decode(M._f80_encode(r)) == r
+    with _pytest.raises(ValueError, match="16-bit mono"):
+        bad = bytearray(a)
+        bad[a.find(b"COMM") + 9] = 2  # stereo
+        M.aiff_pcm(bytes(bad))
+    # FLAC STREAMINFO: hand-packed 44.1k stereo 16-bit, 441000 samples
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 441_000
+    flac = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    )
+    assert M.flac_meta(flac) == (2, 44100, 16, 10_000)
+    assert M.audio_meta(flac)[0] == "flac"
+    with _pytest.raises(ValueError, match="STREAMINFO"):
+        M.flac_meta(b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + bytes(34))
+    # MP3: ID3v2 skip (synchsafe) + MPEG1 L3 128kbps 44.1k stereo
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 20]) + bytes(20)
+    mp3 = id3 + bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(4000)
+    assert M.mp3_meta(mp3)[:3] == (2, 44100, 128)
+    assert M.audio_meta(mp3)[0] == "mp3"
+    # MPEG2 L3 mono: idx 5 -> 40 kbps, sr idx 0 -> 22050
+    assert M.mp3_meta(bytes([0xFF, 0xF3, 0x50, 0xC0]) + bytes(1000))[:3] == (
+        1, 22050, 40,
+    )
+    # a sync-less payload raises; WAV dispatches through audio_meta too
+    with _pytest.raises(ValueError, match="frame sync"):
+        M.mp3_meta(bytes(64))
+    wav = M.wav_encode([0, 1, -1], rate=8000)
+    assert M.audio_meta(wav) == ("wav", *M.wav_meta(wav))

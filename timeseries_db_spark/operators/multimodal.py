@@ -3452,7 +3452,14 @@ AUDIO_PCM_CAPABILITIES = {
     "wav ms adpcm": "real (r11: fmt tag 0x02 — 7 fixed coefficient "
     "pairs + multiplicative delta adaptation; audioop has no MS ADPCM, "
     "so the pin is a hand-computed spec stream + roundtrip properties)",
-    "mp3/opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
+    "aiff": "real (r11: big-endian IFF COMM/SSND incl. the 80-bit "
+    "IEEE-extended sample rate; 16-bit mono PCM decode)",
+    "flac": "metadata-real (r11: STREAMINFO bit-unpack — rate/channels/"
+    "bits/total-samples); entropy decode = ffmpeg seam",
+    "mp3": "metadata-real (r11: ID3v2 synchsafe skip + frame-header "
+    "version/layer/bitrate/samplerate tables); entropy decode = "
+    "ffmpeg seam",
+    "opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
 }
 
 
@@ -3657,6 +3664,185 @@ def _adpcm_decode_blocks(data: bytes, block_align: int) -> list[int]:
                 val, index = ima_step(val, index, nib)
                 out.append(val)
     return out
+
+
+# --- AIFF / FLAC / MP3 containers (r11): the other audio containers a
+# real corpus contains. AIFF decodes PCM for real (big-endian RIFF
+# cousin, incl. the 80-bit IEEE-extended sample-rate field); FLAC and
+# MP3 are METADATA-real (STREAMINFO bit-unpack / frame-header tables) —
+# their entropy decode is the same documented ffmpeg seam as mp3 was. ---
+def _f80_decode(b10: bytes) -> int:
+    """80-bit IEEE extended float → int (AIFF sampleRate is always an
+    integer rate): 1 sign, 15 exponent (bias 16383), 64 mantissa with
+    an EXPLICIT integer bit."""
+    if len(b10) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    sign = -1 if b10[0] & 0x80 else 1
+    exp = ((b10[0] & 0x7F) << 8) | b10[1]
+    mant = int.from_bytes(b10[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    return sign * (mant >> max(0, 63 - (exp - 16383))) if exp >= 16383 else 0
+
+
+def _f80_encode(v: int) -> bytes:
+    """Integer → 80-bit IEEE extended (the AIFF writer half)."""
+    if v == 0:
+        return bytes(10)
+    e = v.bit_length() - 1
+    mant = v << (63 - e)
+    return ((16383 + e).to_bytes(2, "big")) + mant.to_bytes(8, "big")
+
+
+def aiff_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL AIFF metadata — (channels, sample_rate, bits, duration_ms)
+    from the COMM chunk (big-endian IFF: FORM/AIFF, 80-bit extended
+    sample rate). Raises ``ValueError`` for non-AIFF."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not a FORM/AIFF container")
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "big")
+        if cid == b"COMM" and size >= 18:
+            ch = int.from_bytes(b[i + 8 : i + 10], "big")
+            frames = int.from_bytes(b[i + 10 : i + 14], "big")
+            bits = int.from_bytes(b[i + 14 : i + 16], "big")
+            rate = _f80_decode(b[i + 16 : i + 26])
+            if not rate:
+                raise ValueError("AIFF sample rate is zero")
+            return ch, rate, bits, frames * 1000 // rate
+        i += 8 + size + (size & 1)
+    raise ValueError("AIFF missing COMM chunk")
+
+
+def aiff_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """REAL AIFF sample decode (16-bit mono big-endian PCM from the
+    SSND chunk) — the AIFF twin of :func:`wav_pcm`'s linear path."""
+    import numpy as np
+
+    b = payload
+    ch, rate, bits, _ = aiff_meta(b)
+    if ch != 1 or bits != 16:
+        raise ValueError(
+            f"AIFF channels={ch} bits={bits} outside AUDIO_PCM_CAPABILITIES "
+            f"(16-bit mono)"
+        )
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "big")
+        if cid == b"SSND":
+            off = int.from_bytes(b[i + 8 : i + 12], "big")
+            data = b[i + 16 + off : i + 8 + size]
+            return np.frombuffer(data, dtype=">i2").astype(np.int64)
+        i += 8 + size + (size & 1)
+    raise ValueError("AIFF missing SSND chunk")
+
+
+def aiff_encode(samples, rate: int = 8000) -> bytes:
+    """Minimal 16-bit mono AIFF writer (tests): big-endian COMM with
+    the 80-bit extended rate + SSND."""
+    import numpy as np
+
+    xs = np.clip(np.asarray(list(samples), dtype=np.int64), -32768, 32767)
+    data = xs.astype(">i2").tobytes()
+    comm = (
+        b"COMM" + (18).to_bytes(4, "big")
+        + (1).to_bytes(2, "big") + len(xs).to_bytes(4, "big")
+        + (16).to_bytes(2, "big") + _f80_encode(rate)
+    )
+    ssnd = b"SSND" + (8 + len(data)).to_bytes(4, "big") + bytes(8) + data
+    if len(data) & 1:
+        ssnd += b"\x00"
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def flac_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL FLAC STREAMINFO metadata — (channels, sample_rate, bits,
+    duration_ms) bit-unpacked from the mandatory first metadata block
+    ('fLaC' magic; 20-bit rate, 3-bit channels-1, 5-bit bits-1, 36-bit
+    total samples). Entropy decode stays the documented seam."""
+    b = payload
+    if b[:4] != b"fLaC" or len(b) < 8 + 34:
+        raise ValueError("not a FLAC stream")
+    btype = b[4] & 0x7F
+    size = int.from_bytes(b[5:8], "big")
+    if btype != 0 or size < 34:
+        raise ValueError("FLAC first metadata block must be STREAMINFO")
+    si = b[8 : 8 + 34]
+    packed = int.from_bytes(si[10:18], "big")  # rate|ch|bits|samples(36)
+    rate = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if not rate:
+        raise ValueError("FLAC sample rate is zero")
+    return ch, rate, bits, total * 1000 // rate
+
+
+#: MPEG audio frame-header tables (ISO 11172-3 / 13818-3), Layer III
+_MP3_BITRATES = {
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+
+
+def mp3_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL MP3 metadata — (channels, sample_rate, bitrate_kbps,
+    duration_ms): skips an ID3v2 tag (synchsafe size), finds the first
+    frame sync, and reads version/layer/bitrate/samplerate from the
+    spec tables; duration estimated from the audio byte count at that
+    (CBR) bitrate. Entropy decode stays the documented seam."""
+    b = payload
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for k in range(6, 10):  # synchsafe: 7 bits per byte
+            size = (size << 7) | (b[k] & 0x7F)
+        i = 10 + size
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            vbits = (b[i + 1] >> 3) & 0x3
+            lbits = (b[i + 1] >> 1) & 0x3
+            if vbits == 1 or lbits != 1:  # reserved version / not Layer III
+                i += 1
+                continue
+            version = {0: 25, 2: 2, 3: 1}[vbits]
+            br_idx = (b[i + 2] >> 4) & 0xF
+            sr_idx = (b[i + 2] >> 2) & 0x3
+            if br_idx in (0, 15) or sr_idx == 3:
+                i += 1
+                continue
+            bitrate = _MP3_BITRATES[1 if version == 1 else 2][br_idx]
+            rate = _MP3_RATES[version][sr_idx]
+            mode = (b[i + 3] >> 6) & 0x3
+            ch = 1 if mode == 3 else 2
+            dur = (len(b) - i) * 8 // (bitrate * 1000) * 1000 if bitrate else 0
+            return ch, rate, bitrate, dur
+        i += 1
+    raise ValueError("MP3 has no valid frame sync")
+
+
+def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Container-dispatching audio metadata — (format, channels,
+    sample_rate, bits, duration_ms) for WAV / AIFF / FLAC / MP3 (MP3
+    reports bitrate_kbps in the bits slot, its natural resolution
+    field). One probe order, magic-driven, like :func:`image_meta`."""
+    b = payload
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("wav", *wav_meta(b))
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return ("aiff", *aiff_meta(b))
+    if b[:4] == b"fLaC":
+        return ("flac", *flac_meta(b))
+    if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        return ("mp3", *mp3_meta(b))
+    raise ValueError("unrecognized audio container")
 
 
 # --- MS ADPCM (WAV fmt tag 0x02, r11 — VERDICT r10 item 4): the other
