@@ -4252,6 +4252,42 @@ def documents_as_msadpcm_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_aiff(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono AIFF for the gate fixture (r11):
+    sample ``k`` is ``((k*5 + doc_id*17) % 2048) - 1024`` — the
+    :func:`synth_wav` sawtooth idea with its own constants, so the SQL
+    oracle restates the big-endian container's features closed-form."""
+    import numpy as np
+
+    n = 350 + (doc_id * 11) % 500
+    s = ((np.arange(n, dtype=np.int64) * 5 + doc_id * 17) % 2048) - 1024
+    return aiff_encode(s)
+
+
+def documents_as_aiff_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with REAL AIFF payloads (same
+    ``doc_id % 3 == 1`` audio subset as :func:`documents_as_wav_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth_aiff(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
     """Audio-asset fixture with REAL PCM WAV payloads (same
     ``doc_id % 3 == 1`` audio subset as :func:`documents_as_assets`)."""
@@ -4297,7 +4333,9 @@ def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                s = wav_pcm(bytes(payload))
+                # r11: AIFF payloads (FORM magic) share the surface
+                raw = bytes(payload)
+                s = aiff_pcm(raw) if raw[:4] == b"FORM" else wav_pcm(raw)
                 neg = s < 0
                 zc = int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
                 rows.append(

@@ -1983,8 +1983,24 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("sum_sq").alias("v3"),
             F.col("zero_crossings").alias("v4"),
         )
+        # r11 aiff leg: the big-endian PCM container through the SAME
+        # feature surface (aiff_pcm dispatch inside
+        # decode_audio_pcm_features) — its own sawtooth closed form
+        aiff = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_aiff_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("aiff").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
         return (
-            chunks.unionByName(pcm).unionByName(g711).unionByName(msadpcm)
+            chunks.unionByName(pcm)
+            .unionByName(g711)
+            .unionByName(msadpcm)
+            .unionByName(aiff)
         )
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
@@ -2094,6 +2110,36 @@ def register_extensions(q: dict, o: dict) -> None:
                 SELECT doc_id, v,
                        CASE WHEN (v < 0) <> (lag(v) OVER (
                                 PARTITION BY doc_id ORDER BY j) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
+        UNION ALL
+        -- aiff leg (r11): big-endian container, same feature surface;
+        -- sample k of asset id is ((k*5 + id*17) % 2048) - 1024
+        SELECT asset_id, 'aiff' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id, (350 + (doc_id * 11) % 500)::BIGINT AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(850)) AS k),
+            smp AS (
+                SELECT w.doc_id, ks.k,
+                       ((ks.k * 5 + w.doc_id * 17) % 2048) - 1024 AS v
+                FROM w JOIN ks ON ks.k < w.n
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY k) < 0)
                             THEN 1 ELSE 0 END AS zf
                 FROM smp
             )
