@@ -4288,6 +4288,98 @@ def documents_as_aiff_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic FLAC STREAMINFO-only stream for the gate fixture
+    (r11): rate ``8000 + (id%5)*1000``, channels ``1 + id%2``, 16-bit,
+    ``1000 + id*10`` total samples — every :func:`flac_meta` output is
+    closed-form in doc_id."""
+    rate = 8000 + (doc_id % 5) * 1000
+    ch = 1 + doc_id % 2
+    total = 1000 + doc_id * 10
+    packed = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
+    si = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def synth_mp3(doc_id: int) -> bytes:
+    """Deterministic MP3 (ID3v2 + one MPEG1 Layer III header + pad) for
+    the gate fixture (r11): bitrate index ``1 + id%14``, sample-rate
+    index ``id%3``, mono/stereo by parity, ID3 size ``id%50`` (the
+    synchsafe skip runs), pad ``20000 + (id%7)*4000`` zero bytes (big
+    enough that the CBR duration estimate is a nonzero closed form) —
+    every :func:`mp3_meta` output is closed-form in doc_id (the
+    bitrate table rides in the oracle as literals)."""
+    id3_size = doc_id % 50
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes(
+        [0, 0, (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+    ) + bytes(id3_size)
+    br_idx = 1 + doc_id % 14
+    sr_idx = doc_id % 3
+    mode = 3 if doc_id % 2 else 0  # mono odd, stereo even
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    return id3 + hdr + bytes(20_000 + (doc_id % 7) * 4000)
+
+
+def decode_audio_meta(assets: DataFrame) -> DataFrame:
+    """(asset_id, format, channels, sample_rate, bits, duration_ms) —
+    :func:`audio_meta` container dispatch over audio assets (WAV / AIFF
+    / FLAC / MP3), Arrow-batched, map-only. MP3 reports bitrate_kbps in
+    the bits slot per :func:`audio_meta`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [audio_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "sample_rate": [r[2] for r in rows],
+                    "bits": [r[3] for r in rows],
+                    "duration_ms": [r[4] for r in rows],
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, format string, channels long, "
+            "sample_rate long, bits long, duration_ms long",
+        )
+    )
+
+
+def documents_as_meta_audio_assets(docs: DataFrame, which: str) -> DataFrame:
+    """Audio-asset fixture with FLAC (``which='flac'``) or MP3
+    (``'mp3'``) payloads over the ``doc_id % 3 == 1`` audio subset."""
+    synth = {"flac": synth_flac, "mp3": synth_mp3}[which]
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
     """Audio-asset fixture with REAL PCM WAV payloads (same
     ``doc_id % 3 == 1`` audio subset as :func:`documents_as_assets`)."""

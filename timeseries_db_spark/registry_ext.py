@@ -1996,11 +1996,29 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("sum_sq").alias("v3"),
             F.col("zero_crossings").alias("v4"),
         )
+        # r11 fmeta/mmeta legs: FLAC STREAMINFO and MP3 frame-header
+        # metadata through the audio_meta dispatch — hand-packed
+        # closed-form fixtures; v1=sample_rate v2=channels
+        # v3=bits(flac)/bitrate_kbps(mp3) v4=duration_ms
+        def meta_leg(which: str, kind: str) -> DataFrame:
+            return multimodal.decode_audio_meta(
+                multimodal.documents_as_meta_audio_assets(docs, which)
+            ).select(
+                "asset_id",
+                F.lit(kind).alias("kind"),
+                F.col("sample_rate").alias("v1"),
+                F.col("channels").alias("v2"),
+                F.col("bits").alias("v3"),
+                F.col("duration_ms").alias("v4"),
+            )
+
         return (
             chunks.unionByName(pcm)
             .unionByName(g711)
             .unionByName(msadpcm)
             .unionByName(aiff)
+            .unionByName(meta_leg("flac", "fmeta"))
+            .unionByName(meta_leg("mp3", "mmeta"))
         )
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
@@ -2149,5 +2167,35 @@ def register_extensions(q: dict, o: dict) -> None:
                    sum(v * v)::BIGINT AS sum_sq,
                    coalesce(sum(zf), 0)::BIGINT AS zero_crossings
             FROM flg GROUP BY doc_id
+        )
+        UNION ALL
+        -- fmeta leg (r11): FLAC STREAMINFO restated closed-form
+        SELECT doc_id AS asset_id, 'fmeta' AS kind,
+               (8000 + (doc_id % 5) * 1000)::BIGINT AS v1,
+               (1 + doc_id % 2)::BIGINT AS v2,
+               16::BIGINT AS v3,
+               ((1000 + doc_id * 10) * 1000
+                // (8000 + (doc_id % 5) * 1000))::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- mmeta leg (r11): MP3 frame header restated closed-form; the
+        -- MPEG1 Layer III bitrate table rides as literals, duration is
+        -- the CBR estimate over the bytes from the frame sync on
+        SELECT doc_id AS asset_id, 'mmeta' AS kind,
+               (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                ELSE 32000 END)::BIGINT AS v1,
+               (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::BIGINT AS v2,
+               br::BIGINT AS v3,
+               ((20004 + (doc_id % 7) * 4000) * 8
+                // (br * 1000) * 1000)::BIGINT AS v4
+        FROM (
+            SELECT doc_id,
+                   (CASE 1 + doc_id % 14
+                        WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                        WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                        WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                        WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                        WHEN 13 THEN 256 ELSE 320 END) AS br
+            FROM documents WHERE doc_id % 3 = 1
         )
     """.replace("{MULAW_TABLE}", multimodal.mulaw_table_sql())
