@@ -2260,16 +2260,27 @@ def test_tiff_planar_and_jpeg_in_tiff():
         - np.frombuffer(rgb, np.uint8).astype(int)
     )
     assert err.max() <= 1  # YCbCr round-trip rounding bound
-    # JPEGTables (tag 347) is the documented seam: splice one in
-    t4 = bytearray(M.tiff_encode(gray, w, h, 1, jpeg=True, rows_per_strip=32))
-    ifd = int.from_bytes(t4[4:8], "little")
-    ne = int.from_bytes(t4[ifd : ifd + 2], "little")
-    # rewrite the LAST entry's tag to 347 (keeps structure valid enough
-    # for the gate check, which runs before any strip decode)
-    o = ifd + 2 + 12 * (ne - 1)
-    t4[o : o + 2] = (347).to_bytes(2, "little")
-    with _pytest.raises(NotImplementedError, match="jpegtables=True"):
-        M.tiff_decode(bytes(t4))
+    # shared JPEGTables (tag 347, r11): DQT/DHT hoisted out of every
+    # strip into one abbreviated tables stream, spliced back at decode
+    t4 = M.tiff_encode(gray, w, h, 1, jpeg=True, shared_tables=True,
+                       rows_per_strip=16)
+    assert M.tiff_decode(t4) == (w, h, 1, gray)
+    t4_plain = M.tiff_encode(gray, w, h, 1, jpeg=True, rows_per_strip=16)
+    assert len(t4) < len(t4_plain)  # the hoist actually saves bytes
+    rgb_t = M.tiff_encode(rgb, w, h, 3, jpeg=True, shared_tables=True,
+                          rows_per_strip=8)
+    got_t = M.tiff_decode(rgb_t)
+    err_t = np.abs(
+        np.frombuffer(got_t[3], np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    )
+    assert got_t[:3] == (w, h, 3) and err_t.max() <= 1
+    # a malformed tables blob raises cleanly
+    bad = bytearray(t4)
+    at = bad.find(b"\xff\xd8", 8)  # the tables stream's SOI
+    bad[at] = 0x00
+    with _pytest.raises(ValueError, match="abbreviated stream"):
+        M.tiff_decode(bytes(bad))
 
 
 def test_mp4_container_and_unified_video_surface(spark):

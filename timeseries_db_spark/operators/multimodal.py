@@ -336,9 +336,9 @@ PIXEL_CAPABILITIES = {
     "none/PackBits; r11: TIFF-LZW (early-change widths), Adobe "
     "Deflate (8), horizontal-differencing predictor, PLANAR "
     "configuration, TILED organization (322-325, padded tiles), "
-    "JPEG-in-TIFF (compression 7, strips as full JFIF streams "
-    "through the repo JPEG codec); old-style JPEG (6), shared "
-    "JPEGTables (347) = seam)",
+    "JPEG-in-TIFF (compression 7, strips as JFIF streams through the "
+    "repo JPEG codec, incl. shared JPEGTables-347 splice); old-style "
+    "JPEG (6) = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -1080,8 +1080,10 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
     ifd = u(4, 4)
     n_ent = u(ifd, 2)
-    #: field type -> byte size (the ones 8-bit imagery uses)
-    tsize = {1: 1, 3: 2, 4: 4}
+    #: field type -> byte size (the ones 8-bit imagery uses; 2=ASCII,
+    #: 7=UNDEFINED are byte-wide — r11: without 7 here, a JPEGTables
+    #: tag was invisible to the capability gate)
+    tsize = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
     tags: dict[int, list[int]] = {}
     for e in range(n_ent):
         o = ifd + 2 + 12 * e
@@ -1114,14 +1116,13 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         or planar not in (1, 2)
         or not (photo in (0, 1, 2) or (photo == 6 and comp == 7))
         or pred not in (1, 2)
-        or (comp == 7 and (planar != 1 or pred != 1 or 347 in tags or tiled))
+        or (comp == 7 and (planar != 1 or pred != 1 or tiled))
         or (tiled and planar != 1)
     ):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
             f"photometric={photo} predictor={pred} planar={planar} "
-            f"tiled={tiled} jpegtables={347 in tags} is outside "
-            f"PIXEL_CAPABILITIES['tiff']"
+            f"tiled={tiled} is outside PIXEL_CAPABILITIES['tiff']"
         )
 
     def read_strip(off: int, cnt: int, expect: int) -> bytes:
@@ -1197,14 +1198,28 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
     out = bytearray()
     if comp == 7:
-        # JPEG-in-TIFF (TIFF Tech Note 2, r11): each strip is a COMPLETE
-        # JFIF interchange stream — decode composes with the repo's own
-        # JPEG decoder; the shared-tables variant (tag 347) stays a seam
+        # JPEG-in-TIFF (TIFF Tech Note 2, r11): each strip is a JFIF
+        # interchange stream — decode composes with the repo's own JPEG
+        # decoder. Shared tables (tag 347, an abbreviated
+        # tables-only stream) splice in by concatenating the tables
+        # body between each strip's SOI and its frame segments — the
+        # standard abbreviated-stream composition.
+        tbl_body = b""
+        if 347 in tags:
+            tbl = bytes(tags[347])
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF JPEGTables is not an abbreviated stream")
+            tbl_body = tbl[2:-2]
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             n_rows = min(rows_per, h - si * rows_per)
             if n_rows <= 0:
                 break
-            jw, jh, jch, pix = jpeg_decode(b[off : off + cnt])
+            strip = b[off : off + cnt]
+            if tbl_body:
+                if strip[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF JPEG strip missing SOI")
+                strip = b"\xff\xd8" + tbl_body + strip[2:]
+            jw, jh, jch, pix = jpeg_decode(strip)
             if (jw, jh, jch) != (w, n_rows, spp):
                 raise ValueError(
                     f"TIFF JPEG strip shape {(jw, jh, jch)} != "
@@ -1269,6 +1284,36 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JFIF interchange stream into (table segments, the
+    stream with those segments removed) — the writer half of TIFF
+    shared JPEGTables: DQT/DHT segments move to the tag, everything
+    else (SOF/SOS/entropy/EOI) stays per strip."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    tables = b""
+    rest = bytearray(b"\xff\xd8")
+    while i + 1 < len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("JPEG marker stream desynced")
+        m = stream[i + 1]
+        if m == 0xD9:
+            rest += stream[i : i + 2]
+            break
+        if m == 0xDA:  # SOS: entropy-coded data runs to EOI
+            rest += stream[i:]
+            break
+        seg_len = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seg_len]
+        if m in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seg_len
+    return tables, bytes(rest)
+
+
 def tiff_encode(
     pixels: bytes,
     width: int,
@@ -1278,6 +1323,7 @@ def tiff_encode(
     packbits: bool = False,
     lzw: bool = False,
     jpeg: bool = False,
+    shared_tables: bool = False,
     deflate: bool = False,
     predictor: int = 1,
     planar: bool = False,
@@ -1344,6 +1390,14 @@ def tiff_encode(
                 if jpeg
                 else pack(band)
             )
+    tbl_blob = b""
+    if jpeg and shared_tables:
+        # hoist DQT/DHT out of every strip into one JPEGTables tag —
+        # jpeg_encode emits identical tables per strip, so the first
+        # strip's set is the shared set
+        split = [_jpeg_split_tables(s) for s in strips]
+        tbl_blob = b"\xff\xd8" + split[0][0] + b"\xff\xd9"
+        strips = [rest for _, rest in split]
     n = len(strips)
 
     def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
@@ -1360,7 +1414,12 @@ def tiff_encode(
 
     # layout: header(8) IFD, then [bits array if rgb], offset/count
     # arrays (if n > 1), then strip data
-    entries = 9 + (1 if predictor == 2 else 0) + (1 if planar else 0)
+    entries = (
+        9
+        + (1 if predictor == 2 else 0)
+        + (1 if planar else 0)
+        + (1 if tbl_blob else 0)
+    )
     ifd_size = 2 + 12 * entries + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -1372,6 +1431,8 @@ def tiff_encode(
     cnt_arr = pos
     if n > 1:
         pos += 4 * n
+    tbl_off = pos
+    pos += len(tbl_blob)
     data_start = pos
     offs, here = [], data_start
     for s in strips:
@@ -1397,6 +1458,8 @@ def tiff_encode(
         e += ent(284, 3, 1, 2)
     if predictor == 2:
         e += ent(317, 3, 1, 2)
+    if tbl_blob:
+        e += ent(347, 7, len(tbl_blob), tbl_off)
     out = bytearray()
     out += (b"II*\x00" if bo == "little" else b"MM\x00*")
     out += (8).to_bytes(4, bo)
@@ -1406,6 +1469,7 @@ def tiff_encode(
     if n > 1:
         out += b"".join(o.to_bytes(4, bo) for o in offs)
         out += b"".join(len(s).to_bytes(4, bo) for s in strips)
+    out += tbl_blob
     for s in strips:
         out += s
     return bytes(out)
