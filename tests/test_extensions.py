@@ -2438,3 +2438,47 @@ def test_audio_container_meta_aiff_flac_mp3():
         M.mp3_meta(bytes(64))
     wav = M.wav_encode([0, 1, -1], rate=8000)
     assert M.audio_meta(wav) == ("wav", *M.wav_meta(wav))
+
+
+def test_exif_orientation_all_eight_transforms():
+    """r11: EXIF orientation — APP1 write/read roundtrip (both byte
+    orders), all 8 transforms pinned pixel-level against independent
+    numpy ops, px_sum invariance, dims swap for 5-8, and the
+    permissive no-EXIF default."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    w, h, ch = 4, 3, 1
+    a = np.arange(w * h, dtype=np.uint8).reshape(h, w, 1)
+    pix = a.tobytes()
+    want = {
+        1: a,
+        2: np.flip(a, 1),
+        3: np.flip(np.flip(a, 0), 1),
+        4: np.flip(a, 0),
+        5: np.swapaxes(a, 0, 1),
+        6: np.swapaxes(np.flip(a, 0), 0, 1),
+        7: np.swapaxes(np.flip(np.flip(a, 0), 1), 0, 1),
+        8: np.swapaxes(np.flip(a, 1), 0, 1),
+    }
+    for o, exp in want.items():
+        ow, oh, got = M.apply_orientation(w, h, ch, pix, o)
+        assert (oh, ow) == exp.shape[:2], o
+        assert got == np.ascontiguousarray(exp).tobytes(), o
+        assert np.frombuffer(got, np.uint8).sum() == a.sum()  # invariant
+    # APP1 roundtrip through a real JPEG, both byte orders
+    jw, jh = 16, 24
+    gray = bytes((((x // 8) * 7 + (y // 8) * 11) % 256)
+                 for y in range(jh) for x in range(jw))
+    base = M.jpeg_encode(gray, jw, jh, 1)
+    for o in range(1, 9):
+        for be in (False, True):
+            j = M.jpeg_add_exif(base, o, big_endian=be)
+            assert M.exif_orientation(j) == o, (o, be)
+            # the added segment doesn't disturb the pixel decode
+            assert M.jpeg_decode(j) == (jw, jh, 1, gray)
+    assert M.exif_orientation(base) == 1  # no EXIF -> normal
+    with _pytest.raises(ValueError, match="1..8"):
+        M.exif_app1(9)

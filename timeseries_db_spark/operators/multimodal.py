@@ -1284,6 +1284,150 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+# --- EXIF orientation (r11): the dominant real-world image-decode
+# gotcha — phone cameras store sensor-native pixels plus an APP1/EXIF
+# orientation tag (a little TIFF structure inside the JPEG), and a
+# pipeline that ignores it trains on sideways images. From-spec: APP1
+# walk, embedded-TIFF IFD0 scan for tag 274, and the 8 standard
+# transforms. ---
+def exif_orientation(jpeg: bytes) -> int:
+    """Read the EXIF orientation (1-8) from a JPEG's APP1 segment;
+    1 (normal) when absent or unparseable — the permissive default a
+    decode pipeline wants for the no-EXIF majority."""
+    b = jpeg
+    if b[:2] != b"\xff\xd8":
+        return 1
+    i = 2
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        m = b[i + 1]
+        if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if m == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = b[i + 10 : i + 2 + seg_len]
+            if t[:2] == b"II":
+                bo = "little"
+            elif t[:2] == b"MM":
+                bo = "big"
+            else:
+                return 1
+            ifd = int.from_bytes(t[4:8], bo)
+            if ifd + 2 > len(t):
+                return 1
+            n = int.from_bytes(t[ifd : ifd + 2], bo)
+            for e in range(n):
+                o = ifd + 2 + 12 * e
+                if o + 12 > len(t):
+                    return 1
+                if int.from_bytes(t[o : o + 2], bo) == 274:
+                    v = int.from_bytes(t[o + 8 : o + 10], bo)
+                    return v if 1 <= v <= 8 else 1
+            return 1
+        if m == 0xDA:  # entropy data: no EXIF past this point
+            break
+        i += 2 + seg_len
+    return 1
+
+
+def exif_app1(orientation: int, big_endian: bool = False) -> bytes:
+    """Minimal APP1/EXIF segment carrying just the orientation tag
+    (writer twin of :func:`exif_orientation`)."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    bo = "big" if big_endian else "little"
+    tiff = (b"MM\x00*" if big_endian else b"II*\x00") + (8).to_bytes(4, bo)
+    ent = (
+        (274).to_bytes(2, bo) + (3).to_bytes(2, bo) + (1).to_bytes(4, bo)
+        + orientation.to_bytes(2, bo) + b"\x00\x00"
+    )
+    tiff += (1).to_bytes(2, bo) + ent + (0).to_bytes(4, bo)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def jpeg_add_exif(jpeg: bytes, orientation: int, big_endian: bool = False) -> bytes:
+    """Insert an EXIF orientation APP1 right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    return jpeg[:2] + exif_app1(orientation, big_endian) + jpeg[2:]
+
+
+def apply_orientation(
+    w: int, h: int, ch: int, pix: bytes, orientation: int
+) -> tuple[int, int, bytes]:
+    """Apply an EXIF orientation (1-8) to raw pixels — the standard
+    transforms: 1 normal, 2 mirror-h, 3 rotate 180, 4 mirror-v,
+    5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW.
+    Returns (width, height, pixels) with dims swapped for 5-8."""
+    import numpy as np
+
+    a = np.frombuffer(pix, np.uint8).reshape(h, w, ch)
+    if orientation == 1:
+        out = a
+    elif orientation == 2:
+        out = a[:, ::-1]
+    elif orientation == 3:
+        out = a[::-1, ::-1]
+    elif orientation == 4:
+        out = a[::-1]
+    elif orientation == 5:
+        out = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        out = a[::-1].transpose(1, 0, 2)
+    elif orientation == 7:
+        out = a[::-1, ::-1].transpose(1, 0, 2)
+    elif orientation == 8:
+        out = a[:, ::-1].transpose(1, 0, 2)
+    else:
+        raise ValueError("orientation must be 1..8")
+    oh, ow = out.shape[0], out.shape[1]
+    return ow, oh, np.ascontiguousarray(out).tobytes()
+
+
+def decode_oriented_features(assets: DataFrame) -> DataFrame:
+    """(asset_id, orientation, width, height, px_sum) — decode each
+    image asset, read its EXIF orientation, and apply it (dims swap for
+    orientations 5-8; px_sum is rotation-invariant, the integrity
+    column). Arrow-batched, map-only — the upright-image stage every
+    vision-training pipeline runs before resize/crop."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                o = exif_orientation(raw) if raw[:2] == b"\xff\xd8" else 1
+                w, h, ch, pix = image_decode(raw)
+                w, h, pix = apply_orientation(w, h, ch, pix, o)
+                rows.append(
+                    (
+                        int(asset_id),
+                        o,
+                        w,
+                        h,
+                        int(np.frombuffer(pix, np.uint8).sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "orientation", "width", "height", "px_sum"],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, orientation long, width long, "
+            "height long, px_sum long",
+        )
+    )
+
+
 def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
     """Split a JFIF interchange stream into (table segments, the
     stream with those segments removed) — the writer half of TIFF
@@ -3237,6 +3381,49 @@ def documents_as_gifanim_assets(docs: DataFrame) -> DataFrame:
 
     return (
         docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def synth_exif_jpeg(doc_id: int) -> bytes:
+    """Deterministic EXIF'd JPEG for the gate fixture (r11): per-block-
+    constant gray (pixel-exact decode), block (r, c) holding
+    ``(doc_id + r*29 + c*13) % 256``, with orientation ``1 + id % 8``
+    in an APP1 tag (alternating byte order) — dims swap for 5-8 and
+    px_sum is rotation-invariant, both closed-form."""
+    bw = 2 + doc_id % 3
+    bh = 3 + (doc_id // 3) % 3
+    w, h = bw * 8, bh * 8
+    pix = bytes(
+        (doc_id + (y // 8) * 29 + (x // 8) * 13) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    return jpeg_add_exif(
+        jpeg_encode(pix, w, h, 1), 1 + doc_id % 8, big_endian=bool(doc_id % 2)
+    )
+
+
+def documents_as_exif_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with EXIF-oriented JPEG payloads (same
+    ``doc_id % 3 == 0`` image subset)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_exif_jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
         .mapInPandas(gen, schema=schema)
     )

@@ -1620,6 +1620,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("channels").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r11 exif leg: the upright-image stage — APP1/EXIF orientation
+        # read (embedded-TIFF IFD walk, both byte orders) + the 8
+        # standard transforms applied; dims swap for 5-8, px_sum is
+        # rotation-invariant. v1=orientation v2=w v3=h v5=px_sum
+        exif = multimodal.decode_oriented_features(
+            multimodal.documents_as_exif_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("exif").alias("kind"),
+            F.col("orientation").alias("v1"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            F.lit(None).cast("long").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         return (
             resize.unionByName(frames)
             .unionByName(dhash)
@@ -1629,6 +1644,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(tresize)
             .unionByName(vframe)
             .unionByName(ganim)
+            .unionByName(exif)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -1924,6 +1940,30 @@ def register_extensions(q: dict, o: dict) -> None:
             FROM px GROUP BY doc_id, sw, sh
         ) s
         JOIN LATERAL (SELECT unnest(range(3))::BIGINT AS f) fr ON true
+        UNION ALL
+        -- exif leg (r11): orientation 1 + id%8; block (r,c) of the
+        -- w=8*(2+id%3) x h=8*(3+(id//3)%3) gray holds
+        -- (id + r*29 + c*13) % 256; dims swap for orientations 5-8,
+        -- px_sum (64x the block sum) is rotation-invariant
+        SELECT e.doc_id AS asset_id, 'exif' AS kind,
+               (1 + e.doc_id % 8)::BIGINT AS v1,
+               (CASE WHEN 1 + e.doc_id % 8 >= 5 THEN e.h ELSE e.w
+                END)::BIGINT AS v2,
+               (CASE WHEN 1 + e.doc_id % 8 >= 5 THEN e.w ELSE e.h
+                END)::BIGINT AS v3,
+               NULL::BIGINT AS v4,
+               (SELECT 64 * SUM((e.doc_id + r.n * 29 + c.n * 13) % 256)
+                FROM (SELECT unnest(range(5)) AS n) r,
+                     (SELECT unnest(range(4)) AS n) c
+                WHERE r.n < e.bh AND c.n < e.bw)::BIGINT AS v5
+        FROM (
+            SELECT doc_id,
+                   (2 + doc_id % 3)::BIGINT AS bw,
+                   (3 + (doc_id // 3) % 3)::BIGINT AS bh,
+                   (8 * (2 + doc_id % 3))::BIGINT AS w,
+                   (8 * (3 + (doc_id // 3) % 3))::BIGINT AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ) e
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
