@@ -419,3 +419,53 @@ def test_url_normalize_canonical_form(spark):
     ).fetchall()
     for (i, _), row in zip(cases, duck):
         assert row[4] == got[i]["url_norm"], (i, row[4], got[i]["url_norm"])
+
+
+def test_warc_ingest_chain(spark):
+    """r11: WARC (ISO 28500, the Common Crawl container) ingest —
+    writer/parser roundtrip, binary-safe Content-Length slicing (a
+    block containing CRLFs and fake version lines), HTTP body split,
+    non-response records skipped, and the full WARC→HTTP→HTML→text
+    chain through the Spark surface."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import warc as W
+
+    # roundtrip, incl. a block whose CONTENT looks like a record start
+    tricky = b"WARC/1.0\r\n\r\nnot a record\r\n\r\njust bytes"
+    p = W.warc_build(
+        [
+            ("warcinfo", "", b"software: x\r\n"),
+            ("response", "http://a/b", tricky),
+            ("metadata", "http://a/b", b"k: v"),
+        ]
+    )
+    recs = W.warc_records(p)
+    assert [r[0]["warc-type"] for r in recs] == ["warcinfo", "response", "metadata"]
+    assert recs[1][1] == tricky
+    assert recs[1][0]["warc-target-uri"] == "http://a/b"
+    # http body split; header-less block returned whole
+    assert W.http_body(b"HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY") == b"BODY"
+    assert W.http_body(b"no headers here") == b"no headers here"
+    # malformed: bad magic, truncated block
+    with _pytest.raises(ValueError, match="version line"):
+        W.warc_records(b"NOTWARC/1.0\r\n\r\n")
+    with _pytest.raises(ValueError, match="truncated|unterminated"):
+        W.warc_records(p[: len(p) - 30])
+    with _pytest.raises(ValueError, match="truncated"):
+        W.warc_records(W.warc_build([("response", "u", b"x" * 50)])[:-40])
+    # Spark chain: response -> body -> html -> text; warcinfo skipped
+    html = b"<html><body><p>hello &amp; world</p></body></html>"
+    block = b"HTTP/1.1 200 OK\r\n\r\n" + html
+    payload = W.warc_build(
+        [("warcinfo", "", b"x"), ("response", "http://e/1", block)]
+    )
+    df = spark.createDataFrame(
+        [(7, "warc", payload)], "asset_id long, kind string, payload binary"
+    )
+    rows = W.warc_extract_text(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["uri"], r["text"], r["n_tags"], r["n_entities"]) == (
+        "http://e/1", "hello & world", 6, 1,
+    )

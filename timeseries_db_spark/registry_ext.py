@@ -877,7 +877,56 @@ def register_extensions(q: dict, o: dict) -> None:
             F.expr("length(host)").cast("long").alias("n_b"),
             F.col("url_norm").alias("out_text"),
         )
-        return pii.unionByName(hx).unionByName(ux)
+
+        # r11 warc leg: the FULL Common-Crawl-style ingest chain under
+        # the gate — per-doc WARC (warcinfo + response records) built
+        # around the SAME constructed HTML, then WARC parse → HTTP body
+        # → HTML→text, one mapInPandas stage. out_text = uri | text so
+        # the record-header parse is value-checked too.
+        def build_warc(batches):
+            import pandas as _pd
+
+            from timeseries_db_spark.operators import warc as W
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                payloads = []
+                for did, html in zip(pdf["doc_id"], pdf["html"]):
+                    uri = f"http://example{int(did) % 7}.com/doc{int(did)}"
+                    block = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html.encode("utf-8")
+                    )
+                    payloads.append(
+                        W.warc_build(
+                            [
+                                ("warcinfo", "", b"software: tsdb\r\n"),
+                                ("response", uri, block),
+                            ]
+                        )
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "asset_id": pdf["doc_id"],
+                        "kind": "warc",
+                        "payload": payloads,
+                    }
+                )
+
+        from timeseries_db_spark.operators import warc as _warc
+
+        warc_assets = html_docs.mapInPandas(
+            build_warc, schema="asset_id long, kind string, payload binary"
+        )
+        wx = _warc.warc_extract_text(warc_assets).select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("warc").alias("kind"),
+            F.col("n_tags").alias("n_a"),
+            F.col("n_entities").alias("n_b"),
+            F.expr("concat(uri, ' | ', text)").alias("out_text"),
+        )
+        return pii.unionByName(hx).unionByName(ux).unionByName(wx)
 
     q["text_pii_scrub"] = text_pii_scrub
     o["text_pii_scrub"] = (
@@ -885,6 +934,13 @@ def register_extensions(q: dict, o: dict) -> None:
         "text_scrubbed AS out_text FROM (" + text.pii_scrub_sql() + ") "
         "UNION ALL "
         "SELECT doc_id, 'html' AS kind, 14::BIGINT AS n_a, 3::BIGINT AS n_b, "
+        "trim(regexp_replace('Doc ' || doc_id || ' ' || "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'warc' AS kind, 14::BIGINT AS n_a, 3::BIGINT AS n_b, "
+        "'http://example' || (doc_id % 7) || '.com/doc' || doc_id || ' | ' || "
         "trim(regexp_replace('Doc ' || doc_id || ' ' || "
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
         "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
