@@ -397,3 +397,54 @@ def test_bmp_widened_shapes_roundtrip_property(w, h, shape, data):
         want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
         p = M.bmp_encode_palette(idx, w, h, pal, bpp=bpp, rle=variant)
     assert M.bmp_decode(p) == (w, h, 3, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "warcinfo", "metadata", "request"]),
+            st.text(
+                alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+                max_size=40,
+            ),
+            st.binary(max_size=300),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_roundtrip_property(records):
+    """r11: WARC writer→parser roundtrip for arbitrary record mixes —
+    binary blocks (including ones containing CRLFs, fake version lines,
+    or header-like text) survive byte-exact because slicing is
+    Content-Length-driven, never content-scanned."""
+    from timeseries_db_spark.operators import warc as W
+
+    p = W.warc_build(records)
+    got = W.warc_records(p)
+    assert len(got) == len(records)
+    for (wtype, uri, block), (hdrs, gblock) in zip(records, got):
+        assert hdrs["warc-type"] == wtype
+        assert gblock == block
+        if uri:
+            assert hdrs["warc-target-uri"] == uri
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_html_to_text_total_function_property(s):
+    """r11: the HTML→text parser is TOTAL on arbitrary text — never
+    raises, output is single-spaced and trimmed, counts are
+    non-negative, and plain text without markup characters passes
+    through modulo whitespace collapse."""
+    import re
+
+    from timeseries_db_spark.operators.text import html_to_text_str
+
+    text, n_tags, n_ent = html_to_text_str(s)
+    assert n_tags >= 0 and n_ent >= 0
+    assert "  " not in text and text == text.strip()
+    assert not re.search(r"[\s\xa0]{2}", text)
+    if not re.search(r"[<&]", s):
+        assert text == re.sub(r"[\s\xa0]+", " ", s).strip()
