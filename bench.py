@@ -143,6 +143,15 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # median. Verdict: box noise (the host was simply faster when r9's
 # number was recorded); no regression attributable to code.
 
+# r11 legs: none of the headline entries gained legs this round (the
+# r11 additions — msadpcm/aiff/fmeta/mmeta on multimodal_audio_chunks,
+# ganim/exif on multimodal_resize_plan, html/url/warc on
+# text_pii_scrub, the MP4 vframe container split and the LZW/predictor
+# tresize variants — all land on NON-headline entries), so r11 headline
+# columns measure the same logical work as r10. The slope table gained
+# ann_topk_ivfpq / ann_topk_pq (pruning-real shape, see SLOPE_EXTRA),
+# and BENCH_DETAIL.json gained queries_leg_wall per-leg attribution.
+
 # r10 legs added to headline entries: ann_topk_ivf += pqr (the
 # integer-refined PQ codebook leg: one more bounded driver refinement
 # — 64-vector sample, 2 Lloyd rounds in int64 — plus a second fused
