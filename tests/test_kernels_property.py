@@ -412,16 +412,18 @@ def test_bmp_widened_shapes_roundtrip_property(w, h, shape, data):
         ),
         min_size=1,
         max_size=6,
-    )
+    ),
+    gz=st.booleans(),
 )
-def test_warc_roundtrip_property(records):
+def test_warc_roundtrip_property(records, gz):
     """r11: WARC writer→parser roundtrip for arbitrary record mixes —
     binary blocks (including ones containing CRLFs, fake version lines,
     or header-like text) survive byte-exact because slicing is
-    Content-Length-driven, never content-scanned."""
+    Content-Length-driven, never content-scanned. r12: also through
+    the per-record-gzip-member (.warc.gz) layout."""
     from timeseries_db_spark.operators import warc as W
 
-    p = W.warc_build(records)
+    p = W.warc_build(records, gzip_records=gz)
     got = W.warc_records(p)
     assert len(got) == len(records)
     for (wtype, uri, block), (hdrs, gblock) in zip(records, got):

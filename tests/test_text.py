@@ -398,6 +398,16 @@ def test_url_normalize_canonical_form(spark):
         (4, "http://h.com/"),
         (5, "http://h.com/p?"),
         (6, "ftp://Files.net:21/d"),
+        # r12: RFC 3986 §6.2 completion
+        (7, "http://h.com"),  # empty path -> /
+        (8, "http://h.com/a/./b/../c"),  # dot segments
+        (9, "http://h.com/a/b/.."),  # trailing .. keeps slash
+        (10, "http://h.com/.."),  # pop past root -> /
+        (11, "http://h.com/a//b/"),  # empty segments preserved
+        (12, "http://h.com/P%61th%2f%7e?k=%2FV%61l&a=%4a"),  # pct-norm
+        (13, "http://h.com/%2e/x"),  # %2E decodes THEN dot-removal
+        (14, "http://h.com/x%"),  # stray % stays literal
+        (15, "http://h.com/a/%2E%2E/b"),  # %2E%2E -> .. pops
     ]
     df = spark.createDataFrame(cases, "doc_id long, url string")
     got = {r["doc_id"]: r for r in text.url_normalize(df).collect()}
@@ -408,6 +418,16 @@ def test_url_normalize_canonical_form(spark):
     assert got[4]["url_norm"] == "http://h.com/"
     assert got[5]["url_norm"] == "http://h.com/p"  # empty query dropped
     assert got[6]["url_norm"] == "ftp://files.net:21/d"  # unknown scheme: port kept
+    assert got[7]["url_norm"] == "http://h.com/"
+    assert got[8]["url_norm"] == "http://h.com/a/c"
+    assert got[9]["url_norm"] == "http://h.com/a/"
+    assert got[10]["url_norm"] == "http://h.com/"
+    assert got[11]["url_norm"] == "http://h.com/a//b/"
+    # unreserved %61/%7e decoded, reserved %2f case-normalized, params too
+    assert got[12]["url_norm"] == "http://h.com/Path%2F~?a=J&k=%2FVal"
+    assert got[13]["url_norm"] == "http://h.com/x"
+    assert got[14]["url_norm"] == "http://h.com/x%"
+    assert got[15]["url_norm"] == "http://h.com/b"
     # engine parity with the generated DuckDB twin
     con = duckdb.connect()
     vals = ", ".join(f"({i}, '{u}')" for i, u in cases)
@@ -469,3 +489,78 @@ def test_warc_ingest_chain(spark):
     assert (r["uri"], r["text"], r["n_tags"], r["n_entities"]) == (
         "http://e/1", "hello & world", 6, 1,
     )
+
+
+def test_warc_http_transport_and_charset(spark):
+    """r12: real-crawl WARC/HTTP realism — per-record gzip members
+    (.warc.gz layout), chunked transfer-encoding reassembly,
+    Content-Encoding gzip/deflate inflate (and the stacked CE→TE
+    order real servers use), plus charset handling: Content-Type
+    charset wins, <meta charset> sniff next, utf-8 fallback; latin-1
+    and utf-16 bodies decode to the same text utf-8-replace would
+    garble."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import warc as W
+
+    # --- gzip record members: parse sees through the .warc.gz layout
+    recs = [("warcinfo", "", b"software: x\r\n"), ("response", "http://a", b"B" * 40)]
+    gz = W.warc_build(recs, gzip_records=True)
+    assert gz[:2] == b"\x1f\x8b" and W.warc_records(gz) == W.warc_records(
+        W.warc_build(recs)
+    )
+    with _pytest.raises(ValueError, match="magic|truncated|inflate"):
+        W.warc_records(gz[:-10])  # corrupt last member
+    # --- chunked TE: hex sizes, extensions ignored, trailers ignored
+    body = b"7;ext=1\r\nhello w\r\n5\r\norld!\r\n0\r\nTrailer: t\r\n\r\n"
+    blk = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    hdrs, got = W.http_message(blk)
+    assert got == b"hello world!" and hdrs["transfer-encoding"] == "chunked"
+    with _pytest.raises(ValueError, match="chunk"):
+        W.http_message(blk[:-20])
+    # --- Content-Encoding gzip, and gzip-then-chunked stacked
+    page = b"<p>compressed &amp; real</p>"
+    ce = W.gzip_member(page)
+    blk = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + ce
+    assert W.http_body(blk) == page
+    chunked = b"a\r\n" + ce[:10] + b"\r\n" + format(len(ce) - 10, "x").encode() + b"\r\n" + ce[10:] + b"\r\n0\r\n\r\n"
+    blk2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert W.http_body(blk2) == page
+    # deflate (zlib wrapper) also accepted via wbits=47 auto-detect
+    import zlib as _z
+
+    blk3 = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + _z.compress(page)
+    assert W.http_body(blk3) == page
+    # --- charset: header beats sniff beats utf-8 default
+    latin = "caf\xe9".encode("latin-1")
+    assert W.decode_page({"content-type": "text/html; charset=ISO-8859-1"}, latin) == "café"
+    assert W.decode_page({}, latin) == "caf�"  # utf-8 fallback garbles
+    sniffed = b'<html><meta charset="latin-1"><body>caf\xe9'
+    assert "café" in W.decode_page({}, sniffed)
+    sniffed2 = b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">caf\xe9'
+    assert "café" in W.decode_page({}, sniffed2)
+    u16 = "Doc café".encode("utf-16")
+    assert W.decode_page({"content-type": "text/html; charset=utf-16"}, u16) == "Doc café"
+    # unknown charset falls back to utf-8-replace, never raises
+    assert W.decode_page({"content-type": "text/html; charset=klingon"}, latin)
+    # --- the full chain through Spark: latin-1 + CE gzip + chunked + .warc.gz
+    html = "<html><body><p>caf\xe9 &amp; crawl</p></body></html>"
+    ce_body = W.gzip_member(html.encode("latin-1"))
+    chunks = b"%x\r\n%s\r\n0\r\n\r\n" % (len(ce_body), ce_body)
+    blk4 = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n" + chunks
+    )
+    payload = W.warc_build(
+        [("warcinfo", "", b"x"), ("response", "http://e/z", blk4)],
+        gzip_records=True,
+    )
+    df = spark.createDataFrame(
+        [(9, "warc", payload)], "asset_id long, kind string, payload binary"
+    )
+    r = W.warc_extract_text(df).collect()[0]
+    assert (r["uri"], r["text"], r["n_entities"]) == ("http://e/z", "café & crawl", 1)

@@ -734,8 +734,8 @@ def html_extract(docs: DataFrame, col: str = "html") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# URL canonicalization (r11): dedup web corpora by canonical URL — the
-# companion key to content dedup
+# URL canonicalization (r11; RFC 3986-complete in r12): dedup web
+# corpora by canonical URL — the companion key to content dedup
 # ---------------------------------------------------------------------------
 
 #: regexes shared by the Spark and DuckDB forms (both engines'
@@ -750,13 +750,100 @@ URL_QUERY_RE_DUCK = r"\?([^#]*)"
 URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
+def _url_pct_norm(e: str, *, duck: bool) -> str:
+    """SQL expression normalizing the percent-encodings inside URL
+    component expression ``e`` (RFC 3986 §6.2.2.1-2): hex digits
+    uppercased, and escapes of UNRESERVED octets (ALPHA / DIGIT /
+    ``-._~``) decoded. Split on ``%``; each tail piece starts with the
+    two hex digits of one escape (a piece that doesn't keeps its ``%``
+    literal — malformed input passes through). Unreserved-ness is
+    decided on the UPPERCASED hex pair by string range compare, which
+    is order-exact for fixed-width hex, so both engines agree without
+    any codepoint table."""
+    h = "upper(p[1:2])" if duck else "upper(substring(p, 1, 2))"
+    unres = (
+        f"(({h} >= '41' AND {h} <= '5A') OR ({h} >= '61' AND {h} <= '7A')"
+        f" OR ({h} >= '30' AND {h} <= '39')"
+        f" OR {h} IN ('2D', '2E', '5F', '7E'))"
+    )
+    if duck:
+        # coalesce: DuckDB's array_to_string is NULL on an EMPTY list
+        # (Spark's array_join yields '') — a no-escape component must
+        # pass through unchanged, not null out the whole URL
+        parts = f"string_split({e}, '%')"
+        return (
+            f"({parts})[1] || coalesce(array_to_string(list_transform(({parts})[2:], "
+            f"p -> CASE WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}') THEN "
+            f"CASE WHEN {unres} THEN chr(('0x' || {h})::INT) || p[3:] "
+            f"ELSE '%' || {h} || p[3:] END "
+            f"ELSE '%' || p END), ''), '')"
+        )
+    parts = f"split({e}, '%')"
+    return (
+        f"concat(element_at({parts}, 1), array_join(transform("
+        f"slice({parts}, 2, greatest(size({parts}) - 1, 0)), "
+        f"p -> CASE WHEN p rlike '^[0-9A-Fa-f]{{2}}' THEN "
+        f"CASE WHEN {unres} THEN "
+        f"concat(char(cast(conv({h}, 16, 10) as int)), substring(p, 3)) "
+        f"ELSE concat('%', {h}, substring(p, 3)) END "
+        f"ELSE concat('%', p) END), ''))"
+    )
+
+
+def _url_dot_segments(*, duck: bool) -> str:
+    """SQL expression applying RFC 3986 §5.2.4 remove_dot_segments to
+    column ``path_pn`` (an absolute, percent-normalized path): fold
+    the ``/``-split segments left-to-right — ``.`` skips, ``..`` pops
+    the last emitted segment, anything else (INCLUDING empty segments
+    from ``//``) appends — then restore the trailing slash a final
+    ``.``/``..`` implies, and map the empty result to ``/``. The fold
+    accumulator is the path string itself (pop = drop the last
+    ``/segment``), so Spark's ``aggregate`` (with a real init) and
+    DuckDB's ``list_reduce`` (init simulated by a prepended ``chr(1)``
+    sentinel, mapped to '' in every branch) compute identical
+    results."""
+    if duck:
+        parts = "string_split(path_pn, '/')"
+        base = "(CASE WHEN acc = chr(1) THEN '' ELSE acc END)"
+        acc = (
+            f"list_reduce(list_prepend(chr(1), ({parts})[2:]), "
+            f"(acc, seg) -> CASE WHEN seg = '.' THEN {base} "
+            f"WHEN seg = '..' THEN regexp_replace({base}, '/[^/]*$', '') "
+            f"ELSE {base} || '/' || seg END)"
+        )
+        folded = f"(CASE WHEN ({acc}) = chr(1) THEN '' ELSE ({acc}) END)"
+        closed = (
+            f"(CASE WHEN ({parts})[-1] IN ('.', '..') "
+            f"THEN {folded} || '/' ELSE {folded} END)"
+        )
+    else:
+        parts = "split(path_pn, '/')"
+        acc = (
+            f"aggregate(slice({parts}, 2, greatest(size({parts}) - 1, 0)), "
+            f"'', (acc, seg) -> CASE WHEN seg = '.' THEN acc "
+            f"WHEN seg = '..' THEN regexp_replace(acc, '/[^/]*$', '') "
+            f"ELSE concat(acc, '/', seg) END)"
+        )
+        folded = f"({acc})"
+        closed = (
+            f"(CASE WHEN element_at({parts}, -1) IN ('.', '..') "
+            f"THEN concat({folded}, '/') ELSE {folded} END)"
+        )
+    return f"CASE WHEN {closed} = '' THEN '/' ELSE {closed} END"
+
+
 def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
-    """(doc_id, host, path, n_params, url_norm) — canonical URL form:
-    scheme and host lowercased, default ports dropped (``:80`` http,
-    ``:443`` https), query parameters SORTED (order-insensitive dedup
-    key), fragment dropped, empty query dropped. Pure JVM expressions
-    (regex + array HOFs) — map-only, no Python; the DuckDB twin
-    :func:`url_normalize_sql` is generated from the same regexes, so
+    """(doc_id, host, path, n_params, url_norm) — RFC 3986 §6.2
+    canonical URL form: scheme and host lowercased, default ports
+    dropped (``:80`` http, ``:443`` https), percent-encodings
+    normalized in path and params (hex uppercased, unreserved octets
+    decoded — BEFORE dot-segment removal, since ``%2E`` decodes to a
+    dot), dot-segments removed (``/a/./b/../c`` → ``/a/c``), empty
+    path mapped to ``/``, query parameters SORTED on their normalized
+    form (order-insensitive dedup key), fragment dropped, empty query
+    dropped. Pure JVM expressions (regex + array HOFs + string-fold
+    ``aggregate``) — map-only, no Python; the DuckDB twin
+    :func:`url_normalize_sql` is generated from the same builders, so
     the canonical form is engine-exact and usable as a dedup join key
     on either side."""
     scheme = f"lower(regexp_extract({col}, '{URL_SCHEME_RE}', 1))"
@@ -767,10 +854,15 @@ def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
         "doc_id",
         F.expr(scheme).alias("scheme"),
         F.expr(hostport).alias("hostport"),
-        F.expr(path).alias("path"),
+        F.expr(_url_pct_norm(path, duck=False)).alias("path_pn"),
         F.expr(
-            f"array_sort(filter(split({query}, '&'), x -> x != ''))"
+            f"array_sort(transform(filter(split({query}, '&'), x -> x != ''),"
+            f" x -> {_url_pct_norm('x', duck=False)}))"
         ).alias("params"),
+    )
+    s2 = s1.select(
+        "doc_id", "scheme", "hostport", "params",
+        F.expr(_url_dot_segments(duck=False)).alias("path"),
     )
     host = (
         "CASE WHEN scheme = 'http' AND hostport LIKE '%:80' "
@@ -779,7 +871,7 @@ def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
         "THEN substring(hostport, 1, length(hostport) - 4) "
         "ELSE hostport END"
     )
-    return s1.select(
+    return s2.select(
         "doc_id",
         F.expr(host).alias("host"),
         "path",
@@ -794,26 +886,35 @@ def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
 
 def url_normalize_sql(source_sql: str, col: str = "url") -> str:
     """DuckDB twin of :func:`url_normalize` over ``source_sql`` (a
-    subquery yielding (doc_id, {col}))."""
+    subquery yielding (doc_id, {col})) — generated from the same
+    percent-norm / dot-segment builders, engine-exact."""
     return f"""
         WITH u1 AS (
             SELECT doc_id,
                    lower(regexp_extract({col}, '{URL_SCHEME_RE}', 1)) AS scheme,
                    lower(regexp_extract({col}, '{URL_HOST_RE}', 1)) AS hostport,
-                   regexp_extract({col}, '{URL_PATH_RE}', 1) AS path,
-                   list_sort(list_filter(string_split(
+                   {_url_pct_norm(
+                       f"regexp_extract({col}, '{URL_PATH_RE}', 1)", duck=True
+                   )} AS path_pn,
+                   list_sort(list_transform(list_filter(string_split(
                        regexp_extract({col}, '{URL_QUERY_RE_DUCK}', 1), '&'),
-                       x -> x != '')) AS params
+                       x -> x != ''),
+                       x -> {_url_pct_norm('x', duck=True)})) AS params
             FROM ({source_sql})
         ),
         u2 AS (
+            SELECT doc_id, scheme, hostport, params,
+                   {_url_dot_segments(duck=True)} AS path
+            FROM u1
+        ),
+        u3 AS (
             SELECT doc_id, scheme, path, params,
                    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
                         THEN substring(hostport, 1, length(hostport) - 3)
                         WHEN scheme = 'https' AND hostport LIKE '%:443'
                         THEN substring(hostport, 1, length(hostport) - 4)
                         ELSE hostport END AS host
-            FROM u1
+            FROM u2
         )
         SELECT doc_id, host, path,
                len(params)::BIGINT AS n_params,
@@ -821,7 +922,7 @@ def url_normalize_sql(source_sql: str, col: str = "url") -> str:
                CASE WHEN len(params) > 0
                     THEN '?' || array_to_string(params, '&') ELSE '' END
                AS url_norm
-        FROM u2
+        FROM u3
     """
 
 

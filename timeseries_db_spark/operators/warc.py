@@ -5,9 +5,28 @@ A WARC file is a sequence of records — ``WARC/1.0`` version line,
 terminators — where ``response`` records carry a full HTTP message
 whose body is the page.
 
-The operators here parse that from spec (no library), then compose
-with :mod:`timeseries_db_spark.operators.text`'s HTML extraction, so
-the full Common-Crawl-style chain — WARC → HTTP body → HTML → text —
+Real crawl data adds three layers this module handles from spec
+(r12, stdlib only — no library):
+
+* **gzip record members** — actual ``.warc.gz`` files store each
+  record as its own gzip member, concatenated; a reader must inflate
+  the multi-member stream (RFC 1952 allows it; ``zlib`` with
+  ``wbits=31`` per member).
+* **chunked transfer-encoding** (RFC 9112 §7.1) — the stored HTTP
+  response body arrives as hex-length-prefixed chunks that must be
+  reassembled before the payload is usable.
+* **``Content-Encoding: gzip``/``deflate``** (RFC 9110 §8.4) — the
+  reassembled body is often compressed again; ``wbits=47``
+  auto-detects gzip vs zlib wrappers.
+
+On top, the page bytes are decoded honoring the declared **charset**
+(``Content-Type: …; charset=`` header, falling back to an HTML
+``<meta charset>`` / ``http-equiv`` sniff, then UTF-8) — real crawls
+are full of latin-1 and utf-16 pages that utf-8-replace would garble.
+
+The operators here compose with :mod:`timeseries_db_spark.operators
+.text`'s HTML extraction, so the full Common-Crawl-style chain —
+WARC → (gunzip) → HTTP (dechunk, inflate, decode) → HTML → text —
 runs as one Arrow-batched, map-only Spark stage. At 100 TB each WARC
 payload parses independently; parallelism is per-asset rows and
 nothing leaves the executors.
@@ -15,6 +34,8 @@ nothing leaves the executors.
 
 from __future__ import annotations
 
+import re
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -24,12 +45,44 @@ from pyspark.sql import functions as F
 from timeseries_db_spark.operators.text import html_to_text_str
 
 _CRLF = "\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
 
 
-def warc_build(records: list[tuple[str, str, bytes]]) -> bytes:
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One RFC 1952 gzip member around ``data`` (deterministic: no
+    mtime/filename, fixed level) — the per-record unit of a real
+    ``.warc.gz`` file."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (``.warc.gz`` shape) to
+    the plain byte stream. A single member is just the degenerate
+    case. Raises ``ValueError`` on a corrupt stream."""
+    out = bytearray()
+    buf = data
+    while buf:
+        if not buf.startswith(_GZ_MAGIC):
+            raise ValueError("gzip member boundary missing magic")
+        d = zlib.decompressobj(31)
+        try:
+            out += d.decompress(buf)
+        except zlib.error as e:  # corrupt deflate stream
+            raise ValueError(f"gzip member inflate failed: {e}") from e
+        if not d.eof:
+            raise ValueError("gzip member truncated")
+        buf = d.unused_data
+    return bytes(out)
+
+
+def warc_build(
+    records: list[tuple[str, str, bytes]], gzip_records: bool = False
+) -> bytes:
     """Minimal WARC/1.0 writer (tests + fixtures): each record is
     ``(warc_type, target_uri, block)``; an empty ``target_uri`` omits
-    the header (e.g. ``warcinfo``)."""
+    the header (e.g. ``warcinfo``). With ``gzip_records`` each record
+    becomes its own gzip member — the actual ``.warc.gz`` layout."""
     out = bytearray()
     for wtype, uri, block in records:
         hdr = [f"WARC/1.0"]
@@ -37,9 +90,11 @@ def warc_build(records: list[tuple[str, str, bytes]]) -> bytes:
         if uri:
             hdr.append(f"WARC-Target-URI: {uri}")
         hdr.append(f"Content-Length: {len(block)}")
-        out += (_CRLF.join(hdr) + _CRLF + _CRLF).encode("latin-1")
-        out += block
-        out += b"\r\n\r\n"
+        rec = bytearray()
+        rec += (_CRLF.join(hdr) + _CRLF + _CRLF).encode("latin-1")
+        rec += block
+        rec += b"\r\n\r\n"
+        out += gzip_member(bytes(rec)) if gzip_records else rec
     return bytes(out)
 
 
@@ -47,9 +102,11 @@ def warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
     """Parse a WARC file into ``[(headers, block), ...]`` — version
     line checked per record, headers case-insensitively keyed
     (lowercase), blocks sliced by ``Content-Length`` exactly (binary-
-    safe: the block is never scanned for terminators). Raises
-    ``ValueError`` on structural damage."""
-    b = payload
+    safe: the block is never scanned for terminators). A payload that
+    starts with the gzip magic is treated as a ``.warc.gz``
+    multi-member stream and inflated first. Raises ``ValueError`` on
+    structural damage."""
+    b = gunzip_members(payload) if payload[:2] == _GZ_MAGIC else payload
     out: list[tuple[dict[str, str], bytes]] = []
     i = 0
     n = len(b)
@@ -80,20 +137,117 @@ def warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
     return out
 
 
-def http_body(block: bytes) -> bytes:
-    """The message body of an HTTP response block (everything past the
-    first blank line); a block with no header section is returned
-    whole — permissive, like real crawl processors."""
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble an RFC 9112 §7.1 chunked body: hex size line
+    (``;extension`` ignored) + chunk + CRLF, terminated by a zero-size
+    chunk; trailer section ignored."""
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"chunked body: bad size {size_tok!r}") from e
+        i = eol + 2
+        if size == 0:  # last-chunk; trailers (if any) are ignored
+            return bytes(out)
+        if i + size > n:
+            raise ValueError("chunked body: chunk truncated")
+        out += body[i : i + size]
+        i += size
+        if body[i : i + 2] != b"\r\n":
+            raise ValueError("chunked body: chunk missing CRLF")
+        i += 2
+
+
+def http_message(block: bytes) -> tuple[dict[str, str], bytes]:
+    """Parse an HTTP response block into ``(headers, body)`` with the
+    transport layers undone: headers lowercase-keyed,
+    ``Transfer-Encoding: chunked`` reassembled, then
+    ``Content-Encoding: gzip``/``deflate`` inflated (``wbits=47``
+    auto-detects the wrapper). A block with no header section is
+    returned whole with empty headers — permissive, like real crawl
+    processors."""
     at = block.find(b"\r\n\r\n")
-    return block if at < 0 else block[at + 4 :]
+    if at < 0:
+        return {}, block
+    headers: dict[str, str] = {}
+    for ln in block[:at].decode("latin-1").split(_CRLF)[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    body = block[at + 4 :]
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        d = zlib.decompressobj(47)
+        try:
+            body = d.decompress(body) + d.flush()
+        except zlib.error as e:
+            raise ValueError(f"content-encoding inflate failed: {e}") from e
+    return headers, body
+
+
+def http_body(block: bytes) -> bytes:
+    """The fully-decoded message body of an HTTP response block —
+    :func:`http_message` keeping only the bytes."""
+    return http_message(block)[1]
+
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
+    re.IGNORECASE,
+)
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
+
+#: charsets the decoder recognizes (web-corpus staples); anything else
+#: falls back to utf-8-replace like the permissive readers do
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "latin-1": "latin-1", "latin1": "latin-1", "iso-8859-1": "latin-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def http_charset(headers: dict[str, str], body: bytes) -> str:
+    """The charset to decode ``body`` with: ``Content-Type: …;
+    charset=`` wins, else an HTML ``<meta charset>`` / ``http-equiv``
+    sniff over the first 1024 bytes (per the HTML spec's prescan),
+    else utf-8."""
+    m = _CT_CHARSET_RE.search(headers.get("content-type", ""))
+    if m:
+        cs = _KNOWN_CHARSETS.get(m.group(1).lower())
+        if cs:
+            return cs
+    m2 = _META_CHARSET_RE.search(body[:1024])
+    if m2:
+        cs = _KNOWN_CHARSETS.get(m2.group(1).decode("latin-1").lower())
+        if cs:
+            return cs
+    return "utf-8"
+
+
+def decode_page(headers: dict[str, str], body: bytes) -> str:
+    """Decode a page body honoring the declared/sniffed charset;
+    undecodable bytes are replaced, never fatal."""
+    return body.decode(http_charset(headers, body), "replace")
 
 
 def warc_extract_text(assets: DataFrame) -> DataFrame:
     """(asset_id, rec_idx, uri, n_tags, n_entities, text) — one row per
-    ``response`` record: WARC parse → HTTP body → HTML→text extraction
-    (:func:`html_to_text_str`), all inside one ``mapInPandas`` stage.
-    Non-response records (warcinfo, request, metadata) are skipped —
-    they carry no page text."""
+    ``response`` record: WARC parse (gzip members inflated) → HTTP
+    message (dechunk + content-encoding inflate + charset decode) →
+    HTML→text extraction (:func:`html_to_text_str`), all inside one
+    ``mapInPandas`` stage. Non-response records (warcinfo, request,
+    metadata) are skipped — they carry no page text."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,8 +258,9 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
                 for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
                     if hdrs.get("warc-type") != "response":
                         continue
+                    http_hdrs, body = http_message(block)
                     text, n_tags, n_ent = html_to_text_str(
-                        http_body(block).decode("utf-8", "replace")
+                        decode_page(http_hdrs, body)
                     )
                     rows.append(
                         (

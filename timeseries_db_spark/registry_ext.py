@@ -840,13 +840,20 @@ def register_extensions(q: dict, o: dict) -> None:
             "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', ''),"
             " ' +', ' '))"
         )
+        # r12: the constructed HTML varies BY doc_id — repeat('<i>z</i>',
+        # doc_id%4) and repeat('&#33;', doc_id%3) make n_tags/n_entities
+        # doc-dependent closed forms (14 + 2*(id%4), 3 + id%3) instead of
+        # template constants, so the counters are genuinely gate-checked
         html_docs = docs.select(
             "doc_id",
             F.expr(
                 "concat('<html><head><script>var x=1;</script>',"
                 "'<style>p{}</style></head><body><!-- c --><h1>Doc ',"
                 f"doc_id, '</h1><p>', {clean},"
-                "' &nbsp;&amp;tail&#33;</p></body></html>')"
+                " repeat('<i>z</i>', cast(doc_id % 4 as int)),"
+                "' &nbsp;&amp;tail&#33;',"
+                " repeat('&#33;', cast(doc_id % 3 as int)),"
+                "'</p></body></html>')"
             ).alias("html"),
         )
         hx = text.html_extract(html_docs, "html").select(
@@ -861,13 +868,20 @@ def register_extensions(q: dict, o: dict) -> None:
         # unsorted params, fragment) and url_normalize canonicalizes
         # it; the oracle runs the generated DuckDB twin of the SAME
         # operator (engine parity on real expressions, not a restated
-        # constant). n_a=n_params, n_b=host length.
+        # constant). n_a=n_params, n_b=host length. r12: the RFC 3986
+        # completion is exercised too — dot segments (/A/./…/x/../…),
+        # mixed-case percent escapes (%61→a unreserved-decode, %2f→%2F
+        # reserved case-norm, %7e→~), a param escape (%4a is ALPHA →
+        # J), and an EMPTY path every 3rd doc (→ '/').
         url_docs = docs.select(
             "doc_id",
             F.expr(
                 "concat('HTTP://Example', doc_id % 7, '.COM',"
                 " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,"
-                " '/Path', doc_id, '?b=2&a=', doc_id % 5, '#frag')"
+                " CASE WHEN doc_id % 3 = 0 THEN ''"
+                " ELSE concat('/A/./P%61th', doc_id, '/x%2f/../End%7e')"
+                " END,"
+                " '?b=2&a=', doc_id % 5, '&c=%4a#frag')"
             ).alias("url"),
         )
         ux = text.url_normalize(url_docs).select(
@@ -882,28 +896,65 @@ def register_extensions(q: dict, o: dict) -> None:
         # the gate — per-doc WARC (warcinfo + response records) built
         # around the SAME constructed HTML, then WARC parse → HTTP body
         # → HTML→text, one mapInPandas stage. out_text = uri | text so
-        # the record-header parse is value-checked too.
+        # the record-header parse is value-checked too. r12: real-crawl
+        # transport + charset realism, cycled by doc_id so every shape
+        # is under the gate —
+        #   transport t = doc_id % 4: 0 plain record / 1 per-record
+        #   gzip members (.warc.gz layout) / 2 chunked transfer-
+        #   encoding / 3 Content-Encoding: gzip THEN chunked (the
+        #   real-crawl stack: CE applied first, TE for transport);
+        #   charset c = doc_id % 3: 0 utf-8 / 1 ISO-8859-1 with a
+        #   latin-1 ' café' token appended (utf-8-replace would garble
+        #   the 0xE9 byte → hash flip) / 2 utf-16 (BOM; utf-8-replace
+        #   would garble EVERYTHING). 4×3 combos cycle with period 12.
         def build_warc(batches):
             import pandas as _pd
 
             from timeseries_db_spark.operators import warc as W
 
+            def chunked(b: bytes) -> bytes:
+                out = bytearray()
+                for i in range(0, len(b), 11):
+                    piece = b[i : i + 11]
+                    out += format(len(piece), "x").encode() + b"\r\n"
+                    out += piece + b"\r\n"
+                out += b"0\r\n\r\n"
+                return bytes(out)
+
+            _CT = {
+                0: ("text/html; charset=utf-8", "utf-8", ""),
+                1: ("text/html; charset=ISO-8859-1", "latin-1", " caf\xe9"),
+                2: ("text/html; charset=utf-16", "utf-16", ""),
+            }
             for pdf in batches:
                 if not len(pdf):
                     continue
                 payloads = []
                 for did, html in zip(pdf["doc_id"], pdf["html"]):
-                    uri = f"http://example{int(did) % 7}.com/doc{int(did)}"
+                    did = int(did)
+                    t, c = did % 4, did % 3
+                    uri = f"http://example{did % 7}.com/doc{did}"
+                    ctype, codec, extra = _CT[c]
+                    body = (html + extra).encode(codec)
+                    hdrs = [f"Content-Type: {ctype}"]
+                    if t == 3:
+                        body = W.gzip_member(body)
+                        hdrs.append("Content-Encoding: gzip")
+                    if t in (2, 3):
+                        body = chunked(body)
+                        hdrs.append("Transfer-Encoding: chunked")
                     block = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                        + html.encode("utf-8")
+                        ("HTTP/1.1 200 OK\r\n" + "\r\n".join(hdrs)).encode()
+                        + b"\r\n\r\n"
+                        + body
                     )
                     payloads.append(
                         W.warc_build(
                             [
                                 ("warcinfo", "", b"software: tsdb\r\n"),
                                 ("response", uri, block),
-                            ]
+                            ],
+                            gzip_records=(t == 1),
                         )
                     )
                 yield _pd.DataFrame(
@@ -929,29 +980,43 @@ def register_extensions(q: dict, o: dict) -> None:
         return pii.unionByName(hx).unionByName(ux).unionByName(wx)
 
     q["text_pii_scrub"] = text_pii_scrub
+    # r12 closed forms: the doc-dependent counter/text pieces —
+    #   n_tags = 14 + 2*(doc_id%4)   (base template + <i></i> pairs)
+    #   n_entities = 3 + doc_id%3    (base + repeated &#33;)
+    #   text gains ' z'*(id%4), '!'*(id%3), and (warc, charset c=1
+    #   latin-1 docs) a trailing ' café' — the token that utf-8-replace
+    #   would garble, pinning the charset decode by value
+    _extracted = (
+        "trim(regexp_replace('Doc ' || doc_id || ' ' || "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) || repeat(' z', (doc_id % 4)::INT) || ' &tail!' || "
+        "repeat('!', (doc_id % 3)::INT){extra}, ' +', ' ', 'g'))"
+    )
     o["text_pii_scrub"] = (
         "SELECT doc_id, 'pii' AS kind, n_emails AS n_a, n_ips AS n_b, "
         "text_scrubbed AS out_text FROM (" + text.pii_scrub_sql() + ") "
         "UNION ALL "
-        "SELECT doc_id, 'html' AS kind, 14::BIGINT AS n_a, 3::BIGINT AS n_b, "
-        "trim(regexp_replace('Doc ' || doc_id || ' ' || "
-        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
-        "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
-        "FROM documents "
+        "SELECT doc_id, 'html' AS kind, (14 + 2*(doc_id % 4))::BIGINT AS n_a, "
+        "(3 + doc_id % 3)::BIGINT AS n_b, "
+        + _extracted.format(extra="")
+        + " AS out_text FROM documents "
         "UNION ALL "
-        "SELECT doc_id, 'warc' AS kind, 14::BIGINT AS n_a, 3::BIGINT AS n_b, "
+        "SELECT doc_id, 'warc' AS kind, (14 + 2*(doc_id % 4))::BIGINT AS n_a, "
+        "(3 + doc_id % 3)::BIGINT AS n_b, "
         "'http://example' || (doc_id % 7) || '.com/doc' || doc_id || ' | ' || "
-        "trim(regexp_replace('Doc ' || doc_id || ' ' || "
-        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
-        "' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS out_text "
-        "FROM documents "
+        + _extracted.format(
+            extra=" || CASE WHEN doc_id % 3 = 1 THEN ' café' ELSE '' END"
+        )
+        + " AS out_text FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
         "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
         + text.url_normalize_sql(
             "SELECT doc_id, 'HTTP://Example' || (doc_id % 7) || '.COM' || "
             "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END || "
-            "'/Path' || doc_id || '?b=2&a=' || (doc_id % 5) || '#frag' AS url "
+            "CASE WHEN doc_id % 3 = 0 THEN '' "
+            "ELSE '/A/./P%61th' || doc_id || '/x%2f/../End%7e' END || "
+            "'?b=2&a=' || (doc_id % 5) || '&c=%4a#frag' AS url "
             "FROM documents"
         )
         + ")"
