@@ -143,6 +143,31 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # median. Verdict: box noise (the host was simply faster when r9's
 # number was recorded); no regression attributable to code.
 
+# r12 noise verdict (VERDICT r11 item 1): join_revenue_by_nation's
+# +47% best / +90% median r10→r11 drift (1.32→1.94s best, median 3.36)
+# with zero code change got the controlled same-box A/B (r10 tree at
+# 8a2f4b7 in a scratch worktree vs current, interleaved serialized
+# rounds, 3 spawns × 3 warm runs each at sf0.1): current bests
+# 1.489/1.546/1.585 vs r10 bests 1.350/1.367/1.629; medians
+# 1.559/1.572/1.594 vs 1.743/1.586/1.656. Deltas ≤ ~12%, ordering
+# FLIPS between interleaved rounds, and BOTH trees measure far below
+# the recorded r11 column (best 1.94 / median 3.36). Verdict: box
+# noise — the host was loaded when BENCH_r11 was recorded; no
+# regression attributable to code. (The ov_cnt/ov_ms legs already
+# share one persisted session-window frame inside the entry —
+# registry_ext.join_family's _persist_tracked("join_ov_win") — so the
+# leg-wall attribution charging the first materialization to ov_cnt
+# is an instrument artifact, not a duplicated window pass.)
+
+# r12 legs: ann_topk_ivf += ivfp8 (the PRUNED IVF-PQ shape: |Q| = 8
+# scale-pinned queries, nprobe = 2 ≪ nlist = 128 → ~87% of the corpus
+# pruned before PQ work at both sf0.01 and sf0.1 — the prune is now
+# CORRECTNESS-gate-visible, not just slope-visible), so its r12 column
+# covers strictly more work than r11's same-named column (one extra
+# corpus assignment pass + a ~13%-of-corpus encode + small ADC).
+# Non-headline r12 legs (text_pii_scrub's warc transport×charset
+# matrix and RFC-3986 url shapes) don't touch the headline list.
+
 # r11 legs: none of the headline entries gained legs this round (the
 # r11 additions — msadpcm/aiff/fmeta/mmeta on multimodal_audio_chunks,
 # ganim/exif on multimodal_resize_plan, html/url/warc on

@@ -39,6 +39,11 @@ SIMHASH_MAX_HAMMING = 3
 NEAR_DUP_COS = 0.4
 TOPK_K = 5
 TOPK_QUERY_PRED = "vec_id % 100 = 0"
+#: r12 pruned-ANN shape: exactly 8 query vectors at EVERY scale (the
+#: main pred's |Q| grows with the corpus until every IVF list is
+#: probed); with nprobe=2 ≪ nlist=128 this keeps ~87% of the corpus
+#: pruned before PQ work at sf0.01 AND sf0.1
+PRUNE_QUERY_PRED = "vec_id < 480 AND vec_id % 60 = 0"
 EMB_DIM = 64
 
 
@@ -1578,8 +1583,30 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dist").cast("double").alias("score"),
             F.lit("ivfpq").alias("kind"),
         )
+        # r12 ivfp8 leg (VERDICT r11 item 5): the PRUNED shape under the
+        # gate. The main-leg query set grows with the corpus (the sf0.1
+        # bench shape probes every list), so its CORRECTNESS rows never
+        # see a real prune; this leg pins |Q| = 8 queries independent of
+        # scale (vec_id < 480 ∧ %60) at nprobe = 2 ≪ nlist = 128 —
+        # measured 15/128 lists → 65/500 vectors at sf0.01 and 16/128 →
+        # 254/2000 at sf0.1, i.e. ~87% of the corpus pruned BEFORE any
+        # PQ work at BOTH scales. Mis-pruning (wrong/over-pruned lists
+        # in the probes→needed_ids→isin chain) changes the candidate
+        # set and flips this leg's value hash.
+        qs8 = _emb(s, d).filter(F.expr(PRUNE_QUERY_PRED))
+        ivfp8 = similarity.ann_topk_ivfpq(
+            s, qs8, _emb(s, d), TOPK_K, nprobe=2
+        ).select(
+            "qid",
+            "nid",
+            F.col("dist").cast("double").alias("score"),
+            F.lit("ivfp8").alias("kind"),
+        )
         return (
-            ivf.unionByName(pq).unionByName(pqr).unionByName(ivfpq)
+            ivf.unionByName(pq)
+            .unionByName(pqr)
+            .unionByName(ivfpq)
+            .unionByName(ivfp8)
         )
 
     q["ann_topk_ivf"] = ann_ivf_and_pq
@@ -1592,6 +1619,10 @@ def register_extensions(q: dict, o: dict) -> None:
         + similarity.ann_topk_pq_refined_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
         + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'ivfpq' AS kind FROM ("
         + similarity.ann_topk_ivfpq_sql(TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM)
+        + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'ivfp8' AS kind FROM ("
+        + similarity.ann_topk_ivfpq_sql(
+            PRUNE_QUERY_PRED, TOPK_K, nprobe=2, dim=EMB_DIM
+        )
         + ")"
     )
 
