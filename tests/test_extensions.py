@@ -2440,6 +2440,102 @@ def test_audio_container_meta_aiff_flac_mp3():
     assert M.audio_meta(wav) == ("wav", *M.wav_meta(wav))
 
 
+def test_flac_fixed_predictor_spec_and_roundtrips():
+    """r12: FLAC fixed-predictor PCM decode. Pins: (a) HAND-built spec
+    frames (CONSTANT and FIXED-order-1 with hand-computed Rice bits and
+    an independent in-test CRC implementation — no self-reference to
+    the module's tables), (b) encode→decode roundtrips across subframe
+    shapes (constant / sawtooth / noise / walk / extremes / multiple
+    frames / short tail frame), (c) CRC-8 and CRC-16 corruption raise,
+    (d) the LPC and stereo seams raise with the capability name."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    # independent CRCs (straightforward bitwise definitions)
+    def crc8(bs):
+        c = 0
+        for b in bs:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ (0x07 if c & 0x80 else 0)) & 0xFF
+        return c
+
+    def crc16(bs):
+        c = 0
+        for b in bs:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ (0x8005 if c & 0x8000 else 0)) & 0xFFFF
+        return c
+
+    def streaminfo(total):
+        packed = (8000 << 44) | (0 << 41) | (15 << 36) | total
+        return (
+            b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+        )
+
+    # --- hand-built CONSTANT frame: blocksize 4 (8-bit bs code path),
+    # value 7; subframe bits: 0|000000|0 then 16-bit 7
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    sub = bytes([0x00, 0x00, 0x07])
+    frame = hdr + sub
+    frame += crc16(frame).to_bytes(2, "big")
+    assert list(M.flac_pcm(streaminfo(4) + frame)) == [7, 7, 7, 7]
+
+    # --- hand-built FIXED order-1 frame: blocksize 4, warmup 10,
+    # residuals [2,-1,3] at Rice param 1 → samples [10,12,11,14].
+    # subframe bits: 0|001001|0 = 0x12; warmup 0x000A; residual header
+    # 00 0000 0001; codes zigzag 4,1,6 → "0010" "11" "00010"; total
+    # 10+11 = 21 bits → pad 3 zero bits:
+    # 0000000001|0010|11|00010|000 = bytes 0x00 0x4B 0x10
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    sub = bytes([0x12, 0x00, 0x0A, 0x00, 0x4B, 0x10])
+    frame = hdr + sub
+    frame += crc16(frame).to_bytes(2, "big")
+    assert list(M.flac_pcm(streaminfo(4) + frame)) == [10, 12, 11, 14]
+
+    # --- roundtrips across shapes (incl. multi-frame + short tail)
+    rng = np.random.RandomState(3)
+    for s in (
+        np.zeros(40, dtype=np.int64),
+        np.full(700, -321, dtype=np.int64),
+        ((np.arange(900) * 3 + 19) % 2048) - 1024,
+        rng.randint(-32768, 32768, size=517),
+        np.clip(np.cumsum(rng.randint(-50, 51, size=1000)), -32768, 32767),
+        np.array([32767, -32768] * 80),
+        np.array([5]),
+    ):
+        p = M.flac_encode(s, blocksize=256)
+        assert np.array_equal(M.flac_pcm(p), s)
+        assert M.audio_meta(p)[0] == "flac"
+    # --- CRC corruption raises (header and frame)
+    p = bytearray(M.flac_encode(((np.arange(700) * 3) % 2048) - 1024))
+    bad = bytearray(p)
+    bad[-3] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC-16"):
+        M.flac_pcm(bytes(bad))
+    bad = bytearray(p)
+    bad[42 + 4] ^= 0x01  # inside the first frame header (after fLaC+hdr+34)
+    with _pytest.raises(ValueError, match="CRC-8|sync|UTF-8"):
+        M.flac_pcm(bytes(bad))
+    # --- seams: LPC subframe type and stereo channels raise by name
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    sub = bytes([0x40, 0x00, 0x07])  # type bits 100000 = LPC order 1
+    frame = hdr + sub + b"\x00\x00"
+    with _pytest.raises(ValueError, match="LPC"):
+        M.flac_pcm(streaminfo(4) + frame)
+    st = bytearray(streaminfo(4))
+    st[20] |= 1 << 1  # channels-1 = 1 → stereo
+    with _pytest.raises(ValueError, match="mono"):
+        M.flac_pcm(bytes(st))
+
+
 def test_exif_orientation_all_eight_transforms():
     """r11: EXIF orientation — APP1 write/read roundtrip (both byte
     orders), all 8 transforms pinned pixel-level against independent

@@ -433,6 +433,24 @@ def test_warc_roundtrip_property(records, gz):
             assert hdrs["warc-target-uri"] == uri
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=700),
+    blocksize=st.sampled_from([16, 64, 256]),
+)
+def test_flac_roundtrip_property(samples, blocksize):
+    """r12: FLAC fixed-predictor encode→decode is lossless for ANY
+    16-bit signal at any blocksize — constant runs hit CONSTANT
+    subframes, smooth stretches the FIXED orders, noise the VERBATIM
+    fallback, and short tails exercise the final partial frame."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    s = np.asarray(samples, dtype=np.int64)
+    assert np.array_equal(M.flac_pcm(M.flac_encode(s, blocksize=blocksize)), s)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=400))
 def test_html_to_text_total_function_property(s):

@@ -3705,8 +3705,11 @@ AUDIO_PCM_CAPABILITIES = {
     "so the pin is a hand-computed spec stream + roundtrip properties)",
     "aiff": "real (r11: big-endian IFF COMM/SSND incl. the 80-bit "
     "IEEE-extended sample rate; 16-bit mono PCM decode)",
-    "flac": "metadata-real (r11: STREAMINFO bit-unpack — rate/channels/"
-    "bits/total-samples); entropy decode = ffmpeg seam",
+    "flac": "real for the fixed-predictor subset (r12: CONSTANT/"
+    "VERBATIM/FIXED subframes, Rice residuals incl. raw-bits escape "
+    "and partitions, wasted bits, CRC-8/16 verification, 16-bit mono; "
+    "own spec encoder as roundtrip pin); LPC subframes + stereo "
+    "decorrelation = ffmpeg seam",
     "mp3": "metadata-real (r11: ID3v2 synchsafe skip + frame-header "
     "version/layer/bitrate/samplerate tables); entropy decode = "
     "ffmpeg seam",
@@ -4032,6 +4035,364 @@ def flac_meta(payload: bytes) -> tuple[int, int, int, int]:
     if not rate:
         raise ValueError("FLAC sample rate is zero")
     return ch, rate, bits, total * 1000 // rate
+
+
+# --- FLAC fixed-predictor PCM (r12, VERDICT r11 item 7): CONSTANT /
+# VERBATIM / FIXED-order subframes with Rice-coded residuals — the
+# subset every real FLAC stream's fast path uses — decoded from spec
+# (frame sync walk, UTF-8-coded frame numbers, CRC-8 header + CRC-16
+# frame verification, Rice partitions incl. the raw-bits escape,
+# wasted-bits shift). The entropy-coded LPC subframes (type >= 32)
+# remain the documented ffmpeg seam. The repo's own encoder (same
+# subframe types, deterministic order/parameter choice) is the
+# roundtrip oracle: decode(encode(s)) == s bit-exactly. ---
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8 over the frame header (poly x^8+x^2+x+1 = 0x07, init 0)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16 over the whole frame (poly 0x8005, init 0)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """Plain MSB-first bit reader (no byte stuffing — FLAC is raw)."""
+
+    def __init__(self, data: bytes, byte: int = 0):
+        self.data = data
+        self.byte = byte
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _FlacWriter:
+    """Plain MSB-first bit writer; zero-pads on align."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def write_signed(self, value: int, nbits: int) -> None:
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+#: fixed-predictor coefficients by order (FLAC §9.2.2: the order-k
+#: polynomial predictor — successive finite differences)
+_FLAC_FIXED = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
+
+#: frame-header block size codes (code -> samples; 6/7 read trailing bytes)
+_FLAC_BS = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+            8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+            13: 8192, 14: 16384, 15: 32768}
+#: sample-size codes (code -> bits per sample)
+_FLAC_SS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def _flac_utf8_write(n: int) -> bytes:
+    """Frame numbers are coded like UTF-8 (extended to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (nbytes == 7 and 36 or (6 * (nbytes - 1) + (7 - nbytes)))):
+            out = [lead | (n >> (6 * (nbytes - 1)))] if nbytes < 7 else [0xFE]
+            for k in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number out of range")
+
+
+def _flac_utf8_read(br: "_FlacBits") -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for k in range(7):
+        if not (b0 & (0x80 >> k)):
+            break
+        nbytes += 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad FLAC UTF-8 frame number")
+    v = b0 & (0x7F >> nbytes) if nbytes < 7 else 0
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual_read(br: "_FlacBits", blocksize: int, order: int) -> list:
+    """Rice-coded residual section (§9.2.7): method, partition order,
+    per-partition parameter (with the raw-bits escape), zigzag decode."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = br.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("FLAC partition order does not divide blocksize")
+    res: list[int] = []
+    for p in range(nparts):
+        param = br.read(pbits)
+        nvals = (blocksize >> po) - (order if p == 0 else 0)
+        if nvals < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        if param == escape:
+            raw = br.read(5)
+            res.extend(br.read_signed(raw) if raw else 0 for _ in range(nvals))
+        else:
+            for _ in range(nvals):
+                q = br.read_unary()
+                u = (q << param) | br.read(param)
+                res.append((u >> 1) ^ -(u & 1))
+    return res
+
+
+def _flac_residual_write(w: "_FlacWriter", res: list, param: int) -> None:
+    """Encoder half: method 0, partition order 0, one Rice parameter."""
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(param, 4)
+    for r in res:
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        w.write(0, u >> param)  # unary quotient: q zeros...
+        w.write(1, 1)  # ...then the 1 terminator
+        if param:
+            w.write(u & ((1 << param) - 1), param)
+
+
+def flac_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """REAL FLAC sample decode (16-bit mono; CONSTANT / VERBATIM /
+    FIXED subframes, Rice residuals, CRC-verified) — LPC subframes and
+    stereo decorrelation raise with the capability name (the documented
+    ffmpeg seam). Returns int64 samples."""
+    import numpy as np
+
+    b = payload
+    ch, rate, bits, _ = flac_meta(b)  # validates magic + STREAMINFO
+    total = int.from_bytes(b[18:26], "big") & ((1 << 36) - 1)
+    if ch != 1:
+        raise ValueError(
+            f"FLAC channels={ch} outside AUDIO_PCM_CAPABILITIES (mono)"
+        )
+    # walk metadata blocks to the first audio frame
+    i = 4
+    while True:
+        hdr = b[i]
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        i += 4 + size
+        if hdr & 0x80:
+            break
+    out: list[int] = []
+    while i < len(b) and (total == 0 or len(out) < total):
+        frame_start = i
+        br = _FlacBits(b, i)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy (number semantics only)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        if ch_code != 0:
+            raise ValueError(
+                "FLAC stereo/decorrelated channels outside "
+                "AUDIO_PCM_CAPABILITIES (mono)"
+            )
+        bps = _FLAC_SS.get(ss_code)
+        if bps is None:
+            raise ValueError("FLAC sample size from STREAMINFO unsupported")
+        _flac_utf8_read(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BS[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        if _flac_crc8(b[frame_start : br.byte]) != br.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        # --- one subframe (mono) ---
+        if br.read(1):
+            raise ValueError("FLAC subframe padding bit set")
+        stype = br.read(6)
+        wasted = 0
+        if br.read(1):
+            wasted = br.read_unary() + 1
+        ebps = bps - wasted
+        if stype == 0:  # CONSTANT
+            samples = [br.read_signed(ebps)] * blocksize
+        elif stype == 1:  # VERBATIM
+            samples = [br.read_signed(ebps) for _ in range(blocksize)]
+        elif 8 <= stype <= 12:  # FIXED order 0-4
+            order = stype - 8
+            if order > blocksize:
+                raise ValueError("FLAC predictor order exceeds block size")
+            samples = [br.read_signed(ebps) for _ in range(order)]
+            res = _flac_residual_read(br, blocksize, order)
+            coefs = _FLAC_FIXED[order]
+            for r in res:
+                pred = sum(
+                    c * samples[-1 - k] for k, c in enumerate(coefs)
+                )
+                samples.append(r + pred)
+        elif stype >= 32:
+            raise ValueError(
+                "FLAC LPC subframe outside AUDIO_PCM_CAPABILITIES "
+                "(fixed predictors only; LPC = ffmpeg seam)"
+            )
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        if wasted:
+            samples = [s << wasted for s in samples]
+        br.align()
+        if _flac_crc16(b[frame_start : br.byte]) != br.read(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        out.extend(samples)
+        i = br.byte
+    if total and len(out) > total:  # last block padded? never by our walk
+        out = out[:total]
+    return np.asarray(out, dtype=np.int64)
+
+
+def flac_encode(samples, rate: int = 8000, blocksize: int = 256) -> bytes:
+    """Minimal-but-real FLAC encoder (16-bit mono, fixed blocksize):
+    per frame picks CONSTANT when flat, else the fixed predictor order
+    (0-4) with the cheapest Rice cost, else VERBATIM; residuals Rice-
+    coded at the deterministically cheapest parameter (partition order
+    0). The decoder's roundtrip oracle — and readable by any FLAC
+    implementation (CRCs, UTF-8 frame numbers, spec headers are all
+    real)."""
+    import numpy as np
+
+    xs = [int(v) for v in np.clip(np.asarray(list(samples), dtype=np.int64),
+                                  -32768, 32767)]
+    n = len(xs)
+    if blocksize < 16 or blocksize > 65535:
+        raise ValueError("FLAC blocksize out of range")
+    packed = (rate << 44) | (0 << 41) | (15 << 36) | n
+    si = (
+        blocksize.to_bytes(2, "big") + blocksize.to_bytes(2, "big")
+        + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
+    )
+    out = bytearray(b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si)
+    for fi in range(0, max(n, 1), blocksize):
+        blk = xs[fi : fi + blocksize]
+        if not blk:
+            break
+        bs = len(blk)
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync + reserved + fixed strategy
+        hdr += bytes([(0x7 << 4) | 0x0])  # bs: 16-bit at end; sr: STREAMINFO
+        hdr += bytes([(0x0 << 4) | (0x4 << 1)])  # mono; 16-bit; reserved
+        hdr += _flac_utf8_write(fi // blocksize)
+        hdr += (bs - 1).to_bytes(2, "big")
+        hdr.append(_flac_crc8(bytes(hdr)))
+        w = _FlacWriter()
+        if all(v == blk[0] for v in blk):
+            w.write(0, 1)
+            w.write(0, 6)  # CONSTANT
+            w.write(0, 1)
+            w.write_signed(blk[0], 16)
+        else:
+            best = None  # (bits, order, param, residual)
+            for order in range(min(4, bs - 1) + 1):
+                coefs = _FLAC_FIXED[order]
+                res = [
+                    blk[j] - sum(c * blk[j - 1 - k] for k, c in enumerate(coefs))
+                    for j in range(order, bs)
+                ]
+                us = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
+                for param in range(15):
+                    cost = (
+                        order * 16 + 6
+                        + sum(u >> param for u in us)
+                        + len(us) * (param + 1)
+                    )
+                    if best is None or cost < best[0]:
+                        best = (cost, order, param, res)
+            if best[0] >= bs * 16:  # Rice never beats raw: VERBATIM
+                w.write(0, 1)
+                w.write(1, 6)
+                w.write(0, 1)
+                for v in blk:
+                    w.write_signed(v, 16)
+            else:
+                _, order, param, res = best
+                w.write(0, 1)
+                w.write(8 | order, 6)  # FIXED
+                w.write(0, 1)
+                for v in blk[:order]:
+                    w.write_signed(v, 16)
+                _flac_residual_write(w, res, param)
+        w.align()
+        frame = bytes(hdr) + bytes(w.out)
+        out += frame + _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
 
 
 #: MPEG audio frame-header tables (ISO 11172-3 / 13818-3), Layer III
@@ -4631,6 +4992,45 @@ def documents_as_meta_audio_assets(docs: DataFrame, which: str) -> DataFrame:
     )
 
 
+def synth_flacpcm(doc_id: int) -> bytes:
+    """Deterministic FLAC with REAL coded audio for the gate fixture
+    (r12): sample ``k`` is ``((k*3 + doc_id*19) % 2048) - 1024`` — the
+    :func:`synth_wav` sawtooth idea with its own constants, run through
+    the repo's own fixed-predictor encoder (blocksize 256, so every
+    asset spans several frames and the frame walk + warmup/residual
+    restore + CRCs all execute). The SQL oracle restates the DECODED
+    samples closed-form; any decode defect flips the hash."""
+    import numpy as np
+
+    n = 300 + (doc_id * 7) % 500
+    s = ((np.arange(n, dtype=np.int64) * 3 + doc_id * 19) % 2048) - 1024
+    return flac_encode(s, blocksize=256)
+
+
+def documents_as_flacpcm_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with REAL coded FLAC payloads (same
+    ``doc_id % 3 == 1`` audio subset as :func:`documents_as_wav_assets`)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [synth_flacpcm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
     """Audio-asset fixture with REAL PCM WAV payloads (same
     ``doc_id % 3 == 1`` audio subset as :func:`documents_as_assets`)."""
@@ -4676,9 +5076,15 @@ def decode_audio_pcm_features(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                # r11: AIFF payloads (FORM magic) share the surface
+                # r11: AIFF payloads (FORM magic) share the surface;
+                # r12: FLAC fixed-predictor streams (fLaC magic) too
                 raw = bytes(payload)
-                s = aiff_pcm(raw) if raw[:4] == b"FORM" else wav_pcm(raw)
+                if raw[:4] == b"FORM":
+                    s = aiff_pcm(raw)
+                elif raw[:4] == b"fLaC":
+                    s = flac_pcm(raw)
+                else:
+                    s = wav_pcm(raw)
                 neg = s < 0
                 zc = int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
                 rows.append(

@@ -2188,6 +2188,21 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("sum_sq").alias("v3"),
             F.col("zero_crossings").alias("v4"),
         )
+        # r12 fpcm leg: FLAC with REAL coded audio — the fixture runs
+        # the repo's own fixed-predictor encoder over a sawtooth, so
+        # the REAL frame-walk decode (warmup + Rice residual restore,
+        # CRC-8/16 verified, several frames per asset at blocksize 256)
+        # feeds the same feature surface; its own closed form
+        fpcm = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_flacpcm_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("fpcm").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
         # r11 fmeta/mmeta legs: FLAC STREAMINFO and MP3 frame-header
         # metadata through the audio_meta dispatch — hand-packed
         # closed-form fixtures; v1=sample_rate v2=channels
@@ -2209,6 +2224,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(g711)
             .unionByName(msadpcm)
             .unionByName(aiff)
+            .unionByName(fpcm)
             .unionByName(meta_leg("flac", "fmeta"))
             .unionByName(meta_leg("mp3", "mmeta"))
         )
@@ -2344,6 +2360,38 @@ def register_extensions(q: dict, o: dict) -> None:
             smp AS (
                 SELECT w.doc_id, ks.k,
                        ((ks.k * 5 + w.doc_id * 17) % 2048) - 1024 AS v
+                FROM w JOIN ks ON ks.k < w.n
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY k) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
+        UNION ALL
+        -- fpcm leg (r12): FLAC fixed-predictor decode — the fixture
+        -- encodes sample k = ((k*3 + id*19) % 2048) - 1024 with the
+        -- repo's own spec encoder, so the REAL Rice/warmup/CRC decode
+        -- must reproduce exactly these samples
+        SELECT asset_id, 'fpcm' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id, (300 + (doc_id * 7) % 500)::BIGINT AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(800)) AS k),
+            smp AS (
+                SELECT w.doc_id, ks.k,
+                       ((ks.k * 3 + w.doc_id * 19) % 2048) - 1024 AS v
                 FROM w JOIN ks ON ks.k < w.n
             ),
             flg AS (
