@@ -332,6 +332,80 @@ def test_corpus_ingest_near_dup_suppression(spark, tmp_path):
     assert got["fp53"].tolist() == exp["fp53"].tolist()
 
 
+def test_warc_streaming_ingest_one_query_chain(spark, tmp_path):
+    """r12: the full Common-Crawl pipeline as ONE streaming query —
+    WARC files (with gzip record members, chunked transfer-encoding,
+    and Content-Encoding gzip cycled across assets) flow through
+    HTTP decode → HTML→text → near-dup suppression. Exact-copy pages
+    are suppressed within AND across micro-batches; the published
+    texts are the decoded extractions, not the raw bytes."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators import warc as W
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import warc_ingest as wi
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+
+    def asset(aid: int, text: str) -> bytes:
+        html = f"<html><body><p>{text}</p></body></html>"
+        t = aid % 4
+        block = W.http_response_block(
+            html.encode("utf-8"), gzip_body=(t == 3), chunked=(t in (2, 3))
+        )
+        return W.warc_build(
+            [
+                ("warcinfo", "", b"software: x\r\n"),
+                ("response", f"http://e/{aid}", block),
+            ],
+            gzip_records=(t == 1),
+        )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 0: assets 0 (X, plain), 1 (X copy, gzip members), 2 (Y, chunked)
+    # batch 1: assets 3 (X copy, CE gzip + chunked), 4 (Y copy, plain)
+    batches = [[(0, X), (1, X), (2, Y)], [(3, X), (4, Y)]]
+    for i, rows in enumerate(batches):
+        path = str(in_dir / f"w{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "asset_id": pa.array([a for a, _ in rows], pa.int64()),
+                    "kind": pa.array(["warc"] * len(rows)),
+                    "payload": pa.array(
+                        [asset(a, t) for a, t in rows], pa.binary()
+                    ),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = wi.start_warc_corpus_ingest(
+        wi.read_warc_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    # doc_id = asset_id * 1000 + rec_idx (response is record 1);
+    # within-b0 copy 1 suppressed, cross-batch copies 3 and 4 suppressed
+    assert set(pub) == {1, 2001}
+    assert pub[1] == X and pub[2001] == Y  # decoded + extracted, not raw
+
+
 def test_corpus_ingest_crash_between_writes_heals_on_replay(spark, tmp_path):
     """Crash-inject between the signature write and the docs write: the
     half-written attempt leaves a sigs/batch=N partition with no

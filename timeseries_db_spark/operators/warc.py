@@ -200,6 +200,37 @@ def http_body(block: bytes) -> bytes:
     return http_message(block)[1]
 
 
+def http_response_block(
+    body: bytes,
+    *,
+    content_type: str = "text/html; charset=utf-8",
+    gzip_body: bool = False,
+    chunked: bool = False,
+    chunk_size: int = 11,
+) -> bytes:
+    """Assemble an HTTP/1.1 200 response block — the writer twin of
+    :func:`http_message` (tests + fixtures): Content-Encoding applied
+    FIRST, Transfer-Encoding second (the order a real server stacks
+    them, and the reverse of the reader's undo)."""
+    hdrs = [f"Content-Type: {content_type}"]
+    if gzip_body:
+        body = gzip_member(body)
+        hdrs.append("Content-Encoding: gzip")
+    if chunked:
+        out = bytearray()
+        for i in range(0, len(body), chunk_size):
+            piece = body[i : i + chunk_size]
+            out += format(len(piece), "x").encode() + b"\r\n" + piece + b"\r\n"
+        out += b"0\r\n\r\n"
+        body = bytes(out)
+        hdrs.append("Transfer-Encoding: chunked")
+    return (
+        ("HTTP/1.1 200 OK\r\n" + "\r\n".join(hdrs)).encode("latin-1")
+        + b"\r\n\r\n"
+        + body
+    )
+
+
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
     re.IGNORECASE,

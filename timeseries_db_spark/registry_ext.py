@@ -917,15 +917,6 @@ def register_extensions(q: dict, o: dict) -> None:
 
             from timeseries_db_spark.operators import warc as W
 
-            def chunked(b: bytes) -> bytes:
-                out = bytearray()
-                for i in range(0, len(b), 11):
-                    piece = b[i : i + 11]
-                    out += format(len(piece), "x").encode() + b"\r\n"
-                    out += piece + b"\r\n"
-                out += b"0\r\n\r\n"
-                return bytes(out)
-
             _CT = {
                 0: ("text/html; charset=utf-8", "utf-8", ""),
                 1: ("text/html; charset=ISO-8859-1", "latin-1", " caf\xe9"),
@@ -940,18 +931,11 @@ def register_extensions(q: dict, o: dict) -> None:
                     t, c = did % 4, did % 3
                     uri = f"http://example{did % 7}.com/doc{did}"
                     ctype, codec, extra = _CT[c]
-                    body = (html + extra).encode(codec)
-                    hdrs = [f"Content-Type: {ctype}"]
-                    if t == 3:
-                        body = W.gzip_member(body)
-                        hdrs.append("Content-Encoding: gzip")
-                    if t in (2, 3):
-                        body = chunked(body)
-                        hdrs.append("Transfer-Encoding: chunked")
-                    block = (
-                        ("HTTP/1.1 200 OK\r\n" + "\r\n".join(hdrs)).encode()
-                        + b"\r\n\r\n"
-                        + body
+                    block = W.http_response_block(
+                        (html + extra).encode(codec),
+                        content_type=ctype,
+                        gzip_body=(t == 3),
+                        chunked=(t in (2, 3)),
                     )
                     payloads.append(
                         W.warc_build(

@@ -415,10 +415,20 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r9 ssj leg: stream-stream time-bounded join over the real
         # events fixture, tag 'ssj', value = the joined alert timestamp
         ssj = _ssj_leg(spark, sf_dir, base)
+        # r12 cwarc leg: the full Common-Crawl pipeline as ONE
+        # streaming query — WARC files (gzip members / chunked /
+        # CE-gzip transports cycled by id) → HTTP decode → HTML→text →
+        # near-dup suppression; tag 'cwarc', value = fp53 of the
+        # published extracted text
+        cwarc = _warc_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
-        table.read().unionByName(corpus).unionByName(sasof).unionByName(ssj)
+        table.read()
+        .unionByName(corpus)
+        .unionByName(sasof)
+        .unionByName(ssj)
+        .unionByName(cwarc)
     )
 
 
@@ -466,6 +476,100 @@ def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame
     )
 
 
+#: cwarc leg's shared sanitize expression (Spark form; the oracle
+#: restates it with DuckDB's 'g' flag) — the constructed page's
+#: extraction closed form is 'Doc {id} {clean} &tail!'
+_CWARC_CLEAN = (
+    "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', ''),"
+    " ' +', ' '))"
+)
+
+#: the closed form of the WARC-extracted corpus the cwarc leg publishes
+#: (doc_id stride: warcinfo is record 0, the response is record 1)
+_CWARC_DOCS_SQL = """
+    SELECT doc_id * 1000 + 1 AS doc_id,
+           trim(regexp_replace('Doc ' || doc_id || ' ' ||
+                trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                     ' +', ' ', 'g')) || ' &tail!', ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
+
+def _warc_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """2-micro-batch streaming WARC→corpus ingest (r12): per-doc WARC
+    files built around HTML whose extraction is closed-form, transport
+    layers cycled by doc_id (plain / gzip record members / chunked /
+    gzip-then-chunked), halves by doc_id with pinned mtimes — the whole
+    WARC→HTTP→HTML→text→near-dup chain runs as ONE streaming query
+    (streaming/warc_ingest.py). Returns (doc_id, 'cwarc', fp53)."""
+    from timeseries_db_spark.operators import warc as W
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import warc_ingest as wi
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_CWARC_CLEAN).alias("clean"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    hi = int(pdf["doc_id"].max()) + 1
+    in_dir = os.path.join(base, "warc_in")
+    os.makedirs(in_dir)
+    halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
+    for i, half in enumerate(halves):
+        ids, payloads = [], []
+        for did, clean in zip(half["doc_id"], half["clean"]):
+            did = int(did)
+            html = (
+                "<html><head><script>var x=1;</script><style>p{}</style>"
+                f"</head><body><!-- c --><h1>Doc {did}</h1><p>{clean}"
+                " &nbsp;&amp;tail&#33;</p></body></html>"
+            )
+            t = did % 4
+            block = W.http_response_block(
+                html.encode("utf-8"),
+                gzip_body=(t == 3),
+                chunked=(t in (2, 3)),
+            )
+            ids.append(did)
+            payloads.append(
+                W.warc_build(
+                    [
+                        ("warcinfo", "", b"software: tsdb\r\n"),
+                        ("response", f"http://example{did % 7}.com/doc{did}", block),
+                    ],
+                    gzip_records=(t == 1),
+                )
+            )
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "asset_id": pa.array(ids, pa.int64()),
+                    "kind": pa.array(["warc"] * len(ids)),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = os.path.join(base, "warc_out")
+    query = wi.start_warc_corpus_ingest(
+        wi.read_warc_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        os.path.join(base, "warc_ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return ci.read_published(spark, out_dir).select(
+        F.col("doc_id").alias("timestamp"),
+        F.lit("cwarc").alias("tag"),
+        F.col("fp53").cast("double").alias("value"),
+    )
+
+
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
     once with the ORIGINAL value formula — duplicates collapsed, poison
@@ -483,6 +587,13 @@ def stream_ingest_dedup_sql() -> str:
         SELECT doc_id AS "timestamp", 'cdoc' AS tag,
                CAST(fp53 AS DOUBLE) AS value
         FROM ({corpus_ingest_kept_sql()})
+        UNION ALL
+        -- cwarc (r12): the published set of the streaming WARC ingest —
+        -- the SAME batch-boundary-free kept rule over the closed form
+        -- of the WARC-extracted corpus
+        SELECT doc_id AS "timestamp", 'cwarc' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({corpus_ingest_kept_sql(docs_sql=_CWARC_DOCS_SQL)})
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,

@@ -273,12 +273,16 @@ def read_published(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "docs"))
 
 
-def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
+def corpus_ingest_kept_sql(
+    t_est: float = T_EST_DEFAULT, docs_sql: str | None = None
+) -> str:
     """DuckDB closed form of the FINAL published set over the whole
     ``documents`` view — no notion of batches (see module docstring:
     the dominated-by-earlier rule is batch-boundary invariant):
     (doc_id, fp53) for every doc with no earlier band-colliding,
-    signature-agreeing neighbor."""
+    signature-agreeing neighbor. ``docs_sql`` (r12) swaps the document
+    source — a subquery yielding (doc_id, text), e.g. the closed form
+    of a WARC-extracted corpus for the streaming WARC-ingest oracle."""
     from timeseries_db_spark.functions.hashing import MINHASH_BANDS, minhash_value_sql
     from timeseries_db_spark.operators.dedup import (
         _band_key_duck,
@@ -297,8 +301,15 @@ def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_PERMS)
     )
+    src_cte = ""
+    shingles_cte = _SHINGLES_CTE_DUCK
+    final_src = "documents"
+    if docs_sql is not None:
+        src_cte = f"docs_src AS ({docs_sql}),"
+        shingles_cte = _SHINGLES_CTE_DUCK.replace("FROM documents", "FROM docs_src")
+        final_src = "docs_src"
     return f"""
-        WITH {_SHINGLES_CTE_DUCK},
+        WITH {src_cte} {shingles_cte},
         hashed AS (SELECT doc_id, {_HASH_DUCK} AS h FROM sh),
         sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
         bands AS ({band_rows}),
@@ -316,7 +327,7 @@ def corpus_ingest_kept_sql(t_est: float = T_EST_DEFAULT) -> str:
             WHERE ({n_match}) / {float(MINHASH_PERMS)} >= {t_est}
         )
         SELECT doc_id, {FP53_DUCK} AS fp53
-        FROM documents
+        FROM {final_src}
         WHERE doc_id NOT IN (SELECT id_d FROM dominated)
     """
 

@@ -1,0 +1,76 @@
+"""Streaming WARC→corpus ingest (r12, VERDICT r11 item 8): crawl
+container files arrive as a file-source stream and flow through
+WARC parse (gzip members) → HTTP decode (dechunk, inflate, charset) →
+HTML→text extraction → near-duplicate suppression, all as ONE
+Structured Streaming query — the full Common-Crawl-to-training-corpus
+pipeline with no intermediate landing table.
+
+The extraction half (:func:`timeseries_db_spark.operators.warc
+.warc_extract_text`) is a stateless Arrow-batched map, so composing it
+under the existing :func:`timeseries_db_spark.streaming.corpus_ingest
+.start_corpus_ingest` ``foreachBatch`` costs nothing extra in state:
+each micro-batch parses only its own files executor-side, and the
+near-dup decision reuses the persisted band-bucketed signature index
+unchanged. At 100 TB the WARC files ARE the natural arrival unit
+(Common Crawl ships ~1 GB segments), and the per-file parse
+parallelism is the file-source's partitioning — no shuffle before the
+band join.
+
+Published doc identity: ``doc_id = asset_id * RECS_PER_ASSET +
+rec_idx`` — stable, order-preserving (arrival order stays consistent
+with doc_id order when files arrive by ascending asset_id, which is
+what the batch-boundary-invariance of the kept rule needs). A real
+deployment with unbounded records per file would widen the stride or
+switch to (warc offset)-derived ids; the rule is a parameter, not a
+structural assumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_db_spark.operators.warc import warc_extract_text
+from timeseries_db_spark.streaming.corpus_ingest import (
+    T_EST_DEFAULT,
+    start_corpus_ingest,
+)
+
+#: doc_id stride: response records per asset the id scheme can absorb
+RECS_PER_ASSET = 1000
+
+
+def read_warc_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of (asset_id, kind, payload) parquet — one
+    row per WARC file."""
+    reader = spark.readStream.schema(
+        "asset_id long, kind string, payload binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def warc_docs(stream: DataFrame) -> DataFrame:
+    """(doc_id, text) — the corpus-ingest input extracted from a WARC
+    asset stream: one row per ``response`` record, full transport
+    decode included. Stateless, so it composes under any streaming
+    sink."""
+    return warc_extract_text(stream).select(
+        (F.col("asset_id") * RECS_PER_ASSET + F.col("rec_idx")).alias("doc_id"),
+        "text",
+    )
+
+
+def start_warc_corpus_ingest(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    t_est: float = T_EST_DEFAULT,
+):
+    """Start the WARC→text→near-dup-suppressed-corpus query (one
+    streaming job; output layout and exactly-once contract are
+    :func:`start_corpus_ingest`'s)."""
+    return start_corpus_ingest(warc_docs(stream), out_dir, checkpoint_dir, t_est)
