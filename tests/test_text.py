@@ -564,3 +564,34 @@ def test_warc_http_transport_and_charset(spark):
     )
     r = W.warc_extract_text(df).collect()[0]
     assert (r["uri"], r["text"], r["n_entities"]) == ("http://e/z", "café & crawl", 1)
+    # --- WET (r12): `conversion` records of pre-extracted text in the
+    # same envelope — parsed by the same record walk, gzip members incl.
+    wet = W.warc_build(
+        [
+            ("warcinfo", "", b"software: x\r\n"),
+            ("conversion", "http://e/w", "page text caf\xe9".encode("utf-8")),
+            ("response", "http://e/skip", b"HTTP/1.1 200 OK\r\n\r\nignored"),
+        ],
+        gzip_records=True,
+    )
+    dfw = spark.createDataFrame(
+        [(3, "wet", wet)], "asset_id long, kind string, payload binary"
+    )
+    rw = W.wet_extract_text(dfw).collect()
+    assert len(rw) == 1  # response record skipped on the WET surface
+    assert (rw[0]["uri"], rw[0]["rec_idx"], rw[0]["text"]) == (
+        "http://e/w", 1, "page text café",
+    )
+    # --- WAT (r12): `metadata` records carry a JSON envelope; the
+    # container walk slices it out, JVM JSON functions extract fields
+    wat = W.warc_build(
+        [("metadata", "http://e/m", b'{"Envelope": {"k": 5}}')],
+        gzip_records=True,
+    )
+    dfm = spark.createDataFrame(
+        [(4, "wat", wat)], "asset_id long, kind string, payload binary"
+    )
+    rm = W.wat_extract_meta(dfm).selectExpr(
+        "uri", "get_json_object(meta_json, '$.Envelope.k') AS k"
+    ).collect()
+    assert (rm[0]["uri"], rm[0]["k"]) == ("http://e/m", "5")

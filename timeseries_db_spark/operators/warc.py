@@ -272,6 +272,90 @@ def decode_page(headers: dict[str, str], body: bytes) -> str:
     return body.decode(http_charset(headers, body), "replace")
 
 
+def wet_extract_text(assets: DataFrame) -> DataFrame:
+    """(asset_id, rec_idx, uri, text) — one row per ``conversion``
+    record: the WET sibling of :func:`warc_extract_text`. Common Crawl
+    ships three views of every segment — WARC (raw HTTP), WAT (JSON
+    metadata), WET (pre-extracted text) — and most LLM corpus
+    pipelines start from WET. A WET file is the SAME ISO 28500
+    container whose records are ``WARC-Type: conversion`` with a plain
+    UTF-8 text block (no HTTP message, no HTML), so the parse reuses
+    :func:`warc_records` (gzip members included) and the body decodes
+    directly. Non-conversion records (warcinfo) are skipped."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
+                    if hdrs.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            int(asset_id),
+                            ri,
+                            hdrs.get("warc-target-uri", ""),
+                            block.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "rec_idx", "uri", "text"]
+            )
+
+    return (
+        assets.filter(F.col("kind") == "wet")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, rec_idx long, uri string, text string",
+        )
+    )
+
+
+def wat_extract_meta(assets: DataFrame) -> DataFrame:
+    """(asset_id, rec_idx, uri, meta_json) — one row per ``metadata``
+    record: the WAT view of a crawl segment (the third Common Crawl
+    sibling beside WARC and WET). Each record's block is a JSON
+    envelope (``Envelope.WARC-Header-Metadata`` /
+    ``Envelope.Payload-Metadata`` …); this operator does the container
+    walk and hands the JSON string to the JVM — downstream extraction
+    belongs in ``get_json_object``/``from_json`` (whole-stage codegen),
+    NOT in Python, so the per-record Python work stays at the envelope
+    slice."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
+                    if hdrs.get("warc-type") != "metadata":
+                        continue
+                    rows.append(
+                        (
+                            int(asset_id),
+                            ri,
+                            hdrs.get("warc-target-uri", ""),
+                            block.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "rec_idx", "uri", "meta_json"]
+            )
+
+    return (
+        assets.filter(F.col("kind") == "wat")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, rec_idx long, uri string, meta_json string",
+        )
+    )
+
+
 def warc_extract_text(assets: DataFrame) -> DataFrame:
     """(asset_id, rec_idx, uri, n_tags, n_entities, text) — one row per
     ``response`` record: WARC parse (gzip members inflated) → HTTP

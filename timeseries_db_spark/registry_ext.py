@@ -966,7 +966,96 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_entities").alias("n_b"),
             F.expr("concat(uri, ' | ', text)").alias("out_text"),
         )
-        return pii.unionByName(hx).unionByName(ux).unionByName(wx)
+
+        # r12 wet + wat legs: Common Crawl's OTHER two container views.
+        # WET files carry pre-extracted plain text as `conversion`
+        # records in the same ISO 28500 envelope (most LLM corpus
+        # pipelines start here); WAT files carry per-page JSON metadata
+        # as `metadata` records. One builder emits both views per doc
+        # (odd ids ship as per-record gzip members); the WAT leg's
+        # field extraction runs JVM-side via get_json_object, per the
+        # operator's contract. n_a/n_b are doc-dependent closed forms
+        # (text length / uri length; WAT restates the content length
+        # through the JSON envelope).
+        def build_crawl_views(batches):
+            import pandas as _pd
+
+            from timeseries_db_spark.operators import warc as W
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, kinds, payloads = [], [], []
+                for did, cl in zip(pdf["doc_id"], pdf["clean"]):
+                    did = int(did)
+                    cl = str(cl)
+                    uri = f"http://example{did % 7}.com/doc{did}"
+                    gz = did % 2 == 1
+                    ids.append(did)
+                    kinds.append("wet")
+                    payloads.append(
+                        W.warc_build(
+                            [
+                                ("warcinfo", "", b"software: tsdb\r\n"),
+                                ("conversion", uri, cl.encode("utf-8")),
+                            ],
+                            gzip_records=gz,
+                        )
+                    )
+                    meta = (
+                        '{"Envelope": {"WARC-Header-Metadata": '
+                        '{"WARC-Target-URI": "%s"}, "Payload-Metadata": '
+                        '{"Actual-Content-Length": %d}}}' % (uri, len(cl))
+                    )
+                    ids.append(did)
+                    kinds.append("wat")
+                    payloads.append(
+                        W.warc_build(
+                            [("metadata", uri, meta.encode("utf-8"))],
+                            gzip_records=gz,
+                        )
+                    )
+                yield _pd.DataFrame(
+                    {"asset_id": ids, "kind": kinds, "payload": payloads}
+                )
+
+        crawl_assets = docs.select(
+            "doc_id", F.expr(clean).alias("clean")
+        ).mapInPandas(
+            build_crawl_views, schema="asset_id long, kind string, payload binary"
+        )
+        wet = _warc.wet_extract_text(crawl_assets).select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("wet").alias("kind"),
+            F.expr("length(text)").cast("long").alias("n_a"),
+            F.expr("length(uri)").cast("long").alias("n_b"),
+            F.expr("concat(uri, ' | ', text)").alias("out_text"),
+        )
+        wat = _warc.wat_extract_meta(crawl_assets).select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("wat").alias("kind"),
+            F.get_json_object(
+                "meta_json",
+                "$['Envelope']['Payload-Metadata']['Actual-Content-Length']",
+            )
+            .cast("long")
+            .alias("n_a"),
+            F.expr("length(uri)").cast("long").alias("n_b"),
+            F.concat(
+                F.get_json_object(
+                    "meta_json",
+                    "$['Envelope']['WARC-Header-Metadata']['WARC-Target-URI']",
+                ),
+                F.lit(" | wat"),
+            ).alias("out_text"),
+        )
+        return (
+            pii.unionByName(hx)
+            .unionByName(ux)
+            .unionByName(wx)
+            .unionByName(wet)
+            .unionByName(wat)
+        )
 
     q["text_pii_scrub"] = text_pii_scrub
     # r12 closed forms: the doc-dependent counter/text pieces —
@@ -997,6 +1086,22 @@ def register_extensions(q: dict, o: dict) -> None:
             extra=" || CASE WHEN doc_id % 3 = 1 THEN ' café' ELSE '' END"
         )
         + " AS out_text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'wet' AS kind, length(cl)::BIGINT AS n_a, "
+        "length(u)::BIGINT AS n_b, u || ' | ' || cl AS out_text FROM ("
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) AS cl, "
+        "'http://example' || (doc_id % 7) || '.com/doc' || doc_id AS u "
+        "FROM documents) "
+        "UNION ALL "
+        "SELECT doc_id, 'wat' AS kind, length(cl)::BIGINT AS n_a, "
+        "length(u)::BIGINT AS n_b, u || ' | wat' AS out_text FROM ("
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) AS cl, "
+        "'http://example' || (doc_id % 7) || '.com/doc' || doc_id AS u "
+        "FROM documents) "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
         "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
