@@ -2536,6 +2536,69 @@ def test_flac_fixed_predictor_spec_and_roundtrips():
         M.flac_pcm(bytes(st))
 
 
+def test_pdf_text_extraction_spec_and_roundtrips():
+    """r12: PDF text extraction from spec. Pins: (a) writer→extractor
+    roundtrip across Flate/raw × Tj/TJ-array shapes, (b) a HAND-built
+    content stream covering octal escapes, hex strings, nested parens,
+    the ' next-line show, TJ kerning-number dropping, and %-comments,
+    (c) the capability seams (encryption, non-Flate filters, not-a-PDF)
+    raise by name."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [
+        ["Hello world", "Second line (with) parens \\ and back"],
+        ["Page two text", ""],
+    ]
+    want = (
+        "Hello world\nSecond line (with) parens \\ and back\nPage two text"
+    )
+    for flate in (True, False):
+        for tj in (True, False):
+            p = P.pdf_build(pages, flate=flate, use_tj_array=tj)
+            text, n_shows, n_streams = P.pdf_text(p)
+            assert text == want, (flate, tj, text)
+            assert n_streams == 2
+    # hand-built content stream: \164 is octal 't'; hex string with
+    # embedded whitespace; ( ) nesting; ' breaks line BEFORE showing;
+    # TJ drops kerning numbers and stays on the current line; the
+    # %-comment (including a fake Tj) is skipped to EOL
+    content = (
+        b"BT /F1 12 Tf 10 10 Td\n"
+        b"(oc\\164al) Tj T* % fake (string) Tj\n"
+        b"<48 656C6C6F> Tj T*\n"
+        b"(nest(ed) ok) '\n"
+        b"[(ker) -50 (ned)] TJ\n"
+        b"ET"
+    )
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    text, shows, streams = P.pdf_text(body)
+    assert text == "octal\nHello\nnest(ed) okkerned"
+    assert (shows, streams) == (4, 1)
+    # indirect /Length (no direct integer): endstream-delimited slice
+    body2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 9 0 R >>\nstream\n"
+        b"BT (x) Tj ET\nendstream\nendobj\n"
+    )
+    assert P.pdf_text(body2)[0] == "x"
+    # seams raise by name
+    with _pytest.raises(ValueError, match="encrypted"):
+        P.pdf_text(b"%PDF-1.4 /Encrypt")
+    with _pytest.raises(ValueError, match="FlateDecode only"):
+        P.pdf_text(
+            b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /LZWDecode >>\n"
+            b"stream\nabcd\nendstream\nendobj"
+        )
+    with _pytest.raises(ValueError, match="PDF"):
+        P.pdf_text(b"NOTPDF")
+    with _pytest.raises(ValueError, match="unterminated"):
+        P.pdf_text(b"%PDF-1.4\n1 0 obj\n<< >>\nno end")
+
+
 def test_exif_orientation_all_eight_transforms():
     """r11: EXIF orientation — APP1 write/read roundtrip (both byte
     orders), all 8 transforms pinned pixel-level against independent

@@ -451,6 +451,30 @@ def test_flac_roundtrip_property(samples, blocksize):
     assert np.array_equal(M.flac_pcm(M.flac_encode(s, blocksize=blocksize)), s)
 
 
+_PDF_LINE = st.from_regex(r"[!-~]([ -~]*[!-~])?", fullmatch=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pages=st.lists(
+        st.lists(_PDF_LINE, min_size=1, max_size=4), min_size=1, max_size=3
+    ),
+    flate=st.booleans(),
+    tj=st.booleans(),
+)
+def test_pdf_text_roundtrip_property(pages, flate, tj):
+    """r12: PDF writer→extractor roundtrip for arbitrary printable
+    line content (parens, backslashes, brackets included — the escape
+    and tokenizer paths), across Flate/raw and Tj/TJ-array shapes."""
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [[ln[:80] for ln in pg] for pg in pages]
+    p = P.pdf_build(pages, flate=flate, use_tj_array=tj)
+    text, _, n_streams = P.pdf_text(p)
+    assert n_streams == len(pages)
+    assert text == "\n".join(ln for pg in pages for ln in pg)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=400))
 def test_html_to_text_total_function_property(s):

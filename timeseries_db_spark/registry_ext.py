@@ -1049,12 +1049,61 @@ def register_extensions(q: dict, o: dict) -> None:
                 F.lit(" | wat"),
             ).alias("out_text"),
         )
+        # r12 pdf leg: PDF text extraction (operators/pdf.py) — the
+        # fixture writes a real PDF per doc around the sanitized text
+        # (Flate for even ids, raw for odd; TJ kerned arrays every 3rd
+        # id; odd ids get a second page) and the REAL object-scan →
+        # inflate → BT/ET tokenizer extraction must reproduce the
+        # closed-form line structure. n_a = show ops, n_b = streams —
+        # both doc-dependent.
+        def build_pdf(batches):
+            import pandas as _pd
+
+            from timeseries_db_spark.operators import pdf as PD
+
+            for b in batches:
+                if not len(b):
+                    continue
+                ids, payloads = [], []
+                for did, cl in zip(b["doc_id"], b["clean"]):
+                    did = int(did)
+                    pages = [
+                        [f"Doc {did}", str(cl)]
+                        + [f"L{k}" for k in range(did % 3)]
+                    ]
+                    if did % 2:
+                        pages.append([f"End {did}"])
+                    ids.append(did)
+                    payloads.append(
+                        PD.pdf_build(
+                            pages,
+                            flate=(did % 2 == 0),
+                            use_tj_array=(did % 3 == 0),
+                        )
+                    )
+                yield _pd.DataFrame(
+                    {"asset_id": ids, "kind": "pdf", "payload": payloads}
+                )
+
+        from timeseries_db_spark.operators import pdf as _pdfmod
+
+        pdf_assets = docs.select(
+            "doc_id", F.expr(clean).alias("clean")
+        ).mapInPandas(build_pdf, schema="asset_id long, kind string, payload binary")
+        pdfx = _pdfmod.pdf_extract_text(pdf_assets).select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("pdf").alias("kind"),
+            F.col("n_shows").alias("n_a"),
+            F.col("n_streams").alias("n_b"),
+            F.col("text").alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
             .unionByName(wx)
             .unionByName(wet)
             .unionByName(wat)
+            .unionByName(pdfx)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1101,6 +1150,20 @@ def register_extensions(q: dict, o: dict) -> None:
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
         "' +', ' ', 'g')) AS cl, "
         "'http://example' || (doc_id % 7) || '.com/doc' || doc_id AS u "
+        "FROM documents) "
+        "UNION ALL "
+        "SELECT doc_id, 'pdf' AS kind, "
+        "(2 + doc_id % 3 + doc_id % 2)::BIGINT AS n_a, "
+        "(1 + doc_id % 2)::BIGINT AS n_b, "
+        "'Doc ' || doc_id || "
+        "CASE WHEN cl <> '' THEN chr(10) || cl ELSE '' END || "
+        "CASE doc_id % 3 WHEN 1 THEN chr(10) || 'L0' "
+        "WHEN 2 THEN chr(10) || 'L0' || chr(10) || 'L1' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 1 THEN chr(10) || 'End ' || doc_id "
+        "ELSE '' END AS out_text FROM ("
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) AS cl "
         "FROM documents) "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
