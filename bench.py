@@ -164,9 +164,16 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # pruned before PQ work at both sf0.01 and sf0.1 — the prune is now
 # CORRECTNESS-gate-visible, not just slope-visible), so its r12 column
 # covers strictly more work than r11's same-named column (one extra
-# corpus assignment pass + a ~13%-of-corpus encode + small ADC).
+# probed-sublist encode + small ADC; late-r12 fold: the ivf/ivfpq/
+# ivfp8 legs now SHARE one persisted centroid sample and one persisted
+# corpus assignment via ann_topk_ivfpq's centroid_source/assign_source
+# params — identical values, deduped plan, ~5% at sf0.01 where job
+# overhead dominates and proportionally more at larger corpora).
 # Non-headline r12 legs (text_pii_scrub's warc transport×charset
-# matrix and RFC-3986 url shapes) don't touch the headline list.
+# matrix, RFC-3986 url shapes, wet/wat container views, pdf extraction,
+# robots admission; stream_ingest_dedup's cwarc streaming-WARC chain;
+# multimodal_audio_chunks' fpcm FLAC decode) don't touch the headline
+# list.
 
 # r11 legs: none of the headline entries gained legs this round (the
 # r11 additions — msadpcm/aiff/fmeta/mmeta on multimodal_audio_chunks,

@@ -491,6 +491,100 @@ def test_warc_ingest_chain(spark):
     )
 
 
+def test_robots_rfc9309_parse_and_admission(spark):
+    """r12: robots.txt (RFC 9309) — group structure (consecutive UA
+    lines share rules), exact-agent groups beating ``*`` groups,
+    ``*``/``$`` pattern translation, longest-match with Allow winning
+    ties, empty patterns matching nothing, comments ignored, and the
+    no-match → allowed default."""
+    from timeseries_db_spark.operators import robots as R
+
+    txt_a = "\n".join(
+        [
+            "# a comment",
+            "User-agent: alpha",
+            "User-Agent: beta   # two agents share this group",
+            "Disallow: /priv/",
+            "Allow: /priv/ok*",
+            "",
+            "User-agent: *",
+            "Disallow: /all$",
+            "Disallow:    ",  # empty pattern: matches nothing
+            "Crawl-delay: 3",  # unknown field ignored
+        ]
+    )
+    txt_b = "\n".join(
+        [
+            "User-agent: beta",
+            "Disallow: /b1",
+            "User-agent: beta",  # second exact group: rules MERGE
+            "Allow: /b1/deep",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("a.com", txt_a), ("b.com", txt_b)], "host string, robots_txt string"
+    )
+    rules = R.robots_rules(robots)
+    got = {
+        (r["host"], r["agent"], r["allow"], r["pattern"])
+        for r in rules.collect()
+    }
+    # both agents of the first group carry both rules; empty dropped
+    assert ("a.com", "alpha", False, "/priv/") in got
+    assert ("a.com", "beta", True, "/priv/ok*") in got
+    assert ("a.com", "*", False, "/all$") in got
+    assert not any(p == "" for (_, _, _, p) in got)
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/priv/x"),      # beta: Disallow /priv/ wins
+            (2, "a.com", "/priv/okay"),   # Allow /priv/ok* longer -> allowed
+            (3, "a.com", "/all"),         # in * group only; beta exact exists -> * IGNORED -> allowed
+            (4, "a.com", "/free"),        # no match -> allowed
+            (5, "b.com", "/b1/deep/z"),   # Allow /b1/deep (8) > Disallow /b1 (3)
+            (6, "b.com", "/b1/other"),    # Disallow /b1 -> blocked
+        ],
+        "doc_id long, host string, path string",
+    )
+    adm = {
+        r["doc_id"]: (r["allowed"], r["win_plen"])
+        for r in R.robots_allowed(urls, rules, "Beta").collect()
+    }
+    assert adm[1] == (False, 6)
+    assert adm[2] == (True, 9)
+    assert adm[3] == (True, 0)  # exact groups exist: * group not consulted
+    assert adm[4] == (True, 0)
+    assert adm[5] == (True, 8)
+    assert adm[6] == (False, 3)
+    # the $ anchor and * wildcard through an agent with only * groups
+    adm2 = {
+        r["doc_id"]: r["allowed"]
+        for r in R.robots_allowed(urls, rules, "gamma").collect()
+    }
+    assert adm2[3] is False  # /all$ anchors exactly
+    assert adm2[1] is True  # gamma never sees the beta group
+    urls2 = spark.createDataFrame(
+        [(7, "a.com", "/all/sub"), (8, "a.com", "/x/all")],
+        "doc_id long, host string, path string",
+    )
+    adm3 = {
+        r["doc_id"]: r["allowed"]
+        for r in R.robots_allowed(urls2, rules, "gamma").collect()
+    }
+    assert adm3[7] is True  # $ anchored: /all/sub does NOT match /all$
+    assert adm3[8] is True  # prefix match only: pattern anchors at start
+    # Allow wins an exact-length tie (RFC 2.2.2)
+    tie = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /p\nAllow: /p")],
+        "host string, robots_txt string",
+    )
+    urls3 = spark.createDataFrame(
+        [(9, "t.com", "/page")], "doc_id long, host string, path string"
+    )
+    r9 = R.robots_allowed(urls3, R.robots_rules(tie), "x").collect()[0]
+    assert (r9["allowed"], r9["win_plen"]) == (True, 2)
+
+
 def test_warc_http_transport_and_charset(spark):
     """r12: real-crawl WARC/HTTP realism — per-record gzip members
     (.warc.gz layout), chunked transfer-encoding reassembly,

@@ -1107,6 +1107,26 @@ def _ivfpq_adc_fn(bc, k: int):
     return gen
 
 
+def ivf_assign_with_vectors(
+    spark: SparkSession, corpus: DataFrame, cents_df: DataFrame
+) -> DataFrame:
+    """(vec_id, list_id, embedding) — the corpus's coarse-quantizer
+    assignment under ``cents_df``, vectors carried through. Callers
+    composing SEVERAL IVF consumers over the same corpus + quantizer
+    (e.g. an IVF-PQ query set and a pruned-shape query set) persist
+    this once and pass it to each as ``assign_source`` — one corpus
+    assignment pass instead of one per consumer (r12)."""
+    ids, cmat = _collect_matrix(cents_df)
+    if cmat.shape[0] == 0:
+        raise ValueError("IVF quantizer found an empty corpus")
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_fn(bc, 1, keep_embedding=True),
+        schema="vec_id long, list_id long, embedding array<float>",
+    )
+
+
 def ann_topk_ivfpq(
     spark: SparkSession,
     queries: DataFrame,
@@ -1118,6 +1138,8 @@ def ann_topk_ivfpq(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     codebook_source: DataFrame | None = None,
+    centroid_source: DataFrame | None = None,
+    assign_source: DataFrame | None = None,
 ) -> DataFrame:
     """The FULL faiss IVF-PQ recipe (r10): coarse-quantizer pruning AND
     product-quantization compression composed — each query probes its
@@ -1136,8 +1158,17 @@ def ann_topk_ivfpq(
     pairs with per-shard top-k. Nothing unbounded ever reaches the
     driver. Deterministic end-to-end (rounded-sim probe ranking,
     integer ADC), so the composition carries a full value oracle
-    (:func:`ann_topk_ivfpq_sql`)."""
-    cents_df = ivf_centroids(corpus, nlist)
+    (:func:`ann_topk_ivfpq_sql`).
+
+    ``centroid_source`` / ``assign_source`` (r12) let several
+    consumers over the same corpus share ONE quantizer sample and ONE
+    corpus assignment pass (see :func:`ivf_assign_with_vectors`) —
+    results are identical either way, only the plan dedupes."""
+    cents_df = (
+        centroid_source
+        if centroid_source is not None
+        else ivf_centroids(corpus, nlist)
+    )
     ids, cmat = _collect_matrix(cents_df)
     if cmat.shape[0] == 0:
         raise ValueError("IVF-PQ quantizer found an empty corpus")
@@ -1163,9 +1194,13 @@ def ann_topk_ivfpq(
         [(r["vec_id"], r["list_id"]) for r in probe_rows],
         "qid long, list_id long",
     )
-    assign = corpus.select("vec_id", "embedding").mapInPandas(
-        _ivf_assign_fn(cents_bc, 1, keep_embedding=True),
-        schema="vec_id long, list_id long, embedding array<float>",
+    assign = (
+        assign_source
+        if assign_source is not None
+        else corpus.select("vec_id", "embedding").mapInPandas(
+            _ivf_assign_fn(cents_bc, 1, keep_embedding=True),
+            schema="vec_id long, list_id long, embedding array<float>",
+        )
     )
     donor_df = (
         codebook_source if codebook_source is not None else pq_codebook(corpus, ksub)

@@ -1097,6 +1097,51 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_streams").alias("n_b"),
             F.col("text").alias("out_text"),
         )
+        # r12 rob leg: robots.txt admission (RFC 9309,
+        # operators/robots.py) — per-host robots bodies are constructed
+        # so every RFC mechanism decides a doc-dependent outcome: even
+        # hosts carry an EXACT tsdb-bot group (Allow / + a $-anchored
+        # wildcard Disallow) PLUS a block-everything '*' group that
+        # must be ignored (exact-match override); odd hosts carry a
+        # '*' group whose Allow out-specifies a Disallow prefix unless
+        # the longer $-anchored Disallow matches. n_a = winning pattern
+        # length, n_b = allowed flag.
+        from timeseries_db_spark.operators import robots as _robots
+
+        even_txt = (
+            "User-agent: tsdb-bot\nAllow: /\nDisallow: /A/*9/End~$\n"
+            "\nUser-agent: *\nDisallow: /"
+        )
+        odd_txt = (
+            "User-agent: *\nDisallow: /A/\nAllow: /A/Path*\n"
+            "Disallow: /A/*3/End~$"
+        )
+        rob_hosts = s.range(7).select(
+            F.expr("concat('example', id, '.com')").alias("host"),
+            F.when(F.col("id") % 2 == 0, F.lit(even_txt))
+            .otherwise(F.lit(odd_txt))
+            .alias("robots_txt"),
+        )
+        rob_urls = docs.select(
+            "doc_id",
+            F.expr("concat('example', doc_id % 7, '.com')").alias("host"),
+            F.expr(
+                "CASE WHEN doc_id % 3 = 0 THEN '/' "
+                "ELSE concat('/A/Path', doc_id, '/End~') END"
+            ).alias("path"),
+        )
+        rob = _robots.robots_allowed(
+            rob_urls, _robots.robots_rules(rob_hosts), "TSDB-Bot"
+        ).select(
+            "doc_id",
+            F.lit("rob").alias("kind"),
+            F.col("win_plen").alias("n_a"),
+            F.col("allowed").cast("long").alias("n_b"),
+            F.expr(
+                "concat(host, path, '|', "
+                "CASE WHEN allowed THEN 'T' ELSE 'F' END)"
+            ).alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1104,6 +1149,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(wet)
             .unionByName(wat)
             .unionByName(pdfx)
+            .unionByName(rob)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1165,6 +1211,25 @@ def register_extensions(q: dict, o: dict) -> None:
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
         "' +', ' ', 'g')) AS cl "
         "FROM documents) "
+        "UNION ALL "
+        "SELECT doc_id, 'rob' AS kind, "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "  CASE WHEN (doc_id % 7) % 2 = 0 THEN 1 ELSE 0 END "
+        "WHEN (doc_id % 7) % 2 = 0 THEN "
+        "  CASE WHEN doc_id % 10 = 9 THEN 11 ELSE 1 END "
+        "ELSE CASE WHEN doc_id % 10 = 3 THEN 11 ELSE 8 END END::BIGINT "
+        "AS n_a, "
+        "CASE WHEN doc_id % 3 <> 0 AND "
+        "(((doc_id % 7) % 2 = 0 AND doc_id % 10 = 9) OR "
+        "((doc_id % 7) % 2 = 1 AND doc_id % 10 = 3)) THEN 0 ELSE 1 END"
+        "::BIGINT AS n_b, "
+        "'example' || (doc_id % 7) || '.com' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/' "
+        "ELSE '/A/Path' || doc_id || '/End~' END || '|' || "
+        "CASE WHEN doc_id % 3 <> 0 AND "
+        "(((doc_id % 7) % 2 = 0 AND doc_id % 10 = 9) OR "
+        "((doc_id % 7) % 2 = 1 AND doc_id % 10 = 3)) THEN 'F' ELSE 'T' END "
+        "AS out_text FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
         "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
@@ -1699,8 +1764,24 @@ def register_extensions(q: dict, o: dict) -> None:
     # (qid, nid, score, kind) schema: ivf carries rounded cosine, pq the
     # exact integer ADC distance as a double.
     def ann_ivf_and_pq(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators.dedup import _persist_tracked
+
         qs = _emb(s, d).filter(F.expr(TOPK_QUERY_PRED))
-        ivf = similarity.ann_topk_ivf(s, qs, _emb(s, d), TOPK_K).select(
+        # r12 fold: the three IVF consumers (ivf, ivfpq, ivfp8) share
+        # ONE persisted centroid sample and (for the two PQ legs) ONE
+        # persisted corpus assignment — each used to recompute its own
+        # corpus top-k scan / assignment pass; values are identical,
+        # only the plan dedupes (fold note in bench.py)
+        cents = _persist_tracked(
+            "ann_cents", similarity.ivf_centroids(_emb(s, d))
+        )
+        assign = _persist_tracked(
+            "ann_assign",
+            similarity.ivf_assign_with_vectors(s, _emb(s, d), cents),
+        )
+        ivf = similarity.ann_topk_ivf(
+            s, qs, _emb(s, d), TOPK_K, centroid_source=cents
+        ).select(
             "qid", "nid", F.col("cos").alias("score"), F.lit("ivf").alias("kind")
         )
         pq = similarity.ann_topk_pq(s, qs, _emb(s, d), TOPK_K).select(
@@ -1729,7 +1810,10 @@ def register_extensions(q: dict, o: dict) -> None:
         # PQ compression composed; only probed-list candidates are ADC-
         # scored. Deterministic end-to-end, so the composition itself
         # carries a full value oracle.
-        ivfpq = similarity.ann_topk_ivfpq(s, qs, _emb(s, d), TOPK_K).select(
+        ivfpq = similarity.ann_topk_ivfpq(
+            s, qs, _emb(s, d), TOPK_K,
+            centroid_source=cents, assign_source=assign,
+        ).select(
             "qid",
             "nid",
             F.col("dist").cast("double").alias("score"),
@@ -1747,7 +1831,8 @@ def register_extensions(q: dict, o: dict) -> None:
         # set and flips this leg's value hash.
         qs8 = _emb(s, d).filter(F.expr(PRUNE_QUERY_PRED))
         ivfp8 = similarity.ann_topk_ivfpq(
-            s, qs8, _emb(s, d), TOPK_K, nprobe=2
+            s, qs8, _emb(s, d), TOPK_K, nprobe=2,
+            centroid_source=cents, assign_source=assign,
         ).select(
             "qid",
             "nid",
