@@ -2523,17 +2523,128 @@ def test_flac_fixed_predictor_spec_and_roundtrips():
     bad[42 + 4] ^= 0x01  # inside the first frame header (after fLaC+hdr+34)
     with _pytest.raises(ValueError, match="CRC-8|sync|UTF-8"):
         M.flac_pcm(bytes(bad))
-    # --- seams: LPC subframe type and stereo channels raise by name
+    # --- reserved subframe type (2) raises; reserved channel code too
     hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
     hdr += bytes([crc8(hdr)])
-    sub = bytes([0x40, 0x00, 0x07])  # type bits 100000 = LPC order 1
+    sub = bytes([0x04, 0x00, 0x07])  # type bits 000010 = reserved
     frame = hdr + sub + b"\x00\x00"
-    with _pytest.raises(ValueError, match="LPC"):
+    with _pytest.raises(ValueError, match="reserved FLAC subframe"):
         M.flac_pcm(streaminfo(4) + frame)
-    st = bytearray(streaminfo(4))
-    st[20] |= 1 << 1  # channels-1 = 1 → stereo
-    with _pytest.raises(ValueError, match="mono"):
-        M.flac_pcm(bytes(st))
+    hdr = bytes([0xFF, 0xF8, 0x60, (11 << 4) | 0x08, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    with _pytest.raises(ValueError, match="channel assignment"):
+        M.flac_pcm(streaminfo(4) + hdr + b"\x00\x00")
+
+
+def test_flac_stereo_decorrelation_and_lpc():
+    """r12 completion: FLAC stereo (independent pair + all three
+    decorrelated assignments, side channel one bit wider) and LPC
+    subframes (quantized integer coefficients + arithmetic shift —
+    exact integer math, so real-world LPC-dominated FLAC decodes
+    bit-exactly). Hand-built frames with an independent in-test bit
+    writer + CRCs pin each mode against hand-computed samples; the
+    encoder roundtrips interleaved stereo."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    def crc8(bs):
+        c = 0
+        for b in bs:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ (0x07 if c & 0x80 else 0)) & 0xFF
+        return c
+
+    def crc16(bs):
+        c = 0
+        for b in bs:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ (0x8005 if c & 0x8000 else 0)) & 0xFFFF
+        return c
+
+    def streaminfo(total, ch):
+        packed = (8000 << 44) | ((ch - 1) << 41) | (15 << 36) | total
+        return (
+            b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+        )
+
+    class W:
+        def __init__(self):
+            self.out, self.acc, self.n = bytearray(), 0, 0
+
+        def w(self, v, nb):
+            for i in reversed(range(nb)):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    self.acc = self.n = 0
+
+        def ws(self, v, nb):
+            self.w(v & ((1 << nb) - 1), nb)
+
+        def align(self):
+            if self.n:
+                self.w(0, 8 - self.n)
+
+    def const_sub(w, val, bps):
+        w.w(0, 1)
+        w.w(0, 6)
+        w.w(0, 1)
+        w.ws(val, bps)
+
+    def frame(ch_code, build):
+        hdr = bytes([0xFF, 0xF8, 0x60, (ch_code << 4) | (4 << 1), 0x00, 0x03])
+        hdr += bytes([crc8(hdr)])
+        w = W()
+        build(w)
+        w.align()
+        fr = hdr + bytes(w.out)
+        return fr + crc16(fr).to_bytes(2, "big")
+
+    # l=10 r=7 in each assignment: L/S stores (10, 3); R/S (3, 7);
+    # M/S ((10+7)>>1=8, 3) — side subframes are 17-bit
+    fr = frame(8, lambda w: (const_sub(w, 10, 16), const_sub(w, 3, 17)))
+    assert list(M.flac_pcm(streaminfo(4, 2) + fr)) == [10, 7] * 4
+    fr = frame(9, lambda w: (const_sub(w, 3, 17), const_sub(w, 7, 16)))
+    assert list(M.flac_pcm(streaminfo(4, 2) + fr)) == [10, 7] * 4
+    fr = frame(10, lambda w: (const_sub(w, 8, 16), const_sub(w, 3, 17)))
+    assert list(M.flac_pcm(streaminfo(4, 2) + fr)) == [10, 7] * 4
+
+    # LPC order 2, precision 4 (code 3), shift 1, coefs [3, -1]:
+    # warmup [4, 6]; residuals [1, -2] at Rice param 2 →
+    # s2 = 1 + ((3·6 − 4) >> 1) = 8 ; s3 = −2 + ((3·8 − 6) >> 1) = 7
+    def lpc(w):
+        w.w(0, 1)
+        w.w(32 | 1, 6)
+        w.w(0, 1)
+        w.ws(4, 16)
+        w.ws(6, 16)
+        w.w(3, 4)
+        w.w(1, 5)
+        w.ws(3, 4)
+        w.ws(-1, 4)
+        w.w(0, 2)
+        w.w(0, 4)
+        w.w(2, 4)
+        for r in (1, -2):
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            w.w(0, u >> 2)
+            w.w(1, 1)
+            w.w(u & 3, 2)
+
+    assert list(M.flac_pcm(streaminfo(4, 1) + frame(0, lpc))) == [4, 6, 8, 7]
+
+    # encoder stereo roundtrip (interleaved), odd tail block
+    rng = np.random.RandomState(11)
+    st = rng.randint(-32768, 32768, size=2 * 301)
+    p = M.flac_encode(st, channels=2, blocksize=128)
+    assert np.array_equal(M.flac_pcm(p), st)
+    assert M.flac_meta(p)[0] == 2
+    assert M.audio_meta(p)[:2] == ("flac", 2)
 
 
 def test_pdf_text_extraction_spec_and_roundtrips():

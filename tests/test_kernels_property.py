@@ -437,18 +437,24 @@ def test_warc_roundtrip_property(records, gz):
 @given(
     samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=700),
     blocksize=st.sampled_from([16, 64, 256]),
+    channels=st.sampled_from([1, 2]),
 )
-def test_flac_roundtrip_property(samples, blocksize):
-    """r12: FLAC fixed-predictor encode→decode is lossless for ANY
-    16-bit signal at any blocksize — constant runs hit CONSTANT
-    subframes, smooth stretches the FIXED orders, noise the VERBATIM
-    fallback, and short tails exercise the final partial frame."""
+def test_flac_roundtrip_property(samples, blocksize, channels):
+    """r12: FLAC encode→decode is lossless for ANY 16-bit signal at
+    any blocksize, mono or interleaved stereo — constant runs hit
+    CONSTANT subframes, smooth stretches the FIXED orders, noise the
+    VERBATIM fallback, and short tails exercise the final partial
+    frame."""
     import numpy as np
 
     from timeseries_db_spark.operators import multimodal as M
 
+    if channels == 2 and len(samples) % 2:
+        samples = samples + [0]
     s = np.asarray(samples, dtype=np.int64)
-    assert np.array_equal(M.flac_pcm(M.flac_encode(s, blocksize=blocksize)), s)
+    assert np.array_equal(
+        M.flac_pcm(M.flac_encode(s, blocksize=blocksize, channels=channels)), s
+    )
 
 
 _PDF_LINE = st.from_regex(r"[!-~]([ -~]*[!-~])?", fullmatch=True)

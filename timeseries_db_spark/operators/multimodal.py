@@ -3705,11 +3705,13 @@ AUDIO_PCM_CAPABILITIES = {
     "so the pin is a hand-computed spec stream + roundtrip properties)",
     "aiff": "real (r11: big-endian IFF COMM/SSND incl. the 80-bit "
     "IEEE-extended sample rate; 16-bit mono PCM decode)",
-    "flac": "real for the fixed-predictor subset (r12: CONSTANT/"
-    "VERBATIM/FIXED subframes, Rice residuals incl. raw-bits escape "
-    "and partitions, wasted bits, CRC-8/16 verification, 16-bit mono; "
-    "own spec encoder as roundtrip pin); LPC subframes + stereo "
-    "decorrelation = ffmpeg seam",
+    "flac": "decode-COMPLETE for standard streams (r12: CONSTANT/"
+    "VERBATIM/FIXED/LPC subframes — LPC is exact integer math — Rice "
+    "residuals incl. raw-bits escape and partitions, wasted bits, "
+    "CRC-8/16 verification, mono through 8 independent channels plus "
+    "all three stereo decorrelations with the 1-bit-wider side "
+    "channel; own spec encoder emits fixed-predictor mono/stereo as "
+    "the roundtrip pin; hand-built frames pin LPC + L/S + R/S + M/S)",
     "mp3": "metadata-real (r11: ID3v2 synchsafe skip + frame-header "
     "version/layer/bitrate/samplerate tables); entropy decode = "
     "ffmpeg seam",
@@ -4215,20 +4217,70 @@ def _flac_residual_write(w: "_FlacWriter", res: list, param: int) -> None:
             w.write(u & ((1 << param) - 1), param)
 
 
+def _flac_subframe(br: "_FlacBits", blocksize: int, bps: int) -> list:
+    """One subframe (§9.2.5): CONSTANT / VERBATIM / FIXED / LPC.
+    LPC decode (r12) is exact integer math — quantized coefficients,
+    arithmetic right shift — so the 'seam' was only ever effort, and
+    real-world FLAC (where LPC dominates) now decodes bit-exactly."""
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    ebps = bps - wasted
+    if stype == 0:  # CONSTANT
+        samples = [br.read_signed(ebps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(ebps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        if order > blocksize:
+            raise ValueError("FLAC predictor order exceeds block size")
+        samples = [br.read_signed(ebps) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for r in res:
+            pred = sum(c * samples[-1 - k] for k, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        if order > blocksize:
+            raise ValueError("FLAC LPC order exceeds block size")
+        samples = [br.read_signed(ebps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("reserved FLAC LPC precision code")
+        prec += 1
+        shift = br.read(5)
+        if shift >= 16:  # 5-bit signed; negative shifts are spec-invalid
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        for r in res:
+            pred = (
+                sum(c * samples[-1 - k] for k, c in enumerate(coefs)) >> shift
+            )
+            samples.append(r + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
 def flac_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """REAL FLAC sample decode (16-bit mono; CONSTANT / VERBATIM /
-    FIXED subframes, Rice residuals, CRC-verified) — LPC subframes and
-    stereo decorrelation raise with the capability name (the documented
-    ffmpeg seam). Returns int64 samples."""
+    """REAL FLAC sample decode: CONSTANT / VERBATIM / FIXED / LPC
+    subframes, Rice residuals, CRC-verified; mono and stereo — the
+    independent pair plus all three decorrelated assignments
+    (left/side, right/side, mid/side, the side channel one bit
+    wider per spec). Multi-channel output is INTERLEAVED
+    (L0 R0 L1 R1 …) int64 samples."""
     import numpy as np
 
     b = payload
-    ch, rate, bits, _ = flac_meta(b)  # validates magic + STREAMINFO
+    flac_meta(b)  # validates magic + STREAMINFO
     total = int.from_bytes(b[18:26], "big") & ((1 << 36) - 1)
-    if ch != 1:
-        raise ValueError(
-            f"FLAC channels={ch} outside AUDIO_PCM_CAPABILITIES (mono)"
-        )
     # walk metadata blocks to the first audio frame
     i = 4
     while True:
@@ -4238,7 +4290,8 @@ def flac_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         if hdr & 0x80:
             break
     out: list[int] = []
-    while i < len(b) and (total == 0 or len(out) < total):
+    done = 0  # inter-channel samples decoded
+    while i < len(b) and (total == 0 or done < total):
         frame_start = i
         br = _FlacBits(b, i)
         sync = br.read(14)
@@ -4251,11 +4304,8 @@ def flac_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         ch_code = br.read(4)
         ss_code = br.read(3)
         br.read(1)  # reserved
-        if ch_code != 0:
-            raise ValueError(
-                "FLAC stereo/decorrelated channels outside "
-                "AUDIO_PCM_CAPABILITIES (mono)"
-            )
+        if ch_code > 10:
+            raise ValueError("reserved FLAC channel assignment")
         bps = _FLAC_SS.get(ss_code)
         if bps is None:
             raise ValueError("FLAC sample size from STREAMINFO unsupported")
@@ -4276,119 +4326,124 @@ def flac_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
             raise ValueError("invalid FLAC sample rate code")
         if _flac_crc8(b[frame_start : br.byte]) != br.read(8):
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        # --- one subframe (mono) ---
-        if br.read(1):
-            raise ValueError("FLAC subframe padding bit set")
-        stype = br.read(6)
-        wasted = 0
-        if br.read(1):
-            wasted = br.read_unary() + 1
-        ebps = bps - wasted
-        if stype == 0:  # CONSTANT
-            samples = [br.read_signed(ebps)] * blocksize
-        elif stype == 1:  # VERBATIM
-            samples = [br.read_signed(ebps) for _ in range(blocksize)]
-        elif 8 <= stype <= 12:  # FIXED order 0-4
-            order = stype - 8
-            if order > blocksize:
-                raise ValueError("FLAC predictor order exceeds block size")
-            samples = [br.read_signed(ebps) for _ in range(order)]
-            res = _flac_residual_read(br, blocksize, order)
-            coefs = _FLAC_FIXED[order]
-            for r in res:
-                pred = sum(
-                    c * samples[-1 - k] for k, c in enumerate(coefs)
-                )
-                samples.append(r + pred)
-        elif stype >= 32:
-            raise ValueError(
-                "FLAC LPC subframe outside AUDIO_PCM_CAPABILITIES "
-                "(fixed predictors only; LPC = ffmpeg seam)"
-            )
+        # --- subframes: one per channel; decorrelated SIDE channels
+        # are coded one bit wider (§9.2.4) ---
+        if ch_code <= 7:
+            nch = ch_code + 1
+            widen = [0] * nch
         else:
-            raise ValueError(f"reserved FLAC subframe type {stype}")
-        if wasted:
-            samples = [s << wasted for s in samples]
+            nch = 2
+            widen = {8: [0, 1], 9: [1, 0], 10: [0, 1]}[ch_code]
+        chans = [
+            _flac_subframe(br, blocksize, bps + widen[c]) for c in range(nch)
+        ]
+        if ch_code == 8:  # left/side: right = left - side
+            chans = [chans[0], [l - s for l, s in zip(chans[0], chans[1])]]
+        elif ch_code == 9:  # right/side: left = right + side
+            chans = [[r + s for s, r in zip(chans[0], chans[1])], chans[1]]
+        elif ch_code == 10:  # mid/side (mid stored floored-halved)
+            mids, sides = chans
+            left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mids, sides)]
+            right = [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mids, sides)]
+            chans = [left, right]
         br.align()
         if _flac_crc16(b[frame_start : br.byte]) != br.read(16):
             raise ValueError("FLAC frame CRC-16 mismatch")
-        out.extend(samples)
+        for j in range(blocksize):
+            for c in chans:
+                out.append(c[j])
+        done += blocksize
         i = br.byte
-    if total and len(out) > total:  # last block padded? never by our walk
-        out = out[:total]
+    if total and done > total:  # a padded last block (never by our walk)
+        out = out[: total * len(chans)]
     return np.asarray(out, dtype=np.int64)
 
 
-def flac_encode(samples, rate: int = 8000, blocksize: int = 256) -> bytes:
-    """Minimal-but-real FLAC encoder (16-bit mono, fixed blocksize):
-    per frame picks CONSTANT when flat, else the fixed predictor order
-    (0-4) with the cheapest Rice cost, else VERBATIM; residuals Rice-
-    coded at the deterministically cheapest parameter (partition order
-    0). The decoder's roundtrip oracle — and readable by any FLAC
+def _flac_enc_subframe(w: "_FlacWriter", blk: list) -> None:
+    """Encode one channel's block: CONSTANT when flat, else the fixed
+    predictor order (0-4) with the cheapest Rice cost, else VERBATIM;
+    residuals Rice-coded at the deterministically cheapest parameter
+    (partition order 0)."""
+    bs = len(blk)
+    if all(v == blk[0] for v in blk):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write_signed(blk[0], 16)
+        return
+    best = None  # (bits, order, param, residual)
+    for order in range(min(4, bs - 1) + 1):
+        coefs = _FLAC_FIXED[order]
+        res = [
+            blk[j] - sum(c * blk[j - 1 - k] for k, c in enumerate(coefs))
+            for j in range(order, bs)
+        ]
+        us = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
+        for param in range(15):
+            cost = (
+                order * 16 + 6
+                + sum(u >> param for u in us)
+                + len(us) * (param + 1)
+            )
+            if best is None or cost < best[0]:
+                best = (cost, order, param, res)
+    if best[0] >= bs * 16:  # Rice never beats raw: VERBATIM
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in blk:
+            w.write_signed(v, 16)
+    else:
+        _, order, param, res = best
+        w.write(0, 1)
+        w.write(8 | order, 6)  # FIXED
+        w.write(0, 1)
+        for v in blk[:order]:
+            w.write_signed(v, 16)
+        _flac_residual_write(w, res, param)
+
+
+def flac_encode(
+    samples, rate: int = 8000, blocksize: int = 256, channels: int = 1
+) -> bytes:
+    """Minimal-but-real FLAC encoder (16-bit, fixed blocksize; mono or
+    independent stereo — ``channels=2`` takes INTERLEAVED samples).
+    The decoder's roundtrip oracle — and readable by any FLAC
     implementation (CRCs, UTF-8 frame numbers, spec headers are all
     real)."""
     import numpy as np
 
     xs = [int(v) for v in np.clip(np.asarray(list(samples), dtype=np.int64),
                                   -32768, 32767)]
-    n = len(xs)
+    if channels not in (1, 2):
+        raise ValueError("flac_encode supports 1 or 2 channels")
+    if channels == 2 and len(xs) % 2:
+        raise ValueError("stereo samples must interleave to equal lengths")
+    n = len(xs) // channels  # inter-channel samples
     if blocksize < 16 or blocksize > 65535:
         raise ValueError("FLAC blocksize out of range")
-    packed = (rate << 44) | (0 << 41) | (15 << 36) | n
+    packed = (rate << 44) | ((channels - 1) << 41) | (15 << 36) | n
     si = (
         blocksize.to_bytes(2, "big") + blocksize.to_bytes(2, "big")
         + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
     )
     out = bytearray(b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si)
     for fi in range(0, max(n, 1), blocksize):
-        blk = xs[fi : fi + blocksize]
-        if not blk:
+        bs = min(blocksize, n - fi)
+        if bs <= 0:
             break
-        bs = len(blk)
         hdr = bytearray()
         hdr += bytes([0xFF, 0xF8])  # sync + reserved + fixed strategy
         hdr += bytes([(0x7 << 4) | 0x0])  # bs: 16-bit at end; sr: STREAMINFO
-        hdr += bytes([(0x0 << 4) | (0x4 << 1)])  # mono; 16-bit; reserved
+        # channel assignment = channels-1 (independent); 16-bit; reserved
+        hdr += bytes([((channels - 1) << 4) | (0x4 << 1)])
         hdr += _flac_utf8_write(fi // blocksize)
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(_flac_crc8(bytes(hdr)))
         w = _FlacWriter()
-        if all(v == blk[0] for v in blk):
-            w.write(0, 1)
-            w.write(0, 6)  # CONSTANT
-            w.write(0, 1)
-            w.write_signed(blk[0], 16)
-        else:
-            best = None  # (bits, order, param, residual)
-            for order in range(min(4, bs - 1) + 1):
-                coefs = _FLAC_FIXED[order]
-                res = [
-                    blk[j] - sum(c * blk[j - 1 - k] for k, c in enumerate(coefs))
-                    for j in range(order, bs)
-                ]
-                us = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
-                for param in range(15):
-                    cost = (
-                        order * 16 + 6
-                        + sum(u >> param for u in us)
-                        + len(us) * (param + 1)
-                    )
-                    if best is None or cost < best[0]:
-                        best = (cost, order, param, res)
-            if best[0] >= bs * 16:  # Rice never beats raw: VERBATIM
-                w.write(0, 1)
-                w.write(1, 6)
-                w.write(0, 1)
-                for v in blk:
-                    w.write_signed(v, 16)
-            else:
-                _, order, param, res = best
-                w.write(0, 1)
-                w.write(8 | order, 6)  # FIXED
-                w.write(0, 1)
-                for v in blk[:order]:
-                    w.write_signed(v, 16)
-                _flac_residual_write(w, res, param)
+        for c in range(channels):
+            blk = xs[(fi + 0) * channels + c : (fi + bs) * channels : channels]
+            _flac_enc_subframe(w, blk)
         w.align()
         frame = bytes(hdr) + bytes(w.out)
         out += frame + _flac_crc16(frame).to_bytes(2, "big")
