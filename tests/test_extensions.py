@@ -2281,6 +2281,40 @@ def test_tiff_planar_and_jpeg_in_tiff():
     bad[at] = 0x00
     with _pytest.raises(ValueError, match="abbreviated stream"):
         M.tiff_decode(bytes(bad))
+    # (c) OLD-style JPEG (compression 6, r12): tags 513/514 point at
+    # one complete interchange stream for the whole image — hand-built
+    # IFD (little-endian) around the repo's own JPEG stream
+    jpg = M.jpeg_encode(gray, w, h, 1)
+
+    def ent(tag, ftype, count, value):
+        return (
+            tag.to_bytes(2, "little") + ftype.to_bytes(2, "little")
+            + count.to_bytes(4, "little") + value.to_bytes(4, "little")
+        )
+
+    n_ent = 8
+    ifd_at = 8
+    jpg_at = ifd_at + 2 + n_ent * 12 + 4
+    ifd = (
+        n_ent.to_bytes(2, "little")
+        + ent(256, 3, 1, w) + ent(257, 3, 1, h)
+        + ent(258, 3, 1, 8) + ent(259, 3, 1, 6)   # compression 6
+        + ent(262, 3, 1, 1) + ent(277, 3, 1, 1)
+        + ent(513, 4, 1, jpg_at) + ent(514, 4, 1, len(jpg))
+        + (0).to_bytes(4, "little")
+    )
+    old = b"II*\x00" + ifd_at.to_bytes(4, "little") + ifd + jpg
+    assert M.tiff_decode(old) == (w, h, 1, gray)
+    # without the interchange pointer the 519-521 variant stays out
+    ifd_no = (
+        (6).to_bytes(2, "little")
+        + ent(256, 3, 1, w) + ent(257, 3, 1, h)
+        + ent(258, 3, 1, 8) + ent(259, 3, 1, 6)
+        + ent(262, 3, 1, 1) + ent(277, 3, 1, 1)
+        + (0).to_bytes(4, "little")
+    )
+    with _pytest.raises(NotImplementedError, match="PIXEL_CAPABILITIES"):
+        M.tiff_decode(b"II*\x00" + ifd_at.to_bytes(4, "little") + ifd_no)
 
 
 def test_mp4_container_and_unified_video_surface(spark):

@@ -638,6 +638,15 @@ def test_warc_http_transport_and_charset(spark):
     assert "café" in W.decode_page({}, sniffed2)
     u16 = "Doc café".encode("utf-16")
     assert W.decode_page({"content-type": "text/html; charset=utf-16"}, u16) == "Doc café"
+    # BOM sniff (r12): no header needed — a BOM'd utf-16 page decodes
+    # even though its <meta> is invisible to the byte prescan
+    assert W.decode_page({}, u16) == "Doc café"  # LE BOM
+    assert W.decode_page({}, "Doc café".encode("utf-16-be")) != "Doc café"  # no BOM: garbled
+    assert (
+        W.decode_page({}, b"\xfe\xff" + "Doc café".encode("utf-16-be"))
+        == "Doc café"
+    )  # BE BOM picks the order
+    assert W.decode_page({}, b"\xef\xbb\xbfcaf\xc3\xa9").endswith("café")
     # unknown charset falls back to utf-8-replace, never raises
     assert W.decode_page({"content-type": "text/html; charset=klingon"}, latin)
     # --- the full chain through Spark: latin-1 + CE gzip + chunked + .warc.gz

@@ -337,8 +337,10 @@ PIXEL_CAPABILITIES = {
     "Deflate (8), horizontal-differencing predictor, PLANAR "
     "configuration, TILED organization (322-325, padded tiles), "
     "JPEG-in-TIFF (compression 7, strips as JFIF streams through the "
-    "repo JPEG codec, incl. shared JPEGTables-347 splice); old-style "
-    "JPEG (6) = seam)",
+    "repo JPEG codec, incl. shared JPEGTables-347 splice); r12: "
+    "old-style JPEG (6) via the 513/514 interchange pointer — the "
+    "shape real old-style files have; the strip-based 519-521 tables "
+    "variant = seam)",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
@@ -1110,13 +1112,16 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     pred = one(317, 1)
     tiled = 322 in tags
     if (
-        comp not in (1, 32773, 5, 7, 8)
+        comp not in (1, 32773, 5, 6, 7, 8)
         or spp not in (1, 3)
         or any(x != 8 for x in bits)
         or planar not in (1, 2)
-        or not (photo in (0, 1, 2) or (photo == 6 and comp == 7))
+        or not (photo in (0, 1, 2) or (photo == 6 and comp in (6, 7)))
         or pred not in (1, 2)
-        or (comp == 7 and (planar != 1 or pred != 1 or tiled))
+        or (comp in (6, 7) and (planar != 1 or pred != 1 or tiled))
+        # old-style JPEG is supported through its interchange pointer
+        # (513); the strip-based 519/520/521 tables variant stays out
+        or (comp == 6 and 513 not in tags)
         or (tiled and planar != 1)
     ):
         raise NotImplementedError(
@@ -1189,6 +1194,21 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if photo == 0:
             out = bytearray(255 - v for v in out)
         return w, h, spp, bytes(out)
+
+    if comp == 6:
+        # old-style JPEG (TIFF 6.0 §22, r12): tags 513/514 point at ONE
+        # complete interchange stream covering the whole image — the
+        # strip machinery is bypassed and the repo's JPEG decoder reads
+        # it directly (the common shape real old-style files have; the
+        # strip-based 519/520/521 tables variant is gated out above).
+        off = one(513)
+        ln = one(514, len(b) - off)
+        jw, jh, jch, pix = jpeg_decode(b[off : off + ln])
+        if (jw, jh, jch) != (w, h, spp):
+            raise ValueError(
+                f"TIFF old-style JPEG shape {(jw, jh, jch)} != {(w, h, spp)}"
+            )
+        return w, h, spp, bytes(pix)
 
     offsets = tags.get(273)
     counts = tags.get(279)

@@ -250,14 +250,20 @@ _KNOWN_CHARSETS = {
 
 def http_charset(headers: dict[str, str], body: bytes) -> str:
     """The charset to decode ``body`` with: ``Content-Type: …;
-    charset=`` wins, else an HTML ``<meta charset>`` / ``http-equiv``
-    sniff over the first 1024 bytes (per the HTML spec's prescan),
-    else utf-8."""
+    charset=`` wins, else a BOM (utf-8 / utf-16 either endianness —
+    a utf-16 page's ``<meta>`` is invisible to a byte regex, so the
+    BOM check must come first), else an HTML ``<meta charset>`` /
+    ``http-equiv`` sniff over the first 1024 bytes (per the HTML
+    spec's prescan), else utf-8."""
     m = _CT_CHARSET_RE.search(headers.get("content-type", ""))
     if m:
         cs = _KNOWN_CHARSETS.get(m.group(1).lower())
         if cs:
             return cs
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # the codec consumes the BOM and picks the order
     m2 = _META_CHARSET_RE.search(body[:1024])
     if m2:
         cs = _KNOWN_CHARSETS.get(m2.group(1).decode("latin-1").lower())
