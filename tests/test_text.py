@@ -491,6 +491,59 @@ def test_warc_ingest_chain(spark):
     )
 
 
+def test_c4_page_filter_rules_and_engine_parity(spark):
+    """r12: the C4 cleaning recipe — line retention (terminal
+    punctuation, ≥5 words, no javascript) and page rejection (<3
+    surviving sentences, brace, lorem ipsum, blocklist) — with the
+    generated DuckDB twin agreeing exactly on every case."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    NL = "\n"
+    good = "This sentence is long enough to be retained easily."
+    cases = [
+        (1, good + NL + good + NL + good),  # kept: 3 lines, 3 sentences
+        (2, good + NL + "Too short." + NL + good + NL + good),  # short dropped
+        (3, good + NL + "This line has javascript inside it somewhere." + NL + good + NL + good),
+        (4, good + NL + "no terminal punctuation on this long line here" + NL + good + NL + good),
+        (5, good + NL + good),  # only 2 sentences -> page dropped
+        (6, good + NL + good + NL + good + " But lorem ipsum lurks."),
+        (7, good + NL + good + NL + good + " A brace { kills it."),
+        (8, good + NL + good + NL + good + " And a badword too."),
+        (9, 'A quoted ending counts too so "it stays."' + NL + good + NL + good),
+        (10, "One! Two? Three." + NL + good),  # 1 line, many sentences
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.c4_page_filter(df).collect()}
+    assert got[1]["page_kept"] and got[1]["n_kept"] == 3
+    assert got[2]["page_kept"] and got[2]["n_kept"] == 3  # short line gone
+    assert got[3]["n_kept"] == 3  # javascript line gone
+    assert "javascript" not in got[3]["text_clean"]
+    assert got[4]["n_kept"] == 3  # unterminated line gone
+    assert not got[5]["page_kept"] and got[5]["n_sentences"] == 2
+    assert not got[6]["page_kept"]  # lorem ipsum
+    assert not got[7]["page_kept"]  # brace
+    assert not got[8]["page_kept"]  # blocklist
+    assert got[9]["page_kept"] and got[9]["n_kept"] == 3  # quote terminal
+    assert not got[10]["page_kept"] or got[10]["n_sentences"] >= 3
+    # engine parity: the generated twin computes identical rows
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in cases
+    )
+    duck = con.execute(
+        text.c4_page_filter_sql(f"SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+        + " ORDER BY doc_id"
+    ).fetchall()
+    for (i, _), row in zip(cases, duck):
+        g = got[i]
+        assert (row[1], row[2], row[3], row[4]) == (
+            g["n_kept"], g["n_sentences"], g["page_kept"], g["text_clean"]
+        ), (i, row)
+
+
 def test_robots_rfc9309_parse_and_admission(spark):
     """r12: robots.txt (RFC 9309) — group structure (consecutive UA
     lines share rules), exact-agent groups beating ``*`` groups,

@@ -926,6 +926,122 @@ def url_normalize_sql(source_sql: str, col: str = "url") -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# C4-style page/line cleaning (r12): the canonical LLM corpus filter
+# (Raffel et al. 2020, the public C4 recipe) — line-level retention +
+# page-level rejection, all JVM HOFs
+# ---------------------------------------------------------------------------
+
+#: stand-in for C4's public blocklist (the real deployment swaps the
+#: full "Dirty, Naughty…" list in — same predicate, longer array)
+C4_BANNED = ("badword", "verybadword")
+
+#: a line is RETAINED iff it ends in terminal punctuation, carries at
+#: least MIN_WORDS words, and doesn't mention javascript (the classic
+#: boilerplate tell); a PAGE is kept iff ≥ MIN_SENTENCES sentences
+#: survive and it contains no brace, no "lorem ipsum", no banned word
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def _c4_exprs(*, duck: bool, banned: tuple[str, ...]) -> dict[str, str]:
+    """The engine-specific expression set behind :func:`c4_page_filter`
+    and its DuckDB twin — one source of truth for both, so the gate leg
+    runs the REAL operator on both engines (url-leg style parity)."""
+    ws = r"\s+" if duck else r"\\s+"
+    term = r'[.!?"]\s*$' if duck else r'[.!?"]\\s*$'
+    if duck:
+        split_ws = f"string_split_regex(trim(l), '{ws}')"
+        line_ok = (
+            f"l -> regexp_matches(trim(l), '{term}') "
+            f"AND len({split_ws}) >= {C4_MIN_WORDS} "
+            f"AND NOT contains(lower(l), 'javascript')"
+        )
+        kept = f"list_filter(string_split(text, chr(10)), {line_ok})"
+        clean = f"coalesce(array_to_string({kept}, chr(10)), '')"
+        n_kept = f"len({kept})::BIGINT"
+        n_sent = "len(regexp_extract_all(text_clean, '[.!?]'))::BIGINT"
+    else:
+        split_ws = f"split(trim(l), '{ws}')"
+        line_ok = (
+            f"l -> trim(l) rlike '{term}' "
+            f"AND size({split_ws}) >= {C4_MIN_WORDS} "
+            f"AND NOT contains(lower(l), 'javascript')"
+        )
+        kept = f"filter(split(text, '\\n'), {line_ok})"
+        clean = f"array_join({kept}, '\\n')"
+        n_kept = f"cast(size({kept}) as long)"
+        n_sent = "cast(size(regexp_extract_all(text_clean, '[.!?]', 0)) as long)"
+    bad = " OR ".join(
+        f"contains(lower(text), '{b}')" for b in banned
+    )
+    page_ok = (
+        f"n_sentences >= {C4_MIN_SENTENCES} AND NOT contains(text, '{{')"
+        " AND NOT contains(lower(text), 'lorem ipsum')"
+    )
+    if bad:
+        page_ok += f" AND NOT ({bad})"
+    return {
+        "clean": clean,
+        "n_kept": n_kept,
+        "n_sent": n_sent,
+        "page_ok": page_ok,
+    }
+
+
+def c4_page_filter(
+    docs: DataFrame, banned: tuple[str, ...] = C4_BANNED
+) -> DataFrame:
+    """(doc_id, n_kept, n_sentences, page_kept, text_clean) — the C4
+    cleaning recipe: retain lines ending in terminal punctuation with
+    ≥ 5 words and no 'javascript'; then keep the page iff ≥ 3 sentences
+    survive and the ORIGINAL text has no ``{``, no 'lorem ipsum', and
+    no blocklist word. Pure JVM (split / filter / regexp HOFs) —
+    map-only, whole-stage codegen; at 100 TB this is a projection, the
+    cheapest possible corpus pass. The 3-sentence-span dedup C4 runs
+    AFTER this filter is the dedup family's job
+    (``dedup.py``/``corpus.py``), not re-implemented here."""
+    e = _c4_exprs(duck=False, banned=banned)
+    s1 = docs.select(
+        "doc_id",
+        "text",
+        F.expr(e["clean"]).alias("text_clean"),
+        F.expr(e["n_kept"]).alias("n_kept"),
+    )
+    s2 = s1.withColumn("n_sentences", F.expr(e["n_sent"]))
+    return s2.select(
+        "doc_id",
+        "n_kept",
+        "n_sentences",
+        F.expr(e["page_ok"]).alias("page_kept"),
+        "text_clean",
+    )
+
+
+def c4_page_filter_sql(
+    source_sql: str, banned: tuple[str, ...] = C4_BANNED
+) -> str:
+    """DuckDB twin of :func:`c4_page_filter` over ``source_sql`` (a
+    subquery yielding (doc_id, text)) — generated from the same
+    expression set, engine-exact."""
+    e = _c4_exprs(duck=True, banned=banned)
+    return f"""
+        WITH c1 AS (
+            SELECT doc_id, text,
+                   {e["clean"]} AS text_clean,
+                   {e["n_kept"]} AS n_kept
+            FROM ({source_sql})
+        ),
+        c2 AS (
+            SELECT *, {e["n_sent"]} AS n_sentences FROM c1
+        )
+        SELECT doc_id, n_kept, n_sentences,
+               ({e["page_ok"]}) AS page_kept,
+               text_clean
+        FROM c2
+    """
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
     and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting

@@ -1142,6 +1142,44 @@ def register_extensions(q: dict, o: dict) -> None:
                 "CASE WHEN allowed THEN 'T' ELSE 'F' END)"
             ).alias("out_text"),
         )
+        # r12 c4 leg: the canonical C4 page/line cleaning recipe
+        # (text.c4_page_filter) — the entry CONSTRUCTS a multi-line
+        # page per doc cycling every rule (short line, javascript line,
+        # proper line, lorem-ipsum page poison, brace poison, blocklist
+        # poison) and the oracle runs the GENERATED DuckDB twin of the
+        # SAME operator over the same construction (engine parity, not
+        # restated constants). n_a = kept lines, n_b = sentences.
+        c4_text = (
+            "concat("
+            "'This is a good long sentence number one for doc ', doc_id,"
+            " '.', chr(10), "
+            f"{clean}, '.', chr(10), "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Too short.' "
+            "WHEN 1 THEN 'This line mentions javascript so it drops.' "
+            "ELSE 'Another proper sentence with enough words kept.' END,"
+            " chr(10), 'A third proper sentence with enough words to pass.',"
+            " CASE WHEN doc_id % 5 = 0 THEN concat(chr(10),"
+            " 'Filler then lorem ipsum appears here with many words.')"
+            " ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),"
+            " 'This brace { poisons the whole page entirely now.')"
+            " ELSE '' END,"
+            " CASE WHEN doc_id % 11 = 0 THEN concat(chr(10),"
+            " 'Sadly a badword appears in this long sentence.')"
+            " ELSE '' END)"
+        )
+        c4 = text.c4_page_filter(
+            docs.select("doc_id", F.expr(c4_text).alias("text"))
+        ).select(
+            "doc_id",
+            F.lit("c4").alias("kind"),
+            F.col("n_kept").alias("n_a"),
+            F.col("n_sentences").alias("n_b"),
+            F.expr(
+                "concat(CASE WHEN page_kept THEN 'K' ELSE 'D' END, '|',"
+                " text_clean)"
+            ).alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1150,6 +1188,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(wat)
             .unionByName(pdfx)
             .unionByName(rob)
+            .unionByName(c4)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1230,6 +1269,32 @@ def register_extensions(q: dict, o: dict) -> None:
         "(((doc_id % 7) % 2 = 0 AND doc_id % 10 = 9) OR "
         "((doc_id % 7) % 2 = 1 AND doc_id % 10 = 3)) THEN 'F' ELSE 'T' END "
         "AS out_text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'c4' AS kind, n_kept AS n_a, n_sentences AS n_b, "
+        "(CASE WHEN page_kept THEN 'K' ELSE 'D' END) || '|' || text_clean "
+        "AS out_text FROM ("
+        + text.c4_page_filter_sql(
+            "SELECT doc_id, "
+            "'This is a good long sentence number one for doc ' || doc_id "
+            "|| '.' || chr(10) || "
+            "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', "
+            "'g'), ' +', ' ', 'g')) || '.' || chr(10) || "
+            "CASE (doc_id % 3)::INT WHEN 0 THEN 'Too short.' "
+            "WHEN 1 THEN 'This line mentions javascript so it drops.' "
+            "ELSE 'Another proper sentence with enough words kept.' END "
+            "|| chr(10) || 'A third proper sentence with enough words to "
+            "pass.' || "
+            "CASE WHEN doc_id % 5 = 0 THEN chr(10) || "
+            "'Filler then lorem ipsum appears here with many words.' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+            "'This brace { poisons the whole page entirely now.' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+            "'Sadly a badword appears in this long sentence.' "
+            "ELSE '' END AS text FROM documents"
+        )
+        + ") "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
         "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
