@@ -491,6 +491,44 @@ def test_warc_ingest_chain(spark):
     )
 
 
+def test_cdx_index_parse_and_engine_parity(spark):
+    """r12: CDXJ crawl-index lines (SURT key, 14-digit timestamp, JSON
+    blob) parse to typed columns JVM-side; missing JSON fields surface
+    as NULLs; the generated DuckDB twin agrees exactly."""
+    import duckdb
+
+    from timeseries_db_spark.operators import warc as W
+
+    cases = [
+        (1, 'com,example)/a 20240114123456 {"url": "http://example.com/a", '
+            '"mime": "text/html", "status": "200", "digest": "XY", '
+            '"length": "1234", "filename": "seg-1.warc.gz"}'),
+        (2, 'org,site)/b?q=1 20231231235959 {"url": "http://site.org/b?q=1", '
+            '"status": "404", "length": "7"}'),  # sparse JSON -> NULLs
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, line string")
+    got = {r["doc_id"]: r for r in W.cdx_parse(df).collect()}
+    assert got[1]["surt"] == "com,example)/a"
+    assert got[1]["ts_ms"] == 1705235696000
+    assert (got[1]["status"], got[1]["length"]) == ("200", 1234)
+    assert got[2]["mime"] is None and got[2]["digest"] is None
+    assert got[2]["length"] == 7 and got[2]["surt"] == "org,site)/b?q=1"
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, ln.replace("'", "''")) for i, ln in cases
+    )
+    duck = con.execute(
+        W.cdx_parse_sql(f"SELECT * FROM (VALUES {vals}) t(doc_id, line)")
+        + " ORDER BY doc_id"
+    ).fetchall()
+    for (i, _), row in zip(cases, duck):
+        g = got[i]
+        assert row[1:] == (
+            g["surt"], g["ts_ms"], g["url"], g["mime"], g["status"],
+            g["digest"], g["length"], g["filename"],
+        ), (i, row)
+
+
 def test_c4_page_filter_rules_and_engine_parity(spark):
     """r12: the C4 cleaning recipe — line retention (terminal
     punctuation, ≥5 words, no javascript) and page rejection (<3

@@ -278,6 +278,60 @@ def decode_page(headers: dict[str, str], body: bytes) -> str:
     return body.decode(http_charset(headers, body), "replace")
 
 
+#: CDX(J) line shape: SURT key, 14-digit timestamp, JSON blob
+CDX_RE_SPARK = r"^(\\S+) (\\S+) (.*)$"
+CDX_RE_DUCK = r"^(\S+) (\S+) (.*)$"
+
+#: JSON fields a crawl-index consumer actually uses
+_CDX_FIELDS = ("url", "mime", "status", "digest", "length", "filename")
+
+
+def cdx_parse(lines: DataFrame, col: str = "line") -> DataFrame:
+    """(doc_id, surt, ts_ms, url, mime, status, digest, length,
+    filename) — parse CDXJ index lines (the Common Crawl URL index
+    format: ``<SURT key> <14-digit timestamp> <JSON>``), the discovery
+    side of the WARC/WAT/WET triad: consumers query the index FIRST,
+    then fetch only the byte ranges it names. Pure JVM — regexp field
+    split + ``get_json_object`` + timestamp parse — so scanning a
+    multi-TB index is one codegen projection, no Python anywhere."""
+    surt = f"regexp_extract({col}, '{CDX_RE_SPARK}', 1)"
+    ts = f"regexp_extract({col}, '{CDX_RE_SPARK}', 2)"
+    js = f"regexp_extract({col}, '{CDX_RE_SPARK}', 3)"
+    sel = [
+        "doc_id",
+        F.expr(surt).alias("surt"),
+        F.expr(
+            f"unix_timestamp({ts}, 'yyyyMMddHHmmss') * 1000"
+        ).alias("ts_ms"),
+    ]
+    for f in _CDX_FIELDS:
+        e = f"get_json_object({js}, '$.{f}')"
+        if f == "length":
+            e = f"cast({e} as long)"
+        sel.append(F.expr(e).alias(f))
+    return lines.select(*sel)
+
+
+def cdx_parse_sql(source_sql: str, col: str = "line") -> str:
+    """DuckDB twin of :func:`cdx_parse` over ``source_sql`` (a
+    subquery yielding (doc_id, {col}))."""
+    surt = f"regexp_extract({col}, '{CDX_RE_DUCK}', 1)"
+    ts = f"regexp_extract({col}, '{CDX_RE_DUCK}', 2)"
+    js = f"regexp_extract({col}, '{CDX_RE_DUCK}', 3)"
+    fields = []
+    for f in _CDX_FIELDS:
+        e = f"json_extract_string({js}, '$.{f}')"
+        if f == "length":
+            e = f"({e})::BIGINT"
+        fields.append(f"{e} AS {f}")
+    return f"""
+        SELECT doc_id, {surt} AS surt,
+               epoch_ms(strptime({ts}, '%Y%m%d%H%M%S')) AS ts_ms,
+               {", ".join(fields)}
+        FROM ({source_sql})
+    """
+
+
 def wet_extract_text(assets: DataFrame) -> DataFrame:
     """(asset_id, rec_idx, uri, text) — one row per ``conversion``
     record: the WET sibling of :func:`warc_extract_text`. Common Crawl

@@ -1180,6 +1180,36 @@ def register_extensions(q: dict, o: dict) -> None:
                 " text_clean)"
             ).alias("out_text"),
         )
+        # r12 cdx leg: the Common Crawl URL INDEX format (CDXJ — how
+        # consumers discover records before fetching any WARC bytes):
+        # constructed closed-form lines, REAL parser on both engines
+        # (the oracle runs the generated DuckDB twin). n_a = parsed
+        # epoch ms, n_b = parsed length.
+        cdx_line = (
+            "concat('com,example', doc_id % 7, ')/doc', doc_id, ' ',"
+            " '202401', lpad(cast(1 + doc_id % 28 as string), 2, '0'),"
+            " '10', lpad(cast(doc_id % 60 as string), 2, '0'),"
+            " lpad(cast(doc_id % 59 as string), 2, '0'),"
+            " ' {\"url\": \"http://example', doc_id % 7, '.com/doc',"
+            " doc_id, '\", \"mime\": \"text/html\", \"status\": \"',"
+            " CASE WHEN doc_id % 9 = 0 THEN '404' ELSE '200' END,"
+            " '\", \"digest\": \"D', doc_id, '\", \"length\": \"',"
+            " 100 + doc_id % 900,"
+            " '\", \"filename\": \"crawl-data/seg-', doc_id % 4,"
+            " '.warc.gz\"}')"
+        )
+        cdx = _warc.cdx_parse(
+            docs.select("doc_id", F.expr(cdx_line).alias("line"))
+        ).select(
+            "doc_id",
+            F.lit("cdx").alias("kind"),
+            F.col("ts_ms").alias("n_a"),
+            F.col("length").alias("n_b"),
+            F.expr(
+                "concat(surt, ' | ', url, ' | ', status, ' | ',"
+                " filename, ' | ', mime, ' | ', digest)"
+            ).alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1189,9 +1219,12 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(pdfx)
             .unionByName(rob)
             .unionByName(c4)
+            .unionByName(cdx)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
+    from timeseries_db_spark.operators import warc as _warc_mod
+
     # r12 closed forms: the doc-dependent counter/text pieces —
     #   n_tags = 14 + 2*(doc_id%4)   (base template + <i></i> pairs)
     #   n_entities = 3 + doc_id%3    (base + repeated &#33;)
@@ -1293,6 +1326,25 @@ def register_extensions(q: dict, o: dict) -> None:
             "CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
             "'Sadly a badword appears in this long sentence.' "
             "ELSE '' END AS text FROM documents"
+        )
+        + ") "
+        "UNION ALL "
+        "SELECT doc_id, 'cdx' AS kind, ts_ms AS n_a, length AS n_b, "
+        "surt || ' | ' || url || ' | ' || status || ' | ' || filename "
+        "|| ' | ' || mime || ' | ' || digest AS out_text FROM ("
+        + _warc_mod.cdx_parse_sql(
+            "SELECT doc_id, "
+            "'com,example' || (doc_id % 7) || ')/doc' || doc_id || ' ' || "
+            "'202401' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || "
+            "'10' || lpad((doc_id % 60)::VARCHAR, 2, '0') || "
+            "lpad((doc_id % 59)::VARCHAR, 2, '0') || "
+            "' {\"url\": \"http://example' || (doc_id % 7) || '.com/doc' || "
+            "doc_id || '\", \"mime\": \"text/html\", \"status\": \"' || "
+            "CASE WHEN doc_id % 9 = 0 THEN '404' ELSE '200' END || "
+            "'\", \"digest\": \"D' || doc_id || '\", \"length\": \"' || "
+            "(100 + doc_id % 900) || "
+            "'\", \"filename\": \"crawl-data/seg-' || (doc_id % 4) || "
+            "'.warc.gz\"}' AS line FROM documents"
         )
         + ") "
         "UNION ALL "
