@@ -428,6 +428,15 @@ def test_url_normalize_canonical_form(spark):
     assert got[13]["url_norm"] == "http://h.com/x"
     assert got[14]["url_norm"] == "http://h.com/x%"
     assert got[15]["url_norm"] == "http://h.com/b"
+    # r12: SURT (the CDX join key) — reversed labels, www dropped,
+    # non-default port re-attached after the labels
+    assert got[1]["surt"] == "com,example)/Path"
+    assert got[3]["surt"] == "org,h:8443)/x"
+    www = spark.createDataFrame(
+        [(20, "http://www.Sub.Example.com/p")], "doc_id long, url string"
+    )
+    g20 = text.url_normalize(www).collect()[0]
+    assert g20["surt"] == "com,example,sub)/p"
     # engine parity with the generated DuckDB twin
     con = duckdb.connect()
     vals = ", ".join(f"({i}, '{u}')" for i, u in cases)
@@ -439,6 +448,7 @@ def test_url_normalize_canonical_form(spark):
     ).fetchall()
     for (i, _), row in zip(cases, duck):
         assert row[4] == got[i]["url_norm"], (i, row[4], got[i]["url_norm"])
+        assert row[5] == got[i]["surt"], (i, row[5], got[i]["surt"])
 
 
 def test_warc_ingest_chain(spark):

@@ -832,8 +832,34 @@ def _url_dot_segments(*, duck: bool) -> str:
     return f"CASE WHEN {closed} = '' THEN '/' ELSE {closed} END"
 
 
+def _url_surt(*, duck: bool) -> str:
+    """SQL expression building the SURT form of columns ``host`` /
+    ``path`` (r12): hostname labels reversed comma-joined (leading
+    ``www.`` dropped, a non-default port re-attached after the
+    labels), then ``)`` + path — the key shape the CDX crawl index
+    sorts on, so canonical URLs join the index directly."""
+    if duck:
+        port = r"regexp_extract(host, ':(\d+)$', 1)"
+        hostname = r"regexp_replace(regexp_replace(host, ':\d+$', ''), '^www\.', '')"
+        rev = f"array_to_string(list_reverse(string_split({hostname}, '.')), ',')"
+    else:
+        port = r"regexp_extract(host, ':(\\d+)$', 1)"
+        hostname = (
+            r"regexp_replace(regexp_replace(host, ':\\d+$', ''),"
+            r" '^www\\.', '')"
+        )
+        rev = f"array_join(reverse(split({hostname}, '\\\\.')), ',')"
+    return (
+        f"{rev} || CASE WHEN {port} != '' THEN ':' || {port} ELSE '' END"
+        f" || ')' || path"
+        if duck
+        else f"concat({rev}, CASE WHEN {port} != '' THEN concat(':', {port})"
+        f" ELSE '' END, ')', path)"
+    )
+
+
 def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
-    """(doc_id, host, path, n_params, url_norm) — RFC 3986 §6.2
+    """(doc_id, host, path, n_params, url_norm, surt) — RFC 3986 §6.2
     canonical URL form: scheme and host lowercased, default ports
     dropped (``:80`` http, ``:443`` https), percent-encodings
     normalized in path and params (hex uppercased, unreserved octets
@@ -871,7 +897,7 @@ def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
         "THEN substring(hostport, 1, length(hostport) - 4) "
         "ELSE hostport END"
     )
-    return s2.select(
+    s3 = s2.select(
         "doc_id",
         F.expr(host).alias("host"),
         "path",
@@ -882,6 +908,7 @@ def url_normalize(df: DataFrame, col: str = "url") -> DataFrame:
             "THEN concat('?', array_join(params, '&')) ELSE '' END)"
         ).alias("url_norm"),
     )
+    return s3.withColumn("surt", F.expr(_url_surt(duck=False)))
 
 
 def url_normalize_sql(source_sql: str, col: str = "url") -> str:
@@ -916,13 +943,14 @@ def url_normalize_sql(source_sql: str, col: str = "url") -> str:
                         ELSE hostport END AS host
             FROM u2
         )
+        SELECT *, {_url_surt(duck=True)} AS surt FROM (
         SELECT doc_id, host, path,
                len(params)::BIGINT AS n_params,
                scheme || '://' || host || path ||
                CASE WHEN len(params) > 0
                     THEN '?' || array_to_string(params, '&') ELSE '' END
                AS url_norm
-        FROM u3
+        FROM u3)
     """
 
 

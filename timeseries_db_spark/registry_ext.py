@@ -889,12 +889,14 @@ def register_extensions(q: dict, o: dict) -> None:
                 " '?b=2&a=', doc_id % 5, '&c=%4a#frag')"
             ).alias("url"),
         )
+        # r12: out_text also carries the SURT form — the CDX-index join
+        # key — so the reversed-label/port/www handling is value-checked
         ux = text.url_normalize(url_docs).select(
             "doc_id",
             F.lit("url").alias("kind"),
             F.col("n_params").alias("n_a"),
             F.expr("length(host)").cast("long").alias("n_b"),
-            F.col("url_norm").alias("out_text"),
+            F.expr("concat(url_norm, ' @ ', surt)").alias("out_text"),
         )
 
         # r11 warc leg: the FULL Common-Crawl-style ingest chain under
@@ -1349,7 +1351,8 @@ def register_extensions(q: dict, o: dict) -> None:
         + ") "
         "UNION ALL "
         "SELECT doc_id, 'url' AS kind, n_params AS n_a, "
-        "length(host)::BIGINT AS n_b, url_norm AS out_text FROM ("
+        "length(host)::BIGINT AS n_b, url_norm || ' @ ' || surt "
+        "AS out_text FROM ("
         + text.url_normalize_sql(
             "SELECT doc_id, 'HTTP://Example' || (doc_id % 7) || '.COM' || "
             "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END || "
