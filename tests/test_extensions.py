@@ -2570,6 +2570,39 @@ def test_flac_fixed_predictor_spec_and_roundtrips():
         M.flac_pcm(streaminfo(4) + hdr + b"\x00\x00")
 
 
+def test_wav_pcm_matrix_8_16_24_bit_and_multichannel():
+    """r12: the full linear-PCM WAV matrix — 16-bit signed (any channel
+    count, interleaved), 8-bit unsigned-offset-128 (the RIFF quirk),
+    and 24-bit packed triples with sign extension — all roundtripping
+    through the writer; the unsupported-combination error names the
+    capability."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(5)
+    st = rng.randint(-32768, 32768, size=400)
+    assert np.array_equal(M.wav_pcm(M.wav_encode(st, bits=16, channels=2)), st)
+    s8 = rng.randint(-128, 128, size=333)
+    assert np.array_equal(M.wav_pcm(M.wav_encode(s8, bits=8)), s8)
+    # 8-bit really is unsigned on disk: all-zero signal stores as 0x80
+    z = M.wav_encode(np.zeros(4, np.int64), bits=8)
+    assert z[z.find(b"data") + 8 : z.find(b"data") + 12] == b"\x80\x80\x80\x80"
+    s24 = np.concatenate(
+        [rng.randint(-(1 << 23), 1 << 23, size=200),
+         [-(1 << 23), (1 << 23) - 1, -1, 0, 1]]
+    )
+    assert np.array_equal(M.wav_pcm(M.wav_encode(s24, bits=24)), s24)
+    assert np.array_equal(
+        M.wav_pcm(M.wav_encode(s24[:100], bits=24, channels=2)), s24[:100]
+    )
+    with _pytest.raises(ValueError, match="AUDIO_PCM_CAPABILITIES"):
+        bad = bytearray(M.wav_encode([0, 1], bits=16))
+        bad[bad.find(b"fmt ") + 22] = 32  # bits=32 unsupported
+        M.wav_pcm(bytes(bad))
+
+
 def test_flac_stereo_decorrelation_and_lpc():
     """r12 completion: FLAC stereo (independent pair + all three
     decorrelated assignments, side channel one bit wider) and LPC

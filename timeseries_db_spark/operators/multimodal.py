@@ -3715,7 +3715,9 @@ def dhash_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
 #: sample path needs no media library at all, unlike JPEG/video which
 #: stay behind PIXEL_CAPABILITIES. 16-bit mono is the supported shape.
 AUDIO_PCM_CAPABILITIES = {
-    "wav": "real (RIFF parse + int16 LE mono PCM)",
+    "wav": "real (RIFF parse; r12: the full linear-PCM matrix — 16-bit "
+    "signed, 8-bit unsigned-offset-128, 24-bit packed, mono or "
+    "interleaved multi-channel)",
     "wav g711": "real (r10: µ-law/A-law COMPRESSED audio, fmt tags 7/6 — "
     "from-spec integer expand, no library)",
     "wav ima adpcm": "real (r10: 4-bit predictive blocks, fmt tag 0x11 — "
@@ -4723,8 +4725,20 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         i += 8 + size + (size & 1)
     if data is None:
         raise ValueError("WAV missing data chunk")
-    if fmt_tag == 1 and bits == 16 and channels == 1:
+    if fmt_tag == 1 and bits == 16:
+        # 16-bit linear, any channel count — multi-channel stays
+        # INTERLEAVED (the FLAC surface's convention)
         return np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if fmt_tag == 1 and bits == 8:
+        # r12: 8-bit WAV PCM is UNSIGNED with a 128 midpoint (the RIFF
+        # quirk every reader must know); normalize to signed
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    if fmt_tag == 1 and bits == 24:
+        # r12: 24-bit packed little-endian triples, sign-extended
+        tri = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        tri = tri.reshape(-1, 3).astype(np.int64)
+        v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        return v - ((v >> 23) & 1) * (1 << 24)
     if fmt_tag in (6, 7) and bits == 8 and channels == 1:
         dec = mulaw_decode_sample if fmt_tag == 7 else alaw_decode_sample
         lut = np.array([dec(v) for v in range(256)], dtype=np.int64)
@@ -4743,27 +4757,44 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         )
     raise ValueError(
         f"WAV fmt_tag={fmt_tag} bits={bits} channels={channels} outside "
-        f"AUDIO_PCM_CAPABILITIES (16-bit mono PCM, 8-bit mono G.711, "
-        f"or 4-bit mono IMA/MS ADPCM)"
+        f"AUDIO_PCM_CAPABILITIES (8/16/24-bit linear PCM any channels, "
+        f"8-bit mono G.711, or 4-bit mono IMA/MS ADPCM)"
     )
 
 
-def wav_encode(samples, rate: int = 8000) -> bytes:
-    """Minimal 16-bit mono RIFF/WAVE writer (tests + synthetic gate
-    fixture)."""
+def wav_encode(
+    samples, rate: int = 8000, bits: int = 16, channels: int = 1
+) -> bytes:
+    """Minimal linear-PCM RIFF/WAVE writer (tests + synthetic gate
+    fixture): 16-bit signed, 8-bit unsigned-offset, or 24-bit packed;
+    mono or interleaved multi-channel."""
     import numpy as np
 
-    pcm = np.asarray(samples, dtype=np.int64).astype("<i2").tobytes()
-    byte_rate = rate * 2
+    xs = np.asarray(samples, dtype=np.int64)
+    if bits == 16:
+        pcm = xs.astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (xs + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = (xs & 0xFFFFFF).astype(np.int64)
+        tri = np.empty((len(xs), 3), np.uint8)
+        tri[:, 0] = v & 0xFF
+        tri[:, 1] = (v >> 8) & 0xFF
+        tri[:, 2] = (v >> 16) & 0xFF
+        pcm = tri.tobytes()
+    else:
+        raise ValueError("wav_encode supports 8/16/24-bit PCM")
+    step = bits // 8
+    byte_rate = rate * step * channels
     fmt = (
         b"fmt "
         + (16).to_bytes(4, "little")
         + (1).to_bytes(2, "little")   # PCM
-        + (1).to_bytes(2, "little")   # mono
+        + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
-        + (2).to_bytes(2, "little")   # block align
-        + (16).to_bytes(2, "little")  # bits
+        + (step * channels).to_bytes(2, "little")  # block align
+        + bits.to_bytes(2, "little")
     )
     data = b"data" + len(pcm).to_bytes(4, "little") + pcm
     if len(pcm) & 1:
