@@ -482,3 +482,56 @@ def test_rollup_increment_plan_broadcasts_delta_and_keys_rescan(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert len(_nodes(plan, "BroadcastHashJoin")) >= 3, plan
+
+
+def test_crawl_ops_stay_jvm_side(spark):
+    """r12 crawl operators claim pure-JVM plans — no Python evaluator
+    node may appear: URL canonicalization (+SURT), the C4 page filter,
+    and the CDX index parse are projections/filters Catalyst keeps in
+    whole-stage codegen."""
+    from timeseries_db_spark.operators import text
+    from timeseries_db_spark.operators import warc as W
+
+    urls = spark.createDataFrame(
+        [(1, "HTTP://Example.COM:80/a/./b/../c?b=2&a=%4a#f")],
+        "doc_id long, url string",
+    )
+    lines = spark.createDataFrame(
+        [(1, 'com,x)/p 20240114123456 {"url": "http://x/p", "length": "5"}')],
+        "doc_id long, line string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "A proper sentence with enough words right here.")],
+        "doc_id long, text string",
+    )
+    for df in (
+        text.url_normalize(urls),
+        text.c4_page_filter(docs),
+        W.cdx_parse(lines),
+    ):
+        plan = _formatted_plan(spark, df)
+        assert "EvalPython" not in plan, plan  # Arrow/BatchEvalPython
+        assert "Exchange" not in plan, plan  # map-only: no shuffle either
+
+
+def test_robots_admission_broadcasts_rules(spark):
+    """r12 robots_allowed claims ONE broadcast join against the URL
+    corpus: the matched-rules join must be a BroadcastHashJoin (the
+    rules side is per-host and tiny), never a sort-merge shuffle of
+    the URL table, and no cartesian/nested-loop anywhere."""
+    from timeseries_db_spark.operators import robots as R
+
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /p")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [(1, "h.com", "/p/x"), (2, "h.com", "/ok")],
+        "doc_id long, host string, path string",
+    )
+    plan = _formatted_plan(spark, R.robots_allowed(urls, rules, "bot"))
+    assert len(_nodes(plan, "BroadcastHashJoin")) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
