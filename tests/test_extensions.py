@@ -2444,9 +2444,16 @@ def test_audio_container_meta_aiff_flac_mp3():
     assert M.audio_meta(a) == ("aiff", *M.aiff_meta(a))
     for r in (1, 8000, 44100, 48000, 96000, 192000):
         assert M._f80_decode(M._f80_encode(r)) == r
-    with _pytest.raises(ValueError, match="16-bit mono"):
+    # r12: stereo decodes (interleaved); non-16-bit still raises
+    import numpy as np
+
+    st = np.arange(-200, 200, dtype=np.int64)
+    a2 = M.aiff_encode(st, rate=8000, channels=2)
+    assert M.aiff_meta(a2)[0] == 2
+    assert np.array_equal(M.aiff_pcm(a2), st)
+    with _pytest.raises(ValueError, match="16-bit"):
         bad = bytearray(a)
-        bad[a.find(b"COMM") + 9] = 2  # stereo
+        bad[a.find(b"COMM") + 15] = 8  # bits=8
         M.aiff_pcm(bytes(bad))
     # FLAC STREAMINFO: hand-packed 44.1k stereo 16-bit, 441000 samples
     packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 441_000

@@ -3726,7 +3726,8 @@ AUDIO_PCM_CAPABILITIES = {
     "pairs + multiplicative delta adaptation; audioop has no MS ADPCM, "
     "so the pin is a hand-computed spec stream + roundtrip properties)",
     "aiff": "real (r11: big-endian IFF COMM/SSND incl. the 80-bit "
-    "IEEE-extended sample rate; 16-bit mono PCM decode)",
+    "IEEE-extended sample rate; 16-bit PCM decode — r12: any channel "
+    "count, interleaved)",
     "flac": "decode-COMPLETE for standard streams (r12: CONSTANT/"
     "VERBATIM/FIXED/LPC subframes — LPC is exact integer math — Rice "
     "residuals incl. raw-bits escape and partitions, wasted bits, "
@@ -3996,16 +3997,17 @@ def aiff_meta(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def aiff_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """REAL AIFF sample decode (16-bit mono big-endian PCM from the
-    SSND chunk) — the AIFF twin of :func:`wav_pcm`'s linear path."""
+    """REAL AIFF sample decode (16-bit big-endian PCM from the SSND
+    chunk; r12: any channel count, multi-channel INTERLEAVED like the
+    WAV/FLAC surfaces) — the AIFF twin of :func:`wav_pcm`'s linear
+    path."""
     import numpy as np
 
     b = payload
     ch, rate, bits, _ = aiff_meta(b)
-    if ch != 1 or bits != 16:
+    if bits != 16:
         raise ValueError(
-            f"AIFF channels={ch} bits={bits} outside AUDIO_PCM_CAPABILITIES "
-            f"(16-bit mono)"
+            f"AIFF bits={bits} outside AUDIO_PCM_CAPABILITIES (16-bit)"
         )
     i = 12
     while i + 8 <= len(b):
@@ -4019,16 +4021,20 @@ def aiff_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
     raise ValueError("AIFF missing SSND chunk")
 
 
-def aiff_encode(samples, rate: int = 8000) -> bytes:
-    """Minimal 16-bit mono AIFF writer (tests): big-endian COMM with
-    the 80-bit extended rate + SSND."""
+def aiff_encode(samples, rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal 16-bit AIFF writer (tests): big-endian COMM with the
+    80-bit extended rate + SSND; ``channels>1`` takes INTERLEAVED
+    samples."""
     import numpy as np
 
     xs = np.clip(np.asarray(list(samples), dtype=np.int64), -32768, 32767)
+    if len(xs) % channels:
+        raise ValueError("samples must interleave to equal channel lengths")
     data = xs.astype(">i2").tobytes()
     comm = (
         b"COMM" + (18).to_bytes(4, "big")
-        + (1).to_bytes(2, "big") + len(xs).to_bytes(4, "big")
+        + channels.to_bytes(2, "big")
+        + (len(xs) // channels).to_bytes(4, "big")
         + (16).to_bytes(2, "big") + _f80_encode(rate)
     )
     ssnd = b"SSND" + (8 + len(data)).to_bytes(4, "big") + bytes(8) + data
