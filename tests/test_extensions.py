@@ -2577,6 +2577,61 @@ def test_flac_fixed_predictor_spec_and_roundtrips():
         M.flac_pcm(streaminfo(4) + hdr + b"\x00\x00")
 
 
+def test_ogg_opus_page_walk_and_crc():
+    """r12: Ogg/Opus metadata — page walk with VERIFIED page CRCs,
+    OpusHead fields, duration from the last granule minus pre-skip,
+    multi-segment lacing (>255-byte packets), and the corruption /
+    non-Opus / truncation failure modes raising by name."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    p = M.ogg_opus_encode(
+        channels=2, rate=24_000, pre_skip=400, samples48k=96_000
+    )
+    assert M.ogg_opus_meta(p) == (2, 24_000, 400, 2000)  # 2 s at 48 kHz
+    assert M.audio_meta(p) == ("opus", 2, 24_000, 400, 2000)
+    # pre-skip never drives the duration negative
+    assert M.ogg_opus_meta(
+        M.ogg_opus_encode(pre_skip=1000, samples48k=0)
+    )[3] == 0
+    # CRC corruption raises (flip a payload byte, keep the stored CRC)
+    bad = bytearray(p)
+    bad[30] ^= 0x40  # inside the first page's body
+    with _pytest.raises(ValueError, match="CRC"):
+        M.ogg_opus_meta(bytes(bad))
+    # a Vorbis-first stream raises with the capability name
+    vorb = bytearray(M.ogg_opus_encode())
+    at = vorb.find(b"OpusHead")
+    vorb[at : at + 8] = b"\x01vorbis\x00"
+    # fix the CRC so the dispatch failure (not the CRC) is what raises
+    nsegs = vorb[26]
+    end = 27 + nsegs + sum(vorb[27 : 27 + nsegs])
+    page = bytearray(vorb[:end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    vorb[22:26] = M._ogg_crc(bytes(page)).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="OpusHead"):
+        M.ogg_opus_meta(bytes(vorb))
+    with _pytest.raises(ValueError, match="truncated|capture"):
+        M.ogg_opus_meta(p[: len(p) - 9] + b"OggSxxxxx")
+    # multi-segment lacing: a >255-byte first packet still parses
+    big = M.ogg_opus_encode(samples48k=4800)
+    # rebuild with a padded OpusHead (comment padding is legal)
+    head = (
+        b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little")
+        + (48_000).to_bytes(4, "little") + b"\x00\x00" + b"\x00"
+    ) + bytes(300)
+    pg = bytearray(b"OggS" + bytes([0, 2]) + (0).to_bytes(8, "little")
+                   + (1).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                   + b"\x00\x00\x00\x00"
+                   + bytes([2, 255, len(head) - 255]) + head)
+    # the CRC field is still its zero placeholder here: compute directly
+    pg[22:26] = M._ogg_crc(bytes(pg)).to_bytes(4, "little")
+    tail = M.ogg_opus_encode(pre_skip=312, samples48k=4800)
+    last = tail[tail.find(b"OggS", 4):]  # reuse a valid EOS page
+    assert M.ogg_opus_meta(bytes(pg) + last) == (1, 48_000, 312, 100)
+
+
 def test_wav_pcm_matrix_8_16_24_bit_and_multichannel():
     """r12: the full linear-PCM WAV matrix — 16-bit signed (any channel
     count, interleaved), 8-bit unsigned-offset-128 (the RIFF quirk),

@@ -3738,7 +3738,10 @@ AUDIO_PCM_CAPABILITIES = {
     "mp3": "metadata-real (r11: ID3v2 synchsafe skip + frame-header "
     "version/layer/bitrate/samplerate tables); entropy decode = "
     "ffmpeg seam",
-    "opus/aac": "stub — entropy decoding (ffmpeg insertion point)",
+    "ogg opus": "metadata-real (r12: RFC 3533 page walk with VERIFIED "
+    "page CRCs + RFC 7845 OpusHead — channels/rate/pre-skip/duration "
+    "from the last granule); audio entropy decode = ffmpeg seam",
+    "aac": "stub — entropy decoding (ffmpeg insertion point)",
 }
 
 
@@ -4523,6 +4526,105 @@ def mp3_meta(payload: bytes) -> tuple[int, int, int, int]:
     raise ValueError("MP3 has no valid frame sync")
 
 
+def _ogg_crc(page: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no
+    final xor — computed with the 22-25 byte CRC field zeroed."""
+    crc = 0
+    for b in page:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF
+                if crc & 0x80000000
+                else (crc << 1) & 0xFFFFFFFF
+            )
+    return crc
+
+
+def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL Ogg/Opus metadata — (channels, input_rate, pre_skip,
+    duration_ms) from the page walk (RFC 3533: OggS capture pattern,
+    lacing table, page CRC VERIFIED) and the OpusHead of the first
+    page (RFC 7845). Duration comes from the LAST page's granule
+    position, which counts 48 kHz PCM samples regardless of the input
+    rate, minus pre-skip. Entropy decode of the audio itself stays the
+    documented ffmpeg seam."""
+    b = payload
+    i = 0
+    head = None
+    granule = 0
+    while i + 27 <= len(b):
+        if b[i : i + 4] != b"OggS":
+            raise ValueError("Ogg page missing capture pattern")
+        if b[i + 4] != 0:
+            raise ValueError("Ogg version must be 0")
+        nsegs = b[i + 26]
+        seg_table = b[i + 27 : i + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise ValueError("Ogg lacing table truncated")
+        body_len = sum(seg_table)
+        page_end = i + 27 + nsegs + body_len
+        if page_end > len(b):
+            raise ValueError("Ogg page body truncated")
+        page = bytearray(b[i:page_end])
+        want = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            raise ValueError("Ogg page CRC mismatch")
+        granule = int.from_bytes(b[i + 6 : i + 14], "little", signed=True)
+        body = b[i + 27 + nsegs : page_end]
+        if head is None:
+            if body[:8] != b"OpusHead":
+                raise ValueError(
+                    "first Ogg packet is not OpusHead (only Opus streams "
+                    "are in AUDIO_PCM_CAPABILITIES; Vorbis = ffmpeg seam)"
+                )
+            ch = body[9]
+            pre_skip = int.from_bytes(body[10:12], "little")
+            rate = int.from_bytes(body[12:16], "little")
+            head = (ch, rate, pre_skip)
+        i = page_end
+    if head is None:
+        raise ValueError("Ogg stream has no pages")
+    ch, rate, pre_skip = head
+    dur = max(0, granule - pre_skip) * 1000 // 48_000
+    return ch, rate, pre_skip, dur
+
+
+def ogg_opus_encode(
+    *, channels: int = 1, rate: int = 48_000, pre_skip: int = 312,
+    samples48k: int = 4800,
+) -> bytes:
+    """Minimal Ogg/Opus writer (tests + fixtures): a BOS page carrying
+    OpusHead and an EOS page whose granule position encodes the
+    stream length — real lacing tables and real page CRCs, so the
+    reader's verification paths all run. (No audio packets: metadata
+    streams are exactly what the meta surface reads.)"""
+
+    def page(htype: int, granule: int, seq: int, body: bytes) -> bytes:
+        nsegs = len(body) // 255 + 1
+        lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
+        hdr = bytearray(b"OggS")
+        hdr += bytes([0, htype])
+        hdr += granule.to_bytes(8, "little", signed=True)
+        hdr += (7_777).to_bytes(4, "little")  # serial
+        hdr += seq.to_bytes(4, "little")
+        hdr += b"\x00\x00\x00\x00"  # crc placeholder
+        hdr += bytes([nsegs]) + lacing
+        full = bytearray(hdr + body)
+        crc = _ogg_crc(bytes(full))
+        full[22:26] = crc.to_bytes(4, "little")
+        return bytes(full)
+
+    head = (
+        b"OpusHead" + bytes([1, channels])
+        + pre_skip.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + b"\x00\x00" + b"\x00"
+    )
+    return page(2, 0, 0, head) + page(4, pre_skip + samples48k, 1, b"")
+
+
 def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
     """Container-dispatching audio metadata — (format, channels,
     sample_rate, bits, duration_ms) for WAV / AIFF / FLAC / MP3 (MP3
@@ -4535,6 +4637,11 @@ def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
         return ("aiff", *aiff_meta(b))
     if b[:4] == b"fLaC":
         return ("flac", *flac_meta(b))
+    if b[:4] == b"OggS":
+        # opus reports pre_skip in the bits slot (its resolution-ish
+        # field, like mp3's bitrate) — documented convention
+        ch, rate, pre_skip, dur = ogg_opus_meta(b)
+        return ("opus", ch, rate, pre_skip, dur)
     if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
         return ("mp3", *mp3_meta(b))
     raise ValueError("unrecognized audio container")
@@ -5079,10 +5186,25 @@ def decode_audio_meta(assets: DataFrame) -> DataFrame:
     )
 
 
+def synth_ogg_opus(doc_id: int) -> bytes:
+    """Deterministic Ogg/Opus stream for the gate fixture (r12):
+    channels ``1 + id%2``, input rate ``8000 + (id%5)*4000``, pre-skip
+    ``312 + id%100``, length ``4800 + id*10`` 48 kHz samples — every
+    :func:`ogg_opus_meta` output is closed-form in doc_id, and the
+    page CRC verification runs on every asset."""
+    return ogg_opus_encode(
+        channels=1 + doc_id % 2,
+        rate=8000 + (doc_id % 5) * 4000,
+        pre_skip=312 + doc_id % 100,
+        samples48k=4800 + doc_id * 10,
+    )
+
+
 def documents_as_meta_audio_assets(docs: DataFrame, which: str) -> DataFrame:
-    """Audio-asset fixture with FLAC (``which='flac'``) or MP3
-    (``'mp3'``) payloads over the ``doc_id % 3 == 1`` audio subset."""
-    synth = {"flac": synth_flac, "mp3": synth_mp3}[which]
+    """Audio-asset fixture with FLAC (``which='flac'``), MP3
+    (``'mp3'``) or Ogg/Opus (``'opus'``) payloads over the
+    ``doc_id % 3 == 1`` audio subset."""
+    synth = {"flac": synth_flac, "mp3": synth_mp3, "opus": synth_ogg_opus}[which]
     schema = "asset_id long, kind string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2584,6 +2584,10 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(fpcm)
             .unionByName(meta_leg("flac", "fmeta"))
             .unionByName(meta_leg("mp3", "mmeta"))
+            # r12 ometa leg: Ogg/Opus page walk (CRC-verified) +
+            # OpusHead through the same audio_meta dispatch;
+            # v3 = pre_skip (the bits slot, documented convention)
+            .unionByName(meta_leg("opus", "ometa"))
         )
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
@@ -2773,6 +2777,15 @@ def register_extensions(q: dict, o: dict) -> None:
                16::BIGINT AS v3,
                ((1000 + doc_id * 10) * 1000
                 // (8000 + (doc_id % 5) * 1000))::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- ometa leg (r12): Ogg/Opus restated closed-form (duration =
+        -- 48kHz granule minus pre-skip; v3 = pre_skip)
+        SELECT doc_id AS asset_id, 'ometa' AS kind,
+               (8000 + (doc_id % 5) * 4000)::BIGINT AS v1,
+               (1 + doc_id % 2)::BIGINT AS v2,
+               (312 + doc_id % 100)::BIGINT AS v3,
+               ((4800 + doc_id * 10) * 1000 // 48000)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
         -- mmeta leg (r11): MP3 frame header restated closed-form; the
