@@ -1012,10 +1012,14 @@ def test_wav_pcm_roundtrip_and_features(spark):
     neg = s < 0
     assert row["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
 
-    # stereo payload rejected at the capability boundary
+    # r12: stereo 16-bit now DECODES (interleaved — the FLAC/AIFF
+    # convention); an unsupported depth still rejects by name
+    st = bytearray(M.wav_encode(s[:6]))
+    st[22] = 2  # channels field: same bytes, read as 3 stereo frames
+    assert np.array_equal(M.wav_pcm(bytes(st)), s[:6])
     bad = bytearray(M.wav_encode(s))
-    bad[22] = 2  # channels field
-    with _pytest.raises(ValueError):
+    bad[34] = 32  # bits field
+    with _pytest.raises(ValueError, match="AUDIO_PCM_CAPABILITIES"):
         M.wav_pcm(bytes(bad))
 
 
