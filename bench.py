@@ -170,10 +170,11 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # params — identical values, deduped plan, ~5% at sf0.01 where job
 # overhead dominates and proportionally more at larger corpora).
 # Non-headline r12 legs (text_pii_scrub's warc transport×charset
-# matrix, RFC-3986 url shapes, wet/wat container views, pdf extraction,
-# robots admission; stream_ingest_dedup's cwarc streaming-WARC chain;
-# multimodal_audio_chunks' fpcm FLAC decode) don't touch the headline
-# list.
+# matrix, RFC-3986 url shapes + SURT, wet/wat container views, pdf
+# extraction, robots admission, c4 cleaning, cdx index parse;
+# stream_ingest_dedup's cwarc streaming-WARC chain;
+# multimodal_audio_chunks' fpcm FLAC decode + ometa Ogg/Opus) don't
+# touch the headline list.
 
 # r11 legs: none of the headline entries gained legs this round (the
 # r11 additions — msadpcm/aiff/fmeta/mmeta on multimodal_audio_chunks,
