@@ -2483,6 +2483,13 @@ def test_audio_container_meta_aiff_flac_mp3():
         M.mp3_meta(bytes(64))
     wav = M.wav_encode([0, 1, -1], rate=8000)
     assert M.audio_meta(wav) == ("wav", *M.wav_meta(wav))
+    # r12: M4A (audio-only ISO-BMFF) — mvhd timing + the soun track's
+    # mp4a AudioSampleEntry; a VIDEO mp4 raises (no audio track)
+    m4a = M.m4a_encode(channels=2, rate=44_100, n_samples=88_200)
+    assert M.m4a_audio_meta(m4a) == (2, 44_100, 16, 2000)
+    assert M.audio_meta(m4a) == ("m4a", 2, 44_100, 16, 2000)
+    with _pytest.raises(ValueError, match="no audio track"):
+        M.audio_meta(M.mp4_encode([b"x"], 4, 4))
 
 
 def test_flac_fixed_predictor_spec_and_roundtrips():

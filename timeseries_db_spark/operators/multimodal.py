@@ -3741,7 +3741,9 @@ AUDIO_PCM_CAPABILITIES = {
     "ogg opus": "metadata-real (r12: RFC 3533 page walk with VERIFIED "
     "page CRCs + RFC 7845 OpusHead — channels/rate/pre-skip/duration "
     "from the last granule); audio entropy decode = ffmpeg seam",
-    "aac": "stub — entropy decoding (ffmpeg insertion point)",
+    "m4a/aac": "container metadata-real (r12: ftyp + moov walk, soun "
+    "track's mp4a AudioSampleEntry — channels/rate/bits/duration); "
+    "AAC/ALAC entropy decode = ffmpeg seam",
 }
 
 
@@ -4642,6 +4644,8 @@ def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
         # field, like mp3's bitrate) — documented convention
         ch, rate, pre_skip, dur = ogg_opus_meta(b)
         return ("opus", ch, rate, pre_skip, dur)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return ("m4a", *m4a_audio_meta(b))
     if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
         return ("mp3", *mp3_meta(b))
     raise ValueError("unrecognized audio container")
@@ -5204,7 +5208,12 @@ def documents_as_meta_audio_assets(docs: DataFrame, which: str) -> DataFrame:
     """Audio-asset fixture with FLAC (``which='flac'``), MP3
     (``'mp3'``) or Ogg/Opus (``'opus'``) payloads over the
     ``doc_id % 3 == 1`` audio subset."""
-    synth = {"flac": synth_flac, "mp3": synth_mp3, "opus": synth_ogg_opus}[which]
+    synth = {
+        "flac": synth_flac,
+        "mp3": synth_mp3,
+        "opus": synth_ogg_opus,
+        "m4a": synth_m4a,
+    }[which]
     schema = "asset_id long, kind string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5749,6 +5758,137 @@ def mp4_encode(
     )
     moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
     return ftyp + _mp4_box(b"mdat", mdat_body) + moov
+
+
+def m4a_audio_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL M4A/MP4-audio metadata — (channels, sample_rate, bits,
+    duration_ms): mvhd timing plus the first ``soun`` track's
+    AudioSampleEntry (channelcount / samplesize / 16.16 samplerate,
+    ISO 14496-12 §12.2.3). The AAC/ALAC payload decode stays the
+    documented ffmpeg seam — this is the container surface, same
+    posture as MP3/FLAC-metadata before their decoders landed."""
+    b = payload
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if not moov:
+        raise ValueError("MP4 missing moov")
+    mvhd = _mp4_find(b, *moov, b"mvhd")
+    if not mvhd:
+        raise ValueError("MP4 missing mvhd")
+    ver = b[mvhd[0]]
+    if ver == 1:
+        timescale = int.from_bytes(b[mvhd[0] + 20 : mvhd[0] + 24], "big")
+        duration = int.from_bytes(b[mvhd[0] + 24 : mvhd[0] + 32], "big")
+    else:
+        timescale = int.from_bytes(b[mvhd[0] + 12 : mvhd[0] + 16], "big")
+        duration = int.from_bytes(b[mvhd[0] + 16 : mvhd[0] + 20], "big")
+    if not timescale:
+        raise ValueError("MP4 mvhd timescale is zero")
+    for t, blo, bhi in _mp4_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(b, blo, bhi, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _mp4_find(b, *mdia, b"hdlr")
+        if not hdlr or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = _mp4_find(b, *mdia, b"minf")
+        stbl = minf and _mp4_find(b, *minf, b"stbl")
+        stsd = stbl and _mp4_find(b, *stbl, b"stsd")
+        if not stsd:
+            continue
+        e = stsd[0] + 8  # past version/flags + entry_count
+        ch = int.from_bytes(b[e + 24 : e + 26], "big")
+        bits = int.from_bytes(b[e + 26 : e + 28], "big")
+        rate = int.from_bytes(b[e + 32 : e + 36], "big") >> 16
+        return ch, rate, bits, duration * 1000 // timescale
+    raise ValueError("MP4 has no audio track sample description")
+
+
+def m4a_encode(
+    *, channels: int = 2, rate: int = 44_100, n_samples: int = 44_100
+) -> bytes:
+    """Minimal M4A writer (tests + fixtures): ftyp ``M4A `` + moov with
+    one ``soun`` track whose stsd carries an ``mp4a`` AudioSampleEntry;
+    media timescale = sample rate, so mvhd duration is the sample
+    count. Sample tables are present-but-empty (a metadata stream —
+    exactly what the meta surface reads)."""
+    ftyp = _mp4_box(b"ftyp", b"M4A " + (0).to_bytes(4, "big") + b"M4A isom")
+    entry = (
+        (36).to_bytes(4, "big") + b"mp4a" + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(8)
+        + channels.to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes(4)
+        + (rate << 16).to_bytes(4, "big")
+    )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_full(b"stsd", 0, 0, (1).to_bytes(4, "big") + entry)
+        + _mp4_full(b"stts", 0, 0, (0).to_bytes(4, "big"))
+        + _mp4_full(b"stsc", 0, 0, (0).to_bytes(4, "big"))
+        + _mp4_full(b"stsz", 0, 0, bytes(4) + (0).to_bytes(4, "big"))
+        + _mp4_full(b"stco", 0, 0, (0).to_bytes(4, "big")),
+    )
+    minf = _mp4_box(
+        b"minf",
+        _mp4_full(b"smhd", 0, 0, bytes(4))
+        + _mp4_box(
+            b"dinf",
+            _mp4_full(
+                b"dref", 0, 0,
+                (1).to_bytes(4, "big") + _mp4_full(b"url ", 0, 1, b""),
+            ),
+        )
+        + stbl,
+    )
+    mdia = _mp4_box(
+        b"mdia",
+        _mp4_full(
+            b"mdhd", 0, 0,
+            bytes(8) + rate.to_bytes(4, "big")
+            + n_samples.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big")
+            + bytes(2),
+        )
+        + _mp4_full(b"hdlr", 0, 0, bytes(4) + b"soun" + bytes(12) + b"\x00")
+        + minf,
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + n_samples.to_bytes(4, "big") + bytes(8)
+        + bytes(2) * 3 + (0x0100).to_bytes(2, "big")  # volume on
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x40000000).to_bytes(4, "big")
+        + bytes(8),
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        bytes(8) + rate.to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + bytes(10)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x00010000).to_bytes(4, "big") + bytes(12)
+        + (0x40000000).to_bytes(4, "big")
+        + bytes(24) + (2).to_bytes(4, "big"),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + moov
+
+
+def synth_m4a(doc_id: int) -> bytes:
+    """Deterministic M4A for the gate fixture (r12): channels
+    ``1 + id%2``, rate ``8000 + (id%4)*8000``, length ``(2 + id%5)``
+    half-seconds — every :func:`m4a_audio_meta` output is closed-form
+    in doc_id."""
+    rate = 8_000 + (doc_id % 4) * 8_000
+    return m4a_encode(
+        channels=1 + doc_id % 2,
+        rate=rate,
+        n_samples=(2 + doc_id % 5) * rate // 2,
+    )
 
 
 def synth_avi(doc_id: int) -> bytes:

@@ -2588,6 +2588,9 @@ def register_extensions(q: dict, o: dict) -> None:
             # OpusHead through the same audio_meta dispatch;
             # v3 = pre_skip (the bits slot, documented convention)
             .unionByName(meta_leg("opus", "ometa"))
+            # r12 4meta leg: M4A (audio-only ISO-BMFF) — mvhd timing +
+            # the soun track's mp4a AudioSampleEntry
+            .unionByName(meta_leg("m4a", "4meta"))
         )
 
     q["multimodal_audio_chunks"] = multimodal_audio_chunks
@@ -2786,6 +2789,15 @@ def register_extensions(q: dict, o: dict) -> None:
                (1 + doc_id % 2)::BIGINT AS v2,
                (312 + doc_id % 100)::BIGINT AS v3,
                ((4800 + doc_id * 10) * 1000 // 48000)::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- 4meta leg (r12): M4A restated closed-form (media timescale =
+        -- rate, so duration is exact half-seconds)
+        SELECT doc_id AS asset_id, '4meta' AS kind,
+               (8000 + (doc_id % 4) * 8000)::BIGINT AS v1,
+               (1 + doc_id % 2)::BIGINT AS v2,
+               16::BIGINT AS v3,
+               ((2 + doc_id % 5) * 500)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
         -- mmeta leg (r11): MP3 frame header restated closed-form; the
