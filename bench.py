@@ -367,6 +367,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # r13 (VERDICT r12 item 3): the box runs other workloads and two
+    # consecutive rounds paid a controlled interleaved A/B to adjudicate
+    # drift that turned out to be load both times. Record the load
+    # average around the run so the artifact carries the evidence for
+    # free: a 1-min loadavg well above ncpu at either end says "busy
+    # box" without an A/B. (getloadavg counts runnable threads
+    # machine-wide; this JVM alone contributes up to local[N] of it
+    # WHILE queries run, so the START figure — taken before the session
+    # spins up — is the cleanest neighbor-load signal.)
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
+    ncpu = os.cpu_count() or 0
+
     spark = get_spark("tsdb-bench")
     queries, _ = registry.build_registry()
 
@@ -424,9 +436,12 @@ def main() -> None:
                     per[v] = round(time.perf_counter() - t0, 4)
                 leg_wall[name] = per
 
+    load_headline_end = tuple(round(x, 2) for x in os.getloadavg())
+
     slope = None
     if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0":
         slope = run_slope(spark, queries)
+    load_end = tuple(round(x, 2) for x in os.getloadavg())
 
     # r10 (VERDICT r9 item 1): the driver records only the LAST 2000
     # chars of stdout; r9's single line (headline + full slope detail)
@@ -446,6 +461,16 @@ def main() -> None:
         "total_first_run": round(sum(firsts.values()), 4),
         "sf": sf,
         "detail_file": "BENCH_DETAIL.json",
+        # self-diagnosing noise fields (r13): start is pre-session
+        # neighbor load; noise_pct is the median-over-best spread of
+        # this very run — large values say "read BENCH_DETAIL/loads
+        # before calling a regression".
+        "load_1m": {"start": load_start[0], "end": load_end[0]},
+        "ncpu": ncpu,
+        "n_runs": N_RUNS,
+        "noise_pct": round(
+            (sum(medians.values()) / total - 1.0) * 100, 1
+        ) if total else 0.0,
     }
     if slope is not None:
         out["slopes"] = {
@@ -456,6 +481,12 @@ def main() -> None:
         "queries_first_run": firsts,
         "queries_leg_wall": leg_wall,
         "slope": slope,
+        "loadavg": {
+            "start": load_start,
+            "after_headline": load_headline_end,
+            "end": load_end,
+            "ncpu": ncpu,
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -886,3 +886,95 @@ def test_corpus_ingest_batch_boundary_invariance(spark, tmp_path):
     b = {r["doc_id"] for r in ci.read_published(spark, three).collect()}
     assert a == b
     assert 0 in a and 1 not in a and 5 not in a  # dups suppressed
+
+
+def test_warc_streaming_survives_poisoned_batch(spark, tmp_path):
+    """r13 (VERDICT item 1): a micro-batch containing a damaged WARC
+    file (junk gzip member mid-stream) and dirty records (404 body,
+    revisit) does NOT kill the streaming query — the corrupt record is
+    quarantined executor-side, the error/redirect bodies never reach
+    the corpus, and the good records (including ones AFTER the
+    corruption, and the whole next batch) publish normally."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators import warc as W
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import warc_ingest as wi
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+
+    def page(text: str, status: int = 200) -> bytes:
+        return W.http_response_block(
+            f"<html><body><p>{text}</p></body></html>".encode(),
+            status=status,
+        )
+
+    # asset 0 (batch 0): good X, then a JUNK gzip member, then good Y
+    # AFTER the corruption, then a 404 and a revisit record
+    poisoned = (
+        W.gzip_member(
+            W.warc_build([("warcinfo", "", b"x")])
+            + W.warc_build([("response", "http://e/x", page(X))])
+        )
+        + b"XXJUNKXX" * 4
+        + W.gzip_member(W.warc_build([("response", "http://e/y", page(Y))]))
+        + W.gzip_member(
+            W.warc_build(
+                [("response", "http://e/404", page("error body", 404))]
+            )
+        )
+        + W.gzip_member(
+            W.warc_build(
+                [
+                    (
+                        "revisit",
+                        "http://e/rev",
+                        b"HTTP/1.1 200 OK\r\n\r\n",
+                        ["WARC-Payload-Digest: sha1:Z"],
+                    )
+                ]
+            )
+        )
+    )
+    # asset 1 (batch 1): clean file, fresh text
+    Z = "red orange yellow green blue indigo violet umber ochre teal"
+    clean = W.warc_build(
+        [("warcinfo", "", b"x"), ("response", "http://e/z", page(Z))]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, (aid, payload) in enumerate([(0, poisoned), (1, clean)]):
+        path = str(in_dir / f"w{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "asset_id": pa.array([aid], pa.int64()),
+                    "kind": pa.array(["warc"]),
+                    "payload": pa.array([payload], pa.binary()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = wi.start_warc_corpus_ingest(
+        wi.read_warc_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()  # would raise StreamingQueryException pre-r13
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    # poisoned file: records surface as error(-1)/X(1)/Y(2)/404(3)/rev(4);
+    # only the clean 200 pages publish — X at rec 1, Y at rec 2 — and
+    # batch 1's doc at asset 1 rec 1
+    assert pub == {1: X, 2: Y, 1001: Z}

@@ -799,3 +799,130 @@ def test_warc_http_transport_and_charset(spark):
         "uri", "get_json_object(meta_json, '$.Envelope.k') AS k"
     ).collect()
     assert (rm[0]["uri"], rm[0]["k"]) == ("http://e/m", "5")
+
+
+def test_warc_error_isolation_status_and_revisit(spark):
+    """r13 (VERDICT items 1+2): dirty crawl segments. (a) Structural
+    damage — a junk gzip member, an oversized Content-Length — costs
+    exactly its own records: good siblings BEFORE AND AFTER the
+    corruption still extract, the damage surfaces as rec_type='error'
+    quarantine rows, and nothing raises. (b) The HTTP status line is
+    parsed: non-200 bodies are surfaced as rows but never extracted.
+    (c) `revisit` records surface their WARC-Payload-Digest instead of
+    being dropped."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import warc as W
+
+    ok = W.http_response_block(b"<p>first</p>")
+    ok2 = W.http_response_block(b"<p>second</p>")
+    nf = W.http_response_block(b"<p>not found body</p>", status=404)
+    redir = W.http_response_block(
+        b"", status=301, extra_headers=["Location: http://e/new"]
+    )
+    # --- plain stream: two good pages around an oversized-CL record,
+    # plus a 404, a 301, and a revisit record
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 999999\r\n\r\nshort\r\n\r\n"
+    )
+    payload = (
+        W.warc_build(
+            [("warcinfo", "", b"x"), ("response", "http://e/1", ok)]
+        )
+        + corrupt
+        + W.warc_build(
+            [
+                ("response", "http://e/2", ok2),
+                ("response", "http://e/404", nf),
+                ("response", "http://e/301", redir),
+                (
+                    "revisit",
+                    "http://e/rev",
+                    b"HTTP/1.1 200 OK\r\n\r\n",
+                    ["WARC-Payload-Digest: sha1:CAFE"],
+                ),
+            ]
+        )
+    )
+    # strict parse still refuses the damage (pre-r13 contract)
+    with _pytest.raises(ValueError, match="truncated"):
+        W.warc_records(payload)
+    df = spark.createDataFrame(
+        [(1, "warc", payload)], "asset_id long, kind string, payload binary"
+    )
+    rows = {
+        (r["rec_type"], r["uri"]): r for r in W.warc_extract_text(df).collect()
+    }
+    assert rows[("error", "")]["err"] == "WARC block truncated"
+    assert rows[("error", "")]["rec_idx"] == -1
+    assert rows[("response", "http://e/1")]["text"] == "first"
+    assert rows[("response", "http://e/2")]["text"] == "second"
+    r404 = rows[("response", "http://e/404")]
+    assert (r404["status"], r404["text"], r404["n_tags"]) == (404, "", 0)
+    r301 = rows[("response", "http://e/301")]
+    assert (r301["status"], r301["text"]) == (301, "")
+    rev = rows[("revisit", "http://e/rev")]
+    assert rev["digest"] == "sha1:CAFE" and rev["text"] == ""
+    good = [r for r in rows.values() if r["status"] == 200]
+    assert all(r["err"] is None for r in good) and len(good) == 2
+    # --- gzip member stream: junk member between good members
+    gz = (
+        W.gzip_member(W.warc_build([("response", "http://g/1", ok)]))
+        + b"XXJUNKXX" * 4
+        + W.gzip_member(W.warc_build([("response", "http://g/2", ok2)]))
+    )
+    dfg = spark.createDataFrame(
+        [(2, "warc", gz)], "asset_id long, kind string, payload binary"
+    )
+    got = W.warc_extract_text(dfg).collect()
+    texts = sorted(r["text"] for r in got if r["rec_type"] == "response")
+    errs = [r for r in got if r["rec_type"] == "error"]
+    assert texts == ["first", "second"]
+    assert len(errs) == 1 and "magic" in errs[0]["err"]
+    # --- per-record HTTP damage (bad chunk framing) quarantines the
+    # record, not the batch; the sibling survives
+    broken = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ no size"
+    )
+    p2 = W.warc_build(
+        [("response", "http://h/bad", broken), ("response", "http://h/ok", ok)]
+    )
+    dfh = spark.createDataFrame(
+        [(3, "warc", p2)], "asset_id long, kind string, payload binary"
+    )
+    by_uri = {r["uri"]: r for r in W.warc_extract_text(dfh).collect()}
+    assert by_uri["http://h/bad"]["rec_type"] == "error"
+    assert "chunk" in by_uri["http://h/bad"]["err"]
+    assert by_uri["http://h/ok"]["text"] == "first"
+    # --- WET/WAT walks tolerate damage the same way
+    wet = (
+        W.gzip_member(
+            W.warc_build([("conversion", "http://w/1", b"wet text")])
+        )
+        + b"YYJUNKYY" * 4
+    )
+    dfw = spark.createDataFrame(
+        [(4, "wet", wet)], "asset_id long, kind string, payload binary"
+    )
+    rw = W.wet_extract_text(dfw).collect()
+    assert sorted((r["text"], r["err"] is None) for r in rw) == [
+        ("", False), ("wet text", True)
+    ]
+
+
+def test_http_charset_bom_outranks_mislabeled_header():
+    """r13 (ADVICE): WHATWG sniffing puts the BOM before everything —
+    a UTF-16 page mislabeled `charset=iso-8859-1` (a real-crawl
+    staple) must decode via its BOM, not the lying header."""
+    from timeseries_db_spark.operators import warc as W
+
+    u16 = "Doc café".encode("utf-16")  # LE BOM
+    hdr = {"content-type": "text/html; charset=iso-8859-1"}
+    assert W.decode_page(hdr, u16) == "Doc café"
+    assert W.http_charset(hdr, u16) == "utf-16"
+    u8 = b"\xef\xbb\xbfcaf\xc3\xa9"
+    assert W.decode_page(hdr, u8).endswith("café")
+    # no BOM: the header still wins over the meta sniff
+    latin = b'<meta charset="utf-8">caf\xe9'
+    assert W.decode_page(hdr, latin).endswith("café")

@@ -56,39 +56,79 @@ def gzip_member(data: bytes, level: int = 6) -> bytes:
     return co.compress(data) + co.flush()
 
 
+def _gunzip_scan(data: bytes, strict: bool) -> tuple[bytes, list[str]]:
+    """Inflate a concatenation of gzip members (``.warc.gz`` shape).
+    ``strict`` raises ``ValueError`` on the first corrupt member (the
+    pre-r13 behavior); tolerant mode records the error and RESYNCS by
+    scanning for the next gzip magic — the standard recovery for
+    member-per-record archives, where one damaged member costs one
+    record, not the file. (The scan can land inside compressed bytes
+    that contain ``1f 8b`` by chance; the subsequent inflate then
+    fails and the scan advances again, so recovery terminates and
+    never fabricates records — a WARC version-line check still gates
+    everything downstream.)"""
+    out = bytearray()
+    errors: list[str] = []
+    buf = data
+    while buf:
+        if not buf.startswith(_GZ_MAGIC):
+            if strict:
+                raise ValueError("gzip member boundary missing magic")
+            errors.append("gzip member boundary missing magic")
+            at = buf.find(_GZ_MAGIC, 1)
+            if at < 0:
+                break
+            buf = buf[at:]
+            continue
+        d = zlib.decompressobj(31)
+        try:
+            chunk = d.decompress(buf)
+        except zlib.error as e:  # corrupt deflate stream
+            if strict:
+                raise ValueError(f"gzip member inflate failed: {e}") from e
+            errors.append(f"gzip member inflate failed: {e}")
+            at = buf.find(_GZ_MAGIC, 2)
+            if at < 0:
+                break
+            buf = buf[at:]
+            continue
+        if not d.eof:
+            if strict:
+                raise ValueError("gzip member truncated")
+            errors.append("gzip member truncated")
+            out += chunk
+            break
+        out += chunk
+        buf = d.unused_data
+    return bytes(out), errors
+
+
 def gunzip_members(data: bytes) -> bytes:
     """Inflate a concatenation of gzip members (``.warc.gz`` shape) to
     the plain byte stream. A single member is just the degenerate
     case. Raises ``ValueError`` on a corrupt stream."""
-    out = bytearray()
-    buf = data
-    while buf:
-        if not buf.startswith(_GZ_MAGIC):
-            raise ValueError("gzip member boundary missing magic")
-        d = zlib.decompressobj(31)
-        try:
-            out += d.decompress(buf)
-        except zlib.error as e:  # corrupt deflate stream
-            raise ValueError(f"gzip member inflate failed: {e}") from e
-        if not d.eof:
-            raise ValueError("gzip member truncated")
-        buf = d.unused_data
-    return bytes(out)
+    return _gunzip_scan(data, strict=True)[0]
 
 
 def warc_build(
-    records: list[tuple[str, str, bytes]], gzip_records: bool = False
+    records: list[tuple], gzip_records: bool = False
 ) -> bytes:
     """Minimal WARC/1.0 writer (tests + fixtures): each record is
-    ``(warc_type, target_uri, block)``; an empty ``target_uri`` omits
-    the header (e.g. ``warcinfo``). With ``gzip_records`` each record
-    becomes its own gzip member — the actual ``.warc.gz`` layout."""
+    ``(warc_type, target_uri, block)`` with an optional 4th element —
+    a list of extra ``Name: value`` header lines (e.g.
+    ``WARC-Payload-Digest`` on a ``revisit`` record); an empty
+    ``target_uri`` omits the header (e.g. ``warcinfo``). With
+    ``gzip_records`` each record becomes its own gzip member — the
+    actual ``.warc.gz`` layout."""
     out = bytearray()
-    for wtype, uri, block in records:
+    for rec_tuple in records:
+        wtype, uri, block = rec_tuple[:3]
+        extra = list(rec_tuple[3]) if len(rec_tuple) > 3 else []
         hdr = [f"WARC/1.0"]
         hdr.append(f"WARC-Type: {wtype}")
         if uri:
             hdr.append(f"WARC-Target-URI: {uri}")
+        hdr.extend(extra)
         hdr.append(f"Content-Length: {len(block)}")
         rec = bytearray()
         rec += (_CRLF.join(hdr) + _CRLF + _CRLF).encode("latin-1")
@@ -98,15 +138,28 @@ def warc_build(
     return bytes(out)
 
 
-def warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
-    """Parse a WARC file into ``[(headers, block), ...]`` — version
-    line checked per record, headers case-insensitively keyed
+def warc_scan(
+    payload: bytes, strict: bool = True
+) -> tuple[list[tuple[dict[str, str], bytes]], list[str]]:
+    """Parse a WARC file into ``([(headers, block), ...], errors)`` —
+    version line checked per record, headers case-insensitively keyed
     (lowercase), blocks sliced by ``Content-Length`` exactly (binary-
     safe: the block is never scanned for terminators). A payload that
     starts with the gzip magic is treated as a ``.warc.gz``
-    multi-member stream and inflated first. Raises ``ValueError`` on
-    structural damage."""
-    b = gunzip_members(payload) if payload[:2] == _GZ_MAGIC else payload
+    multi-member stream and inflated first.
+
+    ``strict`` raises ``ValueError`` on the first structural damage.
+    Tolerant mode (r13, VERDICT item 1) is what a 100 TB crawl run
+    needs — corrupt records are a certainty there, and one of them
+    must cost one record, not an Arrow batch or a streaming query:
+    each error is recorded and the walk RESYNCS at the next
+    ``\\r\\nWARC/`` version-line boundary (gzip-member damage resyncs
+    at the next member magic first), so good siblings still parse."""
+    errors: list[str] = []
+    if payload[:2] == _GZ_MAGIC:
+        b, errors = _gunzip_scan(payload, strict)
+    else:
+        b = payload
     out: list[tuple[dict[str, str], bytes]] = []
     i = 0
     n = len(b)
@@ -116,25 +169,41 @@ def warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
             i += 2
         if i >= n:
             break
-        if not b.startswith(b"WARC/", i):
-            raise ValueError(f"WARC record at {i} missing version line")
-        hdr_end = b.find(b"\r\n\r\n", i)
-        if hdr_end < 0:
-            raise ValueError("WARC header block unterminated")
-        lines = b[i:hdr_end].decode("latin-1").split(_CRLF)
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        if "content-length" not in headers:
-            raise ValueError("WARC record missing Content-Length")
-        clen = int(headers["content-length"])
-        block_lo = hdr_end + 4
-        if block_lo + clen > n:
-            raise ValueError("WARC block truncated")
+        try:
+            if not b.startswith(b"WARC/", i):
+                raise ValueError(f"WARC record at {i} missing version line")
+            hdr_end = b.find(b"\r\n\r\n", i)
+            if hdr_end < 0:
+                raise ValueError("WARC header block unterminated")
+            lines = b[i:hdr_end].decode("latin-1").split(_CRLF)
+            headers: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError("WARC record missing Content-Length")
+            clen = int(headers["content-length"])
+            block_lo = hdr_end + 4
+            if block_lo + clen > n:
+                raise ValueError("WARC block truncated")
+        except ValueError as e:
+            if strict:
+                raise
+            errors.append(str(e))
+            at = b.find(b"\r\nWARC/", i + 1)
+            if at < 0:
+                break
+            i = at + 2
+            continue
         out.append((headers, bytes(b[block_lo : block_lo + clen])))
         i = block_lo + clen
-    return out
+    return out, errors
+
+
+def warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
+    """Strict parse of a WARC file into ``[(headers, block), ...]`` —
+    :func:`warc_scan` raising ``ValueError`` on structural damage."""
+    return warc_scan(payload, strict=True)[0]
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -165,19 +234,29 @@ def _dechunk(body: bytes) -> bytes:
         i += 2
 
 
+_STATUS_RE = re.compile(r"^HTTP/\d(?:\.\d)?\s+(\d{3})\b")
+
+
 def http_message(block: bytes) -> tuple[dict[str, str], bytes]:
     """Parse an HTTP response block into ``(headers, body)`` with the
     transport layers undone: headers lowercase-keyed,
     ``Transfer-Encoding: chunked`` reassembled, then
     ``Content-Encoding: gzip``/``deflate`` inflated (``wbits=47``
-    auto-detects the wrapper). A block with no header section is
+    auto-detects the wrapper). The status line's code lands under the
+    ``:status`` pseudo-header (HTTP/2-style key — collision-proof
+    against real header names), so callers can keep 200-class pages
+    only (r13, VERDICT item 2). A block with no header section is
     returned whole with empty headers — permissive, like real crawl
     processors."""
     at = block.find(b"\r\n\r\n")
     if at < 0:
         return {}, block
     headers: dict[str, str] = {}
-    for ln in block[:at].decode("latin-1").split(_CRLF)[1:]:
+    lines = block[:at].decode("latin-1").split(_CRLF)
+    sm = _STATUS_RE.match(lines[0])
+    if sm:
+        headers[":status"] = sm.group(1)
+    for ln in lines[1:]:
         k, _, v = ln.partition(":")
         headers[k.strip().lower()] = v.strip()
     body = block[at + 4 :]
@@ -200,6 +279,10 @@ def http_body(block: bytes) -> bytes:
     return http_message(block)[1]
 
 
+_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+             410: "Gone", 503: "Service Unavailable"}
+
+
 def http_response_block(
     body: bytes,
     *,
@@ -207,12 +290,14 @@ def http_response_block(
     gzip_body: bool = False,
     chunked: bool = False,
     chunk_size: int = 11,
+    status: int = 200,
+    extra_headers: list[str] | None = None,
 ) -> bytes:
-    """Assemble an HTTP/1.1 200 response block — the writer twin of
+    """Assemble an HTTP/1.1 response block — the writer twin of
     :func:`http_message` (tests + fixtures): Content-Encoding applied
     FIRST, Transfer-Encoding second (the order a real server stacks
     them, and the reverse of the reader's undo)."""
-    hdrs = [f"Content-Type: {content_type}"]
+    hdrs = [f"Content-Type: {content_type}"] + list(extra_headers or [])
     if gzip_body:
         body = gzip_member(body)
         hdrs.append("Content-Encoding: gzip")
@@ -224,8 +309,11 @@ def http_response_block(
         out += b"0\r\n\r\n"
         body = bytes(out)
         hdrs.append("Transfer-Encoding: chunked")
+    reason = _REASONS.get(status, "OK")
     return (
-        ("HTTP/1.1 200 OK\r\n" + "\r\n".join(hdrs)).encode("latin-1")
+        (f"HTTP/1.1 {status} {reason}\r\n" + "\r\n".join(hdrs)).encode(
+            "latin-1"
+        )
         + b"\r\n\r\n"
         + body
     )
@@ -249,21 +337,24 @@ _KNOWN_CHARSETS = {
 
 
 def http_charset(headers: dict[str, str], body: bytes) -> str:
-    """The charset to decode ``body`` with: ``Content-Type: …;
-    charset=`` wins, else a BOM (utf-8 / utf-16 either endianness —
-    a utf-16 page's ``<meta>`` is invisible to a byte regex, so the
-    BOM check must come first), else an HTML ``<meta charset>`` /
-    ``http-equiv`` sniff over the first 1024 bytes (per the HTML
-    spec's prescan), else utf-8."""
+    """The charset to decode ``body`` with, WHATWG-ordered (r13): a
+    BOM wins outright — WHATWG encoding sniffing puts the BOM before
+    everything, and a UTF-16 page mislabeled ``charset=iso-8859-1``
+    (a real-crawl staple) would decode to mojibake if the header were
+    trusted first. Then ``Content-Type: …; charset=``, then an HTML
+    ``<meta charset>`` / ``http-equiv`` sniff over the first 1024
+    bytes (per the HTML spec's prescan — a utf-16 page's ``<meta>``
+    is invisible to a byte regex, which is why the BOM must outrank
+    it), then utf-8."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # the codec consumes the BOM and picks the order
     m = _CT_CHARSET_RE.search(headers.get("content-type", ""))
     if m:
         cs = _KNOWN_CHARSETS.get(m.group(1).lower())
         if cs:
             return cs
-    if body[:3] == b"\xef\xbb\xbf":
-        return "utf-8"
-    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
-        return "utf-16"  # the codec consumes the BOM and picks the order
     m2 = _META_CHARSET_RE.search(body[:1024])
     if m2:
         cs = _KNOWN_CHARSETS.get(m2.group(1).decode("latin-1").lower())
@@ -297,12 +388,24 @@ def cdx_parse(lines: DataFrame, col: str = "line") -> DataFrame:
     surt = f"regexp_extract({col}, '{CDX_RE_SPARK}', 1)"
     ts = f"regexp_extract({col}, '{CDX_RE_SPARK}', 2)"
     js = f"regexp_extract({col}, '{CDX_RE_SPARK}', 3)"
+    # CDX timestamps are UTC wall-clock digits; anchor the parse
+    # explicitly via make_timestamp(..., 'UTC') instead of
+    # unix_timestamp(fmt), which reads the SESSION timezone — the
+    # DuckDB twin's epoch_ms(strptime) is UTC, so a non-UTC session
+    # would silently diverge (r13, ADVICE).
+    ts_utc = (
+        f"unix_millis(make_timestamp("
+        f"cast(substring({ts}, 1, 4) as int), "
+        f"cast(substring({ts}, 5, 2) as int), "
+        f"cast(substring({ts}, 7, 2) as int), "
+        f"cast(substring({ts}, 9, 2) as int), "
+        f"cast(substring({ts}, 11, 2) as int), "
+        f"cast(substring({ts}, 13, 2) as double), 'UTC'))"
+    )
     sel = [
         "doc_id",
         F.expr(surt).alias("surt"),
-        F.expr(
-            f"unix_timestamp({ts}, 'yyyyMMddHHmmss') * 1000"
-        ).alias("ts_ms"),
+        F.expr(ts_utc).alias("ts_ms"),
     ]
     for f in _CDX_FIELDS:
         e = f"get_json_object({js}, '$.{f}')"
@@ -341,7 +444,10 @@ def wet_extract_text(assets: DataFrame) -> DataFrame:
     container whose records are ``WARC-Type: conversion`` with a plain
     UTF-8 text block (no HTTP message, no HTML), so the parse reuses
     :func:`warc_records` (gzip members included) and the body decodes
-    directly. Non-conversion records (warcinfo) are skipped."""
+    directly. Non-conversion records (warcinfo) are skipped.
+    r13: the container walk is tolerant — structural damage surfaces
+    as ``err`` rows (``rec_idx=-1``), never a failed batch; good rows
+    carry ``err IS NULL``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -349,19 +455,24 @@ def wet_extract_text(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
+                aid = int(asset_id)
+                recs, errs = warc_scan(bytes(payload), strict=False)
+                for msg in errs:
+                    rows.append((aid, -1, "", "", msg))
+                for ri, (hdrs, block) in enumerate(recs):
                     if hdrs.get("warc-type") != "conversion":
                         continue
                     rows.append(
                         (
-                            int(asset_id),
+                            aid,
                             ri,
                             hdrs.get("warc-target-uri", ""),
                             block.decode("utf-8", "replace"),
+                            None,
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["asset_id", "rec_idx", "uri", "text"]
+                rows, columns=["asset_id", "rec_idx", "uri", "text", "err"]
             )
 
     return (
@@ -369,7 +480,8 @@ def wet_extract_text(assets: DataFrame) -> DataFrame:
         .select("asset_id", "payload")
         .mapInPandas(
             gen,
-            schema="asset_id long, rec_idx long, uri string, text string",
+            schema="asset_id long, rec_idx long, uri string, text string, "
+            "err string",
         )
     )
 
@@ -383,7 +495,8 @@ def wat_extract_meta(assets: DataFrame) -> DataFrame:
     walk and hands the JSON string to the JVM — downstream extraction
     belongs in ``get_json_object``/``from_json`` (whole-stage codegen),
     NOT in Python, so the per-record Python work stays at the envelope
-    slice."""
+    slice. r13: tolerant container walk — structural damage surfaces
+    as ``err`` rows (``rec_idx=-1``), never a failed batch."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,19 +504,25 @@ def wat_extract_meta(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
+                aid = int(asset_id)
+                recs, errs = warc_scan(bytes(payload), strict=False)
+                for msg in errs:
+                    rows.append((aid, -1, "", "", msg))
+                for ri, (hdrs, block) in enumerate(recs):
                     if hdrs.get("warc-type") != "metadata":
                         continue
                     rows.append(
                         (
-                            int(asset_id),
+                            aid,
                             ri,
                             hdrs.get("warc-target-uri", ""),
                             block.decode("utf-8", "replace"),
+                            None,
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["asset_id", "rec_idx", "uri", "meta_json"]
+                rows,
+                columns=["asset_id", "rec_idx", "uri", "meta_json", "err"],
             )
 
     return (
@@ -411,18 +530,48 @@ def wat_extract_meta(assets: DataFrame) -> DataFrame:
         .select("asset_id", "payload")
         .mapInPandas(
             gen,
-            schema="asset_id long, rec_idx long, uri string, meta_json string",
+            schema="asset_id long, rec_idx long, uri string, "
+            "meta_json string, err string",
         )
     )
 
 
 def warc_extract_text(assets: DataFrame) -> DataFrame:
-    """(asset_id, rec_idx, uri, n_tags, n_entities, text) — one row per
-    ``response`` record: WARC parse (gzip members inflated) → HTTP
-    message (dechunk + content-encoding inflate + charset decode) →
-    HTML→text extraction (:func:`html_to_text_str`), all inside one
-    ``mapInPandas`` stage. Non-response records (warcinfo, request,
-    metadata) are skipped — they carry no page text."""
+    """(asset_id, rec_idx, uri, rec_type, status, digest, n_tags,
+    n_entities, text, err) — the crawl-file → page-text surface, one
+    row per surfaced record: WARC parse (gzip members inflated) →
+    HTTP message (dechunk + content-encoding inflate + charset
+    decode) → HTML→text extraction (:func:`html_to_text_str`), all
+    inside one ``mapInPandas`` stage.
+
+    r13 (VERDICT items 1+2) — what a 100 TB crawl run actually needs:
+
+    * **Error isolation.** Structural damage costs ONE row, never the
+      Arrow batch or the streaming query: file-level scan errors
+      (corrupt gzip member, broken record framing) surface as
+      ``rec_type='error'`` rows (``rec_idx=-1``, the message in
+      ``err``) via the tolerant :func:`warc_scan`, and a per-record
+      HTTP decode failure (chunk framing, inflate) surfaces the same
+      way with the record's uri kept. Good siblings still extract.
+    * **HTTP status filtering.** The status line is parsed and kept
+      in ``status``; only 200-class bodies are extracted — a 404
+      page, a 503 error body, or a 301 redirect stub is surfaced as
+      a row (so filtering is observable and countable) but its body
+      NEVER becomes corpus text.
+    * **Revisit records** (``WARC-Type: revisit`` — a recrawl whose
+      payload matched a prior capture by digest) surface as
+      ``rec_type='revisit'`` rows carrying ``WARC-Payload-Digest``,
+      the key a deduplicating consumer joins on, instead of being
+      silently dropped.
+
+    Non-page records (warcinfo, request, metadata) are skipped — they
+    carry no page text. Corpus consumers keep ``rec_type='response'
+    AND status BETWEEN 200 AND 299 AND err IS NULL``."""
+
+    cols = [
+        "asset_id", "rec_idx", "uri", "rec_type", "status", "digest",
+        "n_tags", "n_entities", "text", "err",
+    ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -430,36 +579,58 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for ri, (hdrs, block) in enumerate(warc_records(bytes(payload))):
-                    if hdrs.get("warc-type") != "response":
+                aid = int(asset_id)
+                recs, errs = warc_scan(bytes(payload), strict=False)
+                for msg in errs:
+                    rows.append(
+                        (aid, -1, "", "error", None, "", 0, 0, "", msg)
+                    )
+                for ri, (hdrs, block) in enumerate(recs):
+                    wtype = hdrs.get("warc-type")
+                    uri = hdrs.get("warc-target-uri", "")
+                    if wtype == "revisit":
+                        rows.append(
+                            (
+                                aid, ri, uri, "revisit", None,
+                                hdrs.get("warc-payload-digest", ""),
+                                0, 0, "", None,
+                            )
+                        )
                         continue
-                    http_hdrs, body = http_message(block)
+                    if wtype != "response":
+                        continue
+                    try:
+                        http_hdrs, body = http_message(block)
+                    except ValueError as e:
+                        rows.append(
+                            (aid, ri, uri, "error", None, "", 0, 0, "",
+                             str(e))
+                        )
+                        continue
+                    status = int(http_hdrs.get(":status", "200"))
+                    digest = hdrs.get("warc-payload-digest", "")
+                    if not 200 <= status < 300:
+                        rows.append(
+                            (aid, ri, uri, "response", status, digest,
+                             0, 0, "", None)
+                        )
+                        continue
                     text, n_tags, n_ent = html_to_text_str(
                         decode_page(http_hdrs, body)
                     )
                     rows.append(
-                        (
-                            int(asset_id),
-                            ri,
-                            hdrs.get("warc-target-uri", ""),
-                            n_tags,
-                            n_ent,
-                            text,
-                        )
+                        (aid, ri, uri, "response", status, digest,
+                         n_tags, n_ent, text, None)
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "rec_idx", "uri", "n_tags", "n_entities", "text",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         assets.filter(F.col("kind") == "warc")
         .select("asset_id", "payload")
         .mapInPandas(
             gen,
-            schema="asset_id long, rec_idx long, uri string, n_tags long, "
-            "n_entities long, text string",
+            schema="asset_id long, rec_idx long, uri string, "
+            "rec_type string, status long, digest string, n_tags long, "
+            "n_entities long, text string, err string",
         )
     )

@@ -969,6 +969,145 @@ def register_extensions(q: dict, o: dict) -> None:
             F.expr("concat(uri, ' | ', text)").alias("out_text"),
         )
 
+        # r13 werr leg (VERDICT items 1+2): dirty-crawl-segment
+        # realism under the gate. Each doc ships ONE deliberately
+        # damaged WARC file — a good 200 page, a 404/410/503 error
+        # page (status cycles by doc_id%3), a 301 redirect stub
+        # (except every 3rd doc), a `revisit` record carrying
+        # WARC-Payload-Digest, and structural corruption: even docs
+        # are plain streams with TWO oversized-Content-Length records
+        # mid-file, odd docs are .warc.gz member streams with ONE
+        # junk (magic-less) member. The corruption sits BETWEEN good
+        # records, so the leg value-checks that (a) damage costs
+        # exactly its own records — n_a = quarantined error rows =
+        # 2 - doc_id%2; (b) non-200 bodies are surfaced but NEVER
+        # extracted — n_b = skipped responses = 2 - (doc_id%3==0),
+        # and out_text pins their total extracted length at 0 plus
+        # the min skipped status (404 when only the error page, else
+        # 301); (c) the revisit digest and the good page's text both
+        # survive. Column mapping:
+        # werr: n_a=n_error_rows n_b=n_non200_responses
+        #       out_text = good_text | revisit_digest | len(non-200
+        #       extracted text)==0 | min skipped status
+        def build_werr(batches):
+            import pandas as _pd
+
+            from timeseries_db_spark.operators import warc as W
+
+            corrupt = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: 999999\r\n\r\nshort\r\n\r\n"
+            )
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, payloads = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    uri = f"http://example{did % 7}.com/doc{did}"
+                    bad_status = (404, 410, 503)[did % 3]
+                    head = [
+                        ("warcinfo", "", b"software: tsdb\r\n"),
+                        (
+                            "response",
+                            uri,
+                            W.http_response_block(
+                                f"<p>Good {did}</p>".encode()
+                            ),
+                        ),
+                    ]
+                    tail = [
+                        (
+                            "response",
+                            uri + "/missing",
+                            W.http_response_block(
+                                f"<p>Error body {did}</p>".encode(),
+                                status=bad_status,
+                            ),
+                        ),
+                    ]
+                    if did % 3:
+                        tail.append(
+                            (
+                                "response",
+                                uri + "/old",
+                                W.http_response_block(
+                                    b"",
+                                    status=301,
+                                    extra_headers=[f"Location: {uri}"],
+                                ),
+                            )
+                        )
+                    tail.append(
+                        (
+                            "revisit",
+                            uri,
+                            b"HTTP/1.1 200 OK\r\n\r\n",
+                            [f"WARC-Payload-Digest: sha1:REV{did}"],
+                        )
+                    )
+                    if did % 2:  # .warc.gz with one junk member mid-file
+                        parts = [
+                            W.gzip_member(W.warc_build([r])) for r in head
+                        ]
+                        parts.append(b"XXJUNKXX" * 4)
+                        parts += [
+                            W.gzip_member(W.warc_build([r])) for r in tail
+                        ]
+                        payload = b"".join(parts)
+                    else:  # plain stream with two oversized-CL records
+                        payload = (
+                            W.warc_build(head)
+                            + corrupt
+                            + corrupt
+                            + W.warc_build(tail)
+                        )
+                    ids.append(did)
+                    payloads.append(payload)
+                yield _pd.DataFrame(
+                    {"asset_id": ids, "kind": "warc", "payload": payloads}
+                )
+
+        werr_assets = docs.select("doc_id").mapInPandas(
+            build_werr, schema="asset_id long, kind string, payload binary"
+        )
+        skipped = (F.col("rec_type") == "response") & ~F.col(
+            "status"
+        ).between(200, 299)
+        werr = (
+            _warc.warc_extract_text(werr_assets)
+            .groupBy(F.col("asset_id").alias("doc_id"))
+            .agg(
+                F.sum((F.col("rec_type") == "error").cast("long")).alias(
+                    "n_a"
+                ),
+                F.sum(skipped.cast("long")).alias("n_b"),
+                F.concat(
+                    F.max(
+                        F.when(
+                            (F.col("rec_type") == "response")
+                            & F.col("status").between(200, 299),
+                            F.col("text"),
+                        )
+                    ),
+                    F.lit(" | "),
+                    F.max(
+                        F.when(
+                            F.col("rec_type") == "revisit", F.col("digest")
+                        )
+                    ),
+                    F.lit(" | "),
+                    F.sum(F.when(skipped, F.length("text"))).cast("string"),
+                    F.lit(" | "),
+                    F.min(F.when(skipped, F.col("status"))).cast("string"),
+                ).alias("out_text"),
+            )
+            .select(
+                "doc_id", F.lit("werr").alias("kind"), "n_a", "n_b",
+                "out_text",
+            )
+        )
+
         # r12 wet + wat legs: Common Crawl's OTHER two container views.
         # WET files carry pre-extracted plain text as `conversion`
         # records in the same ISO 28500 envelope (most LLM corpus
@@ -1216,6 +1355,7 @@ def register_extensions(q: dict, o: dict) -> None:
             pii.unionByName(hx)
             .unionByName(ux)
             .unionByName(wx)
+            .unionByName(werr)
             .unionByName(wet)
             .unionByName(wat)
             .unionByName(pdfx)
@@ -1255,6 +1395,13 @@ def register_extensions(q: dict, o: dict) -> None:
             extra=" || CASE WHEN doc_id % 3 = 1 THEN ' café' ELSE '' END"
         )
         + " AS out_text FROM documents "
+        "UNION ALL "
+        # werr (r13): dirty-segment closed forms — see the leg comment.
+        "SELECT doc_id, 'werr' AS kind, (2 - doc_id % 2)::BIGINT AS n_a, "
+        "(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT AS n_b, "
+        "'Good ' || doc_id || ' | sha1:REV' || doc_id || ' | 0 | ' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 301 END) AS out_text "
+        "FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'wet' AS kind, length(cl)::BIGINT AS n_a, "
         "length(u)::BIGINT AS n_b, u || ' | ' || cl AS out_text FROM ("

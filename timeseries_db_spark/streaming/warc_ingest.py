@@ -55,12 +55,28 @@ def read_warc_stream(
 
 def warc_docs(stream: DataFrame) -> DataFrame:
     """(doc_id, text) — the corpus-ingest input extracted from a WARC
-    asset stream: one row per ``response`` record, full transport
-    decode included. Stateless, so it composes under any streaming
-    sink."""
-    return warc_extract_text(stream).select(
-        (F.col("asset_id") * RECS_PER_ASSET + F.col("rec_idx")).alias("doc_id"),
-        "text",
+    asset stream: one row per CLEAN 200-class ``response`` record,
+    full transport decode included. Stateless, so it composes under
+    any streaming sink.
+
+    r13: the extraction is tolerant and status-aware — corrupt records
+    surface as ``rec_type='error'`` rows and non-200 bodies as empty
+    ``response`` rows, BOTH filtered here, so a poisoned crawl segment
+    costs its damaged records only (the streaming query survives) and
+    error/redirect bodies never enter the corpus."""
+    return (
+        warc_extract_text(stream)
+        .filter(
+            (F.col("rec_type") == "response")
+            & F.col("err").isNull()
+            & F.col("status").between(200, 299)
+        )
+        .select(
+            (F.col("asset_id") * RECS_PER_ASSET + F.col("rec_idx")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
     )
 
 
