@@ -4496,8 +4496,19 @@ def mp3_meta(payload: bytes) -> tuple[int, int, int, int]:
     """REAL MP3 metadata — (channels, sample_rate, bitrate_kbps,
     duration_ms): skips an ID3v2 tag (synchsafe size), finds the first
     frame sync, and reads version/layer/bitrate/samplerate from the
-    spec tables; duration estimated from the audio byte count at that
-    (CBR) bitrate. Entropy decode stays the documented seam."""
+    spec tables.
+
+    Duration (r13, VERDICT item 4): most real-world MP3s are VBR, where
+    the first-frame bitrate says nothing about length — the correct
+    source is the encoder's frame-count header inside the first frame:
+    ``Xing``/``Info`` (LAME convention; at the end of the Layer III
+    side-info region — MPEG1: 32 bytes stereo / 17 mono after the
+    4-byte header; MPEG2/2.5: 17 / 9) or ``VBRI`` (Fraunhofer; fixed
+    32 bytes after the header, frame count at tag offset 14). When a
+    frame count is present, ``duration = frames × samples_per_frame /
+    sample_rate`` (1152 samples/frame for MPEG1 Layer III, 576 for
+    MPEG2/2.5); otherwise the CBR byte-count estimate applies.
+    Entropy decode stays the documented seam."""
     b = payload
     i = 0
     if b[:3] == b"ID3" and len(b) >= 10:
@@ -4522,7 +4533,29 @@ def mp3_meta(payload: bytes) -> tuple[int, int, int, int]:
             rate = _MP3_RATES[version][sr_idx]
             mode = (b[i + 3] >> 6) & 0x3
             ch = 1 if mode == 3 else 2
-            dur = (len(b) - i) * 8 // (bitrate * 1000) * 1000 if bitrate else 0
+            spf = 1152 if version == 1 else 576  # Layer III samples/frame
+            frames = None
+            side = (32 if ch == 2 else 17) if version == 1 else (
+                17 if ch == 2 else 9
+            )
+            tag_at = i + 4 + side
+            tag = b[tag_at : tag_at + 4]
+            if tag in (b"Xing", b"Info"):
+                flags = int.from_bytes(b[tag_at + 4 : tag_at + 8], "big")
+                if flags & 1 and len(b) >= tag_at + 12:
+                    frames = int.from_bytes(
+                        b[tag_at + 8 : tag_at + 12], "big"
+                    )
+            elif b[i + 36 : i + 40] == b"VBRI" and len(b) >= i + 54:
+                frames = int.from_bytes(b[i + 50 : i + 54], "big")
+            if frames is not None:
+                dur = frames * spf * 1000 // rate
+            else:
+                dur = (
+                    (len(b) - i) * 8 // (bitrate * 1000) * 1000
+                    if bitrate
+                    else 0
+                )
             return ch, rate, bitrate, dur
         i += 1
     raise ValueError("MP3 has no valid frame sync")
@@ -4543,18 +4576,12 @@ def _ogg_crc(page: bytes) -> int:
     return crc
 
 
-def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
-    """REAL Ogg/Opus metadata — (channels, input_rate, pre_skip,
-    duration_ms) from the page walk (RFC 3533: OggS capture pattern,
-    lacing table, page CRC VERIFIED) and the OpusHead of the first
-    page (RFC 7845). Duration comes from the LAST page's granule
-    position, which counts 48 kHz PCM samples regardless of the input
-    rate, minus pre-skip. Entropy decode of the audio itself stays the
-    documented ffmpeg seam."""
-    b = payload
+def _ogg_pages(b: bytes):
+    """RFC 3533 page walk (shared by the meta and tags readers):
+    yields ``(header_type, granule, seg_table, body)`` per page with
+    the capture pattern, version, lacing table, and page CRC all
+    verified. Raises ``ValueError`` on structural damage."""
     i = 0
-    head = None
-    granule = 0
     while i + 27 <= len(b):
         if b[i : i + 4] != b"OggS":
             raise ValueError("Ogg page missing capture pattern")
@@ -4575,6 +4602,21 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
             raise ValueError("Ogg page CRC mismatch")
         granule = int.from_bytes(b[i + 6 : i + 14], "little", signed=True)
         body = b[i + 27 + nsegs : page_end]
+        yield b[i + 5], granule, seg_table, body
+        i = page_end
+
+
+def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL Ogg/Opus metadata — (channels, input_rate, pre_skip,
+    duration_ms) from the page walk (RFC 3533: OggS capture pattern,
+    lacing table, page CRC VERIFIED) and the OpusHead of the first
+    page (RFC 7845). Duration comes from the LAST page's granule
+    position, which counts 48 kHz PCM samples regardless of the input
+    rate, minus pre-skip. Entropy decode of the audio itself stays the
+    documented ffmpeg seam."""
+    head = None
+    granule = 0
+    for _htype, granule, _segs, body in _ogg_pages(payload):
         if head is None:
             if body[:8] != b"OpusHead":
                 raise ValueError(
@@ -4585,7 +4627,6 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
             pre_skip = int.from_bytes(body[10:12], "little")
             rate = int.from_bytes(body[12:16], "little")
             head = (ch, rate, pre_skip)
-        i = page_end
     if head is None:
         raise ValueError("Ogg stream has no pages")
     ch, rate, pre_skip = head
@@ -4593,26 +4634,86 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
     return ch, rate, pre_skip, dur
 
 
+def opus_tags(payload: bytes) -> tuple[str, list[str]]:
+    """REAL OpusTags (RFC 7845 §5.2, r13 — VERDICT item 6) —
+    ``(vendor, comments)`` from the comment header: the SECOND packet
+    of an Ogg/Opus stream, beginning on the page after the ID header
+    and allowed to SPAN pages (lacing ending in a 255 segment =
+    packet continues; the next page must carry the continuation
+    flag). Layout is Vorbis-comment: ``OpusTags`` magic, u32-LE
+    vendor length + vendor, u32-LE count, then count × (u32-LE length
+    + ``KEY=value`` UTF-8). Returns ``('', [])`` for a stream with no
+    comment header."""
+    buf = None
+    open_packet = False
+    for htype, _granule, segs, body in _ogg_pages(payload):
+        if buf is not None:
+            if not (htype & 0x01):  # continuation flag missing
+                break
+            buf += body
+        elif body[:8] == b"OpusTags":
+            buf = bytearray(body)
+        else:
+            continue
+        open_packet = len(segs) > 0 and segs[-1] == 255
+        if not open_packet:
+            break
+    if buf is None:
+        return "", []
+    if open_packet:
+        raise ValueError("OpusTags packet truncated (unterminated lacing)")
+    b = bytes(buf)
+    at = 8
+    vlen = int.from_bytes(b[at : at + 4], "little")
+    at += 4
+    vendor = b[at : at + vlen].decode("utf-8", "replace")
+    at += vlen
+    count = int.from_bytes(b[at : at + 4], "little")
+    at += 4
+    comments: list[str] = []
+    for _ in range(count):
+        if at + 4 > len(b):
+            raise ValueError("OpusTags comment list truncated")
+        clen = int.from_bytes(b[at : at + 4], "little")
+        at += 4
+        if at + clen > len(b):
+            raise ValueError("OpusTags comment body truncated")
+        comments.append(b[at : at + clen].decode("utf-8", "replace"))
+        at += clen
+    return vendor, comments
+
+
 def ogg_opus_encode(
     *, channels: int = 1, rate: int = 48_000, pre_skip: int = 312,
-    samples48k: int = 4800,
+    samples48k: int = 4800, tags: list[str] | None = None,
+    vendor: str = "tsdb", tags_page_max: int = 65_025,
 ) -> bytes:
     """Minimal Ogg/Opus writer (tests + fixtures): a BOS page carrying
-    OpusHead and an EOS page whose granule position encodes the
-    stream length — real lacing tables and real page CRCs, so the
-    reader's verification paths all run. (No audio packets: metadata
-    streams are exactly what the meta surface reads.)"""
+    OpusHead, an optional OpusTags comment-header page (r13 — RFC 7845
+    §5.2 Vorbis-comment layout; split across continuation pages when
+    it exceeds ``tags_page_max``, which must then be a multiple of
+    255 so the non-final lacing ends open), and an EOS page whose
+    granule position encodes the stream length — real lacing tables
+    and real page CRCs, so the reader's verification paths all run.
+    (No audio packets: metadata streams are exactly what the meta
+    surface reads.)"""
 
-    def page(htype: int, granule: int, seq: int, body: bytes) -> bytes:
-        nsegs = len(body) // 255 + 1
-        lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
+    def page(
+        htype: int, granule: int, seq: int, body: bytes,
+        partial: bool = False,
+    ) -> bytes:
+        if partial:
+            assert len(body) % 255 == 0, "open lacing needs 255-multiples"
+            lacing = bytes([255] * (len(body) // 255))
+        else:
+            lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
         hdr = bytearray(b"OggS")
         hdr += bytes([0, htype])
         hdr += granule.to_bytes(8, "little", signed=True)
         hdr += (7_777).to_bytes(4, "little")  # serial
         hdr += seq.to_bytes(4, "little")
         hdr += b"\x00\x00\x00\x00"  # crc placeholder
-        hdr += bytes([nsegs]) + lacing
+        hdr += bytes([len(lacing)]) + lacing
         full = bytearray(hdr + body)
         crc = _ogg_crc(bytes(full))
         full[22:26] = crc.to_bytes(4, "little")
@@ -4624,7 +4725,29 @@ def ogg_opus_encode(
         + rate.to_bytes(4, "little")
         + b"\x00\x00" + b"\x00"
     )
-    return page(2, 0, 0, head) + page(4, pre_skip + samples48k, 1, b"")
+    out = bytearray(page(2, 0, 0, head))
+    seq = 1
+    if tags is not None:
+        vb = vendor.encode("utf-8")
+        pkt = bytearray(
+            b"OpusTags" + len(vb).to_bytes(4, "little") + vb
+            + len(tags).to_bytes(4, "little")
+        )
+        for t in tags:
+            tb = t.encode("utf-8")
+            pkt += len(tb).to_bytes(4, "little") + tb
+        at = 0
+        while len(pkt) - at > tags_page_max:
+            out += page(
+                0x01 if at else 0x00, -1, seq,
+                bytes(pkt[at : at + tags_page_max]), partial=True,
+            )
+            seq += 1
+            at += tags_page_max
+        out += page(0x01 if at else 0x00, 0, seq, bytes(pkt[at:]))
+        seq += 1
+    out += page(4, pre_skip + samples48k, seq, b"")
+    return bytes(out)
 
 
 def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
@@ -5143,18 +5266,43 @@ def synth_mp3(doc_id: int) -> bytes:
     synchsafe skip runs), pad ``20000 + (id%7)*4000`` zero bytes (big
     enough that the CBR duration estimate is a nonzero closed form) —
     every :func:`mp3_meta` output is closed-form in doc_id (the
-    bitrate table rides in the oracle as literals)."""
+    bitrate table rides in the oracle as literals).
+
+    r13 (VERDICT item 4): the VBR surface cycles by ``id%5`` — 0/1
+    write a ``Xing`` frame-count header at the channel-dependent
+    side-info offset, 2 writes a Fraunhofer ``VBRI`` header at the
+    fixed +36 offset, 3/4 stay plain CBR — with frame count
+    ``40 + id%60``, so duration exercises BOTH sources as closed
+    forms (``frames*1152*1000 // rate`` vs the CBR byte estimate)."""
     id3_size = doc_id % 50
     id3 = b"ID3" + bytes([4, 0, 0]) + bytes(
         [0, 0, (id3_size >> 7) & 0x7F, id3_size & 0x7F]
     ) + bytes(id3_size)
     br_idx = 1 + doc_id % 14
     sr_idx = doc_id % 3
-    mode = 3 if doc_id % 2 else 0  # mono odd, stereo even
+    mono = bool(doc_id % 2)  # mono odd, stereo even
     hdr = bytes(
-        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), (3 if mono else 0) << 6]
     )
-    return id3 + hdr + bytes(20_000 + (doc_id % 7) * 4000)
+    frame = bytearray(hdr) + bytes(20_000 + (doc_id % 7) * 4000)
+    vkind = doc_id % 5
+    frames = 40 + doc_id % 60
+    if vkind in (0, 1):  # Xing at end of side info (MPEG1: 17 mono/32 st)
+        at = 4 + (17 if mono else 32)
+        frame[at : at + 12] = (
+            b"Xing" + (1).to_bytes(4, "big") + frames.to_bytes(4, "big")
+        )
+    elif vkind == 2:  # VBRI: fixed 32 bytes after the header
+        frame[36 : 36 + 18] = (
+            b"VBRI"
+            + (1).to_bytes(2, "big")  # version
+            + bytes(2)  # delay
+            + bytes(2)  # quality
+            + bytes(4)  # byte count (unused by the reader)
+            + frames.to_bytes(4, "big")
+            + bytes(2)  # TOC entry count
+        )
+    return id3 + bytes(frame)
 
 
 def decode_audio_meta(assets: DataFrame) -> DataFrame:
@@ -5195,12 +5343,66 @@ def synth_ogg_opus(doc_id: int) -> bytes:
     channels ``1 + id%2``, input rate ``8000 + (id%5)*4000``, pre-skip
     ``312 + id%100``, length ``4800 + id*10`` 48 kHz samples — every
     :func:`ogg_opus_meta` output is closed-form in doc_id, and the
-    page CRC verification runs on every asset."""
+    page CRC verification runs on every asset. r13: every stream also
+    carries an OpusTags comment header (``TITLE=Doc {id}``,
+    ``ARTIST=A{id%5}``, plus ``ALBUM=Al{id}`` on odd ids; vendor
+    ``tsdb-{id%3}``), so the otag leg's tag parse is closed-form too."""
+    tags = [f"TITLE=Doc {doc_id}", f"ARTIST=A{doc_id % 5}"]
+    if doc_id % 2:
+        tags.append(f"ALBUM=Al{doc_id}")
     return ogg_opus_encode(
         channels=1 + doc_id % 2,
         rate=8000 + (doc_id % 5) * 4000,
         pre_skip=312 + doc_id % 100,
         samples48k=4800 + doc_id * 10,
+        tags=tags,
+        vendor=f"tsdb-{doc_id % 3}",
+    )
+
+
+def decode_audio_tags(assets: DataFrame) -> DataFrame:
+    """(asset_id, vendor, n_comments, title, tags_len) — OpusTags
+    comment-header extraction (:func:`opus_tags`) over Ogg/Opus audio
+    assets, Arrow-batched, map-only: ``title`` is the ``TITLE=``
+    comment's value ('' when absent), ``tags_len`` the summed length
+    of all ``KEY=value`` comment strings. Downstream numeric shaping
+    (e.g. parsing an id out of the title) belongs JVM-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vendors, counts, titles, lens = [], [], [], []
+            for p in pdf["payload"]:
+                vendor, comments = opus_tags(bytes(p))
+                title = ""
+                for c in comments:
+                    k, _, v = c.partition("=")
+                    if k.upper() == "TITLE":
+                        title = v
+                        break
+                vendors.append(vendor)
+                counts.append(len(comments))
+                titles.append(title)
+                lens.append(sum(len(c) for c in comments))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "vendor": vendors,
+                    "n_comments": counts,
+                    "title": titles,
+                    "tags_len": lens,
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, vendor string, n_comments long, "
+            "title string, tags_len long",
+        )
     )
 
 

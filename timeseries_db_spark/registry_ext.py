@@ -2735,6 +2735,25 @@ def register_extensions(q: dict, o: dict) -> None:
             # OpusHead through the same audio_meta dispatch;
             # v3 = pre_skip (the bits slot, documented convention)
             .unionByName(meta_leg("opus", "ometa"))
+            # r13 otag leg (VERDICT item 6): OpusTags comment header
+            # (RFC 7845 §5.2) — v1=n_comments (2 + id%2), v2=vendor
+            # length, v3=the id parsed back out of the TITLE value
+            # (pins the tag CONTENT roundtrip, not just counts),
+            # v4=summed comment length
+            .unionByName(
+                multimodal.decode_audio_tags(
+                    multimodal.documents_as_meta_audio_assets(docs, "opus")
+                ).select(
+                    "asset_id",
+                    F.lit("otag").alias("kind"),
+                    F.col("n_comments").alias("v1"),
+                    F.expr("length(vendor)").cast("long").alias("v2"),
+                    F.expr(
+                        "cast(regexp_extract(title, '([0-9]+)$', 1) as long)"
+                    ).alias("v3"),
+                    F.col("tags_len").alias("v4"),
+                )
+            )
             # r12 4meta leg: M4A (audio-only ISO-BMFF) — mvhd timing +
             # the soun track's mp4a AudioSampleEntry
             .unionByName(meta_leg("m4a", "4meta"))
@@ -2938,6 +2957,19 @@ def register_extensions(q: dict, o: dict) -> None:
                ((4800 + doc_id * 10) * 1000 // 48000)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
+        -- otag leg (r13): OpusTags comment header restated closed-form
+        -- (v3 = the doc id parsed back out of TITLE='Doc {id}')
+        SELECT doc_id AS asset_id, 'otag' AS kind,
+               (2 + doc_id % 2)::BIGINT AS v1,
+               length('tsdb-' || (doc_id % 3))::BIGINT AS v2,
+               doc_id::BIGINT AS v3,
+               (length('TITLE=Doc ' || doc_id)
+                + length('ARTIST=A' || (doc_id % 5))
+                + CASE WHEN doc_id % 2 = 1
+                       THEN length('ALBUM=Al' || doc_id)
+                       ELSE 0 END)::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
         -- 4meta leg (r12): M4A restated closed-form (media timescale =
         -- rate, so duration is exact half-seconds)
         SELECT doc_id AS asset_id, '4meta' AS kind,
@@ -2947,16 +2979,20 @@ def register_extensions(q: dict, o: dict) -> None:
                ((2 + doc_id % 5) * 500)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
-        -- mmeta leg (r11): MP3 frame header restated closed-form; the
-        -- MPEG1 Layer III bitrate table rides as literals, duration is
-        -- the CBR estimate over the bytes from the frame sync on
+        -- mmeta leg (r11, r13 VBR): MP3 frame header restated
+        -- closed-form; the MPEG1 Layer III bitrate table rides as
+        -- literals. Duration: docs with doc_id%5 <= 2 carry a
+        -- Xing (0/1) or VBRI (2) frame-count header — duration =
+        -- frames * 1152 / rate; the rest are plain CBR with the byte
+        -- estimate over the bytes from the frame sync on
         SELECT doc_id AS asset_id, 'mmeta' AS kind,
-               (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                                ELSE 32000 END)::BIGINT AS v1,
+               rate::BIGINT AS v1,
                (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END)::BIGINT AS v2,
                br::BIGINT AS v3,
-               ((20004 + (doc_id % 7) * 4000) * 8
-                // (br * 1000) * 1000)::BIGINT AS v4
+               (CASE WHEN doc_id % 5 <= 2
+                     THEN (40 + doc_id % 60) * 1152 * 1000 // rate
+                     ELSE (20004 + (doc_id % 7) * 4000) * 8
+                          // (br * 1000) * 1000 END)::BIGINT AS v4
         FROM (
             SELECT doc_id,
                    (CASE 1 + doc_id % 14
@@ -2964,7 +3000,9 @@ def register_extensions(q: dict, o: dict) -> None:
                         WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
                         WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
                         WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
-                        WHEN 13 THEN 256 ELSE 320 END) AS br
+                        WHEN 13 THEN 256 ELSE 320 END) AS br,
+                   (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                    ELSE 32000 END) AS rate
             FROM documents WHERE doc_id % 3 = 1
         )
     """.replace("{MULAW_TABLE}", multimodal.mulaw_table_sql())
