@@ -2839,9 +2839,11 @@ def test_pdf_text_extraction_spec_and_roundtrips():
     # seams raise by name
     with _pytest.raises(ValueError, match="encrypted"):
         P.pdf_text(b"%PDF-1.4 /Encrypt")
-    with _pytest.raises(ValueError, match="FlateDecode only"):
+    # r13: LZWDecode is now decoded (test_pdf_xref_objstm_lzw); the
+    # remaining filter seam raises with the updated capability list
+    with _pytest.raises(ValueError, match="FlateDecode/LZWDecode only"):
         P.pdf_text(
-            b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /LZWDecode >>\n"
+            b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode >>\n"
             b"stream\nabcd\nendstream\nendobj"
         )
     with _pytest.raises(ValueError, match="PDF"):
@@ -2970,3 +2972,60 @@ def test_opus_tags_comment_header():
     # decode_audio_tags surfaces TITLE ('' when absent)
     p3 = M.ogg_opus_encode(tags=["ARTIST=only"])
     assert M.opus_tags(p3)[1] == ["ARTIST=only"]
+
+
+def test_pdf_xref_objstm_lzw():
+    """r13 (VERDICT item 5): the PDF object directory comes from the
+    xref walk — classic tables, PDF-1.5 binary xref streams with
+    /Type /ObjStm member expansion and indirect /Length resolution —
+    with the direct scan as damaged-xref fallback; LZWDecode content
+    reuses the TIFF-variant LZW codec (EarlyChange=0 stays a seam)."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as PD
+
+    pages = [["Doc 5", "hello world", "L0"], ["End 5"]]
+    want = "Doc 5\nhello world\nL0\nEnd 5"
+    # LZW content, classic layout
+    assert PD.pdf_text(PD.pdf_build(pages, lzw=True)) == (want, 4, 2)
+    # PDF-1.5: ObjStm'd dicts, indirect lengths, binary xref stream
+    p = PD.pdf_build(pages, xref_stream=True)
+    text, n_shows, n_streams = PD.pdf_text(p)
+    assert (text, n_shows) == (want, 4)
+    assert n_streams == 4  # 2 content + ObjStm + XRef stream
+    # the directory really is xref-driven: type-1 and type-2 entries
+    x = PD._pdf_xref(p)
+    assert sorted({v[0] for v in x.values()}) == ["at", "in"]
+    assert any(v[0] == "in" for v in x.values())  # ObjStm members
+    # classic table parses through the same walk
+    xc = PD._pdf_xref(PD.pdf_build(pages))
+    assert all(v[0] == "at" for v in xc.values()) and len(xc) >= 7
+    # a damaged startxref falls back to the scan and still extracts
+    assert PD.pdf_text(p.replace(b"startxref", b"stXrtxref"))[0] == want
+    # LZW + PDF-1.5 combined
+    assert PD.pdf_text(PD.pdf_build(pages, lzw=True, xref_stream=True))[0] == want
+    # EarlyChange=0 is a documented seam, not a wrong answer
+    raw = PD.pdf_build(pages, lzw=True).replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    )
+    with _pytest.raises(ValueError, match="EarlyChange"):
+        PD.pdf_text(raw)
+    # incremental update: an appended classic section chains to the
+    # old one via /Prev — both sections' objects resolve, and the
+    # NEWER definition of a re-written object wins
+    base = PD.pdf_build(pages)
+    upd = bytearray(base)
+    new_at = len(upd)
+    # re-write object 3 (the font dict) at the end
+    upd += b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n"
+    old_xref_at = int(PD._STARTXREF_RE.search(base).group(1))
+    x2_at = len(upd)
+    upd += (
+        b"xref\n3 1\n" + f"{new_at:010d} 00000 n \n".encode()
+        + f"trailer\n<< /Size 8 /Root 1 0 R /Prev {old_xref_at} >>\n"
+        f"startxref\n{x2_at}\n%%EOF\n".encode()
+    )
+    x3 = PD._pdf_xref(bytes(upd))
+    assert x3[3] == ("at", new_at)  # newest section wins
+    assert PD.pdf_text(bytes(upd))[0] == want  # chain still extracts all

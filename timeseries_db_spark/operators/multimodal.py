@@ -922,12 +922,15 @@ def _bmp_rle4_decode(data: bytes, w: int, height: int) -> bytearray:
     raise ValueError("BMP RLE stream missing end-of-bitmap")
 
 
-def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
+def _tiff_lzw_decode(data: bytes, expect: int | None) -> bytearray:
     """TIFF-variant LZW (TIFF 6.0 §13, r11): MSB-first codes over the
     strip, 256-symbol alphabet with ClearCode=256 / EOI=257, code width
     starting at 9 and growing with the spec's EARLY-CHANGE rule (the
     width bumps when the next free entry reaches 2^w − 1 — one code
-    earlier than GIF's variant). Stops at ``expect`` bytes or EOI."""
+    earlier than GIF's variant). Stops at ``expect`` bytes or EOI.
+    ``expect=None`` (r13, the PDF LZWDecode shape — ISO 32000 §7.4.4
+    is the same algorithm with EarlyChange=1, its default) decodes
+    until EOI: PDF streams don't know their decoded size upfront."""
     out = bytearray()
     pos = 0
     width = 9
@@ -947,7 +950,7 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
         return v
 
     base = [bytes([i]) for i in range(256)]
-    while len(out) < expect:
+    while expect is None or len(out) < expect:
         code = read_code()
         if code == CLEAR:
             table = list(base) + [b"", b""]
@@ -978,6 +981,8 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
         # so it must switch a code earlier still — at 2^w − 2
         if len(table) == (1 << width) - 2 and width < 12:
             width += 1
+    if expect is None:
+        return out
     if len(out) < expect:
         raise ValueError("TIFF LZW strip ends early")
     return out[:expect]
@@ -1025,6 +1030,15 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         prev = bytes([k])
     if prev:
         emit(table[prev])
+        # the DECODER appends a table entry for this final code too
+        # (it cannot know it is final) and may early-change across it;
+        # mirror that bump so EOI is emitted at the width the decoder
+        # will read it at (r13 — invisible to the `expect`-bounded
+        # TIFF strip path, which stops before EOI, but fatal for the
+        # PDF run-to-EOI path)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI)
     return bytes(out_bits)
 

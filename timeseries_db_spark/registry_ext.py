@@ -1193,10 +1193,15 @@ def register_extensions(q: dict, o: dict) -> None:
         # r12 pdf leg: PDF text extraction (operators/pdf.py) — the
         # fixture writes a real PDF per doc around the sanitized text
         # (Flate for even ids, raw for odd; TJ kerned arrays every 3rd
-        # id; odd ids get a second page) and the REAL object-scan →
-        # inflate → BT/ET tokenizer extraction must reproduce the
-        # closed-form line structure. n_a = show ops, n_b = streams —
-        # both doc-dependent.
+        # id; odd ids get a second page) and the REAL extraction must
+        # reproduce the closed-form line structure. n_a = show ops,
+        # n_b = streams — both doc-dependent. r13 (VERDICT item 5):
+        # every 5th doc carries LZWDecode content (the TIFF-LZW reuse)
+        # and every 7th ships the PDF-1.5 layout — ObjStm'd document
+        # dicts + indirect /Length integers + a binary /Type /XRef
+        # stream — so the xref walk, ObjStm expansion, and
+        # indirect-length resolution run under the gate (those docs
+        # count 2 extra infrastructure streams in n_b).
         def build_pdf(batches):
             import pandas as _pd
 
@@ -1220,6 +1225,8 @@ def register_extensions(q: dict, o: dict) -> None:
                             pages,
                             flate=(did % 2 == 0),
                             use_tj_array=(did % 3 == 0),
+                            lzw=(did % 5 == 0),
+                            xref_stream=(did % 7 == 0),
                         )
                     )
                 yield _pd.DataFrame(
@@ -1421,7 +1428,8 @@ def register_extensions(q: dict, o: dict) -> None:
         "UNION ALL "
         "SELECT doc_id, 'pdf' AS kind, "
         "(2 + doc_id % 3 + doc_id % 2)::BIGINT AS n_a, "
-        "(1 + doc_id % 2)::BIGINT AS n_b, "
+        "(1 + doc_id % 2 "
+        "+ CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_b, "
         "'Doc ' || doc_id || "
         "CASE WHEN cl <> '' THEN chr(10) || cl ELSE '' END || "
         "CASE doc_id % 3 WHEN 1 THEN chr(10) || 'L0' "
