@@ -926,3 +926,56 @@ def test_http_charset_bom_outranks_mislabeled_header():
     # no BOM: the header still wins over the meta sniff
     latin = b'<meta charset="utf-8">caf\xe9'
     assert W.decode_page(hdr, latin).endswith("café")
+
+
+def test_main_content_extraction_boilerplate_removal(spark):
+    """r13 (VERDICT stretch item 8): readability-style main-content
+    extraction — block segmentation at block-level tags, chrome
+    subtrees (<nav>/<header>/<footer>/<aside>/<head>) dropped
+    nesting-aware, and the link-density + min-length block scorer.
+    Nav bars and footers never reach the corpus; prose does."""
+    from timeseries_db_spark.operators import text as T
+
+    html = (
+        "<html><head><title>Site — Doc 7</title><script>x</script></head>"
+        "<body><header><nav><a href='/'>Home</a> <a>About</a></nav>"
+        "</header>"
+        "<h1>Hi</h1>"
+        "<p>This paragraph is long enough and almost entirely prose, "
+        "with <b>inline</b> markup and one <a href='x'>link</a>.</p>"
+        "<ul><li><a>m1</a></li><li><a>m2</a></li><li><a>m3</a></li></ul>"
+        "<div>Second real paragraph with plenty of ordinary words in "
+        "it to clear the bar.</div>"
+        "<aside><p>Related: <a>clickbait</a> <a>more</a></p></aside>"
+        "<footer>(c) 2026 <a>terms</a> <a>privacy</a></footer>"
+        "</body></html>"
+    )
+    text, n_blocks, n_kept = T.main_content_str(html)
+    assert "Home" not in text and "clickbait" not in text
+    assert "terms" not in text and "Site" not in text  # head dropped
+    assert "Hi" not in text  # too short
+    assert text.startswith("This paragraph is long enough")
+    assert "Second real paragraph" in text
+    assert "m1" not in text  # link-only menu items
+    assert n_kept == 2
+    # link-density boundary: exactly 1/3 passes, above drops
+    t1, _, k1 = T.main_content_str("<p><a>abcde</a> plus ten c</p>", min_len=5)
+    assert k1 == 1  # 5 link chars of ~18
+    t2, _, k2 = T.main_content_str("<p><a>abcdefghij</a> tiny</p>", min_len=5)
+    assert k2 == 0  # 10 of 16
+    # unclosed chrome swallows to document end (lenient, like real
+    # extractors treat broken nav markup)
+    t3, _, _ = T.main_content_str("<p>Keep this prose block here.</p><nav>x")
+    assert t3 == "Keep this prose block here."
+    # entities decode inside blocks and count toward link text
+    t4, nb4, nk4 = T.main_content_str(
+        "<p>alpha &amp; beta gamma delta epsilon</p>", min_len=10
+    )
+    assert t4 == "alpha & beta gamma delta epsilon" and (nb4, nk4) == (1, 1)
+    # the Spark operator: same kernel, Arrow-batched
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>tiny</p>")], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in T.main_content_extract(df).collect()}
+    assert rows[1]["n_kept"] == 2 and rows[1]["text"] == text
+    assert rows[2]["n_kept"] == 0 and rows[2]["text"] == ""

@@ -734,6 +734,197 @@ def html_extract(docs: DataFrame, col: str = "html") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction (r13, VERDICT stretch item 8): boilerplate
+# removal — real pipelines rarely train on nav bars. A readability/
+# jusText-style BLOCK scorer: segment the page at block-level tags,
+# drop page chrome (<nav>/<header>/<footer>/<aside>) wholesale, then
+# keep blocks by text length and LINK DENSITY (chars inside <a> over
+# block chars — the single most effective boilerplate signal in the
+# literature: menus and footers are link-dense, prose is not).
+# ---------------------------------------------------------------------------
+
+#: tags that delimit scoring blocks (flattened: an opening block tag
+#: finalizes the current block — standard block segmentation)
+_MCE_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr td "
+    "th section article main blockquote pre figure form br hr body "
+    "html".split()
+)
+#: subtrees dropped wholesale, nesting-aware: page chrome plus the
+#: document head (a <title> is metadata, not trainable page content)
+_MCE_CHROME = frozenset(("nav", "footer", "aside", "header", "head",
+                         "title"))
+
+_MCE_TAGNAME_RE = None  # built lazily (module import stays light)
+
+
+def main_content_str(
+    html: str, min_len: int = 25, max_link_density: float = 1 / 3
+) -> tuple[str, int, int]:
+    """Readability-style main-content extraction for one document:
+    ``(text, n_blocks, n_kept)``. One state-machine pass (same
+    comment/script/style handling and entity decoding as
+    :func:`html_to_text_str`): text accumulates into blocks delimited
+    by block-level tags, ``<a>`` depth attributes each character to
+    link text, chrome subtrees contribute nothing. A block survives
+    when its collapsed text reaches ``min_len`` chars AND its link
+    density (link chars / block chars, pre-collapse) stays at or
+    under ``max_link_density``; survivors join with newlines.
+    ``n_blocks`` counts non-empty non-chrome candidate blocks."""
+    import re as _re
+
+    global _MCE_TAGNAME_RE
+    if _MCE_TAGNAME_RE is None:
+        _MCE_TAGNAME_RE = _re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+    ent_re = _re.compile(
+        r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);"
+    )
+    ws_re = _re.compile(r"[\s\xa0]+")
+    blocks: list[tuple[str, int]] = []
+    cur: list[str] = []
+    cur_link = 0
+    a_depth = 0
+    chrome = 0
+    i, n = 0, len(html)
+    lower = html.lower()
+
+    def flush() -> None:
+        nonlocal cur, cur_link
+        text = ws_re.sub(" ", "".join(cur)).strip()
+        if text:
+            blocks.append((text, cur_link))
+        cur = []
+        cur_link = 0
+
+    def put(s: str) -> None:
+        nonlocal cur_link
+        if chrome:
+            return
+        cur.append(s)
+        if a_depth:
+            cur_link += len(s)
+
+    while i < n:
+        c = html[i]
+        if c == "<":
+            if html.startswith("<!--", i):
+                j = lower.find("-->", i + 4)
+                i = n if j < 0 else j + 3
+                continue
+            dropped = None
+            for t in _HTML_DROP:
+                after = i + 1 + len(t)
+                if lower.startswith("<" + t, i) and (
+                    after >= n or not lower[after].isalnum()
+                ):
+                    dropped = t
+                    break
+            if dropped:
+                j = _html_tag_end(html, i)
+                if j is None:
+                    put("<")
+                    i += 1
+                    continue
+                close = lower.find("</" + dropped, j)
+                if close < 0:
+                    i = n
+                else:
+                    k = _html_tag_end(html, close)
+                    i = k if k is not None else n
+                put(" ")
+                continue
+            j = _html_tag_end(html, i)
+            if j is None:  # no closing '>' anywhere: literal '<'
+                put("<")
+                i += 1
+                continue
+            m = _MCE_TAGNAME_RE.match(html, i)
+            name = m.group(1).lower() if m else ""
+            closing = html.startswith("</", i)
+            if name in _MCE_CHROME:
+                flush()
+                chrome = max(0, chrome + (-1 if closing else 1))
+            elif name == "a":
+                # the tag-boundary space is layout, not anchor text —
+                # emit it OUTSIDE the link span so density counts only
+                # the anchor's own characters
+                if closing:
+                    a_depth = max(0, a_depth - 1)
+                    put(" ")
+                else:
+                    put(" ")
+                    a_depth += 1
+            elif name in _MCE_BLOCK_TAGS:
+                flush()
+            else:  # inline tag: a whitespace boundary, like html_extract
+                put(" ")
+            i = j
+        elif c == "&":
+            m = ent_re.match(html, i)
+            dec = None
+            if m:
+                name = m.group(1)
+                if name.startswith(("#x", "#X")):
+                    code = int(name[2:], 16)
+                    dec = chr(code) if code < 0x110000 else None
+                elif name.startswith("#"):
+                    code = int(name[1:])
+                    dec = chr(code) if code < 0x110000 else None
+                else:
+                    dec = HTML_ENTITIES.get(name)
+            if dec is not None:
+                put(dec)
+                i = m.end()
+            else:
+                put("&")
+                i += 1
+        else:
+            put(c)
+            i += 1
+    flush()
+    kept = [
+        t
+        for t, lc in blocks
+        if len(t) >= min_len and lc <= max_link_density * len(t)
+    ]
+    return "\n".join(kept), len(blocks), len(kept)
+
+
+def main_content_extract(
+    docs: DataFrame, col: str = "html", min_len: int = 25,
+    max_link_density: float = 1 / 3,
+) -> DataFrame:
+    """(doc_id, n_blocks, n_kept, text) — :func:`main_content_str`
+    over an HTML column, Arrow-batched, map-only: the C4 sibling that
+    runs BEFORE line-level cleaning in a real web pipeline (nav bars
+    and footers never reach the corpus). Same 100 TB posture as
+    :func:`html_extract` — per-row Python kernel, no shuffle, no
+    driver traffic."""
+    from typing import Iterator as _It
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [
+                main_content_str(x or "", min_len, max_link_density)
+                for x in pdf[col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_blocks": [r[1] for r in rows],
+                    "n_kept": [r[2] for r in rows],
+                    "text": [r[0] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id", col).mapInPandas(
+        gen, schema="doc_id long, n_blocks long, n_kept long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (r11; RFC 3986-complete in r12): dedup web
 # corpora by canonical URL — the companion key to content dedup
 # ---------------------------------------------------------------------------

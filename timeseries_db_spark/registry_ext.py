@@ -1328,6 +1328,43 @@ def register_extensions(q: dict, o: dict) -> None:
                 " text_clean)"
             ).alias("out_text"),
         )
+        # r13 mce leg (VERDICT stretch item 8): main-content extraction
+        # — the readability-style block scorer (text.main_content_str)
+        # runs on a page with REAL boilerplate shapes: a link-only
+        # <nav>, a too-short <h1> and <p>, a link-dense <div> (density
+        # 10/16 > 1/3), a <footer>, and 1 + doc_id%3 prose blocks that
+        # must survive (the main block carries the sanitized doc text
+        # + an entity). n_a = candidate blocks (4 + id%3), n_b = kept
+        # (1 + id%3), out_text = the newline-joined survivors — all
+        # closed-form.
+        mce_html = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('<html><head><title>t</title>"
+                "<script>var x=1;</script></head><body>',"
+                "'<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>"
+                " <a>Contact</a></nav>',"
+                "'<h1>Doc ', doc_id, '</h1>',"
+                f"'<p>Main content for doc ', doc_id, '. ', {clean},"
+                "' x &amp; y</p>',"
+                "'<p>short</p>',"
+                "'<div><a href=\"x\">link1</a> <a>link2</a> tiny</div>',"
+                "CASE WHEN doc_id % 3 >= 1 THEN concat("
+                "'<p>Filler sentence number 0 for doc ', doc_id,"
+                "' rides here.</p>') ELSE '' END,"
+                "CASE WHEN doc_id % 3 >= 2 THEN concat("
+                "'<p>Filler sentence number 1 for doc ', doc_id,"
+                "' rides here.</p>') ELSE '' END,"
+                "'<footer><a>terms</a> copyright</footer></body></html>')"
+            ).alias("html"),
+        )
+        mce = text.main_content_extract(mce_html, min_len=10).select(
+            "doc_id",
+            F.lit("mce").alias("kind"),
+            F.col("n_blocks").alias("n_a"),
+            F.col("n_kept").alias("n_b"),
+            F.col("text").alias("out_text"),
+        )
         # r12 cdx leg: the Common Crawl URL INDEX format (CDXJ — how
         # consumers discover records before fetching any WARC bytes):
         # constructed closed-form lines, REAL parser on both engines
@@ -1368,6 +1405,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(pdfx)
             .unionByName(rob)
             .unionByName(c4)
+            .unionByName(mce)
             .unionByName(cdx)
         )
 
@@ -1485,6 +1523,22 @@ def register_extensions(q: dict, o: dict) -> None:
             "ELSE '' END AS text FROM documents"
         )
         + ") "
+        "UNION ALL "
+        # mce (r13): main-content extraction closed forms — see the leg
+        "SELECT doc_id, 'mce' AS kind, (4 + doc_id % 3)::BIGINT AS n_a, "
+        "(1 + doc_id % 3)::BIGINT AS n_b, "
+        "'Main content for doc ' || doc_id || '.' || "
+        "CASE WHEN cl <> '' THEN ' ' || cl ELSE '' END || ' x & y' || "
+        "CASE WHEN doc_id % 3 >= 1 THEN chr(10) || "
+        "'Filler sentence number 0 for doc ' || doc_id || ' rides here.' "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 >= 2 THEN chr(10) || "
+        "'Filler sentence number 1 for doc ' || doc_id || ' rides here.' "
+        "ELSE '' END AS out_text FROM ("
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
+        "' +', ' ', 'g')) AS cl "
+        "FROM documents) "
         "UNION ALL "
         "SELECT doc_id, 'cdx' AS kind, ts_ms AS n_a, length AS n_b, "
         "surt || ' | ' || url || ' | ' || status || ' | ' || filename "
