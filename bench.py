@@ -176,6 +176,17 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # multimodal_audio_chunks' fpcm FLAC decode + ometa Ogg/Opus) don't
 # touch the headline list.
 
+# r13 legs: no headline entry gained legs this round — the r13
+# additions all land on NON-headline entries (text_pii_scrub: werr
+# dirty-WARC quarantine leg + mce main-content-extraction leg, and its
+# pdf leg now cycles LZWDecode every 5th doc / PDF-1.5 xref-stream+
+# ObjStm layout every 7th; multimodal_audio_chunks: otag OpusTags leg,
+# and mmeta's duration derives from Xing/VBRI frame counts for
+# doc_id%5<=2) — so r13 headline columns measure the same logical work
+# as r12. The header also gained load_1m/ncpu/n_runs/noise_pct fields
+# (VERDICT r12 item 3): read those before calling any drift a
+# regression.
+
 # r11 legs: none of the headline entries gained legs this round (the
 # r11 additions — msadpcm/aiff/fmeta/mmeta on multimodal_audio_chunks,
 # ganim/exif on multimodal_resize_plan, html/url/warc on
