@@ -979,3 +979,40 @@ def test_main_content_extraction_boilerplate_removal(spark):
     rows = {r["doc_id"]: r for r in T.main_content_extract(df).collect()}
     assert rows[1]["n_kept"] == 2 and rows[1]["text"] == text
     assert rows[2]["n_kept"] == 0 and rows[2]["text"] == ""
+
+
+def test_warc_mime_filtering_binary_bodies_never_extract(spark):
+    """r13: a 200 response whose Content-Type is not page text (image,
+    PDF, tarball — a large share of real crawl records) surfaces as a
+    row with its mime but its bytes never reach HTML extraction; bait
+    html inside a PNG body must not leak into corpus text. text/plain
+    stays extractable."""
+    from timeseries_db_spark.operators import warc as W
+
+    png = W.http_response_block(
+        b"\x89PNG\r\n\x1a\n<p>BAIT leak</p>" + bytes(8),
+        content_type="image/png",
+    )
+    plain = W.http_response_block(
+        b"just plain words", content_type="text/plain; charset=utf-8"
+    )
+    html = W.http_response_block(b"<p>real page</p>")
+    p = W.warc_build(
+        [
+            ("response", "http://m/png", png),
+            ("response", "http://m/txt", plain),
+            ("response", "http://m/html", html),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "warc", p)], "asset_id long, kind string, payload binary"
+    )
+    rows = {r["uri"]: r for r in W.warc_extract_text(df).collect()}
+    rp = rows["http://m/png"]
+    assert (rp["mime"], rp["status"], rp["text"], rp["n_tags"]) == (
+        "image/png", 200, "", 0
+    )
+    assert rows["http://m/txt"]["text"] == "just plain words"
+    assert rows["http://m/html"]["text"] == "real page"
+    assert W.http_mime({"content-type": "Text/HTML; charset=x"}) == "text/html"
+    assert W.http_mime({}) == ""

@@ -536,13 +536,32 @@ def wat_extract_meta(assets: DataFrame) -> DataFrame:
     )
 
 
+#: media types whose bodies are PAGE TEXT — everything else (images,
+#: PDFs, fonts, archives… a large fraction of real crawl responses)
+#: is surfaced with its mime but never pushed through HTML extraction,
+#: where binary bytes would decode into garbage corpus text. The empty
+#: string (no header section / no Content-Type) stays permissive.
+EXTRACT_MIMES = ("", "text/html", "application/xhtml+xml", "text/plain")
+
+
+def http_mime(headers: dict[str, str]) -> str:
+    """The bare lowercase media type of a response (``Content-Type``
+    up to the first ``;``), '' when absent."""
+    return headers.get("content-type", "").split(";", 1)[0].strip().lower()
+
+
 def warc_extract_text(assets: DataFrame) -> DataFrame:
-    """(asset_id, rec_idx, uri, rec_type, status, digest, n_tags,
-    n_entities, text, err) — the crawl-file → page-text surface, one
-    row per surfaced record: WARC parse (gzip members inflated) →
-    HTTP message (dechunk + content-encoding inflate + charset
-    decode) → HTML→text extraction (:func:`html_to_text_str`), all
-    inside one ``mapInPandas`` stage.
+    """(asset_id, rec_idx, uri, rec_type, status, mime, digest,
+    n_tags, n_entities, text, err) — the crawl-file → page-text
+    surface, one row per surfaced record: WARC parse (gzip members
+    inflated) → HTTP message (dechunk + content-encoding inflate +
+    charset decode) → HTML→text extraction
+    (:func:`html_to_text_str`), all inside one ``mapInPandas`` stage.
+
+    **MIME filtering (r13):** only :data:`EXTRACT_MIMES` bodies are
+    extracted — a 200 ``image/png`` (or PDF, font, tarball…) response
+    surfaces as a row carrying its ``mime`` but its bytes never
+    become corpus text.
 
     r13 (VERDICT items 1+2) — what a 100 TB crawl run actually needs:
 
@@ -566,11 +585,12 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
 
     Non-page records (warcinfo, request, metadata) are skipped — they
     carry no page text. Corpus consumers keep ``rec_type='response'
-    AND status BETWEEN 200 AND 299 AND err IS NULL``."""
+    AND status BETWEEN 200 AND 299 AND err IS NULL AND mime IN
+    EXTRACT_MIMES``."""
 
     cols = [
-        "asset_id", "rec_idx", "uri", "rec_type", "status", "digest",
-        "n_tags", "n_entities", "text", "err",
+        "asset_id", "rec_idx", "uri", "rec_type", "status", "mime",
+        "digest", "n_tags", "n_entities", "text", "err",
     ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -583,7 +603,7 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
                 recs, errs = warc_scan(bytes(payload), strict=False)
                 for msg in errs:
                     rows.append(
-                        (aid, -1, "", "error", None, "", 0, 0, "", msg)
+                        (aid, -1, "", "error", None, "", "", 0, 0, "", msg)
                     )
                 for ri, (hdrs, block) in enumerate(recs):
                     wtype = hdrs.get("warc-type")
@@ -591,7 +611,7 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
                     if wtype == "revisit":
                         rows.append(
                             (
-                                aid, ri, uri, "revisit", None,
+                                aid, ri, uri, "revisit", None, "",
                                 hdrs.get("warc-payload-digest", ""),
                                 0, 0, "", None,
                             )
@@ -603,23 +623,24 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
                         http_hdrs, body = http_message(block)
                     except ValueError as e:
                         rows.append(
-                            (aid, ri, uri, "error", None, "", 0, 0, "",
-                             str(e))
+                            (aid, ri, uri, "error", None, "", "", 0, 0,
+                             "", str(e))
                         )
                         continue
                     status = int(http_hdrs.get(":status", "200"))
+                    mime = http_mime(http_hdrs)
                     digest = hdrs.get("warc-payload-digest", "")
-                    if not 200 <= status < 300:
+                    if not 200 <= status < 300 or mime not in EXTRACT_MIMES:
                         rows.append(
-                            (aid, ri, uri, "response", status, digest,
-                             0, 0, "", None)
+                            (aid, ri, uri, "response", status, mime,
+                             digest, 0, 0, "", None)
                         )
                         continue
                     text, n_tags, n_ent = html_to_text_str(
                         decode_page(http_hdrs, body)
                     )
                     rows.append(
-                        (aid, ri, uri, "response", status, digest,
+                        (aid, ri, uri, "response", status, mime, digest,
                          n_tags, n_ent, text, None)
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -630,7 +651,7 @@ def warc_extract_text(assets: DataFrame) -> DataFrame:
         .mapInPandas(
             gen,
             schema="asset_id long, rec_idx long, uri string, "
-            "rec_type string, status long, digest string, n_tags long, "
-            "n_entities long, text string, err string",
+            "rec_type string, status long, mime string, digest string, "
+            "n_tags long, n_entities long, text string, err string",
         )
     )

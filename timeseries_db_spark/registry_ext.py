@@ -988,7 +988,9 @@ def register_extensions(q: dict, o: dict) -> None:
         # survive. Column mapping:
         # werr: n_a=n_error_rows n_b=n_non200_responses
         #       out_text = good_text | revisit_digest | len(non-200
-        #       extracted text)==0 | min skipped status
+        #       extracted text)==0 | min skipped status |
+        #       mime:len of the binary 200 response ('image/png:0' —
+        #       the bait inside the PNG body must never extract)
         def build_werr(batches):
             import pandas as _pd
 
@@ -1038,6 +1040,23 @@ def register_extensions(q: dict, o: dict) -> None:
                                 ),
                             )
                         )
+                    # r13 MIME filter: a 200 image/png whose body
+                    # CONTAINS html-looking bait — if the extractor
+                    # ever pushes a binary body through HTML
+                    # extraction, the bait text leaks and the hash
+                    # flips (out_text pins mime:extracted_len at
+                    # 'image/png:0')
+                    tail.append(
+                        (
+                            "response",
+                            uri + "/img.png",
+                            W.http_response_block(
+                                b"\x89PNG\r\n\x1a\n<p>BAIT leak</p>"
+                                + bytes(16),
+                                content_type="image/png",
+                            ),
+                        )
+                    )
                     tail.append(
                         (
                             "revisit",
@@ -1100,6 +1119,17 @@ def register_extensions(q: dict, o: dict) -> None:
                     F.sum(F.when(skipped, F.length("text"))).cast("string"),
                     F.lit(" | "),
                     F.min(F.when(skipped, F.col("status"))).cast("string"),
+                    F.lit(" | "),
+                    F.max(
+                        F.when(
+                            F.col("mime").startswith("image/"),
+                            F.concat(
+                                F.col("mime"),
+                                F.lit(":"),
+                                F.length("text").cast("string"),
+                            ),
+                        )
+                    ),
                 ).alias("out_text"),
             )
             .select(
@@ -1445,7 +1475,8 @@ def register_extensions(q: dict, o: dict) -> None:
         "SELECT doc_id, 'werr' AS kind, (2 - doc_id % 2)::BIGINT AS n_a, "
         "(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT AS n_b, "
         "'Good ' || doc_id || ' | sha1:REV' || doc_id || ' | 0 | ' || "
-        "(CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 301 END) AS out_text "
+        "(CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 301 END) || "
+        "' | image/png:0' AS out_text "
         "FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'wet' AS kind, length(cl)::BIGINT AS n_a, "

@@ -59,17 +59,21 @@ def warc_docs(stream: DataFrame) -> DataFrame:
     full transport decode included. Stateless, so it composes under
     any streaming sink.
 
-    r13: the extraction is tolerant and status-aware — corrupt records
-    surface as ``rec_type='error'`` rows and non-200 bodies as empty
-    ``response`` rows, BOTH filtered here, so a poisoned crawl segment
-    costs its damaged records only (the streaming query survives) and
-    error/redirect bodies never enter the corpus."""
+    r13: the extraction is tolerant, status-aware, and MIME-aware —
+    corrupt records surface as ``rec_type='error'`` rows, non-200 and
+    non-text (image/PDF/…) bodies as empty ``response`` rows, ALL
+    filtered here, so a poisoned crawl segment costs its damaged
+    records only (the streaming query survives) and error/redirect/
+    binary bodies never enter the corpus."""
+    from timeseries_db_spark.operators.warc import EXTRACT_MIMES
+
     return (
         warc_extract_text(stream)
         .filter(
             (F.col("rec_type") == "response")
             & F.col("err").isNull()
             & F.col("status").between(200, 299)
+            & F.col("mime").isin(*EXTRACT_MIMES)
         )
         .select(
             (F.col("asset_id") * RECS_PER_ASSET + F.col("rec_idx")).alias(
