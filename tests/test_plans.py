@@ -504,10 +504,15 @@ def test_crawl_ops_stay_jvm_side(spark):
         [(1, "A proper sentence with enough words right here.")],
         "doc_id long, text string",
     )
+    maps = spark.createDataFrame(
+        [(1, "<urlset><url><loc>https://x/p</loc></url></urlset>")],
+        "doc_id long, xml string",
+    )
     for df in (
         text.url_normalize(urls),
         text.c4_page_filter(docs),
         W.cdx_parse(lines),
+        W.sitemap_urls(maps),  # r13: explode is Generate, not a shuffle
     ):
         plan = _formatted_plan(spark, df)
         assert "EvalPython" not in plan, plan  # Arrow/BatchEvalPython

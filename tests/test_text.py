@@ -1016,3 +1016,78 @@ def test_warc_mime_filtering_binary_bodies_never_extract(spark):
     assert rows["http://m/html"]["text"] == "real page"
     assert W.http_mime({"content-type": "Text/HTML; charset=x"}) == "text/html"
     assert W.http_mime({}) == ""
+
+
+def test_whatwg_charset_aliasing_iso88591_is_cp1252():
+    """r13: per the WHATWG Encoding Standard label table, iso-8859-1 /
+    latin1 / us-ascii are labels FOR windows-1252 — 0x80-0x9F decode
+    as curly quotes/dashes/euro (what the page author saw in every
+    browser), not C1 control characters."""
+    from timeseries_db_spark.operators import warc as W
+
+    hdr = {"content-type": "text/html; charset=iso-8859-1"}
+    assert W.http_charset(hdr, b"") == "windows-1252"
+    got = W.decode_page(hdr, b"\x93smart\x94 \x97 \x80")
+    assert got == "“smart” — €"  # "smart" — €
+    # 0xE9 agrees between the encodings: café stays café
+    assert W.decode_page(hdr, b"caf\xe9") == "café"
+    assert W.http_charset({"content-type": "x; charset=US-ASCII"}, b"") == (
+        "windows-1252"
+    )
+
+
+def test_robots_sitemaps_and_sitemap_urls(spark):
+    """r13: the discovery loop — Sitemap: directives out of robots.txt
+    (group-independent, case-insensitive, comment-stripped) and URL/
+    lastmod extraction out of sitemap XML, engine-parity twin checked
+    against DuckDB."""
+    import duckdb
+
+    from timeseries_db_spark.operators import robots as R
+    from timeseries_db_spark.operators import warc as W
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://a.com/sm1.xml\n"
+                "sitemap: https://a.com/sm2.xml  # comment\n",
+            ),
+            ("b.com", "User-agent: *\nAllow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["host"], r["sitemap"])
+        for r in R.robots_sitemaps(robots).collect()
+    )
+    assert got == [
+        ("a.com", "https://a.com/sm1.xml"),
+        ("a.com", "https://a.com/sm2.xml"),
+    ]
+    # the directive never disturbs the rule groups
+    rules = R.robots_rules(robots).collect()
+    assert sorted(r["pattern"] for r in rules) == ["/", "/x"]
+    # sitemap XML: loc + lastmod (absent -> NULL day), multi-url,
+    # and the DuckDB twin agrees on the same construction
+    xml = (
+        "<urlset><url><loc>https://a.com/p1</loc>"
+        "<lastmod>2024-01-15</lastmod></url>"
+        "<url><loc>https://a.com/p2</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id long, xml string")
+    rows = {r["loc"]: r for r in W.sitemap_urls(df).collect()}
+    assert rows["https://a.com/p1"]["lastmod_day"] == 19737  # 2024-01-15
+    assert rows["https://a.com/p1"]["lastmod"] == "2024-01-15"
+    assert rows["https://a.com/p2"]["lastmod_day"] is None
+    con = duckdb.connect()
+    duck = con.execute(
+        W.sitemap_urls_sql(
+            "SELECT 1 AS doc_id, '" + xml.replace("'", "''") + "' AS xml"
+        )
+    ).df()
+    assert sorted(duck["loc"]) == ["https://a.com/p1", "https://a.com/p2"]
+    assert sorted(
+        -1 if x != x else int(x) for x in duck["lastmod_day"]
+    ) == [-1, 19737]

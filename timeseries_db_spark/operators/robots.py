@@ -128,6 +128,29 @@ def robots_rules(
     )
 
 
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap) — the ``Sitemap:`` directives of each robots
+    body (r13): the sitemaps.org extension every major crawler honors
+    and the usual SEED of the discovery loop (robots → sitemap →
+    frontier). Group-INDEPENDENT per the protocol (a Sitemap line
+    applies regardless of which User-agent group surrounds it), so
+    the parse is one line explode + field extraction — no window, no
+    join, pure codegen."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"),
+    )
+    return lines.select(
+        "host",
+        F.expr(
+            "trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), "
+            "'^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\\\\s*:(.*)$', 1))"
+        ).alias("sitemap"),
+    ).filter(F.col("sitemap") != "")
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

@@ -326,12 +326,20 @@ _META_CHARSET_RE = re.compile(
 _CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
 
 #: charsets the decoder recognizes (web-corpus staples); anything else
-#: falls back to utf-8-replace like the permissive readers do
+#: falls back to utf-8-replace like the permissive readers do.
+#: r13: per the WHATWG Encoding Standard's label table, iso-8859-1 /
+#: latin1 / us-ascii are LABELS FOR windows-1252 — browsers decode
+#: them as cp1252 (0x80–0x9F become curly quotes/dashes/€, not C1
+#: controls), and a crawl corpus should match what the page's author
+#: saw. The two encodings agree everywhere else, incl. 0xE9 'é'.
 _KNOWN_CHARSETS = {
     "utf-8": "utf-8", "utf8": "utf-8",
-    "latin-1": "latin-1", "latin1": "latin-1", "iso-8859-1": "latin-1",
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "l1": "windows-1252",
     "windows-1252": "windows-1252", "cp1252": "windows-1252",
-    "us-ascii": "ascii", "ascii": "ascii",
+    "x-cp1252": "windows-1252",
+    "us-ascii": "windows-1252", "ascii": "windows-1252",
     "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
 }
 
@@ -432,6 +440,67 @@ def cdx_parse_sql(source_sql: str, col: str = "line") -> str:
                epoch_ms(strptime({ts}, '%Y%m%d%H%M%S')) AS ts_ms,
                {", ".join(fields)}
         FROM ({source_sql})
+    """
+
+
+#: sitemap XML shapes (sitemaps.org §XML format) — lazy quantifier is
+#: supported by BOTH Java regex and RE2, so the same pattern runs on
+#: both engines; loc/lastmod are simple-content elements
+_SITEMAP_BLOCK_RE = "<url>(.*?)</url>"
+_SITEMAP_LOC_RE = "<loc>([^<]*)</loc>"
+_SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+
+
+def sitemap_urls(maps: DataFrame, col: str = "xml") -> DataFrame:
+    """(doc_id, loc, lastmod, lastmod_day) — URL entries of a sitemap
+    XML document (r13): the other half of the discovery loop seeded
+    by :func:`robots.robots_sitemaps` (robots → Sitemap: → this →
+    crawl frontier). ``lastmod_day`` is days since 1970-01-01 (NULL
+    when absent) — a DATE is timezone-free on both engines, so the
+    freshness filter a recrawl scheduler runs needs no tz anchor.
+    Pure JVM: ``regexp_extract_all`` block explode + per-block field
+    extraction, one codegen projection over a multi-GB sitemap
+    corpus."""
+    blocks = maps.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all({col}, '{_SITEMAP_BLOCK_RE}', 1)")
+        ).alias("block"),
+    )
+    return blocks.select(
+        "doc_id",
+        F.expr(f"regexp_extract(block, '{_SITEMAP_LOC_RE}', 1)").alias(
+            "loc"
+        ),
+        F.expr(
+            f"regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1)"
+        ).alias("lastmod"),
+        F.expr(
+            f"datediff(to_date(nullif(regexp_extract(block, "
+            f"'{_SITEMAP_LASTMOD_RE}', 1), '')), to_date('1970-01-01'))"
+        )
+        .cast("long")
+        .alias("lastmod_day"),
+    )
+
+
+def sitemap_urls_sql(source_sql: str, col: str = "xml") -> str:
+    """DuckDB twin of :func:`sitemap_urls` over ``source_sql`` (a
+    subquery yielding (doc_id, {col}))."""
+    return f"""
+        SELECT doc_id,
+               regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) AS loc,
+               regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1) AS lastmod,
+               date_diff('day', DATE '1970-01-01',
+                   try_cast(nullif(regexp_extract(block,
+                       '{_SITEMAP_LASTMOD_RE}', 1), '') AS DATE)
+               )::BIGINT AS lastmod_day
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all({col},
+                       '{_SITEMAP_BLOCK_RE}', 1)) AS block
+            FROM ({source_sql})
+        )
     """
 
 

@@ -1294,11 +1294,21 @@ def register_extensions(q: dict, o: dict) -> None:
             "User-agent: *\nDisallow: /A/\nAllow: /A/Path*\n"
             "Disallow: /A/*3/End~$"
         )
+        # r13: every robots body also carries a group-independent
+        # Sitemap: directive (robots_sitemaps), joined back onto the
+        # admission rows so the discovery seed is value-checked too
         rob_hosts = s.range(7).select(
             F.expr("concat('example', id, '.com')").alias("host"),
-            F.when(F.col("id") % 2 == 0, F.lit(even_txt))
-            .otherwise(F.lit(odd_txt))
-            .alias("robots_txt"),
+            F.concat(
+                F.expr(
+                    "concat('Sitemap: https://example', id,"
+                    " '.com/sm.xml')"
+                ),
+                F.lit("\n"),
+                F.when(F.col("id") % 2 == 0, F.lit(even_txt)).otherwise(
+                    F.lit(odd_txt)
+                ),
+            ).alias("robots_txt"),
         )
         rob_urls = docs.select(
             "doc_id",
@@ -1308,17 +1318,22 @@ def register_extensions(q: dict, o: dict) -> None:
                 "ELSE concat('/A/Path', doc_id, '/End~') END"
             ).alias("path"),
         )
-        rob = _robots.robots_allowed(
-            rob_urls, _robots.robots_rules(rob_hosts), "TSDB-Bot"
-        ).select(
-            "doc_id",
-            F.lit("rob").alias("kind"),
-            F.col("win_plen").alias("n_a"),
-            F.col("allowed").cast("long").alias("n_b"),
-            F.expr(
-                "concat(host, path, '|', "
-                "CASE WHEN allowed THEN 'T' ELSE 'F' END)"
-            ).alias("out_text"),
+        rob = (
+            _robots.robots_allowed(
+                rob_urls, _robots.robots_rules(rob_hosts), "TSDB-Bot"
+            )
+            .join(F.broadcast(_robots.robots_sitemaps(rob_hosts)), "host")
+            .select(
+                "doc_id",
+                F.lit("rob").alias("kind"),
+                F.col("win_plen").alias("n_a"),
+                F.col("allowed").cast("long").alias("n_b"),
+                F.expr(
+                    "concat(host, path, '|', "
+                    "CASE WHEN allowed THEN 'T' ELSE 'F' END, "
+                    "'|', sitemap)"
+                ).alias("out_text"),
+            )
         )
         # r12 c4 leg: the canonical C4 page/line cleaning recipe
         # (text.c4_page_filter) — the entry CONSTRUCTS a multi-line
@@ -1395,6 +1410,35 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_kept").alias("n_b"),
             F.col("text").alias("out_text"),
         )
+        # r13 smap leg: sitemap XML URL extraction (warc.sitemap_urls)
+        # — the discovery loop's second half (robots → Sitemap: →
+        # sitemap.xml → frontier). Each doc carries a sitemap with a
+        # lastmod'd primary URL and (odd ids) a lastmod-less second
+        # URL; the REAL operator runs on BOTH engines via the
+        # generated twin. n_a = lastmod_day (days since epoch, NULL
+        # for the second url), n_b = loc length.
+        smap_xml = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('<urlset>',"
+                "'<url><loc>https://example', doc_id % 7, '.com/doc',"
+                " doc_id, '</loc>',"
+                "'<lastmod>2024-01-',"
+                " lpad(cast(1 + doc_id % 28 as string), 2, '0'),"
+                " '</lastmod></url>',"
+                "CASE WHEN doc_id % 2 = 1 THEN concat("
+                "'<url><loc>https://alt', doc_id % 5, '.org/p', doc_id,"
+                " '</loc></url>') ELSE '' END,"
+                "'</urlset>')"
+            ).alias("xml"),
+        )
+        smap = _warc.sitemap_urls(smap_xml).select(
+            "doc_id",
+            F.lit("smap").alias("kind"),
+            F.col("lastmod_day").alias("n_a"),
+            F.expr("length(loc)").cast("long").alias("n_b"),
+            F.expr("concat(loc, ' @ ', lastmod)").alias("out_text"),
+        )
         # r12 cdx leg: the Common Crawl URL INDEX format (CDXJ — how
         # consumers discover records before fetching any WARC bytes):
         # constructed closed-form lines, REAL parser on both engines
@@ -1436,6 +1480,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(rob)
             .unionByName(c4)
             .unionByName(mce)
+            .unionByName(smap)
             .unionByName(cdx)
         )
 
@@ -1527,6 +1572,7 @@ def register_extensions(q: dict, o: dict) -> None:
         "CASE WHEN doc_id % 3 <> 0 AND "
         "(((doc_id % 7) % 2 = 0 AND doc_id % 10 = 9) OR "
         "((doc_id % 7) % 2 = 1 AND doc_id % 10 = 3)) THEN 'F' ELSE 'T' END "
+        "|| '|https://example' || (doc_id % 7) || '.com/sm.xml' "
         "AS out_text FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'c4' AS kind, n_kept AS n_a, n_sentences AS n_b, "
@@ -1570,6 +1616,23 @@ def register_extensions(q: dict, o: dict) -> None:
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
         "' +', ' ', 'g')) AS cl "
         "FROM documents) "
+        "UNION ALL "
+        # smap (r13): the REAL sitemap parser on both engines
+        "SELECT doc_id, 'smap' AS kind, lastmod_day AS n_a, "
+        "length(loc)::BIGINT AS n_b, loc || ' @ ' || lastmod "
+        "AS out_text FROM ("
+        + _warc_mod.sitemap_urls_sql(
+            "SELECT doc_id, '<urlset>' || "
+            "'<url><loc>https://example' || (doc_id % 7) || '.com/doc' || "
+            "doc_id || '</loc>' || '<lastmod>2024-01-' || "
+            "lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || "
+            "'</lastmod></url>' || "
+            "CASE WHEN doc_id % 2 = 1 THEN "
+            "'<url><loc>https://alt' || (doc_id % 5) || '.org/p' || "
+            "doc_id || '</loc></url>' ELSE '' END || "
+            "'</urlset>' AS xml FROM documents"
+        )
+        + ") "
         "UNION ALL "
         "SELECT doc_id, 'cdx' AS kind, ts_ms AS n_a, length AS n_b, "
         "surt || ' | ' || url || ' | ' || status || ' | ' || filename "
