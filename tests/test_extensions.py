@@ -3029,3 +3029,42 @@ def test_pdf_xref_objstm_lzw():
     x3 = PD._pdf_xref(bytes(upd))
     assert x3[3] == ("at", new_at)  # newest section wins
     assert PD.pdf_text(bytes(upd))[0] == want  # chain still extracts all
+
+
+def test_audio_tags_triad_flac_vorbis_and_id3v2():
+    """r13: the tag triad — FLAC VORBIS_COMMENT (type-4 metadata
+    block, same body layout as OpusTags) and MP3 ID3v2.3/2.4 text
+    frames (synchsafe vs plain sizes; latin-1/utf-16/utf-8 encoding
+    bytes) — through the audio_tags dispatch."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    f = M.synth_flac(7)
+    assert M.flac_tags(f) == (
+        "tsdb-1", ["TITLE=Doc 7", "ARTIST=A2", "ALBUM=Al7"]
+    )
+    # flac_meta still reads the (no-longer-last) STREAMINFO
+    assert M.flac_meta(f)[:3] == (2, 10000, 16)
+    # a STREAMINFO-only stream has no tags — ('', []), not an error
+    packed = (44100 << 44) | (15 << 36) | 441_000
+    bare = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    )
+    assert M.flac_tags(bare) == ("", [])
+    # ID3v2.4 (synchsafe) with all three text encodings
+    m = M.synth_mp3(7)
+    assert M.id3v2_tags(m) == (
+        "", ["TIT2=Doc 7", "TPE1=A2", "TALB=Al7"]
+    )
+    # ID3v2.3 plain big-endian frame sizes
+    hdr23 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 30])
+    fr = b"TIT2" + (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00Hello"
+    assert M.id3v2_tags(hdr23 + fr + bytes(10)) == ("", ["TIT2=Hello"])
+    # utf-16 value with BOM decodes; non-text frames are skipped
+    fr16 = b"TALB" + (9).to_bytes(4, "big") + b"\x00\x00" + b"\x01" + "Zé".encode("utf-16")
+    priv = b"PRIV" + (4).to_bytes(4, "big") + b"\x00\x00" + b"online"[:4]
+    hdr = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 50])
+    assert M.id3v2_tags(hdr + priv + fr16 + bytes(11)) == ("", ["TALB=Zé"])
+    # dispatch: tagless containers answer ('', [])
+    assert M.audio_tags(M.wav_encode([0, 1], rate=8000)) == ("", [])
+    assert M.audio_tags(M.synth_ogg_opus(7))[1][0] == "TITLE=Doc 7"

@@ -4676,8 +4676,15 @@ def opus_tags(payload: bytes) -> tuple[str, list[str]]:
         return "", []
     if open_packet:
         raise ValueError("OpusTags packet truncated (unterminated lacing)")
-    b = bytes(buf)
-    at = 8
+    return _vorbis_comments(bytes(buf), 8)
+
+
+def _vorbis_comments(b: bytes, at: int) -> tuple[str, list[str]]:
+    """The Vorbis-comment body shared by OpusTags (RFC 7845 §5.2) and
+    FLAC's VORBIS_COMMENT metadata block (they are the SAME layout
+    after their respective magics): u32-LE vendor length + vendor,
+    u32-LE count, then count × (u32-LE length + ``KEY=value``
+    UTF-8)."""
     vlen = int.from_bytes(b[at : at + 4], "little")
     at += 4
     vendor = b[at : at + vlen].decode("utf-8", "replace")
@@ -4687,14 +4694,102 @@ def opus_tags(payload: bytes) -> tuple[str, list[str]]:
     comments: list[str] = []
     for _ in range(count):
         if at + 4 > len(b):
-            raise ValueError("OpusTags comment list truncated")
+            raise ValueError("vorbis comment list truncated")
         clen = int.from_bytes(b[at : at + 4], "little")
         at += 4
         if at + clen > len(b):
-            raise ValueError("OpusTags comment body truncated")
+            raise ValueError("vorbis comment body truncated")
         comments.append(b[at : at + clen].decode("utf-8", "replace"))
         at += clen
     return vendor, comments
+
+
+def flac_tags(payload: bytes) -> tuple[str, list[str]]:
+    """FLAC tags (r13) — ``(vendor, comments)`` from the
+    VORBIS_COMMENT metadata block (type 4), the universal home of
+    TITLE/ARTIST/ALBUM in real FLAC files; the body layout is shared
+    with OpusTags (:func:`_vorbis_comments`). Walks the metadata-block
+    chain (1-byte last-flag|type + 3-byte BE length) after the
+    mandatory STREAMINFO; returns ``('', [])`` when no comment block
+    exists."""
+    b = payload
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    at = 4
+    while at + 4 <= len(b):
+        hdr = b[at]
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[at + 1 : at + 4], "big")
+        body_at = at + 4
+        if body_at + size > len(b):
+            raise ValueError("FLAC metadata block truncated")
+        if btype == 4:
+            return _vorbis_comments(b[body_at : body_at + size], 0)
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        at = body_at + size
+    return "", []
+
+
+#: ID3v2 text-information frames → Vorbis-comment-style keys, so the
+#: three tag surfaces (OpusTags / FLAC VORBIS_COMMENT / ID3v2) expose
+#: one vocabulary to downstream queries
+_ID3_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                       3: "utf-8"}
+
+
+def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
+    """MP3 tags (r13) — ``('', comments)`` from the leading ID3v2.3/4
+    container: frames walked as 4-char id + size (synchsafe in v2.4,
+    plain big-endian in v2.3) + 2 flag bytes; TEXT frames (``T…``)
+    decode per their encoding byte (latin-1 / utf-16 BOM / utf-16-be /
+    utf-8) with trailing NULs stripped, surfaced as ``ID=value``
+    (``TIT2=…`` title, ``TPE1=…`` artist, ``TALB=…`` album). ID3 has
+    no vendor string. Returns ``('', [])`` when no tag is present."""
+    b = payload
+    if b[:3] != b"ID3" or len(b) < 10:
+        return "", []
+    ver = b[3]
+    size = 0
+    for k in range(6, 10):  # synchsafe total size, both versions
+        size = (size << 7) | (b[k] & 0x7F)
+    end = min(10 + size, len(b))
+    at = 10
+    comments: list[str] = []
+    while at + 10 <= end:
+        fid = b[at : at + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding reached
+            break
+        raw = b[at + 4 : at + 8]
+        if ver >= 4:  # v2.4: synchsafe frame size
+            fsize = 0
+            for x in raw:
+                fsize = (fsize << 7) | (x & 0x7F)
+        else:  # v2.3: plain big-endian
+            fsize = int.from_bytes(raw, "big")
+        body = b[at + 10 : at + 10 + fsize]
+        at += 10 + fsize
+        if fid[:1] == b"T" and body:
+            codec = _ID3_TEXT_ENCODINGS.get(body[0], "latin-1")
+            val = body[1:].decode(codec, "replace").rstrip("\x00")
+            comments.append(f"{fid.decode('latin-1')}={val}")
+    return "", comments
+
+
+def audio_tags(payload: bytes) -> tuple[str, list[str]]:
+    """Container-dispatching audio TAG metadata (r13) — ``(vendor,
+    comments)`` across the three tag surfaces real corpora carry:
+    Ogg/Opus OpusTags, FLAC VORBIS_COMMENT, MP3 ID3v2. Magic-driven
+    like :func:`audio_meta`; containers without a tag system here
+    (WAV/AIFF INFO chunks stay out of scope) return ``('', [])``."""
+    b = payload
+    if b[:4] == b"OggS":
+        return opus_tags(b)
+    if b[:4] == b"fLaC":
+        return flac_tags(b)
+    if b[:3] == b"ID3":
+        return id3v2_tags(b)
+    return "", []
 
 
 def ogg_opus_encode(
@@ -5260,17 +5355,40 @@ def documents_as_aiff_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _vorbis_comment_body(vendor: str, tags: list[str]) -> bytes:
+    """Writer twin of :func:`_vorbis_comments` (tests + fixtures)."""
+    vb = vendor.encode("utf-8")
+    out = bytearray(len(vb).to_bytes(4, "little") + vb)
+    out += len(tags).to_bytes(4, "little")
+    for t in tags:
+        tb = t.encode("utf-8")
+        out += len(tb).to_bytes(4, "little") + tb
+    return bytes(out)
+
+
 def synth_flac(doc_id: int) -> bytes:
-    """Deterministic FLAC STREAMINFO-only stream for the gate fixture
-    (r11): rate ``8000 + (id%5)*1000``, channels ``1 + id%2``, 16-bit,
+    """Deterministic FLAC stream for the gate fixture (r11): rate
+    ``8000 + (id%5)*1000``, channels ``1 + id%2``, 16-bit,
     ``1000 + id*10`` total samples — every :func:`flac_meta` output is
-    closed-form in doc_id."""
+    closed-form in doc_id. r13: a VORBIS_COMMENT block (type 4)
+    follows STREAMINFO with the same closed-form tag set as the Opus
+    fixture (``TITLE=Doc {id}``, ``ARTIST=A{id%5}``, ``ALBUM=Al{id}``
+    on odd ids; vendor ``tsdb-{id%3}``), so :func:`flac_tags` is
+    gate-checked too."""
     rate = 8000 + (doc_id % 5) * 1000
     ch = 1 + doc_id % 2
     total = 1000 + doc_id * 10
     packed = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
     si = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
-    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+    tags = [f"TITLE=Doc {doc_id}", f"ARTIST=A{doc_id % 5}"]
+    if doc_id % 2:
+        tags.append(f"ALBUM=Al{doc_id}")
+    vc = _vorbis_comment_body(f"tsdb-{doc_id % 3}", tags)
+    return (
+        b"fLaC"
+        + bytes([0x00]) + (34).to_bytes(3, "big") + si  # STREAMINFO
+        + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc  # last
+    )
 
 
 def synth_mp3(doc_id: int) -> bytes:
@@ -5287,11 +5405,39 @@ def synth_mp3(doc_id: int) -> bytes:
     side-info offset, 2 writes a Fraunhofer ``VBRI`` header at the
     fixed +36 offset, 3/4 stay plain CBR — with frame count
     ``40 + id%60``, so duration exercises BOTH sources as closed
-    forms (``frames*1152*1000 // rate`` vs the CBR byte estimate)."""
-    id3_size = doc_id % 50
-    id3 = b"ID3" + bytes([4, 0, 0]) + bytes(
-        [0, 0, (id3_size >> 7) & 0x7F, id3_size & 0x7F]
-    ) + bytes(id3_size)
+    forms (``frames*1152*1000 // rate`` vs the CBR byte estimate).
+
+    r13 tags: the ID3v2.4 container now carries REAL text frames
+    (``TIT2=Doc {id}`` utf-8, ``TPE1=A{id%5}`` latin-1, ``TALB``
+    utf-16 on odd ids) plus the original ``id%50`` padding bytes, so
+    the synchsafe skip still varies AND :func:`id3v2_tags` decodes
+    every text encoding under the gate."""
+
+    def frame_(fid: str, val: str, enc: int) -> bytes:
+        codec = _ID3_TEXT_ENCODINGS[enc]
+        body = bytes([enc]) + val.encode(codec)
+        size = len(body)
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        return fid.encode() + ss + b"\x00\x00" + body
+
+    frames = frame_("TIT2", f"Doc {doc_id}", 3) + frame_(
+        "TPE1", f"A{doc_id % 5}", 0
+    )
+    if doc_id % 2:
+        frames += frame_("TALB", f"Al{doc_id}", 1)
+    id3_size = len(frames) + doc_id % 50  # padding keeps size varying
+    id3 = (
+        b"ID3" + bytes([4, 0, 0])
+        + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        + frames
+        + bytes(doc_id % 50)
+    )
     br_idx = 1 + doc_id % 14
     sr_idx = doc_id % 3
     mono = bool(doc_id % 2)  # mono odd, stereo even
@@ -5375,12 +5521,13 @@ def synth_ogg_opus(doc_id: int) -> bytes:
 
 
 def decode_audio_tags(assets: DataFrame) -> DataFrame:
-    """(asset_id, vendor, n_comments, title, tags_len) — OpusTags
-    comment-header extraction (:func:`opus_tags`) over Ogg/Opus audio
-    assets, Arrow-batched, map-only: ``title`` is the ``TITLE=``
-    comment's value ('' when absent), ``tags_len`` the summed length
-    of all ``KEY=value`` comment strings. Downstream numeric shaping
-    (e.g. parsing an id out of the title) belongs JVM-side."""
+    """(asset_id, vendor, n_comments, title, tags_len) — audio tag
+    extraction (:func:`audio_tags` dispatch: OpusTags / FLAC
+    VORBIS_COMMENT / MP3 ID3v2) over audio assets, Arrow-batched,
+    map-only: ``title`` is the ``TITLE=``/``TIT2=`` comment's value
+    ('' when absent), ``tags_len`` the summed length of all
+    ``KEY=value`` comment strings. Downstream numeric shaping (e.g.
+    parsing an id out of the title) belongs JVM-side."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5388,11 +5535,11 @@ def decode_audio_tags(assets: DataFrame) -> DataFrame:
                 continue
             vendors, counts, titles, lens = [], [], [], []
             for p in pdf["payload"]:
-                vendor, comments = opus_tags(bytes(p))
+                vendor, comments = audio_tags(bytes(p))
                 title = ""
                 for c in comments:
                     k, _, v = c.partition("=")
-                    if k.upper() == "TITLE":
+                    if k.upper() in ("TITLE", "TIT2"):
                         title = v
                         break
                 vendors.append(vendor)

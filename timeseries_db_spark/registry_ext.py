@@ -2879,6 +2879,20 @@ def register_extensions(q: dict, o: dict) -> None:
                 F.col("duration_ms").alias("v4"),
             )
 
+        def tag_leg(which: str, kind: str) -> DataFrame:
+            return multimodal.decode_audio_tags(
+                multimodal.documents_as_meta_audio_assets(docs, which)
+            ).select(
+                "asset_id",
+                F.lit(kind).alias("kind"),
+                F.col("n_comments").alias("v1"),
+                F.expr("length(vendor)").cast("long").alias("v2"),
+                F.expr(
+                    "cast(regexp_extract(title, '([0-9]+)$', 1) as long)"
+                ).alias("v3"),
+                F.col("tags_len").alias("v4"),
+            )
+
         return (
             chunks.unionByName(pcm)
             .unionByName(g711)
@@ -2891,25 +2905,19 @@ def register_extensions(q: dict, o: dict) -> None:
             # OpusHead through the same audio_meta dispatch;
             # v3 = pre_skip (the bits slot, documented convention)
             .unionByName(meta_leg("opus", "ometa"))
-            # r13 otag leg (VERDICT item 6): OpusTags comment header
-            # (RFC 7845 §5.2) — v1=n_comments (2 + id%2), v2=vendor
-            # length, v3=the id parsed back out of the TITLE value
-            # (pins the tag CONTENT roundtrip, not just counts),
-            # v4=summed comment length
-            .unionByName(
-                multimodal.decode_audio_tags(
-                    multimodal.documents_as_meta_audio_assets(docs, "opus")
-                ).select(
-                    "asset_id",
-                    F.lit("otag").alias("kind"),
-                    F.col("n_comments").alias("v1"),
-                    F.expr("length(vendor)").cast("long").alias("v2"),
-                    F.expr(
-                        "cast(regexp_extract(title, '([0-9]+)$', 1) as long)"
-                    ).alias("v3"),
-                    F.col("tags_len").alias("v4"),
-                )
-            )
+            # r13 otag/ftag/mtag legs (VERDICT item 6 + the tag triad):
+            # audio tag extraction across all three real-world tag
+            # surfaces — OpusTags (RFC 7845 §5.2), FLAC VORBIS_COMMENT
+            # (same body layout, different container walk), MP3 ID3v2
+            # text frames (synchsafe sizes, latin-1/utf-16/utf-8
+            # encodings cycled by the fixture) — v1=n_comments
+            # (2 + id%2), v2=vendor length (0 for ID3: no vendor),
+            # v3=the id parsed back out of the TITLE/TIT2 value (pins
+            # tag CONTENT roundtrip, not just counts), v4=summed
+            # comment length
+            .unionByName(tag_leg("opus", "otag"))
+            .unionByName(tag_leg("flac", "ftag"))
+            .unionByName(tag_leg("mp3", "mtag"))
             # r12 4meta leg: M4A (audio-only ISO-BMFF) — mvhd timing +
             # the soun track's mp4a AudioSampleEntry
             .unionByName(meta_leg("m4a", "4meta"))
@@ -3113,9 +3121,10 @@ def register_extensions(q: dict, o: dict) -> None:
                ((4800 + doc_id * 10) * 1000 // 48000)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
-        -- otag leg (r13): OpusTags comment header restated closed-form
-        -- (v3 = the doc id parsed back out of TITLE='Doc {id}')
-        SELECT doc_id AS asset_id, 'otag' AS kind,
+        -- otag/ftag legs (r13): OpusTags + FLAC VORBIS_COMMENT restated
+        -- closed-form (same fixture tag set; v3 = the doc id parsed
+        -- back out of TITLE='Doc {id}')
+        SELECT doc_id AS asset_id, unnest(['otag', 'ftag']) AS kind,
                (2 + doc_id % 2)::BIGINT AS v1,
                length('tsdb-' || (doc_id % 3))::BIGINT AS v2,
                doc_id::BIGINT AS v3,
@@ -3123,6 +3132,19 @@ def register_extensions(q: dict, o: dict) -> None:
                 + length('ARTIST=A' || (doc_id % 5))
                 + CASE WHEN doc_id % 2 = 1
                        THEN length('ALBUM=Al' || doc_id)
+                       ELSE 0 END)::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- mtag leg (r13): ID3v2 text frames (no vendor; TIT2/TPE1 +
+        -- TALB on odd ids, encodings cycled by the fixture)
+        SELECT doc_id AS asset_id, 'mtag' AS kind,
+               (2 + doc_id % 2)::BIGINT AS v1,
+               0::BIGINT AS v2,
+               doc_id::BIGINT AS v3,
+               (length('TIT2=Doc ' || doc_id)
+                + length('TPE1=A' || (doc_id % 5))
+                + CASE WHEN doc_id % 2 = 1
+                       THEN length('TALB=Al' || doc_id)
                        ELSE 0 END)::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
