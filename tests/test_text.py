@@ -732,7 +732,14 @@ def test_warc_http_transport_and_charset(spark):
     # --- charset: header beats sniff beats utf-8 default
     latin = "caf\xe9".encode("latin-1")
     assert W.decode_page({"content-type": "text/html; charset=ISO-8859-1"}, latin) == "café"
-    assert W.decode_page({}, latin) == "caf�"  # utf-8 fallback garbles
+    # r13: undeclared + invalid-utf-8 runs the utf-8-strict→cp1252
+    # ladder real extractors use instead of emitting U+FFFD
+    assert W.decode_page({}, latin) == "café"
+    # …but an EXPLICIT utf-8 declaration keeps utf-8-replace (the
+    # author's claim wins, mojibake surfaces as U+FFFD)
+    assert W.decode_page(
+        {"content-type": "text/html; charset=utf-8"}, latin
+    ) == "caf�"
     sniffed = b'<html><meta charset="latin-1"><body>caf\xe9'
     assert "café" in W.decode_page({}, sniffed)
     sniffed2 = b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">caf\xe9'

@@ -373,8 +373,26 @@ def http_charset(headers: dict[str, str], body: bytes) -> str:
 
 def decode_page(headers: dict[str, str], body: bytes) -> str:
     """Decode a page body honoring the declared/sniffed charset;
-    undecodable bytes are replaced, never fatal."""
-    return body.decode(http_charset(headers, body), "replace")
+    undecodable bytes are replaced, never fatal. r13: when NOTHING
+    declared a charset (no BOM, no header, no meta — the sniff fell
+    through to its utf-8 default) and the bytes are not valid UTF-8,
+    fall back to windows-1252 instead of replacement characters —
+    the utf-8-strict-then-cp1252 ladder every real web extractor
+    runs, because undeclared legacy pages are overwhelmingly cp1252
+    in practice."""
+    cs = http_charset(headers, body)
+    if cs == "utf-8":
+        try:
+            return body.decode("utf-8")
+        except UnicodeDecodeError:
+            declared = (
+                body[:3] == b"\xef\xbb\xbf"  # a BOM is a declaration
+                or _CT_CHARSET_RE.search(headers.get("content-type", ""))
+                or _META_CHARSET_RE.search(body[:1024])
+            )
+            if not declared:  # bare default, not an author's choice
+                return body.decode("windows-1252", "replace")
+    return body.decode(cs, "replace")
 
 
 #: CDX(J) line shape: SURT key, 14-digit timestamp, JSON blob
