@@ -965,6 +965,7 @@ def test_warc_streaming_survives_poisoned_batch(spark, tmp_path):
         wi.read_warc_stream(spark, str(in_dir), max_files_per_trigger=1),
         out_dir,
         str(tmp_path / "ckpt"),
+        quarantine=True,  # r13: dead-letter channel rides the same query
     )
     try:
         q.processAllAvailable()  # would raise StreamingQueryException pre-r13
@@ -978,3 +979,17 @@ def test_warc_streaming_survives_poisoned_batch(spark, tmp_path):
     # only the clean 200 pages publish — X at rec 1, Y at rec 2 — and
     # batch 1's doc at asset 1 rec 1
     assert pub == {1: X, 2: Y, 1001: Z}
+    # the dead-letter table carries exactly the excluded records with
+    # their reasons: one gzip-member parse error + the 404 page
+    rej = sorted(
+        (r["rec_type"], r["uri"], r["status"], r["err"] or "")
+        for r in wi.read_rejects(spark, out_dir).collect()
+    )
+    assert len(rej) == 2
+    assert rej[0][0] == "error" and "magic" in rej[0][3]
+    assert rej[1] == ("response", "http://e/404", 404, "")
+    # batch column present (idempotent per-batch partition layout);
+    # the clean batch 1 contributes no reject rows
+    assert set(
+        r["batch"] for r in wi.read_rejects(spark, out_dir).collect()
+    ) == {0}

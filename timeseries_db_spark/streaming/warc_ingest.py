@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.operators.warc import warc_extract_text
+from timeseries_db_spark.operators.warc import (
+    EXTRACT_MIMES as _EXTRACT_MIMES_L,
+    warc_extract_text,
+)
 from timeseries_db_spark.streaming.corpus_ingest import (
     T_EST_DEFAULT,
     start_corpus_ingest,
@@ -84,13 +87,90 @@ def warc_docs(stream: DataFrame) -> DataFrame:
     )
 
 
+def warc_rejects(extracted: DataFrame) -> DataFrame:
+    """(asset_id, rec_idx, uri, rec_type, status, mime, err) — the
+    rows :func:`warc_docs` excludes from the corpus, for the
+    dead-letter channel (r13): parse-damage quarantine rows plus
+    filtered responses (non-200 or non-text mime). ``revisit`` rows
+    are NOT rejects — they are dedup signals a consumer reads off the
+    extraction surface directly."""
+    return extracted.filter(
+        (F.col("rec_type") == "error")
+        | (
+            (F.col("rec_type") == "response")
+            & (
+                ~F.col("status").between(200, 299)
+                | ~F.col("mime").isin(*_EXTRACT_MIMES_L)
+            )
+        )
+    ).select("asset_id", "rec_idx", "uri", "rec_type", "status", "mime",
+             "err")
+
+
+def read_rejects(spark, out_dir: str) -> DataFrame:
+    """The dead-letter table written by a quarantining ingest:
+    (batch, asset_id, rec_idx, uri, rec_type, status, mime, err)."""
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "rejects"))
+
+
 def start_warc_corpus_ingest(
     stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     t_est: float = T_EST_DEFAULT,
+    quarantine: bool = False,
 ):
     """Start the WARC→text→near-dup-suppressed-corpus query (one
     streaming job; output layout and exactly-once contract are
-    :func:`start_corpus_ingest`'s)."""
-    return start_corpus_ingest(warc_docs(stream), out_dir, checkpoint_dir, t_est)
+    :func:`start_corpus_ingest`'s).
+
+    ``quarantine=True`` (r13) additionally lands every excluded record
+    (parse damage, non-200, non-text mime) under
+    ``out_dir/rejects/batch=<id>/`` — the dead-letter channel a real
+    crawl deployment monitors. One streaming query still: the batch
+    function extracts ONCE (persisted), writes rejects with the same
+    idempotent per-batch-partition overwrite as the corpus writes,
+    then runs the standard dedup-publish step on the clean docs."""
+    if not quarantine:
+        return start_corpus_ingest(
+            warc_docs(stream), out_dir, checkpoint_dir, t_est
+        )
+    import os
+
+    from timeseries_db_spark.streaming.corpus_ingest import (
+        process_corpus_batch,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ex = warc_extract_text(batch).persist()
+        try:
+            warc_rejects(ex).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "rejects", f"batch={batch_id}")
+            )
+            docs = (
+                ex.filter(
+                    (F.col("rec_type") == "response")
+                    & F.col("err").isNull()
+                    & F.col("status").between(200, 299)
+                    & F.col("mime").isin(*_EXTRACT_MIMES_L)
+                )
+                .select(
+                    (
+                        F.col("asset_id") * RECS_PER_ASSET
+                        + F.col("rec_idx")
+                    ).alias("doc_id"),
+                    "text",
+                )
+            )
+            process_corpus_batch(docs, batch_id, out_dir, t_est)
+        finally:
+            ex.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
