@@ -182,8 +182,11 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # pdf leg now cycles LZWDecode every 5th doc / PDF-1.5 xref-stream+
 # ObjStm layout every 7th; multimodal_audio_chunks: otag OpusTags leg,
 # and mmeta's duration derives from Xing/VBRI frame counts for
-# doc_id%5<=2) — so r13 headline columns measure the same logical work
-# as r12. The header also gained load_1m/ncpu/n_runs/noise_pct fields
+# doc_id%5<=2; stream_ingest_dedup's cwarc fixture is now DIRTY — a
+# 404 per doc + a corrupt record per 6th doc — with quarantine=True
+# landing a dead-letter table the new cwrej leg value-checks) — so r13
+# headline columns measure the same logical work as r12. The header
+# also gained load_1m/ncpu/n_runs/noise_pct fields
 # (VERDICT r12 item 3): read those before calling any drift a
 # regression.
 

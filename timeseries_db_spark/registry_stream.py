@@ -531,16 +531,44 @@ def _warc_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                 gzip_body=(t == 3),
                 chunked=(t in (2, 3)),
             )
-            ids.append(did)
-            payloads.append(
-                W.warc_build(
-                    [
-                        ("warcinfo", "", b"software: tsdb\r\n"),
-                        ("response", f"http://example{did % 7}.com/doc{did}", block),
-                    ],
-                    gzip_records=(t == 1),
-                )
+            uri = f"http://example{did % 7}.com/doc{did}"
+            head = [
+                ("warcinfo", "", b"software: tsdb\r\n"),
+                ("response", uri, block),
+            ]
+            # r13: DIRTY segments under the gate — every doc also
+            # ships a 404 page (record 2 after the good response),
+            # and every 6th doc a structurally-corrupt record between
+            # them (junk gzip member on the member-transport docs,
+            # oversized Content-Length otherwise). The published set
+            # must be unchanged; the rejects land in the dead-letter
+            # table the cwrej leg reads back.
+            nf = (
+                "response",
+                uri + "/missing",
+                W.http_response_block(
+                    f"<p>nope {did}</p>".encode(), status=404
+                ),
             )
+            poison = did % 6 == 0
+            if t == 1:  # per-record gzip members
+                parts = [W.gzip_member(W.warc_build([r])) for r in head]
+                if poison:
+                    parts.append(b"XXJUNKXX" * 4)
+                parts.append(W.gzip_member(W.warc_build([nf])))
+                payload = b"".join(parts)
+            else:
+                corrupt = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"Content-Length: 999999\r\n\r\nshort\r\n\r\n"
+                )
+                payload = (
+                    W.warc_build(head)
+                    + (corrupt if poison else b"")
+                    + W.warc_build([nf])
+                )
+            ids.append(did)
+            payloads.append(payload)
         path = os.path.join(in_dir, f"w{i}.parquet")
         pq.write_table(
             pa.table(
@@ -558,15 +586,29 @@ def _warc_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         wi.read_warc_stream(spark, in_dir, max_files_per_trigger=1),
         out_dir,
         os.path.join(base, "warc_ckpt"),
+        quarantine=True,  # r13: dead-letter channel rides the query
     )
     try:
         query.processAllAvailable()
     finally:
         query.stop()
-    return ci.read_published(spark, out_dir).select(
-        F.col("doc_id").alias("timestamp"),
-        F.lit("cwarc").alias("tag"),
-        F.col("fp53").cast("double").alias("value"),
+    # cwrej (r13): the dead-letter table read back — one 404 per doc
+    # (record 2) and one parse error per poisoned doc (rec_idx -1,
+    # status NULL → -1), value-checked closed-form alongside the
+    # published set
+    rejects = wi.read_rejects(spark, out_dir).select(
+        (F.col("asset_id") * 1000 + F.col("rec_idx")).alias("timestamp"),
+        F.lit("cwrej").alias("tag"),
+        F.coalesce(F.col("status"), F.lit(-1)).cast("double").alias("value"),
+    )
+    return (
+        ci.read_published(spark, out_dir)
+        .select(
+            F.col("doc_id").alias("timestamp"),
+            F.lit("cwarc").alias("tag"),
+            F.col("fp53").cast("double").alias("value"),
+        )
+        .unionByName(rejects)
     )
 
 
@@ -594,6 +636,17 @@ def stream_ingest_dedup_sql() -> str:
         SELECT doc_id AS "timestamp", 'cwarc' AS tag,
                CAST(fp53 AS DOUBLE) AS value
         FROM ({corpus_ingest_kept_sql(docs_sql=_CWARC_DOCS_SQL)})
+        UNION ALL
+        -- cwrej (r13): the streaming dead-letter channel — every doc's
+        -- 404 page is rejected at record 2; every 6th doc's corrupt
+        -- record quarantines as a rec_idx -1 parse error (status -1)
+        SELECT doc_id * 1000 + 2 AS "timestamp", 'cwrej' AS tag,
+               404.0 AS value
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 1000 - 1 AS "timestamp", 'cwrej' AS tag,
+               -1.0 AS value
+        FROM documents WHERE doc_id % 6 = 0
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,
