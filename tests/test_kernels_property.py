@@ -498,3 +498,75 @@ def test_html_to_text_total_function_property(s):
     assert not re.search(r"[\s\xa0]{2}", text)
     if not re.search(r"[<&]", s):
         assert text == re.sub(r"[\s\xa0]+", " ", s).strip()
+
+
+_wtxt = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=60,
+)
+
+
+@given(
+    st.lists(_wtxt, min_size=1, max_size=6),
+    st.booleans(),
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["junk", "badcl", "flip", "trunc"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_warc_scan_tolerant_never_raises_and_keeps_good_records(
+    bodies, gz, at, damage
+):
+    """r13 property: warc_scan(strict=False) NEVER raises on damaged
+    input, and damage injected between records costs only itself —
+    every original record still parses with its body intact (except
+    tail truncation, which may cost the suffix but still never
+    raises)."""
+    from timeseries_db_spark.operators import warc as W
+
+    recs = [
+        ("response", f"http://h/{i}", b"B:" + b.encode("latin-1"))
+        for i, b in enumerate(bodies)
+    ]
+    clean = W.warc_build(recs, gzip_records=gz)
+    got, errs = W.warc_scan(clean, strict=False)
+    assert errs == []
+    assert [r[1] for r in got] == [b"B:" + b.encode("latin-1") for b in bodies]
+    at = min(at, len(recs))
+    if damage == "junk":  # foreign bytes between records (no magic,
+        # no version line): line-terminated ASCII junk — the resync
+        # scans for a '\r\nWARC/' boundary, so junk FUSED to a record
+        # without any line break costs that record (documented corner)
+        ins = b"ZZJUNKZZ" * 3 + b"\r\n"
+        if gz:
+            parts = [W.gzip_member(W.warc_build([r])) for r in recs]
+            payload = b"".join(parts[:at]) + ins + b"".join(parts[at:])
+            # a leading junk blob means the payload no longer starts
+            # with the gzip magic — the whole stream is then treated
+            # as a (broken) plain stream; skip that degenerate corner
+            if at == 0:
+                return
+        else:
+            parts = [W.warc_build([r]) for r in recs]
+            payload = b"".join(parts[:at]) + ins + b"".join(parts[at:])
+        got2, errs2 = W.warc_scan(payload, strict=False)
+        assert len(errs2) >= 1
+        assert [r[1] for r in got2] == [r[2] for r in recs]
+    elif damage == "badcl":  # oversized Content-Length record injected
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 999999999\r\n\r\nx\r\n\r\n"
+        )
+        parts = [W.warc_build([r]) for r in recs]
+        payload = b"".join(parts[:at]) + bad + b"".join(parts[at:])
+        got2, errs2 = W.warc_scan(payload, strict=False)
+        assert errs2 and all("truncated" in e for e in errs2)
+        assert [r[1] for r in got2] == [r[2] for r in recs]
+    elif damage == "flip":  # flip one byte anywhere: must not raise
+        pos = at * 7 % len(clean)
+        payload = (
+            clean[:pos] + bytes([clean[pos] ^ 0xFF]) + clean[pos + 1 :]
+        )
+        W.warc_scan(payload, strict=False)  # no exception is the claim
+    else:  # trunc: cut the tail: must not raise, prefix may survive
+        payload = clean[: max(1, len(clean) - 1 - at * 3)]
+        W.warc_scan(payload, strict=False)
