@@ -511,6 +511,7 @@ def test_crawl_ops_stay_jvm_side(spark):
     for df in (
         text.url_normalize(urls),
         text.c4_page_filter(docs),
+        text.gopher_quality(docs),  # r13: array HOFs, pure codegen
         W.cdx_parse(lines),
         W.sitemap_urls(maps),  # r13: explode is Generate, not a shuffle
     ):

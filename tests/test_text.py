@@ -539,6 +539,70 @@ def test_cdx_index_parse_and_engine_parity(spark):
         ), (i, row)
 
 
+def test_gopher_quality_rules_and_engine_parity(spark):
+    """r13: the Gopher/MassiveText quality rules — every fraction
+    checked against hand-computed values on crafted pages (bullets,
+    ellipses, exact duplicate lines/paragraphs, symbol words, numeric
+    words, empty/whitespace-only edge cases) — and the generated DuckDB
+    twin agreeing bitwise on every metric and on ``keep``."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    NL = "\n"
+    cases = [
+        (1, "Normal words flow here nicely with several proper sentences."
+            + NL + "Another distinct line of reasonable text follows."),
+        (2, "- bullet one" + NL + "- bullet two" + NL + "* bullet three"
+            + NL + "Real text line."),
+        (3, "Trailing thought..." + NL + "Another trailing one…" + NL
+            + "Solid line here."),
+        (4, "dup line" + NL + "dup line" + NL + "unique line" + NL + NL
+            + "para one" + NL + NL + "para one"),
+        (5, "#### #### symbols ... everywhere ... here"),
+        (6, "12345 67890 999 111 222"),  # zero alphabetic words
+        (7, ""),  # empty: every denominator guards to 0.0
+        (8, "   " + NL + "  " + NL),  # whitespace-only
+        (9, ("word " * 60).strip()),  # passes the published filter
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    g2 = got[2]
+    assert g2["bullet_frac"] == 0.75 and g2["n_words"] == 12
+    g3 = got[3]
+    assert g3["ellipsis_frac"] == 0.6667  # 2 of 3 lines ('...' and '…')
+    g4 = got[4]
+    # lines: dup,dup,unique,para,para → (5-3)/5; paras: [3-line block,
+    # para one, para one] → 1/3; dup chars: 2*8 + 2*8 over 43
+    assert g4["dup_line_frac"] == 0.4
+    assert g4["dup_para_frac"] == 0.3333
+    assert g4["dup_line_char_frac"] == 0.7442
+    assert got[5]["symbol_ratio"] == 1.4286  # 8 '#' + 2 '...' over 7 words
+    assert got[6]["alpha_word_frac"] == 0.0
+    assert got[7]["n_words"] == 0 and not got[7]["keep"]
+    assert got[8]["n_words"] == 0 and got[8]["dup_line_frac"] == 0.0
+    assert got[9]["keep"]  # 60 words, mean len 4, no repetition
+    assert not got[1]["keep"]  # under the published 50-word floor
+    # engine parity: the generated twin computes identical rows
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')"
+        % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in cases
+    )
+    duck = con.execute(
+        text.gopher_quality_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    cols = ["doc_id", "n_words", *text._GOPHER_METRICS, "keep"]
+    for row in duck:
+        g = got[row[0]]
+        for c, v in zip(cols, row):
+            assert g[c] == v, (row[0], c, g[c], v)
+
+
 def test_c4_page_filter_rules_and_engine_parity(spark):
     """r12: the C4 cleaning recipe — line retention (terminal
     punctuation, ≥5 words, no javascript) and page rejection (<3

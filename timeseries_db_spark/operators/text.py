@@ -1261,6 +1261,214 @@ def c4_page_filter_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText document-quality rules (r13)
+# ---------------------------------------------------------------------------
+
+#: the published MassiveText repetition/quality thresholds (Gopher,
+#: Rae et al. 2021, Table A1). Every threshold is a keyword argument of
+#: :func:`gopher_quality` so a pipeline (or the gate fixture, whose
+#: constructed pages are far smaller than real documents) can tighten
+#: or loosen them; these defaults are the published filter.
+GOPHER_DEFAULTS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "max_dup_line_frac": 0.3,
+    "max_dup_para_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+}
+
+#: line-start bullets per the MassiveText rules (no backslashes, so the
+#: one literal survives both engines' string-escape rules; the ellipsis
+#: regex needs backslashes and is spelled per-engine in _gopher_exprs)
+_BULLET_RE = "^[-*•‣▪]"
+
+
+def _gopher_exprs(*, duck: bool) -> dict[str, str]:
+    """Engine-specific expression set behind :func:`gopher_quality` and
+    its DuckDB twin — one source of truth, c4/url-leg style parity.
+
+    Stage-1 names bound: ``words`` (non-empty whitespace tokens),
+    ``lines`` (trimmed non-empty lines), ``paras`` (trimmed non-empty
+    blank-line-separated paragraphs). Stage-2 expressions address those
+    arrays only. All fractions guard their zero denominators to 0.0 and
+    divide as DOUBLE on both engines (identical IEEE ops ⇒ identical
+    bits); the caller rounds with duck_round/round(…,4)."""
+    ell = r"(\.\.\.|…)$" if duck else r"(\\.\\.\\.|…)$"
+    if duck:
+        words = r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')"
+        lines = (
+            "list_filter(list_transform(string_split(text, chr(10)),"
+            " l -> trim(l)), l -> l <> '')"
+        )
+        paras = (
+            r"list_filter(list_transform(regexp_split_to_array(text, '\n\s*\n'),"
+            " p -> trim(p)), p -> p <> '')"
+        )
+        n_symbols = (
+            "len(regexp_extract_all(text, '#'))"
+            r" + len(regexp_extract_all(text, '\.\.\.|…'))"
+        )
+        n_bullet = f"len(list_filter(lines, l -> regexp_matches(l, '{_BULLET_RE}')))"
+        n_ellipsis = f"len(list_filter(lines, l -> regexp_matches(l, '{ell}')))"
+        n_alpha_words = (
+            "len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))"
+        )
+        word_chars = "coalesce(list_sum(list_transform(words, w -> length(w))), 0)"
+        n_distinct_lines = "len(list_distinct(lines))"
+        n_distinct_paras = "len(list_distinct(paras))"
+        dup_line_chars = (
+            "coalesce(list_sum(list_transform(lines, x -> CASE WHEN"
+            " len(list_filter(lines, y -> y = x)) > 1 THEN length(x)"
+            " ELSE 0 END)), 0)"
+        )
+        line_chars = "coalesce(list_sum(list_transform(lines, l -> length(l))), 0)"
+        n = "len"
+    else:
+        words = r"filter(split(trim(text), '\\s+'), w -> w <> '')"
+        lines = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l <> '')"
+        paras = (
+            r"filter(transform(split(text, '\\n\\s*\\n'), p -> trim(p)),"
+            " p -> p <> '')"
+        )
+        n_symbols = (
+            "size(regexp_extract_all(text, '#', 0))"
+            r" + size(regexp_extract_all(text, '\\.\\.\\.|…', 0))"
+        )
+        n_bullet = f"size(filter(lines, l -> l rlike '{_BULLET_RE}'))"
+        n_ellipsis = f"size(filter(lines, l -> l rlike '{ell}'))"
+        n_alpha_words = "size(filter(words, w -> w rlike '[A-Za-z]'))"
+        word_chars = "aggregate(words, 0L, (a, w) -> a + length(w))"
+        n_distinct_lines = "size(array_distinct(lines))"
+        n_distinct_paras = "size(array_distinct(paras))"
+        dup_line_chars = (
+            "aggregate(lines, 0L, (a, x) -> a + CASE WHEN"
+            " size(filter(lines, y -> y = x)) > 1 THEN length(x)"
+            " ELSE 0 END)"
+        )
+        line_chars = "aggregate(lines, 0L, (a, l) -> a + length(l))"
+        n = "size"
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} = 0 THEN 0.0e0"
+            f" ELSE CAST({num} AS DOUBLE) / {den} END"
+        )
+
+    return {
+        "words": words,
+        "lines": lines,
+        "paras": paras,
+        "n_words": f"CAST({n}(words) AS BIGINT)",
+        "mean_word_len": frac(word_chars, f"{n}(words)"),
+        "symbol_ratio": frac(n_symbols, f"{n}(words)"),
+        "bullet_frac": frac(n_bullet, f"{n}(lines)"),
+        "ellipsis_frac": frac(n_ellipsis, f"{n}(lines)"),
+        "alpha_word_frac": frac(n_alpha_words, f"{n}(words)"),
+        "dup_line_frac": frac(f"{n}(lines) - {n_distinct_lines}", f"{n}(lines)"),
+        "dup_para_frac": frac(f"{n}(paras) - {n_distinct_paras}", f"{n}(paras)"),
+        "dup_line_char_frac": frac(dup_line_chars, line_chars),
+    }
+
+
+_GOPHER_METRICS = (
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet_frac",
+    "ellipsis_frac",
+    "alpha_word_frac",
+    "dup_line_frac",
+    "dup_para_frac",
+    "dup_line_char_frac",
+)
+
+
+def _gopher_keep(t: dict[str, float]) -> str:
+    """The keep predicate over the ROUNDED metric columns — identical
+    doubles on both engines compare identically against the literal
+    thresholds, so the boolean can never split the engines."""
+    return (
+        f"n_words >= {t['min_words']} AND n_words <= {t['max_words']}"
+        f" AND mean_word_len >= {t['min_mean_word_len']}"
+        f" AND mean_word_len <= {t['max_mean_word_len']}"
+        f" AND symbol_ratio <= {t['max_symbol_word_ratio']}"
+        f" AND bullet_frac <= {t['max_bullet_frac']}"
+        f" AND ellipsis_frac <= {t['max_ellipsis_frac']}"
+        f" AND alpha_word_frac >= {t['min_alpha_word_frac']}"
+        f" AND dup_line_frac <= {t['max_dup_line_frac']}"
+        f" AND dup_para_frac <= {t['max_dup_para_frac']}"
+        f" AND dup_line_char_frac <= {t['max_dup_line_char_frac']}"
+    )
+
+
+def gopher_quality(docs: DataFrame, **thresholds: float) -> DataFrame:
+    """(doc_id, n_words, 8 repetition/quality fractions, keep) — the
+    Gopher/MassiveText document-quality rules (Rae et al. 2021, Table
+    A1): word-count and mean-word-length bounds, symbol-to-word ratio
+    ('#'/ellipsis), bullet-start and ellipsis-end line fractions,
+    alphabetic-word fraction, duplicate-line / duplicate-paragraph
+    fractions, and the fraction of characters sitting inside duplicated
+    lines. ``keep`` is the conjunction over the published thresholds
+    (override any via kwargs).
+
+    Scale shape: map-only — the line/paragraph/word arrays bind once
+    (stage 1) and every metric is array arithmetic over those bindings
+    (stage 2); no shuffle, no Python. The duplicate-char scan is
+    O(lines²) per document but doc-local, so it parallelizes perfectly
+    and never skews a partition. At 100 TB this is one projection over
+    the corpus, fused by whole-stage codegen with whatever filter
+    consumes ``keep``."""
+    t = {**GOPHER_DEFAULTS, **thresholds}
+    e = _gopher_exprs(duck=False)
+    s1 = docs.select(
+        "doc_id",
+        "text",
+        F.expr(e["words"]).alias("words"),
+        F.expr(e["lines"]).alias("lines"),
+        F.expr(e["paras"]).alias("paras"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        F.expr(e["n_words"]).alias("n_words"),
+        *[duck_round(F.expr(e[m]), 4).alias(m) for m in _GOPHER_METRICS],
+    )
+    return s2.withColumn("keep", F.expr(_gopher_keep(t)))
+
+
+def gopher_quality_sql(source_sql: str = "SELECT * FROM documents",
+                       **thresholds: float) -> str:
+    """DuckDB twin of :func:`gopher_quality` over ``source_sql`` (a
+    subquery yielding (doc_id, text)) — generated from the same
+    expression set, engine-exact."""
+    t = {**GOPHER_DEFAULTS, **thresholds}
+    e = _gopher_exprs(duck=True)
+    metrics = ",\n                   ".join(
+        f"round({e[m]}, 4) AS {m}" for m in _GOPHER_METRICS
+    )
+    return f"""
+        WITH g1 AS (
+            SELECT doc_id, text,
+                   {e["words"]} AS words,
+                   {e["lines"]} AS lines,
+                   {e["paras"]} AS paras
+            FROM ({source_sql})
+        ),
+        g2 AS (
+            SELECT doc_id,
+                   {e["n_words"]} AS n_words,
+                   {metrics}
+            FROM g1
+        )
+        SELECT *, ({_gopher_keep(t)}) AS keep FROM g2
+    """
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
     and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting

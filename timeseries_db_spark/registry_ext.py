@@ -821,6 +821,42 @@ def register_extensions(q: dict, o: dict) -> None:
         f" JOIN ({text.vocab_topn_sql(100)}) v ON v.token = e.item"
     )
 
+    # r13 goph leg shared pieces: the constructed page template (one
+    # source of truth — {clean} and the repeat-count cast {bn} are the
+    # only engine-dialect seams) and the tightened gate thresholds,
+    # passed to BOTH text.gopher_quality and its generated DuckDB twin.
+    _GOPH_PAGE = (
+        "concat('Doc ', doc_id, ' opens with plain words here. ',"
+        " {clean}, chr(10),"
+        " repeat('- bullet item line' || chr(10), {bn}),"
+        " CASE WHEN doc_id % 4 = 0 THEN"
+        " 'This line trails off...' || chr(10) ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN"
+        " 'An exactly duplicated sentence rides here.' || chr(10) ||"
+        " 'An exactly duplicated sentence rides here.' || chr(10)"
+        " ELSE '' END,"
+        " CASE WHEN doc_id % 6 = 0 THEN"
+        " '## ## ## symbol heavy words now' || chr(10) ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        " chr(10) || 'Repeated paragraph block rides alone.' ||"
+        " chr(10) || chr(10) || 'Repeated paragraph block rides alone.'"
+        " || chr(10) ELSE '' END,"
+        " 'Closing line for doc ', doc_id, ' ends the page.')"
+    )
+    _GOPH_GATE = {
+        "min_words": 10,
+        "max_words": 100_000,
+        "min_mean_word_len": 2.0,
+        "max_mean_word_len": 12.0,
+        "max_symbol_word_ratio": 0.1,
+        "max_bullet_frac": 0.3,
+        "max_ellipsis_frac": 0.2,
+        "min_alpha_word_frac": 0.6,
+        "max_dup_line_frac": 0.2,
+        "max_dup_para_frac": 0.4,
+        "max_dup_line_char_frac": 0.25,
+    }
+
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
     # repetition/diversity signals ride inside text_features; this is
     # the one text op whose OUTPUT is a rewritten text column, so it
@@ -1469,6 +1505,42 @@ def register_extensions(q: dict, o: dict) -> None:
                 " filename, ' | ', mime, ' | ', digest)"
             ).alias("out_text"),
         )
+        # r13 goph leg: the Gopher/MassiveText repetition+quality rules
+        # (text.gopher_quality) on a constructed page cycling every
+        # rule — bullets (%3), a trailing-ellipsis line (%4), an exact
+        # duplicate line pair (%5), symbol-heavy words (%6), a
+        # duplicated paragraph (%7) — over the doc's own cleaned text,
+        # so every metric is doc-dependent; the oracle runs the
+        # GENERATED DuckDB twin of the SAME operator on the SAME
+        # construction (engine parity). Gate thresholds are tightened
+        # (the operator's kwargs) so `keep` genuinely flips across the
+        # rule cycles instead of the published 50-word floor dropping
+        # every fixture page. n_a = n_words, n_b = keep; out_text
+        # carries all 8 fractions as floor(x*1e4+0.5) scaled BIGINTs —
+        # identical doubles in, identical integers out on both engines
+        # (a string-cast double would diverge on Java's scientific
+        # notation below 1e-3).
+        goph_text = _GOPH_PAGE.format(
+            clean=clean, bn="cast(doc_id % 3 as int)"
+        )
+        goph = text.gopher_quality(
+            docs.select("doc_id", F.expr(goph_text).alias("text")),
+            **_GOPH_GATE,
+        ).select(
+            "doc_id",
+            F.lit("goph").alias("kind"),
+            F.col("n_words").alias("n_a"),
+            F.col("keep").cast("long").alias("n_b"),
+            F.expr(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"cast(cast(floor({m} * 10000 + 0.5) as bigint)"
+                    " as string)"
+                    for m in text._GOPHER_METRICS
+                )
+                + ")"
+            ).alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1482,6 +1554,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(mce)
             .unionByName(smap)
             .unionByName(cdx)
+            .unionByName(goph)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1663,6 +1736,30 @@ def register_extensions(q: dict, o: dict) -> None:
             "ELSE '/A/./P%61th' || doc_id || '/x%2f/../End%7e' END || "
             "'?b=2&a=' || (doc_id % 5) || '&c=%4a#frag' AS url "
             "FROM documents"
+        )
+        + ") "
+        "UNION ALL "
+        # goph (r13): the generated DuckDB twin of the REAL operator
+        # over the SAME constructed page (engine parity, not restated
+        # constants); fractions travel as floor(x*1e4+0.5) BIGINTs
+        "SELECT doc_id, 'goph' AS kind, n_words AS n_a, "
+        "keep::BIGINT AS n_b, concat_ws('|', "
+        + ", ".join(
+            f"(floor({m} * 10000 + 0.5))::BIGINT::VARCHAR"
+            for m in text._GOPHER_METRICS
+        )
+        + ") AS out_text FROM ("
+        + text.gopher_quality_sql(
+            "SELECT doc_id, "
+            + _GOPH_PAGE.format(
+                clean=(
+                    "trim(regexp_replace(regexp_replace(text,"
+                    " '[<>&]|[^ -~]', '', 'g'), ' +', ' ', 'g'))"
+                ),
+                bn="(doc_id % 3)::INT",
+            )
+            + " AS text FROM documents",
+            **_GOPH_GATE,
         )
         + ")"
     )
