@@ -2836,9 +2836,14 @@ def test_pdf_text_extraction_spec_and_roundtrips():
         b"BT (x) Tj ET\nendstream\nendobj\n"
     )
     assert P.pdf_text(body2)[0] == "x"
-    # seams raise by name
-    with _pytest.raises(ValueError, match="encrypted"):
-        P.pdf_text(b"%PDF-1.4 /Encrypt")
+    # seams raise by name (r13: Standard-handler encryption is now
+    # DECODED — the remaining encryption seams are non-Standard
+    # handlers and AES-256; see test_pdf_encryption_*)
+    with _pytest.raises(ValueError, match="non-Standard"):
+        P.pdf_text(
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /MySec /V 1 >>\nendobj\n"
+            b"trailer << /Encrypt 1 0 R >>"
+        )
     # r13: LZWDecode is now decoded (test_pdf_xref_objstm_lzw); the
     # remaining filter seam raises with the updated capability list
     with _pytest.raises(ValueError, match="FlateDecode/LZWDecode only"):
@@ -2850,6 +2855,122 @@ def test_pdf_text_extraction_spec_and_roundtrips():
         P.pdf_text(b"NOTPDF")
     with _pytest.raises(ValueError, match="unterminated"):
         P.pdf_text(b"%PDF-1.4\n1 0 obj\n<< >>\nno end")
+
+
+def test_crypto_primitives_published_vectors():
+    """r13: the from-spec ciphers behind PDF decryption — AES-128
+    against the FIPS-197 appendix vectors (C.1 and B), RC4 against
+    the classic published vectors, CBC+PKCS#7 roundtrip and its
+    malformed-input errors."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.functions import crypto as C
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = C.aes128_encrypt_block(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert C.aes128_decrypt_block(key, ct) == pt
+    k2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    p2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    assert (
+        C.aes128_encrypt_block(k2, p2).hex()
+        == "3925841d02dc09fbdc118597196a0b32"  # FIPS-197 Appendix B
+    )
+    assert C.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert C.rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert (
+        C.rc4(b"Secret", b"Attack at dawn").hex().upper()
+        == "45A01F645FC35B383552544B9BF5"
+    )
+    # rc4 is an involution under the same key
+    assert C.rc4(b"k", C.rc4(b"k", b"payload")) == b"payload"
+    for n in (0, 1, 15, 16, 17, 100):
+        msg = bytes(range(256))[:n] * 3
+        enc = C.aes128_cbc_encrypt(k2, bytes(16), msg)
+        assert len(enc) % 16 == 0 and len(enc) >= len(msg) + 17
+        assert C.aes128_cbc_decrypt(k2, enc) == msg
+    with _pytest.raises(ValueError, match="length"):
+        C.aes128_cbc_decrypt(k2, b"short")
+    with _pytest.raises(ValueError, match="padding"):
+        C.aes128_cbc_decrypt(k2, bytes(48))
+
+
+def test_pdf_encryption_standard_handler_all_modes():
+    """r13: the PDF Standard security handler — RC4-40 (/V 1 /R 2),
+    RC4-128 (/V 2 /R 3) and AES-128 /AESV2 (/V 4 /R 4) roundtrip
+    through BOTH writer layouts (classic xref table and PDF-1.5
+    ObjStm + xref stream) and both content filters; a tampered /U
+    fails Algorithm-6 authentication; rev-5/6 (AES-256) and unknown
+    crypt filters raise their seam names."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [["Hello encrypted world", "line two"], ["page two text"]]
+    exp = "Hello encrypted world\nline two\npage two text"
+    for mode in ("rc4-40", "rc4-128", "aesv2"):
+        for xs in (False, True):
+            for flate in (True, False):
+                p = P.pdf_build(
+                    pages, flate=flate, xref_stream=xs, encrypt=mode
+                )
+                text, n_shows, _ = P.pdf_text(p)
+                assert (text, n_shows) == (exp, 3), (mode, xs, flate)
+    # the encrypted bytes genuinely hide the plaintext (raw filter so
+    # the unencrypted build visibly contains it)
+    assert b"Hello" in P.pdf_build(pages, flate=False)
+    assert b"Hello" not in P.pdf_build(pages, flate=False, encrypt="rc4-128")
+    # Algorithm 6: a wrong /U means a non-empty user password
+    enc = P.pdf_build(pages, encrypt="rc4-128")
+    with _pytest.raises(ValueError, match="password required"):
+        P.pdf_text(enc.replace(b"/U <", b"/U <ff", 1))
+    with _pytest.raises(ValueError, match="AES-256"):
+        P.pdf_text(enc.replace(b"/V 2 /R 3", b"/V 5 /R 6"))
+    aes = P.pdf_build(pages, encrypt="aesv2")
+    with _pytest.raises(ValueError, match="crypt filter"):
+        P.pdf_text(aes.replace(b"/CFM /AESV2", b"/CFM /AESV3"))
+
+
+def test_pdf_images_dct_flate_raw_and_encrypted():
+    """r13: /Subtype /Image XObjects — DCTDecode through the repo
+    JPEG decoder (per-block-constant pixels decode EXACTLY, so px_sum
+    is a closed form), FlateDecode and raw samples, across both
+    layouts and under encryption; pdf_text skips image streams but
+    counts them; unsupported image filters raise the seam."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    vals = [40, 90, 140, 200]
+    px = bytes(
+        vals[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16)
+    )
+    exp_sum = 64 * sum(vals)
+    pages = [["Hello image world"], ["page two"]]
+    for filt in ("dct", "flate", "raw"):
+        for mode in (None, "rc4-40", "aesv2"):
+            for xs in (False, True):
+                p = P.pdf_build(
+                    pages, xref_stream=xs, encrypt=mode,
+                    image=(16, 16, 1, px), image_filter=filt,
+                )
+                text, _, n_streams = P.pdf_text(p)
+                assert text == "Hello image world\npage two"
+                assert n_streams == (5 if xs else 3)  # image counted
+                assert P.pdf_images(p) == [(16, 16, 1, exp_sum)]
+    # RGB via flate, and multiple pages' streams don't confuse the walk
+    rgb = bytes(range(48)) * 16
+    p = P.pdf_build(pages, image=(16, 16, 3, rgb), image_filter="flate")
+    assert P.pdf_images(p) == [(16, 16, 3, sum(rgb))]
+    # image-filter seam
+    bad = p.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode")
+    with _pytest.raises(ValueError, match="image filter"):
+        P.pdf_images(bad)
+    # BitsPerComponent seam
+    bad2 = p.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 1")
+    with _pytest.raises(ValueError, match="BitsPerComponent"):
+        P.pdf_images(bad2)
 
 
 def test_exif_orientation_all_eight_transforms():

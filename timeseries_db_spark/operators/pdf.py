@@ -29,11 +29,26 @@ majority of machine-generated PDFs' text layer:
   (whitespace-tolerant, odd final digit padded with 0). Bytes decode
   as PDFDocEncoding≈latin-1 for the ASCII range this subset targets.
 
+* **encryption** (r13): the Standard security handler, from ISO
+  32000-1 §7.6 with from-spec ciphers (``functions/crypto.py``) —
+  /V 1 (RC4-40), /V 2 (RC4-128), /V 4 crypt filters /V2 (RC4) and
+  /AESV2 (AES-128-CBC, FIPS-197) — authenticating the EMPTY user
+  password (Algorithm 6), i.e. the owner-locked world-readable files
+  crawls contain; per-object keys per Algorithm 1, streams decrypted
+  before filter decode.
+* **images** (r13): ``/Subtype /Image`` XObjects via
+  :func:`pdf_images` — ``/DCTDecode`` decodes through the repo's full
+  JPEG decoder (the one-time content-filter seam is just a JPEG
+  payload on the image path), ``/FlateDecode``/raw are inflated
+  samples; ``px_sum`` is the closed-form signal, video-leg style.
+
 Out of scope, raising ``ValueError`` with the capability name exactly
-like the media codecs' seams: encrypted PDFs (``/Encrypt``),
-DCT-filtered content, LZW with ``EarlyChange 0``, CID/Type0 composite
-fonts with multi-byte encodings (a real deployment slots
-pdfminer/poppler in per payload — the Spark plumbing is identical).
+like the media codecs' seams: AES-256 (/V 5, rev 5/6) and
+non-Standard security handlers, password-protected files (non-empty
+user password), CCITT/JBIG2/JPX image filters, LZW with
+``EarlyChange 0``, CID/Type0 composite fonts with multi-byte
+encodings (a real deployment slots pdfminer/poppler in per payload —
+the Spark plumbing is identical).
 
 The writer half (:func:`pdf_build`) emits a minimal valid PDF
 (catalog → pages → page → Flate or raw content stream + one Type1
@@ -97,16 +112,16 @@ def _obj_at(payload: bytes, off: int) -> tuple[int, bytes] | None:
     return int(m.group(1)), payload[m.end() : end]
 
 
-def _stream_of(body: bytes, resolve=None) -> bytes | None:
-    """The decoded stream of one object body (None when it has no
-    stream): sliced by a direct /Length integer when present, by the
-    resolved referenced integer when /Length is indirect (``N G R``)
-    and a resolver is given (r13 — real-world PDFs routinely store
-    content-stream lengths as separate objects, often inside an
-    object stream), else by the endstream delimiter; /FlateDecode
-    inflated, /LZWDecode (r13) decoded with the TIFF-variant LZW the
-    repo already owns — ISO 32000 §7.4.4 is the same MSB-first
-    early-change algorithm (EarlyChange=1 default; 0 stays a seam)."""
+def _stream_raw(body: bytes, resolve=None, decrypt=None) -> bytes | None:
+    """The RAW (sliced + decrypted, filters NOT decoded) stream bytes
+    of one object body — None when it has no stream: sliced by a
+    direct /Length integer when present, by the resolved referenced
+    integer when /Length is indirect (``N G R``) and a resolver is
+    given (r13 — real-world PDFs routinely store content-stream
+    lengths as separate objects, often inside an object stream), else
+    by the endstream delimiter. The image path (:func:`pdf_images`)
+    consumes this directly so /DCTDecode data reaches the repo's JPEG
+    decoder instead of the content-filter seam."""
     at = body.find(b"stream")
     if at < 0:
         return None
@@ -136,6 +151,18 @@ def _stream_of(body: bytes, resolve=None) -> bytes | None:
         if end < 0:
             raise ValueError("PDF stream unterminated")
         data = body[i:end].rstrip(b"\r\n")
+    if decrypt is not None:
+        # decryption is the OUTERMOST layer (ISO 32000-1 §7.6.2):
+        # decrypt the raw stream bytes first, THEN decode filters
+        data = decrypt(data)
+    return data
+
+
+def _apply_filters(dict_part: bytes, data: bytes) -> bytes:
+    """Decode the content filters: /FlateDecode inflated with zlib,
+    /LZWDecode via the repo's TIFF-variant LZW — ISO 32000 §7.4.4 is
+    the same MSB-first early-change algorithm (EarlyChange=1 default;
+    0 stays a seam). Other filters raise the capability seam."""
     if b"/Filter" in dict_part:
         if b"/FlateDecode" in dict_part:
             try:
@@ -159,6 +186,17 @@ def _stream_of(body: bytes, resolve=None) -> bytes | None:
                 "LZWDecode only; DCT/etc = pdfminer seam)"
             )
     return data
+
+
+def _stream_of(body: bytes, resolve=None, decrypt=None) -> bytes | None:
+    """The fully DECODED stream of one object body (None when it has
+    no stream): raw slice + decrypt (:func:`_stream_raw`) then filter
+    decode (:func:`_apply_filters`)."""
+    data = _stream_raw(body, resolve, decrypt)
+    if data is None:
+        return None
+    at = body.find(b"stream")
+    return _apply_filters(body[:at], data)
 
 
 def _pdf_xref(payload: bytes) -> dict[int, tuple]:
@@ -269,7 +307,7 @@ def _pdf_xref(payload: bytes) -> dict[int, tuple]:
 
 
 def _objstm_members(
-    body: bytes, resolve=None
+    body: bytes, resolve=None, decrypt=None
 ) -> list[tuple[int, bytes]]:
     """The ``(objnum, body)`` members of one ``/Type /ObjStm`` object
     stream (r13): the decoded stream opens with N (objnum, offset)
@@ -283,7 +321,7 @@ def _objstm_members(
     if not mn or not mf:
         raise ValueError("PDF ObjStm missing /N or /First")
     n, first = int(mn.group(1)), int(mf.group(1))
-    data = _stream_of(body, resolve)
+    data = _stream_of(body, resolve, decrypt)
     if data is None:
         raise ValueError("PDF ObjStm has no stream")
     nums = data[:first].split()
@@ -297,6 +335,202 @@ def _objstm_members(
         end = first + pairs[i + 1][1] if i + 1 < n else len(data)
         out.append((objnum, data[first + o : end]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3) — r13
+# ---------------------------------------------------------------------------
+
+#: the 32-byte password pad of Algorithm 2 (ISO 32000-1 Table 7.6.3.3)
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R\b")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _pad_pwd(pwd: bytes) -> bytes:
+    return (pwd + _PDF_PAD)[:32]
+
+
+def _std_key(
+    pwd: bytes, o: bytes, p: int, id0: bytes, r: int, klen: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key from the (user) password,
+    /O, /P (as 4 LE bytes of its 32-bit two's complement), the first
+    /ID element, and — rev ≥ 4 with /EncryptMetadata false — 4 0xFF
+    bytes; rev ≥ 3 re-digests 50× over the first ``klen`` bytes."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_pad_pwd(pwd))
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:klen]).digest()
+    return key[:klen]
+
+
+def _compute_o(owner_pwd: bytes, user_pwd: bytes, r: int, klen: int) -> bytes:
+    """Algorithm 3: the /O entry — RC4 of the padded user password
+    under a key digested from the owner password (50× for rev ≥ 3),
+    then 19 more RC4 passes with the key XORed by the pass number."""
+    import hashlib
+
+    from timeseries_db_spark.functions.crypto import rc4
+
+    h = hashlib.md5(_pad_pwd(owner_pwd or user_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4key = h[:klen]
+    o = rc4(rc4key, _pad_pwd(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _compute_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (rev 2) / 5 (rev ≥ 3): the /U entry. Rev ≥ 3 pads
+    the 16 digest bytes with zeros — comparisons use the first 16."""
+    from timeseries_db_spark.functions.crypto import rc4
+
+    if r == 2:
+        return rc4(key, _PDF_PAD)
+    import hashlib
+
+    u = rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _obj_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key — MD5 of the file key + 3 LE
+    bytes of the object number + 2 LE of the generation (+ ``sAlT``
+    for /AESV2), truncated to min(klen + 5, 16)."""
+    import hashlib
+
+    ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        ext += b"sAlT"
+    return hashlib.md5(key + ext).digest()[: min(len(key) + 5, 16)]
+
+
+def _dict_string_bytes(d: bytes, name: bytes) -> bytes | None:
+    """The raw BYTES of dict entry ``name`` when it is a ``<hex>`` or
+    ``(literal)`` string (the /O and /U entries — never encrypted)."""
+    m = re.search(re.escape(name) + rb"\s*", d)
+    if not m:
+        return None
+    i = m.end()
+    if i < len(d) and d[i : i + 1] == b"<":
+        s, _ = _hex_string(d, i)
+        return s.encode("latin-1")
+    if i < len(d) and d[i : i + 1] == b"(":
+        s, _ = _lit_string(d, i)
+        return s.encode("latin-1")
+    return None
+
+
+def _encryption_of(payload: bytes, directory: dict[int, bytes]):
+    """None for an unencrypted file, else ``(file_key, aes)`` for the
+    Standard security handler variants this reader opens from spec —
+    /V 1 (RC4-40), /V 2 (RC4 ≤128), /V 4 with /CFM /V2 (RC4) or
+    /AESV2 (AES-128-CBC) — authenticating the EMPTY user password
+    (Algorithm 6), the case a crawl corpus actually contains: owner-
+    locked but world-readable files. Raises ValueError naming the
+    seam for /V 5+ (AES-256, rev 5/6), non-Standard handlers, crypt
+    filters beyond StdCF, and password-protected files."""
+    m = None
+    for m in _ENCRYPT_REF_RE.finditer(payload):
+        pass  # last match: the live trailer in an incremental chain
+    if m is None:
+        return None
+    body = directory.get(int(m.group(1)))
+    if body is None:
+        raise ValueError("PDF /Encrypt dictionary unresolvable")
+    if not re.search(rb"/Filter\s*/Standard\b", body):
+        raise ValueError(
+            "PDF non-Standard security handler outside PDF_CAPABILITIES "
+            "(pdfminer seam)"
+        )
+    mv = re.search(rb"/V\s+(\d+)", body)
+    mr = re.search(rb"/R\s+(\d+)", body)
+    mp = re.search(rb"/P\s+(-?\d+)", body)
+    ml = re.search(rb"/Length\s+(\d+)", body)
+    v = int(mv.group(1)) if mv else 0
+    r = int(mr.group(1)) if mr else 2
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise ValueError(
+            f"PDF encryption V={v} R={r} outside PDF_CAPABILITIES "
+            "(AES-256/rev-5+ = pdfminer seam)"
+        )
+    aes = False
+    if v == 4:
+        mcfm = re.search(rb"/CFM\s*/(\w+)", body)
+        cfm = mcfm.group(1) if mcfm else b""
+        if cfm == b"AESV2":
+            aes = True
+        elif cfm != b"V2":
+            raise ValueError(
+                "PDF crypt filter outside PDF_CAPABILITIES "
+                "(V2/AESV2 only; pdfminer seam)"
+            )
+    o = _dict_string_bytes(body, b"/O")
+    u = _dict_string_bytes(body, b"/U")
+    if o is None or u is None or mp is None:
+        raise ValueError("PDF /Encrypt dictionary missing /O, /U or /P")
+    p = int(mp.group(1))
+    klen = (int(ml.group(1)) if ml else 40) // 8
+    if v == 1:
+        klen = 5
+    mid = None
+    for mid in _ID_RE.finditer(payload):
+        pass
+    id0 = (
+        bytes.fromhex(re.sub(rb"\s", rb"", mid.group(1)).decode())
+        if mid
+        else b""
+    )
+    enc_md = not re.search(rb"/EncryptMetadata\s+false", body)
+    key = _std_key(b"", o, p, id0, r, klen, enc_md)
+    u_chk = _compute_u(key, id0, r)
+    if (u_chk[:16] if r >= 3 else u_chk) != (u[:16] if r >= 3 else u[:32]):
+        raise ValueError(
+            "encrypted PDF: non-empty user password required "
+            "(pdfminer seam)"
+        )
+    return key, aes
+
+
+def _decrypt_for(enc, num: int):
+    """The stream decryptor bound to object ``num`` (gen 0 — the only
+    generation this reader's directory tracks, and what machine-
+    generated files use), or None when the file is unencrypted."""
+    if enc is None:
+        return None
+    key, aes = enc
+    if aes:
+        from timeseries_db_spark.functions.crypto import aes128_cbc_decrypt
+
+        return lambda d: aes128_cbc_decrypt(_obj_key(key, num, 0, True), d)
+    from timeseries_db_spark.functions.crypto import rc4
+
+    return lambda d: rc4(_obj_key(key, num, 0, False), d)
 
 
 def _lit_string(s: bytes, i: int) -> tuple[str, int]:
@@ -437,6 +671,49 @@ def _content_text(stream: bytes) -> tuple[str, int]:
     return text, n_shows
 
 
+def _pdf_open(payload: bytes):
+    """The shared document-open path of :func:`pdf_text` and
+    :func:`pdf_images` — (objs, directory, resolve, enc): xref walk
+    with direct-scan fallback, Standard-security-handler setup (r13 —
+    authenticate the empty user password, else raise the seam), and
+    /ObjStm expansion with the members joining the directory."""
+    if payload[:5] != b"%PDF-":
+        raise ValueError("not a PDF (missing %PDF- header)")
+    objs: list[tuple[int, bytes]] = []
+    try:
+        xref = _pdf_xref(payload)
+        for num in sorted(xref):
+            ent = xref[num]
+            if ent[0] == "at":
+                got = _obj_at(payload, ent[1])
+                if got is None:  # stale offset: the xref lied
+                    raise ValueError("PDF xref offset stale")
+                objs.append((num, got[1]))
+    except ValueError:
+        objs = _pdf_objects(payload)
+    directory = dict(objs)
+
+    def resolve(num: int) -> bytes | None:
+        return directory.get(num)
+
+    # r13: Standard-security-handler decryption (RC4-40/128, AESV2) —
+    # authenticate the empty user password and decrypt every stream
+    # transparently; unsupported variants raise their seam name
+    enc = _encryption_of(payload, directory)
+
+    # expand object streams: members join the directory (reference
+    # resolution) and the object list (no streams inside, by spec)
+    for num, body in list(objs):
+        at = body.find(b"stream")
+        if at >= 0 and b"/ObjStm" in body[:at]:
+            for mnum, mbody in _objstm_members(
+                body, resolve, _decrypt_for(enc, num)
+            ):
+                directory.setdefault(mnum, mbody)
+                objs.append((mnum, mbody))
+    return objs, directory, resolve, enc
+
+
 def pdf_text(payload: bytes) -> tuple[str, int, int]:
     """REAL PDF text extraction — (text, n_show_ops, n_streams): every
     content stream's BT/ET text operators evaluated in document order,
@@ -454,38 +731,7 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
     infrastructure, not page content — they are excluded from the
     text scan (an xref stream's binary rows could contain ``BT`` by
     chance) but counted in ``n_streams`` like any other stream."""
-    if payload[:5] != b"%PDF-":
-        raise ValueError("not a PDF (missing %PDF- header)")
-    if b"/Encrypt" in payload:
-        raise ValueError(
-            "encrypted PDF outside PDF_CAPABILITIES (pdfminer seam)"
-        )
-    objs: list[tuple[int, bytes]] = []
-    try:
-        xref = _pdf_xref(payload)
-        for num in sorted(xref):
-            ent = xref[num]
-            if ent[0] == "at":
-                got = _obj_at(payload, ent[1])
-                if got is None:  # stale offset: the xref lied
-                    raise ValueError("PDF xref offset stale")
-                objs.append((num, got[1]))
-    except ValueError:
-        xref = None
-        objs = _pdf_objects(payload)
-    directory = dict(objs)
-
-    def resolve(num: int) -> bytes | None:
-        return directory.get(num)
-
-    # expand object streams: members join the directory (reference
-    # resolution) and the object list (no streams inside, by spec)
-    for num, body in list(objs):
-        at = body.find(b"stream")
-        if at >= 0 and b"/ObjStm" in body[:at]:
-            for mnum, mbody in _objstm_members(body, resolve):
-                directory.setdefault(mnum, mbody)
-                objs.append((mnum, mbody))
+    objs, directory, resolve, enc = _pdf_open(payload)
     texts: list[str] = []
     n_shows = 0
     n_streams = 0
@@ -497,7 +743,13 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
         if b"/ObjStm" in dict_part or b"/XRef" in dict_part:
             n_streams += 1  # infrastructure stream, never page text
             continue
-        data = _stream_of(body, resolve)
+        if b"/Image" in dict_part:
+            # image XObject (r13): counted, never text-scanned — its
+            # bytes are pixel data (and /DCTDecode is not a content
+            # filter); pdf_images owns the decode
+            n_streams += 1
+            continue
+        data = _stream_of(body, resolve, _decrypt_for(enc, _num))
         if data is None:
             continue
         n_streams += 1
@@ -508,6 +760,72 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
         if t:
             texts.append(t)
     return "\n".join(texts), n_shows, n_streams
+
+
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def pdf_images(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """REAL embedded-image extraction (r13) — one ``(width, height,
+    channels, px_sum)`` per ``/Subtype /Image`` XObject, in document
+    order: ``/DCTDecode`` data decodes through the repo's full JPEG
+    decoder (``multimodal.jpeg_decode`` — the filter that was the
+    documented seam for the TEXT path is simply a JPEG payload on the
+    image path), ``/FlateDecode`` inflates to raw samples, unfiltered
+    streams are raw samples; encrypted files decrypt per object like
+    every other stream. ``px_sum`` is the integer sum of all decoded
+    8-bit samples — the same closed-form-checkable signal the video
+    frame legs use. Dimensions are cross-checked against the dict.
+    /CCITTFaxDecode, /JBIG2Decode, /JPXDecode and BitsPerComponent ≠ 8
+    raise the capability seam."""
+    objs, directory, resolve, enc = _pdf_open(payload)
+    out: list[tuple[int, int, int, int]] = []
+    for num, body in objs:
+        at = body.find(b"stream")
+        if at < 0:
+            continue
+        dict_part = body[:at]
+        if b"/Subtype" not in dict_part or b"/Image" not in dict_part:
+            continue
+        mw = _WIDTH_RE.search(dict_part)
+        mh = _HEIGHT_RE.search(dict_part)
+        if not mw or not mh:
+            raise ValueError("PDF image missing /Width or /Height")
+        w, h = int(mw.group(1)), int(mh.group(1))
+        mb = _BPC_RE.search(dict_part)
+        if mb and int(mb.group(1)) != 8:
+            raise ValueError(
+                "PDF image BitsPerComponent != 8 outside "
+                "PDF_CAPABILITIES (pdfminer seam)"
+            )
+        data = _stream_raw(body, resolve, _decrypt_for(enc, num))
+        if data is None:
+            continue
+        if b"/DCTDecode" in dict_part:
+            from timeseries_db_spark.operators.multimodal import jpeg_decode
+
+            jw, jh, ch, px = jpeg_decode(data)
+            if (jw, jh) != (w, h):
+                raise ValueError(
+                    f"PDF image dict {w}x{h} != JPEG {jw}x{jh}"
+                )
+        elif b"/FlateDecode" in dict_part:
+            px = zlib.decompress(data)
+            ch = len(px) // (w * h)
+        elif b"/Filter" in dict_part:
+            raise ValueError(
+                "PDF image filter outside PDF_CAPABILITIES "
+                "(DCT/Flate/raw only; pdfminer seam)"
+            )
+        else:
+            px = data
+            ch = len(px) // (w * h)
+        if ch not in (1, 3) or len(px) != w * h * ch:
+            raise ValueError("PDF image sample count inconsistent")
+        out.append((w, h, ch, sum(px)))
+    return out
 
 
 def _pdf_shows(
@@ -538,7 +856,9 @@ def _pdf_shows(
 def pdf_build(
     pages: list[list[str]], *, flate: bool = True,
     use_tj_array: bool = False, lzw: bool = False,
-    xref_stream: bool = False,
+    xref_stream: bool = False, encrypt: str | None = None,
+    image: tuple[int, int, int, bytes] | None = None,
+    image_filter: str = "dct",
 ) -> bytes:
     """Minimal valid PDF writer (tests + fixtures): one content stream
     per page, each inner list one text line (``Td``-positioned ``Tj``
@@ -553,7 +873,27 @@ def pdf_build(
     N 0 R`` references into it, and the cross-reference is a binary
     ``/Type /XRef`` stream (``/W [1 2 1]``, type-1 and type-2 rows) —
     so the reader's xref walk, ObjStm expansion, and indirect-length
-    resolution are all on the extraction path."""
+    resolution are all on the extraction path.
+
+    ``encrypt`` (r13): ``"rc4-40"`` (/V 1 /R 2), ``"rc4-128"``
+    (/V 2 /R 3) or ``"aesv2"`` (/V 4 /R 4, AES-128-CBC crypt filter)
+    emits the file under the Standard security handler with an EMPTY
+    user password and owner password ``owner`` — the owner-locked,
+    world-readable shape encrypted crawl PDFs actually have. /O and
+    /U are computed with the real Algorithms 3/5 so the reader's
+    Algorithm-6 authentication is exercised, streams are encrypted
+    with per-object keys (Algorithm 1) AFTER filter encoding, and
+    /Length reflects the encrypted byte count (AES grows streams by
+    IV + PKCS#7 padding). The AES IV is a deterministic digest of
+    (/ID, object number) — fixtures must be reproducible.
+
+    ``image`` (r13): ``(width, height, channels, pixels)`` embeds one
+    image XObject on page 1 — ``image_filter`` ``"dct"`` routes the
+    pixels through :func:`multimodal.jpeg_encode` (per-block-constant
+    pixels decode exactly under the all-ones quant, the closed-form
+    trick the video legs use), ``"flate"`` deflates raw samples,
+    ``"raw"`` stores them — referenced from the page's /XObject
+    resources and painted by a ``Do`` after the text object."""
 
     def enc(content: bytes) -> tuple[bytes, str]:
         if lzw:
@@ -565,6 +905,74 @@ def pdf_build(
         if flate:
             return zlib.compress(content), " /Filter /FlateDecode"
         return content, ""
+
+    crypt = None
+    enc_body = b""
+    id_frag = ""
+    if encrypt is not None:
+        import hashlib
+
+        from timeseries_db_spark.functions.crypto import (
+            aes128_cbc_encrypt,
+            rc4,
+        )
+
+        modes = {
+            "rc4-40": (1, 2, 5, False),
+            "rc4-128": (2, 3, 16, False),
+            "aesv2": (4, 4, 16, True),
+        }
+        if encrypt not in modes:
+            raise ValueError(f"pdf_build encrypt mode {encrypt!r}")
+        v, r, klen, aes = modes[encrypt]
+        id0 = hashlib.md5(repr(pages).encode()).digest()
+        p_flags = -4
+        o_ent = _compute_o(b"owner", b"", r, klen)
+        key = _std_key(b"", o_ent, p_flags, id0, r, klen)
+        u_ent = _compute_u(key, id0, r)[:32]
+        cf = (
+            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            if aes
+            else ""
+        )
+        enc_body = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {klen * 8} "
+            f"/P {p_flags} /O <{o_ent.hex()}> /U <{u_ent.hex()}>{cf} >>"
+        ).encode()
+        id_frag = f" /ID [<{id0.hex()}> <{id0.hex()}>]"
+
+        def crypt(data: bytes, num: int) -> bytes:
+            ok = _obj_key(key, num, 0, aes)
+            if aes:
+                iv = hashlib.md5(
+                    id0 + num.to_bytes(4, "big")
+                ).digest()[:16]
+                return aes128_cbc_encrypt(ok, iv, data)
+            return rc4(ok, data)
+
+    def img_body(num: int) -> bytes:
+        w, h, ch, px = image
+        if image_filter == "dct":
+            from timeseries_db_spark.operators.multimodal import jpeg_encode
+
+            data, filt = jpeg_encode(px, w, h, ch), " /Filter /DCTDecode"
+        elif image_filter == "flate":
+            data, filt = zlib.compress(px), " /Filter /FlateDecode"
+        elif image_filter == "raw":
+            data, filt = px, ""
+        else:
+            raise ValueError(f"pdf_build image_filter {image_filter!r}")
+        if crypt is not None:
+            data = crypt(data, num)
+        cs = "/DeviceGray" if ch == 1 else "/DeviceRGB"
+        return (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace {cs} /BitsPerComponent 8{filt} "
+            f"/Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )
 
     n_p = len(pages)
     if not xref_stream:
@@ -578,11 +986,19 @@ def pdf_build(
         objs.append(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
+        img_num = 4 + 2 * n_p if image is not None else None
         for i, lines in enumerate(pages):
-            content, filt = enc(_pdf_shows(lines, use_tj_array))
+            shows = _pdf_shows(lines, use_tj_array)
+            xobj = ""
+            if i == 0 and image is not None:
+                shows += b"\nq 64 0 0 64 100 100 cm /Im1 Do Q"
+                xobj = f" /XObject << /Im1 {img_num} 0 R >>"
+            content, filt = enc(shows)
+            if crypt is not None:
+                content = crypt(content, page_ids[i] + 1)
             objs.append(
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Resources << /Font << /F1 3 0 R >>{xobj} >> "
                 f"/Contents {page_ids[i] + 1} 0 R >>".encode()
             )
             objs.append(
@@ -590,6 +1006,12 @@ def pdf_build(
                 + content
                 + b"\nendstream"
             )
+        if image is not None:
+            objs.append(img_body(img_num))
+        enc_frag = ""
+        if encrypt is not None:
+            objs.append(enc_body)
+            enc_frag = f" /Encrypt {len(objs)} 0 R{id_frag}"
         out = bytearray(b"%PDF-1.4\n")
         offsets = []
         for num, body in enumerate(objs, start=1):
@@ -601,7 +1023,7 @@ def pdf_build(
         for off in offsets:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{enc_frag} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
@@ -610,8 +1032,18 @@ def pdf_build(
     # numbering: 1 catalog, 2 pages, 3 font (ObjStm members);
     # page i: 4+3i page dict (member), 5+3i content stream (regular),
     # 6+3i length integer (member); then ObjStm, then XRef stream.
-    objstm_num = 4 + 3 * n_p
-    xref_num = objstm_num + 1
+    nxt = 4 + 3 * n_p
+    objstm_num = nxt
+    nxt += 1
+    img_num = None
+    if image is not None:
+        img_num = nxt
+        nxt += 1
+    enc_num = None
+    if encrypt is not None:
+        enc_num = nxt
+        nxt += 1
+    xref_num = nxt
     contents: list[bytes] = []
     members: list[tuple[int, bytes]] = [
         (1, f"<< /Type /Catalog /Pages 2 0 R >>".encode()),
@@ -626,7 +1058,14 @@ def pdf_build(
         (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     ]
     for i, lines in enumerate(pages):
-        content, filt = enc(_pdf_shows(lines, use_tj_array))
+        shows = _pdf_shows(lines, use_tj_array)
+        xobj = ""
+        if i == 0 and image is not None:
+            shows += b"\nq 64 0 0 64 100 100 cm /Im1 Do Q"
+            xobj = f" /XObject << /Im1 {img_num} 0 R >>"
+        content, filt = enc(shows)
+        if crypt is not None:
+            content = crypt(content, 5 + 3 * i)
         contents.append(
             f"<< /Length {6 + 3 * i} 0 R{filt} >>\nstream\n".encode()
             + content
@@ -637,7 +1076,8 @@ def pdf_build(
                 4 + 3 * i,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox "
-                    f"[0 0 612 792] /Resources << /Font << /F1 3 0 R >> "
+                    f"[0 0 612 792] /Resources << /Font << /F1 3 0 R >>"
+                    f"{xobj} "
                     f">> /Contents {5 + 3 * i} 0 R >>"
                 ).encode(),
             )
@@ -650,6 +1090,8 @@ def pdf_build(
         bodies += mbody + b" "
     header = (" ".join(pairs) + " ").encode()
     stm_data = zlib.compress(header + bytes(bodies))
+    if crypt is not None:
+        stm_data = crypt(stm_data, objstm_num)
     objstm_body = (
         f"<< /Type /ObjStm /N {len(members)} /First {len(header)} "
         f"/Length {len(stm_data)} /Filter /FlateDecode >>\nstream\n".encode()
@@ -664,6 +1106,12 @@ def pdf_build(
         out += f"{num} 0 obj\n".encode() + cbody + b"\nendobj\n"
     at_of[objstm_num] = len(out)
     out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+    if img_num is not None:
+        at_of[img_num] = len(out)
+        out += f"{img_num} 0 obj\n".encode() + img_body(img_num) + b"\nendobj\n"
+    if enc_num is not None:
+        at_of[enc_num] = len(out)
+        out += f"{enc_num} 0 obj\n".encode() + enc_body + b"\nendobj\n"
     # xref stream rows, /W [1 4 1]: object 0 free, members type 2,
     # regular objects type 1
     size = xref_num + 1
@@ -683,9 +1131,13 @@ def pdf_build(
             rows += bytes([idx])
     xref_at = len(out)
     rows += bytes([1]) + xref_at.to_bytes(4, "big") + bytes([0])
-    xrow = zlib.compress(bytes(rows))
+    xrow = zlib.compress(bytes(rows))  # the XRef stream is NEVER encrypted
+    enc_frag = (
+        f" /Encrypt {enc_num} 0 R{id_frag}" if enc_num is not None else ""
+    )
     out += (
-        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R "
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R"
+        f"{enc_frag} "
         f"/W [1 4 1] /Length {len(xrow)} /Filter /FlateDecode >>"
         f"\nstream\n".encode()
         + xrow
@@ -695,10 +1147,19 @@ def pdf_build(
     return bytes(out)
 
 
-def pdf_extract_text(assets: DataFrame) -> DataFrame:
+def pdf_extract_text(assets: DataFrame, with_images: bool = False) -> DataFrame:
     """(asset_id, n_shows, n_streams, text) — :func:`pdf_text` over
     PDF assets, Arrow-batched, map-only (the standard payload-kernel
-    posture)."""
+    posture). ``with_images=True`` (r13) also runs :func:`pdf_images`
+    in the same kernel pass and appends ``n_images`` and ``img_px``
+    (the summed pixel sums) — one payload parse serving both scans,
+    so a multimodal corpus pass stays single-read."""
+
+    cols = ["asset_id", "n_shows", "n_streams", "text"]
+    schema = "asset_id long, n_shows long, n_streams long, text string"
+    if with_images:
+        cols += ["n_images", "img_px"]
+        schema += ", n_images long, img_px long"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -709,16 +1170,15 @@ def pdf_extract_text(assets: DataFrame) -> DataFrame:
                 pdf_batch["asset_id"], pdf_batch["payload"]
             ):
                 text, n_shows, n_streams = pdf_text(bytes(payload))
-                rows.append((int(asset_id), n_shows, n_streams, text))
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "n_shows", "n_streams", "text"]
-            )
+                row = (int(asset_id), n_shows, n_streams, text)
+                if with_images:
+                    imgs = pdf_images(bytes(payload))
+                    row += (len(imgs), sum(s for *_d, s in imgs))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         assets.filter(F.col("kind") == "pdf")
         .select("asset_id", "payload")
-        .mapInPandas(
-            gen,
-            schema="asset_id long, n_shows long, n_streams long, text string",
-        )
+        .mapInPandas(gen, schema=schema)
     )

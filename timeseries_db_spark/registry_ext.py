@@ -1268,11 +1268,27 @@ def register_extensions(q: dict, o: dict) -> None:
         # stream — so the xref walk, ObjStm expansion, and
         # indirect-length resolution run under the gate (those docs
         # count 2 extra infrastructure streams in n_b).
+        # r13 late: the fixture is now also ENCRYPTED and ILLUSTRATED —
+        #   encryption cycles the Standard security handler by
+        #   doc_id%4: plain / RC4-40 (/V1/R2) / RC4-128 (/V2/R3) /
+        #   AES-128 /AESV2 (/V4/R4), all empty-user-password; decode
+        #   is TRANSPARENT (Algorithm 6 auth + per-object Algorithm-1
+        #   keys + stream decrypt), so the SAME text/show closed forms
+        #   pin it — a wrong key garbles every downstream value, the
+        #   warc-leg transport-cycling discipline;
+        #   every EVEN doc embeds a 16×16 grayscale /Subtype /Image
+        #   XObject of four per-block-constant 8×8 blocks v_k =
+        #   (10*doc_id + 31k) % 256 — DCTDecode (doc_id%4==0, through
+        #   the repo JPEG decoder, exact on per-block-constant pixels)
+        #   or FlateDecode (doc_id%4==2) — so n_b gains the image
+        #   stream (even: +1) and out_text gains ' | IMG:' +
+        #   64*Σv_k, the video-leg px_sum closed form.
         def build_pdf(batches):
             import pandas as _pd
 
             from timeseries_db_spark.operators import pdf as PD
 
+            _ENC = [None, "rc4-40", "rc4-128", "aesv2"]
             for b in batches:
                 if not len(b):
                     continue
@@ -1285,6 +1301,19 @@ def register_extensions(q: dict, o: dict) -> None:
                     ]
                     if did % 2:
                         pages.append([f"End {did}"])
+                    img = None
+                    if did % 2 == 0:
+                        vals = [(10 * did + 31 * k) % 256 for k in range(4)]
+                        img = (
+                            16,
+                            16,
+                            1,
+                            bytes(
+                                vals[(y // 8) * 2 + (x // 8)]
+                                for y in range(16)
+                                for x in range(16)
+                            ),
+                        )
                     ids.append(did)
                     payloads.append(
                         PD.pdf_build(
@@ -1293,6 +1322,11 @@ def register_extensions(q: dict, o: dict) -> None:
                             use_tj_array=(did % 3 == 0),
                             lzw=(did % 5 == 0),
                             xref_stream=(did % 7 == 0),
+                            encrypt=_ENC[did % 4],
+                            image=img,
+                            image_filter=(
+                                "dct" if did % 4 == 0 else "flate"
+                            ),
                         )
                     )
                 yield _pd.DataFrame(
@@ -1304,12 +1338,15 @@ def register_extensions(q: dict, o: dict) -> None:
         pdf_assets = docs.select(
             "doc_id", F.expr(clean).alias("clean")
         ).mapInPandas(build_pdf, schema="asset_id long, kind string, payload binary")
-        pdfx = _pdfmod.pdf_extract_text(pdf_assets).select(
+        pdfx = _pdfmod.pdf_extract_text(pdf_assets, with_images=True).select(
             F.col("asset_id").alias("doc_id"),
             F.lit("pdf").alias("kind"),
             F.col("n_shows").alias("n_a"),
             F.col("n_streams").alias("n_b"),
-            F.col("text").alias("out_text"),
+            F.expr(
+                "concat(text, CASE WHEN n_images > 0 THEN"
+                " concat(' | IMG:', img_px) ELSE '' END)"
+            ).alias("out_text"),
         )
         # r12 rob leg: robots.txt admission (RFC 9309,
         # operators/robots.py) — per-host robots bodies are constructed
@@ -1613,15 +1650,22 @@ def register_extensions(q: dict, o: dict) -> None:
         "'http://example' || (doc_id % 7) || '.com/doc' || doc_id AS u "
         "FROM documents) "
         "UNION ALL "
+        # pdf n_b (r13 late): every doc now counts 2 base streams —
+        # odd ids' second page OR even ids' image XObject — plus the
+        # xref-layout docs' 2 infrastructure streams; even ids append
+        # the image px_sum closed form 64*Σ (10*doc_id + 31k) % 256
         "SELECT doc_id, 'pdf' AS kind, "
         "(2 + doc_id % 3 + doc_id % 2)::BIGINT AS n_a, "
-        "(1 + doc_id % 2 "
-        "+ CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_b, "
+        "(2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_b, "
         "'Doc ' || doc_id || "
         "CASE WHEN cl <> '' THEN chr(10) || cl ELSE '' END || "
         "CASE doc_id % 3 WHEN 1 THEN chr(10) || 'L0' "
         "WHEN 2 THEN chr(10) || 'L0' || chr(10) || 'L1' ELSE '' END || "
         "CASE WHEN doc_id % 2 = 1 THEN chr(10) || 'End ' || doc_id "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' | IMG:' || "
+        "(64 * (((10 * doc_id) % 256) + ((10 * doc_id + 31) % 256) + "
+        "((10 * doc_id + 62) % 256) + ((10 * doc_id + 93) % 256))) "
         "ELSE '' END AS out_text FROM ("
         "SELECT doc_id, "
         "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'), "
