@@ -192,6 +192,10 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
         if 256 not in dims or 257 not in dims:
             raise ValueError("TIFF missing ImageWidth/ImageLength")
         return "tiff", dims[256], dims[257]
+    if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(b) >= 22:
+        # r13 ICO/CUR favicon: dims of the largest directory entry
+        best = max(ico_entries(b), key=lambda e: e[0] * e[1])
+        return "ico", best[0], best[1]
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 <= len(b):
@@ -324,7 +328,10 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 #: ``NotImplementedError`` naming this flag.
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit + 16-bit-to-"
-    "high-byte since r10, non-interlaced + Adam7 interlaced)",
+    "high-byte since r10, non-interlaced + Adam7 interlaced; r13: "
+    "APNG animation — acTL/fcTL/fdAT walk, SOURCE/OVER blending, "
+    "all three dispose ops, frames decoded through the shared PNG "
+    "path, unified with the video surface)",
     "bmp": "real (COMPLETE r11: 24-bit BGR, 32-bit BGRA (alpha "
     "dropped), 8/4/1-bit PALETTED uncompressed + BI_RLE8/BI_RLE4, "
     "16-bit XRGB1555 + BI_BITFIELDS arbitrary masks)",
@@ -345,6 +352,10 @@ PIXEL_CAPABILITIES = {
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
     "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
     "= PIL seam)",
+    "ico": "real (r13: ICONDIR walk, BMP entries via the complete BMP "
+    "decoder — doubled-height header, XOR rows, 1-bit AND mask → "
+    "alpha — 32-bit entries decoded directly so their alpha channel "
+    "survives, PNG entries via png_decode; largest-entry default)",
     "video": "real for MJPEG-in-AVI (r10: movi frame walk + jpeg_decode); "
     "other codecs = ffmpeg seam",
     "audio_pcm": "real (WAV header + raw sample arithmetic)",
@@ -3128,6 +3139,8 @@ def image_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return gif_decode(b)
     if b[:2] == b"\xff\xd8":
         return jpeg_decode(b)
+    if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return ico_decode(b)  # r13: largest favicon entry
     raise ValueError(
         f"no real pixel decoder for magic {b[:8]!r} — see PIXEL_CAPABILITIES"
     )
@@ -3395,6 +3408,409 @@ def synth_gif_anim(doc_id: int) -> bytes:
     )
 
 
+def _rgba_expand(px: bytes, ch: int) -> bytes:
+    """Any decoded channel layout → RGBA (alpha 255 when absent)."""
+    if ch == 4:
+        return px
+    out = bytearray(len(px) // ch * 4)
+    if ch == 1:  # gray
+        for i, v in enumerate(px):
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = v
+            out[4 * i + 3] = 255
+    elif ch == 2:  # gray + alpha
+        for i in range(len(px) // 2):
+            g, a = px[2 * i], px[2 * i + 1]
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = g
+            out[4 * i + 3] = a
+    elif ch == 3:  # rgb
+        for i in range(len(px) // 3):
+            out[4 * i : 4 * i + 3] = px[3 * i : 3 * i + 3]
+            out[4 * i + 3] = 255
+    else:
+        raise ValueError(f"cannot expand {ch}-channel pixels to RGBA")
+    return bytes(out)
+
+
+def apng_decode_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL APNG composition (r13) — the PNG animation extension
+    (W3C PNG 3rd ed. / the original Mozilla APNG spec): ``acTL``
+    announces the animation, each frame is an ``fcTL`` control chunk
+    (region, delay, dispose_op, blend_op) followed by ``IDAT`` (first
+    frame only, when its fcTL precedes IDAT) or ``fdAT`` chunks whose
+    data is a full per-frame PNG image stream. Returns ``(width,
+    height, [rgba_canvas, ...])`` — one COMPOSED full-canvas RGBA
+    snapshot per frame, the same frame-sequence contract as
+    :func:`gif_decode_frames` (an APNG is a video source).
+
+    Semantics implemented from the spec: the canvas starts fully
+    transparent; ``blend_op`` 0 (SOURCE) replaces the region including
+    alpha, 1 (OVER) is non-premultiplied Porter-Duff over (integer
+    arithmetic, exact at the fixture alphas 0/255); ``dispose_op`` 0
+    leaves the canvas, 1 (BACKGROUND) clears the frame's region to
+    transparent, 2 (PREVIOUS) reverts the region to the pre-frame
+    canvas — and a first-frame PREVIOUS degrades to BACKGROUND, as
+    the spec requires. Sequence numbers must be consecutive from 0
+    across fcTL+fdAT; frame decode REUSES :func:`png_decode` on a
+    per-frame synthesized PNG (IHDR at frame dims + the frame's data
+    chunks), so every filter/palette/interlace path is shared, not
+    reimplemented. A PNG without ``acTL`` raises ValueError (it is an
+    image, not a video); malformed sequencing/regions raise too."""
+    import struct
+    import zlib as _zlib
+
+    b = payload
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG (magic {b[:8]!r})")
+    ihdr = None
+    plte = b""
+    has_actl = False
+    # (fctl_fields, [data...], from_idat)
+    frames: list[tuple[tuple, list[bytes], bool]] = []
+    seqs: list[int] = []
+    idat_seen = False
+    i = 8
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"acTL":
+            has_actl = True
+        elif ctype == b"fcTL":
+            seqs.append(int.from_bytes(data[0:4], "big"))
+            fc = struct.unpack(">IIIIHHBB", data[4:26])
+            frames.append((fc, [], not idat_seen))
+        elif ctype == b"IDAT":
+            idat_seen = True
+            if frames and frames[-1][2]:
+                frames[-1][1].append(data)
+        elif ctype == b"fdAT":
+            if not frames:
+                raise ValueError("APNG fdAT before any fcTL")
+            seqs.append(int.from_bytes(data[0:4], "big"))
+            frames[-1][1].append(data[4:])
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not has_actl:
+        raise ValueError("PNG without acTL is not an animation")
+    if seqs != list(range(len(seqs))):
+        raise ValueError(f"APNG sequence numbers not consecutive: {seqs}")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    canvas = bytearray(w * h * 4)  # fully transparent
+    out: list[bytes] = []
+    for fi, (fc, datas, _from_idat) in enumerate(frames):
+        fw, fh, x0, y0, _dn, _dd, dispose, blend = fc
+        if not datas:
+            raise ValueError("APNG frame without image data")
+        if x0 + fw > w or y0 + fh > h or fw == 0 or fh == 0:
+            raise ValueError("APNG frame region outside the canvas")
+        sub_png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">II", fw, fh) + ihdr[8:13],
+            )
+            + (chunk(b"PLTE", plte) if plte else b"")
+            + b"".join(chunk(b"IDAT", d) for d in datas)
+            + chunk(b"IEND", b"")
+        )
+        sw, sh, sch, spx = png_decode(sub_png)
+        if (sw, sh) != (fw, fh):
+            raise ValueError("APNG frame dims disagree with fcTL")
+        rgba = _rgba_expand(spx, sch)
+        before = bytes(canvas) if dispose == 2 else None
+        for yy in range(fh):
+            for xx in range(fw):
+                si = (yy * fw + xx) * 4
+                di = ((y0 + yy) * w + (x0 + xx)) * 4
+                if blend == 0:
+                    canvas[di : di + 4] = rgba[si : si + 4]
+                else:  # OVER, non-premultiplied, integer-exact
+                    fr, fg, fb, fa = rgba[si : si + 4]
+                    cr, cg, cb, ca = canvas[di : di + 4]
+                    oa = fa * 255 + ca * (255 - fa)  # alpha × 255²
+                    if oa == 0:
+                        canvas[di : di + 4] = b"\x00\x00\x00\x00"
+                    else:
+                        canvas[di] = (
+                            fr * fa * 255 + cr * ca * (255 - fa) + oa // 2
+                        ) // oa
+                        canvas[di + 1] = (
+                            fg * fa * 255 + cg * ca * (255 - fa) + oa // 2
+                        ) // oa
+                        canvas[di + 2] = (
+                            fb * fa * 255 + cb * ca * (255 - fa) + oa // 2
+                        ) // oa
+                        canvas[di + 3] = (oa + 127) // 255
+        out.append(bytes(canvas))
+        if dispose == 2 and fi == 0:
+            dispose = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
+        if dispose == 1:
+            for yy in range(fh):
+                di = ((y0 + yy) * w + x0) * 4
+                canvas[di : di + fw * 4] = bytes(fw * 4)
+        elif dispose == 2:
+            for yy in range(fh):
+                di = ((y0 + yy) * w + x0) * 4
+                canvas[di : di + fw * 4] = before[di : di + fw * 4]
+    return w, h, out
+
+
+def apng_encode(
+    width: int,
+    height: int,
+    frames: list[tuple[int, int, int, int, bytes, int, int]],
+) -> bytes:
+    """Minimal APNG writer (the decoder's roundtrip pin): RGBA frames
+    as ``(x0, y0, fw, fh, rgba_pixels, dispose_op, blend_op)``. The
+    first frame must cover the full canvas (spec rule for the IDAT
+    frame); later frames may be sub-regions. Rows are filter-0,
+    per-frame zlib streams; fdAT carries the running sequence
+    number."""
+    import struct
+    import zlib as _zlib
+
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    if frames[0][:4] != (0, 0, width, height):
+        raise ValueError("APNG first frame must be full-canvas")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    )
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for fi, (x0, y0, fw, fh, px, dispose, blend) in enumerate(frames):
+        if len(px) != fw * fh * 4:
+            raise ValueError("APNG frame pixel buffer mismatch")
+        out += chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, x0, y0, 1, 10, dispose, blend
+            ),
+        )
+        seq += 1
+        raw = bytearray()
+        for yy in range(fh):
+            raw += b"\x00" + px[yy * fw * 4 : (yy + 1) * fw * 4]
+        z = _zlib.compress(bytes(raw))
+        if fi == 0:
+            out += chunk(b"IDAT", z)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def ico_entries(payload: bytes) -> list[tuple[int, int, int, bool]]:
+    """The ICONDIR directory of a .ico/.cur favicon container (r13) —
+    one ``(width, height, bit_count, is_png)`` per entry. Directory
+    width/height bytes of 0 mean 256; the real dimensions for BMP
+    entries come from the entry's own BITMAPINFOHEADER (whose height
+    is DOUBLED to cover the XOR+AND masks), for PNG entries from
+    IHDR — the directory bytes are advisory and routinely wrong in
+    real favicons, so both are cross-checked against the payload."""
+    b = payload
+    if len(b) < 6 or b[0:2] != b"\x00\x00" or b[2:4] not in (
+        b"\x01\x00",
+        b"\x02\x00",
+    ):
+        raise ValueError("not an ICO/CUR container")
+    n = int.from_bytes(b[4:6], "little")
+    out = []
+    for k in range(n):
+        e = b[6 + 16 * k : 6 + 16 * k + 16]
+        if len(e) < 16:
+            raise ValueError("ICO directory truncated")
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        data = b[off : off + size]
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            bpp = 32
+            is_png = True
+        else:
+            if len(data) < 16:
+                raise ValueError("ICO BMP entry truncated")
+            w = int.from_bytes(data[4:8], "little", signed=True)
+            h = int.from_bytes(data[8:12], "little", signed=True) // 2
+            bpp = int.from_bytes(data[14:16], "little")
+            is_png = False
+        out.append((w, h, bpp, is_png))
+    return out
+
+
+def ico_decode(payload: bytes, index: int | None = None):
+    """REAL favicon pixel decode (r13) — ``(width, height, 4, rgba)``
+    for entry ``index`` (default: the largest by pixel count, what a
+    thumbnailer wants). PNG entries reuse :func:`png_decode`; BMP
+    entries reuse :func:`bmp_decode` on a synthesized file (the
+    ICONDIR entry is a BITMAPINFOHEADER + palette + XOR pixels + a
+    1-bit AND transparency mask, with the header height doubled — the
+    height is halved and a file header prepended), the AND mask rows
+    (bottom-up, 4-byte-aligned like every BMP row) becoming alpha
+    0/255; 32-bit entries are decoded directly so their real alpha
+    channel survives (bmp_decode documents dropping it)."""
+    b = payload
+    dirs = ico_entries(b)
+    if not dirs:
+        raise ValueError("ICO with no entries")
+    if index is None:
+        index = max(range(len(dirs)), key=lambda k: dirs[k][0] * dirs[k][1])
+    size = int.from_bytes(b[6 + 16 * index + 8 : 6 + 16 * index + 12], "little")
+    off = int.from_bytes(b[6 + 16 * index + 12 : 6 + 16 * index + 16], "little")
+    data = b[off : off + size]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, px = png_decode(data)
+        return w, h, 4, _rgba_expand(px, ch)
+    hdr = int.from_bytes(data[0:4], "little")
+    w = int.from_bytes(data[4:8], "little", signed=True)
+    h2 = int.from_bytes(data[8:12], "little", signed=True)
+    bpp = int.from_bytes(data[14:16], "little")
+    clr_used = int.from_bytes(data[32:36], "little") if len(data) >= 36 else 0
+    h = h2 // 2
+    if w <= 0 or h <= 0:
+        raise ValueError("ICO BMP entry dims invalid")
+    n_pal = (clr_used or (1 << bpp)) if bpp <= 8 else 0
+    xor_stride = ((w * bpp + 31) // 32) * 4
+    mask_off = hdr + 4 * n_pal + xor_stride * h
+    mask_stride = ((w + 31) // 32) * 4
+    if bpp == 32:
+        rgba = bytearray(w * h * 4)
+        base = hdr + 4 * n_pal
+        for yy in range(h):
+            row = data[base + yy * xor_stride : base + (yy + 1) * xor_stride]
+            oy = h - 1 - yy  # bottom-up
+            for xx in range(w):
+                bgra = row[4 * xx : 4 * xx + 4]
+                di = (oy * w + xx) * 4
+                rgba[di] = bgra[2]
+                rgba[di + 1] = bgra[1]
+                rgba[di + 2] = bgra[0]
+                rgba[di + 3] = bgra[3]
+        return w, h, 4, bytes(rgba)
+    # ≤24bpp: synthesize a standalone BMP (height un-doubled) and
+    # reuse the complete BMP decoder, then fold in the AND mask
+    import struct as _struct
+
+    patched = bytearray(data[: hdr + 4 * n_pal + xor_stride * h])
+    patched[8:12] = _struct.pack("<i", h)
+    data_off = 14 + hdr + 4 * n_pal
+    bmp = (
+        b"BM"
+        + _struct.pack("<I", 14 + len(patched))
+        + b"\x00\x00\x00\x00"
+        + _struct.pack("<I", data_off)
+        + bytes(patched)
+    )
+    dw, dh, ch, px = bmp_decode(bmp)
+    if (dw, dh) != (w, h):
+        raise ValueError("ICO BMP entry dims disagree")
+    rgb = px if ch == 3 else _rgba_expand(px, ch)[: w * h * 4]
+    rgba = bytearray(w * h * 4)
+    for yy in range(h):
+        mrow = data[
+            mask_off + yy * mask_stride : mask_off + (yy + 1) * mask_stride
+        ]
+        oy = h - 1 - yy
+        for xx in range(w):
+            transparent = (
+                bool(mrow[xx // 8] & (0x80 >> (xx % 8)))
+                if xx // 8 < len(mrow)
+                else False
+            )
+            di = (oy * w + xx) * 4
+            si = (oy * w + xx) * 3
+            rgba[di : di + 3] = (
+                rgb[si : si + 3] if ch == 3 else rgb[di : di + 3]
+            )
+            rgba[di + 3] = 0 if transparent else 255
+    return w, h, 4, bytes(rgba)
+
+
+def ico_encode(
+    entries: list[tuple[int, int, bytes, bytes | None]],
+    as_png: list[bool] | None = None,
+) -> bytes:
+    """Minimal ICO writer (the decoder's roundtrip pin): entries as
+    ``(width, height, rgb_pixels, and_mask_bits_or_None)`` — each
+    stored as a 24-bit BMP entry (doubled-height header, bottom-up
+    XOR rows, 1-bit AND mask rows; mask None = all opaque), or as a
+    PNG entry when ``as_png`` flags it (RGB, mask ignored — PNG
+    entries carry their own alpha)."""
+    import struct as _struct
+
+    bodies = []
+    for k, (w, h, rgb, mask) in enumerate(entries):
+        if as_png and as_png[k]:
+            bodies.append(png_encode(rgb, w, h, 3))
+            continue
+        xor_stride = ((w * 24 + 31) // 32) * 4
+        mask_stride = ((w + 31) // 32) * 4
+        body = bytearray(
+            _struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                xor_stride * h + mask_stride * h, 0, 0, 0, 0,
+            )
+        )
+        for yy in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for xx in range(w):
+                si = (yy * w + xx) * 3
+                row += bytes((rgb[si + 2], rgb[si + 1], rgb[si]))
+            row += bytes(xor_stride - len(row))
+            body += row
+        for yy in range(h - 1, -1, -1):
+            mrow = bytearray(mask_stride)
+            if mask is not None:
+                for xx in range(w):
+                    if mask[yy * w + xx]:
+                        mrow[xx // 8] |= 0x80 >> (xx % 8)
+            body += mrow
+        bodies.append(bytes(body))
+    out = bytearray(_struct.pack("<HHH", 0, 1, len(entries)))
+    off = 6 + 16 * len(entries)
+    for (w, h, _rgb, _m), body in zip(entries, bodies):
+        out += _struct.pack(
+            "<BBBBHHII",
+            w % 256,
+            h % 256,
+            0,
+            0,
+            1,
+            24,
+            len(body),
+            off,
+        )
+        off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
 def documents_as_gifanim_assets(docs: DataFrame) -> DataFrame:
     """Video-asset fixture with ANIMATED GIF payloads (same
     ``doc_id % 3 == 2`` video subset as :func:`documents_as_mjpeg_assets`
@@ -3417,6 +3833,153 @@ def documents_as_gifanim_assets(docs: DataFrame) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 == 2)
         .select("doc_id")
         .mapInPandas(gen, schema=schema)
+    )
+
+
+def synth_apng_anim(doc_id: int) -> bytes:
+    """Deterministic 3-frame 8×8 APNG for the gate fixture (r13):
+    frame 0 full-canvas SOURCE in c0 with dispose_op
+    ``(doc_id // 3) % 3`` (NONE / BACKGROUND / PREVIOUS, varying
+    inside the ``doc_id % 3 == 2`` video subset — the first-frame
+    PREVIOUS degrades
+    to BACKGROUND per spec, same closed form), frame 1 a 4×4 SOURCE
+    block of c1 at (2,2), frame 2 a 2×2 OVER block of c2 at (0,0)
+    whose alpha flips 255/0 by ``doc_id % 2`` (opaque OVER replaces,
+    transparent OVER leaves the canvas). Composed px sums (RGBA over
+    the 64-pixel canvas) are the closed forms in the oracle."""
+    c0 = (doc_id % 256, (doc_id * 3) % 256, (doc_id * 5) % 256, 255)
+    c1 = ((doc_id + 40) % 256, (doc_id + 80) % 256, (doc_id + 120) % 256, 255)
+    a2 = 255 if doc_id % 2 == 0 else 0
+    c2 = ((doc_id + 7) % 256, (doc_id + 14) % 256, (doc_id + 21) % 256, a2)
+    return apng_encode(
+        8,
+        8,
+        [
+            (0, 0, 8, 8, bytes(c0) * 64, (doc_id // 3) % 3, 0),
+            (2, 2, 4, 4, bytes(c1) * 16, 0, 0),
+            (0, 0, 2, 2, bytes(c2) * 4, 0, 1),
+        ],
+    )
+
+
+def documents_as_apng_assets(docs: DataFrame) -> DataFrame:
+    """Video-asset fixture with APNG payloads (same ``doc_id % 3 == 2``
+    video subset — an APNG is a frame sequence like GIF/MJPEG)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": [
+                        synth_apng_anim(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def synth_ico(doc_id: int) -> bytes:
+    """Deterministic 2-entry favicon for the gate fixture (r13): a
+    4×4 24-bit BMP entry in solid c0 whose AND mask clears pixels at
+    ``(x + y + doc_id) % 4 == 0`` (exactly 4 of 16 on every 4×4 grid,
+    for any doc_id — the diagonal-stripe count is constant), and an
+    8×8 PNG entry in solid c1. RGBA px sums are closed forms:
+    entry 0 = 16·Σc0 + 12·255, entry 1 = 64·Σc1 + 64·255."""
+    c0 = ((doc_id * 3) % 256, (doc_id * 5) % 256, (doc_id * 7) % 256)
+    c1 = ((doc_id + 60) % 256, (doc_id + 130) % 256, (doc_id + 200) % 256)
+    mask = [
+        1 if (x + y + doc_id) % 4 == 0 else 0
+        for y in range(4)
+        for x in range(4)
+    ]
+    return ico_encode(
+        [
+            (4, 4, bytes(c0) * 16, mask),
+            (8, 8, bytes(c1) * 64, None),
+        ],
+        as_png=[False, True],
+    )
+
+
+def documents_as_ico_assets(docs: DataFrame) -> DataFrame:
+    """Image-asset fixture with favicon payloads (same
+    ``doc_id % 3 == 0`` image subset)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [synth_ico(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def decode_ico_features(assets: DataFrame) -> DataFrame:
+    """(asset_id, entry_idx, width, height, channels, px_sum) — EVERY
+    entry of each favicon decoded to RGBA (r13): the usual Arrow-
+    batched map-only payload kernel, one row per ICONDIR entry."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for k in range(len(ico_entries(raw))):
+                    w, h, ch, px = ico_decode(raw, k)
+                    rows.append(
+                        (
+                            int(asset_id),
+                            k,
+                            w,
+                            h,
+                            ch,
+                            int(
+                                np.frombuffer(px, np.uint8).sum(
+                                    dtype=np.int64
+                                )
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "entry_idx", "width", "height",
+                    "channels", "px_sum",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, entry_idx long, width long, "
+            "height long, channels long, px_sum long",
+        )
     )
 
 
@@ -3731,7 +4294,8 @@ def dhash_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
 AUDIO_PCM_CAPABILITIES = {
     "wav": "real (RIFF parse; r12: the full linear-PCM matrix — 16-bit "
     "signed, 8-bit unsigned-offset-128, 24-bit packed, mono or "
-    "interleaved multi-channel)",
+    "interleaved multi-channel; r13: IEEE-float fmt 3, 32/64-bit, "
+    "rint(x*32767) int16 mapping)",
     "wav g711": "real (r10: µ-law/A-law COMPRESSED audio, fmt tags 7/6 — "
     "from-spec integer expand, no library)",
     "wav ima adpcm": "real (r10: 4-bit predictive blocks, fmt tag 0x11 — "
@@ -5088,6 +5652,16 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         tri = tri.reshape(-1, 3).astype(np.int64)
         v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
         return v - ((v >> 23) & 1) * (1 << 24)
+    if fmt_tag == 3 and bits in (32, 64):
+        # r13: IEEE-float WAV (fmt tag 3, the DAW interchange shape) —
+        # samples in [-1, 1] map to the int16 grid by rint(x*32767)
+        # (clipped), so a float file written from int16 material
+        # roundtrips bit-exactly: float32's 2^-24 relative error is
+        # far inside the rint half-step
+        x = np.frombuffer(
+            data, dtype="<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
+        return np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int64)
     if fmt_tag in (6, 7) and bits == 8 and channels == 1:
         dec = mulaw_decode_sample if fmt_tag == 7 else alaw_decode_sample
         lut = np.array([dec(v) for v in range(256)], dtype=np.int64)
@@ -5107,7 +5681,8 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
     raise ValueError(
         f"WAV fmt_tag={fmt_tag} bits={bits} channels={channels} outside "
         f"AUDIO_PCM_CAPABILITIES (8/16/24-bit linear PCM any channels, "
-        f"8-bit mono G.711, or 4-bit mono IMA/MS ADPCM)"
+        f"32/64-bit IEEE float, 8-bit mono G.711, or 4-bit mono "
+        f"IMA/MS ADPCM)"
     )
 
 
@@ -5148,6 +5723,32 @@ def wav_encode(
     data = b"data" + len(pcm).to_bytes(4, "little") + pcm
     if len(pcm) & 1:
         data += b"\x00"
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def wav_encode_float(
+    samples, rate: int = 8000, bits: int = 32, channels: int = 1
+) -> bytes:
+    """IEEE-float RIFF/WAVE writer (r13, fmt tag 3, 32/64-bit): int16-
+    range samples become ``x / 32767`` floats — :func:`wav_pcm`'s
+    rint(x·32767) mapping recovers them exactly."""
+    import numpy as np
+
+    xs = np.asarray(samples, dtype=np.float64) / 32767.0
+    pcm = xs.astype("<f4" if bits == 32 else "<f8").tobytes()
+    step = bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (3).to_bytes(2, "little")  # IEEE_FLOAT
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * step * channels).to_bytes(4, "little")
+        + (step * channels).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
     riff_size = 4 + len(fmt) + len(data)
     return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
 
@@ -5246,6 +5847,45 @@ def synth_wav(doc_id: int) -> bytes:
     n = 400 + (doc_id * 13) % 600
     s = ((np.arange(n, dtype=np.int64) * 7 + doc_id * 13) % 2048) - 1024
     return wav_encode(s)
+
+
+def synth_wav_float(doc_id: int) -> bytes:
+    """Deterministic IEEE-float WAV for the gate fixture (r13): the
+    SAME integer sawtooth as :func:`synth_wav`, stored as ``x/32767``
+    floats (32-bit for even ids, 64-bit for odd) — the decoder's
+    rint(x·32767) mapping recovers every sample exactly, so the pcm
+    leg's closed form doubles as this leg's oracle."""
+    import numpy as np
+
+    n = 400 + (doc_id * 13) % 600
+    s = ((np.arange(n, dtype=np.int64) * 7 + doc_id * 13) % 2048) - 1024
+    return wav_encode_float(s, bits=32 if doc_id % 2 == 0 else 64)
+
+
+def documents_as_wfloat_assets(docs: DataFrame) -> DataFrame:
+    """Audio-asset fixture with IEEE-float WAV payloads (same
+    ``doc_id % 3 == 1`` audio subset)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [
+                        synth_wav_float(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
 
 
 def synth_wav_msadpcm(doc_id: int) -> bytes:
@@ -5731,6 +6371,9 @@ VIDEO_CAPABILITIES = {
     "codec, stsz/stsc/stco+co64 sample tables slice per-frame payloads)",
     "animated gif": "real (r11: full composition — one video surface "
     "with AVI/MP4)",
+    "apng": "real (r13: acTL/fcTL/fdAT, RGBA composition with "
+    "SOURCE/OVER + dispose NONE/BACKGROUND/PREVIOUS — same video "
+    "surface)",
     "frame pixels (MJPEG)": "real (r10: movi 00dc/00db walk — and r11 "
     "MP4 'jpeg' samples — through the repo's full JPEG decoder via "
     "decode_video_frames / video_frames_as_images)",
@@ -6369,6 +7012,13 @@ def decode_video_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
                     decoded = [
                         (fi, gw, gh, 3, gfs[fi])
                         for fi in range(0, len(gfs), every_n)
+                    ]
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    # r13: APNG is the third frame-sequence container
+                    pw, ph, pfs = apng_decode_frames(raw)
+                    decoded = [
+                        (fi, pw, ph, 4, pfs[fi])
+                        for fi in range(0, len(pfs), every_n)
                     ]
                 else:
                     # r11: MP4 joins AVI — same JPEG-sample contract

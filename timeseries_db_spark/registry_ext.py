@@ -2573,6 +2573,39 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("channels").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r13 panim leg: APNG as the THIRD frame-sequence container —
+        # acTL/fcTL/fdAT walk, frame decode through the shared PNG
+        # path, SOURCE/OVER blending (alpha flips by doc_id%2) and all
+        # three dispose ops (cycling by (doc_id//3)%3) — under the
+        # same decode_video_frames surface; solid-color frames make
+        # the composed RGBA px sums closed forms (synth_apng_anim)
+        panim = multimodal.decode_video_frames(
+            multimodal.documents_as_apng_assets(docs), every_n=1
+        ).select(
+            "asset_id",
+            F.lit("panim").alias("kind"),
+            F.col("frame_idx").alias("v1"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            F.col("channels").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
+        # r13 ico leg: favicon container — ICONDIR walk, a masked BMP
+        # entry (AND-mask transparency through the complete BMP
+        # decoder) and a PNG entry per icon; solid colors + the
+        # constant-count diagonal mask make both entries' RGBA px
+        # sums closed forms (synth_ico). v1=entry_idx v5=px_sum
+        ico = multimodal.decode_ico_features(
+            multimodal.documents_as_ico_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("ico").alias("kind"),
+            F.col("entry_idx").alias("v1"),
+            F.col("width").alias("v2"),
+            F.col("height").alias("v3"),
+            F.col("channels").alias("v4"),
+            F.col("px_sum").alias("v5"),
+        )
         # r11 exif leg: the upright-image stage — APP1/EXIF orientation
         # read (embedded-TIFF IFD walk, both byte orders) + the 8
         # standard transforms applied; dims swap for 5-8, px_sum is
@@ -2597,6 +2630,8 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(tresize)
             .unionByName(vframe)
             .unionByName(ganim)
+            .unionByName(panim)
+            .unionByName(ico)
             .unionByName(exif)
         )
 
@@ -2894,6 +2929,62 @@ def register_extensions(q: dict, o: dict) -> None:
         ) s
         JOIN LATERAL (SELECT unnest(range(3))::BIGINT AS f) fr ON true
         UNION ALL
+        -- panim leg (r13): APNG composition restated closed-form —
+        -- solid RGBA frames: f0 = 64*s0; f1 = (48*s0 if frame-0
+        -- dispose NONE else 0) + 16*s1 (dispose cycles (id//3)%3;
+        -- BACKGROUND and first-frame PREVIOUS both clear); f2 adds
+        -- the 2x2 OVER block only when its alpha is 255 (even ids),
+        -- replacing whatever the disposed canvas held at (0,0)
+        SELECT p.doc_id AS asset_id, 'panim' AS kind,
+               fr.f AS v1, 8::BIGINT AS v2, 8::BIGINT AS v3,
+               4::BIGINT AS v4,
+               (CASE fr.f
+                  WHEN 0 THEN 64 * s0
+                  WHEN 1 THEN base1
+                  ELSE base1 + CASE WHEN p.doc_id % 2 = 0
+                       THEN 4 * s2 - CASE WHEN (p.doc_id // 3) % 3 = 0
+                            THEN 4 * s0 ELSE 0 END
+                       ELSE 0 END
+                END)::BIGINT AS v5
+        FROM (
+            SELECT doc_id,
+                   (doc_id % 256) + ((doc_id * 3) % 256)
+                     + ((doc_id * 5) % 256) + 255 AS s0,
+                   ((doc_id + 40) % 256) + ((doc_id + 80) % 256)
+                     + ((doc_id + 120) % 256) + 255 AS s1,
+                   ((doc_id + 7) % 256) + ((doc_id + 14) % 256)
+                     + ((doc_id + 21) % 256)
+                     + CASE WHEN doc_id % 2 = 0 THEN 255 ELSE 0 END AS s2,
+                   CASE WHEN (doc_id // 3) % 3 = 0
+                        THEN 48 * ((doc_id % 256) + ((doc_id * 3) % 256)
+                             + ((doc_id * 5) % 256) + 255) ELSE 0 END
+                     + 16 * (((doc_id + 40) % 256) + ((doc_id + 80) % 256)
+                             + ((doc_id + 120) % 256) + 255) AS base1
+            FROM documents WHERE doc_id % 3 = 2
+        ) p
+        JOIN LATERAL (SELECT unnest(range(3))::BIGINT AS f) fr ON true
+        UNION ALL
+        -- ico leg (r13): favicon closed forms — entry 0 is the 4x4
+        -- masked BMP (16*sum(c0) + 12*255: the diagonal AND mask
+        -- clears exactly 4 of 16 pixels for ANY doc_id), entry 1 the
+        -- 8x8 opaque PNG (64*sum(c1) + 64*255)
+        SELECT doc_id AS asset_id, 'ico' AS kind,
+               e.k AS v1,
+               (CASE e.k WHEN 0 THEN 4 ELSE 8 END)::BIGINT AS v2,
+               (CASE e.k WHEN 0 THEN 4 ELSE 8 END)::BIGINT AS v3,
+               4::BIGINT AS v4,
+               (CASE e.k
+                  WHEN 0 THEN 16 * (((doc_id * 3) % 256)
+                       + ((doc_id * 5) % 256) + ((doc_id * 7) % 256))
+                       + 12 * 255
+                  ELSE 64 * (((doc_id + 60) % 256)
+                       + ((doc_id + 130) % 256) + ((doc_id + 200) % 256))
+                       + 64 * 255
+                END)::BIGINT AS v5
+        FROM documents
+        JOIN LATERAL (SELECT unnest(range(2))::BIGINT AS k) e ON true
+        WHERE doc_id % 3 = 0
+        UNION ALL
         -- exif leg (r11): orientation 1 + id%8; block (r,c) of the
         -- w=8*(2+id%3) x h=8*(3+(id//3)%3) gray holds
         -- (id + r*29 + c*13) % 256; dims swap for orientations 5-8,
@@ -2956,6 +3047,20 @@ def register_extensions(q: dict, o: dict) -> None:
         ).select(
             "asset_id",
             F.lit("g711").alias("kind"),
+            F.col("n_samples").alias("v1"),
+            F.col("sum_abs").alias("v2"),
+            F.col("sum_sq").alias("v3"),
+            F.col("zero_crossings").alias("v4"),
+        )
+        # r13 wfl leg: IEEE-float WAV (fmt tag 3, 32-bit even ids /
+        # 64-bit odd) — the same sawtooth as the pcm leg stored as
+        # x/32767 floats; rint(x*32767) recovers every sample exactly,
+        # so the pcm closed form doubles as this leg's oracle
+        wfl = multimodal.decode_audio_pcm_features(
+            multimodal.documents_as_wfloat_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("wfl").alias("kind"),
             F.col("n_samples").alias("v1"),
             F.col("sum_abs").alias("v2"),
             F.col("sum_sq").alias("v3"),
@@ -3036,6 +3141,7 @@ def register_extensions(q: dict, o: dict) -> None:
 
         return (
             chunks.unionByName(pcm)
+            .unionByName(wfl)
             .unionByName(g711)
             .unionByName(msadpcm)
             .unionByName(aiff)
@@ -3079,6 +3185,36 @@ def register_extensions(q: dict, o: dict) -> None:
         -- pcm leg restated closed-form from the synthetic sawtooth:
         -- sample k of asset id is ((k*7 + id*13) % 2048) - 1024
         SELECT asset_id, 'pcm' AS kind, n_samples AS v1,
+               sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
+        FROM (
+            WITH w AS (
+                SELECT doc_id, (400 + (doc_id * 13) % 600)::BIGINT AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            ks AS (SELECT unnest(range(1000)) AS k),
+            smp AS (
+                SELECT w.doc_id, ks.k,
+                       ((ks.k * 7 + w.doc_id * 13) % 2048) - 1024 AS v
+                FROM w JOIN ks ON ks.k < w.n
+            ),
+            flg AS (
+                SELECT doc_id, v,
+                       CASE WHEN (v < 0) <> (lag(v) OVER (
+                                PARTITION BY doc_id ORDER BY k) < 0)
+                            THEN 1 ELSE 0 END AS zf
+                FROM smp
+            )
+            SELECT doc_id AS asset_id,
+                   count(*)::BIGINT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   coalesce(sum(zf), 0)::BIGINT AS zero_crossings
+            FROM flg GROUP BY doc_id
+        )
+        UNION ALL
+        -- wfl leg (r13): IEEE-float WAV of the SAME sawtooth — the
+        -- rint(x*32767) mapping is exact, one shared closed form
+        SELECT asset_id, 'wfl' AS kind, n_samples AS v1,
                sum_abs AS v2, sum_sq AS v3, zero_crossings AS v4
         FROM (
             WITH w AS (
