@@ -2138,6 +2138,140 @@ def test_apng_composition_disposal_blending_and_errors():
         M.apng_decode_frames(p)
 
 
+def test_tiff_oldjpeg_raw_tables_variant():
+    """r13: the strip-based old-style-JPEG TIFF (no 513 pointer) —
+    tags 519/520/521 hold per-component raw quantization/huffman
+    tables and the strip is bare entropy data; the decoder rebuilds a
+    full interchange stream. Per-block-constant pixels decode exactly
+    (gray) / within the YCbCr roundtrip bound (RGB), both byte
+    orders; a tables-less comp-6 file still raises the capability
+    error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    vals = [(3 * r + 5 * c + 17) % 256 for r in range(2) for c in range(2)]
+    px = bytes(vals[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
+    for be in (False, True):
+        t = M.tiff_encode_oldjpeg_tables(px, 16, 16, 1, big_endian=be)
+        assert M.tiff_decode(t) == (16, 16, 1, px), be
+    rgbv = [
+        ((r * 29 + c * 13 + 9) % 256, (r * 7 + c * 31 + 40) % 256,
+         (r * 3 + c * 5 + 100) % 256)
+        for r in range(2) for c in range(2)
+    ]
+    rgb = bytes(
+        v for y in range(16) for x in range(16)
+        for v in rgbv[(y // 8) * 2 + (x // 8)]
+    )
+    w, h, ch, out = M.tiff_decode(M.tiff_encode_oldjpeg_tables(rgb, 16, 16, 3))
+    assert (w, h, ch) == (16, 16, 3)
+    a = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - np.frombuffer(rgb, np.uint8).astype(int)).max() <= 2
+    # comp 6 with NEITHER 513 nor the table triple stays a seam
+    t = M.tiff_encode_oldjpeg_tables(px, 16, 16, 1)
+    bad = t.replace((519).to_bytes(2, "little"), (99).to_bytes(2, "little"))
+    with _pytest.raises(NotImplementedError, match="compression=6"):
+        M.tiff_decode(bad)
+
+
+def test_lossless_jpeg_restart_intervals():
+    """r13: SOF3 lossless scans with DRI/RSTn — per-interval
+    prediction reset, byte-identical roundtrip for random images
+    across predictors, channel counts and interval lengths (including
+    intervals that split rows mid-way and intervals larger than the
+    image); a missing restart segment raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 3):
+        for pred in (1, 4, 7):
+            for ri in (0, 5, 16, 1000):
+                w, h = 13, 9
+                px = bytes(rng.randint(0, 256, w * h * ch, dtype=np.uint8))
+                j = M.jpeg_encode_lossless(
+                    px, w, h, ch, predictor=pred, restart_interval=ri
+                )
+                assert M.jpeg_decode(j) == (w, h, ch, px), (ch, pred, ri)
+    px = bytes(rng.randint(0, 256, 117, dtype=np.uint8))
+    j = M.jpeg_encode_lossless(px, 13, 9, 1, restart_interval=5)
+    at = j.find(b"\xff\xd0")
+    with _pytest.raises(ValueError):
+        M.jpeg_decode(j[:at] + b"\xff\xd9")  # truncated at first RST
+
+
+def test_exif_meta_datetime_and_gps():
+    """r13: the full EXIF field walk — DateTimeOriginal via the Exif
+    sub-IFD pointer (0x8769), GPS position via the GPS IFD pointer
+    (0x8825) as exact sign-carrying rationals, both byte orders,
+    graceful defaults when absent, and agreement with the orientation
+    reader."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    for be in (False, True):
+        app1 = M.exif_app1_full(
+            orientation=6,
+            dt_original="2024:03:15 10:30:45",
+            lat=("N", 48, 51, 2950, 100),
+            lon=("W", 2, 17, 4012, 100),
+            big_endian=be,
+        )
+        j = b"\xff\xd8" + app1 + M.jpeg_encode(bytes(64), 8, 8, 1)[2:]
+        m = M.exif_meta(j)
+        assert m["orientation"] == 6 and M.exif_orientation(j) == 6
+        assert m["dt_original"] == "2024:03:15 10:30:45"
+        assert m["lat"] == (48 * 360000 + 51 * 6000 + 2950, 360000)
+        assert m["lon"] == (-(2 * 360000 + 17 * 6000 + 4012), 360000)
+    plain = M.jpeg_encode(bytes(64), 8, 8, 1)
+    assert M.exif_meta(plain) == {
+        "orientation": 1, "dt_original": None, "lat": None, "lon": None
+    }
+    # orientation-only APP1 (the r11 writer) still parses
+    assert M.exif_meta(M.jpeg_add_exif(plain, 5))["orientation"] == 5
+    # the gate fixture's closed forms hold
+    for d in (0, 3, 6, 9, 33):
+        m = M.exif_meta(M.synth_exif_jpeg(d))
+        s = 1 if d % 2 == 0 else -1
+        assert m["lat"] == (
+            s * ((d % 90) * 360000 + ((d * 7) % 60) * 6000 + (d * 13) % 6000),
+            360000,
+        ), d
+        sw = -1 if (d // 3) % 2 == 1 else 1
+        assert m["lon"][0] * sw > 0 or m["lon"][0] == 0
+
+
+def test_aiffc_sowt_twos_fl32():
+    """r13: AIFF-C compression types — sowt (little-endian PCM), twos
+    (big-endian), fl32 (IEEE float with the exact rint mapping) —
+    roundtripping the same samples as plain AIFF; unknown compression
+    raises the capability error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    s = ((np.arange(777, dtype=np.int64) * 5 + 68) % 2048) - 1024
+    for comp in (None, "sowt", "twos", "fl32"):
+        assert (M.aiff_pcm(M.aiff_encode(s, compression=comp)) == s).all()
+    st = np.array([1, -2, 3, -4])
+    assert (
+        M.aiff_pcm(M.aiff_encode(st, channels=2, compression="sowt")) == st
+    ).all()
+    bad = M.aiff_encode(st, compression="sowt").replace(b"sowt", b"alaw")
+    with _pytest.raises(ValueError, match="compression"):
+        M.aiff_pcm(bad)
+    # the fixture cycle keeps one closed form across all four shapes
+    base = M.aiff_pcm(M.synth_aiff(4))
+    for d in (4, 5, 6, 7):
+        got = M.aiff_pcm(M.synth_aiff(d))
+        exp = ((np.arange(len(got), dtype=np.int64) * 5 + d * 17) % 2048) - 1024
+        assert (got == exp).all(), d
+
+
 def test_wav_float_pcm_roundtrip():
     """r13: IEEE-float WAV (fmt tag 3) — 32- and 64-bit, mono and
     interleaved stereo, roundtripping the full int16 grid exactly

@@ -345,12 +345,14 @@ PIXEL_CAPABILITIES = {
     "configuration, TILED organization (322-325, padded tiles), "
     "JPEG-in-TIFF (compression 7, strips as JFIF streams through the "
     "repo JPEG codec, incl. shared JPEGTables-347 splice); r12: "
-    "old-style JPEG (6) via the 513/514 interchange pointer — the "
-    "shape real old-style files have; the strip-based 519-521 tables "
-    "variant = seam)",
+    "old-style JPEG (6) via the 513/514 interchange pointer; r13: "
+    "the strip-based RAW-TABLES variant too — 519/520/521 per-"
+    "component table offsets reconstructed into full interchange "
+    "streams per strip (old-style JPEG COMPLETE))",
     "jpeg": "real (baseline/extended sequential + PROGRESSIVE huffman incl. "
     "successive approximation + LOSSLESS SOF3 predictive (r10), 8-bit, 1/3 "
-    "comps, 4:4:4/4:2:2/4:2:0, restart intervals; differential/arithmetic "
+    "comps, 4:4:4/4:2:2/4:2:0, restart intervals — r13: in LOSSLESS scans "
+    "too (per-interval prediction reset); differential/arithmetic "
     "= PIL seam)",
     "ico": "real (r13: ICONDIR walk, BMP entries via the complete BMP "
     "decoder — doubled-height header, XOR rows, 1-bit AND mask → "
@@ -1144,9 +1146,13 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         or not (photo in (0, 1, 2) or (photo == 6 and comp in (6, 7)))
         or pred not in (1, 2)
         or (comp in (6, 7) and (planar != 1 or pred != 1 or tiled))
-        # old-style JPEG is supported through its interchange pointer
-        # (513); the strip-based 519/520/521 tables variant stays out
-        or (comp == 6 and 513 not in tags)
+        # old-style JPEG: either the interchange pointer (513) or —
+        # r13 — the strip-based raw-tables variant (519/520/521)
+        or (
+            comp == 6
+            and 513 not in tags
+            and not (519 in tags and 520 in tags and 521 in tags)
+        )
         or (tiled and planar != 1)
     ):
         raise NotImplementedError(
@@ -1220,12 +1226,11 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             out = bytearray(255 - v for v in out)
         return w, h, spp, bytes(out)
 
-    if comp == 6:
+    if comp == 6 and 513 in tags:
         # old-style JPEG (TIFF 6.0 §22, r12): tags 513/514 point at ONE
         # complete interchange stream covering the whole image — the
         # strip machinery is bypassed and the repo's JPEG decoder reads
-        # it directly (the common shape real old-style files have; the
-        # strip-based 519/520/521 tables variant is gated out above).
+        # it directly (the common shape real old-style files have).
         off = one(513)
         ln = one(514, len(b) - off)
         jw, jh, jch, pix = jpeg_decode(b[off : off + ln])
@@ -1234,6 +1239,78 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"TIFF old-style JPEG shape {(jw, jh, jch)} != {(w, h, spp)}"
             )
         return w, h, spp, bytes(pix)
+
+    if comp == 6:
+        # r13: the strip-based 519/520/521 RAW-tables variant — the
+        # other shape TIFF 6.0 §22 defines: strips hold BARE entropy-
+        # coded data, quantization tables (JPEGQTables, 64 raw bytes
+        # each) and huffman specs (JPEGDC/ACTables, 16 counts +
+        # values) live at per-component file offsets, and frame/scan
+        # parameters come from the IFD itself. Reconstruct a full
+        # interchange stream per strip (SOI + DQT + DHT [+ DRI] +
+        # SOF0 + SOS + entropy + EOI) and feed the repo JPEG decoder.
+        q_offs = tags[519]
+        dc_offs = tags[520]
+        ac_offs = tags[521]
+        if min(len(q_offs), len(dc_offs), len(ac_offs)) < spp:
+            raise ValueError("TIFF old-style JPEG tables do not cover spp")
+        sub = tags.get(530, [2, 2] if photo == 6 else [1, 1])
+        uniq_q = list(dict.fromkeys(q_offs[:spp]))
+        qid = {o: i for i, o in enumerate(uniq_q)}
+        dqt = b"".join(bytes([qid[o]]) + b[o : o + 64] for o in uniq_q)
+        dqt_seg = b"\xff\xdb" + (2 + len(dqt)).to_bytes(2, "big") + dqt
+
+        def hspec(o: int) -> bytes:
+            cnt = b[o : o + 16]
+            if len(cnt) < 16:
+                raise ValueError("TIFF JPEG huffman table truncated")
+            return b[o : o + 16 + sum(cnt)]
+
+        uniq_dc = list(dict.fromkeys(dc_offs[:spp]))
+        uniq_ac = list(dict.fromkeys(ac_offs[:spp]))
+        did = {o: i for i, o in enumerate(uniq_dc)}
+        aid = {o: i for i, o in enumerate(uniq_ac)}
+        dht = b"".join(bytes([did[o]]) + hspec(o) for o in uniq_dc)
+        dht += b"".join(bytes([0x10 | aid[o]]) + hspec(o) for o in uniq_ac)
+        dht_seg = b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+        dri_seg = b""
+        ri = one(515, 0)
+        if ri:
+            dri_seg = b"\xff\xdd\x00\x04" + ri.to_bytes(2, "big")
+        sos = bytes([spp]) + b"".join(
+            bytes([k + 1, (did[dc_offs[k]] << 4) | aid[ac_offs[k]]])
+            for k in range(spp)
+        ) + b"\x00\x3f\x00"
+        sos_seg = b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        offsets = tags.get(273)
+        counts_ = tags.get(279)
+        if not offsets or not counts_:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per6 = one(278, h)
+        out6 = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts_)):
+            n_rows = min(rows_per6, h - si * rows_per6)
+            if n_rows <= 0:
+                break
+            sof = bytes([8]) + n_rows.to_bytes(2, "big") + w.to_bytes(
+                2, "big"
+            ) + bytes([spp])
+            for k in range(spp):
+                samp = (sub[0] << 4) | sub[1] if k == 0 else 0x11
+                sof += bytes([k + 1, samp, qid[q_offs[k]]])
+            sof_seg = b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+            stream = (
+                b"\xff\xd8" + dqt_seg + dht_seg + dri_seg + sof_seg
+                + sos_seg + b[soff : soff + scnt] + b"\xff\xd9"
+            )
+            jw, jh, jch, pix = jpeg_decode(stream)
+            if (jw, jh, jch) != (w, n_rows, spp):
+                raise ValueError(
+                    f"TIFF old-style JPEG strip shape {(jw, jh, jch)} != "
+                    f"{(w, n_rows, spp)}"
+                )
+            out6 += pix
+        return w, h, spp, bytes(out6)
 
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -1396,6 +1473,209 @@ def jpeg_add_exif(jpeg: bytes, orientation: int, big_endian: bool = False) -> by
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     return jpeg[:2] + exif_app1(orientation, big_endian) + jpeg[2:]
+
+
+def _exif_tiff_body(jpeg: bytes) -> bytes | None:
+    """The embedded-TIFF body of a JPEG's APP1/EXIF segment (None when
+    absent) — shared by the orientation reader and :func:`exif_meta`."""
+    b = jpeg
+    if b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        m = b[i + 1]
+        if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if m == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            return b[i + 10 : i + 2 + seg_len]
+        if m == 0xDA:
+            break
+        i += 2 + seg_len
+    return None
+
+
+def exif_meta(jpeg: bytes) -> dict:
+    """Full EXIF metadata walk (r13) — orientation, capture timestamp,
+    and GPS position, the three fields an image-dedup/curation pipeline
+    actually keys on. Returns a dict with:
+
+    * ``orientation`` (1-8, default 1),
+    * ``dt_original`` — DateTimeOriginal (Exif sub-IFD 0x9003) falling
+      back to IFD0 DateTime (0x0132); ``None`` when absent,
+    * ``lat``/``lon`` — EXACT-integer rationals ``(num, den)`` with
+      ``num`` sign-carrying (S/W negative) and degrees = num/den:
+      num = ±(d·3600·sden + m·60·sden + snum), den = 3600·sden from
+      the three GPS RATIONALs — no float division anywhere, so a SQL
+      oracle restates them closed-form; ``None`` when absent.
+
+    IFD0 → Exif sub-IFD (pointer 0x8769) → GPS IFD (pointer 0x8825),
+    both byte orders; malformed structures degrade to defaults, never
+    raise (the permissive contract crawl EXIF demands)."""
+    out = {"orientation": 1, "dt_original": None, "lat": None, "lon": None}
+    t = _exif_tiff_body(jpeg)
+    if t is None or t[:2] not in (b"II", b"MM"):
+        return out
+    bo = "little" if t[:2] == b"II" else "big"
+
+    def u(lo: int, n: int) -> int:
+        if lo + n > len(t):
+            raise ValueError("EXIF truncated")
+        return int.from_bytes(t[lo : lo + n], bo)
+
+    def read_ifd(at: int) -> dict[int, tuple[int, int, int]]:
+        # tag -> (ftype, count, value_or_offset field position)
+        n = u(at, 2)
+        d = {}
+        for e in range(n):
+            o = at + 2 + 12 * e
+            d[u(o, 2)] = (u(o + 2, 2), u(o + 4, 4), o + 8)
+        return d
+
+    def ascii_of(ent) -> str | None:
+        ftype, count, vpos = ent
+        if ftype != 2:
+            return None
+        off = vpos if count <= 4 else u(vpos, 4)
+        raw = t[off : off + count]
+        return raw.split(b"\x00")[0].decode("ascii", "replace")
+
+    def rationals_of(ent) -> list[tuple[int, int]]:
+        ftype, count, vpos = ent
+        if ftype != 5:
+            return []
+        off = u(vpos, 4)
+        return [(u(off + 8 * k, 4), u(off + 8 * k + 4, 4)) for k in range(count)]
+
+    def gps_deg(ifd, ref_tag: int, val_tag: int, neg: str):
+        if ref_tag not in ifd or val_tag not in ifd:
+            return None
+        ref = ascii_of(ifd[ref_tag]) or ""
+        rs = rationals_of(ifd[val_tag])
+        if len(rs) != 3 or any(den == 0 for _n, den in rs):
+            return None
+        (dn, dd), (mn, md), (sn, sd) = rs
+        # common denominator 3600·sd; d/m rationals fold in exactly
+        # when their own denominators divide it (the overwhelmingly
+        # common dd=md=1 case; otherwise scale the whole thing)
+        den = 3600 * sd * dd * md
+        num = dn * 3600 * sd * md + mn * 60 * sd * dd + sn * dd * md
+        if ref.startswith(neg):
+            num = -num
+        return num, den
+
+    try:
+        ifd0 = read_ifd(u(4, 4))
+        if 274 in ifd0 and ifd0[274][0] == 3:
+            v = u(ifd0[274][2], 2)
+            if 1 <= v <= 8:
+                out["orientation"] = v
+        if 0x0132 in ifd0:
+            out["dt_original"] = ascii_of(ifd0[0x0132])
+        if 0x8769 in ifd0:
+            sub = read_ifd(u(ifd0[0x8769][2], 4))
+            if 0x9003 in sub:
+                out["dt_original"] = ascii_of(sub[0x9003]) or out["dt_original"]
+        if 0x8825 in ifd0:
+            gps = read_ifd(u(ifd0[0x8825][2], 4))
+            out["lat"] = gps_deg(gps, 0x0001, 0x0002, "S")
+            out["lon"] = gps_deg(gps, 0x0003, 0x0004, "W")
+    except (ValueError, IndexError):
+        pass
+    return out
+
+
+def exif_app1_full(
+    orientation: int = 1,
+    dt_original: str | None = None,
+    lat: tuple[str, int, int, int, int] | None = None,
+    lon: tuple[str, int, int, int, int] | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """APP1/EXIF writer with the full pipeline-relevant field set
+    (r13, :func:`exif_meta`'s roundtrip pin): orientation in IFD0,
+    DateTimeOriginal in the Exif sub-IFD, and GPS position as
+    ``(ref, deg, min, sec_num, sec_den)`` tuples in the GPS IFD —
+    real pointer-tag layout (0x8769/0x8825), both byte orders."""
+    bo = "big" if big_endian else "little"
+
+    def ent(tag: int, ftype: int, count: int, field: bytes) -> bytes:
+        return (
+            tag.to_bytes(2, bo) + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo) + (field + b"\x00\x00\x00\x00")[:4]
+        )
+
+    heap = bytearray()
+    pending: list[tuple[int, int]] = []  # (entry_index_in_blob, heap_off)
+
+    # assemble IFDs back-to-front so pointer values are known:
+    # layout = header(8) IFD0 [exif IFD] [gps IFD] heap
+    n0 = 1 + (1 if dt_original else 0) + (1 if dt_original else 0) + (
+        1 if (lat or lon) else 0
+    )
+    ifd0_at = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_at = ifd0_at + ifd0_size
+    exif_size = (2 + 12 + 4) if dt_original else 0
+    gps_at = exif_at + exif_size
+    n_gps = (2 if lat else 0) + (2 if lon else 0)
+    gps_size = (2 + 12 * n_gps + 4) if (lat or lon) else 0
+    heap_at = gps_at + gps_size
+
+    def put(blob: bytes) -> int:
+        off = heap_at + len(heap)
+        heap.extend(blob)
+        return off
+
+    def dt_field() -> bytes:
+        raw = dt_original.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            return raw
+        return put(raw).to_bytes(4, bo)
+
+    def gps_entries(which, neg_pair: str) -> bytes:
+        ref, d, m, sn, sd = which
+        rats = put(
+            d.to_bytes(4, bo) + (1).to_bytes(4, bo)
+            + m.to_bytes(4, bo) + (1).to_bytes(4, bo)
+            + sn.to_bytes(4, bo) + sd.to_bytes(4, bo)
+        )
+        ref_tag, val_tag = (1, 2) if neg_pair == "NS" else (3, 4)
+        return ent(
+            ref_tag, 2, 2, ref.encode("ascii") + b"\x00"
+        ) + ent(val_tag, 5, 3, rats.to_bytes(4, bo))
+
+    ifd0 = b""
+    ifd0 += ent(274, 3, 1, orientation.to_bytes(2, bo))
+    if dt_original:
+        raw = dt_original.encode("ascii") + b"\x00"
+        ifd0 += ent(0x0132, 2, len(raw), dt_field())
+        ifd0 += ent(0x8769, 4, 1, exif_at.to_bytes(4, bo))
+    if lat or lon:
+        ifd0 += ent(0x8825, 4, 1, gps_at.to_bytes(4, bo))
+    blob = bytearray()
+    blob += (n0).to_bytes(2, bo) + ifd0 + (0).to_bytes(4, bo)
+    if dt_original:
+        raw = dt_original.encode("ascii") + b"\x00"
+        blob += (1).to_bytes(2, bo)
+        blob += ent(0x9003, 2, len(raw), dt_field())
+        blob += (0).to_bytes(4, bo)
+    if lat or lon:
+        g = b""
+        if lat:
+            g += gps_entries(lat, "NS")
+        if lon:
+            g += gps_entries(lon, "EW")
+        blob += n_gps.to_bytes(2, bo) + g + (0).to_bytes(4, bo)
+    tiff = (
+        (b"MM\x00*" if big_endian else b"II*\x00")
+        + (8).to_bytes(4, bo)
+        + bytes(blob)
+        + bytes(heap)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (2 + len(body)).to_bytes(2, "big") + body
 
 
 def apply_orientation(
@@ -1772,6 +2052,118 @@ def tiff_encode_tiled(
         out += b"".join(len(t).to_bytes(4, bo) for t in tiles)
     for t in tiles:
         out += t
+    return bytes(out)
+
+
+def tiff_encode_oldjpeg_tables(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Old-style-JPEG TIFF writer in the RAW-TABLES shape (r13, TIFF
+    6.0 §22 — the variant WITHOUT a 513 interchange pointer): the
+    image is JPEG-encoded once, then its quantization tables (64 raw
+    bytes each), huffman specs (16 counts + values) and bare entropy-
+    coded data are placed at file offsets referenced by tags 519/520/
+    521 (one offset per component) and 273/279, with SOF/SOS
+    parameters implied by the IFD. One strip covering the image. The
+    decoder's reconstruction path roundtrip pin."""
+    bo = "big" if big_endian else "little"
+    jf = jpeg_encode(pixels, width, height, channels)
+    qt: dict[int, bytes] = {}
+    ht: dict[tuple[int, int], bytes] = {}
+    sof_comps: list[tuple[int, int, int]] = []
+    sos_comps: list[tuple[int, int]] = []
+    entropy = b""
+    i = 2
+    while i + 1 < len(jf):
+        m = jf[i + 1]
+        seg_len = int.from_bytes(jf[i + 2 : i + 4], "big")
+        seg = jf[i + 4 : i + 2 + seg_len]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                qt[seg[j] & 0x0F] = seg[j + 1 : j + 65]
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                n = sum(seg[j + 1 : j + 17])
+                ht[(seg[j] >> 4, seg[j] & 0x0F)] = seg[j + 1 : j + 17 + n]
+                j += 17 + n
+        elif m == 0xC0:
+            for k in range(seg[5]):
+                sof_comps.append(
+                    (seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k])
+                )
+        elif m == 0xDA:
+            for k in range(seg[0]):
+                sos_comps.append((seg[1 + 2 * k], seg[2 + 2 * k]))
+            entropy = jf[i + 2 + seg_len : -2]  # up to the EOI
+            break
+        i += 2 + seg_len
+    if not sof_comps or not entropy:
+        raise ValueError("JPEG stream parse failed for old-style TIFF")
+    spp = channels
+    n_fields = 12 + (1 if spp == 3 else 0)  # +530 for the 3-channel case
+    heap = bytearray()
+    base = 8 + 2 + 12 * n_fields + 4
+
+    def put(blob: bytes) -> int:
+        off = base + len(heap)
+        heap.extend(blob)
+        return off
+
+    q_off = {tq: put(bytes(qb)) for tq, qb in qt.items()}
+    dc_off = {tid: put(bytes(sp)) for (cls, tid), sp in ht.items() if cls == 0}
+    ac_off = {tid: put(bytes(sp)) for (cls, tid), sp in ht.items() if cls == 1}
+    q_arr = [q_off[sof_comps[k][2]] for k in range(spp)]
+    dc_arr = [dc_off[sos_comps[k][1] >> 4] for k in range(spp)]
+    ac_arr = [ac_off[sos_comps[k][1] & 0x0F] for k in range(spp)]
+    if spp == 3:
+        bits_off = put(b"".join((8).to_bytes(2, bo) for _ in range(3)))
+        q_arr_off = put(b"".join(o.to_bytes(4, bo) for o in q_arr))
+        dc_arr_off = put(b"".join(o.to_bytes(4, bo) for o in dc_arr))
+        ac_arr_off = put(b"".join(o.to_bytes(4, bo) for o in ac_arr))
+    entropy_off = put(entropy)
+
+    def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
+        if ftype == 3 and count == 1:
+            field = value.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            field = value.to_bytes(4, bo)
+        return (
+            tag.to_bytes(2, bo) + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo) + field
+        )
+
+    e = b""
+    e += ent(256, 4, 1, width)
+    e += ent(257, 4, 1, height)
+    e += (
+        ent(258, 3, 3, bits_off) if spp == 3 else ent(258, 3, 1, 8)
+    )
+    e += ent(259, 3, 1, 6)
+    e += ent(262, 3, 1, 6 if spp == 3 else 1)
+    e += ent(273, 4, 1, entropy_off)
+    e += ent(277, 3, 1, spp)
+    e += ent(278, 4, 1, height)
+    e += ent(279, 4, 1, len(entropy))
+    e += ent(519, 4, spp, q_arr[0] if spp == 1 else q_arr_off)
+    e += ent(520, 4, spp, dc_arr[0] if spp == 1 else dc_arr_off)
+    e += ent(521, 4, spp, ac_arr[0] if spp == 1 else ac_arr_off)
+    if spp == 3:
+        # YCbCrSubSampling [1, 1] — jpeg_encode's default 4:4:4
+        e += ent(530, 3, 2, int.from_bytes(
+            (1).to_bytes(2, bo) + (1).to_bytes(2, bo), bo
+        ))
+    out = bytearray()
+    out += b"II*\x00" if bo == "little" else b"MM\x00*"
+    out += (8).to_bytes(4, bo)
+    out += n_fields.to_bytes(2, bo) + e + (0).to_bytes(4, bo)
+    out += heap
     return bytes(out)
 
 
@@ -2161,9 +2553,10 @@ def _jpeg_decode_lossless(
     Category 16 is the special no-bits diff of 32768 (unreachable from
     8-bit data but part of the spec contract). 3-component lossless
     carries components DIRECT (no YCbCr — the DNG/medical convention);
-    the writer below mirrors that. Restart intervals and subsampled
-    components raise ``NotImplementedError`` (rare in the wild for
-    lossless; documented seam), truncated/malformed streams raise
+    the writer below mirrors that. Restart intervals decode since r13
+    (per-interval prediction reset, T.81 H.2.5); subsampled components
+    raise ``NotImplementedError`` (rare in the wild for lossless;
+    documented seam), truncated/malformed streams raise
     ``ValueError``."""
     for cid, hs, vs, _tq in comps:
         if hs != 1 or vs != 1:
@@ -2175,18 +2568,35 @@ def _jpeg_decode_lossless(
         psv, pt = scan["ss"], scan["al"]
         if not 1 <= psv <= 7 or scan["se"] != 0 or scan["ah"] != 0:
             raise ValueError("bad lossless JPEG scan header")
-        if scan["dri"]:
-            raise NotImplementedError("restart intervals in lossless JPEG")
         sh = scan["huff"]
         luts = {}
         for cid, td, _ta in scan["comps"]:
             if (0, td) not in sh:
                 raise ValueError("JPEG references undefined huffman table")
             luts[cid] = sh[(0, td)]
-        br = _BitReader(scan["segments"][0] if scan["segments"] else b"")
+        segs = scan["segments"] or [b""]
+        br = _BitReader(segs[0])
         default = 1 << (8 - 1 - pt)
+        # r13: restart intervals — an MCU is one sample per scan
+        # component here (non-subsampled lossless), so every Ri MCUs
+        # an RSTn boundary starts a fresh byte-aligned entropy segment
+        # and the prediction for that MCU's samples resets to the
+        # scan-start default (T.81 H.2.5 — the PVRG/libjpeg-lossless
+        # behavior the writer mirrors)
+        ri = scan["dri"]
+        seg_idx = 0
+        mcu = 0
+        reset = False
         for y in range(height):
             for x in range(width):
+                if ri and mcu and mcu % ri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError(
+                            "lossless JPEG restart segment missing"
+                        )
+                    br = _BitReader(segs[seg_idx])
+                    reset = True
                 for cid, _td, _ta in scan["comps"]:
                     t = _read_symbol(br, luts[cid])
                     if t > 16:
@@ -2196,8 +2606,14 @@ def _jpeg_decode_lossless(
                     else:
                         diff = _extend(br.read_bits(t), t) if t else 0
                     p = planes[cid]
-                    px = _lossless_predict(p, x, y, psv, default)
+                    px = (
+                        default
+                        if reset
+                        else _lossless_predict(p, x, y, psv, default)
+                    )
                     p[y][x] = (px + diff) & 0xFFFF
+                reset = False
+                mcu += 1
         # decoded values are the point-transformed samples: scale back
         if pt:
             for cid, _td, _ta in scan["comps"]:
@@ -3058,6 +3474,7 @@ def jpeg_encode_lossless(
     channels: int = 1,
     predictor: int = 1,
     pt: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """LOSSLESS (SOF3) JPEG writer — the test/fixture twin of
     :func:`_jpeg_decode_lossless`, and a genuinely lossless image codec
@@ -3066,7 +3483,9 @@ def jpeg_encode_lossless(
     interleaved scan, selectable predictor 1-7, one shared huffman
     table (17 categories at 5 bits — canonical, all-ones unused).
     Components stored direct (no color transform), matching the
-    decoder."""
+    decoder. ``restart_interval`` (r13) emits DRI + RSTn markers every
+    N samples, the first sample of each interval coded against the
+    scan-start default prediction — the decoder's restart path pin."""
     import struct
 
     if channels not in (1, 3):
@@ -3088,12 +3507,27 @@ def jpeg_encode_lossless(
     vals = list(range(17))
     codes = {sym: (i, 5) for i, sym in enumerate(vals)}
     bw = _BitWriter()
+    entropy = bytearray()
     default = 1 << (8 - 1 - pt)
+    mcu = 0
+    rst = 0
     for y in range(height):
         for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out + bytes((0xFF, 0xD0 + rst % 8))
+                rst += 1
+                bw = _BitWriter()
+            reset = bool(
+                restart_interval and mcu and mcu % restart_interval == 0
+            )
             for k in range(channels):
                 p = planes[k]
-                px = _lossless_predict(p, x, y, predictor, default)
+                px = (
+                    default
+                    if reset
+                    else _lossless_predict(p, x, y, predictor, default)
+                )
                 d = (p[y][x] - px) & 0xFFFF
                 if d > 32768:
                     d -= 65536
@@ -3106,7 +3540,9 @@ def jpeg_encode_lossless(
                 bw.write(code, length)
                 if size:
                     bw.write(mag, size)
+            mcu += 1
     bw.flush()
+    entropy += bw.out
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xc3" + struct.pack(
         ">HBHHB", 8 + 3 * channels, 8, height, width, channels
@@ -3115,11 +3551,13 @@ def jpeg_encode_lossless(
         out += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
     out += bytes([0x00]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
     for ci in range(channels):
         out += bytes([ci + 1, 0x00])
     out += bytes([predictor, 0, pt])
-    out += bw.out + b"\xff\xd9"
+    out += entropy + b"\xff\xd9"
     return bytes(out)
 
 
@@ -3888,6 +4326,58 @@ def documents_as_apng_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_exif_meta(assets: DataFrame) -> DataFrame:
+    """(asset_id, orientation, lat_num, lat_den, lon_num, lon_den,
+    dtnum) — the :func:`exif_meta` field set as EXACT integers (r13):
+    GPS as sign-carrying rationals, the capture timestamp as its
+    14-digit numeral (YYYYMMDDhhmmss), NULLs when absent. The image-
+    curation join keys (dedup by capture time, geo bucketing) with no
+    float anywhere — the standard Arrow-batched map-only kernel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = exif_meta(bytes(payload))
+                dt = m["dt_original"]
+                dtnum = (
+                    int(_re.sub(r"\D", "", dt)) if dt else None
+                )
+                lat, lon = m["lat"], m["lon"]
+                rows.append(
+                    (
+                        int(asset_id),
+                        m["orientation"],
+                        lat[0] if lat else None,
+                        lat[1] if lat else None,
+                        lon[0] if lon else None,
+                        lon[1] if lon else None,
+                        dtnum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "orientation", "lat_num", "lat_den",
+                    "lon_num", "lon_den", "dtnum",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, orientation long, lat_num long, "
+            "lat_den long, lon_num long, lon_den long, dtnum long",
+        )
+    )
+
+
 def synth_ico(doc_id: int) -> bytes:
     """Deterministic 2-entry favicon for the gate fixture (r13): a
     4×4 24-bit BMP entry in solid c0 whose AND mask clears pixels at
@@ -3997,9 +4487,35 @@ def synth_exif_jpeg(doc_id: int) -> bytes:
         for y in range(h)
         for x in range(w)
     )
-    return jpeg_add_exif(
-        jpeg_encode(pix, w, h, 1), 1 + doc_id % 8, big_endian=bool(doc_id % 2)
+    # r13: the APP1 carries the FULL pipeline field set — orientation
+    # plus DateTimeOriginal and a GPS position, every part a doc_id
+    # closed form (see the gmeta leg) — one fixture drives both the
+    # orientation/transform leg and the metadata leg
+    app1 = exif_app1_full(
+        orientation=1 + doc_id % 8,
+        dt_original=(
+            f"{2000 + doc_id % 30:04d}:{1 + doc_id % 12:02d}:"
+            f"{1 + doc_id % 28:02d} {doc_id % 24:02d}:"
+            f"{(doc_id * 3) % 60:02d}:{(doc_id * 5) % 60:02d}"
+        ),
+        lat=(
+            "N" if doc_id % 2 == 0 else "S",
+            doc_id % 90,
+            (doc_id * 7) % 60,
+            (doc_id * 13) % 6000,
+            100,
+        ),
+        lon=(
+            "W" if (doc_id // 3) % 2 == 1 else "E",
+            doc_id % 180,
+            (doc_id * 11) % 60,
+            (doc_id * 17) % 6000,
+            100,
+        ),
+        big_endian=bool(doc_id % 2),
     )
+    base = jpeg_encode(pix, w, h, 1)
+    return base[:2] + app1 + base[2:]
 
 
 def documents_as_exif_assets(docs: DataFrame) -> DataFrame:
@@ -4305,7 +4821,8 @@ AUDIO_PCM_CAPABILITIES = {
     "so the pin is a hand-computed spec stream + roundtrip properties)",
     "aiff": "real (r11: big-endian IFF COMM/SSND incl. the 80-bit "
     "IEEE-extended sample rate; 16-bit PCM decode — r12: any channel "
-    "count, interleaved)",
+    "count, interleaved; r13: AIFF-C compression types — sowt "
+    "little-endian, twos, fl32 IEEE float)",
     "flac": "decode-COMPLETE for standard streams (r12: CONSTANT/"
     "VERBATIM/FIXED/LPC subframes — LPC is exact integer math — Rice "
     "residuals incl. raw-bits escape and partitions, wasted bits, "
@@ -4580,50 +5097,96 @@ def aiff_meta(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def aiff_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """REAL AIFF sample decode (16-bit big-endian PCM from the SSND
-    chunk; r12: any channel count, multi-channel INTERLEAVED like the
-    WAV/FLAC surfaces) — the AIFF twin of :func:`wav_pcm`'s linear
-    path."""
+    """REAL AIFF/AIFF-C sample decode (16-bit big-endian PCM from the
+    SSND chunk; r12: any channel count, multi-channel INTERLEAVED like
+    the WAV/FLAC surfaces; r13: the AIFF-C compression types real
+    files carry — ``sowt`` little-endian 16-bit, ``twos``/``NONE``
+    big-endian, ``fl32``/``FL32`` 32-bit IEEE float with the WAV
+    float surface's exact rint(x·32767) mapping) — the AIFF twin of
+    :func:`wav_pcm`'s linear path."""
     import numpy as np
 
     b = payload
     ch, rate, bits, _ = aiff_meta(b)
-    if bits != 16:
-        raise ValueError(
-            f"AIFF bits={bits} outside AUDIO_PCM_CAPABILITIES (16-bit)"
-        )
+    comp = b"NONE"
     i = 12
+    data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "big")
-        if cid == b"SSND":
+        if cid == b"COMM" and size >= 22 and b[8:12] == b"AIFC":
+            comp = b[i + 26 : i + 30]
+        elif cid == b"SSND":
             off = int.from_bytes(b[i + 8 : i + 12], "big")
             data = b[i + 16 + off : i + 8 + size]
-            return np.frombuffer(data, dtype=">i2").astype(np.int64)
         i += 8 + size + (size & 1)
-    raise ValueError("AIFF missing SSND chunk")
+    if data is None:
+        raise ValueError("AIFF missing SSND chunk")
+    if comp in (b"NONE", b"twos") and bits == 16:
+        return np.frombuffer(data, dtype=">i2").astype(np.int64)
+    if comp == b"sowt" and bits == 16:
+        return np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if comp in (b"fl32", b"FL32") and bits == 32:
+        x = np.frombuffer(data, dtype=">f4").astype(np.float64)
+        return np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int64)
+    raise ValueError(
+        f"AIFF compression={comp!r} bits={bits} outside "
+        f"AUDIO_PCM_CAPABILITIES (NONE/twos/sowt 16-bit, fl32 32-bit)"
+    )
 
 
-def aiff_encode(samples, rate: int = 8000, channels: int = 1) -> bytes:
-    """Minimal 16-bit AIFF writer (tests): big-endian COMM with the
-    80-bit extended rate + SSND; ``channels>1`` takes INTERLEAVED
-    samples."""
+def aiff_encode(
+    samples, rate: int = 8000, channels: int = 1,
+    compression: str | None = None,
+) -> bytes:
+    """Minimal AIFF writer (tests): big-endian COMM with the 80-bit
+    extended rate + SSND; ``channels>1`` takes INTERLEAVED samples.
+    ``compression`` (r13) emits the AIFF-C form instead: ``"sowt"``
+    (little-endian 16-bit), ``"twos"`` (big-endian), or ``"fl32"``
+    (32-bit IEEE float of x/32767) with the compressionType +
+    pascal-string name layout real AIFC files carry."""
     import numpy as np
 
     xs = np.clip(np.asarray(list(samples), dtype=np.int64), -32768, 32767)
     if len(xs) % channels:
         raise ValueError("samples must interleave to equal channel lengths")
-    data = xs.astype(">i2").tobytes()
+    if compression is None:
+        data = xs.astype(">i2").tobytes()
+        bits = 16
+        comm_ext = b""
+        form = b"AIFF"
+        comm_size = 18
+    else:
+        names = {"sowt": b"Son", "twos": b"Big", "fl32": b"F32"}
+        if compression not in names:
+            raise ValueError(f"aiff_encode compression {compression!r}")
+        if compression == "sowt":
+            data = xs.astype("<i2").tobytes()
+            bits = 16
+        elif compression == "twos":
+            data = xs.astype(">i2").tobytes()
+            bits = 16
+        else:
+            data = (xs.astype(np.float64) / 32767.0).astype(">f4").tobytes()
+            bits = 32
+        pname = names[compression]
+        pstr = bytes([len(pname)]) + pname
+        if len(pstr) & 1:
+            pstr += b"\x00"
+        comm_ext = compression.encode("ascii") + pstr
+        form = b"AIFC"
+        comm_size = 22 + len(pstr)
     comm = (
-        b"COMM" + (18).to_bytes(4, "big")
+        b"COMM" + comm_size.to_bytes(4, "big")
         + channels.to_bytes(2, "big")
         + (len(xs) // channels).to_bytes(4, "big")
-        + (16).to_bytes(2, "big") + _f80_encode(rate)
+        + bits.to_bytes(2, "big") + _f80_encode(rate)
+        + comm_ext
     )
     ssnd = b"SSND" + (8 + len(data)).to_bytes(4, "big") + bytes(8) + data
     if len(data) & 1:
         ssnd += b"\x00"
-    body = b"AIFF" + comm + ssnd
+    body = form + comm + ssnd
     return b"FORM" + len(body).to_bytes(4, "big") + body
 
 
@@ -5963,12 +6526,17 @@ def synth_aiff(doc_id: int) -> bytes:
     """Deterministic 16-bit mono AIFF for the gate fixture (r11):
     sample ``k`` is ``((k*5 + doc_id*17) % 2048) - 1024`` — the
     :func:`synth_wav` sawtooth idea with its own constants, so the SQL
-    oracle restates the big-endian container's features closed-form."""
+    oracle restates the big-endian container's features closed-form.
+    r13: the container cycles the AIFF-C matrix by ``doc_id % 4`` —
+    plain AIFF / sowt little-endian / twos / fl32 IEEE float — with
+    the SAME samples (the float mapping is exact), so one closed form
+    pins all four shapes."""
     import numpy as np
 
     n = 350 + (doc_id * 11) % 500
     s = ((np.arange(n, dtype=np.int64) * 5 + doc_id * 17) % 2048) - 1024
-    return aiff_encode(s)
+    comp = (None, "sowt", "twos", "fl32")[doc_id % 4]
+    return aiff_encode(s, compression=comp)
 
 
 def documents_as_aiff_assets(docs: DataFrame) -> DataFrame:

@@ -2621,6 +2621,22 @@ def register_extensions(q: dict, o: dict) -> None:
             F.lit(None).cast("long").alias("v4"),
             F.col("px_sum").alias("v5"),
         )
+        # r13 gmeta leg: the FULL EXIF field set — DateTimeOriginal
+        # (Exif sub-IFD) and GPS rationals (GPS IFD, sign-carrying
+        # exact integers) from the SAME fixture as the exif leg; every
+        # value a doc_id closed form. v1=lat_num v2=lon_num v3=lat_den
+        # v4=orientation v5=the timestamp's 14-digit numeral
+        gmeta = multimodal.decode_exif_meta(
+            multimodal.documents_as_exif_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("gmeta").alias("kind"),
+            F.col("lat_num").alias("v1"),
+            F.col("lon_num").alias("v2"),
+            F.col("lat_den").alias("v3"),
+            F.col("orientation").alias("v4"),
+            F.col("dtnum").alias("v5"),
+        )
         return (
             resize.unionByName(frames)
             .unionByName(dhash)
@@ -2633,6 +2649,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(panim)
             .unionByName(ico)
             .unionByName(exif)
+            .unionByName(gmeta)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -3008,6 +3025,26 @@ def register_extensions(q: dict, o: dict) -> None:
                    (8 * (3 + (doc_id // 3) % 3))::BIGINT AS h
             FROM documents WHERE doc_id % 3 = 0
         ) e
+        UNION ALL
+        -- gmeta leg (r13): the full EXIF field set restated — GPS as
+        -- sign-carrying exact rationals over den 360000 (d*3600*100 +
+        -- m*60*100 + snum), timestamp as its 14-digit numeral
+        SELECT doc_id AS asset_id, 'gmeta' AS kind,
+               (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END
+                * ((doc_id % 90) * 360000 + ((doc_id * 7) % 60) * 6000
+                   + (doc_id * 13) % 6000))::BIGINT AS v1,
+               (CASE WHEN (doc_id // 3) % 2 = 1 THEN -1 ELSE 1 END
+                * ((doc_id % 180) * 360000 + ((doc_id * 11) % 60) * 6000
+                   + (doc_id * 17) % 6000))::BIGINT AS v2,
+               360000::BIGINT AS v3,
+               (1 + doc_id % 8)::BIGINT AS v4,
+               ((2000 + doc_id % 30) * 10000000000
+                + (1 + doc_id % 12) * 100000000
+                + (1 + doc_id % 28) * 1000000
+                + (doc_id % 24) * 10000
+                + ((doc_id * 3) % 60) * 100
+                + (doc_id * 5) % 60)::BIGINT AS v5
+        FROM documents WHERE doc_id % 3 = 0
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
