@@ -2138,6 +2138,42 @@ def test_apng_composition_disposal_blending_and_errors():
         M.apng_decode_frames(p)
 
 
+def test_png_trns_palette_alpha():
+    """r13: PNG tRNS — palette-entry alpha turns a color-type-3 image
+    RGBA (entries past the tRNS array opaque per spec); without tRNS
+    the palette path stays RGB; the chunk also flows through APNG
+    frame synthesis into composition."""
+    import struct
+    import zlib
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    raw = b"\x00" + idx[:4] + b"\x00" + idx[4:]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    trns = bytes([0, 128])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", trns)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, ch, px = M.png_decode(png)
+    assert (dw, dh, ch) == (4, 2, 4)
+    exp = [(255, 0, 0, 0), (0, 255, 0, 128), (0, 0, 255, 255),
+           (10, 20, 30, 255)]
+    assert [tuple(px[4 * i : 4 * i + 4]) for i in range(4)] == exp
+    assert M.png_decode(png.replace(chunk(b"tRNS", trns), b""))[2] == 3
+
+
 def test_tiff_oldjpeg_raw_tables_variant():
     """r13: the strip-based old-style-JPEG TIFF (no 513 pointer) —
     tags 519/520/521 hold per-component raw quantization/huffman

@@ -888,6 +888,105 @@ def test_corpus_ingest_batch_boundary_invariance(spark, tmp_path):
     assert 0 in a and 1 not in a and 5 not in a  # dups suppressed
 
 
+def test_warc_streaming_quality_gate(spark, tmp_path):
+    """r13: the Gopher quality gate composed into the streaming WARC
+    ingest — extract → clean → quality-filter → dedup → publish as ONE
+    query. A bullet-ridden duplicate-line page is diverted to the lowq
+    dead-letter table WITH its metric row and never reaches the
+    signature index; the prose page publishes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators import warc as W
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import warc_ingest as wi
+
+    GOOD = (
+        "Plenty of ordinary prose flows through this paragraph with "
+        "many distinct words carrying actual meaning for readers."
+    )
+    BAD_HTML = (
+        "<p>- bullet one</p><p>- bullet two</p><p>- bullet three</p>"
+        "<p>dup line</p><p>dup line</p>"
+    )
+
+    def page(body_html: str) -> bytes:
+        return W.http_response_block(
+            f"<html><body>{body_html}</body></html>".encode()
+        )
+
+    payload = W.warc_build(
+        [
+            ("warcinfo", "", b"x"),
+            ("response", "http://e/good", page(f"<p>{GOOD}</p>")),
+            ("response", "http://e/bad", page(BAD_HTML)),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    path = str(in_dir / "w0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "asset_id": pa.array([0], pa.int64()),
+                "kind": pa.array(["warc"]),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (1_700_000_000, 1_700_000_000))
+    out_dir = str(tmp_path / "out")
+    thresholds = {
+        "min_words": 8,
+        "min_mean_word_len": 2.0,
+        "max_bullet_frac": 0.3,
+        "max_dup_line_frac": 0.15,
+    }
+    q = wi.start_warc_corpus_ingest(
+        wi.read_warc_stream(spark, str(in_dir)),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+        quality=thresholds,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    assert list(pub) == [1] and pub[1] == GOOD
+    lowq = wi.read_lowq(spark, out_dir).collect()
+    assert len(lowq) == 1
+    row = lowq[0]
+    # the diverted page carries its metric row: HTML extraction
+    # collapses the blocks to ONE whitespace-joined line that starts
+    # with a bullet — bullet_frac 1.0 trips the 0.3 gate
+    assert row["doc_id"] == 2
+    assert row["bullet_frac"] == 1.0
+    assert row["n_words"] == 13
+    # the plain (non-quarantine) path also honors the gate
+    out2 = str(tmp_path / "out2")
+    q2 = wi.start_warc_corpus_ingest(
+        wi.read_warc_stream(spark, str(in_dir)),
+        out2,
+        str(tmp_path / "ckpt2"),
+        quality=thresholds,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert [
+        r["doc_id"] for r in ci.read_published(spark, out2).collect()
+    ] == [1]
+
+
 def test_warc_streaming_survives_poisoned_batch(spark, tmp_path):
     """r13 (VERDICT item 1): a micro-batch containing a damaged WARC
     file (junk gzip member mid-stream) and dirty records (404 body,

@@ -329,9 +329,10 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 PIXEL_CAPABILITIES = {
     "png": "real (stdlib zlib inflate + unfilter, 8-bit + 16-bit-to-"
     "high-byte since r10, non-interlaced + Adam7 interlaced; r13: "
-    "APNG animation — acTL/fcTL/fdAT walk, SOURCE/OVER blending, "
-    "all three dispose ops, frames decoded through the shared PNG "
-    "path, unified with the video surface)",
+    "tRNS palette alpha (RGBA output when present), APNG animation — "
+    "acTL/fcTL/fdAT walk, SOURCE/OVER blending, all three dispose "
+    "ops, frames decoded through the shared PNG path, unified with "
+    "the video surface)",
     "bmp": "real (COMPLETE r11: 24-bit BGR, 32-bit BGRA (alpha "
     "dropped), 8/4/1-bit PALETTED uncompressed + BI_RLE8/BI_RLE4, "
     "16-bit XRGB1555 + BI_BITFIELDS arbitrary masks)",
@@ -450,6 +451,7 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     width = height = None
     bit_depth = color_type = interlace = None
     palette = b""
+    trns = b""
     idat = bytearray()
     i = 8
     while i + 8 <= len(b):
@@ -463,6 +465,8 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             interlace = data[12]
         elif ctype == b"PLTE":
             palette = data
+        elif ctype == b"tRNS":
+            trns = data  # r13: palette-entry alpha (color type 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -527,6 +531,15 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"PNG palette index {max_idx} outside the "
                 f"{len(palette) // 3}-entry PLTE"
             )
+        if trns:
+            # r13: tRNS palette alpha — entries past the tRNS array
+            # are opaque per spec; output becomes RGBA (web favicons
+            # and APNG frames rely on this)
+            rgba = bytearray(width * height * 4)
+            for j, idx in enumerate(out):
+                rgba[4 * j : 4 * j + 3] = palette[3 * idx : 3 * idx + 3]
+                rgba[4 * j + 3] = trns[idx] if idx < len(trns) else 255
+            return width, height, 4, bytes(rgba)
         rgb = bytearray(width * height * 3)
         for j, idx in enumerate(out):
             rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
@@ -3901,6 +3914,7 @@ def apng_decode_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"not a PNG (magic {b[:8]!r})")
     ihdr = None
     plte = b""
+    trns = b""
     has_actl = False
     # (fctl_fields, [data...], from_idat)
     frames: list[tuple[tuple, list[bytes], bool]] = []
@@ -3915,6 +3929,8 @@ def apng_decode_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
             ihdr = data
         elif ctype == b"PLTE":
             plte = data
+        elif ctype == b"tRNS":
+            trns = data  # r13: palette alpha flows into composition
         elif ctype == b"acTL":
             has_actl = True
         elif ctype == b"fcTL":
@@ -3963,6 +3979,7 @@ def apng_decode_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
                 struct.pack(">II", fw, fh) + ihdr[8:13],
             )
             + (chunk(b"PLTE", plte) if plte else b"")
+            + (chunk(b"tRNS", trns) if trns else b"")
             + b"".join(chunk(b"IDAT", d) for d in datas)
             + chunk(b"IEND", b"")
         )

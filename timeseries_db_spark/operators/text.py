@@ -1407,7 +1407,9 @@ def _gopher_keep(t: dict[str, float]) -> str:
     )
 
 
-def gopher_quality(docs: DataFrame, **thresholds: float) -> DataFrame:
+def gopher_quality(
+    docs: DataFrame, with_text: bool = False, **thresholds: float
+) -> DataFrame:
     """(doc_id, n_words, 8 repetition/quality fractions, keep) — the
     Gopher/MassiveText document-quality rules (Rae et al. 2021, Table
     A1): word-count and mean-word-length bounds, symbol-to-word ratio
@@ -1423,7 +1425,9 @@ def gopher_quality(docs: DataFrame, **thresholds: float) -> DataFrame:
     O(lines²) per document but doc-local, so it parallelizes perfectly
     and never skews a partition. At 100 TB this is one projection over
     the corpus, fused by whole-stage codegen with whatever filter
-    consumes ``keep``."""
+    consumes ``keep``. ``with_text=True`` carries the text column
+    through (still map-only — the streaming quality gate filters on
+    ``keep`` and republishes the text without any join)."""
     t = {**GOPHER_DEFAULTS, **thresholds}
     e = _gopher_exprs(duck=False)
     s1 = docs.select(
@@ -1435,6 +1439,7 @@ def gopher_quality(docs: DataFrame, **thresholds: float) -> DataFrame:
     )
     s2 = s1.select(
         "doc_id",
+        *(["text"] if with_text else []),
         F.expr(e["n_words"]).alias("n_words"),
         *[duck_round(F.expr(e[m]), 4).alias(m) for m in _GOPHER_METRICS],
     )

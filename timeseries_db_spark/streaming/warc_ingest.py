@@ -115,12 +115,31 @@ def read_rejects(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "rejects"))
 
 
+def quality_gate(
+    docs: DataFrame, thresholds: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split (doc_id, text) into (kept, lowq) by the Gopher/
+    MassiveText rules (r13): ``kept`` is the corpus-bound stream,
+    ``lowq`` carries the doc_id + every metric for the dead-letter
+    channel. Map-only both ways (``gopher_quality(with_text=True)``
+    keeps the text in the same projection — no join, no state), so
+    composing it under the streaming ingest costs one more codegen
+    stage per micro-batch."""
+    from timeseries_db_spark.operators import text as _text
+
+    q = _text.gopher_quality(docs, with_text=True, **(thresholds or {}))
+    kept = q.filter(F.col("keep")).select("doc_id", "text")
+    lowq = q.filter(~F.col("keep")).drop("text", "keep")
+    return kept, lowq
+
+
 def start_warc_corpus_ingest(
     stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     t_est: float = T_EST_DEFAULT,
     quarantine: bool = False,
+    quality: dict | None = None,
 ):
     """Start the WARC→text→near-dup-suppressed-corpus query (one
     streaming job; output layout and exactly-once contract are
@@ -132,11 +151,20 @@ def start_warc_corpus_ingest(
     crawl deployment monitors. One streaming query still: the batch
     function extracts ONCE (persisted), writes rejects with the same
     idempotent per-batch-partition overwrite as the corpus writes,
-    then runs the standard dedup-publish step on the clean docs."""
+    then runs the standard dedup-publish step on the clean docs.
+
+    ``quality`` (r13, a Gopher-threshold dict — ``{}`` for the
+    published defaults) inserts the :func:`quality_gate` between
+    extraction and dedup: low-quality pages never reach the signature
+    index, and with ``quarantine`` they land under
+    ``out_dir/lowq/batch=<id>/`` with their full metric row — the
+    extract → clean → QUALITY-FILTER → dedup → publish shape a real
+    pretraining ingest runs as one job."""
     if not quarantine:
-        return start_corpus_ingest(
-            warc_docs(stream), out_dir, checkpoint_dir, t_est
-        )
+        docs = warc_docs(stream)
+        if quality is not None:
+            docs, _ = quality_gate(docs, quality)
+        return start_corpus_ingest(docs, out_dir, checkpoint_dir, t_est)
     import os
 
     from timeseries_db_spark.streaming.corpus_ingest import (
@@ -164,6 +192,11 @@ def start_warc_corpus_ingest(
                     "text",
                 )
             )
+            if quality is not None:
+                docs, lowq = quality_gate(docs, quality)
+                lowq.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "lowq", f"batch={batch_id}")
+                )
             process_corpus_batch(docs, batch_id, out_dir, t_est)
         finally:
             ex.unpersist()
@@ -174,3 +207,11 @@ def start_warc_corpus_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_lowq(spark, out_dir: str) -> DataFrame:
+    """The low-quality dead-letter table written by a quality-gated
+    ingest: (batch, doc_id, n_words, the 8 Gopher metrics)."""
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "lowq"))
