@@ -2212,6 +2212,38 @@ def test_tiff_oldjpeg_raw_tables_variant():
         M.tiff_decode(bad)
 
 
+def test_tiff_multipage_ifd_chain():
+    """r13: multi-page TIFF — the next-IFD chain (one IFD per scanned
+    page) walks via tiff_ifd_offsets, any page decodes via
+    tiff_decode(page=k) with the full per-IFD tag machinery, both
+    byte orders; out-of-range pages and cyclic chains raise."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    p0 = (bytes(range(32)) * 2, 8, 8, 1)
+    p1 = (bytes((i * 3) % 256 for i in range(48)), 4, 4, 3)
+    p2 = (bytes((i * 7) % 256 for i in range(12)), 6, 2, 1)
+    for be in (False, True):
+        t = M.tiff_encode_multipage([p0, p1, p2], big_endian=be)
+        assert len(M.tiff_ifd_offsets(t)) == 3
+        for k, (px, w, h, ch) in enumerate([p0, p1, p2]):
+            assert M.tiff_decode(t, page=k) == (w, h, ch, px), (be, k)
+        assert M.image_meta(t) == ("tiff", 8, 8)  # first page dims
+    with _pytest.raises(ValueError, match="out of range"):
+        M.tiff_decode(t, page=5)
+    # a cyclic chain is detected, not walked forever
+    t = M.tiff_encode_multipage([p0, p2])
+    offs = M.tiff_ifd_offsets(t)
+    n = int.from_bytes(t[offs[1] : offs[1] + 2], "little")
+    at = offs[1] + 2 + 12 * n
+    cyc = t[:at] + offs[0].to_bytes(4, "little") + t[at + 4 :]
+    with _pytest.raises(ValueError, match="cyclic"):
+        M.tiff_ifd_offsets(cyc)
+    # single-page writers produce a 1-link chain
+    assert len(M.tiff_ifd_offsets(M.tiff_encode(bytes(64), 8, 8, 1))) == 1
+
+
 def test_lossless_jpeg_restart_intervals():
     """r13: SOF3 lossless scans with DRI/RSTn — per-interval
     prediction reset, byte-identical roundtrip for random images

@@ -1107,6 +1107,32 @@ def test_whatwg_charset_aliasing_iso88591_is_cp1252():
     )
 
 
+def test_robots_crawl_delay_group_selection(spark):
+    """r13: Crawl-delay politeness — exact-agent group selection
+    (an exact group WITHOUT a delay means NO delay even when '*'
+    carries one), '*' fallback, max-of-selected resolution,
+    fractional values, junk ignored, and group boundaries preserved
+    by rule lines between UA blocks."""
+    from timeseries_db_spark.operators import robots as R
+
+    cases = [
+        ("a.com", "User-agent: bot\nDisallow: /x\nCrawl-delay: 2\n\n"
+                  "User-agent: *\nCrawl-delay: 9"),
+        ("b.com", "User-agent: bot\nDisallow: /x\n\n"
+                  "User-agent: *\nCrawl-delay: 9"),  # exact selected, no delay
+        ("c.com", "User-agent: *\nCrawl-delay: 3.5"),
+        ("d.com", "User-agent: *\nCrawl-delay: 1\n\n"
+                  "User-agent: *\nDisallow: /q\nCrawl-delay: 4"),
+        ("e.com", "User-agent: *\nCrawl-delay: soon"),  # junk value
+    ]
+    df = spark.createDataFrame(cases, "host string, robots_txt string")
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in R.robots_crawl_delay(df, "Bot").collect()
+    }
+    assert got == {"a.com": 2.0, "c.com": 3.5, "d.com": 4.0}
+
+
 def test_robots_sitemaps_and_sitemap_urls(spark):
     """r13: the discovery loop — Sitemap: directives out of robots.txt
     (group-independent, case-insensitive, comment-stripped) and URL/

@@ -340,7 +340,8 @@ PIXEL_CAPABILITIES = {
     "tables, interlace, screen placement; r11: FULL animation "
     "composition — GCE transparency + disposal 0-3, frames unified "
     "with the video surface)",
-    "tiff": "real (r10: first IFD, II/MM, 8-bit gray/RGB strips, "
+    "tiff": "real (r10: II/MM, 8-bit gray/RGB strips — r13: ANY page "
+    "of a multi-IFD scanned document via the next-IFD chain; "
     "none/PackBits; r11: TIFF-LZW (early-change widths), Adobe "
     "Deflate (8), horizontal-differencing predictor, PLANAR "
     "configuration, TILED organization (322-325, padded tiles), "
@@ -1094,10 +1095,42 @@ def _packbits_decode(data: bytes, expect: int) -> bytearray:
     return out[:expect]
 
 
-def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL TIFF pixel decode (r10; r11 widened) — the scan/OCR
+def tiff_ifd_offsets(payload: bytes) -> list[int]:
+    """Every IFD offset in the file's next-IFD chain (r13) — a
+    multi-page scanned document is one IFD per page; ``len()`` of
+    this is the page count. Cycles and out-of-range pointers raise."""
+    b = payload
+    if b[:4] == b"II*\x00":
+        bo = "little"
+    elif b[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError(f"not a TIFF (magic {b[:4]!r})")
+    offs: list[int] = []
+    seen: set[int] = set()
+    at = int.from_bytes(b[4:8], bo)
+    while at:
+        if at in seen or at + 2 > len(b):
+            raise ValueError("TIFF IFD chain cyclic or out of range")
+        seen.add(at)
+        offs.append(at)
+        n = int.from_bytes(b[at : at + 2], bo)
+        nxt = at + 2 + 12 * n
+        if nxt + 4 > len(b):
+            raise ValueError("TIFF IFD truncated")
+        at = int.from_bytes(b[nxt : nxt + 4], bo)
+    if not offs:
+        raise ValueError("TIFF with no IFD")
+    return offs
+
+
+def tiff_decode(
+    payload: bytes, page: int = 0
+) -> tuple[int, int, int, bytes]:
+    """REAL TIFF pixel decode (r10; r11 widened; r13: any page of a
+    multi-IFD file via ``page``) — the scan/OCR
     archival format a document-training corpus actually contains.
-    First IFD, both byte orders (II/MM), 8-bit samples, gray
+    Both byte orders (II/MM), 8-bit samples, gray
     (photometric 0/1 — 0 inverts) or RGB, multi-strip, CHUNKY or
     PLANAR (plane-major strips), compression none (1), TIFF-LZW (5,
     early-change code widths), JPEG-in-TIFF (7 — each strip a complete
@@ -1120,7 +1153,15 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("TIFF structure truncated")
         return int.from_bytes(b[lo : lo + n], bo)
 
-    ifd = u(4, 4)
+    if page == 0:
+        ifd = u(4, 4)
+    else:
+        chain = tiff_ifd_offsets(b)
+        if page >= len(chain):
+            raise ValueError(
+                f"TIFF page {page} out of range ({len(chain)} pages)"
+            )
+        ifd = chain[page]
     n_ent = u(ifd, 2)
     #: field type -> byte size (the ones 8-bit imagery uses; 2=ASCII,
     #: 7=UNDEFINED are byte-wide — r11: without 7 here, a JPEGTables
@@ -2065,6 +2106,62 @@ def tiff_encode_tiled(
         out += b"".join(len(t).to_bytes(4, bo) for t in tiles)
     for t in tiles:
         out += t
+    return bytes(out)
+
+
+def tiff_encode_multipage(
+    pages: list[tuple[bytes, int, int, int]],
+    big_endian: bool = False,
+) -> bytes:
+    """Multi-page TIFF writer (r13, the decoder's multi-IFD pin):
+    ``pages`` as ``(pixels, width, height, channels)`` — one
+    uncompressed single-strip IFD per page, chained through the
+    next-IFD pointers, either byte order."""
+    bo = "big" if big_endian else "little"
+    if not pages:
+        raise ValueError("tiff_encode_multipage needs at least one page")
+
+    def ent(tag: int, ftype: int, count: int, value: int) -> bytes:
+        if ftype == 3 and count == 1:
+            field = value.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            field = value.to_bytes(4, bo)
+        return (
+            tag.to_bytes(2, bo) + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo) + field
+        )
+
+    IFD_SIZE = 2 + 12 * 9 + 4
+    # first pass: absolute offset of each page block
+    at = 8
+    starts = []
+    for px, w, h, ch in pages:
+        if ch not in (1, 3) or len(px) != w * h * ch:
+            raise ValueError("multipage page shape invalid")
+        starts.append(at)
+        at += IFD_SIZE + (6 if ch == 3 else 0) + len(px)
+    out = bytearray()
+    out += b"II*\x00" if bo == "little" else b"MM\x00*"
+    out += (8).to_bytes(4, bo)
+    for k, (px, w, h, ch) in enumerate(pages):
+        base = starts[k]
+        bits_off = base + IFD_SIZE
+        data_off = bits_off + (6 if ch == 3 else 0)
+        e = b""
+        e += ent(256, 4, 1, w)
+        e += ent(257, 4, 1, h)
+        e += ent(258, 3, 3, bits_off) if ch == 3 else ent(258, 3, 1, 8)
+        e += ent(259, 3, 1, 1)
+        e += ent(262, 3, 1, 2 if ch == 3 else 1)
+        e += ent(273, 4, 1, data_off)
+        e += ent(277, 3, 1, ch)
+        e += ent(278, 4, 1, h)
+        e += ent(279, 4, 1, len(px))
+        nxt = starts[k + 1] if k + 1 < len(pages) else 0
+        out += (9).to_bytes(2, bo) + e + nxt.to_bytes(4, bo)
+        if ch == 3:
+            out += b"".join((8).to_bytes(2, bo) for _ in range(3))
+        out += px
     return bytes(out)
 
 

@@ -151,6 +151,79 @@ def robots_sitemaps(
     ).filter(F.col("sitemap") != "")
 
 
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) — the ``Crawl-delay:`` politeness value the
+    crawler named ``agent`` must honor per host (r13): the de-facto
+    extension every large crawler schedules by. Group semantics follow
+    RFC 9309 agent selection — the value comes from the exact-agent
+    group(s) when ANY exist for the host (even an exact group WITHOUT
+    a delay means no delay — the ``*`` groups don't apply), else from
+    the ``*`` groups; multiple selected values take the MAX (the
+    polite resolution). Hosts whose selected groups carry no delay are
+    absent from the result (no-delay default). Same shape as the rules
+    parse: one window-sum grouping + tiny-robots joins, broadcastable
+    against a frontier table."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    )
+    fields = lines.select(
+        "host",
+        "pos",
+        F.expr(
+            "lower(regexp_extract(trim(regexp_replace(line, '#.*', '')), "
+            "'^([A-Za-z-]+)\\\\s*:', 1))"
+        ).alias("key"),
+        F.expr(
+            "trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), "
+            "'^[A-Za-z-]+\\\\s*:(.*)$', 1))"
+        ).alias("val"),
+    ).filter(
+        # allow/disallow lines stay in the grouping pass: a UA line is
+        # a group START only when the previous SIGNIFICANT line is not
+        # UA, and rule lines are exactly what separates groups — drop
+        # them and adjacent groups would merge (their delays with them)
+        F.col("key").isin("user-agent", "crawl-delay", "allow", "disallow")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = fields.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                (F.col("key") == "user-agent")
+                & ~F.coalesce(
+                    F.lag(F.col("key") == "user-agent").over(w), F.lit(False)
+                ),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    ua = grouped.filter(F.col("key") == "user-agent").select(
+        "host", "grp", F.lower(F.col("val")).alias("ua")
+    )
+    delays = grouped.filter(
+        (F.col("key") == "crawl-delay")
+        & F.col("val").rlike("^[0-9]+([.][0-9]+)?$")
+    ).select("host", "grp", F.col("val").cast("double").alias("delay"))
+    exact_grps = ua.filter(F.col("ua") == agent.lower()).select("host", "grp")
+    star_grps = ua.filter(F.col("ua") == "*").select("host", "grp")
+    has_exact = exact_grps.select("host").distinct()
+    exact_delay = delays.join(exact_grps, ["host", "grp"])
+    star_delay = delays.join(star_grps, ["host", "grp"]).join(
+        has_exact, "host", "left_anti"
+    )
+    return (
+        exact_delay.unionByName(star_delay)
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

@@ -1359,13 +1359,17 @@ def register_extensions(q: dict, o: dict) -> None:
         # length, n_b = allowed flag.
         from timeseries_db_spark.operators import robots as _robots
 
+        # r13: Crawl-delay rides both bodies — even hosts' EXACT group
+        # carries 2 (the '*' group's 9 must NOT apply: exact-group
+        # selection covers politeness too), odd hosts' '*' group 3
         even_txt = (
             "User-agent: tsdb-bot\nAllow: /\nDisallow: /A/*9/End~$\n"
-            "\nUser-agent: *\nDisallow: /"
+            "Crawl-delay: 2\n"
+            "\nUser-agent: *\nDisallow: /\nCrawl-delay: 9"
         )
         odd_txt = (
             "User-agent: *\nDisallow: /A/\nAllow: /A/Path*\n"
-            "Disallow: /A/*3/End~$"
+            "Disallow: /A/*3/End~$\nCrawl-delay: 3"
         )
         # r13: every robots body also carries a group-independent
         # Sitemap: directive (robots_sitemaps), joined back onto the
@@ -1396,6 +1400,12 @@ def register_extensions(q: dict, o: dict) -> None:
                 rob_urls, _robots.robots_rules(rob_hosts), "TSDB-Bot"
             )
             .join(F.broadcast(_robots.robots_sitemaps(rob_hosts)), "host")
+            .join(
+                F.broadcast(
+                    _robots.robots_crawl_delay(rob_hosts, "TSDB-Bot")
+                ),
+                "host",
+            )
             .select(
                 "doc_id",
                 F.lit("rob").alias("kind"),
@@ -1404,7 +1414,7 @@ def register_extensions(q: dict, o: dict) -> None:
                 F.expr(
                     "concat(host, path, '|', "
                     "CASE WHEN allowed THEN 'T' ELSE 'F' END, "
-                    "'|', sitemap)"
+                    "'|', sitemap, '|d', cast(crawl_delay as bigint))"
                 ).alias("out_text"),
             )
         )
@@ -1690,6 +1700,7 @@ def register_extensions(q: dict, o: dict) -> None:
         "(((doc_id % 7) % 2 = 0 AND doc_id % 10 = 9) OR "
         "((doc_id % 7) % 2 = 1 AND doc_id % 10 = 3)) THEN 'F' ELSE 'T' END "
         "|| '|https://example' || (doc_id % 7) || '.com/sm.xml' "
+        "|| '|d' || CASE WHEN (doc_id % 7) % 2 = 0 THEN 2 ELSE 3 END "
         "AS out_text FROM documents "
         "UNION ALL "
         "SELECT doc_id, 'c4' AS kind, n_kept AS n_a, n_sentences AS n_b, "
