@@ -2312,6 +2312,70 @@ def test_exif_meta_datetime_and_gps():
         assert m["lon"][0] * sw > 0 or m["lon"][0] == 0
 
 
+def test_wav_extensible_and_ogg_vorbis_and_cover_art():
+    """r13: three audio-surface completions — WAVE_FORMAT_EXTENSIBLE
+    (fmt 0xFFFE, SubFormat GUID selecting PCM/float), Ogg VORBIS
+    identification + comment headers through the shared page walk
+    (native-rate granule duration), and embedded cover art from all
+    three tag surfaces (FLAC PICTURE, ID3v2 APIC, Vorbis
+    METADATA_BLOCK_PICTURE) decoded through the repo's own image
+    codecs."""
+    import base64
+
+    import numpy as np
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    s = np.array([100, -200, 300, -400, 500, -600])
+    for f, bits in ((False, 16), (True, 32), (True, 64)):
+        w = M.wav_encode_extensible(s, bits=bits, channels=2, float_fmt=f)
+        assert (M.wav_pcm(w) == s).all(), (f, bits)
+        assert M.wav_meta(w)[0] == 2
+    v = M.ogg_vorbis_encode(
+        channels=2, rate=44100, samples=44100 * 3,
+        tags=["TITLE=Doc 7", "ARTIST=A2"], vendor="tsdb-1",
+    )
+    assert M.audio_meta(v) == ("vorbis", 2, 44100, 0, 3000)
+    assert M.audio_tags(v) == ("tsdb-1", ["TITLE=Doc 7", "ARTIST=A2"])
+    assert M.ogg_meta(M.ogg_opus_encode())[0] == "opus"  # dispatch holds
+    # cover art: FLAC PICTURE / ID3 APIC / Vorbis base64 picture
+    png = M.png_encode(bytes([77]) * 16, 4, 4, 1)
+    si = (
+        bytes(10)
+        + ((8000 << 44) | (15 << 36) | 1000).to_bytes(8, "big")
+        + bytes(16)
+    )
+    flac = (
+        b"fLaC" + bytes([0]) + (34).to_bytes(3, "big") + si
+        + M.flac_picture_block(png, width=4, height=4, last=True)
+    )
+    arts = M.audio_cover_art(flac)
+    assert [a[0] for a in arts] == ["image/png"]
+    assert M.image_decode(arts[0][2]) == (4, 4, 1, bytes([77]) * 16)
+    apic = M.id3_apic_frame(png)
+    sz = len(apic)
+    id3 = (
+        b"ID3" + bytes([4, 0, 0])
+        + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                 (sz >> 7) & 0x7F, sz & 0x7F])
+        + apic
+    )
+    assert len(M.audio_cover_art(id3 + b"\xff\xfb" + bytes(64))) == 1
+    b64 = base64.b64encode(M.flac_picture_block(png, last=True)[4:]).decode()
+    ogg = M.ogg_vorbis_encode(tags=[f"METADATA_BLOCK_PICTURE={b64}"])
+    assert M.audio_cover_art(ogg)[0][0] == "image/png"
+    # fixture closed forms: both pic legs decode to 16*((7d+3)%256)
+    for d in (1, 4, 13):
+        exp = 16 * ((d * 7 + 3) % 256)
+        for raw in (M.synth_flac(d), M.synth_mp3(d)):
+            (mime, _pt, data), = M.audio_cover_art(raw)
+            assert mime == "image/png"
+            assert sum(M.image_decode(data)[3]) == exp, d
+        # the added blocks never disturb the meta/tag closed forms
+        assert M.flac_meta(M.synth_flac(d))[0] == 1 + d % 2
+        assert M.audio_tags(M.synth_mp3(d))[1][0] == f"TIT2=Doc {d}"
+
+
 def test_aiffc_sowt_twos_fl32():
     """r13: AIFF-C compression types — sowt (little-endian PCM), twos
     (big-endian), fl32 (IEEE float with the exact rint mapping) —
@@ -2979,18 +3043,28 @@ def test_ogg_opus_page_walk_and_crc():
     bad[30] ^= 0x40  # inside the first page's body
     with _pytest.raises(ValueError, match="CRC"):
         M.ogg_opus_meta(bytes(bad))
-    # a Vorbis-first stream raises with the capability name
+    # r13: a Vorbis-first stream now DISPATCHES (ogg_meta) — the
+    # opus-specific reader names the redirect, and a genuinely
+    # unknown first packet still raises the capability seam
     vorb = bytearray(M.ogg_opus_encode())
     at = vorb.find(b"OpusHead")
     vorb[at : at + 8] = b"\x01vorbis\x00"
-    # fix the CRC so the dispatch failure (not the CRC) is what raises
+    # fix the CRC so the dispatch (not the CRC) decides
     nsegs = vorb[26]
     end = 27 + nsegs + sum(vorb[27 : 27 + nsegs])
     page = bytearray(vorb[:end])
     page[22:26] = b"\x00\x00\x00\x00"
     vorb[22:26] = M._ogg_crc(bytes(page)).to_bytes(4, "little")
-    with _pytest.raises(ValueError, match="OpusHead"):
+    with _pytest.raises(ValueError, match="not an Ogg/Opus"):
         M.ogg_opus_meta(bytes(vorb))
+    assert M.ogg_meta(bytes(vorb))[0] == "vorbis"
+    theo = bytearray(M.ogg_opus_encode())
+    theo[at : at + 8] = b"\x80theora\x00"
+    page = bytearray(theo[:end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    theo[22:26] = M._ogg_crc(bytes(page)).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="neither OpusHead nor"):
+        M.ogg_meta(bytes(theo))
     with _pytest.raises(ValueError, match="truncated|capture"):
         M.ogg_opus_meta(p[: len(p) - 9] + b"OggSxxxxx")
     # multi-segment lacing: a >255-byte first packet still parses

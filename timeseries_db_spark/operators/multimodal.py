@@ -4950,6 +4950,15 @@ AUDIO_PCM_CAPABILITIES = {
     "ogg opus": "metadata-real (r12: RFC 3533 page walk with VERIFIED "
     "page CRCs + RFC 7845 OpusHead — channels/rate/pre-skip/duration "
     "from the last granule); audio entropy decode = ffmpeg seam",
+    "ogg vorbis": "metadata-real (r13: \\x01vorbis identification "
+    "header + \\x03vorbis comment header through the same CRC-"
+    "verified page walk; native-rate granule duration); entropy "
+    "decode = ffmpeg seam",
+    "wav extensible": "real (r13: fmt 0xFFFE — SubFormat GUID selects "
+    "the effective PCM/float arm; valid-bits + channel-mask layout)",
+    "cover art": "real (r13: FLAC PICTURE blocks, ID3v2 APIC frames, "
+    "Vorbis METADATA_BLOCK_PICTURE base64 — extracted and DECODED "
+    "through the repo's own image codecs)",
     "m4a/aac": "container metadata-real (r12: ftyp + moov walk, soun "
     "track's mp4a AudioSampleEntry — channels/rate/bits/duration); "
     "AAC/ALAC entropy decode = ffmpeg seam",
@@ -5869,24 +5878,53 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int]:
     position, which counts 48 kHz PCM samples regardless of the input
     rate, minus pre-skip. Entropy decode of the audio itself stays the
     documented ffmpeg seam."""
+    fmt, ch, rate, bits_slot, dur = ogg_meta(payload)
+    if fmt != "opus":
+        raise ValueError("not an Ogg/Opus stream (use ogg_meta)")
+    return ch, rate, bits_slot, dur
+
+
+def ogg_meta(payload: bytes) -> tuple[str, int, int, int, int]:
+    """REAL Ogg metadata for BOTH codec families real crawls carry
+    (r13) — ``(fmt, channels, rate, bits_slot, duration_ms)``:
+    ``OpusHead`` (RFC 7845 — bits_slot = pre_skip, duration from the
+    last granule at the fixed 48 kHz) or the ``\\x01vorbis``
+    identification header (Vorbis I §4.2.2 — bits_slot = 0, granule
+    counts PCM samples at the NATIVE rate). Page CRCs verified by the
+    shared walk; entropy decode stays the ffmpeg seam."""
     head = None
     granule = 0
     for _htype, granule, _segs, body in _ogg_pages(payload):
         if head is None:
-            if body[:8] != b"OpusHead":
-                raise ValueError(
-                    "first Ogg packet is not OpusHead (only Opus streams "
-                    "are in AUDIO_PCM_CAPABILITIES; Vorbis = ffmpeg seam)"
+            if body[:8] == b"OpusHead":
+                head = (
+                    "opus",
+                    body[9],
+                    int.from_bytes(body[12:16], "little"),
+                    int.from_bytes(body[10:12], "little"),  # pre_skip
                 )
-            ch = body[9]
-            pre_skip = int.from_bytes(body[10:12], "little")
-            rate = int.from_bytes(body[12:16], "little")
-            head = (ch, rate, pre_skip)
+            elif body[:7] == b"\x01vorbis":
+                head = (
+                    "vorbis",
+                    body[11],
+                    int.from_bytes(body[12:16], "little"),
+                    0,
+                )
+            else:
+                raise ValueError(
+                    "first Ogg packet is neither OpusHead nor a Vorbis "
+                    "identification header (other codecs = ffmpeg seam)"
+                )
     if head is None:
         raise ValueError("Ogg stream has no pages")
-    ch, rate, pre_skip = head
-    dur = max(0, granule - pre_skip) * 1000 // 48_000
-    return ch, rate, pre_skip, dur
+    fmt, ch, rate, aux = head
+    if fmt == "opus":
+        dur = max(0, granule - aux) * 1000 // 48_000
+    else:
+        if rate == 0:
+            raise ValueError("Vorbis identification header rate is zero")
+        dur = max(0, granule) * 1000 // rate
+    return fmt, ch, rate, aux, dur
 
 
 def opus_tags(payload: bytes) -> tuple[str, list[str]]:
@@ -5900,6 +5938,7 @@ def opus_tags(payload: bytes) -> tuple[str, list[str]]:
     + ``KEY=value`` UTF-8). Returns ``('', [])`` for a stream with no
     comment header."""
     buf = None
+    off = 8
     open_packet = False
     for htype, _granule, segs, body in _ogg_pages(payload):
         if buf is not None:
@@ -5908,6 +5947,11 @@ def opus_tags(payload: bytes) -> tuple[str, list[str]]:
             buf += body
         elif body[:8] == b"OpusTags":
             buf = bytearray(body)
+        elif body[:7] == b"\x03vorbis":
+            # r13: the Vorbis comment header — same body after its own
+            # magic (+ a trailing framing bit _vorbis_comments ignores)
+            buf = bytearray(body)
+            off = 7
         else:
             continue
         open_packet = len(segs) > 0 and segs[-1] == 255
@@ -5917,7 +5961,7 @@ def opus_tags(payload: bytes) -> tuple[str, list[str]]:
         return "", []
     if open_packet:
         raise ValueError("OpusTags packet truncated (unterminated lacing)")
-    return _vorbis_comments(bytes(buf), 8)
+    return _vorbis_comments(bytes(buf), off)
 
 
 def _vorbis_comments(b: bytes, at: int) -> tuple[str, list[str]]:
@@ -6017,6 +6061,185 @@ def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
     return "", comments
 
 
+def _flac_picture_parse(b: bytes) -> tuple[str, int, bytes]:
+    """One FLAC PICTURE body (block type 6 — also the base64 payload
+    of a Vorbis METADATA_BLOCK_PICTURE comment): (mime, ptype, data)."""
+    at = 0
+    ptype = int.from_bytes(b[at : at + 4], "big")
+    at += 4
+    ml = int.from_bytes(b[at : at + 4], "big")
+    at += 4
+    mime = b[at : at + ml].decode("ascii", "replace")
+    at += ml
+    dl = int.from_bytes(b[at : at + 4], "big")
+    at += 4 + dl  # description skipped
+    at += 16  # width/height/depth/colors: advisory, decode is truth
+    n = int.from_bytes(b[at : at + 4], "big")
+    at += 4
+    if at + n > len(b):
+        raise ValueError("FLAC picture data truncated")
+    return mime, ptype, b[at : at + n]
+
+
+def flac_picture_block(
+    data: bytes, mime: str = "image/png", ptype: int = 3,
+    width: int = 0, height: int = 0, last: bool = False,
+) -> bytes:
+    """A FLAC PICTURE metadata block (writer half, r13): type 3 =
+    front cover by convention."""
+    mb = mime.encode("ascii")
+    body = (
+        ptype.to_bytes(4, "big")
+        + len(mb).to_bytes(4, "big") + mb
+        + (0).to_bytes(4, "big")  # empty description
+        + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + (8).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big") + data
+    )
+    return bytes([(0x80 if last else 0) | 6]) + len(body).to_bytes(
+        3, "big"
+    ) + body
+
+
+def id3_apic_frame(
+    data: bytes, mime: str = "image/png", ptype: int = 3,
+) -> bytes:
+    """An ID3v2.4 APIC (attached picture) frame (writer half, r13):
+    latin-1 encoding byte, NUL-terminated mime, picture type, empty
+    description, image data; synchsafe size."""
+    body = (
+        b"\x00" + mime.encode("latin-1") + b"\x00"
+        + bytes([ptype]) + b"\x00" + data
+    )
+    size = len(body)
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"APIC" + ss + b"\x00\x00" + body
+
+
+def audio_cover_art(payload: bytes) -> list[tuple[str, int, bytes]]:
+    """Embedded cover art across the three real tag surfaces (r13) —
+    one ``(mime, picture_type, image_bytes)`` per attached picture:
+    FLAC ``PICTURE`` metadata blocks (type 6), MP3 ID3v2 ``APIC``
+    frames (mime NUL-terminated, description skipped per its
+    encoding), and Ogg Vorbis/Opus ``METADATA_BLOCK_PICTURE``
+    comments (a base64 FLAC picture body, per the Vorbis-comment
+    cover-art convention). The image bytes then feed the repo's OWN
+    decoders (:func:`image_decode`) — audio containers and image
+    codecs composing into one multimodal extraction."""
+    import base64
+
+    b = payload
+    out: list[tuple[str, int, bytes]] = []
+    if b[:4] == b"fLaC":
+        at = 4
+        while at + 4 <= len(b):
+            hdr = b[at]
+            size = int.from_bytes(b[at + 1 : at + 4], "big")
+            body = b[at + 4 : at + 4 + size]
+            if (hdr & 0x7F) == 6:
+                out.append(_flac_picture_parse(body))
+            if hdr & 0x80:
+                break
+            at += 4 + size
+        return out
+    if b[:4] == b"OggS":
+        _v, comments = opus_tags(b)
+        for c in comments:
+            if c.upper().startswith("METADATA_BLOCK_PICTURE="):
+                raw = base64.b64decode(c.split("=", 1)[1])
+                out.append(_flac_picture_parse(raw))
+        return out
+    if b[:3] == b"ID3":
+        ver = b[3]
+        size = 0
+        for k in range(6, 10):
+            size = (size << 7) | (b[k] & 0x7F)
+        end = min(10 + size, len(b))
+        at = 10
+        while at + 10 <= end:
+            fid = b[at : at + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break
+            raw = b[at + 4 : at + 8]
+            if ver >= 4:
+                fsize = 0
+                for x in raw:
+                    fsize = (fsize << 7) | (x & 0x7F)
+            else:
+                fsize = int.from_bytes(raw, "big")
+            body = b[at + 10 : at + 10 + fsize]
+            at += 10 + fsize
+            if fid == b"APIC" and body:
+                enc = body[0]
+                mend = body.index(b"\x00", 1)
+                mime = body[1:mend].decode("latin-1")
+                ptype = body[mend + 1]
+                j = mend + 2
+                if enc in (1, 2):  # utf-16 description: double-NUL
+                    while j + 1 < len(body) and body[j : j + 2] != b"\x00\x00":
+                        j += 2
+                    j += 2
+                else:
+                    j = body.index(b"\x00", j) + 1
+                out.append((mime, ptype, body[j:]))
+        return out
+    return out
+
+
+def decode_cover_art(assets: DataFrame) -> DataFrame:
+    """(asset_id, art_idx, mime, width, height, channels, px_sum) —
+    every embedded cover image of each audio asset DECODED through the
+    repo's own image codecs (r13): the audio→image composition as one
+    Arrow-batched map-only kernel."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for k, (mime, _pt, data) in enumerate(
+                    audio_cover_art(bytes(payload))
+                ):
+                    w, h, ch, px = image_decode(data)
+                    rows.append(
+                        (
+                            int(asset_id),
+                            k,
+                            mime,
+                            w,
+                            h,
+                            ch,
+                            int(
+                                np.frombuffer(px, np.uint8).sum(
+                                    dtype=np.int64
+                                )
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "art_idx", "mime", "width", "height",
+                    "channels", "px_sum",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, art_idx long, mime string, width long, "
+            "height long, channels long, px_sum long",
+        )
+    )
+
+
 def audio_tags(payload: bytes) -> tuple[str, list[str]]:
     """Container-dispatching audio TAG metadata (r13) — ``(vendor,
     comments)`` across the three tag surfaces real corpora carry:
@@ -6033,6 +6256,63 @@ def audio_tags(payload: bytes) -> tuple[str, list[str]]:
     return "", []
 
 
+def _ogg_page(
+    htype: int, granule: int, seq: int, body: bytes,
+    partial: bool = False,
+) -> bytes:
+    """One Ogg page (RFC 3533) with a real lacing table and real CRC —
+    shared by the Opus and Vorbis writers."""
+    if partial:
+        assert len(body) % 255 == 0, "open lacing needs 255-multiples"
+        lacing = bytes([255] * (len(body) // 255))
+    else:
+        lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
+    hdr = bytearray(b"OggS")
+    hdr += bytes([0, htype])
+    hdr += granule.to_bytes(8, "little", signed=True)
+    hdr += (7_777).to_bytes(4, "little")  # serial
+    hdr += seq.to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00"  # crc placeholder
+    hdr += bytes([len(lacing)]) + lacing
+    full = bytearray(hdr + body)
+    crc = _ogg_crc(bytes(full))
+    full[22:26] = crc.to_bytes(4, "little")
+    return bytes(full)
+
+
+def ogg_vorbis_encode(
+    *, channels: int = 1, rate: int = 44_100, samples: int = 4410,
+    tags: list[str] | None = None, vendor: str = "tsdb",
+) -> bytes:
+    """Minimal Ogg/Vorbis METADATA writer (r13, tests + fixtures): a
+    BOS page with the ``\\x01vorbis`` identification header (version,
+    channels, rate, bitrates, blocksizes, framing), an optional
+    ``\\x03vorbis`` comment header (the same Vorbis-comment body as
+    OpusTags plus the framing bit), and an EOS page whose granule is
+    the PCM sample count at the native rate. No audio packets — the
+    metadata surface is what the readers consume; entropy decode is
+    the documented ffmpeg seam."""
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little")
+        + bytes([channels]) + rate.to_bytes(4, "little")
+        + bytes(12)  # max/nominal/min bitrate: unset
+        + bytes([0xB8])  # blocksizes 256/2048 (2^8, 2^11)
+        + b"\x01"  # framing
+    )
+    out = bytearray(_ogg_page(2, 0, 0, ident))
+    seq = 1
+    if tags is not None:
+        pkt = (
+            b"\x03vorbis"
+            + _vorbis_comment_body(vendor, tags)
+            + b"\x01"  # framing bit
+        )
+        out += _ogg_page(0, 0, seq, pkt)
+        seq += 1
+    out += _ogg_page(4, samples, seq, b"")
+    return bytes(out)
+
+
 def ogg_opus_encode(
     *, channels: int = 1, rate: int = 48_000, pre_skip: int = 312,
     samples48k: int = 4800, tags: list[str] | None = None,
@@ -6047,28 +6327,7 @@ def ogg_opus_encode(
     and real page CRCs, so the reader's verification paths all run.
     (No audio packets: metadata streams are exactly what the meta
     surface reads.)"""
-
-    def page(
-        htype: int, granule: int, seq: int, body: bytes,
-        partial: bool = False,
-    ) -> bytes:
-        if partial:
-            assert len(body) % 255 == 0, "open lacing needs 255-multiples"
-            lacing = bytes([255] * (len(body) // 255))
-        else:
-            lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
-        hdr = bytearray(b"OggS")
-        hdr += bytes([0, htype])
-        hdr += granule.to_bytes(8, "little", signed=True)
-        hdr += (7_777).to_bytes(4, "little")  # serial
-        hdr += seq.to_bytes(4, "little")
-        hdr += b"\x00\x00\x00\x00"  # crc placeholder
-        hdr += bytes([len(lacing)]) + lacing
-        full = bytearray(hdr + body)
-        crc = _ogg_crc(bytes(full))
-        full[22:26] = crc.to_bytes(4, "little")
-        return bytes(full)
-
+    page = _ogg_page
     head = (
         b"OpusHead" + bytes([1, channels])
         + pre_skip.to_bytes(2, "little")
@@ -6114,9 +6373,8 @@ def audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
         return ("flac", *flac_meta(b))
     if b[:4] == b"OggS":
         # opus reports pre_skip in the bits slot (its resolution-ish
-        # field, like mp3's bitrate) — documented convention
-        ch, rate, pre_skip, dur = ogg_opus_meta(b)
-        return ("opus", ch, rate, pre_skip, dur)
+        # field, like mp3's bitrate), vorbis 0 — documented convention
+        return ogg_meta(b)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return ("m4a", *m4a_audio_meta(b))
     if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
@@ -6310,6 +6568,12 @@ def wav_pcm(payload: bytes) -> "np.ndarray":  # noqa: F821
         if cid == b"fmt " and i + 10 <= len(b):
             fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
             block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+            if fmt_tag == 0xFFFE and size >= 40:
+                # r13: WAVE_FORMAT_EXTENSIBLE — the effective format
+                # is the first two GUID bytes of SubFormat (1 = PCM,
+                # 3 = IEEE float); the rest of the GUID is the fixed
+                # base, and the existing dispatch arms apply unchanged
+                fmt_tag = int.from_bytes(b[i + 32 : i + 34], "little")
         elif cid == b"data":
             data = b[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
@@ -6424,6 +6688,56 @@ def wav_encode_float(
         + (rate * step * channels).to_bytes(4, "little")
         + (step * channels).to_bytes(2, "little")
         + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+#: the fixed tail of the WAVE_FORMAT_EXTENSIBLE SubFormat GUID
+_WAVE_GUID_BASE = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def wav_encode_extensible(
+    samples, rate: int = 8000, bits: int = 16, channels: int = 2,
+    float_fmt: bool = False,
+) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE writer (r13, fmt tag 0xFFFE — how
+    modern multi-channel/high-bit WAVs are actually written): the
+    40-byte fmt chunk with cbSize=22, valid-bits, a channel mask, and
+    the SubFormat GUID carrying the effective format (1 = PCM,
+    3 = IEEE float)."""
+    import numpy as np
+
+    xs = np.asarray(samples, dtype=np.int64)
+    if float_fmt:
+        if bits not in (32, 64):
+            raise ValueError("extensible float needs 32/64 bits")
+        pcm = (
+            (xs.astype(np.float64) / 32767.0)
+            .astype("<f4" if bits == 32 else "<f8")
+            .tobytes()
+        )
+        eff = 3
+    else:
+        if bits != 16:
+            raise ValueError("extensible PCM writer emits 16-bit")
+        pcm = xs.astype("<i2").tobytes()
+        eff = 1
+    step = bits // 8
+    fmt = (
+        b"fmt "
+        + (40).to_bytes(4, "little")
+        + (0xFFFE).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * step * channels).to_bytes(4, "little")
+        + (step * channels).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + (22).to_bytes(2, "little")  # cbSize
+        + bits.to_bytes(2, "little")  # valid bits
+        + ((1 << channels) - 1).to_bytes(4, "little")  # channel mask
+        + eff.to_bytes(2, "little") + _WAVE_GUID_BASE
     )
     data = b"data" + len(pcm).to_bytes(4, "little") + pcm
     riff_size = 4 + len(fmt) + len(data)
@@ -6706,10 +7020,15 @@ def synth_flac(doc_id: int) -> bytes:
     if doc_id % 2:
         tags.append(f"ALBUM=Al{doc_id}")
     vc = _vorbis_comment_body(f"tsdb-{doc_id % 3}", tags)
+    # r13 late: a PICTURE block (type 6) closes the chain — a 4×4
+    # gray PNG of constant (doc_id*7 + 3) % 256, so the fpic leg's
+    # decoded px_sum is the closed form 16·v
+    png = png_encode(bytes([(doc_id * 7 + 3) % 256]) * 16, 4, 4, 1)
     return (
         b"fLaC"
         + bytes([0x00]) + (34).to_bytes(3, "big") + si  # STREAMINFO
-        + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc  # last
+        + bytes([4]) + len(vc).to_bytes(3, "big") + vc
+        + flac_picture_block(png, width=4, height=4, last=True)
     )
 
 
@@ -6750,6 +7069,12 @@ def synth_mp3(doc_id: int) -> bytes:
     )
     if doc_id % 2:
         frames += frame_("TALB", f"Al{doc_id}", 1)
+    # r13 late: an APIC cover frame joins the text frames — the same
+    # 4×4 closed-form PNG as the FLAC fixture, so the mpic leg's
+    # decoded px_sum is 16·((doc_id*7 + 3) % 256)
+    frames += id3_apic_frame(
+        png_encode(bytes([(doc_id * 7 + 3) % 256]) * 16, 4, 4, 1)
+    )
     id3_size = len(frames) + doc_id % 50  # padding keeps size varying
     id3 = (
         b"ID3" + bytes([4, 0, 0])
@@ -6889,14 +7214,34 @@ def decode_audio_tags(assets: DataFrame) -> DataFrame:
     )
 
 
+def synth_ogg_vorbis(doc_id: int) -> bytes:
+    """Deterministic Ogg/Vorbis stream for the gate fixture (r13):
+    channels ``1 + id%2``, rate ``22050 + (id%4)*11025``, granule
+    ``1000 + id*10`` native-rate samples, and the SAME closed-form
+    comment set as the Opus/FLAC fixtures — every :func:`ogg_meta`
+    and tag output is closed-form, and the vtag leg reuses the
+    otag/ftag oracle expressions."""
+    tags = [f"TITLE=Doc {doc_id}", f"ARTIST=A{doc_id % 5}"]
+    if doc_id % 2:
+        tags.append(f"ALBUM=Al{doc_id}")
+    return ogg_vorbis_encode(
+        channels=1 + doc_id % 2,
+        rate=22050 + (doc_id % 4) * 11025,
+        samples=1000 + doc_id * 10,
+        tags=tags,
+        vendor=f"tsdb-{doc_id % 3}",
+    )
+
+
 def documents_as_meta_audio_assets(docs: DataFrame, which: str) -> DataFrame:
     """Audio-asset fixture with FLAC (``which='flac'``), MP3
-    (``'mp3'``) or Ogg/Opus (``'opus'``) payloads over the
-    ``doc_id % 3 == 1`` audio subset."""
+    (``'mp3'``), Ogg/Opus (``'opus'``) or Ogg/Vorbis (``'vorbis'``)
+    payloads over the ``doc_id % 3 == 1`` audio subset."""
     synth = {
         "flac": synth_flac,
         "mp3": synth_mp3,
         "opus": synth_ogg_opus,
+        "vorbis": synth_ogg_vorbis,
         "m4a": synth_m4a,
     }[which]
     schema = "asset_id long, kind string, payload binary"

@@ -3187,11 +3187,30 @@ def register_extensions(q: dict, o: dict) -> None:
                 F.col("tags_len").alias("v4"),
             )
 
+        # r13 late fpic/mpic legs: embedded COVER ART — the FLAC
+        # PICTURE block and the ID3v2 APIC frame each carry a 4×4
+        # closed-form PNG that decode_cover_art routes through the
+        # repo's own PNG decoder (audio container × image codec, one
+        # kernel). v1=w v2=h v3=px_sum v4=mime length
+        def pic_leg(which: str, kind: str) -> DataFrame:
+            return multimodal.decode_cover_art(
+                multimodal.documents_as_meta_audio_assets(docs, which)
+            ).select(
+                "asset_id",
+                F.lit(kind).alias("kind"),
+                F.col("width").alias("v1"),
+                F.col("height").alias("v2"),
+                F.col("px_sum").alias("v3"),
+                F.expr("length(mime)").cast("long").alias("v4"),
+            )
+
         return (
             chunks.unionByName(pcm)
             .unionByName(wfl)
             .unionByName(g711)
             .unionByName(msadpcm)
+            .unionByName(pic_leg("flac", "fpic"))
+            .unionByName(pic_leg("mp3", "mpic"))
             .unionByName(aiff)
             .unionByName(fpcm)
             .unionByName(meta_leg("flac", "fmeta"))
@@ -3213,6 +3232,12 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(tag_leg("opus", "otag"))
             .unionByName(tag_leg("flac", "ftag"))
             .unionByName(tag_leg("mp3", "mtag"))
+            # r13 late vmeta/vtag legs: Ogg VORBIS joins the Ogg
+            # surface — \x01vorbis ident header (native-rate granule
+            # duration) + \x03vorbis comment header through the SAME
+            # dispatches; the tag closed form is shared with otag/ftag
+            .unionByName(meta_leg("vorbis", "vmeta"))
+            .unionByName(tag_leg("vorbis", "vtag"))
             # r12 4meta leg: M4A (audio-only ISO-BMFF) — mvhd timing +
             # the soun track's mp4a AudioSampleEntry
             .unionByName(meta_leg("m4a", "4meta"))
@@ -3449,7 +3474,7 @@ def register_extensions(q: dict, o: dict) -> None:
         -- otag/ftag legs (r13): OpusTags + FLAC VORBIS_COMMENT restated
         -- closed-form (same fixture tag set; v3 = the doc id parsed
         -- back out of TITLE='Doc {id}')
-        SELECT doc_id AS asset_id, unnest(['otag', 'ftag']) AS kind,
+        SELECT doc_id AS asset_id, unnest(['otag', 'ftag', 'vtag']) AS kind,
                (2 + doc_id % 2)::BIGINT AS v1,
                length('tsdb-' || (doc_id % 3))::BIGINT AS v2,
                doc_id::BIGINT AS v3,
@@ -3471,6 +3496,25 @@ def register_extensions(q: dict, o: dict) -> None:
                 + CASE WHEN doc_id % 2 = 1
                        THEN length('TALB=Al' || doc_id)
                        ELSE 0 END)::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- vmeta leg (r13): Ogg Vorbis ident header restated
+        -- closed-form (native-rate granule duration; bits slot 0)
+        SELECT doc_id AS asset_id, 'vmeta' AS kind,
+               (22050 + (doc_id % 4) * 11025)::BIGINT AS v1,
+               (1 + doc_id % 2)::BIGINT AS v2,
+               0::BIGINT AS v3,
+               ((1000 + doc_id * 10) * 1000
+                // (22050 + (doc_id % 4) * 11025))::BIGINT AS v4
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- fpic/mpic legs (r13): cover art restated closed-form — the
+        -- 4x4 constant-gray PNG decodes to 16*((id*7+3)%256); mime
+        -- 'image/png' has length 9
+        SELECT doc_id AS asset_id, unnest(['fpic', 'mpic']) AS kind,
+               4::BIGINT AS v1, 4::BIGINT AS v2,
+               (16 * ((doc_id * 7 + 3) % 256))::BIGINT AS v3,
+               9::BIGINT AS v4
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
         -- 4meta leg (r12): M4A restated closed-form (media timescale =
