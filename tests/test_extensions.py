@@ -2312,6 +2312,42 @@ def test_exif_meta_datetime_and_gps():
         assert m["lon"][0] * sw > 0 or m["lon"][0] == 0
 
 
+def test_mkv_webm_ebml_metadata():
+    """r13: Matroska/WebM — EBML VINT walk (ids keep their length
+    marker, sizes strip it) to DocType, Info (TimestampScale ×
+    Duration) and the first video/audio TrackEntries; multi-byte
+    sizes, missing tracks, defaults, and the non-EBML rejection."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+
+    p = M.mkv_encode_meta(
+        doctype="webm", duration_ms=2500,
+        video=("V_VP9", 1280, 720), audio=("A_OPUS", 48000, 2),
+    )
+    assert M.mkv_meta(p) == {
+        "doctype": "webm", "duration_ms": 2500, "video_codec": "V_VP9",
+        "width": 1280, "height": 720, "audio_codec": "A_OPUS",
+        "sample_rate": 48000, "channels": 2,
+    }
+    m = M.mkv_meta(M.mkv_encode_meta(video=("V_AV01", 320, 240), audio=None))
+    assert m["video_codec"] == "V_AV01" and m["audio_codec"] is None
+    m = M.mkv_meta(
+        M.mkv_encode_meta(
+            doctype="matroska", video=None, audio=("A_VORBIS", 44100, 1)
+        )
+    )
+    assert (m["doctype"], m["channels"], m["width"]) == ("matroska", 1, None)
+    # the fixture closed forms hold
+    for d in (2, 5, 8, 23):
+        m = M.mkv_meta(M.synth_mkv(d))
+        assert m["width"] == 320 + (d % 5) * 64
+        assert m["duration_ms"] == 1000 + d * 10
+        assert m["channels"] == 1 + d % 2
+    with _pytest.raises(ValueError, match="EBML"):
+        M.mkv_meta(b"RIFFxxxxWEBM")
+
+
 def test_wav_extensible_and_ogg_vorbis_and_cover_art():
     """r13: three audio-surface completions — WAVE_FORMAT_EXTENSIBLE
     (fmt 0xFFFE, SubFormat GUID selecting PCM/float), Ogg VORBIS

@@ -7404,6 +7404,9 @@ VIDEO_CAPABILITIES = {
     "frame pixels (MJPEG)": "real (r10: movi 00dc/00db walk — and r11 "
     "MP4 'jpeg' samples — through the repo's full JPEG decoder via "
     "decode_video_frames / video_frames_as_images)",
+    "mkv/webm": "metadata-real (r13: EBML VINT walk — DocType, "
+    "TimestampScale x Duration, video/audio TrackEntry codec ids, "
+    "dims, rate, channels); VP8/VP9/AV1/packet decode = ffmpeg seam",
     "frame pixels (other codecs)": "stub — ffmpeg insertion point",
 }
 
@@ -7587,6 +7590,271 @@ def _mp4_video_stbl(b: bytes, moov: tuple[int, int]):
         if stbl:
             return stbl, (w, h)
     raise ValueError("MP4 has no video track sample table")
+
+
+# --- Matroska / WebM (r13): the remaining major web container
+# family. EBML from the spec (RFC 8794): element IDs are VINTs kept
+# WITH their length marker, sizes are VINTs with the marker stripped;
+# the tree is Segment → Info (TimestampScale, Duration) and Tracks →
+# TrackEntry (TrackType, CodecID, Video{PixelWidth,PixelHeight},
+# Audio{SamplingFrequency,Channels}). Codec payload decode (VP8/VP9/
+# AV1/Opus packets) is the ffmpeg seam; the container walk is real. ---
+
+_EBML_CONTAINERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+}
+
+
+def _ebml_vint(b: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, bytes_consumed) of one EBML VINT at ``i`` — IDs keep
+    the length-marker bit, sizes strip it. All-ones = unknown size
+    (returned as -1 when stripped)."""
+    if i >= len(b):
+        raise ValueError("EBML VINT out of range")
+    first = b[i]
+    if first == 0:
+        raise ValueError("EBML VINT with >8-byte length")
+    n = 9 - first.bit_length()
+    if i + n > len(b):
+        raise ValueError("EBML VINT truncated")
+    v = first if keep_marker else first & (0xFF >> n)
+    unknown = (first & (0xFF >> n)) == (0xFF >> n)
+    for k in range(1, n):
+        v = (v << 8) | b[i + k]
+        unknown = unknown and b[i + k] == 0xFF
+    if not keep_marker and unknown:
+        return -1, n
+    return v, n
+
+
+def _ebml_walk(b: bytes, lo: int, hi: int, out: dict) -> None:
+    """Collect the metadata-bearing leaves of one EBML element body."""
+    import struct
+
+    i = lo
+    while i < hi:
+        eid, n = _ebml_vint(b, i, keep_marker=True)
+        i += n
+        size, n = _ebml_vint(b, i, keep_marker=False)
+        i += n
+        end = hi if size < 0 else min(i + size, hi)
+        if eid in _EBML_CONTAINERS:
+            if eid == 0xAE:  # a new TrackEntry: scope the type
+                out["_track"] = {}
+            _ebml_walk(b, i, end, out)
+            if eid == 0xAE:
+                t = out.pop("_track", {})
+                ttype = t.get("type")
+                if ttype == 1 and "video" not in out:
+                    out["video"] = t
+                elif ttype == 2 and "audio" not in out:
+                    out["audio"] = t
+        else:
+            data = b[i:end]
+            tr = out.get("_track")
+            if eid == 0x4282:  # DocType
+                out["doctype"] = data.decode("ascii", "replace")
+            elif eid == 0x2AD7B1:
+                out["timescale"] = int.from_bytes(data, "big")
+            elif eid == 0x4489:
+                out["duration"] = struct.unpack(
+                    ">f" if len(data) == 4 else ">d", data
+                )[0]
+            elif tr is not None and eid == 0x83:
+                tr["type"] = int.from_bytes(data, "big")
+            elif tr is not None and eid == 0x86:
+                tr["codec"] = data.decode("ascii", "replace")
+            elif tr is not None and eid == 0xB0:
+                tr["w"] = int.from_bytes(data, "big")
+            elif tr is not None and eid == 0xBA:
+                tr["h"] = int.from_bytes(data, "big")
+            elif tr is not None and eid == 0xB5:
+                tr["rate"] = struct.unpack(
+                    ">f" if len(data) == 4 else ">d", data
+                )[0]
+            elif tr is not None and eid == 0x9F:
+                tr["channels"] = int.from_bytes(data, "big")
+        i = end
+
+
+def mkv_meta(payload: bytes) -> dict:
+    """REAL Matroska/WebM metadata (r13) — a dict with ``doctype``,
+    ``duration_ms`` (TimestampScale × Duration, scale defaulting to
+    the spec's 1 ms tick), and the first video track's
+    ``video_codec``/``width``/``height`` plus the first audio track's
+    ``audio_codec``/``sample_rate``/``channels`` (None when absent).
+    Raises for non-EBML payloads."""
+    b = payload
+    if b[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError(f"not an EBML/Matroska stream (magic {b[:4]!r})")
+    out: dict = {}
+    _ebml_walk(b, 0, len(b), out)
+    scale = out.get("timescale", 1_000_000)  # ns per tick (spec default)
+    dur = out.get("duration")
+    video = out.get("video", {})
+    audio = out.get("audio", {})
+    return {
+        "doctype": out.get("doctype", "matroska"),
+        "duration_ms": (
+            int(dur * scale / 1_000_000) if dur is not None else None
+        ),
+        "video_codec": video.get("codec"),
+        "width": video.get("w"),
+        "height": video.get("h"),
+        "audio_codec": audio.get("codec"),
+        "sample_rate": (
+            int(audio["rate"]) if audio.get("rate") is not None else None
+        ),
+        "channels": audio.get("channels"),
+    }
+
+
+def mkv_encode_meta(
+    *, doctype: str = "webm", duration_ms: int = 1000,
+    video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
+    audio: tuple[str, int, int] | None = ("A_OPUS", 48_000, 2),
+) -> bytes:
+    """Minimal Matroska/WebM METADATA writer (r13, the reader's
+    roundtrip pin): EBML header (DocType) + Segment(Info(
+    TimestampScale, Duration) + Tracks(video/audio TrackEntry)) with
+    real VINT ids/sizes. No clusters — metadata only."""
+    import struct
+
+    def vsize(n: int) -> bytes:
+        if n < 0x7F:
+            return bytes([0x80 | n])
+        if n < 0x3FFF:
+            return bytes([0x40 | (n >> 8), n & 0xFF])
+        return bytes([0x20 | (n >> 16), (n >> 8) & 0xFF, n & 0xFF])
+
+    def el(eid: int, body: bytes) -> bytes:
+        ide = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return ide + vsize(len(body)) + body
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = el(
+        0x1A45DFA3,
+        el(0x4282, doctype.encode("ascii"))  # DocType
+        + el(0x4287, b"\x04") + el(0x4285, b"\x02"),  # doctype ver/read
+    )
+    info = el(
+        0x1549A966,
+        el(0x2AD7B1, uint(1_000_000))
+        + el(0x4489, struct.pack(">d", float(duration_ms))),
+    )
+    tracks = b""
+    num = 1
+    if video is not None:
+        codec, w, h = video
+        tracks += el(
+            0xAE,
+            el(0xD7, uint(num)) + el(0x83, b"\x01")
+            + el(0x86, codec.encode("ascii"))
+            + el(0xE0, el(0xB0, uint(w)) + el(0xBA, uint(h))),
+        )
+        num += 1
+    if audio is not None:
+        codec, rate, ch = audio
+        tracks += el(
+            0xAE,
+            el(0xD7, uint(num)) + el(0x83, b"\x02")
+            + el(0x86, codec.encode("ascii"))
+            + el(
+                0xE1,
+                el(0xB5, struct.pack(">f", float(rate)))
+                + el(0x9F, uint(ch)),
+            ),
+        )
+    segment = el(0x18538067, info + el(0x1654AE6B, tracks))
+    return header + segment
+
+
+def synth_mkv(doc_id: int) -> bytes:
+    """Deterministic WebM/Matroska metadata stream for the gate
+    fixture (r13): dims ``320 + (id%5)*64 × 180 + (id%4)*90``,
+    duration ``1000 + id*10`` ms, audio ``8000 + (id%5)*4000`` Hz ×
+    ``1 + id%2`` channels, doctype cycling webm/matroska — every
+    :func:`mkv_meta` output closed-form in doc_id."""
+    return mkv_encode_meta(
+        doctype="webm" if doc_id % 2 == 0 else "matroska",
+        duration_ms=1000 + doc_id * 10,
+        video=("V_VP9" if doc_id % 2 == 0 else "V_AV01",
+               320 + (doc_id % 5) * 64, 180 + (doc_id % 4) * 90),
+        audio=("A_OPUS", 8000 + (doc_id % 5) * 4000, 1 + doc_id % 2),
+    )
+
+
+def documents_as_mkv_assets(docs: DataFrame) -> DataFrame:
+    """Video-asset fixture with WebM/Matroska metadata payloads (same
+    ``doc_id % 3 == 2`` video subset)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": [synth_mkv(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def decode_mkv_meta(assets: DataFrame) -> DataFrame:
+    """(asset_id, width, height, duration_ms, channels, sample_rate)
+    — :func:`mkv_meta` over WebM/Matroska assets, the standard
+    Arrow-batched map-only payload kernel (r13)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = mkv_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(asset_id),
+                        m["width"],
+                        m["height"],
+                        m["duration_ms"],
+                        m["channels"],
+                        m["sample_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "duration_ms",
+                    "channels", "sample_rate",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, width long, height long, "
+            "duration_ms long, channels long, sample_rate long",
+        )
+    )
 
 
 def mp4_meta(payload: bytes) -> tuple[int, int, int, int, str]:

@@ -2648,6 +2648,20 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("orientation").alias("v4"),
             F.col("dtnum").alias("v5"),
         )
+        # r13 wmeta leg: WebM/Matroska — the remaining web container
+        # family — EBML VINT walk to Info + Tracks metadata; every
+        # field a doc_id closed form (synth_mkv)
+        wmeta = multimodal.decode_mkv_meta(
+            multimodal.documents_as_mkv_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("wmeta").alias("kind"),
+            F.col("width").alias("v1"),
+            F.col("height").alias("v2"),
+            F.col("duration_ms").alias("v3"),
+            F.col("channels").alias("v4"),
+            F.col("sample_rate").alias("v5"),
+        )
         return (
             resize.unionByName(frames)
             .unionByName(dhash)
@@ -2661,6 +2675,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(ico)
             .unionByName(exif)
             .unionByName(gmeta)
+            .unionByName(wmeta)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -3036,6 +3051,15 @@ def register_extensions(q: dict, o: dict) -> None:
                    (8 * (3 + (doc_id // 3) % 3))::BIGINT AS h
             FROM documents WHERE doc_id % 3 = 0
         ) e
+        UNION ALL
+        -- wmeta leg (r13): WebM/Matroska EBML metadata restated
+        SELECT doc_id AS asset_id, 'wmeta' AS kind,
+               (320 + (doc_id % 5) * 64)::BIGINT AS v1,
+               (180 + (doc_id % 4) * 90)::BIGINT AS v2,
+               (1000 + doc_id * 10)::BIGINT AS v3,
+               (1 + doc_id % 2)::BIGINT AS v4,
+               (8000 + (doc_id % 5) * 4000)::BIGINT AS v5
+        FROM documents WHERE doc_id % 3 = 2
         UNION ALL
         -- gmeta leg (r13): the full EXIF field set restated — GPS as
         -- sign-carrying exact rationals over den 360000 (d*3600*100 +
