@@ -508,10 +508,14 @@ def test_crawl_ops_stay_jvm_side(spark):
         [(1, "<urlset><url><loc>https://x/p</loc></url></urlset>")],
         "doc_id long, xml string",
     )
+    htmls = spark.createDataFrame(
+        [(1, "<html><title>t</title></html>")], "doc_id long, html string"
+    )
     for df in (
         text.url_normalize(urls),
         text.c4_page_filter(docs),
         text.gopher_quality(docs),  # r13: array HOFs, pure codegen
+        text.html_page_meta(htmls),  # r13: regexp/JSON projection
         W.cdx_parse(lines),
         W.sitemap_urls(maps),  # r13: explode is Generate, not a shuffle
     ):

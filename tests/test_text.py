@@ -539,6 +539,62 @@ def test_cdx_index_parse_and_engine_parity(spark):
         ), (i, row)
 
 
+def test_html_page_meta_fields_and_engine_parity(spark):
+    """r13: page-level metadata extraction — <title>, rel=canonical,
+    og:title, meta-description length, the meta-robots NOINDEX flag,
+    <html lang>, and JSON-LD @type via the engines' REAL JSON path
+    evaluators — case-insensitive, both quote styles, miss defaults —
+    with the generated DuckDB twin agreeing on every column."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    html1 = (
+        '<html lang="en-GB"><head><title>My Page</title>'
+        '<link rel="canonical" href="https://e.com/p1">'
+        '<meta property="og:title" content="OG Page">'
+        '<meta name="description" content="A short description here.">'
+        '<meta name="robots" content="noindex, nofollow">'
+        '<script type="application/ld+json">'
+        '{"@type": "Article", "name": "x"}</script>'
+        "</head><body>hi</body></html>"
+    )
+    html2 = "<html><body>bare</body></html>"
+    html3 = (
+        "<HTML LANG='fr'><TITLE>T2</TITLE>"
+        "<META NAME='ROBOTS' CONTENT='index,follow'>"
+        '<script type="application/ld+json">{"@type": "Product"}</script>'
+        '<script type="application/ld+json">{"@type": "Other"}</script>'
+    )
+    cases = [(1, html1), (2, html2), (3, html3)]
+    df = spark.createDataFrame(cases, "doc_id long, html string")
+    got = {r["doc_id"]: r.asDict() for r in text.html_page_meta(df).collect()}
+    g = got[1]
+    assert g["title"] == "My Page"
+    assert g["canonical"] == "https://e.com/p1"
+    assert g["og_title"] == "OG Page"
+    assert g["desc_len"] == 25 and g["noindex"]
+    assert g["lang"] == "en-GB" and g["ld_type"] == "Article"
+    assert got[2]["ld_type"] is None and not got[2]["noindex"]
+    assert got[3]["lang"] == "fr"  # case-insensitive, single quotes
+    assert not got[3]["noindex"]  # robots without noindex
+    assert got[3]["ld_type"] == "Product" and got[3]["n_jsonld"] == 2
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, h.replace("'", "''")) for i, h in cases
+    )
+    duck = con.execute(
+        text.html_page_meta_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, html)"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    cols = ["doc_id"] + list(text._PAGE_META_COLS)
+    for row in duck:
+        for c, v in zip(cols, row):
+            assert got[row[0]][c] == v, (row[0], c, got[row[0]][c], v)
+
+
 def test_gopher_quality_rules_and_engine_parity(spark):
     """r13: the Gopher/MassiveText quality rules — every fraction
     checked against hand-computed values on crafted pages (bullets,

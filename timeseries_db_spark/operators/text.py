@@ -733,6 +733,128 @@ def html_extract(docs: DataFrame, col: str = "html") -> DataFrame:
     )
 
 
+#: regex building blocks for the page-meta patterns: an attribute
+#: quote class and its negation, built by concatenation so no Python
+#: string-escape noise leaks into the patterns
+_RQ = '["' + "']"  # ["']
+_RNQ = '([^"' + "']*)"  # captured run of non-quote chars
+
+
+def _page_meta_exprs(*, duck: bool, html: str = "html") -> dict[str, str]:
+    """Engine-specific expression set behind :func:`html_page_meta`
+    and its DuckDB twin — one source of truth (c4/gopher-style
+    parity). Case-insensitivity via the ``(?i)`` flag both engines
+    share; the only engine seams are backslash doubling (Spark SQL
+    literals consume one level), the match predicate (``rlike`` vs
+    ``regexp_matches``) and the JSON path evaluator."""
+
+    def lit(pat: str) -> str:
+        if not duck:
+            pat = pat.replace("\\", "\\\\")
+        return pat.replace("'", "''")
+
+    def ex(pat: str, group: int = 1) -> str:
+        return f"regexp_extract({html}, '{lit(pat)}', {group})"
+
+    title = ex("(?i)<title[^>]*>([^<]*)</title>")
+    canonical = ex(
+        f"(?i)<link[^>]*rel={_RQ}canonical{_RQ}[^>]*href={_RQ}{_RNQ}"
+    )
+    og_title = ex(
+        f"(?i)<meta[^>]*property={_RQ}og:title{_RQ}[^>]*content={_RQ}{_RNQ}"
+    )
+    desc = ex(
+        f"(?i)<meta[^>]*name={_RQ}description{_RQ}[^>]*content={_RQ}{_RNQ}"
+    )
+    noindex_pat = lit(
+        f"(?i)<meta[^>]*name={_RQ}robots{_RQ}[^>]*"
+        f"content={_RQ}[^\"']*noindex"
+    )
+    noindex = (
+        f"regexp_matches({html}, '{noindex_pat}')"
+        if duck
+        else f"{html} rlike '{noindex_pat}'"
+    )
+    lang = ex(f"(?i)<html[^>]* lang={_RQ}?([A-Za-z-]+)")
+    ld_raw = ex(
+        f"(?is)<script[^>]*type={_RQ}application/ld\\+json{_RQ}[^>]*>"
+        "(.*?)</script>"
+    )
+    nld = lit("(?i)application/ld\\+json")
+    if duck:
+        # duck's json_extract_string ERRORS on empty input where
+        # Spark's get_json_object returns NULL — guard the miss case
+        ld_type = (
+            f"CASE WHEN {ld_raw} = '' THEN NULL ELSE "
+            f"json_extract_string({ld_raw}, '$.\"@type\"') END"
+        )
+        n_ld = f"len(regexp_extract_all({html}, '{nld}'))::BIGINT"
+    else:
+        ld_type = f"get_json_object({ld_raw}, \"$['@type']\")"
+        n_ld = (
+            f"cast(size(regexp_extract_all({html}, '{nld}', 0)) as long)"
+        )
+    return {
+        "title": title,
+        "canonical": canonical,
+        "og_title": og_title,
+        "desc_len": f"CAST(length({desc}) AS BIGINT)",
+        "noindex": noindex,
+        "lang": lang,
+        "ld_type": ld_type,
+        "n_jsonld": n_ld,
+    }
+
+
+_PAGE_META_COLS = (
+    "title", "canonical", "og_title", "desc_len", "noindex", "lang",
+    "ld_type", "n_jsonld",
+)
+
+
+def html_page_meta(docs: DataFrame, col: str = "html") -> DataFrame:
+    """(doc_id, title, canonical, og_title, desc_len, noindex, lang,
+    ld_type, n_jsonld) — the page-level METADATA a crawl pipeline
+    reads before (and alongside) text extraction (r13): the <title>,
+    the rel=canonical URL (the dedup authority signal), the OpenGraph
+    title, meta-description length, the meta-robots NOINDEX flag (a
+    page telling you not to index it should not enter a corpus — the
+    in-page complement of robots.txt), the <html lang> declaration
+    (a language-ID prior), and the first JSON-LD block's schema.org
+    @type (via the engine's real JSON path evaluator) plus the
+    JSON-LD block count.
+
+    All JVM regexp/JSON expressions — map-only, one codegen
+    projection over the page column; the DuckDB twin shares the
+    expression set."""
+    e = _page_meta_exprs(duck=False, html=col)
+    return docs.select(
+        "doc_id",
+        *[
+            (
+                F.expr(e[c]).cast("boolean")
+                if c == "noindex"
+                else F.expr(e[c])
+            ).alias(c)
+            for c in _PAGE_META_COLS
+        ],
+    )
+
+
+def html_page_meta_sql(source_sql: str, col: str = "html") -> str:
+    """DuckDB twin of :func:`html_page_meta` over ``source_sql``."""
+    e = _page_meta_exprs(duck=True, html=col)
+    cols = ",\n               ".join(
+        f"({e[c]}) AS {c}" if c == "noindex" else f"{e[c]} AS {c}"
+        for c in _PAGE_META_COLS
+    )
+    return f"""
+        SELECT doc_id,
+               {cols}
+        FROM ({source_sql})
+    """
+
+
 # ---------------------------------------------------------------------------
 # Main-content extraction (r13, VERDICT stretch item 8): boilerplate
 # removal — real pipelines rarely train on nav bars. A readability/

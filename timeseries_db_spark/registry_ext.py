@@ -857,6 +857,28 @@ def register_extensions(q: dict, o: dict) -> None:
         "max_dup_line_char_frac": 0.25,
     }
 
+    # r13 pmet leg shared construction: a head section cycling every
+    # page-meta field by doc_id — lang by parity, canonical every 3rd,
+    # noindex every 5th, a JSON-LD block except every 4th, description
+    # length 10 + id%20; {dn} is the repeat-count cast seam.
+    _PMETA_PAGE = (
+        "concat('<html lang=\"',"
+        " CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de-AT' END, '\">',"
+        " '<head><title>Doc ', doc_id, ' Title</title>',"
+        " CASE WHEN doc_id % 3 = 0 THEN concat("
+        " '<link rel=\"canonical\" href=\"https://example',"
+        " doc_id % 7, '.com/doc', doc_id, '\">') ELSE '' END,"
+        " '<meta property=\"og:title\" content=\"OG ', doc_id, '\">',"
+        " '<meta name=\"description\" content=\"',"
+        " repeat('d', {dn}), '\">',"
+        " CASE WHEN doc_id % 5 = 0 THEN"
+        " '<meta name=\"robots\" content=\"noindex\">' ELSE '' END,"
+        " CASE WHEN doc_id % 4 < 3 THEN concat("
+        " '<script type=\"application/ld+json\">"
+        "{{\"@type\": \"T', doc_id % 9, '\"}}</script>') ELSE '' END,"
+        " '</head><body>x</body></html>')"
+    )
+
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
     # repetition/diversity signals ride inside text_features; this is
     # the one text op whose OUTPUT is a rewritten text column, so it
@@ -1588,6 +1610,34 @@ def register_extensions(q: dict, o: dict) -> None:
                 + ")"
             ).alias("out_text"),
         )
+        # r13 pmet leg: page-level metadata (html_page_meta) — title,
+        # rel=canonical, og:title, meta description length, the
+        # meta-robots NOINDEX flag, <html lang>, and the JSON-LD
+        # @type through the engines' REAL JSON path evaluators
+        # (get_json_object vs json_extract_string) — the oracle runs
+        # the generated twin over the same construction. n_a =
+        # desc_len, n_b = n_jsonld + 2*noindex.
+        pmeta = text.html_page_meta(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    _PMETA_PAGE.format(
+                        dn="cast(10 + doc_id % 20 as int)"
+                    )
+                ).alias("html"),
+            )
+        ).select(
+            "doc_id",
+            F.lit("pmet").alias("kind"),
+            F.col("desc_len").alias("n_a"),
+            (
+                F.col("n_jsonld") + F.col("noindex").cast("long") * 2
+            ).alias("n_b"),
+            F.expr(
+                "concat_ws('|', title, canonical, og_title, lang,"
+                " coalesce(ld_type, '-'))"
+            ).alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1602,6 +1652,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(smap)
             .unionByName(cdx)
             .unionByName(goph)
+            .unionByName(pmeta)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1815,6 +1866,19 @@ def register_extensions(q: dict, o: dict) -> None:
             )
             + " AS text FROM documents",
             **_GOPH_GATE,
+        )
+        + ") "
+        "UNION ALL "
+        # pmet (r13): the generated DuckDB twin of html_page_meta over
+        # the SAME construction — engine parity incl. the JSON path
+        "SELECT doc_id, 'pmet' AS kind, desc_len AS n_a, "
+        "(n_jsonld + 2 * noindex::BIGINT)::BIGINT AS n_b, "
+        "concat_ws('|', title, canonical, og_title, lang, "
+        "coalesce(ld_type, '-')) AS out_text FROM ("
+        + text.html_page_meta_sql(
+            "SELECT doc_id, "
+            + _PMETA_PAGE.format(dn="(10 + doc_id % 20)::INT")
+            + " AS html FROM documents"
         )
         + ")"
     )
