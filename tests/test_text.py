@@ -1163,6 +1163,71 @@ def test_whatwg_charset_aliasing_iso88591_is_cp1252():
     )
 
 
+def test_sitemap_index_and_feed_urls(spark):
+    """r13: the discovery loop's remaining sources — sitemap INDEX
+    files (recursive child sitemaps, lastmod optional) and RSS/Atom
+    feeds (element-text vs href-attribute links through one coalesce)
+    — with the generated DuckDB twins agreeing exactly."""
+    import duckdb
+
+    from timeseries_db_spark.operators import warc as W
+
+    idx = (
+        "<sitemapindex><sitemap><loc>https://e.com/sm1.xml</loc>"
+        "<lastmod>2024-02-03</lastmod></sitemap>"
+        "<sitemap><loc>https://e.com/sm2.xml</loc></sitemap></sitemapindex>"
+    )
+    rss = (
+        "<rss><channel><item><title>Post One</title>\n"
+        "<link>https://b.com/p1</link></item>"
+        "<item><link>https://b.com/p2</link><title>Two</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed><entry><title type="text">A1</title>'
+        '<link rel="alternate" href="https://a.org/e1"/></entry></feed>'
+    )
+    df = spark.createDataFrame([(1, idx)], "doc_id long, xml string")
+    rows = W.sitemap_index_urls(df).collect()
+    assert [(r["loc"], r["lastmod_day"]) for r in rows] == [
+        ("https://e.com/sm1.xml", 19756),
+        ("https://e.com/sm2.xml", None),
+    ]
+    fd = spark.createDataFrame(
+        [(1, rss), (2, atom)], "doc_id long, xml string"
+    )
+    frows = sorted(
+        (r["doc_id"], r["link"], r["title"])
+        for r in W.feed_urls(fd).collect()
+    )
+    assert frows == [
+        (1, "https://b.com/p1", "Post One"),
+        (1, "https://b.com/p2", "Two"),
+        (2, "https://a.org/e1", "A1"),
+    ]
+    con = duckdb.connect()
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    d1 = con.execute(
+        W.sitemap_index_urls_sql(
+            f"SELECT 1 AS doc_id, '{esc(idx)}' AS xml"
+        )
+    ).fetchall()
+    assert [(r[1], r[3]) for r in d1] == [
+        ("https://e.com/sm1.xml", 19756), ("https://e.com/sm2.xml", None)
+    ]
+    d2 = con.execute(
+        W.feed_urls_sql(
+            f"SELECT 1 AS doc_id, '{esc(rss)}' AS xml "
+            f"UNION ALL SELECT 2, '{esc(atom)}'"
+        )
+        + " ORDER BY doc_id, link"
+    ).fetchall()
+    assert [tuple(r) for r in d2] == frows
+
+
 def test_robots_crawl_delay_group_selection(spark):
     """r13: Crawl-delay politeness — exact-agent group selection
     (an exact group WITHOUT a delay means NO delay even when '*'

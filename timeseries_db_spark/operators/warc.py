@@ -522,6 +522,115 @@ def sitemap_urls_sql(source_sql: str, col: str = "xml") -> str:
     """
 
 
+_SITEMAP_INDEX_BLOCK_RE = "(?s)<sitemap>(.*?)</sitemap>"
+#: RSS <item> / Atom <entry> blocks (lazy, dotall — feeds are
+#: multi-line); the closer alternation tolerates the malformed feeds
+#: crawls contain (a lazy match stops at the first closer either way)
+_FEED_BLOCK_RE = "(?s)<(?:item|entry)>(.*?)</(?:item|entry)>"
+_FEED_RSS_LINK_RE = "<link>([^<]*)</link>"
+#: the Atom href pattern contains quote characters — spelled per
+#: engine because each escapes a quote inside a string literal
+#: differently (Spark backslash, DuckDB doubling)
+_FEED_ATOM_LINK_RE_SPARK = "<link[^>]*href=[\"\\']([^\"\\']*)"
+_FEED_ATOM_LINK_RE_DUCK = "<link[^>]*href=[\"'']([^\"'']*)"
+_FEED_TITLE_RE = "(?s)<title[^>]*>([^<]*)</title>"
+
+
+def sitemap_index_urls(maps: DataFrame, col: str = "xml") -> DataFrame:
+    """(doc_id, loc, lastmod, lastmod_day) — the child-sitemap entries
+    of a SITEMAP INDEX document (r13): large sites shard their
+    sitemaps behind one index, so the discovery loop is robots →
+    Sitemap: → (this, recursively) → urlset → frontier. Same shape
+    and plan posture as :func:`sitemap_urls` — one codegen regexp
+    projection."""
+    blocks = maps.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({col}, '{_SITEMAP_INDEX_BLOCK_RE}', 1)"
+            )
+        ).alias("block"),
+    )
+    return blocks.select(
+        "doc_id",
+        F.expr(f"regexp_extract(block, '{_SITEMAP_LOC_RE}', 1)").alias(
+            "loc"
+        ),
+        F.expr(
+            f"regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1)"
+        ).alias("lastmod"),
+        F.expr(
+            f"datediff(to_date(nullif(regexp_extract(block, "
+            f"'{_SITEMAP_LASTMOD_RE}', 1), '')), to_date('1970-01-01'))"
+        )
+        .cast("long")
+        .alias("lastmod_day"),
+    )
+
+
+def sitemap_index_urls_sql(source_sql: str, col: str = "xml") -> str:
+    """DuckDB twin of :func:`sitemap_index_urls`."""
+    return f"""
+        SELECT doc_id,
+               regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) AS loc,
+               regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1) AS lastmod,
+               date_diff('day', DATE '1970-01-01',
+                   try_cast(nullif(regexp_extract(block,
+                       '{_SITEMAP_LASTMOD_RE}', 1), '') AS DATE)
+               )::BIGINT AS lastmod_day
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all({col},
+                       '{_SITEMAP_INDEX_BLOCK_RE}', 1)) AS block
+            FROM ({source_sql})
+        )
+    """
+
+
+def feed_urls(feeds: DataFrame, col: str = "xml") -> DataFrame:
+    """(doc_id, link, title) — the entries of an RSS ``<item>`` or
+    Atom ``<entry>`` feed (r13): the OTHER discovery source a crawler
+    polls (news/blog frontiers are feed-driven). RSS carries the link
+    as element text, Atom as an ``href`` attribute — the extraction
+    coalesces the two, so one operator reads both dialects. Pure JVM
+    regexp explode + projection, sitemap-shaped."""
+    blocks = feeds.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all({col}, '{_FEED_BLOCK_RE}', 1)")
+        ).alias("block"),
+    )
+    return blocks.select(
+        "doc_id",
+        F.expr(
+            f"coalesce(nullif(regexp_extract(block,"
+            f" '{_FEED_RSS_LINK_RE}', 1), ''),"
+            f" regexp_extract(block, '{_FEED_ATOM_LINK_RE_SPARK}', 1))"
+        ).alias("link"),
+        F.expr(f"regexp_extract(block, '{_FEED_TITLE_RE}', 1)").alias(
+            "title"
+        ),
+    )
+
+
+def feed_urls_sql(source_sql: str, col: str = "xml") -> str:
+    """DuckDB twin of :func:`feed_urls`."""
+    return f"""
+        SELECT doc_id,
+               coalesce(nullif(regexp_extract(block,
+                   '{_FEED_RSS_LINK_RE}', 1), ''),
+                   regexp_extract(block, '{_FEED_ATOM_LINK_RE_DUCK}', 1))
+                   AS link,
+               regexp_extract(block, '{_FEED_TITLE_RE}', 1) AS title
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all({col},
+                       '{_FEED_BLOCK_RE}', 1)) AS block
+            FROM ({source_sql})
+        )
+    """
+
+
 def wet_extract_text(assets: DataFrame) -> DataFrame:
     """(asset_id, rec_idx, uri, text) — one row per ``conversion``
     record: the WET sibling of :func:`warc_extract_text`. Common Crawl

@@ -1544,6 +1544,62 @@ def register_extensions(q: dict, o: dict) -> None:
             F.expr("length(loc)").cast("long").alias("n_b"),
             F.expr("concat(loc, ' @ ', lastmod)").alias("out_text"),
         )
+        # r13 sidx leg: SITEMAP INDEX files (large sites shard their
+        # sitemaps) — the recursive middle of the discovery loop; the
+        # oracle runs the generated twin on the same construction.
+        # n_a = lastmod_day (NULL for the odd second child), n_b = loc
+        # length. Every doc's index carries one lastmod'd child plus,
+        # on odd ids, a lastmod-less second child.
+        sidx_xml = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('<sitemapindex>',"
+                "'<sitemap><loc>https://example', doc_id % 7,"
+                " '.com/sm-', doc_id, '-1.xml</loc>',"
+                "'<lastmod>2024-02-',"
+                " lpad(cast(1 + doc_id % 28 as string), 2, '0'),"
+                " '</lastmod></sitemap>',"
+                "CASE WHEN doc_id % 2 = 1 THEN concat("
+                "'<sitemap><loc>https://example', doc_id % 7,"
+                " '.com/sm-', doc_id, '-2.xml</loc></sitemap>')"
+                " ELSE '' END,"
+                "'</sitemapindex>')"
+            ).alias("xml"),
+        )
+        sidx = _warc.sitemap_index_urls(sidx_xml).select(
+            "doc_id",
+            F.lit("sidx").alias("kind"),
+            F.col("lastmod_day").alias("n_a"),
+            F.expr("length(loc)").cast("long").alias("n_b"),
+            F.expr("concat(loc, ' @ ', lastmod)").alias("out_text"),
+        )
+        # r13 feed leg: RSS <item> / Atom <entry> feeds — the OTHER
+        # discovery source; even docs ship RSS (element-text links),
+        # odd docs Atom (href attributes), both through ONE operator
+        # whose coalesce reads both dialects. n_a = link length,
+        # n_b = title length.
+        feed_xml = docs.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 2 = 0 THEN concat("
+                "'<rss><channel><item><title>Post ', doc_id,"
+                " '</title>', chr(10),"
+                " '<link>https://b', doc_id % 5, '.com/p', doc_id,"
+                " '</link></item></channel></rss>')"
+                " ELSE concat("
+                "'<feed><entry><title type=\"text\">E', doc_id,"
+                " '</title><link rel=\"alternate\" href=\"https://a',"
+                " doc_id % 5, '.org/e', doc_id, '\"/></entry></feed>')"
+                " END"
+            ).alias("xml"),
+        )
+        feed = _warc.feed_urls(feed_xml).select(
+            "doc_id",
+            F.lit("feed").alias("kind"),
+            F.expr("length(link)").cast("long").alias("n_a"),
+            F.expr("length(title)").cast("long").alias("n_b"),
+            F.expr("concat(link, ' | ', title)").alias("out_text"),
+        )
         # r12 cdx leg: the Common Crawl URL INDEX format (CDXJ — how
         # consumers discover records before fetching any WARC bytes):
         # constructed closed-form lines, REAL parser on both engines
@@ -1653,6 +1709,8 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(cdx)
             .unionByName(goph)
             .unionByName(pmeta)
+            .unionByName(sidx)
+            .unionByName(feed)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1866,6 +1924,43 @@ def register_extensions(q: dict, o: dict) -> None:
             )
             + " AS text FROM documents",
             **_GOPH_GATE,
+        )
+        + ") "
+        "UNION ALL "
+        # sidx (r13): the generated twin over the same index construction
+        "SELECT doc_id, 'sidx' AS kind, lastmod_day AS n_a, "
+        "length(loc)::BIGINT AS n_b, loc || ' @ ' || lastmod "
+        "AS out_text FROM ("
+        + _warc_mod.sitemap_index_urls_sql(
+            "SELECT doc_id, '<sitemapindex>' || "
+            "'<sitemap><loc>https://example' || (doc_id % 7) || "
+            "'.com/sm-' || doc_id || '-1.xml</loc>' || "
+            "'<lastmod>2024-02-' || "
+            "lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || "
+            "'</lastmod></sitemap>' || "
+            "CASE WHEN doc_id % 2 = 1 THEN "
+            "'<sitemap><loc>https://example' || (doc_id % 7) || "
+            "'.com/sm-' || doc_id || '-2.xml</loc></sitemap>' "
+            "ELSE '' END || '</sitemapindex>' AS xml FROM documents"
+        )
+        + ") "
+        "UNION ALL "
+        # feed (r13): RSS/Atom twin over the same construction
+        "SELECT doc_id, 'feed' AS kind, length(link)::BIGINT AS n_a, "
+        "length(title)::BIGINT AS n_b, link || ' | ' || title "
+        "AS out_text FROM ("
+        + _warc_mod.feed_urls_sql(
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "'<rss><channel><item><title>Post ' || doc_id || "
+            "'</title>' || chr(10) || "
+            "'<link>https://b' || (doc_id % 5) || '.com/p' || doc_id || "
+            "'</link></item></channel></rss>' "
+            "ELSE "
+            "'<feed><entry><title type=\"text\">E' || doc_id || "
+            "'</title><link rel=\"alternate\" href=\"https://a' || "
+            "(doc_id % 5) || '.org/e' || doc_id || '\"/></entry></feed>' "
+            "END AS xml FROM documents"
         )
         + ") "
         "UNION ALL "
