@@ -2807,6 +2807,25 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("orientation").alias("v4"),
             F.col("dtnum").alias("v5"),
         )
+        # r13 arcx leg: ARCHIVE ingestion — tar / zip-deflate /
+        # zip-stored cycle by (id//3)%3, members route by magic and
+        # the PNG members decode through image_decode (archive ×
+        # image composition); every summary a doc_id closed form
+        # (archive.synth_archive). v1=n_members v2=n_images v3=img_px
+        # v4=text_len
+        from timeseries_db_spark.operators import archive as _archive
+
+        arcx = _archive.decode_archive_features(
+            _archive.documents_as_archive_assets(docs)
+        ).select(
+            "asset_id",
+            F.lit("arcx").alias("kind"),
+            F.col("n_members").alias("v1"),
+            F.col("n_images").alias("v2"),
+            F.col("img_px").alias("v3"),
+            F.col("text_len").alias("v4"),
+            F.lit(None).cast("long").alias("v5"),
+        )
         # r13 wmeta leg: WebM/Matroska — the remaining web container
         # family — EBML VINT walk to Info + Tracks metadata; every
         # field a doc_id closed form (synth_mkv)
@@ -2835,6 +2854,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(exif)
             .unionByName(gmeta)
             .unionByName(wmeta)
+            .unionByName(arcx)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -3210,6 +3230,19 @@ def register_extensions(q: dict, o: dict) -> None:
                    (8 * (3 + (doc_id // 3) % 3))::BIGINT AS h
             FROM documents WHERE doc_id % 3 = 0
         ) e
+        UNION ALL
+        -- arcx leg (r13): archive summary restated closed-form —
+        -- 2 + id%2 members, 1 + id%2 images, pixel sums of the
+        -- constant 4x4 PNGs, text 'Doc {id} text'
+        SELECT doc_id AS asset_id, 'arcx' AS kind,
+               (2 + doc_id % 2)::BIGINT AS v1,
+               (1 + doc_id % 2)::BIGINT AS v2,
+               (16 * ((3 * doc_id + 11) % 256)
+                + (doc_id % 2) * 16 * ((5 * doc_id + 7) % 256))::BIGINT
+                 AS v3,
+               length('Doc ' || doc_id || ' text')::BIGINT AS v4,
+               NULL::BIGINT AS v5
+        FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         -- wmeta leg (r13): WebM/Matroska EBML metadata restated
         SELECT doc_id AS asset_id, 'wmeta' AS kind,
