@@ -2340,6 +2340,10 @@ def test_archive_tar_zip_roundtrip_and_routing():
         assert [A.sniff_kind(d) for _n, d in got] == [
             "image", "text", "other"
         ]
+    # .tar.gz / .tgz: the gzip wrapper tarballs actually ship in
+    import gzip as _gzip
+
+    assert A.archive_members(_gzip.compress(A.tar_build(members))) == members
     # a PDF, WARC and MP4 member route to their surfaces
     assert A.sniff_kind(b"%PDF-1.4 x") == "pdf"
     assert A.sniff_kind(b"WARC/1.0\r\n") == "warc"

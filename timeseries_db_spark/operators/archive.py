@@ -123,9 +123,13 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def archive_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """Magic-dispatching member enumeration: ZIP (``PK``) or tar
-    (ustar magic at 257, or a checksum-valid first header)."""
+    """Magic-dispatching member enumeration: ZIP (``PK``), tar (ustar
+    magic at 257, or a checksum-valid first header), or either inside
+    a gzip wrapper (``.tar.gz``/``.tgz`` — the shape tarballs actually
+    ship in; zstd/xz wrappers are documented seams)."""
     b = payload
+    if b[:2] == b"\x1f\x8b":
+        b = zlib.decompress(b, wbits=31)
     if b[:2] == b"PK":
         return zip_members(b)
     if len(b) >= 512 and (
