@@ -3474,6 +3474,42 @@ def test_pdf_encryption_standard_handler_all_modes():
         P.pdf_text(aes.replace(b"/CFM /AESV2", b"/CFM /AESV3"))
 
 
+def test_pdf_cid_tounicode_extraction():
+    """r13: CID/Type0 text — 2-byte Identity-H codes mapped back
+    through the /ToUnicode CMap (codes offset from the characters, so
+    only a real CMap decode reproduces the text), across both
+    layouts, both show forms, and under encryption; bfchar + both
+    bfrange forms; unmapped codes surface as U+FFFD."""
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [["Hello CID world", "Ünïcödé line"], ["page two"]]
+    exp = "Hello CID world\nÜnïcödé line\npage two"
+    for xs in (False, True):
+        for tj in (False, True):
+            for mode in (None, "aesv2"):
+                p = P.pdf_build(
+                    pages, xref_stream=xs, use_tj_array=tj,
+                    encrypt=mode, cid_font=True,
+                )
+                assert P.pdf_text(p)[0] == exp, (xs, tj, mode)
+    raw = P.pdf_build(pages, flate=False, cid_font=True)
+    assert b"Hello" not in raw  # codes, not characters
+    # CMap corner forms
+    nb, cm = P._tounicode_cmap(
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0100> <0102> <0041>\nendbfrange\n"
+        b"1 beginbfrange\n<0200> <0201> [<0058> <005a>]\nendbfrange\n"
+    )
+    assert nb == 2
+    assert cm == {0x100: "A", 0x101: "B", 0x102: "C",
+                  0x200: "X", 0x201: "Z"}
+    # remapping a destination changes the text (the CMap is really
+    # driving extraction); removing a source leaves U+FFFD
+    p = P.pdf_build([["AB"]], flate=False, cid_font=True)
+    assert P.pdf_text(p.replace(b"<0041>", b"<0039>", 1))[0] == "9B"
+    assert P.pdf_text(p.replace(b"<0100>", b"<0999>", 1))[0] == "�B"
+
+
 def test_pdf_images_dct_flate_raw_and_encrypted():
     """r13: /Subtype /Image XObjects — DCTDecode through the repo
     JPEG decoder (per-block-constant pixels decode EXACTLY, so px_sum

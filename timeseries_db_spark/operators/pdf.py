@@ -42,13 +42,22 @@ majority of machine-generated PDFs' text layer:
   payload on the image path), ``/FlateDecode``/raw are inflated
   samples; ``px_sum`` is the closed-form signal, video-leg style.
 
+* **CID/Type0 fonts** (r13 late): the ``Tf`` operator tracks the
+  active font through page /Resources, and fonts carrying a
+  ``/ToUnicode`` CMap (ISO 32000-1 §9.10.3 — bfchar + both bfrange
+  forms, codespace-derived code width) decode their multi-byte show
+  strings to unicode — the way machine-generated CID PDFs are
+  actually extracted. The writer's ``cid_font=True`` emits
+  Identity-H Type0 text whose codes are offset from the characters,
+  so only a real CMap decode reproduces the text.
+
 Out of scope, raising ``ValueError`` with the capability name exactly
 like the media codecs' seams: AES-256 (/V 5, rev 5/6) and
 non-Standard security handlers, password-protected files (non-empty
 user password), CCITT/JBIG2/JPX image filters, LZW with
-``EarlyChange 0``, CID/Type0 composite fonts with multi-byte
-encodings (a real deployment slots pdfminer/poppler in per payload —
-the Spark plumbing is identical).
+``EarlyChange 0``. CID fonts WITHOUT a ToUnicode CMap (glyph-id-only
+text) remain the pdfminer/poppler seam — there is nothing to map
+them back with short of font-file cmap tables.
 
 The writer half (:func:`pdf_build`) emits a minimal valid PDF
 (catalog → pages → page → Flate or raw content stream + one Type1
@@ -594,17 +603,86 @@ def _hex_string(s: bytes, i: int) -> tuple[str, int]:
     return bytes.fromhex(digits.decode("latin-1")).decode("latin-1"), end + 1
 
 
-def _content_text(stream: bytes) -> tuple[str, int]:
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S
+)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+
+
+def _tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (r13 — ISO 32000-1 §9.10.3):
+    returns (code_byte_width, {code → unicode string}). bfchar pairs
+    and both bfrange forms (consecutive destination, or an explicit
+    destination array) are read; destinations are UTF-16BE."""
+    m = _CODESPACE_RE.search(data)
+    nbytes = len(m.group(1)) // 2 if m else 2
+
+    def dst(h: bytes) -> str:
+        return bytes.fromhex(h.decode()).decode("utf-16-be", "replace")
+
+    cmap: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(data):
+        hexes = _HEXPAIR_RE.findall(block)
+        for k in range(0, len(hexes) - 1, 2):
+            cmap[int(hexes[k], 16)] = dst(hexes[k + 1])
+    for block in _BFRANGE_RE.findall(data):
+        # form A: <lo> <hi> <dst>; form B: <lo> <hi> [<d> <d> ...]
+        for mr in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+            block,
+        ):
+            lo, hi = int(mr.group(1), 16), int(mr.group(2), 16)
+            if mr.group(3) is not None:
+                base = int(mr.group(3), 16)
+                width = len(mr.group(3))
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = dst(
+                        f"{base + k:0{width}x}".encode()
+                    )
+            else:
+                dsts = _HEXPAIR_RE.findall(mr.group(4))
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        cmap[lo + k] = dst(d)
+    return nbytes, cmap
+
+
+def _apply_cmap(raw: str, font) -> str:
+    """Map one show-string through the current font's ToUnicode CMap
+    (``font`` = (nbytes, code→str); None = simple font, latin-1 as
+    read). Unmapped codes become U+FFFD — visible, never silent."""
+    if font is None:
+        return raw
+    nbytes, cmap = font
+    bs = raw.encode("latin-1", "replace")
+    out = []
+    for k in range(0, len(bs) - nbytes + 1, nbytes):
+        code = int.from_bytes(bs[k : k + nbytes], "big")
+        out.append(cmap.get(code, "�"))
+    return "".join(out)
+
+
+def _content_text(stream: bytes, fonts=None) -> tuple[str, int]:
     """Evaluate the text-showing operators of one content stream:
     returns (extracted text, n_show_ops). Text runs inside one BT/ET
     are joined as-is; ``TD``/``Td``/``T*``/``ET`` insert a line
-    break (collapsed later)."""
+    break (collapsed later). ``fonts`` (r13) maps resource names to
+    ToUnicode CMaps — the ``Tf`` operator switches the active font,
+    and show strings under a CMap'd font decode as multi-byte codes
+    (CID/Type0 text extraction)."""
     parts: list[str] = []
     n_shows = 0
     pending: list[str] = []  # operand stack (string operands only)
     i = 0
     n = len(stream)
     in_text = False
+    last_name = ""
+    cur_font = None
 
     def brk() -> None:
         if parts and parts[-1] != "\n":
@@ -628,10 +706,13 @@ def _content_text(stream: bytes) -> tuple[str, int]:
             i = n if j < 0 else j + 1
         elif c == 0x5B or c == 0x5D or stream[i : i + 2] == b">>":  # [ ] >>
             i += 2 if stream[i : i + 2] == b">>" else 1
-        elif c == 0x2F:  # /name
+        elif c == 0x2F:  # /name — remembered for the Tf operator
             i += 1
-            while i < n and stream[i] not in _WS and stream[i] not in _DELIM:
-                i += 1
+            j = i
+            while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
+                j += 1
+            last_name = stream[i:j].decode("latin-1")
+            i = j
         else:  # number or operator token
             j = i
             while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
@@ -646,18 +727,23 @@ def _content_text(stream: bytes) -> tuple[str, int]:
                 in_text = False
                 brk()
                 pending.clear()
+            elif tok == b"Tf":
+                cur_font = (fonts or {}).get(last_name)
+                pending.clear()
             elif in_text and tok in (b"Tj", b"'", b'"'):
                 if tok != b"Tj":
                     brk()  # ' and " move to the next line first
                 if pending:
-                    parts.append(pending[-1])
+                    parts.append(_apply_cmap(pending[-1], cur_font))
                     n_shows += 1
                 pending.clear()
             elif in_text and tok == b"TJ":
                 # array show: string operands concatenate, kerning
                 # numbers (already skipped as non-string tokens) drop
                 if pending:
-                    parts.append("".join(pending))
+                    parts.append(
+                        "".join(_apply_cmap(p, cur_font) for p in pending)
+                    )
                     n_shows += 1
                 pending.clear()
             elif in_text and tok in (b"Td", b"TD", b"T*"):
@@ -732,6 +818,35 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
     text scan (an xref stream's binary rows could contain ``BT`` by
     chance) but counted in ``n_streams`` like any other stream."""
     objs, directory, resolve, enc = _pdf_open(payload)
+    # r13: resource-name → ToUnicode CMap (CID/Type0 text extraction)
+    # — page /Font dicts name the font objects, a font's /ToUnicode
+    # stream maps its multi-byte codes to unicode; fonts without one
+    # decode as before (simple latin-1 shows)
+    font_refs: dict[str, int] = {}
+    for _num, body in objs:
+        if b"/Page" in body and b"/Font" in body:
+            fdict = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
+            if fdict:
+                for mm in re.finditer(
+                    rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict.group(1)
+                ):
+                    font_refs[mm.group(1).decode()] = int(mm.group(2))
+    fonts: dict[str, tuple] = {}
+    for name, fnum in font_refs.items():
+        fbody = directory.get(fnum)
+        if fbody is None:
+            continue
+        mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if not mtu:
+            continue
+        tbody = directory.get(int(mtu.group(1)))
+        if tbody is None:
+            continue
+        data = _stream_of(
+            tbody, resolve, _decrypt_for(enc, int(mtu.group(1)))
+        )
+        if data is not None:
+            fonts[name] = _tounicode_cmap(data)
     texts: list[str] = []
     n_shows = 0
     n_streams = 0
@@ -755,7 +870,7 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
         n_streams += 1
         if b"BT" not in data:  # not a text-bearing content stream
             continue
-        t, k = _content_text(data)
+        t, k = _content_text(data, fonts)
         n_shows += k
         if t:
             texts.append(t)
@@ -829,15 +944,24 @@ def pdf_images(payload: bytes) -> list[tuple[int, int, int, int]]:
 
 
 def _pdf_shows(
-    lines: list[str], use_tj_array: bool
+    lines: list[str], use_tj_array: bool, codes: dict[str, int] | None = None
 ) -> bytes:
     """One page's content-stream bytes (shared by both writer
-    layouts)."""
+    layouts). ``codes`` (r13) switches to CID mode: show operands are
+    hex strings of 2-byte codes under the document's ToUnicode CMap
+    instead of latin-1 literals."""
 
     def esc(s: str) -> bytes:
         return (
             s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
         ).encode("latin-1")
+
+    def op(s: str) -> bytes:
+        if codes is None:
+            return b"(" + esc(s) + b")"
+        return (
+            b"<" + "".join(f"{codes[ch]:04x}" for ch in s).encode() + b">"
+        )
 
     shows = []
     for ln in lines:
@@ -845,11 +969,11 @@ def _pdf_shows(
             # split into kerned halves: [(ab) -120 (cd)] TJ
             half = len(ln) // 2
             shows.append(
-                b"[(" + esc(ln[:half]) + b") -120 ("
-                + esc(ln[half:]) + b")] TJ T*"
+                b"[" + op(ln[:half]) + b" -120 "
+                + op(ln[half:]) + b"] TJ T*"
             )
         else:
-            shows.append(b"(" + esc(ln) + b") Tj T*")
+            shows.append(op(ln) + b" Tj T*")
     return b"BT /F1 12 Tf 72 720 Td 14 TL\n" + b"\n".join(shows) + b"\nET"
 
 
@@ -859,6 +983,7 @@ def pdf_build(
     xref_stream: bool = False, encrypt: str | None = None,
     image: tuple[int, int, int, bytes] | None = None,
     image_filter: str = "dct",
+    cid_font: bool = False,
 ) -> bytes:
     """Minimal valid PDF writer (tests + fixtures): one content stream
     per page, each inner list one text line (``Td``-positioned ``Tj``
@@ -951,6 +1076,45 @@ def pdf_build(
                 return aes128_cbc_encrypt(ok, iv, data)
             return rc4(ok, data)
 
+    codes = None
+    cmap_stream = b""
+    if cid_font:
+        # r13: a Type0/Identity-H font — show strings become 2-byte
+        # codes (offset 0x0100, so NO code equals its character and
+        # extraction must genuinely run the CMap), mapped back by a
+        # /ToUnicode stream in the standard CMap wrapper
+        chars = sorted({ch for page in pages for ln in page for ch in ln})
+        codes = {ch: 0x0100 + k for k, ch in enumerate(chars)}
+        bf = "".join(
+            f"<{c:04x}> <{ord(ch):04x}>\n" for ch, c in codes.items()
+        )
+        cmap_stream = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "12 dict begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            f"{len(codes)} beginbfchar\n{bf}endbfchar\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            "end\nend\n"
+        ).encode()
+
+    def font_body(cmap_num: int | None) -> bytes:
+        if not cid_font:
+            return b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        return (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /TSDB "
+            f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>"
+        ).encode()
+
+    def cmap_body(num: int) -> bytes:
+        data = cmap_stream
+        if crypt is not None:
+            data = crypt(data, num)
+        return (
+            f"<< /Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )
+
     def img_body(num: int) -> bytes:
         w, h, ch, px = image
         if image_filter == "dct":
@@ -983,12 +1147,18 @@ def pdf_build(
         objs.append(
             f"<< /Type /Pages /Kids [{kids}] /Count {n_p} >>".encode()
         )
-        objs.append(
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-        )
-        img_num = 4 + 2 * n_p if image is not None else None
+        nxt = 4 + 2 * n_p
+        cmap_num = None
+        if cid_font:
+            cmap_num = nxt
+            nxt += 1
+        img_num = None
+        if image is not None:
+            img_num = nxt
+            nxt += 1
+        objs.append(font_body(cmap_num))
         for i, lines in enumerate(pages):
-            shows = _pdf_shows(lines, use_tj_array)
+            shows = _pdf_shows(lines, use_tj_array, codes)
             xobj = ""
             if i == 0 and image is not None:
                 shows += b"\nq 64 0 0 64 100 100 cm /Im1 Do Q"
@@ -1006,6 +1176,8 @@ def pdf_build(
                 + content
                 + b"\nendstream"
             )
+        if cmap_num is not None:
+            objs.append(cmap_body(cmap_num))
         if image is not None:
             objs.append(img_body(img_num))
         enc_frag = ""
@@ -1035,6 +1207,10 @@ def pdf_build(
     nxt = 4 + 3 * n_p
     objstm_num = nxt
     nxt += 1
+    cmap_num = None
+    if cid_font:
+        cmap_num = nxt
+        nxt += 1
     img_num = None
     if image is not None:
         img_num = nxt
@@ -1055,10 +1231,10 @@ def pdf_build(
                 + f"] /Count {n_p} >>"
             ).encode(),
         ),
-        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (3, font_body(cmap_num)),
     ]
     for i, lines in enumerate(pages):
-        shows = _pdf_shows(lines, use_tj_array)
+        shows = _pdf_shows(lines, use_tj_array, codes)
         xobj = ""
         if i == 0 and image is not None:
             shows += b"\nq 64 0 0 64 100 100 cm /Im1 Do Q"
@@ -1106,6 +1282,12 @@ def pdf_build(
         out += f"{num} 0 obj\n".encode() + cbody + b"\nendobj\n"
     at_of[objstm_num] = len(out)
     out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+    if cmap_num is not None:
+        at_of[cmap_num] = len(out)
+        out += (
+            f"{cmap_num} 0 obj\n".encode() + cmap_body(cmap_num)
+            + b"\nendobj\n"
+        )
     if img_num is not None:
         at_of[img_num] = len(out)
         out += f"{img_num} 0 obj\n".encode() + img_body(img_num) + b"\nendobj\n"

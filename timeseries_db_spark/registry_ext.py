@@ -1345,6 +1345,7 @@ def register_extensions(q: dict, o: dict) -> None:
                             lzw=(did % 5 == 0),
                             xref_stream=(did % 7 == 0),
                             encrypt=_ENC[did % 4],
+                            cid_font=(did % 3 == 1),
                             image=img,
                             image_filter=(
                                 "dct" if did % 4 == 0 else "flate"
@@ -1771,11 +1772,15 @@ def register_extensions(q: dict, o: dict) -> None:
         "UNION ALL "
         # pdf n_b (r13 late): every doc now counts 2 base streams —
         # odd ids' second page OR even ids' image XObject — plus the
-        # xref-layout docs' 2 infrastructure streams; even ids append
-        # the image px_sum closed form 64*Σ (10*doc_id + 31k) % 256
+        # xref-layout docs' 2 infrastructure streams, plus the CID
+        # docs' (id%3==1) ToUnicode CMap stream; even ids append
+        # the image px_sum closed form 64*Σ (10*doc_id + 31k) % 256.
+        # The TEXT closed form is UNCHANGED by cid_font — the codes
+        # are offset so only a real CMap decode reproduces it.
         "SELECT doc_id, 'pdf' AS kind, "
         "(2 + doc_id % 3 + doc_id % 2)::BIGINT AS n_a, "
-        "(2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_b, "
+        "(2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END "
+        "+ CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b, "
         "'Doc ' || doc_id || "
         "CASE WHEN cl <> '' THEN chr(10) || cl ELSE '' END || "
         "CASE doc_id % 3 WHEN 1 THEN chr(10) || 'L0' "
