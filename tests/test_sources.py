@@ -168,6 +168,54 @@ def test_streaming_reads_every_timestamp_layout(spark, ts_layouts, tmp_path):
         assert got == sorted(millis), (unit, got)
 
 
+def test_corpus_avro_from_spec(spark, tmp_path):
+    """r13: Avro Object Container Files parsed from spec (no
+    spark-avro jar) — zigzag varints incl. 62-bit edges, nullable
+    unions, null + deflate codecs, per-block sync verification — and
+    read_corpus_any(fmt='avro') serving the corpus schema from a
+    directory of .avro files."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    recs = [
+        {"doc_id": i, "text": f"doc {i} ünïcödé" if i % 3 else None}
+        for i in range(257)
+    ] + [
+        {"doc_id": -(2**62), "text": "edge"},
+        {"doc_id": 2**62, "text": ""},
+    ]
+    for codec in ("null", "deflate"):
+        p = AV.avro_build(recs, AV.CORPUS_AVRO_SCHEMA, codec=codec)
+        schema, got = AV.avro_records(p)
+        assert got == recs and schema["name"] == "document", codec
+    # a flipped sync byte is corruption, not silently decoded
+    b = bytearray(AV.avro_build(recs[:5], AV.CORPUS_AVRO_SCHEMA))
+    b[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="sync"):
+        AV.avro_records(bytes(b))
+    # unknown codecs raise by name
+    with _pytest.raises(ValueError, match="codec"):
+        AV.avro_records(
+            AV.avro_build(recs[:5], AV.CORPUS_AVRO_SCHEMA, codec="snappy")
+        )
+    # the Spark read path: two shard files -> one corpus frame
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        AV.avro_build(recs[:100], AV.CORPUS_AVRO_SCHEMA, codec="deflate")
+    )
+    (d / "part-1.avro").write_bytes(
+        AV.avro_build(recs[100:], AV.CORPUS_AVRO_SCHEMA)
+    )
+    back = read_corpus_any(spark, str(d), fmt="avro").collect()
+    assert len(back) == len(recs)
+    by_id = {r["doc_id"]: r["text"] for r in back}
+    assert by_id[1] == "doc 1 ünïcödé" and by_id[3] is None
+    assert by_id[2**62] == "" and by_id[-(2**62)] == "edge"
+
+
 def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     """write_corpus_jsonl -> read_corpus_any is lossless on the
     documents table; a corrupt line quarantines with the raw text

@@ -1,0 +1,257 @@
+"""Avro Object Container Files from spec (r13) — the remaining
+data-lake interchange format: stock PySpark cannot read Avro without
+the external ``spark-avro`` package, so pipelines that receive Avro
+drops (Kafka archive dumps, warehouse exports) are stuck — unless the
+container is just parsed. The format is small and fully public
+(Apache Avro spec, "Object Container Files" + "Binary encoding"):
+
+* **container**: ``Obj\\x01`` magic, a file-metadata MAP
+  (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync marker;
+  then data blocks of ``(record_count, byte_size, payload, sync)``
+  with the payload raw-deflated when the codec says so. Sync markers
+  are VERIFIED per block.
+* **binary encoding**: zigzag varint longs/ints, length-prefixed
+  UTF-8 strings / bytes, little-endian IEEE doubles/floats, 1-byte
+  booleans, union branch indexes; records are field-ordered
+  concatenation.
+
+Schema subset: flat records of primitives and ``["null", prim]``
+unions — the shape tabular corpus exports actually have. Anything
+else raises with the capability name.
+
+Scale posture: files arrive via ``binaryFile`` and decode in the
+standard Arrow-batched kernel, one block at a time executor-side —
+the same per-asset parallelism as the WARC/archive readers. (A JVM
+``spark-avro`` jar slots in transparently at deployment; this reader
+removes the dependency for the flat-record case and documents the
+format's semantics as executable code.)
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _zigzag_encode(v: int) -> bytes:
+    n = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
+    n = 0
+    shift = 0
+    while True:
+        if at >= len(b):
+            raise ValueError("avro varint truncated")
+        x = b[at]
+        at += 1
+        n |= (x & 0x7F) << shift
+        if not x & 0x80:
+            break
+        shift += 7
+    return (n >> 1) ^ -(n & 1), at
+
+
+def _field_types(schema: dict) -> list[tuple[str, object]]:
+    if schema.get("type") != "record":
+        raise ValueError("avro reader supports record schemas (seam)")
+    out = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t:
+                raise ValueError("avro unions beyond [null, T] (seam)")
+        elif t not in ("long", "int", "string", "double", "float",
+                       "boolean", "bytes"):
+            raise ValueError(f"avro type {t!r} unsupported (seam)")
+        out.append((f["name"], t))
+    return out
+
+
+def _decode_value(t, b: bytes, at: int):
+    if isinstance(t, list):  # [null, T] in schema order
+        branch, at = _zigzag_decode(b, at)
+        sub = t[branch]
+        if sub == "null":
+            return None, at
+        return _decode_value(sub, b, at)
+    if t in ("long", "int"):
+        return _zigzag_decode(b, at)
+    if t in ("string", "bytes"):
+        n, at = _zigzag_decode(b, at)
+        raw = b[at : at + n]
+        if len(raw) != n:
+            raise ValueError("avro string/bytes truncated")
+        return (raw.decode("utf-8") if t == "string" else raw), at + n
+    if t == "double":
+        return struct.unpack("<d", b[at : at + 8])[0], at + 8
+    if t == "float":
+        return struct.unpack("<f", b[at : at + 4])[0], at + 4
+    if t == "boolean":
+        return bool(b[at]), at + 1
+    raise ValueError(f"avro type {t!r} unsupported (seam)")
+
+
+def _encode_value(t, v) -> bytes:
+    if isinstance(t, list):
+        if v is None:
+            return _zigzag_encode(t.index("null"))
+        sub = next(x for x in t if x != "null")
+        return _zigzag_encode(t.index(sub)) + _encode_value(sub, v)
+    if t in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if t == "string":
+        raw = v.encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if t == "bytes":
+        return _zigzag_encode(len(v)) + bytes(v)
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"avro type {t!r} unsupported (seam)")
+
+
+def avro_records(payload: bytes) -> tuple[dict, list[dict]]:
+    """(schema, records) of one Object Container File — sync markers
+    verified per block, null/deflate codecs, the flat-record schema
+    subset. Raises ``ValueError`` on corruption or unsupported
+    shapes."""
+    b = payload
+    if b[:4] != b"Obj\x01":
+        raise ValueError(f"not an Avro container (magic {b[:4]!r})")
+    at = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, at = _zigzag_decode(b, at)
+        if count == 0:
+            break
+        if count < 0:  # negative block count: size follows (spec)
+            count = -count
+            _sz, at = _zigzag_decode(b, at)
+        for _ in range(count):
+            klen, at = _zigzag_decode(b, at)
+            key = b[at : at + klen].decode("utf-8")
+            at += klen
+            vlen, at = _zigzag_decode(b, at)
+            meta[key] = b[at : at + vlen]
+            at += vlen
+    sync = b[at : at + 16]
+    at += 16
+    schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("latin-1")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro codec {codec!r} unsupported (seam)")
+    fields = _field_types(schema)
+    records: list[dict] = []
+    while at < len(b):
+        count, at = _zigzag_decode(b, at)
+        size, at = _zigzag_decode(b, at)
+        block = b[at : at + size]
+        if len(block) != size:
+            raise ValueError("avro block truncated")
+        at += size
+        if b[at : at + 16] != sync:
+            raise ValueError("avro sync marker mismatch (corrupt block)")
+        at += 16
+        if codec == "deflate":
+            block = zlib.decompressobj(-15).decompress(block)
+        p = 0
+        for _ in range(count):
+            rec = {}
+            for name, t in fields:
+                rec[name], p = _decode_value(t, block, p)
+            records.append(rec)
+        if p != len(block):
+            raise ValueError("avro block has trailing bytes")
+    return schema, records
+
+
+def avro_build(
+    records: list[dict], schema: dict, codec: str = "null",
+    block_records: int = 100,
+) -> bytes:
+    """Minimal Object Container File writer (the reader's pin):
+    null or deflate codec, deterministic sync marker."""
+    import hashlib
+
+    fields = _field_types(schema)
+    sjson = json.dumps(schema).encode("utf-8")
+    sync = hashlib.md5(sjson).digest()
+    meta = [(b"avro.schema", sjson), (b"avro.codec", codec.encode())]
+    out = bytearray(b"Obj\x01")
+    out += _zigzag_encode(len(meta))
+    for k, v in meta:
+        out += _zigzag_encode(len(k)) + k
+        out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)
+    out += sync
+    for i in range(0, max(len(records), 1), block_records):
+        chunk = records[i : i + block_records]
+        if not chunk:
+            break
+        body = b"".join(
+            b"".join(_encode_value(t, rec[name]) for name, t in fields)
+            for rec in chunk
+        )
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+        out += _zigzag_encode(len(chunk))
+        out += _zigzag_encode(len(body))
+        out += body + sync
+    return bytes(out)
+
+
+#: the corpus schema as Avro — what a warehouse export of the
+#: documents table looks like
+CORPUS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "document",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+    ],
+}
+
+
+def read_corpus_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, text) corpus from a directory of ``.avro`` container
+    files — ``binaryFile`` scan + the from-spec decoder in the
+    standard Arrow kernel. Files decode independently (per-file
+    parallelism, the Avro-drop arrival unit)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                _schema, recs = avro_records(bytes(content))
+                for r in recs:
+                    rows.append((r["doc_id"], r.get("text")))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="doc_id long, text string")
+    )

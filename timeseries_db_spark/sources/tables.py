@@ -298,9 +298,15 @@ def read_corpus_any(
       right mode when upstream claims to have validated)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"json": "json", "jsonl": "json", "orc": "orc"}.get(ext, "parquet")
+        fmt = {
+            "json": "json", "jsonl": "json", "orc": "orc", "avro": "avro"
+        }.get(ext, "parquet")
     if fmt == "orc":  # r10
         return spark.read.schema(CORPUS_SCHEMA).orc(path)
+    if fmt == "avro":  # r13: from-spec container read, no spark-avro jar
+        from timeseries_db_spark.sources.avro import read_corpus_avro
+
+        return read_corpus_avro(spark, path)
     if fmt == "json":
         if on_malformed == "quarantine":
             from pyspark.sql import functions as F
