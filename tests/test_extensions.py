@@ -2340,10 +2340,13 @@ def test_archive_tar_zip_roundtrip_and_routing():
         assert [A.sniff_kind(d) for _n, d in got] == [
             "image", "text", "other"
         ]
-    # .tar.gz / .tgz: the gzip wrapper tarballs actually ship in
+    # .tar.gz / .tar.xz / .tar.bz2: the wrappers tarballs ship in
+    import bz2 as _bz2
     import gzip as _gzip
+    import lzma as _lzma
 
-    assert A.archive_members(_gzip.compress(A.tar_build(members))) == members
+    for wrap in (_gzip.compress, _lzma.compress, _bz2.compress):
+        assert A.archive_members(wrap(A.tar_build(members))) == members
     # a PDF, WARC and MP4 member route to their surfaces
     assert A.sniff_kind(b"%PDF-1.4 x") == "pdf"
     assert A.sniff_kind(b"WARC/1.0\r\n") == "warc"

@@ -125,11 +125,20 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
 def archive_members(payload: bytes) -> list[tuple[str, bytes]]:
     """Magic-dispatching member enumeration: ZIP (``PK``), tar (ustar
     magic at 257, or a checksum-valid first header), or either inside
-    a gzip wrapper (``.tar.gz``/``.tgz`` — the shape tarballs actually
-    ship in; zstd/xz wrappers are documented seams)."""
+    a gzip / xz / bzip2 wrapper (``.tar.{gz,xz,bz2}`` — the shapes
+    tarballs actually ship in; zstd stays the documented seam — no
+    stdlib decoder on this interpreter)."""
     b = payload
     if b[:2] == b"\x1f\x8b":
         b = zlib.decompress(b, wbits=31)
+    elif b[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        b = lzma.decompress(b)
+    elif b[:3] == b"BZh":
+        import bz2
+
+        b = bz2.decompress(b)
     if b[:2] == b"PK":
         return zip_members(b)
     if len(b) >= 512 and (
