@@ -539,6 +539,50 @@ def test_cdx_index_parse_and_engine_parity(spark):
         ), (i, row)
 
 
+def test_unicode_clean_strips_folds_and_nfc_parity(spark):
+    """r13: Unicode hygiene — zero-width strip (counted), control
+    strip (tab/newline kept), typographic punctuation folds, NFC
+    composition of combining sequences — with the DuckDB twin
+    (utf8proc) agreeing with Python's unicodedata on every row: two
+    independent Unicode implementations pinned against each other."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    cases = [
+        (1, "Café and “quoted” — "
+            "with​zero‌width﻿ chars"),
+        (2, "plain ascii"),
+        (3, "ctrl\x07here\x9cand\ttab\nline"),
+        (4, "‘single’ – dash  nbsp"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.unicode_clean(df).collect()}
+    g = got[1]
+    assert g["n_zero_width"] == 3
+    assert g["text_norm"].startswith("Café")  # NFC precomposed
+    assert '"quoted"' in g["text_norm"] and "-" in g["text_norm"]
+    assert got[3]["n_controls"] == 2
+    assert "\t" in got[3]["text_norm"] and "\n" in got[3]["text_norm"]
+    assert got[4]["text_norm"] == "'single' - dash  nbsp"
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in cases
+    )
+    duck = con.execute(
+        text.unicode_clean_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    for row in duck:
+        for c, v in zip(
+            ["doc_id", "n_zero_width", "n_controls", "text_norm"], row
+        ):
+            assert got[row[0]][c] == v, (row[0], c, got[row[0]][c], v)
+
+
 def test_html_page_meta_fields_and_engine_parity(spark):
     """r13: page-level metadata extraction — <title>, rel=canonical,
     og:title, meta-description length, the meta-robots NOINDEX flag,

@@ -1596,6 +1596,104 @@ def gopher_quality_sql(source_sql: str = "SELECT * FROM documents",
     """
 
 
+# ---------------------------------------------------------------------------
+# Unicode normalization / cleanup (r13)
+# ---------------------------------------------------------------------------
+
+#: zero-width characters scrubbed before tokenization (ZWSP/ZWNJ/ZWJ/
+#: BOM-as-ZWNBSP) and the C0/C1 controls kept (tab, newline)
+_ZW_CHARS = "​‌‍﻿"
+_PUNCT_FOLDS = [
+    ("“", '"'), ("”", '"'),
+    ("‘", "'"), ("’", "'"),
+    ("–", "-"), ("—", "-"),
+    (" ", " "),
+]
+
+
+def unicode_clean(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_zero_width, n_controls, text_norm) — the Unicode
+    hygiene pass every tokenizer-bound corpus runs (r13): count and
+    strip zero-width characters (ZWSP/ZWNJ/ZWJ/ZWNBSP — invisible
+    tokens that split words and poison dedup keys) and C0/C1 control
+    characters (tab/newline kept), fold the typographic punctuation
+    web text is full of (curly quotes, en/em dashes, NBSP) to ASCII,
+    then NFC-normalize so combining sequences collapse to their
+    precomposed forms (one 'é', not 'e'+U+0301 — the difference that
+    silently breaks exact-dedup and vocabulary counts).
+
+    NFC needs a real Unicode database, so this is an Arrow-batched
+    kernel (stdlib ``unicodedata``) rather than JVM expressions — the
+    same map-only per-batch posture as the HTML extractor. The DuckDB
+    twin uses the engine's ``nfc_normalize`` (utf8proc); both
+    implement the same Unicode standard and the parity leg pins them
+    against each other."""
+    import re as _re
+    from typing import Iterator as _It
+
+    zw_re = _re.compile(f"[{_ZW_CHARS}]")
+    ctl_re = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f\x80-\x9f]")
+
+    def clean_one(s: str) -> tuple[int, int, str]:
+        import unicodedata as _ud
+
+        n_zw = len(zw_re.findall(s))
+        n_ctl = len(ctl_re.findall(s))
+        s = zw_re.sub("", s)
+        s = ctl_re.sub("", s)
+        for a, b in _PUNCT_FOLDS:
+            s = s.replace(a, b)
+        return n_zw, n_ctl, _ud.normalize("NFC", s)
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [clean_one(x or "") for x in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_zero_width": [r[0] for r in rows],
+                    "n_controls": [r[1] for r in rows],
+                    "text_norm": [r[2] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id long, n_zero_width long, n_controls long, "
+        "text_norm string",
+    )
+
+
+def unicode_clean_sql(source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`unicode_clean` — the same strip/fold
+    order ending in the engine's ``nfc_normalize``."""
+    zw_class = _ZW_CHARS  # literal chars: RE2 has no \\uXXXX escapes
+    ctl_class = (
+        "'[\\x00-\\x08\\x0b-\\x1f\\x7f' || chr(128) || '-' || chr(159) "
+        "|| ']'"
+    )
+    expr = "s"
+    for a, b in _PUNCT_FOLDS:
+        bq = b.replace("'", "''")
+        expr = f"replace({expr}, chr({ord(a)}), '{bq}')"
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[{zw_class}]'))::BIGINT
+                   AS n_zero_width,
+               len(regexp_extract_all(text, {ctl_class}))::BIGINT
+                   AS n_controls,
+               nfc_normalize({expr}) AS text_norm
+        FROM (
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(text, '[{zw_class}]',
+                       '', 'g'), {ctl_class}, '', 'g') AS s
+            FROM ({source_sql})
+        )
+    """
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, text_scrubbed) — redact email addresses
     and IPv4 literals to ``<EMAIL>`` / ``<IP>`` placeholders, counting

@@ -879,6 +879,20 @@ def register_extensions(q: dict, o: dict) -> None:
         " '</head><body>x</body></html>')"
     )
 
+    # r13 unor leg shared construction: combining acute (must NFC-fold
+    # into the precomposed char), zero-widths (id%4 of them), BEL
+    # controls (id%3), curly quotes every 3rd doc — the characters are
+    # embedded as UTF-8 literals because Spark's chr() cannot produce
+    # codepoints above 255. {dn}/{cn} are the repeat-count cast seams.
+    _UNOR_PAGE = (
+        "concat('Doc ', doc_id, ' café text',"
+        " repeat('​', {dn}),"
+        " repeat('\x07', {cn}),"
+        " CASE WHEN doc_id % 3 = 0 THEN '“quoted”'"
+        " ELSE '' END,"
+        " ' end')"
+    )
+
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
     # repetition/diversity signals ride inside text_features; this is
     # the one text op whose OUTPUT is a rewritten text column, so it
@@ -1695,6 +1709,30 @@ def register_extensions(q: dict, o: dict) -> None:
                 " coalesce(ld_type, '-'))"
             ).alias("out_text"),
         )
+        # r13 unor leg: Unicode hygiene (text.unicode_clean) — the
+        # zero-width/control strips and punctuation folds run in the
+        # Arrow kernel, NFC composition collapses the combining acute
+        # into the precomposed char, and the oracle runs the DuckDB
+        # twin (utf8proc nfc_normalize) over the SAME construction —
+        # TWO INDEPENDENT Unicode implementations pinned against each
+        # other. n_a = zero-widths (id%4), n_b = controls (id%3).
+        unor = text.unicode_clean(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    _UNOR_PAGE.format(
+                        dn="cast(doc_id % 4 as int)",
+                        cn="cast(doc_id % 3 as int)",
+                    )
+                ).alias("text"),
+            )
+        ).select(
+            "doc_id",
+            F.lit("unor").alias("kind"),
+            F.col("n_zero_width").alias("n_a"),
+            F.col("n_controls").alias("n_b"),
+            F.col("text_norm").alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1712,6 +1750,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(pmeta)
             .unionByName(sidx)
             .unionByName(feed)
+            .unionByName(unor)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -1966,6 +2005,19 @@ def register_extensions(q: dict, o: dict) -> None:
             "'</title><link rel=\"alternate\" href=\"https://a' || "
             "(doc_id % 5) || '.org/e' || doc_id || '\"/></entry></feed>' "
             "END AS xml FROM documents"
+        )
+        + ") "
+        "UNION ALL "
+        # unor (r13): the DuckDB twin (utf8proc nfc_normalize) over the
+        # same construction — two independent Unicode implementations
+        "SELECT doc_id, 'unor' AS kind, n_zero_width AS n_a, "
+        "n_controls AS n_b, text_norm AS out_text FROM ("
+        + text.unicode_clean_sql(
+            "SELECT doc_id, "
+            + _UNOR_PAGE.format(
+                dn="(doc_id % 4)::INT", cn="(doc_id % 3)::INT"
+            )
+            + " AS text FROM documents"
         )
         + ") "
         "UNION ALL "
