@@ -2340,6 +2340,9 @@ def test_archive_tar_zip_roundtrip_and_routing():
         assert [A.sniff_kind(d) for _n, d in got] == [
             "image", "text", "other"
         ]
+    # GNU long names: >100-byte paths roundtrip via an 'L' entry
+    deep = "datasets/" + "x" * 120 + "/shard-000.txt"
+    assert A.tar_members(A.tar_build([(deep, b"p")])) == [(deep, b"p")]
     # .tar.gz / .tar.xz / .tar.bz2: the wrappers tarballs ship in
     import bz2 as _bz2
     import gzip as _gzip

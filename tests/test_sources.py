@@ -216,6 +216,26 @@ def test_corpus_avro_from_spec(spark, tmp_path):
     assert by_id[2**62] == "" and by_id[-(2**62)] == "edge"
 
 
+def test_corpus_csv_read(spark, tmp_path):
+    """r13: headered CSV corpus exports — quoted fields with embedded
+    newlines and commas survive the multiLine read."""
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        'doc_id,text\n1,"plain text"\n2,"with, comma"\n'
+        '3,"multi\nline body"\n4,\n'
+    )
+    back = {
+        r["doc_id"]: r["text"]
+        for r in read_corpus_any(spark, str(d), fmt="csv").collect()
+    }
+    assert back == {
+        1: "plain text", 2: "with, comma", 3: "multi\nline body", 4: None
+    }
+
+
 def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     """write_corpus_jsonl -> read_corpus_any is lossless on the
     documents table; a corrupt line quarantines with the raw text

@@ -12,7 +12,7 @@ kernel consumes.
   link entries are enumerated but carry no payload), data padded to
   512, two zero blocks end the stream. Header checksum verified
   (unsigned sum with the checksum field blanked). GNU long-name 'L'
-  entries are a documented seam.
+  entries apply their payload as the next member's name (r13 late).
 * **ZIP** (APPNOTE): EOCD scan from the tail (comment-tolerant),
   central-directory walk (the AUTHORITATIVE member list — local
   headers are only trusted for their variable-length field sizes),
@@ -37,11 +37,15 @@ from pyspark.sql import functions as F
 
 
 def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """(name, data) for every REGULAR file of a ustar/tar stream.
-    Raises ``ValueError`` on a bad header checksum or truncation."""
+    """(name, data) for every REGULAR file of a ustar/tar stream —
+    GNU long-name (``L``) entries apply their payload as the NEXT
+    member's name (r13 late; names >100 bytes are how deep dataset
+    trees actually tar up). Raises ``ValueError`` on a bad header
+    checksum or truncation."""
     b = payload
     out: list[tuple[str, bytes]] = []
     at = 0
+    pending_name: str | None = None
     while at + 512 <= len(b):
         hdr = b[at : at + 512]
         if hdr == b"\x00" * 512:
@@ -59,13 +63,19 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = hdr[156:157]
-        if typeflag == b"L":
-            raise ValueError("tar GNU long-name entries unsupported (seam)")
         data_at = at + 512
         if data_at + size > len(b):
             raise ValueError("tar member data truncated")
-        if typeflag in (b"0", b"\x00"):
-            out.append((name, b[data_at : data_at + size]))
+        data = b[data_at : data_at + size]
+        if typeflag == b"L":
+            pending_name = (
+                data.split(b"\x00")[0].decode("utf-8", "replace")
+            )
+        elif typeflag in (b"0", b"\x00"):
+            out.append((pending_name or name, data))
+            pending_name = None
+        else:
+            pending_name = None
         at = data_at + ((size + 511) // 512) * 512
     return out
 
@@ -149,28 +159,31 @@ def archive_members(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def tar_build(members: list[tuple[str, bytes]]) -> bytes:
-    """Minimal ustar writer (the reader's roundtrip pin)."""
-    out = bytearray()
-    for name, data in members:
+    """Minimal ustar writer (the reader's roundtrip pin) — names over
+    100 bytes emit a GNU ``L`` long-name entry first (r13 late)."""
+
+    def one(name_b: bytes, data: bytes, typeflag: bytes) -> bytes:
         hdr = bytearray(512)
-        nb = name.encode("utf-8")
-        if len(nb) > 100:
-            raise ValueError("tar name too long")
-        hdr[: len(nb)] = nb
+        hdr[: len(name_b)] = name_b
         hdr[100:108] = b"0000644\x00"
         hdr[108:116] = b"0000000\x00"
         hdr[116:124] = b"0000000\x00"
         hdr[124:136] = f"{len(data):011o}\x00".encode()
         hdr[136:148] = b"00000000000\x00"
-        hdr[156:157] = b"0"
+        hdr[156:157] = typeflag
         hdr[257:263] = b"ustar\x00"
         hdr[263:265] = b"00"
         hdr[148:156] = b" " * 8
-        chk = sum(hdr)
-        hdr[148:156] = f"{chk:06o}\x00 ".encode()
-        out += hdr + data
-        pad = (-len(data)) % 512
-        out += bytes(pad)
+        hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+        return bytes(hdr) + data + bytes((-len(data)) % 512)
+
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            out += one(b"././@LongLink", nb + b"\x00", b"L")
+            nb = nb[:100]
+        out += one(nb, data, b"0")
     out += bytes(1024)
     return bytes(out)
 

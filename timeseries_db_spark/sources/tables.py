@@ -299,10 +299,19 @@ def read_corpus_any(
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
         fmt = {
-            "json": "json", "jsonl": "json", "orc": "orc", "avro": "avro"
+            "json": "json", "jsonl": "json", "orc": "orc",
+            "avro": "avro", "csv": "csv", "tsv": "csv",
         }.get(ext, "parquet")
     if fmt == "orc":  # r10
         return spark.read.schema(CORPUS_SCHEMA).orc(path)
+    if fmt == "csv":  # r13: headered CSV/TSV exports; quoted newlines
+        return (
+            spark.read.schema(CORPUS_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")  # quoted embedded newlines
+            .option("escape", '"')
+            .csv(path)
+        )
     if fmt == "avro":  # r13: from-spec container read, no spark-avro jar
         from timeseries_db_spark.sources.avro import read_corpus_avro
 
