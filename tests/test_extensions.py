@@ -2340,6 +2340,13 @@ def test_archive_tar_zip_roundtrip_and_routing():
         assert [A.sniff_kind(d) for _n, d in got] == [
             "image", "text", "other"
         ]
+    # ZIP64: 0xFFFFFFFF markers resolved through the 0x0001 extra
+    # field and the EOCD64 record/locator chain (forced by the writer
+    # so the large-archive path pins without a 4 GB fixture)
+    for deflate in (True, False):
+        z64 = A.zip_build(members, deflate=deflate, zip64=True)
+        assert A.zip_members(z64) == members, deflate
+        assert A.archive_members(z64) == members
     # GNU long names: >100-byte paths roundtrip via an 'L' entry
     deep = "datasets/" + "x" * 120 + "/shard-000.txt"
     assert A.tar_members(A.tar_build([(deep, b"p")])) == [(deep, b"p")]
@@ -2470,6 +2477,25 @@ def test_wav_extensible_and_ogg_vorbis_and_cover_art():
     b64 = base64.b64encode(M.flac_picture_block(png, last=True)[4:]).decode()
     ogg = M.ogg_vorbis_encode(tags=[f"METADATA_BLOCK_PICTURE={b64}"])
     assert M.audio_cover_art(ogg)[0][0] == "image/png"
+    # ID3v2.2 (r13 late): 3-char frames, 3-byte sizes, PIC cover art
+    def f22(fid: str, body: bytes) -> bytes:
+        return fid.encode() + len(body).to_bytes(3, "big") + body
+
+    png22 = M.png_encode(bytes([50]) * 16, 4, 4, 1)
+    fr = (
+        f22("TT2", b"\x00Old Title") + f22("TP1", b"\x00Artist")
+        + f22("PIC", b"\x00PNG\x03\x00" + png22)
+    )
+    sz22 = len(fr)
+    old = (
+        b"ID3" + bytes([2, 0, 0])
+        + bytes([(sz22 >> 21) & 0x7F, (sz22 >> 14) & 0x7F,
+                 (sz22 >> 7) & 0x7F, sz22 & 0x7F])
+        + fr + b"\xff\xfb" + bytes(64)
+    )
+    assert M.audio_tags(old)[1] == ["TT2=Old Title", "TP1=Artist"]
+    (m22, _p, d22), = M.audio_cover_art(old)
+    assert m22 == "image/png" and sum(M.image_decode(d22)[3]) == 16 * 50
     # fixture closed forms: both pic legs decode to 16*((7d+3)%256)
     for d in (1, 4, 13):
         exp = 16 * ((d * 7 + 3) % 256)

@@ -83,13 +83,25 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
 def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
     """(name, data) for every file of a ZIP archive, via the central
     directory; stored + deflate methods, member CRC-32 verified.
-    Raises ``ValueError`` for other methods/encryption/corruption."""
+    ZIP64 (r13 late): the EOCD64 locator/record chain and the 0x0001
+    extra field resolve the 0xFFFF/0xFFFFFFFF markers — the layout
+    large dataset zips actually use. Raises ``ValueError`` for other
+    methods/encryption/corruption."""
     b = payload
     eocd = b.rfind(b"PK\x05\x06", max(0, len(b) - 65_557))
     if eocd < 0:
         raise ValueError("ZIP end-of-central-directory not found")
     n = int.from_bytes(b[eocd + 10 : eocd + 12], "little")
     cd_at = int.from_bytes(b[eocd + 16 : eocd + 20], "little")
+    if n == 0xFFFF or cd_at == 0xFFFFFFFF:
+        loc = b.rfind(b"PK\x06\x07", max(0, eocd - 20), eocd)
+        if loc < 0:
+            raise ValueError("ZIP64 EOCD locator missing")
+        r64 = int.from_bytes(b[loc + 8 : loc + 16], "little")
+        if b[r64 : r64 + 4] != b"PK\x06\x06":
+            raise ValueError("ZIP64 EOCD record missing")
+        n = int.from_bytes(b[r64 + 32 : r64 + 40], "little")
+        cd_at = int.from_bytes(b[r64 + 48 : r64 + 56], "little")
     out: list[tuple[str, bytes]] = []
     at = cd_at
     for _ in range(n):
@@ -107,6 +119,26 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
         clen = int.from_bytes(b[at + 32 : at + 34], "little")
         lho = int.from_bytes(b[at + 42 : at + 46], "little")
         name = b[at + 46 : at + 46 + nlen].decode("utf-8", "replace")
+        extra = b[at + 46 + nlen : at + 46 + nlen + elen]
+        # ZIP64 extra field 0x0001: 8-byte values, present ONLY for
+        # the fields the fixed entry marked 0xFFFFFFFF, in spec order
+        # usize, csize, lho
+        j = 0
+        while j + 4 <= len(extra):
+            fid = int.from_bytes(extra[j : j + 2], "little")
+            flen = int.from_bytes(extra[j + 2 : j + 4], "little")
+            if fid == 0x0001:
+                p = j + 4
+                if usize == 0xFFFFFFFF:
+                    usize = int.from_bytes(extra[p : p + 8], "little")
+                    p += 8
+                if csize == 0xFFFFFFFF:
+                    csize = int.from_bytes(extra[p : p + 8], "little")
+                    p += 8
+                if lho == 0xFFFFFFFF:
+                    lho = int.from_bytes(extra[p : p + 8], "little")
+                    p += 8
+            j += 4 + flen
         at += 46 + nlen + elen + clen
         if b[lho : lho + 4] != b"PK\x03\x04":
             raise ValueError("ZIP local header desynced")
@@ -189,9 +221,14 @@ def tar_build(members: list[tuple[str, bytes]]) -> bytes:
 
 
 def zip_build(
-    members: list[tuple[str, bytes]], deflate: bool = True
+    members: list[tuple[str, bytes]], deflate: bool = True,
+    zip64: bool = False,
 ) -> bytes:
-    """Minimal ZIP writer (stored or deflate; the reader's pin)."""
+    """Minimal ZIP writer (stored or deflate; the reader's pin).
+    ``zip64=True`` (r13 late) forces the ZIP64 layout — 0xFFFFFFFF
+    markers resolved through 0x0001 extra fields, EOCD64 record +
+    locator — so the reader's large-archive path is pinned without a
+    4 GB fixture."""
     out = bytearray()
     cd = bytearray()
     for name, data in members:
@@ -206,7 +243,7 @@ def zip_build(
             method = 0
         lho = len(out)
         common = (
-            (20).to_bytes(2, "little")  # version needed
+            (45 if zip64 else 20).to_bytes(2, "little")  # version needed
             + b"\x00\x00"  # flags
             + method.to_bytes(2, "little")
             + b"\x00\x00\x00\x00"  # dos time/date
@@ -214,26 +251,74 @@ def zip_build(
             + len(raw).to_bytes(4, "little")
             + len(data).to_bytes(4, "little")
             + len(nb).to_bytes(2, "little")
-            + b"\x00\x00"  # extra len
+            + b"\x00\x00"  # extra len (local)
         )
         out += b"PK\x03\x04" + common + nb + raw
-        cd += (
-            b"PK\x01\x02" + (20).to_bytes(2, "little") + common
-            + b"\x00\x00"  # comment len
-            + b"\x00\x00"  # disk start
-            + b"\x00\x00" + b"\x00\x00\x00\x00"  # int/ext attrs
-            + lho.to_bytes(4, "little")
-            + nb
-        )
+        if zip64:
+            extra = (
+                (0x0001).to_bytes(2, "little")
+                + (24).to_bytes(2, "little")
+                + len(data).to_bytes(8, "little")
+                + len(raw).to_bytes(8, "little")
+                + lho.to_bytes(8, "little")
+            )
+            cd_common = (
+                (45).to_bytes(2, "little")
+                + b"\x00\x00"
+                + method.to_bytes(2, "little")
+                + b"\x00\x00\x00\x00"
+                + crc.to_bytes(4, "little")
+                + b"\xff\xff\xff\xff" * 2  # csize/usize deferred
+                + len(nb).to_bytes(2, "little")
+                + len(extra).to_bytes(2, "little")
+            )
+            cd += (
+                b"PK\x01\x02" + (45).to_bytes(2, "little") + cd_common
+                + b"\x00\x00" + b"\x00\x00"
+                + b"\x00\x00" + b"\x00\x00\x00\x00"
+                + b"\xff\xff\xff\xff"  # lho deferred
+                + nb + extra
+            )
+        else:
+            cd += (
+                b"PK\x01\x02" + (20).to_bytes(2, "little") + common
+                + b"\x00\x00"  # comment len
+                + b"\x00\x00"  # disk start
+                + b"\x00\x00" + b"\x00\x00\x00\x00"  # int/ext attrs
+                + lho.to_bytes(4, "little")
+                + nb
+            )
     cd_at = len(out)
     out += cd
-    out += (
-        b"PK\x05\x06" + b"\x00\x00" * 2
-        + len(members).to_bytes(2, "little") * 2
-        + len(cd).to_bytes(4, "little")
-        + cd_at.to_bytes(4, "little")
-        + b"\x00\x00"
-    )
+    if zip64:
+        r64_at = len(out)
+        out += (
+            b"PK\x06\x06" + (44).to_bytes(8, "little")
+            + (45).to_bytes(2, "little") + (45).to_bytes(2, "little")
+            + b"\x00\x00\x00\x00" * 2  # disk numbers
+            + len(members).to_bytes(8, "little") * 2
+            + len(cd).to_bytes(8, "little")
+            + cd_at.to_bytes(8, "little")
+        )
+        out += (
+            b"PK\x06\x07" + b"\x00\x00\x00\x00"
+            + r64_at.to_bytes(8, "little")
+            + (1).to_bytes(4, "little")
+        )
+        out += (
+            b"PK\x05\x06" + b"\x00\x00" * 2
+            + b"\xff\xff" * 2
+            + b"\xff\xff\xff\xff" * 2
+            + b"\x00\x00"
+        )
+    else:
+        out += (
+            b"PK\x05\x06" + b"\x00\x00" * 2
+            + len(members).to_bytes(2, "little") * 2
+            + len(cd).to_bytes(4, "little")
+            + cd_at.to_bytes(4, "little")
+            + b"\x00\x00"
+        )
     return bytes(out)
 
 

@@ -6036,11 +6036,26 @@ def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
         return "", []
     ver = b[3]
     size = 0
-    for k in range(6, 10):  # synchsafe total size, both versions
+    for k in range(6, 10):  # synchsafe total size, all versions
         size = (size << 7) | (b[k] & 0x7F)
     end = min(10 + size, len(b))
     at = 10
     comments: list[str] = []
+    if ver == 2:
+        # r13 late: ID3v2.2 — 3-char frame ids, 3-byte plain sizes,
+        # no flag bytes (the tag old MP3s actually carry)
+        while at + 6 <= end:
+            fid = b[at : at + 3]
+            if fid == b"\x00\x00\x00":
+                break
+            fsize = int.from_bytes(b[at + 3 : at + 6], "big")
+            body = b[at + 6 : at + 6 + fsize]
+            at += 6 + fsize
+            if fid[:1] == b"T" and body:
+                codec = _ID3_TEXT_ENCODINGS.get(body[0], "latin-1")
+                val = body[1:].decode(codec, "replace").rstrip("\x00")
+                comments.append(f"{fid.decode('latin-1')}={val}")
+        return "", comments
     while at + 10 <= end:
         fid = b[at : at + 4]
         if fid == b"\x00\x00\x00\x00":  # padding reached
@@ -6159,6 +6174,25 @@ def audio_cover_art(payload: bytes) -> list[tuple[str, int, bytes]]:
             size = (size << 7) | (b[k] & 0x7F)
         end = min(10 + size, len(b))
         at = 10
+        if ver == 2:
+            # r13 late: ID3v2.2 PIC — enc(1) + 3-char image format
+            # ('PNG'/'JPG') + type(1) + NUL-terminated desc + data
+            while at + 6 <= end:
+                fid = b[at : at + 3]
+                if fid == b"\x00\x00\x00":
+                    break
+                fsize = int.from_bytes(b[at + 3 : at + 6], "big")
+                body = b[at + 6 : at + 6 + fsize]
+                at += 6 + fsize
+                if fid == b"PIC" and len(body) > 6:
+                    fmt3 = body[1:4].decode("latin-1")
+                    mime = {
+                        "PNG": "image/png", "JPG": "image/jpeg"
+                    }.get(fmt3, fmt3)
+                    ptype = body[4]
+                    j = body.index(b"\x00", 5) + 1
+                    out.append((mime, ptype, body[j:]))
+            return out
         while at + 10 <= end:
             fid = b[at : at + 4]
             if fid == b"\x00\x00\x00\x00":
