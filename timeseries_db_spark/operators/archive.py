@@ -16,8 +16,9 @@ kernel consumes.
 * **ZIP** (APPNOTE): EOCD scan from the tail (comment-tolerant),
   central-directory walk (the AUTHORITATIVE member list — local
   headers are only trusted for their variable-length field sizes),
-  stored (0) and deflate (8) methods, CRC-32 verified per member.
-  ZIP64 and encryption are documented seams.
+  stored (0) and deflate (8) methods, CRC-32 verified per member;
+  ZIP64 via the EOCD64 locator/record chain + 0x0001 extra fields
+  (r13 late). Encryption stays the documented seam.
 
 Scale posture: the standard Arrow-batched ``mapInPandas`` payload
 kernel — archives expand executor-side, one row per member, and the
