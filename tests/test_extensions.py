@@ -2477,6 +2477,32 @@ def test_wav_extensible_and_ogg_vorbis_and_cover_art():
     b64 = base64.b64encode(M.flac_picture_block(png, last=True)[4:]).decode()
     ogg = M.ogg_vorbis_encode(tags=[f"METADATA_BLOCK_PICTURE={b64}"])
     assert M.audio_cover_art(ogg)[0][0] == "image/png"
+    # WAV LIST-INFO + AIFF NAME/AUTH (r13 late): the RIFF/IFF tag
+    # surfaces, normalized to the Vorbis keys
+    import numpy as np
+
+    w = bytearray(M.wav_encode(np.arange(10)))
+
+    def sub(sid: bytes, val: str) -> bytes:
+        v = val.encode() + b"\x00"
+        if len(v) & 1:
+            v += b"\x00"
+        return sid + len(v).to_bytes(4, "little") + v
+
+    info = b"INFO" + sub(b"INAM", "My Song") + sub(b"IART", "Some Artist")
+    w += b"LIST" + len(info).to_bytes(4, "little") + info
+    w[4:8] = (len(w) - 8).to_bytes(4, "little")
+    assert M.audio_tags(bytes(w))[1] == [
+        "TITLE=My Song", "ARTIST=Some Artist"
+    ]
+    assert (M.wav_pcm(bytes(w)) == np.arange(10)).all()
+    a = bytearray(M.aiff_encode(np.arange(6)))
+    for cid, val in ((b"NAME", b"Air"), (b"AUTH", b"Band")):
+        a += cid + len(val).to_bytes(4, "big") + val + (
+            b"\x00" if len(val) & 1 else b""
+        )
+    a[4:8] = (len(a) - 8).to_bytes(4, "big")
+    assert M.audio_tags(bytes(a))[1] == ["TITLE=Air", "ARTIST=Band"]
     # ID3v2.2 (r13 late): 3-char frames, 3-byte sizes, PIC cover art
     def f22(fid: str, body: bytes) -> bytes:
         return fid.encode() + len(body).to_bytes(3, "big") + body

@@ -6274,12 +6274,66 @@ def decode_cover_art(assets: DataFrame) -> DataFrame:
     )
 
 
+#: RIFF LIST-INFO ids → the Vorbis-comment-style keys the other tag
+#: surfaces use (titles normalize across containers for curation joins)
+_RIFF_INFO_KEYS = {
+    b"INAM": "TITLE", b"IART": "ARTIST", b"IPRD": "ALBUM",
+    b"ICMT": "COMMENT", b"ICRD": "DATE", b"IGNR": "GENRE",
+}
+_AIFF_TEXT_KEYS = {b"NAME": "TITLE", b"AUTH": "ARTIST", b"ANNO": "COMMENT"}
+
+
+def riff_info_tags(payload: bytes) -> list[str]:
+    """WAV tags (r13 late) — the ``LIST``/``INFO`` chunk's text
+    sub-chunks (INAM/IART/IPRD/…) as ``KEY=value`` comments, NULs
+    stripped; the tag surface RIFF files actually carry."""
+    b = payload
+    out: list[str] = []
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"INFO":
+            j = i + 12
+            end = i + 8 + size
+            while j + 8 <= end:
+                sid = b[j : j + 4]
+                ssz = int.from_bytes(b[j + 4 : j + 8], "little")
+                if sid in _RIFF_INFO_KEYS:
+                    val = (
+                        b[j + 8 : j + 8 + ssz]
+                        .split(b"\x00")[0]
+                        .decode("utf-8", "replace")
+                    )
+                    out.append(f"{_RIFF_INFO_KEYS[sid]}={val}")
+                j += 8 + ssz + (ssz & 1)
+        i += 8 + size + (size & 1)
+    return out
+
+
+def aiff_text_tags(payload: bytes) -> list[str]:
+    """AIFF tags (r13 late) — the NAME/AUTH/ANNO text chunks as
+    ``KEY=value`` comments (big-endian IFF sizes)."""
+    b = payload
+    out: list[str] = []
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "big")
+        if cid in _AIFF_TEXT_KEYS:
+            val = b[i + 8 : i + 8 + size].decode("utf-8", "replace")
+            out.append(f"{_AIFF_TEXT_KEYS[cid]}={val}")
+        i += 8 + size + (size & 1)
+    return out
+
+
 def audio_tags(payload: bytes) -> tuple[str, list[str]]:
     """Container-dispatching audio TAG metadata (r13) — ``(vendor,
-    comments)`` across the three tag surfaces real corpora carry:
-    Ogg/Opus OpusTags, FLAC VORBIS_COMMENT, MP3 ID3v2. Magic-driven
-    like :func:`audio_meta`; containers without a tag system here
-    (WAV/AIFF INFO chunks stay out of scope) return ``('', [])``."""
+    comments)`` across EVERY tag surface real corpora carry:
+    Ogg Opus/Vorbis comment headers, FLAC VORBIS_COMMENT, MP3 ID3v2
+    (2.2/2.3/2.4), WAV LIST-INFO, AIFF NAME/AUTH/ANNO. RIFF/IFF ids
+    normalize to the Vorbis keys (INAM→TITLE …) so curation joins see
+    one schema. Magic-driven like :func:`audio_meta`."""
     b = payload
     if b[:4] == b"OggS":
         return opus_tags(b)
@@ -6287,6 +6341,10 @@ def audio_tags(payload: bytes) -> tuple[str, list[str]]:
         return flac_tags(b)
     if b[:3] == b"ID3":
         return id3v2_tags(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "", riff_info_tags(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return "", aiff_text_tags(b)
     return "", []
 
 
