@@ -3825,3 +3825,111 @@ def test_audio_tags_triad_flac_vorbis_and_id3v2():
     # dispatch: tagless containers answer ('', [])
     assert M.audio_tags(M.wav_encode([0, 1], rate=8000)) == ("", [])
     assert M.audio_tags(M.synth_ogg_opus(7))[1][0] == "TITLE=Doc 7"
+
+
+def test_r14_advice_id3v22_pic_utf16_description():
+    """r14 (ADVICE): an ID3v2.2 PIC frame whose encoding byte is 1
+    (UTF-16 description, double-NUL terminated) must locate the image
+    bytes after the DOUBLE NUL — the single-NUL scan landed mid-
+    codepoint and returned corrupt cover art. The latin-1 form keeps
+    working."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    img = M.png_encode(bytes([9]) * 16, 4, 4, 1)
+
+    def v22(body: bytes) -> bytes:
+        frame = b"PIC" + len(body).to_bytes(3, "big") + body
+        n = len(frame)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3\x02\x00\x00" + ss + frame
+
+    # UTF-16 description "de" with BOM: contains single NUL bytes that
+    # the old scan mistook for the terminator
+    utf16 = (
+        b"\x01PNG" + bytes([3])
+        + b"\xff\xfe" + "de".encode("utf-16-le") + b"\x00\x00" + img
+    )
+    assert M.audio_cover_art(v22(utf16)) == [("image/png", 3, img)]
+    # latin-1 description regression
+    lat1 = b"\x00PNG" + bytes([3]) + b"cover\x00" + img
+    assert M.audio_cover_art(v22(lat1)) == [("image/png", 3, img)]
+
+
+def test_r14_advice_sniff_kind_split_multibyte():
+    """r14 (ADVICE): a valid UTF-8 member whose 4096-byte sniff window
+    splits a multibyte sequence is still classified 'text' (the trim
+    drops the partial character instead of failing the decode); truly
+    binary data stays 'other'."""
+    from timeseries_db_spark.operators import archive as A
+
+    data = ("a" * 4095 + "é" + " rest of the document").encode("utf-8")
+    assert data[4096] & 0xC0 == 0x80  # the window really splits é
+    assert A.sniff_kind(data) == "text"
+    # a 3-byte char split both ways
+    data3 = ("b" * 4094 + "€tail").encode("utf-8")
+    assert A.sniff_kind(data3) == "text"
+    assert A.sniff_kind(bytes([0xFF, 0xFE, 0x99]) * 2000) == "other"
+    # short members (no window) are unaffected: invalid stays invalid
+    assert A.sniff_kind(b"ok \xff nope") == "other"
+
+
+def test_r14_advice_pdf_direct_encrypt_dict():
+    """r14 (ADVICE): a trailer carrying a DIRECT /Encrypt <<...>>
+    dictionary (legal per ISO 32000-1) decrypts exactly like the
+    indirect form; an /Encrypt entry in neither legal form raises the
+    encryption seam instead of silently yielding ciphertext."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [["Hello direct dict", "line two"]]
+    p = P.pdf_build(pages, encrypt="rc4-128")
+    m = _re.search(
+        rb"\d+ 0 obj\n(<< /Filter /Standard.*?>>)\nendobj", p, _re.S
+    )
+    assert m is not None
+    direct = _re.sub(rb"/Encrypt \d+ 0 R", b"/Encrypt " + m.group(1), p)
+    assert P.pdf_text(direct)[0] == "Hello direct dict\nline two"
+    with _pytest.raises(ValueError, match="unparseable"):
+        P.pdf_text(_re.sub(rb"/Encrypt \d+ 0 R", b"/Encrypt /Bogus", p))
+
+
+def test_r14_advice_pdf_per_page_fonts():
+    """r14 (ADVICE medium): page-scoped resource names — two pages
+    both name /F1, page 1's a simple Type1 and page 2's a CID font
+    with a /ToUnicode CMap. The per-page binding keeps page 1's show
+    strings latin-1; the old merged map ran them through page 2's
+    CMap and garbled them to U+FFFD."""
+    from timeseries_db_spark.operators import pdf as P
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0100> <0041>\n<0101> <0042>\nendbfchar\n"
+    )
+    c1 = b"BT /F1 12 Tf (Hi) Tj ET"
+    c2 = b"BT /F1 12 Tf <01000101> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 7 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 8 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 9 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream",
+    ]
+    body = b"%PDF-1.4\n" + b"".join(
+        f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+        for i, o in enumerate(objs, start=1)
+    )
+    assert P.pdf_text(body)[0] == "Hi\nAB"

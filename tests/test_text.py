@@ -556,6 +556,9 @@ def test_unicode_clean_strips_folds_and_nfc_parity(spark):
         (3, "ctrl\x07here\x9cand\ttab\nline"),
         (4, "‘single’ – dash  nbsp"),
         (5, ""),
+        # r14 (ADVICE): CRLF corpora keep their CR bytes — CR is a
+        # newline character, not a strippable control
+        (6, "win\r\nline\rand more"),
     ]
     df = spark.createDataFrame(cases, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in text.unicode_clean(df).collect()}
@@ -566,6 +569,8 @@ def test_unicode_clean_strips_folds_and_nfc_parity(spark):
     assert got[3]["n_controls"] == 2
     assert "\t" in got[3]["text_norm"] and "\n" in got[3]["text_norm"]
     assert got[4]["text_norm"] == "'single' - dash  nbsp"
+    assert got[6]["n_controls"] == 0
+    assert got[6]["text_norm"] == "win\r\nline\rand more"
     con = duckdb.connect()
     vals = ", ".join(
         "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in cases

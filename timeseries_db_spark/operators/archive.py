@@ -357,8 +357,20 @@ def sniff_kind(data: bytes) -> str:
         return "video"
     if data[:2] == b"PK":
         return "archive"
+    head = data[:4096]
+    if len(data) > 4096:
+        # r14 (ADVICE): the 4096-byte window may split a multibyte
+        # sequence — trim up to 3 trailing continuation bytes (plus the
+        # lead byte they belong to) so a valid UTF-8 member isn't
+        # misclassified as 'other' on a window artifact
+        cut = len(head)
+        while cut > 0 and cut > len(head) - 4 and head[cut - 1] & 0xC0 == 0x80:
+            cut -= 1
+        if cut > 0 and head[cut - 1] & 0xC0 == 0xC0:
+            cut -= 1
+        head = head[:cut]
     try:
-        data[:4096].decode("utf-8")
+        head.decode("utf-8")
         return "text"
     except UnicodeDecodeError:
         return "other"

@@ -6185,12 +6185,24 @@ def audio_cover_art(payload: bytes) -> list[tuple[str, int, bytes]]:
                 body = b[at + 6 : at + 6 + fsize]
                 at += 6 + fsize
                 if fid == b"PIC" and len(body) > 6:
+                    enc = body[0]
                     fmt3 = body[1:4].decode("latin-1")
                     mime = {
                         "PNG": "image/png", "JPG": "image/jpeg"
                     }.get(fmt3, fmt3)
                     ptype = body[4]
-                    j = body.index(b"\x00", 5) + 1
+                    # r14 (ADVICE): the description's terminator depends
+                    # on the ENCODING byte, same as APIC — a UTF-16
+                    # description ends at a double NUL, and scanning for
+                    # a single NUL would land mid-codepoint and corrupt
+                    # the image bytes
+                    j = 5
+                    if enc in (1, 2):
+                        while j + 1 < len(body) and body[j : j + 2] != b"\x00\x00":
+                            j += 2
+                        j += 2
+                    else:
+                        j = body.index(b"\x00", 5) + 1
                     out.append((mime, ptype, body[j:]))
             return out
         while at + 10 <= end:

@@ -360,8 +360,32 @@ _PDF_PAD = bytes(
     ]
 )
 
-_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R\b")
+#: /Encrypt as an indirect reference OR a direct dictionary (r14
+#: ADVICE — ISO 32000-1 allows both; a direct dict previously read as
+#: "unencrypted" and streams silently yielded ciphertext)
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:(\d+)\s+\d+\s+R\b|(<<))")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _balanced_dict(b: bytes, at: int) -> bytes:
+    """The ``<< … >>`` dictionary starting at ``at`` (index of the
+    opening ``<<``), nesting-aware."""
+    depth = 0
+    i = at
+    n = len(b)
+    while i < n - 1:
+        two = b[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return b[at:i]
+        else:
+            i += 1
+    raise ValueError("PDF dictionary unbalanced")
 
 
 def _pad_pwd(pwd: bytes) -> bytes:
@@ -465,13 +489,23 @@ def _encryption_of(payload: bytes, directory: dict[int, bytes]):
     seam for /V 5+ (AES-256, rev 5/6), non-Standard handlers, crypt
     filters beyond StdCF, and password-protected files."""
     m = None
-    for m in _ENCRYPT_REF_RE.finditer(payload):
+    for m in _ENCRYPT_RE.finditer(payload):
         pass  # last match: the live trailer in an incremental chain
     if m is None:
+        if re.search(rb"/Encrypt[\s/<\[(]", payload):
+            # r14 (ADVICE): /Encrypt present but in neither legal form
+            # — raise the seam instead of silently treating ciphertext
+            # streams as plaintext
+            raise ValueError(
+                "PDF /Encrypt entry unparseable (encryption seam)"
+            )
         return None
-    body = directory.get(int(m.group(1)))
-    if body is None:
-        raise ValueError("PDF /Encrypt dictionary unresolvable")
+    if m.group(1):
+        body = directory.get(int(m.group(1)))
+        if body is None:
+            raise ValueError("PDF /Encrypt dictionary unresolvable")
+    else:  # direct dictionary in the trailer (r14 ADVICE)
+        body = _balanced_dict(payload, m.end(2) - 2)
     if not re.search(rb"/Filter\s*/Standard\b", body):
         raise ValueError(
             "PDF non-Standard security handler outside PDF_CAPABILITIES "
@@ -821,32 +855,67 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
     # r13: resource-name → ToUnicode CMap (CID/Type0 text extraction)
     # — page /Font dicts name the font objects, a font's /ToUnicode
     # stream maps its multi-byte codes to unicode; fonts without one
-    # decode as before (simple latin-1 shows)
-    font_refs: dict[str, int] = {}
+    # decode as before (simple latin-1 shows).
+    # r14 (ADVICE medium): fonts are resolved PER PAGE and bound to
+    # that page's /Contents objects — real files reuse page-scoped
+    # names like /F1 for DIFFERENT fonts, so one merged map would run
+    # a simple-font page's show strings through another page's CID
+    # CMap (garbling them to U+FFFD). The merged map survives only as
+    # the fallback for streams no page dict claims (e.g. damaged page
+    # trees under the direct-scan path).
+
+    def fonts_of(fdict_bytes: bytes) -> dict[str, tuple]:
+        got: dict[str, tuple] = {}
+        for mm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict_bytes):
+            fbody = directory.get(int(mm.group(2)))
+            if fbody is None:
+                continue
+            mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+            if not mtu:
+                continue
+            tbody = directory.get(int(mtu.group(1)))
+            if tbody is None:
+                continue
+            data = _stream_of(
+                tbody, resolve, _decrypt_for(enc, int(mtu.group(1)))
+            )
+            if data is not None:
+                got[mm.group(1).decode()] = _tounicode_cmap(data)
+        return got
+
+    def font_dict_in(body: bytes) -> bytes | None:
+        md = re.search(rb"/Font\s*<<", body)
+        if md:
+            return _balanced_dict(body, md.end() - 2)
+        mr = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", body)
+        if mr:
+            return directory.get(int(mr.group(1)))
+        return None
+
+    page_fonts: dict[int, dict[str, tuple]] = {}  # content obj → fonts
+    merged: dict[str, tuple] = {}
     for _num, body in objs:
-        if b"/Page" in body and b"/Font" in body:
-            fdict = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
-            if fdict:
-                for mm in re.finditer(
-                    rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict.group(1)
-                ):
-                    font_refs[mm.group(1).decode()] = int(mm.group(2))
-    fonts: dict[str, tuple] = {}
-    for name, fnum in font_refs.items():
-        fbody = directory.get(fnum)
-        if fbody is None:
+        if b"/Page" not in body or body.find(b"stream") >= 0:
             continue
-        mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
-        if not mtu:
+        fdict = font_dict_in(body)
+        if fdict is None:
+            mres = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+            rbody = directory.get(int(mres.group(1))) if mres else None
+            fdict = font_dict_in(rbody) if rbody is not None else None
+        if fdict is None:
             continue
-        tbody = directory.get(int(mtu.group(1)))
-        if tbody is None:
-            continue
-        data = _stream_of(
-            tbody, resolve, _decrypt_for(enc, int(mtu.group(1)))
-        )
-        if data is not None:
-            fonts[name] = _tounicode_cmap(data)
+        fonts = fonts_of(fdict)
+        merged.update(fonts)
+        mc = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        refs = [int(mc.group(1))] if mc else []
+        ma = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+        if ma:
+            refs = [
+                int(x.group(1))
+                for x in re.finditer(rb"(\d+)\s+\d+\s+R", ma.group(1))
+            ]
+        for cnum in refs:
+            page_fonts[cnum] = fonts
     texts: list[str] = []
     n_shows = 0
     n_streams = 0
@@ -870,7 +939,7 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
         n_streams += 1
         if b"BT" not in data:  # not a text-bearing content stream
             continue
-        t, k = _content_text(data, fonts)
+        t, k = _content_text(data, page_fonts.get(_num, merged))
         n_shows += k
         if t:
             texts.append(t)

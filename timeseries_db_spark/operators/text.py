@@ -1616,7 +1616,10 @@ def unicode_clean(docs: DataFrame) -> DataFrame:
     hygiene pass every tokenizer-bound corpus runs (r13): count and
     strip zero-width characters (ZWSP/ZWNJ/ZWJ/ZWNBSP — invisible
     tokens that split words and poison dedup keys) and C0/C1 control
-    characters (tab/newline kept), fold the typographic punctuation
+    characters (tab, LF and CR kept — r14: CR was previously stripped,
+    which silently ate the \\r of every CRLF in Windows-newline
+    corpora and counted it as a control), fold the typographic
+    punctuation
     web text is full of (curly quotes, en/em dashes, NBSP) to ASCII,
     then NFC-normalize so combining sequences collapse to their
     precomposed forms (one 'é', not 'e'+U+0301 — the difference that
@@ -1632,7 +1635,7 @@ def unicode_clean(docs: DataFrame) -> DataFrame:
     from typing import Iterator as _It
 
     zw_re = _re.compile(f"[{_ZW_CHARS}]")
-    ctl_re = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f\x80-\x9f]")
+    ctl_re = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]")
 
     def clean_one(s: str) -> tuple[int, int, str]:
         import unicodedata as _ud
@@ -1671,8 +1674,8 @@ def unicode_clean_sql(source_sql: str = "SELECT * FROM documents") -> str:
     order ending in the engine's ``nfc_normalize``."""
     zw_class = _ZW_CHARS  # literal chars: RE2 has no \\uXXXX escapes
     ctl_class = (
-        "'[\\x00-\\x08\\x0b-\\x1f\\x7f' || chr(128) || '-' || chr(159) "
-        "|| ']'"
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(128) || '-' "
+        "|| chr(159) || ']'"
     )
     expr = "s"
     for a, b in _PUNCT_FOLDS:
