@@ -3933,3 +3933,86 @@ def test_r14_advice_pdf_per_page_fonts():
         for i, o in enumerate(objs, start=1)
     )
     assert P.pdf_text(body)[0] == "Hi\nAB"
+
+
+def test_r14_archive_quarantine_and_zipcrypto():
+    """r14 (VERDICT item 1 + 7): per-asset/per-member error isolation
+    for archives — a corrupt member costs only itself (ZIP), a bad tar
+    header keeps the members before it, a junk container is one error,
+    and ZipCrypto members decrypt from spec (wrong password caught by
+    the check byte). Strict forms still raise."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import archive as A
+
+    members = [
+        ("a.txt", b"alpha content"),
+        ("b.txt", b"beta content here"),
+        ("c.txt", b"gamma"),
+    ]
+    # ZIP: flip a byte in the STORED middle member -> only it dies
+    z = bytearray(A.zip_build(members, deflate=False))
+    z[bytes(z).find(b"beta")] ^= 0xFF
+    got, errs = A.zip_scan(bytes(z), strict=False)
+    assert got == [members[0], members[2]]
+    assert len(errs) == 1 and "b.txt" in errs[0] and "CRC" in errs[0]
+    with _pytest.raises(ValueError, match="CRC"):
+        A.zip_members(bytes(z))
+    # tar: corrupt SECOND header -> first member survives, walk stops
+    t1 = A.tar_build(members[:1])[:-1024]
+    bad = bytearray(512)
+    bad[:3] = b"bad"
+    bad[148:156] = b"0000000\x00"
+    stream = t1 + bytes(bad) + bytes(1024)
+    got, errs = A.tar_scan(stream, strict=False)
+    assert got == members[:1]
+    assert len(errs) == 1 and "checksum" in errs[0]
+    # junk container / corrupt gzip wrapper: one error, no members
+    assert A.archive_scan(b"JUNK" * 200, strict=False)[0] == []
+    assert len(A.archive_scan(b"\x1f\x8b\x08bogus", strict=False)[1]) == 1
+    with _pytest.raises(ValueError):
+        A.archive_members(b"\x1f\x8b\x08bogus")
+    # ZipCrypto roundtrip (stored + deflate), wrong password rejected
+    for deflate in (False, True):
+        enc = A.zip_build(members, deflate=deflate, password=b"s3cret")
+        assert A.zip_members(enc, password=b"s3cret") == members
+        _, errs = A.zip_scan(enc, strict=False, password=b"wrong")
+        assert len(errs) == 3 and all("password" in e for e in errs)
+        _, errs = A.zip_scan(enc, strict=False)  # no password given
+        assert len(errs) == 3 and all("encrypted" in e for e in errs)
+    # the raw keystream hides the plaintext
+    enc = A.zip_build([("x.txt", b"VISIBLE")], deflate=False, password=b"p")
+    assert b"VISIBLE" not in enc
+    # dirty-fixture closed forms across all four defect modes
+    from timeseries_db_spark.operators import multimodal as M
+
+    for d in (1, 4, 7, 10, 13, 16, 19, 22):
+        mode = (d // 3) % 4
+        ms, errs = A.archive_scan(
+            A.synth_archive_dirty(d), strict=False,
+            password=A.DIRTY_ARCHIVE_PASSWORD,
+        )
+        assert len(errs) == (0 if mode == 3 else 1), (d, mode, errs)
+        assert len(ms) == (0 if mode == 2 else 2), (d, mode)
+        n_img = img_px = text_len = img_err = 0
+        for _n, data in ms:
+            k = A.sniff_kind(data)
+            if k == "image":
+                try:
+                    px = M.image_decode(data)[3]
+                    n_img += 1
+                    img_px += sum(px)
+                except Exception:
+                    img_err += 1
+            elif k == "text":
+                text_len += len(data)
+        assert img_err + len(errs) == 1, (d, mode)
+        if mode in (0, 1):
+            assert n_img == 1 and img_px == 16 * ((3 * d + 11) % 256)
+        else:
+            assert n_img == 0
+        want_tl = {
+            0: len(f"Doc {d} text"), 1: len(f"Extra {d}"),
+            2: 0, 3: len(f"Doc {d} text"),
+        }[mode]
+        assert text_len == want_tl, (d, mode)

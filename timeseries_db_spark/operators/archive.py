@@ -37,14 +37,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """(name, data) for every REGULAR file of a ustar/tar stream —
-    GNU long-name (``L``) entries apply their payload as the NEXT
-    member's name (r13 late; names >100 bytes are how deep dataset
-    trees actually tar up). Raises ``ValueError`` on a bad header
-    checksum or truncation."""
+def tar_scan(
+    payload: bytes, strict: bool = True
+) -> tuple[list[tuple[str, bytes]], list[str]]:
+    """(members, errors) of a ustar/tar stream — GNU long-name (``L``)
+    entries apply their payload as the NEXT member's name (r13 late;
+    names >100 bytes are how deep dataset trees actually tar up).
+
+    ``strict=True`` raises ``ValueError`` on a bad header checksum or
+    truncation; ``strict=False`` (r14 — the quarantine posture of the
+    WARC chain, ``warc.py:warc_scan``) records the error and STOPS the
+    walk there (a bad tar header loses the 512-byte framing, so
+    everything after it is unrecoverable by design), keeping the
+    members already read."""
     b = payload
     out: list[tuple[str, bytes]] = []
+    errs: list[str] = []
+
+    def fail(msg: str) -> None:
+        if strict:
+            raise ValueError(msg)
+        errs.append(msg)
+
     at = 0
     pending_name: str | None = None
     while at + 512 <= len(b):
@@ -55,18 +69,21 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         try:
             chk = int(stored.split(b"\x00")[0].strip() or b"0", 8)
         except ValueError as e:
-            raise ValueError("tar header checksum unparseable") from e
+            if strict:
+                raise ValueError("tar header checksum unparseable") from e
+            errs.append("tar header checksum unparseable")
+            break
         calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
         if chk != calc:
-            raise ValueError(
-                f"tar header checksum mismatch at offset {at}"
-            )
+            fail(f"tar header checksum mismatch at offset {at}")
+            break
         name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = hdr[156:157]
         data_at = at + 512
         if data_at + size > len(b):
-            raise ValueError("tar member data truncated")
+            fail("tar member data truncated")
+            break
         data = b[data_at : data_at + size]
         if typeflag == b"L":
             pending_name = (
@@ -78,39 +95,131 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         else:
             pending_name = None
         at = data_at + ((size + 511) // 512) * 512
-    return out
+    return out, errs
 
 
-def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """(name, data) for every file of a ZIP archive, via the central
-    directory; stored + deflate methods, member CRC-32 verified.
-    ZIP64 (r13 late): the EOCD64 locator/record chain and the 0x0001
-    extra field resolve the 0xFFFF/0xFFFFFFFF markers — the layout
-    large dataset zips actually use. Raises ``ValueError`` for other
-    methods/encryption/corruption."""
+def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Strict form of :func:`tar_scan` — (name, data) for every
+    REGULAR file, raising on any structural damage."""
+    return tar_scan(payload, strict=True)[0]
+
+
+# --- ZipCrypto (APPNOTE 6.0 §6.1, "traditional PKWARE encryption") ---
+# Three 32-bit key registers driven by the CRC-32 table; fully public.
+_CRC_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def _zc_update(keys: list[int], ch: int) -> None:
+    keys[0] = (keys[0] >> 8) ^ _CRC_TABLE[(keys[0] ^ ch) & 0xFF]
+    keys[1] = ((keys[1] + (keys[0] & 0xFF)) * 134775813 + 1) & 0xFFFFFFFF
+    keys[2] = (keys[2] >> 8) ^ _CRC_TABLE[(keys[2] ^ (keys[1] >> 24)) & 0xFF]
+
+
+def _zc_keys(password: bytes) -> list[int]:
+    keys = [0x12345678, 0x23456789, 0x34567890]
+    for ch in password:
+        _zc_update(keys, ch)
+    return keys
+
+
+def _zc_stream_byte(keys: list[int]) -> int:
+    t = (keys[2] | 2) & 0xFFFF
+    return ((t * (t ^ 1)) >> 8) & 0xFF
+
+
+def zipcrypto_decrypt(
+    data: bytes, password: bytes, check_byte: int
+) -> bytes:
+    """Decrypt one ZipCrypto member (r14): the 12-byte encryption
+    header is stripped after its last byte is verified against
+    ``check_byte`` (the high byte of the member's CRC-32 — the
+    password check APPNOTE specifies). Raises ``ValueError`` on a
+    wrong password."""
+    keys = _zc_keys(password)
+    out = bytearray()
+    for i, cb in enumerate(data):
+        p = cb ^ _zc_stream_byte(keys)
+        _zc_update(keys, p)
+        if i == 11 and p != check_byte:
+            raise ValueError("ZipCrypto password check failed")
+        out.append(p)
+    if len(out) < 12:
+        raise ValueError("ZipCrypto member shorter than its header")
+    return bytes(out[12:])
+
+
+def zipcrypto_encrypt(data: bytes, password: bytes, crc: int) -> bytes:
+    """The writer half (the reader's pin): a DETERMINISTIC 12-byte
+    header derived from the member CRC (fixtures must reproduce),
+    last header byte = crc >> 24 per APPNOTE."""
+    hdr = bytes((crc >> (8 * (k % 4))) & 0xFF for k in range(11))
+    hdr += bytes([(crc >> 24) & 0xFF])
+    keys = _zc_keys(password)
+    out = bytearray()
+    for p in hdr + data:
+        out.append(p ^ _zc_stream_byte(keys))
+        _zc_update(keys, p)
+    return bytes(out)
+
+
+def zip_scan(
+    payload: bytes, strict: bool = True, password: bytes | None = None,
+) -> tuple[list[tuple[str, bytes]], list[str]]:
+    """(members, errors) of a ZIP archive, via the central directory;
+    stored + deflate methods, member CRC-32 verified. ZIP64 (r13
+    late): the EOCD64 locator/record chain and the 0x0001 extra field
+    resolve the 0xFFFF/0xFFFFFFFF markers — the layout large dataset
+    zips actually use.
+
+    ``strict=False`` (r14): central-directory entries are independent,
+    so a corrupt MEMBER (bad CRC, truncation, bad local header,
+    unsupported method) costs only itself — the error is recorded and
+    the walk continues with its siblings, the quarantine posture of
+    the WARC chain. A missing/desynced central directory is still
+    whole-archive damage (recorded as one error, empty result).
+
+    ``password`` (r14): ZipCrypto (APPNOTE traditional encryption)
+    members decrypt when flag bit 0 is set; the 12-byte header's check
+    byte authenticates the password against the member CRC. AES-zip
+    (0x9901 extra field / methods 99) stays the documented seam."""
     b = payload
+    members: list[tuple[str, bytes]] = []
+    errs: list[str] = []
+
+    def fail(msg: str) -> bool:
+        if strict:
+            raise ValueError(msg)
+        errs.append(msg)
+        return False
+
     eocd = b.rfind(b"PK\x05\x06", max(0, len(b) - 65_557))
     if eocd < 0:
-        raise ValueError("ZIP end-of-central-directory not found")
+        fail("ZIP end-of-central-directory not found")
+        return members, errs
     n = int.from_bytes(b[eocd + 10 : eocd + 12], "little")
     cd_at = int.from_bytes(b[eocd + 16 : eocd + 20], "little")
     if n == 0xFFFF or cd_at == 0xFFFFFFFF:
         loc = b.rfind(b"PK\x06\x07", max(0, eocd - 20), eocd)
         if loc < 0:
-            raise ValueError("ZIP64 EOCD locator missing")
+            fail("ZIP64 EOCD locator missing")
+            return members, errs
         r64 = int.from_bytes(b[loc + 8 : loc + 16], "little")
         if b[r64 : r64 + 4] != b"PK\x06\x06":
-            raise ValueError("ZIP64 EOCD record missing")
+            fail("ZIP64 EOCD record missing")
+            return members, errs
         n = int.from_bytes(b[r64 + 32 : r64 + 40], "little")
         cd_at = int.from_bytes(b[r64 + 48 : r64 + 56], "little")
-    out: list[tuple[str, bytes]] = []
     at = cd_at
     for _ in range(n):
         if b[at : at + 4] != b"PK\x01\x02":
-            raise ValueError("ZIP central-directory entry desynced")
+            fail("ZIP central-directory entry desynced")
+            break
         flags = int.from_bytes(b[at + 8 : at + 10], "little")
-        if flags & 0x01:
-            raise ValueError("ZIP encryption unsupported (seam)")
         method = int.from_bytes(b[at + 10 : at + 12], "little")
         crc = int.from_bytes(b[at + 16 : at + 20], "little")
         csize = int.from_bytes(b[at + 20 : at + 24], "little")
@@ -141,54 +250,111 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
                     p += 8
             j += 4 + flen
         at += 46 + nlen + elen + clen
-        if b[lho : lho + 4] != b"PK\x03\x04":
-            raise ValueError("ZIP local header desynced")
-        lnlen = int.from_bytes(b[lho + 26 : lho + 28], "little")
-        lelen = int.from_bytes(b[lho + 28 : lho + 30], "little")
-        data_at = lho + 30 + lnlen + lelen
-        raw = b[data_at : data_at + csize]
-        if len(raw) != csize:
-            raise ValueError("ZIP member data truncated")
-        if method == 0:
-            data = raw
-        elif method == 8:
-            data = zlib.decompressobj(-15).decompress(raw)
-        else:
-            raise ValueError(
-                f"ZIP compression method {method} unsupported "
-                "(stored/deflate only; seam)"
-            )
-        if len(data) != usize or zlib.crc32(data) != crc:
-            raise ValueError(f"ZIP member {name!r} CRC/size mismatch")
+        # per-member extraction: under strict=False an error here
+        # costs only this member (r14)
+        try:
+            if b[lho : lho + 4] != b"PK\x03\x04":
+                raise ValueError(f"ZIP member {name!r} local header desynced")
+            lnlen = int.from_bytes(b[lho + 26 : lho + 28], "little")
+            lelen = int.from_bytes(b[lho + 28 : lho + 30], "little")
+            data_at = lho + 30 + lnlen + lelen
+            raw = b[data_at : data_at + csize]
+            if len(raw) != csize:
+                raise ValueError(f"ZIP member {name!r} data truncated")
+            if flags & 0x01:
+                if method == 99:
+                    raise ValueError(
+                        "ZIP AES encryption unsupported (ZipCrypto only; "
+                        "seam)"
+                    )
+                if password is None:
+                    raise ValueError(
+                        f"ZIP member {name!r} is ZipCrypto-encrypted "
+                        "(no password given)"
+                    )
+                raw = zipcrypto_decrypt(raw, password, (crc >> 24) & 0xFF)
+            if method == 0:
+                data = raw
+            elif method == 8:
+                data = zlib.decompressobj(-15).decompress(raw)
+            else:
+                raise ValueError(
+                    f"ZIP compression method {method} unsupported "
+                    "(stored/deflate only; seam)"
+                )
+            if len(data) != usize or zlib.crc32(data) != crc:
+                raise ValueError(f"ZIP member {name!r} CRC/size mismatch")
+        except ValueError as e:
+            if strict:
+                raise
+            errs.append(str(e))
+            continue
+        except zlib.error as e:
+            if strict:
+                raise ValueError(f"ZIP member {name!r} inflate: {e}") from e
+            errs.append(f"ZIP member {name!r} inflate: {e}")
+            continue
         if not name.endswith("/"):
-            out.append((name, data))
-    return out
+            members.append((name, data))
+    return members, errs
 
 
-def archive_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """Magic-dispatching member enumeration: ZIP (``PK``), tar (ustar
-    magic at 257, or a checksum-valid first header), or either inside
-    a gzip / xz / bzip2 wrapper (``.tar.{gz,xz,bz2}`` — the shapes
-    tarballs actually ship in; zstd stays the documented seam — no
-    stdlib decoder on this interpreter)."""
+def zip_members(
+    payload: bytes, password: bytes | None = None
+) -> list[tuple[str, bytes]]:
+    """Strict form of :func:`zip_scan` — raises ``ValueError`` for
+    unsupported methods/encryption/corruption."""
+    return zip_scan(payload, strict=True, password=password)[0]
+
+
+def archive_scan(
+    payload: bytes, strict: bool = True, password: bytes | None = None,
+) -> tuple[list[tuple[str, bytes]], list[str]]:
+    """Magic-dispatching (members, errors) enumeration: ZIP (``PK``),
+    tar (ustar magic at 257, or a checksum-valid first header), or
+    either inside a gzip / xz / bzip2 wrapper (``.tar.{gz,xz,bz2}`` —
+    the shapes tarballs actually ship in; zstd stays the documented
+    seam — no stdlib decoder on this interpreter).
+
+    ``strict=False`` (r14): structural damage is QUARANTINED, not
+    raised — a corrupt wrapper or unrecognized container records one
+    error (empty member list); per-member damage inside ZIP costs only
+    that member; a bad tar header keeps the members before it. One
+    corrupt archive in an Arrow batch costs one error row, never the
+    batch — the posture ``warc.py:warc_scan`` set."""
     b = payload
-    if b[:2] == b"\x1f\x8b":
-        b = zlib.decompress(b, wbits=31)
-    elif b[:6] == b"\xfd7zXZ\x00":
-        import lzma
+    try:
+        if b[:2] == b"\x1f\x8b":
+            b = zlib.decompress(b, wbits=31)
+        elif b[:6] == b"\xfd7zXZ\x00":
+            import lzma
 
-        b = lzma.decompress(b)
-    elif b[:3] == b"BZh":
-        import bz2
+            b = lzma.decompress(b)
+        elif b[:3] == b"BZh":
+            import bz2
 
-        b = bz2.decompress(b)
+            b = bz2.decompress(b)
+    except Exception as e:  # zlib.error / LZMAError / OSError
+        if strict:
+            raise ValueError(f"archive wrapper corrupt: {e}") from e
+        return [], [f"archive wrapper corrupt: {e}"]
     if b[:2] == b"PK":
-        return zip_members(b)
+        return zip_scan(b, strict=strict, password=password)
     if len(b) >= 512 and (
         b[257:262] == b"ustar" or b[148:156].strip(b"\x00 ")
     ):
-        return tar_members(b)
-    raise ValueError("unrecognized archive container")
+        return tar_scan(b, strict=strict)
+    if strict:
+        raise ValueError("unrecognized archive container")
+    return [], ["unrecognized archive container"]
+
+
+def archive_members(
+    payload: bytes, password: bytes | None = None
+) -> list[tuple[str, bytes]]:
+    """Strict form of :func:`archive_scan` — raises ``ValueError`` on
+    any structural damage."""
+    return archive_scan(payload, strict=True, password=password)[0]
 
 
 def tar_build(members: list[tuple[str, bytes]]) -> bytes:
@@ -223,13 +389,15 @@ def tar_build(members: list[tuple[str, bytes]]) -> bytes:
 
 def zip_build(
     members: list[tuple[str, bytes]], deflate: bool = True,
-    zip64: bool = False,
+    zip64: bool = False, password: bytes | None = None,
 ) -> bytes:
     """Minimal ZIP writer (stored or deflate; the reader's pin).
     ``zip64=True`` (r13 late) forces the ZIP64 layout — 0xFFFFFFFF
     markers resolved through 0x0001 extra fields, EOCD64 record +
     locator — so the reader's large-archive path is pinned without a
-    4 GB fixture."""
+    4 GB fixture. ``password`` (r14) emits ZipCrypto members (flag
+    bit 0, deterministic 12-byte header) so the reader's decryption
+    path is pinned."""
     out = bytearray()
     cd = bytearray()
     for name, data in members:
@@ -242,10 +410,14 @@ def zip_build(
         else:
             raw = data
             method = 0
+        flags = b"\x00\x00"
+        if password is not None:
+            raw = zipcrypto_encrypt(raw, password, crc)
+            flags = b"\x01\x00"
         lho = len(out)
         common = (
             (45 if zip64 else 20).to_bytes(2, "little")  # version needed
-            + b"\x00\x00"  # flags
+            + flags
             + method.to_bytes(2, "little")
             + b"\x00\x00\x00\x00"  # dos time/date
             + crc.to_bytes(4, "little")
@@ -377,13 +549,21 @@ def sniff_kind(data: bytes) -> str:
 
 
 def expand_archive_assets(
-    assets: DataFrame, id_stride: int = 1000
+    assets: DataFrame, id_stride: int = 1000,
+    password: bytes | None = None,
 ) -> DataFrame:
-    """(asset_id, member_idx, name, kind, payload) — one row per
+    """(asset_id, member_idx, name, kind, payload, err) — one row per
     archive member, ``kind`` sniffed by magic so the rows feed the
     existing decode operators directly (``member asset_id =
     archive_id * id_stride + member_idx`` when a consumer needs a
-    flat id space). Arrow-batched, map-only."""
+    flat id space). Arrow-batched, map-only.
+
+    r14 (VERDICT item 1): structural damage is QUARANTINED like the
+    WARC chain (``warc.py:warc_extract_text``) — a corrupt archive or
+    member surfaces as a ``kind='error'`` row (``member_idx=-1``, the
+    message in ``err``) and its good siblings still expand; one dirty
+    tarball costs one row, never the Arrow batch. Consumers keep
+    ``err IS NULL``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,15 +571,22 @@ def expand_archive_assets(
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for k, (name, data) in enumerate(
-                    archive_members(bytes(payload))
-                ):
+                aid = int(asset_id)
+                members, errs = archive_scan(
+                    bytes(payload), strict=False, password=password
+                )
+                for msg in errs:
+                    rows.append((aid, -1, "", "error", None, msg))
+                for k, (name, data) in enumerate(members):
                     rows.append(
-                        (int(asset_id), k, name, sniff_kind(data), data)
+                        (aid, k, name, sniff_kind(data), data, None)
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["asset_id", "member_idx", "name", "kind", "payload"],
+                columns=[
+                    "asset_id", "member_idx", "name", "kind", "payload",
+                    "err",
+                ],
             )
 
     return (
@@ -408,7 +595,7 @@ def expand_archive_assets(
         .mapInPandas(
             gen,
             schema="asset_id long, member_idx long, name string, "
-            "kind string, payload binary",
+            "kind string, payload binary, err string",
         )
     )
 
@@ -468,12 +655,106 @@ def documents_as_archive_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_archive_features(assets: DataFrame) -> DataFrame:
-    """(asset_id, n_members, n_images, img_px, text_len) — the
-    per-archive summary a gate oracle can restate: member count, image
-    count, summed decoded pixel values of the image members (through
-    :func:`multimodal.image_decode` — the composition point), and the
-    summed byte length of text members."""
+#: the ZipCrypto password of the dirty-archive gate fixture (r14)
+DIRTY_ARCHIVE_PASSWORD = b"tsdb"
+
+
+def synth_archive_dirty(doc_id: int) -> bytes:
+    """Deterministic DIRTY archive for the r14 quarantine gate leg —
+    every archive carries exactly one quarantinable defect, the defect
+    KIND cycling by ``(doc_id // 3) % 4`` so all four isolation paths
+    are value-checked:
+
+    * mode 0 — tar: two good members (4×4 PNG of constant
+      ``(3·id+11)%256`` + ``'Doc {id} text'``) followed by a
+      bad-checksum header → both survive, 1 error, walk stops.
+    * mode 1 — zip-stored: good PNG, a middle text member whose bytes
+      are flipped in place (CRC mismatch → that member quarantines),
+      then ``'Extra {id}'`` which survives.
+    * mode 2 — not an archive at all (junk container) → 0 members,
+      1 error.
+    * mode 3 — zip-deflate ENCRYPTED with ZipCrypto (password
+      :data:`DIRTY_ARCHIVE_PASSWORD` — the decryption path under the
+      value oracle) whose PNG member is garbage after the magic →
+      both members decrypt, the image decode quarantines.
+    """
+    from timeseries_db_spark.operators.multimodal import png_encode
+
+    png = png_encode(bytes([(3 * doc_id + 11) % 256]) * 16, 4, 4, 1)
+    txt = f"Doc {doc_id} text".encode()
+    mode = (doc_id // 3) % 4
+    if mode == 0:
+        base = tar_build([("img/a.png", png), ("doc.txt", txt)])
+        bad = bytearray(512)
+        bad[:7] = b"bad.bin"
+        bad[124:136] = b"00000000000\x00"
+        bad[148:156] = b"0000000\x00"  # parses as 0, never matches
+        return base[:-1024] + bytes(bad) + bytes(1024)
+    if mode == 1:
+        mid = f"Doc {doc_id} mid".encode()
+        arc = bytearray(
+            zip_build(
+                [
+                    ("img/a.png", png),
+                    ("mid.txt", mid),
+                    ("extra.txt", f"Extra {doc_id}".encode()),
+                ],
+                deflate=False,
+            )
+        )
+        at = bytes(arc).find(mid)
+        arc[at] ^= 0xFF  # stored bytes flip → CRC mismatch
+        return bytes(arc)
+    if mode == 2:
+        return b"JUNK" * 200
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"NOTAPNGBODY" * 3
+    return zip_build(
+        [("img/bad.png", bad_png), ("doc.txt", txt)],
+        deflate=True,
+        password=DIRTY_ARCHIVE_PASSWORD,
+    )
+
+
+def documents_as_dirty_archive_assets(docs: DataFrame) -> DataFrame:
+    """Dirty-archive fixture (the ``doc_id % 3 == 1`` subset — disjoint
+    from the clean arcx fixture)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "archive",
+                    "payload": [
+                        synth_archive_dirty(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def decode_archive_features(
+    assets: DataFrame, password: bytes | None = None
+) -> DataFrame:
+    """(asset_id, n_members, n_images, img_px, text_len, n_errors) —
+    the per-archive summary a gate oracle can restate: member count,
+    image count, summed decoded pixel values of the image members
+    (through :func:`multimodal.image_decode` — the composition point),
+    and the summed byte length of text members.
+
+    r14 (VERDICT item 1): the tolerant :func:`archive_scan` walks each
+    archive and a failing IMAGE DECODE is caught per member — every
+    quarantined error (corrupt container, bad member CRC, undecodable
+    image) increments ``n_errors`` while the good siblings keep
+    contributing. ``password`` decrypts ZipCrypto members."""
     import numpy as np
 
     from timeseries_db_spark.operators.multimodal import image_decode
@@ -484,28 +765,38 @@ def decode_archive_features(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                members = archive_members(bytes(payload))
+                members, errs = archive_scan(
+                    bytes(payload), strict=False, password=password
+                )
+                n_err = len(errs)
                 n_img = 0
                 img_px = 0
                 text_len = 0
                 for _name, data in members:
                     kind = sniff_kind(data)
                     if kind == "image":
+                        try:
+                            _w, _h, _c, px = image_decode(data)
+                        except Exception:
+                            n_err += 1
+                            continue
                         n_img += 1
-                        _w, _h, _c, px = image_decode(data)
                         img_px += int(
                             np.frombuffer(px, np.uint8).sum(dtype=np.int64)
                         )
                     elif kind == "text":
                         text_len += len(data)
                 rows.append(
-                    (int(asset_id), len(members), n_img, img_px, text_len)
+                    (
+                        int(asset_id), len(members), n_img, img_px,
+                        text_len, n_err,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "asset_id", "n_members", "n_images", "img_px",
-                    "text_len",
+                    "text_len", "n_errors",
                 ],
             )
 
@@ -515,6 +806,6 @@ def decode_archive_features(assets: DataFrame) -> DataFrame:
         .mapInPandas(
             gen,
             schema="asset_id long, n_members long, n_images long, "
-            "img_px long, text_len long",
+            "img_px long, text_len long, n_errors long",
         )
     )

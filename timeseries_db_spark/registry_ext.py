@@ -2883,6 +2883,26 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("text_len").alias("v4"),
             F.lit(None).cast("long").alias("v5"),
         )
+        # r14 arcq leg: DIRTY archives under the gate (VERDICT item 1)
+        # — defect kind cycles by (id//3)%4 (bad tar checksum / bad
+        # member CRC / junk container / ZipCrypto-encrypted zip whose
+        # PNG member is garbage), so per-member quarantine, the
+        # stop-at-damage tar walk, container-level isolation AND the
+        # ZipCrypto decryption path are all value-checked: good
+        # siblings keep contributing, every error is counted.
+        # v1..v4 as arcx, v5=n_errors (1 per archive by construction)
+        arcq = _archive.decode_archive_features(
+            _archive.documents_as_dirty_archive_assets(docs),
+            password=_archive.DIRTY_ARCHIVE_PASSWORD,
+        ).select(
+            "asset_id",
+            F.lit("arcq").alias("kind"),
+            F.col("n_members").alias("v1"),
+            F.col("n_images").alias("v2"),
+            F.col("img_px").alias("v3"),
+            F.col("text_len").alias("v4"),
+            F.col("n_errors").alias("v5"),
+        )
         # r13 wmeta leg: WebM/Matroska — the remaining web container
         # family — EBML VINT walk to Info + Tracks metadata; every
         # field a doc_id closed form (synth_mkv)
@@ -2912,6 +2932,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(gmeta)
             .unionByName(wmeta)
             .unionByName(arcx)
+            .unionByName(arcq)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -3300,6 +3321,30 @@ def register_extensions(q: dict, o: dict) -> None:
                length('Doc ' || doc_id || ' text')::BIGINT AS v4,
                NULL::BIGINT AS v5
         FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        -- arcq leg (r14): the dirty-archive quarantine closed forms —
+        -- defect kind cycles by (id//3)%4: 0 = tar bad checksum (both
+        -- members survive), 1 = zip bad member CRC (middle text lost,
+        -- siblings survive), 2 = junk container (nothing survives),
+        -- 3 = ZipCrypto zip whose PNG is garbage (text survives the
+        -- decryption, the image decode quarantines). Exactly one
+        -- error each.
+        SELECT doc_id AS asset_id, 'arcq' AS kind,
+               (CASE WHEN (doc_id // 3) % 4 = 2 THEN 0 ELSE 2
+                END)::BIGINT AS v1,
+               (CASE WHEN (doc_id // 3) % 4 IN (0, 1) THEN 1 ELSE 0
+                END)::BIGINT AS v2,
+               (CASE WHEN (doc_id // 3) % 4 IN (0, 1)
+                     THEN 16 * ((3 * doc_id + 11) % 256) ELSE 0
+                END)::BIGINT AS v3,
+               (CASE (doc_id // 3) % 4
+                     WHEN 0 THEN length('Doc ' || doc_id || ' text')
+                     WHEN 1 THEN length('Extra ' || doc_id)
+                     WHEN 2 THEN 0
+                     ELSE length('Doc ' || doc_id || ' text')
+                END)::BIGINT AS v4,
+               1::BIGINT AS v5
+        FROM documents WHERE doc_id % 3 = 1
         UNION ALL
         -- wmeta leg (r13): WebM/Matroska EBML metadata restated
         SELECT doc_id AS asset_id, 'wmeta' AS kind,
