@@ -218,7 +218,9 @@ def test_corpus_avro_from_spec(spark, tmp_path):
 
 def test_corpus_csv_read(spark, tmp_path):
     """r13: headered CSV corpus exports — quoted fields with embedded
-    newlines and commas survive the multiLine read."""
+    newlines and commas survive the multiLine read (r14: that reader
+    is the explicit ``permissive`` mode; the quarantine default is
+    line-record — see test_corpus_csv_quarantine_modes)."""
     from timeseries_db_spark.sources.tables import read_corpus_any
 
     d = tmp_path / "csv"
@@ -229,11 +231,112 @@ def test_corpus_csv_read(spark, tmp_path):
     )
     back = {
         r["doc_id"]: r["text"]
-        for r in read_corpus_any(spark, str(d), fmt="csv").collect()
+        for r in read_corpus_any(
+            spark, str(d), fmt="csv", on_malformed="permissive"
+        ).collect()
     }
     assert back == {
         1: "plain text", 2: "with, comma", 3: "multi\nline body", 4: None
     }
+
+
+def test_corpus_csv_quarantine_modes(spark, tmp_path):
+    """r14 (VERDICT item 3): malformed CSV/TSV lines — a type-broken
+    n_chars field quarantines with the raw line preserved, header
+    lines (repeated per shard) are dropped, good rows in the same file
+    survive; drop removes, fail aborts; .tsv routes with a tab
+    separator."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "csvq"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,alpha,en,web,5\n"
+        "2,beta,en,web,NOTANUMBER\n"
+        "3,gamma,de,web,5\n"
+    )
+    (d / "part-1.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "4,delta,fr,web,5\n"
+    )
+    q = read_corpus_any(spark, str(d), fmt="csv").collect()
+    clean = {r["doc_id"]: r["text"] for r in q if r["_corrupt"] is None}
+    bad = [r for r in q if r["_corrupt"] is not None]
+    assert clean == {1: "alpha", 3: "gamma", 4: "delta"}
+    assert len(bad) == 1 and "NOTANUMBER" in bad[0]["_corrupt"]
+    # the quarantine column is filterable/countable (the QUERY_ONLY
+    # restriction the text-scan form exists to avoid)
+    df = read_corpus_any(spark, str(d), fmt="csv")
+    assert df.filter("_corrupt IS NOT NULL").count() == 1
+    got = read_corpus_any(spark, str(d), fmt="csv", on_malformed="drop")
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 4]
+    with _pytest.raises(Exception):
+        read_corpus_any(
+            spark, str(d), fmt="csv", on_malformed="fail"
+        ).collect()
+    # TSV separator inference from the extension
+    t = tmp_path / "tsvq"
+    t.mkdir()
+    (t / "part-0.tsv").write_text(
+        "doc_id\ttext\tlang\tsource\tn_chars\n"
+        "7\tsev en\ten\tweb\t6\n"
+        "8\tbroken\ten\tweb\tNaNope\n"
+    )
+    rows = read_corpus_any(spark, str(t / "part-0.tsv")).collect()
+    ok = [r for r in rows if r["_corrupt"] is None]
+    assert len(ok) == 1 and ok[0]["doc_id"] == 7 and ok[0]["text"] == "sev en"
+    assert sum(r["_corrupt"] is not None for r in rows) == 1
+
+
+def test_corpus_avro_quarantine(spark, tmp_path):
+    """r14 (VERDICT item 1): a corrupt Avro data block quarantines —
+    the scan resyncs on the next sync marker so the surrounding blocks
+    decode; a whole-file corruption costs one row; drop skips
+    silently; fail aborts."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    recs = [{"doc_id": i, "text": f"doc {i}"} for i in range(250)]
+    p = bytearray(
+        AV.avro_build(recs, AV.CORPUS_AVRO_SCHEMA, block_records=100)
+    )
+    # corrupt the SECOND block structurally: the length varint of one
+    # record's text becomes an impossible multi-byte length
+    at = bytes(p).find(b"doc 150")
+    p[at - 1] = 0xFF
+    schema, got, errs = AV.avro_scan(bytes(p), strict=False)
+    got_ids = [r["doc_id"] for r in got]
+    assert got_ids == list(range(100)) + list(range(200, 250))
+    assert len(errs) == 1
+    with _pytest.raises(ValueError):
+        AV.avro_records(bytes(p))
+
+    d = tmp_path / "avroq"
+    d.mkdir()
+    (d / "good.avro").write_bytes(
+        AV.avro_build(recs[:10], AV.CORPUS_AVRO_SCHEMA)
+    )
+    (d / "bad.avro").write_bytes(bytes(p))
+    (d / "junk.avro").write_bytes(b"NOTAVRO" * 10)
+    q = read_corpus_any(spark, str(d), fmt="avro").collect()
+    clean = sorted(
+        r["doc_id"] for r in q if r["_corrupt"] is None
+    )
+    assert clean == sorted(
+        list(range(10)) + list(range(100)) + list(range(200, 250))
+    )
+    assert sum(r["_corrupt"] is not None for r in q) == 2  # block + junk
+    got = read_corpus_any(spark, str(d), fmt="avro", on_malformed="drop")
+    assert got.count() == len(clean) and "_corrupt" not in got.columns
+    with _pytest.raises(Exception):
+        read_corpus_any(
+            spark, str(d), fmt="avro", on_malformed="fail"
+        ).collect()
 
 
 def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):

@@ -1092,3 +1092,82 @@ def test_warc_streaming_survives_poisoned_batch(spark, tmp_path):
     assert set(
         r["batch"] for r in wi.read_rejects(spark, out_dir).collect()
     ) == {0}
+
+
+def test_archive_streaming_survives_poisoned_batch(spark, tmp_path):
+    """r14 (VERDICT item 4): archives as the streaming arrival unit —
+    a micro-batch containing a poisoned tarball (bad member CRC / junk
+    container) does NOT kill the query: the damage lands in the
+    dead-letter table, the poisoned archive's good members AND the
+    whole next batch publish, and non-text members (a PNG) never reach
+    the corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.operators.multimodal import png_encode
+    from timeseries_db_spark.streaming import archive_ingest as ai
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "one two three four five six seven eight nine ten"
+    Z = "red orange yellow green blue indigo violet umber ochre teal"
+    png = png_encode(bytes([7]) * 16, 4, 4, 1)
+    # asset 0 (batch 0): zip whose SECOND member's CD CRC is flipped —
+    # doc.txt (idx 0) and late.txt survive, bad.bin quarantines
+    z = bytearray(
+        A.zip_build(
+            [("doc.txt", X.encode()), ("bad.bin", b"POISON"),
+             ("late.txt", Y.encode()), ("img.png", png)],
+            deflate=False,
+        )
+    )
+    z[bytes(z).rfind(b"bad.bin") - 30] ^= 0xFF
+    # asset 1 (batch 0): junk container — whole-asset quarantine
+    # asset 2 (batch 1): clean tar
+    clean = A.tar_build([("z.txt", Z.encode()), ("img.png", png)])
+    batches = [[(0, bytes(z)), (1, b"JUNK" * 200)], [(2, clean)]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        path = str(in_dir / f"a{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "asset_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "kind": pa.array(["archive"] * len(rows)),
+                    "payload": pa.array(
+                        [r[1] for r in rows], pa.binary()
+                    ),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = ai.start_archive_corpus_ingest(
+        ai.read_archive_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    # doc.txt = member 0 of asset 0; late.txt slides to member idx 1
+    # (bad.bin never enumerates); z.txt = member 0 of asset 2
+    assert pub == {0: X, 1: Y, 2000: Z}
+    rej = ai.read_archive_rejects(spark, out_dir).collect()
+    by_asset = {}
+    for r in rej:
+        by_asset.setdefault(r["asset_id"], []).append(r["err"])
+    assert set(by_asset) == {0, 1}
+    assert any("CRC" in e for e in by_asset[0])
+    assert all(r["batch"] == 0 for r in rej)

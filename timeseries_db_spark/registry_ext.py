@@ -2055,6 +2055,89 @@ def register_extensions(q: dict, o: dict) -> None:
     # while the oracle replays the merge list an independent pure-Python
     # trainer (bpe.train_gate_merges, no Spark) derives from the same
     # closed form: any trainer divergence flips the hash.
+    # r14 (VERDICT item 2) — the avfmt/csvfmt legs gate-pin the Avro
+    # and CSV/TSV corpus arrival paths that were pytest-only: the
+    # entry WRITES a closed-form corpus as real .avro container files
+    # (deflate + null codecs) and headered .csv shards — each with one
+    # deliberate corruption (a junk Avro file; a type-broken CSV line)
+    # — reads them back through read_corpus_any's quarantine mode, and
+    # publishes per-doc summaries in the entry's token-summary schema
+    # (n_oov doubles as the is-quarantined flag, exactly one per
+    # format by construction).
+    def _format_roundtrip_legs(s: SparkSession, d: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from timeseries_db_spark.sources import avro as AV
+        from timeseries_db_spark.sources.tables import read_corpus_any
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"tsdb_fmt_{os.getpid()}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        av_dir = os.path.join(base, "avro")
+        csv_dir = os.path.join(base, "csv")
+        os.makedirs(av_dir)
+        os.makedirs(csv_dir)
+        ids = sorted(
+            int(r["doc_id"])
+            for r in _docs(s, d).select("doc_id").collect()
+        )
+        half = len(ids) // 2
+        for k, chunk in enumerate((ids[:half], ids[half:])):
+            recs = [
+                {"doc_id": i, "text": f"Avro doc {i}"} for i in chunk
+            ]
+            with open(os.path.join(av_dir, f"part-{k}.avro"), "wb") as f:
+                f.write(
+                    AV.avro_build(
+                        recs,
+                        AV.CORPUS_AVRO_SCHEMA,
+                        codec="deflate" if k == 0 else "null",
+                        block_records=50,
+                    )
+                )
+            lines = ["doc_id,text,lang,source,n_chars\n"] + [
+                f"{i},Csv doc {i},en,web,{len(f'Csv doc {i}')}\n"
+                for i in chunk
+            ]
+            if k == 0:
+                lines.append("-77,broken line,en,web,NOPE\n")
+            with open(os.path.join(csv_dir, f"part-{k}.csv"), "w") as f:
+                f.write("".join(lines))
+        with open(os.path.join(av_dir, "junk.avro"), "wb") as f:
+            f.write(b"NOTANAVROFILE" * 4)
+
+        def coerce(df: DataFrame) -> DataFrame:
+            bad = F.col("_corrupt").isNotNull()
+            return df.select(
+                F.when(bad, F.lit(-1))
+                .otherwise(F.col("doc_id"))
+                .cast("long")
+                .alias("doc_id"),
+                F.when(bad, F.lit(-1))
+                .otherwise(F.length("text"))
+                .cast("long")
+                .alias("n_tokens"),
+                bad.cast("long").alias("n_oov"),
+                F.when(bad, F.md5(F.lit("")))
+                .otherwise(F.md5(F.col("text")))
+                .alias("ids_fp"),
+                F.when(bad, F.lit(-1))
+                .otherwise(F.col("doc_id") + F.length("text"))
+                .cast("long")
+                .alias("ids_sum"),
+            )
+
+        return coerce(read_corpus_any(s, av_dir, fmt="avro")).withColumn(
+            "kind", F.lit("avfmt")
+        ).unionByName(
+            coerce(read_corpus_any(s, csv_dir, fmt="csv")).withColumn(
+                "kind", F.lit("csvfmt")
+            )
+        )
+
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
 
@@ -2066,8 +2149,10 @@ def register_extensions(q: dict, o: dict) -> None:
         )
         tc = bpe.train_corpus(s)
         trained = bpe.bpe_doc_summary(tc, bpe.bpe_train(tc, num_merges=8))
-        return vocab.unionByName(bpe_leg).unionByName(
-            trained.withColumn("kind", F.lit("bpet"))
+        return (
+            vocab.unionByName(bpe_leg)
+            .unionByName(trained.withColumn("kind", F.lit("bpet")))
+            .unionByName(_format_roundtrip_legs(s, d))
         )
 
     q["corpus_tokenize"] = tokenize_both
@@ -2083,6 +2168,31 @@ def register_extensions(q: dict, o: dict) -> None:
             _bpe.train_gate_merges(8), from_sql=f"({_bpe.train_corpus_sql()})"
         )
         + ")"
+        # r14 avfmt/csvfmt: the format-roundtrip closed forms — every
+        # doc once per format plus exactly one quarantined corruption
+        # per format (n_oov=1 sentinel rows)
+        + """
+        UNION ALL
+        SELECT doc_id,
+               length('Avro doc ' || doc_id)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5('Avro doc ' || doc_id) AS ids_fp,
+               (doc_id + length('Avro doc ' || doc_id))::BIGINT AS ids_sum,
+               'avfmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'avfmt'
+        UNION ALL
+        SELECT doc_id,
+               length('Csv doc ' || doc_id)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5('Csv doc ' || doc_id) AS ids_fp,
+               (doc_id + length('Csv doc ' || doc_id))::BIGINT AS ids_sum,
+               'csvfmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'csvfmt'
+    """
     )
 
     # ---- dedup ----

@@ -421,6 +421,14 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # near-dup suppression; tag 'cwarc', value = fp53 of the
         # published extracted text
         cwarc = _warc_ingest_leg(spark, sf_dir, base)
+        # r14 carc leg (VERDICT item 4): ARCHIVES as the streaming
+        # arrival unit — tar / zip-deflate / zip-stored shards cycled
+        # by id, tolerant expansion → text-member routing → the same
+        # near-dup suppression, with every 6th doc's archive POISONED
+        # (corrupt tar header / corrupt member CRC): the published set
+        # is unchanged and the damage lands in the dead-letter table
+        # the carj leg reads back
+        carc = _archive_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -429,6 +437,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sasof)
         .unionByName(ssj)
         .unionByName(cwarc)
+        .unionByName(carc)
     )
 
 
@@ -612,6 +621,114 @@ def _warc_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     )
 
 
+#: the closed form of the archive-member corpus the carc leg publishes
+#: (doc_id stride: the text member is member 0 of each archive)
+_CARC_DOCS_SQL = """
+    SELECT doc_id * 1000 AS doc_id,
+           'Doc ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
+
+def _archive_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """2-micro-batch streaming ARCHIVE→corpus ingest (r14): per-doc
+    archives whose first member is a closed-form text file and second
+    a PNG (routing matters), containers cycled by doc_id (tar /
+    zip-deflate / zip-stored), halves by doc_id with pinned mtimes —
+    expansion → member routing → near-dup suppression as ONE streaming
+    query (streaming/archive_ingest.py). Every 6th doc's archive is
+    POISONED (tar: a bad-checksum header after the good members; zip:
+    a third member whose central-directory CRC is flipped) — the good
+    members still publish and the damage quarantines. Returns
+    (doc_id, 'carc', fp53) ∪ (asset·1000−1, 'carj', −1)."""
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.operators.multimodal import png_encode
+    from timeseries_db_spark.streaming import archive_ingest as ai
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_CWARC_CLEAN).alias("clean"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    hi = int(pdf["doc_id"].max()) + 1
+    in_dir = os.path.join(base, "arc_in")
+    os.makedirs(in_dir)
+    halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
+    for i, half in enumerate(halves):
+        ids, payloads = [], []
+        for did, clean in zip(half["doc_id"], half["clean"]):
+            did = int(did)
+            members = [
+                ("doc.txt", f"Doc {did} {clean}".encode()),
+                ("img.png", png_encode(bytes([did % 256]) * 16, 4, 4, 1)),
+            ]
+            poison = did % 6 == 0
+            mode = did % 3
+            if mode == 0:
+                payload = A.tar_build(members)
+                if poison:
+                    bad = bytearray(512)
+                    bad[:3] = b"bad"
+                    bad[148:156] = b"0000000\x00"
+                    payload = payload[:-1024] + bytes(bad) + bytes(1024)
+            else:
+                ms = members + (
+                    [("bad.bin", b"POISONPAYLOAD")] if poison else []
+                )
+                payload = A.zip_build(ms, deflate=(mode == 1))
+                if poison:
+                    b2 = bytearray(payload)
+                    # the central-directory copy of the name (rfind —
+                    # CD follows the local headers); its entry's CRC
+                    # field sits 30 bytes before the name
+                    at = bytes(b2).rfind(b"bad.bin")
+                    b2[at - 30] ^= 0xFF
+                    payload = bytes(b2)
+            ids.append(did)
+            payloads.append(payload)
+        path = os.path.join(in_dir, f"a{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "asset_id": pa.array(ids, pa.int64()),
+                    "kind": pa.array(["archive"] * len(ids)),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = os.path.join(base, "arc_out")
+    query = ai.start_archive_corpus_ingest(
+        ai.read_archive_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        os.path.join(base, "arc_ckpt"),
+        quarantine=True,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rejects = ai.read_archive_rejects(spark, out_dir).select(
+        (F.col("asset_id") * 1000 - 1).alias("timestamp"),
+        F.lit("carj").alias("tag"),
+        F.lit(-1.0).alias("value"),
+    )
+    return (
+        ci.read_published(spark, out_dir)
+        .select(
+            F.col("doc_id").alias("timestamp"),
+            F.lit("carc").alias("tag"),
+            F.col("fp53").cast("double").alias("value"),
+        )
+        .unionByName(rejects)
+    )
+
+
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
     once with the ORIGINAL value formula — duplicates collapsed, poison
@@ -620,6 +737,7 @@ def stream_ingest_dedup_sql() -> str:
     ``streaming/corpus_ingest.py``."""
     from timeseries_db_spark.streaming.corpus_ingest import corpus_ingest_kept_sql
 
+    carc_kept = corpus_ingest_kept_sql(docs_sql=_CARC_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -645,6 +763,20 @@ def stream_ingest_dedup_sql() -> str:
         FROM documents
         UNION ALL
         SELECT doc_id * 1000 - 1 AS "timestamp", 'cwrej' AS tag,
+               -1.0 AS value
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        -- carc (r14): the streaming ARCHIVE ingest published set — the
+        -- SAME batch-boundary-free kept rule over the closed form of
+        -- the text members (the poisoned archives' good members still
+        -- publish, so the set is corruption-invariant)
+        SELECT doc_id AS "timestamp", 'carc' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({carc_kept})
+        UNION ALL
+        -- carj (r14): the archive dead-letter channel — every 6th
+        -- doc's poisoned archive quarantines exactly one error row
+        SELECT doc_id * 1000 - 1 AS "timestamp", 'carj' AS tag,
                -1.0 AS value
         FROM documents WHERE doc_id % 6 = 0
         UNION ALL

@@ -128,58 +128,97 @@ def _encode_value(t, v) -> bytes:
     raise ValueError(f"avro type {t!r} unsupported (seam)")
 
 
-def avro_records(payload: bytes) -> tuple[dict, list[dict]]:
-    """(schema, records) of one Object Container File — sync markers
-    verified per block, null/deflate codecs, the flat-record schema
-    subset. Raises ``ValueError`` on corruption or unsupported
-    shapes."""
+def avro_scan(
+    payload: bytes, strict: bool = True
+) -> tuple[dict | None, list[dict], list[str]]:
+    """(schema, records, errors) of one Object Container File — sync
+    markers verified per block, null/deflate codecs, the flat-record
+    schema subset.
+
+    ``strict=True`` raises ``ValueError`` on corruption or unsupported
+    shapes. ``strict=False`` (r14 — VERDICT item 1, the WARC-chain
+    quarantine posture): header/schema damage is ONE container-level
+    error (no records); a corrupt DATA BLOCK records its error and the
+    walk RESYNCS on the next 16-byte sync-marker occurrence, so the
+    blocks after it still decode — sync markers exist precisely to
+    make blocks independently recoverable (Avro spec, Object Container
+    Files)."""
     b = payload
-    if b[:4] != b"Obj\x01":
-        raise ValueError(f"not an Avro container (magic {b[:4]!r})")
-    at = 4
-    meta: dict[str, bytes] = {}
-    while True:
-        count, at = _zigzag_decode(b, at)
-        if count == 0:
-            break
-        if count < 0:  # negative block count: size follows (spec)
-            count = -count
-            _sz, at = _zigzag_decode(b, at)
-        for _ in range(count):
-            klen, at = _zigzag_decode(b, at)
-            key = b[at : at + klen].decode("utf-8")
-            at += klen
-            vlen, at = _zigzag_decode(b, at)
-            meta[key] = b[at : at + vlen]
-            at += vlen
-    sync = b[at : at + 16]
-    at += 16
-    schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro codec {codec!r} unsupported (seam)")
-    fields = _field_types(schema)
+    errs: list[str] = []
+    try:
+        if b[:4] != b"Obj\x01":
+            raise ValueError(f"not an Avro container (magic {b[:4]!r})")
+        at = 4
+        meta: dict[str, bytes] = {}
+        while True:
+            count, at = _zigzag_decode(b, at)
+            if count == 0:
+                break
+            if count < 0:  # negative block count: size follows (spec)
+                count = -count
+                _sz, at = _zigzag_decode(b, at)
+            for _ in range(count):
+                klen, at = _zigzag_decode(b, at)
+                key = b[at : at + klen].decode("utf-8")
+                at += klen
+                vlen, at = _zigzag_decode(b, at)
+                meta[key] = b[at : at + vlen]
+                at += vlen
+        sync = b[at : at + 16]
+        at += 16
+        schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("latin-1")
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"avro codec {codec!r} unsupported (seam)")
+        fields = _field_types(schema)
+    except (ValueError, KeyError, UnicodeDecodeError) as e:
+        if strict:
+            raise
+        return None, [], [f"avro container: {e}"]
     records: list[dict] = []
     while at < len(b):
-        count, at = _zigzag_decode(b, at)
-        size, at = _zigzag_decode(b, at)
-        block = b[at : at + size]
-        if len(block) != size:
-            raise ValueError("avro block truncated")
-        at += size
-        if b[at : at + 16] != sync:
-            raise ValueError("avro sync marker mismatch (corrupt block)")
-        at += 16
-        if codec == "deflate":
-            block = zlib.decompressobj(-15).decompress(block)
-        p = 0
-        for _ in range(count):
-            rec = {}
-            for name, t in fields:
-                rec[name], p = _decode_value(t, block, p)
-            records.append(rec)
-        if p != len(block):
-            raise ValueError("avro block has trailing bytes")
+        block_at = at
+        try:
+            count, at = _zigzag_decode(b, at)
+            size, at = _zigzag_decode(b, at)
+            block = b[at : at + size]
+            if len(block) != size:
+                raise ValueError("avro block truncated")
+            at += size
+            if b[at : at + 16] != sync:
+                raise ValueError(
+                    "avro sync marker mismatch (corrupt block)"
+                )
+            at += 16
+            if codec == "deflate":
+                block = zlib.decompressobj(-15).decompress(block)
+            p = 0
+            block_recs: list[dict] = []
+            for _ in range(count):
+                rec = {}
+                for name, t in fields:
+                    rec[name], p = _decode_value(t, block, p)
+                block_recs.append(rec)
+            if p != len(block):
+                raise ValueError("avro block has trailing bytes")
+        except (ValueError, zlib.error) as e:
+            if strict:
+                raise ValueError(str(e)) from e
+            errs.append(f"avro block at {block_at}: {e}")
+            # resync: the next sync-marker occurrence bounds the damage
+            # to this block (a corrupted sync costs at most the block
+            # that follows it too)
+            nxt = b.find(sync, block_at + 1)
+            at = nxt + 16 if nxt >= 0 else len(b)
+            continue
+        records.extend(block_recs)
+    return schema, records, errs
+
+
+def avro_records(payload: bytes) -> tuple[dict, list[dict]]:
+    """Strict form of :func:`avro_scan` — (schema, records), raising
+    ``ValueError`` on corruption or unsupported shapes."""
+    schema, records, _ = avro_scan(payload, strict=True)
     return schema, records
 
 
@@ -231,11 +270,32 @@ CORPUS_AVRO_SCHEMA = {
 }
 
 
-def read_corpus_avro(spark: SparkSession, path: str) -> DataFrame:
-    """(doc_id, text) corpus from a directory of ``.avro`` container
-    files — ``binaryFile`` scan + the from-spec decoder in the
-    standard Arrow kernel. Files decode independently (per-file
-    parallelism, the Avro-drop arrival unit)."""
+def read_corpus_avro(
+    spark: SparkSession, path: str, on_malformed: str = "quarantine",
+) -> DataFrame:
+    """(doc_id, text[, _corrupt]) corpus from a directory of ``.avro``
+    container files — ``binaryFile`` scan + the from-spec decoder in
+    the standard Arrow kernel. Files decode independently (per-file
+    parallelism, the Avro-drop arrival unit).
+
+    ``on_malformed`` (r14 — the JSONL quarantine contract extended to
+    the Avro arrival path):
+
+    * ``"quarantine"`` (default) — a corrupt data block or container
+      costs one all-NULL row carrying the message in ``_corrupt``;
+      the blocks around it (and the sibling files in the batch) still
+      decode. Filter ``_corrupt IS NULL`` for the clean stream.
+    * ``"drop"`` — damage is skipped silently (no ``_corrupt``
+      column).
+    * ``"fail"`` — any damage aborts the read."""
+    if on_malformed not in ("quarantine", "drop", "fail"):
+        raise ValueError(f"on_malformed {on_malformed!r}")
+    quarantine = on_malformed == "quarantine"
+    strict = on_malformed == "fail"
+    cols = ["doc_id", "text"] + (["_corrupt"] if quarantine else [])
+    schema = "doc_id long, text string" + (
+        ", _corrupt string" if quarantine else ""
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -243,15 +303,21 @@ def read_corpus_avro(spark: SparkSession, path: str) -> DataFrame:
                 continue
             rows = []
             for content in pdf["content"]:
-                _schema, recs = avro_records(bytes(content))
+                _schema, recs, errs = avro_scan(
+                    bytes(content), strict=strict
+                )
+                if quarantine:
+                    for msg in errs:
+                        rows.append((None, None, msg))
                 for r in recs:
-                    rows.append((r["doc_id"], r.get("text")))
-            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+                    row = (r["doc_id"], r.get("text"))
+                    rows.append(row + ((None,) if quarantine else ()))
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("content")
-        .mapInPandas(gen, schema="doc_id long, text string")
+        .mapInPandas(gen, schema=schema)
     )

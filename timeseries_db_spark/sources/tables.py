@@ -281,45 +281,81 @@ def read_corpus_any(
     unless given. The explicit schema skips the inference scan and pins
     the promised types — same rationale as :func:`read_tsdb_any`.
 
-    ``on_malformed`` (JSONL only — web-scraped corpora contain broken
-    lines as a matter of course):
+    ``on_malformed`` (JSONL, CSV/TSV and Avro — web-scraped corpora
+    contain broken lines as a matter of course; r14 extends the JSONL
+    contract to the other dirty arrival formats):
 
     * ``"quarantine"`` (default) — malformed lines survive the scan
       with every schema field NULL and the raw line in ``_corrupt``;
       filter ``_corrupt IS NULL`` for the clean stream, and the
       quarantined remainder is auditable instead of silently gone.
-      Implemented as a text scan + ``from_json`` (JVM-side, one pass)
-      rather than the json reader's internal corrupt-record column,
-      whose QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction breaks plain
-      ``df.filter(...).count()`` — the first thing a user does.
-    * ``"drop"`` — Spark DROPMALFORMED: broken lines vanish at the
-      scan.
-    * ``"fail"`` — FAILFAST: any broken line aborts the read (the
-      right mode when upstream claims to have validated)."""
+      Implemented as a text scan + ``from_json``/``from_csv``
+      (JVM-side, one pass) rather than the readers' internal
+      corrupt-record column, whose QUERY_ONLY_CORRUPT_RECORD_COLUMN
+      restriction breaks plain ``df.filter(...).count()`` — the first
+      thing a user does. For CSV this is LINE-RECORD mode (quoted
+      embedded newlines can't be line-scanned — exports that quote
+      newlines use ``"permissive"``); header lines are dropped by
+      their ``doc_id`` first field. For Avro a corrupt data block
+      quarantines and the scan resyncs on the next sync marker
+      (``sources/avro.py``).
+    * ``"drop"`` — broken records vanish at the scan (Spark
+      DROPMALFORMED for JSONL/CSV; silent block skip for Avro).
+    * ``"fail"`` — FAILFAST: any broken record aborts the read (the
+      right mode when upstream claims to have validated).
+    * ``"permissive"`` (CSV only, r14) — the r13 multiLine reader:
+      quoted embedded newlines supported, but broken fields silently
+      become NULLs under the pinned schema."""
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
     if fmt is None:
-        ext = os.path.splitext(path)[1].lstrip(".").lower()
         fmt = {
             "json": "json", "jsonl": "json", "orc": "orc",
-            "avro": "avro", "csv": "csv", "tsv": "csv",
+            "avro": "avro", "csv": "csv", "tsv": "tsv",
         }.get(ext, "parquet")
+    sep = "\t" if "tsv" in (fmt, ext) else ","
+    if fmt == "tsv":
+        fmt = "csv"
     if fmt == "orc":  # r10
         return spark.read.schema(CORPUS_SCHEMA).orc(path)
-    if fmt == "csv":  # r13: headered CSV/TSV exports; quoted newlines
-        return (
+    if fmt == "csv":  # r13: headered CSV/TSV exports; r14: dirty modes
+        if on_malformed == "quarantine":
+            return (
+                spark.read.text(path)
+                .filter(F.col("value").rlike(r"\S"))
+                # header lines (every shard repeats one) carry the
+                # doc_id column name where a record carries its long
+                .filter(~F.col("value").rlike(r"^doc_id([,\t]|$)"))
+                .select(
+                    F.from_csv(
+                        F.col("value"),
+                        CORPUS_SCHEMA + ", _corrupt string",
+                        {
+                            "mode": "PERMISSIVE",
+                            "columnNameOfCorruptRecord": "_corrupt",
+                            "sep": sep,
+                            "escape": '"',
+                        },
+                    ).alias("r")
+                )
+                .select("r.*")
+            )
+        reader = (
             spark.read.schema(CORPUS_SCHEMA)
             .option("header", "true")
             .option("multiLine", "true")  # quoted embedded newlines
             .option("escape", '"')
-            .csv(path)
+            .option("sep", sep)
         )
+        if on_malformed != "permissive":
+            mode = {"drop": "DROPMALFORMED", "fail": "FAILFAST"}[on_malformed]
+            reader = reader.option("mode", mode)
+        return reader.csv(path)
     if fmt == "avro":  # r13: from-spec container read, no spark-avro jar
         from timeseries_db_spark.sources.avro import read_corpus_avro
 
-        return read_corpus_avro(spark, path)
+        return read_corpus_avro(spark, path, on_malformed=on_malformed)
     if fmt == "json":
         if on_malformed == "quarantine":
-            from pyspark.sql import functions as F
-
             return (
                 spark.read.text(path)
                 # blank/whitespace lines are record separators, not
