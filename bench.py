@@ -474,7 +474,7 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 4),
         "total_first_run": round(sum(firsts.values()), 4),
         "sf": sf,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": "BENCH_DETAIL_run.json",
         # self-diagnosing noise fields (r13): start is pre-session
         # neighbor load; noise_pct is the median-over-best spread of
         # this very run — large values say "read BENCH_DETAIL/loads
@@ -502,8 +502,15 @@ def main() -> None:
             "ncpu": ncpu,
         },
     }
+    # r14 (VERDICT item 5): run detail goes to an UNCOMMITTED path —
+    # the committed BENCH_DETAIL.json is the quiet-box ANCHOR detail
+    # that BENCH_ANCHOR_r13.json references, and r13's bench overwrote
+    # it on every run (every session had to remember `git restore`).
+    # Refreshing the anchor is now a deliberate copy (or
+    # SPARK_GRAFT_DETAIL=BENCH_DETAIL.json), never a side effect.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_DETAIL", "BENCH_DETAIL_run.json"),
     )
     with open(detail_path, "w") as f:
         json.dump({**out, **detail}, f, indent=1)
