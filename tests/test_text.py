@@ -1358,3 +1358,60 @@ def test_robots_sitemaps_and_sitemap_urls(spark):
     assert sorted(
         -1 if x != x else int(x) for x in duck["lastmod_day"]
     ) == [-1, 19737]
+
+
+def test_script_lang_id_buckets_and_parity(spark):
+    """r14 (VERDICT item 6): script-class language bucketing — the
+    non-Latin complement of the Latin-only stopword vote. Dominant
+    script wins, kana presence turns Han-dominant text Japanese,
+    script-free text falls back to the stopword vote, and the
+    generated DuckDB twin agrees on every row."""
+    import duckdb
+
+    from timeseries_db_spark.operators import text
+
+    cases = [
+        (1, "Это русский текст про что-то"),
+        (2, "Ελληνικό κείμενο εδώ"),
+        (3, "هذا نص عربي قصير"),
+        (4, "זהו טקסט בעברית"),
+        (5, "यह हिंदी में पाठ है"),
+        (6, "นี่คือข้อความภาษาไทย"),
+        (7, "한국어 텍스트 입니다"),
+        (8, "これは日本語のテキストです"),  # kana + han → ja
+        (9, "纯汉字文本没有假名"),  # pure han → zh
+        (10, "the cat and the dog of it is fine"),  # latin → en
+        (11, "zzz qqq www nothing matches"),  # latin, no lexicon → und
+        (12, "mostly english text the and of it is с одним словом"),
+        (13, ""),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["slang"], r["n_scripted"])
+        for r in text.script_lang_id(df).collect()
+    }
+    want = {
+        1: "ru", 2: "el", 3: "ar", 4: "he", 5: "hi", 6: "th", 7: "ko",
+        8: "ja", 9: "zh", 10: "en", 11: "und", 13: "und",
+    }
+    for i, lang in want.items():
+        assert got[i][0] == lang, (i, got[i])
+    # doc 12: one Cyrillic word among Latin — Cyrillic chars dominate
+    # the (empty) other script counts, so the script bucket wins over
+    # the stopword vote by design (script chars are the stronger
+    # signal than Latin stopwords)
+    assert got[12][0] == "ru" and got[12][1] > 0
+    assert got[13][1] == 0
+    # engine parity on the generated twin
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in cases
+    )
+    duck = con.execute(
+        text.script_lang_id_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    for doc_id, n_scripted, slang in duck:
+        assert got[doc_id] == (slang, n_scripted), doc_id

@@ -197,6 +197,104 @@ def lang_id_sql() -> str:
     return f"SELECT doc_id, lang, {case} AS pred_lang FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# script-class language bucketing (r14 — VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+#: Unicode script ranges → script-level language buckets. The stopword
+#: vote above is Latin-only (a CJK/Cyrillic/Greek/Arabic page scores 0
+#: on every lexicon and lands in 'und'); counting CHARACTERS by script
+#: class buckets the major non-Latin scripts correctly and is
+#: oracle-expressible in both engines (the range endpoints are embedded
+#: as literal characters — RE2 has no \\uXXXX escapes, the same seam as
+#: ``_ZW_CHARS``). Script-level buckets, honestly named: 'ru' means
+#: Cyrillic, 'zh' means Han — a real LID model distinguishes Russian
+#: from Bulgarian; this pass routes pages to per-script pipelines.
+SCRIPT_RANGES: dict[str, str] = {
+    "ar": "؀-ۿ",  # Arabic
+    "el": "Ͱ-Ͽ",  # Greek
+    "he": "֐-׿",  # Hebrew
+    "hi": "ऀ-ॿ",  # Devanagari
+    "ja": "぀-ヿ",  # Hiragana + Katakana
+    "ko": "가-힯",  # Hangul syllables
+    "ru": "Ѐ-ӿ",  # Cyrillic
+    "th": "฀-๿",  # Thai
+    "zh": "一-鿿",  # CJK Unified (Han)
+}
+
+
+def _script_winner_case(latin_expr: str) -> str:
+    """Winner CASE over staged ``sc_<bucket>`` count columns — shared
+    Spark-SQL/DuckDB syntax. All-zero script counts fall back to the
+    Latin stopword vote; Han-dominant text with ANY kana present is
+    Japanese (kanji+kana is how Japanese is written — pure-Han text
+    stays 'zh')."""
+    bs = sorted(SCRIPT_RANGES)
+    greatest = "greatest(" + ", ".join(f"sc_{b}" for b in bs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN ({latin_expr}) "
+    case += f"WHEN sc_ja > 0 AND sc_zh = {greatest} THEN 'ja' "
+    for b in bs:
+        case += f"WHEN sc_{b} = {greatest} THEN '{b}' "
+    return case + "END"
+
+
+def script_lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_scripted, slang) — script-class language bucketing:
+    count characters per Unicode script range, bucket by the dominant
+    script (alphabetical tiebreak; kana presence turns Han-dominant
+    text Japanese), and fall back to the Latin stopword vote
+    (:func:`lang_id`'s rule, 'und' when nothing matches) for
+    script-free text. ``n_scripted`` is the total count of non-Latin
+    script characters. Map-only JVM expressions — nine
+    ``regexp_extract_all`` counts in one staged projection."""
+    staged = docs.select(
+        "doc_id",
+        *[
+            F.expr(f"size(regexp_extract_all(text, '[{r}]', 0))")
+            .cast("long")
+            .alias(f"sc_{b}")
+            for b, r in sorted(SCRIPT_RANGES.items())
+        ],
+        *[
+            F.expr(
+                f"size(filter({TOKENS_SPARK}, t -> t IN {_in_list(w)}))"
+            ).alias(f"sl_{lang}")
+            for lang, w in sorted(LANG_LEXICONS.items())
+        ],
+    )
+    latin = _winner_case({lang: f"sl_{lang}" for lang in LANG_LEXICONS})
+    total = " + ".join(f"sc_{b}" for b in sorted(SCRIPT_RANGES))
+    return staged.select(
+        "doc_id",
+        F.expr(total).cast("long").alias("n_scripted"),
+        F.expr(_script_winner_case(latin)).alias("slang"),
+    )
+
+
+def script_lang_id_sql(source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`script_lang_id` — generated from the SAME
+    range table and winner rule (engine parity by construction)."""
+    latin = _winner_case(
+        {
+            lang: f"len(list_filter({TOKENS_DUCK}, t -> t IN {_in_list(w)}))"
+            for lang, w in LANG_LEXICONS.items()
+        }
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '[{r}]'))::BIGINT AS sc_{b}"
+        for b, r in sorted(SCRIPT_RANGES.items())
+    )
+    total = " + ".join(f"sc_{b}" for b in sorted(SCRIPT_RANGES))
+    return f"""
+        SELECT doc_id, ({total})::BIGINT AS n_scripted,
+               {_script_winner_case(latin)} AS slang
+        FROM (
+            SELECT doc_id, text, {counts}
+            FROM ({source_sql})
+        )
+    """
+
+
 NORM_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
 NORM_DUCK = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 

@@ -893,6 +893,27 @@ def register_extensions(q: dict, o: dict) -> None:
         " ' end')"
     )
 
+    # r14 slid leg shared construction: one script per doc_id%10 mode
+    # (Latin-with/without-stopwords, Arabic, Greek, Hebrew, Devanagari,
+    # kana+Han — the ja override — Hangul, Cyrillic, Thai, pure Han),
+    # script chars embedded as UTF-8 literals like _UNOR_PAGE; {rn} is
+    # the repeat-count cast seam. Shared Spark-SQL/DuckDB syntax.
+    _SLID_PAGE = (
+        "CASE (doc_id % 10)"
+        " WHEN 0 THEN (CASE WHEN doc_id % 2 = 0"
+        " THEN 'the quick and the lazy of it is' ELSE 'zzz qqq xxx' END)"
+        " WHEN 1 THEN repeat('م', {rn})"
+        " WHEN 2 THEN repeat('λ', {rn})"
+        " WHEN 3 THEN repeat('א', {rn})"
+        " WHEN 4 THEN repeat('क', {rn})"
+        " WHEN 5 THEN repeat('ひ', {rn}) || '中中中中中中'"
+        " WHEN 6 THEN repeat('한', {rn})"
+        " WHEN 7 THEN repeat('ж', {rn})"
+        " WHEN 8 THEN repeat('ท', {rn})"
+        " ELSE repeat('中', {rn}) END"
+        " || ' Doc ' || doc_id || ' 123.'"
+    )
+
     # PII scrubbing (email + IPv4 redaction with per-doc counts) — the
     # repetition/diversity signals ride inside text_features; this is
     # the one text op whose OUTPUT is a rewritten text column, so it
@@ -1733,6 +1754,26 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("n_controls").alias("n_b"),
             F.col("text_norm").alias("out_text"),
         )
+        # r14 slid leg (VERDICT item 6): script-class language
+        # bucketing over per-doc single-script constructions — the
+        # non-Latin complement of the Latin-only stopword vote. The
+        # oracle runs the GENERATED DuckDB twin of the same operator
+        # over the same page (engine parity). n_a = n_scripted,
+        # n_b = the construction mode.
+        slid = text.script_lang_id(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    _SLID_PAGE.format(rn="cast(1 + doc_id % 5 as int)")
+                ).alias("text"),
+            )
+        ).select(
+            "doc_id",
+            F.lit("slid").alias("kind"),
+            F.col("n_scripted").alias("n_a"),
+            (F.col("doc_id") % 10).cast("long").alias("n_b"),
+            F.col("slang").alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1751,6 +1792,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(sidx)
             .unionByName(feed)
             .unionByName(unor)
+            .unionByName(slid)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -2031,6 +2073,19 @@ def register_extensions(q: dict, o: dict) -> None:
             "SELECT doc_id, "
             + _PMETA_PAGE.format(dn="(10 + doc_id % 20)::INT")
             + " AS html FROM documents"
+        )
+        + ") "
+        "UNION ALL "
+        # slid (r14): the generated DuckDB twin of script_lang_id over
+        # the same per-script construction — engine parity on the
+        # script-range counts and the winner rule (incl. the kana→ja
+        # override and the Latin stopword fallback)
+        "SELECT doc_id, 'slid' AS kind, n_scripted AS n_a, "
+        "(doc_id % 10)::BIGINT AS n_b, slang AS out_text FROM ("
+        + text.script_lang_id_sql(
+            "SELECT doc_id, "
+            + _SLID_PAGE.format(rn="(1 + doc_id % 5)::INT")
+            + " AS text FROM documents"
         )
         + ")"
     )
