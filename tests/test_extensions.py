@@ -3477,6 +3477,28 @@ def test_crypto_primitives_published_vectors():
         C.aes128_encrypt_block(k2, p2).hex()
         == "3925841d02dc09fbdc118597196a0b32"  # FIPS-197 Appendix B
     )
+    # r14: the generalized key schedule — FIPS-197 C.2 (192) and C.3
+    # (256) vectors, plus CTR/no-pad-CBC roundtrips
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    k256 = key + bytes.fromhex("101112131415161718191a1b1c1d1e1f")
+    assert (
+        C.aes_encrypt_block(k192, pt).hex()
+        == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    assert (
+        C.aes_encrypt_block(k256, pt).hex()
+        == "8ea2b7ca516745bfeafc49904b496089"
+    )
+    for k in (k192, k256):
+        assert C.aes_decrypt_block(k, C.aes_encrypt_block(k, pt)) == pt
+    msg = bytes(range(256)) * 2
+    assert C.aes_ctr_le(k256, C.aes_ctr_le(k256, msg)) == msg
+    assert (
+        C.aes_cbc_decrypt_nopad(
+            k256, bytes(16), C.aes_cbc_encrypt_nopad(k256, bytes(16), msg)
+        )
+        == msg
+    )
     assert C.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
     assert C.rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
     assert (
@@ -3983,11 +4005,33 @@ def test_r14_archive_quarantine_and_zipcrypto():
     # the raw keystream hides the plaintext
     enc = A.zip_build([("x.txt", b"VISIBLE")], deflate=False, password=b"p")
     assert b"VISIBLE" not in enc
-    # dirty-fixture closed forms across all four defect modes
+    # WinZip AES (AE-2, r14 late): roundtrip across all strengths and
+    # both methods, wrong password caught by the verifier, tampering
+    # caught by the HMAC before inflate, siblings survive
+    for deflate in (False, True):
+        for strength in (1, 2, 3):
+            enc = A.zip_build(
+                members, deflate=deflate, password=b"pw",
+                aes_strength=strength,
+            )
+            assert A.zip_members(enc, password=b"pw") == members
+            assert b"alpha content" not in enc
+            _, errs = A.zip_scan(enc, strict=False, password=b"no")
+            assert len(errs) == 3 and all("password" in e for e in errs)
+            t = bytearray(enc)
+            at = (
+                bytes(t).find(b"b.txt") + 5 + 11
+                + (4 + 4 * strength) + 2 + 3
+            )
+            t[at] ^= 0xFF
+            got, errs = A.zip_scan(bytes(t), strict=False, password=b"pw")
+            assert [n for n, _ in got] == ["a.txt", "c.txt"]
+            assert len(errs) == 1 and "authentication" in errs[0]
+    # dirty-fixture closed forms across all five defect modes
     from timeseries_db_spark.operators import multimodal as M
 
-    for d in (1, 4, 7, 10, 13, 16, 19, 22):
-        mode = (d // 3) % 4
+    for d in (1, 4, 7, 10, 13, 16, 19, 22, 25, 28):
+        mode = (d // 3) % 5
         ms, errs = A.archive_scan(
             A.synth_archive_dirty(d), strict=False,
             password=A.DIRTY_ARCHIVE_PASSWORD,
@@ -4007,12 +4051,71 @@ def test_r14_archive_quarantine_and_zipcrypto():
             elif k == "text":
                 text_len += len(data)
         assert img_err + len(errs) == 1, (d, mode)
-        if mode in (0, 1):
+        if mode in (0, 1, 4):
             assert n_img == 1 and img_px == 16 * ((3 * d + 11) % 256)
         else:
             assert n_img == 0
         want_tl = {
             0: len(f"Doc {d} text"), 1: len(f"Extra {d}"),
-            2: 0, 3: len(f"Doc {d} text"),
+            2: 0, 3: len(f"Doc {d} text"), 4: len(f"Doc {d} text"),
         }[mode]
         assert text_len == want_tl, (d, mode)
+
+
+def test_pdf_aes256_r6():
+    """r14: the AES-256 Standard handler (ISO 32000-2, /V 5 /R 6
+    /AESV3) — Algorithm 2.B (iterated SHA-256/384/512 + AES-CBC
+    schedule) validates the empty user password against /U, the file
+    key unwraps from /UE, and streams decrypt with the FILE key (no
+    per-object derivation) across both layouts, CID fonts and images;
+    a tampered /U authenticates as password-protected; the rev-5
+    single-SHA-256 variant opens too."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [["Hello AES-256 world", "line two"], ["page two"]]
+    exp = "Hello AES-256 world\nline two\npage two"
+    for xs in (False, True):
+        p = P.pdf_build(pages, xref_stream=xs, encrypt="aes256")
+        text, n_shows, _ = P.pdf_text(p)
+        assert (text, n_shows) == (exp, 3), xs
+    raw = P.pdf_build(pages, flate=False, encrypt="aes256")
+    assert b"Hello" not in raw  # genuinely encrypted
+    assert P.pdf_text(raw)[0] == exp
+    # CID font and an embedded image under the same handler
+    assert P.pdf_text(P.pdf_build(pages, encrypt="aes256", cid_font=True))[0] == exp
+    px = bytes([40]) * 256
+    p = P.pdf_build(pages, encrypt="aes256", image=(16, 16, 1, px),
+                    image_filter="flate")
+    assert P.pdf_images(p) == [(16, 16, 1, 256 * 40)]
+    # tampered /U hash -> Algorithm 2.B rejects the empty password
+    bad = _re.sub(rb"/U <([0-9a-f]{4})", rb"/U <ffff", raw, count=1)
+    with _pytest.raises(ValueError, match="password"):
+        P.pdf_text(bad)
+    # missing /UE is a malformed V5 dict, not silence
+    with _pytest.raises(ValueError, match="/UE"):
+        P.pdf_text(_re.sub(rb"/UE <[0-9a-f]+>", rb"", raw))
+    # deprecated rev 5: single-SHA-256 hashes (rewrite /R and both
+    # password hashes accordingly)
+    import hashlib
+
+    id0 = hashlib.md5(repr(pages).encode()).digest()
+    vsalt = hashlib.md5(id0 + b"v").digest()[:8]
+    ksalt = hashlib.md5(id0 + b"k").digest()[:8]
+    from timeseries_db_spark.functions.crypto import aes_cbc_encrypt_nopad
+    from timeseries_db_spark.operators.pdf import _hash_2b, _hash_r5
+
+    file_key = hashlib.sha256(id0 + b"filekey").digest()
+    old_u = (_hash_2b(b"", vsalt) + vsalt + ksalt).hex().encode()
+    new_u = (_hash_r5(b"", vsalt) + vsalt + ksalt).hex().encode()
+    old_ue = aes_cbc_encrypt_nopad(_hash_2b(b"", ksalt), bytes(16), file_key).hex().encode()
+    new_ue = aes_cbc_encrypt_nopad(_hash_r5(b"", ksalt), bytes(16), file_key).hex().encode()
+    r5 = (
+        raw.replace(b"/V 5 /R 6", b"/V 5 /R 5")
+        .replace(old_u, new_u)
+        .replace(old_ue, new_ue)
+    )
+    assert P.pdf_text(r5)[0] == exp

@@ -167,6 +167,60 @@ def zipcrypto_encrypt(data: bytes, password: bytes, crc: int) -> bytes:
     return bytes(out)
 
 
+def _winzip_aes_decrypt(
+    name: str, raw: bytes, password: bytes, strength: int
+) -> bytes:
+    """One WinZip-AES member payload → the (still-compressed) member
+    bytes: salt ∥ 2-byte password verifier ∥ ciphertext ∥ 10-byte
+    HMAC-SHA1 auth code. Key material is PBKDF2-HMAC-SHA1 (1000
+    iterations, the published WinZip AE parameter); the verifier
+    catches a wrong password, the HMAC catches tampering BEFORE any
+    inflate touches attacker bytes."""
+    import hashlib
+    import hmac as _hmac
+
+    if strength not in (1, 2, 3):
+        raise ValueError(f"ZIP member {name!r} AES strength {strength}")
+    salt_len = 4 + 4 * strength
+    klen = 8 + 8 * strength
+    if len(raw) < salt_len + 12:
+        raise ValueError(f"ZIP member {name!r} AES payload truncated")
+    salt = raw[:salt_len]
+    verify = raw[salt_len : salt_len + 2]
+    ct = raw[salt_len + 2 : -10]
+    auth = raw[-10:]
+    km = hashlib.pbkdf2_hmac("sha1", password, salt, 1000, 2 * klen + 2)
+    if km[-2:] != verify:
+        raise ValueError(f"ZIP member {name!r} AES password check failed")
+    mac = _hmac.new(km[klen : 2 * klen], ct, hashlib.sha1).digest()[:10]
+    if mac != auth:
+        raise ValueError(
+            f"ZIP member {name!r} AES authentication failed (tampered)"
+        )
+    from timeseries_db_spark.functions.crypto import aes_ctr_le
+
+    return aes_ctr_le(km[:klen], ct)
+
+
+def _winzip_aes_encrypt(
+    name: str, raw: bytes, password: bytes, strength: int
+) -> bytes:
+    """Writer half (the reader's pin) — deterministic salt derived
+    from the member name + bytes (fixtures must reproduce)."""
+    import hashlib
+    import hmac as _hmac
+
+    salt_len = 4 + 4 * strength
+    klen = 8 + 8 * strength
+    salt = hashlib.md5(name.encode() + raw).digest()[:salt_len]
+    km = hashlib.pbkdf2_hmac("sha1", password, salt, 1000, 2 * klen + 2)
+    from timeseries_db_spark.functions.crypto import aes_ctr_le
+
+    ct = aes_ctr_le(km[:klen], raw)
+    mac = _hmac.new(km[klen : 2 * klen], ct, hashlib.sha1).digest()[:10]
+    return salt + km[-2:] + ct + mac
+
+
 def zip_scan(
     payload: bytes, strict: bool = True, password: bytes | None = None,
 ) -> tuple[list[tuple[str, bytes]], list[str]]:
@@ -185,8 +239,12 @@ def zip_scan(
 
     ``password`` (r14): ZipCrypto (APPNOTE traditional encryption)
     members decrypt when flag bit 0 is set; the 12-byte header's check
-    byte authenticates the password against the member CRC. AES-zip
-    (0x9901 extra field / methods 99) stays the documented seam."""
+    byte authenticates the password against the member CRC. WinZip
+    AES (method 99 + the 0x9901 extra field — AE-1/AE-2) decrypts too
+    (r14 late): PBKDF2-HMAC-SHA1(1000) key material, 2-byte password
+    verifier, AES-CTR with a little-endian counter from 1, and the
+    10-byte HMAC-SHA1 authentication code VERIFIED before inflate
+    (AE-2 stores CRC 0, so the HMAC is the integrity check)."""
     b = payload
     members: list[tuple[str, bytes]] = []
     errs: list[str] = []
@@ -232,7 +290,10 @@ def zip_scan(
         extra = b[at + 46 + nlen : at + 46 + nlen + elen]
         # ZIP64 extra field 0x0001: 8-byte values, present ONLY for
         # the fields the fixed entry marked 0xFFFFFFFF, in spec order
-        # usize, csize, lho
+        # usize, csize, lho. 0x9901 (r14 late) is the WinZip AES
+        # header: vendor version (1/2 = AE-1/AE-2), 'AE', key strength
+        # (1/2/3 = 128/192/256), and the REAL compression method.
+        aes_info = None
         j = 0
         while j + 4 <= len(extra):
             fid = int.from_bytes(extra[j : j + 2], "little")
@@ -248,6 +309,12 @@ def zip_scan(
                 if lho == 0xFFFFFFFF:
                     lho = int.from_bytes(extra[p : p + 8], "little")
                     p += 8
+            elif fid == 0x9901 and flen >= 7:
+                aes_info = (
+                    int.from_bytes(extra[j + 4 : j + 6], "little"),
+                    extra[j + 8],
+                    int.from_bytes(extra[j + 9 : j + 11], "little"),
+                )
             j += 4 + flen
         at += 46 + nlen + elen + clen
         # per-member extraction: under strict=False an error here
@@ -261,18 +328,33 @@ def zip_scan(
             raw = b[data_at : data_at + csize]
             if len(raw) != csize:
                 raise ValueError(f"ZIP member {name!r} data truncated")
+            skip_crc = False
             if flags & 0x01:
                 if method == 99:
-                    raise ValueError(
-                        "ZIP AES encryption unsupported (ZipCrypto only; "
-                        "seam)"
+                    if aes_info is None:
+                        raise ValueError(
+                            f"ZIP member {name!r} method 99 without a "
+                            "0x9901 AES extra field"
+                        )
+                    if password is None:
+                        raise ValueError(
+                            f"ZIP member {name!r} is AES-encrypted "
+                            "(no password given)"
+                        )
+                    ver, strength, real_method = aes_info
+                    raw, method = _winzip_aes_decrypt(
+                        name, raw, password, strength
+                    ), real_method
+                    skip_crc = ver == 2  # AE-2 stores CRC 0 by spec
+                else:
+                    if password is None:
+                        raise ValueError(
+                            f"ZIP member {name!r} is ZipCrypto-encrypted "
+                            "(no password given)"
+                        )
+                    raw = zipcrypto_decrypt(
+                        raw, password, (crc >> 24) & 0xFF
                     )
-                if password is None:
-                    raise ValueError(
-                        f"ZIP member {name!r} is ZipCrypto-encrypted "
-                        "(no password given)"
-                    )
-                raw = zipcrypto_decrypt(raw, password, (crc >> 24) & 0xFF)
             if method == 0:
                 data = raw
             elif method == 8:
@@ -282,7 +364,9 @@ def zip_scan(
                     f"ZIP compression method {method} unsupported "
                     "(stored/deflate only; seam)"
                 )
-            if len(data) != usize or zlib.crc32(data) != crc:
+            if len(data) != usize or (
+                not skip_crc and zlib.crc32(data) != crc
+            ):
                 raise ValueError(f"ZIP member {name!r} CRC/size mismatch")
         except ValueError as e:
             if strict:
@@ -390,14 +474,19 @@ def tar_build(members: list[tuple[str, bytes]]) -> bytes:
 def zip_build(
     members: list[tuple[str, bytes]], deflate: bool = True,
     zip64: bool = False, password: bytes | None = None,
+    aes_strength: int | None = None,
 ) -> bytes:
     """Minimal ZIP writer (stored or deflate; the reader's pin).
     ``zip64=True`` (r13 late) forces the ZIP64 layout — 0xFFFFFFFF
     markers resolved through 0x0001 extra fields, EOCD64 record +
     locator — so the reader's large-archive path is pinned without a
     4 GB fixture. ``password`` (r14) emits ZipCrypto members (flag
-    bit 0, deterministic 12-byte header) so the reader's decryption
-    path is pinned."""
+    bit 0, deterministic 12-byte header); with ``aes_strength``
+    (1/2/3 = AES-128/192/256) it emits WinZip AE-2 members instead —
+    method 99, the 0x9901 extra field in local AND central headers,
+    CRC stored 0 per spec."""
+    if aes_strength is not None and (password is None or zip64):
+        raise ValueError("aes_strength needs a password; no zip64 combo")
     out = bytearray()
     cd = bytearray()
     for name, data in members:
@@ -411,7 +500,21 @@ def zip_build(
             raw = data
             method = 0
         flags = b"\x00\x00"
-        if password is not None:
+        extra_local = b""
+        if aes_strength is not None:
+            raw = _winzip_aes_encrypt(name, raw, password, aes_strength)
+            extra_local = (
+                (0x9901).to_bytes(2, "little")
+                + (7).to_bytes(2, "little")
+                + (2).to_bytes(2, "little")  # AE-2
+                + b"AE"
+                + bytes([aes_strength])
+                + method.to_bytes(2, "little")
+            )
+            method = 99
+            crc = 0  # AE-2: the HMAC is the integrity check
+            flags = b"\x01\x00"
+        elif password is not None:
             raw = zipcrypto_encrypt(raw, password, crc)
             flags = b"\x01\x00"
         lho = len(out)
@@ -424,9 +527,9 @@ def zip_build(
             + len(raw).to_bytes(4, "little")
             + len(data).to_bytes(4, "little")
             + len(nb).to_bytes(2, "little")
-            + b"\x00\x00"  # extra len (local)
+            + len(extra_local).to_bytes(2, "little")
         )
-        out += b"PK\x03\x04" + common + nb + raw
+        out += b"PK\x03\x04" + common + nb + extra_local + raw
         if zip64:
             extra = (
                 (0x0001).to_bytes(2, "little")
@@ -460,6 +563,7 @@ def zip_build(
                 + b"\x00\x00" + b"\x00\x00\x00\x00"  # int/ext attrs
                 + lho.to_bytes(4, "little")
                 + nb
+                + extra_local  # 0x9901 rides in the CD too (r14)
             )
     cd_at = len(out)
     out += cd
@@ -662,7 +766,7 @@ DIRTY_ARCHIVE_PASSWORD = b"tsdb"
 def synth_archive_dirty(doc_id: int) -> bytes:
     """Deterministic DIRTY archive for the r14 quarantine gate leg —
     every archive carries exactly one quarantinable defect, the defect
-    KIND cycling by ``(doc_id // 3) % 4`` so all four isolation paths
+    KIND cycling by ``(doc_id // 3) % 5`` so all five isolation paths
     are value-checked:
 
     * mode 0 — tar: two good members (4×4 PNG of constant
@@ -677,12 +781,34 @@ def synth_archive_dirty(doc_id: int) -> bytes:
       :data:`DIRTY_ARCHIVE_PASSWORD` — the decryption path under the
       value oracle) whose PNG member is garbage after the magic →
       both members decrypt, the image decode quarantines.
+    * mode 4 (r14 late) — zip-deflate encrypted with WinZip AES-256
+      (AE-2) whose THIRD member's ciphertext is flipped in place →
+      the good members decrypt + HMAC-verify, the tampered one fails
+      AUTHENTICATION (never reaching inflate) and quarantines.
     """
     from timeseries_db_spark.operators.multimodal import png_encode
 
     png = png_encode(bytes([(3 * doc_id + 11) % 256]) * 16, 4, 4, 1)
     txt = f"Doc {doc_id} text".encode()
-    mode = (doc_id // 3) % 4
+    mode = (doc_id // 3) % 5
+    if mode == 4:
+        arc = bytearray(
+            zip_build(
+                [
+                    ("img/a.png", png),
+                    ("doc.txt", txt),
+                    ("bad.bin", b"POISONBYTES"),
+                ],
+                deflate=True,
+                password=DIRTY_ARCHIVE_PASSWORD,
+                aes_strength=3,
+            )
+        )
+        # flip one ciphertext byte of bad.bin: local name + 0x9901
+        # extra (11) + salt (16) + verifier (2), then inside the ct
+        at = bytes(arc).find(b"bad.bin") + 7 + 11 + 16 + 2 + 1
+        arc[at] ^= 0xFF
+        return bytes(arc)
     if mode == 0:
         base = tar_build([("img/a.png", png), ("doc.txt", txt)])
         bad = bytearray(512)

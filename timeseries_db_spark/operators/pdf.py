@@ -392,6 +392,37 @@ def _pad_pwd(pwd: bytes) -> bytes:
     return (pwd + _PDF_PAD)[:32]
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (r14 — the AES-256 / R6 password
+    hash): SHA-256 of (pwd ∥ salt ∥ udata), then the iterated
+    AES-128-CBC + SHA-256/384/512 schedule — at least 64 rounds,
+    stopping when the last byte of the encryption output is ≤
+    rounds − 32. The 64-fold repetition keeps K1 block-aligned for
+    any password length."""
+    import hashlib
+
+    from timeseries_db_spark.functions.crypto import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _hash_r5(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The deprecated Adobe rev-5 variant: a single SHA-256."""
+    import hashlib
+
+    return hashlib.sha256(pwd + salt + udata).digest()
+
+
 def _std_key(
     pwd: bytes, o: bytes, p: int, id0: bytes, r: int, klen: int,
     encrypt_metadata: bool = True,
@@ -480,14 +511,16 @@ def _dict_string_bytes(d: bytes, name: bytes) -> bytes | None:
 
 
 def _encryption_of(payload: bytes, directory: dict[int, bytes]):
-    """None for an unencrypted file, else ``(file_key, aes)`` for the
+    """None for an unencrypted file, else ``(file_key, mode)`` for the
     Standard security handler variants this reader opens from spec —
     /V 1 (RC4-40), /V 2 (RC4 ≤128), /V 4 with /CFM /V2 (RC4) or
-    /AESV2 (AES-128-CBC) — authenticating the EMPTY user password
-    (Algorithm 6), the case a crawl corpus actually contains: owner-
-    locked but world-readable files. Raises ValueError naming the
-    seam for /V 5+ (AES-256, rev 5/6), non-Standard handlers, crypt
-    filters beyond StdCF, and password-protected files."""
+    /AESV2 (AES-128-CBC), and r14: /V 5 /R 5-6 /AESV3 (AES-256 —
+    Algorithm 2.B validation against /U, file key unwrapped from /UE,
+    no per-object key derivation) — authenticating the EMPTY user
+    password, the case a crawl corpus actually contains: owner-locked
+    but world-readable files. Raises ValueError naming the seam for
+    non-Standard handlers, crypt filters beyond StdCF, and
+    password-protected files."""
     m = None
     for m in _ENCRYPT_RE.finditer(payload):
         pass  # last match: the live trailer in an incremental chain
@@ -517,10 +550,39 @@ def _encryption_of(payload: bytes, directory: dict[int, bytes]):
     ml = re.search(rb"/Length\s+(\d+)", body)
     v = int(mv.group(1)) if mv else 0
     r = int(mr.group(1)) if mr else 2
+    if v == 5 and r in (5, 6):
+        # r14: AES-256 — ISO 32000-2 rev 6 (and deprecated Adobe rev
+        # 5). /U = hash(32) ∥ validation salt(8) ∥ key salt(8); the
+        # empty user password validates against the hash, then /UE
+        # unwraps the 256-bit file key (CBC, zero IV, no padding).
+        mcfm = re.search(rb"/CFM\s*/(\w+)", body)
+        if not mcfm or mcfm.group(1) != b"AESV3":
+            raise ValueError(
+                "PDF AES-256 (/V 5) crypt filter missing /AESV3 "
+                "(pdfminer seam)"
+            )
+        u5 = _dict_string_bytes(body, b"/U")
+        ue = _dict_string_bytes(body, b"/UE")
+        if u5 is None or len(u5) < 48 or ue is None or len(ue) < 32:
+            raise ValueError("PDF /V 5 dictionary missing /U or /UE")
+        h = _hash_2b if r == 6 else _hash_r5
+        if h(b"", u5[32:40]) != u5[:32]:
+            raise ValueError(
+                "encrypted PDF: non-empty user password required "
+                "(pdfminer seam)"
+            )
+        from timeseries_db_spark.functions.crypto import (
+            aes_cbc_decrypt_nopad,
+        )
+
+        file_key = aes_cbc_decrypt_nopad(
+            h(b"", u5[40:48]), bytes(16), ue[:32]
+        )
+        return file_key, "aes256"
     if v not in (1, 2, 4) or r not in (2, 3, 4):
         raise ValueError(
             f"PDF encryption V={v} R={r} outside PDF_CAPABILITIES "
-            "(AES-256/rev-5+ = pdfminer seam)"
+            "(AES-256 needs /R 5-6; pdfminer seam)"
         )
     aes = False
     if v == 4:
@@ -557,17 +619,25 @@ def _encryption_of(payload: bytes, directory: dict[int, bytes]):
             "encrypted PDF: non-empty user password required "
             "(pdfminer seam)"
         )
-    return key, aes
+    return key, ("aesv2" if aes else "rc4")
 
 
 def _decrypt_for(enc, num: int):
     """The stream decryptor bound to object ``num`` (gen 0 — the only
     generation this reader's directory tracks, and what machine-
-    generated files use), or None when the file is unencrypted."""
+    generated files use), or None when the file is unencrypted.
+    r14: mode 'aes256' uses the FILE key directly — /V 5 has no
+    per-object key derivation (ISO 32000-2); the CBC+IV+padding
+    stream layout is the same as /AESV2 and the generic block cipher
+    dispatches on key length."""
     if enc is None:
         return None
-    key, aes = enc
-    if aes:
+    key, mode = enc
+    if mode == "aes256":
+        from timeseries_db_spark.functions.crypto import aes128_cbc_decrypt
+
+        return lambda d: aes128_cbc_decrypt(key, d)
+    if mode == "aesv2":
         from timeseries_db_spark.functions.crypto import aes128_cbc_decrypt
 
         return lambda d: aes128_cbc_decrypt(_obj_key(key, num, 0, True), d)
@@ -1116,34 +1186,83 @@ def pdf_build(
             "rc4-128": (2, 3, 16, False),
             "aesv2": (4, 4, 16, True),
         }
-        if encrypt not in modes:
-            raise ValueError(f"pdf_build encrypt mode {encrypt!r}")
-        v, r, klen, aes = modes[encrypt]
-        id0 = hashlib.md5(repr(pages).encode()).digest()
-        p_flags = -4
-        o_ent = _compute_o(b"owner", b"", r, klen)
-        key = _std_key(b"", o_ent, p_flags, id0, r, klen)
-        u_ent = _compute_u(key, id0, r)[:32]
-        cf = (
-            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
-            " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-            if aes
-            else ""
-        )
-        enc_body = (
-            f"<< /Filter /Standard /V {v} /R {r} /Length {klen * 8} "
-            f"/P {p_flags} /O <{o_ent.hex()}> /U <{u_ent.hex()}>{cf} >>"
-        ).encode()
-        id_frag = f" /ID [<{id0.hex()}> <{id0.hex()}>]"
+        if encrypt == "aes256":
+            # r14: ISO 32000-2 rev 6 — /U carries hash+salts, /UE the
+            # CBC-wrapped file key, /O//OE the owner twins (udata =
+            # /U), /Perms the ECB-sealed permission block. All salts
+            # and the file key are digests of /ID — deterministic.
+            from timeseries_db_spark.functions.crypto import (
+                aes_cbc_encrypt_nopad,
+                aes_encrypt_block,
+            )
 
-        def crypt(data: bytes, num: int) -> bytes:
-            ok = _obj_key(key, num, 0, aes)
-            if aes:
-                iv = hashlib.md5(
-                    id0 + num.to_bytes(4, "big")
-                ).digest()[:16]
-                return aes128_cbc_encrypt(ok, iv, data)
-            return rc4(ok, data)
+            id0 = hashlib.md5(repr(pages).encode()).digest()
+            vsalt = hashlib.md5(id0 + b"v").digest()[:8]
+            ksalt = hashlib.md5(id0 + b"k").digest()[:8]
+            file_key = hashlib.sha256(id0 + b"filekey").digest()
+            u_ent = _hash_2b(b"", vsalt) + vsalt + ksalt
+            ue = aes_cbc_encrypt_nopad(
+                _hash_2b(b"", ksalt), bytes(16), file_key
+            )
+            ovs = hashlib.md5(id0 + b"ov").digest()[:8]
+            oks = hashlib.md5(id0 + b"ok").digest()[:8]
+            o_ent = _hash_2b(b"owner", ovs, u_ent) + ovs + oks
+            oe = aes_cbc_encrypt_nopad(
+                _hash_2b(b"owner", oks, u_ent), bytes(16), file_key
+            )
+            perms = aes_encrypt_block(
+                file_key,
+                (-4 & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadb"
+                + id0[:4],
+            )
+            enc_body = (
+                "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4"
+                " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                " /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                f" /O <{o_ent.hex()}> /U <{u_ent.hex()}>"
+                f" /OE <{oe.hex()}> /UE <{ue.hex()}>"
+                f" /Perms <{perms.hex()}> >>"
+            ).encode()
+            id_frag = f" /ID [<{id0.hex()}> <{id0.hex()}>]"
+
+            def crypt(data: bytes, num: int) -> bytes:
+                from timeseries_db_spark.functions.crypto import (
+                    aes128_cbc_encrypt,
+                )
+
+                iv = hashlib.md5(id0 + num.to_bytes(4, "big")).digest()[:16]
+                return aes128_cbc_encrypt(file_key, iv, data)
+
+        elif encrypt not in modes:
+            raise ValueError(f"pdf_build encrypt mode {encrypt!r}")
+        else:
+            v, r, klen, aes = modes[encrypt]
+            id0 = hashlib.md5(repr(pages).encode()).digest()
+            p_flags = -4
+            o_ent = _compute_o(b"owner", b"", r, klen)
+            key = _std_key(b"", o_ent, p_flags, id0, r, klen)
+            u_ent = _compute_u(key, id0, r)[:32]
+            cf = (
+                " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                if aes
+                else ""
+            )
+            enc_body = (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {klen * 8} "
+                f"/P {p_flags} /O <{o_ent.hex()}> /U <{u_ent.hex()}>{cf} >>"
+            ).encode()
+            id_frag = f" /ID [<{id0.hex()}> <{id0.hex()}>]"
+
+            def crypt(data: bytes, num: int) -> bytes:
+                ok = _obj_key(key, num, 0, aes)
+                if aes:
+                    iv = hashlib.md5(
+                        id0 + num.to_bytes(4, "big")
+                    ).digest()[:16]
+                    return aes128_cbc_encrypt(ok, iv, data)
+                return rc4(ok, data)
 
     codes = None
     cmap_stream = b""

@@ -3488,22 +3488,23 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         -- arcq leg (r14): the dirty-archive quarantine closed forms —
-        -- defect kind cycles by (id//3)%4: 0 = tar bad checksum (both
+        -- defect kind cycles by (id//3)%5: 0 = tar bad checksum (both
         -- members survive), 1 = zip bad member CRC (middle text lost,
         -- siblings survive), 2 = junk container (nothing survives),
         -- 3 = ZipCrypto zip whose PNG is garbage (text survives the
-        -- decryption, the image decode quarantines). Exactly one
-        -- error each.
+        -- decryption, the image decode quarantines), 4 = WinZip
+        -- AES-256 zip with one HMAC-tampered member (good members
+        -- decrypt+verify, the tampered one fails authentication).
+        -- Exactly one error each.
         SELECT doc_id AS asset_id, 'arcq' AS kind,
-               (CASE WHEN (doc_id // 3) % 4 = 2 THEN 0 ELSE 2
+               (CASE WHEN (doc_id // 3) % 5 = 2 THEN 0 ELSE 2
                 END)::BIGINT AS v1,
-               (CASE WHEN (doc_id // 3) % 4 IN (0, 1) THEN 1 ELSE 0
+               (CASE WHEN (doc_id // 3) % 5 IN (0, 1, 4) THEN 1 ELSE 0
                 END)::BIGINT AS v2,
-               (CASE WHEN (doc_id // 3) % 4 IN (0, 1)
+               (CASE WHEN (doc_id // 3) % 5 IN (0, 1, 4)
                      THEN 16 * ((3 * doc_id + 11) % 256) ELSE 0
                 END)::BIGINT AS v3,
-               (CASE (doc_id // 3) % 4
-                     WHEN 0 THEN length('Doc ' || doc_id || ' text')
+               (CASE (doc_id // 3) % 5
                      WHEN 1 THEN length('Extra ' || doc_id)
                      WHEN 2 THEN 0
                      ELSE length('Doc ' || doc_id || ' text')
