@@ -382,3 +382,92 @@ def test_corpus_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
         read_corpus_any(
             spark, out, fmt="json", on_malformed="fail"
         ).count()
+
+
+def test_avro_arrays_and_nested_records(spark, tmp_path):
+    """r14: the Avro schema surface grows arrays (block encoding incl.
+    the negative-count size-carrying form) and nested records — the
+    embedding-export shape — with read_embeddings_avro serving
+    (doc_id, array<float>) to the similarity operators."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    # float32-exact values so the <f roundtrip is equality
+    recs = [
+        {"doc_id": i, "emb": [float(i), i + 0.5, -i * 2.0, 0.25]}
+        for i in range(300)
+    ]
+    p = AV.avro_build(recs, AV.EMBEDDINGS_AVRO_SCHEMA, codec="deflate")
+    schema, got = AV.avro_records(p)
+    assert got == recs
+    # nested record + nullable array
+    ns = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "m",
+                    "fields": [
+                        {"name": "lang", "type": "string"},
+                        {"name": "score", "type": "double"},
+                    ],
+                },
+            },
+            {
+                "name": "toks",
+                "type": ["null", {"type": "array", "items": "long"}],
+            },
+        ],
+    }
+    nrecs = [
+        {
+            "doc_id": i,
+            "meta": {"lang": "en" if i % 2 else "de", "score": i / 4},
+            "toks": None if i % 5 == 0 else list(range(i % 7)),
+        }
+        for i in range(50)
+    ]
+    _s, back = AV.avro_records(AV.avro_build(nrecs, ns))
+    assert back == nrecs
+    # the negative-count array-block form (spec: size follows) decodes
+    body = (
+        AV._zigzag_encode(7)  # doc_id
+        + AV._zigzag_encode(-2)  # 2 items, sized block
+        + AV._zigzag_encode(2)  # block byte size
+        + AV._zigzag_encode(3) + AV._zigzag_encode(4)
+        + AV._zigzag_encode(0)
+    )
+    arr_schema = {"type": "array", "items": "long"}
+    rec, at = AV._decode_value(arr_schema, body[1:], 0)
+    assert rec == [3, 4] and at == len(body) - 1
+    # maps stay a named seam
+    with _pytest.raises(ValueError, match="complex type"):
+        AV.avro_build(
+            [{"m": {}}],
+            {
+                "type": "record", "name": "x",
+                "fields": [
+                    {"name": "m",
+                     "type": {"type": "map", "values": "long"}}
+                ],
+            },
+        )
+    # the Spark read path serves array<float> rows
+    d = tmp_path / "emb"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        AV.avro_build(recs[:150], AV.EMBEDDINGS_AVRO_SCHEMA)
+    )
+    (d / "part-1.avro").write_bytes(
+        AV.avro_build(recs[150:], AV.EMBEDDINGS_AVRO_SCHEMA, codec="deflate")
+    )
+    df = AV.read_embeddings_avro(spark, str(d))
+    assert dict(df.dtypes)["emb"] == "array<float>"
+    rows = {r["doc_id"]: r["emb"] for r in df.collect()}
+    assert len(rows) == 300
+    assert rows[7] == [7.0, 7.5, -14.0, 0.25]

@@ -66,19 +66,40 @@ def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
     return (n >> 1) ^ -(n & 1), at
 
 
+def _check_type(t) -> None:
+    """Validate one schema type node — primitives, ``[null, T]``
+    unions, and (r14) ``array`` and nested ``record`` composites, the
+    shapes warehouse exports of embedding/feature tables actually
+    carry. Maps/enums/fixed stay the documented seam."""
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t:
+            raise ValueError("avro unions beyond [null, T] (seam)")
+        for sub in t:
+            if sub != "null":
+                _check_type(sub)
+        return
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            _check_type(t["items"])
+            return
+        if kind == "record":
+            for f in t["fields"]:
+                _check_type(f["type"])
+            return
+        raise ValueError(f"avro complex type {kind!r} unsupported (seam)")
+    if t not in ("long", "int", "string", "double", "float",
+                 "boolean", "bytes"):
+        raise ValueError(f"avro type {t!r} unsupported (seam)")
+
+
 def _field_types(schema: dict) -> list[tuple[str, object]]:
     if schema.get("type") != "record":
         raise ValueError("avro reader supports record schemas (seam)")
     out = []
     for f in schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):
-            if len(t) != 2 or "null" not in t:
-                raise ValueError("avro unions beyond [null, T] (seam)")
-        elif t not in ("long", "int", "string", "double", "float",
-                       "boolean", "bytes"):
-            raise ValueError(f"avro type {t!r} unsupported (seam)")
-        out.append((f["name"], t))
+        _check_type(f["type"])
+        out.append((f["name"], f["type"]))
     return out
 
 
@@ -89,6 +110,27 @@ def _decode_value(t, b: bytes, at: int):
         if sub == "null":
             return None, at
         return _decode_value(sub, b, at)
+    if isinstance(t, dict) and t.get("type") == "array":
+        # blocks of (count, items...) until count 0; a negative count
+        # carries abs(count) items preceded by the block byte size
+        items_t = t["items"]
+        arr = []
+        while True:
+            n, at = _zigzag_decode(b, at)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _sz, at = _zigzag_decode(b, at)
+            for _ in range(n):
+                v, at = _decode_value(items_t, b, at)
+                arr.append(v)
+        return arr, at
+    if isinstance(t, dict) and t.get("type") == "record":
+        rec = {}
+        for f in t["fields"]:
+            rec[f["name"]], at = _decode_value(f["type"], b, at)
+        return rec, at
     if t in ("long", "int"):
         return _zigzag_decode(b, at)
     if t in ("string", "bytes"):
@@ -112,6 +154,16 @@ def _encode_value(t, v) -> bytes:
             return _zigzag_encode(t.index("null"))
         sub = next(x for x in t if x != "null")
         return _zigzag_encode(t.index(sub)) + _encode_value(sub, v)
+    if isinstance(t, dict) and t.get("type") == "array":
+        out = b""
+        if v:
+            out += _zigzag_encode(len(v))
+            out += b"".join(_encode_value(t["items"], x) for x in v)
+        return out + _zigzag_encode(0)
+    if isinstance(t, dict) and t.get("type") == "record":
+        return b"".join(
+            _encode_value(f["type"], v[f["name"]]) for f in t["fields"]
+        )
     if t in ("long", "int"):
         return _zigzag_encode(int(v))
     if t == "string":
@@ -256,6 +308,47 @@ def avro_build(
         out += _zigzag_encode(len(body))
         out += body + sync
     return bytes(out)
+
+
+#: the embeddings schema as Avro (r14) — what a warehouse export of
+#: an embedding table looks like: id + array<float>
+EMBEDDINGS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "embedding",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "emb", "type": {"type": "array", "items": "float"}},
+    ],
+}
+
+
+def read_embeddings_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, emb array<float>) from ``.avro`` container files — the
+    arrival path that feeds the similarity/ANN operators when the
+    embedding table ships as an Avro drop instead of parquet. Same
+    per-file Arrow kernel as :func:`read_corpus_avro`; strict (an
+    embedding table is upstream-validated — corrupt drops should fail
+    loudly, not thin out the vector space silently)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, embs = [], []
+            for content in pdf["content"]:
+                _schema, recs, _ = avro_scan(bytes(content), strict=True)
+                for r in recs:
+                    ids.append(r["doc_id"])
+                    embs.append(r["emb"])
+            yield pd.DataFrame({"doc_id": ids, "emb": embs})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="doc_id long, emb array<float>")
+    )
 
 
 #: the corpus schema as Avro — what a warehouse export of the
