@@ -4119,3 +4119,42 @@ def test_pdf_aes256_r6():
         .replace(old_ue, new_ue)
     )
     assert P.pdf_text(r5)[0] == exp
+
+
+def test_r14_nested_archive_expansion(spark):
+    """r14 late: a tar of zips (how sharded corpora actually nest) —
+    recurse=1 exposes inner members with outer!inner names and
+    sequential member_idx; nested damage quarantines with the prefix;
+    recurse=0 keeps the old one-level behavior."""
+    from timeseries_db_spark.operators import archive as A
+
+    inner = A.zip_build(
+        [("doc.txt", b"inner text"), ("n.bin", b"\xff\xfe\x00")],
+        deflate=True,
+    )
+    badz = bytearray(A.zip_build([("x.txt", b"xx")], deflate=False))
+    badz[bytes(badz).find(b"xx")] ^= 0xFF  # member CRC dies
+    outer = A.tar_build(
+        [("readme.txt", b"top"), ("shard0.zip", inner),
+         ("broken.zip", bytes(badz))]
+    )
+    df = spark.createDataFrame(
+        [(1, "archive", bytearray(outer))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = A.expand_archive_assets(df, recurse=1).collect()
+    by_name = {r["name"]: r for r in rows if r["err"] is None}
+    assert by_name["readme.txt"]["kind"] == "text"
+    assert by_name["shard0.zip"]["kind"] == "archive"
+    assert bytes(by_name["shard0.zip!doc.txt"]["payload"]) == b"inner text"
+    assert by_name["shard0.zip!n.bin"]["kind"] == "other"
+    assert by_name["broken.zip"]["kind"] == "archive"  # container row
+    errs = [r for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and errs[0]["err"].startswith("broken.zip!")
+    idxs = [r["member_idx"] for r in rows if r["err"] is None]
+    assert sorted(idxs) == list(range(len(idxs)))
+    # recurse=0: only the top level
+    flat = A.expand_archive_assets(df).collect()
+    assert sorted(r["name"] for r in flat) == [
+        "broken.zip", "readme.txt", "shard0.zip"
+    ]

@@ -445,15 +445,33 @@ def test_avro_arrays_and_nested_records(spark, tmp_path):
     arr_schema = {"type": "array", "items": "long"}
     rec, at = AV._decode_value(arr_schema, body[1:], 0)
     assert rec == [3, 4] and at == len(body) - 1
-    # maps stay a named seam
+    # maps, enums and fixed roundtrip too (r14 late)
+    ms = {
+        "type": "record", "name": "x",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "e", "type": {
+                "type": "enum", "name": "col",
+                "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "f", "type": {
+                "type": "fixed", "name": "h", "size": 4}},
+        ],
+    }
+    mrecs = [
+        {"m": {"a": 1, "bb": -7}, "e": "GREEN", "f": b"\x01\x02\x03\x04"},
+        {"m": {}, "e": "BLUE", "f": b"\xff" * 4},
+    ]
+    _s, mback = AV.avro_records(AV.avro_build(mrecs, ms))
+    assert mback == mrecs
+    # genuinely unknown complex kinds stay a named seam
     with _pytest.raises(ValueError, match="complex type"):
         AV.avro_build(
-            [{"m": {}}],
+            [{"m": b""}],
             {
                 "type": "record", "name": "x",
                 "fields": [
                     {"name": "m",
-                     "type": {"type": "map", "values": "long"}}
+                     "type": {"type": "decimal-ish", "values": "long"}}
                 ],
             },
         )

@@ -652,9 +652,30 @@ def sniff_kind(data: bytes) -> str:
         return "other"
 
 
+def _walk_archive(
+    payload: bytes, depth: int, password: bytes | None
+) -> tuple[list[tuple[str, str, bytes]], list[str]]:
+    """Tolerant (name, kind, data) walk with optional one-or-more
+    levels of NESTED expansion (r14 late — a tar of zips is how
+    sharded corpora actually nest): a member sniffed ``archive`` is
+    emitted as its own row AND, with ``depth > 0``, its members
+    follow with ``outer!inner`` names; nested damage is quarantined
+    with the same prefix."""
+    members, errs = archive_scan(payload, strict=False, password=password)
+    out: list[tuple[str, str, bytes]] = []
+    for name, data in members:
+        kind = sniff_kind(data)
+        out.append((name, kind, data))
+        if kind == "archive" and depth > 0:
+            sub, serrs = _walk_archive(data, depth - 1, password)
+            errs += [f"{name}!{e}" for e in serrs]
+            out += [(f"{name}!{n}", k, d) for n, k, d in sub]
+    return out, errs
+
+
 def expand_archive_assets(
     assets: DataFrame, id_stride: int = 1000,
-    password: bytes | None = None,
+    password: bytes | None = None, recurse: int = 0,
 ) -> DataFrame:
     """(asset_id, member_idx, name, kind, payload, err) — one row per
     archive member, ``kind`` sniffed by magic so the rows feed the
@@ -667,7 +688,9 @@ def expand_archive_assets(
     member surfaces as a ``kind='error'`` row (``member_idx=-1``, the
     message in ``err``) and its good siblings still expand; one dirty
     tarball costs one row, never the Arrow batch. Consumers keep
-    ``err IS NULL``."""
+    ``err IS NULL``. ``recurse=N`` (r14 late) expands archive members
+    N levels deep with ``outer!inner`` names — nested rows keep
+    sequential ``member_idx`` after their container."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -676,15 +699,13 @@ def expand_archive_assets(
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 aid = int(asset_id)
-                members, errs = archive_scan(
-                    bytes(payload), strict=False, password=password
+                members, errs = _walk_archive(
+                    bytes(payload), recurse, password
                 )
                 for msg in errs:
                     rows.append((aid, -1, "", "error", None, msg))
-                for k, (name, data) in enumerate(members):
-                    rows.append(
-                        (aid, k, name, sniff_kind(data), data, None)
-                    )
+                for k, (name, kind, data) in enumerate(members):
+                    rows.append((aid, k, name, kind, data, None))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -68,9 +68,9 @@ def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
 
 def _check_type(t) -> None:
     """Validate one schema type node — primitives, ``[null, T]``
-    unions, and (r14) ``array`` and nested ``record`` composites, the
-    shapes warehouse exports of embedding/feature tables actually
-    carry. Maps/enums/fixed stay the documented seam."""
+    unions, and (r14) the complex types: ``array``, nested
+    ``record``, ``map``, ``enum``, ``fixed``. General unions stay the
+    documented seam."""
     if isinstance(t, list):
         if len(t) != 2 or "null" not in t:
             raise ValueError("avro unions beyond [null, T] (seam)")
@@ -83,9 +83,20 @@ def _check_type(t) -> None:
         if kind == "array":
             _check_type(t["items"])
             return
+        if kind == "map":
+            _check_type(t["values"])
+            return
         if kind == "record":
             for f in t["fields"]:
                 _check_type(f["type"])
+            return
+        if kind == "enum":
+            if not t.get("symbols"):
+                raise ValueError("avro enum without symbols")
+            return
+        if kind == "fixed":
+            if not isinstance(t.get("size"), int):
+                raise ValueError("avro fixed without size")
             return
         raise ValueError(f"avro complex type {kind!r} unsupported (seam)")
     if t not in ("long", "int", "string", "double", "float",
@@ -126,6 +137,34 @@ def _decode_value(t, b: bytes, at: int):
                 v, at = _decode_value(items_t, b, at)
                 arr.append(v)
         return arr, at
+    if isinstance(t, dict) and t.get("type") == "map":
+        # blocks of (count, key-value pairs) until count 0, keys are
+        # strings; negative count carries the block byte size
+        values_t = t["values"]
+        m = {}
+        while True:
+            n, at = _zigzag_decode(b, at)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _sz, at = _zigzag_decode(b, at)
+            for _ in range(n):
+                k, at = _decode_value("string", b, at)
+                m[k], at = _decode_value(values_t, b, at)
+        return m, at
+    if isinstance(t, dict) and t.get("type") == "enum":
+        idx, at = _zigzag_decode(b, at)
+        syms = t["symbols"]
+        if not 0 <= idx < len(syms):
+            raise ValueError(f"avro enum index {idx} out of range")
+        return syms[idx], at
+    if isinstance(t, dict) and t.get("type") == "fixed":
+        n = t["size"]
+        raw = b[at : at + n]
+        if len(raw) != n:
+            raise ValueError("avro fixed truncated")
+        return raw, at + n
     if isinstance(t, dict) and t.get("type") == "record":
         rec = {}
         for f in t["fields"]:
@@ -160,6 +199,21 @@ def _encode_value(t, v) -> bytes:
             out += _zigzag_encode(len(v))
             out += b"".join(_encode_value(t["items"], x) for x in v)
         return out + _zigzag_encode(0)
+    if isinstance(t, dict) and t.get("type") == "map":
+        out = b""
+        if v:
+            out += _zigzag_encode(len(v))
+            out += b"".join(
+                _encode_value("string", k) + _encode_value(t["values"], x)
+                for k, x in v.items()
+            )
+        return out + _zigzag_encode(0)
+    if isinstance(t, dict) and t.get("type") == "enum":
+        return _zigzag_encode(t["symbols"].index(v))
+    if isinstance(t, dict) and t.get("type") == "fixed":
+        if len(v) != t["size"]:
+            raise ValueError("avro fixed size mismatch")
+        return bytes(v)
     if isinstance(t, dict) and t.get("type") == "record":
         return b"".join(
             _encode_value(f["type"], v[f["name"]]) for f in t["fields"]
