@@ -4158,3 +4158,93 @@ def test_r14_nested_archive_expansion(spark):
     assert sorted(r["name"] for r in flat) == [
         "broken.zip", "readme.txt", "shard0.zip"
     ]
+
+
+def test_r14_id3_unsynchronisation():
+    """r14: ID3v2 unsynchronisation — a v2.3 tag with the header
+    unsync flag stores every 0xFF with a 0x00 stuffed after it; the
+    reader strips the stuffing before the frame walk (text with 0xFF
+    bytes and APIC image bytes survive). v2.4 carries the flag per
+    frame (bit 0x02 of the second frame-flag byte)."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    def unsync(raw: bytes) -> bytes:
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    # v2.3, whole-tag unsync: latin-1 'Aÿ B' has a raw 0xFF byte
+    frame_body = b"\x00A\xff B"
+    frame = b"TIT2" + len(frame_body).to_bytes(4, "big") + b"\x00\x00" + frame_body
+    img = M.png_encode(bytes([255]) * 16, 4, 4, 1)  # plenty of 0xFF
+    apic_body = b"\x00image/png\x00" + bytes([3]) + b"\x00" + img
+    apic = b"APIC" + len(apic_body).to_bytes(4, "big") + b"\x00\x00" + apic_body
+    body = unsync(frame + apic)
+    n = len(body)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    tag = b"ID3" + bytes([3, 0, 0x80]) + ss + body
+    assert M.id3v2_tags(tag) == ("", ["TIT2=A\xff B"])
+    assert M.audio_cover_art(tag) == [("image/png", 3, img)]
+    # same tag WITHOUT the flag set parses the unsynced bytes as-is
+    # (garbled value) — the flag is what drives the strip
+    tag_noflag = b"ID3" + bytes([3, 0, 0]) + ss + body
+    assert M.id3v2_tags(tag_noflag)[1] != ["TIT2=A\xff B"]
+    # v2.4 per-frame unsync: synchsafe size of the STORED body
+    ub = unsync(frame_body)
+    f24 = b"TIT2" + bytes(
+        [(len(ub) >> 21) & 0x7F, (len(ub) >> 14) & 0x7F,
+         (len(ub) >> 7) & 0x7F, len(ub) & 0x7F]
+    ) + b"\x00\x02" + ub
+    n4 = len(f24)
+    ss4 = bytes([(n4 >> 21) & 0x7F, (n4 >> 14) & 0x7F, (n4 >> 7) & 0x7F, n4 & 0x7F])
+    tag4 = b"ID3" + bytes([4, 0, 0]) + ss4 + f24
+    assert M.id3v2_tags(tag4) == ("", ["TIT2=A\xff B"])
+
+
+def test_r14_pdf_known_password_opens():
+    """r14 late: known-password PDFs open — the password is accepted
+    as the USER password (Algorithm 4/5 / 2.B user hash) or as the
+    OWNER password (Algorithm 7 peels the RC4 passes off /O; R6: /O
+    hash salted with /U, file key from /OE); a wrong password raises
+    by name. Covers RC4-128, AESV2 and AES-256 handlers."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import pdf as P
+
+    pages = [["Locked content here", "second line"]]
+    exp = "Locked content here\nsecond line"
+    for mode in ("rc4-128", "aesv2", "aes256"):
+        p = P.pdf_build(pages, encrypt=mode, user_pwd=b"hunter2")
+        # empty password no longer authenticates
+        with _pytest.raises(ValueError, match="password"):
+            P.pdf_text(p)
+        # user password opens
+        assert P.pdf_text(p, password=b"hunter2")[0] == exp, mode
+        # the OWNER password ('owner' in pdf_build) opens too
+        assert P.pdf_text(p, password=b"owner")[0] == exp, mode
+        with _pytest.raises(ValueError, match="wrong password"):
+            P.pdf_text(p, password=b"nope")
+    # images decode under a password as well
+    px = bytes([9]) * 256
+    p = P.pdf_build(
+        pages, encrypt="rc4-128", user_pwd=b"hunter2",
+        image=(16, 16, 1, px), image_filter="flate",
+    )
+    assert P.pdf_images(p, password=b"hunter2") == [(16, 16, 1, 256 * 9)]
+
+
+def test_r14_multimember_gzip_tarball():
+    """r14 late: pigz and block-parallel compressors emit CONCATENATED
+    gzip members — a single zlib.decompress stops at the first one and
+    silently truncates the tar. The wrapper walk inflates every
+    member."""
+    import gzip as _gzip
+
+    from timeseries_db_spark.operators import archive as A
+
+    members = [("a.txt", b"alpha"), ("b.txt", b"beta" * 100),
+               ("c.txt", b"gamma")]
+    tar = A.tar_build(members)
+    cut = len(tar) // 2
+    multi = _gzip.compress(tar[:cut]) + _gzip.compress(tar[cut:])
+    assert A.archive_members(multi) == members
+    got, errs = A.archive_scan(multi, strict=False)
+    assert got == members and errs == []

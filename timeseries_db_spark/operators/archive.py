@@ -409,7 +409,18 @@ def archive_scan(
     b = payload
     try:
         if b[:2] == b"\x1f\x8b":
-            b = zlib.decompress(b, wbits=31)
+            # r14 late: MULTI-MEMBER gzip — pigz and block-parallel
+            # compressors emit concatenated members, and a single
+            # zlib.decompress silently stops at the first one,
+            # truncating the tar stream mid-archive
+            out = bytearray()
+            rest = b
+            while rest[:2] == b"\x1f\x8b":
+                d = zlib.decompressobj(31)
+                out += d.decompress(rest)
+                out += d.flush()
+                rest = d.unused_data
+            b = bytes(out)
         elif b[:6] == b"\xfd7zXZ\x00":
             import lzma
 

@@ -6030,26 +6030,37 @@ def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
     decode per their encoding byte (latin-1 / utf-16 BOM / utf-16-be /
     utf-8) with trailing NULs stripped, surfaced as ``ID=value``
     (``TIT2=…`` title, ``TPE1=…`` artist, ``TALB=…`` album). ID3 has
-    no vendor string. Returns ``('', [])`` when no tag is present."""
+    no vendor string. Returns ``('', [])`` when no tag is present.
+
+    r14: UNSYNCHRONISATION handled — the header flag (v2.2/v2.3:
+    whole-tag ``ff 00`` → ``ff`` before the frame walk) and the v2.4
+    per-frame flag (bit 0x02 of the second frame-flag byte, applied
+    to the sliced body). Tags written for old MPEG players carry
+    this routinely; without the strip, a 0xFF text byte desyncs the
+    walk."""
     b = payload
     if b[:3] != b"ID3" or len(b) < 10:
         return "", []
     ver = b[3]
+    tag_flags = b[5]
     size = 0
     for k in range(6, 10):  # synchsafe total size, all versions
         size = (size << 7) | (b[k] & 0x7F)
-    end = min(10 + size, len(b))
-    at = 10
+    data = b[10 : min(10 + size, len(b))]
+    if tag_flags & 0x80 and ver <= 3:
+        data = data.replace(b"\xff\x00", b"\xff")
+    end = len(data)
+    at = 0
     comments: list[str] = []
     if ver == 2:
         # r13 late: ID3v2.2 — 3-char frame ids, 3-byte plain sizes,
         # no flag bytes (the tag old MP3s actually carry)
         while at + 6 <= end:
-            fid = b[at : at + 3]
+            fid = data[at : at + 3]
             if fid == b"\x00\x00\x00":
                 break
-            fsize = int.from_bytes(b[at + 3 : at + 6], "big")
-            body = b[at + 6 : at + 6 + fsize]
+            fsize = int.from_bytes(data[at + 3 : at + 6], "big")
+            body = data[at + 6 : at + 6 + fsize]
             at += 6 + fsize
             if fid[:1] == b"T" and body:
                 codec = _ID3_TEXT_ENCODINGS.get(body[0], "latin-1")
@@ -6057,18 +6068,21 @@ def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
                 comments.append(f"{fid.decode('latin-1')}={val}")
         return "", comments
     while at + 10 <= end:
-        fid = b[at : at + 4]
+        fid = data[at : at + 4]
         if fid == b"\x00\x00\x00\x00":  # padding reached
             break
-        raw = b[at + 4 : at + 8]
+        raw = data[at + 4 : at + 8]
         if ver >= 4:  # v2.4: synchsafe frame size
             fsize = 0
             for x in raw:
                 fsize = (fsize << 7) | (x & 0x7F)
         else:  # v2.3: plain big-endian
             fsize = int.from_bytes(raw, "big")
-        body = b[at + 10 : at + 10 + fsize]
+        fflags2 = data[at + 9]
+        body = data[at + 10 : at + 10 + fsize]
         at += 10 + fsize
+        if ver >= 4 and fflags2 & 0x02:  # v2.4 per-frame unsync
+            body = body.replace(b"\xff\x00", b"\xff")
         if fid[:1] == b"T" and body:
             codec = _ID3_TEXT_ENCODINGS.get(body[0], "latin-1")
             val = body[1:].decode(codec, "replace").rstrip("\x00")
@@ -6172,8 +6186,12 @@ def audio_cover_art(payload: bytes) -> list[tuple[str, int, bytes]]:
         size = 0
         for k in range(6, 10):
             size = (size << 7) | (b[k] & 0x7F)
-        end = min(10 + size, len(b))
-        at = 10
+        data = b[10 : min(10 + size, len(b))]
+        if b[5] & 0x80 and ver <= 3:  # r14: whole-tag unsync strip
+            data = data.replace(b"\xff\x00", b"\xff")
+        b = data
+        end = len(b)
+        at = 0
         if ver == 2:
             # r13 late: ID3v2.2 PIC — enc(1) + 3-char image format
             # ('PNG'/'JPG') + type(1) + NUL-terminated desc + data
@@ -6216,8 +6234,11 @@ def audio_cover_art(payload: bytes) -> list[tuple[str, int, bytes]]:
                     fsize = (fsize << 7) | (x & 0x7F)
             else:
                 fsize = int.from_bytes(raw, "big")
+            fflags2 = b[at + 9]
             body = b[at + 10 : at + 10 + fsize]
             at += 10 + fsize
+            if ver >= 4 and fflags2 & 0x02:  # r14: per-frame unsync
+                body = body.replace(b"\xff\x00", b"\xff")
             if fid == b"APIC" and body:
                 enc = body[0]
                 mend = body.index(b"\x00", 1)

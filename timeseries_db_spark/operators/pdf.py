@@ -510,7 +510,9 @@ def _dict_string_bytes(d: bytes, name: bytes) -> bytes | None:
     return None
 
 
-def _encryption_of(payload: bytes, directory: dict[int, bytes]):
+def _encryption_of(
+    payload: bytes, directory: dict[int, bytes], password: bytes = b""
+):
     """None for an unencrypted file, else ``(file_key, mode)`` for the
     Standard security handler variants this reader opens from spec —
     /V 1 (RC4-40), /V 2 (RC4 ≤128), /V 4 with /CFM /V2 (RC4) or
@@ -566,17 +568,42 @@ def _encryption_of(payload: bytes, directory: dict[int, bytes]):
         if u5 is None or len(u5) < 48 or ue is None or len(ue) < 32:
             raise ValueError("PDF /V 5 dictionary missing /U or /UE")
         h = _hash_2b if r == 6 else _hash_r5
-        if h(b"", u5[32:40]) != u5[:32]:
-            raise ValueError(
-                "encrypted PDF: non-empty user password required "
-                "(pdfminer seam)"
-            )
         from timeseries_db_spark.functions.crypto import (
             aes_cbc_decrypt_nopad,
         )
 
+        # r14 late: empty user password first, then (password given)
+        # the user hash, then the OWNER path — /O's hash salts with
+        # the full 48-byte /U and /OE unwraps the same file key
+        if h(b"", u5[32:40]) == u5[:32]:
+            pwd = b""
+        elif password and h(password, u5[32:40]) == u5[:32]:
+            pwd = password
+        else:
+            o5 = _dict_string_bytes(body, b"/O")
+            oe = _dict_string_bytes(body, b"/OE")
+            if (
+                password
+                and o5 is not None and len(o5) >= 48
+                and oe is not None and len(oe) >= 32
+                and h(password, o5[32:40], u5[:48]) == o5[:32]
+            ):
+                return (
+                    aes_cbc_decrypt_nopad(
+                        h(password, o5[40:48], u5[:48]),
+                        bytes(16),
+                        oe[:32],
+                    ),
+                    "aes256",
+                )
+            raise ValueError(
+                "encrypted PDF: wrong password (pdfminer seam)"
+                if password
+                else "encrypted PDF: non-empty user password required "
+                "(pdfminer seam)"
+            )
         file_key = aes_cbc_decrypt_nopad(
-            h(b"", u5[40:48]), bytes(16), ue[:32]
+            h(pwd, u5[40:48]), bytes(16), ue[:32]
         )
         return file_key, "aes256"
     if v not in (1, 2, 4) or r not in (2, 3, 4):
@@ -612,13 +639,48 @@ def _encryption_of(payload: bytes, directory: dict[int, bytes]):
         else b""
     )
     enc_md = not re.search(rb"/EncryptMetadata\s+false", body)
-    key = _std_key(b"", o, p, id0, r, klen, enc_md)
-    u_chk = _compute_u(key, id0, r)
-    if (u_chk[:16] if r >= 3 else u_chk) != (u[:16] if r >= 3 else u[:32]):
-        raise ValueError(
-            "encrypted PDF: non-empty user password required "
-            "(pdfminer seam)"
+    def u_ok(k: bytes) -> bool:
+        u_chk = _compute_u(k, id0, r)
+        return (u_chk[:16] if r >= 3 else u_chk) == (
+            u[:16] if r >= 3 else u[:32]
         )
+
+    key = _std_key(b"", o, p, id0, r, klen, enc_md)
+    if not u_ok(key):
+        # r14 late: try the given password as the USER password
+        # (Algorithm 4/5 check), then as the OWNER password —
+        # Algorithm 7 peels the 19 XOR'd RC4 passes off /O to recover
+        # the PADDED user password, which Algorithm 2 accepts as-is
+        # (already 32 bytes, the pad append truncates away)
+        authed = False
+        if password:
+            key = _std_key(password, o, p, id0, r, klen, enc_md)
+            authed = u_ok(key)
+            if not authed:
+                import hashlib
+
+                from timeseries_db_spark.functions.crypto import rc4
+
+                h = hashlib.md5(_pad_pwd(password)).digest()
+                if r >= 3:
+                    for _ in range(50):
+                        h = hashlib.md5(h).digest()
+                rkey = h[:klen]
+                upad = o[:32]
+                if r == 2:
+                    upad = rc4(rkey, upad)
+                else:
+                    for i in range(19, -1, -1):
+                        upad = rc4(bytes(x ^ i for x in rkey), upad)
+                key = _std_key(upad, o, p, id0, r, klen, enc_md)
+                authed = u_ok(key)
+        if not authed:
+            raise ValueError(
+                "encrypted PDF: wrong password (pdfminer seam)"
+                if password
+                else "encrypted PDF: non-empty user password required "
+                "(pdfminer seam)"
+            )
     return key, ("aesv2" if aes else "rc4")
 
 
@@ -861,7 +923,7 @@ def _content_text(stream: bytes, fonts=None) -> tuple[str, int]:
     return text, n_shows
 
 
-def _pdf_open(payload: bytes):
+def _pdf_open(payload: bytes, password: bytes = b""):
     """The shared document-open path of :func:`pdf_text` and
     :func:`pdf_images` — (objs, directory, resolve, enc): xref walk
     with direct-scan fallback, Standard-security-handler setup (r13 —
@@ -889,7 +951,7 @@ def _pdf_open(payload: bytes):
     # r13: Standard-security-handler decryption (RC4-40/128, AESV2) —
     # authenticate the empty user password and decrypt every stream
     # transparently; unsupported variants raise their seam name
-    enc = _encryption_of(payload, directory)
+    enc = _encryption_of(payload, directory, password)
 
     # expand object streams: members join the directory (reference
     # resolution) and the object list (no streams inside, by spec)
@@ -904,7 +966,7 @@ def _pdf_open(payload: bytes):
     return objs, directory, resolve, enc
 
 
-def pdf_text(payload: bytes) -> tuple[str, int, int]:
+def pdf_text(payload: bytes, password: bytes = b"") -> tuple[str, int, int]:
     """REAL PDF text extraction — (text, n_show_ops, n_streams): every
     content stream's BT/ET text operators evaluated in document order,
     page texts separated by newlines. Raises with the capability name
@@ -921,7 +983,7 @@ def pdf_text(payload: bytes) -> tuple[str, int, int]:
     infrastructure, not page content — they are excluded from the
     text scan (an xref stream's binary rows could contain ``BT`` by
     chance) but counted in ``n_streams`` like any other stream."""
-    objs, directory, resolve, enc = _pdf_open(payload)
+    objs, directory, resolve, enc = _pdf_open(payload, password)
     # r13: resource-name → ToUnicode CMap (CID/Type0 text extraction)
     # — page /Font dicts name the font objects, a font's /ToUnicode
     # stream maps its multi-byte codes to unicode; fonts without one
@@ -1021,7 +1083,9 @@ _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 
 
-def pdf_images(payload: bytes) -> list[tuple[int, int, int, int]]:
+def pdf_images(
+    payload: bytes, password: bytes = b""
+) -> list[tuple[int, int, int, int]]:
     """REAL embedded-image extraction (r13) — one ``(width, height,
     channels, px_sum)`` per ``/Subtype /Image`` XObject, in document
     order: ``/DCTDecode`` data decodes through the repo's full JPEG
@@ -1034,7 +1098,7 @@ def pdf_images(payload: bytes) -> list[tuple[int, int, int, int]]:
     frame legs use. Dimensions are cross-checked against the dict.
     /CCITTFaxDecode, /JBIG2Decode, /JPXDecode and BitsPerComponent ≠ 8
     raise the capability seam."""
-    objs, directory, resolve, enc = _pdf_open(payload)
+    objs, directory, resolve, enc = _pdf_open(payload, password)
     out: list[tuple[int, int, int, int]] = []
     for num, body in objs:
         at = body.find(b"stream")
@@ -1123,6 +1187,7 @@ def pdf_build(
     image: tuple[int, int, int, bytes] | None = None,
     image_filter: str = "dct",
     cid_font: bool = False,
+    user_pwd: bytes = b"",
 ) -> bytes:
     """Minimal valid PDF writer (tests + fixtures): one content stream
     per page, each inner list one text line (``Td``-positioned ``Tj``
@@ -1200,9 +1265,9 @@ def pdf_build(
             vsalt = hashlib.md5(id0 + b"v").digest()[:8]
             ksalt = hashlib.md5(id0 + b"k").digest()[:8]
             file_key = hashlib.sha256(id0 + b"filekey").digest()
-            u_ent = _hash_2b(b"", vsalt) + vsalt + ksalt
+            u_ent = _hash_2b(user_pwd, vsalt) + vsalt + ksalt
             ue = aes_cbc_encrypt_nopad(
-                _hash_2b(b"", ksalt), bytes(16), file_key
+                _hash_2b(user_pwd, ksalt), bytes(16), file_key
             )
             ovs = hashlib.md5(id0 + b"ov").digest()[:8]
             oks = hashlib.md5(id0 + b"ok").digest()[:8]
@@ -1240,8 +1305,8 @@ def pdf_build(
             v, r, klen, aes = modes[encrypt]
             id0 = hashlib.md5(repr(pages).encode()).digest()
             p_flags = -4
-            o_ent = _compute_o(b"owner", b"", r, klen)
-            key = _std_key(b"", o_ent, p_flags, id0, r, klen)
+            o_ent = _compute_o(b"owner", user_pwd, r, klen)
+            key = _std_key(user_pwd, o_ent, p_flags, id0, r, klen)
             u_ent = _compute_u(key, id0, r)[:32]
             cf = (
                 " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
