@@ -4248,3 +4248,30 @@ def test_r14_multimember_gzip_tarball():
     assert A.archive_members(multi) == members
     got, errs = A.archive_scan(multi, strict=False)
     assert got == members and errs == []
+
+
+def test_r14_id3_extended_header_skip():
+    """r14: the extended header (flag 0x40) is skipped, not parsed as
+    a frame — v2.3 counts its size excluding the 4 size bytes, v2.4's
+    synchsafe size includes itself."""
+    from timeseries_db_spark.operators import multimodal as M
+
+    frame_body = b"\x00Hello"
+    fr = b"TIT2" + len(frame_body).to_bytes(4, "big") + b"\x00\x00" + frame_body
+    # v2.3: ext header = size(4, excl) + flags(2) + padding size(4)
+    eh3 = (6).to_bytes(4, "big") + b"\x00\x00" + (0).to_bytes(4, "big")
+    body3 = eh3 + fr
+    n = len(body3)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    assert M.id3v2_tags(b"ID3" + bytes([3, 0, 0x40]) + ss + body3) == (
+        "", ["TIT2=Hello"]
+    )
+    # v2.4: synchsafe frame size; ext header size includes itself
+    fr4 = b"TIT2" + bytes([0, 0, 0, len(frame_body)]) + b"\x00\x00" + frame_body
+    eh4 = bytes([0, 0, 0, 6]) + bytes([1, 0])  # size 6 incl., 1 flag byte
+    body4 = eh4 + fr4
+    n = len(body4)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    assert M.id3v2_tags(b"ID3" + bytes([4, 0, 0x40]) + ss + body4) == (
+        "", ["TIT2=Hello"]
+    )

@@ -6051,6 +6051,17 @@ def id3v2_tags(payload: bytes) -> tuple[str, list[str]]:
         data = data.replace(b"\xff\x00", b"\xff")
     end = len(data)
     at = 0
+    if tag_flags & 0x40 and len(data) >= 4:
+        # r14: extended header — its size field is plain big-endian
+        # EXCLUDING itself in v2.3, synchsafe INCLUDING itself in
+        # v2.4; without the skip it parses as a garbage frame id
+        if ver >= 4:
+            eh = 0
+            for x in data[:4]:
+                eh = (eh << 7) | (x & 0x7F)
+            at = eh
+        else:
+            at = 4 + int.from_bytes(data[:4], "big")
     comments: list[str] = []
     if ver == 2:
         # r13 late: ID3v2.2 — 3-char frame ids, 3-byte plain sizes,

@@ -1582,7 +1582,9 @@ def pdf_build(
     return bytes(out)
 
 
-def pdf_extract_text(assets: DataFrame, with_images: bool = False) -> DataFrame:
+def pdf_extract_text(
+    assets: DataFrame, with_images: bool = False, password: bytes = b""
+) -> DataFrame:
     """(asset_id, n_shows, n_streams, text) — :func:`pdf_text` over
     PDF assets, Arrow-batched, map-only (the standard payload-kernel
     posture). ``with_images=True`` (r13) also runs :func:`pdf_images`
@@ -1604,10 +1606,12 @@ def pdf_extract_text(assets: DataFrame, with_images: bool = False) -> DataFrame:
             for asset_id, payload in zip(
                 pdf_batch["asset_id"], pdf_batch["payload"]
             ):
-                text, n_shows, n_streams = pdf_text(bytes(payload))
+                text, n_shows, n_streams = pdf_text(
+                    bytes(payload), password
+                )
                 row = (int(asset_id), n_shows, n_streams, text)
                 if with_images:
-                    imgs = pdf_images(bytes(payload))
+                    imgs = pdf_images(bytes(payload), password)
                     row += (len(imgs), sum(s for *_d, s in imgs))
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)

@@ -1327,8 +1327,10 @@ def register_extensions(q: dict, o: dict) -> None:
         # count 2 extra infrastructure streams in n_b).
         # r13 late: the fixture is now also ENCRYPTED and ILLUSTRATED —
         #   encryption cycles the Standard security handler by
-        #   doc_id%4: plain / RC4-40 (/V1/R2) / RC4-128 (/V2/R3) /
-        #   AES-128 /AESV2 (/V4/R4), all empty-user-password; decode
+        #   doc_id%4: plain / RC4-40 (/V1/R2) / RC4-128 (/V2/R3,
+        #   r14: USER-password-locked — the leg passes the known
+        #   password and Algorithm 4/5 must authenticate it) /
+        #   AES-128 /AESV2 (/V4/R4, empty user password); decode
         #   is TRANSPARENT (Algorithm 6 auth + per-object Algorithm-1
         #   keys + stream decrypt), so the SAME text/show closed forms
         #   pin it — a wrong key garbles every downstream value, the
@@ -1380,6 +1382,10 @@ def register_extensions(q: dict, o: dict) -> None:
                             lzw=(did % 5 == 0),
                             xref_stream=(did % 7 == 0),
                             encrypt=_ENC[did % 4],
+                            # r14: the RC4-128 state is USER-LOCKED —
+                            # extraction must authenticate the known
+                            # password (Algorithm 4/5), not the empty one
+                            user_pwd=(b"tsdbpw" if did % 4 == 2 else b""),
                             cid_font=(did % 3 == 1),
                             image=img,
                             image_filter=(
@@ -1396,7 +1402,9 @@ def register_extensions(q: dict, o: dict) -> None:
         pdf_assets = docs.select(
             "doc_id", F.expr(clean).alias("clean")
         ).mapInPandas(build_pdf, schema="asset_id long, kind string, payload binary")
-        pdfx = _pdfmod.pdf_extract_text(pdf_assets, with_images=True).select(
+        pdfx = _pdfmod.pdf_extract_text(
+            pdf_assets, with_images=True, password=b"tsdbpw"
+        ).select(
             F.col("asset_id").alias("doc_id"),
             F.lit("pdf").alias("kind"),
             F.col("n_shows").alias("n_a"),
