@@ -4275,3 +4275,57 @@ def test_r14_id3_extended_header_skip():
     assert M.id3v2_tags(b"ID3" + bytes([4, 0, 0x40]) + ss + body4) == (
         "", ["TIT2=Hello"]
     )
+
+
+def test_r14_paragraph_dedup_global_first_occurrence(spark):
+    """r14: global exact paragraph dedup with document rewrite (the
+    RefinedWeb step between whole-doc dedup and span scrub) — first
+    occurrence by (doc_id, position) wins everywhere, whitespace-only
+    paragraphs never count, empty/NULL docs pass through, and the
+    generated DuckDB twin agrees on every row."""
+    import duckdb
+
+    from timeseries_db_spark.operators import dedup as D
+
+    cases = [
+        (1, "Shared intro para\n\nDoc one body\n\nPromo block"),
+        (2, "Shared intro para\n\nDoc two body\n\n\n\nPromo block"),
+        (3, "Doc three body\n\nPromo block\n\nShared intro para"),
+        (4, ""),
+        (5, None),
+        (6, "   \n\nonly me"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in D.paragraph_dedup(df).collect()}
+    assert got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"] == (
+        "Shared intro para\n\nDoc one body\n\nPromo block"
+    )
+    assert got[2]["n_dropped"] == 2 and got[2]["clean_text"] == "Doc two body"
+    assert got[3]["n_dropped"] == 2 and got[3]["clean_text"] == "Doc three body"
+    assert got[4] == {"doc_id": 4, "n_paras": 0, "n_dropped": 0,
+                      "clean_text": ""}
+    assert got[5]["n_paras"] == 0
+    assert got[6]["clean_text"] == "only me" and got[6]["n_paras"] == 1
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, %s)" % (
+            i,
+            "NULL" if t is None
+            else "'%s'" % t.replace("'", "''").replace(
+                "\n", "' || chr(10) || '"
+            ),
+        )
+        for i, t in cases
+    )
+    duck = con.execute(
+        D.paragraph_dedup_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        + " ORDER BY 1"
+    ).fetchall()
+    for doc_id, n_paras, n_dropped, clean in duck:
+        g = got[doc_id]
+        assert (g["n_paras"], g["n_dropped"], g["clean_text"]) == (
+            n_paras, n_dropped, clean
+        ), doc_id

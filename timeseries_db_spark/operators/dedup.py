@@ -998,3 +998,101 @@ def scrub_duplicated_spans_sql(k: int = SCRUB_W, df_threshold: int = 2) -> str:
         LEFT JOIN toks t ON d.doc_id = t.doc_id
         LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_paras, n_dropped, clean_text) — GLOBAL exact
+    paragraph deduplication with document rewrite (r14): the
+    RefinedWeb/FineWeb pipeline step between whole-document exact
+    dedup and span scrubbing. Documents split on blank lines; a
+    paragraph whose trimmed text already appeared in an EARLIER
+    position of the corpus (ordered by ``(doc_id, para_idx)`` — the
+    deterministic arrival order) is dropped, the first occurrence
+    everywhere is kept, and the survivors are rejoined with a blank
+    line. Whitespace-only paragraphs never count and never survive
+    (they are separators, not content).
+
+    Scale shape (100 TB): split+posexplode is map-only O(L); the
+    first-occurrence decision is ONE ``row_number`` window partitioned
+    by the paragraph hash — a shuffle on the 128-bit key with no pair
+    fan-out, the same key-partitioned shape as exact_dedup — and the
+    rebuild is one per-doc ordered aggregation. Boilerplate paragraphs
+    with huge duplicate counts skew only their own hash partition;
+    AQE skew-join handling applies, and the window computes a plain
+    rank (no cross-row state beyond the sort)."""
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                                 r"\n\n")).alias("pos", "para"),
+        )
+        .withColumn("ptrim", F.expr("trim(para)"))
+        .filter(F.col("ptrim") != "")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("ptrim"))).orderBy("doc_id", "pos")
+    marked = paras.withColumn("rn", F.row_number().over(w))
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "  CASE WHEN rn = 1 THEN struct(pos, ptrim) END)),"
+                " s -> s.ptrim), '\n\n')"
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def paragraph_dedup_sql(source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`paragraph_dedup` — the same split, the
+    same global first-occurrence rule, the same ordered rejoin."""
+    return f"""
+        WITH src AS ({source_sql}),
+        plists AS (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), chr(10) || chr(10))
+                       AS pl
+            FROM src
+        ),
+        paras AS (
+            SELECT doc_id, i - 1 AS pos, trim(pl[i]) AS ptrim
+            FROM plists,
+                 LATERAL unnest(generate_series(1, len(pl))) AS u(i)
+            WHERE trim(pl[i]) <> ''
+        ),
+        marked AS (
+            SELECT doc_id, pos, ptrim,
+                   row_number() OVER (
+                       PARTITION BY md5(ptrim) ORDER BY doc_id, pos
+                   ) AS rn
+            FROM paras
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+                   string_agg(CASE WHEN rn = 1 THEN ptrim END,
+                              chr(10) || chr(10) ORDER BY pos)
+                       AS clean_text
+            FROM marked GROUP BY 1
+        )
+        SELECT s.doc_id,
+               COALESCE(r.n_paras, 0)::BIGINT AS n_paras,
+               COALESCE(r.n_dropped, 0)::BIGINT AS n_dropped,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM src s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    """

@@ -2307,11 +2307,46 @@ def register_extensions(q: dict, o: dict) -> None:
             "id_b",
             F.col("containment").alias("jaccard"),
         )
+        # r14 paradd leg: GLOBAL exact paragraph dedup with document
+        # rewrite (RefinedWeb/FineWeb's step between whole-doc dedup
+        # and span scrub) over constructed pages — a corpus-shared
+        # intro, the doc body, and a promo block shared by doc_id%3 —
+        # so the first doc keeps everything and later docs lose the
+        # shared paragraphs. id_b carries the md5-long fingerprint of
+        # the REWRITTEN text (one flipped surviving paragraph flips
+        # the hash), jaccard the dropped fraction; the oracle runs the
+        # generated DuckDB twin over the same construction.
+        pclean = (
+            "trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]',"
+            " ''), ' +', ' '))"
+        )
+        para_docs = _docs(s, d).select(
+            "doc_id",
+            F.expr(
+                "'Shared intro paragraph.' || chr(10) || chr(10) ||"
+                f" 'Doc ' || doc_id || ' body: ' || {pclean} ||"
+                " chr(10) || chr(10) || 'Promo block ' || (doc_id % 3)"
+            ).alias("text"),
+        )
+        paradd = dedup.paragraph_dedup(para_docs).select(
+            F.lit("paradd").alias("variant"),
+            F.col("doc_id").alias("id_a"),
+            F.expr(
+                "CAST(conv(substring(md5(clean_text), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ).alias("id_b"),
+            numeric.duck_round(
+                F.col("n_dropped")
+                / F.greatest(F.col("n_paras"), F.lit(1)).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
         return (
             exact.unionByName(capped)
             .unionByName(dupfrac)
             .unionByName(scrub)
             .unionByName(contain)
+            .unionByName(paradd)
         )
 
     q["dedup_ngram_jaccard"] = ngram_jaccard_both
@@ -2333,6 +2368,20 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT 'contain' AS variant, id_a, id_b, containment AS jaccard
         FROM ({dedup.ngram_containment_pairs_sql(0.8)})
+        UNION ALL
+        SELECT 'paradd' AS variant, doc_id AS id_a,
+               ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS id_b,
+               round(n_dropped / greatest(n_paras, 1)::DOUBLE, 4)
+                   AS jaccard
+        FROM ({dedup.paragraph_dedup_sql(
+            "SELECT doc_id,"
+            " 'Shared intro paragraph.' || chr(10) || chr(10) ||"
+            " 'Doc ' || doc_id || ' body: ' ||"
+            " trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]',"
+            " '', 'g'), ' +', ' ', 'g')) ||"
+            " chr(10) || chr(10) || 'Promo block ' || (doc_id % 3)"
+            " AS text FROM documents"
+        )})
     """
 
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
