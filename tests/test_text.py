@@ -1415,3 +1415,40 @@ def test_script_lang_id_buckets_and_parity(spark):
     ).fetchall()
     for doc_id, n_scripted, slang in duck:
         assert got[doc_id] == (slang, n_scripted), doc_id
+
+
+def test_mojibake_fix_rules(spark):
+    """r14: mojibake repair — single and double cp1252 mojibake
+    restore exactly, plain ASCII and GENUINE UTF-8 that doesn't
+    round-trip are never touched, the latin-1 fallback covers bytes
+    cp1252 can't encode, and the pass count caps at 3."""
+    from timeseries_db_spark.operators import text
+
+    def corrupt(x: str) -> str:
+        return x.encode("utf-8").decode("cp1252")
+
+    t1 = "café — naïve"
+    t2 = "café naïve ünïted"
+    cases = [
+        (1, corrupt(t1)),
+        (2, corrupt(corrupt(t2))),
+        (3, "plain ascii stays"),
+        (4, "real utf-8 café kept"),
+        (5, ""),
+        (6, None),
+        # latin-1 fallback: 'ā' (U+0101) mojibakes to 'Ä\x81' whose
+        # \x81 cp1252 cannot encode — only the latin-1 path repairs it
+        (7, "m\xc4\x81ori text"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fixes"], r["text_fixed"])
+        for r in text.mojibake_fix(df).collect()
+    }
+    assert got[1] == (1, t1)
+    assert got[2] == (2, t2)
+    assert got[3] == (0, "plain ascii stays")
+    assert got[4] == (0, "real utf-8 café kept")
+    assert got[5] == (0, "")
+    assert got[6] == (0, "")
+    assert got[7] == (1, "māori text")

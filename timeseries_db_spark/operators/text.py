@@ -2423,3 +2423,64 @@ def text_vec_summary_sql(dim: int = TVEC_DIM) -> str:
         LEFT JOIN per p ON d.doc_id = p.doc_id
         LEFT JOIN q ON d.doc_id = q.doc_id
     """
+
+
+def _demojibake_once(s: str) -> str | None:
+    """One repair pass: if the string survives a cp1252 (or latin-1)
+    re-encode and decodes as valid UTF-8 INTO A DIFFERENT string, it
+    was double-encoded — return the repaired text, else None. Plain
+    ASCII round-trips unchanged (no fix), and genuine single-byte
+    text ('café' as latin-1) fails the UTF-8 decode (no fix) — the
+    same conservative rule ftfy's core applies."""
+    for enc in ("cp1252", "latin-1"):
+        try:
+            b = s.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if t != s:
+            return t
+    return None
+
+
+def mojibake_fix(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_fixes, text_fixed) — repair UTF-8-as-cp1252 mojibake
+    (r14): web text routinely arrives double-encoded ('café' shipped
+    as 'cafÃ©', twice-encoded as 'cafÃƒÂ©'), and tokenizers treat the
+    garbage as real vocabulary. Up to 3 repair passes, each applied
+    only when the cp1252/latin-1 re-encode round-trips as VALID UTF-8
+    into a different string — the conservative ftfy rule, so clean
+    text (ASCII or real UTF-8 that doesn't round-trip) is never
+    touched. Arrow-batched map-only kernel (codecs need the real
+    Unicode tables)."""
+    from typing import Iterator as _It
+
+    def fix_one(s: str) -> tuple[int, str]:
+        n = 0
+        while n < 3:
+            t = _demojibake_once(s)
+            if t is None:
+                break
+            s = t
+            n += 1
+        return n, s
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [fix_one(x or "") for x in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_fixes": [r[0] for r in rows],
+                    "text_fixed": [r[1] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, n_fixes long, text_fixed string"
+    )

@@ -1782,6 +1782,46 @@ def register_extensions(q: dict, o: dict) -> None:
             (F.col("doc_id") % 10).cast("long").alias("n_b"),
             F.col("slang").alias("out_text"),
         )
+        # r14 moji leg: mojibake repair (the ftfy step) — the fixture
+        # DOUBLE-ENCODES known text executor-side (utf-8 bytes read
+        # back as cp1252, once for doc_id%3==1, twice for %3==2) and
+        # the oracle restates the REPAIRED text closed-form; clean
+        # ASCII docs (%3==0) must pass untouched with n_fixes=0.
+        def build_moji(batches):
+            import pandas as _pd
+
+            def corrupt(x: str) -> str:
+                return x.encode("utf-8").decode("cp1252")
+
+            for bb in batches:
+                if not len(bb):
+                    continue
+                ids, texts = [], []
+                for did in bb["doc_id"]:
+                    did = int(did)
+                    m = did % 3
+                    if m == 0:
+                        t = f"Doc {did} plain ascii end"
+                    elif m == 1:
+                        t = corrupt(f"Doc {did} café — naïve end")
+                    else:
+                        t = corrupt(
+                            corrupt(f"Doc {did} café naïve ünïted end")
+                        )
+                    ids.append(did)
+                    texts.append(t)
+                yield _pd.DataFrame({"doc_id": ids, "text": texts})
+
+        moji_in = docs.select("doc_id").mapInPandas(
+            build_moji, schema="doc_id long, text string"
+        )
+        moji = text.mojibake_fix(moji_in).select(
+            "doc_id",
+            F.lit("moji").alias("kind"),
+            F.col("n_fixes").alias("n_a"),
+            F.expr("length(text_fixed)").cast("long").alias("n_b"),
+            F.col("text_fixed").alias("out_text"),
+        )
         return (
             pii.unionByName(hx)
             .unionByName(ux)
@@ -1801,6 +1841,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(feed)
             .unionByName(unor)
             .unionByName(slid)
+            .unionByName(moji)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -2095,7 +2136,17 @@ def register_extensions(q: dict, o: dict) -> None:
             + _SLID_PAGE.format(rn="(1 + doc_id % 5)::INT")
             + " AS text FROM documents"
         )
-        + ")"
+        + ") "
+        "UNION ALL "
+        # moji (r14): the repaired text restated closed-form — the
+        # corruption is the fixture's job, the REPAIR is what's pinned
+        "SELECT doc_id, 'moji' AS kind, (doc_id % 3)::BIGINT AS n_a, "
+        "length(fixed)::BIGINT AS n_b, fixed AS out_text FROM ("
+        "SELECT doc_id, CASE (doc_id % 3) "
+        "WHEN 0 THEN 'Doc ' || doc_id || ' plain ascii end' "
+        "WHEN 1 THEN 'Doc ' || doc_id || ' café — naïve end' "
+        "ELSE 'Doc ' || doc_id || ' café naïve ünïted end' END AS fixed "
+        "FROM documents)"
     )
 
     # semi-structured JSON extraction (from_json, JVM codegen) composed
