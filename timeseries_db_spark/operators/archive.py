@@ -496,8 +496,12 @@ def zip_build(
     (1/2/3 = AES-128/192/256) it emits WinZip AE-2 members instead —
     method 99, the 0x9901 extra field in local AND central headers,
     CRC stored 0 per spec."""
-    if aes_strength is not None and (password is None or zip64):
-        raise ValueError("aes_strength needs a password; no zip64 combo")
+    if aes_strength is not None and password is None:
+        raise ValueError("aes_strength needs a password")
+    if password is not None and zip64:
+        # the ZIP64 central-directory branch writes literal zero flags,
+        # so an encrypted zip64 build would desync reader and CD
+        raise ValueError("zip_build: encrypted + zip64 unsupported")
     out = bytearray()
     cd = bytearray()
     for name, data in members:
