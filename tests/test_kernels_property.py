@@ -570,3 +570,179 @@ def test_warc_scan_tolerant_never_raises_and_keeps_good_records(
     else:  # trunc: cut the tail: must not raise, prefix may survive
         payload = clean[: max(1, len(clean) - 1 - at * 3)]
         W.warc_scan(payload, strict=False)
+
+
+# ---------------------------------------------------------------------------
+# r14 properties: archive quarantine, encryption roundtrips, Avro
+# resync, paragraph dedup fixed point, mojibake conservatism
+# ---------------------------------------------------------------------------
+
+_member_name = st.text(
+    alphabet=st.characters(min_codepoint=0x30, max_codepoint=0x7A),
+    min_size=1, max_size=30,
+)
+_members = st.lists(
+    st.tuples(_member_name, st.binary(min_size=0, max_size=300)),
+    min_size=1, max_size=6, unique_by=lambda m: m[0],
+)
+
+
+@given(
+    _members,
+    st.sampled_from(["tar", "zip", "zip-stored"]),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_archive_scan_tolerant_never_raises(members, container, flip_at):
+    """strict=False is a TOTAL function under single-byte corruption:
+    never raises, every recovered member is a member of the original
+    set (tar) or exactly matches its original content (zip — names
+    come from the CRC-verified central directory), and an altered
+    archive either still yields everything or records >= 1 error."""
+    from timeseries_db_spark.operators import archive as A
+
+    if container == "tar":
+        arc = A.tar_build(members)
+    else:
+        arc = A.zip_build(members, deflate=(container == "zip"))
+    got, errs = A.archive_scan(arc, strict=False)
+    assert got == members and errs == []
+    dirty = bytearray(arc)
+    dirty[flip_at % len(dirty)] ^= 0xA5
+    got2, errs2 = A.archive_scan(bytes(dirty), strict=False)  # no raise
+    by_name = dict(members)
+    if container != "tar":
+        for name, data in got2:
+            # a zip member that survives CRC verification is intact
+            if name in by_name:
+                assert data == by_name[name]
+    assert errs2 or len(got2) == len(members)
+
+
+@given(
+    _members,
+    st.binary(min_size=1, max_size=12),
+    st.sampled_from([None, 1, 2, 3]),
+)
+@settings(max_examples=60, deadline=None)
+def test_zip_encryption_roundtrip_property(members, pwd, strength):
+    """ZipCrypto and all three WinZip-AES strengths roundtrip for
+    arbitrary member bytes and passwords; the ciphertext never
+    contains a plaintext member longer than 3 bytes."""
+    from timeseries_db_spark.operators import archive as A
+
+    enc = A.zip_build(
+        members, deflate=False, password=pwd, aes_strength=strength
+    )
+    assert A.zip_members(enc, password=pwd) == members
+    for _name, data in members:
+        if len(data) > 3:
+            assert data not in enc
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-(2**40), 2**40),
+                  st.one_of(st.none(), st.text(max_size=20))),
+        min_size=1, max_size=120,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=80, deadline=None)
+def test_avro_scan_tolerant_never_raises(rows, flip_at):
+    """avro_scan(strict=False) is total under single-byte corruption:
+    never raises, and every recovered record is one of the originals
+    OR the flip produced >= 1 recorded error (a flipped value byte
+    can silently change one record's content — that is what the
+    codec's CRC-free blocks allow; sync-verified framing bounds the
+    damage, it does not checksum payloads)."""
+    from timeseries_db_spark.sources import avro as AV
+
+    recs = [{"doc_id": v, "text": t} for v, t in rows]
+    p = AV.avro_build(recs, AV.CORPUS_AVRO_SCHEMA, block_records=25)
+    schema, got, errs = AV.avro_scan(p, strict=False)
+    assert got == recs and errs == []
+    dirty = bytearray(p)
+    dirty[flip_at % len(dirty)] ^= 0xA5
+    _s, got2, errs2 = AV.avro_scan(bytes(dirty), strict=False)
+    assert len(got2) <= len(recs) + 25  # bounded by one extra block
+    if not errs2:
+        # silent flips stay inside ONE record's value fields
+        diff = sum(1 for a in got2 if a not in recs)
+        assert diff <= 1 or len(got2) == len(recs)
+
+
+@given(st.lists(st.text(max_size=60), min_size=0, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_paragraph_dedup_python_fixed_point(texts):
+    """Pure-Python twin of the paragraph_dedup rule: after one global
+    pass every surviving paragraph is unique corpus-wide, so a second
+    pass drops nothing (fixed point), and survivors appear in their
+    original order as a subsequence."""
+    seen: set[str] = set()
+
+    def one_pass(docs: list[str]) -> tuple[list[str], int]:
+        seen.clear()
+        out, dropped = [], 0
+        for t in docs:
+            kept = []
+            for para in t.split("\n\n"):
+                p = para.strip()
+                if not p:
+                    continue
+                if p in seen:
+                    dropped += 1
+                    continue
+                seen.add(p)
+                kept.append(p)
+            out.append("\n\n".join(kept))
+        return out, dropped
+
+    first, _ = one_pass(texts)
+    second, dropped2 = one_pass(first)
+    assert dropped2 == 0 and second == first
+    for orig, clean in zip(texts, first):
+        orig_paras = [p.strip() for p in orig.split("\n\n") if p.strip()]
+        it = iter(orig_paras)
+        assert all(
+            any(o == c for o in it)
+            for c in (clean.split("\n\n") if clean else [])
+        )
+
+
+_safe_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x17F,
+        exclude_characters="\x7f",
+    ),
+    min_size=0, max_size=80,
+)
+
+
+@given(_safe_text)
+@settings(max_examples=200, deadline=None)
+def test_mojibake_fix_conservative_property(s):
+    """The repair rule never corrupts: for any text, either it is left
+    untouched, or it was a valid cp1252/latin-1 re-encode away from
+    different UTF-8 (i.e. genuinely mojibake-shaped); and repairing a
+    deliberately double-encoded SAFE string restores it exactly."""
+    from timeseries_db_spark.operators.text import _demojibake_once
+
+    t = _demojibake_once(s)
+    if t is not None:
+        assert t != s
+        # the fix is exactly the re-encode round-trip
+        for enc in ("cp1252", "latin-1"):
+            try:
+                assert s.encode(enc).decode("utf-8") == t
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+    # constructive half: corrupt-then-fix restores, when the string
+    # round-trips through the corruption at all
+    try:
+        corrupted = s.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return
+    if corrupted != s:
+        assert _demojibake_once(corrupted) == s

@@ -117,6 +117,8 @@ def _field_types(schema: dict) -> list[tuple[str, object]]:
 def _decode_value(t, b: bytes, at: int):
     if isinstance(t, list):  # [null, T] in schema order
         branch, at = _zigzag_decode(b, at)
+        if not 0 <= branch < len(t):
+            raise ValueError(f"avro union branch {branch} out of range")
         sub = t[branch]
         if sub == "null":
             return None, at
@@ -307,7 +309,19 @@ def avro_scan(
                 block_recs.append(rec)
             if p != len(block):
                 raise ValueError("avro block has trailing bytes")
-        except (ValueError, zlib.error) as e:
+        except (
+            ValueError,
+            zlib.error,
+            struct.error,
+            IndexError,
+            KeyError,
+            OverflowError,
+            UnicodeDecodeError,
+        ) as e:
+            # corrupt bytes can surface through any decoder shape —
+            # a flipped union index was an IndexError, a truncated
+            # double a struct.error (Hypothesis-found, r14); under
+            # quarantine ALL of them cost exactly this block
             if strict:
                 raise ValueError(str(e)) from e
             errs.append(f"avro block at {block_at}: {e}")
