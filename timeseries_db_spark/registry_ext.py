@@ -2222,6 +2222,26 @@ def register_extensions(q: dict, o: dict) -> None:
                 f.write("".join(lines))
         with open(os.path.join(av_dir, "junk.avro"), "wb") as f:
             f.write(b"NOTANAVROFILE" * 4)
+        # r14 late: an EMBEDDINGS export rides the same entry — the
+        # array<float> schema surface under the value oracle (values
+        # are small integers, exact in float32)
+        emb_dir = os.path.join(base, "emb")
+        os.makedirs(emb_dir)
+        for k, chunk in enumerate((ids[:half], ids[half:])):
+            recs = [
+                {"doc_id": i,
+                 "emb": [float(i), float(2 * i), float(i % 7)]}
+                for i in chunk
+            ]
+            with open(os.path.join(emb_dir, f"part-{k}.avro"), "wb") as f:
+                f.write(
+                    AV.avro_build(
+                        recs,
+                        AV.EMBEDDINGS_AVRO_SCHEMA,
+                        codec="deflate" if k else "null",
+                        block_records=64,
+                    )
+                )
 
         def coerce(df: DataFrame) -> DataFrame:
             bad = F.col("_corrupt").isNotNull()
@@ -2244,13 +2264,27 @@ def register_extensions(q: dict, o: dict) -> None:
                 .alias("ids_sum"),
             )
 
+        embfmt = AV.read_embeddings_avro(s, emb_dir).select(
+            "doc_id",
+            F.expr("size(emb)").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_oov"),
+            F.expr(
+                "md5(array_join(transform(emb,"
+                " x -> cast(cast(x as bigint) as string)), ','))"
+            ).alias("ids_fp"),
+            F.expr(
+                "cast(aggregate(emb, cast(0 as double),"
+                " (a, x) -> a + x) as bigint)"
+            ).alias("ids_sum"),
+            F.lit("embfmt").alias("kind"),
+        )
         return coerce(read_corpus_any(s, av_dir, fmt="avro")).withColumn(
             "kind", F.lit("avfmt")
         ).unionByName(
             coerce(read_corpus_any(s, csv_dir, fmt="csv")).withColumn(
                 "kind", F.lit("csvfmt")
             )
-        )
+        ).unionByName(embfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2306,6 +2340,13 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents
         UNION ALL
         SELECT -1, -1, 1, md5(''), -1, 'csvfmt'
+        UNION ALL
+        SELECT doc_id, 3::BIGINT AS n_tokens, 0::BIGINT AS n_oov,
+               md5(doc_id || ',' || (2 * doc_id) || ',' || (doc_id % 7))
+                   AS ids_fp,
+               (3 * doc_id + doc_id % 7)::BIGINT AS ids_sum,
+               'embfmt' AS kind
+        FROM documents
     """
     )
 
