@@ -542,3 +542,50 @@ def test_linfit_and_correlation_drop_degenerate_groups(spark):
     assert fits == {"const", "ok"}  # const has slope 0, solo dropped
     corr = {(r["tag_a"], r["tag_b"]) for r in tag_correlations(df).collect()}
     assert corr == set()  # const: zero variance; solo: n=1 bucket pair
+
+
+def test_cusum_reflection_identity_matches_recursion(spark):
+    """r14: the CUSUM chart — the window-expressible reflection form
+    S_i = C_i - min(0, min C_j) must equal the textbook recursion
+    S_i = max(0, S_{i-1} + d_i) on a hand-built series with planted
+    level shifts; alarm counts/first-crossings/fingerprints follow."""
+    from timeseries_db_spark.operators import analytics as A
+
+    base = 1_700_000_000_000
+    vals = [10.0] * 20 + [40.0] * 15 + [10.0] * 20 + [-25.0] * 12
+    rows = [
+        (base + i * 60_000, "m", v) for i, v in enumerate(vals)
+    ] + [(base + i * 60_000, "flat", 5.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "timestamp long, tag string, value double")
+    kappa, h = 3.0, 50.0
+    got = {
+        r["tag"]: r.asDict()
+        for r in A.cusum_by_tag(df, kappa=kappa, h=h).collect()
+    }
+    # pure-python recursion reference for tag m
+    mu = sum(vals) / len(vals)
+    sp = sn = 0.0
+    n_pos = n_neg = 0
+    first_pos = first_neg = None
+    fp_pos = fp_neg = 0
+    for i, v in enumerate(vals):
+        ts = base + i * 60_000
+        sp = max(0.0, sp + (v - mu - kappa))
+        sn = max(0.0, sn + (-(v - mu) - kappa))
+        if sp > h:
+            n_pos += 1
+            first_pos = first_pos or ts
+            fp_pos += ts % 1_000_000_000
+        if sn > h:
+            n_neg += 1
+            first_neg = first_neg or ts
+            fp_neg += ts % 1_000_000_000
+    g = got["m"]
+    assert (g["n_pos"], g["n_neg"]) == (n_pos, n_neg)
+    assert (g["first_pos_ts"], g["first_neg_ts"]) == (first_pos, first_neg)
+    assert (g["fp_pos"], g["fp_neg"]) == (fp_pos, fp_neg)
+    assert n_pos > 0 and n_neg > 0  # both shifts genuinely alarmed
+    # a constant series never alarms on either side
+    f = got["flat"]
+    assert (f["n_pos"], f["n_neg"]) == (0, 0)
+    assert f["first_pos_ts"] is None and f["fp_pos"] is None

@@ -853,3 +853,131 @@ def tag_correlations_sql(table_sql: str, bucket_ms: int = 3_600_000) -> str:
         WHERE (n * sxx - sx * sx)::DOUBLE > 0
           AND (n * syy - sy * sy)::DOUBLE > 0
     """
+
+
+#: CUSUM defaults — slack kappa in value units, decision threshold h.
+#: Tuned so the events fixture raises SPARSE, per-tag-differentiated
+#: alarms (dozens-to-hundreds per ~2k-row tag, not all or none).
+CUSUM_KAPPA = 10.0
+CUSUM_H = 300.0
+
+
+def cusum_by_tag(
+    tsdb: DataFrame, kappa: float = CUSUM_KAPPA, h: float = CUSUM_H
+) -> DataFrame:
+    """(tag, n_pos, n_neg, first_pos_ts, first_neg_ts, fp_pos, fp_neg)
+    — CUSUM change detection per tag (r14): Page's cumulative-sum
+    chart in its NON-restarting monitored form. The recursion
+    ``S_i = max(0, S_{i-1} + d_i)`` is not a window aggregate, but its
+    reflection identity is: ``S_i = C_i − min(0, min_{j≤i} C_j)`` with
+    ``C`` the plain cumulative sum of the drift-corrected deltas
+    ``d_i = ±(value − μ_tag) − κ`` — so the whole chart is two stacked
+    window passes over ONE tag exchange, no recursion, no UDF. Alarms
+    are rows with ``S > h``; the summary carries both sides' alarm
+    counts, first alarm timestamps, and an exact-integer alarm-set
+    fingerprint (``Σ ts mod 1e9`` — order-free BIGINT, so the oracle
+    pins the exact alarm SET, not just its size).
+
+    Determinism / oracle parity: μ comes from the exact DECIMAL(38,10)
+    moment sum (the :func:`zscore_outliers` pattern), and both engines
+    evaluate the window cumsum in timestamp order with RANGE-frame tie
+    semantics — bit-identical doubles throughout. Restart-on-alarm
+    (the sequential test variant) is a per-tag scan by construction
+    and stays out of scope; the monitored chart is what dashboards
+    plot. Scale: one hash agg (moments) + one exchange on tag with
+    two window phases over the same sort — the running_totals shape."""
+    from pyspark.sql import Window
+
+    stats = tsdb.groupBy("tag").agg(
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    m = stats.select(
+        "tag", (F.col("_s").cast("double") / F.col("_n")).alias("_mu")
+    )
+    d = tsdb.join(F.broadcast(m), "tag").select(
+        "tag",
+        "timestamp",
+        (F.col("value") - F.col("_mu") - F.lit(kappa)).alias("dp"),
+        (-(F.col("value") - F.col("_mu")) - F.lit(kappa)).alias("dn"),
+    )
+    w = Window.partitionBy("tag").orderBy("timestamp")
+    c = d.select(
+        "tag",
+        "timestamp",
+        F.sum("dp").over(w).alias("cp"),
+        F.sum("dn").over(w).alias("cn"),
+    )
+    c2 = c.select(
+        "tag",
+        "timestamp",
+        "cp",
+        "cn",
+        F.min("cp").over(w).alias("mp"),
+        F.min("cn").over(w).alias("mn"),
+    )
+    s = c2.select(
+        "tag",
+        "timestamp",
+        (F.col("cp") - F.least(F.col("mp"), F.lit(0.0))).alias("sp"),
+        (F.col("cn") - F.least(F.col("mn"), F.lit(0.0))).alias("sn"),
+    )
+    fp = F.col("timestamp") % 1_000_000_000
+    return s.groupBy("tag").agg(
+        F.sum((F.col("sp") > h).cast("long")).alias("n_pos"),
+        F.sum((F.col("sn") > h).cast("long")).alias("n_neg"),
+        F.min(F.when(F.col("sp") > h, F.col("timestamp"))).alias(
+            "first_pos_ts"
+        ),
+        F.min(F.when(F.col("sn") > h, F.col("timestamp"))).alias(
+            "first_neg_ts"
+        ),
+        F.sum(F.when(F.col("sp") > h, fp)).alias("fp_pos"),
+        F.sum(F.when(F.col("sn") > h, fp)).alias("fp_neg"),
+    )
+
+
+def cusum_by_tag_sql(
+    table_sql: str, kappa: float = CUSUM_KAPPA, h: float = CUSUM_H
+) -> str:
+    """DuckDB twin of :func:`cusum_by_tag` — same decimal moments,
+    same reflection identity, same summary."""
+    return f"""
+        WITH t AS ({table_sql}),
+        s AS (
+            SELECT tag, sum(value::DECIMAL(38,10)) AS ds, count(*) AS n
+            FROM t GROUP BY tag
+        ),
+        m AS (SELECT tag, ds::DOUBLE / n AS mu FROM s),
+        d AS (
+            SELECT t.tag, t."timestamp",
+                   value - mu - {kappa} AS dp,
+                   -(value - mu) - {kappa} AS dn
+            FROM t JOIN m ON t.tag = m.tag
+        ),
+        c AS (
+            SELECT tag, "timestamp",
+                   sum(dp) OVER w AS cp, sum(dn) OVER w AS cn
+            FROM d WINDOW w AS (PARTITION BY tag ORDER BY "timestamp")
+        ),
+        c2 AS (
+            SELECT tag, "timestamp", cp, cn,
+                   min(cp) OVER w AS mp, min(cn) OVER w AS mn
+            FROM c WINDOW w AS (PARTITION BY tag ORDER BY "timestamp")
+        ),
+        sv AS (
+            SELECT tag, "timestamp",
+                   cp - least(mp, 0) AS sp, cn - least(mn, 0) AS sn
+            FROM c2
+        )
+        SELECT tag,
+               sum(CASE WHEN sp > {h} THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+               sum(CASE WHEN sn > {h} THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+               min(CASE WHEN sp > {h} THEN "timestamp" END) AS first_pos_ts,
+               min(CASE WHEN sn > {h} THEN "timestamp" END) AS first_neg_ts,
+               sum(CASE WHEN sp > {h} THEN "timestamp" % 1000000000
+                   END)::BIGINT AS fp_pos,
+               sum(CASE WHEN sn > {h} THEN "timestamp" % 1000000000
+                   END)::BIGINT AS fp_neg
+        FROM sv GROUP BY tag
+    """

@@ -315,8 +315,47 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("icept").alias("p95"),
             F.lit("lfit").alias("kind"),
         )
+        # r14: CUSUM change detection — the reflection-identity chart
+        # (two stacked window passes, no recursion); one computation
+        # fans out to three leg rows per tag via explode (no re-
+        # executed subtree): cusp/cusn carry (alarm count, first alarm
+        # ts) per side, cusfp the exact-integer alarm-set fingerprints.
+        cus = analytics.cusum_by_tag(t)
+        cus3 = cus.select(
+            F.col("tag").alias("grp"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("cusp").alias("kind"),
+                        F.col("n_pos").cast("double").alias("median"),
+                        F.coalesce(F.col("first_pos_ts"), F.lit(-1))
+                        .cast("double")
+                        .alias("p95"),
+                    ),
+                    F.struct(
+                        F.lit("cusn").alias("kind"),
+                        F.col("n_neg").cast("double").alias("median"),
+                        F.coalesce(F.col("first_neg_ts"), F.lit(-1))
+                        .cast("double")
+                        .alias("p95"),
+                    ),
+                    F.struct(
+                        F.lit("cusfp").alias("kind"),
+                        F.coalesce(F.col("fp_pos"), F.lit(0))
+                        .cast("double")
+                        .alias("median"),
+                        F.coalesce(F.col("fp_neg"), F.lit(0))
+                        .cast("double")
+                        .alias("p95"),
+                    ),
+                )
+            ).alias("x"),
+        ).select("grp", "x.median", "x.p95", "x.kind")
         return (
-            exact.unionByName(approx).unionByName(mad).unionByName(lfit)
+            exact.unionByName(approx)
+            .unionByName(mad)
+            .unionByName(lfit)
+            .unionByName(cus3)
         )
 
     q["agg_quantiles_by_tag"] = quantiles_by_tag
@@ -343,6 +382,22 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         SELECT tag AS grp, slope AS median, icept AS p95, 'lfit' AS kind
         FROM ({analytics.linfit_by_tag_sql(EVENTS_T)})
+        UNION ALL
+        SELECT grp, median, p95, kind FROM (
+            WITH cus AS ({analytics.cusum_by_tag_sql(EVENTS_T)})
+            SELECT tag AS grp, n_pos::DOUBLE AS median,
+                   coalesce(first_pos_ts, -1)::DOUBLE AS p95,
+                   'cusp' AS kind
+            FROM cus
+            UNION ALL
+            SELECT tag, n_neg::DOUBLE, coalesce(first_neg_ts, -1)::DOUBLE,
+                   'cusn'
+            FROM cus
+            UNION ALL
+            SELECT tag, coalesce(fp_pos, 0)::DOUBLE,
+                   coalesce(fp_neg, 0)::DOUBLE, 'cusfp'
+            FROM cus
+        )
     """
 
     # ---- derivative analytics: per-tag consecutive deltas (lag window)
