@@ -55,7 +55,11 @@ def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
     n = 0
     shift = 0
     while True:
-        if at >= len(b):
+        # at < 0 happens only on corrupt input (a negative decoded
+        # size walked the cursor backward) — Python's negative
+        # indexing would silently read from the END, so reject it
+        # (r14 late, Hypothesis-found)
+        if at < 0 or at >= len(b):
             raise ValueError("avro varint truncated")
         x = b[at]
         at += 1
@@ -289,6 +293,11 @@ def avro_scan(
         try:
             count, at = _zigzag_decode(b, at)
             size, at = _zigzag_decode(b, at)
+            if count < 0 or size < 0:
+                # data-block framing has no negative form (the
+                # sized-negative-count shape belongs to array/map
+                # ENCODING, not container blocks) — corrupt varint
+                raise ValueError("avro block count/size negative")
             block = b[at : at + size]
             if len(block) != size:
                 raise ValueError("avro block truncated")
