@@ -4329,3 +4329,51 @@ def test_r14_paragraph_dedup_global_first_occurrence(spark):
         assert (g["n_paras"], g["n_dropped"], g["clean_text"]) == (
             n_paras, n_dropped, clean
         ), doc_id
+
+
+def test_r14_pdf_and_image_kernel_quarantine(spark):
+    """r14: per-asset error isolation for the PDF and image decode
+    kernels (the posture archives/Avro/WARC already have) — a corrupt
+    PDF, a password-locked PDF without the password, and a junk image
+    each cost ONE err row while their batch siblings decode; the
+    default (quarantine off) keeps the raising contract."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import multimodal as M
+    from timeseries_db_spark.operators import pdf as P
+
+    good = P.pdf_build([["Hello fine doc"]])
+    locked = P.pdf_build([["locked"]], encrypt="rc4-128", user_pwd=b"x")
+    assets = spark.createDataFrame(
+        [
+            (1, "pdf", bytearray(good)),
+            (2, "pdf", bytearray(b"%PDF-1.4\n1 0 obj\n<< >>\nno end")),
+            (3, "pdf", bytearray(locked)),
+        ],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {
+        r["asset_id"]: r.asDict()
+        for r in P.pdf_extract_text(assets, quarantine=True).collect()
+    }
+    assert rows[1]["text"] == "Hello fine doc" and rows[1]["err"] is None
+    assert rows[2]["err"] is not None and rows[2]["text"] == ""
+    assert "password" in rows[3]["err"]
+    with _pytest.raises(Exception):
+        P.pdf_extract_text(assets).collect()  # default still raises
+
+    img_assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(M.png_encode(bytes([5]) * 16, 4, 4, 1))),
+            (2, "image", bytearray(b"\x89PNG\r\n\x1a\nBROKEN")),
+        ],
+        "asset_id long, kind string, payload binary",
+    )
+    got = {
+        r["asset_id"]: r.asDict()
+        for r in M.decode_image_features(
+            img_assets, fake=False, quarantine=True
+        ).collect()
+    }
+    assert got[1]["err"] is None and got[1]["width"] == 4
+    assert got[2]["err"] is not None and got[2]["width"] == 0

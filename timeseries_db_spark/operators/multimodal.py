@@ -216,42 +216,62 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
     raise ValueError(f"unrecognized image container (magic {b[:8]!r})")
 
 
-def decode_image_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
+def decode_image_features(
+    assets: DataFrame, *, fake: bool = True, quarantine: bool = False
+) -> DataFrame:
     """Per-image features via an Arrow-batched decode stage.
 
     ``fake=True`` (the fixture/gate default — the synthetic payloads are
     not real media) derives dimensions from the payload digest;
     ``fake=False`` parses the real container headers via
-    :func:`image_meta`."""
+    :func:`image_meta`.
+
+    ``quarantine=True`` (r14 — the WARC-chain posture for dirty real
+    media) appends an ``err`` column: an undecodable payload costs one
+    zeroed row carrying the message, never the Arrow batch; consumers
+    keep ``err IS NULL``. Off by default so the pinned gate schema is
+    unchanged."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            widths, heights, digests = [], [], []
+            widths, heights, digests, errs = [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                if fake:
-                    w, h = _fake_decode_image(raw)
+                try:
+                    if fake:
+                        w, h = _fake_decode_image(raw)
+                    else:
+                        _, w, h = image_meta(raw)
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    w, h = 0, 0
+                    errs.append(str(e) or type(e).__name__)
                 else:
-                    _, w, h = image_meta(raw)
+                    errs.append(None)
                 widths.append(w)
                 heights.append(h)
                 digests.append(hashlib.sha256(raw).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "width": widths,
-                    "height": heights,
-                    "n_bytes": pdf["payload"].map(len),
-                    "sha256": digests,
-                }
-            )
+            out = {
+                "asset_id": pdf["asset_id"],
+                "width": widths,
+                "height": heights,
+                "n_bytes": pdf["payload"].map(len),
+                "sha256": digests,
+            }
+            if quarantine:
+                out["err"] = errs
+            yield pd.DataFrame(out)
 
+    schema = IMAGE_FEATURES_SCHEMA + (
+        ", err string" if quarantine else ""
+    )
     return (
         assets.filter(F.col("kind") == "image")
         .select("asset_id", "payload")
-        .mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA)
+        .mapInPandas(gen, schema=schema)
     )
 
 

@@ -1583,7 +1583,8 @@ def pdf_build(
 
 
 def pdf_extract_text(
-    assets: DataFrame, with_images: bool = False, password: bytes = b""
+    assets: DataFrame, with_images: bool = False, password: bytes = b"",
+    quarantine: bool = False,
 ) -> DataFrame:
     """(asset_id, n_shows, n_streams, text) — :func:`pdf_text` over
     PDF assets, Arrow-batched, map-only (the standard payload-kernel
@@ -1597,6 +1598,13 @@ def pdf_extract_text(
     if with_images:
         cols += ["n_images", "img_px"]
         schema += ", n_images long, img_px long"
+    if quarantine:
+        # r14: per-asset error isolation (the WARC-chain posture) — a
+        # corrupt/locked/unsupported PDF costs one zeroed row with the
+        # message in err, never the Arrow batch; off by default so the
+        # pinned gate schema is unchanged. Consumers keep err IS NULL.
+        cols += ["err"]
+        schema += ", err string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -1606,13 +1614,24 @@ def pdf_extract_text(
             for asset_id, payload in zip(
                 pdf_batch["asset_id"], pdf_batch["payload"]
             ):
-                text, n_shows, n_streams = pdf_text(
-                    bytes(payload), password
-                )
-                row = (int(asset_id), n_shows, n_streams, text)
-                if with_images:
-                    imgs = pdf_images(bytes(payload), password)
-                    row += (len(imgs), sum(s for *_d, s in imgs))
+                try:
+                    text, n_shows, n_streams = pdf_text(
+                        bytes(payload), password
+                    )
+                    row = (int(asset_id), n_shows, n_streams, text)
+                    if with_images:
+                        imgs = pdf_images(bytes(payload), password)
+                        row += (len(imgs), sum(s for *_d, s in imgs))
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    row = (int(asset_id), 0, 0, "")
+                    if with_images:
+                        row += (0, 0)
+                    row += (str(e) or type(e).__name__,)
+                else:
+                    if quarantine:
+                        row += (None,)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
