@@ -4062,6 +4062,88 @@ def test_r14_archive_quarantine_and_zipcrypto():
         assert text_len == want_tl, (d, mode)
 
 
+def test_r15_zipcrypto_bit3_check_byte():
+    """r15 (ADVICE): ZipCrypto members written with general-purpose
+    flag bit 3 (data descriptor) verify the password against the HIGH
+    BYTE OF THE DOS MOD-TIME, not crc>>24 (APPNOTE 6.1.6 — the CRC was
+    unknown when a streaming writer encrypted). The bit-3 layout is
+    real: zeroed local crc/sizes, a PK\\x07\\x08 descriptor, CD values
+    authoritative."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import archive as A
+
+    members = [("a.txt", b"alpha bit3"), ("b.txt", b"beta bit3 body")]
+    for deflate in (False, True):
+        enc = A.zip_build(
+            members, deflate=deflate, password=b"pw3", zc_bit3=True
+        )
+        assert b"PK\x07\x08" in enc  # the descriptor is really there
+        # local header carries zeroed crc/sizes + the nonzero mod-time
+        lho = enc.find(b"PK\x03\x04")
+        assert enc[lho + 10 : lho + 12] == b"\x5a\xa5"
+        assert enc[lho + 14 : lho + 26] == bytes(12)
+        assert A.zip_members(enc, password=b"pw3") == members
+        # wrong password still caught by the (mod-time) check byte
+        _, errs = A.zip_scan(enc, strict=False, password=b"nope")
+        assert len(errs) == 2 and all("password" in e for e in errs)
+    # a bit-0-only member is unaffected (crc>>24 path unchanged)
+    enc = A.zip_build(members, deflate=False, password=b"pw3")
+    assert A.zip_members(enc, password=b"pw3") == members
+    with _pytest.raises(ValueError, match="zc_bit3"):
+        A.zip_build(members, zc_bit3=True)  # needs a password
+
+
+def test_r15_avro_resync_never_misaligns_on_embedded_sync():
+    """r15 (ADVICE): the quarantine walk must not resync onto a
+    sync-marker byte pattern embedded in record DATA. Once a block's
+    trailing sync has verified, a record-decode failure continues at
+    the cursor (no scan at all), so a poisoned block whose payload
+    contains the 16-byte marker costs exactly itself — 1 error, every
+    other block's records intact."""
+    from timeseries_db_spark.sources import avro as AV
+
+    import hashlib
+    import json
+
+    recs = [{"doc_id": i, "text": f"doc {i}"} for i in range(40)]
+    clean = AV.avro_build(recs, AV.CORPUS_AVRO_SCHEMA, block_records=10)
+    # the writer's deterministic sync marker
+    sync = hashlib.md5(
+        json.dumps(AV.CORPUS_AVRO_SCHEMA).encode()
+    ).digest()
+    # walk the clean container's framing to find block 1's bounds
+    hdr_end = clean.find(sync) + 16
+    bounds = []
+    at = hdr_end
+    while at < len(clean):
+        count, at2 = AV._zigzag_decode(clean, at)
+        size, at3 = AV._zigzag_decode(clean, at2)
+        bounds.append((at, count, size, at3))
+        at = at3 + size + 16
+    assert [c for _, c, _, _ in bounds] == [10, 10, 10, 10]
+    # rebuild with block 1's payload REPLACED by junk that (a) fails
+    # record decode (endless varint continuation bytes) and (b) embeds
+    # the sync marker mid-payload — the trap: a scan-based resync from
+    # the block start would lock onto it and desync the walk
+    b1_at, count1, size1, pay1 = bounds[1]
+    junk = b"\x80" * 8 + sync + b"\x80" * 8
+    poisoned = (
+        clean[:b1_at]
+        + AV._zigzag_encode(count1)
+        + AV._zigzag_encode(len(junk))
+        + junk
+        + sync
+        + clean[pay1 + size1 + 16 :]
+    )
+    schema, got, errs = AV.avro_scan(poisoned, strict=False)
+    assert schema is not None and len(errs) == 1, errs
+    assert "block" in errs[0]
+    ids = sorted(r["doc_id"] for r in got)
+    # exactly block 1 lost — blocks 0, 2, 3 fully intact
+    assert ids == list(range(10)) + list(range(20, 40))
+
+
 def test_pdf_aes256_r6():
     """r14: the AES-256 Standard handler (ISO 32000-2, /V 5 /R 6
     /AESV3) — Algorithm 2.B (iterated SHA-256/384/512 + AES-CBC

@@ -1384,6 +1384,10 @@ def test_script_lang_id_buckets_and_parity(spark):
         (11, "zzz qqq www nothing matches"),  # latin, no lexicon → und
         (12, "mostly english text the and of it is с одним словом"),
         (13, ""),
+        # r15 (ADVICE): NULL text must fall through to 'und' on BOTH
+        # engines — Spark's legacy size(NULL) = -1 handed the win to
+        # the first alphabetical bucket before the coalesce
+        (14, None),
     ]
     df = spark.createDataFrame(cases, "doc_id long, text string")
     got = {
@@ -1392,7 +1396,7 @@ def test_script_lang_id_buckets_and_parity(spark):
     }
     want = {
         1: "ru", 2: "el", 3: "ar", 4: "he", 5: "hi", 6: "th", 7: "ko",
-        8: "ja", 9: "zh", 10: "en", 11: "und", 13: "und",
+        8: "ja", 9: "zh", 10: "en", 11: "und", 13: "und", 14: "und",
     }
     for i, lang in want.items():
         assert got[i][0] == lang, (i, got[i])
@@ -1402,10 +1406,13 @@ def test_script_lang_id_buckets_and_parity(spark):
     # signal than Latin stopwords)
     assert got[12][0] == "ru" and got[12][1] > 0
     assert got[13][1] == 0
+    assert got[14] == ("und", 0)
     # engine parity on the generated twin
     con = duckdb.connect()
     vals = ", ".join(
-        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in cases
+        "(%d, %s)"
+        % (i, "NULL" if t is None else "'%s'" % t.replace("'", "''"))
+        for i, t in cases
     )
     duck = con.execute(
         text.script_lang_id_sql(

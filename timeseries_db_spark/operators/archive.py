@@ -153,18 +153,29 @@ def zipcrypto_decrypt(
     return bytes(out[12:])
 
 
-def zipcrypto_encrypt(data: bytes, password: bytes, crc: int) -> bytes:
+def zipcrypto_encrypt(
+    data: bytes, password: bytes, crc: int, check_byte: int | None = None
+) -> bytes:
     """The writer half (the reader's pin): a DETERMINISTIC 12-byte
     header derived from the member CRC (fixtures must reproduce),
-    last header byte = crc >> 24 per APPNOTE."""
+    last header byte = crc >> 24 per APPNOTE — or ``check_byte`` when
+    given (r15: bit-3 members substitute the mod-time high byte, the
+    CRC being unknown when a streaming writer encrypts)."""
     hdr = bytes((crc >> (8 * (k % 4))) & 0xFF for k in range(11))
-    hdr += bytes([(crc >> 24) & 0xFF])
+    hdr += bytes(
+        [(crc >> 24) & 0xFF if check_byte is None else check_byte & 0xFF]
+    )
     keys = _zc_keys(password)
     out = bytearray()
     for p in hdr + data:
         out.append(p ^ _zc_stream_byte(keys))
         _zc_update(keys, p)
     return bytes(out)
+
+
+#: deterministic DOS mod-time of bit-3 fixture members (the check byte
+#: is its high byte 0xA5 — nonzero, so the pin can't pass by accident)
+_ZC_BIT3_TIME = 0xA55A
 
 
 def _winzip_aes_decrypt(
@@ -352,9 +363,15 @@ def zip_scan(
                             f"ZIP member {name!r} is ZipCrypto-encrypted "
                             "(no password given)"
                         )
-                    raw = zipcrypto_decrypt(
-                        raw, password, (crc >> 24) & 0xFF
-                    )
+                    # r15 (ADVICE): with flag bit 3 (data descriptor)
+                    # the CRC was unknown at encrypt time, so APPNOTE
+                    # 6.1.6 substitutes the high byte of the local
+                    # header's DOS mod-time as the password check byte
+                    if flags & 0x08:
+                        check = b[lho + 11] if lho + 12 <= len(b) else 0
+                    else:
+                        check = (crc >> 24) & 0xFF
+                    raw = zipcrypto_decrypt(raw, password, check)
             if method == 0:
                 data = raw
             elif method == 8:
@@ -485,7 +502,7 @@ def tar_build(members: list[tuple[str, bytes]]) -> bytes:
 def zip_build(
     members: list[tuple[str, bytes]], deflate: bool = True,
     zip64: bool = False, password: bytes | None = None,
-    aes_strength: int | None = None,
+    aes_strength: int | None = None, zc_bit3: bool = False,
 ) -> bytes:
     """Minimal ZIP writer (stored or deflate; the reader's pin).
     ``zip64=True`` (r13 late) forces the ZIP64 layout — 0xFFFFFFFF
@@ -495,9 +512,16 @@ def zip_build(
     bit 0, deterministic 12-byte header); with ``aes_strength``
     (1/2/3 = AES-128/192/256) it emits WinZip AE-2 members instead —
     method 99, the 0x9901 extra field in local AND central headers,
-    CRC stored 0 per spec."""
+    CRC stored 0 per spec. ``zc_bit3`` (r15 — ADVICE) emits ZipCrypto
+    members with general-purpose flag bit 3 set the way streaming
+    writers do: zeroed local crc/sizes, a ``PK\\x07\\x08`` data
+    descriptor after the data, a deterministic nonzero DOS mod-time,
+    and the encryption header's check byte taken from the MOD-TIME
+    high byte instead of the (then-unknown) CRC, per APPNOTE 6.1.6."""
     if aes_strength is not None and password is None:
         raise ValueError("aes_strength needs a password")
+    if zc_bit3 and (password is None or aes_strength is not None or zip64):
+        raise ValueError("zc_bit3 is a ZipCrypto (non-zip64) writer mode")
     if password is not None and zip64:
         # the ZIP64 central-directory branch writes literal zero flags,
         # so an encrypted zip64 build would desync reader and CD
@@ -530,21 +554,45 @@ def zip_build(
             crc = 0  # AE-2: the HMAC is the integrity check
             flags = b"\x01\x00"
         elif password is not None:
-            raw = zipcrypto_encrypt(raw, password, crc)
-            flags = b"\x01\x00"
+            if zc_bit3:
+                raw = zipcrypto_encrypt(
+                    raw, password, crc, check_byte=_ZC_BIT3_TIME >> 8
+                )
+                flags = b"\x09\x00"
+            else:
+                raw = zipcrypto_encrypt(raw, password, crc)
+                flags = b"\x01\x00"
         lho = len(out)
+        dostime = (
+            _ZC_BIT3_TIME.to_bytes(2, "little") + b"\x00\x00"
+            if zc_bit3
+            else b"\x00\x00\x00\x00"
+        )
         common = (
             (45 if zip64 else 20).to_bytes(2, "little")  # version needed
             + flags
             + method.to_bytes(2, "little")
-            + b"\x00\x00\x00\x00"  # dos time/date
+            + dostime
             + crc.to_bytes(4, "little")
             + len(raw).to_bytes(4, "little")
             + len(data).to_bytes(4, "little")
             + len(nb).to_bytes(2, "little")
             + len(extra_local).to_bytes(2, "little")
         )
-        out += b"PK\x03\x04" + common + nb + extra_local + raw
+        if zc_bit3:
+            # bit-3 local headers carry ZEROED crc/sizes (the streaming
+            # writer didn't know them yet); the real values follow the
+            # data in a PK\x07\x08 descriptor and live in the CD
+            local = common[:10] + bytes(12) + common[22:]
+            out += b"PK\x03\x04" + local + nb + extra_local + raw
+            out += (
+                b"PK\x07\x08"
+                + crc.to_bytes(4, "little")
+                + len(raw).to_bytes(4, "little")
+                + len(data).to_bytes(4, "little")
+            )
+        else:
+            out += b"PK\x03\x04" + common + nb + extra_local + raw
         if zip64:
             extra = (
                 (0x0001).to_bytes(2, "little")

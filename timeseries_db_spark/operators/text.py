@@ -246,7 +246,16 @@ def script_lang_id(docs: DataFrame) -> DataFrame:
     (:func:`lang_id`'s rule, 'und' when nothing matches) for
     script-free text. ``n_scripted`` is the total count of non-Latin
     script characters. Map-only JVM expressions — nine
-    ``regexp_extract_all`` counts in one staged projection."""
+    ``regexp_extract_all`` counts in one staged projection.
+
+    NULL text is coalesced to '' up front (r15 — ADVICE): Spark's
+    legacy ``size(NULL) = -1`` would otherwise make every count -1 and
+    hand the win to the first alphabetical bucket, while the DuckDB
+    twin returned NULL — both engines now route NULL text through the
+    Latin/'und' fallback identically."""
+    docs = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     staged = docs.select(
         "doc_id",
         *[
@@ -290,7 +299,10 @@ def script_lang_id_sql(source_sql: str = "SELECT * FROM documents") -> str:
                {_script_winner_case(latin)} AS slang
         FROM (
             SELECT doc_id, text, {counts}
-            FROM ({source_sql})
+            FROM (
+                SELECT doc_id, coalesce(text, '') AS text
+                FROM ({source_sql})
+            )
         )
     """
 

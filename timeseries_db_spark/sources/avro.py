@@ -290,6 +290,7 @@ def avro_scan(
     records: list[dict] = []
     while at < len(b):
         block_at = at
+        sync_ok = False
         try:
             count, at = _zigzag_decode(b, at)
             size, at = _zigzag_decode(b, at)
@@ -307,6 +308,7 @@ def avro_scan(
                     "avro sync marker mismatch (corrupt block)"
                 )
             at += 16
+            sync_ok = True
             if codec == "deflate":
                 block = zlib.decompressobj(-15).decompress(block)
             p = 0
@@ -334,11 +336,17 @@ def avro_scan(
             if strict:
                 raise ValueError(str(e)) from e
             errs.append(f"avro block at {block_at}: {e}")
-            # resync: the next sync-marker occurrence bounds the damage
-            # to this block (a corrupted sync costs at most the block
-            # that follows it too)
-            nxt = b.find(sync, block_at + 1)
-            at = nxt + 16 if nxt >= 0 else len(b)
+            # resync (r15 — ADVICE refined): if this block's trailing
+            # sync VERIFIED before the failure (a record-level decode
+            # error), the cursor already sits at the next block — no
+            # scan, so a sync-pattern coincidence inside the corrupt
+            # payload can never misalign the walk. Otherwise scan from
+            # the cursor at failure time (never before the framing
+            # varints), which bounds damage to this block (a corrupted
+            # sync costs at most the block that follows it too).
+            if not sync_ok:
+                nxt = b.find(sync, max(at, block_at + 1))
+                at = nxt + 16 if nxt >= 0 else len(b)
             continue
         records.extend(block_recs)
     return schema, records, errs
