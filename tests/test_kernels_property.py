@@ -672,6 +672,52 @@ def test_avro_scan_tolerant_never_raises(rows, flip_at):
         assert diff <= 1 or len(got2) == len(recs)
 
 
+@given(st.binary(max_size=4000), st.integers(0, 3))
+@settings(max_examples=120, deadline=None)
+def test_snappy_roundtrip_property(data, rep):
+    """r15: snappy_compress ∘ snappy_decompress is identity on
+    arbitrary bytes, including repetition-heavy inputs (the copy-emit
+    path) — and compressed output never exceeds input + tag/preamble
+    overhead by much."""
+    from timeseries_db_spark.functions import snappy as S
+
+    payload = data * (rep + 1)
+    comp = S.snappy_compress(payload)
+    assert S.snappy_decompress(comp) == payload
+    assert len(comp) <= len(payload) + len(payload) // 60 + 16
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-(2**40), 2**40),
+                  st.one_of(st.none(), st.text(max_size=20))),
+        min_size=1, max_size=120,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_snappy_scan_tolerant_never_emits_garbage(rows, flip_at):
+    """r15: with the snappy codec every block carries the framing
+    CRC-32 of its UNCOMPRESSED data, so a single-byte flip can never
+    silently change a record — either the original records come back
+    (flip hit padding/metadata that still errors or decodes
+    identically) or >= 1 block error is recorded. Stronger than the
+    deflate/null property above, which must allow silent value flips."""
+    from timeseries_db_spark.sources import avro as AV
+
+    recs = [{"doc_id": v, "text": t} for v, t in rows]
+    p = AV.avro_build(
+        recs, AV.CORPUS_AVRO_SCHEMA, codec="snappy", block_records=25
+    )
+    schema, got, errs = AV.avro_scan(p, strict=False)
+    assert got == recs and errs == []
+    dirty = bytearray(p)
+    dirty[flip_at % len(dirty)] ^= 0xA5
+    _s, got2, errs2 = AV.avro_scan(bytes(dirty), strict=False)
+    if not errs2:
+        assert all(r in recs for r in got2)
+
+
 @given(st.lists(st.text(max_size=60), min_size=0, max_size=15))
 @settings(max_examples=100, deadline=None)
 def test_paragraph_dedup_python_fixed_point(texts):

@@ -1,0 +1,176 @@
+"""Snappy raw-block codec from spec (r15 — VERDICT item 2): snappy is
+the de-facto default codec of real Avro drops, and this interpreter
+has no snappy module — so the published format description (the
+``format_description.txt`` of google/snappy; short and fully public)
+is implemented directly, the same posture as the repo's deflate-raw /
+LZW / mu-law codecs.
+
+Format (raw block, NOT the framing format):
+
+* **preamble** — the UNCOMPRESSED length as a little-endian base-128
+  varint (plain, not zigzag).
+* **elements** — a tag byte whose low 2 bits select the kind:
+
+  - ``00`` literal: ``(tag >> 2) + 1`` bytes follow, except values
+    60..63 mean the length-minus-one is stored in the next 1..4
+    little-endian bytes.
+  - ``01`` copy, 1-byte offset: length ``4 + ((tag >> 2) & 7)``
+    (4..11), offset ``((tag >> 5) << 8) | next byte`` (11 bits).
+  - ``10`` copy, 2-byte offset: length ``(tag >> 2) + 1`` (1..64),
+    offset in the next 2 little-endian bytes.
+  - ``11`` copy, 4-byte offset: same lengths, 4-byte offset.
+
+  Copies may reach back less than their length — the decoder copies
+  byte-at-a-time forward, repeating the pattern (how snappy encodes
+  runs).
+
+The compressor is a greedy 4-byte-window matcher emitting 2-byte-offset
+copies — deliberately simple, always valid; the DECODER is the surface
+that faces foreign bytes, and it is pinned by hand-written spec
+vectors (not writer roundtrips alone), bounds-checked everywhere, and
+total under the Avro per-block quarantine.
+
+Scale posture: pure-Python per-block work inside the same Arrow-batched
+``mapInPandas`` kernels as the deflate path — per-file parallel, no
+driver involvement. (A JVM snappy slots in transparently at deployment;
+this removes the dependency and documents the format as executable
+code.)
+"""
+
+from __future__ import annotations
+
+
+def _uvarint_encode(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _uvarint_decode(b: bytes, at: int) -> tuple[int, int]:
+    n = 0
+    shift = 0
+    while True:
+        if at >= len(b) or shift > 35:
+            raise ValueError("snappy length varint truncated")
+        x = b[at]
+        at += 1
+        n |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return n, at
+        shift += 7
+
+
+def snappy_decompress(b: bytes) -> bytes:
+    """Inflate one raw snappy block. Raises ``ValueError`` on any
+    structural damage (truncation, offset out of range, length
+    mismatch) — never returns partial data, so the Avro per-block
+    quarantine sees corruption as exactly one block error."""
+    total, at = _uvarint_decode(b, 0)
+    if total > (1 << 32):
+        raise ValueError("snappy declared length implausible")
+    out = bytearray()
+    while at < len(b):
+        tag = b[at]
+        at += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if at + nb > len(b):
+                    raise ValueError("snappy literal length truncated")
+                ln = int.from_bytes(b[at : at + nb], "little")
+                at += nb
+            ln += 1
+            chunk = b[at : at + ln]
+            if len(chunk) != ln:
+                raise ValueError("snappy literal data truncated")
+            out += chunk
+            at += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            if at >= len(b):
+                raise ValueError("snappy copy-1 truncated")
+            ln = 4 + ((tag >> 2) & 0x7)
+            off = ((tag >> 5) << 8) | b[at]
+            at += 1
+        elif kind == 2:  # copy, 2-byte offset
+            if at + 2 > len(b):
+                raise ValueError("snappy copy-2 truncated")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[at : at + 2], "little")
+            at += 2
+        else:  # copy, 4-byte offset
+            if at + 4 > len(b):
+                raise ValueError("snappy copy-4 truncated")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[at : at + 4], "little")
+            at += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:
+            # overlapping copy: byte-at-a-time forward repeats the
+            # pattern (the spec's run encoding)
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError(
+            f"snappy length mismatch (declared {total}, got {len(out)})"
+        )
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, lit: bytes) -> None:
+    at = 0
+    while at < len(lit):
+        chunk = lit[at : at + 65536]
+        n = len(chunk) - 1
+        if n < 60:
+            out.append(n << 2)
+        elif n < 256:
+            out.append(60 << 2)
+            out.append(n)
+        else:
+            out.append(61 << 2)
+            out += n.to_bytes(2, "little")
+        out += chunk
+        at += len(chunk)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Deflate one raw snappy block: greedy 4-byte-window matching,
+    2-byte-offset copies of length 4..64 — always-valid output (any
+    conforming decoder accepts it), the reader's roundtrip pin."""
+    out = bytearray(_uvarint_encode(len(data)))
+    n = len(data)
+    table: dict[bytes, int] = {}
+    lit_start = 0
+    i = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF and data[j : j + 4] == key:
+            ln = 4
+            while ln < 64 and i + ln < n and data[j + ln] == data[i + ln]:
+                ln += 1
+            if lit_start < i:
+                _emit_literal(out, data[lit_start:i])
+            out.append(((ln - 1) << 2) | 2)
+            out += (i - j).to_bytes(2, "little")
+            i += ln
+            lit_start = i
+        else:
+            i += 1
+    if lit_start < n:
+        _emit_literal(out, data[lit_start:])
+    return bytes(out)

@@ -2254,7 +2254,13 @@ def register_extensions(q: dict, o: dict) -> None:
             for r in _docs(s, d).select("doc_id").collect()
         )
         half = len(ids) // 2
-        for k, chunk in enumerate((ids[:half], ids[half:])):
+        third = len(ids) // 3
+        # r15 (VERDICT item 2): the avro shards now cycle all THREE
+        # codecs — deflate / null / from-spec SNAPPY (the de-facto
+        # default of real Avro drops) — so the snappy inflate + its
+        # framing CRC-32 verification run under the value oracle
+        av_chunks = (ids[:third], ids[third : 2 * third], ids[2 * third :])
+        for k, chunk in enumerate(av_chunks):
             recs = [
                 {"doc_id": i, "text": f"Avro doc {i}"} for i in chunk
             ]
@@ -2263,10 +2269,11 @@ def register_extensions(q: dict, o: dict) -> None:
                     AV.avro_build(
                         recs,
                         AV.CORPUS_AVRO_SCHEMA,
-                        codec="deflate" if k == 0 else "null",
+                        codec=("deflate", "null", "snappy")[k],
                         block_records=50,
                     )
                 )
+        for k, chunk in enumerate((ids[:half], ids[half:])):
             lines = ["doc_id,text,lang,source,n_chars\n"] + [
                 f"{i},Csv doc {i},en,web,{len(f'Csv doc {i}')}\n"
                 for i in chunk
@@ -2293,7 +2300,9 @@ def register_extensions(q: dict, o: dict) -> None:
                     AV.avro_build(
                         recs,
                         AV.EMBEDDINGS_AVRO_SCHEMA,
-                        codec="deflate" if k else "null",
+                        # r15: the second emb shard pins array<float>
+                        # under the snappy codec too
+                        codec="snappy" if k else "null",
                         block_records=64,
                     )
                 )

@@ -8,8 +8,9 @@ container is just parsed. The format is small and fully public
 * **container**: ``Obj\\x01`` magic, a file-metadata MAP
   (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync marker;
   then data blocks of ``(record_count, byte_size, payload, sync)``
-  with the payload raw-deflated when the codec says so. Sync markers
-  are VERIFIED per block.
+  with the payload raw-deflated or snappy-compressed (r15; CRC-32
+  framing verified) when the codec says so. Sync markers are VERIFIED
+  per block.
 * **binary encoding**: zigzag varint longs/ints, length-prefixed
   UTF-8 strings / bytes, little-endian IEEE doubles/floats, 1-byte
   booleans, union branch indexes; records are field-ordered
@@ -36,6 +37,11 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from timeseries_db_spark.functions.snappy import (
+    snappy_compress,
+    snappy_decompress,
+)
 
 
 def _zigzag_encode(v: int) -> bytes:
@@ -280,7 +286,7 @@ def avro_scan(
         at += 16
         schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("latin-1")
-        if codec not in ("null", "deflate"):
+        if codec not in ("null", "deflate", "snappy"):
             raise ValueError(f"avro codec {codec!r} unsupported (seam)")
         fields = _field_types(schema)
     except (ValueError, KeyError, UnicodeDecodeError) as e:
@@ -311,6 +317,17 @@ def avro_scan(
             sync_ok = True
             if codec == "deflate":
                 block = zlib.decompressobj(-15).decompress(block)
+            elif codec == "snappy":
+                # Avro snappy framing (spec): raw snappy block followed
+                # by the 4-byte BIG-endian CRC-32 of the UNCOMPRESSED
+                # data — verified, so a silently-garbled inflate can't
+                # emit wrong records (r15, VERDICT item 2)
+                if len(block) < 4:
+                    raise ValueError("avro snappy block missing CRC")
+                block, crc = block[:-4], block[-4:]
+                block = snappy_decompress(block)
+                if zlib.crc32(block) != int.from_bytes(crc, "big"):
+                    raise ValueError("avro snappy CRC mismatch")
             p = 0
             block_recs: list[dict] = []
             for _ in range(count):
@@ -364,7 +381,7 @@ def avro_build(
     block_records: int = 100,
 ) -> bytes:
     """Minimal Object Container File writer (the reader's pin):
-    null or deflate codec, deterministic sync marker."""
+    null, deflate or snappy codec, deterministic sync marker."""
     import hashlib
 
     fields = _field_types(schema)
@@ -389,6 +406,9 @@ def avro_build(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            crc = zlib.crc32(body).to_bytes(4, "big")
+            body = snappy_compress(body) + crc
         out += _zigzag_encode(len(chunk))
         out += _zigzag_encode(len(body))
         out += body + sync
