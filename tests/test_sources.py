@@ -552,3 +552,70 @@ def test_snappy_spec_vectors():
         bytes(1000),
     ):
         assert S.snappy_decompress(S.snappy_compress(data)) == data
+
+
+def test_avro_general_unions(spark, tmp_path):
+    """r15 (VERDICT item 3): general ``[A, B, ...]`` unions — branch
+    index in schema order, writer picks by value type, spec rules
+    enforced (no nested unions, no duplicate branch types) — and
+    read_tagged_avro surfaces [null, long, string] as typed columns."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    us = {
+        "type": "record",
+        "name": "u",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {
+                "name": "v",
+                "type": [
+                    "null", "long", "string", "double", "boolean",
+                    {"type": "array", "items": "long"},
+                ],
+            },
+        ],
+    }
+    vals = [None, 42, "forty-two", 2.5, True, [1, 2, 3], False, -7,
+            "", 0.0, []]
+    recs = [{"doc_id": i, "v": v} for i, v in enumerate(vals)]
+    for codec in ("null", "snappy"):
+        _s, back = AV.avro_records(AV.avro_build(recs, us, codec=codec))
+        assert back == recs, codec
+    # branch index rides in schema order: encode then peek the byte
+    one = AV._encode_value(us["fields"][1]["type"], "x")
+    assert one[0] == AV._zigzag_encode(2)[0]
+    # bool picks 'boolean' even though bool is an int subclass
+    onebool = AV._encode_value(us["fields"][1]["type"], True)
+    assert onebool[0] == AV._zigzag_encode(4)[0]
+    # spec rules: no nested unions, no duplicate branch types
+    with _pytest.raises(ValueError, match="nest"):
+        AV._check_type(["null", ["long", "string"]])
+    with _pytest.raises(ValueError, match="duplicates"):
+        AV._check_type(["long", "string", "long"])
+    with _pytest.raises(ValueError, match="branches"):
+        AV._check_type([])
+    with _pytest.raises(ValueError, match="no branch"):
+        AV._encode_value(["null", "long"], "a string")
+    # an out-of-range branch index is corruption, not a crash
+    with _pytest.raises(ValueError, match="out of range"):
+        AV._decode_value(["null", "long"], AV._zigzag_encode(9), 0)
+    # the Spark surface: typed columns + branch index
+    d = tmp_path / "tagged"
+    d.mkdir()
+    trecs = [
+        {"doc_id": i, "tag": (None, 7 * i, f"tag{i}")[i % 3]}
+        for i in range(60)
+    ]
+    (d / "part-0.avro").write_bytes(
+        AV.avro_build(trecs, AV.TAGGED_AVRO_SCHEMA, codec="snappy")
+    )
+    rows = {
+        r["doc_id"]: (r["tag_branch"], r["tag_long"], r["tag_str"])
+        for r in AV.read_tagged_avro(spark, str(d)).collect()
+    }
+    assert len(rows) == 60
+    assert rows[0] == (0, None, None)
+    assert rows[4] == (1, 28, None)
+    assert rows[5] == (2, None, "tag5")

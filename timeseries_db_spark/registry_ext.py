@@ -2328,6 +2328,46 @@ def register_extensions(q: dict, o: dict) -> None:
                 .alias("ids_sum"),
             )
 
+        # r15 (VERDICT item 3): a GENERAL-union shard — the tag column
+        # is [null, long, string], branch cycling by doc_id % 3; the
+        # union surfaces as typed columns so the DuckDB twin restates
+        # every branch closed-form. Snappy-coded: both r15 surfaces
+        # pin each other.
+        un_dir = os.path.join(base, "union")
+        os.makedirs(un_dir)
+        with open(os.path.join(un_dir, "part-0.avro"), "wb") as f:
+            f.write(
+                AV.avro_build(
+                    [
+                        {
+                            "doc_id": i,
+                            "tag": (None, 7 * i, f"tag{i}")[i % 3],
+                        }
+                        for i in ids
+                    ],
+                    AV.TAGGED_AVRO_SCHEMA,
+                    codec="snappy",
+                    block_records=50,
+                )
+            )
+        unfmt = AV.read_tagged_avro(s, un_dir).select(
+            "doc_id",
+            F.col("tag_branch").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_oov"),
+            F.md5(
+                F.coalesce(
+                    F.col("tag_str"),
+                    F.col("tag_long").cast("string"),
+                    F.lit(""),
+                )
+            ).alias("ids_fp"),
+            F.coalesce(
+                F.col("tag_long"),
+                F.length("tag_str").cast("long"),
+                F.lit(0),
+            ).alias("ids_sum"),
+            F.lit("unfmt").alias("kind"),
+        )
         embfmt = AV.read_embeddings_avro(s, emb_dir).select(
             "doc_id",
             F.expr("size(emb)").cast("long").alias("n_tokens"),
@@ -2348,7 +2388,7 @@ def register_extensions(q: dict, o: dict) -> None:
             coerce(read_corpus_any(s, csv_dir, fmt="csv")).withColumn(
                 "kind", F.lit("csvfmt")
             )
-        ).unionByName(embfmt)
+        ).unionByName(embfmt).unionByName(unfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2410,6 +2450,20 @@ def register_extensions(q: dict, o: dict) -> None:
                    AS ids_fp,
                (3 * doc_id + doc_id % 7)::BIGINT AS ids_sum,
                'embfmt' AS kind
+        FROM documents
+        UNION ALL
+        -- unfmt (r15): the general-union column restated per branch —
+        -- null / 7*doc_id / 'tag'||doc_id cycling by doc_id % 3
+        SELECT doc_id, (doc_id % 3)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5(CASE (doc_id % 3)
+                   WHEN 1 THEN (7 * doc_id)::VARCHAR
+                   WHEN 2 THEN 'tag' || doc_id ELSE '' END) AS ids_fp,
+               (CASE (doc_id % 3)
+                WHEN 1 THEN 7 * doc_id
+                WHEN 2 THEN length('tag' || doc_id) ELSE 0 END)::BIGINT
+                   AS ids_sum,
+               'unfmt' AS kind
         FROM documents
     """
     )

@@ -16,9 +16,11 @@ container is just parsed. The format is small and fully public
   booleans, union branch indexes; records are field-ordered
   concatenation.
 
-Schema subset: flat records of primitives and ``["null", prim]``
-unions — the shape tabular corpus exports actually have. Anything
-else raises with the capability name.
+Schema surface: records of primitives, arrays, maps, enums, fixed,
+nested records (r14) and GENERAL unions (r15 — any ``[A, B, …]``
+branch list, decoded as a zigzag branch index plus the branch's
+decoder). The remaining unsupported shapes raise with the capability
+name.
 
 Scale posture: files arrive via ``binaryFile`` and decode in the
 standard Arrow-batched kernel, one block at a time executor-side —
@@ -77,14 +79,25 @@ def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
 
 
 def _check_type(t) -> None:
-    """Validate one schema type node — primitives, ``[null, T]``
-    unions, and (r14) the complex types: ``array``, nested
-    ``record``, ``map``, ``enum``, ``fixed``. General unions stay the
-    documented seam."""
+    """Validate one schema type node — primitives, GENERAL unions
+    (r15: any ``[A, B, …]`` branch list — decode was always a zigzag
+    branch index plus the branch's decoder; the spec's two union rules
+    are enforced: no immediately-nested unions, no duplicate branch
+    types), and (r14) the complex types: ``array``, nested ``record``,
+    ``map``, ``enum``, ``fixed``."""
     if isinstance(t, list):
-        if len(t) != 2 or "null" not in t:
-            raise ValueError("avro unions beyond [null, T] (seam)")
+        if not t:
+            raise ValueError("avro union without branches")
+        seen: set[str] = set()
         for sub in t:
+            if isinstance(sub, list):
+                raise ValueError("avro unions may not nest unions (spec)")
+            key = sub if isinstance(sub, str) else (
+                f"{sub.get('type')}:{sub.get('name', '')}"
+            )
+            if key in seen:
+                raise ValueError(f"avro union duplicates branch {key!r}")
+            seen.add(key)
             if sub != "null":
                 _check_type(sub)
         return
@@ -125,7 +138,7 @@ def _field_types(schema: dict) -> list[tuple[str, object]]:
 
 
 def _decode_value(t, b: bytes, at: int):
-    if isinstance(t, list):  # [null, T] in schema order
+    if isinstance(t, list):  # union: zigzag branch index, schema order
         branch, at = _zigzag_decode(b, at)
         if not 0 <= branch < len(t):
             raise ValueError(f"avro union branch {branch} out of range")
@@ -199,12 +212,50 @@ def _decode_value(t, b: bytes, at: int):
     raise ValueError(f"avro type {t!r} unsupported (seam)")
 
 
+def _union_branch(t: list, v) -> int:
+    """Writer-side branch pick for a general union (r15) — by the
+    Python value's type, in schema order (bool before int: bool is an
+    int subclass)."""
+    for i, sub in enumerate(t):
+        if sub == "null":
+            if v is None:
+                return i
+        elif sub == "boolean":
+            if isinstance(v, bool):
+                return i
+        elif sub in ("long", "int"):
+            if isinstance(v, int) and not isinstance(v, bool):
+                return i
+        elif sub in ("double", "float"):
+            if isinstance(v, float):
+                return i
+        elif sub == "string":
+            if isinstance(v, str):
+                return i
+        elif sub == "bytes":
+            if isinstance(v, (bytes, bytearray)):
+                return i
+        elif isinstance(sub, dict):
+            kind = sub.get("type")
+            if kind == "array" and isinstance(v, list):
+                return i
+            if kind == "map" and isinstance(v, dict):
+                return i
+            if kind == "record" and isinstance(v, dict):
+                return i
+            if kind == "enum" and isinstance(v, str) and v in sub["symbols"]:
+                return i
+            if kind == "fixed" and isinstance(v, (bytes, bytearray)):
+                return i
+    raise ValueError(f"avro union has no branch for {type(v).__name__}")
+
+
 def _encode_value(t, v) -> bytes:
     if isinstance(t, list):
-        if v is None:
-            return _zigzag_encode(t.index("null"))
-        sub = next(x for x in t if x != "null")
-        return _zigzag_encode(t.index(sub)) + _encode_value(sub, v)
+        i = _union_branch(t, v)
+        if t[i] == "null":
+            return _zigzag_encode(i)
+        return _zigzag_encode(i) + _encode_value(t[i], v)
     if isinstance(t, dict) and t.get("type") == "array":
         out = b""
         if v:
@@ -453,6 +504,61 @@ def read_embeddings_avro(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
         .mapInPandas(gen, schema="doc_id long, emb array<float>")
+    )
+
+
+#: a GENERAL (multi-branch) union column (r15 — VERDICT item 3): the
+#: shape schema-evolved warehouse exports actually carry, e.g. a tag
+#: that began life as a numeric code and later became free text
+TAGGED_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "tagged",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "tag", "type": ["null", "long", "string"]},
+    ],
+}
+
+
+def read_tagged_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, tag_branch, tag_long, tag_str) from ``.avro`` files
+    whose ``tag`` column is the general union ``[null, long, string]``
+    — the union surfaces as TYPED columns plus the 0-based branch
+    index (the typed-struct rendering that keeps a SQL oracle
+    expressible; a JSON rendering would erase the long/string
+    distinction). Same per-file Arrow kernel as the other readers;
+    strict."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                _schema, recs, _ = avro_scan(bytes(content), strict=True)
+                for r in recs:
+                    v = r["tag"]
+                    if v is None:
+                        rows.append((r["doc_id"], 0, None, None))
+                    elif isinstance(v, int):
+                        rows.append((r["doc_id"], 1, v, None))
+                    else:
+                        rows.append((r["doc_id"], 2, None, v))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "tag_branch", "tag_long", "tag_str"],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            gen,
+            schema="doc_id long, tag_branch int, tag_long long, "
+            "tag_str string",
+        )
     )
 
 
