@@ -3980,7 +3980,10 @@ def test_r14_archive_quarantine_and_zipcrypto():
     assert len(errs) == 1 and "b.txt" in errs[0] and "CRC" in errs[0]
     with _pytest.raises(ValueError, match="CRC"):
         A.zip_members(bytes(z))
-    # tar: corrupt SECOND header -> first member survives, walk stops
+    # tar: corrupt SECOND header -> first member survives; the r15
+    # resync scan lands on the end-of-archive zero block (nothing
+    # after the damage to recover here — see the r15 resync test for
+    # the trailing-member case)
     t1 = A.tar_build(members[:1])[:-1024]
     bad = bytearray(512)
     bad[:3] = b"bad"
@@ -4037,7 +4040,9 @@ def test_r14_archive_quarantine_and_zipcrypto():
             password=A.DIRTY_ARCHIVE_PASSWORD,
         )
         assert len(errs) == (0 if mode == 3 else 1), (d, mode, errs)
-        assert len(ms) == (0 if mode == 2 else 2), (d, mode)
+        # r15: mode 0's mid-archive tar damage now RESYNCS — the two
+        # trailing text members survive alongside the leading PNG
+        assert len(ms) == {0: 3, 2: 0}.get(mode, 2), (d, mode)
         n_img = img_px = text_len = img_err = 0
         for _n, data in ms:
             k = A.sniff_kind(data)
@@ -4056,10 +4061,65 @@ def test_r14_archive_quarantine_and_zipcrypto():
         else:
             assert n_img == 0
         want_tl = {
-            0: len(f"Doc {d} text"), 1: len(f"Extra {d}"),
+            0: len(f"Doc {d} text") + len(f"Tail {d}"),
+            1: len(f"Extra {d}"),
             2: 0, 3: len(f"Doc {d} text"), 4: len(f"Doc {d} text"),
         }[mode]
         assert text_len == want_tl, (d, mode)
+
+
+def test_r15_tar_resync_recovers_trailing_members():
+    """r15 (VERDICT item 4): a damaged tar header mid-archive no
+    longer costs everything after it — headers are self-validating
+    (512-aligned checksum + ustar magic), so the walk scans forward
+    and recovers the TRAILING members: 1 error per damaged block,
+    never half the shard."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import archive as A
+
+    members = [
+        ("one.txt", b"alpha " * 40),  # multi-block member
+        ("two.txt", b"beta"),
+        ("three.txt", b"gamma content"),
+        ("x" * 120, b"long-name member"),  # GNU L entry after damage
+    ]
+    head = A.tar_build(members[:1])[:-1024]
+    tail = A.tar_build(members[1:])
+    bad = bytearray(512)
+    bad[:7] = b"bad.bin"
+    bad[124:136] = b"00000000000\x00"
+    bad[148:156] = b"0000000\x00"
+    got, errs = A.tar_scan(head + bytes(bad) + tail, strict=False)
+    assert got == members  # every good member, incl. the long name
+    assert len(errs) == 1 and "checksum" in errs[0]
+    # two damaged blocks in a row -> two errors, members still whole
+    got, errs = A.tar_scan(
+        head + bytes(bad) + bytes(bad) + tail, strict=False
+    )
+    # the resync skips straight past BOTH junk blocks after the first
+    # error (neither validates), so damage is one error per resync
+    assert got == members and len(errs) == 1
+    # a trailing sub-block fragment is not a header at all — ignored
+    # exactly as tar's 512 framing always treated partial tails
+    got, errs = A.tar_scan(head + bytes(bad)[:256], strict=False)
+    assert got == members[:1] and errs == []
+    # damage at the very end (a full bad block, nothing after): the
+    # error is recorded and the resync runs off the buffer cleanly
+    got, errs = A.tar_scan(head + bytes(bad), strict=False)
+    assert got == members[:1] and len(errs) == 1
+    # strict still raises
+    with _pytest.raises(ValueError, match="checksum"):
+        A.tar_scan(head + bytes(bad) + tail, strict=True)
+    # a GNU long-name pending across damage is DROPPED, not applied
+    # to the post-resync member: build L-entry + damage + plain member
+    lname = A.tar_build([("y" * 120, b"payload")])
+    # take just the L entry (first 1024 bytes: L header + name data)
+    l_entry = lname[:1024]
+    plain = A.tar_build([("plain.txt", b"data")])
+    got, errs = A.tar_scan(l_entry + bytes(bad) + plain, strict=False)
+    assert got == [("plain.txt", b"data")]
+    assert len(errs) == 1
 
 
 def test_r15_zipcrypto_bit3_check_byte():

@@ -37,6 +37,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tar_checksum(hdr: bytes) -> tuple[int, int]:
+    """(stored, computed) header checksum — stored parses to -1 when
+    the field itself is not octal (that alone fails validation)."""
+    try:
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+    except ValueError:
+        stored = -1
+    return stored, sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+
+
+def _tar_resync(b: bytes, at: int) -> int:
+    """First 512-aligned offset >= ``at`` holding either the
+    end-of-archive zero block or a SELF-VALIDATING header — checksum
+    correct AND the ``ustar`` magic at 257 (stricter than the normal
+    walk, which tolerates pre-POSIX headers: a resync candidate sits
+    inside unknown damage, so both signals are required before any
+    member is emitted from it). tar's global 512 alignment is what
+    makes this sound: every real header is on a block boundary
+    regardless of what the damaged member's size field claimed."""
+    while at + 512 <= len(b):
+        hdr = b[at : at + 512]
+        if hdr == b"\x00" * 512:
+            return at
+        if hdr[257:262] == b"ustar":
+            stored, calc = _tar_checksum(hdr)
+            if stored == calc:
+                return at
+        at += 512
+    return len(b)
+
+
 def tar_scan(
     payload: bytes, strict: bool = True
 ) -> tuple[list[tuple[str, bytes]], list[str]]:
@@ -46,10 +77,14 @@ def tar_scan(
 
     ``strict=True`` raises ``ValueError`` on a bad header checksum or
     truncation; ``strict=False`` (r14 — the quarantine posture of the
-    WARC chain, ``warc.py:warc_scan``) records the error and STOPS the
-    walk there (a bad tar header loses the 512-byte framing, so
-    everything after it is unrecoverable by design), keeping the
-    members already read."""
+    WARC chain, ``warc.py:warc_scan``) records the error and RESYNCS
+    (r15 — VERDICT item 4): tar headers are self-validating (checksum
+    over the 512-byte block + ``ustar`` magic), so the walk scans
+    forward 512-aligned for the next validating header and keeps the
+    TRAILING members too — the Avro sync-marker recovery applied to
+    tar framing. At 100 TB a mid-shard flip costs one member, not half
+    the shard. Genuine truncation (data running off the buffer) still
+    ends the walk — there is nothing after it to recover."""
     b = payload
     out: list[tuple[str, bytes]] = []
     errs: list[str] = []
@@ -65,18 +100,17 @@ def tar_scan(
         hdr = b[at : at + 512]
         if hdr == b"\x00" * 512:
             break  # end-of-archive marker
-        stored = hdr[148:156]
-        try:
-            chk = int(stored.split(b"\x00")[0].strip() or b"0", 8)
-        except ValueError as e:
-            if strict:
-                raise ValueError("tar header checksum unparseable") from e
-            errs.append("tar header checksum unparseable")
-            break
-        calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
-        if chk != calc:
-            fail(f"tar header checksum mismatch at offset {at}")
-            break
+        stored, calc = _tar_checksum(hdr)
+        if stored != calc:
+            fail(
+                "tar header checksum unparseable"
+                if stored < 0
+                else f"tar header checksum mismatch at offset {at}"
+            )
+            # a long-name can't be trusted across damage
+            pending_name = None
+            at = _tar_resync(b, at + 512)
+            continue
         name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = hdr[156:157]
@@ -853,9 +887,10 @@ def synth_archive_dirty(doc_id: int) -> bytes:
     KIND cycling by ``(doc_id // 3) % 5`` so all five isolation paths
     are value-checked:
 
-    * mode 0 — tar: two good members (4×4 PNG of constant
-      ``(3·id+11)%256`` + ``'Doc {id} text'``) followed by a
-      bad-checksum header → both survive, 1 error, walk stops.
+    * mode 0 — tar: a good PNG member, then a bad-checksum header
+      MID-ARCHIVE, then two good text members (``'Doc {id} text'`` +
+      ``'Tail {id}'``) — r15 (VERDICT item 4): the 512-aligned resync
+      recovers the TRAILING members, so all three survive, 1 error.
     * mode 1 — zip-stored: good PNG, a middle text member whose bytes
       are flipped in place (CRC mismatch → that member quarantines),
       then ``'Extra {id}'`` which survives.
@@ -894,12 +929,15 @@ def synth_archive_dirty(doc_id: int) -> bytes:
         arc[at] ^= 0xFF
         return bytes(arc)
     if mode == 0:
-        base = tar_build([("img/a.png", png), ("doc.txt", txt)])
+        head = tar_build([("img/a.png", png)])[:-1024]
         bad = bytearray(512)
         bad[:7] = b"bad.bin"
         bad[124:136] = b"00000000000\x00"
         bad[148:156] = b"0000000\x00"  # parses as 0, never matches
-        return base[:-1024] + bytes(bad) + bytes(1024)
+        tail = tar_build(
+            [("doc.txt", txt), ("tail.txt", f"Tail {doc_id}".encode())]
+        )
+        return head + bytes(bad) + tail
     if mode == 1:
         mid = f"Doc {doc_id} mid".encode()
         arc = bytearray(

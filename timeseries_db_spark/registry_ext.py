@@ -3755,16 +3755,18 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         -- arcq leg (r14): the dirty-archive quarantine closed forms —
-        -- defect kind cycles by (id//3)%5: 0 = tar bad checksum (both
-        -- members survive), 1 = zip bad member CRC (middle text lost,
-        -- siblings survive), 2 = junk container (nothing survives),
-        -- 3 = ZipCrypto zip whose PNG is garbage (text survives the
-        -- decryption, the image decode quarantines), 4 = WinZip
-        -- AES-256 zip with one HMAC-tampered member (good members
-        -- decrypt+verify, the tampered one fails authentication).
-        -- Exactly one error each.
+        -- defect kind cycles by (id//3)%5: 0 = tar bad checksum
+        -- MID-ARCHIVE (r15: the 512-aligned resync recovers the TWO
+        -- trailing text members, so all 3 members survive), 1 = zip
+        -- bad member CRC (middle text lost, siblings survive), 2 =
+        -- junk container (nothing survives), 3 = ZipCrypto zip whose
+        -- PNG is garbage (text survives the decryption, the image
+        -- decode quarantines), 4 = WinZip AES-256 zip with one
+        -- HMAC-tampered member (good members decrypt+verify, the
+        -- tampered one fails authentication). Exactly one error each.
         SELECT doc_id AS asset_id, 'arcq' AS kind,
-               (CASE WHEN (doc_id // 3) % 5 = 2 THEN 0 ELSE 2
+               (CASE (doc_id // 3) % 5
+                     WHEN 2 THEN 0 WHEN 0 THEN 3 ELSE 2
                 END)::BIGINT AS v1,
                (CASE WHEN (doc_id // 3) % 5 IN (0, 1, 4) THEN 1 ELSE 0
                 END)::BIGINT AS v2,
@@ -3772,6 +3774,8 @@ def register_extensions(q: dict, o: dict) -> None:
                      THEN 16 * ((3 * doc_id + 11) % 256) ELSE 0
                 END)::BIGINT AS v3,
                (CASE (doc_id // 3) % 5
+                     WHEN 0 THEN length('Doc ' || doc_id || ' text')
+                                 + length('Tail ' || doc_id)
                      WHEN 1 THEN length('Extra ' || doc_id)
                      WHEN 2 THEN 0
                      ELSE length('Doc ' || doc_id || ' text')
