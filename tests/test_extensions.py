@@ -4519,3 +4519,42 @@ def test_r14_pdf_and_image_kernel_quarantine(spark):
     }
     assert got[1]["err"] is None and got[1]["width"] == 4
     assert got[2]["err"] is not None and got[2]["width"] == 0
+
+
+def test_r15_pdfq_imgq_damage_classes(spark):
+    """r15 (VERDICT item 1): the gate legs' damage classes at the
+    kernel level — a junk payload, a user-locked PDF and a
+    flate-corrupted stream each raise their distinct message (the
+    pdfq oracle classifies on these), and the dirty-image fixture's
+    junk rows quarantine while clean siblings publish dimensions."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.operators import multimodal as M
+    from timeseries_db_spark.operators import pdf as P
+
+    with _pytest.raises(ValueError, match="not a PDF"):
+        P.pdf_text(b"JUNKBYTES" * 3)
+    locked = P.pdf_build(
+        [["Locked 5"]], encrypt="rc4-128", user_pwd=b"pdfq-secret"
+    )
+    with _pytest.raises(ValueError, match="password"):
+        P.pdf_text(locked)
+    assert P.pdf_text(locked, b"pdfq-secret")[0] == "Locked 5"
+    corrupt = bytearray(P.pdf_build([["Doc 3 ok"]]))
+    at = corrupt.find(b"stream\n") + 7
+    corrupt[at : at + 2] = b"\x00\x00"
+    with _pytest.raises(ValueError, match="FlateDecode"):
+        P.pdf_text(bytes(corrupt))
+    # dirty-image fixture: odd ids quarantine, even ids decode
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["asset_id"]: (r["width"], r["height"], r["err"] is not None)
+        for r in M.decode_image_features(
+            M.documents_as_dirty_image_assets(docs),
+            fake=False, quarantine=True,
+        ).collect()
+    }
+    assert len(rows) == 10
+    for i in range(10):
+        assert rows[i] == ((4, 4, False) if i % 2 == 0 else (0, 0, True))

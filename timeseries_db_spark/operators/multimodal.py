@@ -4783,6 +4783,43 @@ def documents_as_png_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_dirty_image_assets(docs: DataFrame) -> DataFrame:
+    """DIRTY image-asset fixture (r15 — VERDICT item 1): even ids
+    carry a REAL 4×4 grayscale PNG of constant ``(3·id+11) % 256``,
+    odd ids carry junk behind the PNG magic (``9 + id % 7`` bytes
+    total) — undecodable by construction, so the opt-in quarantine of
+    :func:`decode_image_features` is value-checked: the junk costs one
+    flagged row, the clean siblings' dimensions still publish. Spans
+    ALL docs (damage density 1/2 — far above anything real, which is
+    the point of a quarantine fixture)."""
+    schema = "asset_id long, kind string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2:
+                    payloads.append(
+                        b"\x89PNG\r\n\x1a\n" + b"J" * (1 + d % 7)
+                    )
+                else:
+                    payloads.append(
+                        png_encode(bytes([(3 * d + 11) % 256]) * 16, 4, 4, 1)
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
 def resize_plan(assets: DataFrame, max_side: int = 64, *, fake: bool = True) -> DataFrame:
     """Aspect-preserving resize targets for every image asset: fit the
     longer side to ``max_side``, never upscale. Integer arithmetic only

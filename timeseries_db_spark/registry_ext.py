@@ -1870,6 +1870,67 @@ def register_extensions(q: dict, o: dict) -> None:
         moji_in = docs.select("doc_id").mapInPandas(
             build_moji, schema="doc_id long, text string"
         )
+        # r15 pdfq leg (VERDICT item 1): the r14 opt-in PDF quarantine
+        # under the gate — dirty assets cycle by doc_id%4: clean /
+        # junk bytes (not a PDF) / USER-LOCKED (non-empty password,
+        # opened without it) / valid structure whose content stream's
+        # zlib header is zeroed (FlateDecode fails) — extraction runs
+        # with quarantine=True and every damage class costs exactly
+        # one classified row, the clean siblings' text hash-matched.
+        # n_a = n_shows, n_b = quarantined flag, out_text = the text
+        # or the damage CLASS (JUNK/LOCKED/CORRUPT — an unexpected
+        # message falls through to OTHER: and flips the hash).
+        def build_pdfq(batches):
+            import pandas as _pd
+
+            from timeseries_db_spark.operators import pdf as PD
+
+            for bb in batches:
+                if not len(bb):
+                    continue
+                ids, payloads = [], []
+                for did in bb["doc_id"]:
+                    did = int(did)
+                    m = did % 4
+                    if m == 1:
+                        p = b"JUNKBYTES" * (3 + did % 5)
+                    elif m == 2:
+                        p = PD.pdf_build(
+                            [[f"Locked {did}"]],
+                            encrypt="rc4-128",
+                            user_pwd=b"pdfq-secret",
+                        )
+                    else:
+                        p = PD.pdf_build([[f"Doc {did} ok"]])
+                        if m == 3:
+                            p = bytearray(p)
+                            at = p.find(b"stream\n") + 7
+                            p[at : at + 2] = b"\x00\x00"
+                            p = bytes(p)
+                    ids.append(did)
+                    payloads.append(p)
+                yield _pd.DataFrame(
+                    {"asset_id": ids, "kind": "pdf", "payload": payloads}
+                )
+
+        pdfq_assets = docs.select("doc_id").mapInPandas(
+            build_pdfq, schema="asset_id long, kind string, payload binary"
+        )
+        pdfq = _pdfmod.pdf_extract_text(
+            pdfq_assets, quarantine=True
+        ).select(
+            F.col("asset_id").alias("doc_id"),
+            F.lit("pdfq").alias("kind"),
+            F.col("n_shows").alias("n_a"),
+            F.col("err").isNotNull().cast("long").alias("n_b"),
+            F.expr(
+                "CASE WHEN err IS NULL THEN text"
+                " WHEN err LIKE '%not a PDF%' THEN 'JUNK'"
+                " WHEN err LIKE '%password%' THEN 'LOCKED'"
+                " WHEN err LIKE '%FlateDecode%' THEN 'CORRUPT'"
+                " ELSE concat('OTHER:', err) END"
+            ).alias("out_text"),
+        )
         moji = text.mojibake_fix(moji_in).select(
             "doc_id",
             F.lit("moji").alias("kind"),
@@ -1897,6 +1958,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(unor)
             .unionByName(slid)
             .unionByName(moji)
+            .unionByName(pdfq)
         )
 
     q["text_pii_scrub"] = text_pii_scrub
@@ -2201,7 +2263,18 @@ def register_extensions(q: dict, o: dict) -> None:
         "WHEN 0 THEN 'Doc ' || doc_id || ' plain ascii end' "
         "WHEN 1 THEN 'Doc ' || doc_id || ' café — naïve end' "
         "ELSE 'Doc ' || doc_id || ' café naïve ünïted end' END AS fixed "
-        "FROM documents)"
+        "FROM documents) "
+        "UNION ALL "
+        # pdfq (r15): the dirty-PDF quarantine closed forms — damage
+        # class cycles by doc_id%4 (clean / junk / locked / corrupt
+        # flate), clean text restated, every quarantine one flagged row
+        "SELECT doc_id, 'pdfq' AS kind, "
+        "(CASE WHEN doc_id % 4 IN (0) THEN 1 ELSE 0 END)::BIGINT AS n_a, "
+        "(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_b, "
+        "CASE (doc_id % 4) WHEN 0 THEN 'Doc ' || doc_id || ' ok' "
+        "WHEN 1 THEN 'JUNK' WHEN 2 THEN 'LOCKED' "
+        "ELSE 'CORRUPT' END AS out_text "
+        "FROM documents"
     )
 
     # semi-structured JSON extraction (from_json, JVM codegen) composed
@@ -3335,6 +3408,28 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("text_len").alias("v4"),
             F.col("n_errors").alias("v5"),
         )
+        # r15 imgq leg (VERDICT item 1): the r14 opt-in IMAGE decode
+        # quarantine under the gate — even ids are real 4×4 PNGs whose
+        # dimensions publish, odd ids are junk behind the PNG magic
+        # whose decode quarantines (one flagged row each, siblings
+        # unaffected). v1=width v2=height v3=n_bytes of the JUNK (its
+        # closed form; NULL for clean — a real PNG's byte length is
+        # zlib-dependent) v4=quarantined flag
+        imgq = multimodal.decode_image_features(
+            multimodal.documents_as_dirty_image_assets(docs),
+            fake=False,
+            quarantine=True,
+        ).select(
+            "asset_id",
+            F.lit("imgq").alias("kind"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.expr(
+                "CASE WHEN err IS NULL THEN NULL ELSE n_bytes END"
+            ).cast("long").alias("v3"),
+            F.col("err").isNotNull().cast("long").alias("v4"),
+            F.lit(None).cast("long").alias("v5"),
+        )
         # r13 wmeta leg: WebM/Matroska — the remaining web container
         # family — EBML VINT walk to Info + Tracks metadata; every
         # field a doc_id closed form (synth_mkv)
@@ -3365,6 +3460,7 @@ def register_extensions(q: dict, o: dict) -> None:
             .unionByName(wmeta)
             .unionByName(arcx)
             .unionByName(arcq)
+            .unionByName(imgq)
         )
 
     q["multimodal_resize_plan"] = multimodal_resize_plan
@@ -3811,6 +3907,18 @@ def register_extensions(q: dict, o: dict) -> None:
                 + ((doc_id * 3) % 60) * 100
                 + (doc_id * 5) % 60)::BIGINT AS v5
         FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        -- imgq leg (r15): the dirty-image quarantine closed forms —
+        -- even ids decode (4x4), odd ids quarantine (junk of
+        -- 9 + id%7 bytes behind the PNG magic)
+        SELECT doc_id AS asset_id, 'imgq' AS kind,
+               (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END)::BIGINT AS v1,
+               (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END)::BIGINT AS v2,
+               (CASE WHEN doc_id % 2 = 0 THEN NULL
+                     ELSE 9 + doc_id % 7 END)::BIGINT AS v3,
+               (doc_id % 2)::BIGINT AS v4,
+               NULL::BIGINT AS v5
+        FROM documents
     """
 
     # late r7: the chunk plan gains a REAL-PCM union leg — synthesized
