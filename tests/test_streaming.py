@@ -1171,3 +1171,93 @@ def test_archive_streaming_survives_poisoned_batch(spark, tmp_path):
     assert set(by_asset) == {0, 1}
     assert any("CRC" in e for e in by_asset[0])
     assert all(r["batch"] == 0 for r in rej)
+
+
+def test_avro_streaming_survives_poisoned_block(spark, tmp_path):
+    """r15 (VERDICT item 5): Avro drops as the streaming arrival unit
+    — a micro-batch whose .avro shard carries a corrupt BLOCK does not
+    kill the query: the block's error lands in the dead-letter table,
+    its sibling blocks in the SAME file publish, a junk container
+    costs one reject, and the next batch is untouched."""
+    import hashlib
+    import json
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    texts = {
+        i: f"document number {i} with some unique words w{i} x{i * 7}"
+        for i in range(30)
+    }
+    recs = [{"doc_id": i, "text": texts[i]} for i in range(30)]
+    shard = AV.avro_build(
+        recs, AV.CORPUS_AVRO_SCHEMA, codec="deflate", block_records=10
+    )
+    # replace block 1's payload with varint-continuation junk (framing
+    # consistent, trailing sync intact): records 10..19 quarantine
+    sync = hashlib.md5(
+        json.dumps(AV.CORPUS_AVRO_SCHEMA).encode()
+    ).digest()
+    at = shard.find(sync) + 16
+    bounds = []
+    while at < len(shard):
+        c, a2 = AV._zigzag_decode(shard, at)
+        s, a3 = AV._zigzag_decode(shard, a2)
+        bounds.append((at, c, s, a3))
+        at = a3 + s + 16
+    b_at, cnt, sz, pay = bounds[1]
+    junk = b"\x80" * 26
+    poisoned = (
+        shard[:b_at]
+        + AV._zigzag_encode(cnt)
+        + AV._zigzag_encode(len(junk))
+        + junk
+        + sync
+        + shard[pay + sz + 16 :]
+    )
+    late = [
+        {"doc_id": 100 + i, "text": f"late arrival text {i} y{i * 13}"}
+        for i in range(5)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = [
+        ("a0.avro", poisoned),
+        ("a1.avro", b"NOTAVRO" * 10),  # junk container, same batch dir
+        ("a2.avro", AV.avro_build(late, AV.CORPUS_AVRO_SCHEMA,
+                                  codec="snappy")),
+    ]
+    for i, (name, payload) in enumerate(files):
+        p = str(in_dir / name)
+        with open(p, "wb") as f:
+            f.write(payload)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = vi.start_avro_corpus_ingest(
+        vi.read_avro_file_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    want = {i: texts[i] for i in range(30) if not 10 <= i < 20}
+    want.update({100 + i: t["text"] for i, t in enumerate(late)})
+    assert pub == want
+    rej = vi.read_avro_rejects(spark, out_dir).collect()
+    assert len(rej) == 2
+    errs = sorted(r["err"] for r in rej)
+    assert "block" in errs[0] and "container" in errs[1]
+    # the block reject names the poisoned file, the container reject
+    # the junk one
+    assert any(r["path"].endswith("a0.avro") and "block" in r["err"]
+               for r in rej)
+    assert any(r["path"].endswith("a1.avro") for r in rej)

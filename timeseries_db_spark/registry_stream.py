@@ -429,6 +429,13 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is unchanged and the damage lands in the dead-letter table
         # the carj leg reads back
         carc = _archive_ingest_leg(spark, sf_dir, base)
+        # r15 cavr leg (VERDICT item 5): AVRO DROPS as the streaming
+        # arrival unit — .avro shards (deflate/snappy/null codecs) →
+        # tolerant per-block decode → the same near-dup suppression,
+        # with one shard's block POISONED: its sibling blocks publish
+        # in the same micro-batch and the damage lands in the
+        # dead-letter table the cavj leg counts
+        cavr = _avro_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -438,6 +445,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssj)
         .unionByName(cwarc)
         .unionByName(carc)
+        .unionByName(cavr)
     )
 
 
@@ -729,6 +737,130 @@ def _archive_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFram
     )
 
 
+#: closed form of the avro-drop corpus the cavr leg publishes: the real
+#: docs plus 50 synthetic extras, MINUS the poisoned shard's block 1
+#: (records 10..19 — priced at exactly one dead-letter row, cavj)
+_CAVR_DOCS_SQL = """
+    SELECT doc_id,
+           'Avro ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+    UNION ALL
+    SELECT 10000000 + i AS doc_id, 'Avro extra item ' || i AS text
+    FROM range(50) r(i) WHERE i < 10 OR i >= 20
+"""
+
+
+def _avro_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """3-micro-batch streaming AVRO→corpus ingest (r15, VERDICT item
+    5): two clean shards of the real docs (deflate + snappy codecs)
+    plus a third synthetic shard whose BLOCK 1 payload is replaced by
+    junk — the per-block quarantine prices it at its 10 records + ONE
+    dead-letter row while the sibling blocks of the SAME file publish.
+    Doc ids ride in the records (no stride); pinned mtimes +
+    maxFilesPerTrigger=1 make arrival order match doc_id order, so
+    the batch-boundary-free kept rule is the oracle. Returns
+    (doc_id, 'cavr', fp53) ∪ (-1, 'cavj', reject_count)."""
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_CWARC_CLEAN).alias("clean"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    hi = int(pdf["doc_id"].max()) + 1
+    in_dir = os.path.join(base, "avro_in")
+    os.makedirs(in_dir)
+    halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
+    for i, half in enumerate(halves):
+        recs = [
+            {"doc_id": int(d), "text": f"Avro {int(d)} {c}"}
+            for d, c in zip(half["doc_id"], half["clean"])
+        ]
+        path = os.path.join(in_dir, f"a{i}.avro")
+        with open(path, "wb") as f:
+            f.write(
+                AV.avro_build(
+                    recs,
+                    AV.CORPUS_AVRO_SCHEMA,
+                    codec=("deflate", "snappy")[i],
+                    block_records=50,
+                )
+            )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    # the poisoned third shard: 5 blocks of 10; block 1's payload is
+    # replaced (framing consistent, trailing sync INTACT) with varint
+    # continuation junk, so record decode fails after the sync
+    # verified — the walk continues at the next block with no scan
+    extras = [
+        {"doc_id": 10_000_000 + i, "text": f"Avro extra item {i}"}
+        for i in range(50)
+    ]
+    clean = AV.avro_build(
+        extras, AV.CORPUS_AVRO_SCHEMA, codec="null", block_records=10
+    )
+    import hashlib
+    import json as _json
+
+    sync = hashlib.md5(
+        _json.dumps(AV.CORPUS_AVRO_SCHEMA).encode()
+    ).digest()
+    at = clean.find(sync) + 16
+    bounds = []
+    while at < len(clean):
+        count, a2 = AV._zigzag_decode(clean, at)
+        size, a3 = AV._zigzag_decode(clean, a2)
+        bounds.append((at, count, size, a3))
+        at = a3 + size + 16
+    b1_at, count1, size1, pay1 = bounds[1]
+    junk = b"\x80" * 26
+    poisoned = (
+        clean[:b1_at]
+        + AV._zigzag_encode(count1)
+        + AV._zigzag_encode(len(junk))
+        + junk
+        + sync
+        + clean[pay1 + size1 + 16 :]
+    )
+    path = os.path.join(in_dir, "a2.avro")
+    with open(path, "wb") as f:
+        f.write(poisoned)
+    os.utime(path, (1_700_000_002, 1_700_000_002))
+    out_dir = os.path.join(base, "avro_out")
+    query = vi.start_avro_corpus_ingest(
+        vi.read_avro_file_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        os.path.join(base, "avro_ckpt"),
+        quarantine=True,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rejects = (
+        vi.read_avro_rejects(spark, out_dir)
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.lit(-1).cast("long").alias("timestamp"),
+            F.lit("cavj").alias("tag"),
+            "value",
+        )
+    )
+    return (
+        ci.read_published(spark, out_dir)
+        .select(
+            F.col("doc_id").alias("timestamp"),
+            F.lit("cavr").alias("tag"),
+            F.col("fp53").cast("double").alias("value"),
+        )
+        .unionByName(rejects)
+    )
+
+
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
     once with the ORIGINAL value formula — duplicates collapsed, poison
@@ -738,6 +870,7 @@ def stream_ingest_dedup_sql() -> str:
     from timeseries_db_spark.streaming.corpus_ingest import corpus_ingest_kept_sql
 
     carc_kept = corpus_ingest_kept_sql(docs_sql=_CARC_DOCS_SQL)
+    cavr_kept = corpus_ingest_kept_sql(docs_sql=_CAVR_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -779,6 +912,17 @@ def stream_ingest_dedup_sql() -> str:
         SELECT doc_id * 1000 - 1 AS "timestamp", 'carj' AS tag,
                -1.0 AS value
         FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        -- cavr (r15): the streaming AVRO-drop ingest published set —
+        -- the kept rule over the real docs + synthetic extras MINUS
+        -- the poisoned block's 10 records
+        SELECT doc_id AS "timestamp", 'cavr' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({cavr_kept})
+        UNION ALL
+        -- cavj (r15): the avro dead-letter channel — the poisoned
+        -- block costs exactly one reject row
+        SELECT -1 AS "timestamp", 'cavj' AS tag, 1.0 AS value
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,
