@@ -1261,3 +1261,55 @@ def test_avro_streaming_survives_poisoned_block(spark, tmp_path):
     assert any(r["path"].endswith("a0.avro") and "block" in r["err"]
                for r in rej)
     assert any(r["path"].endswith("a1.avro") for r in rej)
+
+
+def test_csv_streaming_quarantines_broken_lines(spark, tmp_path):
+    """r15: CSV exports as the streaming arrival unit — the line-record
+    quarantine projection (shared with the batch reader) runs under
+    the streaming query: quoted commas/doubled quotes in text survive,
+    header lines drop per shard, type-broken lines dead-letter with
+    their raw text, and the next batch is untouched."""
+    import os
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import csv_ingest as xi
+
+    t0 = 'first doc, with a comma and a "quote" inside'
+    t1 = "plain second document body here"
+    t2 = "third document arrives later entirely"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shard0 = (
+        "doc_id,text,lang,source,n_chars\n"
+        f'0,"first doc, with a comma and a ""quote"" inside",en,web,{len(t0)}\n'
+        f"1,{t1},en,web,{len(t1)}\n"
+        "9,broken row,en,web,NOPE\n"
+    )
+    shard1 = (
+        "doc_id,text,lang,source,n_chars\n"
+        f"2,{t2},en,web,{len(t2)}\n"
+    )
+    for i, body in enumerate((shard0, shard1)):
+        p = str(in_dir / f"c{i}.csv")
+        with open(p, "w") as f:
+            f.write(body)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = xi.start_csv_corpus_ingest(
+        xi.read_csv_line_stream(spark, str(in_dir), max_files_per_trigger=1),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    assert pub == {0: t0, 1: t1, 2: t2}
+    rej = xi.read_csv_rejects(spark, out_dir).collect()
+    assert len(rej) == 1
+    assert rej[0]["line"].startswith("9,broken row") and rej[0]["batch"] == 0

@@ -436,6 +436,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in the same micro-batch and the damage lands in the
         # dead-letter table the cavj leg counts
         cavr = _avro_ingest_leg(spark, sf_dir, base)
+        # r15 ccsv leg: CSV EXPORTS as the streaming arrival unit —
+        # the line-record quarantine (one JVM from_csv pass, zero
+        # Python in the decode) under the same near-dup suppression;
+        # one type-broken line per shard dead-letters (ccsj counts 2)
+        ccsv = _csv_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -446,6 +451,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cwarc)
         .unionByName(carc)
         .unionByName(cavr)
+        .unionByName(ccsv)
     )
 
 
@@ -861,6 +867,82 @@ def _avro_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     )
 
 
+#: closed form of the CSV-shard corpus the ccsv leg publishes
+_CCSV_DOCS_SQL = """
+    SELECT doc_id,
+           'Csv ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
+
+def _csv_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """2-micro-batch streaming CSV→corpus ingest (r15): headered
+    shards with QUOTED text fields (commas/quotes in the doc text
+    survive the RFC-4180 doubling) plus one type-broken line per shard
+    — the line-record quarantine parses everything in one JVM
+    ``from_csv`` pass, broken lines dead-letter, the published set is
+    the same batch-boundary-free kept rule. Returns
+    (doc_id, 'ccsv', fp53) ∪ (-2, 'ccsj', reject_count=2)."""
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import csv_ingest as xi
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_CWARC_CLEAN).alias("clean"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    hi = int(pdf["doc_id"].max()) + 1
+    in_dir = os.path.join(base, "csv_in")
+    os.makedirs(in_dir)
+
+    def quote(t: str) -> str:
+        return '"' + t.replace('"', '""') + '"'
+
+    halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
+    for i, half in enumerate(halves):
+        lines = ["doc_id,text,lang,source,n_chars\n"]
+        for did, clean in zip(half["doc_id"], half["clean"]):
+            t = f"Csv {int(did)} {clean}"
+            lines.append(f"{int(did)},{quote(t)},en,web,{len(t)}\n")
+        lines.append(f'-88,"broken shard {i}",en,web,NOPE\n')
+        path = os.path.join(in_dir, f"c{i}.csv")
+        with open(path, "w") as f:
+            f.write("".join(lines))
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = os.path.join(base, "csv_out")
+    query = xi.start_csv_corpus_ingest(
+        xi.read_csv_line_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        os.path.join(base, "csv_ckpt"),
+        quarantine=True,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rejects = (
+        xi.read_csv_rejects(spark, out_dir)
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.lit(-2).cast("long").alias("timestamp"),
+            F.lit("ccsj").alias("tag"),
+            "value",
+        )
+    )
+    return (
+        ci.read_published(spark, out_dir)
+        .select(
+            F.col("doc_id").alias("timestamp"),
+            F.lit("ccsv").alias("tag"),
+            F.col("fp53").cast("double").alias("value"),
+        )
+        .unionByName(rejects)
+    )
+
+
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
     once with the ORIGINAL value formula — duplicates collapsed, poison
@@ -871,6 +953,7 @@ def stream_ingest_dedup_sql() -> str:
 
     carc_kept = corpus_ingest_kept_sql(docs_sql=_CARC_DOCS_SQL)
     cavr_kept = corpus_ingest_kept_sql(docs_sql=_CAVR_DOCS_SQL)
+    ccsv_kept = corpus_ingest_kept_sql(docs_sql=_CCSV_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -923,6 +1006,15 @@ def stream_ingest_dedup_sql() -> str:
         -- cavj (r15): the avro dead-letter channel — the poisoned
         -- block costs exactly one reject row
         SELECT -1 AS "timestamp", 'cavj' AS tag, 1.0 AS value
+        UNION ALL
+        -- ccsv (r15): the streaming CSV ingest published set — the
+        -- kept rule over the quoted-field closed form
+        SELECT doc_id AS "timestamp", 'ccsv' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({ccsv_kept})
+        UNION ALL
+        -- ccsj (r15): one type-broken line per shard dead-letters
+        SELECT -2 AS "timestamp", 'ccsj' AS tag, 2.0 AS value
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,

@@ -269,6 +269,33 @@ CORPUS_SCHEMA = (
 )
 
 
+def csv_lines_to_corpus(lines: DataFrame, sep: str = ",") -> DataFrame:
+    """The line-record CSV quarantine projection (r15 — factored out of
+    :func:`read_corpus_any` so the STREAMING csv arrival path reuses it
+    verbatim): a ``value``-column line scan → ``from_csv`` under the
+    corpus schema + ``_corrupt``, header lines dropped per shard.
+    JVM-side, one pass, batch/stream agnostic."""
+    return (
+        lines.filter(F.col("value").rlike(r"\S"))
+        # header lines (every shard repeats one) carry the
+        # doc_id column name where a record carries its long
+        .filter(~F.col("value").rlike(r"^doc_id([,\t]|$)"))
+        .select(
+            F.from_csv(
+                F.col("value"),
+                CORPUS_SCHEMA + ", _corrupt string",
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt",
+                    "sep": sep,
+                    "escape": '"',
+                },
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
 def read_corpus_any(
     spark: SparkSession,
     path: str,
@@ -319,26 +346,7 @@ def read_corpus_any(
         return spark.read.schema(CORPUS_SCHEMA).orc(path)
     if fmt == "csv":  # r13: headered CSV/TSV exports; r14: dirty modes
         if on_malformed == "quarantine":
-            return (
-                spark.read.text(path)
-                .filter(F.col("value").rlike(r"\S"))
-                # header lines (every shard repeats one) carry the
-                # doc_id column name where a record carries its long
-                .filter(~F.col("value").rlike(r"^doc_id([,\t]|$)"))
-                .select(
-                    F.from_csv(
-                        F.col("value"),
-                        CORPUS_SCHEMA + ", _corrupt string",
-                        {
-                            "mode": "PERMISSIVE",
-                            "columnNameOfCorruptRecord": "_corrupt",
-                            "sep": sep,
-                            "escape": '"',
-                        },
-                    ).alias("r")
-                )
-                .select("r.*")
-            )
+            return csv_lines_to_corpus(spark.read.text(path), sep=sep)
         reader = (
             spark.read.schema(CORPUS_SCHEMA)
             .option("header", "true")
