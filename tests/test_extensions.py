@@ -2375,10 +2375,16 @@ def test_archive_tar_zip_roundtrip_and_routing():
     zb[cd + 10 : cd + 12] = (9).to_bytes(2, "little")  # bzip2 method
     with _pytest.raises(ValueError, match="method"):
         A.zip_members(bytes(zb))
-    # fixture closed forms across the container cycle
+    # fixture closed forms across the container cycle (r15: the tar
+    # cycle adds a pax-long-named member)
     for d in (0, 3, 6, 9, 15):
         ms = A.archive_members(A.synth_archive(d))
-        assert len(ms) == 2 + d % 2, d
+        pax_extra = 1 if (d // 3) % 3 == 0 else 0
+        assert len(ms) == 2 + d % 2 + pax_extra, d
+        if pax_extra:
+            assert any(
+                n == "pax/" + "p" * 120 + f"/d{d}.txt" for n, _ in ms
+            ), d
         px = sum(
             sum(M.image_decode(data)[3])
             for _n, data in ms
@@ -4558,3 +4564,75 @@ def test_r15_pdfq_imgq_damage_classes(spark):
     assert len(rows) == 10
     for i in range(10):
         assert rows[i] == ((4, 4, False) if i % 2 == 0 else (0, 0, True))
+
+
+def test_r15_tar_pax_and_base256():
+    """r15: pax extended headers (typeflag x/g — the POSIX.1-2001
+    layout modern tar defaults to) — 'path' and 'size' records
+    override the bounded ustar fields with pax > GNU L > header
+    precedence, global 'g' defaults apply as fallback, and numeric
+    fields accept the GNU base-256 (>8 GiB) form."""
+    from timeseries_db_spark.operators import archive as A
+
+    long_name = "deep/" + "d" * 140 + "/leaf.txt"
+    members = [("plain.txt", b"plain data"), (long_name, b"pax named")]
+    stream = A.tar_build(members, pax=True)
+    assert b"PaxHeaders" in stream
+    assert A.tar_members(stream) == members
+    # pax size record overrides the header's octal size: write a
+    # member whose ustar size says 0 but whose pax size is real
+    rec = b""
+    body = b" size=10\n"
+    n = len(body) + 2
+    rec = str(n).encode() + body
+    assert len(rec) == n
+
+    def hdr(name: bytes, size: int, typeflag: bytes, data: bytes) -> bytes:
+        h = bytearray(512)
+        h[: len(name)] = name
+        h[100:108] = b"0000644\x00"
+        h[124:136] = f"{size:011o}\x00".encode()
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        h[148:156] = b" " * 8
+        h[148:156] = f"{sum(h):06o}\x00 ".encode()
+        return bytes(h) + data + bytes((-len(data)) % 512)
+
+    stream = (
+        hdr(b"ph", len(rec), b"x", rec)
+        + hdr(b"big.bin", 0, b"0", b"0123456789")
+        + bytes(1024)
+    )
+    got, errs = A.tar_scan(stream, strict=False)
+    assert got == [("big.bin", b"0123456789")] and errs == []
+    # global 'g' path applies as the fallback only
+    grec_body = b" path=global/name\n"
+    gn = len(grec_body) + 2
+    grec = str(gn).encode() + grec_body
+    stream = (
+        hdr(b"gh", len(grec), b"g", grec)
+        + hdr(b"a.txt", 4, b"0", b"aaaa")
+        + bytes(1024)
+    )
+    got, _ = A.tar_scan(stream, strict=False)
+    assert got == [("global/name", b"aaaa")]
+    # base-256 size field: high bit set, big-endian binary
+    b256 = bytes([0x80]) + bytes(9) + (700).to_bytes(2, "big")
+    h = bytearray(hdr(b"bin.dat", 0, b"0", b"x" * 704)[:512])
+    h[124:136] = b256
+    h[148:156] = b" " * 8
+    h[148:156] = f"{sum(h):06o}\x00 ".encode()
+    stream = bytes(h) + b"x" * 700 + bytes((-700) % 512) + bytes(1024)
+    got, errs = A.tar_scan(stream, strict=False)
+    assert got == [("bin.dat", b"x" * 700)] and errs == []
+    # a malformed pax record is ignored, not fatal (records after the
+    # break are dropped; the member still extracts under its own name)
+    badrec = b"notanumber path=x\n"
+    stream = (
+        hdr(b"ph", len(badrec), b"x", badrec)
+        + hdr(b"keep.txt", 4, b"0", b"keep")
+        + bytes(1024)
+    )
+    got, errs = A.tar_scan(stream, strict=False)
+    assert got == [("keep.txt", b"keep")] and errs == []

@@ -37,6 +37,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tar_size(field: bytes) -> int:
+    """A tar numeric field — octal, or (r15) GNU base-256: when the
+    first byte's high bit is set the remaining bits are a big-endian
+    binary number (how members over the 8 GiB octal ceiling are
+    framed; GNU tar writes it routinely on large shards)."""
+    if field and field[0] & 0x80:
+        n = field[0] & 0x7F
+        for x in field[1:]:
+            n = (n << 8) | x
+        return n
+    return int(field.split(b"\x00")[0].strip() or b"0", 8)
+
+
+def _pax_records(data: bytes) -> dict[str, str]:
+    """The records of one pax extended header (POSIX.1-2001): a series
+    of ``"<len> <key>=<value>\\n"`` lines where ``<len>`` counts the
+    WHOLE record including its own digits — the mechanism modern tar
+    uses for long names, big sizes and high-resolution mtimes."""
+    out: dict[str, str] = {}
+    at = 0
+    while at < len(data):
+        sp = data.find(b" ", at)
+        if sp < 0:
+            break
+        try:
+            ln = int(data[at:sp])
+        except ValueError:
+            break
+        if ln <= sp - at + 1 or at + ln > len(data):
+            break
+        body = data[sp + 1 : at + ln]
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        k, eq, v = body.partition(b"=")
+        if eq:
+            out[k.decode("utf-8", "replace")] = v.decode(
+                "utf-8", "replace"
+            )
+        at += ln
+    return out
+
+
 def _tar_checksum(hdr: bytes) -> tuple[int, int]:
     """(stored, computed) header checksum — stored parses to -1 when
     the field itself is not octal (that alone fails validation)."""
@@ -73,7 +115,12 @@ def tar_scan(
 ) -> tuple[list[tuple[str, bytes]], list[str]]:
     """(members, errors) of a ustar/tar stream — GNU long-name (``L``)
     entries apply their payload as the NEXT member's name (r13 late;
-    names >100 bytes are how deep dataset trees actually tar up).
+    names >100 bytes are how deep dataset trees actually tar up), and
+    (r15) pax extended headers (typeflag ``x`` per-file / ``g``
+    global — what POSIX.1-2001-mode tar, the modern default, actually
+    writes): ``path`` and ``size`` records override the bounded ustar
+    fields, precedence pax > GNU L > header. Numeric fields accept
+    the GNU base-256 form (>8 GiB members).
 
     ``strict=True`` raises ``ValueError`` on a bad header checksum or
     truncation; ``strict=False`` (r14 — the quarantine posture of the
@@ -96,6 +143,8 @@ def tar_scan(
 
     at = 0
     pending_name: str | None = None
+    pending_pax: dict[str, str] = {}
+    global_pax: dict[str, str] = {}
     while at + 512 <= len(b):
         hdr = b[at : at + 512]
         if hdr == b"\x00" * 512:
@@ -107,13 +156,22 @@ def tar_scan(
                 if stored < 0
                 else f"tar header checksum mismatch at offset {at}"
             )
-            # a long-name can't be trusted across damage
+            # pending long-name/pax state can't be trusted across damage
             pending_name = None
+            pending_pax = {}
             at = _tar_resync(b, at + 512)
             continue
         name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
-        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        size = _tar_size(hdr[124:136])
         typeflag = hdr[156:157]
+        # pax 'size' overrides the (octal-bounded) header field for the
+        # NEXT regular member — POSIX.1-2001 precedence
+        if typeflag in (b"0", b"\x00") and "size" in pending_pax:
+            try:
+                size = int(pending_pax["size"])
+            except ValueError:
+                fail("tar pax size record unparseable")
+                pending_pax = {}
         data_at = at + 512
         if data_at + size > len(b):
             fail("tar member data truncated")
@@ -123,11 +181,25 @@ def tar_scan(
             pending_name = (
                 data.split(b"\x00")[0].decode("utf-8", "replace")
             )
+        elif typeflag == b"x":  # r15: pax per-file extended header
+            pending_pax.update(_pax_records(data))
+        elif typeflag == b"g":  # r15: pax global defaults
+            global_pax.update(_pax_records(data))
         elif typeflag in (b"0", b"\x00"):
-            out.append((pending_name or name, data))
+            out.append(
+                (
+                    pending_pax.get("path")
+                    or pending_name
+                    or global_pax.get("path")
+                    or name,
+                    data,
+                )
+            )
             pending_name = None
+            pending_pax = {}
         else:
             pending_name = None
+            pending_pax = {}
         at = data_at + ((size + 511) // 512) * 512
     return out, errs
 
@@ -503,9 +575,20 @@ def archive_members(
     return archive_scan(payload, strict=True, password=password)[0]
 
 
-def tar_build(members: list[tuple[str, bytes]]) -> bytes:
+def tar_build(
+    members: list[tuple[str, bytes]], pax: bool = False
+) -> bytes:
     """Minimal ustar writer (the reader's roundtrip pin) — names over
-    100 bytes emit a GNU ``L`` long-name entry first (r13 late)."""
+    100 bytes emit a GNU ``L`` long-name entry first (r13 late), or a
+    pax ``x`` extended header with a ``path`` record when ``pax=True``
+    (r15 — the POSIX.1-2001 layout modern tar defaults to)."""
+
+    def pax_record(key: str, value: str) -> bytes:
+        body = f" {key}={value}\n".encode("utf-8")
+        n = len(body) + 1
+        while len(str(n)) + len(body) != n:
+            n = len(str(n)) + len(body)
+        return str(n).encode() + body
 
     def one(name_b: bytes, data: bytes, typeflag: bytes) -> bytes:
         hdr = bytearray(512)
@@ -525,7 +608,12 @@ def tar_build(members: list[tuple[str, bytes]]) -> bytes:
     out = bytearray()
     for name, data in members:
         nb = name.encode("utf-8")
-        if len(nb) > 100:
+        if len(nb) > 100 and pax:
+            out += one(
+                b"./PaxHeaders/m", pax_record("path", name), b"x"
+            )
+            nb = nb[:100]
+        elif len(nb) > 100:
             out += one(b"././@LongLink", nb + b"\x00", b"L")
             nb = nb[:100]
         out += one(nb, data, b"0")
@@ -828,7 +916,10 @@ def synth_archive(doc_id: int) -> bytes:
     members are one 4×4 PNG of constant ``(3·id + 11) % 256`` (a
     second of ``(5·id + 7) % 256`` on odd ids) plus a text member
     ``Doc {id} text`` — member count, image count, decoded pixel sums
-    and text length are all closed forms."""
+    and text length are all closed forms. r15: the TAR cycle also
+    carries a pax-long-named text member ``Pax {id}`` (the ``x``
+    extended-header ``path`` record resolves the 130-char name), so
+    the POSIX.1-2001 layout runs under the value oracle."""
     from timeseries_db_spark.operators.multimodal import png_encode
 
     members = [
@@ -847,7 +938,13 @@ def synth_archive(doc_id: int) -> bytes:
         )
     sel = (doc_id // 3) % 3
     if sel == 0:
-        return tar_build(members)
+        members.append(
+            (
+                "pax/" + "p" * 120 + f"/d{doc_id}.txt",
+                f"Pax {doc_id}".encode(),
+            )
+        )
+        return tar_build(members, pax=True)
     return zip_build(members, deflate=(sel == 1))
 
 

@@ -3839,14 +3839,21 @@ def register_extensions(q: dict, o: dict) -> None:
         UNION ALL
         -- arcx leg (r13): archive summary restated closed-form —
         -- 2 + id%2 members, 1 + id%2 images, pixel sums of the
-        -- constant 4x4 PNGs, text 'Doc {id} text'
+        -- constant 4x4 PNGs, text 'Doc {id} text'. r15: the TAR
+        -- cycle ((id//3)%3 = 0) adds a pax-long-named 'Pax {id}'
+        -- text member (+1 member, +its length)
         SELECT doc_id AS asset_id, 'arcx' AS kind,
-               (2 + doc_id % 2)::BIGINT AS v1,
+               (2 + doc_id % 2
+                + CASE WHEN (doc_id // 3) % 3 = 0 THEN 1 ELSE 0
+                  END)::BIGINT AS v1,
                (1 + doc_id % 2)::BIGINT AS v2,
                (16 * ((3 * doc_id + 11) % 256)
                 + (doc_id % 2) * 16 * ((5 * doc_id + 7) % 256))::BIGINT
                  AS v3,
-               length('Doc ' || doc_id || ' text')::BIGINT AS v4,
+               (length('Doc ' || doc_id || ' text')
+                + CASE WHEN (doc_id // 3) % 3 = 0
+                       THEN length('Pax ' || doc_id) ELSE 0
+                  END)::BIGINT AS v4,
                NULL::BIGINT AS v5
         FROM documents WHERE doc_id % 3 = 0
         UNION ALL
