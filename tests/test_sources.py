@@ -619,3 +619,76 @@ def test_avro_general_unions(spark, tmp_path):
     assert rows[0] == (0, None, None)
     assert rows[4] == (1, 28, None)
     assert rows[5] == (2, None, "tag5")
+
+
+def test_avro_logical_types_and_named_refs(spark, tmp_path):
+    """r15: logical-type annotations (decimal converts exactly, incl.
+    negatives; date/timestamp/uuid pass their raw primitive through
+    per spec) and NAMED-TYPE REFERENCES (short + namespace-qualified,
+    with namespace inheritance into nested types) — recursive schemas
+    resolve as self-referential structures and decode terminates on
+    the data's null branch."""
+    import decimal
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    recs = [
+        {
+            "doc_id": i,
+            "ts": 1_700_000_000_000_000 + i,
+            "day": 19_000 + i % 365,
+            "amount": decimal.Decimal(12_345 + 7 * i - 20_000).scaleb(-2),
+            "c1": ("RED", "GREEN", "BLUE")[i % 3],
+            "c2": ("RED", "GREEN", "BLUE")[(i + 1) % 3],
+            "c3": ("RED", "GREEN", "BLUE")[(i + 2) % 3],
+        }
+        for i in range(60)
+    ]
+    for codec in ("null", "snappy"):
+        _s, back = AV.avro_records(
+            AV.avro_build(recs, AV.LOGICAL_AVRO_SCHEMA, codec=codec)
+        )
+        assert back == recs, codec
+    assert back[0]["amount"] == decimal.Decimal("-76.55")
+    # recursive schema: a linked list via [null, node]
+    rs = {
+        "type": "record", "name": "node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "node"]},
+        ],
+    }
+    tree = {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    _s, back = AV.avro_records(AV.avro_build([tree], rs))
+    assert back == [tree]
+    # an UNDEFINED reference still raises with the capability name
+    with _pytest.raises(ValueError, match="unsupported"):
+        AV.avro_build(
+            [{"x": "A"}],
+            {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": "nosuchtype"}]},
+        )
+    # decimal without precision is rejected
+    with _pytest.raises(ValueError, match="decimal"):
+        AV._check_type({"type": "bytes", "logicalType": "decimal"})
+    # the Spark surface: exact numerics + resolved enums
+    d = tmp_path / "lg"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        AV.avro_build(recs, AV.LOGICAL_AVRO_SCHEMA, codec="deflate")
+    )
+    rows = {
+        r["doc_id"]: (r["ts_us"], r["day"], r["amount_cents"],
+                      r["c1"], r["c2"], r["c3"])
+        for r in AV.read_logical_avro(spark, str(d)).collect()
+    }
+    assert len(rows) == 60
+    assert rows[0] == (
+        1_700_000_000_000_000, 19_000, -7_655, "RED", "GREEN", "BLUE"
+    )
+    assert rows[4] == (
+        1_700_000_000_000_004, 19_004, 12_345 + 28 - 20_000,
+        "GREEN", "BLUE", "RED",
+    )

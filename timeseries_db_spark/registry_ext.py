@@ -2441,6 +2441,50 @@ def register_extensions(q: dict, o: dict) -> None:
             ).alias("ids_sum"),
             F.lit("unfmt").alias("kind"),
         )
+        # r15 lgfmt leg: logical types + named-type references —
+        # timestamp-micros / date / decimal(10,2) (incl. negatives)
+        # surface as exact numerics, the enum defined once and
+        # referenced twice (short + namespace-qualified) resolves
+        # through the names registry; every value restated closed-form
+        import decimal as _decimal
+
+        lg_dir = os.path.join(base, "logical")
+        os.makedirs(lg_dir)
+        syms = ("RED", "GREEN", "BLUE")
+        with open(os.path.join(lg_dir, "part-0.avro"), "wb") as f:
+            f.write(
+                AV.avro_build(
+                    [
+                        {
+                            "doc_id": i,
+                            "ts": 1_700_000_000_000_000 + i,
+                            "day": 19_000 + i % 365,
+                            "amount": _decimal.Decimal(
+                                12_345 + 7 * i - 20_000
+                            ).scaleb(-2),
+                            "c1": syms[i % 3],
+                            "c2": syms[(i + 1) % 3],
+                            "c3": syms[(i + 2) % 3],
+                        }
+                        for i in ids
+                    ],
+                    AV.LOGICAL_AVRO_SCHEMA,
+                    codec="deflate",
+                    block_records=50,
+                )
+            )
+        lgfmt = AV.read_logical_avro(s, lg_dir).select(
+            "doc_id",
+            F.col("day").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_oov"),
+            F.expr(
+                "md5(concat(cast(ts_us as string), ':',"
+                " cast(amount_cents as string), ':', c1, ':', c2,"
+                " ':', c3))"
+            ).alias("ids_fp"),
+            (F.col("amount_cents") + F.col("day")).alias("ids_sum"),
+            F.lit("lgfmt").alias("kind"),
+        )
         embfmt = AV.read_embeddings_avro(s, emb_dir).select(
             "doc_id",
             F.expr("size(emb)").cast("long").alias("n_tokens"),
@@ -2461,7 +2505,7 @@ def register_extensions(q: dict, o: dict) -> None:
             coerce(read_corpus_any(s, csv_dir, fmt="csv")).withColumn(
                 "kind", F.lit("csvfmt")
             )
-        ).unionByName(embfmt).unionByName(unfmt)
+        ).unionByName(embfmt).unionByName(unfmt).unionByName(lgfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2537,6 +2581,24 @@ def register_extensions(q: dict, o: dict) -> None:
                 WHEN 2 THEN length('tag' || doc_id) ELSE 0 END)::BIGINT
                    AS ids_sum,
                'unfmt' AS kind
+        FROM documents
+        UNION ALL
+        -- lgfmt (r15): logical types restated exactly — epoch-micros
+        -- timestamp, epoch-day date, decimal(10,2) as unscaled cents
+        -- (negative below doc_id 1094), the thrice-referenced enum
+        SELECT doc_id, (19000 + doc_id % 365)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5((1700000000000000 + doc_id) || ':'
+                   || (12345 + 7 * doc_id - 20000) || ':'
+                   || (CASE (doc_id % 3) WHEN 0 THEN 'RED'
+                       WHEN 1 THEN 'GREEN' ELSE 'BLUE' END) || ':'
+                   || (CASE ((doc_id + 1) % 3) WHEN 0 THEN 'RED'
+                       WHEN 1 THEN 'GREEN' ELSE 'BLUE' END) || ':'
+                   || (CASE ((doc_id + 2) % 3) WHEN 0 THEN 'RED'
+                       WHEN 1 THEN 'GREEN' ELSE 'BLUE' END)) AS ids_fp,
+               (12345 + 7 * doc_id - 20000
+                + 19000 + doc_id % 365)::BIGINT AS ids_sum,
+               'lgfmt' AS kind
         FROM documents
     """
     )

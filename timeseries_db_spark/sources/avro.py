@@ -78,13 +78,90 @@ def _zigzag_decode(b: bytes, at: int) -> tuple[int, int]:
     return (n >> 1) ^ -(n & 1), at
 
 
-def _check_type(t) -> None:
+_PRIMITIVES = (
+    "long", "int", "string", "double", "float", "boolean", "bytes",
+)
+
+
+def _resolve_named_types(t, names: dict, ns: str | None = None):
+    """Replace NAMED-TYPE REFERENCES (r15 — a string naming a
+    previously defined record/enum/fixed, plain, namespace-qualified,
+    or qualified by the INHERITED enclosing namespace per spec) with
+    shared references to their definitions. Registration happens
+    before a record's fields resolve, so RECURSIVE schemas (trees,
+    linked lists) resolve into self-referential structures — decode
+    terminates because the DATA does (a union's null branch)."""
+    if isinstance(t, str):
+        return names.get(t, t)
+    if isinstance(t, list):
+        return [_resolve_named_types(x, names, ns) for x in t]
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            out = {k: v for k, v in t.items() if k != "fields"}
+            sub_ns = _register_name(t, out, names, ns)
+            out["fields"] = []
+            for f in t["fields"]:
+                out["fields"].append(
+                    {
+                        "name": f["name"],
+                        "type": _resolve_named_types(
+                            f["type"], names, sub_ns
+                        ),
+                    }
+                )
+            return out
+        if kind in ("enum", "fixed"):
+            _register_name(t, t, names, ns)
+            return t
+        if kind == "array":
+            return {
+                **t,
+                "items": _resolve_named_types(t["items"], names, ns),
+            }
+        if kind == "map":
+            return {
+                **t,
+                "values": _resolve_named_types(t["values"], names, ns),
+            }
+    return t
+
+
+def _register_name(
+    t: dict, resolved, names: dict, inherited_ns: str | None
+) -> str | None:
+    """Register under the short name AND the fullname (own namespace,
+    else the inherited one, per the spec's namespace rules); returns
+    the namespace the type's CHILDREN inherit."""
+    name = t.get("name")
+    if not name:
+        return inherited_ns
+    if "." in name:  # fullname given inline
+        ns, short = name.rsplit(".", 1)
+        names[name] = resolved
+        names[short] = resolved
+        return ns
+    ns = t.get("namespace", inherited_ns)
+    names[name] = resolved
+    if ns:
+        names[f"{ns}.{name}"] = resolved
+    return ns
+
+
+def _check_type(t, _seen: set | None = None) -> None:
     """Validate one schema type node — primitives, GENERAL unions
     (r15: any ``[A, B, …]`` branch list — decode was always a zigzag
     branch index plus the branch's decoder; the spec's two union rules
     are enforced: no immediately-nested unions, no duplicate branch
-    types), and (r14) the complex types: ``array``, nested ``record``,
-    ``map``, ``enum``, ``fixed``."""
+    types), (r14) the complex types: ``array``, nested ``record``,
+    ``map``, ``enum``, ``fixed``, and (r15) logical-type annotations.
+    ``_seen`` breaks cycles in name-resolved RECURSIVE schemas."""
+    if _seen is None:
+        _seen = set()
+    if isinstance(t, dict):
+        if id(t) in _seen:
+            return
+        _seen.add(id(t))
     if isinstance(t, list):
         if not t:
             raise ValueError("avro union without branches")
@@ -99,19 +176,19 @@ def _check_type(t) -> None:
                 raise ValueError(f"avro union duplicates branch {key!r}")
             seen.add(key)
             if sub != "null":
-                _check_type(sub)
+                _check_type(sub, _seen)
         return
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "array":
-            _check_type(t["items"])
+            _check_type(t["items"], _seen)
             return
         if kind == "map":
-            _check_type(t["values"])
+            _check_type(t["values"], _seen)
             return
         if kind == "record":
             for f in t["fields"]:
-                _check_type(f["type"])
+                _check_type(f["type"], _seen)
             return
         if kind == "enum":
             if not t.get("symbols"):
@@ -121,15 +198,32 @@ def _check_type(t) -> None:
             if not isinstance(t.get("size"), int):
                 raise ValueError("avro fixed without size")
             return
+        if kind in _PRIMITIVES:
+            # r15: logical types are ANNOTATIONS over a primitive
+            # ({"type": "long", "logicalType": "timestamp-micros"}) —
+            # decimal converts (unscaled two's-complement bytes ↔
+            # Decimal), everything else passes the raw primitive
+            # through, per spec ("unknown logical types: use the
+            # underlying type")
+            if t.get("logicalType") == "decimal":
+                if kind not in ("bytes", "fixed") or not isinstance(
+                    t.get("precision"), int
+                ):
+                    raise ValueError(
+                        "avro decimal needs bytes/fixed + precision"
+                    )
+            return
         raise ValueError(f"avro complex type {kind!r} unsupported (seam)")
-    if t not in ("long", "int", "string", "double", "float",
-                 "boolean", "bytes"):
+    if t not in _PRIMITIVES:
         raise ValueError(f"avro type {t!r} unsupported (seam)")
 
 
 def _field_types(schema: dict) -> list[tuple[str, object]]:
     if schema.get("type") != "record":
         raise ValueError("avro reader supports record schemas (seam)")
+    # r15: named-type references resolve first (shared-reference
+    # expansion, recursion-safe), then the resolved tree validates
+    schema = _resolve_named_types(schema, {})
     out = []
     for f in schema["fields"]:
         _check_type(f["type"])
@@ -195,6 +289,20 @@ def _decode_value(t, b: bytes, at: int):
         for f in t["fields"]:
             rec[f["name"]], at = _decode_value(f["type"], b, at)
         return rec, at
+    if isinstance(t, dict) and t.get("type") in _PRIMITIVES:
+        # r15: logical-type annotation — decimal converts, every other
+        # annotation (date, time-*, timestamp-*, uuid) passes the raw
+        # primitive through per spec
+        if t.get("logicalType") == "decimal" and t["type"] == "bytes":
+            import decimal
+
+            raw, at = _decode_value("bytes", b, at)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return (
+                decimal.Decimal(unscaled).scaleb(-int(t.get("scale", 0))),
+                at,
+            )
+        return _decode_value(t["type"], b, at)
     if t in ("long", "int"):
         return _zigzag_decode(b, at)
     if t in ("string", "bytes"):
@@ -247,6 +355,18 @@ def _union_branch(t: list, v) -> int:
                 return i
             if kind == "fixed" and isinstance(v, (bytes, bytearray)):
                 return i
+            if kind in _PRIMITIVES:  # r15: logical-type branch
+                import decimal
+
+                if sub.get("logicalType") == "decimal" and isinstance(
+                    v, decimal.Decimal
+                ):
+                    return i
+                if kind in ("long", "int") and isinstance(v, int) \
+                        and not isinstance(v, bool):
+                    return i
+                if kind == "string" and isinstance(v, str):
+                    return i
     raise ValueError(f"avro union has no branch for {type(v).__name__}")
 
 
@@ -281,6 +401,22 @@ def _encode_value(t, v) -> bytes:
         return b"".join(
             _encode_value(f["type"], v[f["name"]]) for f in t["fields"]
         )
+    if isinstance(t, dict) and t.get("type") in _PRIMITIVES:
+        if t.get("logicalType") == "decimal" and t["type"] == "bytes":
+            import decimal
+
+            unscaled = int(
+                decimal.Decimal(v).scaleb(int(t.get("scale", 0)))
+            )
+            n = 1
+            while True:
+                try:
+                    raw = unscaled.to_bytes(n, "big", signed=True)
+                    break
+                except OverflowError:
+                    n += 1
+            return _encode_value("bytes", raw)
+        return _encode_value(t["type"], v)
     if t in ("long", "int"):
         return _zigzag_encode(int(v))
     if t == "string":
@@ -558,6 +694,79 @@ def read_tagged_avro(spark: SparkSession, path: str) -> DataFrame:
             gen,
             schema="doc_id long, tag_branch int, tag_long long, "
             "tag_str string",
+        )
+    )
+
+
+#: logical types + named-type references in one export shape (r15):
+#: timestamp-micros, date, decimal(10,2), and an enum defined once and
+#: referenced twice (short + namespace-qualified) — what a warehouse
+#: export of an events/billing table actually declares
+LOGICAL_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "billed_event",
+    "namespace": "tsdb.export",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "amount", "type": {"type": "bytes",
+                                    "logicalType": "decimal",
+                                    "precision": 10, "scale": 2}},
+        {"name": "c1", "type": {"type": "enum", "name": "color",
+                                "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "c2", "type": "color"},
+        {"name": "c3", "type": "tsdb.export.color"},
+    ],
+}
+
+
+def read_logical_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, ts_us, day, amount_cents, c1, c2, c3) from ``.avro``
+    files with the :data:`LOGICAL_AVRO_SCHEMA` shape — timestamps and
+    dates surface as their raw epoch numerics (the annotation is
+    metadata; casting to TIMESTAMP/DATE is one expression downstream),
+    the decimal surfaces as its exact unscaled integer (cents), and
+    the enum references resolve through the names registry. Strict —
+    a billing export that doesn't decode should fail loudly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                _schema, recs, _ = avro_scan(bytes(content), strict=True)
+                for r in recs:
+                    rows.append(
+                        (
+                            r["doc_id"],
+                            r["ts"],
+                            r["day"],
+                            int(r["amount"].scaleb(2)),
+                            r["c1"],
+                            r["c2"],
+                            r["c3"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ts_us", "day", "amount_cents",
+                    "c1", "c2", "c3",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            gen,
+            schema="doc_id long, ts_us long, day int, "
+            "amount_cents long, c1 string, c2 string, c3 string",
         )
     )
 
