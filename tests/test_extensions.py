@@ -4636,3 +4636,71 @@ def test_r15_tar_pax_and_base256():
     )
     got, errs = A.tar_scan(stream, strict=False)
     assert got == [("keep.txt", b"keep")] and errs == []
+
+
+def test_r15_zip_name_encodings_and_avro_routing():
+    """r15: ZIP name-encoding fidelity — writer declares UTF-8 via
+    flag bit 11 for non-ASCII names (roundtrip, incl. encrypted),
+    bit-11-less names decode CP437 per APPNOTE appendix D, and the
+    Info-ZIP 0x7075 Unicode Path extra overrides WHEN its CRC over the
+    standard name matches (stale fields ignored). Plus: Avro
+    containers inside archives route by magic (kind='avro')."""
+    import zlib as _zlib
+
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.sources import avro as AV
+
+    members = [("päckchen/naïve.txt", b"one"), ("plain.txt", b"two")]
+    for pw in (None, b"pw"):
+        z = A.zip_build(members, deflate=False, password=pw)
+        assert A.zip_members(z, password=pw) == members, pw
+    # flag bit 11 really set for the non-ASCII member only
+    z = A.zip_build(members, deflate=False)
+    cd = z.find(b"PK\x01\x02")
+    assert int.from_bytes(z[cd + 8 : cd + 10], "little") & 0x800
+    # bit-11-less high bytes decode CP437 (0x82 = 'é')
+    z = bytearray(A.zip_build([("x", b"d")], deflate=False))
+    z[bytes(z).find(b"PK\x03\x04") + 30] = 0x82
+    z[bytes(z).find(b"PK\x01\x02") + 46] = 0x82
+    assert A.zip_members(bytes(z))[0][0] == "é"
+    # 0x7075 Unicode Path: valid CRC overrides, stale CRC is ignored
+    name_raw = b"legacy.txt"
+    uni = "уникод.txt".encode("utf-8")
+
+    def with_7075(crc: int) -> bytes:
+        body = bytes([1]) + crc.to_bytes(4, "little") + uni
+        extra = (0x7075).to_bytes(2, "little") + len(body).to_bytes(
+            2, "little"
+        ) + body
+        z = bytearray(A.zip_build([("legacy.txt", b"dd")], deflate=False))
+        cd = bytes(z).find(b"PK\x01\x02")
+        # splice the extra into the CD entry (elen was 0)
+        z[cd + 30 : cd + 32] = len(extra).to_bytes(2, "little")
+        at = cd + 46 + len(name_raw)
+        z[at:at] = extra
+        # EOCD cd-size/offset stay valid: extra rides INSIDE the cd,
+        # so only cd size changes
+        eocd = bytes(z).rfind(b"PK\x05\x06")
+        size = int.from_bytes(z[eocd + 12 : eocd + 16], "little")
+        z[eocd + 12 : eocd + 16] = (size + len(extra)).to_bytes(
+            4, "little"
+        )
+        return bytes(z)
+
+    good = with_7075(_zlib.crc32(name_raw))
+    assert A.zip_members(good)[0][0] == "уникод.txt"
+    stale = with_7075(_zlib.crc32(b"other name"))
+    assert A.zip_members(stale)[0][0] == "legacy.txt"
+    # avro members route by magic and decode through avro_scan
+    shard = AV.avro_build(
+        [{"doc_id": 1, "text": "inside a tarball"}],
+        AV.CORPUS_AVRO_SCHEMA,
+    )
+    assert A.sniff_kind(shard) == "avro"
+    tar = A.tar_build([("part-0.avro", shard), ("note.txt", b"hi")])
+    kinds = {
+        n: A.sniff_kind(d) for n, d in A.tar_members(tar)
+    }
+    assert kinds == {"part-0.avro": "avro", "note.txt": "text"}
+    _s, recs = AV.avro_records(dict(A.tar_members(tar))["part-0.avro"])
+    assert recs == [{"doc_id": 1, "text": "inside a tarball"}]

@@ -22,21 +22,37 @@ def three_formats(spark, tmp_path_factory):
     json_path = str(base / "t.jsonl")
     csv_path = str(base / "t.csv")
     orc_path = str(base / "t.orc")
+    avro_dir = str(base / "avro")
     pdf.to_parquet(pq_path)
     pdf.to_json(json_path, orient="records", lines=True)
     pdf.to_csv(csv_path, index=False)
     fx.coalesce(1).write.mode("overwrite").orc(orc_path)  # r10
-    return pq_path, json_path, csv_path, orc_path
+    # r15: the same rows as an Avro container (timestamp-millis)
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+
+    os.makedirs(avro_dir)
+    with open(os.path.join(avro_dir, "t.avro"), "wb") as f:
+        f.write(
+            AV.avro_build(
+                pdf.to_dict("records"),
+                AV.TSDB_AVRO_SCHEMA,
+                codec="snappy",
+            )
+        )
+    return pq_path, json_path, csv_path, orc_path, avro_dir
 
 
 def test_all_formats_agree(spark, three_formats):
     qm = QueryModel(agg_func=Agg.SUM, group_by=GroupBy.TAG)
     results = []
     for path in three_formats:
-        df = compile_query(read_tsdb_any(spark, path), qm)
+        fmt = "avro" if path.endswith("avro") else None
+        df = compile_query(read_tsdb_any(spark, path, fmt=fmt), qm)
         results.append(sorted((r["grp"], round(r["result"], 4)) for r in df.collect()))
-    assert results[0] == results[1] == results[2] == results[3]
-    assert len(results[0]) == 4
+    assert all(r == results[0] for r in results[1:])
+    assert len(results) == 5 and len(results[0]) == 4
 
 
 def test_bad_enum_is_illegal_query():

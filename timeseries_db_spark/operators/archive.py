@@ -403,7 +403,14 @@ def zip_scan(
         elen = int.from_bytes(b[at + 30 : at + 32], "little")
         clen = int.from_bytes(b[at + 32 : at + 34], "little")
         lho = int.from_bytes(b[at + 42 : at + 46], "little")
-        name = b[at + 46 : at + 46 + nlen].decode("utf-8", "replace")
+        raw_name = b[at + 46 : at + 46 + nlen]
+        # r15 (name-encoding fidelity): APPNOTE appendix D — names are
+        # CP437 unless general-purpose bit 11 declares UTF-8; the
+        # Info-ZIP 0x7075 Unicode Path extra field (parsed below)
+        # overrides both when its CRC over the standard name matches
+        name = raw_name.decode(
+            "utf-8" if flags & 0x800 else "cp437", "replace"
+        )
         extra = b[at + 46 + nlen : at + 46 + nlen + elen]
         # ZIP64 extra field 0x0001: 8-byte values, present ONLY for
         # the fields the fixed entry marked 0xFFFFFFFF, in spec order
@@ -432,6 +439,17 @@ def zip_scan(
                     extra[j + 8],
                     int.from_bytes(extra[j + 9 : j + 11], "little"),
                 )
+            elif fid == 0x7075 and flen >= 6 and extra[j + 4] == 1:
+                # Info-ZIP Unicode Path: version 1, CRC-32 of the
+                # STANDARD name field (stale entries must be ignored
+                # when the name was edited without the field), UTF-8
+                if (
+                    int.from_bytes(extra[j + 5 : j + 9], "little")
+                    == zlib.crc32(raw_name)
+                ):
+                    name = extra[j + 9 : j + 4 + flen].decode(
+                        "utf-8", "replace"
+                    )
             j += 4 + flen
         at += 46 + nlen + elen + clen
         # per-member extraction: under strict=False an error here
@@ -660,7 +678,9 @@ def zip_build(
         else:
             raw = data
             method = 0
-        flags = b"\x00\x00"
+        # r15: APPNOTE appendix D — non-ASCII names declare UTF-8 via
+        # general-purpose bit 11 (without it a reader must decode CP437)
+        fl = 0x800 if any(c > 0x7F for c in nb) else 0
         extra_local = b""
         if aes_strength is not None:
             raw = _winzip_aes_encrypt(name, raw, password, aes_strength)
@@ -674,16 +694,17 @@ def zip_build(
             )
             method = 99
             crc = 0  # AE-2: the HMAC is the integrity check
-            flags = b"\x01\x00"
+            fl |= 0x01
         elif password is not None:
             if zc_bit3:
                 raw = zipcrypto_encrypt(
                     raw, password, crc, check_byte=_ZC_BIT3_TIME >> 8
                 )
-                flags = b"\x09\x00"
+                fl |= 0x09
             else:
                 raw = zipcrypto_encrypt(raw, password, crc)
-                flags = b"\x01\x00"
+                fl |= 0x01
+        flags = fl.to_bytes(2, "little")
         lho = len(out)
         dostime = (
             _ZC_BIT3_TIME.to_bytes(2, "little") + b"\x00\x00"
@@ -801,12 +822,15 @@ _MAGIC_KINDS: list[tuple[bytes, str]] = [
     (b"\x1aE\xdf\xa3", "video"),
     (b"%PDF-", "pdf"),
     (b"WARC/", "warc"),
+    (b"Obj\x01", "avro"),  # r15: Avro containers route to avro_scan
 ]
 
 
 def sniff_kind(data: bytes) -> str:
     """The asset kind a member's MAGIC routes it to — image / audio /
-    video / pdf / warc / text (valid UTF-8) / other."""
+    video / pdf / warc / avro (r15: a tarball of Avro shards is a real
+    arrival shape; the member payload feeds ``sources/avro.py``
+    directly) / archive / text (valid UTF-8) / other."""
     for magic, kind in _MAGIC_KINDS:
         if data[: len(magic)] == magic:
             if magic == b"RIFF" and data[8:12] == b"AVI ":

@@ -698,6 +698,53 @@ def read_tagged_avro(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: the tsdb measurement schema as Avro (r15) — how a Kafka-archived
+#: measurement stream lands: the timestamp carries the
+#: ``timestamp-millis`` logical type (epoch millis IS the engine's
+#: native representation, so it passes straight through)
+TSDB_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "measurement",
+    "fields": [
+        {"name": "timestamp", "type": {"type": "long",
+                                       "logicalType": "timestamp-millis"}},
+        {"name": "tag", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+def read_tsdb_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(timestamp long, tag string, value double) from ``.avro``
+    container files — the tsdb arrival path behind
+    :func:`timeseries_db_spark.sources.tables.read_tsdb_any`. Strict
+    (a measurement archive that doesn't decode should fail loudly,
+    like the parquet/ORC scans would)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                _schema, recs, _ = avro_scan(bytes(content), strict=True)
+                for r in recs:
+                    rows.append((r["timestamp"], r["tag"], r["value"]))
+            yield pd.DataFrame(
+                rows, columns=["timestamp", "tag", "value"]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            gen, schema="timestamp long, tag string, value double"
+        )
+    )
+
+
 #: logical types + named-type references in one export shape (r15):
 #: timestamp-micros, date, decimal(10,2), and an enum defined once and
 #: referenced twice (short + namespace-qualified) — what a warehouse

@@ -84,9 +84,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tsdb_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Read a tsdb-shaped table ``(timestamp long, tag string, value
-    double)`` from parquet, JSON-lines, or CSV (the reference's only
-    ingest format is JSON bodies — ``Api.hs:33-38`` — so JSON files are
-    first-class here). Format inferred from the extension unless given.
+    double)`` from parquet, JSON-lines, CSV, ORC, or (r15) Avro (the
+    reference's only ingest format is JSON bodies — ``Api.hs:33-38`` —
+    so JSON files are first-class here; Avro is how a Kafka-archived
+    measurement stream lands, its ``timestamp-millis`` logical type
+    passing straight through as the engine's epoch-millis long).
+    Format inferred from the extension unless given.
 
     The explicit schema matters twice over: it skips the inference scan
     (which reads the whole file at 100 TB) and pins the exact types the
@@ -94,9 +97,10 @@ def read_tsdb_any(spark: SparkSession, path: str, fmt: str | None = None) -> Dat
     discovered mid-query)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"json": "json", "jsonl": "json", "csv": "csv", "orc": "orc"}.get(
-            ext, "parquet"
-        )
+        fmt = {
+            "json": "json", "jsonl": "json", "csv": "csv",
+            "orc": "orc", "avro": "avro",
+        }.get(ext, "parquet")
     schema = "timestamp long, tag string, value double"
     if fmt == "json":
         return spark.read.schema(schema).json(path)
@@ -104,6 +108,10 @@ def read_tsdb_any(spark: SparkSession, path: str, fmt: str | None = None) -> Dat
         return spark.read.schema(schema).option("header", "true").csv(path)
     if fmt == "orc":  # r10: Spark-native columnar alternative, pushdown-capable
         return spark.read.schema(schema).orc(path)
+    if fmt == "avro":  # r15: from-spec container read, no spark-avro jar
+        from timeseries_db_spark.sources.avro import read_tsdb_avro
+
+        return read_tsdb_avro(spark, path)
     return spark.read.schema(schema).parquet(path)
 
 
