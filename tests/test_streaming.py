@@ -1313,3 +1313,55 @@ def test_csv_streaming_quarantines_broken_lines(spark, tmp_path):
     rej = xi.read_csv_rejects(spark, out_dir).collect()
     assert len(rej) == 1
     assert rej[0]["line"].startswith("9,broken row") and rej[0]["batch"] == 0
+
+
+def test_jsonl_streaming_quarantines_broken_lines(spark, tmp_path):
+    """r15: JSONL shards as the streaming arrival unit — the batch
+    reader's from_json quarantine projection under a streaming query:
+    clean docs publish across batches, malformed JSON dead-letters
+    with its raw line, blank lines are separators (never phantom
+    docs)."""
+    import os
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+
+    shard0 = (
+        '{"doc_id": 0, "text": "streamed jsonl body zero"}\n'
+        "\n"
+        '{"doc_id": 1, "text": "streamed jsonl body one"}\n'
+        '{"doc_id": 9, "text": BROKEN}\n'
+    )
+    shard1 = '{"doc_id": 2, "text": "later arrival two"}\n'
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, body in enumerate((shard0, shard1)):
+        p = str(in_dir / f"j{i}.jsonl")
+        with open(p, "w") as f:
+            f.write(body)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = ji.start_jsonl_corpus_ingest(
+        ji.read_jsonl_line_stream(
+            spark, str(in_dir), max_files_per_trigger=1
+        ),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    assert pub == {
+        0: "streamed jsonl body zero",
+        1: "streamed jsonl body one",
+        2: "later arrival two",
+    }
+    rej = ji.read_jsonl_rejects(spark, out_dir).collect()
+    assert len(rej) == 1
+    assert "BROKEN" in rej[0]["line"] and rej[0]["batch"] == 0

@@ -277,6 +277,29 @@ CORPUS_SCHEMA = (
 )
 
 
+def jsonl_lines_to_corpus(lines: DataFrame) -> DataFrame:
+    """The JSONL quarantine projection (r15 — factored out of
+    :func:`read_corpus_any` so the STREAMING jsonl arrival path reuses
+    it verbatim): blank/whitespace lines are record separators, not
+    records — ``from_json('')`` yields an all-NULL struct with
+    ``_corrupt`` unset, which would pass the clean filter as a phantom
+    document (the json reader's drop/fail modes skip blank lines too —
+    match them). ``rlike(\\S)``, not ``trim()``: trim strips only
+    spaces, so a tab-only line would still slip through
+    (code-review r8)."""
+    return (
+        lines.filter(F.col("value").rlike(r"\S"))
+        .select(
+            F.from_json(
+                F.col("value"),
+                CORPUS_SCHEMA + ", _corrupt string",
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
 def csv_lines_to_corpus(lines: DataFrame, sep: str = ",") -> DataFrame:
     """The line-record CSV quarantine projection (r15 — factored out of
     :func:`read_corpus_any` so the STREAMING csv arrival path reuses it
@@ -372,25 +395,7 @@ def read_corpus_any(
         return read_corpus_avro(spark, path, on_malformed=on_malformed)
     if fmt == "json":
         if on_malformed == "quarantine":
-            return (
-                spark.read.text(path)
-                # blank/whitespace lines are record separators, not
-                # records: from_json('') yields an all-NULL struct with
-                # _corrupt unset, which would pass the clean filter as
-                # a phantom document (the json reader's drop/fail modes
-                # skip blank lines too — match them). rlike(\S), not
-                # trim(): trim strips only spaces, so a tab-only line
-                # would still slip through (code-review r8)
-                .filter(F.col("value").rlike(r"\S"))
-                .select(
-                    F.from_json(
-                        F.col("value"),
-                        CORPUS_SCHEMA + ", _corrupt string",
-                        {"columnNameOfCorruptRecord": "_corrupt"},
-                    ).alias("r")
-                )
-                .select("r.*")
-            )
+            return jsonl_lines_to_corpus(spark.read.text(path))
         mode = {"drop": "DROPMALFORMED", "fail": "FAILFAST"}[on_malformed]
         return spark.read.schema(CORPUS_SCHEMA).option("mode", mode).json(path)
     return spark.read.schema(CORPUS_SCHEMA).parquet(path)
