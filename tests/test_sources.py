@@ -708,3 +708,63 @@ def test_avro_logical_types_and_named_refs(spark, tmp_path):
         1_700_000_000_000_004, 19_004, 12_345 + 28 - 20_000,
         "GREEN", "BLUE", "RED",
     )
+
+
+def test_corpus_xz_wrapped_shards(spark, tmp_path):
+    """r15: .jsonl.xz / .csv.xz shards — Hadoop ships no XZ codec, so
+    the whole-file lzma kernel serves them through the SAME line
+    projections (identical quarantine semantics); .gz/.bz2 keep the
+    native Hadoop text path."""
+    import lzma
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "xz"
+    d.mkdir()
+    body0 = (
+        '{"doc_id": 0, "text": "xz shard zero"}\n'
+        '{"doc_id": 1, "text": "xz shard one"}\n'
+        '{"doc_id": 9, "text": BROKEN}\n'
+    )
+    body1 = '{"doc_id": 2, "text": "xz shard two"}\n'
+    (d / "part-0.jsonl.xz").write_bytes(lzma.compress(body0.encode()))
+    (d / "part-1.jsonl.xz").write_bytes(lzma.compress(body1.encode()))
+    got = read_corpus_any(spark, str(d), fmt="jsonl.xz").collect()
+    clean = {r["doc_id"]: r["text"] for r in got if r["_corrupt"] is None}
+    assert clean == {0: "xz shard zero", 1: "xz shard one", 2: "xz shard two"}
+    assert sum(1 for r in got if r["_corrupt"] is not None) == 1
+    dropped = read_corpus_any(
+        spark, str(d), fmt="jsonl.xz", on_malformed="drop"
+    )
+    assert dropped.count() == 3 and "_corrupt" not in dropped.columns
+    # a direct file path infers both extensions
+    one = read_corpus_any(spark, str(d / "part-1.jsonl.xz")).collect()
+    assert [(r["doc_id"], r["text"]) for r in one] == [(2, "xz shard two")]
+    # csv inside xz
+    c = tmp_path / "csvxz"
+    c.mkdir()
+    (c / "p.csv.xz").write_bytes(
+        lzma.compress(
+            b"doc_id,text,lang,source,n_chars\n"
+            b"5,csv in xz,en,web,9\n"
+            b"-9,bad,en,web,NOPE\n"
+        )
+    )
+    got = read_corpus_any(spark, str(c), fmt="csv.xz").collect()
+    assert {r["doc_id"] for r in got if r["_corrupt"] is None} == {5}
+    assert sum(1 for r in got if r["_corrupt"] is not None) == 1
+    with _pytest.raises(ValueError, match="quarantine/drop"):
+        read_corpus_any(spark, str(d), fmt="jsonl.xz", on_malformed="fail")
+    # the native Hadoop path still serves .jsonl.gz transparently
+    import gzip
+
+    g = tmp_path / "gz"
+    g.mkdir()
+    (g / "p.jsonl.gz").write_bytes(
+        gzip.compress(b'{"doc_id": 7, "text": "gz native"}\n')
+    )
+    got = read_corpus_any(spark, str(g), fmt="json").collect()
+    assert [(r["doc_id"], r["text"]) for r in got
+            if r["_corrupt"] is None] == [(7, "gz native")]

@@ -17,7 +17,9 @@ Timestamps become Int64 epoch milliseconds — lossless vs the reference's
 from __future__ import annotations
 
 import os
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -277,6 +279,38 @@ CORPUS_SCHEMA = (
 )
 
 
+def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
+    """(value string) — the lines of ``.xz``-wrapped text shards
+    (r15): Hadoop ships no XZ codec, so ``spark.read.text`` cannot
+    serve the ``.jsonl.xz`` / ``.csv.xz`` layout public corpora
+    actually publish in (xz is whole-file anyway — not splittable —
+    so per-FILE parallelism via ``binaryFile`` + stdlib ``lzma`` in
+    the Arrow kernel loses nothing; size shards accordingly, the same
+    rule as gzip). Composes under the same line projections as the
+    uncompressed readers."""
+    import lzma
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows: list[str] = []
+            for content in pdf["content"]:
+                text = lzma.decompress(bytes(content)).decode(
+                    "utf-8", "replace"
+                )
+                rows.extend(text.split("\n"))
+            yield pd.DataFrame({"value": rows})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="value string")
+    )
+
+
 def jsonl_lines_to_corpus(lines: DataFrame) -> DataFrame:
     """The JSONL quarantine projection (r15 — factored out of
     :func:`read_corpus_any` so the STREAMING jsonl arrival path reuses
@@ -368,8 +402,38 @@ def read_corpus_any(
     if fmt is None:
         fmt = {
             "json": "json", "jsonl": "json", "orc": "orc",
-            "avro": "avro", "csv": "csv", "tsv": "tsv",
+            "avro": "avro", "csv": "csv", "tsv": "tsv", "xz": "xz",
         }.get(ext, "parquet")
+    if fmt == "xz" or fmt in ("jsonl.xz", "csv.xz", "tsv.xz"):
+        # r15: .jsonl.xz / .csv.xz shards (the layout public corpora
+        # publish in; Hadoop has no XZ codec — .gz/.bz2 go through the
+        # native text path below untouched). Whole-file lzma in the
+        # Arrow kernel, then the SAME line projections — so the
+        # quarantine semantics are identical to the uncompressed read.
+        inner = (
+            fmt.split(".")[0]
+            if "." in fmt
+            else os.path.splitext(os.path.splitext(path)[0])[1]
+            .lstrip(".")
+            .lower()
+            or "jsonl"
+        )
+        if on_malformed not in ("quarantine", "drop"):
+            raise ValueError(
+                "xz-wrapped reads support on_malformed="
+                "quarantine/drop (line-record modes)"
+            )
+        lines = xz_lines(spark, path)
+        out = (
+            csv_lines_to_corpus(
+                lines, sep="\t" if inner == "tsv" else ","
+            )
+            if inner in ("csv", "tsv")
+            else jsonl_lines_to_corpus(lines)
+        )
+        if on_malformed == "drop":
+            out = out.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        return out
     sep = "\t" if "tsv" in (fmt, ext) else ","
     if fmt == "tsv":
         fmt = "csv"
