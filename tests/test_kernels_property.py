@@ -589,7 +589,7 @@ _members = st.lists(
 
 @given(
     _members,
-    st.sampled_from(["tar", "zip", "zip-stored"]),
+    st.sampled_from(["tar", "tar-pax", "zip", "zip-stored"]),
     st.integers(min_value=0, max_value=10_000),
 )
 @settings(max_examples=120, deadline=None)
@@ -598,10 +598,17 @@ def test_archive_scan_tolerant_never_raises(members, container, flip_at):
     never raises, every recovered member is a member of the original
     set (tar) or exactly matches its original content (zip — names
     come from the CRC-verified central directory), and an altered
-    archive either still yields everything or records >= 1 error."""
+    archive either still yields everything or records >= 1 error.
+    r15: the tar-pax variant forces every name through an ``x``
+    extended header, so the pax record parser sits in the corruption
+    path too."""
     from timeseries_db_spark.operators import archive as A
 
-    if container == "tar":
+    if container == "tar-pax":
+        members = [("p" * 110 + n, d) for n, d in members]
+        arc = A.tar_build(members, pax=True)
+        assert b"PaxHeaders" in arc
+    elif container == "tar":
         arc = A.tar_build(members)
     else:
         arc = A.zip_build(members, deflate=(container == "zip"))
@@ -611,7 +618,7 @@ def test_archive_scan_tolerant_never_raises(members, container, flip_at):
     dirty[flip_at % len(dirty)] ^= 0xA5
     got2, errs2 = A.archive_scan(bytes(dirty), strict=False)  # no raise
     by_name = dict(members)
-    if container != "tar":
+    if container.startswith("zip"):
         for name, data in got2:
             # a zip member that survives CRC verification is intact
             if name in by_name:
