@@ -545,3 +545,51 @@ def test_robots_admission_broadcasts_rules(spark):
     assert len(_nodes(plan, "BroadcastHashJoin")) >= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_arrival_readers_are_map_only(spark, tmp_path):
+    """r15: the arrival-format readers must plan as a single
+    Arrow-batched map over the file scan — zero Exchanges, exactly one
+    Python stage (MapInPandas), nothing Python-side beyond it. At
+    100 TB an accidental shuffle in a decode stage would dominate the
+    whole ingest."""
+    import lzma
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "a"
+    d.mkdir()
+    (d / "p.avro").write_bytes(
+        AV.avro_build(
+            [{"doc_id": 1, "text": "x"}], AV.CORPUS_AVRO_SCHEMA,
+            codec="snappy",
+        )
+    )
+    (d / "t.avro").write_bytes(
+        AV.avro_build(
+            [{"doc_id": 1, "tag": None}], AV.TAGGED_AVRO_SCHEMA
+        )
+    )
+    x = tmp_path / "x"
+    x.mkdir()
+    (x / "p.jsonl.xz").write_bytes(
+        lzma.compress(b'{"doc_id": 1, "text": "x"}\n')
+    )
+    frames = {
+        "corpus_avro": read_corpus_any(spark, str(d), fmt="avro"),
+        "tagged_avro": AV.read_tagged_avro(spark, str(d)),
+        "xz_jsonl": read_corpus_any(spark, str(x), fmt="jsonl.xz"),
+    }
+    for name, df in frames.items():
+        plan = _formatted_plan(spark, df)
+        assert not _nodes(plan, "Exchange"), (name, plan)
+        n_py = len(_nodes(plan, "MapInPandas")) + len(
+            _nodes(plan, "ArrowEvalPython")
+        )
+        # xz composes the lzma kernel with a JVM from_json projection:
+        # still exactly ONE Python stage; the pure-Catalyst projection
+        # adds no second one
+        assert n_py == 1, (name, plan)
+        assert not _nodes(plan, "BatchEvalPython"), (name, plan)
