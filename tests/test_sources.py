@@ -768,3 +768,31 @@ def test_corpus_xz_wrapped_shards(spark, tmp_path):
     got = read_corpus_any(spark, str(g), fmt="json").collect()
     assert [(r["doc_id"], r["text"]) for r in got
             if r["_corrupt"] is None] == [(7, "gz native")]
+    # CONCATENATED xz streams (the pigz shape) continue seamlessly
+    cc = tmp_path / "cat"
+    cc.mkdir()
+    (cc / "p.jsonl.xz").write_bytes(
+        lzma.compress(b'{"doc_id": 10, "text": "s one"}\n')
+        + lzma.compress(b'{"doc_id": 11, "text": "s two"}\n')
+    )
+    got = read_corpus_any(spark, str(cc), fmt="jsonl.xz").collect()
+    assert {r["doc_id"] for r in got if r["_corrupt"] is None} == {10, 11}
+    # corrupt / truncated shards keep the lines already decoded and
+    # land exactly one quarantined sentinel row each
+    dirty = tmp_path / "dirty"
+    dirty.mkdir()
+    many = b"".join(
+        b'{"doc_id": %d, "text": "row %d"}\n' % (i, i) for i in range(500)
+    )
+    comp = bytearray(lzma.compress(many))
+    comp[len(comp) // 2] ^= 0xFF
+    (dirty / "flip.jsonl.xz").write_bytes(bytes(comp))
+    (dirty / "trunc.jsonl.xz").write_bytes(
+        lzma.compress(many)[: len(comp) // 2]
+    )
+    got = read_corpus_any(spark, str(dirty), fmt="jsonl.xz").collect()
+    bad = [r for r in got if r["_corrupt"] is not None]
+    ok = [r for r in got if r["_corrupt"] is None]
+    assert len(bad) == 2
+    assert all("xz" in r["_corrupt"] for r in bad)
+    assert 0 < len(ok) < 1000  # prefixes decoded, damage bounded

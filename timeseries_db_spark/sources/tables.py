@@ -287,20 +287,66 @@ def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
     so per-FILE parallelism via ``binaryFile`` + stdlib ``lzma`` in
     the Arrow kernel loses nothing; size shards accordingly, the same
     rule as gzip). Composes under the same line projections as the
-    uncompressed readers."""
+    uncompressed readers.
+
+    Memory shape: INCREMENTAL decompression — output is drained in
+    bounded pieces and emitted per line batch, so peak memory is the
+    compressed file (binaryFile's unit) plus a few MB of window, never
+    the 5-10× decompressed text. Concatenated .xz streams (the pigz
+    shape) continue across stream boundaries; a CORRUPT shard keeps
+    the lines already decoded and appends one deliberately-unparseable
+    sentinel line (NUL prefix + the error), which the downstream
+    from_json/from_csv projection lands in ``_corrupt`` — the
+    dirty-arrival doctrine with no extra channel."""
     import lzma
+
+    def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
+        dec = lzma.LZMADecompressor()
+        tail = b""
+        pos = 0
+        out_cap = 4 << 20
+        in_chunk = 1 << 20
+        try:
+            while True:
+                if dec.eof:
+                    rest = dec.unused_data
+                    if not rest.strip(b"\x00"):
+                        break
+                    dec = lzma.LZMADecompressor()  # next stream
+                    data, pos = rest, 0
+                    continue
+                if dec.needs_input:
+                    if pos >= len(data):
+                        # input exhausted before the stream footer:
+                        # truncation (a clean end sets dec.eof first)
+                        raise lzma.LZMAError("xz stream truncated")
+                    piece = data[pos : pos + in_chunk]
+                    pos += in_chunk
+                else:
+                    piece = b""
+                tail += dec.decompress(piece, out_cap)
+                *lines, tail = tail.split(b"\n")
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "value": [
+                                ln.decode("utf-8", "replace")
+                                for ln in lines
+                            ]
+                        }
+                    )
+        except lzma.LZMAError as e:
+            yield pd.DataFrame({"value": [f"\x00xz corrupt: {e}"]})
+            tail = b""
+        if tail:
+            yield pd.DataFrame(
+                {"value": [tail.decode("utf-8", "replace")]}
+            )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            rows: list[str] = []
             for content in pdf["content"]:
-                text = lzma.decompress(bytes(content)).decode(
-                    "utf-8", "replace"
-                )
-                rows.extend(text.split("\n"))
-            yield pd.DataFrame({"value": rows})
+                yield from file_lines(bytes(content))
 
     return (
         spark.read.format("binaryFile")
