@@ -334,11 +334,60 @@ def _slope_ann_pq(spark, d: str):
     return sim.ann_topk_pq(spark, emb.filter("vec_id < 8"), emb, 10)
 
 
+# r15: the arrival-format decode surface joins the slope table — the
+# from-spec Avro walk (snappy blocks) over shards built from the
+# synthetic documents. The shard build is cached under the fixture dir
+# (first run pays it, min-of-runs measures the read), so the slope is
+# the DECODER's: binaryFile scan → per-block snappy inflate + CRC →
+# record decode → one tiny agg. Linear by construction (per-file
+# map-only); the row pins that it stays so.
+def _slope_avro_ingest(spark, d: str):
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    av_dir = os.path.join(d, "avro_shards")
+    done = os.path.join(av_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(av_dir, exist_ok=True)
+        pdf = (
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        ch = 10_000
+        for k in range(0, len(pdf), ch):
+            recs = [
+                {"doc_id": int(r.doc_id), "text": r.text}
+                for r in pdf.iloc[k : k + ch].itertuples()
+            ]
+            with open(os.path.join(av_dir, f"p{k}.avro"), "wb") as f:
+                f.write(
+                    AV.avro_build(
+                        recs,
+                        AV.CORPUS_AVRO_SCHEMA,
+                        codec="snappy",
+                        block_records=500,
+                    )
+                )
+        open(done, "w").close()
+    return (
+        read_corpus_any(spark, av_dir, fmt="avro")
+        .filter("_corrupt IS NULL")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )
+
+
 SLOPE_EXTRA = {
     "interval_overlap": _slope_interval_overlap,
     "corpus_ingest_stream": _slope_corpus_ingest,
     "ann_topk_ivfpq": _slope_ann_ivfpq,
     "ann_topk_pq": _slope_ann_pq,
+    "avro_ingest": _slope_avro_ingest,
 }
 
 
