@@ -1365,3 +1365,91 @@ def test_jsonl_streaming_quarantines_broken_lines(spark, tmp_path):
     rej = ji.read_jsonl_rejects(spark, out_dir).collect()
     assert len(rej) == 1
     assert "BROKEN" in rej[0]["line"] and rej[0]["batch"] == 0
+
+
+def test_archive_of_avro_shards_streams_to_corpus(spark, tmp_path):
+    """r15: a TARBALL OF .avro SHARDS as the arrival unit — members
+    route by magic, records decode with their own doc ids, a corrupt
+    block inside a member dead-letters (member_idx -2) while its
+    sibling blocks and the plain-text member still publish."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import archive_ingest as ai
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    recs = [
+        {"doc_id": 100 + i, "text": f"avro member doc {i} q{i * 3}"}
+        for i in range(20)
+    ]
+    shard = AV.avro_build(
+        recs, AV.CORPUS_AVRO_SCHEMA, codec="null", block_records=10
+    )
+    # poison block 1 (records 110..119): junk payload, framing intact
+    sync = hashlib.md5(
+        json.dumps(AV.CORPUS_AVRO_SCHEMA).encode()
+    ).digest()
+    at = shard.find(sync) + 16
+    c0, a2 = AV._zigzag_decode(shard, at)
+    s0, a3 = AV._zigzag_decode(shard, a2)
+    b1_at = a3 + s0 + 16
+    c1, b2 = AV._zigzag_decode(shard, b1_at)
+    s1, b3 = AV._zigzag_decode(shard, b1_at + (b2 - b1_at))
+    junk = b"\x80" * 26
+    poisoned = (
+        shard[:b1_at]
+        + AV._zigzag_encode(c1)
+        + AV._zigzag_encode(len(junk))
+        + junk
+        + sync
+        + shard[b3 + s1 + 16 :]
+    )
+    tar = A.tar_build(
+        [("part-0.avro", poisoned), ("note.txt", b"plain text member")]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    path = str(in_dir / "a0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "asset_id": pa.array([5], pa.int64()),
+                "kind": pa.array(["archive"]),
+                "payload": pa.array([tar], pa.binary()),
+            }
+        ),
+        path,
+    )
+    out_dir = str(tmp_path / "out")
+    q = ai.start_archive_corpus_ingest(
+        ai.read_archive_stream(spark, str(in_dir)),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+        include_avro=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    want = {
+        100 + i: f"avro member doc {i} q{i * 3}"
+        for i in range(20)
+        if not (10 <= i < 20)
+    }
+    # note.txt = member idx 1 of asset 5
+    want[5 * 1000 + 1] = "plain text member"
+    assert pub == want
+    rej = ai.read_archive_rejects(spark, out_dir).collect()
+    assert len(rej) == 1
+    assert rej[0]["member_idx"] == -2 and "block" in rej[0]["err"]

@@ -22,6 +22,9 @@ member_idx`` — same stride contract as the WARC ingest.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +36,46 @@ from timeseries_db_spark.streaming.corpus_ingest import (
 
 #: doc_id stride: members per archive the id scheme can absorb
 MEMBERS_PER_ASSET = 1000
+
+
+def avro_member_docs(expanded: DataFrame) -> DataFrame:
+    """(asset_id, doc_id, text, err) — the records of every
+    ``kind='avro'`` MEMBER (r15: a tarball of .avro shards is a real
+    arrival shape — ``sniff_kind`` routes the ``Obj`` magic, this
+    kernel decodes it): record ids come from the Avro rows themselves
+    (no stride), and a corrupt block inside a member costs one ``err``
+    row while its sibling blocks decode — the same per-block pricing
+    as the direct Avro arrival."""
+    from timeseries_db_spark.sources.avro import avro_scan
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                aid = int(asset_id)
+                _schema, recs, errs = avro_scan(
+                    bytes(payload), strict=False
+                )
+                for msg in errs:
+                    rows.append((aid, None, None, msg))
+                for r in recs:
+                    rows.append((aid, r["doc_id"], r.get("text"), None))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "doc_id", "text", "err"]
+            )
+
+    return (
+        expanded.filter(
+            (F.col("kind") == "avro") & F.col("err").isNull()
+        )
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="asset_id long, doc_id long, text string, err string",
+        )
+    )
 
 
 def read_archive_stream(
@@ -51,24 +94,33 @@ def read_archive_stream(
 
 
 def archive_docs(
-    stream: DataFrame, password: bytes | None = None
+    stream: DataFrame, password: bytes | None = None,
+    include_avro: bool = False,
 ) -> DataFrame:
     """(doc_id, text) — the corpus-ingest input expanded from an
     archive asset stream: one row per CLEAN text member (binary→string
     cast is the UTF-8 decode; members sniffed non-text — images, PDFs,
-    nested archives — never enter the corpus). Stateless, so it
-    composes under any streaming sink."""
-    return (
-        expand_archive_assets(stream, password=password)
-        .filter((F.col("kind") == "text") & F.col("err").isNull())
-        .select(
-            (
-                F.col("asset_id") * MEMBERS_PER_ASSET
-                + F.col("member_idx")
-            ).alias("doc_id"),
-            F.col("payload").cast("string").alias("text"),
-        )
+    nested archives — never enter the corpus). ``include_avro=True``
+    (r15) additionally decodes ``kind='avro'`` members through the
+    from-spec container reader, record ids from the rows themselves —
+    the tar-of-avro-shards arrival shape. Stateless, so it composes
+    under any streaming sink."""
+    expanded = expand_archive_assets(stream, password=password)
+    docs = expanded.filter(
+        (F.col("kind") == "text") & F.col("err").isNull()
+    ).select(
+        (
+            F.col("asset_id") * MEMBERS_PER_ASSET + F.col("member_idx")
+        ).alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
     )
+    if include_avro:
+        docs = docs.unionByName(
+            avro_member_docs(expanded)
+            .filter(F.col("err").isNull())
+            .select("doc_id", "text")
+        )
+    return docs
 
 
 def archive_rejects(expanded: DataFrame) -> DataFrame:
@@ -95,6 +147,7 @@ def start_archive_corpus_ingest(
     t_est: float = T_EST_DEFAULT,
     quarantine: bool = False,
     password: bytes | None = None,
+    include_avro: bool = False,
 ):
     """Start the archive→members→near-dup-suppressed-corpus query (one
     streaming job; output layout and exactly-once contract are
@@ -103,10 +156,14 @@ def start_archive_corpus_ingest(
     ``quarantine=True`` additionally lands every error row under
     ``out_dir/rejects/batch=<id>/`` with the same idempotent per-batch
     overwrite as the corpus writes — the dead-letter channel a real
-    archive-drop deployment monitors."""
+    archive-drop deployment monitors. ``include_avro=True`` (r15) also
+    decodes ``kind='avro'`` members (the tar-of-avro-shards shape);
+    their per-block errors dead-letter as ``member_idx = -2`` rows."""
     if not quarantine:
         return start_corpus_ingest(
-            archive_docs(stream, password=password),
+            archive_docs(
+                stream, password=password, include_avro=include_avro
+            ),
             out_dir,
             checkpoint_dir,
             t_est,
@@ -120,9 +177,7 @@ def start_archive_corpus_ingest(
     def process(batch: DataFrame, batch_id: int) -> None:
         ex = expand_archive_assets(batch, password=password).persist()
         try:
-            archive_rejects(ex).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "rejects", f"batch={batch_id}")
-            )
+            rejects = archive_rejects(ex)
             docs = ex.filter(
                 (F.col("kind") == "text") & F.col("err").isNull()
             ).select(
@@ -132,7 +187,27 @@ def start_archive_corpus_ingest(
                 ).alias("doc_id"),
                 F.col("payload").cast("string").alias("text"),
             )
+            if include_avro:
+                av = avro_member_docs(ex).persist()
+                rejects = rejects.unionByName(
+                    av.filter(F.col("err").isNotNull()).select(
+                        "asset_id",
+                        F.lit(-2).cast("long").alias("member_idx"),
+                        F.lit("").alias("name"),
+                        "err",
+                    )
+                )
+                docs = docs.unionByName(
+                    av.filter(F.col("err").isNull()).select(
+                        "doc_id", "text"
+                    )
+                )
+            rejects.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "rejects", f"batch={batch_id}")
+            )
             process_corpus_batch(docs, batch_id, out_dir, t_est)
+            if include_avro:
+                av.unpersist()
         finally:
             ex.unpersist()
 
