@@ -4704,3 +4704,37 @@ def test_r15_zip_name_encodings_and_avro_routing():
     assert kinds == {"part-0.avro": "avro", "note.txt": "text"}
     _s, recs = AV.avro_records(dict(A.tar_members(tar))["part-0.avro"])
     assert recs == [{"doc_id": 1, "text": "inside a tarball"}]
+
+
+def test_r15_ivfpq_rerank_improves_recall(spark, emb):
+    """r15: the exact-rerank refine stage — scores on the shortlist
+    are the TRUE cosines (identical to the exact scan for shared
+    pairs), and recall@k is >= the plain IVF-PQ ranking's at the same
+    probe budget (the whole point of re-ranking a 3k shortlist)."""
+    from timeseries_db_spark.operators import similarity
+
+    queries = emb.filter("vec_id % 100 = 0")
+    k = 5
+    exact = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.cosine_topk(spark, queries, emb, k).collect()
+    }
+    plain = {
+        (r["qid"], r["nid"])
+        for r in similarity.ann_topk_ivfpq(
+            spark, queries, emb, k
+        ).collect()
+    }
+    rr = {
+        (r["qid"], r["nid"]): r["cos"]
+        for r in similarity.ann_topk_ivfpq_rerank(
+            spark, queries, emb, k
+        ).collect()
+    }
+    for pair, cos in rr.items():
+        if pair in exact:
+            assert abs(cos - exact[pair]) < 1e-6
+    recall_plain = len(plain & set(exact)) / len(exact)
+    recall_rr = len(set(rr) & set(exact)) / len(exact)
+    assert recall_rr >= recall_plain, (recall_rr, recall_plain)
+    assert recall_rr >= 0.3

@@ -1401,6 +1401,106 @@ def _pq_adc_fn(bc, k: int, *, encoded: bool = True):
     return gen
 
 
+def ann_topk_ivfpq_rerank(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    rerank_depth: int | None = None,
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """IVF-PQ shortlist → EXACT cosine re-rank (r15): the standard
+    refine stage production ANN runs — the compressed index proposes
+    ``rerank_depth`` (default 3k) candidates per query, then the TRUE
+    vectors of only those candidates are scored and the top-k is taken
+    under :func:`cosine_topk`'s deterministic rule (round(cos,6) DESC,
+    nid ASC). Output (qid, nid, cos) — directly comparable to the
+    exact scan, which is what makes recall-vs-depth a measurable knob.
+
+    Scale shape: the ADC pass is unchanged (pruned, integer, map-only);
+    the refine adds ONE broadcast semi-join of the ≤ |Q|·depth
+    shortlist against the corpus (map-side prune, no shuffle of corpus
+    rows) and one Arrow kernel of |shortlist| exact dot products —
+    at 100 TB the expensive full-precision vectors are touched for a
+    few thousand rows per query instead of the whole corpus, which is
+    the entire point of the PQ index."""
+    depth = rerank_depth if rerank_depth is not None else 3 * k
+    shortlist = ann_topk_ivfpq(
+        spark, queries, corpus, depth, **ivfpq_kwargs
+    ).select("qid", "nid")
+    cand = corpus.select(F.col("vec_id").alias("nid"), "embedding").join(
+        F.broadcast(shortlist), "nid"
+    )
+    bc = spark.sparkContext.broadcast(_collect_matrix(queries))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normed(pdf["embedding"])
+            qi = np.array([qidx[int(q)] for q in pdf["qid"]])
+            c = np.einsum("ij,ij->i", m, qmat[qi])
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "nid": pdf["nid"],
+                    "c6": _np_duck_round(c, 6),
+                }
+            )
+
+    scored = cand.select("qid", "nid", "embedding").mapInPandas(
+        gen, schema="qid long, nid long, c6 double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c6").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", duck_round(F.col("c6"), 4).alias("cos"))
+    )
+
+
+def ann_topk_ivfpq_rerank_sql(
+    query_pred: str, k: int, *, rerank_depth: int | None = None,
+    dim: int = 8, nprobe: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivfpq_rerank`: the IVF-PQ twin
+    at ``rerank_depth`` proposes the identical candidate set (its legs
+    are already hash-pinned deterministic), then the exact rule of
+    :func:`cosine_topk_sql` re-ranks it."""
+    depth = rerank_depth if rerank_depth is not None else 3 * k
+    kw = {} if nprobe is None else {"nprobe": nprobe}
+    inner = ann_topk_ivfpq_sql(query_pred, depth, dim=dim, **kw)
+    return f"""
+        WITH cand AS (SELECT qid, nid FROM ({inner})),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe
+            FROM embeddings WHERE {query_pred}
+        ),
+        p AS (
+            SELECT c.qid, c.nid,
+                   round(list_cosine_similarity(
+                       q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) + 0.0
+                       AS c6
+            FROM cand c
+            JOIN q ON q.qid = c.qid
+            JOIN embeddings e ON e.vec_id = c.nid
+        ),
+        r AS (
+            SELECT qid, nid, c6,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY c6 DESC, nid ASC
+                   ) AS rn
+            FROM p
+        )
+        SELECT qid, nid, round(c6, 4) + 0.0 AS cos FROM r WHERE rn <= {k}
+    """
+
+
 def ann_topk_pq(
     spark: SparkSession,
     queries: DataFrame,

@@ -3197,11 +3197,25 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dist").cast("double").alias("score"),
             F.lit("ivfp8").alias("kind"),
         )
+        # r15 ivfr leg: the EXACT-RERANK refine stage — the IVF-PQ
+        # shortlist at depth 3k re-scored with true vectors under the
+        # cosine_topk rule; the score column is directly comparable to
+        # the exact scan (recall is asserted >= plain ivfpq in pytest)
+        ivfr = similarity.ann_topk_ivfpq_rerank(
+            s, qs, _emb(s, d), TOPK_K,
+            centroid_source=cents, assign_source=assign,
+        ).select(
+            "qid",
+            "nid",
+            F.col("cos").alias("score"),
+            F.lit("ivfr").alias("kind"),
+        )
         return (
             ivf.unionByName(pq)
             .unionByName(pqr)
             .unionByName(ivfpq)
             .unionByName(ivfp8)
+            .unionByName(ivfr)
         )
 
     q["ann_topk_ivf"] = ann_ivf_and_pq
@@ -3217,6 +3231,10 @@ def register_extensions(q: dict, o: dict) -> None:
         + ") UNION ALL SELECT qid, nid, dist::DOUBLE AS score, 'ivfp8' AS kind FROM ("
         + similarity.ann_topk_ivfpq_sql(
             PRUNE_QUERY_PRED, TOPK_K, nprobe=2, dim=EMB_DIM
+        )
+        + ") UNION ALL SELECT qid, nid, cos AS score, 'ivfr' AS kind FROM ("
+        + similarity.ann_topk_ivfpq_rerank_sql(
+            TOPK_QUERY_PRED, TOPK_K, dim=EMB_DIM
         )
         + ")"
     )
