@@ -176,6 +176,17 @@ N_RUNS = 3  # best + median over 3: the box has ±40% neighbor noise
 # multimodal_audio_chunks' fpcm FLAC decode + ometa Ogg/Opus) don't
 # touch the headline list.
 
+# r15 legs: ann_topk_ivf += ivfr (the EXACT-RERANK refine stage: one
+# shared depth-3k IVF-PQ shortlist now serves BOTH the ivfpq leg — its
+# global top-k is the ranked prefix — and the true-vector re-score),
+# so its r15 column covers strictly more work than r14's same-named
+# column (~+1.2 s at sf0.01 where the extra window/join overhead
+# dominates; the depth-3k ADC replaces the old depth-k one). The other
+# r15 legs (corpus_tokenize: unfmt/lgfmt avro shapes + snappy shards;
+# text_pii_scrub: pdfq dirty-PDF quarantine; multimodal_resize_plan:
+# imgq dirty-image quarantine; stream_ingest_dedup: cavr/cavj avro
+# drops + ccsv/ccsj csv shards) don't touch the headline list.
+
 # r13 legs: no headline entry gained legs this round — the r13
 # additions all land on NON-headline entries (text_pii_scrub: werr
 # dirty-WARC quarantine leg + mce main-content-extraction leg, and its

@@ -1428,9 +1428,25 @@ def ann_topk_ivfpq_rerank(
     depth = rerank_depth if rerank_depth is not None else 3 * k
     shortlist = ann_topk_ivfpq(
         spark, queries, corpus, depth, **ivfpq_kwargs
-    ).select("qid", "nid")
+    )
+    return exact_rerank(spark, queries, corpus, shortlist, k)
+
+
+def exact_rerank(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+) -> DataFrame:
+    """The refine half on its own (r15): re-score an ANY-source
+    ``(qid, nid, …)`` shortlist with true vectors under
+    :func:`cosine_topk`'s rule — exposed separately so a consumer that
+    already HAS a shortlist (e.g. one shared depth-3k IVF-PQ pass
+    serving both the compressed ranking and the refine) pays the ADC
+    pipeline once."""
     cand = corpus.select(F.col("vec_id").alias("nid"), "embedding").join(
-        F.broadcast(shortlist), "nid"
+        F.broadcast(shortlist.select("qid", "nid")), "nid"
     )
     bc = spark.sparkContext.broadcast(_collect_matrix(queries))
 

@@ -3137,12 +3137,20 @@ def register_extensions(q: dict, o: dict) -> None:
             "ann_assign",
             similarity.ivf_assign_with_vectors(s, _emb(s, d), cents),
         )
+        # r15: the DEFAULT codebook donor sample joins the shared set —
+        # pq/ivfpq/ivfp8/ivfr each used to recompute it; values are
+        # identical (same deterministic sample), only the plan dedupes
+        cb = _persist_tracked(
+            "ann_cb", similarity.pq_codebook(_emb(s, d))
+        )
         ivf = similarity.ann_topk_ivf(
             s, qs, _emb(s, d), TOPK_K, centroid_source=cents
         ).select(
             "qid", "nid", F.col("cos").alias("score"), F.lit("ivf").alias("kind")
         )
-        pq = similarity.ann_topk_pq(s, qs, _emb(s, d), TOPK_K).select(
+        pq = similarity.ann_topk_pq(
+            s, qs, _emb(s, d), TOPK_K, codebook_source=cb
+        ).select(
             "qid",
             "nid",
             F.col("dist").cast("double").alias("score"),
@@ -3167,15 +3175,32 @@ def register_extensions(q: dict, o: dict) -> None:
         # r10 ivfpq leg: the FULL faiss recipe — coarse-list pruning AND
         # PQ compression composed; only probed-list candidates are ADC-
         # scored. Deterministic end-to-end, so the composition itself
-        # carries a full value oracle.
-        ivfpq = similarity.ann_topk_ivfpq(
-            s, qs, _emb(s, d), TOPK_K,
-            centroid_source=cents, assign_source=assign,
-        ).select(
-            "qid",
-            "nid",
-            F.col("dist").cast("double").alias("score"),
-            F.lit("ivfpq").alias("kind"),
+        # carries a full value oracle. r15: ONE depth-3k pass serves
+        # both this leg (its global top-k is the prefix of the ranked
+        # shortlist — the per-shard cap is >= k, so nothing is lost)
+        # and the ivfr exact-rerank refine below.
+        from pyspark.sql import Window as _W
+
+        short3k = _persist_tracked(
+            "ann_short3k",
+            similarity.ann_topk_ivfpq(
+                s, qs, _emb(s, d), 3 * TOPK_K,
+                centroid_source=cents, assign_source=assign,
+                codebook_source=cb,
+            ),
+        )
+        _wq = _W.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("nid").asc()
+        )
+        ivfpq = (
+            short3k.withColumn("rn", F.row_number().over(_wq))
+            .filter(F.col("rn") <= TOPK_K)
+            .select(
+                "qid",
+                "nid",
+                F.col("dist").cast("double").alias("score"),
+                F.lit("ivfpq").alias("kind"),
+            )
         )
         # r12 ivfp8 leg (VERDICT r11 item 5): the PRUNED shape under the
         # gate. The main-leg query set grows with the corpus (the sf0.1
@@ -3191,19 +3216,19 @@ def register_extensions(q: dict, o: dict) -> None:
         ivfp8 = similarity.ann_topk_ivfpq(
             s, qs8, _emb(s, d), TOPK_K, nprobe=2,
             centroid_source=cents, assign_source=assign,
+            codebook_source=cb,
         ).select(
             "qid",
             "nid",
             F.col("dist").cast("double").alias("score"),
             F.lit("ivfp8").alias("kind"),
         )
-        # r15 ivfr leg: the EXACT-RERANK refine stage — the IVF-PQ
-        # shortlist at depth 3k re-scored with true vectors under the
+        # r15 ivfr leg: the EXACT-RERANK refine stage — the SAME
+        # depth-3k shortlist re-scored with true vectors under the
         # cosine_topk rule; the score column is directly comparable to
         # the exact scan (recall is asserted >= plain ivfpq in pytest)
-        ivfr = similarity.ann_topk_ivfpq_rerank(
-            s, qs, _emb(s, d), TOPK_K,
-            centroid_source=cents, assign_source=assign,
+        ivfr = similarity.exact_rerank(
+            s, qs, _emb(s, d), short3k, TOPK_K
         ).select(
             "qid",
             "nid",
