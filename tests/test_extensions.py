@@ -4039,16 +4039,17 @@ def test_r14_archive_quarantine_and_zipcrypto():
     # dirty-fixture closed forms across all five defect modes
     from timeseries_db_spark.operators import multimodal as M
 
-    for d in (1, 4, 7, 10, 13, 16, 19, 22, 25, 28):
-        mode = (d // 3) % 5
+    for d in (1, 4, 7, 10, 13, 16, 19, 22, 25, 28, 31, 34):
+        mode = (d // 3) % 6
         ms, errs = A.archive_scan(
             A.synth_archive_dirty(d), strict=False,
             password=A.DIRTY_ARCHIVE_PASSWORD,
         )
         assert len(errs) == (0 if mode == 3 else 1), (d, mode, errs)
-        # r15: mode 0's mid-archive tar damage now RESYNCS — the two
-        # trailing text members survive alongside the leading PNG
-        assert len(ms) == {0: 3, 2: 0}.get(mode, 2), (d, mode)
+        # r15: mode 0's mid-archive tar damage RESYNCS (two trailing
+        # text members survive) and mode 5's truncated zip recovers
+        # all three members through the local-header walk
+        assert len(ms) == {0: 3, 2: 0, 5: 3}.get(mode, 2), (d, mode)
         n_img = img_px = text_len = img_err = 0
         for _n, data in ms:
             k = A.sniff_kind(data)
@@ -4062,7 +4063,7 @@ def test_r14_archive_quarantine_and_zipcrypto():
             elif k == "text":
                 text_len += len(data)
         assert img_err + len(errs) == 1, (d, mode)
-        if mode in (0, 1, 4):
+        if mode in (0, 1, 4, 5):
             assert n_img == 1 and img_px == 16 * ((3 * d + 11) % 256)
         else:
             assert n_img == 0
@@ -4070,6 +4071,7 @@ def test_r14_archive_quarantine_and_zipcrypto():
             0: len(f"Doc {d} text") + len(f"Tail {d}"),
             1: len(f"Extra {d}"),
             2: 0, 3: len(f"Doc {d} text"), 4: len(f"Doc {d} text"),
+            5: len(f"Doc {d} text") + len(f"End {d}"),
         }[mode]
         assert text_len == want_tl, (d, mode)
 
@@ -4738,3 +4740,58 @@ def test_r15_ivfpq_rerank_improves_recall(spark, emb):
     recall_rr = len(set(rr) & set(exact)) / len(exact)
     assert recall_rr >= recall_plain, (recall_rr, recall_plain)
     assert recall_rr >= 0.3
+
+
+def test_r15_truncated_zip_local_header_recovery():
+    """r15: a TRUNCATED zip download (the central directory + EOCD
+    live at the END, so a cut connection loses them first) recovers
+    every member whose local header + data arrived — CRC-verified,
+    decrypted when keyed, bit-3 members resolved through their data
+    descriptors — and records the structural error. The zip analog of
+    the tar resync. Strict mode still refuses."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import archive as A
+
+    members = [
+        ("a.txt", b"alpha arrives fine"),
+        ("b.txt", b"beta also arrives"),
+        ("c.txt", b"gamma is cut off with the directory"),
+    ]
+    for deflate in (False, True):
+        z = A.zip_build(members, deflate=deflate)
+        cd = z.find(b"PK\x01\x02")
+        # cut exactly at the CD: all member data arrived
+        got, errs = A.zip_scan(z[:cd], strict=False)
+        assert got == members, deflate
+        assert len(errs) == 1 and "end-of-central" in errs[0]
+        with _pytest.raises(ValueError, match="end-of-central"):
+            A.zip_scan(z[:cd], strict=True)
+        # cut INSIDE member c's data: a and b survive, c reports
+        third = z.find(b"c.txt")
+        got, errs = A.zip_scan(z[: third + 10], strict=False)
+        assert got == members[:2], deflate
+        assert len(errs) == 2  # EOCD missing + c truncated
+        assert any("truncated" in e for e in errs)
+    # encrypted members decrypt on the recovery path too (ZipCrypto
+    # incl. the bit-3 descriptor layout, and WinZip AES)
+    for kw in (
+        {"password": b"pw"},
+        {"password": b"pw", "zc_bit3": True},
+        {"password": b"pw", "aes_strength": 2},
+    ):
+        z = A.zip_build(members, deflate=True, **kw)
+        cd = z.find(b"PK\x01\x02")
+        got, errs = A.zip_scan(z[:cd], strict=False, password=b"pw")
+        assert got == members, kw
+        assert len(errs) == 1 and "end-of-central" in errs[0], kw
+        # wrong password: per-member errors, walk continues
+        got, errs = A.zip_scan(z[:cd], strict=False, password=b"no")
+        assert got == [] and len(errs) == 4, kw
+    # a header-only fragment (data never arrived) recovers nothing but
+    # never raises; junk after PK is still one structural error
+    z = A.zip_build(members, deflate=False)
+    got, errs = A.zip_scan(z[:20], strict=False)
+    assert got == [] and len(errs) == 2
+    got, errs = A.zip_scan(b"PK\x05\x04JUNK", strict=False)
+    assert got == [] and len(errs) == 1

@@ -338,6 +338,149 @@ def _winzip_aes_encrypt(
     return salt + km[-2:] + ct + mac
 
 
+def _zip_aes_extra(extra: bytes) -> tuple[int, int, int] | None:
+    """(vendor_version, strength, real_method) from a 0x9901 WinZip
+    AES extra field, if present."""
+    j = 0
+    while j + 4 <= len(extra):
+        fid = int.from_bytes(extra[j : j + 2], "little")
+        flen = int.from_bytes(extra[j + 2 : j + 4], "little")
+        if fid == 0x9901 and flen >= 7:
+            return (
+                int.from_bytes(extra[j + 4 : j + 6], "little"),
+                extra[j + 8],
+                int.from_bytes(extra[j + 9 : j + 11], "little"),
+            )
+        j += 4 + flen
+    return None
+
+
+def _zip_decode_member(
+    name: str, raw: bytes, flags: int, method: int, crc: int,
+    usize: int, aes_info: tuple | None, password: bytes | None,
+    check_byte: int,
+) -> bytes:
+    """Decrypt + inflate + CRC/size-verify ONE member's raw bytes —
+    shared by the central-directory walk and the r15 truncated-zip
+    local-header recovery walk. Raises ``ValueError`` with the member
+    name on any failure."""
+    skip_crc = False
+    if flags & 0x01:
+        if method == 99:
+            if aes_info is None:
+                raise ValueError(
+                    f"ZIP member {name!r} method 99 without a "
+                    "0x9901 AES extra field"
+                )
+            if password is None:
+                raise ValueError(
+                    f"ZIP member {name!r} is AES-encrypted "
+                    "(no password given)"
+                )
+            ver, strength, real_method = aes_info
+            raw, method = _winzip_aes_decrypt(
+                name, raw, password, strength
+            ), real_method
+            skip_crc = ver == 2  # AE-2 stores CRC 0 by spec
+        else:
+            if password is None:
+                raise ValueError(
+                    f"ZIP member {name!r} is ZipCrypto-encrypted "
+                    "(no password given)"
+                )
+            raw = zipcrypto_decrypt(raw, password, check_byte)
+    if method == 0:
+        data = raw
+    elif method == 8:
+        try:
+            data = zlib.decompressobj(-15).decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"ZIP member {name!r} inflate: {e}") from e
+    else:
+        raise ValueError(
+            f"ZIP compression method {method} unsupported "
+            "(stored/deflate only; seam)"
+        )
+    if len(data) != usize or (
+        not skip_crc and zlib.crc32(data) != crc
+    ):
+        raise ValueError(f"ZIP member {name!r} CRC/size mismatch")
+    return data
+
+
+def _zip_local_walk(
+    b: bytes, errs: list[str], password: bytes | None
+) -> list[tuple[str, bytes]]:
+    """Truncated-download recovery (r15): when the central directory /
+    EOCD never arrived (the END of the file is what a cut connection
+    loses), the LOCAL headers that did arrive still frame their
+    members — walk them from offset 0, resolving bit-3 members through
+    their ``PK\\x07\\x08`` data descriptors (the descriptor's own
+    csize must equal the scanned span, so a signature coincidence
+    inside member data can't misframe the walk). Each member is
+    decrypted/inflated/CRC-verified exactly like the CD path; the walk
+    stops at the truncation point, keeping everything before it — the
+    zip analog of the tar resync."""
+    members: list[tuple[str, bytes]] = []
+    at = 0
+    while b[at : at + 4] == b"PK\x03\x04":
+        hdr_at = at
+        flags = int.from_bytes(b[at + 6 : at + 8], "little")
+        method = int.from_bytes(b[at + 8 : at + 10], "little")
+        crc = int.from_bytes(b[at + 14 : at + 18], "little")
+        csize = int.from_bytes(b[at + 18 : at + 22], "little")
+        usize = int.from_bytes(b[at + 22 : at + 26], "little")
+        nlen = int.from_bytes(b[at + 26 : at + 28], "little")
+        elen = int.from_bytes(b[at + 28 : at + 30], "little")
+        raw_name = b[at + 30 : at + 30 + nlen]
+        name = raw_name.decode(
+            "utf-8" if flags & 0x800 else "cp437", "replace"
+        )
+        extra = b[at + 30 + nlen : at + 30 + nlen + elen]
+        aes_info = _zip_aes_extra(extra)
+        data_at = at + 30 + nlen + elen
+        if flags & 0x08 and csize == 0:
+            sig = b.find(b"PK\x07\x08", data_at)
+            while sig >= 0:
+                cs = int.from_bytes(b[sig + 8 : sig + 12], "little")
+                if sig - data_at == cs:
+                    break
+                sig = b.find(b"PK\x07\x08", sig + 1)
+            if sig < 0:
+                errs.append(
+                    f"ZIP member {name!r} data descriptor not found "
+                    "(truncated)"
+                )
+                break
+            crc = int.from_bytes(b[sig + 4 : sig + 8], "little")
+            csize = sig - data_at
+            usize = int.from_bytes(b[sig + 12 : sig + 16], "little")
+            raw = b[data_at:sig]
+            at = sig + 16
+        else:
+            raw = b[data_at : data_at + csize]
+            if len(raw) != csize:
+                errs.append(f"ZIP member {name!r} data truncated")
+                break
+            at = data_at + csize
+            if flags & 0x08:
+                # a descriptor follows even when the header carried
+                # real sizes; the signature is optional per APPNOTE
+                at += 16 if b[at : at + 4] == b"PK\x07\x08" else 12
+        try:
+            check = b[hdr_at + 11] if flags & 0x08 else (crc >> 24) & 0xFF
+            data = _zip_decode_member(
+                name, raw, flags, method, crc, usize, aes_info,
+                password, check,
+            )
+        except ValueError as e:
+            errs.append(str(e))
+            continue
+        if not name.endswith("/"):
+            members.append((name, data))
+    return members
+
+
 def zip_scan(
     payload: bytes, strict: bool = True, password: bytes | None = None,
 ) -> tuple[list[tuple[str, bytes]], list[str]]:
@@ -375,6 +518,11 @@ def zip_scan(
     eocd = b.rfind(b"PK\x05\x06", max(0, len(b) - 65_557))
     if eocd < 0:
         fail("ZIP end-of-central-directory not found")
+        if b[:4] == b"PK\x03\x04":
+            # r15: a TRUNCATED DOWNLOAD loses the END of the file (the
+            # central directory + EOCD live there) — recover the
+            # members whose local headers + data did arrive
+            return _zip_local_walk(b, errs, password), errs
         return members, errs
     n = int.from_bytes(b[eocd + 10 : eocd + 12], "little")
     cd_at = int.from_bytes(b[eocd + 16 : eocd + 20], "little")
@@ -463,61 +611,22 @@ def zip_scan(
             raw = b[data_at : data_at + csize]
             if len(raw) != csize:
                 raise ValueError(f"ZIP member {name!r} data truncated")
-            skip_crc = False
-            if flags & 0x01:
-                if method == 99:
-                    if aes_info is None:
-                        raise ValueError(
-                            f"ZIP member {name!r} method 99 without a "
-                            "0x9901 AES extra field"
-                        )
-                    if password is None:
-                        raise ValueError(
-                            f"ZIP member {name!r} is AES-encrypted "
-                            "(no password given)"
-                        )
-                    ver, strength, real_method = aes_info
-                    raw, method = _winzip_aes_decrypt(
-                        name, raw, password, strength
-                    ), real_method
-                    skip_crc = ver == 2  # AE-2 stores CRC 0 by spec
-                else:
-                    if password is None:
-                        raise ValueError(
-                            f"ZIP member {name!r} is ZipCrypto-encrypted "
-                            "(no password given)"
-                        )
-                    # r15 (ADVICE): with flag bit 3 (data descriptor)
-                    # the CRC was unknown at encrypt time, so APPNOTE
-                    # 6.1.6 substitutes the high byte of the local
-                    # header's DOS mod-time as the password check byte
-                    if flags & 0x08:
-                        check = b[lho + 11] if lho + 12 <= len(b) else 0
-                    else:
-                        check = (crc >> 24) & 0xFF
-                    raw = zipcrypto_decrypt(raw, password, check)
-            if method == 0:
-                data = raw
-            elif method == 8:
-                data = zlib.decompressobj(-15).decompress(raw)
+            # r15 (ADVICE): with flag bit 3 (data descriptor) the CRC
+            # was unknown at encrypt time, so APPNOTE 6.1.6
+            # substitutes the high byte of the local header's DOS
+            # mod-time as the ZipCrypto password check byte
+            if flags & 0x08:
+                check = b[lho + 11] if lho + 12 <= len(b) else 0
             else:
-                raise ValueError(
-                    f"ZIP compression method {method} unsupported "
-                    "(stored/deflate only; seam)"
-                )
-            if len(data) != usize or (
-                not skip_crc and zlib.crc32(data) != crc
-            ):
-                raise ValueError(f"ZIP member {name!r} CRC/size mismatch")
+                check = (crc >> 24) & 0xFF
+            data = _zip_decode_member(
+                name, raw, flags, method, crc, usize, aes_info,
+                password, check,
+            )
         except ValueError as e:
             if strict:
                 raise
             errs.append(str(e))
-            continue
-        except zlib.error as e:
-            if strict:
-                raise ValueError(f"ZIP member {name!r} inflate: {e}") from e
-            errs.append(f"ZIP member {name!r} inflate: {e}")
             continue
         if not name.endswith("/"):
             members.append((name, data))
@@ -1005,7 +1114,7 @@ DIRTY_ARCHIVE_PASSWORD = b"tsdb"
 def synth_archive_dirty(doc_id: int) -> bytes:
     """Deterministic DIRTY archive for the r14 quarantine gate leg —
     every archive carries exactly one quarantinable defect, the defect
-    KIND cycling by ``(doc_id // 3) % 5`` so all five isolation paths
+    KIND cycling by ``(doc_id // 3) % 6`` so all six isolation paths
     are value-checked:
 
     * mode 0 — tar: a good PNG member, then a bad-checksum header
@@ -1025,12 +1134,26 @@ def synth_archive_dirty(doc_id: int) -> bytes:
       (AE-2) whose THIRD member's ciphertext is flipped in place →
       the good members decrypt + HMAC-verify, the tampered one fails
       AUTHENTICATION (never reaching inflate) and quarantines.
+    * mode 5 (r15) — TRUNCATED zip download: the file is cut exactly
+      at the central directory, so the EOCD/CD never arrived — the
+      local-header recovery walk keeps all three members (PNG +
+      ``'Doc {id} text'`` + ``'End {id}'``), 1 structural error.
     """
     from timeseries_db_spark.operators.multimodal import png_encode
 
     png = png_encode(bytes([(3 * doc_id + 11) % 256]) * 16, 4, 4, 1)
     txt = f"Doc {doc_id} text".encode()
-    mode = (doc_id // 3) % 5
+    mode = (doc_id // 3) % 6
+    if mode == 5:
+        z = zip_build(
+            [
+                ("img/a.png", png),
+                ("doc.txt", txt),
+                ("end.txt", f"End {doc_id}".encode()),
+            ],
+            deflate=True,
+        )
+        return z[: z.find(b"PK\x01\x02")]
     if mode == 4:
         arc = bytearray(
             zip_build(

@@ -3494,12 +3494,14 @@ def register_extensions(q: dict, o: dict) -> None:
             F.lit(None).cast("long").alias("v5"),
         )
         # r14 arcq leg: DIRTY archives under the gate (VERDICT item 1)
-        # — defect kind cycles by (id//3)%4 (bad tar checksum / bad
-        # member CRC / junk container / ZipCrypto-encrypted zip whose
-        # PNG member is garbage), so per-member quarantine, the
-        # stop-at-damage tar walk, container-level isolation AND the
-        # ZipCrypto decryption path are all value-checked: good
-        # siblings keep contributing, every error is counted.
+        # — defect kind cycles by (id//3)%6 (tar bad checksum with r15
+        # mid-archive resync / bad member CRC / junk container /
+        # ZipCrypto zip with a garbage PNG / WinZip-AES tampered HMAC
+        # / r15 TRUNCATED zip recovered via the local-header walk), so
+        # per-member quarantine, tar resync, container-level
+        # isolation, both decryption paths AND truncation recovery are
+        # all value-checked: good siblings keep contributing, every
+        # error is counted.
         # v1..v4 as arcx, v5=n_errors (1 per archive by construction)
         arcq = _archive.decode_archive_features(
             _archive.documents_as_dirty_archive_assets(docs),
@@ -3963,7 +3965,7 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         -- arcq leg (r14): the dirty-archive quarantine closed forms —
-        -- defect kind cycles by (id//3)%5: 0 = tar bad checksum
+        -- defect kind cycles by (id//3)%6: 0 = tar bad checksum
         -- MID-ARCHIVE (r15: the 512-aligned resync recovers the TWO
         -- trailing text members, so all 3 members survive), 1 = zip
         -- bad member CRC (middle text lost, siblings survive), 2 =
@@ -3971,21 +3973,25 @@ def register_extensions(q: dict, o: dict) -> None:
         -- PNG is garbage (text survives the decryption, the image
         -- decode quarantines), 4 = WinZip AES-256 zip with one
         -- HMAC-tampered member (good members decrypt+verify, the
-        -- tampered one fails authentication). Exactly one error each.
+        -- tampered one fails authentication), 5 (r15) = TRUNCATED zip
+        -- (cut at the central directory — the local-header recovery
+        -- walk keeps all three members). Exactly one error each.
         SELECT doc_id AS asset_id, 'arcq' AS kind,
-               (CASE (doc_id // 3) % 5
-                     WHEN 2 THEN 0 WHEN 0 THEN 3 ELSE 2
+               (CASE (doc_id // 3) % 6
+                     WHEN 2 THEN 0 WHEN 0 THEN 3 WHEN 5 THEN 3 ELSE 2
                 END)::BIGINT AS v1,
-               (CASE WHEN (doc_id // 3) % 5 IN (0, 1, 4) THEN 1 ELSE 0
-                END)::BIGINT AS v2,
-               (CASE WHEN (doc_id // 3) % 5 IN (0, 1, 4)
+               (CASE WHEN (doc_id // 3) % 6 IN (0, 1, 4, 5) THEN 1
+                     ELSE 0 END)::BIGINT AS v2,
+               (CASE WHEN (doc_id // 3) % 6 IN (0, 1, 4, 5)
                      THEN 16 * ((3 * doc_id + 11) % 256) ELSE 0
                 END)::BIGINT AS v3,
-               (CASE (doc_id // 3) % 5
+               (CASE (doc_id // 3) % 6
                      WHEN 0 THEN length('Doc ' || doc_id || ' text')
                                  + length('Tail ' || doc_id)
                      WHEN 1 THEN length('Extra ' || doc_id)
                      WHEN 2 THEN 0
+                     WHEN 5 THEN length('Doc ' || doc_id || ' text')
+                                 + length('End ' || doc_id)
                      ELSE length('Doc ' || doc_id || ' text')
                 END)::BIGINT AS v4,
                1::BIGINT AS v5
