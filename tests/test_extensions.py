@@ -4108,12 +4108,16 @@ def test_r15_tar_resync_recovers_trailing_members():
     # the resync skips straight past BOTH junk blocks after the first
     # error (neither validates), so damage is one error per resync
     assert got == members and len(errs) == 1
-    # a trailing sub-block fragment is not a header at all — ignored
-    # exactly as tar's 512 framing always treated partial tails
+    # a trailing sub-block fragment is not a header — but the stream
+    # then ends without its end-of-archive marker, and r15 reports
+    # that (at a member boundary the cut would otherwise be silent)
     got, errs = A.tar_scan(head + bytes(bad)[:256], strict=False)
-    assert got == members[:1] and errs == []
+    assert got == members[:1]
+    assert len(errs) == 1 and "end-of-archive" in errs[0]
     # damage at the very end (a full bad block, nothing after): the
-    # error is recorded and the resync runs off the buffer cleanly
+    # checksum error is recorded and the resync runs off the buffer
+    # cleanly — the marker diagnostic only fires for OTHERWISE-SILENT
+    # truncation, so no double count here
     got, errs = A.tar_scan(head + bytes(bad), strict=False)
     assert got == members[:1] and len(errs) == 1
     # strict still raises

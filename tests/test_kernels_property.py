@@ -628,6 +628,34 @@ def test_archive_scan_tolerant_never_raises(members, container, flip_at):
 
 @given(
     _members,
+    st.sampled_from(["tar", "zip", "zip-stored"]),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_archive_scan_total_under_truncation(members, container, cut):
+    """r15: strict=False is total under TRUNCATION at any byte — never
+    raises, every recovered member is content-exact (zip members are
+    CRC-verified; tar truncation cannot alter surviving bytes), the
+    recovered list is a PREFIX of the original members, and a
+    truncated archive always records >= 1 error unless nothing was
+    actually lost."""
+    from timeseries_db_spark.operators import archive as A
+
+    if container == "tar":
+        arc = A.tar_build(members)
+    else:
+        arc = A.zip_build(members, deflate=(container == "zip"))
+    at = cut % (len(arc) + 1)
+    got, errs = A.archive_scan(arc[:at], strict=False)  # never raises
+    assert got == members[: len(got)]
+    # losing a member is NEVER silent: either everything that existed
+    # was recovered (a cut inside trailing padding / the EOCD comment
+    # field loses nothing) or >= 1 error says what happened
+    assert errs or got == members
+
+
+@given(
+    _members,
     st.binary(min_size=1, max_size=12),
     st.sampled_from([None, 1, 2, 3]),
 )

@@ -145,9 +145,11 @@ def tar_scan(
     pending_name: str | None = None
     pending_pax: dict[str, str] = {}
     global_pax: dict[str, str] = {}
+    marker_seen = False
     while at + 512 <= len(b):
         hdr = b[at : at + 512]
         if hdr == b"\x00" * 512:
+            marker_seen = True
             break  # end-of-archive marker
         stored, calc = _tar_checksum(hdr)
         if stored != calc:
@@ -201,6 +203,15 @@ def tar_scan(
             pending_name = None
             pending_pax = {}
         at = data_at + ((size + 511) // 512) * 512
+    if not strict and not marker_seen and not errs:
+        # r15: a tar that ends without its end-of-archive zero block
+        # was TRUNCATED — at a member boundary the cut would OTHERWISE
+        # BE SILENT (there is no central index to disagree), which is
+        # exactly when this diagnostic fires; damage that was already
+        # reported isn't double-counted. Strict mode keeps accepting
+        # marker-less streams (pre-existing contract; some writers
+        # genuinely omit the blocks).
+        errs.append("tar stream ends without end-of-archive marker")
     return out, errs
 
 
@@ -425,6 +436,9 @@ def _zip_local_walk(
     at = 0
     while b[at : at + 4] == b"PK\x03\x04":
         hdr_at = at
+        if at + 30 > len(b):
+            errs.append("ZIP local header truncated")
+            break
         flags = int.from_bytes(b[at + 6 : at + 8], "little")
         method = int.from_bytes(b[at + 8 : at + 10], "little")
         crc = int.from_bytes(b[at + 14 : at + 18], "little")
@@ -432,6 +446,9 @@ def _zip_local_walk(
         usize = int.from_bytes(b[at + 22 : at + 26], "little")
         nlen = int.from_bytes(b[at + 26 : at + 28], "little")
         elen = int.from_bytes(b[at + 28 : at + 30], "little")
+        if at + 30 + nlen + elen > len(b):
+            errs.append("ZIP local header name/extra truncated")
+            break
         raw_name = b[at + 30 : at + 30 + nlen]
         name = raw_name.decode(
             "utf-8" if flags & 0x800 else "cp437", "replace"
@@ -516,6 +533,11 @@ def zip_scan(
         return False
 
     eocd = b.rfind(b"PK\x05\x06", max(0, len(b) - 65_557))
+    if eocd >= 0 and eocd + 22 > len(b):
+        # r15: a cut INSIDE the EOCD record leaves the signature but
+        # not its fields — int-of-empty-slice would read entry count 0
+        # and "succeed" with an empty archive
+        eocd = -1
     if eocd < 0:
         fail("ZIP end-of-central-directory not found")
         if b[:4] == b"PK\x03\x04":
@@ -539,7 +561,7 @@ def zip_scan(
         cd_at = int.from_bytes(b[r64 + 48 : r64 + 56], "little")
     at = cd_at
     for _ in range(n):
-        if b[at : at + 4] != b"PK\x01\x02":
+        if at + 46 > len(b) or b[at : at + 4] != b"PK\x01\x02":
             fail("ZIP central-directory entry desynced")
             break
         flags = int.from_bytes(b[at + 8 : at + 10], "little")
@@ -551,6 +573,9 @@ def zip_scan(
         elen = int.from_bytes(b[at + 30 : at + 32], "little")
         clen = int.from_bytes(b[at + 32 : at + 34], "little")
         lho = int.from_bytes(b[at + 42 : at + 46], "little")
+        if at + 46 + nlen + elen > len(b):
+            fail("ZIP central-directory entry name/extra truncated")
+            break
         raw_name = b[at + 46 : at + 46 + nlen]
         # r15 (name-encoding fidelity): APPNOTE appendix D — names are
         # CP437 unless general-purpose bit 11 declares UTF-8; the
