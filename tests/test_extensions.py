@@ -4799,3 +4799,93 @@ def test_r15_truncated_zip_local_header_recovery():
     assert got == [] and len(errs) == 2
     got, errs = A.zip_scan(b"PK\x05\x04JUNK", strict=False)
     assert got == [] and len(errs) == 1
+
+
+def test_r15_pyarrow_codecs_close_the_zstd_seam():
+    """r15 late: pyarrow (a baked dependency) BUNDLES zstd/lz4/brotli
+    — the 'no zstd on this interpreter' seam was a false constraint.
+    Closed across every consumer: .tar.zst/.tar.lz4 archive wrappers
+    (concatenated frames included), the Avro 'zstandard' codec with
+    per-block quarantine, and HTTP Content-Encoding br/zstd in the
+    WARC chain."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.operators import warc as W
+    from timeseries_db_spark.sources import avro as AV
+
+    members = [("a.txt", b"alpha in zstd"), ("b.txt", b"beta here")]
+    tar = A.tar_build(members)
+    for codec, magic in (("zstd", b"\x28\xb5\x2f\xfd"),
+                         ("lz4", b"\x04\x22\x4d\x18")):
+        wrapped = bytes(pa.Codec(codec).compress(tar))
+        assert wrapped[:4] == magic
+        assert A.archive_members(wrapped) == members
+    # concatenated zstd frames (the pigz shape)
+    two = bytes(pa.Codec("zstd").compress(tar[: 512 * 3])) + bytes(
+        pa.Codec("zstd").compress(tar[512 * 3 :])
+    )
+    assert A.archive_members(two) == members
+    # corrupt wrapper quarantines, never raises under strict=False
+    bad = bytearray(pa.Codec("zstd").compress(tar))
+    bad[9] ^= 0xFF
+    got, errs = A.archive_scan(bytes(bad), strict=False)
+    assert got == [] and len(errs) == 1 and "wrapper" in errs[0]
+    # avro zstandard: roundtrip + per-block quarantine. (A zstd frame
+    # without its optional content checksum can decode a flipped byte
+    # SILENTLY into garbage — but Avro's own framing then catches it:
+    # garbled records fail decode or leave trailing bytes, so the
+    # block still quarantines. Truncation errors in the codec itself.)
+    recs = [{"doc_id": i, "text": f"z doc {i}"} for i in range(100)]
+    p = AV.avro_build(
+        recs, AV.CORPUS_AVRO_SCHEMA, codec="zstandard", block_records=25
+    )
+    assert AV.avro_records(p)[1] == recs
+    b = bytearray(p)
+    b[len(p) // 2] ^= 0xFF
+    _s, got, errs = AV.avro_scan(bytes(b), strict=False)
+    assert errs or got == recs
+    assert all(r in recs for r in got) or errs
+    # WARC chain: Content-Encoding br and zstd bodies decode
+    html = b"<html><body>compressed body here</body></html>"
+    for ce, codec in (("br", "brotli"), ("zstd", "zstd")):
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Encoding: {ce}\r\n\r\n".encode()
+            + bytes(pa.Codec(codec).compress(html))
+        )
+        headers, body = W.http_message(block)
+        assert body == html, ce
+        # a truncated body raises the quarantine-priced ValueError
+        with _pytest.raises(ValueError, match="decode failed"):
+            W.http_message(block[: len(block) - 10])
+
+
+def test_r15_zst_corpus_shards(spark, tmp_path):
+    """r15 late: .jsonl.zst shards through the incremental pyarrow
+    stream — same line projections, same corrupt-shard pricing as the
+    xz kernel."""
+    import lzma
+
+    import pyarrow as pa
+
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "zst"
+    d.mkdir()
+    body = b"".join(
+        b'{"doc_id": %d, "text": "zst row %d"}\n' % (i, i)
+        for i in range(300)
+    )
+    (d / "p0.jsonl.zst").write_bytes(bytes(pa.Codec("zstd").compress(body)))
+    comp = bytes(pa.Codec("zstd").compress(body))
+    (d / "p1.jsonl.zst").write_bytes(comp[: len(comp) // 2])  # truncated
+    got = read_corpus_any(spark, str(d), fmt="jsonl.zst").collect()
+    clean = [r for r in got if r["_corrupt"] is None]
+    bad = [r for r in got if r["_corrupt"] is not None]
+    assert len(clean) >= 300  # shard 0 whole + shard 1's prefix
+    assert len(bad) == 1 and "zst" in bad[0]["_corrupt"]
+    # direct-file inference of the double extension
+    one = read_corpus_any(spark, str(d / "p0.jsonl.zst")).collect()
+    assert len(one) == 300

@@ -671,9 +671,11 @@ def archive_scan(
 ) -> tuple[list[tuple[str, bytes]], list[str]]:
     """Magic-dispatching (members, errors) enumeration: ZIP (``PK``),
     tar (ustar magic at 257, or a checksum-valid first header), or
-    either inside a gzip / xz / bzip2 wrapper (``.tar.{gz,xz,bz2}`` —
-    the shapes tarballs actually ship in; zstd stays the documented
-    seam — no stdlib decoder on this interpreter).
+    either inside a gzip / xz / bzip2 / zstd / lz4-frame wrapper
+    (``.tar.{gz,xz,bz2,zst,lz4}`` — the shapes tarballs actually ship
+    in; zstd/lz4 decode through pyarrow's bundled codecs, r15 — the
+    former "no zstd on this interpreter" seam was a false
+    constraint).
 
     ``strict=False`` (r14): structural damage is QUARANTINED, not
     raised — a corrupt wrapper or unrecognized container records one
@@ -704,6 +706,17 @@ def archive_scan(
             import bz2
 
             b = bz2.decompress(b)
+        elif b[:4] in (b"\x28\xb5\x2f\xfd", b"\x04\x22\x4d\x18"):
+            # r15: .tar.zst / .tar.lz4 — the zstd seam closes through
+            # pyarrow's BUNDLED codecs (a baked dependency; the real
+            # libraries, not a from-recall reimplementation). The
+            # stream API handles concatenated frames like pigz gzip.
+            import pyarrow as _pa
+
+            b = _pa.input_stream(
+                _pa.py_buffer(b),
+                compression="zstd" if b[0] == 0x28 else "lz4",
+            ).read()
     except Exception as e:  # zlib.error / LZMAError / OSError
         if strict:
             raise ValueError(f"archive wrapper corrupt: {e}") from e
@@ -1102,7 +1115,12 @@ def synth_archive(doc_id: int) -> bytes:
                 f"Pax {doc_id}".encode(),
             )
         )
-        return tar_build(members, pax=True)
+        # r15: the tar cycle ships ZSTD-WRAPPED (.tar.zst — the shape
+        # modern shard drops actually use); the wrapper is transparent
+        # to every closed form, so the arcx oracle pins it for free
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").compress(tar_build(members, pax=True)))
     return zip_build(members, deflate=(sel == 1))
 
 

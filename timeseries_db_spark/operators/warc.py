@@ -270,6 +270,24 @@ def http_message(block: bytes) -> tuple[dict[str, str], bytes]:
             body = d.decompress(body) + d.flush()
         except zlib.error as e:
             raise ValueError(f"content-encoding inflate failed: {e}") from e
+    elif ce in ("br", "zstd"):
+        # r15: brotli (RFC 7932) and zstd (RFC 8878) are the OTHER two
+        # encodings real crawls serve in volume — decoded through
+        # pyarrow's bundled codecs (a baked dependency; real
+        # libraries, not reimplementations). Damage raises the same
+        # ValueError contract as the inflate path, so the per-record
+        # quarantine prices it identically.
+        import pyarrow as _pa
+
+        try:
+            body = _pa.input_stream(
+                _pa.py_buffer(body),
+                compression="brotli" if ce == "br" else "zstd",
+            ).read()
+        except OSError as e:
+            raise ValueError(
+                f"content-encoding {ce} decode failed: {e}"
+            ) from e
     return headers, body
 
 

@@ -2327,12 +2327,18 @@ def register_extensions(q: dict, o: dict) -> None:
             for r in _docs(s, d).select("doc_id").collect()
         )
         half = len(ids) // 2
-        third = len(ids) // 3
-        # r15 (VERDICT item 2): the avro shards now cycle all THREE
+        quarter = len(ids) // 4
+        # r15 (VERDICT item 2): the avro shards now cycle all FOUR
         # codecs — deflate / null / from-spec SNAPPY (the de-facto
-        # default of real Avro drops) — so the snappy inflate + its
-        # framing CRC-32 verification run under the value oracle
-        av_chunks = (ids[:third], ids[third : 2 * third], ids[2 * third :])
+        # default of real Avro drops, framing CRC-32 verified) /
+        # ZSTANDARD (late r15 — pyarrow's bundled zstd closed the
+        # seam) — each decode path under the value oracle
+        av_chunks = (
+            ids[:quarter],
+            ids[quarter : 2 * quarter],
+            ids[2 * quarter : 3 * quarter],
+            ids[3 * quarter :],
+        )
         for k, chunk in enumerate(av_chunks):
             recs = [
                 {"doc_id": i, "text": f"Avro doc {i}"} for i in chunk
@@ -2342,7 +2348,9 @@ def register_extensions(q: dict, o: dict) -> None:
                     AV.avro_build(
                         recs,
                         AV.CORPUS_AVRO_SCHEMA,
-                        codec=("deflate", "null", "snappy")[k],
+                        codec=(
+                            "deflate", "null", "snappy", "zstandard"
+                        )[k],
                         block_records=50,
                     )
                 )

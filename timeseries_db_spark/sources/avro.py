@@ -473,7 +473,7 @@ def avro_scan(
         at += 16
         schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("latin-1")
-        if codec not in ("null", "deflate", "snappy"):
+        if codec not in ("null", "deflate", "snappy", "zstandard"):
             raise ValueError(f"avro codec {codec!r} unsupported (seam)")
         fields = _field_types(schema)
     except (ValueError, KeyError, UnicodeDecodeError) as e:
@@ -504,6 +504,19 @@ def avro_scan(
             sync_ok = True
             if codec == "deflate":
                 block = zlib.decompressobj(-15).decompress(block)
+            elif codec == "zstandard":
+                # r15: pyarrow (a baked dependency) bundles the real
+                # zstd library — the "no zstd codec on this
+                # interpreter" seam was a false constraint. OSError on
+                # corruption quarantines the block like any other.
+                import pyarrow as _pa
+
+                try:
+                    block = _pa.input_stream(
+                        _pa.py_buffer(block), compression="zstd"
+                    ).read()
+                except OSError as e:
+                    raise ValueError(f"avro zstd block: {e}") from e
             elif codec == "snappy":
                 # Avro snappy framing (spec): raw snappy block followed
                 # by the 4-byte BIG-endian CRC-32 of the UNCOMPRESSED
@@ -568,7 +581,7 @@ def avro_build(
     block_records: int = 100,
 ) -> bytes:
     """Minimal Object Container File writer (the reader's pin):
-    null, deflate or snappy codec, deterministic sync marker."""
+    null, deflate, snappy or zstandard codec, deterministic sync marker."""
     import hashlib
 
     fields = _field_types(schema)
@@ -593,6 +606,10 @@ def avro_build(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "zstandard":
+            import pyarrow as _pa
+
+            body = bytes(_pa.Codec("zstd").compress(body))
         elif codec == "snappy":
             crc = zlib.crc32(body).to_bytes(4, "big")
             body = snappy_compress(body) + crc

@@ -357,6 +357,62 @@ def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
     )
 
 
+def zst_lines(spark: SparkSession, path: str, glob: str = "*.zst") -> DataFrame:
+    """(value string) — the lines of ``.zst``-wrapped text shards
+    (r15): the layout RedPajama-era corpora publish in. Decoded
+    through pyarrow's BUNDLED zstd (a baked dependency — the former
+    "no zstd on this interpreter" seam was a false constraint), read
+    INCREMENTALLY in ~1 MB pieces so peak memory is the compressed
+    file plus a window, with the same corrupt-shard pricing as the xz
+    kernel: the decoded prefix survives and one unparseable sentinel
+    line lands in ``_corrupt`` downstream. Concatenated frames (the
+    pigz shape) continue seamlessly."""
+
+    def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        tail = b""
+        try:
+            stream = pa.input_stream(
+                pa.py_buffer(data), compression="zstd"
+            )
+            while True:
+                chunk = stream.read(1 << 20)
+                if not chunk:
+                    break
+                tail += chunk
+                *lines, tail = tail.split(b"\n")
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "value": [
+                                ln.decode("utf-8", "replace")
+                                for ln in lines
+                            ]
+                        }
+                    )
+        except OSError as e:
+            yield pd.DataFrame({"value": [f"\x00zst corrupt: {e}"]})
+            tail = b""
+        if tail:
+            yield pd.DataFrame(
+                {"value": [tail.decode("utf-8", "replace")]}
+            )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield from file_lines(bytes(content))
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="value string")
+    )
+
+
 def jsonl_lines_to_corpus(lines: DataFrame) -> DataFrame:
     """The JSONL quarantine projection (r15 — factored out of
     :func:`read_corpus_any` so the STREAMING jsonl arrival path reuses
@@ -449,13 +505,18 @@ def read_corpus_any(
         fmt = {
             "json": "json", "jsonl": "json", "orc": "orc",
             "avro": "avro", "csv": "csv", "tsv": "tsv", "xz": "xz",
+            "zst": "zst",
         }.get(ext, "parquet")
-    if fmt == "xz" or fmt in ("jsonl.xz", "csv.xz", "tsv.xz"):
-        # r15: .jsonl.xz / .csv.xz shards (the layout public corpora
-        # publish in; Hadoop has no XZ codec — .gz/.bz2 go through the
-        # native text path below untouched). Whole-file lzma in the
-        # Arrow kernel, then the SAME line projections — so the
-        # quarantine semantics are identical to the uncompressed read.
+    if fmt in ("xz", "zst") or (
+        "." in fmt and fmt.split(".")[-1] in ("xz", "zst")
+    ):
+        # r15: .jsonl.{xz,zst} / .csv.{xz,zst} shards (the layouts
+        # public corpora publish in; Hadoop codecs cover neither —
+        # .gz/.bz2 go through the native text path below untouched).
+        # Whole-file decompression in the Arrow kernel, then the SAME
+        # line projections — so the quarantine semantics are identical
+        # to the uncompressed read.
+        wrapper = fmt.split(".")[-1]
         inner = (
             fmt.split(".")[0]
             if "." in fmt
@@ -466,10 +527,14 @@ def read_corpus_any(
         )
         if on_malformed not in ("quarantine", "drop"):
             raise ValueError(
-                "xz-wrapped reads support on_malformed="
+                f"{wrapper}-wrapped reads support on_malformed="
                 "quarantine/drop (line-record modes)"
             )
-        lines = xz_lines(spark, path)
+        lines = (
+            xz_lines(spark, path)
+            if wrapper == "xz"
+            else zst_lines(spark, path)
+        )
         out = (
             csv_lines_to_corpus(
                 lines, sep="\t" if inner == "tsv" else ","
