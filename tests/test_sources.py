@@ -796,3 +796,220 @@ def test_corpus_xz_wrapped_shards(spark, tmp_path):
     assert len(bad) == 2
     assert all("xz" in r["_corrupt"] for r in bad)
     assert 0 < len(ok) < 1000  # prefixes decoded, damage bounded
+
+
+def test_avro_advice_fixes_r16(spark, tmp_path):
+    """r16 ADVICE bundle: (1) decimal-over-FIXED converts exactly (it
+    previously fell through the fixed branch as raw bytes); (2) named
+    types with the same short name in different namespaces no longer
+    collide — bare references resolve through the enclosing namespace
+    first, per the spec's resolution rule; (3) the writer promotes an
+    int value to a double/float union branch when no exact-type branch
+    matches, the conventional Avro-writer behavior."""
+    import decimal
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    # (1) decimal over fixed: 4-byte two's-complement, scale 2
+    schema = {
+        "type": "record",
+        "name": "px",
+        "fields": [
+            {
+                "name": "amount",
+                "type": {
+                    "type": "fixed",
+                    "name": "amt4",
+                    "size": 4,
+                    "logicalType": "decimal",
+                    "precision": 9,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    recs = [
+        {"amount": decimal.Decimal("123.45")},
+        {"amount": decimal.Decimal("-0.07")},
+        {"amount": decimal.Decimal("0")},
+    ]
+    _s, got = AV.avro_records(AV.avro_build(recs, schema))
+    assert [r["amount"] for r in got] == [
+        decimal.Decimal("123.45"),
+        decimal.Decimal("-0.07"),
+        decimal.Decimal("0.00"),
+    ]
+    # fixed-decimal without precision is rejected, not passed as bytes
+    bad = {
+        "type": "record",
+        "name": "px2",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "fixed", "name": "f4", "size": 4,
+                    "logicalType": "decimal",
+                },
+            }
+        ],
+    }
+    with _pytest.raises(ValueError, match="precision"):
+        AV.avro_build([{"a": decimal.Decimal(1)}], bad)
+
+    # (2) same short name in two namespaces: each bare reference must
+    # bind to ITS OWN namespace's definition (the old global
+    # short-name alias made the second definition win everywhere)
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "namespace": "ns1",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "enum", "name": "color",
+                    "symbols": ["RED", "GREEN"],
+                },
+            },
+            {"name": "a2", "type": "color"},  # → ns1.color
+            {
+                "name": "b",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "namespace": "ns2",
+                    "fields": [
+                        {
+                            "name": "c",
+                            "type": {
+                                "type": "enum", "name": "color",
+                                "symbols": ["X", "Y", "Z"],
+                            },
+                        },
+                        {"name": "c2", "type": "color"},  # → ns2.color
+                    ],
+                },
+            },
+            {"name": "a3", "type": "ns1.color"},
+        ],
+    }
+    recs = [
+        {
+            "a": "GREEN", "a2": "RED",
+            "b": {"c": "Z", "c2": "X"},
+            "a3": "GREEN",
+        }
+    ]
+    _s, got = AV.avro_records(AV.avro_build(recs, schema))
+    assert got == recs
+    # the ns1 'color' has only 2 symbols: had ns2's won globally, index
+    # 2 ('Z') would have been out of range for a2 — also pin the decode
+    # of index 2 through the ns2 branch specifically
+    assert got[0]["b"]["c"] == "Z"
+
+    # (3) int value against ['null','double']: promoted, not rejected
+    schema = {
+        "type": "record",
+        "name": "pr",
+        "fields": [{"name": "v", "type": ["null", "double"]}],
+    }
+    _s, got = AV.avro_records(
+        AV.avro_build([{"v": 5}, {"v": None}, {"v": 2.5}], schema)
+    )
+    assert [r["v"] for r in got] == [5.0, None, 2.5]
+    # bool still binds to a boolean branch, never promoted to double
+    schema_b = {
+        "type": "record",
+        "name": "prb",
+        "fields": [{"name": "v", "type": ["boolean", "double"]}],
+    }
+    _s, got = AV.avro_records(
+        AV.avro_build([{"v": True}, {"v": 3}], schema_b)
+    )
+    assert [r["v"] for r in got] == [True, 3.0]
+
+
+def test_avro_bzip2_xz_codecs(tmp_path):
+    """r16 (VERDICT item 6): the spec's remaining optional codecs —
+    bzip2 and xz, both stdlib decoders. Roundtrip under each, and a
+    corrupt member quarantines per block under the tolerant walk."""
+    from timeseries_db_spark.sources import avro as AV
+
+    recs = [
+        {"doc_id": i, "text": f"codec doc {i}"} for i in range(40)
+    ]
+    for codec in ("bzip2", "xz"):
+        p = AV.avro_build(
+            recs, AV.CORPUS_AVRO_SCHEMA, codec=codec, block_records=10
+        )
+        _s, got = AV.avro_records(p)
+        assert got == recs
+        # flip one byte inside block 1's compressed payload: that
+        # block quarantines (bz2/xz both error on damage), siblings
+        # decode — the same per-block pricing as every other codec
+        b = bytearray(p)
+        import hashlib
+        import json as _json
+
+        sync = hashlib.md5(
+            _json.dumps(AV.CORPUS_AVRO_SCHEMA).encode()
+        ).digest()
+        first_block = p.index(sync) + 16
+        count, a2 = AV._zigzag_decode(p, first_block)
+        size, a3 = AV._zigzag_decode(p, a2)
+        second = a3 + size + 16  # start of block 1
+        c1, b2 = AV._zigzag_decode(p, second)
+        s1, b3 = AV._zigzag_decode(p, b2)
+        b[b3 + s1 // 2] ^= 0xFF
+        _s, kept, errs = AV.avro_scan(bytes(b), strict=False)
+        assert len(errs) == 1 and "block" in errs[0]
+        assert [r["doc_id"] for r in kept] == [
+            i for i in range(40) if not 10 <= i < 20
+        ]
+
+
+def test_xz_stream_padding_between_streams(spark, tmp_path):
+    """r16 ADVICE: xz STREAM PADDING (NUL bytes in 4-byte multiples)
+    between concatenated streams must not quarantine the streams after
+    it — the padding is stripped before the next decompressor starts."""
+    import lzma
+
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "pad"
+    d.mkdir()
+    (d / "p.jsonl.xz").write_bytes(
+        lzma.compress(b'{"doc_id": 1, "text": "before pad"}\n')
+        + b"\x00" * 8  # stream padding, 4-byte multiple
+        + lzma.compress(b'{"doc_id": 2, "text": "after pad"}\n')
+        + b"\x00" * 4  # trailing padding only
+    )
+    got = read_corpus_any(spark, str(d), fmt="jsonl.xz").collect()
+    assert {r["doc_id"]: r["text"] for r in got
+            if r["_corrupt"] is None} == {1: "before pad", 2: "after pad"}
+    assert not [r for r in got if r["_corrupt"] is not None]
+
+
+def test_snappy_overrun_bails_early():
+    """r16 ADVICE: a malformed block whose output overshoots the
+    declared length fails AS SOON as it overshoots (bounded memory),
+    and the preamble plausibility cut excludes exactly 2^32."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.functions import snappy as S
+
+    # declared 4, but an overlapping copy would emit 64 bytes — the
+    # mid-loop guard fires before the final length check
+    v = (
+        S._uvarint_encode(4)
+        + b"\x04ab"  # literal 'ab'
+        + bytes([((64 - 1) << 2) | 2])
+        + b"\x02\x00"  # copy-2: 64 bytes from offset 2
+    )
+    with _pytest.raises(ValueError, match="overrun|length"):
+        S.snappy_decompress(v)
+    # 2^32 - 1 is the spec max; 2^32 itself is implausible
+    with _pytest.raises(ValueError, match="implausible"):
+        S.snappy_decompress(S._uvarint_encode(1 << 32) + b"\x00a")

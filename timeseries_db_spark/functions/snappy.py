@@ -72,10 +72,19 @@ def snappy_decompress(b: bytes) -> bytes:
     mismatch) — never returns partial data, so the Avro per-block
     quarantine sees corruption as exactly one block error."""
     total, at = _uvarint_decode(b, 0)
-    if total > (1 << 32):
+    # spec max is 2^32 - 1 (the preamble is a 32-bit value) — r16
+    # ADVICE: the previous > allowed exactly 2^32 through
+    if total >= (1 << 32):
         raise ValueError("snappy declared length implausible")
     out = bytearray()
     while at < len(b):
+        # r16 ADVICE: bail as soon as output overshoots the preamble —
+        # without this, a malformed block could materialize up to ~64×
+        # its input before the final length check fired
+        if len(out) > total:
+            raise ValueError(
+                f"snappy output overruns declared length {total}"
+            )
         tag = b[at]
         at += 1
         kind = tag & 3

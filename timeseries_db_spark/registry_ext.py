@@ -2327,18 +2327,20 @@ def register_extensions(q: dict, o: dict) -> None:
             for r in _docs(s, d).select("doc_id").collect()
         )
         half = len(ids) // 2
-        quarter = len(ids) // 4
-        # r15 (VERDICT item 2): the avro shards now cycle all FOUR
-        # codecs — deflate / null / from-spec SNAPPY (the de-facto
-        # default of real Avro drops, framing CRC-32 verified) /
-        # ZSTANDARD (late r15 — pyarrow's bundled zstd closed the
-        # seam) — each decode path under the value oracle
-        av_chunks = (
-            ids[:quarter],
-            ids[quarter : 2 * quarter],
-            ids[2 * quarter : 3 * quarter],
-            ids[3 * quarter :],
+        # r15 (VERDICT item 2) + r16 (item 6): the avro shards cycle
+        # ALL SIX spec codecs — deflate / null / from-spec SNAPPY (the
+        # de-facto default of real Avro drops, framing CRC-32
+        # verified) / ZSTANDARD (pyarrow's bundled zstd) / BZIP2 / XZ
+        # (stdlib decoders; the xz frame carries its own CRC64) —
+        # each decode path under the value oracle
+        av_codecs = (
+            "deflate", "null", "snappy", "zstandard", "bzip2", "xz",
         )
+        sixth = max(1, len(ids) // len(av_codecs))
+        av_chunks = [
+            ids[k * sixth : (k + 1) * sixth if k < 5 else len(ids)]
+            for k in range(len(av_codecs))
+        ]
         for k, chunk in enumerate(av_chunks):
             recs = [
                 {"doc_id": i, "text": f"Avro doc {i}"} for i in chunk
@@ -2348,9 +2350,7 @@ def register_extensions(q: dict, o: dict) -> None:
                     AV.avro_build(
                         recs,
                         AV.CORPUS_AVRO_SCHEMA,
-                        codec=(
-                            "deflate", "null", "snappy", "zstandard"
-                        )[k],
+                        codec=av_codecs[k],
                         block_records=50,
                     )
                 )

@@ -92,6 +92,16 @@ def _resolve_named_types(t, names: dict, ns: str | None = None):
     linked lists) resolve into self-referential structures — decode
     terminates because the DATA does (a union's null branch)."""
     if isinstance(t, str):
+        # r16 ADVICE: bare references resolve through the INHERITED
+        # enclosing namespace first (spec: "a name that does not
+        # contain a dot is resolved within the enclosing namespace"),
+        # then fall back to the null-namespace registry — a global
+        # short-name alias let two same-named types in different
+        # namespaces collide
+        if ns and "." not in t:
+            hit = names.get(f"{ns}.{t}")
+            if hit is not None:
+                return hit
         return names.get(t, t)
     if isinstance(t, list):
         return [_resolve_named_types(x, names, ns) for x in t]
@@ -130,21 +140,25 @@ def _resolve_named_types(t, names: dict, ns: str | None = None):
 def _register_name(
     t: dict, resolved, names: dict, inherited_ns: str | None
 ) -> str | None:
-    """Register under the short name AND the fullname (own namespace,
-    else the inherited one, per the spec's namespace rules); returns
-    the namespace the type's CHILDREN inherit."""
+    """Register under the FULLNAME (own namespace, else the inherited
+    one, per the spec's namespace rules) — and under the bare short
+    name ONLY when the type lives in the null namespace (r16 ADVICE:
+    a global short-name alias made same-named types in different
+    namespaces collide, last definition winning; bare references now
+    resolve namespace-first in :func:`_resolve_named_types` instead).
+    Returns the namespace the type's CHILDREN inherit."""
     name = t.get("name")
     if not name:
         return inherited_ns
     if "." in name:  # fullname given inline
-        ns, short = name.rsplit(".", 1)
+        ns, _short = name.rsplit(".", 1)
         names[name] = resolved
-        names[short] = resolved
         return ns
     ns = t.get("namespace", inherited_ns)
-    names[name] = resolved
     if ns:
         names[f"{ns}.{name}"] = resolved
+    else:
+        names[name] = resolved
     return ns
 
 
@@ -197,6 +211,14 @@ def _check_type(t, _seen: set | None = None) -> None:
         if kind == "fixed":
             if not isinstance(t.get("size"), int):
                 raise ValueError("avro fixed without size")
+            # r16 ADVICE: decimal-over-fixed was unreachable in the
+            # primitive branch below (this branch returns first) and
+            # silently decoded as raw bytes — validate it here and
+            # convert it in _decode_value/_encode_value
+            if t.get("logicalType") == "decimal" and not isinstance(
+                t.get("precision"), int
+            ):
+                raise ValueError("avro decimal needs bytes/fixed + precision")
             return
         if kind in _PRIMITIVES:
             # r15: logical types are ANNOTATIONS over a primitive
@@ -283,6 +305,16 @@ def _decode_value(t, b: bytes, at: int):
         raw = b[at : at + n]
         if len(raw) != n:
             raise ValueError("avro fixed truncated")
+        if t.get("logicalType") == "decimal":
+            # r16 ADVICE: decimal-over-fixed converts exactly like
+            # decimal-over-bytes — unscaled two's-complement big-endian
+            import decimal
+
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return (
+                decimal.Decimal(unscaled).scaleb(-int(t.get("scale", 0))),
+                at + n,
+            )
         return raw, at + n
     if isinstance(t, dict) and t.get("type") == "record":
         rec = {}
@@ -353,8 +385,15 @@ def _union_branch(t: list, v) -> int:
                 return i
             if kind == "enum" and isinstance(v, str) and v in sub["symbols"]:
                 return i
-            if kind == "fixed" and isinstance(v, (bytes, bytearray)):
-                return i
+            if kind == "fixed":
+                import decimal
+
+                if sub.get("logicalType") == "decimal" and isinstance(
+                    v, decimal.Decimal
+                ):
+                    return i
+                if isinstance(v, (bytes, bytearray)):
+                    return i
             if kind in _PRIMITIVES:  # r15: logical-type branch
                 import decimal
 
@@ -367,6 +406,16 @@ def _union_branch(t: list, v) -> int:
                     return i
                 if kind == "string" and isinstance(v, str):
                     return i
+    # r16 ADVICE: second pass — Avro writers conventionally promote an
+    # int value to a double/float branch when no exact-type branch
+    # matched (e.g. 5 against ['null', 'double'])
+    if isinstance(v, int) and not isinstance(v, bool):
+        for i, sub in enumerate(t):
+            kind = sub if isinstance(sub, str) else (
+                sub.get("type") if isinstance(sub, dict) else None
+            )
+            if kind in ("double", "float"):
+                return i
     raise ValueError(f"avro union has no branch for {type(v).__name__}")
 
 
@@ -394,6 +443,13 @@ def _encode_value(t, v) -> bytes:
     if isinstance(t, dict) and t.get("type") == "enum":
         return _zigzag_encode(t["symbols"].index(v))
     if isinstance(t, dict) and t.get("type") == "fixed":
+        if t.get("logicalType") == "decimal":
+            import decimal
+
+            unscaled = int(
+                decimal.Decimal(v).scaleb(int(t.get("scale", 0)))
+            )
+            return unscaled.to_bytes(t["size"], "big", signed=True)
         if len(v) != t["size"]:
             raise ValueError("avro fixed size mismatch")
         return bytes(v)
@@ -473,7 +529,9 @@ def avro_scan(
         at += 16
         schema = json.loads(meta[b"avro.schema".decode()].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("latin-1")
-        if codec not in ("null", "deflate", "snappy", "zstandard"):
+        if codec not in (
+            "null", "deflate", "snappy", "zstandard", "bzip2", "xz",
+        ):
             raise ValueError(f"avro codec {codec!r} unsupported (seam)")
         fields = _field_types(schema)
     except (ValueError, KeyError, UnicodeDecodeError) as e:
@@ -517,6 +575,26 @@ def avro_scan(
                     ).read()
                 except OSError as e:
                     raise ValueError(f"avro zstd block: {e}") from e
+            elif codec == "bzip2":
+                # r16 (VERDICT item 6): spec-listed optional codec with
+                # a stdlib decoder; OSError on corruption quarantines
+                # the block like any other
+                import bz2 as _bz2
+
+                try:
+                    block = _bz2.decompress(block)
+                except (OSError, ValueError) as e:
+                    raise ValueError(f"avro bzip2 block: {e}") from e
+            elif codec == "xz":
+                # r16 (VERDICT item 6): the .xz container per block —
+                # its own integrity check (CRC64 by default) rides
+                # inside the frame, so a flipped byte errors here
+                import lzma as _lzma
+
+                try:
+                    block = _lzma.decompress(block, _lzma.FORMAT_XZ)
+                except _lzma.LZMAError as e:
+                    raise ValueError(f"avro xz block: {e}") from e
             elif codec == "snappy":
                 # Avro snappy framing (spec): raw snappy block followed
                 # by the 4-byte BIG-endian CRC-32 of the UNCOMPRESSED
@@ -581,7 +659,8 @@ def avro_build(
     block_records: int = 100,
 ) -> bytes:
     """Minimal Object Container File writer (the reader's pin):
-    null, deflate, snappy or zstandard codec, deterministic sync marker."""
+    null, deflate, snappy, zstandard, bzip2 or xz codec (the spec's
+    full optional-codec list, r16), deterministic sync marker."""
     import hashlib
 
     fields = _field_types(schema)
@@ -610,6 +689,14 @@ def avro_build(
             import pyarrow as _pa
 
             body = bytes(_pa.Codec("zstd").compress(body))
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            body = _bz2.compress(body)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
         elif codec == "snappy":
             crc = zlib.crc32(body).to_bytes(4, "big")
             body = snappy_compress(body) + crc

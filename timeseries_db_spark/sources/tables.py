@@ -309,8 +309,13 @@ def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
         try:
             while True:
                 if dec.eof:
-                    rest = dec.unused_data
-                    if not rest.strip(b"\x00"):
+                    # r16 ADVICE: xz STREAM PADDING (NUL bytes, 4-byte
+                    # multiples) may sit between concatenated streams —
+                    # a fresh decompressor rejects leading NULs, so
+                    # strip them before restarting (feeding the padding
+                    # verbatim quarantined every stream after it)
+                    rest = dec.unused_data.lstrip(b"\x00")
+                    if not rest:
                         break
                     dec = lzma.LZMADecompressor()  # next stream
                     data, pos = rest, 0
