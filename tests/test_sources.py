@@ -1013,3 +1013,175 @@ def test_snappy_overrun_bails_early():
     # 2^32 - 1 is the spec max; 2^32 itself is implausible
     with _pytest.raises(ValueError, match="implausible"):
         S.snappy_decompress(S._uvarint_encode(1 << 32) + b"\x00a")
+
+
+def test_avro_reader_schema_resolution(spark, tmp_path):
+    """r16 (VERDICT item 1) — spec §Schema Resolution: a reader schema
+    decodes data written under any compatible writer schema. Covers
+    every resolution move: added field w/ default, alias rename,
+    int→long / long→double / float→double / string↔bytes promotions,
+    writer-field skip, enum symbol retirement (reader default vs
+    per-record error), union branch resolution both ways, and the
+    container-level error for an UNRESOLVABLE writer."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    v1 = AV.CORPUS_V1_AVRO_SCHEMA
+    v2 = AV.CORPUS_V2_READER_SCHEMA
+    recs = [
+        {"doc_id": i, "body": (None if i % 5 == 0 else f"doc {i}"),
+         "score": 100 + i, "legacy_blob": b"\x01\x02"}
+        for i in range(20)
+    ]
+    payload = AV.avro_build(recs, v1, codec="deflate", block_records=7)
+    _s, got = AV.avro_records(payload, reader_schema=v2)
+    assert got == [
+        {"doc_id": i, "text": (None if i % 5 == 0 else f"doc {i}"),
+         "score": 100 + i, "lang": "und"}
+        for i in range(20)
+    ]
+    # score came back as a PYTHON int regardless, but the plan applied
+    # the int→long promotion (wire was 32-bit zigzag); v2-native data
+    # decodes under the same reader unchanged
+    v2w = {
+        "type": "record", "name": "document",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "score", "type": "long"},
+            {"name": "lang", "type": "string"},
+        ],
+    }
+    native = [{"doc_id": 99, "text": "native", "score": 1, "lang": "en"}]
+    _s, got = AV.avro_records(
+        AV.avro_build(native, v2w), reader_schema=v2
+    )
+    assert got == native
+
+    # remaining promotions: long→double, float→double, string→bytes,
+    # bytes→string
+    w = {
+        "type": "record", "name": "p",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "float"},
+            {"name": "c", "type": "string"},
+            {"name": "d", "type": "bytes"},
+        ],
+    }
+    r = {
+        "type": "record", "name": "p",
+        "fields": [
+            {"name": "a", "type": "double"},
+            {"name": "b", "type": "double"},
+            {"name": "c", "type": "bytes"},
+            {"name": "d", "type": "string"},
+        ],
+    }
+    _s, got = AV.avro_records(
+        AV.avro_build(
+            [{"a": 5, "b": 1.5, "c": "héllo", "d": "wörld".encode()}], w
+        ),
+        reader_schema=r,
+    )
+    assert got == [
+        {"a": 5.0, "b": 1.5, "c": "héllo".encode(), "d": "wörld"}
+    ]
+    # double→int is NOT a promotion: container-level error
+    bad_r = {
+        "type": "record", "name": "p",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "double"},
+            {"name": "c", "type": "string"},
+            {"name": "d", "type": "bytes"},
+        ],
+    }
+    w2 = dict(w, fields=[dict(w["fields"][0], type="double")] + w["fields"][1:])
+    with _pytest.raises(ValueError, match="promote"):
+        AV.avro_records(
+            AV.avro_build([{"a": 1.0, "b": 1.0, "c": "x", "d": b"y"}], w2),
+            reader_schema=bad_r,
+        )
+
+    # enum retirement: writer symbol absent from the reader uses the
+    # reader's enum default; without a default it errors per block
+    we = {
+        "type": "record", "name": "e",
+        "fields": [{"name": "c", "type": {
+            "type": "enum", "name": "col",
+            "symbols": ["RED", "GREEN", "TEAL"]}}],
+    }
+    re_def = {
+        "type": "record", "name": "e",
+        "fields": [{"name": "c", "type": {
+            "type": "enum", "name": "col",
+            "symbols": ["RED", "GREEN"], "default": "RED"}}],
+    }
+    p = AV.avro_build(
+        [{"c": "TEAL"}, {"c": "GREEN"}], we, block_records=1
+    )
+    _s, got = AV.avro_records(p, reader_schema=re_def)
+    assert [r_["c"] for r_ in got] == ["RED", "GREEN"]
+    re_nodef = {
+        "type": "record", "name": "e",
+        "fields": [{"name": "c", "type": {
+            "type": "enum", "name": "col", "symbols": ["RED", "GREEN"]}}],
+    }
+    _s, kept, errs = AV.avro_scan(
+        p, strict=False, reader_schema=re_nodef
+    )
+    # data-dependent: the TEAL block quarantines, the GREEN one decodes
+    assert [r_["c"] for r_ in kept] == ["GREEN"]
+    assert len(errs) == 1 and "enum" in errs[0]
+
+    # unions: writer non-union into reader union; writer union branch
+    # the reader cannot hold errors only when data takes it
+    wu = {
+        "type": "record", "name": "u",
+        "fields": [{"name": "v", "type": ["null", "string", "long"]}],
+    }
+    ru = {
+        "type": "record", "name": "u",
+        "fields": [{"name": "v", "type": ["null", "string"]}],
+    }
+    p = AV.avro_build(
+        [{"v": "ok"}, {"v": 9}, {"v": None}], wu, block_records=1
+    )
+    _s, kept, errs = AV.avro_scan(p, strict=False, reader_schema=ru)
+    assert [r_["v"] for r_ in kept] == ["ok", None]
+    assert len(errs) == 1 and "unresolvable writer branch" in errs[0]
+    # non-union writer into a reader union binds the matching branch
+    wn = {
+        "type": "record", "name": "u",
+        "fields": [{"name": "v", "type": "string"}],
+    }
+    _s, got = AV.avro_records(
+        AV.avro_build([{"v": "plain"}], wn), reader_schema=ru
+    )
+    assert got == [{"v": "plain"}]
+
+    # unresolvable writer (reader field without default or writer
+    # counterpart): ONE container-level quarantine row
+    w0 = {
+        "type": "record", "name": "document",
+        "fields": [{"name": "body", "type": ["null", "string"]}],
+    }
+    p0 = AV.avro_build([{"body": "orphan"}], w0)
+    _s, kept, errs = AV.avro_scan(p0, strict=False, reader_schema=v2)
+    assert kept == [] and len(errs) == 1 and "no writer" in errs[0]
+
+    # the Spark reader: v1 + v2-native + unresolvable shards in one dir
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "v1.avro").write_bytes(payload)
+    (d / "v2.avro").write_bytes(AV.avro_build(native, v2w, codec="snappy"))
+    (d / "v0.avro").write_bytes(p0)
+    got = AV.read_evolved_corpus_avro(spark, str(d)).collect()
+    clean = {r_["doc_id"]: (r_["text"], r_["score"], r_["lang"])
+             for r_ in got if r_["_corrupt"] is None}
+    assert len(clean) == 21
+    assert clean[3] == ("doc 3", 103, "und")
+    assert clean[99] == ("native", 1, "en")
+    assert sum(1 for r_ in got if r_["_corrupt"] is not None) == 1

@@ -112,14 +112,11 @@ def _resolve_named_types(t, names: dict, ns: str | None = None):
             sub_ns = _register_name(t, out, names, ns)
             out["fields"] = []
             for f in t["fields"]:
-                out["fields"].append(
-                    {
-                        "name": f["name"],
-                        "type": _resolve_named_types(
-                            f["type"], names, sub_ns
-                        ),
-                    }
-                )
+                # keep every field attribute (r16: ``aliases`` and
+                # ``default`` drive spec §Schema Resolution)
+                nf = {k: v for k, v in f.items() if k != "type"}
+                nf["type"] = _resolve_named_types(f["type"], names, sub_ns)
+                out["fields"].append(nf)
             return out
         if kind in ("enum", "fixed"):
             _register_name(t, t, names, ns)
@@ -489,8 +486,290 @@ def _encode_value(t, v) -> bytes:
     raise ValueError(f"avro type {t!r} unsupported (seam)")
 
 
+# --- reader-schema resolution (r16 — VERDICT item 1): Avro spec
+# §Schema Resolution. A consumer pins a READER schema and decodes data
+# written under any compatible WRITER schema: added fields fill from
+# reader defaults, renames match through reader field ``aliases``,
+# numerics promote (int→long→float→double, string↔bytes), enums map
+# symbol-by-symbol (reader ``default`` absorbs retired symbols), and
+# unions resolve branch-by-branch. This is what long-lived
+# Kafka-archive corpora live on — every schema version in the archive
+# decodes under today's reader. Schema-LEVEL incompatibility (a reader
+# field with no writer counterpart and no default, a name mismatch)
+# surfaces at plan-build time — one container-level error under
+# quarantine; DATA-dependent mismatches (a writer union branch or
+# retired enum symbol the reader cannot hold) raise during block
+# decode and quarantine per block via the existing walk.
+
+#: spec promotion lattice: (writer kind, reader kind)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _base_kind(t) -> str | None:
+    """Primitive kind of a type node ('long', 'string', …) or None for
+    complex types; logical-type annotations keep their base kind."""
+    if isinstance(t, str) and t in _PRIMITIVES:
+        return t
+    if isinstance(t, dict) and t.get("type") in _PRIMITIVES:
+        return t["type"]
+    return None
+
+
+def _short(name: str) -> str:
+    return name.rsplit(".", 1)[-1]
+
+
+def _require_name_match(wt: dict, rt: dict) -> None:
+    """Named types (record/enum/fixed) resolve only when the names
+    match — the reader's unqualified name equals the writer's, or one
+    of the reader's ``aliases`` names the writer (the spec's rename
+    mechanism for the TYPE itself)."""
+    wname = wt.get("name", "")
+    rname = rt.get("name", "")
+    if _short(wname) == _short(rname):
+        return
+    aliases = rt.get("aliases", ())
+    if wname in aliases or _short(wname) in {_short(a) for a in aliases}:
+        return
+    raise ValueError(
+        f"avro reader type {rname!r} does not match writer {wname!r}"
+    )
+
+
+def _default_value(t, d):
+    """A reader field's JSON ``default`` as the Python value the
+    decoder emits — union defaults bind to the FIRST branch, bytes and
+    fixed defaults are latin-1-coded strings (both per spec)."""
+    if isinstance(t, list):
+        t = t[0] if t else "null"
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            return [_default_value(t["items"], x) for x in d]
+        if kind == "map":
+            return {k: _default_value(t["values"], v) for k, v in d.items()}
+        if kind == "record":
+            return {
+                f["name"]: _default_value(
+                    f["type"],
+                    d.get(f["name"], f.get("default")) if isinstance(d, dict)
+                    else f.get("default"),
+                )
+                for f in t["fields"]
+            }
+        if kind == "enum":
+            return d
+        if kind == "fixed":
+            return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+        t = kind  # annotated primitive → its base kind
+    if t == "null":
+        return None
+    if t == "bytes":
+        return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if t in ("int", "long"):
+        return int(d)
+    if t in ("float", "double"):
+        return float(d)
+    if t == "boolean":
+        return bool(d)
+    if t == "string":
+        return str(d)
+    return d
+
+
+def _resolve_reader(wt, rt, memo: dict | None = None) -> list:
+    """Build the decode PLAN for (writer type, reader type) per spec
+    §Schema Resolution — raises ``ValueError`` on schema-level
+    incompatibility; data-dependent mismatches become ``err`` nodes
+    that raise only when the data actually takes that path. Plan nodes
+    are mutable lists so RECURSIVE schema pairs memo-resolve into
+    self-referential plans (decode terminates because the data does)."""
+    if memo is None:
+        memo = {}
+    if isinstance(wt, list):  # writer union: branch index comes first
+        plans = []
+        for wb in wt:
+            try:
+                plans.append(_resolve_reader(wb, rt, memo))
+            except ValueError as e:
+                plans.append(["err", f"avro unresolvable writer branch: {e}"])
+        return ["wunion", plans]
+    if isinstance(rt, list):  # reader union: first branch that resolves
+        last: Exception | None = None
+        for rb in rt:
+            try:
+                return _resolve_reader(wt, rb, memo)
+            except ValueError as e:
+                last = e
+        raise ValueError(
+            f"avro reader union has no branch for writer type: {last}"
+        )
+    if wt == "null" or rt == "null":
+        if wt == "null" and rt == "null":
+            return ["null"]
+        raise ValueError("avro null/non-null mismatch")
+    wk, rk = _base_kind(wt), _base_kind(rt)
+    if wk is not None and rk is not None:
+        if wk == rk:
+            return ["as", wt]  # decode with the WRITER's annotations
+        if (wk, rk) in _PROMOTIONS:
+            return ["promote", wt, rk]
+        raise ValueError(f"avro cannot promote {wk} to {rk}")
+    if wk is not None or rk is not None:
+        raise ValueError(
+            f"avro primitive/complex mismatch ({wk or wt.get('type')}"
+            f" vs {rk or rt.get('type')})"
+        )
+    wkind, rkind = wt.get("type"), rt.get("type")
+    if wkind != rkind:
+        raise ValueError(f"avro type mismatch ({wkind} vs {rkind})")
+    key = (id(wt), id(rt))
+    if key in memo:
+        return memo[key]
+    if wkind == "array":
+        node = ["array", None]
+        memo[key] = node
+        node[1] = _resolve_reader(wt["items"], rt["items"], memo)
+        return node
+    if wkind == "map":
+        node = ["map", None]
+        memo[key] = node
+        node[1] = _resolve_reader(wt["values"], rt["values"], memo)
+        return node
+    if wkind == "enum":
+        _require_name_match(wt, rt)
+        rsyms = set(rt["symbols"])
+        rdef = rt.get("default")
+        # writer symbol kept if the reader knows it, else the reader's
+        # enum default absorbs it, else a data-dependent error
+        mapping = [s if s in rsyms else rdef for s in wt["symbols"]]
+        return ["enum", mapping]
+    if wkind == "fixed":
+        _require_name_match(wt, rt)
+        if wt["size"] != rt["size"]:
+            raise ValueError("avro fixed size mismatch in resolution")
+        return ["as", wt]
+    if wkind == "record":
+        _require_name_match(wt, rt)
+        node = ["record", None, None]
+        memo[key] = node
+        rfields = rt["fields"]
+        by_name = {f["name"]: f for f in rfields}
+        by_alias = {}
+        for f in rfields:
+            for a in f.get("aliases", ()):  # field-level rename
+                by_alias[a] = f
+        steps: list[tuple[str | None, object]] = []
+        matched: set[str] = set()
+        for wf in wt["fields"]:
+            rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
+            if rf is None:
+                # writer-only field: decoded (the bytes must be
+                # walked) and discarded
+                steps.append((None, wf["type"]))
+            else:
+                steps.append(
+                    (rf["name"], _resolve_reader(wf["type"], rf["type"], memo))
+                )
+                matched.add(rf["name"])
+        extra: list[tuple[str, object]] = []
+        for rf in rfields:
+            if rf["name"] in matched:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"avro reader field {rf['name']!r} has no writer"
+                    " counterpart and no default"
+                )
+            extra.append((rf["name"], _default_value(rf["type"], rf["default"])))
+        node[1], node[2] = steps, extra
+        return node
+    raise ValueError(f"avro type {wkind!r} unsupported in resolution")
+
+
+def _decode_resolved(plan: list, b: bytes, at: int):
+    """Decode one value under a resolution plan — the writer's wire
+    shape walked exactly, the reader's value shape emitted."""
+    kind = plan[0]
+    if kind == "as":
+        return _decode_value(plan[1], b, at)
+    if kind == "null":
+        return None, at
+    if kind == "promote":
+        v, at = _decode_value(plan[1], b, at)
+        target = plan[2]
+        if target == "long":
+            return int(v), at
+        if target in ("float", "double"):
+            return float(v), at
+        if target == "bytes":
+            return v.encode("utf-8"), at
+        return v.decode("utf-8"), at  # bytes → string, per spec
+    if kind == "record":
+        rec = {}
+        for name, sub in plan[1]:
+            if name is None:
+                _skip, at = _decode_value(sub, b, at)
+            else:
+                rec[name], at = _decode_resolved(sub, b, at)
+        for name, dv in plan[2]:
+            rec[name] = dv
+        return rec, at
+    if kind == "array":
+        arr = []
+        while True:
+            n, at = _zigzag_decode(b, at)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _sz, at = _zigzag_decode(b, at)
+            for _ in range(n):
+                v, at = _decode_resolved(plan[1], b, at)
+                arr.append(v)
+        return arr, at
+    if kind == "map":
+        m = {}
+        while True:
+            n, at = _zigzag_decode(b, at)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _sz, at = _zigzag_decode(b, at)
+            for _ in range(n):
+                k, at = _decode_value("string", b, at)
+                m[k], at = _decode_resolved(plan[1], b, at)
+        return m, at
+    if kind == "enum":
+        idx, at = _zigzag_decode(b, at)
+        mapping = plan[1]
+        if not 0 <= idx < len(mapping):
+            raise ValueError(f"avro enum index {idx} out of range")
+        v = mapping[idx]
+        if v is None:
+            raise ValueError(
+                "avro writer enum symbol unknown to reader (no default)"
+            )
+        return v, at
+    if kind == "wunion":
+        idx, at = _zigzag_decode(b, at)
+        plans = plan[1]
+        if not 0 <= idx < len(plans):
+            raise ValueError(f"avro union branch {idx} out of range")
+        return _decode_resolved(plans[idx], b, at)
+    if kind == "err":
+        raise ValueError(plan[1])
+    raise ValueError(f"avro plan node {kind!r} unsupported")
+
+
 def avro_scan(
-    payload: bytes, strict: bool = True
+    payload: bytes, strict: bool = True, reader_schema: dict | None = None
 ) -> tuple[dict | None, list[dict], list[str]]:
     """(schema, records, errors) of one Object Container File — sync
     markers verified per block, null/deflate codecs, the flat-record
@@ -503,7 +782,15 @@ def avro_scan(
     walk RESYNCS on the next 16-byte sync-marker occurrence, so the
     blocks after it still decode — sync markers exist precisely to
     make blocks independently recoverable (Avro spec, Object Container
-    Files)."""
+    Files).
+
+    ``reader_schema`` (r16 — spec §Schema Resolution): decode under
+    THIS schema instead of the writer's — defaults fill added fields,
+    ``aliases`` match renames, numerics promote, unions/enums resolve.
+    An unresolvable writer schema is a container-level error (the
+    whole file is incompatible); a data-dependent mismatch (union
+    branch / retired enum symbol the reader can't hold) quarantines
+    per block."""
     b = payload
     errs: list[str] = []
     try:
@@ -534,6 +821,15 @@ def avro_scan(
         ):
             raise ValueError(f"avro codec {codec!r} unsupported (seam)")
         fields = _field_types(schema)
+        plan = None
+        if reader_schema is not None:
+            rres = _resolve_named_types(reader_schema, {})
+            if rres.get("type") != "record":
+                raise ValueError("avro reader schema must be a record")
+            for f in rres["fields"]:
+                _check_type(f["type"])
+            wres = _resolve_named_types(schema, {})
+            plan = _resolve_reader(wres, rres)
     except (ValueError, KeyError, UnicodeDecodeError) as e:
         if strict:
             raise
@@ -609,9 +905,12 @@ def avro_scan(
             p = 0
             block_recs: list[dict] = []
             for _ in range(count):
-                rec = {}
-                for name, t in fields:
-                    rec[name], p = _decode_value(t, block, p)
+                if plan is not None:
+                    rec, p = _decode_resolved(plan, block, p)
+                else:
+                    rec = {}
+                    for name, t in fields:
+                        rec[name], p = _decode_value(t, block, p)
                 block_recs.append(rec)
             if p != len(block):
                 raise ValueError("avro block has trailing bytes")
@@ -647,10 +946,15 @@ def avro_scan(
     return schema, records, errs
 
 
-def avro_records(payload: bytes) -> tuple[dict, list[dict]]:
+def avro_records(
+    payload: bytes, reader_schema: dict | None = None
+) -> tuple[dict, list[dict]]:
     """Strict form of :func:`avro_scan` — (schema, records), raising
-    ``ValueError`` on corruption or unsupported shapes."""
-    schema, records, _ = avro_scan(payload, strict=True)
+    ``ValueError`` on corruption or unsupported shapes. With
+    ``reader_schema``, records decode under spec §Schema Resolution."""
+    schema, records, _ = avro_scan(
+        payload, strict=True, reader_schema=reader_schema
+    )
     return schema, records
 
 
@@ -918,6 +1222,81 @@ def read_logical_avro(spark: SparkSession, path: str) -> DataFrame:
             gen,
             schema="doc_id long, ts_us long, day int, "
             "amount_cents long, c1 string, c2 string, c3 string",
+        )
+    )
+
+
+#: schema-EVOLUTION pair (r16 — VERDICT item 1): the v1 shape a
+#: long-lived Kafka archive was written under years ago …
+CORPUS_V1_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "document",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "body", "type": ["null", "string"]},
+        {"name": "score", "type": "int"},
+        {"name": "legacy_blob", "type": "bytes"},
+    ],
+}
+
+#: … and the v2 READER schema today's consumer pins: ``body`` renamed
+#: to ``text`` (field alias), ``score`` widened int→long (promotion),
+#: ``lang`` added with a default, ``legacy_blob`` dropped — the four
+#: §Schema Resolution moves every evolving pipeline makes
+CORPUS_V2_READER_SCHEMA = {
+    "type": "record",
+    "name": "document",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"], "aliases": ["body"]},
+        {"name": "score", "type": "long"},
+        {"name": "lang", "type": "string", "default": "und"},
+    ],
+}
+
+
+def read_evolved_corpus_avro(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, text, score, lang[, _corrupt]) from ``.avro`` shards
+    written under ANY writer schema that resolves against
+    :data:`CORPUS_V2_READER_SCHEMA` — the r16 schema-evolution arrival
+    path: v1 shards decode with the rename/promotion/default applied
+    per record, v2-native shards decode directly, and a shard whose
+    writer schema is UNRESOLVABLE (e.g. missing a defaultless reader
+    field) quarantines as one container-level ``_corrupt`` row while
+    its siblings decode. Same per-file Arrow kernel as the other
+    readers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                _schema, recs, errs = avro_scan(
+                    bytes(content),
+                    strict=False,
+                    reader_schema=CORPUS_V2_READER_SCHEMA,
+                )
+                for msg in errs:
+                    rows.append((None, None, None, None, msg))
+                for r in recs:
+                    rows.append(
+                        (r["doc_id"], r["text"], r["score"], r["lang"], None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "score", "lang", "_corrupt"],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            gen,
+            schema="doc_id long, text string, score long, lang string,"
+            " _corrupt string",
         )
     )
 
