@@ -2507,13 +2507,109 @@ def register_extensions(q: dict, o: dict) -> None:
             ).alias("ids_sum"),
             F.lit("embfmt").alias("kind"),
         )
+        # r16 evfmt leg (VERDICT item 1): SCHEMA EVOLUTION — even docs
+        # arrive in shards written under the years-old v1 writer
+        # schema (``body`` instead of ``text``, 32-bit ``score``, a
+        # ``legacy_blob`` the reader dropped, no ``lang``), odd docs
+        # arrive v2-native, and today's consumer pins ONE reader
+        # schema (CORPUS_V2_READER_SCHEMA) over the whole directory:
+        # spec §Schema Resolution applies the alias rename, the
+        # int→long promotion, the 'und' default fill, and the
+        # writer-field skip per record. A shard whose writer schema is
+        # UNRESOLVABLE (missing a defaultless reader field)
+        # quarantines as one container-level row while its siblings
+        # decode. v1 shards ride deflate, v2 snappy — evolution and
+        # codec paths compose.
+        ev_dir = os.path.join(base, "evolved")
+        os.makedirs(ev_dir)
+        evens = [i for i in ids if i % 2 == 0]
+        odds = [i for i in ids if i % 2 == 1]
+        with open(os.path.join(ev_dir, "part-v1.avro"), "wb") as f:
+            f.write(
+                AV.avro_build(
+                    [
+                        {
+                            "doc_id": i,
+                            "body": (
+                                None if i % 6 == 0 else f"Evo doc {i}"
+                            ),
+                            "score": 2 * i,
+                            "legacy_blob": b"\x00\x01",
+                        }
+                        for i in evens
+                    ],
+                    AV.CORPUS_V1_AVRO_SCHEMA,
+                    codec="deflate",
+                    block_records=50,
+                )
+            )
+        with open(os.path.join(ev_dir, "part-v2.avro"), "wb") as f:
+            f.write(
+                AV.avro_build(
+                    [
+                        {
+                            "doc_id": i,
+                            "text": f"Evo doc {i}",
+                            "score": 3 * i,
+                            "lang": "en",
+                        }
+                        for i in odds
+                    ],
+                    AV.CORPUS_V2_READER_SCHEMA,
+                    codec="snappy",
+                    block_records=50,
+                )
+            )
+        with open(os.path.join(ev_dir, "part-bad.avro"), "wb") as f:
+            f.write(
+                AV.avro_build(
+                    [{"doc_id": -9}],
+                    {
+                        "type": "record",
+                        "name": "document",
+                        "fields": [{"name": "doc_id", "type": "long"}],
+                    },
+                )
+            )
+        ev_bad = F.col("_corrupt").isNotNull()
+        evfmt = AV.read_evolved_corpus_avro(s, ev_dir).select(
+            F.when(ev_bad, F.lit(-1))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("doc_id"),
+            F.when(ev_bad, F.lit(-1))
+            .otherwise(F.col("score"))
+            .cast("long")
+            .alias("n_tokens"),
+            ev_bad.cast("long").alias("n_oov"),
+            F.when(ev_bad, F.md5(F.lit("")))
+            .otherwise(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(":"),
+                        F.col("lang"),
+                    )
+                )
+            )
+            .alias("ids_fp"),
+            F.when(ev_bad, F.lit(-1))
+            .otherwise(
+                F.col("doc_id") + F.col("score") + F.length("lang")
+            )
+            .cast("long")
+            .alias("ids_sum"),
+            F.lit("evfmt").alias("kind"),
+        )
         return coerce(read_corpus_any(s, av_dir, fmt="avro")).withColumn(
             "kind", F.lit("avfmt")
         ).unionByName(
             coerce(read_corpus_any(s, csv_dir, fmt="csv")).withColumn(
                 "kind", F.lit("csvfmt")
             )
-        ).unionByName(embfmt).unionByName(unfmt).unionByName(lgfmt)
+        ).unionByName(embfmt).unionByName(unfmt).unionByName(
+            lgfmt
+        ).unionByName(evfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2608,6 +2704,29 @@ def register_extensions(q: dict, o: dict) -> None:
                 + 19000 + doc_id % 365)::BIGINT AS ids_sum,
                'lgfmt' AS kind
         FROM documents
+        UNION ALL
+        -- evfmt (r16): schema evolution restated — even docs were
+        -- written v1 (score 2*id widened int->long, body aliased to
+        -- text and NULL every 6th, lang filled from the 'und'
+        -- default), odd docs v2-native (score 3*id, lang 'en'), plus
+        -- one container-level quarantine for the unresolvable shard
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                     ELSE 3 * doc_id END)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5(CASE WHEN doc_id % 6 = 0 THEN ':und'
+                        WHEN doc_id % 2 = 0
+                            THEN 'Evo doc ' || doc_id || ':und'
+                        ELSE 'Evo doc ' || doc_id || ':en' END) AS ids_fp,
+               (doc_id
+                + CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                       ELSE 3 * doc_id END
+                + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+                   AS ids_sum,
+               'evfmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'evfmt'
     """
     )
 
