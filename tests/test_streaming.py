@@ -1453,3 +1453,98 @@ def test_archive_of_avro_shards_streams_to_corpus(spark, tmp_path):
     rej = ai.read_archive_rejects(spark, out_dir).collect()
     assert len(rej) == 1
     assert rej[0]["member_idx"] == -2 and "block" in rej[0]["err"]
+
+
+def test_mixed_arrival_one_query_routes_and_isolates(spark, tmp_path):
+    """r16 (VERDICT item 2): ONE streaming query over a mixed landing
+    directory (.avro + .csv + .jsonl + an unrouted extension) routes
+    each format to its OWN corpus-ingest state: per-format near-dup
+    isolation (a cross-format duplicate text publishes in BOTH
+    formats), same-batch domination stays doc_id-ordered within a
+    format, per-format dead-letter channels land, and the unrouted
+    file is simply left alone."""
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import csv_ingest as xi
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+    from timeseries_db_spark.streaming import mixed_ingest as mi
+
+    dup = "completely identical long body shared across formats " * 3
+    near_a = "the quick brown fox jumps over twelve lazy dogs daily " * 3
+    near_b = near_a + "tail"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "a0.avro", "wb") as f:
+        f.write(
+            AV.avro_build(
+                [
+                    {"doc_id": 5, "text": near_a},
+                    {"doc_id": 6, "text": near_b},  # dominated by 5
+                    {"doc_id": 7, "text": dup},
+                ],
+                AV.CORPUS_AVRO_SCHEMA,
+            )
+        )
+    with open(in_dir / "c0.csv", "w") as f:
+        f.write(
+            "doc_id,text,lang,source,n_chars\n"
+            f"50,{dup},en,web,{len(dup)}\n"
+            "51,broken row,en,web,NOPE\n"
+        )
+    with open(in_dir / "j0.jsonl", "w") as f:
+        f.write(
+            '{"doc_id": 90, "text": "streamed jsonl body"}\n'
+            '{"doc_id": 91, "text": TRUNC}\n'
+        )
+    with open(in_dir / "readme.bin", "wb") as f:
+        f.write(b"\x00nobody routes this\x00")
+    out_root = str(tmp_path / "out")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out_root,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    avro_pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "avro")
+        ).collect()
+    }
+    # 6 is a same-batch near-dup of 5 (smaller id wins); 7 publishes
+    # even though csv doc 50 carries the IDENTICAL text — the states
+    # are format-isolated
+    assert avro_pub == {5: near_a, 7: dup}
+    csv_pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "csv")
+        ).collect()
+    }
+    assert csv_pub == {50: dup}
+    jsl_pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "jsonl")
+        ).collect()
+    }
+    assert jsl_pub == {90: "streamed jsonl body"}
+    assert (
+        vi.read_avro_rejects(spark, os.path.join(out_root, "avro")).count()
+        == 0
+    )
+    rej = xi.read_csv_rejects(spark, os.path.join(out_root, "csv")).collect()
+    assert len(rej) == 1 and rej[0]["line"].startswith("51,broken row")
+    rej = ji.read_jsonl_rejects(
+        spark, os.path.join(out_root, "jsonl")
+    ).collect()
+    assert len(rej) == 1 and "TRUNC" in rej[0]["line"]
+    # the unrouted file is untouched in the landing dir
+    assert (in_dir / "readme.bin").read_bytes().startswith(b"\x00nobody")

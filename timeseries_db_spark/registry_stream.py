@@ -429,18 +429,18 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is unchanged and the damage lands in the dead-letter table
         # the carj leg reads back
         carc = _archive_ingest_leg(spark, sf_dir, base)
-        # r15 cavr leg (VERDICT item 5): AVRO DROPS as the streaming
-        # arrival unit — .avro shards (deflate/snappy/null codecs) →
-        # tolerant per-block decode → the same near-dup suppression,
-        # with one shard's block POISONED: its sibling blocks publish
-        # in the same micro-batch and the damage lands in the
-        # dead-letter table the cavj leg counts
-        cavr = _avro_ingest_leg(spark, sf_dir, base)
-        # r15 ccsv leg: CSV EXPORTS as the streaming arrival unit —
-        # the line-record quarantine (one JVM from_csv pass, zero
-        # Python in the decode) under the same near-dup suppression;
-        # one type-broken line per shard dead-letters (ccsj counts 2)
-        ccsv = _csv_ingest_leg(spark, sf_dir, base)
+        # r16 mixed leg (VERDICT item 2): the r15 AVRO and CSV arrival
+        # units CONSOLIDATED — one landing directory holding .avro
+        # (deflate/snappy/null codecs, one block POISONED), .csv (one
+        # type-broken line per shard) and, newly gate-pinned, .jsonl
+        # shards (one broken line per shard), ingested by ONE
+        # streaming query whose single shared micro-batch routes by
+        # extension into per-format near-dup states. Published sets
+        # and dead-letter counts are format-isolated, so the cavr/
+        # cavj/ccsv/ccsj closed forms are unchanged and cjsl/cjsj
+        # join them — six tag channels from one query where r15 spent
+        # two queries and five micro-batches on four channels
+        mixed = _mixed_ingest_leg(spark, sf_dir, base)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
@@ -450,8 +450,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssj)
         .unionByName(cwarc)
         .unionByName(carc)
-        .unionByName(cavr)
-        .unionByName(ccsv)
+        .unionByName(mixed)
     )
 
 
@@ -758,19 +757,31 @@ _CAVR_DOCS_SQL = """
 """
 
 
-def _avro_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
-    """3-micro-batch streaming AVRO→corpus ingest (r15, VERDICT item
-    5): two clean shards of the real docs (deflate + snappy codecs)
-    plus a third synthetic shard whose BLOCK 1 payload is replaced by
-    junk — the per-block quarantine prices it at its 10 records + ONE
-    dead-letter row while the sibling blocks of the SAME file publish.
-    Doc ids ride in the records (no stride); pinned mtimes +
-    maxFilesPerTrigger=1 make arrival order match doc_id order, so
-    the batch-boundary-free kept rule is the oracle. Returns
-    (doc_id, 'cavr', fp53) ∪ (-1, 'cavj', reject_count)."""
+def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """ONE-query mixed-arrival ingest (r16, VERDICT item 2 —
+    consolidating the r15 avro + csv legs and gate-pinning jsonl).
+    The landing directory holds every shard at once: two clean Avro
+    shards of the real docs (deflate + snappy codecs) plus a third
+    synthetic shard whose BLOCK 1 payload is replaced by junk (the
+    per-block quarantine prices it at its 10 records + ONE dead-letter
+    row while the sibling blocks of the SAME file publish), two
+    headered CSV shards with one type-broken line each, and two JSONL
+    shards with one truncated line each. A single
+    ``streaming/mixed_ingest.py`` query routes the one shared
+    micro-batch by extension into per-format near-dup states, so each
+    format's published set is the SAME batch-boundary-free kept rule
+    the separate r15 queries pinned (domination is doc_id-ordered
+    within a batch, so shard consolidation cannot change it). Returns
+    (doc_id, 'cavr'|'ccsv'|'cjsl', fp53)
+    ∪ (-1,'cavj',1) ∪ (-2,'ccsj',2) ∪ (-3,'cjsj',2)."""
+    import json as _json
+
     from timeseries_db_spark.sources import avro as AV
     from timeseries_db_spark.streaming import avro_ingest as vi
     from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import csv_ingest as xi
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+    from timeseries_db_spark.streaming import mixed_ingest as mi
 
     pdf = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -779,7 +790,7 @@ def _avro_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         .sort_values("doc_id")
     )
     hi = int(pdf["doc_id"].max()) + 1
-    in_dir = os.path.join(base, "avro_in")
+    in_dir = os.path.join(base, "mixed_in")
     os.makedirs(in_dir)
     halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
     for i, half in enumerate(halves):
@@ -836,34 +847,104 @@ def _avro_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     with open(path, "wb") as f:
         f.write(poisoned)
     os.utime(path, (1_700_000_002, 1_700_000_002))
-    out_dir = os.path.join(base, "avro_out")
-    query = vi.start_avro_corpus_ingest(
-        vi.read_avro_file_stream(spark, in_dir, max_files_per_trigger=1),
-        out_dir,
-        os.path.join(base, "avro_ckpt"),
+
+    # CSV shards: headered, QUOTED text fields (commas/quotes in the
+    # doc text survive the RFC-4180 doubling), one type-broken line
+    # per shard — the line-record quarantine parses everything in one
+    # JVM from_csv pass, broken lines dead-letter (ccsj counts 2)
+    def quote(t: str) -> str:
+        return '"' + t.replace('"', '""') + '"'
+    for i, half in enumerate(halves):
+        lines = ["doc_id,text,lang,source,n_chars\n"]
+        for did, clean in zip(half["doc_id"], half["clean"]):
+            t = f"Csv {int(did)} {clean}"
+            lines.append(f"{int(did)},{quote(t)},en,web,{len(t)}\n")
+        lines.append(f'-88,"broken shard {i}",en,web,NOPE\n')
+        path = os.path.join(in_dir, f"c{i}.csv")
+        with open(path, "w") as f:
+            f.write("".join(lines))
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    # JSONL shards (r16 — the sixth arrival format, previously
+    # pytest-only): one truncated line per shard dead-letters (cjsj
+    # counts 2); the projection is the batch reader's own
+    # jsonl_lines_to_corpus, so the decode surface is already under
+    # the csvfmt-style value oracle
+    for i, half in enumerate(halves):
+        lines = []
+        for did, clean in zip(half["doc_id"], half["clean"]):
+            t = f"Jsl {int(did)} {clean}"
+            lines.append(
+                _json.dumps(
+                    {
+                        "doc_id": int(did),
+                        "text": t,
+                        "lang": "en",
+                        "source": "web",
+                        "n_chars": len(t),
+                    }
+                )
+                + "\n"
+            )
+        lines.append(f'{{"doc_id": -99, "text": "broken shard {i}\n')
+        path = os.path.join(in_dir, f"j{i}.jsonl")
+        with open(path, "w") as f:
+            f.write("".join(lines))
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_root = os.path.join(base, "mixed_out")
+    query = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, in_dir),
+        out_root,
+        os.path.join(base, "mixed_ckpt"),
         quarantine=True,
     )
     try:
         query.processAllAvailable()
     finally:
         query.stop()
-    rejects = (
-        vi.read_avro_rejects(spark, out_dir)
-        .agg(F.count("*").cast("double").alias("value"))
-        .select(
-            F.lit(-1).cast("long").alias("timestamp"),
-            F.lit("cavj").alias("tag"),
-            "value",
-        )
-    )
-    return (
-        ci.read_published(spark, out_dir)
-        .select(
+
+    def published(fmt: str, tag: str) -> DataFrame:
+        return ci.read_published(spark, os.path.join(out_root, fmt)).select(
             F.col("doc_id").alias("timestamp"),
-            F.lit("cavr").alias("tag"),
+            F.lit(tag).alias("tag"),
             F.col("fp53").cast("double").alias("value"),
         )
-        .unionByName(rejects)
+
+    def dead_letter(rejects: DataFrame, ts: int, tag: str) -> DataFrame:
+        return rejects.agg(
+            F.count("*").cast("double").alias("value")
+        ).select(
+            F.lit(ts).cast("long").alias("timestamp"),
+            F.lit(tag).alias("tag"),
+            "value",
+        )
+
+    return (
+        published("avro", "cavr")
+        .unionByName(
+            dead_letter(
+                vi.read_avro_rejects(spark, os.path.join(out_root, "avro")),
+                -1,
+                "cavj",
+            )
+        )
+        .unionByName(published("csv", "ccsv"))
+        .unionByName(
+            dead_letter(
+                xi.read_csv_rejects(spark, os.path.join(out_root, "csv")),
+                -2,
+                "ccsj",
+            )
+        )
+        .unionByName(published("jsonl", "cjsl"))
+        .unionByName(
+            dead_letter(
+                ji.read_jsonl_rejects(
+                    spark, os.path.join(out_root, "jsonl")
+                ),
+                -3,
+                "cjsj",
+            )
+        )
     )
 
 
@@ -876,71 +957,14 @@ _CCSV_DOCS_SQL = """
     FROM documents
 """
 
-
-def _csv_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
-    """2-micro-batch streaming CSV→corpus ingest (r15): headered
-    shards with QUOTED text fields (commas/quotes in the doc text
-    survive the RFC-4180 doubling) plus one type-broken line per shard
-    — the line-record quarantine parses everything in one JVM
-    ``from_csv`` pass, broken lines dead-letter, the published set is
-    the same batch-boundary-free kept rule. Returns
-    (doc_id, 'ccsv', fp53) ∪ (-2, 'ccsj', reject_count=2)."""
-    from timeseries_db_spark.streaming import corpus_ingest as ci
-    from timeseries_db_spark.streaming import csv_ingest as xi
-
-    pdf = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select("doc_id", F.expr(_CWARC_CLEAN).alias("clean"))
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    hi = int(pdf["doc_id"].max()) + 1
-    in_dir = os.path.join(base, "csv_in")
-    os.makedirs(in_dir)
-
-    def quote(t: str) -> str:
-        return '"' + t.replace('"', '""') + '"'
-
-    halves = [pdf[pdf.doc_id < hi // 2], pdf[pdf.doc_id >= hi // 2]]
-    for i, half in enumerate(halves):
-        lines = ["doc_id,text,lang,source,n_chars\n"]
-        for did, clean in zip(half["doc_id"], half["clean"]):
-            t = f"Csv {int(did)} {clean}"
-            lines.append(f"{int(did)},{quote(t)},en,web,{len(t)}\n")
-        lines.append(f'-88,"broken shard {i}",en,web,NOPE\n')
-        path = os.path.join(in_dir, f"c{i}.csv")
-        with open(path, "w") as f:
-            f.write("".join(lines))
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    out_dir = os.path.join(base, "csv_out")
-    query = xi.start_csv_corpus_ingest(
-        xi.read_csv_line_stream(spark, in_dir, max_files_per_trigger=1),
-        out_dir,
-        os.path.join(base, "csv_ckpt"),
-        quarantine=True,
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    rejects = (
-        xi.read_csv_rejects(spark, out_dir)
-        .agg(F.count("*").cast("double").alias("value"))
-        .select(
-            F.lit(-2).cast("long").alias("timestamp"),
-            F.lit("ccsj").alias("tag"),
-            "value",
-        )
-    )
-    return (
-        ci.read_published(spark, out_dir)
-        .select(
-            F.col("doc_id").alias("timestamp"),
-            F.lit("ccsv").alias("tag"),
-            F.col("fp53").cast("double").alias("value"),
-        )
-        .unionByName(rejects)
-    )
+#: closed form of the JSONL-shard corpus the cjsl leg publishes (r16)
+_CJSL_DOCS_SQL = """
+    SELECT doc_id,
+           'Jsl ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
 
 
 def stream_ingest_dedup_sql() -> str:
@@ -954,6 +978,7 @@ def stream_ingest_dedup_sql() -> str:
     carc_kept = corpus_ingest_kept_sql(docs_sql=_CARC_DOCS_SQL)
     cavr_kept = corpus_ingest_kept_sql(docs_sql=_CAVR_DOCS_SQL)
     ccsv_kept = corpus_ingest_kept_sql(docs_sql=_CCSV_DOCS_SQL)
+    cjsl_kept = corpus_ingest_kept_sql(docs_sql=_CJSL_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -1015,6 +1040,16 @@ def stream_ingest_dedup_sql() -> str:
         UNION ALL
         -- ccsj (r15): one type-broken line per shard dead-letters
         SELECT -2 AS "timestamp", 'ccsj' AS tag, 2.0 AS value
+        UNION ALL
+        -- cjsl (r16): the streaming JSONL ingest published set — the
+        -- kept rule over the jsonl closed form (the sixth arrival
+        -- format, riding the consolidated mixed-arrival query)
+        SELECT doc_id AS "timestamp", 'cjsl' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({cjsl_kept})
+        UNION ALL
+        -- cjsj (r16): one truncated line per jsonl shard dead-letters
+        SELECT -3 AS "timestamp", 'cjsj' AS tag, 2.0 AS value
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,
