@@ -4832,11 +4832,11 @@ def test_r15_pyarrow_codecs_close_the_zstd_seam():
     bad[9] ^= 0xFF
     got, errs = A.archive_scan(bytes(bad), strict=False)
     assert got == [] and len(errs) == 1 and "wrapper" in errs[0]
-    # avro zstandard: roundtrip + per-block quarantine. (A zstd frame
-    # without its optional content checksum can decode a flipped byte
-    # SILENTLY into garbage — but Avro's own framing then catches it:
-    # garbled records fail decode or leave trailing bytes, so the
-    # block still quarantines. Truncation errors in the codec itself.)
+    # avro zstandard: roundtrip + per-block quarantine. (Since r16
+    # first-party frames carry their content checksum, so the codec
+    # itself catches the flip; FOREIGN checksum-less frames still rely
+    # on Avro's framing — garbled records fail decode or leave
+    # trailing bytes. Either way the block quarantines.)
     recs = [{"doc_id": i, "text": f"z doc {i}"} for i in range(100)]
     p = AV.avro_build(
         recs, AV.CORPUS_AVRO_SCHEMA, codec="zstandard", block_records=25
@@ -4889,3 +4889,70 @@ def test_r15_zst_corpus_shards(spark, tmp_path):
     # direct-file inference of the double extension
     one = read_corpus_any(spark, str(d / "p0.jsonl.zst")).collect()
     assert len(one) == 300
+
+
+def test_r16_first_party_zstd_frames_carry_content_checksums(spark):
+    """r16 (VERDICT item 3): the repo's own zstd writers emit the
+    frame content checksum (RFC 8878 §3.1.1 — Content_Checksum_flag +
+    low-32 XXH64 of the content), so a flipped byte in a first-party
+    ``.zst``/Avro-zstandard artifact errors IN THE CODEC instead of
+    relying on next-layer framing. XXH64 is from-spec; pinned three
+    independent ways: the published empty-input vector, Spark's own
+    ``xxhash64`` expression (same algorithm, seed 42), and libzstd
+    itself accepting then ENFORCING the checksums we emit."""
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.functions.xxh import (
+        xxh64,
+        zstd_compress_checksummed,
+    )
+    from timeseries_db_spark.operators import archive as A
+    from timeseries_db_spark.sources import avro as AV
+
+    # spec vector + cross-implementation pin against Spark's xxhash64
+    # (seed 42 over UTF-8 bytes, returned as a signed int64)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    samples = ["", "a", "abc", "hello xxh world", "y" * 100]
+    got = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for s, r in zip(samples, got):
+        want = xxh64(s.encode(), seed=42)
+        assert r["h"] & ((1 << 64) - 1) == want, s
+
+    # envelope: flag set, libzstd verifies, roundtrip exact
+    data = b"first-party shard payload " * 300
+    frame = zstd_compress_checksummed(data)
+    assert frame[4] & 0x04  # Content_Checksum_flag
+    assert (
+        bytes(pa.Codec("zstd").decompress(frame, decompressed_size=len(data)))
+        == data
+    )
+    flipped = bytearray(frame)
+    flipped[len(frame) // 2] ^= 0x01
+    with _pytest.raises(OSError, match="checksum"):
+        pa.input_stream(
+            pa.py_buffer(bytes(flipped)), compression="zstd"
+        ).read()
+
+    # Avro zstandard writer: every block checksummed — a mid-payload
+    # flip now quarantines DETERMINISTICALLY via the codec
+    recs = [{"doc_id": i, "text": f"ck doc {i}"} for i in range(60)]
+    p = AV.avro_build(
+        recs, AV.CORPUS_AVRO_SCHEMA, codec="zstandard", block_records=20
+    )
+    assert AV.avro_records(p)[1] == recs
+    b = bytearray(p)
+    b[len(p) // 2] ^= 0xFF
+    _s, got2, errs = AV.avro_scan(bytes(b), strict=False)
+    assert errs and any("zstd" in e for e in errs)
+
+    # the synth .tar.zst wrapper stays transparently readable
+    wrapped = zstd_compress_checksummed(
+        A.tar_build([("t.txt", b"tar body")], pax=True)
+    )
+    assert A.archive_members(wrapped) == [("t.txt", b"tar body")]

@@ -1117,10 +1117,14 @@ def synth_archive(doc_id: int) -> bytes:
         )
         # r15: the tar cycle ships ZSTD-WRAPPED (.tar.zst — the shape
         # modern shard drops actually use); the wrapper is transparent
-        # to every closed form, so the arcx oracle pins it for free
-        import pyarrow as _pa
+        # to every closed form, so the arcx oracle pins it for free.
+        # r16: written WITH the frame content checksum (functions/xxh)
+        # so wrapper-level flips error in the codec
+        from timeseries_db_spark.functions.xxh import (
+            zstd_compress_checksummed,
+        )
 
-        return bytes(_pa.Codec("zstd").compress(tar_build(members, pax=True)))
+        return zstd_compress_checksummed(tar_build(members, pax=True))
     return zip_build(members, deflate=(sel == 1))
 
 

@@ -990,9 +990,14 @@ def avro_build(
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
         elif codec == "zstandard":
-            import pyarrow as _pa
+            # r16: first-party zstd frames carry their content
+            # checksum, so a flipped byte errors in the codec instead
+            # of relying on the Avro record decode to notice
+            from timeseries_db_spark.functions.xxh import (
+                zstd_compress_checksummed,
+            )
 
-            body = bytes(_pa.Codec("zstd").compress(body))
+            body = zstd_compress_checksummed(body)
         elif codec == "bzip2":
             import bz2 as _bz2
 
