@@ -1548,3 +1548,92 @@ def test_mixed_arrival_one_query_routes_and_isolates(spark, tmp_path):
     assert len(rej) == 1 and "TRUNC" in rej[0]["line"]
     # the unrouted file is untouched in the landing dir
     assert (in_dir / "readme.bin").read_bytes().startswith(b"\x00nobody")
+
+
+def test_avro_streaming_decodes_under_reader_schema(spark, tmp_path):
+    """r16: schema evolution on the STREAMING path — a stream fed by
+    shards written under the years-old v1 schema AND v2-native shards
+    ingests uniformly under one pinned reader schema (alias rename,
+    int→long promotion, default fill all apply per record); a shard
+    whose writer schema cannot resolve dead-letters at container
+    granularity while its siblings publish."""
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    v1 = [
+        {"doc_id": i, "body": f"evolved streaming doc {i} w{i * 3}",
+         "score": i, "legacy_blob": b"\x00"}
+        for i in range(10)
+    ]
+    with open(in_dir / "a0.avro", "wb") as f:
+        f.write(AV.avro_build(v1, AV.CORPUS_V1_AVRO_SCHEMA))
+    v2 = [
+        {"doc_id": 100 + i, "text": f"native v2 doc {i} z{i * 7}",
+         "score": i, "lang": "en"}
+        for i in range(5)
+    ]
+    with open(in_dir / "a1.avro", "wb") as f:
+        f.write(AV.avro_build(v2, AV.CORPUS_V2_READER_SCHEMA))
+    with open(in_dir / "a2.avro", "wb") as f:  # unresolvable writer
+        f.write(
+            AV.avro_build(
+                [{"doc_id": -5}],
+                {"type": "record", "name": "document",
+                 "fields": [{"name": "doc_id", "type": "long"}]},
+            )
+        )
+    for i, name in enumerate(("a0.avro", "a1.avro", "a2.avro")):
+        p = str(in_dir / name)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp_path / "out")
+    q = vi.start_avro_corpus_ingest(
+        vi.read_avro_file_stream(spark, str(in_dir)),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+        reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(spark, out_dir).collect()
+    }
+    want = {r["doc_id"]: r["body"] for r in v1}
+    want.update({r["doc_id"]: r["text"] for r in v2})
+    assert pub == want
+    rej = vi.read_avro_rejects(spark, out_dir).collect()
+    assert len(rej) == 1
+    assert rej[0]["path"].endswith("a2.avro")
+    assert "no writer counterpart" in rej[0]["err"]
+
+
+def test_read_corpus_any_avro_reader_schema(spark, tmp_path):
+    """r16: the batch corpus reader accepts ``reader_schema`` too —
+    mixed writer-version directories read uniformly."""
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.sources.avro import read_corpus_avro
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    with open(d / "old.avro", "wb") as f:
+        f.write(
+            AV.avro_build(
+                [{"doc_id": 1, "body": "old-style body", "score": 7,
+                  "legacy_blob": b"z"}],
+                AV.CORPUS_V1_AVRO_SCHEMA,
+            )
+        )
+    got = read_corpus_avro(
+        spark, str(d), reader_schema=AV.CORPUS_V2_READER_SCHEMA
+    ).collect()
+    assert [(r["doc_id"], r["text"], r["_corrupt"]) for r in got] == [
+        (1, "old-style body", None)
+    ]

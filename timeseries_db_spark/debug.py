@@ -12,6 +12,12 @@ CLI::
 
     python -m timeseries_db_spark.debug <entry> [sf_dir]
     python -m timeseries_db_spark.debug --all [sf_dir]   # every entry
+    python -m timeseries_db_spark.debug --walltime [sf_dir]
+        # one-shot wall-time per entry (the driver's gate shape:
+        # vanilla session, single run, full collect) sorted
+        # most-expensive-first — the data that budget decisions like
+        # "can this entry afford another leg" run on (r16, VERDICT
+        # r15 item 7)
 
 The comparison mirrors the driver's: columns sorted by name, doubles
 rounded to 4 places, rows sorted, then one value hash per leg. Output is
@@ -203,6 +209,27 @@ def main(argv: list[str]) -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .getOrCreate()
     )
+    if "--walltime" in argv:
+        import time as _time
+
+        if args:  # --walltime [sf_dir] has no entry positional
+            sf_dir = args[0]
+        q, _o = build_registry()
+        rows = []
+        t_all = _time.perf_counter()
+        for name in sorted(q):
+            t0 = _time.perf_counter()
+            n = len(q[name](spark, sf_dir).collect())
+            rows.append((_time.perf_counter() - t0, name, n))
+        total = _time.perf_counter() - t_all
+        rows.sort(reverse=True)
+        print(
+            f"== one-shot gate wall-times at {sf_dir}"
+            f" ({len(rows)} entries, total {total:.1f}s)"
+        )
+        for w, name, n in rows:
+            print(f"  {w:8.2f}s  {name}  rows={n}")
+        return 0
     names = sorted(build_registry()[0]) if run_all else [args[0]]
     ok = True
     for name in names:

@@ -1320,6 +1320,7 @@ CORPUS_AVRO_SCHEMA = {
 
 def read_corpus_avro(
     spark: SparkSession, path: str, on_malformed: str = "quarantine",
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """(doc_id, text[, _corrupt]) corpus from a directory of ``.avro``
     container files — ``binaryFile`` scan + the from-spec decoder in
@@ -1335,7 +1336,14 @@ def read_corpus_avro(
       decode. Filter ``_corrupt IS NULL`` for the clean stream.
     * ``"drop"`` — damage is skipped silently (no ``_corrupt``
       column).
-    * ``"fail"`` — any damage aborts the read."""
+    * ``"fail"`` — any damage aborts the read.
+
+    ``reader_schema`` (r16): decode every shard under spec §Schema
+    Resolution against THIS schema — each file resolves its own
+    writer schema independently, so a directory spanning years of
+    writer versions reads uniformly; an unresolvable shard follows
+    ``on_malformed`` at container granularity. The reader schema must
+    still surface ``doc_id`` and ``text``."""
     if on_malformed not in ("quarantine", "drop", "fail"):
         raise ValueError(f"on_malformed {on_malformed!r}")
     quarantine = on_malformed == "quarantine"
@@ -1352,7 +1360,8 @@ def read_corpus_avro(
             rows = []
             for content in pdf["content"]:
                 _schema, recs, errs = avro_scan(
-                    bytes(content), strict=strict
+                    bytes(content), strict=strict,
+                    reader_schema=reader_schema,
                 )
                 if quarantine:
                     for msg in errs:

@@ -60,12 +60,19 @@ def read_avro_file_stream(
     return reader.load(path)
 
 
-def decode_avro_files(files: DataFrame) -> DataFrame:
+def decode_avro_files(
+    files: DataFrame, reader_schema: dict | None = None
+) -> DataFrame:
     """(doc_id, text, _corrupt, path) — every record of every container
     in the batch, plus one all-NULL row per quarantined block/container
     carrying the message in ``_corrupt`` and the source file in
     ``path``. Stateless Arrow-batched map — composes under batch reads
-    and streaming sinks alike."""
+    and streaming sinks alike.
+
+    ``reader_schema`` (r16): decode each arriving shard under spec
+    §Schema Resolution against this schema — a stream fed by YEARS of
+    writer versions ingests uniformly; an unresolvable writer schema
+    dead-letters at container granularity like any other damage."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +81,8 @@ def decode_avro_files(files: DataFrame) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 _schema, recs, errs = avro_scan(
-                    bytes(content), strict=False
+                    bytes(content), strict=False,
+                    reader_schema=reader_schema,
                 )
                 for msg in errs:
                     rows.append((None, None, msg, path))
@@ -102,6 +110,7 @@ def start_avro_corpus_ingest(
     checkpoint_dir: str,
     t_est: float = T_EST_DEFAULT,
     quarantine: bool = False,
+    reader_schema: dict | None = None,
 ):
     """Start the avro-files→records→near-dup-suppressed-corpus query
     (one streaming job; output layout and exactly-once contract are
@@ -113,7 +122,7 @@ def start_avro_corpus_ingest(
     an Avro-drop deployment monitors."""
     if not quarantine:
         return start_corpus_ingest(
-            decode_avro_files(stream)
+            decode_avro_files(stream, reader_schema)
             .filter(F.col("_corrupt").isNull())
             .select("doc_id", "text"),
             out_dir,
@@ -126,7 +135,7 @@ def start_avro_corpus_ingest(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        decoded = decode_avro_files(batch).persist()
+        decoded = decode_avro_files(batch, reader_schema).persist()
         try:
             decoded.filter(F.col("_corrupt").isNotNull()).select(
                 "path", F.col("_corrupt").alias("err")
