@@ -1185,3 +1185,112 @@ def test_avro_reader_schema_resolution(spark, tmp_path):
     assert clean[3] == ("doc 3", 103, "und")
     assert clean[99] == ("native", 1, "en")
     assert sum(1 for r_ in got if r_["_corrupt"] is not None) == 1
+
+
+def test_avro_single_object_encoding(spark, tmp_path):
+    """r16: the spec's single-object encoding — C3 01 marker + 8-byte
+    LE CRC-64-AVRO of the writer schema's Parsing Canonical Form +
+    binary body; registry-resolved per message and composed with
+    reader-schema resolution, so a raw Kafka-archive segment spanning
+    producer versions decodes uniformly. Canonical-form equivalences
+    (logicalType/default/doc stripped, namespace folded to fullnames)
+    are pinned by fingerprint equality; unknown fingerprints and
+    corrupt bodies price one error + resync to the next marker."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    # canonical form: annotations strip, fullnames fold — schemas that
+    # DECODE identically FINGERPRINT identically
+    a = {
+        "type": "record", "name": "document", "namespace": "ex",
+        "fields": [
+            {"name": "a", "type": {"type": "long",
+                                   "logicalType": "timestamp-micros"}},
+            {"name": "b", "type": ["null", "string"], "default": None,
+             "doc": "x"},
+        ],
+    }
+    b = {
+        "type": "record", "name": "ex.document",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    assert AV.parsing_canonical_form(a) == AV.parsing_canonical_form(b)
+    assert AV.schema_fingerprint(a) == AV.schema_fingerprint(b)
+    assert AV.schema_fingerprint(a) != AV.schema_fingerprint(
+        AV.CORPUS_AVRO_SCHEMA
+    )
+    assert AV.parsing_canonical_form("int") == '"int"'
+
+    # roundtrip: v1 + v2 messages interleaved on one stream, decoded
+    # under the v2 reader via the registry
+    v1 = [
+        {"doc_id": i, "body": f"so doc {i}", "score": i,
+         "legacy_blob": b"\x01"}
+        for i in range(5)
+    ]
+    v2 = [
+        {"doc_id": 100 + i, "text": f"native {i}", "score": 7 * i,
+         "lang": "en"}
+        for i in range(3)
+    ]
+    stream = (
+        AV.single_object_encode(v1[:3], AV.CORPUS_V1_AVRO_SCHEMA)
+        + AV.single_object_encode(v2[:2], AV.CORPUS_V2_READER_SCHEMA)
+        + AV.single_object_encode(v1[3:], AV.CORPUS_V1_AVRO_SCHEMA)
+        + AV.single_object_encode(v2[2:], AV.CORPUS_V2_READER_SCHEMA)
+    )
+    schemas = [AV.CORPUS_V1_AVRO_SCHEMA, AV.CORPUS_V2_READER_SCHEMA]
+    recs, errs = AV.single_object_scan(
+        stream, schemas, reader_schema=AV.CORPUS_V2_READER_SCHEMA
+    )
+    assert not errs
+    assert [r["doc_id"] for r in recs] == [0, 1, 2, 100, 101, 3, 4, 102]
+    assert recs[0] == {"doc_id": 0, "text": "so doc 0", "score": 0,
+                       "lang": "und"}
+    assert recs[3] == {"doc_id": 100, "text": "native 0", "score": 0,
+                       "lang": "en"}
+
+    # unknown fingerprint: strict raises; tolerant prices one error
+    # and RESYNCS to the next marker
+    alien = AV.single_object_encode(
+        [{"doc_id": 1, "text": "alien"}],
+        {"type": "record", "name": "other",
+         "fields": [{"name": "doc_id", "type": "long"},
+                    {"name": "text", "type": "string"}]},
+    )
+    mixed = alien + AV.single_object_encode(
+        v2[:1], AV.CORPUS_V2_READER_SCHEMA
+    )
+    with _pytest.raises(ValueError, match="not in registry"):
+        AV.single_object_scan(mixed, schemas)
+    recs, errs = AV.single_object_scan(mixed, schemas, strict=False)
+    assert len(errs) == 1 and "not in registry" in errs[0]
+    assert [r["doc_id"] for r in recs] == [100]
+
+    # the .sobj arrival unit: mixed-version shards + one junk shard
+    d = tmp_path / "sobj"
+    d.mkdir()
+    (d / "old.sobj").write_bytes(
+        AV.single_object_encode(v1, AV.CORPUS_V1_AVRO_SCHEMA)
+    )
+    (d / "new.sobj").write_bytes(
+        AV.single_object_encode(v2, AV.CORPUS_V2_READER_SCHEMA)
+    )
+    (d / "junk.sobj").write_bytes(b"\x00garbage no marker")
+    got = AV.read_single_object_corpus(
+        spark, str(d), schemas, reader_schema=AV.CORPUS_V2_READER_SCHEMA
+    ).collect()
+    clean = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in got if r["_corrupt"] is None
+    )
+    assert clean == sorted(
+        [(r["doc_id"], f"so doc {r['doc_id']}", "und") for r in v1]
+        + [(r["doc_id"], r["text"], "en") for r in v2]
+    )
+    bad = [r for r in got if r["_corrupt"] is not None]
+    assert len(bad) == 1 and "marker missing" in bad[0]["_corrupt"]

@@ -2571,6 +2571,85 @@ def register_extensions(q: dict, o: dict) -> None:
                     },
                 )
             )
+        # r16 sofmt leg: SINGLE-OBJECT ENCODING — the raw Kafka-archive
+        # arrival unit (C3 01 marker + CRC-64-AVRO fingerprint of the
+        # writer schema's Parsing Canonical Form per MESSAGE, no
+        # container). Mixed producer versions ride one directory:
+        # evens in a v1-written segment, odds v2-native, both
+        # registry-resolved and decoded under the pinned v2 reader
+        # (same §Schema Resolution moves as evfmt); a markerless junk
+        # segment prices one quarantine row.
+        so_dir = os.path.join(base, "sobj")
+        os.makedirs(so_dir)
+        with open(os.path.join(so_dir, "old.sobj"), "wb") as f:
+            f.write(
+                AV.single_object_encode(
+                    [
+                        {
+                            "doc_id": i,
+                            "body": (
+                                None if i % 6 == 0 else f"So doc {i}"
+                            ),
+                            "score": 2 * i,
+                            "legacy_blob": b"\x00",
+                        }
+                        for i in evens
+                    ],
+                    AV.CORPUS_V1_AVRO_SCHEMA,
+                )
+            )
+        with open(os.path.join(so_dir, "new.sobj"), "wb") as f:
+            f.write(
+                AV.single_object_encode(
+                    [
+                        {
+                            "doc_id": i,
+                            "text": f"So doc {i}",
+                            "score": 3 * i,
+                            "lang": "en",
+                        }
+                        for i in odds
+                    ],
+                    AV.CORPUS_V2_READER_SCHEMA,
+                )
+            )
+        with open(os.path.join(so_dir, "junk.sobj"), "wb") as f:
+            f.write(b"\x00no marker here at all\x00")
+        so_bad = F.col("_corrupt").isNotNull()
+        sofmt = AV.read_single_object_corpus(
+            s,
+            so_dir,
+            [AV.CORPUS_V1_AVRO_SCHEMA, AV.CORPUS_V2_READER_SCHEMA],
+            reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+        ).select(
+            F.when(so_bad, F.lit(-1))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("doc_id"),
+            F.when(so_bad, F.lit(-1))
+            .otherwise(F.col("score"))
+            .cast("long")
+            .alias("n_tokens"),
+            so_bad.cast("long").alias("n_oov"),
+            F.when(so_bad, F.md5(F.lit("")))
+            .otherwise(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(":"),
+                        F.col("lang"),
+                    )
+                )
+            )
+            .alias("ids_fp"),
+            F.when(so_bad, F.lit(-1))
+            .otherwise(
+                F.col("doc_id") + F.col("score") + F.length("lang")
+            )
+            .cast("long")
+            .alias("ids_sum"),
+            F.lit("sofmt").alias("kind"),
+        )
         ev_bad = F.col("_corrupt").isNotNull()
         evfmt = AV.read_evolved_corpus_avro(s, ev_dir).select(
             F.when(ev_bad, F.lit(-1))
@@ -2609,7 +2688,7 @@ def register_extensions(q: dict, o: dict) -> None:
             )
         ).unionByName(embfmt).unionByName(unfmt).unionByName(
             lgfmt
-        ).unionByName(evfmt)
+        ).unionByName(evfmt).unionByName(sofmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2727,6 +2806,29 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents
         UNION ALL
         SELECT -1, -1, 1, md5(''), -1, 'evfmt'
+        UNION ALL
+        -- sofmt (r16): single-object encoding restated — the SAME
+        -- evolution closed form as evfmt ('So doc' texts) since the
+        -- envelope (per-message fingerprint header vs container) is
+        -- transparent to the decoded values, plus one quarantine row
+        -- for the markerless segment
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                     ELSE 3 * doc_id END)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5(CASE WHEN doc_id % 6 = 0 THEN ':und'
+                        WHEN doc_id % 2 = 0
+                            THEN 'So doc ' || doc_id || ':und'
+                        ELSE 'So doc ' || doc_id || ':en' END) AS ids_fp,
+               (doc_id
+                + CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                       ELSE 3 * doc_id END
+                + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+                   AS ids_sum,
+               'sofmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'sofmt'
     """
     )
 

@@ -1378,3 +1378,250 @@ def read_corpus_avro(
         .select("content")
         .mapInPandas(gen, schema=schema)
     )
+
+
+# --- single-object encoding (r16): the Avro spec's per-MESSAGE
+# envelope — what actually sits in a Kafka topic (and its disk
+# archives) when producers ship Avro without the container format.
+# Each message is the 2-byte marker ``C3 01``, the 8-byte
+# LITTLE-ENDIAN CRC-64-AVRO fingerprint of the writer schema's
+# Parsing Canonical Form, then the standard binary-encoded body. The
+# consumer resolves the fingerprint against a SCHEMA REGISTRY (here a
+# plain {fingerprint: schema} dict built from the known schema
+# versions) and — composed with r16's reader-schema resolution —
+# decodes every historical writer version under today's reader.
+#
+# Provenance note (house discipline): the Rabin EMPTY constant and
+# the canonical-form rules are from the Avro spec ("Schema
+# Fingerprints" / "Parsing Canonical Form for Schemas"); no
+# cross-implementation oracle ships in this container (no fastavro /
+# spark-avro), so the pins are structural + roundtrip. The failure
+# mode of a drifted constant is LOUD — an unknown fingerprint
+# dead-letters the message — never silently wrong records.
+
+#: CRC-64-AVRO "empty" value (Avro spec, Schema Fingerprints)
+_RABIN_EMPTY = 0xC15D213AA4D7A795
+_RABIN_TABLE: list[int] | None = None
+
+
+def rabin_fingerprint(data: bytes) -> int:
+    """CRC-64-AVRO of ``data`` — the spec's table-driven Rabin
+    fingerprint (init = EMPTY, one reflected step per byte)."""
+    global _RABIN_TABLE
+    if _RABIN_TABLE is None:
+        table = []
+        for i in range(256):
+            fp = i
+            for _ in range(8):
+                fp = (fp >> 1) ^ (_RABIN_EMPTY & -(fp & 1))
+            table.append(fp)
+        _RABIN_TABLE = table
+    fp = _RABIN_EMPTY
+    for b in data:
+        fp = (fp >> 1) ^ _RABIN_TABLE[(fp ^ b) & 0xFF]
+    return fp
+
+
+#: canonical attribute order (spec [ORDER] rule)
+_CANON_ORDER = ("name", "type", "fields", "symbols", "items", "values", "size")
+
+
+def parsing_canonical_form(schema) -> str:
+    """The spec's Parsing Canonical Form: primitives collapse to their
+    quoted name, named types carry FULLNAMES (namespace folded in,
+    then stripped), only the seven structural attributes survive (doc
+    / aliases / defaults / logicalType stripped), attributes in fixed
+    order, no whitespace. Two schemas that decode identically
+    fingerprint identically."""
+    return json.dumps(
+        _canonicalize(_resolve_named_types(schema, {}), set()),
+        separators=(",", ":"),
+    )
+
+
+def _canonicalize(t, seen: set, ns: str | None = None):
+    if isinstance(t, str):
+        return t
+    if isinstance(t, list):
+        return [_canonicalize(x, seen, ns) for x in t]
+    kind = t.get("type")
+    if kind in _PRIMITIVES or kind == "null":
+        return kind  # [PRIMITIVES]: annotations (logicalType) strip
+    name = t.get("name", "")
+    t_ns = t.get("namespace", ns)
+    full = name if "." in name else (f"{t_ns}.{name}" if t_ns else name)
+    if kind in ("record", "enum", "fixed"):
+        if full in seen:  # later references stay names (recursion)
+            return full
+        seen.add(full)
+    out: dict = {}
+    if kind == "record":
+        out["name"] = full
+        out["type"] = "record"
+        out["fields"] = [
+            {
+                "name": f["name"],
+                "type": _canonicalize(f["type"], seen, t_ns),
+            }
+            for f in t["fields"]
+        ]
+    elif kind == "enum":
+        out["name"] = full
+        out["type"] = "enum"
+        out["symbols"] = list(t["symbols"])
+    elif kind == "fixed":
+        out["name"] = full
+        out["type"] = "fixed"
+        out["size"] = t["size"]
+    elif kind == "array":
+        out["type"] = "array"
+        out["items"] = _canonicalize(t["items"], seen, ns)
+    elif kind == "map":
+        out["type"] = "map"
+        out["values"] = _canonicalize(t["values"], seen, ns)
+    else:
+        raise ValueError(f"avro canonical form: type {kind!r} unsupported")
+    return {k: out[k] for k in _CANON_ORDER if k in out}
+
+
+def schema_fingerprint(schema: dict) -> int:
+    """CRC-64-AVRO of the schema's Parsing Canonical Form."""
+    return rabin_fingerprint(parsing_canonical_form(schema).encode())
+
+
+#: single-object encoding marker (spec: C3 01)
+SINGLE_OBJECT_MAGIC = b"\xc3\x01"
+
+
+def single_object_encode(recs: list[dict], schema: dict) -> bytes:
+    """Concatenated single-object-encoded messages — the on-disk shape
+    of a raw Kafka-topic archive segment."""
+    res = _resolve_named_types(schema, {})
+    fields = _field_types(res)
+    header = SINGLE_OBJECT_MAGIC + schema_fingerprint(schema).to_bytes(
+        8, "little"
+    )
+    out = bytearray()
+    for rec in recs:
+        out += header
+        for fname, ftype in fields:
+            out += _encode_value(ftype, rec[fname])
+    return bytes(out)
+
+
+def single_object_scan(
+    payload: bytes,
+    schemas: list[dict],
+    reader_schema: dict | None = None,
+    strict: bool = True,
+) -> tuple[list[dict], list[str]]:
+    """(records, errors) of a concatenated single-object stream. Every
+    known schema version goes into the fingerprint registry; each
+    message decodes under its own writer schema — resolved against
+    ``reader_schema`` when given, so years of producer versions read
+    uniformly. An unknown fingerprint or corrupt body is priced at one
+    error + a RESYNC to the next ``C3 01`` marker (the only framing a
+    self-describing-less stream offers; messages whose bodies happen
+    to contain the marker bytes re-enter decode and fail forward).
+    ``strict=True`` raises instead."""
+    registry: dict[int, tuple[dict, list | None]] = {}
+    for sch in schemas:
+        res = _resolve_named_types(sch, {})
+        if res.get("type") != "record":
+            raise ValueError("avro single-object schema must be a record")
+        for f in res["fields"]:
+            _check_type(f["type"])
+        plan = None
+        if reader_schema is not None:
+            rres = _resolve_named_types(reader_schema, {})
+            plan = _resolve_reader(res, rres)
+        registry[schema_fingerprint(sch)] = (res, plan)
+    records: list[dict] = []
+    errs: list[str] = []
+    at = 0
+    n = len(payload)
+    while at < n:
+        try:
+            if payload[at : at + 2] != SINGLE_OBJECT_MAGIC:
+                raise ValueError(
+                    f"avro single-object marker missing at {at}"
+                )
+            if at + 10 > n:
+                raise ValueError("avro single-object header truncated")
+            fp = int.from_bytes(payload[at + 2 : at + 10], "little")
+            hit = registry.get(fp)
+            if hit is None:
+                raise ValueError(
+                    f"avro single-object fingerprint {fp:#018x} not in"
+                    " registry"
+                )
+            res, plan = hit
+            p = at + 10
+            if plan is not None:
+                rec, p = _decode_resolved(plan, payload, p)
+            else:
+                rec = {}
+                for fname, ftype in _field_types(res):
+                    rec[fname], p = _decode_value(ftype, payload, p)
+            records.append(rec)
+            at = p
+        except (ValueError, KeyError, UnicodeDecodeError) as e:
+            if strict:
+                raise
+            errs.append(str(e))
+            nxt = payload.find(SINGLE_OBJECT_MAGIC, at + 1)
+            if nxt == -1:
+                break
+            at = nxt
+    return records, errs
+
+
+def read_single_object_corpus(
+    spark: SparkSession,
+    path: str,
+    schemas: list[dict],
+    reader_schema: dict | None = None,
+    glob: str = "*.sobj",
+) -> DataFrame:
+    """(doc_id, text[, extra reader fields], _corrupt) from shards of
+    concatenated single-object messages — the raw Kafka-archive
+    arrival unit, registry-resolved and (optionally) evolved per
+    message. Same per-file Arrow kernel as the container readers."""
+    rs = reader_schema if reader_schema is not None else schemas[-1]
+    rres = _resolve_named_types(rs, {})
+    names = [f["name"] for f in rres["fields"]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                recs, errs = single_object_scan(
+                    bytes(content),
+                    schemas,
+                    reader_schema=reader_schema,
+                    strict=False,
+                )
+                for msg in errs:
+                    rows.append(tuple([None] * len(names)) + (msg,))
+                for r in recs:
+                    rows.append(
+                        tuple(r.get(c) for c in names) + (None,)
+                    )
+            yield pd.DataFrame(rows, columns=names + ["_corrupt"])
+
+    spark_types = {
+        "doc_id": "long", "text": "string", "score": "long",
+        "lang": "string",
+    }
+    schema_str = ", ".join(
+        f"{c} {spark_types.get(c, 'string')}" for c in names
+    ) + ", _corrupt string"
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema=schema_str)
+    )
