@@ -1294,3 +1294,59 @@ def test_avro_single_object_encoding(spark, tmp_path):
     )
     bad = [r for r in got if r["_corrupt"] is not None]
     assert len(bad) == 1 and "marker missing" in bad[0]["_corrupt"]
+
+
+def test_snappy_framing_format(spark, tmp_path):
+    """r16: the snappy FRAMING format (.sz) — stream identifier,
+    64 KiB chunks with masked CRC-32C (Castagnoli, pinned by the
+    public check vector crc32c('123456789') = 0xE3069283), compressed
+    and uncompressed chunk kinds, skippable padding, unskippable
+    reserved chunks. A flipped byte errors at the CHUNK (CRC), the
+    corpus reader keeps the verified prefix and quarantines one
+    sentinel."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.functions import snappy as S
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    assert S.crc32c(b"123456789") == 0xE3069283
+    data = b"".join(
+        b'{"doc_id": %d, "text": "sz row %d"}\n' % (i, i)
+        for i in range(5000)
+    )
+    frame = S.snappy_framed_compress(data)
+    assert len(frame) < len(data)  # actually compressed
+    assert S.snappy_framed_decompress(frame) == data
+    # skippable padding chunk mid-stream is ignored
+    idlen = len(S._STREAM_ID)
+    padded = (
+        frame[:idlen]
+        + b"\xfe\x03\x00\x00pad"
+        + frame[idlen:]
+    )
+    assert S.snappy_framed_decompress(padded) == data
+    # unskippable reserved chunk errors
+    bad_kind = frame[:idlen] + b"\x02\x01\x00\x00x" + frame[idlen:]
+    with _pytest.raises(ValueError, match="unskippable"):
+        S.snappy_framed_decompress(bad_kind)
+    # flipped payload byte -> CRC mismatch
+    flipped = bytearray(frame)
+    flipped[idlen + 20] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC-32C"):
+        S.snappy_framed_decompress(bytes(flipped))
+
+    # .jsonl.sz shards through the corpus reader: clean + corrupt
+    d = tmp_path / "sz"
+    d.mkdir()
+    (d / "p0.jsonl.sz").write_bytes(frame)
+    (d / "p1.jsonl.sz").write_bytes(bytes(flipped))
+    got = read_corpus_any(spark, str(d), fmt="jsonl.sz").collect()
+    clean = [r for r in got if r["_corrupt"] is None]
+    bad = [r for r in got if r["_corrupt"] is not None]
+    # shard 0 whole; shard 1's first chunk is the flipped one, so its
+    # verified prefix is empty — exactly one sentinel row
+    assert len(clean) == 5000
+    assert len(bad) == 1 and "sz corrupt" in bad[0]["_corrupt"]
+    # extension inference on a direct file
+    one = read_corpus_any(spark, str(d / "p0.jsonl.sz")).collect()
+    assert len(one) == 5000 and all(r["_corrupt"] is None for r in one)

@@ -183,3 +183,107 @@ def snappy_compress(data: bytes) -> bytes:
     if lit_start < n:
         _emit_literal(out, data[lit_start:])
     return bytes(out)
+
+
+# --- framing format (r16): the STREAM envelope of snappy
+# (framing_format.txt of google/snappy — the ``.sz`` extension,
+# Hadoop/Kafka-adjacent shard drops). A stream is a sequence of
+# chunks: 1 type byte + 3-byte little-endian length + data. The
+# stream identifier chunk (type 0xff, contents "sNaPpY") leads;
+# compressed (0x00) and uncompressed (0x01) data chunks carry a
+# 4-byte MASKED CRC-32C of the UNCOMPRESSED data (mask:
+# ((crc>>15)|(crc<<17)) + 0xa282ead8 — the spec's defense against
+# CRCs over CRC-containing data); types 0x02-0x7f are unskippable
+# (error), 0x80-0xfe skippable (padding). Uncompressed chunk data is
+# capped at 65536 bytes. CRC-32C (Castagnoli) is table-driven from
+# the reflected polynomial 0x82F63B78 — pinned by the spec's own
+# structure (the r15 raw-block vectors) plus roundtrip through the
+# masked-CRC verify, which rejects any drifted table.
+
+_CRC32C_TABLE: list[int] | None = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the snappy framing format masks and embeds per chunk."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ (0x82F63B78 & -(c & 1))
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_MAX_CHUNK = 65536
+
+
+def snappy_framed_compress(data: bytes) -> bytes:
+    """One ``.sz`` stream of ``data`` — identifier chunk, then 64 KiB
+    compressed chunks, each with its masked CRC-32C."""
+    out = bytearray(_STREAM_ID)
+    for at in range(0, len(data), _MAX_CHUNK) or [0]:
+        chunk = data[at : at + _MAX_CHUNK]
+        body = _mask_crc(crc32c(chunk)).to_bytes(4, "little")
+        comp = snappy_compress(chunk)
+        if len(comp) < len(chunk):
+            out += b"\x00" + (len(body) + len(comp)).to_bytes(3, "little")
+            out += body + comp
+        else:  # incompressible: the spec's uncompressed chunk
+            out += b"\x01" + (len(body) + len(chunk)).to_bytes(3, "little")
+            out += body + chunk
+    return bytes(out)
+
+
+def snappy_framed_decompress(b: bytes) -> bytes:
+    """Decode one ``.sz`` stream, verifying every chunk's masked
+    CRC-32C — a flipped byte errors HERE, not downstream. Raises
+    ``ValueError`` on damage (truncation, bad CRC, unskippable
+    reserved chunks, oversize chunks, missing identifier)."""
+    if not b.startswith(_STREAM_ID[:1]) or b[: len(_STREAM_ID)] != _STREAM_ID:
+        raise ValueError("snappy framing: stream identifier missing")
+    out = bytearray()
+    at = len(_STREAM_ID)
+    n = len(b)
+    while at < n:
+        if at + 4 > n:
+            raise ValueError("snappy framing: chunk header truncated")
+        kind = b[at]
+        size = int.from_bytes(b[at + 1 : at + 4], "little")
+        at += 4
+        if at + size > n:
+            raise ValueError("snappy framing: chunk body truncated")
+        body = b[at : at + size]
+        at += size
+        if kind in (0x00, 0x01):
+            if size < 4:
+                raise ValueError("snappy framing: chunk missing CRC")
+            want = int.from_bytes(body[:4], "little")
+            data = body[4:]
+            if kind == 0x00:
+                data = snappy_decompress(data)
+            if len(data) > _MAX_CHUNK:
+                raise ValueError("snappy framing: chunk exceeds 65536")
+            if _mask_crc(crc32c(data)) != want:
+                raise ValueError("snappy framing: CRC-32C mismatch")
+            out += data
+        elif kind == 0xFF:
+            if body != b"sNaPpY":
+                raise ValueError("snappy framing: bad stream identifier")
+        elif 0x02 <= kind <= 0x7F:
+            raise ValueError(
+                f"snappy framing: unskippable reserved chunk {kind:#x}"
+            )
+        # 0x80..0xfe: skippable — ignored
+    return bytes(out)

@@ -2571,6 +2571,40 @@ def register_extensions(q: dict, o: dict) -> None:
                     },
                 )
             )
+        # r16 szfmt leg: SNAPPY-FRAMED shards (.jsonl.sz — the framing
+        # format with per-chunk masked CRC-32C) — two clean shards of
+        # jsonl lines plus one with a flipped byte: the CRC rejects
+        # the damaged chunk, the shard prices ONE sentinel row, and
+        # the verified prefix (empty here — chunk 0 is the flipped
+        # one) survives
+        from timeseries_db_spark.functions.snappy import (
+            snappy_framed_compress,
+        )
+
+        sz_dir = os.path.join(base, "szfmt")
+        os.makedirs(sz_dir)
+        import json as _json
+
+        for k, chunk in enumerate((ids[:half], ids[half:])):
+            body = b"".join(
+                _json.dumps(
+                    {"doc_id": i, "text": f"Sz doc {i}"}
+                ).encode() + b"\n"
+                for i in chunk
+            )
+            with open(
+                os.path.join(sz_dir, f"part-{k}.jsonl.sz"), "wb"
+            ) as f:
+                f.write(snappy_framed_compress(body))
+        flipped = bytearray(
+            snappy_framed_compress(b'{"doc_id": -5, "text": "gone"}\n')
+        )
+        flipped[14] ^= 0x01  # inside chunk 0's body
+        with open(os.path.join(sz_dir, "part-bad.jsonl.sz"), "wb") as f:
+            f.write(bytes(flipped))
+        szfmt = coerce(
+            read_corpus_any(s, sz_dir, fmt="jsonl.sz")
+        ).withColumn("kind", F.lit("szfmt"))
         # r16 sofmt leg: SINGLE-OBJECT ENCODING — the raw Kafka-archive
         # arrival unit (C3 01 marker + CRC-64-AVRO fingerprint of the
         # writer schema's Parsing Canonical Form per MESSAGE, no
@@ -2688,7 +2722,7 @@ def register_extensions(q: dict, o: dict) -> None:
             )
         ).unionByName(embfmt).unionByName(unfmt).unionByName(
             lgfmt
-        ).unionByName(evfmt).unionByName(sofmt)
+        ).unionByName(evfmt).unionByName(sofmt).unionByName(szfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2829,6 +2863,18 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents
         UNION ALL
         SELECT -1, -1, 1, md5(''), -1, 'sofmt'
+        UNION ALL
+        -- szfmt (r16): snappy-framed .jsonl.sz shards — every doc
+        -- once plus one CRC-rejected shard's sentinel
+        SELECT doc_id,
+               length('Sz doc ' || doc_id)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5('Sz doc ' || doc_id) AS ids_fp,
+               (doc_id + length('Sz doc ' || doc_id))::BIGINT AS ids_sum,
+               'szfmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'szfmt'
     """
     )
 

@@ -362,6 +362,94 @@ def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
     )
 
 
+def sz_lines(spark: SparkSession, path: str, glob: str = "*.sz") -> DataFrame:
+    """(value string) — the lines of snappy-FRAMED text shards (r16:
+    the ``.sz`` framing format, ``functions/snappy.py``). Decoded
+    chunk-by-chunk (the format's own 64 KiB granularity — peak memory
+    is the compressed file plus one chunk), every chunk's masked
+    CRC-32C verified BEFORE its bytes are trusted, with the same
+    corrupt-shard pricing as the xz/zst kernels: the verified prefix
+    survives and one unparseable sentinel line lands in ``_corrupt``
+    downstream."""
+    from timeseries_db_spark.functions.snappy import (
+        _MAX_CHUNK,
+        _STREAM_ID,
+        _mask_crc,
+        crc32c,
+        snappy_decompress,
+    )
+
+    def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
+        tail = b""
+        try:
+            if data[: len(_STREAM_ID)] != _STREAM_ID:
+                raise ValueError("stream identifier missing")
+            at, n = len(_STREAM_ID), len(data)
+            while at < n:
+                if at + 4 > n:
+                    raise ValueError("chunk header truncated")
+                kind = data[at]
+                size = int.from_bytes(data[at + 1 : at + 4], "little")
+                at += 4
+                if at + size > n:
+                    raise ValueError("chunk body truncated")
+                body = data[at : at + size]
+                at += size
+                if kind in (0x00, 0x01):
+                    if size < 4:
+                        raise ValueError("chunk missing CRC")
+                    piece = body[4:]
+                    if kind == 0x00:
+                        piece = snappy_decompress(piece)
+                    if len(piece) > _MAX_CHUNK:
+                        raise ValueError("chunk exceeds 65536")
+                    if _mask_crc(crc32c(piece)) != int.from_bytes(
+                        body[:4], "little"
+                    ):
+                        raise ValueError("CRC-32C mismatch")
+                elif kind == 0xFF:
+                    if body != b"sNaPpY":
+                        raise ValueError("bad stream identifier")
+                    continue
+                elif 0x02 <= kind <= 0x7F:
+                    raise ValueError(
+                        f"unskippable reserved chunk {kind:#x}"
+                    )
+                else:
+                    continue  # skippable padding
+                tail += piece
+                *lines, tail = tail.split(b"\n")
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "value": [
+                                ln.decode("utf-8", "replace")
+                                for ln in lines
+                            ]
+                        }
+                    )
+        except ValueError as e:
+            yield pd.DataFrame({"value": [f"\x00sz corrupt: {e}"]})
+            tail = b""
+        if tail:
+            yield pd.DataFrame(
+                {"value": [tail.decode("utf-8", "replace")]}
+            )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield from file_lines(bytes(content))
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="value string")
+    )
+
+
 def zst_lines(spark: SparkSession, path: str, glob: str = "*.zst") -> DataFrame:
     """(value string) — the lines of ``.zst``-wrapped text shards
     (r15): the layout RedPajama-era corpora publish in. Decoded
@@ -510,17 +598,18 @@ def read_corpus_any(
         fmt = {
             "json": "json", "jsonl": "json", "orc": "orc",
             "avro": "avro", "csv": "csv", "tsv": "tsv", "xz": "xz",
-            "zst": "zst",
+            "zst": "zst", "sz": "sz",
         }.get(ext, "parquet")
-    if fmt in ("xz", "zst") or (
-        "." in fmt and fmt.split(".")[-1] in ("xz", "zst")
+    if fmt in ("xz", "zst", "sz") or (
+        "." in fmt and fmt.split(".")[-1] in ("xz", "zst", "sz")
     ):
         # r15: .jsonl.{xz,zst} / .csv.{xz,zst} shards (the layouts
         # public corpora publish in; Hadoop codecs cover neither —
         # .gz/.bz2 go through the native text path below untouched).
-        # Whole-file decompression in the Arrow kernel, then the SAME
-        # line projections — so the quarantine semantics are identical
-        # to the uncompressed read.
+        # r16: .sz (snappy framing format) joins with per-chunk
+        # CRC-32C verification. Whole-file decompression in the Arrow
+        # kernel, then the SAME line projections — so the quarantine
+        # semantics are identical to the uncompressed read.
         wrapper = fmt.split(".")[-1]
         inner = (
             fmt.split(".")[0]
@@ -535,11 +624,9 @@ def read_corpus_any(
                 f"{wrapper}-wrapped reads support on_malformed="
                 "quarantine/drop (line-record modes)"
             )
-        lines = (
-            xz_lines(spark, path)
-            if wrapper == "xz"
-            else zst_lines(spark, path)
-        )
+        lines = {
+            "xz": xz_lines, "zst": zst_lines, "sz": sz_lines,
+        }[wrapper](spark, path)
         out = (
             csv_lines_to_corpus(
                 lines, sep="\t" if inner == "tsv" else ","
