@@ -1637,3 +1637,71 @@ def test_read_corpus_any_avro_reader_schema(spark, tmp_path):
     assert [(r["doc_id"], r["text"], r["_corrupt"]) for r in got] == [
         (1, "old-style body", None)
     ]
+
+
+def test_mixed_arrival_routes_sobj_and_sz(spark, tmp_path):
+    """r16 late: the mixed-arrival query also routes single-object
+    segments (.sobj) and snappy-framed shards (.sz) — per-format
+    states, registry-resolved messages, CRC-rejected chunks
+    dead-lettering while clean shards publish."""
+    import os
+
+    from timeseries_db_spark.functions import snappy as S
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+    from timeseries_db_spark.streaming import mixed_ingest as mi
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "k0.sobj").write_bytes(
+        AV.single_object_encode(
+            [{"doc_id": 3, "text": "sobj streamed body"}],
+            AV.CORPUS_AVRO_SCHEMA,
+        )
+        + b"\x00junk between messages"  # marker-missing tail: 1 reject
+    )
+    (in_dir / "z0.sz").write_bytes(
+        S.snappy_framed_compress(
+            b'{"doc_id": 8, "text": "sz streamed body"}\n'
+        )
+    )
+    flipped = bytearray(
+        S.snappy_framed_compress(b'{"doc_id": 9, "text": "lost"}\n')
+    )
+    flipped[14] ^= 0x01
+    (in_dir / "z1.sz").write_bytes(bytes(flipped))
+    out_root = str(tmp_path / "out")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out_root,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sobj_pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "sobj")
+        ).collect()
+    }
+    assert sobj_pub == {3: "sobj streamed body"}
+    rej = vi.read_avro_rejects(
+        spark, os.path.join(out_root, "sobj")
+    ).collect()
+    assert len(rej) == 1 and "marker missing" in rej[0]["err"]
+    sz_pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "sz")
+        ).collect()
+    }
+    assert sz_pub == {8: "sz streamed body"}
+    rej = ji.read_jsonl_rejects(
+        spark, os.path.join(out_root, "sz")
+    ).collect()
+    assert len(rej) == 1 and "sz corrupt" in rej[0]["line"]

@@ -771,9 +771,12 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     micro-batch by extension into per-format near-dup states, so each
     format's published set is the SAME batch-boundary-free kept rule
     the separate r15 queries pinned (domination is doc_id-ordered
-    within a batch, so shard consolidation cannot change it). Returns
-    (doc_id, 'cavr'|'ccsv'|'cjsl', fp53)
-    ∪ (-1,'cavj',1) ∪ (-2,'ccsj',2) ∪ (-3,'cjsj',2)."""
+    within a batch, so shard consolidation cannot change it). r16
+    late: .sobj single-object segments (Kafka-archive shape) and
+    snappy-framed .jsonl.sz shards ride the SAME query. Returns
+    (doc_id, 'cavr'|'ccsv'|'cjsl'|'csob'|'cszl', fp53)
+    ∪ (-1,'cavj',1) ∪ (-2,'ccsj',2) ∪ (-3,'cjsj',2)
+    ∪ (-4,'csbj',1) ∪ (-5,'cszj',1)."""
     import json as _json
 
     from timeseries_db_spark.sources import avro as AV
@@ -890,6 +893,42 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         with open(path, "w") as f:
             f.write("".join(lines))
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    # r16: SINGLE-OBJECT segments (.sobj — raw Kafka-archive shape,
+    # per-message C3 01 + CRC-64-AVRO fingerprint) with one markerless
+    # junk segment (csbj counts 1), and SNAPPY-FRAMED .sz shards
+    # (jsonl inside, per-chunk masked CRC-32C) with one flipped-byte
+    # shard whose damaged chunk is CRC-rejected (cszj counts 1)
+    from timeseries_db_spark.functions.snappy import (
+        snappy_framed_compress,
+    )
+
+    for i, half in enumerate(halves):
+        with open(os.path.join(in_dir, f"s{i}.sobj"), "wb") as f:
+            f.write(
+                AV.single_object_encode(
+                    [
+                        {"doc_id": int(d), "text": f"Sob {int(d)} {c}"}
+                        for d, c in zip(half["doc_id"], half["clean"])
+                    ],
+                    AV.CORPUS_AVRO_SCHEMA,
+                )
+            )
+        body = b"".join(
+            _json.dumps(
+                {"doc_id": int(d), "text": f"Szs {int(d)} {c}"}
+            ).encode() + b"\n"
+            for d, c in zip(half["doc_id"], half["clean"])
+        )
+        with open(os.path.join(in_dir, f"z{i}.jsonl.sz"), "wb") as f:
+            f.write(snappy_framed_compress(body))
+    with open(os.path.join(in_dir, "s2.sobj"), "wb") as f:
+        f.write(b"\x00no marker in this segment\x00")
+    flipped = bytearray(
+        snappy_framed_compress(b'{"doc_id": -7, "text": "gone"}\n')
+    )
+    flipped[14] ^= 0x01
+    with open(os.path.join(in_dir, "z2.jsonl.sz"), "wb") as f:
+        f.write(bytes(flipped))
     out_root = os.path.join(base, "mixed_out")
     query = mi.start_mixed_corpus_ingest(
         mi.read_mixed_file_stream(spark, in_dir),
@@ -945,6 +984,22 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                 "cjsj",
             )
         )
+        .unionByName(published("sobj", "csob"))
+        .unionByName(
+            dead_letter(
+                vi.read_avro_rejects(spark, os.path.join(out_root, "sobj")),
+                -4,
+                "csbj",
+            )
+        )
+        .unionByName(published("sz", "cszl"))
+        .unionByName(
+            dead_letter(
+                ji.read_jsonl_rejects(spark, os.path.join(out_root, "sz")),
+                -5,
+                "cszj",
+            )
+        )
     )
 
 
@@ -966,6 +1021,24 @@ _CJSL_DOCS_SQL = """
     FROM documents
 """
 
+#: closed form of the single-object-segment corpus (csob, r16)
+_CSOB_DOCS_SQL = """
+    SELECT doc_id,
+           'Sob ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
+#: closed form of the snappy-framed-shard corpus (cszl, r16)
+_CSZL_DOCS_SQL = """
+    SELECT doc_id,
+           'Szs ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
 
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
@@ -979,6 +1052,8 @@ def stream_ingest_dedup_sql() -> str:
     cavr_kept = corpus_ingest_kept_sql(docs_sql=_CAVR_DOCS_SQL)
     ccsv_kept = corpus_ingest_kept_sql(docs_sql=_CCSV_DOCS_SQL)
     cjsl_kept = corpus_ingest_kept_sql(docs_sql=_CJSL_DOCS_SQL)
+    csob_kept = corpus_ingest_kept_sql(docs_sql=_CSOB_DOCS_SQL)
+    cszl_kept = corpus_ingest_kept_sql(docs_sql=_CSZL_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -1050,6 +1125,23 @@ def stream_ingest_dedup_sql() -> str:
         UNION ALL
         -- cjsj (r16): one truncated line per jsonl shard dead-letters
         SELECT -3 AS "timestamp", 'cjsj' AS tag, 2.0 AS value
+        UNION ALL
+        -- csob (r16): the single-object (Kafka-archive) streaming
+        -- published set; the markerless junk segment dead-letters one
+        SELECT doc_id AS "timestamp", 'csob' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({csob_kept})
+        UNION ALL
+        SELECT -4 AS "timestamp", 'csbj' AS tag, 1.0 AS value
+        UNION ALL
+        -- cszl (r16): the snappy-framed (.jsonl.sz) streaming
+        -- published set; the flipped shard's CRC-rejected chunk
+        -- dead-letters one sentinel
+        SELECT doc_id AS "timestamp", 'cszl' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({cszl_kept})
+        UNION ALL
+        SELECT -5 AS "timestamp", 'cszj' AS tag, 1.0 AS value
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,

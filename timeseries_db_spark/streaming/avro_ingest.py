@@ -155,3 +155,43 @@ def start_avro_corpus_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def decode_single_object_files(
+    files: DataFrame,
+    schemas: list[dict],
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """(doc_id, text, _corrupt, path) — every message of every
+    SINGLE-OBJECT-encoded segment (r16: the raw Kafka-archive shape,
+    ``sources/avro.py:single_object_scan``) in the batch, registry-
+    resolved per message and optionally evolved under a reader schema;
+    unknown fingerprints / corrupt bodies price one error row and the
+    scan resyncs at the next C3 01 marker. Same stateless Arrow-batched
+    shape as :func:`decode_avro_files`."""
+    from timeseries_db_spark.sources.avro import single_object_scan
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                recs, errs = single_object_scan(
+                    bytes(content),
+                    schemas,
+                    reader_schema=reader_schema,
+                    strict=False,
+                )
+                for msg in errs:
+                    rows.append((None, None, msg, path))
+                for r in recs:
+                    rows.append((r["doc_id"], r.get("text"), None, path))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "_corrupt", "path"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        schema="doc_id long, text string, _corrupt string, path string",
+    )

@@ -48,11 +48,45 @@ from timeseries_db_spark.sources.tables import (
 from timeseries_db_spark.streaming.avro_ingest import (
     _BINARY_FILE_SCHEMA,
     decode_avro_files,
+    decode_single_object_files,
 )
 from timeseries_db_spark.streaming.corpus_ingest import (
     T_EST_DEFAULT,
     process_corpus_batch,
 )
+
+
+def _sz_content_lines(files: DataFrame) -> DataFrame:
+    """(value) — the text lines of snappy-FRAMED (.sz) shards in the
+    batch, decoded chunk-by-chunk with per-chunk masked CRC-32C
+    verification (r16); a damaged shard keeps its verified prefix and
+    contributes one unparseable sentinel line, which the downstream
+    line projection lands in ``_corrupt`` — identical pricing to the
+    batch reader (``sources/tables.py:sz_lines``)."""
+    import pandas as pd
+
+    from timeseries_db_spark.functions.snappy import (
+        snappy_framed_decompress,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            values = []
+            for content in pdf["content"]:
+                try:
+                    text = snappy_framed_decompress(bytes(content))
+                    values.extend(
+                        ln.decode("utf-8", "replace")
+                        for ln in text.split(b"\n")
+                        if ln
+                    )
+                except ValueError as e:
+                    values.append(f"\x00sz corrupt: {e}")
+            yield pd.DataFrame({"value": values})
+
+    return files.select("content").mapInPandas(gen, schema="value string")
 
 
 def read_mixed_file_stream(
@@ -89,12 +123,21 @@ def start_mixed_corpus_ingest(
     checkpoint_dir: str,
     t_est: float = T_EST_DEFAULT,
     quarantine: bool = True,
+    sobj_schemas: list[dict] | None = None,
+    sobj_reader_schema: dict | None = None,
 ):
     """Start the one-query mixed ingest. Layout under ``out_root``:
-    ``avro/``, ``csv/``, ``jsonl/`` — each a full corpus-ingest state
-    (``sigs`` + ``docs`` + ``rejects``) identical to what the
-    single-format ingest would have produced over that format's
-    shards alone."""
+    ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/`` — each a full
+    corpus-ingest state (``sigs`` + ``docs`` + ``rejects``) identical
+    to what a single-format ingest would have produced over that
+    format's shards alone. ``.sobj`` segments (single-object-encoded
+    Kafka-archive shape) resolve against ``sobj_schemas`` (default:
+    the corpus schema) and optionally a reader schema; ``.sz`` shards
+    are snappy-framed JSONL."""
+    if sobj_schemas is None:
+        from timeseries_db_spark.sources.avro import CORPUS_AVRO_SCHEMA
+
+        sobj_schemas = [CORPUS_AVRO_SCHEMA]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -107,9 +150,19 @@ def start_mixed_corpus_ingest(
                 .distinct()
                 .collect()
             }
-            if "avro" in exts:
-                decoded = decode_avro_files(
-                    batch.filter(F.col("path").endswith(".avro"))
+            for ext, decode in (
+                ("avro", decode_avro_files),
+                (
+                    "sobj",
+                    lambda files: decode_single_object_files(
+                        files, sobj_schemas, sobj_reader_schema
+                    ),
+                ),
+            ):
+                if ext not in exts:
+                    continue
+                decoded = decode(
+                    batch.filter(F.col("path").endswith(f".{ext}"))
                 ).persist()
                 try:
                     if quarantine:
@@ -120,7 +173,7 @@ def start_mixed_corpus_ingest(
                         ).write.mode("overwrite").parquet(
                             os.path.join(
                                 out_root,
-                                "avro",
+                                ext,
                                 "rejects",
                                 f"batch={batch_id}",
                             )
@@ -130,19 +183,20 @@ def start_mixed_corpus_ingest(
                             "doc_id", "text"
                         ),
                         batch_id,
-                        os.path.join(out_root, "avro"),
+                        os.path.join(out_root, ext),
                         t_est,
                     )
                 finally:
                     decoded.unpersist()
-            for ext, parser in (
-                ("csv", csv_lines_to_corpus),
-                ("jsonl", jsonl_lines_to_corpus),
+            for ext, lines, parser in (
+                ("csv", _content_lines, csv_lines_to_corpus),
+                ("jsonl", _content_lines, jsonl_lines_to_corpus),
+                ("sz", _sz_content_lines, jsonl_lines_to_corpus),
             ):
                 if ext not in exts:
                     continue
                 parsed = parser(
-                    _content_lines(
+                    lines(
                         batch.filter(F.col("path").endswith(f".{ext}"))
                     )
                 ).persist()
