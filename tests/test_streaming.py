@@ -1705,3 +1705,59 @@ def test_mixed_arrival_routes_sobj_and_sz(spark, tmp_path):
         spark, os.path.join(out_root, "sz")
     ).collect()
     assert len(rej) == 1 and "sz corrupt" in rej[0]["line"]
+
+
+def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
+    """r16: streaming IVF index maintenance — arrivals assigned to the
+    FROZEN quantizer across micro-batches equal the batch assignment
+    of the same vectors exactly (same rounded-cosine / centroid-id
+    tie-break), and list_growth counts per-list arrivals."""
+    import os
+
+    from timeseries_db_spark.operators import similarity as sim
+    from timeseries_db_spark.streaming import ivf_maintain as im
+
+    corpus = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), j -> cast((id * 31 + j * 7) % 13 - 6"
+        " as float)) AS embedding",
+    )
+    cents = sim.ivf_centroids(corpus, nlist=16)
+    batch_assign = {
+        r["vec_id"]: r["list_id"]
+        for r in sim.ivf_assign_with_vectors(spark, corpus, cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for k, pred in enumerate(("vec_id < 100", "vec_id >= 100")):
+        tmp = str(tmp_path / f"tmp{k}")
+        corpus.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), str(in_dir / f"s{k}.parquet"))
+    out_dir = str(tmp_path / "out")
+    q = im.start_ivf_assign_ingest(
+        im.read_embedding_stream(spark, str(in_dir), max_files_per_trigger=1),
+        cents,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["vec_id"]: r["list_id"]
+        for r in im.read_assignments(spark, out_dir).collect()
+    }
+    assert streamed == batch_assign
+    growth = {
+        r["list_id"]: r["n_new"]
+        for r in im.list_growth(spark, out_dir).collect()
+    }
+    assert sum(growth.values()) == 200
+    want = {}
+    for lid in batch_assign.values():
+        want[lid] = want.get(lid, 0) + 1
+    assert growth == want

@@ -334,6 +334,62 @@ def _sasof_leg(spark: SparkSession, base: str) -> DataFrame:
     )
 
 
+# r16 sivf leg: streaming IVF index MAINTENANCE — arrivals assigned
+# to the FROZEN coarse quantizer incrementally (map-only broadcast
+# assignment, streaming/ivf_maintain.py) instead of re-clustering.
+# Arrivals here are the corpus vectors with vec_id % 7 == 3 re-keyed
+# +1_000_000 (so the oracle restates them from the embeddings view),
+# split over two shards; the assignment rule is the engine-
+# reproducible rounded-cosine rule the batch IVF entry already pins,
+# and the per-list growth counts (the re-cluster trigger signal)
+# ride as a second tag.
+def _sivf_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    from timeseries_db_spark.operators.similarity import ivf_centroids
+    from timeseries_db_spark.streaming import ivf_maintain as im
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    new_vecs = emb.filter("vec_id % 7 = 3").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    in_dir = os.path.join(base, "sivf_in")
+    os.makedirs(in_dir)
+    # the file stream source lists FILES — land each shard as one
+    # flat parquet file (write to a scratch dir, move the part file)
+    for k, pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        tmp = os.path.join(base, f"sivf_tmp{k}")
+        new_vecs.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, part), os.path.join(in_dir, f"s{k}.parquet")
+        )
+    out_dir = os.path.join(base, "sivf_out")
+    query = im.start_ivf_assign_ingest(
+        im.read_embedding_stream(spark, in_dir),
+        ivf_centroids(emb),
+        out_dir,
+        os.path.join(base, "sivf_ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assigned = im.read_assignments(spark, out_dir).select(
+        F.col("vec_id").alias("timestamp"),
+        F.lit("sivf").alias("tag"),
+        F.col("list_id").cast("double").alias("value"),
+    )
+    growth = im.list_growth(spark, out_dir).select(
+        F.col("list_id").alias("timestamp"),
+        F.lit("sivg").alias("tag"),
+        F.col("n_new").cast("double").alias("value"),
+    )
+    return assigned.unionByName(growth)
+
+
 # r9 ssj leg: the stream-stream time-bounded inner join
 # (streaming/joins.py:enrich_with_alerts) was the last streaming
 # operator without a driver row. Both streams read the REAL events
@@ -415,6 +471,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r9 ssj leg: stream-stream time-bounded join over the real
         # events fixture, tag 'ssj', value = the joined alert timestamp
         ssj = _ssj_leg(spark, sf_dir, base)
+        # r16 sivf leg: streaming IVF index maintenance — incremental
+        # assignment of arriving embedding shards to the frozen coarse
+        # quantizer, tags 'sivf' (per-vector list assignment) and
+        # 'sivg' (per-list growth counts, the re-cluster trigger)
+        sivf = _sivf_leg(spark, sf_dir, base)
         # r12 cwarc leg: the full Common-Crawl pipeline as ONE
         # streaming query — WARC files (gzip members / chunked /
         # CE-gzip transports cycled by id) → HTTP decode → HTML→text →
@@ -448,6 +509,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corpus)
         .unionByName(sasof)
         .unionByName(ssj)
+        .unionByName(sivf)
         .unionByName(cwarc)
         .unionByName(carc)
         .unionByName(mixed)
@@ -1046,6 +1108,10 @@ def stream_ingest_dedup_sql() -> str:
     re-sends never landed. The corpus leg is the batch-boundary-free
     dominated-by-earlier closed form from
     ``streaming/corpus_ingest.py``."""
+    from timeseries_db_spark.operators.similarity import (
+        IVF_CENTROID_HASH_DUCK,
+        IVF_NLIST,
+    )
     from timeseries_db_spark.streaming.corpus_ingest import corpus_ingest_kept_sql
 
     carc_kept = corpus_ingest_kept_sql(docs_sql=_CARC_DOCS_SQL)
@@ -1142,6 +1208,43 @@ def stream_ingest_dedup_sql() -> str:
         FROM ({cszl_kept})
         UNION ALL
         SELECT -5 AS "timestamp", 'cszj' AS tag, 1.0 AS value
+        UNION ALL
+        -- sivf (r16): incremental IVF assignment of the re-keyed
+        -- arrival vectors against the frozen portable-hash centroid
+        -- sample — the SAME rounded-cosine / centroid-id-ASC rule the
+        -- batch IVF entry pins; sivg restates per-list growth
+        SELECT "timestamp", tag, value FROM (
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                ORDER BY {IVF_CENTROID_HASH_DUCK}, vec_id
+                LIMIT {IVF_NLIST}
+            ),
+            newv AS (
+                SELECT vec_id + 1000000 AS vid, embedding
+                FROM embeddings WHERE vec_id % 7 = 3
+            ),
+            scored AS (
+                SELECT vid, cid,
+                       round(list_cosine_similarity(
+                           newv.embedding::DOUBLE[], ce::DOUBLE[]), 6)
+                           AS s6
+                FROM newv CROSS JOIN cents
+            ),
+            a AS (
+                SELECT vid, cid,
+                       row_number() OVER (
+                           PARTITION BY vid ORDER BY s6 DESC, cid ASC
+                       ) AS rn
+                FROM scored
+            )
+            SELECT vid AS "timestamp", 'sivf' AS tag,
+                   CAST(cid AS DOUBLE) AS value
+            FROM a WHERE rn = 1
+            UNION ALL
+            SELECT cid AS "timestamp", 'sivg' AS tag,
+                   CAST(COUNT(*) AS DOUBLE) AS value
+            FROM a WHERE rn = 1 GROUP BY cid
+        )
         UNION ALL
         -- sasof: event at hour k joins the rate row at the latest
         -- every-3rd hour <= k: rate = 1 + 10*(3*(k//3)) + tag_idx,
