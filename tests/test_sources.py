@@ -1350,3 +1350,28 @@ def test_snappy_framing_format(spark, tmp_path):
     # extension inference on a direct file
     one = read_corpus_any(spark, str(d / "p0.jsonl.sz")).collect()
     assert len(one) == 5000 and all(r["_corrupt"] is None for r in one)
+
+
+def test_br_corpus_shards(spark, tmp_path):
+    """r16: .jsonl.br shards — brotli via pyarrow's bundled codec,
+    same incremental line kernel and corrupt-shard pricing as zst."""
+    import pyarrow as pa
+
+    from timeseries_db_spark.sources.tables import read_corpus_any
+
+    d = tmp_path / "br"
+    d.mkdir()
+    body = b"".join(
+        b'{"doc_id": %d, "text": "br row %d"}\n' % (i, i)
+        for i in range(300)
+    )
+    comp = bytes(pa.Codec("brotli").compress(body))
+    (d / "p0.jsonl.br").write_bytes(comp)
+    (d / "p1.jsonl.br").write_bytes(comp[: len(comp) // 2])  # truncated
+    got = read_corpus_any(spark, str(d), fmt="jsonl.br").collect()
+    clean = [r for r in got if r["_corrupt"] is None]
+    bad = [r for r in got if r["_corrupt"] is not None]
+    assert len(clean) >= 300
+    assert len(bad) == 1 and "br corrupt" in bad[0]["_corrupt"]
+    one = read_corpus_any(spark, str(d / "p0.jsonl.br")).collect()
+    assert len(one) == 300

@@ -362,6 +362,61 @@ def xz_lines(spark: SparkSession, path: str, glob: str = "*.xz") -> DataFrame:
     )
 
 
+def br_lines(spark: SparkSession, path: str, glob: str = "*.br") -> DataFrame:
+    """(value string) — the lines of brotli-wrapped text shards (r16:
+    the remaining pyarrow-bundled codec as a shard wrapper; some web
+    corpora publish .jsonl.br). Same incremental read and
+    corrupt-shard pricing as the zst kernel. Caveat (same class as
+    checksum-less zstd, SCALE.md): the brotli stream has no internal
+    checksum at all, so integrity rests on the next layer's framing —
+    truncation and malformed streams error here, bit flips are caught
+    by the line projection's parse."""
+
+    def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        tail = b""
+        try:
+            stream = pa.input_stream(
+                pa.py_buffer(data), compression="brotli"
+            )
+            while True:
+                chunk = stream.read(1 << 20)
+                if not chunk:
+                    break
+                tail += chunk
+                *lines, tail = tail.split(b"\n")
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "value": [
+                                ln.decode("utf-8", "replace")
+                                for ln in lines
+                            ]
+                        }
+                    )
+        except OSError as e:
+            yield pd.DataFrame({"value": [f"\x00br corrupt: {e}"]})
+            tail = b""
+        if tail:
+            yield pd.DataFrame(
+                {"value": [tail.decode("utf-8", "replace")]}
+            )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield from file_lines(bytes(content))
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema="value string")
+    )
+
+
 def sz_lines(spark: SparkSession, path: str, glob: str = "*.sz") -> DataFrame:
     """(value string) — the lines of snappy-FRAMED text shards (r16:
     the ``.sz`` framing format, ``functions/snappy.py``). Decoded
@@ -598,10 +653,10 @@ def read_corpus_any(
         fmt = {
             "json": "json", "jsonl": "json", "orc": "orc",
             "avro": "avro", "csv": "csv", "tsv": "tsv", "xz": "xz",
-            "zst": "zst", "sz": "sz",
+            "zst": "zst", "sz": "sz", "br": "br",
         }.get(ext, "parquet")
-    if fmt in ("xz", "zst", "sz") or (
-        "." in fmt and fmt.split(".")[-1] in ("xz", "zst", "sz")
+    if fmt in ("xz", "zst", "sz", "br") or (
+        "." in fmt and fmt.split(".")[-1] in ("xz", "zst", "sz", "br")
     ):
         # r15: .jsonl.{xz,zst} / .csv.{xz,zst} shards (the layouts
         # public corpora publish in; Hadoop codecs cover neither —
@@ -626,6 +681,7 @@ def read_corpus_any(
             )
         lines = {
             "xz": xz_lines, "zst": zst_lines, "sz": sz_lines,
+            "br": br_lines,
         }[wrapper](spark, path)
         out = (
             csv_lines_to_corpus(
