@@ -246,14 +246,16 @@ def snappy_framed_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def snappy_framed_decompress(b: bytes) -> bytes:
-    """Decode one ``.sz`` stream, verifying every chunk's masked
-    CRC-32C — a flipped byte errors HERE, not downstream. Raises
+def snappy_framed_chunks(b: bytes):
+    """Yield the VERIFIED uncompressed data of each chunk of one
+    ``.sz`` stream, in order — the shared walk under both the strict
+    decompressor and the incremental line kernels (each consumer
+    keeps the chunks already yielded when a later chunk raises, which
+    is what prices a damaged shard at its verified prefix). Raises
     ``ValueError`` on damage (truncation, bad CRC, unskippable
     reserved chunks, oversize chunks, missing identifier)."""
-    if not b.startswith(_STREAM_ID[:1]) or b[: len(_STREAM_ID)] != _STREAM_ID:
+    if b[: len(_STREAM_ID)] != _STREAM_ID:
         raise ValueError("snappy framing: stream identifier missing")
-    out = bytearray()
     at = len(_STREAM_ID)
     n = len(b)
     while at < n:
@@ -277,7 +279,7 @@ def snappy_framed_decompress(b: bytes) -> bytes:
                 raise ValueError("snappy framing: chunk exceeds 65536")
             if _mask_crc(crc32c(data)) != want:
                 raise ValueError("snappy framing: CRC-32C mismatch")
-            out += data
+            yield data
         elif kind == 0xFF:
             if body != b"sNaPpY":
                 raise ValueError("snappy framing: bad stream identifier")
@@ -286,4 +288,9 @@ def snappy_framed_decompress(b: bytes) -> bytes:
                 f"snappy framing: unskippable reserved chunk {kind:#x}"
             )
         # 0x80..0xfe: skippable — ignored
-    return bytes(out)
+
+
+def snappy_framed_decompress(b: bytes) -> bytes:
+    """Decode one ``.sz`` stream, verifying every chunk's masked
+    CRC-32C — a flipped byte errors HERE, not downstream."""
+    return b"".join(snappy_framed_chunks(b))

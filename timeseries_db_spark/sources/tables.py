@@ -426,52 +426,12 @@ def sz_lines(spark: SparkSession, path: str, glob: str = "*.sz") -> DataFrame:
     corrupt-shard pricing as the xz/zst kernels: the verified prefix
     survives and one unparseable sentinel line lands in ``_corrupt``
     downstream."""
-    from timeseries_db_spark.functions.snappy import (
-        _MAX_CHUNK,
-        _STREAM_ID,
-        _mask_crc,
-        crc32c,
-        snappy_decompress,
-    )
+    from timeseries_db_spark.functions.snappy import snappy_framed_chunks
 
     def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
         tail = b""
         try:
-            if data[: len(_STREAM_ID)] != _STREAM_ID:
-                raise ValueError("stream identifier missing")
-            at, n = len(_STREAM_ID), len(data)
-            while at < n:
-                if at + 4 > n:
-                    raise ValueError("chunk header truncated")
-                kind = data[at]
-                size = int.from_bytes(data[at + 1 : at + 4], "little")
-                at += 4
-                if at + size > n:
-                    raise ValueError("chunk body truncated")
-                body = data[at : at + size]
-                at += size
-                if kind in (0x00, 0x01):
-                    if size < 4:
-                        raise ValueError("chunk missing CRC")
-                    piece = body[4:]
-                    if kind == 0x00:
-                        piece = snappy_decompress(piece)
-                    if len(piece) > _MAX_CHUNK:
-                        raise ValueError("chunk exceeds 65536")
-                    if _mask_crc(crc32c(piece)) != int.from_bytes(
-                        body[:4], "little"
-                    ):
-                        raise ValueError("CRC-32C mismatch")
-                elif kind == 0xFF:
-                    if body != b"sNaPpY":
-                        raise ValueError("bad stream identifier")
-                    continue
-                elif 0x02 <= kind <= 0x7F:
-                    raise ValueError(
-                        f"unskippable reserved chunk {kind:#x}"
-                    )
-                else:
-                    continue  # skippable padding
+            for piece in snappy_framed_chunks(data):
                 tail += piece
                 *lines, tail = tail.split(b"\n")
                 if lines:

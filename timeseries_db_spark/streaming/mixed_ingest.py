@@ -65,9 +65,23 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
     batch reader (``sources/tables.py:sz_lines``)."""
     import pandas as pd
 
-    from timeseries_db_spark.functions.snappy import (
-        snappy_framed_decompress,
-    )
+    from timeseries_db_spark.functions.snappy import snappy_framed_chunks
+
+    def file_lines(data: bytes) -> list[str]:
+        values: list[str] = []
+        tail = b""
+        try:
+            for piece in snappy_framed_chunks(data):
+                tail += piece
+                *lines, tail = tail.split(b"\n")
+                values.extend(
+                    ln.decode("utf-8", "replace") for ln in lines if ln
+                )
+        except ValueError as e:
+            return values + [f"\x00sz corrupt: {e}"]
+        if tail:
+            values.append(tail.decode("utf-8", "replace"))
+        return values
 
     def gen(batches):
         for pdf in batches:
@@ -75,15 +89,7 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
                 continue
             values = []
             for content in pdf["content"]:
-                try:
-                    text = snappy_framed_decompress(bytes(content))
-                    values.extend(
-                        ln.decode("utf-8", "replace")
-                        for ln in text.split(b"\n")
-                        if ln
-                    )
-                except ValueError as e:
-                    values.append(f"\x00sz corrupt: {e}")
+                values.extend(file_lines(bytes(content)))
             yield pd.DataFrame({"value": values})
 
     return files.select("content").mapInPandas(gen, schema="value string")
