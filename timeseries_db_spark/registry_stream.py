@@ -838,7 +838,8 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     snappy-framed .jsonl.sz shards ride the SAME query. Returns
     (doc_id, 'cavr'|'ccsv'|'cjsl'|'csob'|'cszl', fp53)
     ∪ (-1,'cavj',1) ∪ (-2,'ccsj',2) ∪ (-3,'cjsj',2)
-    ∪ (-4,'csbj',1) ∪ (-5,'cszj',1)."""
+    ∪ (-4,'csbj',1) ∪ (-5,'cszj',1) ∪ (-6,'cgzj',1); .jsonl.gz
+    shards ride too ('cgzl' published set, one truncated shard)."""
     import json as _json
 
     from timeseries_db_spark.sources import avro as AV
@@ -985,6 +986,23 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
             f.write(snappy_framed_compress(body))
     with open(os.path.join(in_dir, "s2.sobj"), "wb") as f:
         f.write(b"\x00no marker in this segment\x00")
+    # r16 late: GZIPPED jsonl shards (.jsonl.gz — the single most
+    # common shard wrapper) ride the same query; one truncated shard
+    # keeps its decoded prefix and dead-letters one sentinel (cgzj)
+    import gzip as _gzip
+
+    for i, half in enumerate(halves):
+        body = b"".join(
+            _json.dumps(
+                {"doc_id": int(d), "text": f"Gzl {int(d)} {c}"}
+            ).encode() + b"\n"
+            for d, c in zip(half["doc_id"], half["clean"])
+        )
+        with open(os.path.join(in_dir, f"g{i}.jsonl.gz"), "wb") as f:
+            f.write(_gzip.compress(body))
+    whole = _gzip.compress(b'{"doc_id": -6, "text": "cut"}\n' * 40)
+    with open(os.path.join(in_dir, "g2.jsonl.gz"), "wb") as f:
+        f.write(whole[: len(whole) // 2])
     flipped = bytearray(
         snappy_framed_compress(b'{"doc_id": -7, "text": "gone"}\n')
     )
@@ -1054,6 +1072,14 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                 "csbj",
             )
         )
+        .unionByName(published("gz", "cgzl"))
+        .unionByName(
+            dead_letter(
+                ji.read_jsonl_rejects(spark, os.path.join(out_root, "gz")),
+                -6,
+                "cgzj",
+            )
+        )
         .unionByName(published("sz", "cszl"))
         .unionByName(
             dead_letter(
@@ -1092,6 +1118,15 @@ _CSOB_DOCS_SQL = """
     FROM documents
 """
 
+#: closed form of the gzipped-jsonl-shard corpus (cgzl, r16)
+_CGZL_DOCS_SQL = """
+    SELECT doc_id,
+           'Gzl ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
 #: closed form of the snappy-framed-shard corpus (cszl, r16)
 _CSZL_DOCS_SQL = """
     SELECT doc_id,
@@ -1120,6 +1155,7 @@ def stream_ingest_dedup_sql() -> str:
     cjsl_kept = corpus_ingest_kept_sql(docs_sql=_CJSL_DOCS_SQL)
     csob_kept = corpus_ingest_kept_sql(docs_sql=_CSOB_DOCS_SQL)
     cszl_kept = corpus_ingest_kept_sql(docs_sql=_CSZL_DOCS_SQL)
+    cgzl_kept = corpus_ingest_kept_sql(docs_sql=_CGZL_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -1199,6 +1235,14 @@ def stream_ingest_dedup_sql() -> str:
         FROM ({csob_kept})
         UNION ALL
         SELECT -4 AS "timestamp", 'csbj' AS tag, 1.0 AS value
+        UNION ALL
+        -- cgzl (r16): the gzipped (.jsonl.gz) streaming published
+        -- set; the truncated shard dead-letters one sentinel
+        SELECT doc_id AS "timestamp", 'cgzl' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({cgzl_kept})
+        UNION ALL
+        SELECT -6 AS "timestamp", 'cgzj' AS tag, 1.0 AS value
         UNION ALL
         -- cszl (r16): the snappy-framed (.jsonl.sz) streaming
         -- published set; the flipped shard's CRC-rejected chunk

@@ -95,6 +95,56 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
     return files.select("content").mapInPandas(gen, schema="value string")
 
 
+def _gz_content_lines(files: DataFrame) -> DataFrame:
+    """(value) — the text lines of ``.gz`` shards in the batch (r16
+    late). Spark's native codec handles .gz on the TEXT source, but
+    the mixed landing dir arrives through binaryFile — so gunzip runs
+    in the same Arrow kernel as the other Python routes. Multi-member
+    streams (the pigz shape) continue; COMPLETE earlier members keep
+    their lines when a later member is damaged. A truncated member's
+    partial output is DISCARDED, not published: gzip's only integrity
+    check is the CRC-32 trailer, so partial inflate output is
+    unverified bytes (unlike .sz, whose per-chunk CRC lets the
+    verified prefix publish) — the shard prices one sentinel."""
+    import zlib
+
+    import pandas as pd
+
+    def file_lines(data: bytes) -> list[str]:
+        values: list[str] = []
+        tail = b""
+        try:
+            while data:
+                dec = zlib.decompressobj(16 + 15)
+                tail += dec.decompress(data)
+                while not dec.eof:
+                    if dec.unconsumed_tail:
+                        tail += dec.decompress(dec.unconsumed_tail)
+                    else:
+                        raise ValueError("gzip stream truncated")
+                *lines, tail = tail.split(b"\n")
+                values.extend(
+                    ln.decode("utf-8", "replace") for ln in lines if ln
+                )
+                data = dec.unused_data.lstrip(b"\x00")
+        except (ValueError, zlib.error) as e:
+            return values + [f"\x00gz corrupt: {e}"]
+        if tail:
+            values.append(tail.decode("utf-8", "replace"))
+        return values
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            values = []
+            for content in pdf["content"]:
+                values.extend(file_lines(bytes(content)))
+            yield pd.DataFrame({"value": values})
+
+    return files.select("content").mapInPandas(gen, schema="value string")
+
+
 def read_mixed_file_stream(
     spark, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -133,13 +183,14 @@ def start_mixed_corpus_ingest(
     sobj_reader_schema: dict | None = None,
 ):
     """Start the one-query mixed ingest. Layout under ``out_root``:
-    ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/`` — each a full
+    ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/``, ``gz/`` —
+    each a full
     corpus-ingest state (``sigs`` + ``docs`` + ``rejects``) identical
     to what a single-format ingest would have produced over that
     format's shards alone. ``.sobj`` segments (single-object-encoded
     Kafka-archive shape) resolve against ``sobj_schemas`` (default:
     the corpus schema) and optionally a reader schema; ``.sz`` shards
-    are snappy-framed JSONL."""
+    are snappy-framed JSONL; ``.gz`` shards are gzipped JSONL."""
     if sobj_schemas is None:
         from timeseries_db_spark.sources.avro import CORPUS_AVRO_SCHEMA
 
@@ -198,6 +249,7 @@ def start_mixed_corpus_ingest(
                 ("csv", _content_lines, csv_lines_to_corpus),
                 ("jsonl", _content_lines, jsonl_lines_to_corpus),
                 ("sz", _sz_content_lines, jsonl_lines_to_corpus),
+                ("gz", _gz_content_lines, jsonl_lines_to_corpus),
             ):
                 if ext not in exts:
                     continue
