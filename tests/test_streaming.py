@@ -1761,3 +1761,46 @@ def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
     for lid in batch_assign.values():
         want[lid] = want.get(lid, 0) + 1
     assert growth == want
+
+
+def test_mixed_arrival_gz_route_discards_unverified_partials(spark, tmp_path):
+    """r16 late: .jsonl.gz through the mixed query — complete members
+    of a multi-member (pigz-shape) shard publish even when a LATER
+    member is truncated; the truncated member's partial inflate output
+    is DISCARDED (gzip verifies only at its CRC-32 trailer, so partial
+    output is unverified bytes) and the shard dead-letters one
+    sentinel."""
+    import gzip
+    import os
+
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+    from timeseries_db_spark.streaming import mixed_ingest as mi
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    good = gzip.compress(b'{"doc_id": 1, "text": "gz member one"}\n')
+    cut = gzip.compress(
+        b'{"doc_id": 2, "text": "partial never published"}\n' * 30
+    )
+    (in_dir / "m.jsonl.gz").write_bytes(good + cut[: len(cut) // 2])
+    out_root = str(tmp_path / "out")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out_root,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "gz")
+        ).collect()
+    }
+    assert pub == {1: "gz member one"}
+    rej = ji.read_jsonl_rejects(spark, os.path.join(out_root, "gz")).collect()
+    assert len(rej) == 1 and "gz corrupt" in rej[0]["line"]
