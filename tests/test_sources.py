@@ -1375,3 +1375,59 @@ def test_br_corpus_shards(spark, tmp_path):
     assert len(bad) == 1 and "br corrupt" in bad[0]["_corrupt"]
     one = read_corpus_any(spark, str(d / "p0.jsonl.br")).collect()
     assert len(one) == 300
+
+
+def test_read_tsdb_avro_reader_schema(spark, tmp_path):
+    """r16: the tsdb measurement-archive reader pins a reader schema
+    too — an old exporter's (time, tag, value-as-float) shards decode
+    under today's (timestamp long, tag, value double) contract via
+    alias rename + float→double promotion; an unresolvable shard
+    fails LOUDLY (strict path)."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    old_writer = {
+        "type": "record", "name": "measurement",
+        "fields": [
+            {"name": "time", "type": "long"},
+            {"name": "tag", "type": "string"},
+            {"name": "value", "type": "float"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "measurement",
+        "fields": [
+            {"name": "timestamp", "type": "long", "aliases": ["time"]},
+            {"name": "tag", "type": "string"},
+            {"name": "value", "type": "double"},
+        ],
+    }
+    d = tmp_path / "tsdb"
+    d.mkdir()
+    recs = [
+        {"time": 1_700_000_000_000 + i, "tag": "Munich", "value": float(i)}
+        for i in range(10)
+    ]
+    with open(d / "old.avro", "wb") as f:
+        f.write(AV.avro_build(recs, old_writer))
+    got = sorted(
+        (r["timestamp"], r["tag"], r["value"])
+        for r in AV.read_tsdb_avro(
+            spark, str(d), reader_schema=reader
+        ).collect()
+    )
+    assert got == [
+        (1_700_000_000_000 + i, "Munich", float(i)) for i in range(10)
+    ]
+    # unresolvable writer fails loudly on the strict tsdb path
+    with open(d / "bad.avro", "wb") as f:
+        f.write(
+            AV.avro_build(
+                [{"time": 1}],
+                {"type": "record", "name": "measurement",
+                 "fields": [{"name": "time", "type": "long"}]},
+            )
+        )
+    with _pytest.raises(Exception, match="no writer counterpart"):
+        AV.read_tsdb_avro(spark, str(d), reader_schema=reader).collect()

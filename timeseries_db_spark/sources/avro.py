@@ -1127,12 +1127,17 @@ TSDB_AVRO_SCHEMA = {
 }
 
 
-def read_tsdb_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_tsdb_avro(
+    spark: SparkSession, path: str, reader_schema: dict | None = None
+) -> DataFrame:
     """(timestamp long, tag string, value double) from ``.avro``
     container files — the tsdb arrival path behind
     :func:`timeseries_db_spark.sources.tables.read_tsdb_any`. Strict
     (a measurement archive that doesn't decode should fail loudly,
-    like the parquet/ORC scans would)."""
+    like the parquet/ORC scans would). ``reader_schema`` (r16): pin a
+    reader and archives spanning exporter versions (renamed columns,
+    widened types, added-with-default fields) decode uniformly —
+    strictness then applies to RESOLUTION failures too."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1140,7 +1145,10 @@ def read_tsdb_avro(spark: SparkSession, path: str) -> DataFrame:
                 continue
             rows = []
             for content in pdf["content"]:
-                _schema, recs, _ = avro_scan(bytes(content), strict=True)
+                _schema, recs, _ = avro_scan(
+                    bytes(content), strict=True,
+                    reader_schema=reader_schema,
+                )
                 for r in recs:
                     rows.append((r["timestamp"], r["tag"], r["value"]))
             yield pd.DataFrame(
