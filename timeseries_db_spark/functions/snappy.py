@@ -199,6 +199,14 @@ def snappy_compress(data: bytes) -> bytes:
 # the reflected polynomial 0x82F63B78 — pinned by the spec's own
 # structure (the r15 raw-block vectors) plus roundtrip through the
 # masked-CRC verify, which rejects any drifted table.
+#
+# FORMAT CAVEAT (Hypothesis-found, r16): the framing format carries
+# no trailer or chunk count, so a truncation landing EXACTLY on a
+# chunk boundary is undetectable by ANY conforming reader — the
+# stream simply ends early. Mid-chunk truncation and every data flip
+# error loudly (header/CRC); only whole-suffix loss at a boundary is
+# silent. Size-stamp shards externally (manifest row counts) when
+# that matters.
 
 _CRC32C_TABLE: list[int] | None = None
 

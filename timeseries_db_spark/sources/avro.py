@@ -1399,6 +1399,12 @@ def read_corpus_avro(
 # versions) and — composed with r16's reader-schema resolution —
 # decodes every historical writer version under today's reader.
 #
+# FORMAT CAVEAT (Hypothesis-found, r16): like the .sz framing, a
+# single-object stream carries no trailer or message count, so a
+# truncation landing EXACTLY between messages is undetectable —
+# mid-message cuts error loudly. Manifest row counts are the
+# external check when whole-suffix loss matters.
+#
 # Provenance note (house discipline): the Rabin EMPTY constant and
 # the canonical-form rules are from the Avro spec ("Schema
 # Fingerprints" / "Parsing Canonical Form for Schemas"); no
