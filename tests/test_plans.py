@@ -577,10 +577,45 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
     (x / "p.jsonl.xz").write_bytes(
         lzma.compress(b'{"doc_id": 1, "text": "x"}\n')
     )
+    # r16 readers join the assertion: evolution, single-object,
+    # snappy-framed and brotli shards must all stay map-only too
+    import gzip as _gzip
+
+    import pyarrow as _pa
+
+    from timeseries_db_spark.functions.snappy import (
+        snappy_framed_compress,
+    )
+
+    e = tmp_path / "e"
+    e.mkdir()
+    (e / "v1.avro").write_bytes(
+        AV.avro_build(
+            [{"doc_id": 1, "body": "x", "score": 2, "legacy_blob": b""}],
+            AV.CORPUS_V1_AVRO_SCHEMA,
+        )
+    )
+    (e / "m.sobj").write_bytes(
+        AV.single_object_encode(
+            [{"doc_id": 1, "text": "x"}], AV.CORPUS_AVRO_SCHEMA
+        )
+    )
+    (e / "p.jsonl.sz").write_bytes(
+        snappy_framed_compress(b'{"doc_id": 1, "text": "x"}\n')
+    )
+    (e / "p.jsonl.br").write_bytes(
+        bytes(_pa.Codec("brotli").compress(b'{"doc_id": 1, "text": "x"}\n'))
+    )
     frames = {
         "corpus_avro": read_corpus_any(spark, str(d), fmt="avro"),
         "tagged_avro": AV.read_tagged_avro(spark, str(d)),
         "xz_jsonl": read_corpus_any(spark, str(x), fmt="jsonl.xz"),
+        "evolved_avro": AV.read_evolved_corpus_avro(spark, str(e)),
+        "single_object": AV.read_single_object_corpus(
+            spark, str(e), [AV.CORPUS_AVRO_SCHEMA]
+        ),
+        "sz_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.sz"),
+        "br_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.br"),
     }
     for name, df in frames.items():
         plan = _formatted_plan(spark, df)
