@@ -1625,12 +1625,22 @@ def read_single_object_corpus(
                     )
             yield pd.DataFrame(rows, columns=names + ["_corrupt"])
 
-    spark_types = {
-        "doc_id": "long", "text": "string", "score": "long",
-        "lang": "string",
-    }
+    def spark_type(t) -> str:
+        """Spark SQL type of an Avro type node — unions surface as
+        their first non-null branch (the evolved readers' shape)."""
+        if isinstance(t, list):
+            branches = [b for b in t if b != "null"]
+            return spark_type(branches[0]) if branches else "string"
+        if isinstance(t, dict):
+            return spark_type(t.get("type"))
+        return {
+            "long": "long", "int": "long", "float": "double",
+            "double": "double", "boolean": "boolean",
+            "bytes": "binary", "string": "string",
+        }.get(t, "string")
+
     schema_str = ", ".join(
-        f"{c} {spark_types.get(c, 'string')}" for c in names
+        f"{f['name']} {spark_type(f['type'])}" for f in rres["fields"]
     ) + ", _corrupt string"
     return (
         spark.read.format("binaryFile")
