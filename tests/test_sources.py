@@ -1431,3 +1431,36 @@ def test_read_tsdb_avro_reader_schema(spark, tmp_path):
         )
     with _pytest.raises(Exception, match="no writer counterpart"):
         AV.read_tsdb_avro(spark, str(d), reader_schema=reader).collect()
+
+
+def test_schema_registry_from_avsc_dir(spark, tmp_path):
+    """r16: the vendored-schemas deployment shape — a directory of
+    .avsc files loads as the fingerprint registry, newest (by
+    filename) last as the natural reader schema."""
+    import json
+
+    from timeseries_db_spark.sources import avro as AV
+
+    d = tmp_path / "schemas"
+    d.mkdir()
+    (d / "document_v1.avsc").write_text(
+        json.dumps(AV.CORPUS_V1_AVRO_SCHEMA)
+    )
+    (d / "document_v2.avsc").write_text(
+        json.dumps(AV.CORPUS_V2_READER_SCHEMA)
+    )
+    (d / "notes.txt").write_text("ignored")
+    schemas = AV.load_schema_registry(str(d))
+    assert [s["fields"][1]["name"] for s in schemas] == ["body", "text"]
+    stream = AV.single_object_encode(
+        [{"doc_id": 9, "body": "via registry", "score": 1,
+          "legacy_blob": b""}],
+        schemas[0],
+    )
+    recs, errs = AV.single_object_scan(
+        stream, schemas, reader_schema=schemas[-1]
+    )
+    assert not errs
+    assert recs == [
+        {"doc_id": 9, "text": "via registry", "score": 1, "lang": "und"}
+    ]

@@ -1649,3 +1649,26 @@ def read_single_object_corpus(
         .select("content")
         .mapInPandas(gen, schema=schema_str)
     )
+
+
+def load_schema_registry(path: str) -> list[dict]:
+    """The known schema versions of a topic as a list, loaded from a
+    directory of ``.avsc`` files (the shape consumers actually ship:
+    a ``schemas/`` dir vendored next to the pipeline, one JSON schema
+    per historical writer version). Sorted by filename so the LAST
+    entry is the newest version — the natural default reader schema.
+    Feed the list to :func:`single_object_scan` /
+    :func:`read_single_object_corpus` (fingerprints are computed
+    here-side from Parsing Canonical Form, so files may carry doc /
+    aliases / defaults freely)."""
+    import os
+
+    schemas = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".avsc"):
+            continue
+        with open(os.path.join(path, name)) as f:
+            schemas.append(json.load(f))
+    if not schemas:
+        raise ValueError(f"no .avsc files under {path!r}")
+    return schemas
