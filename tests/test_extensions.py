@@ -4956,3 +4956,18 @@ def test_r16_first_party_zstd_frames_carry_content_checksums(spark):
         A.tar_build([("t.txt", b"tar body")], pax=True)
     )
     assert A.archive_members(wrapped) == [("t.txt", b"tar body")]
+
+
+def test_xxh64_c_module_agreement_if_present():
+    """r16: when a deployment image ships the C ``xxhash`` module, the
+    dispatching xxh64 must agree with the from-spec pure-Python form
+    on every shape class (empty, sub-stripe, stripe-aligned, long) —
+    the spec pin doubles as the cross-check of the C module."""
+    from timeseries_db_spark.functions import xxh as X
+
+    samples = [b"", b"a", b"x" * 31, b"y" * 32, b"z" * 33,
+               bytes(range(256)) * 100]
+    for s in samples:
+        for seed in (0, 42):
+            assert X.xxh64(s, seed) == X._xxh64_py(s, seed)
+    assert X._xxh64_py(b"") == 0xEF46DB3751D8E999
