@@ -518,13 +518,13 @@ def test_snappy_spec_vectors():
     from timeseries_db_spark.functions import snappy as S
 
     # literal only: len 3 -> tag (3-1)<<2
-    assert S.snappy_decompress(b"\x03" + b"\x08abc") == b"abc"
+    assert S._snappy_decompress_py(b"\x03" + b"\x08abc") == b"abc"
     # copy-2 with OVERLAP: 'ab' then 18 bytes copied at offset 2
     v = b"\x14" + b"\x04ab" + bytes([((18 - 1) << 2) | 2]) + b"\x02\x00"
-    assert S.snappy_decompress(v) == b"ab" * 10
+    assert S._snappy_decompress_py(v) == b"ab" * 10
     # copy-1 (tag-embedded offset bits): '0123' then len-4 copy @4
     v = b"\x08" + b"\x0c0123" + bytes([0x01, 0x04])
-    assert S.snappy_decompress(v) == b"01230123"
+    assert S._snappy_decompress_py(v) == b"01230123"
     # copy-1 with the offset's high bits IN the tag (offset 256+4)
     pre = bytes(range(256)) + b"0123"
     out = bytearray()
@@ -534,7 +534,7 @@ def test_snappy_spec_vectors():
         + bytes(out)
         + bytes([((1 << 5) | ((4 - 4) << 2)) | 1, 0x04])  # off 0x104
     )
-    assert S.snappy_decompress(v) == pre + pre[-260:-256]
+    assert S._snappy_decompress_py(v) == pre + pre[-260:-256]
     # copy-4: same copy, 32-bit offset field
     v = (
         S._uvarint_encode(len(pre) + 4)
@@ -542,11 +542,11 @@ def test_snappy_spec_vectors():
         + bytes([((4 - 1) << 2) | 3])
         + (0x104).to_bytes(4, "little")
     )
-    assert S.snappy_decompress(v) == pre + pre[-260:-256]
+    assert S._snappy_decompress_py(v) == pre + pre[-260:-256]
     # long literal (1-byte length form): 100 bytes
     body = bytes(i % 251 for i in range(100))
     v = S._uvarint_encode(100) + bytes([60 << 2, 99]) + body
-    assert S.snappy_decompress(v) == body
+    assert S._snappy_decompress_py(v) == body
     # structural damage raises, never partial data
     for bad in (
         b"",  # no preamble
@@ -557,7 +557,7 @@ def test_snappy_spec_vectors():
         b"\x02" + bytes([0x06, 0x02]),  # copy-2 offset truncated
     ):
         with _pytest.raises(ValueError):
-            S.snappy_decompress(bad)
+            S._snappy_decompress_py(bad)
     # compressor roundtrip on shapes that exercise matches + literals
     for data in (
         b"",
@@ -567,7 +567,7 @@ def test_snappy_spec_vectors():
         b"the quick brown fox " * 40 + b"tail",
         bytes(1000),
     ):
-        assert S.snappy_decompress(S.snappy_compress(data)) == data
+        assert S._snappy_decompress_py(S.snappy_compress(data)) == data
 
 
 def test_avro_general_unions(spark, tmp_path):
@@ -1009,10 +1009,10 @@ def test_snappy_overrun_bails_early():
         + b"\x02\x00"  # copy-2: 64 bytes from offset 2
     )
     with _pytest.raises(ValueError, match="overrun|length"):
-        S.snappy_decompress(v)
+        S._snappy_decompress_py(v)
     # 2^32 - 1 is the spec max; 2^32 itself is implausible
     with _pytest.raises(ValueError, match="implausible"):
-        S.snappy_decompress(S._uvarint_encode(1 << 32) + b"\x00a")
+        S._snappy_decompress_py(S._uvarint_encode(1 << 32) + b"\x00a")
 
 
 def test_avro_reader_schema_resolution(spark, tmp_path):
@@ -1464,3 +1464,17 @@ def test_schema_registry_from_avsc_dir(spark, tmp_path):
     assert recs == [
         {"doc_id": 9, "text": "via registry", "score": 1, "lang": "und"}
     ]
+
+
+def test_snappy_and_crc32c_c_module_agreement_if_present():
+    """r16: when a deployment image ships python-snappy / crc32c, the
+    dispatching entry points must agree with the from-spec pure forms
+    (trivially true in this container, where the pure forms serve;
+    load-bearing wherever C modules are installed)."""
+    from timeseries_db_spark.functions import snappy as S
+
+    for data in (b"", b"x", b"ab" * 200, bytes(range(256)) * 20):
+        assert S.snappy_decompress(S.snappy_compress(data)) == data
+        assert S._snappy_decompress_py(S.snappy_compress(data)) == data
+        assert S.crc32c(data) == S._crc32c_py(data)
+    assert S._crc32c_py(b"123456789") == 0xE3069283

@@ -39,6 +39,33 @@ code.)
 
 from __future__ import annotations
 
+# Deployment fast paths (r16): the from-spec pure-Python forms below
+# are the always-present reference and this container's
+# implementation; when the deployment image ships the common C
+# modules (`python-snappy`, `crc32c` — both one pip install), the
+# public entry points dispatch to them. Unlike the zstd/xxh case the
+# .sz walk sits on the READ path of arriving shards, so the C
+# dispatch matters twice over. The pure forms stay the spec pin AND
+# the agreement cross-check for whatever the image ships.
+try:
+    import snappy as _snappy_c
+
+    # python-snappy exposes the RAW-block api this module implements;
+    # verify on one vector at import so a same-named impostor module
+    # can never silently serve wrong bytes
+    if _snappy_c.uncompress(_snappy_c.compress(b"spec pin")) != b"spec pin":
+        _snappy_c = None
+except Exception:  # missing, or an incompatible same-named module
+    _snappy_c = None
+
+try:
+    import crc32c as _crc32c_c
+
+    if _crc32c_c.crc32c(b"123456789") != 0xE3069283:
+        _crc32c_c = None
+except Exception:
+    _crc32c_c = None
+
 
 def _uvarint_encode(n: int) -> bytes:
     out = bytearray()
@@ -67,6 +94,15 @@ def _uvarint_decode(b: bytes, at: int) -> tuple[int, int]:
 
 
 def snappy_decompress(b: bytes) -> bytes:
+    if _snappy_c is not None:
+        try:
+            return _snappy_c.uncompress(b)
+        except Exception as e:  # normalize to this module's contract
+            raise ValueError(f"snappy block invalid: {e}") from e
+    return _snappy_decompress_py(b)
+
+
+def _snappy_decompress_py(b: bytes) -> bytes:
     """Inflate one raw snappy block. Raises ``ValueError`` on any
     structural damage (truncation, offset out of range, length
     mismatch) — never returns partial data, so the Avro per-block
@@ -213,7 +249,15 @@ _CRC32C_TABLE: list[int] | None = None
 
 def crc32c(data: bytes) -> int:
     """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
-    the snappy framing format masks and embeds per chunk."""
+    the snappy framing format masks and embeds per chunk. C module
+    when the image ships one (import-verified), else table-driven
+    from spec."""
+    if _crc32c_c is not None:
+        return _crc32c_c.crc32c(data)
+    return _crc32c_py(data)
+
+
+def _crc32c_py(data: bytes) -> int:
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
         table = []
