@@ -119,8 +119,11 @@ def _resolve_named_types(t, names: dict, ns: str | None = None):
                 out["fields"].append(nf)
             return out
         if kind in ("enum", "fixed"):
-            _register_name(t, t, names, ns)
-            return t
+            # copy so the inherited-namespace stamp (r17, fullname
+            # resolution matching) never mutates the caller's schema
+            out = dict(t)
+            _register_name(t, out, names, ns)
+            return out
         if kind == "array":
             return {
                 **t,
@@ -154,6 +157,11 @@ def _register_name(
     ns = t.get("namespace", inherited_ns)
     if ns:
         names[f"{ns}.{name}"] = resolved
+        # stamp the EFFECTIVE namespace on the resolved node (r17):
+        # resolution-time name matching compares fullnames, and a
+        # nested type's inherited namespace is otherwise lost
+        if isinstance(resolved, dict) and "namespace" not in resolved:
+            resolved["namespace"] = ns
     else:
         names[name] = resolved
     return ns
@@ -416,6 +424,22 @@ def _union_branch(t: list, v) -> int:
     raise ValueError(f"avro union has no branch for {type(v).__name__}")
 
 
+def _decimal_unscaled(v, scale: int) -> int:
+    """Unscaled integer of a decimal value at the DECLARED scale —
+    r17 ADVICE: a value with more fractional digits than the schema's
+    scale used to truncate silently (``int()``); the encoder's error
+    contract is ``ValueError``, so reject it loudly instead."""
+    import decimal
+
+    scaled = decimal.Decimal(v).scaleb(scale)
+    if scaled != scaled.to_integral_value():
+        raise ValueError(
+            f"avro decimal {v!r} has more fractional digits than"
+            f" scale {scale}"
+        )
+    return int(scaled)
+
+
 def _encode_value(t, v) -> bytes:
     if isinstance(t, list):
         i = _union_branch(t, v)
@@ -441,12 +465,13 @@ def _encode_value(t, v) -> bytes:
         return _zigzag_encode(t["symbols"].index(v))
     if isinstance(t, dict) and t.get("type") == "fixed":
         if t.get("logicalType") == "decimal":
-            import decimal
-
-            unscaled = int(
-                decimal.Decimal(v).scaleb(int(t.get("scale", 0)))
-            )
-            return unscaled.to_bytes(t["size"], "big", signed=True)
+            unscaled = _decimal_unscaled(v, int(t.get("scale", 0)))
+            try:
+                return unscaled.to_bytes(t["size"], "big", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"avro decimal {v!r} does not fit fixed({t['size']})"
+                ) from None
         if len(v) != t["size"]:
             raise ValueError("avro fixed size mismatch")
         return bytes(v)
@@ -456,11 +481,7 @@ def _encode_value(t, v) -> bytes:
         )
     if isinstance(t, dict) and t.get("type") in _PRIMITIVES:
         if t.get("logicalType") == "decimal" and t["type"] == "bytes":
-            import decimal
-
-            unscaled = int(
-                decimal.Decimal(v).scaleb(int(t.get("scale", 0)))
-            )
+            unscaled = _decimal_unscaled(v, int(t.get("scale", 0)))
             n = 1
             while True:
                 try:
@@ -524,20 +545,39 @@ def _short(name: str) -> str:
     return name.rsplit(".", 1)[-1]
 
 
+def _type_fullname(t: dict) -> str:
+    """Effective fullname of a resolved named-type node — dotted names
+    are already full; otherwise the (possibly r17-stamped inherited)
+    ``namespace`` attribute qualifies the short name."""
+    name = t.get("name", "")
+    if "." in name:
+        return name
+    ns = t.get("namespace")
+    return f"{ns}.{name}" if ns else name
+
+
 def _require_name_match(wt: dict, rt: dict) -> None:
     """Named types (record/enum/fixed) resolve only when the names
-    match — the reader's unqualified name equals the writer's, or one
-    of the reader's ``aliases`` names the writer (the spec's rename
-    mechanism for the TYPE itself)."""
-    wname = wt.get("name", "")
-    rname = rt.get("name", "")
-    if _short(wname) == _short(rname):
+    match. r17 ADVICE: FULLNAMES compare first (the spec matches
+    fullnames — short-name-only matching let an unrelated ``b.X``
+    resolve against ``a.X``); the unqualified fallback applies only
+    when the READER type carries no namespace (the spec's compat
+    posture for legacy namespace-less readers). Reader ``aliases``
+    (the spec's rename mechanism for the TYPE itself) resolve against
+    the reader's enclosing namespace before comparing."""
+    wfull = _type_fullname(wt)
+    rfull = _type_fullname(rt)
+    if wfull == rfull:
         return
-    aliases = rt.get("aliases", ())
-    if wname in aliases or _short(wname) in {_short(a) for a in aliases}:
+    if "." not in rfull and _short(wfull) == rfull:
         return
+    rns = rfull.rsplit(".", 1)[0] if "." in rfull else None
+    for a in rt.get("aliases", ()):
+        afull = a if "." in a else (f"{rns}.{a}" if rns else a)
+        if afull == wfull or ("." not in afull and a == _short(wfull)):
+            return
     raise ValueError(
-        f"avro reader type {rname!r} does not match writer {wname!r}"
+        f"avro reader type {rfull!r} does not match writer {wfull!r}"
     )
 
 
@@ -631,15 +671,28 @@ def _resolve_reader(wt, rt, memo: dict | None = None) -> list:
     key = (id(wt), id(rt))
     if key in memo:
         return memo[key]
+    # r17 ADVICE: memo entries for in-progress nodes are REMOVED on
+    # resolution failure — a half-built node surviving a caught
+    # ValueError (e.g. inside a union-branch probe) would later be
+    # returned as a valid plan and crash _decode_resolved with a
+    # TypeError that escapes the per-block quarantine.
     if wkind == "array":
         node = ["array", None]
         memo[key] = node
-        node[1] = _resolve_reader(wt["items"], rt["items"], memo)
+        try:
+            node[1] = _resolve_reader(wt["items"], rt["items"], memo)
+        except ValueError:
+            memo.pop(key, None)
+            raise
         return node
     if wkind == "map":
         node = ["map", None]
         memo[key] = node
-        node[1] = _resolve_reader(wt["values"], rt["values"], memo)
+        try:
+            node[1] = _resolve_reader(wt["values"], rt["values"], memo)
+        except ValueError:
+            memo.pop(key, None)
+            raise
         return node
     if wkind == "enum":
         _require_name_match(wt, rt)
@@ -658,35 +711,42 @@ def _resolve_reader(wt, rt, memo: dict | None = None) -> list:
         _require_name_match(wt, rt)
         node = ["record", None, None]
         memo[key] = node
-        rfields = rt["fields"]
-        by_name = {f["name"]: f for f in rfields}
-        by_alias = {}
-        for f in rfields:
-            for a in f.get("aliases", ()):  # field-level rename
-                by_alias[a] = f
-        steps: list[tuple[str | None, object]] = []
-        matched: set[str] = set()
-        for wf in wt["fields"]:
-            rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
-            if rf is None:
-                # writer-only field: decoded (the bytes must be
-                # walked) and discarded
-                steps.append((None, wf["type"]))
-            else:
-                steps.append(
-                    (rf["name"], _resolve_reader(wf["type"], rf["type"], memo))
+        try:
+            rfields = rt["fields"]
+            by_name = {f["name"]: f for f in rfields}
+            by_alias = {}
+            for f in rfields:
+                for a in f.get("aliases", ()):  # field-level rename
+                    by_alias[a] = f
+            steps: list[tuple[str | None, object]] = []
+            matched: set[str] = set()
+            for wf in wt["fields"]:
+                rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
+                if rf is None:
+                    # writer-only field: decoded (the bytes must be
+                    # walked) and discarded
+                    steps.append((None, wf["type"]))
+                else:
+                    steps.append(
+                        (rf["name"],
+                         _resolve_reader(wf["type"], rf["type"], memo))
+                    )
+                    matched.add(rf["name"])
+            extra: list[tuple[str, object]] = []
+            for rf in rfields:
+                if rf["name"] in matched:
+                    continue
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro reader field {rf['name']!r} has no writer"
+                        " counterpart and no default"
+                    )
+                extra.append(
+                    (rf["name"], _default_value(rf["type"], rf["default"]))
                 )
-                matched.add(rf["name"])
-        extra: list[tuple[str, object]] = []
-        for rf in rfields:
-            if rf["name"] in matched:
-                continue
-            if "default" not in rf:
-                raise ValueError(
-                    f"avro reader field {rf['name']!r} has no writer"
-                    " counterpart and no default"
-                )
-            extra.append((rf["name"], _default_value(rf["type"], rf["default"])))
+        except ValueError:
+            memo.pop(key, None)
+            raise
         node[1], node[2] = steps, extra
         return node
     raise ValueError(f"avro type {wkind!r} unsupported in resolution")
@@ -916,6 +976,7 @@ def avro_scan(
                 raise ValueError("avro block has trailing bytes")
         except (
             ValueError,
+            TypeError,
             zlib.error,
             struct.error,
             IndexError,
@@ -925,8 +986,12 @@ def avro_scan(
         ) as e:
             # corrupt bytes can surface through any decoder shape —
             # a flipped union index was an IndexError, a truncated
-            # double a struct.error (Hypothesis-found, r14); under
-            # quarantine ALL of them cost exactly this block
+            # double a struct.error (Hypothesis-found, r14), and
+            # TypeError is the r17 backstop for a malformed plan node
+            # (root cause — memo poisoning — is fixed, but a decode
+            # walk in a 100 TB quarantine path must not kill the
+            # task); under quarantine ALL of them cost exactly this
+            # block
             if strict:
                 raise ValueError(str(e)) from e
             errs.append(f"avro block at {block_at}: {e}")
@@ -1407,11 +1472,19 @@ def read_corpus_avro(
 #
 # Provenance note (house discipline): the Rabin EMPTY constant and
 # the canonical-form rules are from the Avro spec ("Schema
-# Fingerprints" / "Parsing Canonical Form for Schemas"); no
-# cross-implementation oracle ships in this container (no fastavro /
-# spark-avro), so the pins are structural + roundtrip. The failure
-# mode of a drifted constant is LOUD — an unknown fingerprint
-# dead-letters the message — never silently wrong records.
+# Fingerprints" / "Parsing Canonical Form for Schemas"). A REAL
+# cross-implementation oracle ships on this container's own Spark
+# classpath — ``pyspark/jars/avro-1.12.1.jar``, reachable as
+# ``spark._jvm.org.apache.avro.SchemaNormalization`` — and both the
+# canonical form and the fingerprint are pinned against it
+# (tests/test_sources.py, java-interop test): ``toParsingForm``
+# matches byte-for-byte and ``fingerprint64`` matches on every
+# vector. (r17 note: r16 shipped a self-consistent drift here — the
+# per-byte step shifted 1 where the spec shifts 8; the Java oracle
+# would have caught it at birth, and now permanently does.) The
+# failure mode of any future drift stays LOUD — an unknown
+# fingerprint dead-letters the message — never silently wrong
+# records.
 
 #: CRC-64-AVRO "empty" value (Avro spec, Schema Fingerprints)
 _RABIN_EMPTY = 0xC15D213AA4D7A795
@@ -1420,7 +1493,10 @@ _RABIN_TABLE: list[int] | None = None
 
 def rabin_fingerprint(data: bytes) -> int:
     """CRC-64-AVRO of ``data`` — the spec's table-driven Rabin
-    fingerprint (init = EMPTY, one reflected step per byte)."""
+    fingerprint (init = EMPTY; table entries take 8 reflected
+    bit-steps, the per-BYTE step then shifts 8, exactly Apache Avro's
+    ``SchemaNormalization.fingerprint64``: pinned vector
+    ``rabin_fingerprint(b'\\x22int\\x22') == 0x7275d51a3f395c8f``)."""
     global _RABIN_TABLE
     if _RABIN_TABLE is None:
         table = []
@@ -1432,7 +1508,7 @@ def rabin_fingerprint(data: bytes) -> int:
         _RABIN_TABLE = table
     fp = _RABIN_EMPTY
     for b in data:
-        fp = (fp >> 1) ^ _RABIN_TABLE[(fp ^ b) & 0xFF]
+        fp = (fp >> 8) ^ _RABIN_TABLE[(fp ^ b) & 0xFF]
     return fp
 
 
@@ -1537,19 +1613,40 @@ def single_object_scan(
     error + a RESYNC to the next ``C3 01`` marker (the only framing a
     self-describing-less stream offers; messages whose bodies happen
     to contain the marker bytes re-enter decode and fail forward).
-    ``strict=True`` raises instead."""
-    registry: dict[int, tuple[dict, list | None]] = {}
+    ``strict=True`` raises instead.
+
+    r17 ADVICE: registry build is per-schema tolerant — ONE historical
+    version that is invalid or unresolvable against ``reader_schema``
+    registers an ``['err', …]`` plan under its fingerprint, so only
+    ITS messages dead-letter (or raise under strict) while the other
+    versions' messages in the same segment still decode; previously a
+    single bad version crashed the whole scan even with
+    ``strict=False``, contradicting the quarantine contract."""
+    registry: dict[int, tuple[dict | None, list | None]] = {}
     for sch in schemas:
-        res = _resolve_named_types(sch, {})
-        if res.get("type") != "record":
-            raise ValueError("avro single-object schema must be a record")
-        for f in res["fields"]:
-            _check_type(f["type"])
-        plan = None
-        if reader_schema is not None:
-            rres = _resolve_named_types(reader_schema, {})
-            plan = _resolve_reader(res, rres)
-        registry[schema_fingerprint(sch)] = (res, plan)
+        try:
+            fp = schema_fingerprint(sch)
+        except (ValueError, KeyError, TypeError):
+            continue  # unfingerprint-able version: its messages price
+            #           as "fingerprint not in registry" — still loud
+        try:
+            res = _resolve_named_types(sch, {})
+            if res.get("type") != "record":
+                raise ValueError(
+                    "avro single-object schema must be a record"
+                )
+            for f in res["fields"]:
+                _check_type(f["type"])
+            plan = None
+            if reader_schema is not None:
+                rres = _resolve_named_types(reader_schema, {})
+                plan = _resolve_reader(res, rres)
+            registry[fp] = (res, plan)
+        except ValueError as e:
+            registry[fp] = (
+                None,
+                ["err", f"avro single-object schema unusable: {e}"],
+            )
     records: list[dict] = []
     errs: list[str] = []
     at = 0
@@ -1579,9 +1676,12 @@ def single_object_scan(
                     rec[fname], p = _decode_value(ftype, payload, p)
             records.append(rec)
             at = p
-        except (ValueError, KeyError, UnicodeDecodeError) as e:
+        except (
+            ValueError, KeyError, TypeError, IndexError, struct.error,
+            OverflowError, UnicodeDecodeError,
+        ) as e:
             if strict:
-                raise
+                raise ValueError(str(e)) from e
             errs.append(str(e))
             nxt = payload.find(SINGLE_OBJECT_MAGIC, at + 1)
             if nxt == -1:
