@@ -1466,6 +1466,106 @@ def test_schema_registry_from_avsc_dir(spark, tmp_path):
     ]
 
 
+def test_avro_confluent_wire_format(spark, tmp_path):
+    """r17 (VERDICT item 3): the Confluent Schema Registry wire
+    format — magic ``0x00`` + 4-byte big-endian schema id + Avro
+    body, the most common Kafka framing in the wild. Ids resolve
+    through a vendored registry snapshot (``<id>_<name>.avsc``
+    files); composed with reader-schema resolution so producer
+    versions decode uniformly; unknown ids quarantine per message
+    with resync to the next KNOWN header (the only framing the
+    stream offers — the magic byte alone is ubiquitous)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from timeseries_db_spark.sources import avro as AV
+
+    v1 = [
+        {"doc_id": i, "body": f"cw doc {i}", "score": i,
+         "legacy_blob": b"\x01"}
+        for i in range(4)
+    ]
+    v2 = [
+        {"doc_id": 100 + i, "text": f"native {i}", "score": 7 * i,
+         "lang": "en"}
+        for i in range(3)
+    ]
+    # vendored registry dir: numeric id leads the filename
+    reg_dir = tmp_path / "registry"
+    reg_dir.mkdir()
+    (reg_dir / "7_document_v1.avsc").write_text(
+        _json.dumps(AV.CORPUS_V1_AVRO_SCHEMA)
+    )
+    (reg_dir / "9_document_v2.avsc").write_text(
+        _json.dumps(AV.CORPUS_V2_READER_SCHEMA)
+    )
+    registry = AV.load_confluent_registry(str(reg_dir))
+    assert sorted(registry) == [7, 9]
+
+    stream = (
+        AV.confluent_encode(v1[:2], AV.CORPUS_V1_AVRO_SCHEMA, 7)
+        + AV.confluent_encode(v2[:2], AV.CORPUS_V2_READER_SCHEMA, 9)
+        + AV.confluent_encode(v1[2:], AV.CORPUS_V1_AVRO_SCHEMA, 7)
+        + AV.confluent_encode(v2[2:], AV.CORPUS_V2_READER_SCHEMA, 9)
+    )
+    recs, errs = AV.confluent_scan(
+        stream, registry, reader_schema=AV.CORPUS_V2_READER_SCHEMA
+    )
+    assert not errs
+    assert [r["doc_id"] for r in recs] == [0, 1, 100, 101, 2, 3, 102]
+    assert recs[0] == {"doc_id": 0, "text": "cw doc 0", "score": 0,
+                       "lang": "und"}
+
+    # unknown id: strict raises; tolerant prices one error and
+    # resyncs to the next KNOWN header
+    alien = AV.confluent_encode(
+        v2[:1], AV.CORPUS_V2_READER_SCHEMA, 999
+    )
+    mixed = alien + stream
+    with _pytest.raises(ValueError, match="not in registry"):
+        AV.confluent_scan(mixed, registry)
+    recs, errs = AV.confluent_scan(mixed, registry, strict=False)
+    assert len(errs) == 1 and "999 not in registry" in errs[0]
+    assert len(recs) == 7
+
+    # the .cwire arrival unit: mixed-version shards + one junk shard
+    d = tmp_path / "cwire"
+    d.mkdir()
+    (d / "old.cwire").write_bytes(
+        AV.confluent_encode(v1, AV.CORPUS_V1_AVRO_SCHEMA, 7)
+    )
+    (d / "new.cwire").write_bytes(
+        AV.confluent_encode(v2, AV.CORPUS_V2_READER_SCHEMA, 9)
+    )
+    (d / "junk.cwire").write_bytes(b"\x7fno magic at all")
+    got = AV.read_confluent_corpus(
+        spark, str(d), registry,
+        reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+    ).collect()
+    ok = sorted(
+        (r["doc_id"], r["text"], r["score"], r["lang"])
+        for r in got
+        if r["_corrupt"] is None
+    )
+    assert [t[0] for t in ok] == [0, 1, 2, 3, 100, 101, 102]
+    assert sum(1 for r in got if r["_corrupt"] is not None) == 1
+
+    # per-schema tolerant registry build: one unusable version
+    # dead-letters only its own messages
+    badreg = dict(registry)
+    badreg[11] = {"type": "enum", "name": "E", "symbols": ["A"]}
+    seg = AV.confluent_encode(
+        v1[:1], AV.CORPUS_V1_AVRO_SCHEMA, 7
+    ) + b"\x00" + (11).to_bytes(4, "big") + b"\x00"
+    recs, errs = AV.confluent_scan(
+        seg, badreg, reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+        strict=False,
+    )
+    assert [r["doc_id"] for r in recs] == [0]
+    assert len(errs) == 1 and "schema unusable" in errs[0]
+
+
 def test_avro_advice_fixes_r17():
     """r17 ADVICE bundle: (1) a failed union-branch resolution probe no
     longer poisons the memo — the SAME (writer, reader) record pair

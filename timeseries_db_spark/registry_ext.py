@@ -2684,6 +2684,101 @@ def register_extensions(q: dict, o: dict) -> None:
             .alias("ids_sum"),
             F.lit("sofmt").alias("kind"),
         )
+        # r17 cwfmt leg (VERDICT item 3): CONFLUENT WIRE FORMAT — the
+        # most common Kafka framing in the wild (magic 0x00 + 4-byte
+        # BE schema id + Avro body, ids resolved against a Schema
+        # Registry). The registry snapshot is vendored as
+        # <id>_<name>.avsc files (load_confluent_registry); evens
+        # arrive under the v1 writer's id, odds under v2's, both
+        # resolved to the pinned v2 reader — the same evolution
+        # closed form as sofmt with the envelope swapped. A shard
+        # with no magic prices one quarantine row.
+        cw_dir = os.path.join(base, "cwire")
+        cw_reg_dir = os.path.join(base, "cwire_registry")
+        os.makedirs(cw_dir)
+        os.makedirs(cw_reg_dir)
+        import json as _json
+
+        with open(
+            os.path.join(cw_reg_dir, "7_document_v1.avsc"), "w"
+        ) as f:
+            f.write(_json.dumps(AV.CORPUS_V1_AVRO_SCHEMA))
+        with open(
+            os.path.join(cw_reg_dir, "9_document_v2.avsc"), "w"
+        ) as f:
+            f.write(_json.dumps(AV.CORPUS_V2_READER_SCHEMA))
+        cw_registry = AV.load_confluent_registry(cw_reg_dir)
+        with open(os.path.join(cw_dir, "old.cwire"), "wb") as f:
+            f.write(
+                AV.confluent_encode(
+                    [
+                        {
+                            "doc_id": i,
+                            "body": (
+                                None if i % 6 == 0 else f"Cw doc {i}"
+                            ),
+                            "score": 2 * i,
+                            "legacy_blob": b"\x00",
+                        }
+                        for i in evens
+                    ],
+                    AV.CORPUS_V1_AVRO_SCHEMA,
+                    7,
+                )
+            )
+        with open(os.path.join(cw_dir, "new.cwire"), "wb") as f:
+            f.write(
+                AV.confluent_encode(
+                    [
+                        {
+                            "doc_id": i,
+                            "text": f"Cw doc {i}",
+                            "score": 3 * i,
+                            "lang": "en",
+                        }
+                        for i in odds
+                    ],
+                    AV.CORPUS_V2_READER_SCHEMA,
+                    9,
+                )
+            )
+        with open(os.path.join(cw_dir, "junk.cwire"), "wb") as f:
+            f.write(b"\x7fno confluent magic here")
+        cw_bad = F.col("_corrupt").isNotNull()
+        cwfmt = AV.read_confluent_corpus(
+            s,
+            cw_dir,
+            cw_registry,
+            reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+        ).select(
+            F.when(cw_bad, F.lit(-1))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("doc_id"),
+            F.when(cw_bad, F.lit(-1))
+            .otherwise(F.col("score"))
+            .cast("long")
+            .alias("n_tokens"),
+            cw_bad.cast("long").alias("n_oov"),
+            F.when(cw_bad, F.md5(F.lit("")))
+            .otherwise(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(":"),
+                        F.col("lang"),
+                    )
+                )
+            )
+            .alias("ids_fp"),
+            F.when(cw_bad, F.lit(-1))
+            .otherwise(
+                F.col("doc_id") + F.col("score") + F.length("lang")
+            )
+            .cast("long")
+            .alias("ids_sum"),
+            F.lit("cwfmt").alias("kind"),
+        )
         ev_bad = F.col("_corrupt").isNotNull()
         evfmt = AV.read_evolved_corpus_avro(s, ev_dir).select(
             F.when(ev_bad, F.lit(-1))
@@ -2722,7 +2817,9 @@ def register_extensions(q: dict, o: dict) -> None:
             )
         ).unionByName(embfmt).unionByName(unfmt).unionByName(
             lgfmt
-        ).unionByName(evfmt).unionByName(sofmt).unionByName(szfmt)
+        ).unionByName(evfmt).unionByName(sofmt).unionByName(
+            szfmt
+        ).unionByName(cwfmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -2875,6 +2972,29 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents
         UNION ALL
         SELECT -1, -1, 1, md5(''), -1, 'szfmt'
+        UNION ALL
+        -- cwfmt (r17): Confluent wire format restated — the SAME
+        -- evolution closed form as sofmt ('Cw doc' texts): the
+        -- envelope (magic+schema-id header vs fingerprint header) is
+        -- transparent to the decoded values, plus one quarantine row
+        -- for the magic-less segment
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                     ELSE 3 * doc_id END)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5(CASE WHEN doc_id % 6 = 0 THEN ':und'
+                        WHEN doc_id % 2 = 0
+                            THEN 'Cw doc ' || doc_id || ':und'
+                        ELSE 'Cw doc ' || doc_id || ':en' END) AS ids_fp,
+               (doc_id
+                + CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                       ELSE 3 * doc_id END
+                + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+                   AS ids_sum,
+               'cwfmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'cwfmt'
     """
     )
 

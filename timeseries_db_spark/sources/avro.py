@@ -1690,6 +1690,21 @@ def single_object_scan(
     return records, errs
 
 
+def _spark_sql_type(t) -> str:
+    """Spark SQL type of an Avro type node — unions surface as
+    their first non-null branch (the evolved readers' shape)."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        return _spark_sql_type(branches[0]) if branches else "string"
+    if isinstance(t, dict):
+        return _spark_sql_type(t.get("type"))
+    return {
+        "long": "long", "int": "long", "float": "double",
+        "double": "double", "boolean": "boolean",
+        "bytes": "binary", "string": "string",
+    }.get(t, "string")
+
+
 def read_single_object_corpus(
     spark: SparkSession,
     path: str,
@@ -1725,22 +1740,9 @@ def read_single_object_corpus(
                     )
             yield pd.DataFrame(rows, columns=names + ["_corrupt"])
 
-    def spark_type(t) -> str:
-        """Spark SQL type of an Avro type node — unions surface as
-        their first non-null branch (the evolved readers' shape)."""
-        if isinstance(t, list):
-            branches = [b for b in t if b != "null"]
-            return spark_type(branches[0]) if branches else "string"
-        if isinstance(t, dict):
-            return spark_type(t.get("type"))
-        return {
-            "long": "long", "int": "long", "float": "double",
-            "double": "double", "boolean": "boolean",
-            "bytes": "binary", "string": "string",
-        }.get(t, "string")
-
     schema_str = ", ".join(
-        f"{f['name']} {spark_type(f['type'])}" for f in rres["fields"]
+        f"{f['name']} {_spark_sql_type(f['type'])}"
+        for f in rres["fields"]
     ) + ", _corrupt string"
     return (
         spark.read.format("binaryFile")
@@ -1772,3 +1774,201 @@ def load_schema_registry(path: str) -> list[dict]:
     if not schemas:
         raise ValueError(f"no .avsc files under {path!r}")
     return schemas
+
+
+# --- Confluent Schema Registry wire format (r17, VERDICT item 3):
+# the MOST common Kafka framing in the wild. Each message is the
+# 1-byte magic ``0x00``, a 4-byte BIG-endian schema id (assigned by a
+# Confluent Schema Registry at producer registration), then the
+# standard binary-encoded Avro body — no per-message schema, no
+# fingerprint: the id is an opaque registry key. A corpus pipeline
+# pointed at a real Kafka-archive bucket hits this framing BEFORE the
+# Avro single-object one; the decode machinery is shared with it
+# (registry of resolution plans, per-message quarantine), only the
+# header and the id→schema mapping differ. Deployments without a live
+# registry vendor the id→schema map as files — see
+# :func:`load_confluent_registry`.
+
+#: Confluent wire-format magic byte
+CONFLUENT_MAGIC = b"\x00"
+
+
+def confluent_encode(recs: list[dict], schema: dict, schema_id: int) -> bytes:
+    """Concatenated Confluent-wire-format messages — the on-disk shape
+    of an archived Kafka topic whose producers used a Schema
+    Registry."""
+    res = _resolve_named_types(schema, {})
+    fields = _field_types(res)
+    header = CONFLUENT_MAGIC + int(schema_id).to_bytes(4, "big")
+    out = bytearray()
+    for rec in recs:
+        out += header
+        for fname, ftype in fields:
+            out += _encode_value(ftype, rec[fname])
+    return bytes(out)
+
+
+def confluent_scan(
+    payload: bytes,
+    registry: dict[int, dict],
+    reader_schema: dict | None = None,
+    strict: bool = True,
+) -> tuple[list[dict], list[str]]:
+    """(records, errors) of a concatenated Confluent-framed stream.
+    ``registry`` maps schema id → writer schema (the vendored registry
+    snapshot); each message decodes under its id's writer schema,
+    resolved against ``reader_schema`` when given. An unknown id,
+    unusable schema version, or corrupt body prices ONE error + a
+    resync to the next occurrence of a KNOWN message header (unlike
+    single-object's fixed ``C3 01`` marker, the wire format has no
+    searchable magic — ``0x00`` alone is ubiquitous — so resync scans
+    for magic + any registered 4-byte id, the only framing the stream
+    offers). ``strict=True`` raises instead. Registry build is
+    per-schema tolerant, matching :func:`single_object_scan`."""
+    plans: dict[int, tuple[dict | None, list | None]] = {}
+    for sid, sch in registry.items():
+        try:
+            res = _resolve_named_types(sch, {})
+            if res.get("type") != "record":
+                raise ValueError(
+                    "avro confluent schema must be a record"
+                )
+            for f in res["fields"]:
+                _check_type(f["type"])
+            plan = None
+            if reader_schema is not None:
+                rres = _resolve_named_types(reader_schema, {})
+                plan = _resolve_reader(res, rres)
+            plans[int(sid)] = (res, plan)
+        except ValueError as e:
+            plans[int(sid)] = (
+                None,
+                ["err", f"avro confluent schema unusable: {e}"],
+            )
+    headers = [
+        CONFLUENT_MAGIC + sid.to_bytes(4, "big") for sid in plans
+    ]
+    records: list[dict] = []
+    errs: list[str] = []
+    at = 0
+    n = len(payload)
+    while at < n:
+        try:
+            if payload[at : at + 1] != CONFLUENT_MAGIC:
+                raise ValueError(
+                    f"avro confluent magic missing at {at}"
+                )
+            if at + 5 > n:
+                raise ValueError("avro confluent header truncated")
+            sid = int.from_bytes(payload[at + 1 : at + 5], "big")
+            hit = plans.get(sid)
+            if hit is None:
+                raise ValueError(
+                    f"avro confluent schema id {sid} not in registry"
+                )
+            res, plan = hit
+            p = at + 5
+            if plan is not None:
+                rec, p = _decode_resolved(plan, payload, p)
+            else:
+                rec = {}
+                for fname, ftype in _field_types(res):
+                    rec[fname], p = _decode_value(ftype, payload, p)
+            records.append(rec)
+            at = p
+        except (
+            ValueError, KeyError, TypeError, IndexError, struct.error,
+            OverflowError, UnicodeDecodeError,
+        ) as e:
+            if strict:
+                raise ValueError(str(e)) from e
+            errs.append(str(e))
+            nxt = min(
+                (
+                    j
+                    for h in headers
+                    if (j := payload.find(h, at + 1)) != -1
+                ),
+                default=-1,
+            )
+            if nxt == -1:
+                break
+            at = nxt
+    return records, errs
+
+
+def read_confluent_corpus(
+    spark: SparkSession,
+    path: str,
+    registry: dict[int, dict],
+    reader_schema: dict | None = None,
+    glob: str = "*.cwire",
+) -> DataFrame:
+    """(reader fields…, _corrupt) from shards of concatenated
+    Confluent-wire-format messages — the Kafka-archive arrival unit
+    when producers used a Schema Registry. Same per-file Arrow kernel
+    and quarantine contract as :func:`read_single_object_corpus`."""
+    rs = (
+        reader_schema
+        if reader_schema is not None
+        else registry[max(registry)]
+    )
+    rres = _resolve_named_types(rs, {})
+    names = [f["name"] for f in rres["fields"]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for content in pdf["content"]:
+                recs, errs = confluent_scan(
+                    bytes(content),
+                    registry,
+                    reader_schema=reader_schema,
+                    strict=False,
+                )
+                for msg in errs:
+                    rows.append(tuple([None] * len(names)) + (msg,))
+                for r in recs:
+                    rows.append(
+                        tuple(r.get(c) for c in names) + (None,)
+                    )
+            yield pd.DataFrame(rows, columns=names + ["_corrupt"])
+
+    schema_str = ", ".join(
+        f"{f['name']} {_spark_sql_type(f['type'])}"
+        for f in rres["fields"]
+    ) + ", _corrupt string"
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema=schema_str)
+    )
+
+
+def load_confluent_registry(path: str) -> dict[int, dict]:
+    """A vendored Confluent Schema Registry snapshot as {id: schema},
+    loaded from a directory of ``<id>.avsc`` / ``<id>_<anything>.avsc``
+    files (the export shape of ``GET /schemas/ids/<id>`` dumps: the
+    numeric registry id leads the filename). Feed the dict to
+    :func:`confluent_scan` / :func:`read_confluent_corpus`."""
+    import os
+    import re
+
+    registry: dict[int, dict] = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".avsc"):
+            continue
+        m = re.match(r"(\d+)", name)
+        if m is None:
+            raise ValueError(
+                f"confluent registry file {name!r} has no leading id"
+            )
+        with open(os.path.join(path, name)) as f:
+            registry[int(m.group(1))] = json.load(f)
+    if not registry:
+        raise ValueError(f"no .avsc files under {path!r}")
+    return registry
