@@ -2585,6 +2585,14 @@ def register_extensions(q: dict, o: dict) -> None:
         os.makedirs(sz_dir)
         import json as _json
 
+        # r17: first-party shards carry sidecar manifests
+        # (sources/manifest.py) — clean shards verify row+byte
+        # counts in-gate; the flipped shard's manifest exercises the
+        # "already priced, skip the check" path
+        from timeseries_db_spark.sources.manifest import (
+            write_shard_with_manifest,
+        )
+
         for k, chunk in enumerate((ids[:half], ids[half:])):
             body = b"".join(
                 _json.dumps(
@@ -2592,16 +2600,20 @@ def register_extensions(q: dict, o: dict) -> None:
                 ).encode() + b"\n"
                 for i in chunk
             )
-            with open(
-                os.path.join(sz_dir, f"part-{k}.jsonl.sz"), "wb"
-            ) as f:
-                f.write(snappy_framed_compress(body))
+            write_shard_with_manifest(
+                os.path.join(sz_dir, f"part-{k}.jsonl.sz"),
+                snappy_framed_compress(body),
+                len(chunk),
+            )
         flipped = bytearray(
             snappy_framed_compress(b'{"doc_id": -5, "text": "gone"}\n')
         )
         flipped[14] ^= 0x01  # inside chunk 0's body
-        with open(os.path.join(sz_dir, "part-bad.jsonl.sz"), "wb") as f:
-            f.write(bytes(flipped))
+        write_shard_with_manifest(
+            os.path.join(sz_dir, "part-bad.jsonl.sz"),
+            bytes(flipped),
+            1,
+        )
         szfmt = coerce(
             read_corpus_any(s, sz_dir, fmt="jsonl.sz")
         ).withColumn("kind", F.lit("szfmt"))
@@ -2615,38 +2627,42 @@ def register_extensions(q: dict, o: dict) -> None:
         # segment prices one quarantine row.
         so_dir = os.path.join(base, "sobj")
         os.makedirs(so_dir)
-        with open(os.path.join(so_dir, "old.sobj"), "wb") as f:
-            f.write(
-                AV.single_object_encode(
-                    [
-                        {
-                            "doc_id": i,
-                            "body": (
-                                None if i % 6 == 0 else f"So doc {i}"
-                            ),
-                            "score": 2 * i,
-                            "legacy_blob": b"\x00",
-                        }
-                        for i in evens
-                    ],
-                    AV.CORPUS_V1_AVRO_SCHEMA,
-                )
-            )
-        with open(os.path.join(so_dir, "new.sobj"), "wb") as f:
-            f.write(
-                AV.single_object_encode(
-                    [
-                        {
-                            "doc_id": i,
-                            "text": f"So doc {i}",
-                            "score": 3 * i,
-                            "lang": "en",
-                        }
-                        for i in odds
-                    ],
-                    AV.CORPUS_V2_READER_SCHEMA,
-                )
-            )
+        # r17: first-party segments ship sidecar manifests (the junk
+        # segment below stays manifest-less — the foreign-shard path)
+        write_shard_with_manifest(
+            os.path.join(so_dir, "old.sobj"),
+            AV.single_object_encode(
+                [
+                    {
+                        "doc_id": i,
+                        "body": (
+                            None if i % 6 == 0 else f"So doc {i}"
+                        ),
+                        "score": 2 * i,
+                        "legacy_blob": b"\x00",
+                    }
+                    for i in evens
+                ],
+                AV.CORPUS_V1_AVRO_SCHEMA,
+            ),
+            len(evens),
+        )
+        write_shard_with_manifest(
+            os.path.join(so_dir, "new.sobj"),
+            AV.single_object_encode(
+                [
+                    {
+                        "doc_id": i,
+                        "text": f"So doc {i}",
+                        "score": 3 * i,
+                        "lang": "en",
+                    }
+                    for i in odds
+                ],
+                AV.CORPUS_V2_READER_SCHEMA,
+            ),
+            len(odds),
+        )
         with open(os.path.join(so_dir, "junk.sobj"), "wb") as f:
             f.write(b"\x00no marker here at all\x00")
         so_bad = F.col("_corrupt").isNotNull()
@@ -2708,40 +2724,42 @@ def register_extensions(q: dict, o: dict) -> None:
         ) as f:
             f.write(_json.dumps(AV.CORPUS_V2_READER_SCHEMA))
         cw_registry = AV.load_confluent_registry(cw_reg_dir)
-        with open(os.path.join(cw_dir, "old.cwire"), "wb") as f:
-            f.write(
-                AV.confluent_encode(
-                    [
-                        {
-                            "doc_id": i,
-                            "body": (
-                                None if i % 6 == 0 else f"Cw doc {i}"
-                            ),
-                            "score": 2 * i,
-                            "legacy_blob": b"\x00",
-                        }
-                        for i in evens
-                    ],
-                    AV.CORPUS_V1_AVRO_SCHEMA,
-                    7,
-                )
-            )
-        with open(os.path.join(cw_dir, "new.cwire"), "wb") as f:
-            f.write(
-                AV.confluent_encode(
-                    [
-                        {
-                            "doc_id": i,
-                            "text": f"Cw doc {i}",
-                            "score": 3 * i,
-                            "lang": "en",
-                        }
-                        for i in odds
-                    ],
-                    AV.CORPUS_V2_READER_SCHEMA,
-                    9,
-                )
-            )
+        write_shard_with_manifest(
+            os.path.join(cw_dir, "old.cwire"),
+            AV.confluent_encode(
+                [
+                    {
+                        "doc_id": i,
+                        "body": (
+                            None if i % 6 == 0 else f"Cw doc {i}"
+                        ),
+                        "score": 2 * i,
+                        "legacy_blob": b"\x00",
+                    }
+                    for i in evens
+                ],
+                AV.CORPUS_V1_AVRO_SCHEMA,
+                7,
+            ),
+            len(evens),
+        )
+        write_shard_with_manifest(
+            os.path.join(cw_dir, "new.cwire"),
+            AV.confluent_encode(
+                [
+                    {
+                        "doc_id": i,
+                        "text": f"Cw doc {i}",
+                        "score": 3 * i,
+                        "lang": "en",
+                    }
+                    for i in odds
+                ],
+                AV.CORPUS_V2_READER_SCHEMA,
+                9,
+            ),
+            len(odds),
+        )
         with open(os.path.join(cw_dir, "junk.cwire"), "wb") as f:
             f.write(b"\x7fno confluent magic here")
         cw_bad = F.col("_corrupt").isNotNull()

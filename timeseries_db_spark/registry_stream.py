@@ -964,26 +964,37 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     from timeseries_db_spark.functions.snappy import (
         snappy_framed_compress,
     )
+    from timeseries_db_spark.sources.manifest import (
+        write_shard_with_manifest,
+    )
 
+    # r17: first-party trailer-less shards carry sidecar manifests —
+    # the streaming kernels verify them on clean decodes (the junk /
+    # flipped shards below stay covered by their own CRC / marker
+    # pricing, and foreign manifest-less shards skip the check)
     for i, half in enumerate(halves):
-        with open(os.path.join(in_dir, f"s{i}.sobj"), "wb") as f:
-            f.write(
-                AV.single_object_encode(
-                    [
-                        {"doc_id": int(d), "text": f"Sob {int(d)} {c}"}
-                        for d, c in zip(half["doc_id"], half["clean"])
-                    ],
-                    AV.CORPUS_AVRO_SCHEMA,
-                )
-            )
+        write_shard_with_manifest(
+            os.path.join(in_dir, f"s{i}.sobj"),
+            AV.single_object_encode(
+                [
+                    {"doc_id": int(d), "text": f"Sob {int(d)} {c}"}
+                    for d, c in zip(half["doc_id"], half["clean"])
+                ],
+                AV.CORPUS_AVRO_SCHEMA,
+            ),
+            len(half),
+        )
         body = b"".join(
             _json.dumps(
                 {"doc_id": int(d), "text": f"Szs {int(d)} {c}"}
             ).encode() + b"\n"
             for d, c in zip(half["doc_id"], half["clean"])
         )
-        with open(os.path.join(in_dir, f"z{i}.jsonl.sz"), "wb") as f:
-            f.write(snappy_framed_compress(body))
+        write_shard_with_manifest(
+            os.path.join(in_dir, f"z{i}.jsonl.sz"),
+            snappy_framed_compress(body),
+            len(half),
+        )
     with open(os.path.join(in_dir, "s2.sobj"), "wb") as f:
         f.write(b"\x00no marker in this segment\x00")
     # r16 late: GZIPPED jsonl shards (.jsonl.gz — the single most

@@ -1715,7 +1715,13 @@ def read_single_object_corpus(
     """(doc_id, text[, extra reader fields], _corrupt) from shards of
     concatenated single-object messages — the raw Kafka-archive
     arrival unit, registry-resolved and (optionally) evolved per
-    message. Same per-file Arrow kernel as the container readers."""
+    message. Same per-file Arrow kernel as the container readers.
+    r17: clean decodes verify against a sidecar manifest when one
+    exists (``sources/manifest.py``) — the only silent loss mode of
+    this trailer-less format (truncation exactly between messages)
+    becomes one priced quarantine row."""
+    from timeseries_db_spark.sources.manifest import manifest_error
+
     rs = reader_schema if reader_schema is not None else schemas[-1]
     rres = _resolve_named_types(rs, {})
     names = [f["name"] for f in rres["fields"]]
@@ -1725,13 +1731,18 @@ def read_single_object_corpus(
             if not len(pdf):
                 continue
             rows = []
-            for content in pdf["content"]:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
                 recs, errs = single_object_scan(
-                    bytes(content),
+                    data,
                     schemas,
                     reader_schema=reader_schema,
                     strict=False,
                 )
+                if not errs:
+                    merr = manifest_error(fpath, len(data), len(recs))
+                    if merr is not None:
+                        errs = [merr]
                 for msg in errs:
                     rows.append(tuple([None] * len(names)) + (msg,))
                 for r in recs:
@@ -1748,7 +1759,7 @@ def read_single_object_corpus(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("content")
+        .select("path", "content")
         .mapInPandas(gen, schema=schema_str)
     )
 
@@ -1906,8 +1917,13 @@ def read_confluent_corpus(
 ) -> DataFrame:
     """(reader fields…, _corrupt) from shards of concatenated
     Confluent-wire-format messages — the Kafka-archive arrival unit
-    when producers used a Schema Registry. Same per-file Arrow kernel
-    and quarantine contract as :func:`read_single_object_corpus`."""
+    when producers used a Schema Registry. Same per-file Arrow kernel,
+    quarantine contract, and r17 sidecar-manifest verification as
+    :func:`read_single_object_corpus` (the wire format is equally
+    trailer-less — truncation between messages is silent without the
+    manifest)."""
+    from timeseries_db_spark.sources.manifest import manifest_error
+
     rs = (
         reader_schema
         if reader_schema is not None
@@ -1921,13 +1937,18 @@ def read_confluent_corpus(
             if not len(pdf):
                 continue
             rows = []
-            for content in pdf["content"]:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
                 recs, errs = confluent_scan(
-                    bytes(content),
+                    data,
                     registry,
                     reader_schema=reader_schema,
                     strict=False,
                 )
+                if not errs:
+                    merr = manifest_error(fpath, len(data), len(recs))
+                    if merr is not None:
+                        errs = [merr]
                 for msg in errs:
                     rows.append(tuple([None] * len(names)) + (msg,))
                 for r in recs:
@@ -1944,7 +1965,7 @@ def read_confluent_corpus(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("content")
+        .select("path", "content")
         .mapInPandas(gen, schema=schema_str)
     )
 

@@ -425,16 +425,26 @@ def sz_lines(spark: SparkSession, path: str, glob: str = "*.sz") -> DataFrame:
     CRC-32C verified BEFORE its bytes are trusted, with the same
     corrupt-shard pricing as the xz/zst kernels: the verified prefix
     survives and one unparseable sentinel line lands in ``_corrupt``
-    downstream."""
+    downstream. r17: a clean decode is additionally held against the
+    shard's sidecar manifest when one exists
+    (``sources/manifest.py``) — the framing carries no trailer, so a
+    truncation landing EXACTLY between chunks is silent by format;
+    the manifest's byte/row counts convert it into one priced
+    sentinel."""
     from timeseries_db_spark.functions.snappy import snappy_framed_chunks
+    from timeseries_db_spark.sources.manifest import manifest_error
 
-    def file_lines(data: bytes) -> Iterator[pd.DataFrame]:
+    def file_lines(
+        fpath: str, data: bytes
+    ) -> Iterator[pd.DataFrame]:
         tail = b""
+        nrows = 0
         try:
             for piece in snappy_framed_chunks(data):
                 tail += piece
                 *lines, tail = tail.split(b"\n")
                 if lines:
+                    nrows += sum(1 for ln in lines if ln)
                     yield pd.DataFrame(
                         {
                             "value": [
@@ -445,22 +455,27 @@ def sz_lines(spark: SparkSession, path: str, glob: str = "*.sz") -> DataFrame:
                     )
         except ValueError as e:
             yield pd.DataFrame({"value": [f"\x00sz corrupt: {e}"]})
-            tail = b""
+            return  # already priced — the manifest check would
+            #         double-bill the same damage
         if tail:
+            nrows += 1
             yield pd.DataFrame(
                 {"value": [tail.decode("utf-8", "replace")]}
             )
+        err = manifest_error(fpath, len(data), nrows)
+        if err is not None:
+            yield pd.DataFrame({"value": [f"\x00sz {err}"]})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
-                yield from file_lines(bytes(content))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                yield from file_lines(fpath, bytes(content))
 
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("content")
+        .select("path", "content")
         .mapInPandas(gen, schema="value string")
     )
 

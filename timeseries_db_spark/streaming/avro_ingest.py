@@ -168,8 +168,11 @@ def decode_single_object_files(
     resolved per message and optionally evolved under a reader schema;
     unknown fingerprints / corrupt bodies price one error row and the
     scan resyncs at the next C3 01 marker. Same stateless Arrow-batched
-    shape as :func:`decode_avro_files`."""
+    shape as :func:`decode_avro_files`; r17: clean decodes verify
+    against the shard's sidecar manifest when one exists (the format's
+    between-message truncation is otherwise silent)."""
     from timeseries_db_spark.sources.avro import single_object_scan
+    from timeseries_db_spark.sources.manifest import manifest_error
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,12 +180,17 @@ def decode_single_object_files(
                 continue
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
                 recs, errs = single_object_scan(
-                    bytes(content),
+                    data,
                     schemas,
                     reader_schema=reader_schema,
                     strict=False,
                 )
+                if not errs:
+                    merr = manifest_error(path, len(data), len(recs))
+                    if merr is not None:
+                        errs = [merr]
                 for msg in errs:
                     rows.append((None, None, msg, path))
                 for r in recs:

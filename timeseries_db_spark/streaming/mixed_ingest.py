@@ -62,12 +62,15 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
     verification (r16); a damaged shard keeps its verified prefix and
     contributes one unparseable sentinel line, which the downstream
     line projection lands in ``_corrupt`` — identical pricing to the
-    batch reader (``sources/tables.py:sz_lines``)."""
+    batch reader (``sources/tables.py:sz_lines``); r17: clean decodes
+    verify against the shard's sidecar manifest when one exists,
+    pricing boundary truncation (silent by format) as one sentinel."""
     import pandas as pd
 
     from timeseries_db_spark.functions.snappy import snappy_framed_chunks
+    from timeseries_db_spark.sources.manifest import manifest_error
 
-    def file_lines(data: bytes) -> list[str]:
+    def file_lines(fpath: str, data: bytes) -> list[str]:
         values: list[str] = []
         tail = b""
         try:
@@ -81,6 +84,9 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
             return values + [f"\x00sz corrupt: {e}"]
         if tail:
             values.append(tail.decode("utf-8", "replace"))
+        err = manifest_error(fpath, len(data), len(values))
+        if err is not None:
+            values.append(f"\x00sz {err}")
         return values
 
     def gen(batches):
@@ -88,11 +94,13 @@ def _sz_content_lines(files: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             values = []
-            for content in pdf["content"]:
-                values.extend(file_lines(bytes(content)))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                values.extend(file_lines(fpath, bytes(content)))
             yield pd.DataFrame({"value": values})
 
-    return files.select("content").mapInPandas(gen, schema="value string")
+    return files.select("path", "content").mapInPandas(
+        gen, schema="value string"
+    )
 
 
 def _gz_content_lines(files: DataFrame) -> DataFrame:
