@@ -1707,6 +1707,71 @@ def test_mixed_arrival_routes_sobj_and_sz(spark, tmp_path):
     assert len(rej) == 1 and "sz corrupt" in rej[0]["line"]
 
 
+def test_mixed_arrival_compound_suffix_routing(spark, tmp_path):
+    """r17 (VERDICT item 5): the mixed query routes on the COMPOUND
+    suffix — a ``.csv.gz`` / ``.csv.sz`` shard decompresses with the
+    wrapper's kernel and publishes through the CSV closed form into
+    its own ``csv_gz/`` / ``csv_sz/`` channel (previously it routed
+    to the wrapper channel, was parsed as JSONL, and every line
+    dead-lettered). Bare ``.gz``/``.sz`` and ``.jsonl.gz`` keep the
+    legacy JSONL wrapper channels, and format isolation holds: the
+    same doc_id published via .csv.gz does not suppress the .jsonl.gz
+    copy."""
+    import gzip
+    import os
+
+    from timeseries_db_spark.functions import snappy as S
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import jsonl_ingest as ji
+    from timeseries_db_spark.streaming import mixed_ingest as mi
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    csv_body = (
+        b"doc_id,text,lang,source,n_chars\n"
+        b'5,"gz csv body",en,web,11\n'
+        b"not,a,valid,doc_id,row\n"
+    )
+    (in_dir / "a.csv.gz").write_bytes(gzip.compress(csv_body))
+    (in_dir / "b.csv.sz").write_bytes(
+        S.snappy_framed_compress(
+            b"doc_id,text,lang,source,n_chars\n"
+            b'6,"sz csv body",en,web,11\n'
+        )
+    )
+    # same doc_id 5 via the JSONL wrapper channel: must publish too
+    (in_dir / "c.jsonl.gz").write_bytes(
+        gzip.compress(b'{"doc_id": 5, "text": "gz jsonl body"}\n')
+    )
+    out_root = str(tmp_path / "out")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out_root,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        ch: {
+            r["doc_id"]: r["text"]
+            for r in ci.read_published(
+                spark, os.path.join(out_root, ch)
+            ).collect()
+        }
+        for ch in ("csv_gz", "csv_sz", "gz")
+    }
+    assert pub["csv_gz"] == {5: "gz csv body"}
+    assert pub["csv_sz"] == {6: "sz csv body"}
+    assert pub["gz"] == {5: "gz jsonl body"}  # isolation holds
+    rej = ji.read_jsonl_rejects(
+        spark, os.path.join(out_root, "csv_gz")
+    ).collect()
+    assert len(rej) == 1 and "not,a,valid" in rej[0]["line"]
+
+
 def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
     """r16: streaming IVF index maintenance — arrivals assigned to the
     FROZEN quantizer across micro-batches equal the batch assignment

@@ -835,10 +835,13 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     the separate r15 queries pinned (domination is doc_id-ordered
     within a batch, so shard consolidation cannot change it). r16
     late: .sobj single-object segments (Kafka-archive shape) and
-    snappy-framed .jsonl.sz shards ride the SAME query. Returns
-    (doc_id, 'cavr'|'ccsv'|'cjsl'|'csob'|'cszl', fp53)
+    snappy-framed .jsonl.sz shards ride the SAME query; r17 adds the
+    COMPOUND-suffix channels (.csv.gz → 'ccgl', .csv.sz → 'cczl' —
+    wrapper inflate + CSV parse, own states). Returns
+    (doc_id, 'cavr'|'ccsv'|'cjsl'|'csob'|'cszl'|'ccgl'|'cczl', fp53)
     ∪ (-1,'cavj',1) ∪ (-2,'ccsj',2) ∪ (-3,'cjsj',2)
-    ∪ (-4,'csbj',1) ∪ (-5,'cszj',1) ∪ (-6,'cgzj',1); .jsonl.gz
+    ∪ (-4,'csbj',1) ∪ (-5,'cszj',1) ∪ (-6,'cgzj',1)
+    ∪ (-7,'ccgj',2) ∪ (-8,'cczj',2); .jsonl.gz
     shards ride too ('cgzl' published set, one truncated shard)."""
     import json as _json
 
@@ -1020,6 +1023,31 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     flipped[14] ^= 0x01
     with open(os.path.join(in_dir, "z2.jsonl.sz"), "wb") as f:
         f.write(bytes(flipped))
+    # r17 (VERDICT item 5): COMPOUND-suffix shards — .csv.gz and
+    # .csv.sz route by the format UNDER the wrapper and publish
+    # through the CSV closed form into their own channels (ccgl/cczl);
+    # one type-broken line per shard dead-letters (ccgj/cczj count 2).
+    # Budget math per VERDICT item 6 lives in SCALE.md ("Gate budget",
+    # r17): +2 channels ≈ +7 s on the 70.9 s entry.
+    def _quote_csv(t: str) -> str:
+        return '"' + t.replace('"', '""') + '"'
+
+    for i, half in enumerate(halves):
+        for wrapper, prefix, compress in (
+            ("gz", "Cxg", _gzip.compress),
+            ("sz", "Cxz", snappy_framed_compress),
+        ):
+            lines = ["doc_id,text,lang,source,n_chars\n"]
+            for did, c in zip(half["doc_id"], half["clean"]):
+                t = f"{prefix} {int(did)} {c}"
+                lines.append(
+                    f"{int(did)},{_quote_csv(t)},en,web,{len(t)}\n"
+                )
+            lines.append(f'-97,"broken shard {i}",en,web,NOPE\n')
+            path = os.path.join(in_dir, f"x{i}.csv.{wrapper}")
+            with open(path, "wb") as f:
+                f.write(compress("".join(lines).encode()))
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     out_root = os.path.join(base, "mixed_out")
     query = mi.start_mixed_corpus_ingest(
         mi.read_mixed_file_stream(spark, in_dir),
@@ -1099,6 +1127,26 @@ def _mixed_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                 "cszj",
             )
         )
+        .unionByName(published("csv_gz", "ccgl"))
+        .unionByName(
+            dead_letter(
+                xi.read_csv_rejects(
+                    spark, os.path.join(out_root, "csv_gz")
+                ),
+                -7,
+                "ccgj",
+            )
+        )
+        .unionByName(published("csv_sz", "cczl"))
+        .unionByName(
+            dead_letter(
+                xi.read_csv_rejects(
+                    spark, os.path.join(out_root, "csv_sz")
+                ),
+                -8,
+                "cczj",
+            )
+        )
     )
 
 
@@ -1147,6 +1195,25 @@ _CSZL_DOCS_SQL = """
     FROM documents
 """
 
+#: closed form of the gzipped-CSV-shard corpus (ccgl, r17 — the
+#: compound-suffix route: gz inflate + CSV parse)
+_CCGL_DOCS_SQL = """
+    SELECT doc_id,
+           'Cxg ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
+#: closed form of the snappy-framed-CSV-shard corpus (cczl, r17)
+_CCZL_DOCS_SQL = """
+    SELECT doc_id,
+           'Cxz ' || doc_id || ' ' ||
+           trim(regexp_replace(regexp_replace(text, '[<>&]|[^ -~]', '', 'g'),
+                ' +', ' ', 'g')) AS text
+    FROM documents
+"""
+
 
 def stream_ingest_dedup_sql() -> str:
     """Closed form of the final table: every key i∈[0, N0+NEW) exactly
@@ -1167,6 +1234,8 @@ def stream_ingest_dedup_sql() -> str:
     csob_kept = corpus_ingest_kept_sql(docs_sql=_CSOB_DOCS_SQL)
     cszl_kept = corpus_ingest_kept_sql(docs_sql=_CSZL_DOCS_SQL)
     cgzl_kept = corpus_ingest_kept_sql(docs_sql=_CGZL_DOCS_SQL)
+    ccgl_kept = corpus_ingest_kept_sql(docs_sql=_CCGL_DOCS_SQL)
+    cczl_kept = corpus_ingest_kept_sql(docs_sql=_CCZL_DOCS_SQL)
     return f"""
         SELECT {ING_BASE} + i * 1000 AS "timestamp",
                {_sess_case("i")} AS tag,
@@ -1263,6 +1332,22 @@ def stream_ingest_dedup_sql() -> str:
         FROM ({cszl_kept})
         UNION ALL
         SELECT -5 AS "timestamp", 'cszj' AS tag, 1.0 AS value
+        UNION ALL
+        -- ccgl/cczl (r17): the COMPOUND-suffix channels — .csv.gz /
+        -- .csv.sz shards route by the format UNDER the wrapper and
+        -- publish through the CSV closed form into their own states;
+        -- one type-broken line per shard dead-letters
+        SELECT doc_id AS "timestamp", 'ccgl' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({ccgl_kept})
+        UNION ALL
+        SELECT -7 AS "timestamp", 'ccgj' AS tag, 2.0 AS value
+        UNION ALL
+        SELECT doc_id AS "timestamp", 'cczl' AS tag,
+               CAST(fp53 AS DOUBLE) AS value
+        FROM ({cczl_kept})
+        UNION ALL
+        SELECT -8 AS "timestamp", 'cczj' AS tag, 2.0 AS value
         UNION ALL
         -- sivf (r16): incremental IVF assignment of the re-keyed
         -- arrival vectors against the frozen portable-hash centroid

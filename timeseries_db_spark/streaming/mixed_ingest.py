@@ -191,14 +191,19 @@ def start_mixed_corpus_ingest(
     sobj_reader_schema: dict | None = None,
 ):
     """Start the one-query mixed ingest. Layout under ``out_root``:
-    ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/``, ``gz/`` —
-    each a full
+    ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/``, ``gz/``
+    (plus ``csv_gz/`` / ``csv_sz/`` when compound-suffixed shards
+    arrive) — each a full
     corpus-ingest state (``sigs`` + ``docs`` + ``rejects``) identical
     to what a single-format ingest would have produced over that
     format's shards alone. ``.sobj`` segments (single-object-encoded
     Kafka-archive shape) resolve against ``sobj_schemas`` (default:
-    the corpus schema) and optionally a reader schema; ``.sz`` shards
-    are snappy-framed JSONL; ``.gz`` shards are gzipped JSONL."""
+    the corpus schema) and optionally a reader schema. Wrapper
+    routing (r17): ``.csv.gz`` / ``.csv.sz`` shards decompress with
+    the wrapper's kernel and parse through the CSV closed form into
+    their own channel; ``.jsonl.gz`` / ``.jsonl.sz`` and bare
+    ``.gz`` / ``.sz`` shards carry JSONL on the legacy wrapper
+    channels."""
     if sobj_schemas is None:
         from timeseries_db_spark.sources.avro import CORPUS_AVRO_SCHEMA
 
@@ -207,14 +212,29 @@ def start_mixed_corpus_ingest(
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            exts = {
-                r[0]
+            # r17 (VERDICT item 5): routing reads the COMPOUND suffix,
+            # not just the last extension — a real landing dir mixes
+            # compressions per format, and `.csv.gz` / `.csv.sz`
+            # previously routed to the gz/sz channel and were parsed
+            # as JSONL (every line dead-lettered). The probe collects
+            # (penultimate, last) extension pairs; a wrapper suffix
+            # (gz/sz) dispatches on the format UNDER it. Channels stay
+            # format-isolated: `.csv.gz` publishes into its own
+            # `csv_gz/` state through the csv parser, while
+            # `.jsonl.gz` and bare `.gz` keep the legacy `gz/`
+            # channel (documented: bare wrappers carry JSONL).
+            pairs = {
+                (r[0], r[1])
                 for r in batch.select(
-                    F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1)
+                    F.regexp_extract(
+                        "path", r"\.([A-Za-z0-9]+)\.[A-Za-z0-9]+$", 1
+                    ),
+                    F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1),
                 )
                 .distinct()
                 .collect()
             }
+            exts = {ext for _pen, ext in pairs}
             for ext, decode in (
                 ("avro", decode_avro_files),
                 (
@@ -253,19 +273,51 @@ def start_mixed_corpus_ingest(
                     )
                 finally:
                     decoded.unpersist()
-            for ext, lines, parser in (
-                ("csv", _content_lines, csv_lines_to_corpus),
-                ("jsonl", _content_lines, jsonl_lines_to_corpus),
-                ("sz", _sz_content_lines, jsonl_lines_to_corpus),
-                ("gz", _gz_content_lines, jsonl_lines_to_corpus),
+            line_routes: list[tuple] = []
+            for wrapper, decoder in (
+                ("gz", _gz_content_lines),
+                ("sz", _sz_content_lines),
             ):
-                if ext not in exts:
+                if wrapper not in exts:
                     continue
-                parsed = parser(
-                    lines(
-                        batch.filter(F.col("path").endswith(f".{ext}"))
+                if any(
+                    ext == wrapper and pen == "csv"
+                    for pen, ext in pairs
+                ):
+                    line_routes.append(
+                        (
+                            f"csv_{wrapper}",
+                            F.col("path").endswith(f".csv.{wrapper}"),
+                            decoder,
+                            csv_lines_to_corpus,
+                        )
                     )
-                ).persist()
+                # bare `.gz`/`.sz` and `.jsonl.gz`/`.jsonl.sz` share
+                # the legacy wrapper channel (JSONL inside)
+                line_routes.append(
+                    (
+                        wrapper,
+                        F.col("path").endswith(f".{wrapper}")
+                        & ~F.col("path").endswith(f".csv.{wrapper}"),
+                        decoder,
+                        jsonl_lines_to_corpus,
+                    )
+                )
+            for ext, parser in (
+                ("csv", csv_lines_to_corpus),
+                ("jsonl", jsonl_lines_to_corpus),
+            ):
+                if ext in exts:
+                    line_routes.append(
+                        (
+                            ext,
+                            F.col("path").endswith(f".{ext}"),
+                            _content_lines,
+                            parser,
+                        )
+                    )
+            for channel, flt, lines, parser in line_routes:
+                parsed = parser(lines(batch.filter(flt))).persist()
                 try:
                     if quarantine:
                         parsed.filter(
@@ -275,7 +327,7 @@ def start_mixed_corpus_ingest(
                         ).write.mode("overwrite").parquet(
                             os.path.join(
                                 out_root,
-                                ext,
+                                channel,
                                 "rejects",
                                 f"batch={batch_id}",
                             )
@@ -285,7 +337,7 @@ def start_mixed_corpus_ingest(
                             "doc_id", "text"
                         ),
                         batch_id,
-                        os.path.join(out_root, ext),
+                        os.path.join(out_root, channel),
                         t_est,
                     )
                 finally:
