@@ -606,6 +606,12 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
     (e / "p.jsonl.br").write_bytes(
         bytes(_pa.Codec("brotli").compress(b'{"doc_id": 1, "text": "x"}\n'))
     )
+    # r17: the Confluent-wire reader joins too
+    (e / "m.cwire").write_bytes(
+        AV.confluent_encode(
+            [{"doc_id": 1, "text": "x"}], AV.CORPUS_AVRO_SCHEMA, 5
+        )
+    )
     frames = {
         "corpus_avro": read_corpus_any(spark, str(d), fmt="avro"),
         "tagged_avro": AV.read_tagged_avro(spark, str(d)),
@@ -613,6 +619,9 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
         "evolved_avro": AV.read_evolved_corpus_avro(spark, str(e)),
         "single_object": AV.read_single_object_corpus(
             spark, str(e), [AV.CORPUS_AVRO_SCHEMA]
+        ),
+        "confluent_wire": AV.read_confluent_corpus(
+            spark, str(e), {5: AV.CORPUS_AVRO_SCHEMA}
         ),
         "sz_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.sz"),
         "br_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.br"),

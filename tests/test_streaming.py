@@ -1707,6 +1707,70 @@ def test_mixed_arrival_routes_sobj_and_sz(spark, tmp_path):
     assert len(rej) == 1 and "sz corrupt" in rej[0]["line"]
 
 
+def test_mixed_arrival_routes_cwire(spark, tmp_path):
+    """r17: the mixed query routes Confluent-wire segments (.cwire)
+    when a registry snapshot is configured — id-resolved messages
+    publish into their own channel, an unknown-id message
+    dead-letters; without a registry the files stay untouched (the
+    unrouted-extension posture)."""
+    import os
+
+    from timeseries_db_spark.sources import avro as AV
+    from timeseries_db_spark.streaming import avro_ingest as vi
+    from timeseries_db_spark.streaming import corpus_ingest as ci
+    from timeseries_db_spark.streaming import mixed_ingest as mi
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "k0.cwire").write_bytes(
+        AV.confluent_encode(
+            [{"doc_id": 4, "text": "cwire streamed body"}],
+            AV.CORPUS_AVRO_SCHEMA,
+            12,
+        )
+        + AV.confluent_encode(
+            [{"doc_id": 5, "text": "alien"}], AV.CORPUS_AVRO_SCHEMA, 99
+        )
+    )
+    out_root = str(tmp_path / "out")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out_root,
+        str(tmp_path / "ckpt"),
+        quarantine=True,
+        cwire_registry={12: AV.CORPUS_AVRO_SCHEMA},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pub = {
+        r["doc_id"]: r["text"]
+        for r in ci.read_published(
+            spark, os.path.join(out_root, "cwire")
+        ).collect()
+    }
+    assert pub == {4: "cwire streamed body"}
+    rej = vi.read_avro_rejects(
+        spark, os.path.join(out_root, "cwire")
+    ).collect()
+    assert len(rej) == 1 and "99 not in registry" in rej[0]["err"]
+
+    # no registry: .cwire is an unrouted extension — nothing written
+    out2 = str(tmp_path / "out2")
+    q = mi.start_mixed_corpus_ingest(
+        mi.read_mixed_file_stream(spark, str(in_dir)),
+        out2,
+        str(tmp_path / "ckpt2"),
+        quarantine=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(os.path.join(out2, "cwire"))
+
+
 def test_mixed_arrival_compound_suffix_routing(spark, tmp_path):
     """r17 (VERDICT item 5): the mixed query routes on the COMPOUND
     suffix — a ``.csv.gz`` / ``.csv.sz`` shard decompresses with the

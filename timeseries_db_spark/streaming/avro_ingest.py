@@ -203,3 +203,51 @@ def decode_single_object_files(
         gen,
         schema="doc_id long, text string, _corrupt string, path string",
     )
+
+
+def decode_confluent_files(
+    files: DataFrame,
+    registry: dict[int, dict],
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """(doc_id, text, _corrupt, path) — every message of every
+    CONFLUENT-wire-format segment (r17: magic 0x00 + 4-byte BE schema
+    id + Avro body, ``sources/avro.py:confluent_scan``) in the batch,
+    id-resolved per message against the vendored registry snapshot and
+    optionally evolved under a reader schema; unknown ids / corrupt
+    bodies price one error row with resync to the next KNOWN header.
+    Clean decodes verify against the shard's sidecar manifest when one
+    exists. Same stateless Arrow-batched shape as
+    :func:`decode_single_object_files`."""
+    from timeseries_db_spark.sources.avro import confluent_scan
+    from timeseries_db_spark.sources.manifest import manifest_error
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                recs, errs = confluent_scan(
+                    data,
+                    registry,
+                    reader_schema=reader_schema,
+                    strict=False,
+                )
+                if not errs:
+                    merr = manifest_error(path, len(data), len(recs))
+                    if merr is not None:
+                        errs = [merr]
+                for msg in errs:
+                    rows.append((None, None, msg, path))
+                for r in recs:
+                    rows.append((r["doc_id"], r.get("text"), None, path))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "_corrupt", "path"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        schema="doc_id long, text string, _corrupt string, path string",
+    )

@@ -48,6 +48,7 @@ from timeseries_db_spark.sources.tables import (
 from timeseries_db_spark.streaming.avro_ingest import (
     _BINARY_FILE_SCHEMA,
     decode_avro_files,
+    decode_confluent_files,
     decode_single_object_files,
 )
 from timeseries_db_spark.streaming.corpus_ingest import (
@@ -189,6 +190,8 @@ def start_mixed_corpus_ingest(
     quarantine: bool = True,
     sobj_schemas: list[dict] | None = None,
     sobj_reader_schema: dict | None = None,
+    cwire_registry: dict[int, dict] | None = None,
+    cwire_reader_schema: dict | None = None,
 ):
     """Start the one-query mixed ingest. Layout under ``out_root``:
     ``avro/``, ``csv/``, ``jsonl/``, ``sobj/``, ``sz/``, ``gz/``
@@ -198,7 +201,10 @@ def start_mixed_corpus_ingest(
     to what a single-format ingest would have produced over that
     format's shards alone. ``.sobj`` segments (single-object-encoded
     Kafka-archive shape) resolve against ``sobj_schemas`` (default:
-    the corpus schema) and optionally a reader schema. Wrapper
+    the corpus schema) and optionally a reader schema; ``.cwire``
+    segments (Confluent wire format, r17) route into a ``cwire/``
+    channel when ``cwire_registry`` (id → schema snapshot) is
+    configured, and stay untouched otherwise. Wrapper
     routing (r17): ``.csv.gz`` / ``.csv.sz`` shards decompress with
     the wrapper's kernel and parse through the CSV closed form into
     their own channel; ``.jsonl.gz`` / ``.jsonl.sz`` and bare
@@ -235,7 +241,7 @@ def start_mixed_corpus_ingest(
                 .collect()
             }
             exts = {ext for _pen, ext in pairs}
-            for ext, decode in (
+            container_routes = [
                 ("avro", decode_avro_files),
                 (
                     "sobj",
@@ -243,7 +249,21 @@ def start_mixed_corpus_ingest(
                         files, sobj_schemas, sobj_reader_schema
                     ),
                 ),
-            ):
+            ]
+            # r17: Confluent-framed segments route only when a
+            # registry snapshot is configured — without one the ids
+            # are undecodable, so .cwire files stay untouched for the
+            # operator (the unrouted-extension posture, not a guess)
+            if cwire_registry is not None:
+                container_routes.append(
+                    (
+                        "cwire",
+                        lambda files: decode_confluent_files(
+                            files, cwire_registry, cwire_reader_schema
+                        ),
+                    )
+                )
+            for ext, decode in container_routes:
                 if ext not in exts:
                     continue
                 decoded = decode(
