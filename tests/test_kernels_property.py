@@ -949,3 +949,52 @@ def test_single_object_scan_prefix_under_truncation(pairs, cut):
         b_at += len(AV.single_object_encode([r], AV.CORPUS_AVRO_SCHEMA))
         boundaries.add(b_at)
     assert errs or got == recs or at in boundaries or at == 0
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_confluent_scan_total_on_garbage(junk):
+    """r17: the Confluent-wire walk is a TOTAL function of arbitrary
+    bytes under strict=False — never raises, always terminates (resync
+    scans only for KNOWN headers and strictly advances), and anything
+    it decodes carries a registered schema id."""
+    from timeseries_db_spark.sources import avro as AV
+
+    recs, errs = AV.confluent_scan(
+        junk, {1: AV.CORPUS_AVRO_SCHEMA}, strict=False
+    )
+    assert isinstance(recs, list) and isinstance(errs, list)
+    if junk and not junk.startswith(AV.CONFLUENT_MAGIC):
+        assert errs  # a stream not led by the magic must complain
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**40), st.text(max_size=30)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_confluent_scan_prefix_under_truncation(pairs, cut):
+    """r17: truncating a valid Confluent-framed stream at any byte
+    recovers a PREFIX of the original records; the only silent case is
+    a cut exactly between messages (no trailer by format — which is
+    precisely what the r17 sidecar manifests detect at the file
+    layer)."""
+    from timeseries_db_spark.sources import avro as AV
+
+    recs = [{"doc_id": i, "text": t} for i, t in pairs]
+    stream = AV.confluent_encode(recs, AV.CORPUS_AVRO_SCHEMA, 1)
+    at = cut % (len(stream) + 1)
+    got, errs = AV.confluent_scan(
+        stream[:at], {1: AV.CORPUS_AVRO_SCHEMA}, strict=False
+    )
+    assert got == recs[: len(got)]
+    boundaries = set()
+    b_at = 0
+    for r in recs:
+        b_at += len(AV.confluent_encode([r], AV.CORPUS_AVRO_SCHEMA, 1))
+        boundaries.add(b_at)
+    assert errs or got == recs or at in boundaries or at == 0
