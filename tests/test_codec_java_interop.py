@@ -90,6 +90,68 @@ def test_zstd_checksummed_frames_match_zstd_jni(spark):
         Z.decompress(bytes(bad), len(body))
 
 
+def _drain(jvm, in_stream) -> bytes:
+    """All bytes of a Java InputStream (py4j copies arrays by value,
+    so the read(byte[]) idiom can't work — commons-io drains
+    JVM-side)."""
+    return bytes(
+        jvm.org.apache.commons.io.IOUtils.toByteArray(in_stream)
+    )
+
+
+def test_lz4_frames_match_lz4_java(spark):
+    """r17: the from-spec LZ4 frame codec (`functions/lz4.py`)
+    interops with lz4-java in BOTH directions — Java-compressed
+    frames (real match sequences) decode here, and the first-party
+    literal-only frames decode there — and the XXH32 frame checksums
+    agree implicitly (either side rejects a drifted checksum)."""
+    from timeseries_db_spark.functions.lz4 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    jvm = _jclass(spark, "net.jpountz.lz4.LZ4FrameOutputStream")
+    for body in (
+        b"",
+        b"lz4 interop body " * 3000,  # compressible: real sequences
+        bytes((i * 131) % 256 for i in range(100_000)),  # literal-heavy
+    ):
+        bos = jvm.java.io.ByteArrayOutputStream()
+        fos = jvm.net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        fos.write(body)
+        fos.close()
+        assert lz4_frame_decompress(bytes(bos.toByteArray())) == body
+        fis = jvm.net.jpountz.lz4.LZ4FrameInputStream(
+            jvm.java.io.ByteArrayInputStream(lz4_frame_compress(body))
+        )
+        assert _drain(jvm, fis) == body
+
+
+def test_snappy_java_stream_matches_snappy_java(spark):
+    """r17: the snappy-java STREAM format (what Kafka snappy batches
+    carry — `sources/kafka_log.py`) round-trips against
+    SnappyOutputStream/SnappyInputStream in both directions,
+    multi-chunk included."""
+    from timeseries_db_spark.sources.kafka_log import (
+        snappy_java_stream_compress,
+        snappy_java_stream_decompress,
+    )
+
+    jvm = _jclass(spark, "org.xerial.snappy.SnappyOutputStream")
+    body = b"kafka snappy-java stream interop " * 4000  # multi-chunk
+    bos = jvm.java.io.ByteArrayOutputStream()
+    sos = jvm.org.xerial.snappy.SnappyOutputStream(bos)
+    sos.write(body)
+    sos.close()
+    assert snappy_java_stream_decompress(bytes(bos.toByteArray())) == body
+    sis = jvm.org.xerial.snappy.SnappyInputStream(
+        jvm.java.io.ByteArrayInputStream(
+            snappy_java_stream_compress(body)
+        )
+    )
+    assert _drain(jvm, sis) == body
+
+
 def test_xxh64_matches_zstd_jni_checksum_path(spark):
     """XXH64 (``functions/xxh.py``) agrees with the checksum zstd-jni
     embeds: a zstd-jni-COMPRESSED frame with checksum enabled carries

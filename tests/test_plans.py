@@ -606,10 +606,20 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
     (e / "p.jsonl.br").write_bytes(
         bytes(_pa.Codec("brotli").compress(b'{"doc_id": 1, "text": "x"}\n'))
     )
-    # r17: the Confluent-wire reader joins too
+    # r17: the Confluent-wire and Kafka-segment readers join too
+    from timeseries_db_spark.sources import kafka_log as KL
+
     (e / "m.cwire").write_bytes(
         AV.confluent_encode(
             [{"doc_id": 1, "text": "x"}], AV.CORPUS_AVRO_SCHEMA, 5
+        )
+    )
+    (e / "m.log").write_bytes(
+        KL.kafka_log_build(
+            [(b"k", AV.confluent_encode(
+                [{"doc_id": 1, "text": "x"}], AV.CORPUS_AVRO_SCHEMA, 5
+            ))],
+            compression="lz4",
         )
     )
     frames = {
@@ -622,6 +632,10 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
         ),
         "confluent_wire": AV.read_confluent_corpus(
             spark, str(e), {5: AV.CORPUS_AVRO_SCHEMA}
+        ),
+        "kafka_segments": KL.read_kafka_segments(spark, str(e)),
+        "kafka_avro_corpus": KL.read_kafka_avro_corpus(
+            spark, str(e), registry={5: AV.CORPUS_AVRO_SCHEMA}
         ),
         "sz_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.sz"),
         "br_jsonl": read_corpus_any(spark, str(e), fmt="jsonl.br"),

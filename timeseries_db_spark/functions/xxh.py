@@ -121,6 +121,81 @@ def _xxh64_py(data: bytes, seed: int = 0) -> int:
     return acc
 
 
+# --- XXH32 (r17): the 32-bit sibling, from the same published spec.
+# Needed by the LZ4 FRAME format (`functions/lz4.py`): the frame
+# header checksum, optional per-block checksums and the optional
+# content checksum are all XXH32(seed 0). Pinned by the published
+# empty-input vector (0x02CC5D05) and cross-implementation by
+# lz4-java accepting/producing the same frame checksums
+# (tests/test_codec_java_interop.py).
+
+_Q1 = 0x9E3779B1
+_Q2 = 0x85EBCA77
+_Q3 = 0xC2B2AE3D
+_Q4 = 0x27D4EB2F
+_Q5 = 0x165667B1
+_M32 = (1 << 32) - 1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _round32(acc: int, lane: int) -> int:
+    acc = (acc + lane * _Q2) & _M32
+    return (_rotl32(acc, 13) * _Q1) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 of ``data`` — the C ``xxhash`` module when available,
+    else the spec's stripe/avalanche pipeline verbatim."""
+    if _xxhash_c is not None:
+        return _xxhash_c.xxh32_intdigest(data, seed)
+    n = len(data)
+    at = 0
+    if n >= 16:
+        v1 = (seed + _Q1 + _Q2) & _M32
+        v2 = (seed + _Q2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _Q1) & _M32
+        end = n - 16
+        while at <= end:
+            v1 = _round32(v1, int.from_bytes(data[at : at + 4], "little"))
+            v2 = _round32(
+                v2, int.from_bytes(data[at + 4 : at + 8], "little")
+            )
+            v3 = _round32(
+                v3, int.from_bytes(data[at + 8 : at + 12], "little")
+            )
+            v4 = _round32(
+                v4, int.from_bytes(data[at + 12 : at + 16], "little")
+            )
+            at += 16
+        acc = (
+            _rotl32(v1, 1) + _rotl32(v2, 7)
+            + _rotl32(v3, 12) + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        acc = (seed + _Q5) & _M32
+    acc = (acc + n) & _M32
+    while at + 4 <= n:
+        acc = (
+            acc + int.from_bytes(data[at : at + 4], "little") * _Q3
+        ) & _M32
+        acc = (_rotl32(acc, 17) * _Q4) & _M32
+        at += 4
+    while at < n:
+        acc = (acc + data[at] * _Q5) & _M32
+        acc = (_rotl32(acc, 11) * _Q1) & _M32
+        at += 1
+    acc ^= acc >> 15
+    acc = (acc * _Q2) & _M32
+    acc ^= acc >> 13
+    acc = (acc * _Q3) & _M32
+    acc ^= acc >> 16
+    return acc
+
+
 #: zstd frame magic (RFC 8878 §3.1.1)
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 #: Content_Checksum_flag in the Frame_Header_Descriptor

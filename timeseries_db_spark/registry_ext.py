@@ -2797,6 +2797,105 @@ def register_extensions(q: dict, o: dict) -> None:
             .alias("ids_sum"),
             F.lit("cwfmt").alias("kind"),
         )
+        # r17 kafmt leg: KAFKA LOG SEGMENTS — the files a broker-dir
+        # archive actually contains. RecordBatch v2 (CRC-32C-verified
+        # per batch) whose record VALUES are Confluent-framed under
+        # the v1/v2 producer ids, segments cycling ALL FIVE protocol
+        # codecs (none/gzip/snappy-java-stream/lz4-frame/zstd — the
+        # r17 LZ4 decoder and snappy-java stream format under the
+        # value oracle); one junk segment prices one quarantine row.
+        # Same evolution closed form as cwfmt with 'Ka doc' texts.
+        from timeseries_db_spark.sources import kafka_log as KL
+
+        ka_dir = os.path.join(base, "kafka")
+        os.makedirs(ka_dir)
+        ka_codecs = ("none", "gzip", "snappy", "lz4", "zstd")
+        fifth = max(1, len(ids) // len(ka_codecs))
+        ka_chunks = [
+            ids[k * fifth : (k + 1) * fifth if k < 4 else len(ids)]
+            for k in range(len(ka_codecs))
+        ]
+        for k, chunk in enumerate(ka_chunks):
+            msgs = []
+            for i in chunk:
+                if i % 2 == 0:
+                    v = AV.confluent_encode(
+                        [
+                            {
+                                "doc_id": i,
+                                "body": (
+                                    None if i % 6 == 0
+                                    else f"Ka doc {i}"
+                                ),
+                                "score": 2 * i,
+                                "legacy_blob": b"\x00",
+                            }
+                        ],
+                        AV.CORPUS_V1_AVRO_SCHEMA,
+                        7,
+                    )
+                else:
+                    v = AV.confluent_encode(
+                        [
+                            {
+                                "doc_id": i,
+                                "text": f"Ka doc {i}",
+                                "score": 3 * i,
+                                "lang": "en",
+                            }
+                        ],
+                        AV.CORPUS_V2_READER_SCHEMA,
+                        9,
+                    )
+                msgs.append((str(i).encode(), v))
+            with open(
+                os.path.join(ka_dir, f"{k:08d}.log"), "wb"
+            ) as f:
+                f.write(
+                    KL.kafka_log_build(
+                        msgs,
+                        base_offset=k * 10_000,
+                        compression=ka_codecs[k],
+                        batch_records=50,
+                    )
+                )
+        with open(os.path.join(ka_dir, "junk.log"), "wb") as f:
+            f.write(b"\x02not a segment\x02")
+        ka_bad = F.col("_corrupt").isNotNull()
+        kafmt = KL.read_kafka_avro_corpus(
+            s,
+            ka_dir,
+            registry=cw_registry,
+            reader_schema=AV.CORPUS_V2_READER_SCHEMA,
+        ).select(
+            F.when(ka_bad, F.lit(-1))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("doc_id"),
+            F.when(ka_bad, F.lit(-1))
+            .otherwise(F.col("score"))
+            .cast("long")
+            .alias("n_tokens"),
+            ka_bad.cast("long").alias("n_oov"),
+            F.when(ka_bad, F.md5(F.lit("")))
+            .otherwise(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(":"),
+                        F.col("lang"),
+                    )
+                )
+            )
+            .alias("ids_fp"),
+            F.when(ka_bad, F.lit(-1))
+            .otherwise(
+                F.col("doc_id") + F.col("score") + F.length("lang")
+            )
+            .cast("long")
+            .alias("ids_sum"),
+            F.lit("kafmt").alias("kind"),
+        )
         ev_bad = F.col("_corrupt").isNotNull()
         evfmt = AV.read_evolved_corpus_avro(s, ev_dir).select(
             F.when(ev_bad, F.lit(-1))
@@ -2837,7 +2936,7 @@ def register_extensions(q: dict, o: dict) -> None:
             lgfmt
         ).unionByName(evfmt).unionByName(sofmt).unionByName(
             szfmt
-        ).unionByName(cwfmt)
+        ).unionByName(cwfmt).unionByName(kafmt)
 
     def tokenize_both(s: SparkSession, d: str) -> DataFrame:
         from timeseries_db_spark.operators import bpe
@@ -3013,6 +3112,30 @@ def register_extensions(q: dict, o: dict) -> None:
         FROM documents
         UNION ALL
         SELECT -1, -1, 1, md5(''), -1, 'cwfmt'
+        UNION ALL
+        -- kafmt (r17): Kafka log segments restated — RecordBatch v2
+        -- walk + Confluent-framed values under the same v1/v2
+        -- registry, so the closed form is the cwfmt evolution shape
+        -- with 'Ka doc' texts (the batch envelope and all five
+        -- protocol codecs are transparent to the decoded values);
+        -- the junk segment prices one quarantine row
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                     ELSE 3 * doc_id END)::BIGINT AS n_tokens,
+               0::BIGINT AS n_oov,
+               md5(CASE WHEN doc_id % 6 = 0 THEN ':und'
+                        WHEN doc_id % 2 = 0
+                            THEN 'Ka doc ' || doc_id || ':und'
+                        ELSE 'Ka doc ' || doc_id || ':en' END) AS ids_fp,
+               (doc_id
+                + CASE WHEN doc_id % 2 = 0 THEN 2 * doc_id
+                       ELSE 3 * doc_id END
+                + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+                   AS ids_sum,
+               'kafmt' AS kind
+        FROM documents
+        UNION ALL
+        SELECT -1, -1, 1, md5(''), -1, 'kafmt'
     """
     )
 
