@@ -509,10 +509,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     from timeseries_db_spark.functions.hashing import MINHASH_AB
 
     sh = doc_shingles(docs).withColumn("h", F.expr(_HASH_SPARK))
+    # r17 (guide §5, driver latency): each Column-API call is one py4j
+    # round trip; building 32 permutation aggregates through ~8 calls
+    # each cost ~0.5s of DRIVER wall per plan build (cProfile: the
+    # listcomp dominated dedup_clusters'/dedup_minhash_lsh's build
+    # phase). One SQL string per aggregate parses in a single JVM call —
+    # the parsed expression tree (literal * h + literal) % literal is
+    # identical, so plans and results are unchanged.
     aggs = [
-        F.min(
-            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
-        ).alias(f"m{i}")
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -538,19 +543,13 @@ def minhash_band_table(sig: DataFrame) -> DataFrame:
     recompute the signature aggregation once per band). Shared by the
     batch LSH self-join below and the streaming incremental index
     (``streaming/corpus_ingest.py``)."""
+    # one-string parse (see minhash_signatures' r17 py4j note)
+    structs = ", ".join(
+        f"struct({band} AS band, {_band_key_spark(band)} AS bkey)"
+        for band in range(MINHASH_BANDS)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.expr(_band_key_spark(band)).alias("bkey"),
-                    )
-                    for band in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bk")
     ).select("doc_id", "bk.band", "bk.bkey")
 
 
@@ -639,10 +638,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token")
     ).withColumn("h", F.expr(_TOKEN_HASH_SPARK))
+    # one-string parse per bit-sum (see minhash_signatures' r17 py4j
+    # note — this listcomp was ~0.6s of driver wall per build through
+    # the Column API, ×2 builds per dedup_simhash invocation)
     aggs = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
+        F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1) AS s{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_bit = toks.groupBy("doc_id").agg(*aggs)
@@ -706,23 +706,16 @@ def banded_hamming_pairs(
             f"recall bound (pigeonhole guarantees collisions only for "
             f"Hamming <= {n_bands - 1})"
         )
+    # one-string parse (see minhash_signatures' r17 py4j note)
+    structs = ", ".join(
+        f"struct({i} AS band, ({sig_col} div {1 << (i * band_bits)})"
+        f" % {1 << band_bits} AS bkey)"
+        for i in range(n_bands)
+    )
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(
-                            f"({sig_col} div {1 << (i * band_bits)})"
-                            f" % {1 << band_bits}"
-                        ).alias("bkey"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs}))").alias("bk"),
     ).select("_id", "_sig", "bk.band", "bk.bkey")
     a = bands.alias("a")
     bb = bands.alias("b")
