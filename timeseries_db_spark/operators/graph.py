@@ -53,19 +53,36 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # without the checkpoint each round re-runs the full upstream
     # pair-producing pipeline (for LSH input that is the whole
     # shingle→signature→band-join detector, measured ~2s/round at sf0.1)
+    # eager=False: the blocks materialize inside round 1's aggregation
+    # job (which computes every partition), saving a dedicated
+    # checkpoint action while still truncating lineage for rounds ≥ 2
     bidir = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = (
-        bidir.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=False)
+    # r17 round-1 specialization (guide §2.4): with identity labels the
+    # first round's neighbour-min join degenerates to min(v) per u and
+    # the pointer jump to a no-op, so round 1 is ONE map-side-combined
+    # aggregation over the checkpointed edge list — replacing the old
+    # distinct-vertices checkpoint (action), its emptiness take(1), and
+    # the three-join round (labels after round 1 are bit-identical:
+    # least(id, min neighbour id) is what the general round computes
+    # from identity labels, and the empty-edge case now falls through
+    # the ordinary convergence check).
+    flagged = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("nbr"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("nbr")).alias("label"),
+            (F.col("nbr") < F.col("u")).alias("chg"),
+        )
         .localCheckpoint()
     )
-    if not labels.take(1):  # no edges → no clustered vertices
+    labels = flagged.select("id", "label")
+    if not flagged.filter("chg").take(1):
         return labels.select("id", F.col("label").alias("component"))
 
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         # min over neighbours' labels (one shuffle: join edges→labels on v,
         # aggregate by u)
         nbr_min = (
