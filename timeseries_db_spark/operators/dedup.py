@@ -65,10 +65,21 @@ SHINGLE_W = 3
 #: first before building the second. The lock covers concurrent driver
 #: threads racing the pop/persist pair.
 _live_caches: dict[str, DataFrame] = {}
+#: Python-side objects (e.g. Broadcast handles inside mapInPandas
+#: closures) that must outlive the cached plan: if the handle is GC'd,
+#: the ContextCleaner may remove the broadcast data, and a later
+#: recompute of an evicted cached block would fail loudly. Pinned per
+#: cache generation, dropped with it.
+_live_pins: dict[str, tuple] = {}
 _cache_lock = threading.Lock()
 
 
-def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
+def _persist_tracked(
+    key: str,
+    df: DataFrame,
+    plan_key: str | None = None,
+    pins: tuple = (),
+) -> DataFrame:
     """Persist ``df`` under ``key``, REUSING an existing cache when the
     semantic plan is identical — e.g. `dedup_minhash_lsh` and
     `dedup_clusters` both build the minhash signatures of the same
@@ -85,16 +96,35 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     identical and silently returns the stale persisted result. Any flow
     that regenerates inputs without restarting the session must call
     :func:`release_caches` first (new sessions — the driver's per-round
-    pattern — are unaffected)."""
+    pattern — are unaffected).
+
+    ``plan_key`` (r17): plans that embed per-invocation broadcast
+    variables inside pickled Python closures (mapInPandas kernels) get
+    a DIFFERENT ``semanticHash`` on every build even though their
+    values are fully determined by their inputs — so the cache silently
+    missed forever and each invocation re-materialized + unpersisted
+    the previous generation (measured: the ANN assignment and
+    shortlist families never hit across bench runs). Such callers pass
+    an explicit ``plan_key`` derived from the semantic hashes of the
+    plan's INPUT frames plus every literal parameter; the same
+    overwrite-in-place hazard above applies unchanged. ``pins`` keeps
+    caller-supplied Python objects (broadcast handles referenced by the
+    plan's pickled closures) alive for the cache generation's lifetime
+    — see ``_live_pins``."""
     with _cache_lock:
-        full = f"{key}:{df.semanticHash()}"
+        full = f"{key}:{plan_key if plan_key is not None else df.semanticHash()}"
         hit = _live_caches.get(full)
         if hit is not None:
             return hit
-        stale = [k for k in _live_caches if k.rsplit(":", 1)[0] == key]
+        # family key is the prefix before the FIRST colon (plan_key
+        # values may themselves contain colons)
+        stale = [k for k in _live_caches if k.split(":", 1)[0] == key]
         for k in stale:
             _live_caches.pop(k).unpersist()
+            _live_pins.pop(k, None)
         _live_caches[full] = df.persist()
+        if pins:
+            _live_pins[full] = tuple(pins)
         return _live_caches[full]
 
 
@@ -106,6 +136,7 @@ def release_caches() -> None:
         for df in _live_caches.values():
             df.unpersist()
         _live_caches.clear()
+        _live_pins.clear()
 
 #: Shingle expression over a pre-bound ``toks`` column. Binding the
 #: tokenization ONCE in a prior projection matters enormously: textually

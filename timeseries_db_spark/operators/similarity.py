@@ -616,6 +616,84 @@ def _ivf_assign_fn(bc, nprobe: int, *, keep_embedding: bool = False):
     return gen
 
 
+class PreparedCentroids:
+    """The IVF coarse quantizer collected, sorted and broadcast ONCE,
+    shareable across every IVF consumer in one composition (r17, guide
+    §5: each consumer used to re-collect + re-broadcast the identical
+    ≤ nlist sample — four bounded driver round trips per gate
+    invocation of the folded ANN entry). Values are exactly what each
+    consumer computed for itself: the same vec_id-stable sort and the
+    same (ids, normalized fp64 matrix) broadcast payload."""
+
+    __slots__ = ("ids", "mat", "bc")
+
+    def __init__(self, spark: SparkSession, cents_df: DataFrame) -> None:
+        ids, mat = _collect_matrix(cents_df)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.mat = mat[order] if mat.shape[0] else mat
+        self.bc = spark.sparkContext.broadcast((self.ids, self.mat))
+
+
+def _centroids_prepared(
+    spark: SparkSession,
+    source: "DataFrame | PreparedCentroids | None",
+    corpus: DataFrame,
+    nlist: int,
+    err: str,
+) -> PreparedCentroids:
+    if isinstance(source, PreparedCentroids):
+        prep = source
+    else:
+        prep = PreparedCentroids(
+            spark, source if source is not None else ivf_centroids(corpus, nlist)
+        )
+    if prep.mat.shape[0] == 0:
+        raise ValueError(err)
+    return prep
+
+
+class PreparedCodebook:
+    """A PQ codebook collected and vec_id-sorted ONCE (r17): the pq /
+    pqr / ivfpq / ivfp8 legs each used to re-run the identical bounded
+    ``toPandas`` of the shared persisted donor frame. Same float64
+    matrix each consumer built for itself."""
+
+    __slots__ = ("ids", "mat")
+
+    def __init__(self, donor_df: DataFrame) -> None:
+        pdf = donor_df.select("vec_id", "embedding").toPandas()
+        if not len(pdf):
+            raise ValueError("PQ codebook found an empty corpus")
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        self.ids = pdf["vec_id"].to_numpy()[order]
+        self.mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+
+
+def _codebook_prepared(
+    source: "DataFrame | PreparedCodebook | None",
+    corpus: DataFrame,
+    ksub: int,
+) -> PreparedCodebook:
+    if isinstance(source, PreparedCodebook):
+        return source
+    return PreparedCodebook(
+        source if source is not None else pq_codebook(corpus, ksub)
+    )
+
+
+def _queries_pdf_of(
+    queries: DataFrame, queries_pdf: "pd.DataFrame | None"
+) -> "pd.DataFrame":
+    """The bounded query set as pandas — collected here unless the
+    caller already holds it (``queries_pdf`` MUST be the collected
+    ``queries.select("vec_id", "embedding")`` of the same frame; the
+    folded gate entry shares one collect across its six legs)."""
+    if queries_pdf is not None:
+        return queries_pdf
+    return queries.select("vec_id", "embedding").toPandas()
+
+
 def ann_topk_ivf(
     spark: SparkSession,
     queries: DataFrame,
@@ -624,7 +702,8 @@ def ann_topk_ivf(
     *,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
-    centroid_source: DataFrame | None = None,
+    centroid_source: "DataFrame | PreparedCentroids | None" = None,
+    queries_pdf: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed under their
     nearest centroid (inverted lists); each query probes its ``nprobe``
@@ -641,22 +720,29 @@ def ann_topk_ivf(
     LSH band join), and re-ranking is JVM expressions, so the whole path
     stays distributed with one small Python stage for the argmax
     assignments."""
-    cents_df = (
-        centroid_source if centroid_source is not None else ivf_centroids(corpus, nlist)
+    # sorted by vec_id so the stable argsort in _ivf_assign_fn realizes
+    # the (rounded-sim DESC, vec_id ASC) rule the oracle uses
+    prep = _centroids_prepared(
+        spark, centroid_source, corpus, nlist,
+        "IVF quantizer found an empty corpus",
     )
-    ids, cmat = _collect_matrix(cents_df)
-    if cmat.shape[0] == 0:
-        raise ValueError("IVF quantizer found an empty corpus")
-    # sort centroids by vec_id so the stable argsort in _ivf_assign_fn
-    # realizes the (rounded-sim DESC, vec_id ASC) rule the oracle uses
-    order = np.argsort(ids, kind="stable")
-    cents_bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
+    cents_bc = prep.bc
     assign = corpus.select("vec_id", "embedding").mapInPandas(
         _ivf_assign_fn(cents_bc, 1), schema="vec_id long, list_id long"
     )
-    probes = queries.select("vec_id", "embedding").mapInPandas(
-        _ivf_assign_fn(cents_bc, nprobe), schema="vec_id long, list_id long"
-    )
+    # r17: probe assignment runs on the DRIVER over the already-bounded
+    # query set (the same kernel function, same rounded ranking — the
+    # queries are broadcast-sized by contract, see the qe broadcast
+    # below), replacing a Spark Arrow stage whose only job was ≤
+    # |Q|·nprobe rows
+    qpdf = _queries_pdf_of(queries, queries_pdf)
+    probe_parts = list(_ivf_assign_fn(cents_bc, nprobe)(iter([qpdf])))
+    probe_pairs = [
+        (int(r.vec_id), int(r.list_id))
+        for part in probe_parts
+        for r in part.itertuples()
+    ]
+    probes = spark.createDataFrame(probe_pairs, "vec_id long, list_id long")
     cand = (
         probes.withColumnRenamed("vec_id", "qid")
         .join(assign.withColumnRenamed("vec_id", "nid"), on="list_id")
@@ -839,12 +925,29 @@ def _int_mean_half_away(s: np.ndarray, n: int) -> np.ndarray:
     return np.where(s >= 0, r, -r).astype(np.int64)
 
 
+def pq_refine_sample(corpus: DataFrame, sample_n: int = 64) -> DataFrame:
+    """The bounded deterministic refinement sample (hash-least
+    top-``sample_n``, HASH order — order is load-bearing: the first
+    ``ksub`` rows seed the Lloyd loop). Exposed so a composing caller
+    can persist it across invocations (r17); the plan is pure SQL, so
+    its semantic hash is stable."""
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        corpus.select("vec_id", "embedding")
+        .orderBy(id_hash.asc(), F.col("vec_id").asc())
+        .limit(sample_n)
+    )
+
+
 def pq_codebook_refined_int(
     corpus: DataFrame,
     ksub: int = PQ_KSUB,
     m: int = PQ_M,
     sample_n: int = 64,
     iters: int = 2,
+    sample_source: DataFrame | None = None,
 ) -> DataFrame:
     """ENGINE-PORTABLE Lloyd-refined PQ codebook (r10, VERDICT r9 item
     8): the same per-subspace k-means as :func:`pq_codebook_refined`,
@@ -866,16 +969,14 @@ def pq_codebook_refined_int(
     ``(vec_id = code id 0..ksub−1, embedding array<double> = cq/1e6)``
     — drop-in for ``ann_topk_pq(codebook_source=...)``; doubles (not
     float32) so the Spark and SQL ADC stages subtract the IDENTICAL
-    centroid value."""
-    id_hash = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    pdf = (
-        corpus.select("vec_id", "embedding")
-        .orderBy(id_hash.asc(), F.col("vec_id").asc())
-        .limit(sample_n)
-        .toPandas()
+    centroid value. ``sample_source`` swaps in an externally persisted
+    :func:`pq_refine_sample` frame (must be the same plan)."""
+    sample_df = (
+        sample_source
+        if sample_source is not None
+        else pq_refine_sample(corpus, sample_n)
     )
+    pdf = sample_df.toPandas()
     if not len(pdf):
         raise ValueError("PQ refinement found an empty corpus")
     sample = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -1108,21 +1209,23 @@ def _ivfpq_adc_fn(bc, k: int):
 
 
 def ivf_assign_with_vectors(
-    spark: SparkSession, corpus: DataFrame, cents_df: DataFrame
+    spark: SparkSession,
+    corpus: DataFrame,
+    cents_df: "DataFrame | PreparedCentroids",
 ) -> DataFrame:
     """(vec_id, list_id, embedding) — the corpus's coarse-quantizer
     assignment under ``cents_df``, vectors carried through. Callers
     composing SEVERAL IVF consumers over the same corpus + quantizer
     (e.g. an IVF-PQ query set and a pruned-shape query set) persist
     this once and pass it to each as ``assign_source`` — one corpus
-    assignment pass instead of one per consumer (r12)."""
-    ids, cmat = _collect_matrix(cents_df)
-    if cmat.shape[0] == 0:
-        raise ValueError("IVF quantizer found an empty corpus")
-    order = np.argsort(ids, kind="stable")
-    bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
+    assignment pass instead of one per consumer (r12). Accepts a
+    :class:`PreparedCentroids` to skip the quantizer collect (r17)."""
+    prep = _centroids_prepared(
+        spark, cents_df, corpus, IVF_NLIST,
+        "IVF quantizer found an empty corpus",
+    )
     return corpus.select("vec_id", "embedding").mapInPandas(
-        _ivf_assign_fn(bc, 1, keep_embedding=True),
+        _ivf_assign_fn(prep.bc, 1, keep_embedding=True),
         schema="vec_id long, list_id long, embedding array<float>",
     )
 
@@ -1137,9 +1240,11 @@ def ann_topk_ivfpq(
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
-    codebook_source: DataFrame | None = None,
-    centroid_source: DataFrame | None = None,
+    codebook_source: "DataFrame | PreparedCodebook | None" = None,
+    centroid_source: "DataFrame | PreparedCentroids | None" = None,
     assign_source: DataFrame | None = None,
+    queries_pdf: "pd.DataFrame | None" = None,
+    bc_sink: list | None = None,
 ) -> DataFrame:
     """The FULL faiss IVF-PQ recipe (r10): coarse-quantizer pruning AND
     product-quantization compression composed — each query probes its
@@ -1164,36 +1269,30 @@ def ann_topk_ivfpq(
     consumers over the same corpus share ONE quantizer sample and ONE
     corpus assignment pass (see :func:`ivf_assign_with_vectors`) —
     results are identical either way, only the plan dedupes."""
-    cents_df = (
-        centroid_source
-        if centroid_source is not None
-        else ivf_centroids(corpus, nlist)
+    prep = _centroids_prepared(
+        spark, centroid_source, corpus, nlist,
+        "IVF-PQ quantizer found an empty corpus",
     )
-    ids, cmat = _collect_matrix(cents_df)
-    if cmat.shape[0] == 0:
-        raise ValueError("IVF-PQ quantizer found an empty corpus")
-    order = np.argsort(ids, kind="stable")
-    cents_bc = spark.sparkContext.broadcast((ids[order], cmat[order]))
-    # probe assignments COLLECT (≤ |Q|·nprobe pairs — bounded like the
-    # centroid sample): pruning then pushes down as an IN filter on
-    # list_id instead of a join, the pair expansion is ONE broadcast
-    # join, and the probe kernel runs once rather than once per plan
-    # reference (a lazy probes frame is re-evaluated by every subtree
-    # that mentions it — plan-asserted in test_plans.py)
-    probe_rows = (
-        queries.select("vec_id", "embedding")
-        .mapInPandas(
-            _ivf_assign_fn(cents_bc, nprobe), schema="vec_id long, list_id long"
-        )
-        .collect()
-    )
-    if not probe_rows:  # no queries → no winners
+    cents_bc = prep.bc
+    # probe assignments live on the DRIVER (≤ |Q|·nprobe pairs — bounded
+    # like the centroid sample): pruning then pushes down as an IN
+    # filter on list_id instead of a join, the pair expansion is ONE
+    # broadcast join, and the probe kernel runs once rather than once
+    # per plan reference (a lazy probes frame is re-evaluated by every
+    # subtree that mentions it — plan-asserted in test_plans.py). r17:
+    # the kernel now runs directly on the collected query set (same
+    # function, same rounded ranking) instead of a Spark job that
+    # existed only to produce those few rows and collect them back.
+    qpdf = _queries_pdf_of(queries, queries_pdf)
+    if not len(qpdf):  # no queries → no winners
         return spark.createDataFrame([], "qid long, nid long, dist long")
-    needed_ids = sorted({r["list_id"] for r in probe_rows})
-    probes = spark.createDataFrame(
-        [(r["vec_id"], r["list_id"]) for r in probe_rows],
-        "qid long, list_id long",
-    )
+    probe_pairs = [
+        (int(r.vec_id), int(r.list_id))
+        for part in _ivf_assign_fn(cents_bc, nprobe)(iter([qpdf]))
+        for r in part.itertuples()
+    ]
+    needed_ids = sorted({p[1] for p in probe_pairs})
+    probes = spark.createDataFrame(probe_pairs, "qid long, list_id long")
     assign = (
         assign_source
         if assign_source is not None
@@ -1202,22 +1301,11 @@ def ann_topk_ivfpq(
             schema="vec_id long, list_id long, embedding array<float>",
         )
     )
-    donor_df = (
-        codebook_source if codebook_source is not None else pq_codebook(corpus, ksub)
-    )
-    pdf = donor_df.select("vec_id", "embedding").toPandas()
-    if not len(pdf):
-        raise ValueError("PQ codebook found an empty corpus")
-    dorder = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-    donor_ids = pdf["vec_id"].to_numpy()[dorder]
-    donor_mat = np.stack(pdf["embedding"].to_numpy())[dorder].astype(np.float64)
+    cb = _codebook_prepared(codebook_source, corpus, ksub)
+    donor_ids, donor_mat = cb.ids, cb.mat
     dim = donor_mat.shape[1]
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
-
-    qpdf = queries.select("vec_id", "embedding").toPandas()
-    if not len(qpdf):
-        return spark.createDataFrame([], "qid long, nid long, dist long")
     qids = qpdf["vec_id"].to_numpy()
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     sub = dim // m
@@ -1235,6 +1323,11 @@ def ann_topk_ivfpq(
     # prune to probed lists BEFORE any PQ work (pushdown-able IN filter
     # over the ≤ |Q|·nprobe distinct probed list ids), then encode once
     enc_bc = spark.sparkContext.broadcast((donor_ids, donor_mat))
+    if bc_sink is not None:
+        # a caller persisting this frame across invocations pins these
+        # handles so the ContextCleaner can't reap the broadcast data a
+        # cached-block recompute would still need
+        bc_sink.append(enc_bc)
     codes_df = (
         assign.filter(F.col("list_id").isin(needed_ids))
         .select("list_id", "vec_id", "embedding")
@@ -1249,6 +1342,8 @@ def ann_topk_ivfpq(
         .select("qid", F.col("vec_id").alias("nid"), "codes")
     )
     adc_bc = spark.sparkContext.broadcast((qid_index, qtabs, donor_index))
+    if bc_sink is not None:
+        bc_sink.append(adc_bc)
     winners = cand.mapInPandas(
         _ivfpq_adc_fn(adc_bc, k), schema="qid long, nid long, dist long"
     )
@@ -1438,6 +1533,8 @@ def exact_rerank(
     corpus: DataFrame,
     shortlist: DataFrame,
     k: int,
+    *,
+    queries_pdf: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """The refine half on its own (r15): re-score an ANY-source
     ``(qid, nid, …)`` shortlist with true vectors under
@@ -1448,7 +1545,18 @@ def exact_rerank(
     cand = corpus.select(F.col("vec_id").alias("nid"), "embedding").join(
         F.broadcast(shortlist.select("qid", "nid")), "nid"
     )
-    bc = spark.sparkContext.broadcast(_collect_matrix(queries))
+    if queries_pdf is not None:
+        # r17: reuse the caller's collected query set — same (ids,
+        # normalized fp64 matrix) _collect_matrix builds
+        qids_arr = queries_pdf["vec_id"].to_numpy()
+        qmat_arr = (
+            _normed(queries_pdf["embedding"])
+            if len(queries_pdf)
+            else np.zeros((0, 0))
+        )
+        bc = spark.sparkContext.broadcast((qids_arr, qmat_arr))
+    else:
+        bc = spark.sparkContext.broadcast(_collect_matrix(queries))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids, qmat = bc.value
@@ -1525,7 +1633,8 @@ def ann_topk_pq(
     *,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
-    codebook_source: DataFrame | None = None,
+    codebook_source: "DataFrame | PreparedCodebook | None" = None,
+    queries_pdf: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance computation (ADC,
     Jégou et al. 2011 — the faiss IVF-PQ recipe's compression half):
@@ -1544,20 +1653,13 @@ def ann_topk_pq(
     ``codebook_source`` swaps in an alternative codebook (e.g.
     :func:`pq_codebook_refined`); the gate path keeps the deterministic
     sample the value oracle reconstructs."""
-    donor_df = (
-        codebook_source if codebook_source is not None else pq_codebook(corpus, ksub)
-    )
-    pdf = donor_df.select("vec_id", "embedding").toPandas()
-    if not len(pdf):
-        raise ValueError("PQ codebook found an empty corpus")
-    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-    donor_ids = pdf["vec_id"].to_numpy()[order]
-    donor_mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    cb = _codebook_prepared(codebook_source, corpus, ksub)
+    donor_ids, donor_mat = cb.ids, cb.mat
     dim = donor_mat.shape[1]
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
 
-    qpdf = queries.select("vec_id", "embedding").toPandas()
+    qpdf = _queries_pdf_of(queries, queries_pdf)
     if not len(qpdf):  # no queries → no winners (np.stack needs >= 1)
         return spark.createDataFrame([], "qid long, nid long, dist long")
     qids = qpdf["vec_id"].to_numpy()
