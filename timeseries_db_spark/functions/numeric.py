@@ -37,6 +37,20 @@ def duck_round(col: Column, scale: int = 4) -> Column:
     return (F.when(col >= 0, pos).otherwise(neg) / F.lit(m)).cast("double")
 
 
+def duck_round_sql(expr: str, scale: int = 4) -> str:
+    """Spark-SQL-text twin of :func:`duck_round` — the same expression
+    tree built as ONE parse instead of ~10 py4j round trips (r17, guide
+    §5 driver latency: each Column-API call is a JVM round trip, and the
+    rounded-ratio helpers sit inside every analytics plan build). The
+    CASE duplicates ``expr`` exactly like the Column form duplicates its
+    input subtree, so analyzed plans are identical."""
+    m = float(10**scale)
+    return (
+        f"CAST((CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {m} + 0.5) "
+        f"ELSE -floor(-({expr}) * {m} + 0.5) END) / {m} AS DOUBLE)"
+    )
+
+
 def np_duck_round(a: "np.ndarray", scale: int = 4) -> "np.ndarray":
     """numpy twin of :func:`duck_round` — np.round is half-to-even and
     disagrees with DuckDB/duck_round at exact ties. ``+ 0.0`` at the end

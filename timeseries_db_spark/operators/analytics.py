@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseries_db_spark.functions.numeric import duck_round, duck_div
+from timeseries_db_spark.functions.numeric import (
+    duck_round,
+    duck_round_sql,
+    duck_div,
+)
 
 RUN_COLS = ("timestamp", "tag", "value", "run_cnt", "run_sum")
 
@@ -128,14 +132,22 @@ def point_deltas(tsdb: DataFrame) -> DataFrame:
     shuffle. Skew note: whole-tag-per-task, same as any per-key lag; for
     the 100 TB few-tags case, bucket first and stitch bucket boundaries
     with a per-(tag,bucket) first/last exchange (the running-totals
-    two-pass pattern applies verbatim)."""
-    w = Window.partitionBy("tag").orderBy("timestamp")
-    return tsdb.select(
+    two-pass pattern applies verbatim).
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`)."""
+    w = "PARTITION BY tag ORDER BY timestamp"
+    return tsdb.selectExpr(
         "timestamp",
         "tag",
         "value",
-        duck_round(F.col("value") - F.lag("value").over(w), 4).alias("dv"),
-        (F.col("timestamp") - F.lag("timestamp").over(w)).alias("dt_ms"),
+        f"lag(value) OVER ({w}) AS _lv",
+        f"lag(timestamp) OVER ({w}) AS _lt",
+    ).selectExpr(
+        "timestamp",
+        "tag",
+        "value",
+        duck_round_sql("value - _lv") + " AS dv",
+        "timestamp - _lt AS dt_ms",
     )
 
 
@@ -144,39 +156,56 @@ def point_deltas_scalable(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFr
     whole tag in one task (the running-totals pattern, see module
     docstring): window within (tag, bucket), then stitch each bucket's
     first row to the previous non-empty bucket's last point via a tiny
-    per-bucket boundary table. Identical output → same oracle."""
-    bucketed = tsdb.withColumn("bucket", duck_div(F.col("timestamp"), bucket_ms))
+    per-bucket boundary table. Identical output → same oracle.
+
+    r17 (guide §5 driver latency): expressions are built as single-parse
+    SQL strings with inline OVER clauses — the Column-API form cost one
+    py4j round trip per call (~190 ms of driver wall per plan build just
+    for this function); the parsed trees are identical, so plans and
+    results are unchanged."""
+    bucketed = tsdb.selectExpr(
+        "timestamp", "tag", "value", f"(timestamp div {bucket_ms}) AS bucket"
+    )
 
     # boundary: each non-empty bucket's last point; the lag over THIS
     # tiny table (one row per non-empty bucket) finds the previous
     # non-empty bucket's last point, so empty buckets stitch correctly
     last = bucketed.groupBy("tag", "bucket").agg(
-        F.max("timestamp").alias("_t"),
+        F.expr("max(timestamp) AS _t"),
         # backticks, not quotes: see rate_per_bucket
-        F.expr("max_by(value, `timestamp`)").alias("_v"),
+        F.expr("max_by(value, `timestamp`) AS _v"),
     )
-    wb = Window.partitionBy("tag").orderBy("bucket")
-    prev = last.select(
+    wb = "PARTITION BY tag ORDER BY bucket"
+    prev = last.selectExpr(
         "tag",
         "bucket",
-        F.lag("_t").over(wb).alias("prev_t"),
-        F.lag("_v").over(wb).alias("prev_v"),
+        f"lag(_t) OVER ({wb}) AS prev_t",
+        f"lag(_v) OVER ({wb}) AS prev_v",
     )
 
-    ww = Window.partitionBy("tag", "bucket").orderBy("timestamp")
-    lag_t = F.lag("timestamp").over(ww)
-    lag_v = F.lag("value").over(ww)
-    first = F.row_number().over(ww) == 1
-    pt = F.when(first, F.col("prev_t")).otherwise(lag_t)
-    pv = F.when(first, F.col("prev_v")).otherwise(lag_v)
+    ww = "PARTITION BY tag, bucket ORDER BY timestamp"
     return (
         bucketed.join(F.broadcast(prev), on=["tag", "bucket"], how="inner")
-        .select(
+        .selectExpr(
             "timestamp",
             "tag",
             "value",
-            duck_round(F.col("value") - pv, 4).alias("dv"),
-            (F.col("timestamp") - pt).alias("dt_ms"),
+            "prev_t",
+            "prev_v",
+            f"lag(timestamp) OVER ({ww}) AS _lt",
+            f"lag(value) OVER ({ww}) AS _lv",
+            f"row_number() OVER ({ww}) AS _rn",
+        )
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            duck_round_sql(
+                "value - (CASE WHEN _rn = 1 THEN prev_v ELSE _lv END)"
+            )
+            + " AS dv",
+            "timestamp - (CASE WHEN _rn = 1 THEN prev_t ELSE _lt END)"
+            " AS dt_ms",
         )
     )
 
@@ -197,29 +226,31 @@ def rate_per_bucket(tsdb: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
     t_first) in value units per second, NULL for single-point buckets.
     One hash aggregation with ``min_by``/``max_by`` monoids (map-side
     partials combine, no window, no skew: a bucket never exceeds its
-    time span regardless of tag hotness)."""
-    bucketed = tsdb.withColumn(
-        "bucket_start", duck_div(F.col("timestamp"), bucket_ms) * bucket_ms
+    time span regardless of tag hotness).
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`)."""
+    bucketed = tsdb.selectExpr(
+        "tag",
+        "timestamp",
+        "value",
+        f"(timestamp div {bucket_ms}) * {bucket_ms} AS bucket_start",
     )
     agg = bucketed.groupBy("tag", "bucket_start").agg(
         # backticks: inside F.expr a double-quoted word is a STRING
         # literal, which would order min_by by a constant
-        F.expr("min_by(value, `timestamp`)").alias("_first_v"),
-        F.expr("max_by(value, `timestamp`)").alias("_last_v"),
-        F.min("timestamp").alias("_first_t"),
-        F.max("timestamp").alias("_last_t"),
+        F.expr("min_by(value, `timestamp`) AS _first_v"),
+        F.expr("max_by(value, `timestamp`) AS _last_v"),
+        F.expr("min(timestamp) AS _first_t"),
+        F.expr("max(timestamp) AS _last_t"),
     )
-    span_s = (F.col("_last_t") - F.col("_first_t")) / F.lit(1000.0)
-    return agg.select(
+    return agg.selectExpr(
         "tag",
         "bucket_start",
-        duck_round(
-            F.when(
-                F.col("_last_t") > F.col("_first_t"),
-                (F.col("_last_v") - F.col("_first_v")) / span_s,
-            ),
-            4,
-        ).alias("rate_per_s"),
+        duck_round_sql(
+            "CASE WHEN _last_t > _first_t THEN (_last_v - _first_v)"
+            " / ((_last_t - _first_t) / 1000.0) END"
+        )
+        + " AS rate_per_s",
     )
 
 
@@ -258,27 +289,32 @@ def zscore_outliers(tsdb: DataFrame, threshold: float = 2.5) -> DataFrame:
     few orders of magnitude (fixture values are O(100)); for wild ranges
     switch the moment pass to a shifted sum. Returns
     ``(tag, timestamp, value, z)`` with z rounded to 4.
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`).
     """
     stats = tsdb.groupBy("tag").agg(
-        F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(38,10)")
-        ).alias("_sq"),
-        F.count(F.lit(1)).alias("_n"),
+        F.expr("sum(CAST(value AS DECIMAL(38,10))) AS _s"),
+        F.expr("sum(CAST(value * value AS DECIMAL(38,10))) AS _sq"),
+        F.expr("count(1) AS _n"),
     )
-    mean = F.col("_s").cast("double") / F.col("_n")
-    var = F.col("_sq").cast("double") / F.col("_n") - mean * mean
-    moments = stats.select(
+    mean = "CAST(_s AS DOUBLE) / _n"
+    moments = stats.selectExpr(
         "tag",
-        mean.alias("_mean"),
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+        f"{mean} AS _mean",
+        f"sqrt(greatest(CAST(_sq AS DOUBLE) / _n - ({mean}) * ({mean}),"
+        f" CAST(0.0 AS DOUBLE))) AS _sd",
     )
-    z = (F.col("value") - F.col("_mean")) / F.col("_sd")
     return (
         tsdb.join(F.broadcast(moments), on="tag", how="inner")
-        .filter((F.col("_sd") > 0) & (F.abs(z) >= F.lit(threshold)))
-        .select(
-            "tag", "timestamp", "value", duck_round(z, 4).alias("z")
+        .filter(
+            "_sd > CAST(0 AS DOUBLE) AND"
+            f" abs((value - _mean) / _sd) >= CAST({threshold} AS DOUBLE)"
+        )
+        .selectExpr(
+            "tag",
+            "timestamp",
+            "value",
+            duck_round_sql("(value - _mean) / _sd") + " AS z",
         )
     )
 
@@ -409,65 +445,64 @@ def rolling_avg_scalable(
     the rounded mean is bit-identical to :func:`rolling_avg` and hashes
     against the same SQL-window oracle (gate-checked; fuzz-tested for
     arbitrary window/bucket ratios including windows spanning many
-    buckets)."""
-    V = F.col("value").cast("decimal(38,10)")
-    bkt = duck_div(F.col("timestamp"), bucket_ms)
+    buckets).
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`) —
+    this function was the single heaviest plan BUILD in the
+    derivatives entry (~245 ms of py4j round trips per invocation)."""
     # ONE scan: each row explodes into its home bucket (the real copy)
     # plus carry copies — a row at ts influences windows of rows in
     # later buckets iff the target bucket's start <= ts + W, i.e.
     # buckets up to bkt(ts + W)
-    last_b = duck_div(F.col("timestamp") + window_ms, bucket_ms)
-    u = (
-        tsdb.select(
-            "timestamp", "tag", "value",
-            bkt.alias("_src"), last_b.alias("_last"),
-        )
-        .select(
-            "timestamp", "tag", "value", "_src",
-            F.explode(
-                F.sequence(F.col("_src"), F.col("_last"))
-            ).alias("_bkt"),
-        )
-        .withColumn("_real", F.col("_bkt") == F.col("_src"))
-        .drop("_src")
+    u = tsdb.selectExpr(
+        "timestamp",
+        "tag",
+        "value",
+        f"(timestamp div {bucket_ms}) AS _src",
+        f"explode(sequence(timestamp div {bucket_ms},"
+        f" (timestamp + {window_ms}) div {bucket_ms})) AS _bkt",
+    ).selectExpr("timestamp", "tag", "value", "_bkt", "_bkt = _src AS _real")
+    part = "PARTITION BY tag, _bkt ORDER BY timestamp"
+    run = f"{part} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    prev = (
+        f"{part} RANGE BETWEEN UNBOUNDED PRECEDING"
+        f" AND {window_ms + 1} PRECEDING"
     )
-    part = Window.partitionBy("tag", "_bkt").orderBy("timestamp")
-    run = part.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = part.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
-    whole = part.rangeBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    zero_d = F.lit(0).cast("decimal(38,10)")
-    r_cnt = F.when(F.col("_real"), F.lit(1)).otherwise(F.lit(0))
-    r_val = F.when(F.col("_real"), V)
-    c_cnt = F.when(~F.col("_real"), F.lit(1)).otherwise(F.lit(0))
-    c_val = F.when(~F.col("_real"), V)
+    whole = f"{part} RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    V = "CAST(value AS DECIMAL(38,10))"
+    zero_d = "CAST(0 AS DECIMAL(38,10))"
+    r_cnt = "CASE WHEN _real THEN 1 ELSE 0 END"
+    r_val = f"CASE WHEN _real THEN {V} END"
+    c_cnt = "CASE WHEN NOT _real THEN 1 ELSE 0 END"
+    c_val = f"CASE WHEN NOT _real THEN {V} END"
     roll_cnt = (
-        F.sum(r_cnt).over(run)
-        - F.coalesce(F.sum(r_cnt).over(prev), F.lit(0))
-        + F.sum(c_cnt).over(whole)
-        - F.coalesce(F.sum(c_cnt).over(prev), F.lit(0))
+        f"sum({r_cnt}) OVER ({run})"
+        f" - coalesce(sum({r_cnt}) OVER ({prev}), 0)"
+        f" + sum({c_cnt}) OVER ({whole})"
+        f" - coalesce(sum({c_cnt}) OVER ({prev}), 0)"
     )
     roll_sum = (
-        F.sum(r_val).over(run)
-        - F.coalesce(F.sum(r_val).over(prev), zero_d)
-        + F.coalesce(F.sum(c_val).over(whole), zero_d)
-        - F.coalesce(F.sum(c_val).over(prev), zero_d)
+        f"sum({r_val}) OVER ({run})"
+        f" - coalesce(sum({r_val}) OVER ({prev}), {zero_d})"
+        f" + coalesce(sum({c_val}) OVER ({whole}), {zero_d})"
+        f" - coalesce(sum({c_val}) OVER ({prev}), {zero_d})"
     )
     return (
-        u.select(
-            "timestamp", "tag", "value", "_real",
-            roll_cnt.alias("_rc"), roll_sum.alias("_rs"),
-        )
-        .filter(F.col("_real"))
-        .select(
+        u.selectExpr(
             "timestamp",
             "tag",
             "value",
-            duck_round(
-                F.col("_rs").cast("double") / F.col("_rc"), 4
-            ).alias("roll_avg"),
-            F.col("_rc").cast("long").alias("roll_cnt"),
+            "_real",
+            f"{roll_cnt} AS _rc",
+            f"{roll_sum} AS _rs",
+        )
+        .filter("_real")
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            duck_round_sql("CAST(_rs AS DOUBLE) / _rc") + " AS roll_avg",
+            "CAST(_rc AS BIGINT) AS roll_cnt",
         )
     )
 
@@ -481,36 +516,39 @@ def seasonal_zscore_outliers(
     peak is anomalous at 3am; normalizing against the global moments
     misses exactly those. Same two-pass skew-proof shape with a
     (tags × 24)-row broadcast moments table and the same exact-DECIMAL
-    moment arithmetic. Returns (tag, timestamp, value, hod, z)."""
-    # duck_div, not cast(col/d as long): the double-division form loses
+    moment arithmetic. Returns (tag, timestamp, value, hod, z).
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`)."""
+    # `div`, not cast(col/d as long): the double-division form loses
     # ulps for |ts| >= 2^53 and diverges from the twin's integer //
-    hod = (duck_div(F.col("timestamp"), 3_600_000) % 24).alias("hod")
-    with_h = tsdb.select("tag", "timestamp", "value", hod)
-    stats = with_h.groupBy("tag", "hod").agg(
-        F.sum(F.col("value").cast("decimal(38,10)")).alias("_s"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(38,10)")
-        ).alias("_sq"),
-        F.count(F.lit(1)).alias("_n"),
+    with_h = tsdb.selectExpr(
+        "tag", "timestamp", "value", "(timestamp div 3600000) % 24 AS hod"
     )
-    mean = F.col("_s").cast("double") / F.col("_n")
-    var = F.col("_sq").cast("double") / F.col("_n") - mean * mean
-    moments = stats.select(
+    stats = with_h.groupBy("tag", "hod").agg(
+        F.expr("sum(CAST(value AS DECIMAL(38,10))) AS _s"),
+        F.expr("sum(CAST(value * value AS DECIMAL(38,10))) AS _sq"),
+        F.expr("count(1) AS _n"),
+    )
+    mean = "CAST(_s AS DOUBLE) / _n"
+    moments = stats.selectExpr(
         "tag",
         "hod",
-        mean.alias("_mean"),
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+        f"{mean} AS _mean",
+        f"sqrt(greatest(CAST(_sq AS DOUBLE) / _n - ({mean}) * ({mean}),"
+        f" CAST(0.0 AS DOUBLE))) AS _sd",
     )
-    z = (F.col("value") - F.col("_mean")) / F.col("_sd")
     return (
         with_h.join(F.broadcast(moments), on=["tag", "hod"], how="inner")
-        .filter((F.col("_sd") > 0) & (F.abs(z) >= F.lit(threshold)))
-        .select(
+        .filter(
+            "_sd > CAST(0 AS DOUBLE) AND"
+            f" abs((value - _mean) / _sd) >= CAST({threshold} AS DOUBLE)"
+        )
+        .selectExpr(
             "tag",
             "timestamp",
             "value",
-            F.col("hod").cast("long").alias("hod"),
-            duck_round(z, 4).alias("z"),
+            "CAST(hod AS BIGINT) AS hod",
+            duck_round_sql("(value - _mean) / _sd") + " AS z",
         )
     )
 
@@ -574,25 +612,36 @@ def ewma_dyadic(tsdb: DataFrame, lags: int = EWMA_LAGS) -> DataFrame:
     collected frame (each lag is its own frame processor pass in
     WindowExec; the array form pays one buffer slice + one fused fold).
     Ties on (timestamp) order by the quantized value so the frame
-    content is deterministic (identical rows are interchangeable)."""
-    x6 = F.expr(f"CAST(round(value * {EWMA_FP}) AS BIGINT)")
+    content is deterministic (identical rows are interchangeable).
+
+    r17: single-parse SQL strings (see :func:`point_deltas_scalable`)."""
     w = (
-        Window.partitionBy("tag")
-        .orderBy("timestamp", "x6")
-        .rowsBetween(-(lags - 1), 0)
+        f"PARTITION BY tag ORDER BY timestamp, x6"
+        f" ROWS BETWEEN {lags - 1} PRECEDING AND CURRENT ROW"
     )
-    frame = F.collect_list("x6").over(w)
     # element i (0-based) of the frame (oldest first, newest last, n
     # rows): weight 2^-(n - i) — shift-divide in exact integer math
-    ewma = F.expr(
-        "aggregate(transform(_frame, (x, i) -> "
-        "x div shiftleft(CAST(1 AS BIGINT), size(_frame) - i)), "
-        "CAST(0 AS BIGINT), (a, b) -> a + b)"
-    )
     return (
-        tsdb.select("timestamp", "tag", "value", x6.alias("x6"))
-        .withColumn("_frame", frame)
-        .select("timestamp", "tag", "value", ewma.alias("ewma_fp"))
+        tsdb.selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            f"CAST(round(value * {EWMA_FP}) AS BIGINT) AS x6",
+        )
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            f"collect_list(x6) OVER ({w}) AS _frame",
+        )
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            "aggregate(transform(_frame, (x, i) -> "
+            "x div shiftleft(CAST(1 AS BIGINT), size(_frame) - i)), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b) AS ewma_fp",
+        )
     )
 
 
