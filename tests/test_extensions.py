@@ -1810,6 +1810,22 @@ def test_pq_refined_int_codebook_oracle_exact_and_cuts_distortion(
     assert out == sorted(map(tuple, twin_topk))
 
 
+def test_pq_refined_int_prepared_matches_dataframe_twin(spark, emb):
+    """r17: the prepared refined-codebook delivery skips the
+    createDataFrame+toPandas round trip — its ids/mat must equal the
+    PreparedCodebook built from the DataFrame twin bit-for-bit (same
+    refinement rows, same order, same float64 values)."""
+    import numpy as np
+
+    from timeseries_db_spark.operators import similarity as S
+
+    prep = S.pq_codebook_refined_int_prepared(emb)
+    twin = S.PreparedCodebook(S.pq_codebook_refined_int(emb))
+    assert np.array_equal(prep.ids, twin.ids)
+    assert np.array_equal(prep.mat, twin.mat)
+    assert prep.mat.dtype == twin.mat.dtype
+
+
 def test_bmp_palette_rle8_and_32bit():
     """r10 BMP widening: 8-bit paletted (uncompressed AND a real
     BI_RLE8 run-length stream — encoded runs, EOL/EOF escapes), 32-bit

@@ -971,6 +971,24 @@ def pq_codebook_refined_int(
     float32) so the Spark and SQL ADC stages subtract the IDENTICAL
     centroid value. ``sample_source`` swaps in an externally persisted
     :func:`pq_refine_sample` frame (must be the same plan)."""
+    rows = _pq_refined_rows(
+        corpus, ksub, m, sample_n, iters, sample_source=sample_source
+    )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pq_refined_rows(
+    corpus: DataFrame,
+    ksub: int,
+    m: int,
+    sample_n: int,
+    iters: int,
+    sample_source: DataFrame | None,
+) -> list:
+    """The shared driver-side refinement: one bounded sample collect +
+    the integer Lloyd loop, returning the ``(code id, centroid)`` rows
+    both delivery shapes materialize identically."""
     sample_df = (
         sample_source
         if sample_source is not None
@@ -998,12 +1016,36 @@ def pq_codebook_refined_int(
                     cents[c, j, :] = _int_mean_half_away(
                         members.sum(axis=0, dtype=np.int64), len(members)
                     )
-    spark = corpus.sparkSession
-    rows = [
+    return [
         (int(c), [int(v) / float(PQ_FP) for v in cents[c].reshape(dim)])
         for c in range(ksub)
     ]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def pq_codebook_refined_int_prepared(
+    corpus: DataFrame,
+    ksub: int = PQ_KSUB,
+    m: int = PQ_M,
+    sample_n: int = 64,
+    iters: int = 2,
+    sample_source: DataFrame | None = None,
+) -> PreparedCodebook:
+    """:func:`pq_codebook_refined_int` delivered straight as a
+    :class:`PreparedCodebook` (r17, guide §5): the refinement already
+    runs on the driver over the collected sample, so round-tripping the
+    ≤ ksub rows through ``createDataFrame`` + ``toPandas`` was two
+    Spark jobs that existed only to rebuild the same numpy block
+    (~0.15-0.25 s per gate invocation). Identical values: the codebook
+    ids are 0..ksub−1 in order and each row is ``int64 / PQ_FP``
+    exactly as the DataFrame twin materializes it (pytest pins
+    equality)."""
+    rows = _pq_refined_rows(
+        corpus, ksub, m, sample_n, iters, sample_source=sample_source
+    )
+    prep = PreparedCodebook.__new__(PreparedCodebook)
+    prep.ids = np.array([r[0] for r in rows], dtype=np.int64)
+    prep.mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return prep
 
 
 def pq_codebook_refined_int_sql(
@@ -1328,8 +1370,15 @@ def ann_topk_ivfpq(
         # handles so the ContextCleaner can't reap the broadcast data a
         # cached-block recompute would still need
         bc_sink.append(enc_bc)
+    # r17: single-parse IN list — Column.isin(list) converts each
+    # element through its own py4j round trip (~0.11 s at nlist=128
+    # per invocation, guide §5 driver latency); the parsed predicate
+    # is identical (needed_ids are plain ints by construction)
+    in_pred = F.expr(
+        "list_id IN (" + ",".join(str(int(i)) for i in needed_ids) + ")"
+    )
     codes_df = (
-        assign.filter(F.col("list_id").isin(needed_ids))
+        assign.filter(in_pred)
         .select("list_id", "vec_id", "embedding")
         .mapInPandas(
             _pq_encode_fn(enc_bc, m, passthrough=("list_id",)),
