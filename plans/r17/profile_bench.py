@@ -26,8 +26,12 @@ def main() -> None:
     spark = get_spark("r17-profile")
     queries, _ = registry.build_registry()
     names = sys.argv[1:] or bench.HEADLINE
-    # warmup
-    queries["collect_sort_limit"](spark, SF_DIR).toPandas()
+    # warmup: one full pass over every profiled entry first — Catalyst/
+    # codegen JIT is cold for the first ~minute of a JVM, which otherwise
+    # inflates whichever entries run first (measured: collect_sort_limit
+    # "build" 1.1 s cold vs 0.2 s warm in the same session)
+    for name in names:
+        queries[name](spark, SF_DIR).toPandas()
     out = {"sf_dir": SF_DIR, "entries": {}}
     for name in names:
         rec = {"build": [], "noop": [], "pandas": [], "total": []}

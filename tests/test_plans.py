@@ -651,3 +651,30 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
         # adds no second one
         assert n_py == 1, (name, plan)
         assert not _nodes(plan, "BatchEvalPython"), (name, plan)
+
+
+def test_derivatives_shares_one_tag_exchange(spark, sf_dir):
+    """r17: the delta / rate / ewma legs of derivatives_by_tag consume
+    ONE shared tag-partitioned cached base (3 scans + 3 full-data
+    shuffles → 1 + 1). The executed plan must show the three legs
+    reading InMemoryTableScan with no Exchange re-inserted above it —
+    the per-tag clustering satisfies the windows AND the (tag, bucket)
+    aggregation (subset rule)."""
+    from timeseries_db_spark import registry
+
+    q, _ = registry.build_registry()
+    df = q["derivatives_by_tag"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    # three legs read the shared cache
+    assert txt.count("InMemoryTableScan") >= 3, txt[:4000]
+    # the base materializes through exactly one repartition("tag")
+    assert txt.count("REPARTITION_BY_COL") >= 1, txt[:4000]
+    # no leg re-shuffles the cached frame: the 1-3 lines directly above
+    # each cache read are the leg's Sort/Window/HashAggregate, never an
+    # Exchange (the per-tag clustering is recognized as satisfied)
+    lines = txt.splitlines()
+    for i, l in enumerate(lines):
+        if "InMemoryTableScan" in l:
+            above = " ".join(lines[max(0, i - 3) : i])
+            assert "Exchange" not in above, "\n".join(lines[max(0, i - 4) : i + 1])

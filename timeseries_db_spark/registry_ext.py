@@ -409,7 +409,35 @@ def register_extensions(q: dict, o: dict) -> None:
 
     def derivatives_by_tag(s: SparkSession, d: str) -> DataFrame:
         t = events_as_tsdb(s, d)
-        deltas = analytics.point_deltas(t).select(
+        # r17 (guide §2.4, "remove shuffles outright"): the delta and
+        # ewma legs are per-tag windows and the rate leg a per-
+        # (tag, bucket) aggregation — all three need only the
+        # clustering ONE hashpartitioning(tag) exchange provides
+        # (HashPartitioning([tag]) satisfies ClusteredDistribution of
+        # any superset, so the bucketed agg needs no second exchange).
+        # Sharing one repartition("tag") of the base across the three
+        # union branches cuts 3 parquet scans + 3 full-data shuffles
+        # to 1 + 1. Plain plan sharing is NOT enough — Catalyst pushes
+        # each branch's pruning/derived-column Project below the
+        # repartition, so the three embedded exchange copies stop
+        # canonicalizing equal and neither ReuseExchange nor AQE stage
+        # reuse fires (verified on the executed plan) — hence the
+        # established _persist_tracked leg-sharing pattern (dedup
+        # signatures / join windows / ANN artifacts precedent): the
+        # exchange materializes once, every branch reads the cached
+        # partitioned frame with its clustering intact. Values are
+        # untouched: each leg's window/agg logic is identical, only
+        # WHERE the (already per-tag) exchange sits changes — and the
+        # entry's skew posture is unchanged because the delta/ewma
+        # whole-tag windows already bound it; the bucketed delta_sc/
+        # roll legs deliberately keep their own skew-safe
+        # (tag, bucket)-keyed plans (their reason to exist), and
+        # zscore/szn keep the two-pass broadcast-moments shape that
+        # never shuffles the full table at all.
+        from timeseries_db_spark.operators.dedup import _persist_tracked
+
+        shared = _persist_tracked("deriv_bytag_base", t.repartition("tag"))
+        deltas = analytics.point_deltas(shared).select(
             F.lit("delta").alias("kind"),
             "tag",
             F.col("timestamp").alias("ts"),
@@ -425,7 +453,7 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dv").alias("v1"),
             F.col("dt_ms").cast("double").alias("v2"),
         )
-        rates = analytics.rate_per_bucket(t, bucket_ms=DERIV_BUCKET_MS).select(
+        rates = analytics.rate_per_bucket(shared, bucket_ms=DERIV_BUCKET_MS).select(
             F.lit("rate").alias("kind"),
             "tag",
             F.col("bucket_start").alias("ts"),
@@ -473,7 +501,7 @@ def register_extensions(q: dict, o: dict) -> None:
         # r9: dyadic EWMA (α = 1/2 exponential smoothing over the last
         # 40 points) — all-integer shift-divide terms, so the smoothed
         # series value-hashes exactly; v1 = micro-unit ewma, v2 = value
-        ewma = analytics.ewma_dyadic(t).select(
+        ewma = analytics.ewma_dyadic(shared).select(
             F.lit("ewma").alias("kind"),
             "tag",
             F.col("timestamp").alias("ts"),
