@@ -215,12 +215,21 @@ def register_extensions(q: dict, o: dict) -> None:
     # of ONE gate entry (slot freed for ts_anomaly_interp); the oracle is
     # the same ASOF SQL stamped with each leg label
     def asof_enrich_both(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators.dedup import _persist_tracked
+
         t = events_as_tsdb(s, d)
-        plain = asof.enrich_with_hourly_avg(t).withColumn(
+        # r17 (guide §2.4): both strategy legs consume the SAME hourly
+        # per-tag average (a tags×hours frame) — it was aggregated twice
+        # (2 scans + 2 two-phase aggs). One persisted build now serves
+        # both; each leg's as-of plan is otherwise untouched, so the
+        # plain-vs-bucketed strategy comparison the entry exists for
+        # still runs both physical shapes over identical inputs.
+        hr = _persist_tracked("asof_hr_avg", asof.hourly_avg(t))
+        plain = asof.enrich_with_hourly_avg(t, hourly=hr).withColumn(
             "variant", F.lit("plain")
         )
         bucketed = asof.asof_join_scalable(
-            t, asof.hourly_avg(t), on="tag", left_ts="timestamp",
+            t, hr, on="tag", left_ts="timestamp",
             right_ts="hr", payload=["hr_avg"], bucket_ms=6 * 3_600_000,
         ).withColumn("variant", F.lit("bucketed"))
         return plain.unionByName(bucketed)
@@ -239,12 +248,27 @@ def register_extensions(q: dict, o: dict) -> None:
     # carried no gate row). Same grid machinery, disjoint `kind`s, so
     # the driver's value hash covers both resampling semantics. ----
     def gapfill_hourly(s: SparkSession, d: str) -> DataFrame:
+        from timeseries_db_spark.operators.dedup import _persist_tracked
+
         t = events_as_tsdb(s, d)
-        ffill = asof.gap_fill(t, lo=LO, hi=HI, step_ms=3_600_000).withColumn(
-            "kind", F.lit("ffill")
+        # r17 (guide §2.4): both resampler legs collapse the SAME
+        # (tag, ts) → max(value) point table and the same distinct-tag
+        # frame — previously 4 scans + 4 aggregation exchanges across
+        # the entry. One persisted build of each now serves both legs;
+        # the per-leg fill plans (one union+window for ffill, one
+        # two-direction range window for interp) are untouched.
+        points = _persist_tracked(
+            "gapfill_points",
+            t.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+                F.max("value").alias("value")
+            ),
         )
+        tags = _persist_tracked("gapfill_tags", t.select("tag").distinct())
+        ffill = asof.gap_fill(
+            t, lo=LO, hi=HI, step_ms=3_600_000, points=points, tags=tags
+        ).withColumn("kind", F.lit("ffill"))
         interp = asof.interpolate_linear(
-            t, lo=LO, hi=HI, step_ms=3_600_000
+            t, lo=LO, hi=HI, step_ms=3_600_000, points=points, tags=tags
         ).withColumn("kind", F.lit("interp"))
         return ffill.unionByName(interp)
 
