@@ -1813,3 +1813,36 @@ def test_snappy_and_crc32c_c_module_agreement_if_present():
         assert S._snappy_decompress_py(S.snappy_compress(data)) == data
         assert S.crc32c(data) == S._crc32c_py(data)
     assert S._crc32c_py(b"123456789") == 0xE3069283
+
+
+def test_footer_min_ts_matches_scan_every_layout(spark, ts_layouts):
+    """r17: the footer-statistics min-timestamp probe must agree with the
+    engine's own scan+ts_to_millis conversion on every physical layout
+    the driver has shipped — or refuse (None) and let the scan fallback
+    answer. events_min_ts_millis memoizes per (session, input), so the
+    helper under test is the raw footer reader plus the fallback path."""
+    from pyspark.sql import functions as F
+
+    from timeseries_db_spark.sources.tables import (
+        _events_min_ts_from_footers,
+        ts_to_millis,
+    )
+
+    millis, paths = ts_layouts
+    for unit, p in paths.items():
+        df = spark.read.parquet(p)
+        agg = df.agg(F.min("ts").alias("ts"))
+        scan = int(agg.select(ts_to_millis(agg, "ts").alias("ms")).first()[0])
+        fast = _events_min_ts_from_footers(p)
+        assert fast is None or fast == scan, (unit, fast, scan)
+        assert scan == min(millis), (unit, scan)
+    # the real testdata layout must take the fast path (not fallback)
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    ev = os.path.join(sf, "events.parquet")
+    if os.path.exists(ev):
+        edf = spark.read.parquet(ev)
+        eagg = edf.agg(F.min("ts").alias("ts"))
+        escan = int(eagg.select(ts_to_millis(eagg, "ts").alias("ms")).first()[0])
+        assert _events_min_ts_from_footers(ev) == escan

@@ -181,9 +181,20 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
     # rebuilds the source WITH the qm so the point probe reaches the
     # scan as a PushedFilter. ---
     def point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = events_as_tsdb(spark, sf_dir)
-        row = t.orderBy("timestamp", "tag").first()
-        ts0, tag0 = int(row["timestamp"]), row["tag"]
+        # r17: the probe literals came from a full TakeOrdered over the
+        # table per invocation; min-ts now reads footer statistics and
+        # the tag probe is a pushed-down point lookup (ts_eq reaches the
+        # scan, so only the min row group is read). Same literals:
+        # orderBy(ts, tag).first() == (min ts, min tag at that ts).
+        from timeseries_db_spark.sources.tables import events_min_ts_millis
+
+        ts0 = events_min_ts_millis(spark, sf_dir)
+        probe_qm = QueryModel(ts_eq=ts0)
+        tag0 = (
+            compile_query(events_as_tsdb(spark, sf_dir, probe_qm), probe_qm)
+            .agg(F.min("tag"))
+            .first()[0]
+        )
         branch_qms = {
             "ts_eq": QueryModel(ts_eq=ts0),
             "tag_eq": QueryModel(tag_eq="click"),
@@ -270,7 +281,11 @@ def _register_reference_surface(q: dict[str, QueryFn], o: dict[str, str]) -> Non
             .select("grp", F.expr(_stack(tuple(Agg))))
             .select("grp", "result", "func")
         )
-        ts0 = events_as_tsdb(spark, sf_dir).agg(F.min("timestamp")).first()[0]
+        # r17: footer-statistics probe (sources.events_min_ts_millis) —
+        # the previous per-invocation full min scan is now metadata-only
+        from timeseries_db_spark.sources.tables import events_min_ts_millis
+
+        ts0 = events_min_ts_millis(spark, sf_dir)
         qm = QueryModel(ts_eq=int(ts0), agg_func=Agg.MAX, group_by=GroupBy.TAG)
         leg = compile_query(events_as_tsdb(spark, sf_dir, qm), qm).withColumn(
             "func", F.lit("max_ts_eq")

@@ -217,6 +217,102 @@ def events_as_tsdb(spark: SparkSession, sf_dir: str, qm=None) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) → min events timestamp in epoch millis. The
+#: minimum of a fixed input never changes within a session (the same
+#: overwrite-in-place caveat as _table_cache applies), so the literal is
+#: resolved once per (session, input) instead of once per query build.
+_min_ts_cache: dict[tuple[str, str], int] = {}
+
+
+def _events_min_ts_from_footers(path: str) -> int | None:
+    """Min events.ts in epoch millis straight from the parquet FOOTER
+    row-group statistics (guide §6: min/max stats exist precisely so
+    readers can answer bound probes without scanning data; at 100 TB
+    this is O(#row groups) of metadata vs a full-column scan). Returns
+    None — caller falls back to the Spark scan — whenever the stats are
+    absent/untrustworthy or the value would need the trunc-vs-floor
+    distinction the engine's per-layout conversion makes (negative
+    pre-epoch minima; int64 parquet stats themselves are exact by
+    spec)."""
+    import pyarrow.parquet as pq
+
+    import datetime as _dt
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    )
+    if not files:
+        return None
+    best: int | None = None  # nanoseconds since epoch
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index("ts")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min
+            if isinstance(mn, int):
+                # TIMESTAMP(NANOS) read via nanosAsLong: int64 stat is
+                # the raw nanosecond value, exact by spec
+                ns = mn
+            elif isinstance(mn, _dt.datetime):
+                # MICROS/MILLIS logical type: pyarrow decodes the int64
+                # stat to a datetime (aware when isAdjustedToUTC, naive
+                # otherwise — the engine reads naive as NTZ-at-UTC, the
+                # identical instant). timedelta arithmetic is exact
+                # integer micros; refuse nanos-unit datetimes (their
+                # sub-micro truncation semantics aren't pinned here).
+                import json as _json
+
+                lt = _json.loads(md.schema.column(idx).logical_type.to_json())
+                if lt.get("Type") != "Timestamp" or lt.get("timeUnit") not in (
+                    "microseconds",
+                    "milliseconds",
+                ):
+                    return None
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=mn.tzinfo)
+                delta = mn - epoch
+                micros = (
+                    delta.days * 86_400_000_000
+                    + delta.seconds * 1_000_000
+                    + delta.microseconds
+                )
+                ns = micros * 1_000
+            else:
+                return None
+            best = ns if best is None else min(best, ns)
+    if best is None or best < 0:
+        # trunc (bigint div) vs floor (unix_millis) diverge below epoch;
+        # let the engine's own conversion decide
+        return None
+    return best // 1_000_000
+
+
+def events_min_ts_millis(spark: SparkSession, sf_dir: str) -> int:
+    """The events table's minimum timestamp (epoch millis) — the literal
+    the point-probe query shapes embed. Footer-statistics fast path with
+    a full Spark aggregation fallback, memoized per (session, input)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _min_ts_cache.get(key)
+    if hit is None:
+        hit = _events_min_ts_from_footers(os.path.join(sf_dir, "events.parquet"))
+        if hit is None:
+            agg = load_table(spark, sf_dir, "events").agg(F.min("ts").alias("ts"))
+            hit = int(agg.select(ts_to_millis(agg, "ts").alias("ms")).first()[0])
+        _min_ts_cache[key] = hit
+    return hit
+
+
 def lineitem_as_tsdb(spark: SparkSession, sf_dir: str, qm=None) -> DataFrame:
     """tsdb-shaped view of ``lineitem`` (bigger table for range+group+agg)."""
     li = load_table(spark, sf_dir, "lineitem")
