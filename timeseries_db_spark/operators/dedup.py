@@ -128,6 +128,41 @@ def _persist_tracked(
         return _live_caches[full]
 
 
+def _persist_tracked_lazy(
+    key: str,
+    plan_key: str,
+    builder,
+    pins: tuple = (),
+) -> DataFrame:
+    """:func:`_persist_tracked` for callers whose plan CONSTRUCTION is
+    itself expensive (r17, guide §1.2 per-task→driver work): gate
+    entries rebuilt multi-hundred-ms window/join plans on every
+    invocation only to discover the persisted generation already
+    existed. ``builder`` runs ONLY on a cache miss; ``plan_key`` must
+    therefore capture the full input identity the semantic hash would
+    have (input-frame hashes + every literal parameter — same contract
+    as :func:`_persist_tracked`'s ``plan_key``, same
+    overwrite-in-place hazard)."""
+    full = f"{key}:{plan_key}"
+    with _cache_lock:
+        hit = _live_caches.get(full)
+        if hit is not None:
+            return hit
+    df = builder()
+    with _cache_lock:
+        hit = _live_caches.get(full)
+        if hit is not None:
+            return hit
+        stale = [k for k in _live_caches if k.split(":", 1)[0] == key]
+        for k in stale:
+            _live_caches.pop(k).unpersist()
+            _live_pins.pop(k, None)
+        _live_caches[full] = df.persist()
+        if pins:
+            _live_pins[full] = tuple(pins)
+        return _live_caches[full]
+
+
 def release_caches() -> None:
     """Explicitly drop all cached signature tables — at session end, or
     REQUIRED after overwriting an input parquet in place (see
