@@ -50,17 +50,20 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # r14: payload-kernel Arrow sizing. The default 10,000 rows per
-        # Arrow batch is tuned for scalar rows; the ingest kernels
-        # carry multi-MB BINARY payloads (WARC segments, archives,
-        # media), where 10k rows/batch is tens of GB in one Python
-        # transfer. 1,024 keeps scalar kernels cheap (the per-batch
-        # overhead is microseconds) and bounds a payload batch at
-        # ~1 GB even for 1 MB assets; deployments ingesting 1 GB
-        # segments drop it further via extra_conf. useLargeVarTypes
-        # switches Arrow to 64-bit offsets so a single batch of
-        # binaries may exceed 2 GB without overflow.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # r14→r17: payload-kernel Arrow sizing. r14 capped batches at
+        # 1,024 ROWS so ingest kernels carrying multi-MB BINARY
+        # payloads (WARC segments, archives, media) could not
+        # accumulate tens of GB per Python transfer — but the row cap
+        # also throttled DRIVER collects (toPandas slices result
+        # batches by the same knob: measured ~15% on the 600k-row
+        # range_scan_9combos materialization at sf0.1). Spark 4's
+        # maxBytesPerBatch is the direct knob: batches are bounded by
+        # BYTES (64 MB here), so payload rows still flow in small
+        # batches while scalar results batch at the default 10k rows.
+        # useLargeVarTypes switches Arrow to 64-bit offsets so a
+        # single batch of binaries may exceed 2 GB without overflow.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
