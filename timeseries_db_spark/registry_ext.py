@@ -905,8 +905,16 @@ def register_extensions(q: dict, o: dict) -> None:
         # are additive so the sketch over |distinct| weighted rows is
         # IDENTICAL to one over the re-exploded corpus (late-r8: this
         # dropped the entry's second full tokenize pass)
-        tok_counts = _persist_tracked(
-            "token_counts", text.token_counts(_docs(s, d))
+        # r17: lazy — the tokenize expression chain is a large plan
+        # whose construction+hash repeated per invocation (guide §1.2
+        # driver work); the builder now runs only on a cache miss
+        from timeseries_db_spark.operators.dedup import _persist_tracked_lazy
+
+        docs = _docs(s, d)
+        tok_counts = _persist_tracked_lazy(
+            "token_counts",
+            str(docs.semanticHash()),
+            lambda: text.token_counts(docs),
         )
         topv = text.vocab_topn(_docs(s, d), 100, counts=tok_counts)
         vocab = topv.withColumn("kind", F.lit("vocab"))
