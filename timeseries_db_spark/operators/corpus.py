@@ -543,12 +543,22 @@ def benchmark_contamination(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     shingle count. The test side's distinct shingle set is broadcast
     (benchmarks are small); the train side never shuffles on the
     shingle."""
+    # r17 (guide §1.2, don't compute what you throw away): shingle each
+    # side AFTER its split filter — the old shape shingled the FULL
+    # corpus once per branch (the split filter sat above the explode,
+    # and Catalyst does not push a join-derived filter below it), i.e.
+    # 2 complete shingle passes where train+test docs need only ~1; dev
+    # docs are no longer shingled at all. doc_shingles is per-document
+    # map-only, so shingles-of-a-filtered-corpus == filtered shingles —
+    # values identical.
     splits = assign_splits(docs, key).select("doc_id", "split")
-    sh = doc_shingles(docs).join(splits, "doc_id")
+    tagged = docs.join(splits, "doc_id")
     eval_sh = (
-        sh.filter(F.col("split") == "test").select("shingle").distinct()
+        doc_shingles(tagged.filter(F.col("split") == "test"))
+        .select("shingle")
+        .distinct()
     )
-    train_sh = sh.filter(F.col("split") == "train")
+    train_sh = doc_shingles(tagged.filter(F.col("split") == "train"))
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")
         # doc_shingles is distinct per document → count(*) == distinct count
