@@ -173,6 +173,20 @@ def release_caches() -> None:
         _live_caches.clear()
         _live_pins.clear()
 
+
+def release_family(key: str) -> None:
+    """Drop every cached generation of ONE family (the prefix before the
+    first colon). r17: the slope instrument uses this to keep the
+    iterative-components measurement honest — dedup_clusters'
+    cross-invocation label cache would otherwise turn the slope's
+    repeat runs into cache hits and the 'iterative CC stays sublinear'
+    row would measure a cached join instead of the loop."""
+    with _cache_lock:
+        stale = [k for k in _live_caches if k.split(":", 1)[0] == key]
+        for k in stale:
+            _live_caches.pop(k).unpersist()
+            _live_pins.pop(k, None)
+
 #: Shingle expression over a pre-bound ``toks`` column. Binding the
 #: tokenization ONCE in a prior projection matters enormously: textually
 #: inlining the regex split here would re-run it per reference — and the
