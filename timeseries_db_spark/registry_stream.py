@@ -183,21 +183,25 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_b0 = int(pdf["timestamp"].max())
     s1 = max_b0 + 10 * SESS_GAP_MS  # new session per tag, far future
     s2 = s1 + 1_000  # merges into the s1 session → stays open
+    # r17: distinct mtimes are PINNED (os.utime) instead of slept for —
+    # same deterministic batch order, zero wall time (the bench slope
+    # fixture's pattern)
     _write_sess_file(os.path.join(in_dir, "b0.parquet"), pdf)
-    time.sleep(1.1)  # distinct mtimes → deterministic batch order
     _write_sess_file(
         os.path.join(in_dir, "b1.parquet"),
         pd.DataFrame(
             {"timestamp": [s1] * 4, "tag": list(SESS_TAGS), "value": [1.0] * 4}
         ),
     )
-    time.sleep(1.1)
     _write_sess_file(
         os.path.join(in_dir, "b2.parquet"),
         pd.DataFrame(
             {"timestamp": [s2] * 4, "tag": list(SESS_TAGS), "value": [1.0] * 4}
         ),
     )
+    for _i, _b in enumerate(("b0", "b1", "b2")):
+        _t = 1_700_000_000 + _i
+        os.utime(os.path.join(in_dir, f"{_b}.parquet"), (_t, _t))
     stream = (
         spark.readStream.schema(
             "timestamp long, tag string, value double, event_time timestamp"
@@ -307,13 +311,13 @@ def _sasof_leg(spark: SparkSession, base: str) -> DataFrame:
     in_dir = os.path.join(base, "sasof_in")
     os.makedirs(in_dir)
     half = SASOF_N // 2
-    for name, pdf in (("b0", ev.iloc[:half]), ("b1", ev.iloc[half:])):
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(in_dir, f"{name}.parquet"),
-        )
-        if name == "b0":
-            time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    for i, (name, pdf) in enumerate(
+        (("b0", ev.iloc[:half]), ("b1", ev.iloc[half:]))
+    ):
+        path = os.path.join(in_dir, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        # distinct mtimes PINNED, not slept for (r17)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema("timestamp long, tag string, value double")
         .option("maxFilesPerTrigger", "1")
@@ -439,8 +443,10 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ignore_index=True,
     )
     _write_sess_file(os.path.join(in_dir, "b0.parquet"), b0)
-    time.sleep(1.1)  # distinct mtimes → deterministic batch order
     _write_sess_file(os.path.join(in_dir, "b1.parquet"), b1)
+    # distinct mtimes PINNED, not slept for (r17)
+    os.utime(os.path.join(in_dir, "b0.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(in_dir, "b1.parquet"), (1_700_000_001, 1_700_000_001))
     stream = (
         spark.readStream.schema(
             "timestamp long, tag string, value double, event_time timestamp"
@@ -537,12 +543,10 @@ def _corpus_ingest_leg(spark: SparkSession, sf_dir: str, base: str) -> DataFrame
             .toPandas()
             .sort_values("doc_id")
         )
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(in_dir, f"c{i}.parquet"),
-        )
-        if i < len(cuts) - 1:
-            time.sleep(1.1)  # distinct mtimes → ascending batch order
+        path = os.path.join(in_dir, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        # ascending mtimes PINNED, not slept for (r17)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     out_dir = os.path.join(base, "corpus_out")
     query = ci.start_corpus_ingest(
         ci.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
