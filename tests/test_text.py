@@ -200,6 +200,36 @@ def test_kgram_arrow_kernel_bit_identical_to_sql_fold(spark):
     assert a == b
 
 
+def test_kgram_kernel_block_invariant():
+    """r17: the kernel processes large batches in cache-sized,
+    document-aligned sub-blocks (KGRAM_BLOCK_CHARS) so its throughput no
+    longer tracks the session Arrow batch size. The reduction is per-doc,
+    so blocking must be output-invariant — pinned here at a tiny block
+    size (forces many chunks incl. the huge-doc and trailing-doc paths)
+    against the single-pass form, on shapes that stress the chunker:
+    None rows, a doc far larger than the block alone, a doc at the very
+    end, and many small docs."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators import text as T
+
+    cases = pd.Series(
+        ["abcdefgh" * 50, None, "y" * 5_000, "tail doc"] + ["pad " * 4] * 500,
+        dtype=object,
+    )
+    orig = T.KGRAM_BLOCK_CHARS
+    try:
+        T.KGRAM_BLOCK_CHARS = 1 << 60  # single pass
+        want = T._kgram_fp_kernel(cases)
+        T.KGRAM_BLOCK_CHARS = 256  # many chunks, huge-doc isolation
+        got = T._kgram_fp_kernel(cases)
+    finally:
+        T.KGRAM_BLOCK_CHARS = orig
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), want.astype("float64")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------

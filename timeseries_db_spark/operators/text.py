@@ -440,6 +440,19 @@ def _kgram_hashes_duck(col: str) -> str:
         """
 
 
+#: Per-sub-block character budget for `_kgram_fp_kernel`. The fold's
+#: int64 temporaries are ~8 B/char × 3 live arrays; 256k chars keeps the
+#: working set ≈ 6 MB — inside L2/L3 on every deployment target. Without
+#: blocking, the kernel's throughput tracks the ARROW batch size: at the
+#: session's 10k-row batches a 300-char-avg corpus makes ~1.5M-char
+#: buffers whose 12 MB temporaries fall out of cache (measured 12× slower
+#: per element on this box's DRAM), so text_features regressed 4× when
+#: r17 moved Arrow batching from a 1,024-row cap to byte-bounded 10k
+#: (guide §4.2: keep vectorized working sets cache-sized regardless of
+#: how the engine slices batches).
+KGRAM_BLOCK_CHARS = 256 * 1024
+
+
 def _kgram_fp_kernel(prepped) -> "pd.DataFrame":  # noqa: F821
     """Vectorized twin of :func:`_kgram_hashes_spark` reduced to the
     ``(n_kgrams, min_fp)`` pair, over a pandas Series of ALREADY
@@ -455,11 +468,33 @@ def _kgram_fp_kernel(prepped) -> "pd.DataFrame":  # noqa: F821
     boundaries via per-doc offsets. Same ``KGRAM_BASE``/``KGRAM_MOD``
     arithmetic, int64 throughout (MOD < 2**53 so ``h*257+126 < 2**62``
     — no numpy overflow), hence bit-identical to the SQL/DuckDB twins
-    (asserted in ``tests/test_text.py``)."""
+    (asserted in ``tests/test_text.py``).
+
+    The reduction is per-document, so the batch is processed in
+    document-aligned sub-blocks of ≈ ``KGRAM_BLOCK_CHARS`` characters
+    (cache-sized temporaries — see the constant's note) and the
+    per-block frames concatenated: identical output for any block size.
+    """
     import numpy as np
     import pandas as pd
 
     texts = prepped.tolist()
+    total = sum(len(t) for t in texts if t is not None)
+    if total > 2 * KGRAM_BLOCK_CHARS and len(texts) > 1:
+        bounds = [0]
+        chars = 0
+        for i, t in enumerate(texts):
+            chars += len(t) if t is not None else 8
+            if chars >= KGRAM_BLOCK_CHARS and i + 1 < len(texts):
+                bounds.append(i + 1)
+                chars = 0
+        bounds.append(len(texts))
+        if len(bounds) > 2:  # ≥ 2 real chunks — else fall through whole
+            parts = [
+                _kgram_fp_kernel(pd.Series(texts[lo:hi], dtype=object))
+                for lo, hi in zip(bounds, bounds[1:])
+            ]
+            return pd.concat(parts, ignore_index=True)
     null_mask = [t is None for t in texts]
     safe = ["        " if m else t for t, m in zip(texts, null_mask)]
     lens = np.fromiter((len(t) for t in safe), np.int64, len(safe))
