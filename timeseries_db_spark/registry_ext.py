@@ -215,7 +215,7 @@ def register_extensions(q: dict, o: dict) -> None:
     # of ONE gate entry (slot freed for ts_anomaly_interp); the oracle is
     # the same ASOF SQL stamped with each leg label
     def asof_enrich_both(s: SparkSession, d: str) -> DataFrame:
-        from timeseries_db_spark.operators.dedup import _persist_tracked
+        from timeseries_db_spark.operators.dedup import _persist_invocation
 
         t = events_as_tsdb(s, d)
         # r17 (guide §2.4): both strategy legs consume the SAME hourly
@@ -224,7 +224,9 @@ def register_extensions(q: dict, o: dict) -> None:
         # both; each leg's as-of plan is otherwise untouched, so the
         # plain-vs-bucketed strategy comparison the entry exists for
         # still runs both physical shapes over identical inputs.
-        hr = _persist_tracked("asof_hr_avg", asof.hourly_avg(t))
+        # Per-INVOCATION persist: the sharing is leg-level only; every
+        # bench/gate invocation re-aggregates from parquet.
+        hr = _persist_invocation("asof_hr_avg", asof.hourly_avg(t))
         plain = asof.enrich_with_hourly_avg(t, hourly=hr).withColumn(
             "variant", F.lit("plain")
         )
@@ -248,7 +250,7 @@ def register_extensions(q: dict, o: dict) -> None:
     # carried no gate row). Same grid machinery, disjoint `kind`s, so
     # the driver's value hash covers both resampling semantics. ----
     def gapfill_hourly(s: SparkSession, d: str) -> DataFrame:
-        from timeseries_db_spark.operators.dedup import _persist_tracked
+        from timeseries_db_spark.operators.dedup import _persist_invocation
 
         t = events_as_tsdb(s, d)
         # r17 (guide §2.4): both resampler legs collapse the SAME
@@ -257,13 +259,15 @@ def register_extensions(q: dict, o: dict) -> None:
         # the entry. One persisted build of each now serves both legs;
         # the per-leg fill plans (one union+window for ffill, one
         # two-direction range window for interp) are untouched.
-        points = _persist_tracked(
+        # Per-INVOCATION persist: leg-level sharing only; every
+        # bench/gate invocation re-aggregates from parquet.
+        points = _persist_invocation(
             "gapfill_points",
             t.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
                 F.max("value").alias("value")
             ),
         )
-        tags = _persist_tracked("gapfill_tags", t.select("tag").distinct())
+        tags = _persist_invocation("gapfill_tags", t.select("tag").distinct())
         ffill = asof.gap_fill(
             t, lo=LO, hi=HI, step_ms=3_600_000, points=points, tags=tags
         ).withColumn("kind", F.lit("ffill"))
@@ -446,21 +450,24 @@ def register_extensions(q: dict, o: dict) -> None:
         # repartition, so the three embedded exchange copies stop
         # canonicalizing equal and neither ReuseExchange nor AQE stage
         # reuse fires (verified on the executed plan) — hence the
-        # established _persist_tracked leg-sharing pattern (dedup
-        # signatures / join windows / ANN artifacts precedent): the
-        # exchange materializes once, every branch reads the cached
-        # partitioned frame with its clustering intact. Values are
-        # untouched: each leg's window/agg logic is identical, only
-        # WHERE the (already per-tag) exchange sits changes — and the
-        # entry's skew posture is unchanged because the delta/ewma
-        # whole-tag windows already bound it; the bucketed delta_sc/
-        # roll legs deliberately keep their own skew-safe
-        # (tag, bucket)-keyed plans (their reason to exist), and
-        # zscore/szn keep the two-pass broadcast-moments shape that
-        # never shuffles the full table at all.
-        from timeseries_db_spark.operators.dedup import _persist_tracked
+        # established leg-sharing persist pattern: the exchange
+        # materializes once, every branch reads the cached partitioned
+        # frame with its clustering intact. Values are untouched: each
+        # leg's window/agg logic is identical, only WHERE the (already
+        # per-tag) exchange sits changes — and the entry's skew posture
+        # is unchanged because the delta/ewma whole-tag windows already
+        # bound it; the bucketed delta_sc/roll legs deliberately keep
+        # their own skew-safe (tag, bucket)-keyed plans (their reason
+        # to exist), and zscore/szn keep the two-pass broadcast-moments
+        # shape that never shuffles the full table at all.
+        # Per-INVOCATION persist (not the session-lived semantic-hash
+        # reuse): a persisted repartition of the BASE table must not
+        # survive into the next bench/gate invocation — every run
+        # re-scans parquet and re-pays the one exchange; the sharing is
+        # strictly between this plan's own legs.
+        from timeseries_db_spark.operators.dedup import _persist_invocation
 
-        shared = _persist_tracked("deriv_bytag_base", t.repartition("tag"))
+        shared = _persist_invocation("deriv_bytag_base", t.repartition("tag"))
         deltas = analytics.point_deltas(shared).select(
             F.lit("delta").alias("kind"),
             "tag",
@@ -3363,23 +3370,14 @@ def register_extensions(q: dict, o: dict) -> None:
     # Both legs share the persist-tracked LSH pair set and the
     # checkpointed components run.
     def clusters_both(s: SparkSession, d: str) -> DataFrame:
-        # r17: the iterative components run (driver-coordinated loop —
-        # per-round checkpoint + convergence actions, ~1.1 s of the
-        # entry's wall at sf0.1) re-executed on every invocation even
-        # though its labels are a pure function of (docs, threshold).
-        # Cross-invocation lazy persist, exactly the ann_short3k
-        # precedent: the loop's actions run only on a cache miss;
-        # plan_key = docs semantic hash + threshold (the loop's full
-        # input identity). The cold/gate shape is unchanged — the first
-        # invocation still pays the full iterative run.
-        from timeseries_db_spark.operators.dedup import _persist_tracked_lazy
-
-        docs = _docs(s, d)
-        comp = _persist_tracked_lazy(
-            "dedup_comp",
-            f"{docs.semanticHash()}:{JACCARD_T}",
-            lambda: graph.lsh_components(docs, JACCARD_T),
-        )
+        # r17 note: an earlier draft of this round cached the components
+        # LABELS across invocations (plan_key = docs hash + threshold),
+        # which made bench repeats time a cache read instead of the
+        # iterative loop. Reverted: the labels are the entry's computed
+        # result, and every invocation must recompute from the parquet
+        # inputs. Within ONE invocation the loop already runs once — the
+        # checkpointed `comp` frame below is shared by both legs.
+        comp = graph.lsh_components(_docs(s, d), JACCARD_T)
         minid = graph.dedup_clusters(_docs(s, d), JACCARD_T, comp=comp).select(
             F.lit("minid").alias("kind"),
             "doc_id",
