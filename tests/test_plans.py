@@ -653,28 +653,17 @@ def test_arrival_readers_are_map_only(spark, tmp_path):
         assert not _nodes(plan, "BatchEvalPython"), (name, plan)
 
 
-def test_derivatives_shares_one_tag_exchange(spark, sf_dir):
-    """r17: the delta / rate / ewma legs of derivatives_by_tag consume
-    ONE shared tag-partitioned cached base (3 scans + 3 full-data
-    shuffles → 1 + 1). The executed plan must show the three legs
-    reading InMemoryTableScan with no Exchange re-inserted above it —
-    the per-tag clustering satisfies the windows AND the (tag, bucket)
-    aggregation (subset rule)."""
+def test_derivatives_legs_keep_their_own_plans(spark, sf_dir):
+    """r17 final shape: the leg-sharing persisted base was tried and
+    REVERTED (per-run wall measured a wash — see registry_ext comment
+    and OPTIMIZATION_r17.md), so the executed plan must show NO cached
+    base (no InMemoryTableScan) and no explicit repartition node: each
+    leg plans its own exchange exactly as the pre-r17 shape did."""
     from timeseries_db_spark import registry
 
     q, _ = registry.build_registry()
     df = q["derivatives_by_tag"](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     txt = df._jdf.queryExecution().executedPlan().toString()
-    # three legs read the shared cache
-    assert txt.count("InMemoryTableScan") >= 3, txt[:4000]
-    # the base materializes through exactly one repartition("tag")
-    assert txt.count("REPARTITION_BY_COL") >= 1, txt[:4000]
-    # no leg re-shuffles the cached frame: the 1-3 lines directly above
-    # each cache read are the leg's Sort/Window/HashAggregate, never an
-    # Exchange (the per-tag clustering is recognized as satisfied)
-    lines = txt.splitlines()
-    for i, l in enumerate(lines):
-        if "InMemoryTableScan" in l:
-            above = " ".join(lines[max(0, i - 3) : i])
-            assert "Exchange" not in above, "\n".join(lines[max(0, i - 4) : i + 1])
+    assert "InMemoryTableScan" not in txt, txt[:4000]
+    assert "REPARTITION_BY_COL" not in txt, txt[:4000]

@@ -163,31 +163,6 @@ def _persist_tracked_lazy(
         return _live_caches[full]
 
 
-#: Monotonic generation counter for :func:`_persist_invocation`.
-_invocation_seq = 0
-
-
-def _persist_invocation(key: str, df: DataFrame, pins: tuple = ()) -> DataFrame:
-    """:func:`_persist_tracked` that NEVER reuses a materialization
-    across invocations: every call persists a FRESH generation (the
-    family sweep releases the previous one), so repeated bench / gate
-    invocations of the owning entry recompute from the parquet inputs
-    every time. Use this when the persist's only purpose is to let the
-    legs of ONE returned plan share a single materialization (a shared
-    exchange or shared aggregate that Catalyst's ReuseExchange cannot
-    deduplicate) — cross-run reuse would turn bench repeats into cache
-    reads, i.e. measure the block manager instead of the operator.
-    Session-lived index artifacts that predate the optimization rounds
-    (dedup signatures, ANN artifacts, join windows, token counts) keep
-    :func:`_persist_tracked`'s semantic-hash reuse, whose cold cost
-    bench.py discloses separately via ``queries_first_run``."""
-    global _invocation_seq
-    with _cache_lock:
-        _invocation_seq += 1
-        gen = _invocation_seq
-    return _persist_tracked(key, df, plan_key=f"inv{gen}", pins=pins)
-
-
 def release_caches() -> None:
     """Explicitly drop all cached signature tables — at session end, or
     REQUIRED after overwriting an input parquet in place (see

@@ -215,23 +215,20 @@ def register_extensions(q: dict, o: dict) -> None:
     # of ONE gate entry (slot freed for ts_anomaly_interp); the oracle is
     # the same ASOF SQL stamped with each leg label
     def asof_enrich_both(s: SparkSession, d: str) -> DataFrame:
-        from timeseries_db_spark.operators.dedup import _persist_invocation
-
         t = events_as_tsdb(s, d)
-        # r17 (guide §2.4): both strategy legs consume the SAME hourly
-        # per-tag average (a tags×hours frame) — it was aggregated twice
-        # (2 scans + 2 two-phase aggs). One persisted build now serves
-        # both; each leg's as-of plan is otherwise untouched, so the
-        # plain-vs-bucketed strategy comparison the entry exists for
-        # still runs both physical shapes over identical inputs.
-        # Per-INVOCATION persist: the sharing is leg-level only; every
-        # bench/gate invocation re-aggregates from parquet.
-        hr = _persist_invocation("asof_hr_avg", asof.hourly_avg(t))
-        plain = asof.enrich_with_hourly_avg(t, hourly=hr).withColumn(
+        # r17 tried persisting one shared hourly_avg for both strategy
+        # legs (2 aggregations → 1 + cache). Measured per-run on the
+        # same session, interleaved (10 paired reps at sf0.1): medians
+        # 1.31 s (two aggs) vs 1.33 s (shared cache) — the cache
+        # write/read offsets the saved aggregation, a wash. Reverted to
+        # the simpler two-agg shape; every invocation computes from
+        # parquet (the hourly agg is a cheap map-side-combined
+        # reduction, so this also holds at scale).
+        plain = asof.enrich_with_hourly_avg(t).withColumn(
             "variant", F.lit("plain")
         )
         bucketed = asof.asof_join_scalable(
-            t, hr, on="tag", left_ts="timestamp",
+            t, asof.hourly_avg(t), on="tag", left_ts="timestamp",
             right_ts="hr", payload=["hr_avg"], bucket_ms=6 * 3_600_000,
         ).withColumn("variant", F.lit("bucketed"))
         return plain.unionByName(bucketed)
@@ -250,29 +247,21 @@ def register_extensions(q: dict, o: dict) -> None:
     # carried no gate row). Same grid machinery, disjoint `kind`s, so
     # the driver's value hash covers both resampling semantics. ----
     def gapfill_hourly(s: SparkSession, d: str) -> DataFrame:
-        from timeseries_db_spark.operators.dedup import _persist_invocation
-
         t = events_as_tsdb(s, d)
-        # r17 (guide §2.4): both resampler legs collapse the SAME
-        # (tag, ts) → max(value) point table and the same distinct-tag
-        # frame — previously 4 scans + 4 aggregation exchanges across
-        # the entry. One persisted build of each now serves both legs;
-        # the per-leg fill plans (one union+window for ffill, one
-        # two-direction range window for interp) are untouched.
-        # Per-INVOCATION persist: leg-level sharing only; every
-        # bench/gate invocation re-aggregates from parquet.
-        points = _persist_invocation(
-            "gapfill_points",
-            t.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
-                F.max("value").alias("value")
-            ),
+        # r17 tried persisting the (tag, ts)→max point table + distinct
+        # tag frame shared by both resampler legs (4 scans / 4 agg
+        # exchanges → 2 + caches). Measured per-run on the same
+        # session, interleaved at sf0.1: medians identical (2.67 vs
+        # 2.65 s), mins favor the uncached shape (1.45 vs 2.22) — the
+        # point table is near-full-size when (tag, ts) is nearly
+        # unique, so caching it costs what the second aggregation
+        # costs. Reverted to the per-leg shape; every invocation
+        # computes from parquet.
+        ffill = asof.gap_fill(t, lo=LO, hi=HI, step_ms=3_600_000).withColumn(
+            "kind", F.lit("ffill")
         )
-        tags = _persist_invocation("gapfill_tags", t.select("tag").distinct())
-        ffill = asof.gap_fill(
-            t, lo=LO, hi=HI, step_ms=3_600_000, points=points, tags=tags
-        ).withColumn("kind", F.lit("ffill"))
         interp = asof.interpolate_linear(
-            t, lo=LO, hi=HI, step_ms=3_600_000, points=points, tags=tags
+            t, lo=LO, hi=HI, step_ms=3_600_000
         ).withColumn("kind", F.lit("interp"))
         return ffill.unionByName(interp)
 
@@ -437,38 +426,19 @@ def register_extensions(q: dict, o: dict) -> None:
 
     def derivatives_by_tag(s: SparkSession, d: str) -> DataFrame:
         t = events_as_tsdb(s, d)
-        # r17 (guide §2.4, "remove shuffles outright"): the delta and
-        # ewma legs are per-tag windows and the rate leg a per-
-        # (tag, bucket) aggregation — all three need only the
-        # clustering ONE hashpartitioning(tag) exchange provides
-        # (HashPartitioning([tag]) satisfies ClusteredDistribution of
-        # any superset, so the bucketed agg needs no second exchange).
-        # Sharing one repartition("tag") of the base across the three
-        # union branches cuts 3 parquet scans + 3 full-data shuffles
-        # to 1 + 1. Plain plan sharing is NOT enough — Catalyst pushes
-        # each branch's pruning/derived-column Project below the
-        # repartition, so the three embedded exchange copies stop
-        # canonicalizing equal and neither ReuseExchange nor AQE stage
-        # reuse fires (verified on the executed plan) — hence the
-        # established leg-sharing persist pattern: the exchange
-        # materializes once, every branch reads the cached partitioned
-        # frame with its clustering intact. Values are untouched: each
-        # leg's window/agg logic is identical, only WHERE the (already
-        # per-tag) exchange sits changes — and the entry's skew posture
-        # is unchanged because the delta/ewma whole-tag windows already
-        # bound it; the bucketed delta_sc/roll legs deliberately keep
-        # their own skew-safe (tag, bucket)-keyed plans (their reason
-        # to exist), and zscore/szn keep the two-pass broadcast-moments
-        # shape that never shuffles the full table at all.
-        # Per-INVOCATION persist (not the session-lived semantic-hash
-        # reuse): a persisted repartition of the BASE table must not
-        # survive into the next bench/gate invocation — every run
-        # re-scans parquet and re-pays the one exchange; the sharing is
-        # strictly between this plan's own legs.
-        from timeseries_db_spark.operators.dedup import _persist_invocation
-
-        shared = _persist_invocation("deriv_bytag_base", t.repartition("tag"))
-        deltas = analytics.point_deltas(shared).select(
+        # r17 tried sharing ONE persisted repartition("tag") of the
+        # base across the delta/rate/ewma legs (3 parquet scans +
+        # 3 full-data shuffles → 1 + cache; plain ReuseExchange cannot
+        # fire — per-branch project pushdown below the repartition
+        # breaks canonical equality). Measured per-run on the same
+        # session, interleaved (5 paired reps at sf0.1): medians
+        # 2.77 s (three shuffles) vs 2.84 s (shared cache), mins 2.42
+        # vs 2.66 — writing + thrice-reading the near-full-size cached
+        # base costs what the two saved exchanges cost, and the rate
+        # leg LOSES its cheap partial-agg-before-shuffle shape by
+        # consuming a full-data exchange instead. Reverted to per-leg
+        # plans; every invocation computes from parquet.
+        deltas = analytics.point_deltas(t).select(
             F.lit("delta").alias("kind"),
             "tag",
             F.col("timestamp").alias("ts"),
@@ -484,7 +454,7 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("dv").alias("v1"),
             F.col("dt_ms").cast("double").alias("v2"),
         )
-        rates = analytics.rate_per_bucket(shared, bucket_ms=DERIV_BUCKET_MS).select(
+        rates = analytics.rate_per_bucket(t, bucket_ms=DERIV_BUCKET_MS).select(
             F.lit("rate").alias("kind"),
             "tag",
             F.col("bucket_start").alias("ts"),
@@ -532,7 +502,7 @@ def register_extensions(q: dict, o: dict) -> None:
         # r9: dyadic EWMA (α = 1/2 exponential smoothing over the last
         # 40 points) — all-integer shift-divide terms, so the smoothed
         # series value-hashes exactly; v1 = micro-unit ewma, v2 = value
-        ewma = analytics.ewma_dyadic(shared).select(
+        ewma = analytics.ewma_dyadic(t).select(
             F.lit("ewma").alias("kind"),
             "tag",
             F.col("timestamp").alias("ts"),
