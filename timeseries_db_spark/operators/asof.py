@@ -110,17 +110,12 @@ def hourly_avg(tsdb: DataFrame) -> DataFrame:
     )
 
 
-def enrich_with_hourly_avg(
-    tsdb: DataFrame, hourly: DataFrame | None = None
-) -> DataFrame:
+def enrich_with_hourly_avg(tsdb: DataFrame) -> DataFrame:
     """Each row + the most recent hourly per-tag average as of its
-    timestamp (every row's own hour qualifies, so the payload is total).
-    ``hourly`` (r17) lets callers composing several strategies over one
-    input pass a shared/persisted :func:`hourly_avg` frame instead of
-    re-aggregating it (must be the same plan)."""
+    timestamp (every row's own hour qualifies, so the payload is total)."""
     return asof_join(
         tsdb,
-        hourly_avg(tsdb) if hourly is None else hourly,
+        hourly_avg(tsdb),
         on="tag",
         left_ts="timestamp",
         right_ts="hr",
@@ -204,8 +199,7 @@ def asof_join_scalable(
 
 
 def gap_fill(
-    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int,
-    points: DataFrame | None = None, tags: DataFrame | None = None,
+    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int
 ) -> DataFrame:
     """Resample to a regular grid with forward-fill: for every tag and
     every grid instant in ``[lo, hi]`` (step ``step_ms``), the latest
@@ -213,15 +207,11 @@ def gap_fill(
     i.e. ``asof_join(grid, data)``. The grid is generated, never stored
     (``sequence`` + ``explode`` — |tags|×|points| rows, embarrassingly
     parallel). Duplicate (tag, timestamp) points collapse to ``max`` first
-    so the fill is deterministic in both engines. ``points``/``tags``
-    (r17) let callers composing several resamplers over one input pass
-    shared/persisted collapse and tag frames (must be the same plans)."""
-    if points is None:
-        points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
-            F.max("value").alias("value")
-        )
-    if tags is None:
-        tags = tsdb.select("tag").distinct()
+    so the fill is deterministic in both engines."""
+    points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+        F.max("value").alias("value")
+    )
+    tags = tsdb.select("tag").distinct()
     if lo > hi:
         # Spark's sequence() rejects descending bounds with a positive
         # step; the SQL twin's generate_series yields zero rows — match it
@@ -242,8 +232,7 @@ def gap_fill(
 
 
 def interpolate_linear(
-    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int,
-    points: DataFrame | None = None, tags: DataFrame | None = None,
+    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int
 ) -> DataFrame:
     """Resample to a regular grid with *linear interpolation*: for every
     tag and grid instant, the value linearly interpolated between the
@@ -273,12 +262,10 @@ def interpolate_linear(
     """
     from pyspark.sql import Window
 
-    if points is None:
-        points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
-            F.max("value").alias("value")
-        )
-    if tags is None:
-        tags = tsdb.select("tag").distinct()
+    points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+        F.max("value").alias("value")
+    )
+    tags = tsdb.select("tag").distinct()
     if lo > hi:
         return tags.select(
             "tag",

@@ -174,17 +174,6 @@ def release_caches() -> None:
         _live_pins.clear()
 
 
-def release_family(key: str) -> None:
-    """Drop every cached generation of ONE family (the prefix before the
-    first colon) — for callers that need to bound memory or force a
-    recompute of a session-lived artifact family without releasing the
-    rest (:func:`release_caches` drops everything)."""
-    with _cache_lock:
-        stale = [k for k in _live_caches if k.split(":", 1)[0] == key]
-        for k in stale:
-            _live_caches.pop(k).unpersist()
-            _live_pins.pop(k, None)
-
 #: Shingle expression over a pre-bound ``toks`` column. Binding the
 #: tokenization ONCE in a prior projection matters enormously: textually
 #: inlining the regex split here would re-run it per reference — and the
