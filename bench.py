@@ -429,6 +429,11 @@ def run_slope(spark, queries) -> dict:
     secs: dict[int, dict[str, float]] = {1: {}, SLOPE_RATIO: {}}
     for scale in (1, SLOPE_RATIO):  # scales outer: cache-sharing order
         for name, fn in fns.items():
+            # SLOPE_MEDIAN3 note (ADVICE r17): for dedup_clusters the
+            # persist-tracked minhash signature/pair caches are
+            # intentionally shared across the median-of-3 runs — runs
+            # 2-3 re-time only the iterative components loop, which is
+            # exactly the quantity the slope instrument tracks.
             n_runs = 3 if name in SLOPE_MEDIAN3 else SLOPE_RUNS
             runs = []
             for _ in range(n_runs):

@@ -660,6 +660,16 @@ def test_derivatives_legs_keep_their_own_plans(spark, sf_dir):
     base (no InMemoryTableScan) and no explicit repartition node: each
     leg plans its own exchange exactly as the pre-r17 shape did."""
     from timeseries_db_spark import registry
+    from timeseries_db_spark.operators.dedup import release_caches
+
+    # r18 (ADVICE r17): the blanket InMemoryTableScan assertion is
+    # order-dependent under the shared spark fixture — Spark's
+    # CacheManager substitutes ANY session-cached fragment that
+    # canonically matches, so a prior test persisting an events-derived
+    # frame would fail this test spuriously. Clear tracked caches and
+    # the session cache first so the assertion sees only THIS plan.
+    release_caches()
+    spark.catalog.clearCache()
 
     q, _ = registry.build_registry()
     df = q["derivatives_by_tag"](spark, sf_dir)

@@ -30,6 +30,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import threading
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -163,6 +164,21 @@ def _persist_tracked_lazy(
         return _live_caches[full]
 
 
+def _persist_fresh(key: str, df: DataFrame) -> DataFrame:
+    """PER-INVOCATION persist (r18): a fresh cache generation on every
+    call — ``plan_key`` is a random nonce, so a later invocation never
+    hits this generation (it recomputes from its inputs, releasing the
+    previous generation; the leak stays bounded at one per family like
+    :func:`_persist_tracked`). Use for small frames referenced several
+    times INSIDE one plan (Catalyst does not CSE repeated subtrees, and
+    AQE exchange reuse does not fire across our union/join branches —
+    measured: the LSH candidate subtree executed 4-5× per
+    dedup_minhash_lsh invocation, 49 exchanges / 40 file scans in the
+    executed plan). This is NOT cross-run result caching: every
+    bench/oracle invocation re-materializes from parquet."""
+    return _persist_tracked(key, df, plan_key=uuid.uuid4().hex)
+
+
 def release_caches() -> None:
     """Explicitly drop all cached signature tables — at session end, or
     REQUIRED after overwriting an input parquet in place (see
@@ -253,17 +269,26 @@ _SHINGLES_CTE_DUCK = f"""
     )
 """
 
-def _jaccard_verify(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_verify(
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    *,
+    persist_sizes: bool = True,
+) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs
     — used by the MinHash-LSH path (the inverted-index path derives the
     intersection directly from its self-join). duck_round, not F.round:
     the jaccard feeds the oracle value hash and Spark's string rounding
     diverges from DuckDB's at exact 4-decimal ties."""
     # per-doc totals persist across the na/nb joins (one row per doc;
-    # Catalyst would otherwise recompute the shingle scan + agg twice)
-    sizes = _persist_tracked(
-        "verify_sizes", sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    )
+    # Catalyst would otherwise recompute the shingle scan + agg twice).
+    # persist_sizes=False (r18): when ``sh`` is already pre-filtered to
+    # candidate documents it is tiny — recomputing the subtree per
+    # reference costs less than managing a cache generation for it.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if persist_sizes:
+        sizes = _persist_tracked("verify_sizes", sizes)
     sha = sh.withColumnRenamed("doc_id", "id_a")
     shb = sh.withColumnRenamed("doc_id", "id_b")
     shared = (
@@ -620,7 +645,9 @@ def minhash_band_table(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bkey")
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float, *, persist_pairs: bool = True
+) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     shingle Jaccard: (id_a, id_b, jaccard ≥ threshold). Candidate pairs
     collide in ≥1 of the 8 bands — join fan-out is per-bucket, never
@@ -633,23 +660,56 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     bands = minhash_band_table(sig)
     a = bands.alias("a")
     bb = bands.alias("b")
-    candidates = (
+    # per-invocation persist: the candidate pair set is referenced by
+    # the id projection, the shared-count join and (transitively) every
+    # shingle/size subtree below — without it the band self-join
+    # re-executed 4-5× per invocation (measured; AQE exchange reuse
+    # does not fire across these branches)
+    candidates = _persist_fresh(
+        "minhash_cand",
         a.join(bb, on=["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        .distinct(),
+    )
+    # exact-Jaccard verification of candidates only. r18: the verify
+    # shingles ONLY the candidate documents — doc_shingles is a
+    # per-document map, so filtering docs to the candidate-id set first
+    # (a tiny broadcast semi-join; near-dup density bounds it) yields
+    # exactly the shingles the shared/size joins consume, replacing two
+    # full-corpus shingle passes with two candidate-only ones
+    # (guide §2.3: project/filter before the exchange; the
+    # corpus_contamination split-before-shingle precedent).
+    ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # exact-Jaccard verification of candidates only. The VERIFIED pair
-    # set is persist-tracked too (r7): it is the expensive part of the
-    # plan (band self-join + verify), it is tiny by construction
-    # (near-dup density), and the same (docs, threshold) plan is built
-    # by minhash_lsh_pairs, dedup_clusters, and curate_corpus in one
-    # session/gate sweep — one materialization serves all three.
-    return _persist_tracked(
-        "minhash_pairs", _jaccard_verify(doc_shingles(docs), candidates, threshold)
+    # same per-invocation treatment: consumed by the shared join (×2)
+    # and the size aggregation (×2)
+    cand_sh = _persist_fresh(
+        "minhash_cand_sh", doc_shingles(docs.join(F.broadcast(ids), "doc_id"))
     )
+    pairs = _jaccard_verify(
+        cand_sh, candidates, threshold, persist_sizes=False
+    )
+    if not persist_pairs:
+        # r18 (ADVICE r17): the GATE/BENCH entry for dedup_minhash_lsh
+        # must recompute its final result per invocation — returning the
+        # persisted pair frame directly would make bench repeats time a
+        # cache read of the entry's own result. The signature cache above
+        # remains the shared artifact (an index, not the result).
+        return pairs
+    # The VERIFIED pair set is persist-tracked for the CONSUMERS that use
+    # it as an input artifact (r7): it is the expensive part of the plan
+    # (band self-join + verify), it is tiny by construction (near-dup
+    # density), and the same (docs, threshold) plan feeds dedup_clusters'
+    # iterative components loop (which references it once per iteration)
+    # and curate_corpus in one session/gate sweep — one materialization
+    # serves them. Those entries recompute THEIR results per invocation.
+    return _persist_tracked("minhash_pairs", pairs)
 
 
 def minhash_lsh_pairs_sql(threshold: float) -> str:

@@ -3325,8 +3325,12 @@ def register_extensions(q: dict, o: dict) -> None:
         )})
     """
 
+    # persist_pairs=False (r18, ADVICE r17): the entry recomputes the
+    # band self-join + exact-Jaccard verify on every invocation; only the
+    # signature table (an index artifact shared with dedup_clusters /
+    # curation) stays persist-tracked.
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _docs(s, d), JACCARD_T
+        _docs(s, d), JACCARD_T, persist_pairs=False
     )
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_sql(JACCARD_T)
 
