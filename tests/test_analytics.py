@@ -589,3 +589,74 @@ def test_cusum_reflection_identity_matches_recursion(spark):
     f = got["flat"]
     assert (f["n_pos"], f["n_neg"]) == (0, 0)
     assert f["first_pos_ts"] is None and f["fp_pos"] is None
+
+
+def test_fused_delta_ewma_bit_equals_separate_ops(spark, sf_dir):
+    """r18 fold: the gate entry computes delta+ewma in ONE window pass
+    (delta_ewma_fused) — its columns must be bit-identical to the two
+    separate operators, and the plan must carry exactly ONE Window over
+    one Exchange (the fold's whole point)."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators import analytics as A
+
+    t = events_as_tsdb(spark, sf_dir)
+    fused = A.delta_ewma_fused(t).toPandas().sort_values(
+        ["tag", "timestamp"]
+    ).reset_index(drop=True)
+    sep_d = point_deltas(t).toPandas().sort_values(
+        ["tag", "timestamp"]
+    ).reset_index(drop=True)
+    sep_e = A.ewma_dyadic(t).toPandas().sort_values(
+        ["tag", "timestamp"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fused[["timestamp", "tag", "value", "dv", "dt_ms"]],
+        sep_d[["timestamp", "tag", "value", "dv", "dt_ms"]],
+    )
+    pd.testing.assert_frame_equal(
+        fused[["timestamp", "tag", "value", "ewma_fp"]],
+        sep_e[["timestamp", "tag", "value", "ewma_fp"]],
+    )
+    plan = A.delta_ewma_fused(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan[:3000]
+
+
+def test_fused_zscore_seasonal_bit_equals_separate_ops(spark, sf_dir):
+    """r18 fold: one (tag, hod) aggregation + a window rollup over the
+    tiny stats frame must reproduce BOTH moment levels bit-identically
+    (decimal partial sums are exact and associative)."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators import analytics as A
+
+    t = events_as_tsdb(spark, sf_dir)
+    fused = A.zscore_seasonal_fused(t, threshold=2.5).toPandas()
+    got_g = (
+        fused[fused.keep_global][["tag", "timestamp", "value", "z_global"]]
+        .rename(columns={"z_global": "z"})
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    want_g = (
+        A.zscore_outliers(t, threshold=2.5)
+        .toPandas()[["tag", "timestamp", "value", "z"]]
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_g, want_g)
+    got_h = (
+        fused[fused.keep_seasonal][
+            ["tag", "timestamp", "value", "hod", "z_seasonal"]
+        ]
+        .rename(columns={"z_seasonal": "z"})
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    want_h = (
+        A.seasonal_zscore_outliers(t, threshold=2.5)
+        .toPandas()[["tag", "timestamp", "value", "hod", "z"]]
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_h, want_h)

@@ -645,6 +645,130 @@ def ewma_dyadic(tsdb: DataFrame, lags: int = EWMA_LAGS) -> DataFrame:
     )
 
 
+def delta_ewma_fused(tsdb: DataFrame, lags: int = EWMA_LAGS) -> DataFrame:
+    """:func:`point_deltas` and :func:`ewma_dyadic` computed in ONE
+    tag-partitioned window pass (r18, guide §2.4: two operations keyed
+    the same way share one exchange): (timestamp, tag, value, dv,
+    dt_ms, ewma_fp). Separately the two legs each paid a full-data
+    Exchange + Sort + parquet scan; fused they share one of each — the
+    lag and the collected EWMA frame are just two frame processors of
+    the same Window operator.
+
+    Both window specs order by (timestamp, x6); under the tsdb
+    uniqueness invariant (one row per (timestamp, tag) — module
+    docstring) the x6 tie-break is inert and the lag sees exactly
+    :func:`point_deltas`' order. Bit-equality of the fused frame with
+    the two separate operators is pytest-pinned."""
+    w = f"PARTITION BY tag ORDER BY timestamp, x6"
+    we = f"{w} ROWS BETWEEN {lags - 1} PRECEDING AND CURRENT ROW"
+    return (
+        tsdb.selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            f"CAST(round(value * {EWMA_FP}) AS BIGINT) AS x6",
+        )
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            f"lag(value) OVER ({w}) AS _lv",
+            f"lag(timestamp) OVER ({w}) AS _lt",
+            f"collect_list(x6) OVER ({we}) AS _frame",
+        )
+        .selectExpr(
+            "timestamp",
+            "tag",
+            "value",
+            duck_round_sql("value - _lv") + " AS dv",
+            "timestamp - _lt AS dt_ms",
+            "aggregate(transform(_frame, (x, i) -> "
+            "x div shiftleft(CAST(1 AS BIGINT), size(_frame) - i)), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b) AS ewma_fp",
+        )
+    )
+
+
+def zscore_seasonal_fused(
+    tsdb: DataFrame, threshold: float = 2.5
+) -> DataFrame:
+    """:func:`zscore_outliers` and :func:`seasonal_zscore_outliers`
+    from ONE events scan and ONE moment aggregation (r18, guide §2.3
+    aggregate-before-shuffle / share the pass): the per-tag moments are
+    the EXACT per-(tag, hod) DECIMAL(38,10) partials re-aggregated by
+    tag (decimal addition is exact and associative, so _s/_sq/_n — and
+    therefore mean and sd — are bit-identical to the direct per-tag
+    aggregation; pytest-pinned). Separately the two legs paid two full
+    scans for the moment aggs and two more for the broadcast-join
+    filters; fused: one scan for the (tag, hod) partials + a tiny
+    rollup, one scan for the row side with BOTH tiny moment tables
+    broadcast onto it.
+
+    Returns one row per input row: (tag, timestamp, value, hod,
+    z_global, keep_global, z_seasonal, keep_seasonal) — the caller
+    selects/filters each leg's shape (both z columns are pre-rounded
+    with the same duck_round the separate operators apply)."""
+    with_h = tsdb.selectExpr(
+        "tag", "timestamp", "value", "(timestamp div 3600000) % 24 AS hod"
+    )
+    stats_h = with_h.groupBy("tag", "hod").agg(
+        F.expr("sum(CAST(value AS DECIMAL(38,10))) AS _s"),
+        F.expr("sum(CAST(value * value AS DECIMAL(38,10))) AS _sq"),
+        F.expr("count(1) AS _n"),
+    )
+    # per-tag totals via a window over the TINY (tags × 24)-row stats
+    # frame — Catalyst does not CSE a repeated aggregate subtree, so a
+    # separate groupBy("tag") would re-scan and re-aggregate the events;
+    # the window rollup keeps ONE aggregation pass and ONE broadcast
+    # table carrying both moment levels
+    wt = "PARTITION BY tag"
+    stats_b = stats_h.selectExpr(
+        "tag",
+        "hod",
+        "_s",
+        "_sq",
+        "_n",
+        f"sum(_s) OVER ({wt}) AS _st",
+        f"sum(_sq) OVER ({wt}) AS _sqt",
+        f"sum(_n) OVER ({wt}) AS _nt",
+    )
+
+    def _m(s: str, sq: str, n: str) -> tuple[str, str]:
+        mean = f"CAST({s} AS DOUBLE) / {n}"
+        sd = (
+            f"sqrt(greatest(CAST({sq} AS DOUBLE) / {n} - ({mean}) * ({mean}),"
+            f" CAST(0.0 AS DOUBLE)))"
+        )
+        return mean, sd
+
+    mh, sdh = _m("_s", "_sq", "_n")
+    mt, sdt = _m("_st", "_sqt", "_nt")
+    moments = stats_b.selectExpr(
+        "tag",
+        "hod",
+        f"{mh} AS _mh",
+        f"{sdh} AS _sdh",
+        f"{mt} AS _mt",
+        f"{sdt} AS _sdt",
+    )
+    thr = f"CAST({threshold} AS DOUBLE)"
+    return (
+        with_h.join(F.broadcast(moments), on=["tag", "hod"], how="inner")
+        .selectExpr(
+            "tag",
+            "timestamp",
+            "value",
+            "CAST(hod AS BIGINT) AS hod",
+            duck_round_sql("(value - _mt) / _sdt") + " AS z_global",
+            "_sdt > CAST(0 AS DOUBLE) AND"
+            f" abs((value - _mt) / _sdt) >= {thr} AS keep_global",
+            duck_round_sql("(value - _mh) / _sdh") + " AS z_seasonal",
+            "_sdh > CAST(0 AS DOUBLE) AND"
+            f" abs((value - _mh) / _sdh) >= {thr} AS keep_seasonal",
+        )
+    )
+
+
 def ewma_dyadic_sql(table_sql: str, lags: int = EWMA_LAGS) -> str:
     """DuckDB twin: same quantize → ``lags`` lag() terms over one
     window spec → integer shift-divide sum (missing lags contribute 0)."""

@@ -438,13 +438,30 @@ def register_extensions(q: dict, o: dict) -> None:
         # leg LOSES its cheap partial-agg-before-shuffle shape by
         # consuming a full-data exchange instead. Reverted to per-leg
         # plans; every invocation computes from parquet.
-        deltas = analytics.point_deltas(t).select(
-            F.lit("delta").alias("kind"),
+        #
+        # r18: instead of caching, FUSE legs that are keyed identically
+        # (guide §2.4) — no persisted state, every invocation computes
+        # from parquet, each leg's VALUES unchanged (pytest-pinned
+        # bit-equality + oracle):
+        # * delta + ewma ride one tag-partitioned window pass (one
+        #   Exchange + Sort + scan instead of two of each); one explode
+        #   emits both legs' rows.
+        # * zscore + szn share one moment aggregation (per-tag moments
+        #   are the exact DECIMAL rollup of the per-(tag, hod) partials)
+        #   and one broadcast-filtered row scan (4 scans → 2).
+        de = analytics.delta_ewma_fused(t)
+        delta_ewma = de.select(
             "tag",
             F.col("timestamp").alias("ts"),
-            F.col("dv").alias("v1"),
-            F.col("dt_ms").cast("double").alias("v2"),
-        )
+            F.expr(
+                "explode(array("
+                "  struct('delta' AS kind, dv AS v1,"
+                "         CAST(dt_ms AS DOUBLE) AS v2),"
+                "  struct('ewma' AS kind, CAST(ewma_fp AS DOUBLE) AS v1,"
+                "         value AS v2)"
+                ")) AS _x"
+            ),
+        ).select("_x.kind", "tag", "ts", "_x.v1", "_x.v2")
         deltas_sc = analytics.point_deltas_scalable(
             t, bucket_ms=DERIV_BUCKET_MS
         ).select(
@@ -463,13 +480,25 @@ def register_extensions(q: dict, o: dict) -> None:
         )
         # r8 (VERDICT r7 item 1): per-tag z-score anomaly flagging joins
         # the union — the two-pass broadcast-moments plan, coerced to the
-        # entry's (kind, tag, ts, v1, v2) shape with v1=z, v2=value
-        zscores = analytics.zscore_outliers(t, threshold=2.5).select(
-            F.lit("zscore").alias("kind"),
-            "tag",
-            F.col("timestamp").alias("ts"),
-            F.col("z").alias("v1"),
-            F.col("value").alias("v2"),
+        # entry's (kind, tag, ts, v1, v2) shape with v1=z, v2=value.
+        # r18: computed from the fused global+seasonal frame (see above).
+        zs = analytics.zscore_seasonal_fused(t, threshold=2.5)
+        zscore_szn = (
+            zs.select(
+                "tag",
+                F.col("timestamp").alias("ts"),
+                F.expr(
+                    "explode(array("
+                    "  struct('zscore' AS kind, z_global AS v1,"
+                    "         value AS v2, keep_global AS _keep),"
+                    "  struct('szn' AS kind, z_seasonal AS v1,"
+                    "         CAST(hod AS DOUBLE) AS v2,"
+                    "         keep_seasonal AS _keep)"
+                    ")) AS _x"
+                ),
+            )
+            .filter("_x._keep")
+            .select("_x.kind", "tag", "ts", "_x.v1", "_x.v2")
         )
         # r8: trailing 1h time-window average — gated via the SCALABLE
         # carried-frame difference plan (the sliding-frame twin is
@@ -487,35 +516,13 @@ def register_extensions(q: dict, o: dict) -> None:
             F.col("roll_avg").alias("v1"),
             F.col("roll_cnt").cast("double").alias("v2"),
         )
-        # late-r8: seasonal (hour-of-day baseline) z-score — the
-        # daily-cycle refinement of the global zscore leg; moments are a
-        # (tags × 24)-row broadcast. Coerced as v1=z, v2=hod — the
-        # leg's new information is WHICH rows are anomalous against
-        # their hour's baseline and by how much
-        szn = analytics.seasonal_zscore_outliers(t, threshold=2.5).select(
-            F.lit("szn").alias("kind"),
-            "tag",
-            F.col("timestamp").alias("ts"),
-            F.col("z").alias("v1"),
-            F.col("hod").cast("double").alias("v2"),
-        )
-        # r9: dyadic EWMA (α = 1/2 exponential smoothing over the last
-        # 40 points) — all-integer shift-divide terms, so the smoothed
-        # series value-hashes exactly; v1 = micro-unit ewma, v2 = value
-        ewma = analytics.ewma_dyadic(t).select(
-            F.lit("ewma").alias("kind"),
-            "tag",
-            F.col("timestamp").alias("ts"),
-            F.col("ewma_fp").cast("double").alias("v1"),
-            F.col("value").alias("v2"),
-        )
+        # (late-r8 szn and r9 ewma legs now ride the fused frames above:
+        # szn pairs with zscore, ewma with delta — values unchanged.)
         return (
-            deltas.unionByName(deltas_sc)
+            delta_ewma.unionByName(deltas_sc)
             .unionByName(rates)
-            .unionByName(zscores)
+            .unionByName(zscore_szn)
             .unionByName(rolls)
-            .unionByName(szn)
-            .unionByName(ewma)
         )
 
     q["derivatives_by_tag"] = derivatives_by_tag
