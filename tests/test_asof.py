@@ -124,3 +124,50 @@ def test_interpolate_linear_matches_sql_twin(spark, sf_dir):
         events_as_tsdb(spark, sf_dir), lo=LO, hi=HI, step_ms=6 * 3_600_000
     )
     assert_same(got, exp)
+
+
+def test_gapfill_interp_fused_bit_equals_separate_ops(spark, sf_dir):
+    """r18 fold: the gate entry computes ffill+interp from ONE
+    union+window pass — both legs' values must be bit-identical to the
+    separate operators (the ffill value is the interpolation's backward
+    carry p_v), including the empty-grid guard."""
+    import pandas as pd
+
+    from timeseries_db_spark.operators import asof
+    from timeseries_db_spark.sources.tables import events_as_tsdb
+
+    t = events_as_tsdb(spark, sf_dir)
+    lo, hi, step = 1_704_067_200_000, 1_704_153_600_000, 3_600_000
+    fused = (
+        asof.gapfill_interp_fused(t, lo=lo, hi=hi, step_ms=step)
+        .toPandas()
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    ffill = (
+        asof.gap_fill(t, lo=lo, hi=hi, step_ms=step)
+        .toPandas()
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    interp = (
+        asof.interpolate_linear(t, lo=lo, hi=hi, step_ms=step)
+        .toPandas()
+        .sort_values(["tag", "timestamp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fused[["tag", "timestamp", "ffill_value"]].rename(
+            columns={"ffill_value": "value"}
+        ),
+        ffill[["tag", "timestamp", "value"]],
+    )
+    pd.testing.assert_frame_equal(
+        fused[["tag", "timestamp", "interp_value"]].rename(
+            columns={"interp_value": "value"}
+        ),
+        interp[["tag", "timestamp", "value"]],
+    )
+    empty = asof.gapfill_interp_fused(t, lo=10, hi=0, step_ms=step)
+    assert empty.count() == 0
+    assert empty.columns == ["tag", "timestamp", "ffill_value", "interp_value"]

@@ -321,6 +321,75 @@ def interpolate_linear(
     )
 
 
+def gapfill_interp_fused(
+    tsdb: DataFrame, *, lo: int, hi: int, step_ms: int
+) -> DataFrame:
+    """:func:`gap_fill` and :func:`interpolate_linear` from ONE
+    union+window pass (r18, guide §2.4): the forward-fill leg's value
+    IS the backward carry ``p_v`` the interpolation already computes —
+    gap_fill's as-of window (ROWS frame, right rows sorting first at
+    equal times) and the interpolation's backward RANGE frame see the
+    same at-most-one max-collapsed point per (tag, ts), so the carried
+    doubles are identical (pytest-pinned bit-equality). Separately the
+    two legs each paid the points aggregation, the tags distinct, the
+    grid generation and a full union+window exchange; fused they share
+    all four. Returns (tag, timestamp, ffill_value, interp_value), one
+    row per grid instant."""
+    points = tsdb.groupBy("tag", F.col("timestamp").alias("src_ts")).agg(
+        F.max("value").alias("value")
+    )
+    tags = tsdb.select("tag").distinct()
+    if lo > hi:
+        return tags.select(
+            "tag",
+            F.lit(None).cast("long").alias("timestamp"),
+            F.lit(None).cast("double").alias("ffill_value"),
+            F.lit(None).cast("double").alias("interp_value"),
+        ).filter(F.lit(False))
+    grid = tags.select(
+        "tag",
+        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step_ms))).alias(
+            "timestamp"
+        ),
+        F.lit(None).cast("long").alias("pt_ts"),
+        F.lit(None).cast("double").alias("pt_v"),
+        F.lit(True).alias("is_grid"),
+    )
+    obs = points.select(
+        "tag",
+        F.col("src_ts").alias("timestamp"),
+        F.col("src_ts").alias("pt_ts"),
+        F.col("value").alias("pt_v"),
+        F.lit(False).alias("is_grid"),
+    )
+    asc = Window.partitionBy("tag").orderBy(F.col("timestamp").asc())
+    desc = Window.partitionBy("tag").orderBy(F.col("timestamp").desc())
+    w_back = asc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = desc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    both = (
+        grid.unionByName(obs)
+        .withColumn("p_ts", F.last("pt_ts", ignorenulls=True).over(w_back))
+        .withColumn("p_v", F.last("pt_v", ignorenulls=True).over(w_back))
+        .withColumn("n_ts", F.last("pt_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("n_v", F.last("pt_v", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_grid"))
+    )
+    t, pt, pv = F.col("timestamp"), F.col("p_ts"), F.col("p_v")
+    nt, nv = F.col("n_ts"), F.col("n_v")
+    interp = pv + (nv - pv) * (t - pt) / (nt - pt)
+    value = (
+        F.when(pt.isNotNull() & nt.isNotNull() & (nt != pt), interp)
+        .when(pt.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    return both.select(
+        "tag",
+        "timestamp",
+        pv.alias("ffill_value"),
+        duck_round(value, 4).alias("interp_value"),
+    )
+
+
 def interpolate_linear_sql(
     table_sql: str, *, lo: int, hi: int, step_ms: int
 ) -> str:

@@ -55,7 +55,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # shingle→signature→band-join detector, measured ~2s/round at sf0.1)
     # eager=False: the blocks materialize inside round 1's aggregation
     # job (which computes every partition), saving a dedicated
-    # checkpoint action while still truncating lineage for rounds ≥ 2
+    # checkpoint action while still truncating lineage for rounds ≥ 2.
+    # r18 TRIED AND REVERTED: checkpointing the edge list pre-hashed by
+    # ``v`` (repartition before the checkpoint; LogicalRDD preserves
+    # outputPartitioning) removes one edge-side Exchange per FULL round
+    # at the cost of one up-front repartition — net saving (rounds−2).
+    # Measured on the gate graph (same-session interleaved A/B, sf0.1):
+    # the loop converges after ONE full round, so the trade is net
+    # negative (median 1.49 → 1.61 s). Worth revisiting only for graphs
+    # whose diameter forces ≥ 3 full rounds.
     bidir = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)

@@ -257,13 +257,23 @@ def register_extensions(q: dict, o: dict) -> None:
         # unique, so caching it costs what the second aggregation
         # costs. Reverted to the per-leg shape; every invocation
         # computes from parquet.
-        ffill = asof.gap_fill(t, lo=LO, hi=HI, step_ms=3_600_000).withColumn(
-            "kind", F.lit("ffill")
-        )
-        interp = asof.interpolate_linear(
-            t, lo=LO, hi=HI, step_ms=3_600_000
-        ).withColumn("kind", F.lit("interp"))
-        return ffill.unionByName(interp)
+        #
+        # r18: no caching needed — the forward-fill value IS the
+        # backward carry the interpolation pass already computes, so
+        # BOTH legs ride one union+window plan (gapfill_interp_fused:
+        # one points aggregation, one tags distinct, one grid, one
+        # exchange; values bit-identical, pytest-pinned + oracle).
+        fused = asof.gapfill_interp_fused(t, lo=LO, hi=HI, step_ms=3_600_000)
+        return fused.select(
+            "tag",
+            "timestamp",
+            F.expr(
+                "explode(array("
+                "  struct(ffill_value AS value, 'ffill' AS kind),"
+                "  struct(interp_value AS value, 'interp' AS kind)"
+                ")) AS _x"
+            ),
+        ).select("tag", "timestamp", "_x.value", "_x.kind")
 
     q["gapfill_hourly"] = gapfill_hourly
     _ffill_sql = asof.gap_fill_sql(EVENTS_T, lo=LO, hi=HI, step_ms=3_600_000)
