@@ -275,20 +275,25 @@ def _jaccard_verify(
     threshold: float,
     *,
     persist_sizes: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs
     — used by the MinHash-LSH path (the inverted-index path derives the
     intersection directly from its self-join). duck_round, not F.round:
     the jaccard feeds the oracle value hash and Spark's string rounding
-    diverges from DuckDB's at exact 4-decimal ties."""
-    # per-doc totals persist across the na/nb joins (one row per doc;
-    # Catalyst would otherwise recompute the shingle scan + agg twice).
-    # persist_sizes=False (r18): when ``sh`` is already pre-filtered to
-    # candidate documents it is tiny — recomputing the subtree per
-    # reference costs less than managing a cache generation for it.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if persist_sizes:
-        sizes = _persist_tracked("verify_sizes", sizes)
+    diverges from DuckDB's at exact 4-decimal ties.
+
+    ``sizes`` (r18): callers that already hold the per-doc
+    distinct-shingle counts (the signature table's ``n_sh`` monoid)
+    pass them as a (doc_id, n) frame; otherwise they are aggregated
+    from ``sh`` — persisted across the na/nb joins when
+    ``persist_sizes`` (Catalyst would recompute the shingle scan + agg
+    twice), or recomputed per reference when the caller pre-filtered
+    ``sh`` to candidate documents (tiny subtree)."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        if persist_sizes:
+            sizes = _persist_tracked("verify_sizes", sizes)
     sha = sh.withColumnRenamed("doc_id", "id_a")
     shb = sh.withColumnRenamed("doc_id", "id_b")
     shared = (
@@ -612,6 +617,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
+    # r18: the per-doc distinct-shingle count rides the SAME aggregation
+    # as a 33rd monoid (shingles are distinct per doc by construction —
+    # array_distinct in SHINGLES_SPARK — so count(1) == the |A| the
+    # Jaccard verify needs). The verify then reads sizes from the
+    # signature table instead of re-scanning/re-aggregating the shingle
+    # stream twice per invocation.
+    aggs.append(F.expr("count(1) AS n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -692,8 +704,13 @@ def minhash_lsh_pairs(
     cand_sh = _persist_fresh(
         "minhash_cand_sh", doc_shingles(docs.join(F.broadcast(ids), "doc_id"))
     )
+    # sizes come straight off the signature cache (the n_sh monoid rides
+    # the signature aggregation, r18) — no shingle re-scan for |A|/|B|
     pairs = _jaccard_verify(
-        cand_sh, candidates, threshold, persist_sizes=False
+        cand_sh,
+        candidates,
+        threshold,
+        sizes=sig.select("doc_id", F.col("n_sh").alias("n")),
     )
     if not persist_pairs:
         # r18 (ADVICE r17): the GATE/BENCH entry for dedup_minhash_lsh
