@@ -46,8 +46,10 @@ def norm(pdf: pd.DataFrame) -> list:
         for v in t:
             if isinstance(v, float):
                 # NaN != NaN breaks tuple comparison; NULL doubles arrive
-                # as None from Spark and NaN from DuckDB — normalize both
-                row.append("" if v != v else round(v, 4))
+                # as None from Spark and NaN from DuckDB — normalize both.
+                # Stringify so object columns mixing floats and strings
+                # (nullable union legs) stay sortable.
+                row.append("" if v != v else str(round(v, 4)))
             else:
                 row.append(str(v) if v is not None else "")
         rows.append(tuple(row))
